@@ -1,0 +1,28 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+class SinksSpec extends SparkTestBase {
+
+  test("csvSingleFile writes exactly one readable CSV file") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name").repartition(3)
+    val out = Files.createTempDirectory("sink").resolve("out.csv").toString
+    Sinks.csvSingleFile(df, out)
+    assert(Files.isRegularFile(Paths.get(out)))
+    val back = spark.read.option("header", true).csv(out)
+    assert(back.count() === 3)
+    assert(back.columns.toSeq === Seq("id", "name"))
+    assert(!Files.exists(Paths.get(out + ".__graft_tmp")))
+  }
+
+  test("csvDir writes a partitioned directory") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i, s"r$i")).toDF("id", "name").repartition(4)
+    val out = Files.createTempDirectory("sinkdir").resolve("out").toString
+    Sinks.csvDir(df, out)
+    assert(spark.read.option("header", true).csv(out).count() === 100)
+  }
+}
