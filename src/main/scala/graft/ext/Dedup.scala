@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-pipeline curation.
+  *
+  * Scale design notes (the point of each variant):
+  *  - exact: group on a 16-byte content fingerprint, never shuffle
+  *    document bodies.
+  *  - ngramJaccard: EXACT pairwise Jaccard, but candidates come from an
+  *    inverted shingle index (self-join on shingle), so |A∩B| is a
+  *    count aggregated per pair — no all-pairs cross join ever
+  *    materializes. This is the verification-grade path.
+  *  - minhash: MinHash signatures + LSH banding — the 100 TB path.
+  *    Candidate volume is controlled by band/row choice; candidates are
+  *    then verified with exact Jaccard, so precision is 1 and recall is
+  *    1 - (1 - j^r)^b (≈ 1 - 5e-8 at j=0.8 with b=32, r=4: for the
+  *    driver's oracle this is exact for all practical purposes).
+  *  - simhash: 64-bit SimHash + pigeonhole banding on 16-bit chunks
+  *    (hamming distance ≤ 3 guarantees one equal chunk).
+  */
+object Dedup {
+
+  /** Materialization barrier: an exchange that (a) spreads a small-file
+    * scan across the cluster and (b) stops Catalyst's projection collapse
+    * from inlining an expensive array-expression column into every
+    * downstream use (higher-order functions are interpreted, so
+    * re-evaluating a shingle set inside each of 128 MinHash branches is
+    * catastrophic — the exchange materializes it once per row). */
+  private def barrier(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** Exact dedup: one surviving (min) doc id per distinct normalized text,
+    * with the duplicate count. Groups by md5 fingerprint so the shuffle
+    * key is 16 bytes; map-side partial aggregation applies. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(idCol, "n_copies")
+
+  /** Distinct (doc, shingle) pairs plus per-doc shingle-set sizes. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    barrier(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      // hash the shingle so the self-join key is 8 bytes, not a string
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
+
+  /** EXACT near-duplicate pairs by word-n-gram Jaccard >= `threshold`.
+    *
+    * |A∩B| is computed by joining the inverted index with itself on the
+    * shingle and counting co-occurrences per (a, b) pair — the standard
+    * set-similarity-join shape: shuffle is bounded by the index size, and
+    * only genuinely-overlapping pairs reach the aggregation. Jaccard is a
+    * single integer division: bit-identical across engines.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n).cache()
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+    val co = idx.as("a").join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+    co
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .withColumn("jaccard", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash signature column: for each of `k` seeded mixes, the min over
+    * the document's shingle hashes — a native Catalyst expression
+    * (graft.functions.MinHashSignature) because the k×n hot loop is ~100×
+    * faster than the equivalent interpreted `transform`/`array_min`. */
+  def minhashSignature(shingleHashes: org.apache.spark.sql.Column, k: Int) =
+    graft.functions.sketches.minhash_signature(shingleHashes, k)
+
+  /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * b bands of r rows (k = b*r). Docs land in a bucket per band keyed by
+    * the band slice's hash; same-bucket pairs are candidates. Candidates
+    * are deduplicated across bands, then verified by exact shingle-set
+    * Jaccard (small joins: only candidate ids fetch their shingle sets).
+    */
+  def minhash(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+      bands: Int = 32, rows: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = bands * rows
+    // barriers: materialize the shingle-hash array before the 128-branch
+    // signature expression consumes it, and the signature before the
+    // per-band explode — otherwise projection collapse re-evaluates them
+    // once per branch/band.
+    val withSh = barrier(
+      barrier(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          transform(TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
+        .filter(size(col("shs")) > 0))
+    val sigs = barrier(withSh.select(col("id"), minhashSignature(col("shs"), k).as("sig")))
+    // one row per (band, bucket): bucket = hash of the band's r-slice
+    val buckets = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("id", "band", "bucket")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    // exact verification on candidates only
+    val verified = cand
+      .join(withSh.withColumnRenamed("id", "a_id").withColumnRenamed("shs", "a_shs"), "a_id")
+      .join(withSh.withColumnRenamed("id", "b_id").withColumnRenamed("shs", "b_shs"), "b_id")
+      .withColumn("c", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("a_shs")) + size(col("b_shs")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+    verified.select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream: bit i of the result is 1 when
+    * more than half the token hashes have bit i set — a native Catalyst
+    * expression (graft.functions.SimHash64) over the token-hash array. */
+  def simhashSignature(tokens: org.apache.spark.sql.Column) =
+    graft.functions.sketches.simhash64(transform(tokens, t => xxhash64(t)))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist (default 3).
+    * Pigeonhole banding: split the 64-bit signature into 4 16-bit chunks;
+    * distance <= 3 implies at least one chunk matches exactly, so the join
+    * key is (chunk index, chunk value) — never all-pairs. */
+  def simhash(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole banding guarantees recall only for dist<=3")
+    val sigs = barrier(
+      barrier(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("id"), simhashSignature(col("toks")).as("sig")))
+    val chunks = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "sig", "chunk_idx", "chunk")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Row-number variant of exact dedup that keeps full rows (first writer
+    * wins by id) — the shape to use when the surviving row itself is the
+    * output. Partitions by fingerprint, so the window never sees skew
+    * beyond true duplicate groups. */
+  def exactRows(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+}

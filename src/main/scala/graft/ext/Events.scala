@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props). Batch implementations; the same column
+  * expressions run under Structured Streaming (graft.streaming).
+  *
+  * Aggregated doubles are cast to DECIMAL(18,6) before summing so results
+  * are exact (and engine-portable) regardless of partition/summation
+  * order — float sums over shuffled partitions are nondeterministic.
+  */
+object Events {
+
+  /** Epoch seconds of the event timestamp. The fixture parquet stores
+    * TIMESTAMP(NANOS), which Spark reads as a nanosecond LongType under
+    * spark.sql.legacy.parquet.nanosAsLong — handle both. Nanos must be
+    * reduced with INTEGER division (`div`): float division of ~1.7e18
+    * longs loses sub-second precision and corrupts second boundaries. */
+  private def tsSec(events: DataFrame): Column =
+    if (events.schema("ts").dataType == LongType)
+      call_function("div", col("ts"), lit(1000000000L))
+    else unix_timestamp(col("ts"))
+
+  /** Tumbling-window counts/sums per event type. windowSeconds-aligned
+    * epoch bucketing: one shuffle on (bucket, type) with map-side combine. */
+  def tumbling(events: DataFrame, windowSeconds: Int = 3600): DataFrame =
+    events
+      .groupBy(
+        (floor(tsSec(events) / windowSeconds) * windowSeconds).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Gaps-and-islands sessionization: a new session starts after
+    * `gapSeconds` of user inactivity. One shuffle (partition by user),
+    * then pure window functions — the batch shape of
+    * `session_window`-style streaming sessionization. */
+  def sessionize(events: DataFrame, gapSeconds: Int = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withGap = events
+      .withColumn("ts_sec", tsSec(events))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+  }
+
+  /** Per-user running aggregates (window-function showcase): event index,
+    * cumulative value, and time since previous event. */
+  def userRunning(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withSec = events.withColumn("ts_sec", tsSec(events))
+    withSec.select(
+      col("event_id"), col("user_id"),
+      row_number().over(byUser).as("event_seq"),
+      sum(col("value").cast("decimal(18,6)"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).as("running_value"),
+      (col("ts_sec") - lag(col("ts_sec"), 1).over(byUser)).as("secs_since_prev"))
+  }
+
+  /** JSON prop extraction (the `props` column is a JSON object string). */
+  def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
+    events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side shape is real and tested — schema, encoders,
+  * partitioning, batch iteration — while the actual media codecs are
+  * STUBBED with a deterministic fake (this container has no image/audio
+  * libraries): `fakeDecode` derives pseudo-features from a rolling hash
+  * of the payload bytes, so outputs are stable across runs/machines and
+  * the pipeline remains verifiable end-to-end.
+  *
+  * Scale notes: `mapPartitions` + an internal batch size is exactly the
+  * shape a real decoder wants (amortize model/codec init per batch, not
+  * per row); binary payloads never shuffle unless an op requires it —
+  * feature extraction is narrow.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata. */
+  final case class MediaItem(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      mime: String,
+      width: Int, // 0 when N/A
+      height: Int,
+      duration_ms: Long, // 0 for stills
+      content: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      features: Array[Float])
+
+  final case class Frame(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      content: Array[Byte])
+
+  /** Deterministic stand-in for a real decoder: fold the payload into
+    * `dim` float features via a polynomial byte hash. REPLACE with a real
+    * codec (JNI/ONNX/etc.) in production — signature and batch shape stay
+    * the same. */
+  private[ext] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31 + bytes(i)
+      out(i % dim) += ((h >>> 33) % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batched per-partition feature extraction. `batchSize` models the
+    * unit a real decoder/model would consume (e.g. a GPU batch). */
+  def extractFeatures(items: Dataset[MediaItem], dim: Int = 16,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real impl: decoder.decodeBatch(batch.map(_.content))
+        batch.map { m =>
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            fakeDecode(m.content, dim))
+        }
+      }
+    }
+  }
+
+  /** Resize stub: metadata transform is real, pixel work is fake
+    * (content passes through; a real impl re-encodes). Narrow op. */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.map(m => if (m.kind == "image") m.copy(width = w, height = h) else m)
+  }
+
+  /** Frame sampling stub for video rows: emits `n` evenly-spaced frames
+    * (flatMap — row explosion stays on the executor that holds the
+    * payload; no shuffle). Frame payload is a deterministic slice. */
+  def sampleFrames(items: Dataset[MediaItem], n: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "video").flatMap { m =>
+      val dur = math.max(m.duration_ms, 1L)
+      (0 until n).map { i =>
+        val ts = dur * i / n
+        val from = if (m.content.isEmpty) 0 else ((m.content.length.toLong * i) / n).toInt
+        val len = math.min(64, m.content.length - from)
+        Frame(m.media_id, i, ts, m.content.slice(from, from + len))
+      }
+    }
+  }
+
+  /** Attach fake-decoded embedding features to any DataFrame carrying a
+    * binary column — the DataFrame-level face of extractFeatures for
+    * mixed relational/multimodal pipelines. Uses the same deterministic
+    * payload fold, expressed over rows without a UDF round-trip. */
+  def withContentFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    val rdd = df.rdd.map { row =>
+      val bytes = row.getAs[Array[Byte]](binCol)
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ fakeDecode(bytes, dim).toSeq)
+    }
+    spark.createDataFrame(rdd,
+      schema.add("content_features", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)))
+  }
+}

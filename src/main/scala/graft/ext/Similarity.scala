@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact cosine top-k. The query set is broadcast, so
+  *    the corpus is scanned once with no shuffle of the vectors; the only
+  *    shuffle carries (query, id, sim) triples for the per-query top-k.
+  *    At 100 TB this is the correct shape when |queries| is small.
+  *  - lshTopK: sign-random-projection LSH. Each vector hashes to a B-bit
+  *    bucket via fixed pseudo-random hyperplanes; search touches only the
+  *    query's bucket (plus optional 1-bit probes), trading exact recall
+  *    for a corpus-size-independent candidate set per bucket.
+  *
+  * All arithmetic is double-precision sequential fold (`zip_with` +
+  * `aggregate`), codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — arbitrarily large
+    * @param queries (idCol, vecCol) table — small, gets broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("id") =!= col("query_id")) else joined)
+      .select(col("query_id"), col("id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    // deterministic: ties broken by neighbor id
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /** B pseudo-random hyperplanes with Rademacher (+1/-1) components,
+    * derived deterministically from splitmix64(plane, dim): reproducible
+    * across runs and machines with zero stored model state. Native
+    * Catalyst expression (graft.functions.SrpSignature) — the planes×dim
+    * loop stays out of interpreted lambda dispatch. */
+  def srpSignature(vec: Column, planes: Int): Column =
+    graft.functions.sketches.srp_signature(vec, planes)
+
+  /** Approximate top-k via SRP-LSH bucketing: candidates are corpus
+    * vectors whose `planes`-bit signature matches the query's exactly
+    * (multi-probe over all 1-bit flips when `probe1` is set), re-ranked by
+    * exact cosine. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12,
+      probe1: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", srpSignature(col("v"), planes))
+    val qBase = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qsig", srpSignature(col("qv"), planes))
+    // probe buckets: the exact signature plus optionally all 1-bit flips
+    val probes =
+      if (probe1)
+        qBase.select(col("query_id"), col("qv"), explode(
+          array_union(
+            array(col("qsig")),
+            transform(sequence(lit(0), lit(planes - 1)),
+              p => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), p)))))
+          .as("sig"))
+      else qBase.withColumnRenamed("qsig", "sig")
+    val cand = c.join(broadcast(probes), "sig")
+    val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-pipeline curation over a `text` column
+  * (fixtures: documents.parquet — doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is built from codegen'd `functions._` expressions — no
+  * UDFs — so each operator is one narrow pass over the data: at cluster
+  * scale these run at scan speed with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the BPE-ish regex split: any run of whitespace). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Distinct word 3-gram shingles of the token stream — the unit of
+    * near-duplicate comparison (order-sensitive where raw word sets
+    * saturate on small vocabularies). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** Quality-signal columns: lengths, ratios of punctuation / digits /
+    * uppercase / whitespace, mean token length, stopword ratio. All are
+    * single-pass scalar expressions. */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val len = length(text)
+    val nTok = tokenCount(text)
+    def ratioOf(cleaned: Column): Column =
+      when(len === 0, lit(0.0)).otherwise((len - length(cleaned)).cast("double") / len)
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "in", "to", "is")
+    val stopCount = stopwords.map(w =>
+      size(filter(tokens(lower(text)), t => t === lit(w)))).reduce(_ + _)
+    Seq(
+      "n_chars_calc" -> len,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> ratioOf(regexp_replace(text, "[^a-zA-Z0-9 \\t\\n]", "")),
+      "digit_ratio" -> ratioOf(regexp_replace(text, "[0-9]", "")),
+      "upper_ratio" -> ratioOf(regexp_replace(text, "[A-Z]", "")),
+      "mean_token_len" -> when(nTok === 0, lit(0.0))
+        .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nTok),
+      "stopword_ratio" -> when(nTok === 0, lit(0.0)).otherwise(stopCount.cast("double") / nTok),
+    )
+  }
+
+  /** Language-ID by marker-word counting: count non-overlapping occurrences
+    * of high-frequency function words per language in the space-padded
+    * lowercased text, predict the max-scoring language ('und' when all
+    * zero). Ties break by fixed language order. The replace-count trick
+    * keeps the whole classifier a scalar expression (and is reproducible
+    * in any SQL engine, which makes it oracle-checkable). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "est"),
+    "es" -> Seq("el", "que", "los", "es"),
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers.map { case (langCode, words) =>
+      val score = words.map { w =>
+        val m = s" $w "
+        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) /
+          lit(m.length)
+      }.reduce(_ + _)
+      langCode -> score
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // arg-max with first-listed language winning ties
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((langCode, s), acc) =>
+      when(s === best && best > 0, lit(langCode)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    * Engine-portable (md5 is standard everywhere), used as the exact-dedup
+    * grouping key so shuffles carry 16 bytes instead of document bodies. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash of the token stream (base 1000003, mod
+    * 1e9+7) — an order-sensitive document signature, cheap to band on.
+    * The accumulator stays below the modulus so the fold never overflows
+    * a long (ANSI mode throws on overflow). Pure `aggregate`, no UDF. */
+  def rollingHash(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), p), p))
+  }
+
+  /** All per-document analysis columns in one projection. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cols = qualitySignals(t) ++ Seq(
+      "lang_pred" -> langId(t),
+      "fingerprint" -> fingerprint(t))
+    cols.foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
+  }
+}

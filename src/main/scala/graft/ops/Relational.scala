@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational analytics the reference lacks entirely (SURVEY.md §2.6):
+  * aggregation, multi-way joins, window functions, top-k, set ops, and a
+  * scalar-function surface — expressed as plain Catalyst plans so
+  * pushdown, pruning, join strategy selection, and whole-stage codegen
+  * all apply.
+  *
+  * Monetary aggregates accumulate in DECIMAL(18,6) (exact, order-
+  * independent) and only the final result casts to double — float sums
+  * over shuffled partitions would be run-to-run nondeterministic.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1-shaped pricing summary: one scan, one shuffle on the tiny
+    * (flag, status) grouping key with map-side partial aggregation. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped top-10 revenue orders: the two dimension-ish inputs
+    * (filtered customer) broadcast; lineitem never repartitions except on
+    * the final group-by key. Deterministic top-k via (revenue, key) order. */
+  def revenueTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li
+      .join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped revenue by nation within one region: star join with
+    * every dimension broadcast; the fact table is touched by exactly one
+    * shuffle (the final n_name aggregation). */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supplier = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val orders = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val customer = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li
+      .join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Window functions: each customer's top-3 orders by price (dense
+    * per-partition top-k — one shuffle on the partition key). */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Set operation: high-balance customers who also placed a big order
+    * (INTERSECT distinct semantics). */
+  def richActiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables(spark, dir, "customer").filter(col("c_acctbal") > 7500)
+      .select(col("c_custkey").as("cust_id"))
+    val big = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("cust_id"))
+    rich.intersect(big)
+  }
+
+  /** Scalar-function surface (string/date/math — all absent from the
+    * reference, SURVEY.md §2.6): one narrow projection. */
+  def scalarShowcase(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey").as("order_id"),
+      upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"),
+      round(col("o_totalprice") / 1000.0, 3).as("kprice"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+      length(col("o_orderpriority")).as("prio_len"),
+      pmod(col("o_orderkey"), lit(32)).as("bucket"))
+}

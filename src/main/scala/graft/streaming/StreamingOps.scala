@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming faces of the event analytics in graft.ext.Events:
+  * same column expressions, incremental execution. Watermarks bound state;
+  * all aggregations are keyed so state partitions by key across executors.
+  *
+  * Input contract: a streaming DataFrame with (event_id long, ts
+  * timestamp, user_id long, event_type string, value double) — e.g. from
+  * `spark.readStream.schema(...).parquet(dir)` or a MemoryStream in tests.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserCount(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Tumbling-window counts/sums per event type with a late-data
+    * watermark. Append-mode compatible (emits finalized windows). */
+  def tumbling(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows keyed by user (gap-based), the streaming twin of
+    * Events.sessionize. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Arbitrary stateful aggregation: running per-user totals via
+    * mapGroupsWithState (update mode). State is one small record per
+    * user — partitioned by key, spill-free. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserCount, UserCount](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserCount(userId, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience sink for tests/demos: run a streaming frame to a named
+    * in-memory table until all available input is processed. */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import TextAnalysis._
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+  }
+
+  test("tokenCount: words, blanks, empties") {
+    import spark.implicits._
+    val df = Seq("a b  c", "  ", "", "single").toDF("text")
+      .select(tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0, 0, 1))
+  }
+
+  test("shingles: ordered 3-grams, distinct, short docs empty") {
+    val got = one("a b c d c d").select(shingles(col("text")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got.toSet === Set("a b c", "b c d", "c d c", "d c d"))
+    assert(one("a b").select(shingles(col("text"))).collect().head.getSeq[String](0).isEmpty)
+  }
+
+  test("quality signals on a mixed string") {
+    val row = one("Hello, World 42!").select(
+      qualitySignals(col("text")).map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getAs[Int]("n_chars_calc") === 16)
+    assert(row.getAs[Int]("n_tokens") === 3)
+    assert(row.getAs[Double]("punct_ratio") === 2.0 / 16) // ',' and '!'
+    assert(row.getAs[Double]("digit_ratio") === 2.0 / 16)
+    assert(row.getAs[Double]("upper_ratio") === 2.0 / 16)
+  }
+
+  test("langId picks marker-heavy language; und when no markers") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "der hund und die katze ist gross und der baum",
+      "xyzzy qwerty asdf").toDF("text").select(langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und"))
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    import spark.implicits._
+    val df = Seq("Hello   World", "hello world ", " HELLO\tWORLD").toDF("text")
+      .select(fingerprint(col("text")).as("f"))
+    assert(df.collect().map(_.getString(0)).distinct.length === 1)
+  }
+
+  test("rollingHash is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(rollingHash(col("text")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) !== hs(1))
+    assert(hs(0) === hs(2))
+  }
+
+  test("analyze attaches all columns to the documents fixture") {
+    val df = TextAnalysis.analyze(spark.read.parquet(s"${sf()}/documents.parquet"))
+    assert(Seq("n_tokens", "punct_ratio", "lang_pred", "fingerprint")
+      .forall(df.columns.contains))
+    assert(df.count() === 500)
+  }
+}
