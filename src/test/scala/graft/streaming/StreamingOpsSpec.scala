@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingOpsSpec extends SparkTestBase {
+  import StreamingOps._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def sampleEvents = Seq(
+    Event(1L, ts(0), 100L, "click", 1.0),
+    Event(2L, ts(5), 100L, "click", 2.0),
+    Event(3L, ts(10), 200L, "view", 3.0),
+    Event(4L, ts(59), 100L, "click", 4.0))
+
+  test("tumbling windows aggregate a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sampleEvents: _*)
+    runToMemory(tumbling(mem.toDF(), windowLen = "1 hour"), "tumb_out", OutputMode.Complete())
+    val rows = spark.table("tumb_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    assert(rows.toSet === Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 3L, 7.0),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L, 3.0)))
+  }
+
+  test("session windows split on the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sampleEvents: _*)
+    runToMemory(sessions(mem.toDF(), gap = "30 minutes"), "sess_out", OutputMode.Complete())
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    // user 100: events at :00, :05 in one session; :59 in another
+    assert(rows.toSet === Set((100L, 2L), (100L, 1L), (200L, 1L)))
+  }
+
+  test("mapGroupsWithState keeps running totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = runningUserTotals(mem.toDS()).writeStream
+      .format("memory").queryName("run_out").outputMode("update").start()
+    try {
+      mem.addData(sampleEvents.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(sampleEvents.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("run_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(last(100L) === ((100L, 3L, 7.0)))
+    assert(last(200L) === ((200L, 1L, 3.0)))
+  }
+}
