@@ -41,12 +41,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
-  /** Distinct (doc, shingle) pairs plus per-doc shingle-set sizes. */
+  /** Distinct (doc, shingle-hash) pairs: one native-expression pass
+    * tokenizes, shingles, hashes, and dedups per document, so the
+    * inverted-index key is 8 bytes and no string shingle ever
+    * materializes. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     barrier(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"), explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
-      // hash the shingle so the self-join key is 8 bytes, not a string
-      .select(col("id"), xxhash64(col("sh")).as("sh"))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.texthash.shingle_hashes(col(textCol), n)).as("sh"))
 
   /** EXACT near-duplicate pairs by word-n-gram Jaccard >= `threshold`.
     *
@@ -89,14 +91,14 @@ object Dedup {
       bands: Int = 32, rows: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = bands * rows
-    // barriers: materialize the shingle-hash array before the 128-branch
-    // signature expression consumes it, and the signature before the
+    // barriers: materialize the shingle-hash array before the multi-use
+    // signature/verification consumers, and the signature before the
     // per-band explode — otherwise projection collapse re-evaluates them
-    // once per branch/band.
+    // once per use.
     val withSh = barrier(
       barrier(docs.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
-          transform(TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)).as("shs"))
+          graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
         .filter(size(col("shs")) > 0))
     val sigs = barrier(withSh.select(col("id"), minhashSignature(col("shs"), k).as("sig")))
     // one row per (band, bucket): bucket = hash of the band's r-slice
@@ -126,6 +128,11 @@ object Dedup {
   def simhashSignature(tokens: org.apache.spark.sql.Column) =
     graft.functions.sketches.simhash64(transform(tokens, t => xxhash64(t)))
 
+  /** Text-column SimHash via the single-pass native tokenizer (preferred
+    * over simhashSignature(tokens) when starting from raw text). */
+  def simhashOfText(text: org.apache.spark.sql.Column) =
+    graft.functions.sketches.simhash64(graft.functions.texthash.token_hashes(text))
+
   /** SimHash near-dup pairs with hamming distance <= maxDist (default 3).
     * Pigeonhole banding: split the 64-bit signature into 4 16-bit chunks;
     * distance <= 3 implies at least one chunk matches exactly, so the join
@@ -135,9 +142,8 @@ object Dedup {
     require(maxDist <= 3, "4-chunk pigeonhole banding guarantees recall only for dist<=3")
     val sigs = barrier(
       barrier(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("id"), simhashSignature(col("toks")).as("sig")))
+        .select(col(idCol).as("id"), simhashOfText(col(textCol)).as("sig"))
+        .filter(col("sig").isNotNull))
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))
