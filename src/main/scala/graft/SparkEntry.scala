@@ -73,7 +73,33 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q_setop_intersect" -> (Relational.richActiveCustomers _),
+    "q_setop_except" -> (Relational.quietCustomers _),
+    "q_rollup" -> (Relational.orderRollup _),
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
+    "q_asof_join" -> { (s, dir) =>
+      // Point-in-time lookup: for every non-error event, the most recent
+      // error event of the same user at-or-before it (union+window as-of;
+      // oracle: DuckDB native ASOF LEFT JOIN).
+      val ev = Tables(s, dir, "events")
+      val leftEv = ev.filter(col("event_type") =!= "error")
+        .select("event_id", "user_id", "ts")
+      val rightEv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      graft.ops.AsOfJoin.backward(leftEv, rightEv,
+        keys = Seq("user_id"), tsCol = "ts", pick = Seq("err_id", "err_ts"),
+        suffix = "", tiebreakCol = Some("err_id"))
+        .select(col("event_id"), col("user_id"), col("err_id").as("last_err_id"),
+          (call_function("div", col("ts"), lit(1000000000L)) -
+            call_function("div", col("err_ts"), lit(1000000000L))).as("secs_since_err"))
+    },
+    "q_json_props" -> { (s, dir) =>
+      // JSON functions over the props column: extract $.k, bucket by
+      // parity, aggregate.
+      val ev = graft.ext.Events.withProp(Tables(s, dir, "events"), "k", "k_str")
+      ev.select(col("k_str").cast("long").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    },
 
     // --- [EXT] text analysis (documents) --------------------------------
     "text_stats" -> { (s, dir) =>
@@ -184,6 +210,28 @@ object SparkEntry {
       """SELECT c_custkey AS cust_id FROM customer WHERE c_acctbal > 7500
         |INTERSECT
         |SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q_setop_except" ->
+      """SELECT c_custkey AS cust_id FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 100000""".stripMargin,
+    "q_rollup" ->
+      """SELECT order_year, o_orderstatus,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year, o_orderstatus, o_totalprice
+        |      FROM orders)
+        |GROUP BY ROLLUP(order_year, o_orderstatus)""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS last_err_id,
+        | CAST(FLOOR(EPOCH(l.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(r.ts)) AS BIGINT) AS secs_since_err
+        |FROM (SELECT * FROM events WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(k AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
+        | MIN(CAST(k AS BIGINT)) AS min_k, MAX(CAST(k AS BIGINT)) AS max_k
+        |FROM (SELECT json_extract_string(props, '$.k') AS k FROM events)
+        |GROUP BY 1""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey AS order_id,
         | UPPER(SUBSTRING(o_orderpriority, 1, 4)) AS prio4,

@@ -74,7 +74,7 @@ object RuleCompiler {
       else Right((df, col(quote(source)), false))
 
     case Conditional(_, expression, thenV, elseV) =>
-      CondExpr.translate(expression) match {
+      CondExpr.translate(expression, df.schema) match {
         case Left(msg) => Left(RuleError(rule, s"Logic Error: $msg"))
         // Output is always string-typed: then/else come from text inputs
         // (main.py:388-389). Null predicate (e.g. null > 500) falls through

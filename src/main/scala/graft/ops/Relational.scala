@@ -100,6 +100,22 @@ object Relational {
     rich.intersect(big)
   }
 
+  /** Hierarchical totals: ROLLUP over (order year, status) — subtotal and
+    * grand-total rows come free from one pass + one shuffle. */
+  def orderRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+
+  /** Set operation: customers with NO order over 100k (EXCEPT distinct). */
+  def quietCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables(spark, dir, "customer").select(col("c_custkey").as("cust_id"))
+    val big = Tables(spark, dir, "orders").filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("cust_id"))
+    all.except(big)
+  }
+
   /** Scalar-function surface (string/date/math — all absent from the
     * reference, SURVEY.md §2.6): one narrow projection. */
   def scalarShowcase(spark: SparkSession, dir: String): DataFrame =

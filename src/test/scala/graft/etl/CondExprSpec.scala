@@ -1,16 +1,21 @@
 package graft.etl
 
 import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
 
 class CondExprSpec extends SparkTestBase {
   import org.apache.spark.sql.functions._
 
-  private def evalOn(expression: String, rows: Seq[(java.lang.Double, String)]): Seq[Boolean] = {
+  private def df(rows: Seq[(java.lang.Double, String)]): DataFrame = {
     import spark.implicits._
-    val df = rows.toDF("Amount", "Status")
-    val c = CondExpr.translate(expression).fold(m => fail(s"parse failed: $m"), identity)
+    rows.toDF("Amount", "Status")
+  }
+
+  private def evalOn(expression: String, rows: Seq[(java.lang.Double, String)]): Seq[Boolean] = {
+    val d = df(rows)
+    val c = CondExpr.translate(expression, d.schema).fold(m => fail(s"parse failed: $m"), identity)
     // null predicate -> false via the same when/otherwise shape the compiler uses
-    df.select(when(c, lit(true)).otherwise(lit(false)).as("r")).collect().map(_.getBoolean(0)).toSeq
+    d.select(when(c, lit(true)).otherwise(lit(false)).as("r")).collect().map(_.getBoolean(0)).toSeq
   }
 
   test("builder-emitted AND form: (`Amount` > 500) & (`Status` == 'Active')") {
@@ -42,20 +47,55 @@ class CondExprSpec extends SparkTestBase {
     assert(got === Seq(false))
   }
 
+  test("cross-type equality is elementwise False/True, not an error (python semantics)") {
+    assert(evalOn("(`Status` == 42)", Seq((1.0, "a"))) === Seq(false))
+    assert(evalOn("(`Status` != 42)", Seq((1.0, "a"))) === Seq(true))
+    assert(evalOn("(`Amount` == 'x')", Seq((1.0, "a"))) === Seq(false))
+  }
+
+  test("cross-type ordering is a TypeError -> rule error (python semantics)") {
+    val schema = df(Seq((1.0, "a"))).schema
+    assert(CondExpr.translate("(`Status` > 42)", schema).isLeft)
+    assert(CondExpr.translate("(`Amount` < 'x')", schema).isLeft)
+  }
+
+  test("unknown column is a translate-time error") {
+    val schema = df(Seq((1.0, "a"))).schema
+    assert(CondExpr.translate("(`Nope` > 42)", schema).isLeft)
+  }
+
   test("parse errors are reported, not thrown") {
-    assert(CondExpr.translate("").isLeft)
-    assert(CondExpr.translate("(`Amount` > 500").isLeft)
-    assert(CondExpr.translate("`Amount > 500)").isLeft)
-    assert(CondExpr.translate("`Amount` >> 5").isLeft)
-    assert(CondExpr.translate("(`A` > 1) ? (`B` < 2)").isLeft)
-    assert(CondExpr.translate("'lone literal'").isLeft)
+    val schema = df(Seq((1.0, "a"))).schema
+    assert(CondExpr.translate("", schema).isLeft)
+    assert(CondExpr.translate("(`Amount` > 500", schema).isLeft)
+    assert(CondExpr.translate("`Amount > 500)", schema).isLeft)
+    assert(CondExpr.translate("`Amount` >> 5", schema).isLeft)
+    assert(CondExpr.translate("(`A` > 1) ? (`B` < 2)", schema).isLeft)
+    assert(CondExpr.translate("'lone literal'", schema).isLeft)
   }
 
   test("string literals with double quotes and spaces in column names") {
     import spark.implicits._
-    val df = Seq(("north region", 1)).toDF("sales region", "x")
-    val c = CondExpr.translate("(`sales region` == \"north region\")")
+    val d = Seq(("north region", 1)).toDF("sales region", "x")
+    val c = CondExpr.translate("(`sales region` == \"north region\")", d.schema)
       .fold(m => fail(m), identity)
-    assert(df.select(when(c, lit(1)).otherwise(lit(0))).collect().head.getInt(0) === 1)
+    assert(d.select(when(c, lit(1)).otherwise(lit(0))).collect().head.getInt(0) === 1)
+  }
+
+  test("timestamp column compares against a date-string literal") {
+    import spark.implicits._
+    val d = Seq(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1999-06-01 00:00:00")).toDF("ts")
+    val c = CondExpr.translate("(`ts` > '1998-12-31')", d.schema).fold(m => fail(m), identity)
+    assert(d.select(when(c, lit(true)).otherwise(lit(false))).collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false, true))
+  }
+
+  test("boolean column compares numerically (python bools are ints)") {
+    import spark.implicits._
+    val d = Seq(true, false).toDF("flag")
+    val c = CondExpr.translate("(`flag` > 0.5)", d.schema).fold(m => fail(m), identity)
+    assert(d.select(when(c, lit(true)).otherwise(lit(false))).collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true, false))
   }
 }

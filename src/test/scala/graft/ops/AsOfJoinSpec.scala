@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("backward as-of picks greatest right ts <= left ts, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0"), (2L, 100L, "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 80L, 10.0), (1L, 150L, 20.0), (2L, 500L, 30.0))
+      .toDF("k", "ts", "price")
+    val got = AsOfJoin.backward(left, right, keys = Seq("k"), tsCol = "ts",
+      pick = Seq("price")).collect()
+      .map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("price_asof"))).toMap
+    assert(got === Map(
+      "l0" -> None, // before any right row
+      "l1" -> Some(10.0), // 80 <= 100 < 150
+      "l2" -> Some(20.0), // 150 <= 200
+      "l3" -> None)) // right row at 500 is after 100
+  }
+
+  test("equal timestamps match (<= semantics) and ties break by max tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 7L, "first"), (1L, 100L, 9L, "second"))
+      .toDF("k", "ts", "rid", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"),
+      tiebreakCol = Some("rid")).collect().head
+    assert(got.getAs[String]("v_asof") === "second")
+  }
+
+  test("one shuffle only: plan has a single hashpartitioning exchange") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 80L, 1.0)).toDF("k", "ts", "v")
+    val plan = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly 1 shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
