@@ -25,9 +25,13 @@ object SmartLoad {
 
     if (is("csv", "csv")) csv(spark, path, ",")
     else if (is("txt", "pipe")) csv(spark, path, "|")
-    else if (ext == "xlsx" || ext == "xls" || formatOverride.contains("excel"))
-      // Offline build: no spark-excel and no bundled XLSX codec. Mirror the
-      // reference's unsupported-type error path (main.py:90-93).
+    else if (ext == "xlsx" || formatOverride.contains("excel"))
+      // first sheet, header row, inferred dtypes (main.py:80-81) via the
+      // built-in OOXML reader (no Excel library ships in this build)
+      XlsxReader.read(spark, path)
+    else if (ext == "xls")
+      // legacy BIFF format: no parser available offline — clear error,
+      // mirroring the reference's unsupported-type path (main.py:90-93)
       throw UnsupportedFormatException(path)
     else if (is("json", "json"))
       // pandas read_json consumes one whole JSON document (array of records);

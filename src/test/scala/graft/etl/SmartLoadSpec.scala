@@ -62,9 +62,9 @@ class SmartLoadSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("a", "b"))
   }
 
-  test("excel is a clear unsupported error (offline build)") {
+  test("legacy .xls is a clear unsupported error (offline build)") {
     intercept[SmartLoad.UnsupportedFormatException] {
-      SmartLoad.load(spark, "/tmp/whatever.xlsx")
+      SmartLoad.load(spark, "/tmp/whatever.xls")
     }
   }
 }
