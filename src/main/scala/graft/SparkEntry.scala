@@ -75,7 +75,18 @@ object SparkEntry {
     "q_setop_intersect" -> (Relational.richActiveCustomers _),
     "q_setop_except" -> (Relational.quietCustomers _),
     "q_rollup" -> (Relational.orderRollup _),
+    "q_cube" -> (Relational.orderCube _),
+    "q_percentile" -> (Relational.priceQuantiles _),
+    "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
+    "q_salted_agg" -> { (s, dir) =>
+      // Two-stage salted aggregation (hot-key mitigation); result is
+      // identical to the plain group-by, which is exactly what the
+      // oracle asserts.
+      graft.ops.Skew.saltedCountSum(Tables(s, dir, "lineitem"),
+        keys = Seq("l_returnflag"), valueCol = "l_quantity")
+        .withColumn("sum_value", col("sum_value").cast("double"))
+    },
     "q_asof_join" -> { (s, dir) =>
       // Point-in-time lookup: for every non-error event, the most recent
       // error event of the same user at-or-before it (union+window as-of;
@@ -221,6 +232,21 @@ object SparkEntry {
         |FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year, o_orderstatus, o_totalprice
         |      FROM orders)
         |GROUP BY ROLLUP(order_year, o_orderstatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.event_id AS last_err_id,
         | CAST(FLOOR(EPOCH(l.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(r.ts)) AS BIGINT) AS secs_since_err

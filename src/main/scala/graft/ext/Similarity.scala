@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns (kept for
+    * composition; the hot path uses the fused native expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (native expression; same left-to-right
+    * accumulation order as the declarative form, so results are
+    * bit-identical — the DuckDB oracle depends on that). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.sketches.cosine_similarity(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

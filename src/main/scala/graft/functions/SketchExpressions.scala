@@ -137,6 +137,41 @@ case class SrpSignature(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Cosine similarity of two array<double> vectors in one fused pass
+  * (dot product and both norms accumulated left-to-right, matching the
+  * sequential-fold evaluation order of the declarative zip_with/aggregate
+  * form and of DuckDB's list_cosine_similarity — the oracle hash-compare
+  * depends on that order). Null if either side is null or lengths differ. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API face of the sketch expressions (Spark 4 bridges Column <->
   * Expression through classic.ExpressionUtils). */
 object sketches {
@@ -147,4 +182,6 @@ object sketches {
     column(SimHash64(expression(tokenHashes)))
   def srp_signature(vec: Column, planes: Int): Column =
     column(SrpSignature(expression(vec), planes))
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
 }

@@ -116,6 +116,33 @@ object Relational {
     all.except(big)
   }
 
+  /** Exact quantiles per group (sort-based `percentile`, linear
+    * interpolation — matches DuckDB quantile_cont). */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+
+  /** CUBE over (status, priority): all 4 grouping combinations in one
+    * pass. */
+  def orderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+
+  /** Approximate distinct counts (HLL++): deterministic for fixed input
+    * values (register-max merges are order-independent), sketch-level
+    * accuracy pinned by unit test, no cross-engine oracle. */
+  def approxPartCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+
   /** Scalar-function surface (string/date/math — all absent from the
     * reference, SURVEY.md §2.6): one narrow projection. */
   def scalarShowcase(spark: SparkSession, dir: String): DataFrame =

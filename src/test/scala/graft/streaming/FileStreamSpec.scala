@@ -1,0 +1,33 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drive the streaming operators from a real file source: the events
+  * fixture re-written with proper timestamps (the driver fixture stores
+  * TIMESTAMP(NANOS), which the batch path reads as long nanos), consumed
+  * via readStream and aggregated with a watermark. */
+class FileStreamSpec extends SparkTestBase {
+
+  test("readStream over the events fixture feeds the tumbling aggregation") {
+    val staged = java.nio.file.Files.createTempDirectory("evstream").toString
+    val batch = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    batch.coalesce(1).write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    StreamingOps.runToMemory(
+      StreamingOps.tumbling(stream, windowLen = "1 hour", watermark = "2 hours"),
+      "file_tumb", OutputMode.Append())
+    val streamed = spark.table("file_tumb")
+      .agg(sum("n_events")).collect().head.getLong(0)
+    // append mode emits exactly the watermark-closed windows: those with
+    // window_end <= max(ts) - 2h once the stream drains
+    val maxTs = batch.agg(max(unix_timestamp(col("ts")))).collect().head.getLong(0)
+    val expected = batch
+      .filter((floor(unix_timestamp(col("ts")) / 3600) + 1) * 3600 <= maxTs - 7200)
+      .count()
+    assert(streamed === expected, s"streamed=$streamed expectedClosed=$expected")
+  }
+}
