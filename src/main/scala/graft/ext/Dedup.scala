@@ -157,6 +157,42 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Embedding-cosine near-duplicate pairs: banded SRP-LSH candidates
+    * verified by exact cosine >= threshold.
+    *
+    * Banding math: a pair at cosine c disagrees on one hyperplane bit
+    * with p = arccos(c)/π (≈0.10 at c=0.95). With `bands` bands of
+    * `rowsPerBand` bits, recall = 1-(1-(1-p)^r)^b ≈ 0.99 at the defaults
+    * for c >= 0.95. Precision is 1 (exact verification). Candidates per
+    * band-bucket stay corpus-density-bounded — no all-pairs. */
+  def embeddingCosine(embs: DataFrame, threshold: Double = 0.95,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = bands * rowsPerBand
+    require(planes <= 63, s"bands*rowsPerBand must be <= 63, got $planes")
+    val withSig = barrier(
+      barrier(embs.select(col(idCol), col(vecCol)))
+        .select(col(idCol).as("id"),
+          transform(col(vecCol), x => x.cast("double")).as("v"))
+        .withColumn("sig", graft.functions.sketches.srp_signature(col("v"), planes)))
+    val mask = (1L << rowsPerBand) - 1
+    val buckets = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * rowsPerBand).bitwiseAND(lit(mask)))))
+      .toDF("id", "band", "bucket")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    cand
+      .join(withSig.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(withSig.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cosine", graft.functions.sketches.cosine_similarity(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** Row-number variant of exact dedup that keeps full rows (first writer
     * wins by id) — the shape to use when the surviving row itself is the
     * output. Partitions by fingerprint, so the window never sees skew

@@ -65,6 +65,44 @@ object Similarity {
   def srpSignature(vec: Column, planes: Int): Column =
     graft.functions.sketches.srp_signature(vec, planes)
 
+  /** IVF (inverted-file) approximate top-k: K-Means centroids partition
+    * the corpus into cells; each query searches only its `nProbe` nearest
+    * cells, re-ranked by exact cosine. The classic ANN scale path when a
+    * trained coarse quantizer is acceptable: candidate count is
+    * corpus/k × nProbe regardless of corpus size. Deterministic via fixed
+    * seed. Uses spark.ml KMeans (bundled with Spark). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(c)
+    val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+      .select("id", "v", "cell")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      (i, ctr.toArray)
+    }.toSeq
+    val centDf = corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
+    // nProbe nearest cells per query by centroid cosine
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell").asc)
+    val probeCells = q.crossJoin(broadcast(centDf))
+      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val cand = assigned.join(broadcast(probeCells), "cell")
+    val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
   /** Approximate top-k via SRP-LSH bucketing: candidates are corpus
     * vectors whose `planes`-bit signature matches the query's exactly
     * (multi-probe over all 1-bit flips when `probe1` is set), re-ranked by
