@@ -147,6 +147,10 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
     },
+    "sim_topk_ivf" -> { (s, dir) => // trained quantizer: rows-only check
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    },
 
     // --- [EXT] event analytics (events) ---------------------------------
     "events_tumbling" -> { (s, dir) =>

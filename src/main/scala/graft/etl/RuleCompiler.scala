@@ -31,8 +31,18 @@ object RuleCompiler {
   private final val KeyCol = "__graft_key"
 
   /** Compile and apply `rules` to `main`, resolving Lookup rules against
-    * `mappings`. Failed rules are reported and skipped; the rest run. */
-  def run(main: DataFrame, rules: Seq[Rule], mappings: Map[String, DataFrame]): PipelineResult = {
+    * `mappings`. Failed rules are reported and skipped; the rest run.
+    *
+    * @param pandasNanCoercion exact-parity mode for the reference's
+    *   `.astype(str)` lookup coercion (main.py:168-169): pandas renders a
+    *   float NaN as the literal string "nan", so a NULL probe value can
+    *   genuinely match a mapping key whose stringified form is "nan".
+    *   Spark's `cast(null as string)` stays null (no match). Off by
+    *   default — the Spark-natural semantics is almost always what users
+    *   want; switch on only when byte-for-byte reference parity matters.
+    */
+  def run(main: DataFrame, rules: Seq[Rule], mappings: Map[String, DataFrame],
+      pandasNanCoercion: Boolean = false): PipelineResult = {
     val errors = mutable.ArrayBuffer.empty[RuleError]
     // Output column order follows first occurrence of each name; a later
     // rule with the same name overwrites the value but keeps the original
@@ -42,7 +52,7 @@ object RuleCompiler {
     var lookupIdx = 0
 
     rules.foreach { rule =>
-      compileOne(rule, df, mappings, lookupIdx) match {
+      compileOne(rule, df, mappings, lookupIdx, pandasNanCoercion) match {
         case Left(err) => errors += err
         case Right((joined, column, usedLookup)) =>
           // Validate resolution eagerly (no job runs): unknown columns fail
@@ -66,7 +76,7 @@ object RuleCompiler {
   /** Compile one rule. Returns the (possibly join-augmented) frame, the
     * output Column, and whether a lookup join was consumed. */
   private def compileOne(rule: Rule, df: DataFrame, mappings: Map[String, DataFrame],
-      lookupIdx: Int): Either[RuleError, (DataFrame, Column, Boolean)] = rule match {
+      lookupIdx: Int, pandasNanCoercion: Boolean): Either[RuleError, (DataFrame, Column, Boolean)] = rule match {
 
     case DirectMap(_, source) =>
       if (!df.columns.contains(source))
@@ -100,9 +110,12 @@ object RuleCompiler {
             // order rows by file position (monotonically_increasing_id is
             // monotone within and across input splits in read order) and
             // keep the value of the max position per stringified key.
+            def strKey(c: Column): Column =
+              if (pandasNanCoercion) coalesce(c.cast("string"), lit("nan"))
+              else c.cast("string")
             val prepared = mapping
               .withColumn(OrdCol, monotonically_increasing_id())
-              .groupBy(col(quote(keyCol)).cast("string").as(keyOut))
+              .groupBy(strKey(col(quote(keyCol))).as(keyOut))
               .agg(max_by(col(quote(valCol)), col(OrdCol)).as(valOut))
             // Broadcast hash join: mappings are dimension-sized by
             // construction, so the probe stays narrow (no shuffle of the
@@ -110,7 +123,7 @@ object RuleCompiler {
             // O(1) dict probe per row (main.py:169).
             val joined = df.join(
               broadcast(prepared),
-              df.col(quote(inCol)).cast("string") === prepared.col(keyOut),
+              strKey(df.col(quote(inCol))) === prepared.col(keyOut),
               "left")
               .drop(keyOut)
             Right((joined, col(valOut), true))

@@ -79,6 +79,25 @@ class RuleCompilerSpec extends SparkTestBase {
     assert(first.schema("x").dataType.typeName === "double")
   }
 
+  test("pandasNanCoercion: null probe matches a null ('nan') mapping key") {
+    import spark.implicits._
+    val main = Seq[(java.lang.Long, java.lang.Double)]((1L, 10.0), (2L, null))
+      .toDF("id", "code")
+    val mapping = Seq[(java.lang.Double, String)]((10.0, "ten"), (null, "was-nan"))
+      .toDF("k", "v")
+    // default: Spark-natural, null never matches
+    val plain = RuleCompiler.run(main, Seq(DirectMap("id", "id"),
+      Lookup("label", "m", "code", "k", "v")), Map("m" -> mapping))
+      .output.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(plain === Map(1L -> Some("ten"), 2L -> None))
+    // parity mode: pandas astype(str) renders NaN as "nan" on both sides
+    val parity = RuleCompiler.run(main, Seq(DirectMap("id", "id"),
+      Lookup("label", "m", "code", "k", "v")), Map("m" -> mapping),
+      pandasNanCoercion = true)
+      .output.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(parity === Map(1L -> Some("ten"), 2L -> Some("was-nan")))
+  }
+
   test("two lookups against different mappings compose") {
     import spark.implicits._
     val m2 = Seq(("open", "O"), ("closed", "C")).toDF("s", "abbr")
