@@ -113,6 +113,29 @@ object SparkEntry {
     },
 
     // --- [EXT] text analysis (documents) --------------------------------
+    "q_pivot" -> (Relational.orderPivot _),
+    "q_collect_set" -> (Relational.statusSetPerFlag _),
+    "text_term_freq" -> { (s, dir) =>
+      // explode + aggregate: corpus term frequencies, top 50 by count
+      // with deterministic tie-break
+      val d = Tables(s, dir, "documents")
+      d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term").asc)
+        .limit(50)
+    },
+    "emb_label_centroid" -> { (s, dir) =>
+      // elementwise mean embedding per label: posexplode -> (label, dim)
+      // aggregation; sums in decimal so partition order cannot perturb
+      // the double result
+      val e = Tables(s, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("dim"))
+        .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("mean_val"))
+        .filter(col("dim") < 4) // keep the verified slice compact
+    },
     "text_stats" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       val t = col("text")
@@ -274,6 +297,30 @@ object SparkEntry {
         | o_orderkey % 32 AS bucket
         |FROM orders""".stripMargin,
 
+    "q_pivot" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_partial
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_collect_set" ->
+      """WITH s AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem),
+        |agg AS (SELECT l_returnflag, STRING_AGG(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |        FROM s GROUP BY 1),
+        |n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT agg.l_returnflag, statuses, n FROM agg JOIN n USING (l_returnflag)""".stripMargin,
+    "text_term_freq" ->
+      """SELECT term, freq FROM (
+        | SELECT term, COUNT(*) AS freq FROM (
+        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term FROM documents)
+        | WHERE LENGTH(term) > 0 GROUP BY term)
+        |ORDER BY freq DESC, term ASC LIMIT 50""".stripMargin,
+    "emb_label_centroid" ->
+      """SELECT label, CAST(dim1 - 1 AS INT) AS dim,
+        | CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mean_val
+        |FROM (SELECT label, UNNEST(embedding) AS v,
+        |       GENERATE_SUBSCRIPTS(embedding, 1) AS dim1 FROM embeddings)
+        |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
 
     "dedup_exact" ->

@@ -143,6 +143,23 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Pivot (crosstab): orders count by year x status, explicit pivot
+    * values so the plan is single-pass (no distinct-values job). */
+  def orderPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("O" -> "n_open", "F" -> "n_filled", "P" -> "n_partial"))
+
+  /** Sorted set aggregation: deterministic collect via sort_array. */
+  def statusSetPerFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+
   /** Scalar-function surface (string/date/math — all absent from the
     * reference, SURVEY.md §2.6): one narrow projection. */
   def scalarShowcase(spark: SparkSession, dir: String): DataFrame =
