@@ -115,6 +115,11 @@ object SparkEntry {
     // --- [EXT] text analysis (documents) --------------------------------
     "q_pivot" -> (Relational.orderPivot _),
     "q_collect_set" -> (Relational.statusSetPerFlag _),
+    "text_clean" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.cleaned(col("text")).as("clean_text"),
+        length(TextAnalysis.cleaned(col("text"))).as("clean_len"))
+    },
     "text_term_freq" -> { (s, dir) =>
       // explode + aggregate: corpus term frequencies, top 50 by count
       // with deterministic tie-break
@@ -309,6 +314,11 @@ object SparkEntry {
         |        FROM s GROUP BY 1),
         |n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
         |SELECT agg.l_returnflag, statuses, n FROM agg JOIN n USING (l_returnflag)""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id,
+        | TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
+        | CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS INT) AS clean_len
+        |FROM documents""".stripMargin,
     "text_term_freq" ->
       """SELECT term, freq FROM (
         | SELECT term, COUNT(*) AS freq FROM (

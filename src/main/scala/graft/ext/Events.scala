@@ -76,4 +76,11 @@ object Events {
   /** JSON prop extraction (the `props` column is a JSON object string). */
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))
+
+  /** Typed JSON parsing: one from_json pass with an explicit schema beats
+    * repeated get_json_object calls when several keys are read (each
+    * get_json_object re-parses the document). */
+  def withProps(events: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      outCol: String = "props_struct"): DataFrame =
+    events.withColumn(outCol, from_json(col("props"), schema))
 }

@@ -105,6 +105,12 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), p), p))
   }
 
+  /** Cleaning normalization for dedup/training pipelines: lowercase,
+    * strip non-alphanumerics (keeping spaces), collapse whitespace,
+    * trim. One codegen'd scalar expression. */
+  def cleaned(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** All per-document analysis columns in one projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -60,6 +60,13 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hs(0) === hs(2))
   }
 
+  test("cleaned: lowercase, punct stripped, whitespace collapsed") {
+    import spark.implicits._
+    val got = Seq("  Hello,   WORLD!! x-1 ").toDF("text")
+      .select(cleaned(col("text"))).collect().head.getString(0)
+    assert(got === "hello world x 1")
+  }
+
   test("analyze attaches all columns to the documents fixture") {
     val df = TextAnalysis.analyze(spark.read.parquet(s"${sf()}/documents.parquet"))
     assert(Seq("n_tokens", "punct_ratio", "lang_pred", "fingerprint")
