@@ -115,6 +115,9 @@ object SparkEntry {
     // --- [EXT] text analysis (documents) --------------------------------
     "q_pivot" -> (Relational.orderPivot _),
     "q_collect_set" -> (Relational.statusSetPerFlag _),
+    "q_anti_join" -> (Relational.customersWithoutOrders _),
+    "q_semi_join" -> (Relational.orderedParts _),
+    "q_sql_interface" -> (Relational.sqlInterface _),
     "text_clean" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       d.select(col("doc_id"), TextAnalysis.cleaned(col("text")).as("clean_text"),
@@ -314,6 +317,19 @@ object SparkEntry {
         |        FROM s GROUP BY 1),
         |n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
         |SELECT agg.l_returnflag, statuses, n FROM agg JOIN n USING (l_returnflag)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey AS cust_id FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey AS part_id, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q_sql_interface" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_mktsegment""".stripMargin,
     "text_clean" ->
       """SELECT doc_id,
         | TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,

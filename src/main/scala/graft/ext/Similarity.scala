@@ -77,8 +77,11 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cache: KMeans re-reads its input once per iteration — without this
+    // the scan + array casts re-execute ~10x
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
+      .cache()
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(c)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
       .select("id", "v", "cell")

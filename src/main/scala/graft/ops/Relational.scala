@@ -143,6 +143,33 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Anti join: customers who never ordered (left_anti — the NOT EXISTS
+    * shape; builds a hash set of order keys, no row multiplication). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(col("c_custkey").as("cust_id"))
+      .join(Tables(spark, dir, "orders").select(col("o_custkey").as("cust_id")),
+        Seq("cust_id"), "left_anti")
+
+  /** Semi join: parts that appear in at least one line item (EXISTS). */
+  def orderedParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part").select(col("p_partkey").as("part_id"), col("p_brand"))
+      .join(Tables(spark, dir, "lineitem").select(col("l_partkey").as("part_id")),
+        Seq("part_id"), "left_semi")
+
+  /** The SQL entry path: temp views + spark.sql — the engine serves ANSI
+    * SQL directly, same Catalyst plan as the DataFrame form. */
+  def sqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT c_mktsegment,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   /** Pivot (crosstab): orders count by year x status, explicit pivot
     * values so the plan is single-pass (no distinct-values job). */
   def orderPivot(spark: SparkSession, dir: String): DataFrame =
