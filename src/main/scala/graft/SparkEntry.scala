@@ -103,6 +103,20 @@ object SparkEntry {
           (call_function("div", col("ts"), lit(1000000000L)) -
             call_function("div", col("err_ts"), lit(1000000000L))).as("secs_since_err"))
     },
+    "q_range_join" -> { (s, dir) =>
+      // Point-in-interval: every non-first event joined back to the
+      // session interval that contains it (bucketized range join).
+      val ev = Tables(s, dir, "events")
+      val evSec = ev.select(col("event_id"), col("user_id"),
+        (call_function("div", col("ts"), lit(1000000000L))).as("ts_sec"))
+      val sessions = graft.ext.Events.sessionize(ev)
+        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+          col("session_start"), col("session_end"))
+      graft.ops.RangeJoin.pointInInterval(evSec, sessions, keys = Seq("user_id"),
+        tsCol = "ts_sec", startCol = "session_start", endCol = "session_end",
+        bucketWidth = 3600L)
+        .select("event_id", "user_id", "session_seq")
+    },
     "q_json_props" -> { (s, dir) =>
       // JSON functions over the props column: extract $.k, bucket by
       // parity, aggregate.
@@ -288,6 +302,25 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type <> 'error') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_range_join" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM g),
+        |iv AS (
+        | SELECT user_id, session_seq,
+        |  MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_start,
+        |  MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_end
+        | FROM s GROUP BY user_id, session_seq)
+        |SELECT e.event_id, e.user_id, iv.session_seq
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        | AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) BETWEEN iv.session_start AND iv.session_end""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(k AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
         | MIN(CAST(k AS BIGINT)) AS min_k, MAX(CAST(k AS BIGINT)) AS max_k

@@ -18,6 +18,22 @@ class SinksSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(out + ".__graft_tmp")))
   }
 
+  test("partitionBy parquet sink enables partition pruning on read") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i, s"g${i % 4}", i * 1.5)).toDF("id", "grp", "v")
+    val out = Files.createTempDirectory("psink").resolve("t").toString
+    Sinks.parquetDir(df, out, partitionBy = Seq("grp"))
+    val read = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("grp") === "g1")
+    assert(read.count() === 25)
+    // pruning: only the g1 directory is scanned
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.metadata("PartitionFilters").contains("grp"),
+      s"partition filter missing: ${scan.metadata}")
+    assert(scan.selectedPartitions.partitionCount === 1)
+  }
+
   test("csvDir writes a partitioned directory") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i, s"r$i")).toDF("id", "name").repartition(4)

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class RangeJoinSpec extends SparkTestBase {
+
+  test("point-in-interval matches inclusive bounds, once per covering interval") {
+    import spark.implicits._
+    val points = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (1L, 999L, "p3"), (2L, 100L, "p4"))
+      .toDF("k", "ts", "tag")
+    val intervals = Seq((1L, 100L, 200L, "iA"), (1L, 200L, 300L, "iB"), (2L, 500L, 600L, "iC"))
+      .toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "lo", "hi",
+      bucketWidth = 50L)
+      .select("tag", "name").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // p1 at 100: covered by iA (inclusive start); p2 at 250: iB;
+    // overlapping boundary 200 belongs to both iA and iB; p3/p4 uncovered
+    assert(got === Set(("p1", "iA"), ("p2", "iB")))
+  }
+
+  test("boundary point in two touching intervals matches both, exactly once each") {
+    import spark.implicits._
+    val points = Seq((1L, 200L, "edge")).toDF("k", "ts", "tag")
+    val intervals = Seq((1L, 100L, 200L, "iA"), (1L, 200L, 300L, "iB"))
+      .toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "lo", "hi", 64L)
+      .select("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(got === Seq("iA", "iB"))
+  }
+
+  test("wide intervals with tiny buckets still dedup-free") {
+    import spark.implicits._
+    val points = Seq((1L, 5000L, "p")).toDF("k", "ts", "tag")
+    val intervals = Seq((1L, 0L, 10000L, "wide")).toDF("k", "lo", "hi", "name")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "lo", "hi", 10L)
+    assert(got.count() === 1)
+  }
+}
