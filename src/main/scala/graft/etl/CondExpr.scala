@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * (pandas `DataFrame.eval` subset, as emitted by the formula builder —
   * reference: main.py:354-389):
   *
-  *   atom   := '(' expr ')' | operand cmp operand
-  *   expr   := atom (('&' | '|') atom)*          -- left-associative
+  *   expr   := and ('|' and)*                    -- left-associative
+  *   and    := unary ('&' unary)*
+  *   unary  := '~' unary | '(' expr ')' | comparison
   *   cmp    := '==' | '!=' | '>=' | '<=' | '>' | '<'
-  *   operand:= `backtick col` | bareIdent | number | 'str' | "str"
+  *   comparison := sum cmp sum
+  *   sum    := product (('+' | '-') product)*
+  *   product:= value (('*' | '/') value)*
+  *   value  := `backtick col` | bareIdent | number | 'str' | "str" | '(' sum ')'
   *
   * pandas requires the fully-parenthesized form the builder always emits
   * (e.g. ``(`Amount` > 500) & (`Status` == 'Active')``); we additionally
@@ -48,6 +52,7 @@ object CondExpr {
   private sealed trait Ast
   private final case class AndA(l: Ast, r: Ast) extends Ast
   private final case class OrA(l: Ast, r: Ast) extends Ast
+  private final case class NotA(x: Ast) extends Ast
   private final case class Cmp(l: Operand, op: String, r: Operand) extends Ast
 
   private sealed trait Operand
@@ -55,6 +60,7 @@ object CondExpr {
   private final case class NumL(value: Double, integral: Boolean) extends Operand
   private final case class StrL(value: String) extends Operand
   private final case class BoolL(value: Boolean) extends Operand
+  private final case class Arith(l: Operand, op: String, r: Operand) extends Operand
 
   // --- typed build ---------------------------------------------------------
   private sealed trait Cat
@@ -74,6 +80,11 @@ object CondExpr {
   private def build(ast: Ast, schema: StructType): Column = ast match {
     case AndA(l, r) => build(l, schema) && build(r, schema)
     case OrA(l, r) => build(l, schema) || build(r, schema)
+    // pandas `~mask` of a NaN-compare is ~False = True; Spark !null is
+    // null => otherwise-branch, which maps to False. Coalesce keeps the
+    // Python behavior: the inner comparison's null means "False", so its
+    // negation must be True.
+    case NotA(x) => !coalesce(build(x, schema), lit(false))
     case Cmp(l, op, r) => buildCmp(l, op, r, schema)
   }
 
@@ -86,6 +97,20 @@ object CondExpr {
       (if (integral && v.isValidInt) lit(v.toLong) else lit(v), CNum)
     case StrL(v) => (lit(v), CStr)
     case BoolL(v) => (lit(v), CBool)
+    case Arith(l, op, r) =>
+      val (lc0, lcat0) = resolve(l, schema)
+      val (rc0, rcat0) = resolve(r, schema)
+      // Python: bools are ints under arithmetic; '+' concatenates strings
+      val (lc, lcat) = if (lcat0 == CBool) (lc0.cast("int"), CNum) else (lc0, lcat0)
+      val (rc, rcat) = if (rcat0 == CBool) (rc0.cast("int"), CNum) else (rc0, rcat0)
+      (lcat, rcat, op) match {
+        case (CNum, CNum, "+") => (lc + rc, CNum)
+        case (CNum, CNum, "-") => (lc - rc, CNum)
+        case (CNum, CNum, "*") => (lc * rc, CNum)
+        case (CNum, CNum, "/") => (lc / rc, CNum)
+        case (CStr, CStr, "+") => (concat(lc, rc), CStr)
+        case _ => fail(s"TypeError: '$op' not supported between ${name(lcat)} and ${name(rcat)}")
+      }
   }
 
   private def buildCmp(l: Operand, op: String, r: Operand, schema: StructType): Column = {
@@ -132,6 +157,8 @@ object CondExpr {
   private case object RPar extends Tok
   private case object Amp extends Tok
   private case object Bar extends Tok
+  private case object Tilde extends Tok
+  private final case class ArithOp(op: String) extends Tok
   private final case class CmpOp(op: String) extends Tok
   private final case class IdentT(name: String) extends Tok
   private final case class NumT(value: Double, isIntegral: Boolean) extends Tok
@@ -141,25 +168,36 @@ object CondExpr {
   private def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
+    var last: Tok = null // previous significant token, for unary-minus detection
+    def push(t: Tok): Unit = { out += t; last = t }
+    // '-' begins a numeric literal only in prefix position (start, after an
+    // opening paren or any operator); after an operand it is binary minus.
+    def minusIsSign: Boolean = last match {
+      case null | LPar | Amp | Bar | Tilde | ArithOp(_) | CmpOp(_) => true
+      case _ => false
+    }
     while (i < s.length) {
       val c = s.charAt(i)
       c match {
         case ' ' | '\t' | '\n' | '\r' => i += 1
-        case '(' => out += LPar; i += 1
-        case ')' => out += RPar; i += 1
-        case '&' => out += Amp; i += 1
-        case '|' => out += Bar; i += 1
+        case '(' => push(LPar); i += 1
+        case ')' => push(RPar); i += 1
+        case '&' => push(Amp); i += 1
+        case '|' => push(Bar); i += 1
+        case '~' => push(Tilde); i += 1
+        case '+' | '*' | '/' => push(ArithOp(c.toString)); i += 1
+        case '-' if !minusIsSign => push(ArithOp("-")); i += 1
         case '`' =>
           val end = s.indexOf('`', i + 1)
           if (end < 0) fail(s"unterminated backtick identifier at offset $i")
-          out += IdentT(s.substring(i + 1, end)); i = end + 1
+          push(IdentT(s.substring(i + 1, end))); i = end + 1
         case '\'' | '"' =>
           val end = s.indexOf(c, i + 1)
           if (end < 0) fail(s"unterminated string literal at offset $i")
-          out += StrT(s.substring(i + 1, end)); i = end + 1
+          push(StrT(s.substring(i + 1, end))); i = end + 1
         case '=' | '!' | '>' | '<' =>
-          if (i + 1 < s.length && s.charAt(i + 1) == '=') { out += CmpOp(s.substring(i, i + 2)); i += 2 }
-          else if (c == '>' || c == '<') { out += CmpOp(c.toString); i += 1 }
+          if (i + 1 < s.length && s.charAt(i + 1) == '=') { push(CmpOp(s.substring(i, i + 2))); i += 2 }
+          else if (c == '>' || c == '<') { push(CmpOp(c.toString)); i += 1 }
           else fail(s"unexpected '$c' at offset $i")
         case d if d.isDigit || d == '-' || d == '.' =>
           val start = i
@@ -169,14 +207,14 @@ object CondExpr {
             ((s.charAt(i) == '+' || s.charAt(i) == '-') && (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
           val text = s.substring(start, i)
           val v = try text.toDouble catch { case _: NumberFormatException => fail(s"bad number '$text'") }
-          out += NumT(v, !text.exists(ch => ch == '.' || ch == 'e' || ch == 'E'))
+          push(NumT(v, !text.exists(ch => ch == '.' || ch == 'e' || ch == 'E')))
         case a if a.isLetter || a == '_' =>
           val start = i
           while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
           s.substring(start, i) match {
-            case "True" | "true" => out += BoolT(true)
-            case "False" | "false" => out += BoolT(false)
-            case n => out += IdentT(n)
+            case "True" | "true" => push(BoolT(true))
+            case "False" | "false" => push(BoolT(false))
+            case n => push(IdentT(n))
           }
         case other => fail(s"unexpected character '$other' at offset $i")
       }
@@ -208,37 +246,74 @@ object CondExpr {
     }
 
     private def parseAnd(): Ast = {
-      var left = parseAtom()
-      while (peek.contains(Amp)) { next(); left = AndA(left, parseAtom()) }
+      var left = parseUnary()
+      while (peek.contains(Amp)) { next(); left = AndA(left, parseUnary()) }
       left
+    }
+
+    private def parseUnary(): Ast = peek match {
+      case Some(Tilde) => next(); NotA(parseUnary())
+      case _ => parseAtom()
     }
 
     private def parseAtom(): Ast = peek match {
       case Some(LPar) =>
-        next()
-        // '(' may open a grouped boolean expr or a parenthesized comparison;
-        // parseOr handles both since a comparison is an Or of one And of one atom.
-        val inner = parseOr()
-        next() match {
-          case RPar => inner
-          case t => fail(s"expected ')' but got $t")
+        // '(' may open a grouped boolean expr — (`a` > 1) & ... — or a
+        // parenthesized arithmetic operand — (`a` + 1) > 2. Try the
+        // boolean reading first and backtrack on failure.
+        val mark = pos
+        try {
+          next()
+          val inner = parseOr()
+          next() match {
+            case RPar => inner
+            case t => fail(s"expected ')' but got $t")
+          }
+        } catch {
+          case _: TranslateException =>
+            pos = mark
+            parseComparison()
         }
       case _ => parseComparison()
     }
 
     private def parseComparison(): Ast = {
-      val lhs = parseOperand()
+      val lhs = parseSum()
       next() match {
-        case CmpOp(op) => Cmp(lhs, op, parseOperand())
+        case CmpOp(op) => Cmp(lhs, op, parseSum())
         case t => fail(s"expected comparison operator but got $t")
       }
     }
 
-    private def parseOperand(): Operand = next() match {
+    private def parseSum(): Operand = {
+      var left = parseProduct()
+      while (peek.exists { case ArithOp("+") | ArithOp("-") => true; case _ => false }) {
+        val ArithOp(op) = next(): @unchecked
+        left = Arith(left, op, parseProduct())
+      }
+      left
+    }
+
+    private def parseProduct(): Operand = {
+      var left = parseValue()
+      while (peek.exists { case ArithOp("*") | ArithOp("/") => true; case _ => false }) {
+        val ArithOp(op) = next(): @unchecked
+        left = Arith(left, op, parseValue())
+      }
+      left
+    }
+
+    private def parseValue(): Operand = next() match {
       case IdentT(n) => ColRef(n)
       case NumT(v, integral) => NumL(v, integral)
       case StrT(v) => StrL(v)
       case BoolT(v) => BoolL(v)
+      case LPar =>
+        val inner = parseSum()
+        next() match {
+          case RPar => inner
+          case t => fail(s"expected ')' after arithmetic group but got $t")
+        }
       case t => fail(s"expected column or literal but got $t")
     }
   }

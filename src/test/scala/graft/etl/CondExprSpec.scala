@@ -82,6 +82,35 @@ class CondExprSpec extends SparkTestBase {
     assert(d.select(when(c, lit(1)).otherwise(lit(0))).collect().head.getInt(0) === 1)
   }
 
+  test("arithmetic in comparisons: products, sums, parenthesized groups") {
+    val got = evalOn("(`Amount` * 2 + 10) > 110", Seq((51.0, "a"), (50.0, "a"), (49.0, "a")))
+    assert(got === Seq(true, false, false))
+    val got2 = evalOn("(`Amount` - 5) / 5 >= 9", Seq((50.0, "a"), (49.0, "a")))
+    assert(got2 === Seq(true, false))
+  }
+
+  test("binary minus vs negative literal disambiguation") {
+    assert(evalOn("`Amount` - 10 > -5", Seq((6.0, "a"), (4.0, "a"))) === Seq(true, false))
+  }
+
+  test("~ negation, including pandas NaN semantics (~False is True)") {
+    assert(evalOn("~(`Amount` > 500)", Seq((600.0, "a"), (400.0, "a"))) === Seq(false, true))
+    // NaN > 500 is False in pandas, so ~ gives True
+    assert(evalOn("~(`Amount` > 500)", Seq((null, "a"))) === Seq(true))
+    assert(evalOn("~(`Amount` > 500) & (`Status` == 'a')", Seq((null, "a"), (null, "b")))
+      === Seq(true, false))
+  }
+
+  test("string concatenation with + (python semantics)") {
+    assert(evalOn("(`Status` + '!') == 'Active!'", Seq((1.0, "Active"), (1.0, "Idle")))
+      === Seq(true, false))
+  }
+
+  test("number + string is a TypeError") {
+    val schema = df(Seq((1.0, "a"))).schema
+    assert(CondExpr.translate("(`Amount` + `Status`) > 1", schema).isLeft)
+  }
+
   test("timestamp column compares against a date-string literal") {
     import spark.implicits._
     val d = Seq(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"),
