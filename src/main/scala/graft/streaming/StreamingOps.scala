@@ -64,6 +64,18 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup on ingest — the stream-side twin of
+    * Dedup.exact. `dropDuplicatesWithinWatermark` bounds the dedup state
+    * by event time: duplicates are suppressed whenever they arrive within
+    * the watermark delay of the first occurrence, and state older than
+    * the watermark is evicted — the only way dedup state stays finite on
+    * an unbounded stream. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Convenience sink for tests/demos: run a streaming frame to a named
     * in-memory table until all available input is processed. */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

@@ -43,6 +43,22 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(rows.toSet === Set((100L, 2L), (100L, 1L), (200L, 1L)))
   }
 
+  test("dedupStream drops duplicate keys arriving within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(mem.toDF(), keyCols = Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts(0), 100L, "click", 1.0), Event(1L, ts(1), 100L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1L, ts(2), 100L, "click", 1.0), Event(2L, ts(3), 200L, "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq === Seq(1L, 2L)) // the three id=1 copies collapse to one
+  }
+
   test("mapGroupsWithState keeps running totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
