@@ -183,6 +183,25 @@ object SparkEntry {
       Dedup.simhash(Tables(s, dir, "documents"), maxDist = 3)
     },
 
+    // --- [EXT] multimodal columns (documents bytes as payload) ----------
+    "multimodal_features" -> { (s, dir) =>
+      // Binary-column plumbing over real fixtures: document text bytes as
+      // the opaque payload, batched per-partition feature extraction
+      // (stub codec — deterministic, so rows-only is still a real check).
+      import s.implicits._
+      val items = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+        .map { r =>
+          graft.ext.Multimodal.MediaItem(r.getAs[Long]("doc_id"), "image", "text/fake",
+            0, 0, 0L, r.getAs[String]("text").getBytes("UTF-8"))
+        }
+      graft.ext.Multimodal.extractFeatures(items, dim = 8)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    },
+
     // --- [EXT] similarity search (embeddings) ---------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
@@ -198,22 +217,6 @@ object SparkEntry {
     },
 
     // --- [EXT] event analytics (events) ---------------------------------
-    "multimodal_features" -> { (s, dir) =>
-      // Binary-column plumbing over real fixtures: document text bytes as
-      // the opaque payload, batched per-partition feature extraction
-      // (stub codec — deterministic, so rows-only is still a real check).
-      import s.implicits._
-      val items = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
-        .map { r =>
-          graft.ext.Multimodal.MediaItem(r.getLong(0), "image", "text/fake",
-            0, 0, 0L, r.getString(2).getBytes("UTF-8"))
-        }
-      graft.ext.Multimodal.extractFeatures(items, dim = 8)
-        .toDF()
-        .select(col("media_id").as("doc_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
-    },
     "events_tumbling" -> { (s, dir) =>
       Events.tumbling(Tables(s, dir, "events"))
         .withColumn("sum_value", col("sum_value").cast("double"))
