@@ -183,6 +183,29 @@ object SparkEntry {
       Dedup.simhash(Tables(s, dir, "documents"), maxDist = 3)
     },
 
+    // --- [EXT] dataset splitting / sampling (documents) -----------------
+    "split_train_test" -> { (s, dir) =>
+      // Deterministic hash split (Knuth multiplicative): stable across
+      // runs, machines, and engines — unlike randomSplit, a row's split
+      // never depends on partitioning. 80/10/10 by doc_id.
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    },
+    "sample_per_group" -> { (s, dir) =>
+      // Deterministic per-group sample: first 3 docs per lang in
+      // hash-shuffled order (stable "random" sample with a tie-break).
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    },
+
     // --- [EXT] multimodal columns (documents bytes as payload) ----------
     "multimodal_features" -> { (s, dir) =>
       // Binary-column plumbing over real fixtures: document text bytes as
@@ -401,6 +424,17 @@ object SparkEntry {
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
 
+    "split_train_test" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM (SELECT doc_id, (doc_id * 2654435761) % 100 AS b FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "sample_per_group" ->
+      """SELECT doc_id, lang, rn FROM (
+        | SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |   ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS INT) AS rn
+        | FROM documents) WHERE rn <= 3""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents
