@@ -28,18 +28,34 @@ object Bench {
     // hypervisor steal time in bursts (observed 17% st in top), which
     // can inflate any single measurement ~10x. The min of two passes is
     // a far better steady-state estimate under stolen CPU.
+    // A failed query records the -1.0 sentinel (NOT its elapsed time) so
+    // the JSON cannot report success-shaped numbers for a broken query.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val results = p1.map { case (k, v1) =>
+      val v2 = p2.getOrElse(k, -1.0)
+      val oks = Seq(v1, v2).filter(_ >= 0.0)
+      k -> (if (oks.isEmpty) -1.0 else oks.min)
+    }
+    val failed = results.collect { case (k, v) if v < 0.0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0.0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is interleaved with sbt/log4j noise; the file copy makes the
+    // bench contract robust to prefix mangling
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () }
+    if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: $failed")
     spark.stop()
   }
 }

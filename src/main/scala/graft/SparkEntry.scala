@@ -187,8 +187,12 @@ object SparkEntry {
     "split_train_test" -> { (s, dir) =>
       // Deterministic hash split (Knuth multiplicative): stable across
       // runs, machines, and engines — unlike randomSplit, a row's split
-      // never depends on partitioning. 80/10/10 by doc_id.
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      // never depends on partitioning. 80/10/10 by doc_id. Reduce doc_id
+      // mod 100 BEFORE multiplying ((a*b) mod m == ((a mod m)(b mod m))
+      // mod m, and 2654435761 % 100 = 61): wrap-free for the full long
+      // doc_id domain, where the raw product would silently overflow in
+      // non-ANSI Spark but raise/promote in DuckDB.
+      val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
@@ -198,7 +202,9 @@ object SparkEntry {
     "sample_per_group" -> { (s, dir) =>
       // Deterministic per-group sample: first 3 docs per lang in
       // hash-shuffled order (stable "random" sample with a tie-break).
-      val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+      // Mod-before-multiply keeps the product under 2^63 for any doc_id
+      // ((1e9-1) * 654435747 < 2^63), where the raw multiply would wrap.
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(654435747L), lit(1000000007L))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
       Tables(s, dir, "documents")
@@ -208,21 +214,22 @@ object SparkEntry {
 
     // --- [EXT] multimodal columns (documents bytes as payload) ----------
     "multimodal_features" -> { (s, dir) =>
-      // Binary-column plumbing over real fixtures: document text bytes as
-      // the opaque payload, batched per-partition feature extraction
-      // (stub codec — deterministic, so rows-only is still a real check).
-      import s.implicits._
-      val items = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .filter(col("text").isNotNull)
-        .map { r =>
-          graft.ext.Multimodal.MediaItem(r.getAs[Long]("doc_id"), "image", "text/fake",
-            0, 0, 0L, r.getAs[String]("text").getBytes("UTF-8"))
-        }
-      graft.ext.Multimodal.extractFeatures(items, dim = 8)
-        .toDF()
-        .select(col("media_id").as("doc_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+      // Binary-column plumbing over real fixtures, ORACLE-CHECKED:
+      // document text bytes as the opaque payload, per-partition feature
+      // extraction via mapPartitions (the stub codec runs for every row —
+      // the map stage is opaque to column pruning), then a projection of
+      // DuckDB-expressible facts: byte length, payload md5, a length
+      // bucket, and the decoded feature-vector arity. The fakeDecode
+      // VALUES stay pinned by MultimodalSpec (not SQL-expressible).
+      val payload = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .filter(col("content").isNotNull)
+      graft.ext.Multimodal.withContentFeatures(payload, "content", dim = 8)
+        .select(col("doc_id"),
+          length(col("content")).as("n_bytes"),
+          md5(col("content")).as("payload_md5"),
+          floor(length(col("content")) / 256).as("len_bucket"),
+          size(col("content_features")).as("n_features"))
     },
 
     // --- [EXT] similarity search (embeddings) ---------------------------
@@ -427,13 +434,13 @@ object SparkEntry {
     "split_train_test" ->
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        |FROM (SELECT doc_id, (doc_id * 2654435761) % 100 AS b FROM documents)
+        |FROM (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b FROM documents)
         |GROUP BY 1""".stripMargin,
     "sample_per_group" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
-        |   ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS INT) AS rn
+        |   ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007 ASC, doc_id ASC) AS INT) AS rn
         | FROM documents) WHERE rn <= 3""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -441,6 +448,14 @@ object SparkEntry {
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash" -> ngramJaccardSql,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        | CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        | MD5(text) AS payload_md5,
+        | CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 256) AS BIGINT) AS len_bucket,
+        | CAST(8 AS INT) AS n_features
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

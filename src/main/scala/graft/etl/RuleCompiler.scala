@@ -110,6 +110,12 @@ object RuleCompiler {
             // order rows by file position (monotonically_increasing_id is
             // monotone within and across input splits in read order) and
             // keep the value of the max position per stringified key.
+            // CONTRACT: "last occurrence" is well-defined only when the
+            // mapping is a fresh source scan (the reference's only input
+            // shape — an uploaded file). A mapping that already went
+            // through a shuffle/join/repartition has no stable row order
+            // in ANY engine; pass such tables through a deduplicating
+            // aggregation with an explicit ordering column first.
             def strKey(c: Column): Column =
               if (pandasNanCoercion) coalesce(c.cast("string"), lit("nan"))
               else c.cast("string")

@@ -41,36 +41,67 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
-  /** Distinct (doc, shingle-hash) pairs: one native-expression pass
-    * tokenizes, shingles, hashes, and dedups per document, so the
-    * inverted-index key is 8 bytes and no string shingle ever
-    * materializes. */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    barrier(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("id"),
-        explode(graft.functions.texthash.shingle_hashes(col(textCol), n)).as("sh"))
-
-  /** EXACT near-duplicate pairs by word-n-gram Jaccard >= `threshold`.
+  /** EXACT near-duplicate pairs by word-n-gram Jaccard >= `threshold`,
+    * via prefix filtering (the classic AllPairs/PPJoin exact
+    * set-similarity join).
     *
-    * |A∩B| is computed by joining the inverted index with itself on the
-    * shingle and counting co-occurrences per (a, b) pair — the standard
-    * set-similarity-join shape: shuffle is bounded by the index size, and
-    * only genuinely-overlapping pairs reach the aggregation. Jaccard is a
-    * single integer division: bit-identical across engines.
+    * Candidate generation self-joins only each document's PREFIX — its
+    * first `|d| - ceil(t*|d|) + 1` shingles in the global
+    * rarest-first order — which is provably complete for Jaccard >= t:
+    * if a qualifying pair shared no prefix shingle, its intersection
+    * would fit inside the last `ceil(t*|d|) - 1` shingles, too few to
+    * reach the threshold. Candidates are then verified EXACTLY on the
+    * full shingle sets, so precision and recall are both 1.
+    *
+    * Why this shape at 100 TB: the naive inverted-index self-join is
+    * quadratic per hot shingle (a boilerplate 3-gram in f docs emits f²
+    * pairs on one key). Prefix filtering sorts shingles rarest-first, so
+    * ubiquitous shingles land at the END of every ordering and almost
+    * never inside a prefix — the hot keys are exactly the ones excluded
+    * from the join. A size-ratio filter (`t·max <= min`, a necessary
+    * condition for J >= t) prunes candidates before verification.
+    * Jaccard is a single integer division: bit-identical across engines.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n).cache()
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
-    val co = idx.as("a").join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .agg(count(lit(1)).as("c"))
-    co
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
-      .withColumn("jaccard", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+    val withSh = barrier(
+      barrier(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
+        .filter(size(col("shs")) > 0))
+    val cand = prefixCandidates(withSh, threshold)
+    cand
+      .join(withSh.select(col("id").as("a_id"), col("shs").as("a_shs")), "a_id")
+      .join(withSh.select(col("id").as("b_id"), col("shs").as("b_shs")), "b_id")
+      .withColumn("c", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("a_shs")) + size(col("b_shs")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Prefix-filtered candidate pairs for Jaccard >= `threshold` over a
+    * (id, shs: array<bigint>) frame of per-doc distinct shingle hashes.
+    * Exposed for the skew test: candidate volume must stay near-linear
+    * even when one shingle appears in every document. */
+  private[ext] def prefixCandidates(withSh: DataFrame, threshold: Double): DataFrame = {
+    val idx = withSh.select(col("id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("sh"))
+    // global document frequency: rarest-first ordering key (ties by hash
+    // value so the order is total and deterministic)
+    val dfreq = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val prefix = idx.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select("id", "sz", "sh")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          // necessary size-ratio condition for J >= t: t * max <= min
+          greatest(col("a.sz"), col("b.sz")) * lit(threshold) <=
+            least(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
   }
 
   /** MinHash signature column: for each of `k` seeded mixes, the min over

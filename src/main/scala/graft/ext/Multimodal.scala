@@ -99,18 +99,22 @@ object Multimodal {
 
   /** Attach fake-decoded embedding features to any DataFrame carrying a
     * binary column — the DataFrame-level face of extractFeatures for
-    * mixed relational/multimodal pipelines. Uses the same deterministic
-    * payload fold, expressed over rows without a UDF round-trip. */
+    * mixed relational/multimodal pipelines. Dataset.mapPartitions with a
+    * row encoder (NOT a df.rdd round trip): the plan stays a single
+    * narrow map stage — no ExistingRDD scan barrier, no schema
+    * re-assembly, one serialize/deserialize boundary that a real
+    * batch-decoding codec needs anyway. Null payloads yield null
+    * features (left-join-shaped inputs survive). */
   def withContentFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val schema = df.schema
-    val rdd = df.rdd.map { row =>
-      val bytes = row.getAs[Array[Byte]](binCol)
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ fakeDecode(bytes, dim).toSeq)
-    }
-    spark.createDataFrame(rdd,
-      schema.add("content_features", org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType)))
+    val outSchema = df.schema.add("content_features",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+        val feats = if (bytes == null) null else fakeDecode(bytes, dim).toSeq
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ feats)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -70,20 +70,39 @@ object Similarity {
     * cells, re-ranked by exact cosine. The classic ANN scale path when a
     * trained coarse quantizer is acceptable: candidate count is
     * corpus/k × nProbe regardless of corpus size. Deterministic via fixed
-    * seed. Uses spark.ml KMeans (bundled with Spark). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+    * seed. Uses spark.ml KMeans (bundled with Spark).
+    *
+    * 100 TB shape: the quantizer trains on a bounded sample (at most
+    * `maxFitVectors` rows — only the sample is ever cached, and it is
+    * unpersisted after fit); the full corpus is touched by exactly one
+    * assignment pass feeding the candidate join. `nCells <= 0` auto-sizes
+    * cells by the √N rule (clamped to [16, 4096]) so cell population
+    * stays ~√N as the corpus grows. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 0,
       nProbe: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, maxFitVectors: Long = 1000000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // cache: KMeans re-reads its input once per iteration — without this
-    // the scan + array casts re-execute ~10x
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-      .cache()
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(c)
-    val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+    // parquet-backed count is a metadata-cheap pass; it sizes both the
+    // fit sample fraction and the auto cell count
+    val total = math.max(prepared.count(), 1L)
+    val cells = math.max(2, math.min(
+      if (nCells > 0) nCells.toLong
+      else math.max(16L, math.min(4096L, math.sqrt(total.toDouble).toLong)),
+      total).toInt)
+    val frac = math.min(1.0, maxFitVectors.toDouble / total.toDouble)
+    // cache ONLY the bounded sample: KMeans re-reads its input once per
+    // iteration — without the cache the scan + array casts re-execute ~10x
+    val fitInput =
+      (if (frac < 1.0) prepared.sample(withReplacement = false, frac, seed) else prepared)
+        .cache()
+    val model =
+      try new KMeans().setK(cells).setSeed(seed).setMaxIter(10).fit(fitInput)
+      finally fitInput.unpersist()
+    val assigned = model.transform(prepared).withColumnRenamed("prediction", "cell")
       .select("id", "v", "cell")
     val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
       (i, ctr.toArray)

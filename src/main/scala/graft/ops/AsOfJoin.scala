@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *   1. tag left rows src=1, right rows src=0, union on a common schema;
   *   2. one shuffle+sort per key group ordered by (ts, src, tiebreak) —
   *      right rows sort before left rows at equal ts so "<=" holds;
-  *   3. last(right_value, ignoreNulls) over rows-unbounded-preceding
-  *      carries the most recent right values forward;
-  *   4. keep only left rows.
+  *   3. ALL picked right values travel in ONE struct column;
+  *      last(struct, ignoreNulls) over rows-unbounded-preceding carries
+  *      the most recent right ROW forward — a single struct (never its
+  *      fields independently), so every attached value comes from the
+  *      same matched right row even when some of its fields are NULL;
+  *   4. keep only left rows, expand the struct.
   *
   * Cost at any scale: exactly one hash shuffle of |L|+|R| rows and one
   * sort — the same price as a sort-merge join, with no pair explosion.
@@ -41,24 +44,30 @@ object AsOfJoin {
     val leftCarry = left.columns.toSeq.diff(keys :+ tsCol)
     val pickedOut = pick.map(p => p + suffix)
     val tb = "__graft_tb"
+    val pk = "__graft_pick"
     val rightSchema = right.schema
     val leftSchema = left.schema
+    // one struct holds every picked value: a right row contributes a
+    // NON-null struct even when individual fields are null, so
+    // last(ignoreNulls) can never mix fields from different right rows
+    val pickType = org.apache.spark.sql.types.StructType(
+      pick.map(p => org.apache.spark.sql.types.StructField(p, rightSchema(p).dataType)))
 
-    val unionCols = keys ++ Seq(tsCol, "__graft_src", tb) ++ leftCarry ++ pickedOut
+    val unionCols = keys ++ Seq(tsCol, "__graft_src", tb, pk) ++ leftCarry
     val fromLeft = left.select(
       (keys ++ Seq(tsCol)).map(col) ++
         Seq(lit(1).as("__graft_src"),
           lit(null).cast(tiebreakCol.map(rightSchema(_).dataType).getOrElse(
-            org.apache.spark.sql.types.LongType)).as(tb)) ++
-        leftCarry.map(col) ++
-        pick.zip(pickedOut).map { case (p, o) => lit(null).cast(rightSchema(p).dataType).as(o) }: _*)
+            org.apache.spark.sql.types.LongType)).as(tb),
+          lit(null).cast(pickType).as(pk)) ++
+        leftCarry.map(col): _*)
     val fromRight = right.select(
       (keys ++ Seq(tsCol)).map(col) ++
         Seq(lit(0).as("__graft_src"),
           tiebreakCol.map(col(_).cast(tiebreakCol.map(rightSchema(_).dataType).get))
-            .getOrElse(lit(null).cast(org.apache.spark.sql.types.LongType)).as(tb)) ++
-        leftCarry.map(c => lit(null).cast(leftSchema(c).dataType).as(c)) ++
-        pick.zip(pickedOut).map { case (p, o) => col(p).as(o) }: _*)
+            .getOrElse(lit(null).cast(org.apache.spark.sql.types.LongType)).as(tb),
+          struct(pick.map(p => col(p).as(p)): _*).as(pk)) ++
+        leftCarry.map(c => lit(null).cast(leftSchema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__graft_src").asc, col(tb).asc_nulls_first)
@@ -66,10 +75,12 @@ object AsOfJoin {
     val carried = fromLeft.select(unionCols.map(col): _*)
       .unionByName(fromRight.select(unionCols.map(col): _*))
       .select(
-        (keys ++ Seq(tsCol, "__graft_src")).map(col) ++ leftCarry.map(col) ++
-          pickedOut.map(o => last(col(o), ignoreNulls = true).over(w).as(o)): _*)
+        (keys ++ Seq(tsCol, "__graft_src")).map(col) ++ leftCarry.map(col) :+
+          last(col(pk), ignoreNulls = true).over(w).as(pk): _*)
     carried
       .filter(col("__graft_src") === 1)
-      .drop("__graft_src")
+      .select(
+        (keys ++ Seq(tsCol)).map(col) ++ leftCarry.map(col) ++
+          pick.zip(pickedOut).map { case (p, o) => col(pk).getField(p).as(o) }: _*)
   }
 }

@@ -33,9 +33,12 @@ object Relational {
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
-  /** TPC-H Q3-shaped top-10 revenue orders: the two dimension-ish inputs
-    * (filtered customer) broadcast; lineitem never repartitions except on
-    * the final group-by key. Deterministic top-k via (revenue, key) order. */
+  /** TPC-H Q3-shaped top-10 revenue orders. No broadcast hints: orders and
+    * customer both scale linearly with SF, so a forced broadcast OOMs the
+    * executors at 100× — the join strategy is left to Catalyst statistics
+    * + AQE, which converts either side to broadcast at runtime only when
+    * it actually measures small. Filters sit directly on the scans so
+    * they push down to parquet. Deterministic top-k via (revenue, key). */
   def revenueTopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -47,7 +50,7 @@ object Relational {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li
-      .join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+      .join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
@@ -56,24 +59,28 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-shaped revenue by nation within one region: star join with
-    * every dimension broadcast; the fact table is touched by exactly one
-    * shuffle (the final n_name aggregation). */
+  /** TPC-H Q5-shaped revenue by nation within one region. Broadcast hints
+    * only on the genuinely fixed-size dimensions (region = 5 rows, nation
+    * = 25 rows — SF-independent); supplier/orders/customer all scale with
+    * SF, so their join strategy is left to Catalyst + AQE. The ASIA
+    * semi-filter is applied to supplier FIRST (via the broadcast nation
+    * join), so the lineitem join output is already region-pruned before
+    * any large-table shuffle. */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
     val nation = Tables(spark, dir, "nation")
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .select("n_nationkey", "n_name")
-    val supplier = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val supplierAsia = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
     val orders = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
     val customer = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li
-      .join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(supplierAsia, li("l_suppkey") === col("s_suppkey"))
       .join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+      .join(customer, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))

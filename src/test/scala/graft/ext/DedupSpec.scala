@@ -58,6 +58,30 @@ class DedupSpec extends SparkTestBase {
     assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("prefix filtering: one ubiquitous shingle does not blow up candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 docs all opening with the same boilerplate 3-gram, otherwise
+    // fully distinct, plus one planted exact dup of doc 0. The naive
+    // inverted-index self-join would emit 201*200/2 = 20100 candidate
+    // pairs on the hot shingle alone; prefix filtering orders shingles
+    // rarest-first, so the ubiquitous shingle never lands in a prefix.
+    val base = (0 until 200).map { i =>
+      (i.toLong, s"common boiler plate u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    }
+    val skewed = (base :+ (200L, base.head._2)).toDF("doc_id", "text")
+    val withSh = skewed
+      .select(col("doc_id").as("id"),
+        graft.functions.texthash.shingle_hashes(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val nCand = Dedup.prefixCandidates(withSh, 0.8).count()
+    assert(nCand <= 10, s"prefix filtering failed to bound candidates: $nCand")
+    val pairs = Dedup.ngramJaccard(skewed, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 200L)))
+    assert(pairs.head._3 === 1.0)
+  }
+
   test("determinism: same input, same signatures across runs") {
     val r1 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
     val r2 = Dedup.minhash(docs, threshold = 0.5).collect().toSet

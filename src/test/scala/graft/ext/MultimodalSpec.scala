@@ -50,5 +50,19 @@ class MultimodalSpec extends SparkTestBase {
     val out = withContentFeatures(df, "payload", dim = 4)
     assert(out.columns.toSeq === Seq("id", "payload", "content_features"))
     assert(out.collect().forall(_.getSeq[Float](2).length === 4))
+    // no df.rdd round trip: the plan must be a single map stage over the
+    // source scan, not a re-created ExistingRDD barrier
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD scan barrier in plan:\n$plan")
+  }
+
+  test("withContentFeatures: null payload yields null features, not a crash") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Array[Byte](1, 2, 3))), (2L, None))
+      .toDF("id", "payload")
+    val out = withContentFeatures(df, "payload", dim = 4).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty)
   }
 }

@@ -31,6 +31,23 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.getAs[String]("v_asof") === "second")
   }
 
+  test("matched row's NULL fields stay NULL — no stale carry from older rows") {
+    import spark.implicits._
+    val left = Seq((1L, 200L, "l")).toDF("k", "ts", "tag")
+    // older right row has non-null price; the actually-matched (most
+    // recent) right row has a NULL price but non-null qty: ASOF semantics
+    // require BOTH picked values to come from the matched row
+    val right = Seq(
+      (1L, 100L, Some(10.0), Some(5L)),
+      (1L, 150L, None: Option[Double], Some(9L)))
+      .toDF("k", "ts", "price", "qty")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts",
+      pick = Seq("price", "qty")).collect().head
+    assert(got.isNullAt(got.fieldIndex("price_asof")),
+      "stale price carried from an older right row")
+    assert(got.getAs[Long]("qty_asof") === 9L)
+  }
+
   test("one shuffle only: plan has a single hashpartitioning exchange") {
     import spark.implicits._
     val left = Seq((1L, 100L, "x")).toDF("k", "ts", "tag")
