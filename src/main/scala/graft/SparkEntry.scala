@@ -260,7 +260,32 @@ object SparkEntry {
       Events.userRunning(Tables(s, dir, "events"))
         .withColumn("running_value", col("running_value").cast("double"))
     },
+
+    // --- [EXT] Structured Streaming, driven end-to-end ------------------
+    "stream_tumbling" -> { (s, dir) =>
+      // The events fixture replayed through the Structured Streaming file
+      // source: readStream → incremental epoch-tumbling aggregation →
+      // memory sink (complete mode, so every window is emitted when the
+      // finite replay drains). The returned frame is the materialized
+      // sink table — proving the streaming path end-to-end against the
+      // same DuckDB oracle shape as the batch query. DECIMAL state makes
+      // microbatch-incremental sums equal a single batch pass exactly.
+      // the file stream source requires a DIRECTORY base path; the glob
+      // filter narrows the listing to the events fixture inside it
+      val batchSchema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = graft.streaming.StreamingOps.tumblingEpoch(stream)
+      val name = s"graft_stream_tumbling_${streamRunSeq.incrementAndGet()}"
+      graft.streaming.StreamingOps.runToMemory(agg, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
+    },
   )
+
+  /** Memory-sink names must be fresh per invocation (bench warm-up + two
+    * timed passes reuse one session). */
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def oracleSql: Map[String, String] = Map(
     "etl_direct_map" ->
@@ -493,6 +518,12 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "stream_tumbling" ->
+      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        | event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_user_running" ->
       """SELECT event_id, user_id,
         | CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,

@@ -30,17 +30,58 @@ object SmartLoad {
       // built-in OOXML reader (no Excel library ships in this build)
       XlsxReader.read(spark, path)
     else if (ext == "xls")
-      // legacy BIFF format: no parser available offline — clear error,
-      // mirroring the reference's unsupported-type path (main.py:90-93)
-      throw UnsupportedFormatException(path)
-    else if (is("json", "json"))
-      // pandas read_json consumes one whole JSON document (array of records);
-      // Spark defaults to NDJSON, so multiLine=true is required for fidelity
-      // (SURVEY.md §2.1). NDJSON still parses under multiLine=false readers,
-      // but the reference's shape is the single-document one.
-      spark.read.option("multiLine", true).json(path)
+      // legacy BIFF8: minimal CFB + record reader (XlsReader), matching
+      // the reference's pd.read_excel of either Excel format (main.py:80-81)
+      XlsReader.read(spark, path)
+    else if (is("json", "json")) json(spark, path)
     else if (is("parquet", "parquet")) spark.read.parquet(path)
     else sniffDelimited(spark, path)
+  }
+
+  /** pandas read_json consumes one whole JSON document; Spark defaults to
+    * NDJSON, so multiLine=true is required for fidelity (SURVEY.md §2.1).
+    * Both pandas-accepted document shapes are handled (main.py:82-83):
+    *   - array-of-records `[{"a": 1}, ...]` — pandas orient='records';
+    *   - column-dict `{"a": {"0": 1, "1": 2}, ...}` — pandas' DEFAULT
+    *     orient='columns', where each column maps row labels to values.
+    * The column-dict shape parses to ONE row of structs whose field names
+    * are the row labels; it is re-shaped to rows with a single
+    * explode(array(struct...)) projection — plan-side only, no driver
+    * materialization, row labels ordered numerically when they all look
+    * numeric (pandas index order) and lexically otherwise. */
+  private def json(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, struct}
+    import org.apache.spark.sql.types.StructType
+    val df = spark.read.option("multiLine", true).json(path)
+    val fields = df.schema.fields
+    val allStructs = fields.nonEmpty && fields.forall(_.dataType.isInstanceOf[StructType])
+    if (!allStructs) df
+    else {
+      import org.apache.spark.sql.types._
+      // widest value type per column across its row labels (long < double;
+      // anything mixed beyond numerics -> string, pandas' object dtype)
+      def widest(inner: StructType): DataType = {
+        val ts = inner.fields.map(_.dataType).distinct
+        if (ts.length == 1) ts.head
+        else if (ts.forall(t => t == LongType || t == DoubleType)) DoubleType
+        else StringType
+      }
+      val colType = fields.map(f => f.name -> widest(f.dataType.asInstanceOf[StructType])).toMap
+      val labels = fields.flatMap(_.dataType.asInstanceOf[StructType].fieldNames).distinct
+      val ordered =
+        if (labels.forall(_.matches("-?\\d+"))) labels.sortBy(_.toLong)
+        else labels.sorted
+      val rows = ordered.map { l =>
+        struct(fields.map { f =>
+          val inner = f.dataType.asInstanceOf[StructType]
+          // a label absent from one column becomes a typed null
+          (if (inner.fieldNames.contains(l)) col(s"`${f.name}`.`$l`")
+           else org.apache.spark.sql.functions.lit(null))
+            .cast(colType(f.name)).as(f.name)
+        }: _*)
+      }
+      df.select(explode(array(rows: _*)).as("__row")).select(col("__row.*"))
+    }
   }
 
   private def csv(spark: SparkSession, path: String, sep: String): DataFrame =
@@ -60,9 +101,21 @@ object SmartLoad {
     if (sample.isEmpty) throw UnsupportedFormatException(path)
     val candidates = Seq(',', '\t', ';', '|', ':')
     // Pick the delimiter that appears a consistent, nonzero number of times
-    // per line (csv.Sniffer's core heuristic).
+    // per line (csv.Sniffer's core heuristic), counting ONLY outside
+    // double-quoted fields — a comma inside "last, first" is field text,
+    // not a delimiter ("" inside quotes is the standard escape).
+    def countOutsideQuotes(line: String, d: Char): Int = {
+      var n = 0; var inQ = false; var i = 0
+      while (i < line.length) {
+        val ch = line.charAt(i)
+        if (ch == '"') inQ = !inQ
+        else if (ch == d && !inQ) n += 1
+        i += 1
+      }
+      n
+    }
     val scored = candidates.map { d =>
-      val counts = sample.map(_.count(_ == d))
+      val counts = sample.map(countOutsideQuotes(_, d))
       val consistent = counts.forall(_ == counts.head) && counts.head > 0
       (d, consistent, counts.head)
     }

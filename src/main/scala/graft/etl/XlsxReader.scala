@@ -114,8 +114,10 @@ object XlsxReader {
     out.result()
   }
 
-  /** One parsed cell value, still untyped ('n' numeric, 'b' bool, else string). */
-  private final case class Cell(colIdx: Int, raw: String, kind: String)
+  /** One parsed cell value, still untyped ('n' numeric, 'b' bool, else
+    * string). Shared with XlsReader so both Excel formats feed one
+    * inference path. */
+  private[etl] final case class Cell(colIdx: Int, raw: String, kind: String)
 
   private def parseSheet(in: InputStream, shared: Vector[String]): Vector[Vector[Cell]] = {
     val factory = XMLInputFactory.newInstance()
@@ -179,6 +181,9 @@ object XlsxReader {
     }
     acc - 1
   }
+
+  private[etl] def rowsToDataFrame(spark: SparkSession, rows: Vector[Vector[Cell]]): DataFrame =
+    toDataFrame(spark, rows)
 
   private def toDataFrame(spark: SparkSession, rows: Vector[Vector[Cell]]): DataFrame = {
     if (rows.isEmpty) return spark.emptyDataFrame

@@ -20,7 +20,7 @@ object Events {
     * spark.sql.legacy.parquet.nanosAsLong — handle both. Nanos must be
     * reduced with INTEGER division (`div`): float division of ~1.7e18
     * longs loses sub-second precision and corrupts second boundaries. */
-  private def tsSec(events: DataFrame): Column =
+  private[graft] def tsSec(events: DataFrame): Column =
     if (events.schema("ts").dataType == LongType)
       call_function("div", col("ts"), lit(1000000000L))
     else unix_timestamp(col("ts"))

@@ -32,6 +32,24 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Epoch-bucketed tumbling counts/sums per event type — the streaming
+    * twin of Events.tumbling, sharing its bucket expression so streaming
+    * and batch emit bit-identical groups. Streaming-legal aggregates
+    * only: count + DECIMAL sum (order-independent, so incremental state
+    * merges match a batch pass exactly); `countDistinct` is unsupported
+    * in streaming and intentionally absent. Designed for complete/update
+    * output against finite replays and for watermarked append in
+    * production (caller adds `.withWatermark` before calling). */
+  def tumblingEpoch(events: DataFrame, windowSeconds: Int = 3600): DataFrame =
+    events
+      .groupBy(
+        (floor(graft.ext.Events.tsSec(events) / windowSeconds) * windowSeconds)
+          .as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
   /** Session windows keyed by user (gap-based), the streaming twin of
     * Events.sessionize. */
   def sessions(events: DataFrame, gap: String = "30 minutes",

@@ -62,9 +62,41 @@ class SmartLoadSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("a", "b"))
   }
 
-  test("legacy .xls is a clear unsupported error (offline build)") {
-    intercept[SmartLoad.UnsupportedFormatException] {
-      SmartLoad.load(spark, "/tmp/whatever.xls")
+  test("json column-dict orientation (pandas default orient='columns')") {
+    val p = write("cd.json",
+      """{"id": {"0": 1, "1": 2, "2": 3}, "name": {"0": "x", "1": "y", "2": "z"}}""")
+    val df = SmartLoad.load(spark, p)
+    assert(df.columns.sorted.toSeq === Seq("id", "name"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[String]("name")).toSeq === Seq("x", "y", "z"))
+  }
+
+  test("json column-dict: mixed long/double widens, absent label is null") {
+    val p = write("cd2.json",
+      """{"v": {"0": 1, "1": 2.5}, "tag": {"0": "a"}}""")
+    val df = SmartLoad.load(spark, p)
+    assert(df.schema("v").dataType.typeName === "double")
+    val rows = df.orderBy("v").collect()
+    assert(rows.map(_.getAs[Double]("v")).toSeq === Seq(1.0, 2.5))
+    assert(rows(0).getAs[String]("tag") === "a" && rows(1).isNullAt(rows(1).fieldIndex("tag")))
+  }
+
+  test("sniffer ignores delimiters inside quoted fields") {
+    // every data row has commas INSIDE quotes; the real delimiter is ';'
+    val p = write("q.log",
+      "name;qty\n\"last, first\";1\n\"a, b, c\";2\n\"x,y\";3\n")
+    val df = SmartLoad.load(spark, p)
+    assert(df.columns.toSeq === Seq("name", "qty"))
+    assert(df.count() === 3)
+    assert(df.orderBy("qty").collect()(0).getString(0) === "last, first")
+  }
+
+  test(".xls dispatches to the BIFF8 reader (bad file fails loudly there)") {
+    val p = java.nio.file.Paths.get(dir, "bad.xls")
+    Files.write(p, ("not an ole2 file" * 40).getBytes)
+    intercept[IllegalArgumentException] {
+      SmartLoad.load(spark, p.toString)
     }
   }
 }

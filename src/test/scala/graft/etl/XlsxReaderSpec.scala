@@ -69,9 +69,4 @@ class XlsxReaderSpec extends SparkTestBase {
     assert(XlsxReader.colIndex("BC12") === 54)
   }
 
-  test("legacy .xls still errors clearly") {
-    intercept[SmartLoad.UnsupportedFormatException] {
-      SmartLoad.load(spark, "/tmp/whatever.xls")
-    }
-  }
 }

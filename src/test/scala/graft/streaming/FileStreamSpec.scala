@@ -30,4 +30,19 @@ class FileStreamSpec extends SparkTestBase {
       .count()
     assert(streamed === expected, s"streamed=$streamed expectedClosed=$expected")
   }
+
+  test("tumblingEpoch over the raw fixture (complete mode) equals the batch aggregation") {
+    val batchDf = spark.read.parquet(s"${sf()}/events.parquet")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf())
+    StreamingOps.runToMemory(
+      StreamingOps.tumblingEpoch(stream), "epoch_tumb", OutputMode.Complete())
+    val streamed = spark.table("epoch_tumb")
+      .orderBy("window_start", "event_type").collect()
+    val batch = graft.ext.Events.tumbling(batchDf)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.sameElements(batch))
+  }
 }
