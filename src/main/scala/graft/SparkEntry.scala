@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl._
-import graft.ext.{Dedup, Events, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Embeddings, Events, Similarity, TextAnalysis}
 import graft.ops.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -165,6 +165,39 @@ object SparkEntry {
         TextAnalysis.qualitySignals(t).map { case (n, c) => c.as(n) } ++
         Seq(TextAnalysis.langId(t).as("lang_pred"),
           TextAnalysis.fingerprint(t).as("fingerprint")): _*)
+    },
+    "text_pii_redact" -> { (s, dir) =>
+      // the fixture carries no PII, so PII-bearing text is synthesized
+      // IDENTICALLY in both engines (doc_id-derived email/IP/phone spliced
+      // into the document), then redacted — the oracle checks the actual
+      // redaction behavior, not a no-op
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val salted = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example from "),
+        lit("10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7 or call "),
+        lit("+1 555-010-"), lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 4, "0"))
+      d.select(col("doc_id"), TextAnalysis.piiRedacted(salted).as("redacted"))
+    },
+    "text_repetition" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      d.select(Seq(col("doc_id")) ++
+        TextAnalysis.repetitionSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+    },
+    "text_chunk" -> { (s, dir) =>
+      Curation.chunk(Tables(s, dir, "documents"), window = 32, stride = 24)
+    },
+    "contamination" -> { (s, dir) =>
+      // train/test per the split_train_test hash; shared word-8-grams
+      val d = Tables(s, dir, "documents")
+      val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
+      Curation.contamination(
+        d.filter(bucket >= 90), d.filter(bucket < 80), n = 8)
+    },
+    "emb_quantize" -> { (s, dir) =>
+      // the int8 array serializes to CSV for the oracle hash — array
+      // columns don't order-compare portably across engines' dataframes
+      Embeddings.quantizeInt8(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"), array_join(col("q"), ",").as("q_str"))
     },
 
     // --- [EXT] dedup (documents) ----------------------------------------
@@ -455,6 +488,68 @@ object SparkEntry {
         |       GENERATE_SUBSCRIPTS(embedding, 1) AS dim1 FROM embeddings)
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
+    "text_pii_redact" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example from '
+        |   || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or call '
+        |   || '+1 555-010-' || LPAD(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS t
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        | REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM s""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS big,
+        |  CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS tri
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN len(toks) <= 0 THEN 0.0 ELSE
+        |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS dup_token_frac,
+        | CASE WHEN len(big) <= 0 THEN 0.0 ELSE
+        |  CAST(len(big) - len(list_distinct(big)) AS DOUBLE) / len(big) END AS dup_bigram_frac,
+        | CASE WHEN len(tri) <= 0 THEN 0.0 ELSE
+        |  CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri) END AS dup_trigram_frac
+        |FROM g""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks,
+        |       CASE WHEN len(toks) <= 32 THEN 1
+        |            ELSE CAST(CEIL(CAST(len(toks) - 32 AS DOUBLE) / 24) AS BIGINT) + 1 END AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        | array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        | CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_chunk_tokens
+        |FROM e""".stripMargin,
+    "contamination" ->
+      """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
+        |            regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+        |sh AS (SELECT DISTINCT doc_id, b, s FROM (
+        |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
+        |    i -> array_to_string(toks[i:i+7], ' '))) AS s
+        |  FROM d WHERE len(toks) >= 8))
+        |SELECT t.doc_id AS test_id, r.doc_id AS train_id, count(*) AS n_shared
+        |FROM (SELECT * FROM sh WHERE b >= 90) t
+        |JOIN (SELECT * FROM sh WHERE b < 80) r USING (s)
+        |GROUP BY 1, 2""".stripMargin,
+    "emb_quantize" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM c)
+        |SELECT vec_id, s AS scale,
+        | CASE WHEN s = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+        |      ELSE array_to_string(list_transform(v,
+        |        x -> CAST(FLOOR(x / s * 127 + 0.5) AS INT)), ',') END AS q_str
+        |FROM m""".stripMargin,
 
     "split_train_test" ->
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

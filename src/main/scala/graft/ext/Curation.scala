@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: document
+  * chunking and train/test contamination detection.
+  *
+  * Both are declarative plans over the whole corpus — no driver-side
+  * loops, shuffle keys are ids/8-byte hashes, so each scales by
+  * partitioning alone.
+  */
+object Curation {
+
+  /** Split each document into overlapping token-window chunks — the
+    * standard pre-tokenization shaping step for context-window-bounded
+    * training and for retrieval indexing.
+    *
+    * Chunk i covers tokens [i*stride, i*stride + window); the last chunk
+    * may be short; documents shorter than one window yield exactly one
+    * chunk. One narrow projection + explode: no shuffle at any scale, and
+    * the token array is built once per document (not per chunk).
+    *
+    * Output: (idCol, chunk_id int, chunk_text string, n_chunk_tokens int).
+    */
+  def chunk(docs: DataFrame, window: Int = 32, stride: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nTok = size(toks)
+    val nChunks = when(nTok <= window, lit(1L))
+      .otherwise(ceil((nTok - window).cast("double") / stride).cast("long") + 1L)
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0L), col("__nc") - 1L), i =>
+          struct(
+            i.cast("int").as("chunk_id"),
+            array_join(slice(col("__toks"), (i * stride + 1L).cast("int"), lit(window)), " ")
+              .as("chunk_text"),
+            size(slice(col("__toks"), (i * stride + 1L).cast("int"), lit(window)))
+              .as("n_chunk_tokens")))).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"), col("__c.n_chunk_tokens"))
+  }
+
+  /** Train/test contamination: for every document in the `test` frame,
+    * every `train` document sharing at least one word n-gram, with the
+    * count of distinct shared n-grams — the exact-overlap decontamination
+    * check (long-n-gram collision between evaluation data and training
+    * data).
+    *
+    * Shape at 100 TB: per-document DISTINCT shingle hashes (8-byte keys,
+    * one native-expression pass — document bodies never shuffle) feed a
+    * hash equi-join; with n >= 8 the document frequency of any one
+    * n-gram is tiny (boilerplate n-grams die out as n grows), so no key
+    * is hot. `maxDf > 0` additionally drops n-grams appearing in more
+    * than maxDf training docs — the standard boilerplate guard when a
+    * corpus does carry hot long n-grams; it only ever removes candidate
+    * evidence, never invents a false pair.
+    *
+    * Output: (test_id, train_id, n_shared long).
+    */
+  def contamination(test: DataFrame, train: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Long = 0L): DataFrame = {
+    def index(df: DataFrame, outId: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as(outId),
+        explode(graft.functions.texthash.shingle_hashes(col(textCol), n)).as("sh"))
+    val tIdx = index(test, "test_id")
+    val rIdx0 = index(train, "train_id")
+    val rIdx =
+      if (maxDf <= 0L) rIdx0
+      else {
+        val keep = rIdx0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("sh")
+        rIdx0.join(keep, "sh")
+      }
+    tIdx.join(rIdx, "sh")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

@@ -111,6 +111,45 @@ object TextAnalysis {
   def cleaned(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
+    * replaced with typed placeholders — the standard scrubbing pass
+    * before corpus release/training. Three chained regexp_replace calls
+    * (one codegen'd projection, no shuffle). Patterns stay inside the
+    * regex subset shared by Java and RE2 so the operator is
+    * oracle-checkable across engines. Order matters: emails first (their
+    * local parts contain digits), then IPs (dots, never matched by the
+    * phone pattern), then phones. */
+  def piiRedacted(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>")
+  }
+
+  /** Repetition quality signals (the Gopher-rules family): fraction of
+    * repeated tokens / bigrams / trigrams per document. High values flag
+    * degenerate boilerplate-heavy text for filtering. Single projection,
+    * no shuffle; each fraction is (count - distinct count) / count. */
+  def repetitionSignals(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    def grams(n: Int): Column =
+      if (n == 1) toks
+      else filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+        s => s.isNotNull)
+    def dupFrac(g: Column): Column = {
+      val nn = size(g)
+      when(nn <= 0, lit(0.0))
+        .otherwise((nn - size(array_distinct(g))).cast("double") / nn)
+    }
+    Seq(
+      "dup_token_frac" -> dupFrac(grams(1)),
+      "dup_bigram_frac" -> dupFrac(grams(2)),
+      "dup_trigram_frac" -> dupFrac(grams(3)))
+  }
+
   /** All per-document analysis columns in one projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("chunk: overlapping windows, short tail, single-chunk short doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than one window
+      (3L, null.asInstanceOf[String]),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Curation.chunk(docs, window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6,9 -> nc = ceil((10-4)/3)+1 = 3 -> starts 0,3,6
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq === Seq(4, 4, 4))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b c", 3)))
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L)) // null/blank dropped
+  }
+
+  test("chunk: stride not covering the tail still reaches the last token") {
+    val docs = Seq((1L, (1 to 11).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.chunk(docs, window = 4, stride = 4).collect()
+    // nc = ceil((11-4)/4)+1 = 3; last chunk = tokens 9..11 (short)
+    assert(out.length === 3)
+    val last = out.map(r => (r.getInt(1), r.getString(2))).maxBy(_._1)
+    assert(last._2 === "t9 t10 t11")
+  }
+
+  test("contamination finds planted n-gram overlap, exact count") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val train = Seq(
+      (1L, s"intro words $shared closing remarks"),
+      (2L, "completely unrelated text with nothing shared here at all ok")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, s"evaluation prompt $shared and an answer"),
+      (11L, "another clean evaluation row with no overlap present whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(test, train, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 1L, 1L))) // exactly the planted 8-gram
+  }
+
+  test("contamination maxDf cap drops boilerplate-driven candidates") {
+    val boiler = "this footer appears on every single page of the corpus"
+    val train = (1L to 20L).map(i => (i, s"doc $i body $boiler")).toDF("doc_id", "text")
+    val test = Seq((100L, s"test doc with $boiler inside")).toDF("doc_id", "text")
+    val uncapped = Curation.contamination(test, train, n = 8).count()
+    assert(uncapped === 20L) // boilerplate links the test doc to all 20
+    val capped = Curation.contamination(test, train, n = 8, maxDf = 5L).count()
+    assert(capped === 0L)
+  }
+
+  test("emb quantize: exact int8 values, zero-vector guard, scale") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(out(0)._2 === 1.0)
+    assert(out(0)._3 === Seq(64, -127, 32)) // floor(63.5+.5), floor(-126.5), floor(32.25)
+    assert(out(1)._2 === 0.0 && out(1)._3 === Seq(0, 0, 0))
+  }
+
+  test("l2Normalize produces unit vectors and keeps zeros") {
+    val emb = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.l2Normalize(emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(out(0)._2 === Seq(0.6, 0.8))
+    assert(out(1)._2 === Seq(0.0, 0.0))
+  }
+}

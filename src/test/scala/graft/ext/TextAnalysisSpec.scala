@@ -73,4 +73,31 @@ class TextAnalysisSpec extends SparkTestBase {
       .forall(df.columns.contains))
     assert(df.count() === 500)
   }
+  test("piiRedacted: emails, IPs, phones replaced; clean text untouched") {
+    import spark.implicits._
+    val got = Seq(
+      "mail bob.smith+x@corp.example.com now",
+      "server at 192.168.001.7 port 80",
+      "call +1 555-010-1234 today",
+      "three 1.2 dots or v1.2.3 are not an ip",
+      "plain text stays as is"
+    ).toDF("text").select(piiRedacted(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "server at <IP> port 80")
+    assert(got(2) === "call <PHONE> today")
+    assert(got(3) === "three 1.2 dots or v1.2.3 are not an ip")
+    assert(got(4) === "plain text stays as is")
+  }
+
+  test("repetitionSignals: duplicate token/bigram/trigram fractions") {
+    import spark.implicits._
+    val df = Seq("spam spam spam spam", "all words here differ now", "")
+      .toDF("text")
+    val out = df.select(repetitionSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(out(0).getDouble(0) === 0.75) // 4 tokens, 1 distinct
+    assert(out(0).getDouble(1) === 2.0 / 3) // 3 bigrams, 1 distinct
+    assert(out(1).getDouble(0) === 0.0 && out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(0) === 0.0) // empty text -> all zero
+  }
 }
