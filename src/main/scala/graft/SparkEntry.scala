@@ -314,6 +314,30 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Complete())
       s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
     },
+    "stream_sessions" -> { (s, dir) =>
+      // session_window sessionization through the streaming engine. Event
+      // times truncate to whole seconds on BOTH sides (the fixture is
+      // micros-precision; second-truncated gap arithmetic is the portable
+      // contract). session_window is end-exclusive: an event exactly
+      // `gap` after its predecessor opens a NEW session — the oracle's
+      // gaps-and-islands uses >= gap accordingly.
+      val batchSchema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts",
+          timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+      val agg = graft.streaming.StreamingOps.sessions(stream,
+        gap = "30 minutes", watermark = "2 hours")
+      val name = s"graft_stream_sessions_${streamRunSeq.incrementAndGet()}"
+      graft.streaming.StreamingOps.runToMemory(agg, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table(name).select(
+        col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start"),
+        unix_timestamp(col("session_end")).as("session_end"),
+        col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+    },
   )
 
   /** Memory-sink names must be fresh per invocation (bench warm-up + two
@@ -619,6 +643,23 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value", ts, event_id,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) >= 1800
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM g)
+        |SELECT user_id,
+        | MIN(sec) AS session_start,
+        | MAX(sec) + 1800 AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
     "events_user_running" ->
       """SELECT event_id, user_id,
         | CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,
