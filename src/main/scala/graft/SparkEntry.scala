@@ -166,6 +166,27 @@ object SparkEntry {
         Seq(TextAnalysis.langId(t).as("lang_pred"),
           TextAnalysis.fingerprint(t).as("fingerprint")): _*)
     },
+    "text_keyterms" -> { (s, dir) =>
+      // TF-IDF-style keyword extraction with integer-exact ranking: top-3
+      // terms per document by (term frequency desc, document frequency
+      // asc, term asc). Deliberately no float idf — the ordering IS the
+      // tf-idf ordering for fixed tf, and integer ranks are bit-portable
+      // across engines. Two shuffles (doc-term agg, vocab df agg); the
+      // vocab side scales sublinearly with the corpus, AQE free to
+      // broadcast it.
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val terms = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, "term")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    },
     "text_pii_redact" -> { (s, dir) =>
       // the fixture carries no PII, so PII-bearing text is synthesized
       // IDENTICALLY in both engines (doc_id-derived email/IP/phone spliced
@@ -512,6 +533,16 @@ object SparkEntry {
         |       GENERATE_SUBSCRIPTS(embedding, 1) AS dim1 FROM embeddings)
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
+    "text_keyterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
+        | FROM tf JOIN df USING (term)) WHERE rank <= 3""".stripMargin,
     "text_pii_redact" ->
       """WITH s AS (
         | SELECT doc_id,

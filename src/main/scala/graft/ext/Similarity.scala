@@ -99,8 +99,12 @@ object Similarity {
     val fitInput =
       (if (frac < 1.0) prepared.sample(withReplacement = false, frac, seed) else prepared)
         .cache()
+    // random init, not k-means||: the parallel init runs ~5 extra
+    // distributed passes to seed centroids, which dominates fit time for
+    // a coarse quantizer whose cells get exact re-ranking anyway
     val model =
-      try new KMeans().setK(cells).setSeed(seed).setMaxIter(10).fit(fitInput)
+      try new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
+        .setInitMode("random").fit(fitInput)
       finally fitInput.unpersist()
     val assigned = model.transform(prepared).withColumnRenamed("prediction", "cell")
       .select("id", "v", "cell")
