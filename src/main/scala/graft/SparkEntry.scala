@@ -286,6 +286,38 @@ object SparkEntry {
           size(col("content_features")).as("n_features"))
     },
 
+    "multimodal_decode" -> { (s, dir) =>
+      // REAL-codec round trip, oracle-checked: a 2x1 BMP and a 4-frame
+      // WAV are synthesized per doc from doc_id arithmetic, decoded with
+      // the actual BMP/WAV decoders (MediaCodecs), and DuckDB predicts
+      // every decoded stat from the same arithmetic without ever seeing
+      // a payload. Pixel means use 2 pixels so the mean is an exact
+      // half-integer; the square wave's RMS is exactly amp/32768 —
+      // bit-equal doubles on both sides.
+      import s.implicits._
+      val rows = Tables(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            def m(k: Long, mod: Long) = (((id % mod) * k) % mod).toInt
+            val rgb = Array[Byte](
+              m(1, 256).toByte, m(7, 256).toByte, m(13, 256).toByte,
+              m(3, 256).toByte, m(11, 256).toByte, m(17, 256).toByte)
+            val img = graft.ext.MediaCodecs.encodeBmp24(2, 1, rgb)
+            val amp = (m(1, 1000) + 1).toShort
+            val snd = graft.ext.MediaCodecs.encodeWav16(8000 + m(1, 100), 1,
+              Array[Short](amp, (-amp).toShort, amp, (-amp).toShort))
+            val im = graft.ext.MediaCodecs.decodeBmp(img).get
+            val au = graft.ext.MediaCodecs.decodeWav(snd).get
+            (id, im.width, im.height, im.meanR, im.meanG, im.meanB,
+              au.sampleRate, au.nFrames, au.rms, au.zeroCrossRate)
+          }
+        }
+        .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+          "sample_rate", "n_frames", "rms", "zcr")
+      rows
+    },
+
     // --- [EXT] similarity search (embeddings) ---------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
@@ -631,6 +663,18 @@ object SparkEntry {
         | CAST(FLOOR(OCTET_LENGTH(ENCODE(text)) / 256) AS BIGINT) AS len_bucket,
         | CAST(8 AS INT) AS n_features
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        | CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,
+        | CAST((doc_id % 256) + ((doc_id % 256) * 3) % 256 AS DOUBLE) / 2 AS mean_r,
+        | CAST(((doc_id % 256) * 7) % 256 + ((doc_id % 256) * 11) % 256 AS DOUBLE) / 2 AS mean_g,
+        | CAST(((doc_id % 256) * 13) % 256 + ((doc_id % 256) * 17) % 256 AS DOUBLE) / 2 AS mean_b,
+        | CAST(8000 + doc_id % 100 AS INT) AS sample_rate,
+        | CAST(4 AS BIGINT) AS n_frames,
+        | CAST(doc_id % 1000 + 1 AS DOUBLE) / 32768 AS rms,
+        | CAST(1.0 AS DOUBLE) AS zcr
+        |FROM documents""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -42,7 +42,38 @@ object Multimodal {
       ts_ms: Long,
       content: Array[Byte])
 
-  /** Deterministic stand-in for a real decoder: fold the payload into
+  /** Payload decode with REAL codecs where the format allows it
+    * (MediaCodecs: BMP 24-bit, WAV PCM-16 — both parseable with zero
+    * dependencies); anything else falls back to the deterministic stub.
+    * The leading feature is a format tag so downstream consumers can
+    * tell real decodes from fallback hashes. */
+  private[ext] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    def fill(vals: Seq[Double]): Array[Float] = {
+      vals.take(dim).zipWithIndex.foreach { case (v, i) => out(i) = v.toFloat }
+      out
+    }
+    MediaCodecs.sniff(bytes) match {
+      case "bmp" =>
+        MediaCodecs.decodeBmp(bytes) match {
+          case Some(m) => fill(Seq(1.0, m.width, m.height,
+            m.meanR / 255.0, m.meanG / 255.0, m.meanB / 255.0,
+            m.width.toDouble / math.max(m.height, 1)))
+          case None => fakeDecode(bytes, dim)
+        }
+      case "wav" =>
+        MediaCodecs.decodeWav(bytes) match {
+          case Some(a) => fill(Seq(2.0, a.sampleRate / 1000.0, a.channels,
+            a.nFrames, a.rms, a.zeroCrossRate,
+            a.nFrames.toDouble / math.max(a.sampleRate, 1)))
+          case None => fakeDecode(bytes, dim)
+        }
+      case _ => fakeDecode(bytes, dim)
+    }
+  }
+
+  /** Deterministic stand-in for a real decoder of formats that need
+    * codec libraries this build doesn't ship: fold the payload into
     * `dim` float features via a polynomial byte hash. REPLACE with a real
     * codec (JNI/ONNX/etc.) in production — signature and batch shape stay
     * the same. */
@@ -65,20 +96,29 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // real impl: decoder.decodeBatch(batch.map(_.content))
+        // a GPU/model decoder would consume `batch` whole; the per-item
+        // dispatch below uses real codecs for BMP/WAV, stub otherwise
         batch.map { m =>
           MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-            fakeDecode(m.content, dim))
+            decodeFeatures(m.content, dim))
         }
       }
     }
   }
 
-  /** Resize stub: metadata transform is real, pixel work is fake
-    * (content passes through; a real impl re-encodes). Narrow op. */
+  /** Resize: REAL nearest-neighbor pixel resampling + re-encode for BMP
+    * payloads (MediaCodecs.resizeBmp); other image formats update
+    * metadata only (their pixel codecs aren't in this build). Narrow op —
+    * payloads transform in place on their executors. */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
-    items.map(m => if (m.kind == "image") m.copy(width = w, height = h) else m)
+    items.map { m =>
+      if (m.kind != "image") m
+      else MediaCodecs.resizeBmp(m.content, w, h) match {
+        case Some(resized) => m.copy(width = w, height = h, content = resized)
+        case None => m.copy(width = w, height = h)
+      }
+    }
   }
 
   /** Frame sampling stub for video rows: emits `n` evenly-spaced frames
@@ -112,7 +152,7 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
-        val feats = if (bytes == null) null else fakeDecode(bytes, dim).toSeq
+        val feats = if (bytes == null) null else decodeFeatures(bytes, dim).toSeq
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ feats)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -1,0 +1,110 @@
+package graft.ext
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MediaCodecs against handcrafted payloads with exactly-known stats. */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  /** Minimal bottom-up 24-bit BMP from a row-major (top-down) RGB pixel
+    * grid. */
+  private def bmp(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val out = new Array[Byte](54 + rowSize * h)
+    val b = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte); b.put('M'.toByte)
+    b.putInt(2, out.length); b.putInt(10, 54)
+    b.putInt(14, 40); b.putInt(18, w); b.putInt(22, h)
+    b.putShort(26, 1.toShort); b.putShort(28, 24.toShort)
+    b.putInt(34, rowSize * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = pixels(y)(x)
+      val p = 54 + (h - 1 - y) * rowSize + x * 3 // bottom-up
+      out(p) = bl.toByte; out(p + 1) = g.toByte; out(p + 2) = r.toByte
+    }
+    out
+  }
+
+  /** Minimal PCM-16 mono WAV from raw samples. */
+  private def wav(samples: Array[Short], rate: Int = 8000, channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    val b = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(4, 36 + dataLen)
+    b.position(8); b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")); b.putInt(16, 16)
+    b.putShort(20, 1.toShort); b.putShort(22, channels.toShort)
+    b.putInt(24, rate); b.putInt(28, rate * channels * 2)
+    b.putShort(32, (channels * 2).toShort); b.putShort(34, 16.toShort)
+    b.position(36); b.put("data".getBytes("US-ASCII")); b.putInt(40, dataLen)
+    samples.zipWithIndex.foreach { case (s, i) => b.putShort(44 + i * 2, s) }
+    out
+  }
+
+  test("sniff recognizes bmp/wav/unknown") {
+    assert(MediaCodecs.sniff(bmp(Array(Array((1, 2, 3))))) === "bmp")
+    assert(MediaCodecs.sniff(wav(Array(1.toShort))) === "wav")
+    assert(MediaCodecs.sniff("plain text".getBytes) === "unknown")
+    assert(MediaCodecs.sniff(null) === "unknown")
+  }
+
+  test("decodeBmp: geometry and exact channel means with row padding") {
+    // 3x2: width 3 -> rowSize 12 (3 bytes padding per row)
+    val img = bmp(Array(
+      Array((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90))))
+    val m = MediaCodecs.decodeBmp(img).get
+    assert(m.width === 3 && m.height === 2)
+    assert(m.meanR === (255 + 0 + 0 + 10 + 40 + 70) / 6.0)
+    assert(m.meanG === (0 + 255 + 0 + 20 + 50 + 80) / 6.0)
+    assert(m.meanB === (0 + 0 + 255 + 30 + 60 + 90) / 6.0)
+  }
+
+  test("decodeBmp rejects junk and truncated payloads") {
+    assert(MediaCodecs.decodeBmp("BMnot really a bitmap".getBytes).isEmpty)
+    val img = bmp(Array(Array((1, 2, 3))))
+    assert(MediaCodecs.decodeBmp(img.take(30)).isEmpty)
+  }
+
+  test("resizeBmp: nearest-neighbor downscale picks exact source pixels") {
+    // 4x4 quadrant image -> 2x2 must pick one pixel per quadrant
+    val q = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9))
+    val px = Array.tabulate(4, 4) { (y, x) => q((y / 2) * 2 + (x / 2)) }
+    val resized = MediaCodecs.resizeBmp(bmp(px), 2, 2).get
+    val m = MediaCodecs.decodeBmp(resized).get
+    assert(m.width === 2 && m.height === 2)
+    assert(m.meanR === (255 + 0 + 0 + 9) / 4.0)
+    assert(m.meanG === (0 + 255 + 0 + 9) / 4.0)
+    assert(m.meanB === (0 + 0 + 255 + 9) / 4.0)
+  }
+
+  test("decodeWav: rate, frames, exact RMS and zero-crossing rate") {
+    // square wave +16384/-16384: |s|/32768 = 0.5 everywhere -> rms 0.5;
+    // alternating signs -> zcr 1.0
+    val sq = Array.tabulate(100)(i => (if (i % 2 == 0) 16384 else -16384).toShort)
+    val a = MediaCodecs.decodeWav(wav(sq, rate = 16000)).get
+    assert(a.sampleRate === 16000 && a.channels === 1 && a.nFrames === 100L)
+    assert(a.rms === 0.5)
+    assert(a.zeroCrossRate === 1.0)
+  }
+
+  test("decodeWav: silence has zero rms/zcr; junk rejected") {
+    val a = MediaCodecs.decodeWav(wav(Array.fill(10)(0.toShort))).get
+    assert(a.rms === 0.0 && a.zeroCrossRate === 0.0)
+    assert(MediaCodecs.decodeWav("RIFFxxxxWAVEbroken".getBytes).isEmpty)
+  }
+
+  test("Multimodal.decodeFeatures dispatches: tagged real features vs stub") {
+    val img = bmp(Array(Array((100, 150, 200))))
+    val fImg = Multimodal.decodeFeatures(img, 8)
+    assert(fImg(0) === 1.0f && fImg(1) === 1.0f && fImg(2) === 1.0f) // tag, w, h
+    assert(fImg(3) === (100 / 255.0).toFloat)
+    val snd = wav(Array.fill(8)(1000.toShort), rate = 44100)
+    val fSnd = Multimodal.decodeFeatures(snd, 8)
+    assert(fSnd(0) === 2.0f && fSnd(1) === 44.1f)
+    val other = Multimodal.decodeFeatures("some text".getBytes, 8)
+    assert(other(0) !== 1.0f) // stub path, not a format tag
+  }
+}
