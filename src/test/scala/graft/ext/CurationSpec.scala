@@ -59,6 +59,51 @@ class CurationSpec extends SparkTestBase {
     assert(capped === 0L)
   }
 
+  test("chunk invariant: stride-aligned prefixes reassemble every document exactly") {
+    // pseudo-random docs (fixed seed); dropping each chunk's overlap tail
+    // (keeping the first `stride` tokens, all of the last chunk) must
+    // reconstruct the original token stream for any window/stride combo
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      (id, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((w, st) <- Seq((8, 8), (8, 5), (5, 2), (1, 1))) {
+      val chunks = Curation.chunk(docs, window = w, stride = st)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).map { case (id, cs) =>
+          val sorted = cs.sortBy(_._2)
+          id -> sorted.zipWithIndex.map { case ((_, _, txt), i) =>
+            val toks = txt.split(" ").toSeq
+            if (i == sorted.length - 1) toks else toks.take(st)
+          }.flatten.mkString(" ")
+        }
+      val expected = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      expected.foreach { case (id, txt) =>
+        assert(chunks(id) === txt.trim.split("\\s+").mkString(" "),
+          s"doc $id not reassembled for window=$w stride=$st")
+      }
+    }
+  }
+
+  test("quantize invariant: dequantization error bounded by half a step") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 50L).map(id =>
+      (id, Array.fill(16)((rnd.nextFloat() - 0.5f) * 10f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, q) = out(id)
+      v.zip(q).foreach { case (orig, qi) =>
+        assert(qi >= -127 && qi <= 127)
+        val deq = qi.toDouble * scale / 127.0
+        assert(math.abs(deq - orig) <= scale / 127.0 / 2 + 1e-9,
+          s"vec $id: $orig -> $qi -> $deq exceeds half-step")
+      }
+    }
+  }
+
   test("emb quantize: exact int8 values, zero-vector guard, scale") {
     val emb = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
