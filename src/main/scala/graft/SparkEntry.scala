@@ -127,6 +127,8 @@ object SparkEntry {
     },
 
     // --- [EXT] text analysis (documents) --------------------------------
+    "q_window_range_frame" -> ((s: SparkSession, dir: String) =>
+      Relational.trailingRevenuePerCustomer(s, dir)),
     "q_pivot" -> (Relational.orderPivot _),
     "q_collect_set" -> (Relational.statusSetPerFlag _),
     "q_anti_join" -> (Relational.customersWithoutOrders _),
@@ -366,6 +368,25 @@ object SparkEntry {
       graft.streaming.StreamingOps.runToMemory(agg, name,
         org.apache.spark.sql.streaming.OutputMode.Complete())
       s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
+    },
+    "stream_user_totals" -> { (s, dir) =>
+      // arbitrary stateful processing (mapGroupsWithState) driven
+      // end-to-end: per-user count/min/max — deliberately only
+      // order-independent accumulators, so the emitted state is
+      // bit-reproducible. The single-file fixture replays as ONE
+      // microbatch, so update mode emits each user exactly once.
+      import s.implicits._
+      val batchSchema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.StreamingOps.Event]
+      val out = graft.streaming.StreamingOps.userStats(stream).toDF()
+      val name = s"graft_stream_user_totals_${streamRunSeq.incrementAndGet()}"
+      graft.streaming.StreamingOps.runToMemory(out, name,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      s.table(name)
     },
     "stream_sessions" -> { (s, dir) =>
       // session_window sessionization through the streaming engine. Event
@@ -712,12 +733,25 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_sec,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trailing_30d_total,
+        | COUNT(*) OVER w AS trailing_30d_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
         | event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | MIN("value") AS min_value, MAX("value") AS max_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "stream_sessions" ->
       """WITH g AS (
         | SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value", ts, event_id,

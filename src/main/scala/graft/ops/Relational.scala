@@ -97,6 +97,25 @@ object Relational {
       .filter(col("rk") <= k)
   }
 
+  /** RANGE-frame window: per customer, total order value within the
+    * trailing 30 days of each order — a moving aggregate keyed by VALUE
+    * distance (rangeBetween), not row count. One shuffle on the
+    * partition key; DECIMAL accumulation keeps the running sums
+    * order-independent. */
+  def trailingRevenuePerCustomer(spark: SparkSession, dir: String,
+      windowSeconds: Long = 30L * 86400): DataFrame = {
+    val sec = unix_timestamp(col("o_orderdate"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_sec"))
+      .rangeBetween(-windowSeconds, 0)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), sec.as("o_sec"),
+        col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_sec"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+          .cast("double").as("trailing_30d_total"),
+        count(lit(1)).over(w).as("trailing_30d_orders"))
+  }
+
   /** Set operation: high-balance customers who also placed a big order
     * (INTERSECT distinct semantics). */
   def richActiveCustomers(spark: SparkSession, dir: String): DataFrame = {

@@ -19,6 +19,9 @@ object StreamingOps {
 
   final case class UserCount(user_id: Long, n_events: Long, sum_value: Double)
 
+  final case class UserStats(user_id: Long, n_events: Long,
+      min_value: Double, max_value: Double)
+
   /** Tumbling-window counts/sums per event type with a late-data
     * watermark. Append-mode compatible (emits finalized windows). */
   def tumbling(events: DataFrame, windowLen: String = "1 hour",
@@ -77,6 +80,33 @@ object StreamingOps {
           var s = prev.sum_value
           rows.foreach { e => n += 1; s += e.value }
           val next = UserCount(userId, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Stateful per-user stats via mapGroupsWithState using ONLY
+    * order-independent accumulators (count/min/max): the iteration order
+    * of rows within a group is not deterministic, so a float sum here
+    * would not be reproducible — min/max/count are, bit-exactly. This is
+    * the oracle-checkable face of arbitrary stateful processing. */
+  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(
+            UserStats(userId, 0L, Double.PositiveInfinity, Double.NegativeInfinity))
+          var n = prev.n_events
+          var mn = prev.min_value
+          var mx = prev.max_value
+          rows.foreach { e =>
+            n += 1
+            if (e.value < mn) mn = e.value
+            if (e.value > mx) mx = e.value
+          }
+          val next = UserStats(userId, n, mn, mx)
           state.update(next)
           next
       }
