@@ -443,13 +443,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_revenue_topk" ->
       """SELECT o_orderkey,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
@@ -458,7 +458,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q5_revenue_by_nation" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -537,7 +537,7 @@ object SparkEntry {
         | CAST(YEAR(o_orderdate) AS INT) AS order_year,
         | CAST(MONTH(o_orderdate) AS INT) AS order_month,
         | CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
-        | ROUND(o_totalprice / 1000.0, 3) AS kprice,
+        | CAST(FLOOR((CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 50) / 100) AS DOUBLE) / 1000 AS kprice,
         | CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
         | CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
         | o_orderkey % 32 AS bucket
@@ -756,7 +756,7 @@ object SparkEntry {
       """WITH g AS (
         | SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value", ts, event_id,
         |  CASE WHEN LAG(ts) OVER w IS NULL
-        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) >= 1800
+        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
         |   THEN 1 ELSE 0 END AS new_session
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (

@@ -20,6 +20,17 @@ object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
 
+  /** Decimal-sum -> double with a scale-4 quantization in between.
+    * Why: a decimal(38,12) PRODUCT sum converts to double differently
+    * across engines once unscaled_value exceeds 2^53 (DuckDB divides two
+    * doubles, Spark rounds the BigDecimal directly — they can differ in
+    * the last ulp; observed at sf0.1). The inputs here carry <= 2
+    * decimals, so their products carry <= 4 — the scale-4 cast is
+    * LOSSLESS, and unscaled*1e4 stays under 2^53 for any realistic SF,
+    * making the final double conversion exact in every engine. */
+  private def sumToDouble(c: org.apache.spark.sql.Column) =
+    c.cast("decimal(38,4)").cast("double")
+
   /** TPC-H Q1-shaped pricing summary: one scan, one shuffle on the tiny
     * (flag, status) grouping key with map-side partial aggregation. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -29,8 +40,8 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        sumToDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-shaped top-10 revenue orders. No broadcast hints: orders and
@@ -53,8 +64,8 @@ object Relational {
       .join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumToDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
@@ -83,8 +94,8 @@ object Relational {
       .join(customer, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(sumToDouble(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+        .as("revenue"))
   }
 
   /** Window functions: each customer's top-3 orders by price (dense
@@ -222,7 +233,14 @@ object Relational {
       year(col("o_orderdate")).as("order_year"),
       month(col("o_orderdate")).as("order_month"),
       datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"),
-      round(col("o_totalprice") / 1000.0, 3).as("kprice"),
+      // thousands-price rounded to 3dp via integer arithmetic: rounding
+      // the DOUBLE o_totalprice/1000 straddles .0005 boundaries whose
+      // half-up/half-even resolution differs across engines (observed at
+      // sf0.1). cents is an exact integer (2dp input), and
+      // floor((cents+50)/100)/1000 is the half-up 3dp result computed
+      // identically everywhere.
+      (floor((round(col("o_totalprice") * 100, 0).cast("long") + 50) / 100.0)
+        .cast("double") / 1000).as("kprice"),
       concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
       length(col("o_orderpriority")).as("prio_len"),
       pmod(col("o_orderkey"), lit(32)).as("bucket"))
