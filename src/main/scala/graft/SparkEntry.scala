@@ -392,9 +392,10 @@ object SparkEntry {
       // session_window sessionization through the streaming engine. Event
       // times truncate to whole seconds on BOTH sides (the fixture is
       // micros-precision; second-truncated gap arithmetic is the portable
-      // contract). session_window is end-exclusive: an event exactly
-      // `gap` after its predecessor opens a NEW session — the oracle's
-      // gaps-and-islands uses >= gap accordingly.
+      // contract). session_window MERGES an event arriving exactly `gap`
+      // after its predecessor (end-inclusive merge — verified empirically
+      // at sf0.1), so the oracle's gaps-and-islands opens a new session
+      // only when the difference EXCEEDS the gap (`> 1800`).
       val batchSchema = Tables(s, dir, "events").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

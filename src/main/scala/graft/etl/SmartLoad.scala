@@ -54,7 +54,13 @@ object SmartLoad {
     import org.apache.spark.sql.types.StructType
     val df = spark.read.option("multiLine", true).json(path)
     val fields = df.schema.fields
-    val allStructs = fields.nonEmpty && fields.forall(_.dataType.isInstanceOf[StructType])
+    // column-dict shape = every column is an object AND the document is a
+    // single JSON object (one parsed row). The row-count guard keeps
+    // array-of-records files whose cells happen to be objects
+    // ([{"a":{"x":1}}, ...]) on the records path instead of garbling
+    // them through the reshape.
+    val allStructs = fields.nonEmpty && fields.forall(_.dataType.isInstanceOf[StructType]) &&
+      df.limit(2).count() == 1
     if (!allStructs) df
     else {
       import org.apache.spark.sql.types._
@@ -69,7 +75,8 @@ object SmartLoad {
       val colType = fields.map(f => f.name -> widest(f.dataType.asInstanceOf[StructType])).toMap
       val labels = fields.flatMap(_.dataType.asInstanceOf[StructType].fieldNames).distinct
       val ordered =
-        if (labels.forall(_.matches("-?\\d+"))) labels.sortBy(_.toLong)
+        if (labels.forall(_.matches("-?\\d+")))
+          labels.sortBy(l => BigInt(l)) // BigInt: labels can exceed Long range
         else labels.sorted
       val rows = ordered.map { l =>
         struct(fields.map { f =>

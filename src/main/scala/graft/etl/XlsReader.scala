@@ -58,6 +58,14 @@ object XlsReader {
     val buf = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
     var sst = Vector.empty[String]
     var firstSheetPos = -1
+    // BOF version gate: this reader speaks BIFF8 string layouts only.
+    // A BIFF5/BIFF7 workbook (Excel 5.0/95, stream named "Book", byte
+    // strings without option flags) must fail loud, not parse garbled.
+    if (wb.length >= 8 && (buf.getShort(0) & 0xFFFF) == BOF) {
+      val vers = buf.getShort(4) & 0xFFFF
+      if (vers != 0x0600) throw new IllegalArgumentException(
+        f"unsupported BIFF version 0x$vers%04X (only BIFF8 / Excel 97+ is supported)")
+    }
     // globals substream: BOF .. EOF
     var pos = 0
     var done = false
@@ -120,9 +128,13 @@ object XlsReader {
       pos = b + len
     }
 
-    cells.keys.map(_._1).toVector.sorted.map { r =>
-      cells.collect { case ((`r`, _), c) => c }.toVector.sortBy(_.colIdx)
-    }.filter(_.nonEmpty)
+    // single grouping pass (not a per-row scan of the whole map — that
+    // would be O(rows × cells) on a 65k-row sheet)
+    cells.toVector
+      .groupBy { case ((row, _), _) => row }
+      .toVector.sortBy(_._1)
+      .map { case (_, rowCells) => rowCells.map(_._2).sortBy(_.colIdx) }
+      .filter(_.nonEmpty)
   }
 
   /** SST record: cstTotal(4) cstUnique(4) then XLUnicodeRichExtendedString*.
@@ -245,6 +257,9 @@ object XlsReader {
         val secs = chain(start)
         val out = new Array[Byte](secs.length * secSize)
         secs.zipWithIndex.foreach { case (s, i) =>
+          if (secOff(s) + secSize > bytes.length)
+            throw new IllegalArgumentException(
+              s"truncated compound file: sector $s extends past EOF (${bytes.length} bytes)")
           System.arraycopy(bytes, secOff(s), out, i * secSize, secSize)
         }
         out

@@ -20,17 +20,22 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** All word n-grams of a token array, in order, duplicates kept;
+    * documents shorter than n yield an empty array. The single n-gram
+    * window expression shared by shingles (distinct) and
+    * repetitionSignals (counted). */
+  private def ngrams(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => s.isNotNull)
+
   /** Distinct word 3-gram shingles of the token stream — the unit of
     * near-duplicate comparison (order-sensitive where raw word sets
     * saturate on small vocabularies). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        s => s.isNotNull))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(ngrams(tokens(text), n))
 
   /** Quality-signal columns: lengths, ratios of punctuation / digits /
     * uppercase / whitespace, mean token length, stopword ratio. All are
@@ -133,12 +138,7 @@ object TextAnalysis {
     * no shuffle; each fraction is (count - distinct count) / count. */
   def repetitionSignals(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
-    def grams(n: Int): Column =
-      if (n == 1) toks
-      else filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(size(toks) >= n, concat_ws(" ", slice(toks, i + 1, lit(n))))),
-        s => s.isNotNull)
+    def grams(n: Int): Column = ngrams(toks, n)
     def dupFrac(g: Column): Column = {
       val nn = size(g)
       when(nn <= 0, lit(0.0))

@@ -82,6 +82,22 @@ class SmartLoadSpec extends SparkTestBase {
     assert(rows(0).getAs[String]("tag") === "a" && rows(1).isNullAt(rows(1).fieldIndex("tag")))
   }
 
+  test("json array-of-records with object-valued cells stays on the records path") {
+    // every column infers as struct, but 2 parsed rows => NOT column-dict
+    val p = write("rec.json",
+      """[{"a": {"x": 1}, "b": {"y": "u"}}, {"a": {"x": 2}, "b": {"y": "v"}}]""")
+    val df = SmartLoad.load(spark, p)
+    assert(df.count() === 2)
+    assert(df.select("a.x").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("json column-dict with beyond-Long numeric labels falls back safely") {
+    val p = write("big.json",
+      """{"v": {"98765432109876543210": 1, "5": 2}}""")
+    val df = SmartLoad.load(spark, p)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("sniffer ignores delimiters inside quoted fields") {
     // every data row has commas INSIDE quotes; the real delimiter is ';'
     val p = write("q.log",

@@ -136,6 +136,34 @@ class XlsReaderSpec extends SparkTestBase {
     assert(rows(1).getBoolean(2) === false)
   }
 
+  test("BIFF5 workbook stream fails loudly, not garbled") {
+    // same CFB container, but the workbook's BOF declares version 0x0500
+    val p = java.nio.file.Paths.get(writeXls())
+    val bytes = Files.readAllBytes(p)
+    // the workbook stream starts at the mini stream (sector 3 = offset
+    // 2048); BOF vers field is 4 bytes into the record
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    assert((bb.getShort(2048) & 0xFFFF) === 0x0809) // sanity: BOF id
+    bb.putShort(2048 + 4, 0x0500.toShort)
+    val p5 = p.resolveSibling("book5.xls")
+    Files.write(p5, bytes)
+    val e = intercept[IllegalArgumentException] {
+      SmartLoad.load(spark, p5.toString)
+    }
+    assert(e.getMessage.contains("BIFF"))
+  }
+
+  test("truncated compound file fails with a clear error") {
+    val p = java.nio.file.Paths.get(writeXls())
+    val bytes = Files.readAllBytes(p)
+    val pT = p.resolveSibling("trunc.xls")
+    Files.write(pT, bytes.take(bytes.length - 300)) // cut into the mini stream
+    val e = intercept[IllegalArgumentException] {
+      SmartLoad.load(spark, pT.toString)
+    }
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("Workbook"))
+  }
+
   test("non-OLE2 bytes fail loudly") {
     val p = Files.createTempDirectory("xls").resolve("junk.xls")
     Files.write(p, ("x" * 600).getBytes)
