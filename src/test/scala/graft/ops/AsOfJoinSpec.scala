@@ -31,6 +31,41 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.getAs[String]("v_asof") === "second")
   }
 
+  test("randomized: agrees with a brute-force reference, NULL picks included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random left/right rows over few keys + coarse timestamps to force
+    // collisions, with ~30% NULL pick values — the case a fixture oracle
+    // cannot cover (the advisor's stale-carry scenario)
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 10, i.toLong)
+    }
+    val right = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 10, i.toLong,
+        if (rnd.nextInt(10) < 3) null else s"p$i",
+        if (rnd.nextInt(10) < 3) null else s"q$i")
+    }
+    val leftDf = left.toDF("k", "ts", "lid")
+    val rightDf = right.toDF("k", "ts", "rid", "pa", "pb")
+    val got = AsOfJoin.backward(leftDf, rightDf, keys = Seq("k"), tsCol = "ts",
+      pick = Seq("pa", "pb"), tiebreakCol = Some("rid")).collect()
+      .map(r => r.getAs[Long]("lid") ->
+        ((Option(r.getAs[String]("pa_asof")), Option(r.getAs[String]("pb_asof")))))
+      .toMap
+    // brute force: per left row, the matched right row is max (ts, rid)
+    // among right rows with same key and ts <= left ts; BOTH picks come
+    // from that single row (nulls included)
+    val expected = left.map { case (k, ts, lid) =>
+      val m = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption
+      lid -> ((m.flatMap(r => Option(r._4)), m.flatMap(r => Option(r._5))))
+    }.toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (lid, exp) =>
+      assert(got(lid) === exp, s"left row $lid")
+    }
+  }
+
   test("matched row's NULL fields stay NULL — no stale carry from older rows") {
     import spark.implicits._
     val left = Seq((1L, 200L, "l")).toDF("k", "ts", "tag")

@@ -28,6 +28,28 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Seq("iA", "iB"))
   }
 
+  test("randomized: agrees with a brute-force cross-filter reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val points = (1 to 400).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val intervals = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(300).toLong, i.toLong)
+    }
+    val got = RangeJoin.pointInInterval(
+      points.toDF("k", "ts", "pid"), intervals.toDF("k", "lo", "hi", "iid"),
+      Seq("k"), "ts", "lo", "hi", bucketWidth = 64L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      (pk, ts, pid) <- points
+      (ik, lo, hi, iid) <- intervals
+      if pk == ik && ts >= lo && ts <= hi
+    } yield (pid, iid)).sorted
+    assert(got === expected)
+  }
+
   test("wide intervals with tiny buckets still dedup-free") {
     import spark.implicits._
     val points = Seq((1L, 5000L, "p")).toDF("k", "ts", "tag")
