@@ -173,18 +173,20 @@ object SparkEntry {
       // terms per document by (term frequency desc, document frequency
       // asc, term asc). Deliberately no float idf — the ordering IS the
       // tf-idf ordering for fixed tf, and integer ranks are bit-portable
-      // across engines. Two shuffles (doc-term agg, vocab df agg); the
-      // vocab side scales sublinearly with the corpus, AQE free to
-      // broadcast it.
+      // across engines. df comes from a window over the tf frame (NOT a
+      // second aggregation + self-join — the plan audit showed that
+      // computes the doc-term aggregation twice): one scan, three
+      // keyed exchanges, and Spark's WindowGroupLimit prunes to top-3
+      // per doc before the final rank window.
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val terms = d.select(col("doc_id"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
         .filter(length(col("term")) > 0)
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      tf.join(dfreq, "term")
+      tf.withColumn("df", count(lit(1)).over(wTerm))
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
