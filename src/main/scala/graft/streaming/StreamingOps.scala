@@ -130,4 +130,21 @@ object StreamingOps {
     val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()
   }
+
+  /** Durable sink: drain all currently-available input into a parquet
+    * directory, exactly-once. The checkpoint carries source offsets +
+    * sink commit log, so a restart with the same checkpoint reprocesses
+    * NOTHING (crash-then-rerun yields no duplicates) and a later run
+    * picks up only new files — the production batch-drain shape
+    * (Trigger.AvailableNow) for incremental ingestion pipelines. Append
+    * mode: aggregations must be watermarked so only closed state emits. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
 }
