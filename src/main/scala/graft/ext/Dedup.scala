@@ -224,6 +224,55 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** Connected components over a near-duplicate PAIR graph — the step
+    * that turns pairwise matches into dedup CLUSTERS (transitive
+    * closure: a~b, b~c => {a,b,c} share one cluster, canonical id = min
+    * member).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' labels — one join + one
+    * aggregation per round, all data distributed; the driver loop
+    * carries CONTROL only (a convergence scalar), never rows. Labels
+    * decrease monotonically, so the decimal-summed label total is a
+    * correct, join-free convergence test. Converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (dup groups, not
+    * social graphs), so a handful of rounds suffices; for web-scale
+    * diameters swap in large-star/small-star with the same per-round
+    * plan shape. `localCheckpoint` materializes each round and cuts the
+    * growing lineage (on a cluster, prefer reliable `checkpoint`).
+    *
+    * Output: (doc_id, cluster_id) for every vertex in the pair graph.
+    */
+  def components(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    def labelTotal(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevTotal = labelTotal(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val total = labelTotal(labels)
+      converged = total.compareTo(prevTotal) == 0
+      prevTotal = total
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Row-number variant of exact dedup that keeps full rows (first writer
     * wins by id) — the shape to use when the surviving row itself is the
     * output. Partitions by fingerprint, so the window never sees skew

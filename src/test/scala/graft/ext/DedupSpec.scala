@@ -82,6 +82,41 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head._3 === 1.0)
   }
 
+  test("components: random pair graph matches a BFS reference; path graph converges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // random sparse graph + a guaranteed long path (worst-case diameter)
+    val randomPairs = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val path = (100L until 120L).map(i => (i, i + 1)) // diameter 20 chain
+    val pairs = (randomPairs ++ path).toDF("a_id", "b_id")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // BFS reference
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    (randomPairs ++ path).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { v =>
+      if (!expected.contains(v)) {
+        val seen = scala.collection.mutable.Set(v)
+        val queue = scala.collection.mutable.Queue(v)
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          adj(u).foreach(w => if (seen.add(w)) queue.enqueue(w))
+        }
+        val label = seen.min
+        seen.foreach(w => expected(w) = label)
+      }
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (v, l) => assert(got(v) === l, s"vertex $v") }
+    // the chain must collapse to its min id despite diameter > 1 round
+    assert((100L to 120L).forall(v => got(v) == expected(v)))
+  }
+
   test("determinism: same input, same signatures across runs") {
     val r1 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
     val r2 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
