@@ -67,6 +67,26 @@ object SparkEntry {
         Map("customer" -> Tables(s, dir, "customer"))).output
     },
 
+    "etl_upsert" -> { (s, dir) =>
+      // MERGE semantics: a deterministic delta derived from orders —
+      // every 97th key gets a doubled total + status 'U' (update), and
+      // shifted new keys are inserted; the oracle derives the identical
+      // delta and full-outer-merges in SQL
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changed = base.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val inserted = base.filter(pmod(col("o_orderkey"), lit(151L)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      Merge.upsert(base, changed.unionByName(inserted), keys = Seq("o_orderkey"))
+    },
+    "etl_profile" -> { (s, dir) =>
+      Merge.profile(Tables(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+    },
+
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q3_revenue_topk" -> (Relational.revenueTopOrders _),
@@ -448,6 +468,35 @@ object SparkEntry {
         | (SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment FROM customer) m
         | ON CAST(o_custkey AS VARCHAR) = m.k""".stripMargin,
 
+    "etl_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |delta AS (
+        | SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        | FROM base WHERE o_orderkey % 97 = 0
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, 'N', o_totalprice
+        | FROM base WHERE o_orderkey % 151 = 0)
+        |SELECT
+        | COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        | CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |FROM base t FULL OUTER JOIN delta u ON t.o_orderkey = u.o_orderkey""".stripMargin,
+    "etl_profile" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        | CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*),
+        | CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT o_totalprice) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*),
+        | CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | COUNT(DISTINCT o_orderdate) FROM orders""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

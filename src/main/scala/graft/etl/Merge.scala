@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE (upsert) and data profiling — the load-side staples an
+  * ETL engine needs that OSS Spark only ships inside lakehouse table
+  * formats.
+  */
+object Merge {
+
+  /** SQL-MERGE semantics over plain DataFrames: rows whose key appears
+    * in `updates` are REPLACED WHOLE (an explicit NULL in an update row
+    * overwrites, exactly like MERGE ... UPDATE SET *), rows only in
+    * `target` survive unchanged, rows only in `updates` are inserted.
+    *
+    * One full-outer shuffle join on the key — the minimal possible cost
+    * for an unpartitioned upsert. At scale, point the same call at
+    * bucketed/co-partitioned tables and the shuffle disappears (see
+    * Sinks bucketing); Delta/Iceberg-style deletion vectors are a
+    * storage-layer concern, deliberately out of scope.
+    *
+    * Requires both frames to share the schema (same columns). */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(target.columns.sameElements(updates.columns),
+      s"schema mismatch: ${target.columns.toSeq} vs ${updates.columns.toSeq}")
+    val t = target.as("t")
+    val u = updates.as("u")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    // a non-null key on the update side marks "row came from updates";
+    // keys are non-null by definition of an upsert key
+    val fromUpdates = col(s"u.${keys.head}").isNotNull
+    t.join(u, cond, "full_outer")
+      .select(target.columns.map { c =>
+        when(fromUpdates, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+      }.toSeq: _*)
+  }
+
+  /** One-pass column profile: per column, null count and exact distinct
+    * count, plus the row total — the expectations/data-quality summary
+    * run before a load is accepted. A single aggregation (Spark expands
+    * the multi-distinct internally); no per-column jobs, no driver
+    * loops.
+    *
+    * Output: (col_name, n_rows, n_nulls, n_distinct) one row per column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        cols.map(c => countDistinct(col(c)).as(s"__dist_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"))
+    }: _*)).as("__p")).select("__p.*")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.etl
+
+import graft.SparkTestBase
+
+class MergeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("upsert: update replaces whole row (NULLs overwrite), insert appends") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq(
+      (2L, null.asInstanceOf[String], 99.0), // whole-row replace: s -> NULL
+      (4L, "d", 40.0) // new key
+    ).toDF("k", "s", "v")
+    val got = Merge.upsert(target, updates, Seq("k")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 99.0), // SQL MERGE semantics: explicit NULL wins
+      (3L, Some("c"), 30.0),
+      (4L, Some("d"), 40.0)))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val t = Seq((1L, "a")).toDF("k", "s")
+    val u = Seq((1L, 2.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Merge.upsert(t, u, Seq("k"))
+    }
+  }
+
+  test("profile: nulls, distincts, and totals in one pass") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")), (None, Some("x"))
+    ).toDF("a", "b")
+    val got = Merge.profile(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", 4L, 1L, 2L), // distinct excludes null
+      ("b", 4L, 1L, 2L)))
+  }
+}
