@@ -86,6 +86,35 @@ object SparkEntry {
       Merge.profile(Tables(s, dir, "orders"),
         Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
     },
+    "etl_scd2" -> { (s, dir) =>
+      // type-2 history merge over a deterministic scenario: every 31st
+      // customer already has a closed history row; updates at t=100
+      // change every 13th customer's segment, send no-op copies for
+      // every 7th, and insert shifted new keys for every 41st — the
+      // oracle hand-derives the exact same history table
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val open = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val closedHist = cust.filter(pmod(col("c_custkey"), lit(31L)) === 0)
+        .select(col("c_custkey"), lit("OLD").as("c_mktsegment"), col("c_acctbal"),
+          lit(-100L).as("valid_from"), lit(0L).as("valid_to"))
+      val updates =
+        cust.filter(pmod(col("c_custkey"), lit(13L)) === 0)
+          .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"), col("c_acctbal"),
+            lit(100L).as("valid_from"))
+        .unionByName(cust
+          .filter(pmod(col("c_custkey"), lit(7L)) === 0 &&
+            pmod(col("c_custkey"), lit(13L)) =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            lit(100L).as("valid_from")))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(41L)) === 0)
+          .select((col("c_custkey") + 5000000L).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), col("c_acctbal"),
+            lit(100L).as("valid_from")))
+      Merge.scd2(open.unionByName(closedHist), updates,
+        keys = Seq("c_custkey"), trackedCols = Seq("c_mktsegment", "c_acctbal"))
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -497,6 +526,23 @@ object SparkEntry {
         |SELECT 'o_orderdate', COUNT(*),
         | CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         | COUNT(DISTINCT o_orderdate) FROM orders""".stripMargin,
+    "etl_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+        |SELECT c_custkey, 'OLD' AS c_mktsegment, c_acctbal,
+        | CAST(-100 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to
+        |FROM cust WHERE c_custkey % 31 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal, CAST(0 AS BIGINT), CAST(100 AS BIGINT)
+        |FROM cust WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED', c_acctbal, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM cust WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM cust WHERE c_custkey % 13 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 5000000, 'NEW', c_acctbal, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM cust WHERE c_custkey % 41 = 0""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

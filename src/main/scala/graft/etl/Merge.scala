@@ -36,6 +36,42 @@ object Merge {
       }.toSeq: _*)
   }
 
+  /** Type-2 slowly-changing-dimension merge: history rows carry
+    * [`validFrom`, `validTo`) intervals, the open row per key has
+    * `validTo` NULL. An update whose tracked attributes differ from the
+    * key's open row CLOSES it (validTo = update's validFrom) and opens a
+    * new row; identical updates are no-ops; unknown keys insert a new
+    * open row. Closed history is untouched.
+    *
+    * `updates` schema: keys ++ trackedCols ++ validFrom. One full-outer
+    * shuffle join on the key against the OPEN slice only (closed history
+    * unions back untouched — at scale that's the overwhelming majority
+    * of rows, never shuffled). Null-safe comparison (`<=>`) so NULL
+    * attribute transitions count as changes. */
+  def scd2(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      trackedCols: Seq[String], validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val outCols = keys ++ trackedCols ++ Seq(validFrom, validTo)
+    val closed = current.filter(col(validTo).isNotNull).select(outCols.map(col): _*)
+    val open = current.filter(col(validTo).isNull)
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val j = open.as("t").join(updates.as("u"), cond, "full_outer")
+    val matched = col(s"u.${keys.head}").isNotNull && col(s"t.${keys.head}").isNotNull
+    val changed = matched &&
+      trackedCols.map(c => !(col(s"t.$c") <=> col(s"u.$c"))).reduce(_ || _)
+    val nullTo = lit(null).cast(updates.schema(validFrom).dataType)
+    val closedNow = j.filter(changed).select(
+      (keys ++ trackedCols).map(c => col(s"t.$c").as(c)) ++
+        Seq(col(s"t.$validFrom").as(validFrom), col(s"u.$validFrom").as(validTo)): _*)
+    val stillOpen = j.filter(!changed && col(s"t.${keys.head}").isNotNull).select(
+      (keys ++ trackedCols).map(c => col(s"t.$c").as(c)) ++
+        Seq(col(s"t.$validFrom").as(validFrom), nullTo.as(validTo)): _*)
+    val newOpen = j.filter(changed || col(s"t.${keys.head}").isNull).select(
+      (keys ++ trackedCols).map(c => col(s"u.$c").as(c)) ++
+        Seq(col(s"u.$validFrom").as(validFrom), nullTo.as(validTo)): _*)
+    closed.unionByName(closedNow).unionByName(stillOpen).unionByName(newOpen)
+  }
+
   /** One-pass column profile: per column, null count and exact distinct
     * count, plus the row total — the expectations/data-quality summary
     * run before a load is accepted. A single aggregation (Spark expands

@@ -30,6 +30,32 @@ class MergeSpec extends SparkTestBase {
     }
   }
 
+  test("scd2: close-and-open on change, no-op on identical, insert on new key") {
+    val current = Seq(
+      (1L, "a", 0L, Some(50L)), // closed history
+      (1L, "b", 50L, None), // open
+      (2L, "c", 0L, None), // open, will get identical update
+      (3L, "d", 0L, None) // open, no update at all
+    ).toDF("k", "attr", "valid_from", "valid_to")
+      .select($"k", $"attr", $"valid_from", $"valid_to".cast("long"))
+    val updates = Seq(
+      (1L, "B2", 100L), // changed -> close + open
+      (2L, "c", 100L), // identical -> no-op
+      (9L, "z", 100L) // new key -> insert open
+    ).toDF("k", "attr", "valid_from")
+    val got = Merge.scd2(current, updates, Seq("k"), Seq("attr")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(t => (t._1, t._4.getOrElse(Long.MaxValue)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 0L, Some(50L)), // untouched closed history
+      (1L, "b", 50L, Some(100L)), // closed by the update
+      (1L, "B2", 100L, None), // new open version
+      (2L, "c", 0L, None), // identical update: untouched
+      (3L, "d", 0L, None), // no update: untouched
+      (9L, "z", 100L, None))) // inserted
+  }
+
   test("profile: nulls, distincts, and totals in one pass") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")), (None, Some("x"))
