@@ -900,26 +900,18 @@ object SparkEntry {
 
   /** Transitive closure (recursive CTE) over the exact ngram-Jaccard
     * pair set: cluster id = min reachable doc id — the oracle twin of
-    * Dedup.components' min-label propagation. */
+    * Dedup.components' min-label propagation. The pair set is the SAME
+    * string as the dedup_ngram_jaccard oracle (nested as a subquery), so
+    * the two oracles can never desynchronize. */
   private def dedupClustersSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
-      |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |  FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) AS s FROM t WHERE LEN(w) >= 3),
-      |sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
-      |ix AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
-      |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
-      |  FROM ix a JOIN ix b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |pairs AS (
-      | SELECT a_id, b_id FROM co
-      | JOIN sizes sa ON co.a_id = sa.doc_id JOIN sizes sb ON co.b_id = sb.doc_id
-      | WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8),
-      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-      |  UNION SELECT b_id, a_id FROM pairs),
-      |reach(id, r) AS (
-      | SELECT src, src FROM edges
-      | UNION
-      | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-      |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($ngramJaccardSql) q),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, r) AS (
+       | SELECT src, src FROM edges
+       | UNION
+       | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   /** DuckDB twin of the `text_stats` projection (TextAnalysis.*): nested
     * subqueries compute tokens/padded text once, then the quality ratios,

@@ -22,8 +22,9 @@ object Merge {
     *
     * Requires both frames to share the schema (same columns). */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    require(target.columns.sameElements(updates.columns),
+    require(target.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: ${target.columns.toSeq} vs ${updates.columns.toSeq}")
+    requireUniqueKeys(updates, keys, "upsert")
     val t = target.as("t")
     val u = updates.as("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
@@ -51,6 +52,7 @@ object Merge {
   def scd2(current: DataFrame, updates: DataFrame, keys: Seq[String],
       trackedCols: Seq[String], validFrom: String = "valid_from",
       validTo: String = "valid_to"): DataFrame = {
+    requireUniqueKeys(updates, keys, "scd2")
     val outCols = keys ++ trackedCols ++ Seq(validFrom, validTo)
     val closed = current.filter(col(validTo).isNotNull).select(outCols.map(col): _*)
     val open = current.filter(col(validTo).isNull)
@@ -70,6 +72,16 @@ object Merge {
       (keys ++ trackedCols).map(c => col(s"u.$c").as(c)) ++
         Seq(col(s"u.$validFrom").as(validFrom), nullTo.as(validTo)): _*)
     closed.unionByName(closedNow).unionByName(stillOpen).unionByName(newOpen)
+  }
+
+  /** SQL MERGE raises "multiple source rows matched" for duplicate-key
+    * updates; silently joining them would MULTIPLY target rows instead of
+    * upserting. One cheap aggregation over the (small) update side. */
+  private def requireUniqueKeys(updates: DataFrame, keys: Seq[String], op: String): Unit = {
+    val dups = updates.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    if (dups > 0) throw new IllegalArgumentException(
+      s"$op: updates contain duplicate keys on (${keys.mkString(", ")}) — " +
+        "deduplicate the update set first (e.g. keep max-timestamp per key)")
   }
 
   /** One-pass column profile: per column, null count and exact distinct

@@ -54,13 +54,18 @@ object SmartLoad {
     import org.apache.spark.sql.types.StructType
     val df = spark.read.option("multiLine", true).json(path)
     val fields = df.schema.fields
-    // column-dict shape = every column is an object AND the document is a
-    // single JSON object (one parsed row). The row-count guard keeps
-    // array-of-records files whose cells happen to be objects
-    // ([{"a":{"x":1}}, ...]) on the records path instead of garbling
-    // them through the reshape.
+    // column-dict shape = every column is an object AND the document's
+    // top level is an OBJECT, not an array. The first non-whitespace
+    // character decides ('{' vs '['): a row count cannot — a one-record
+    // array [{"a":{"x":1}}] also parses to a single all-struct row but
+    // must stay on the records path. Driver-side peek of a few lines,
+    // same as the delimiter sniffer.
+    def topLevelIsObject: Boolean =
+      spark.read.text(path).limit(5).collect().iterator
+        .map(_.getString(0)).flatMap(_.trim.headOption).nextOption()
+        .contains('{')
     val allStructs = fields.nonEmpty && fields.forall(_.dataType.isInstanceOf[StructType]) &&
-      df.limit(2).count() == 1
+      topLevelIsObject
     if (!allStructs) df
     else {
       import org.apache.spark.sql.types._

@@ -201,7 +201,18 @@ object XlsReader {
     private val FREE = 0xFFFFFFFF
     private val EOC = 0xFFFFFFFE
 
-    def readStream(bytes: Array[Byte], names: Seq[String]): Option[Array[Byte]] = {
+    def readStream(bytes: Array[Byte], names: Seq[String]): Option[Array[Byte]] =
+      // any out-of-range read (file truncated inside the header, FAT,
+      // DIFAT, or directory region) surfaces as the same diagnosable
+      // error as a truncated data sector
+      try readStreamImpl(bytes, names)
+      catch {
+        case _: IndexOutOfBoundsException =>
+          throw new IllegalArgumentException(
+            s"truncated compound file: structure extends past EOF (${bytes.length} bytes)")
+      }
+
+    private def readStreamImpl(bytes: Array[Byte], names: Seq[String]): Option[Array[Byte]] = {
       require(bytes.length >= 512 &&
         (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
         (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0,

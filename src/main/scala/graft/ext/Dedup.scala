@@ -252,12 +252,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
-    def labelTotal(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
+    def labelTotal(l: DataFrame): java.math.BigDecimal = {
+      val v = l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // null = empty graph
+    }
     var prevTotal = labelTotal(labels)
     var round = 0
-    var converged = false
+    var converged = prevTotal.signum == 0 && labels.isEmpty // empty graph: done
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbr_min"))
@@ -270,6 +271,11 @@ object Dedup {
       prevTotal = total
       round += 1
     }
+    // partially-propagated labels are silently WRONG cluster ids — a
+    // component with diameter > maxRounds must fail loud, not mislabel
+    if (!converged) throw new IllegalStateException(
+      s"components did not converge in $maxRounds rounds — raise maxRounds " +
+        "(component diameter exceeds it) or switch to large-star/small-star")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -22,6 +22,25 @@ class MergeSpec extends SparkTestBase {
       (4L, Some("d"), 40.0)))
   }
 
+  test("upsert accepts same columns in a different order") {
+    val t = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val u = Seq((5.0, "z", 2L)).toDF("v", "s", "k")
+    val got = Merge.upsert(t, u, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 1.0), (2L, "z", 5.0)))
+  }
+
+  test("upsert and scd2 reject duplicate update keys like SQL MERGE") {
+    val t = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val dup = Seq((1L, "x", 2.0), (1L, "y", 3.0)).toDF("k", "s", "v")
+    intercept[IllegalArgumentException] { Merge.upsert(t, dup, Seq("k")) }
+    val cur = Seq((1L, "a", 0L, None.asInstanceOf[Option[Long]]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+      .select($"k", $"attr", $"valid_from", $"valid_to".cast("long"))
+    val dupU = Seq((1L, "x", 10L), (1L, "y", 10L)).toDF("k", "attr", "valid_from")
+    intercept[IllegalArgumentException] { Merge.scd2(cur, dupU, Seq("k"), Seq("attr")) }
+  }
+
   test("upsert rejects mismatched schemas") {
     val t = Seq((1L, "a")).toDF("k", "s")
     val u = Seq((1L, 2.0)).toDF("k", "v")

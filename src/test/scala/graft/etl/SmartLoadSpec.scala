@@ -91,6 +91,15 @@ class SmartLoadSpec extends SparkTestBase {
     assert(df.select("a.x").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("json SINGLE-record array with object cells stays on the records path") {
+    // one parsed row AND all-struct columns — only the top-level '['
+    // distinguishes this from a column-dict document
+    val p = write("rec1.json", """[{"a": {"x": 1}, "b": {"y": "u"}}]""")
+    val df = SmartLoad.load(spark, p)
+    assert(df.count() === 1)
+    assert(df.select("a.x").collect().head.getLong(0) === 1L)
+  }
+
   test("json column-dict with beyond-Long numeric labels falls back safely") {
     val p = write("big.json",
       """{"v": {"98765432109876543210": 1, "5": 2}}""")

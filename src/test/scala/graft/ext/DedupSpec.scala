@@ -117,6 +117,16 @@ class DedupSpec extends SparkTestBase {
     assert((100L to 120L).forall(v => got(v) == expected(v)))
   }
 
+  test("components: empty pair graph yields empty output; over-diameter fails loud") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.components(empty).count() === 0L)
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.components(chain, maxRounds = 2).count()
+    }
+  }
+
   test("determinism: same input, same signatures across runs") {
     val r1 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
     val r2 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
