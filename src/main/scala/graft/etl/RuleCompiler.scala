@@ -40,9 +40,17 @@ object RuleCompiler {
     *   Spark's `cast(null as string)` stays null (no match). Off by
     *   default — the Spark-natural semantics is almost always what users
     *   want; switch on only when byte-for-byte reference parity matters.
+    * @param broadcastLookups hint every mapping for broadcast (default).
+    *   Correct for the reference's contract — mappings are interactive
+    *   side-file uploads, dimension-sized by construction. Pass false
+    *   when a mapping table SCALES with the data (the forced hint would
+    *   OOM executors at 100×); the join strategy is then left to
+    *   Catalyst statistics + AQE, which still broadcasts anything that
+    *   measures small at runtime.
     */
   def run(main: DataFrame, rules: Seq[Rule], mappings: Map[String, DataFrame],
-      pandasNanCoercion: Boolean = false): PipelineResult = {
+      pandasNanCoercion: Boolean = false,
+      broadcastLookups: Boolean = true): PipelineResult = {
     val errors = mutable.ArrayBuffer.empty[RuleError]
     // Output column order follows first occurrence of each name; a later
     // rule with the same name overwrites the value but keeps the original
@@ -52,7 +60,7 @@ object RuleCompiler {
     var lookupIdx = 0
 
     rules.foreach { rule =>
-      compileOne(rule, df, mappings, lookupIdx, pandasNanCoercion) match {
+      compileOne(rule, df, mappings, lookupIdx, pandasNanCoercion, broadcastLookups) match {
         case Left(err) => errors += err
         case Right((joined, column, usedLookup)) =>
           // Validate resolution eagerly (no job runs): unknown columns fail
@@ -76,7 +84,8 @@ object RuleCompiler {
   /** Compile one rule. Returns the (possibly join-augmented) frame, the
     * output Column, and whether a lookup join was consumed. */
   private def compileOne(rule: Rule, df: DataFrame, mappings: Map[String, DataFrame],
-      lookupIdx: Int, pandasNanCoercion: Boolean): Either[RuleError, (DataFrame, Column, Boolean)] = rule match {
+      lookupIdx: Int, pandasNanCoercion: Boolean,
+      broadcastLookups: Boolean = true): Either[RuleError, (DataFrame, Column, Boolean)] = rule match {
 
     case DirectMap(_, source) =>
       if (!df.columns.contains(source))
@@ -128,7 +137,7 @@ object RuleCompiler {
             // fact table) — the distributed analogue of the reference's
             // O(1) dict probe per row (main.py:169).
             val joined = df.join(
-              broadcast(prepared),
+              if (broadcastLookups) broadcast(prepared) else prepared,
               strKey(df.col(quote(inCol))) === prepared.col(keyOut),
               "left")
               .drop(keyOut)

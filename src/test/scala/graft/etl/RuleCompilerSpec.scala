@@ -132,4 +132,19 @@ class RuleCompilerSpec extends SparkTestBase {
       assert(streamedShuffles.isEmpty, s"shuffle on probe side:\n$plan")
     }
   }
+
+  test("broadcastLookups=false drops the forced hint (scaling-mapping path)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val r = RuleCompiler.run(mainDf, Seq(
+      DirectMap("id", "id"),
+      Lookup("label", "m", "code", "k", "v")), Map("m" -> mapDf),
+      broadcastLookups = false)
+    assert(r.errors.isEmpty)
+    val hinted = r.output.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.flatMap(_.strategy).contains(BROADCAST) ||
+        j.hint.rightHint.flatMap(_.strategy).contains(BROADCAST) => j
+    }
+    assert(hinted.isEmpty, "forced broadcast hint survived with broadcastLookups=false")
+    assert(r.output.count() === mainDf.count()) // left join keeps all rows
+  }
 }
