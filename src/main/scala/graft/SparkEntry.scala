@@ -260,6 +260,13 @@ object SparkEntry {
     "text_chunk" -> { (s, dir) =>
       Curation.chunk(Tables(s, dir, "documents"), window = 32, stride = 24)
     },
+    "text_fuzzy_join" -> { (s, dir) =>
+      // fuzzy title dedup: doc pairs whose 40-char prefixes are within
+      // edit distance 2 (trigram-blocked exact Levenshtein join)
+      val titles = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+      Curation.fuzzyJoin(titles, k = 2, idCol = "doc_id", strCol = "title")
+    },
     "contamination" -> { (s, dir) =>
       // train/test per the split_train_test hash; shared word-8-grams
       val d = Tables(s, dir, "documents")
@@ -742,6 +749,14 @@ object SparkEntry {
         | array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
         | CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_chunk_tokens
         |FROM e""".stripMargin,
+    "text_fuzzy_join" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(a.title, b.title) AS INT) AS edit_dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        | AND abs(length(a.title) - length(b.title)) <= 2
+        | AND levenshtein(a.title, b.title) <= 2""".stripMargin,
     "contamination" ->
       """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
         |            regexp_split_to_array(trim(text), '\s+') AS toks

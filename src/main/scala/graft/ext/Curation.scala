@@ -45,6 +45,51 @@ object Curation {
       .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"), col("__c.n_chunk_tokens"))
   }
 
+  /** EXACT fuzzy self-join: all pairs within Levenshtein distance `k`,
+    * for title/name-level strings — fuzzy dedup's complement to the
+    * token-level Jaccard operators.
+    *
+    * Completeness without an all-pairs cross join, by two blocks:
+    *   - LONG strings (len > 3k+2): k edits destroy at most 3k character
+    *     trigrams, and the shorter string has len-2 > 3k of them, so any
+    *     qualifying pair still SHARES a trigram — a trigram equi-join is
+    *     a complete candidate generator. Hot trigrams bound candidates
+    *     the same way hot shingles do in the Jaccard path.
+    *   - SHORT strings (len <= 3k+2+k, overlapping the boundary, since
+    *     lengths of a qualifying pair differ by at most k): banded by
+    *     the all-short block, which is tiny for real title data.
+    * Candidates from both blocks are length-filtered (|la-lb| <= k, a
+    * necessary condition), deduplicated, and verified with the exact
+    * Levenshtein distance — precision and recall are both 1.
+    *
+    * Output: (a_id, b_id, edit_dist int), a_id < b_id. */
+  def fuzzyJoin(df: DataFrame, k: Int = 2, idCol: String = "doc_id",
+      strCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shortBound = 3 * k + 2
+    val s = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"), length(col(strCol)).as("len"))
+    val longS = s.filter(col("len") > shortBound)
+    val grams = longS.select(col("id"), col("len"),
+      explode(array_distinct(
+        transform(sequence(lit(1), col("len") - 2),
+          i => col("s").substr(i, lit(3))))).as("g"))
+    val longCand = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val shortS = s.filter(col("len") <= shortBound + k)
+    val shortCand = shortS.as("a").join(shortS.as("b"),
+        col("a.id") < col("b.id") && abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    longCand.union(shortCand).distinct()
+      .join(s.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")
+      .join(s.select(col("id").as("b_id"), col("s").as("b_s")), "b_id")
+      .withColumn("edit_dist", levenshtein(col("a_s"), col("b_s")))
+      .filter(col("edit_dist") <= k)
+      .select("a_id", "b_id", "edit_dist")
+  }
+
   /** Train/test contamination: for every document in the `test` frame,
     * every `train` document sharing at least one word n-gram, with the
     * count of distinct shared n-grams — the exact-overlap decontamination

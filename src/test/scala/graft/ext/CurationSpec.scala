@@ -34,6 +34,42 @@ class CurationSpec extends SparkTestBase {
     assert(last._2 === "t9 t10 t11")
   }
 
+  test("fuzzyJoin: randomized strings match a brute-force Levenshtein reference") {
+    val rnd = new scala.util.Random(21)
+    val alphabet = "abcd"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // mix of short (exercises the short block + boundary) and long
+    // strings, plus planted 1-edit neighbors of earlier strings
+    val base = (1L to 60L).map { i =>
+      val n = if (i % 3 == 0) 2 + rnd.nextInt(8) else 12 + rnd.nextInt(20)
+      (i, randStr(n))
+    }
+    val edited = base.take(15).map { case (i, s0) =>
+      val pos = if (s0.isEmpty) 0 else rnd.nextInt(s0.length)
+      (i + 1000L, s0.updated(math.min(pos, s0.length - 1), 'z'))
+    }
+    val all = base ++ edited
+    val df = all.toDF("doc_id", "s")
+    val k = 2
+    val got = Curation.fuzzyJoin(df, k = k, idCol = "doc_id", strCol = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib
+      dist = lev(sa, sb)
+      if dist <= k
+    } yield (ia, ib, dist)).sorted
+    assert(got === expected)
+    assert(expected.nonEmpty) // planted neighbors guarantee real coverage
+  }
+
   test("contamination finds planted n-gram overlap, exact count") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val train = Seq(
