@@ -265,7 +265,7 @@ object SparkEntry {
       // edit distance 2 (trigram-blocked exact Levenshtein join)
       val titles = Tables(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
-      Curation.fuzzyJoin(titles, k = 2, idCol = "doc_id", strCol = "title")
+      Curation.fuzzyJoin(titles, k = 2, idCol = "doc_id", strCol = "title", q = 5)
     },
     "contamination" -> { (s, dir) =>
       // train/test per the split_train_test hash; shared word-8-grams

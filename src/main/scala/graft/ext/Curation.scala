@@ -50,31 +50,53 @@ object Curation {
     * token-level Jaccard operators.
     *
     * Completeness without an all-pairs cross join, by two blocks:
-    *   - LONG strings (len > 3k+2): k edits destroy at most 3k character
-    *     trigrams, and the shorter string has len-2 > 3k of them, so any
-    *     qualifying pair still SHARES a trigram — a trigram equi-join is
-    *     a complete candidate generator. Hot trigrams bound candidates
-    *     the same way hot shingles do in the Jaccard path.
-    *   - SHORT strings (len <= 3k+2+k, overlapping the boundary, since
-    *     lengths of a qualifying pair differ by at most k): banded by
-    *     the all-short block, which is tiny for real title data.
+    *   - LONG strings (len >= q(k+1), i.e. carrying at least qk+1
+    *     q-grams): k edits destroy at most qk DISTINCT character
+    *     q-grams, so two strings within distance k overlap in all but
+    *     qk of their q-gram sets — by the prefix-filter theorem their
+    *     (qk+1)-prefixes under one global order must intersect
+    *     (Ed-Join's q-gram prefix bound). Only each string's qk+1
+    *     RAREST q-grams (global document frequency order) are indexed:
+    *     hot grams (shared boilerplate prefixes) rank last and almost
+    *     never enter a prefix, so no key explodes — the naive
+    *     all-grams equi-join measured quadratic on hot grams.
+    *   - SHORT strings (len <= q(k+1)-1+k, overlapping the boundary,
+    *     since lengths of a qualifying pair differ by at most k): banded
+    *     by the all-short block — quadratic within a length band, so
+    *     keep q small when the corpus is short-string-heavy.
     * Candidates from both blocks are length-filtered (|la-lb| <= k, a
-    * necessary condition), deduplicated, and verified with the exact
-    * Levenshtein distance — precision and recall are both 1.
+    * necessary condition), deduplicated, and verified with a banded
+    * bounded-distance check — precision and recall are both 1.
+    *
+    * Pick `q` by data shape: larger q = more selective grams = fewer
+    * candidates for long strings, but a bigger short-string block.
     *
     * Output: (a_id, b_id, edit_dist int), a_id < b_id. */
   def fuzzyJoin(df: DataFrame, k: Int = 2, idCol: String = "doc_id",
-      strCol: String = "text"): DataFrame = {
+      strCol: String = "text", q: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val shortBound = 3 * k + 2
+    require(q >= 2 && q <= 8, s"q must be in [2, 8], got $q")
+    val shortBound = q * (k + 1) - 1
     val s = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s"), length(col(strCol)).as("len"))
     val longS = s.filter(col("len") > shortBound)
+    // materialize the gram index once: it feeds the df aggregation, the
+    // window, and BOTH self-join sides — left lazy, the interpreted
+    // substr lambda pipeline re-executes per consumer (measured 6x)
     val grams = longS.select(col("id"), col("len"),
       explode(array_distinct(
-        transform(sequence(lit(1), col("len") - 2),
-          i => col("s").substr(i, lit(3))))).as("g"))
-    val longCand = grams.as("a").join(grams.as("b"),
+        transform(sequence(lit(1), col("len") - (q - 1)),
+          i => col("s").substr(i, lit(q))))).as("g"))
+      .localCheckpoint(true)
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val wStr = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("g").asc)
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("pos", row_number().over(wStr))
+      .filter(col("pos") <= q * k + 1)
+      .select("id", "len", "g")
+      .localCheckpoint(true)
+    val longCand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= k)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
@@ -85,7 +107,11 @@ object Curation {
     longCand.union(shortCand).distinct()
       .join(s.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")
       .join(s.select(col("id").as("b_id"), col("s").as("b_s")), "b_id")
-      .withColumn("edit_dist", levenshtein(col("a_s"), col("b_s")))
+      // banded bounded-distance verification (native expression): exact
+      // for dist <= k, early-exits otherwise — candidate volume depends
+      // on gram selectivity, so the verifier must be cheap per pair
+      .withColumn("edit_dist",
+        graft.functions.texthash.bounded_levenshtein(col("a_s"), col("b_s"), k))
       .filter(col("edit_dist") <= k)
       .select("a_id", "b_id", "edit_dist")
   }

@@ -34,6 +34,25 @@ class CurationSpec extends SparkTestBase {
     assert(last._2 === "t9 t10 t11")
   }
 
+  test("boundedLevenshtein: equals full DP when <= k, caps at k+1 beyond") {
+    val rnd = new scala.util.Random(31)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    for (_ <- 1 to 500; k <- Seq(0, 1, 2, 4)) {
+      val a = randStr(rnd.nextInt(12)); val b = randStr(rnd.nextInt(12))
+      val full = lev(a, b)
+      val bounded = graft.functions.TextHashing.boundedLevenshtein(a, b, k)
+      if (full <= k) assert(bounded === full, s"a=$a b=$b k=$k")
+      else assert(bounded === k + 1, s"a=$a b=$b k=$k full=$full")
+    }
+  }
+
   test("fuzzyJoin: randomized strings match a brute-force Levenshtein reference") {
     val rnd = new scala.util.Random(21)
     val alphabet = "abcd"
