@@ -46,6 +46,8 @@ object GraftExtensions {
     ("cosine_similarity", 2, args => CosineSimilarity(args(0), args(1))),
     ("shingle_hashes", 2, args => ShingleHashes(args(0), intLit(args(1), "n"))),
     ("token_hashes", 1, args => TokenHashes(args(0))),
+    ("bounded_levenshtein", 3, args =>
+      BoundedLevenshtein(args(0), args(1), intLit(args(2), "k"))),
   )
 
   /** Register the same functions on an already-built session (tests,

@@ -33,6 +33,16 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql === viaApi)
   }
 
+  test("bounded_levenshtein from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("kitten", "sitting"), ("same", "same"), ("abc", "abd"))
+      .toDF("a", "b").createOrReplaceTempView("lev_t")
+    val got = spark.sql("SELECT bounded_levenshtein(a, b, 2) FROM lev_t")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(3, 0, 1)) // kitten/sitting is distance 3 -> capped at k+1
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
