@@ -393,6 +393,15 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
     },
+    "sim_topk_ivf_exact" -> { (s, dir) =>
+      // exhaustive probing (nProbe = nCells) makes IVF provably exact:
+      // the quantizer/assignment/candidate-union/re-rank machinery must
+      // reproduce brute-force top-k bit-for-bit — the approximation in
+      // sim_topk_ivf is ONLY probe selection, and this query pins it
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        nCells = 8, nProbe = 8)
+    },
     "sim_topk_ivf" -> { (s, dir) => // trained quantizer: rows-only check
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
@@ -817,17 +826,9 @@ object SparkEntry {
         | CAST(1.0 AS DOUBLE) AS zcr
         |FROM documents""".stripMargin,
 
-    "sim_topk_bruteforce" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
-        |scored AS (
-        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  list_cosine_similarity(q.v, c.v) AS sim
-        | FROM q JOIN c ON c.vec_id <> q.vec_id)
-        |SELECT query_id, neighbor_id, rank FROM (
-        | SELECT query_id, neighbor_id,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
+    "sim_topk_bruteforce" -> bruteForceTopKSql,
+    // exhaustive-probe IVF must equal exact brute-force top-k
+    "sim_topk_ivf_exact" -> bruteForceTopKSql,
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -912,6 +913,20 @@ object SparkEntry {
       |SELECT a_id, b_id, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
       |FROM co JOIN sizes sa ON co.a_id = sa.doc_id JOIN sizes sb ON co.b_id = sb.doc_id
       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8""".stripMargin
+
+  /** Exact cosine top-10 for the query slice — the oracle for BOTH the
+    * brute-force scan and the exhaustive-probe IVF path. */
+  private def bruteForceTopKSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+      |scored AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_cosine_similarity(q.v, c.v) AS sim
+      | FROM q JOIN c ON c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, rank FROM (
+      | SELECT query_id, neighbor_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+      | FROM scored) WHERE rank <= 10""".stripMargin
 
   /** Transitive closure (recursive CTE) over the exact ngram-Jaccard
     * pair set: cluster id = min reachable doc id — the oracle twin of
