@@ -87,15 +87,14 @@ object Curation {
       explode(array_distinct(
         transform(sequence(lit(1), col("len") - (q - 1)),
           i => col("s").substr(i, lit(q))))).as("g"))
-      .localCheckpoint(true)
-    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val matGrams = Materialize(grams)
+    val dfreq = matGrams.groupBy("g").agg(count(lit(1)).as("df"))
     val wStr = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("g").asc)
-    val prefix = grams.join(dfreq, "g")
+    val prefix = Materialize(matGrams.join(dfreq, "g")
       .withColumn("pos", row_number().over(wStr))
       .filter(col("pos") <= q * k + 1)
-      .select("id", "len", "g")
-      .localCheckpoint(true)
+      .select("id", "len", "g"))
     val longCand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= k)

@@ -238,8 +238,11 @@ object Dedup {
     * diameter) rounds — near-dup clusters are shallow (dup groups, not
     * social graphs), so a handful of rounds suffices; for web-scale
     * diameters swap in large-star/small-star with the same per-round
-    * plan shape. `localCheckpoint` materializes each round and cuts the
-    * growing lineage (on a cluster, prefer reliable `checkpoint`).
+    * plan shape. Each round is materialized through [[Materialize]],
+    * which cuts the growing lineage with a RELIABLE checkpoint when the
+    * session has a checkpoint dir configured (the cluster contract —
+    * survives executor loss mid-iteration) and an executor-local
+    * checkpoint otherwise (local runs).
     *
     * Output: (doc_id, cluster_id) for every vertex in the pair graph.
     */
@@ -248,10 +251,9 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    val matEdges = Materialize(edges)
+    var labels = Materialize(matEdges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     def labelTotal(l: DataFrame): java.math.BigDecimal = {
       val v = l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // null = empty graph
@@ -260,12 +262,11 @@ object Dedup {
     var round = 0
     var converged = prevTotal.signum == 0 && labels.isEmpty // empty graph: done
     while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid")).agg(min(col("label")).as("nbr_min"))
-      labels = labels.join(nbrMin, labels("id") === col("nid"), "left")
+      val nbrMin = matEdges.join(labels, matEdges("dst") === labels("id"))
+        .groupBy(matEdges("src").as("nid")).agg(min(col("label")).as("nbr_min"))
+      labels = Materialize(labels.join(nbrMin, labels("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       val total = labelTotal(labels)
       converged = total.compareTo(prevTotal) == 0
       prevTotal = total

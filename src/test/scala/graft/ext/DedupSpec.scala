@@ -127,6 +127,28 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("components: reliable checkpoint path when a checkpoint dir is configured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (12L, 11L)).toDF("a_id", "b_id")
+      val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+      // proof the RELIABLE path actually ran: checkpoint blocks landed on
+      // the (durable) filesystem, not in executor-local storage
+      val files = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_))
+        .count()
+      assert(files > 0, "no reliable checkpoint files were written")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      scala.util.Try {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("determinism: same input, same signatures across runs") {
     val r1 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
     val r2 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
