@@ -48,6 +48,7 @@ object GraftExtensions {
     ("token_hashes", 1, args => TokenHashes(args(0))),
     ("bounded_levenshtein", 3, args =>
       BoundedLevenshtein(args(0), args(1), intLit(args(2), "k"))),
+    ("deletion_hashes", 2, args => DeletionHashes(args(0), intLit(args(1), "k"))),
   )
 
   /** Register the same functions on an already-built session (tests,

@@ -61,9 +61,14 @@ object Curation {
     *     never enter a prefix, so no key explodes — the naive
     *     all-grams equi-join measured quadratic on hot grams.
     *   - SHORT strings (len <= q(k+1)-1+k, overlapping the boundary,
-    *     since lengths of a qualifying pair differ by at most k): banded
-    *     by the all-short block — quadratic within a length band, so
-    *     keep q small when the corpus is short-string-heavy.
+    *     since lengths of a qualifying pair differ by at most k):
+    *     SymSpell deletion-neighborhood blocking — candidates equi-join
+    *     on hashes of every <=k-deletion variant. Edit distance <= k
+    *     guarantees a shared variant (delete each side's unmatched
+    *     alignment positions), so recall is 1; neighborhood size is
+    *     sum_{i<=k} C(len,i) (~300 at len 25, k 2), so candidate volume
+    *     is density-bounded, never all-pairs — a short-string-heavy
+    *     corpus (usernames, SKUs) stays near-linear.
     * Candidates from both blocks are length-filtered (|la-lb| <= k, a
     * necessary condition), deduplicated, and verified with a banded
     * bounded-distance check — precision and recall are both 1.
@@ -100,9 +105,7 @@ object Curation {
           abs(col("a.len") - col("b.len")) <= k)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
     val shortS = s.filter(col("len") <= shortBound + k)
-    val shortCand = shortS.as("a").join(shortS.as("b"),
-        col("a.id") < col("b.id") && abs(col("a.len") - col("b.len")) <= k)
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val shortCand = deletionCandidates(shortS, k)
     longCand.union(shortCand).distinct()
       .join(s.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")
       .join(s.select(col("id").as("b_id"), col("s").as("b_s")), "b_id")
@@ -113,6 +116,21 @@ object Curation {
         graft.functions.texthash.bounded_levenshtein(col("a_s"), col("b_s"), k))
       .filter(col("edit_dist") <= k)
       .select("a_id", "b_id", "edit_dist")
+  }
+
+  /** SymSpell candidate pairs over a (id, s, len) frame: equi-join on
+    * deletion-neighborhood hashes, length-filtered (|la-lb| <= k is
+    * necessary for lev <= k). Exposed for the skew spec: candidate
+    * volume over thousands of distinct short strings must stay
+    * near-linear, NOT n². */
+  private[ext] def deletionCandidates(s: DataFrame, k: Int): DataFrame = {
+    val variants = s.select(col("id"), col("len"),
+      explode(graft.functions.texthash.deletion_hashes(col("s"), k)).as("dh"))
+    variants.as("a").join(variants.as("b"),
+        col("a.dh") === col("b.dh") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
   }
 
   /** Train/test contamination: for every document in the `test` frame,

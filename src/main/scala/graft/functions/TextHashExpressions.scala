@@ -84,6 +84,47 @@ private[graft] object TextHashing {
     math.min(prev(m), inf)
   }
 
+  /** Distinct hashes of every string reachable by deleting at most `k`
+    * characters (the SymSpell deletion neighborhood, string itself
+    * included). If lev(a,b) <= k then some alignment of a and b leaves a
+    * common core reachable from EACH side with at most k deletions, so
+    * two strings within distance k always share a neighborhood hash —
+    * the exact blocking key for bounded-edit-distance joins. BFS by
+    * deletion depth with string-level dedup keeps the output at
+    * sum_{i<=k} C(len,i) worst case (callers bound len; fuzzyJoin only
+    * uses this for its short-string block). */
+  def deletionHashes(s: String, k: Int): Array[Long] = {
+    @inline def hash(v: String): Long = {
+      var h = 0x243F6A8885A308D3L // pi seed: distinct from token/shingle spaces
+      var i = 0
+      while (i < v.length) { h = h * 1099511628211L + v.charAt(i); i += 1 }
+      Mix.splitmix64(h)
+    }
+    val seen = new java.util.HashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](1 + s.length * k)
+    seen.add(s); out += hash(s)
+    var level: Array[String] = Array(s)
+    var d = 0
+    while (d < k && level.nonEmpty) {
+      val next = new scala.collection.mutable.ArrayBuffer[String](level.length * s.length)
+      var vi = 0
+      while (vi < level.length) {
+        val v = level(vi)
+        var i = 0
+        while (i < v.length) {
+          val w = new java.lang.StringBuilder(v.length - 1)
+            .append(v, 0, i).append(v, i + 1, v.length).toString
+          if (seen.add(w)) { next += w; out += hash(w) }
+          i += 1
+        }
+        vi += 1
+      }
+      level = next.toArray
+      d += 1
+    }
+    out.toArray
+  }
+
   /** Distinct hashes of n-token shingles (order-sensitive n-grams). */
   def shingleHashes(s: String, n: Int): Array[Long] = {
     val toks = tokenHashes(s)
@@ -149,10 +190,30 @@ case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<long> of distinct SymSpell deletion-neighborhood hashes (all
+  * variants reachable with <= k character deletions, self included).
+  * Exact blocking key for bounded-edit-distance joins over SHORT
+  * strings: neighborhood size is sum_{i<=k} C(len,i), so callers must
+  * bound len (fuzzyJoin's short block does; ~300 hashes at len 25,
+  * k 2). Hash collisions only ever ADD candidates — the exact verifier
+  * removes them — so completeness is unconditional. */
+case class DeletionHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && k <= 6, s"deletion depth must be in [1,6], got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "deletion_hashes"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.deletionHashes(input.asInstanceOf[UTF8String].toString, k))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object texthash {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def shingle_hashes(text: Column, n: Int): Column = column(ShingleHashes(expression(text), n))
   def token_hashes(text: Column): Column = column(TokenHashes(expression(text)))
   def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
     column(BoundedLevenshtein(expression(a), expression(b), k))
+  def deletion_hashes(text: Column, k: Int): Column =
+    column(DeletionHashes(expression(text), k))
 }

@@ -43,6 +43,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === Seq(3, 0, 1)) // kitten/sitting is distance 3 -> capped at k+1
   }
 
+  test("deletion_hashes from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq("ab").toDF("s").createOrReplaceTempView("del_t")
+    val got = spark.sql("SELECT size(deletion_hashes(s, 1)) FROM del_t")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(3)) // {ab, a, b}
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._

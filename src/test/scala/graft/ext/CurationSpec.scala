@@ -89,6 +89,43 @@ class CurationSpec extends SparkTestBase {
     assert(expected.nonEmpty) // planted neighbors guarantee real coverage
   }
 
+  test("deletion neighborhoods: pairs within distance k always share a variant hash") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.nonEmpty => s.patch(rnd.nextInt(s.length), "", 1) // delete
+      case 1 if s.nonEmpty => s.updated(rnd.nextInt(s.length), 'z') // substitute
+      case _ => s.patch(rnd.nextInt(s.length + 1), "z", 0) // insert
+    }
+    val k = 2
+    (1 to 300).foreach { _ =>
+      val a = randStr(2 + rnd.nextInt(12))
+      var b = a
+      (1 to k).foreach(_ => b = edit(b))
+      val na = graft.functions.TextHashing.deletionHashes(a, k).toSet
+      val nb = graft.functions.TextHashing.deletionHashes(b, k).toSet
+      assert(na.intersect(nb).nonEmpty, s"no shared variant for '$a' ~ '$b'")
+    }
+  }
+
+  test("fuzzyJoin short block: 5k short strings stay near-linear, not all-pairs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val n = 5000
+    // distinct short strings (username/SKU shape) — the corpus the old
+    // length-band block degenerated to ~n²/2 candidate pairs on
+    val strs = (1 to 20000).map(_ =>
+      (1 to (5 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      .distinct.take(n)
+    assert(strs.size === n)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s, s.length) }
+      .toDF("id", "s", "len")
+    val cand = Curation.deletionCandidates(df, k = 2).count()
+    val allPairs = n.toLong * (n - 1) / 2 // 12,497,500
+    assert(cand < allPairs / 100, s"candidate volume $cand is not ≪ n²=$allPairs")
+  }
+
   test("contamination finds planted n-gram overlap, exact count") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val train = Seq(
