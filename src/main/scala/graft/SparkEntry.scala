@@ -486,11 +486,87 @@ object SparkEntry {
         col("n_events"),
         col("sum_value").cast("double").as("sum_value"))
     },
+    "stream_append_tumbling" -> { (s, dir) =>
+      // Multi-microbatch APPEND-mode streaming — the semantics the
+      // complete-mode rows can't show: the fixture is split into 3
+      // time-ordered files (ascending mtimes pin the file source's
+      // replay order), one file per microbatch, so the watermark
+      // genuinely advances batch-over-batch and closed windows are
+      // EVICTED from the state store and emitted exactly once. Append
+      // emits a window only when its end falls behind the watermark, so
+      // the result is the batch windows with end <= max(ts) - 2h (the
+      // final watermark, applied by the trailing no-data microbatch);
+      // time-ordered files mean no row ever arrives late, so nothing is
+      // dropped and the oracle is exact.
+      val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(replayDir)
+      val agg = graft.streaming.StreamingOps.tumbling(stream,
+        windowLen = "1 hour", watermark = "2 hours")
+      val name = s"graft_stream_append_${streamRunSeq.incrementAndGet()}"
+      graft.streaming.StreamingOps.runToMemory(agg, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(name).select(
+        unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    },
+    "stream_dedup" -> { (s, dir) =>
+      // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
+      // keyed by (user_id, event_type). Only the KEY columns are
+      // projected: which duplicate arrives first inside a microbatch is
+      // partition-order-dependent in any engine, so the key projection
+      // is the deterministic face — over one drained replay it equals
+      // batch DISTINCT. Within-watermark suppression and state eviction
+      // timing are pinned separately in StreamingOpsSpec.
+      val batchSchema = Tables(s, dir, "events").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts",
+          timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+        .select("ts", "user_id", "event_type")
+      val dedup = graft.streaming.StreamingOps.dedupStream(stream,
+        keyCols = Seq("user_id", "event_type"), watermark = "1 hour")
+        .select("user_id", "event_type")
+      val name = s"graft_stream_dedup_${streamRunSeq.incrementAndGet()}"
+      graft.streaming.StreamingOps.runToMemory(dedup, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(name)
+    },
   )
 
   /** Memory-sink names must be fresh per invocation (bench warm-up + two
     * timed passes reuse one session). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stage the events fixture as `parts` TIME-ORDERED single-file
+    * parquet writes in a fresh directory, mtimes ascending with time
+    * rank (the file stream source orders its backlog by modification
+    * time, so replay order == event-time order and no row is ever late
+    * behind the watermark). Harness-side prep for the multi-microbatch
+    * streaming rows — not an operator. */
+  private def timeOrderedEventReplay(s: SparkSession, dir: String, parts: Int)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val ev = Tables(s, dir, "events").select(
+      col("event_id"),
+      timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))).as("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val tiled = ev.withColumn("__tile", ntile(parts).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    val replay = java.nio.file.Files.createTempDirectory("graft_replay_")
+    val base = System.currentTimeMillis() - (parts + 1) * 60000L
+    (1 to parts).foreach { i =>
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
+      tiled.filter(col("__tile") === i).drop("__tile")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $stage"))
+      val dest = new java.io.File(replay.toFile, f"events_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(base + i * 60000L), s"cannot set mtime on $dest")
+    }
+    (replay.toString, ev.schema)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "etl_direct_map" ->
@@ -890,6 +966,21 @@ object SparkEntry {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    // append-mode emits exactly the windows whose end <= the final
+    // watermark (max event-second - 7200); time-ordered replay means no
+    // row is late, so the emitted set is a pure filter of batch windows
+    "stream_append_tumbling" ->
+      """WITH ev AS (
+        | SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type, "value" FROM events),
+        |agg AS (
+        | SELECT CAST(FLOOR(sec / 3600) * 3600 AS BIGINT) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM ev GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, sum_value FROM agg
+        |WHERE window_start + 3600 <= (SELECT MAX(sec) - 7200 FROM ev)""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "events_user_running" ->
       """SELECT event_id, user_id,
         | CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,
