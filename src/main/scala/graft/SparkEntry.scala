@@ -268,11 +268,16 @@ object SparkEntry {
       Curation.fuzzyJoin(titles, k = 2, idCol = "doc_id", strCol = "title", q = 5)
     },
     "contamination" -> { (s, dir) =>
-      // train/test per the split_train_test hash; shared word-8-grams
+      // train/test per the split_train_test hash; shared word-8-grams.
+      // maxDf=1 runs the boilerplate guard (the designed 100 TB hot-key
+      // defense) ON: train 8-grams appearing in more than one train doc
+      // are dropped before the join — at sf0.1 this provably removes
+      // evidence (one pair and ~7% of shared-gram counts), and the
+      // oracle applies the identical cap
       val d = Tables(s, dir, "documents")
       val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
       Curation.contamination(
-        d.filter(bucket >= 90), d.filter(bucket < 80), n = 8)
+        d.filter(bucket >= 90), d.filter(bucket < 80), n = 8, maxDf = 1L)
     },
     "emb_quantize" -> { (s, dir) =>
       // the int8 array serializes to CSV for the oracle hash — array
@@ -849,10 +854,11 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, b, s FROM (
         |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
         |    i -> array_to_string(toks[i:i+7], ' '))) AS s
-        |  FROM d WHERE len(toks) >= 8))
+        |  FROM d WHERE len(toks) >= 8)),
+        |keep AS (SELECT s FROM sh WHERE b < 80 GROUP BY s HAVING count(*) <= 1)
         |SELECT t.doc_id AS test_id, r.doc_id AS train_id, count(*) AS n_shared
         |FROM (SELECT * FROM sh WHERE b >= 90) t
-        |JOIN (SELECT * FROM sh WHERE b < 80) r USING (s)
+        |JOIN (SELECT sh.* FROM sh JOIN keep USING (s) WHERE b < 80) r USING (s)
         |GROUP BY 1, 2""".stripMargin,
     "emb_quantize" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   *    the corpus is scanned once with no shuffle of the vectors; the only
   *    shuffle carries (query, id, sim) triples for the per-query top-k.
   *    At 100 TB this is the correct shape when |queries| is small.
+  *    Every path also takes broadcastQueries=false for CORPUS-SIZED
+  *    query tables (batch scoring): the query side then shuffles like
+  *    the corpus side instead of being copied to every executor.
   *  - lshTopK: sign-random-projection LSH. Each vector hashes to a B-bit
   *    bucket via fixed pseudo-random hyperplanes; search touches only the
   *    query's bucket (plus optional 1-bit probes), trading exact recall
@@ -36,17 +39,30 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** The query-side distribution switch shared by every search path:
+    * hint a broadcast when the query set is dimension-sized (one corpus
+    * scan, zero query shuffle — the default), or leave the join to
+    * shuffle both sides when the query set is itself corpus-sized
+    * (dedup-style batch scoring: broadcasting it would OOM every
+    * executor at scale, while a shuffle join partitions BOTH sides by
+    * the join key and streams). */
+  private def hinted(queries: DataFrame, broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) broadcast(queries) else queries
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) table — arbitrarily large
-    * @param queries (idCol, vecCol) table — small, gets broadcast
+    * @param queries (idCol, vecCol) table — broadcast while
+    *                dimension-sized; pass broadcastQueries=false for a
+    *                corpus-sized query table (partitioned cartesian
+    *                block join, no driver-sized copy)
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val joined = c.crossJoin(broadcast(q))
+    val joined = c.crossJoin(hinted(q, broadcastQueries))
     val scored = (if (excludeSelf) joined.filter(col("id") =!= col("query_id")) else joined)
       .select(col("query_id"), col("id"),
         cosine(col("qv"), col("v")).as("sim"))
@@ -81,7 +97,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 0,
       nProbe: Int = 4, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true, maxFitVectors: Long = 1000000L): DataFrame = {
+      excludeSelf: Boolean = true, maxFitVectors: Long = 1000000L,
+      broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -120,7 +137,9 @@ object Similarity {
       .withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "qv", "cell")
-    val cand = assigned.join(broadcast(probeCells), "cell")
+    // corpus-sized query sets shuffle-join on cell id instead of
+    // broadcasting the probe set (cell is the natural co-location key)
+    val cand = assigned.join(hinted(probeCells, broadcastQueries), "cell")
     val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
       .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
@@ -136,7 +155,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12,
       probe1: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, broadcastQueries: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", srpSignature(col("v"), planes))
     val qBase = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
@@ -151,7 +170,10 @@ object Similarity {
               p => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), p)))))
           .as("sig"))
       else qBase.withColumnRenamed("qsig", "sig")
-    val cand = c.join(broadcast(probes), "sig")
+    // corpus-sized query sets bucket by signature exactly like the
+    // corpus side: an equi-join on sig shuffles both sides by the same
+    // key — batch scoring without a driver-sized broadcast
+    val cand = c.join(hinted(probes, broadcastQueries), "sig")
     val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
       .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)

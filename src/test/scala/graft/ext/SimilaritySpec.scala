@@ -50,6 +50,42 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("broadcastQueries=false: identical results, no broadcast exchange in plan") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect() // materialize so AQE finalizes the physical plan
+      df.queryExecution.executedPlan.toString.contains("BroadcastExchange") ||
+        df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop")
+    }
+    // reference results under default planning (auto-broadcast allowed)
+    val bfRef = rows(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val lshRef = rows(Similarity.lshTopK(emb, queries, k = 10))
+    // simulate corpus-sized query stats: with auto-broadcast off (plan
+    // AND AQE runtime), the unhinted variant must fall back to the
+    // partitioned shapes — cartesian block join / shuffled equi-join —
+    // while a hinted variant would still force a broadcast regardless
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(c => c -> spark.conf.getOption(c))
+    confs.foreach(spark.conf.set(_, "-1"))
+    try {
+      val bfS = Similarity.bruteForceTopK(emb, queries, k = 10, broadcastQueries = false)
+      assert(rows(bfS) === bfRef)
+      assert(!hasBroadcast(bfS), "shuffle variant must not broadcast the query side")
+      val lshS = Similarity.lshTopK(emb, queries, k = 10, broadcastQueries = false)
+      assert(rows(lshS) === lshRef)
+      assert(!hasBroadcast(lshS), "shuffle variant must not broadcast the probe side")
+      val hintedStill = Similarity.bruteForceTopK(emb, queries, k = 10)
+      assert(hasBroadcast(hintedStill), "hinted variant should broadcast even with stats off")
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
   test("srp signature is deterministic across evaluations") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(20)
     val s1 = emb.select(col("vec_id"),
