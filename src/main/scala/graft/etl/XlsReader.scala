@@ -25,10 +25,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * distributed DataFrame. Column typing reuses XlsxReader's inference so
   * `.xls` and `.xlsx` loads of the same sheet produce identical schemas.
   *
+  * SST strings spilling into CONTINUE records are spliced per
+  * [MS-XLS] (a split inside character data restarts with a fresh
+  * option-flags byte, so compression can change mid-string; header and
+  * rich/ext payload bytes splice raw).
+  *
   * Not supported (fail-loud or skipped, all rare in data-bearing sheets):
-  * formulas (cached string results skipped; cell omitted), SST strings
-  * spilling into CONTINUE records (throws — only reachable past ~8 KB of
-  * string data in one record), date styling (serials surface as numbers,
+  * formulas (cached string results skipped; cell omitted), BIFF5
+  * workbooks (fail loud), date styling (serials surface as numbers,
   * same as XlsxReader), encrypted workbooks.
   */
 object XlsReader {
@@ -45,6 +49,7 @@ object XlsReader {
 
   private val BOF = 0x0809
   private val EOF_R = 0x000A
+  private val CONTINUE = 0x003C
   private val SST = 0x00FC
   private val BOUNDSHEET = 0x0085
   private val LABELSST = 0x00FD
@@ -75,7 +80,7 @@ object XlsReader {
       val body = pos + 4
       id match {
         case SST =>
-          sst = parseSst(buf, body, len)
+          sst = parseSst(buf, body, len, wb)
         case BOUNDSHEET =>
           if (firstSheetPos < 0) firstSheetPos = buf.getInt(body)
         case EOF_R => done = true
@@ -137,21 +142,71 @@ object XlsReader {
       .filter(_.nonEmpty)
   }
 
-  /** SST record: cstTotal(4) cstUnique(4) then XLUnicodeRichExtendedString*.
-    * Strings that would continue past the record boundary throw (CONTINUE
-    * splicing restarts compression flags mid-string; out of minimal scope). */
-  private def parseSst(buf: ByteBuffer, body: Int, len: Int): Vector[String] = {
-    val unique = buf.getInt(body + 4)
+  /** SST record spliced with its CONTINUE records: cstTotal(4)
+    * cstUnique(4) then XLUnicodeRichExtendedString*. A record boundary
+    * may fall anywhere in the string stream; when it splits a string's
+    * CHARACTER data, the continuation restarts with a fresh option-flags
+    * byte — the compression of the remaining characters, which can
+    * differ from the first part's ([MS-XLS] 2.5.293). Header fields and
+    * rich-run/ext payloads splice raw, with no flags byte. */
+  private def parseSst(buf: ByteBuffer, body: Int, len: Int, wb: Array[Byte]): Vector[String] = {
+    // body segments: the SST record itself + immediately following CONTINUEs
+    val segs = Vector.newBuilder[(Int, Int)]
+    segs += ((body, body + len))
+    var scan = body + len
+    while (scan + 4 <= wb.length && (buf.getShort(scan) & 0xFFFF) == CONTINUE) {
+      val l = buf.getShort(scan + 2) & 0xFFFF
+      segs += ((scan + 4, scan + 4 + l))
+      scan = scan + 4 + l
+    }
+    val segments = segs.result()
+    var seg = 0
+    var pos = segments(0)._1
+    def ensure(): Unit = {
+      while (pos >= segments(seg)._2 && seg + 1 < segments.length) {
+        seg += 1; pos = segments(seg)._1
+      }
+      if (pos >= segments(seg)._2) throw new IllegalArgumentException(
+        "SST truncated: string data extends past the last CONTINUE record")
+    }
+    def readU8(): Int = { ensure(); val v = buf.get(pos) & 0xFF; pos += 1; v }
+    def readU16(): Int = readU8() | (readU8() << 8)
+    def readU32(): Int = readU16() | (readU16() << 16)
+    def skipRaw(n: Int): Unit = {
+      var r = n
+      while (r > 0) {
+        ensure()
+        val take = math.min(r, segments(seg)._2 - pos)
+        pos += take; r -= take
+      }
+    }
+    def atBoundary: Boolean = pos >= segments(seg)._2
+
+    readU32() // cstTotal (includes repeated uses; not needed)
+    val unique = readU32()
     val out = Vector.newBuilder[String]
-    var p = body + 8
-    val end = body + len
     var i = 0
     while (i < unique) {
-      if (p >= end) throw new IllegalArgumentException(
-        "SST spills into CONTINUE records — unsupported by the minimal BIFF8 reader")
-      val (s, next) = readXLString(buf, p, cchBytes = 2)
-      out += s
-      p = next
+      val cch = readU16()
+      val grbit = readU8()
+      var high = (grbit & 0x01) != 0
+      val ext = (grbit & 0x04) != 0
+      val rich = (grbit & 0x08) != 0
+      val cRun = if (rich) readU16() else 0
+      val cbExt = if (ext) readU32() else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var c = 0
+      while (c < cch) {
+        if (atBoundary) {
+          // mid-character-data split: the continuation's first byte is a
+          // fresh flags byte (readU8's ensure() advances the segment)
+          high = (readU8() & 0x01) != 0
+        }
+        sb.append(if (high) readU16().toChar else readU8().toChar)
+        c += 1
+      }
+      skipRaw(cRun * 4 + cbExt)
+      out += sb.toString
       i += 1
     }
     out.result()

@@ -56,6 +56,53 @@ class XlsReaderSpec extends SparkTestBase {
     bof(5) ++ sst ++ boundsheet ++ eof ++ sheet
   }
 
+  /** Workbook whose SST spills across TWO CONTINUE records, covering the
+    * three splice cases: (1) a split inside a string's character data —
+    * the continuation restarts with a fresh flags byte AND switches
+    * compression (first part 8-bit, remainder 16-bit with real >0xFF
+    * chars); (2) a following string fully inside the first CONTINUE;
+    * (3) a record boundary falling exactly BETWEEN strings (the next
+    * string header starts the second CONTINUE directly — no flags byte). */
+  private def biffWorkbookSplitSst(): (Array[Byte], String) = {
+    def bof(dt: Int) = rec(0x0809,
+      le16(0x0600) ++ le16(dt) ++ le16(0x0DBB) ++ le16(0x07CC) ++ le(0x41) ++ le(0x06))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    def compressed(s: String): Array[Byte] =
+      le16(s.length) ++ Array(0.toByte) ++ s.getBytes("US-ASCII")
+    val longHead = "alice_" + ("x" * 12) // 18 ascii chars in the SST record
+    val longTail = "xxΩ€zzzzzz" // 10 chars incl. Ω and € -> 16-bit
+    val longStr = longHead + longTail // cch = 28
+    val sstBody =
+      le(6) ++ le(6) ++
+        compressed("name") ++ compressed("score") ++ compressed("flag") ++
+        le16(longStr.length) ++ Array(0.toByte) ++ longHead.getBytes("US-ASCII")
+    val cont1Body = // fresh flags byte: 0x01 = remaining chars are 16-bit
+      Array(1.toByte) ++ longTail.toCharArray.flatMap(ch => le16(ch.toInt)) ++ compressed("bob")
+    val cont2Body = compressed("carol") // starts at a string boundary
+    val sst = rec(0x00FC, sstBody) ++ rec(0x003C, cont1Body) ++ rec(0x003C, cont2Body)
+    val sheetNm = "Sheet1"
+    val boundsheetLen = 4 + 4 + 2 + 1 + 1 + sheetNm.length
+    val globalsLen = bof(5).length + sst.length + boundsheetLen + eof.length
+    val boundsheet = rec(0x0085,
+      le(globalsLen) ++ le16(0) ++ Array(sheetNm.length.toByte, 0.toByte) ++
+        sheetNm.getBytes("US-ASCII"))
+    assert(boundsheet.length == boundsheetLen)
+    def labelSst(row: Int, c: Int, isst: Int) =
+      rec(0x00FD, le16(row) ++ le16(c) ++ le16(0) ++ le(isst))
+    def rkInt(row: Int, c: Int, v: Int) =
+      rec(0x027E, le16(row) ++ le16(c) ++ le16(0) ++ le((v << 2) | 0x02))
+    def boolErr(row: Int, c: Int, v: Boolean) =
+      rec(0x0205, le16(row) ++ le16(c) ++ le16(0) ++
+        Array((if (v) 1 else 0).toByte, 0.toByte))
+    val sheet = bof(0x10) ++
+      labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ labelSst(0, 2, 2) ++
+      labelSst(1, 0, 3) ++ rkInt(1, 1, 12) ++ boolErr(1, 2, v = true) ++
+      labelSst(2, 0, 4) ++ rkInt(2, 1, 7) ++ boolErr(2, 2, v = false) ++
+      labelSst(3, 0, 5) ++ rkInt(3, 1, 3) ++ boolErr(3, 2, v = true) ++
+      eof
+    (bof(5) ++ sst ++ boundsheet ++ eof ++ sheet, longStr)
+  }
+
   private def dirEntry(name: String, objType: Int, child: Int, start: Int,
       size: Int): Array[Byte] = {
     val e = ByteBuffer.allocate(128).order(ByteOrder.LITTLE_ENDIAN)
@@ -69,8 +116,7 @@ class XlsReaderSpec extends SparkTestBase {
     e.array()
   }
 
-  private def writeXls(): String = {
-    val wb = biffWorkbook()
+  private def writeXls(wb: Array[Byte] = biffWorkbook()): String = {
     assert(wb.length < 4096, "fixture must exercise the mini-stream path")
     val nMini = (wb.length + 63) / 64
     val miniBytes = nMini * 64
@@ -134,6 +180,19 @@ class XlsReaderSpec extends SparkTestBase {
     assert(rows(1).getString(0) === "bob")
     assert(rows(1).getDouble(1) === 7.0)
     assert(rows(1).getBoolean(2) === false)
+  }
+
+  test("SST spanning CONTINUE records: mid-string split with compression switch") {
+    val (wb, longStr) = biffWorkbookSplitSst()
+    val df = SmartLoad.load(spark, writeXls(wb))
+    assert(df.columns.toSeq === Seq("name", "score", "flag"))
+    val rows = df.orderBy("name").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getString(0) === longStr) // spliced across the boundary
+    assert(rows(0).getLong(1) === 12L)
+    assert(rows(1).getString(0) === "bob") // fully inside CONTINUE 1
+    assert(rows(2).getString(0) === "carol") // starts CONTINUE 2 at a string boundary
+    assert(rows(2).getBoolean(2) === true)
   }
 
   test("BIFF5 workbook stream fails loudly, not garbled") {
