@@ -358,13 +358,17 @@ object SparkEntry {
     },
 
     "multimodal_decode" -> { (s, dir) =>
-      // REAL-codec round trip, oracle-checked: a 2x1 BMP and a 4-frame
-      // WAV are synthesized per doc from doc_id arithmetic, decoded with
-      // the actual BMP/WAV decoders (MediaCodecs), and DuckDB predicts
-      // every decoded stat from the same arithmetic without ever seeing
-      // a payload. Pixel means use 2 pixels so the mean is an exact
+      // REAL-codec round trip, oracle-checked: a 2x1 BMP, a 4-frame WAV
+      // AND a 2x1 PNG (deflate-compressed, scanline filter rotating
+      // through all five PNG filter types by doc_id) are synthesized per
+      // doc from doc_id arithmetic, decoded with the actual
+      // BMP/WAV/PNG decoders (MediaCodecs), and DuckDB predicts every
+      // decoded stat from the same arithmetic without ever seeing a
+      // payload. Pixel means use 2 pixels so the mean is an exact
       // half-integer; the square wave's RMS is exactly amp/32768 —
-      // bit-equal doubles on both sides.
+      // bit-equal doubles on both sides. The PNG means must equal the
+      // BMP means for every row, which pins inflate + every unfilter
+      // path against an independent engine.
       import s.implicits._
       val rows = Tables(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -375,16 +379,21 @@ object SparkEntry {
               m(1, 256).toByte, m(7, 256).toByte, m(13, 256).toByte,
               m(3, 256).toByte, m(11, 256).toByte, m(17, 256).toByte)
             val img = graft.ext.MediaCodecs.encodeBmp24(2, 1, rgb)
+            val png = graft.ext.MediaCodecs.encodePng(2, 1, rgb,
+              filterType = (id % 5).toInt)
             val amp = (m(1, 1000) + 1).toShort
             val snd = graft.ext.MediaCodecs.encodeWav16(8000 + m(1, 100), 1,
               Array[Short](amp, (-amp).toShort, amp, (-amp).toShort))
             val im = graft.ext.MediaCodecs.decodeBmp(img).get
+            val pm = graft.ext.MediaCodecs.decodePng(png).get
             val au = graft.ext.MediaCodecs.decodeWav(snd).get
             (id, im.width, im.height, im.meanR, im.meanG, im.meanB,
+              pm.width, pm.height, pm.meanR, pm.meanG, pm.meanB,
               au.sampleRate, au.nFrames, au.rms, au.zeroCrossRate)
           }
         }
         .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+          "png_width", "png_height", "png_mean_r", "png_mean_g", "png_mean_b",
           "sample_rate", "n_frames", "rms", "zcr")
       rows
     },
@@ -902,6 +911,10 @@ object SparkEntry {
         | CAST((doc_id % 256) + ((doc_id % 256) * 3) % 256 AS DOUBLE) / 2 AS mean_r,
         | CAST(((doc_id % 256) * 7) % 256 + ((doc_id % 256) * 11) % 256 AS DOUBLE) / 2 AS mean_g,
         | CAST(((doc_id % 256) * 13) % 256 + ((doc_id % 256) * 17) % 256 AS DOUBLE) / 2 AS mean_b,
+        | CAST(2 AS INT) AS png_width, CAST(1 AS INT) AS png_height,
+        | CAST((doc_id % 256) + ((doc_id % 256) * 3) % 256 AS DOUBLE) / 2 AS png_mean_r,
+        | CAST(((doc_id % 256) * 7) % 256 + ((doc_id % 256) * 11) % 256 AS DOUBLE) / 2 AS png_mean_g,
+        | CAST(((doc_id % 256) * 13) % 256 + ((doc_id % 256) * 17) % 256 AS DOUBLE) / 2 AS png_mean_b,
         | CAST(8000 + doc_id % 100 AS INT) AS sample_rate,
         | CAST(4 AS BIGINT) AS n_frames,
         | CAST(doc_id % 1000 + 1 AS DOUBLE) / 32768 AS rms,

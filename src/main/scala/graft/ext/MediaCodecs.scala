@@ -2,13 +2,16 @@ package graft.ext
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Real, dependency-free media codecs for the uncompressed container
-  * formats parseable without native libraries: BMP (24-bit BI_RGB,
-  * [MS-WMF]/Windows bitmap layout) and WAV (RIFF PCM 16-bit). Compressed
-  * formats (JPEG/PNG/MP3/...) still fall back to the deterministic stub
-  * in Multimodal — decoding those needs codec libraries this build
-  * doesn't ship — but the dispatch, metadata extraction, pixel/sample
-  * math, and re-encode path below are the real thing.
+/** Real, dependency-free media codecs for the formats parseable without
+  * native libraries: BMP (24-bit BI_RGB, [MS-WMF]/Windows bitmap
+  * layout), WAV (RIFF PCM 16-bit), and PNG (8-bit gray/RGB/RGBA,
+  * non-interlaced — a REAL compressed format: the zlib inflate ships
+  * with the JDK, and the chunk walk, scanline unfiltering
+  * (None/Sub/Up/Average/Paeth) and re-encode below implement the public
+  * PNG spec from scratch). Formats needing codec libraries this build
+  * doesn't ship (JPEG/MP3/...) fall back to the deterministic stub in
+  * Multimodal — but the dispatch, metadata extraction, pixel/sample
+  * math, and re-encode paths below are the real thing.
   *
   * All functions are pure byte-array transforms: they run inside
   * `mapPartitions` on executors, payloads never touch the driver.
@@ -23,12 +26,15 @@ object MediaCodecs {
   final case class AudioMeta(sampleRate: Int, channels: Int, nFrames: Long,
       rms: Double, zeroCrossRate: Double)
 
-  /** Container sniff by magic bytes: "bmp" | "wav" | "unknown". */
+  /** Container sniff by magic bytes: "bmp" | "wav" | "png" | "unknown". */
   def sniff(b: Array[Byte]): String =
     if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b != null && b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b != null && b.length >= 8 &&
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A) "png"
     else "unknown"
 
   // ---- BMP (24-bit uncompressed) -------------------------------------
@@ -159,6 +165,212 @@ object MediaCodecs {
     while (i < samples.length) { b.putShort(44 + i * 2, samples(i)); i += 1 }
     out
   }
+
+  // ---- PNG (8-bit gray/RGB/RGBA, non-interlaced) ---------------------
+
+  /** Decode geometry + per-channel means of a PNG. Real compressed-image
+    * decode: chunk walk (IHDR, IDAT run, IEND), zlib inflate
+    * (java.util.zip.Inflater), per-scanline unfilter (all five PNG
+    * filter types). 8-bit depth, color types 0 (gray), 2 (RGB) and
+    * 6 (RGBA, alpha ignored for means), interlace 0 — the shapes data
+    * pipelines actually emit. */
+  def decodePng(bytes: Array[Byte]): Option[ImageMeta] =
+    decodePngPixels(bytes).map { case (w, h, rgb) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val n = w * h
+      var i = 0
+      while (i < n) {
+        sr += rgb(i * 3) & 0xFF
+        sg += rgb(i * 3 + 1) & 0xFF
+        sb += rgb(i * 3 + 2) & 0xFF
+        i += 1
+      }
+      ImageMeta(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+
+  /** Decode a PNG to row-major top-down RGB triplets. Shared by
+    * decodePng (stats) and resizePng (pixels). */
+  private[ext] def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (sniff(bytes) != "png") return None
+    val buf = ByteBuffer.wrap(bytes) // PNG ints are big-endian
+    var pos = 8
+    var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend && pos + 8 <= bytes.length) {
+      val len = buf.getInt(pos)
+      if (len < 0 || pos.toLong + 12L + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
+          depth = bytes(pos + 16) & 0xFF; colorType = bytes(pos + 17) & 0xFF
+          interlace = bytes(pos + 20) & 0xFF
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr || !sawIend || w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return None // palette/gray+alpha out of minimal scope
+    }
+    if (w.toLong * h * channels + h > Int.MaxValue / 2) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated
+        off += k
+      }
+      if (off < raw.length) return None
+    } finally inf.end()
+    // unfilter scanlines in place into the pixel buffer
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val a = if (x >= channels) px(rowOut + x - channels) & 0xFF else 0
+        val b = if (y > 0) px(rowOut - stride + x) & 0xFF else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) >> 1)
+          case 4 =>
+            val c = if (x >= channels && y > 0) px(rowOut - stride + x - channels) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        px(rowOut + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // normalize to RGB triplets
+    val rgb =
+      if (channels == 3) px
+      else {
+        val o = new Array[Byte](w * h * 3)
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          if (channels == 1) {
+            val g = px(i)
+            o(i * 3) = g; o(i * 3 + 1) = g; o(i * 3 + 2) = g
+          } else { // RGBA: drop alpha
+            o(i * 3) = px(i * 4); o(i * 3 + 1) = px(i * 4 + 1); o(i * 3 + 2) = px(i * 4 + 2)
+          }
+          i += 1
+        }
+        o
+      }
+    Some((w, h, rgb))
+  } catch { case _: Throwable => None }
+
+  /** Encode row-major top-down RGB triplets as an 8-bit truecolor PNG
+    * (color type 2, non-interlaced), with the chosen scanline filter
+    * applied to every row (0=None .. 4=Paeth) and zlib-deflated IDAT —
+    * the write-side twin of decodePng, and the way tests exercise every
+    * unfilter path. */
+  def encodePng(width: Int, height: Int, rgbTopDown: Array[Byte],
+      filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && rgbTopDown.length == width * height * 3,
+      s"need $width*$height*3 RGB bytes, got ${rgbTopDown.length}")
+    require(filterType >= 0 && filterType <= 4, s"PNG filter must be 0..4, got $filterType")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = filterType.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgbTopDown(y * stride + x) & 0xFF
+        val a = if (x >= 3) rgbTopDown(y * stride + x - 3) & 0xFF else 0
+        val b = if (y > 0) rgbTopDown((y - 1) * stride + x) & 0xFF else 0
+        val pred = filterType match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val c = if (x >= 3 && y > 0) rgbTopDown((y - 1) * stride + x - 3) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val chunk = new Array[Byte](8192)
+        while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+        out.toByteArray
+      } finally d.end()
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val out = ByteBuffer.allocate(12 + data.length) // big-endian
+      out.putInt(data.length); out.put(t); out.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width); ihdr.putInt(height)
+    ihdr.put(8.toByte); ihdr.put(2.toByte) // depth 8, truecolor
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr.array()) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Nearest-neighbor resize of a PNG, re-encoded as truecolor PNG —
+    * decode, resample, re-encode: the real thumbnail stage for a
+    * compressed format. */
+  def resizePng(bytes: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] =
+    if (newW <= 0 || newH <= 0) None
+    else decodePngPixels(bytes).map { case (w, h, rgb) =>
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val s = (sy * w + sx) * 3
+          val d = (y * newW + x) * 3
+          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(newW, newH, out)
+    }
 
   // ---- WAV (RIFF PCM 16-bit) -----------------------------------------
 

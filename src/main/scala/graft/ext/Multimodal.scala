@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side shape is real and tested — schema, encoders,
-  * partitioning, batch iteration — while the actual media codecs are
-  * STUBBED with a deterministic fake (this container has no image/audio
-  * libraries): `fakeDecode` derives pseudo-features from a rolling hash
-  * of the payload bytes, so outputs are stable across runs/machines and
+  * partitioning, batch iteration. BMP, WAV and PNG payloads decode with
+  * REAL codecs (MediaCodecs, zero dependencies); formats whose codecs
+  * aren't in this build (JPEG/MP3/...) fall back to a deterministic
+  * fake: `fakeDecode` derives pseudo-features from a rolling hash of
+  * the payload bytes, so outputs are stable across runs/machines and
   * the pipeline remains verifiable end-to-end.
   *
   * Scale notes: `mapPartitions` + an internal batch size is exactly the
@@ -43,10 +44,11 @@ object Multimodal {
       content: Array[Byte])
 
   /** Payload decode with REAL codecs where the format allows it
-    * (MediaCodecs: BMP 24-bit, WAV PCM-16 — both parseable with zero
-    * dependencies); anything else falls back to the deterministic stub.
-    * The leading feature is a format tag so downstream consumers can
-    * tell real decodes from fallback hashes. */
+    * (MediaCodecs: BMP 24-bit, WAV PCM-16, PNG 8-bit — all parseable
+    * with zero dependencies, PNG via the JDK's zlib); anything else
+    * falls back to the deterministic stub. The leading feature is a
+    * format tag so downstream consumers can tell real decodes from
+    * fallback hashes. */
   private[ext] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     def fill(vals: Seq[Double]): Array[Float] = {
@@ -66,6 +68,13 @@ object Multimodal {
           case Some(a) => fill(Seq(2.0, a.sampleRate / 1000.0, a.channels,
             a.nFrames, a.rms, a.zeroCrossRate,
             a.nFrames.toDouble / math.max(a.sampleRate, 1)))
+          case None => fakeDecode(bytes, dim)
+        }
+      case "png" =>
+        MediaCodecs.decodePng(bytes) match {
+          case Some(m) => fill(Seq(3.0, m.width, m.height,
+            m.meanR / 255.0, m.meanG / 255.0, m.meanB / 255.0,
+            m.width.toDouble / math.max(m.height, 1)))
           case None => fakeDecode(bytes, dim)
         }
       case _ => fakeDecode(bytes, dim)
@@ -107,14 +116,16 @@ object Multimodal {
   }
 
   /** Resize: REAL nearest-neighbor pixel resampling + re-encode for BMP
-    * payloads (MediaCodecs.resizeBmp); other image formats update
-    * metadata only (their pixel codecs aren't in this build). Narrow op —
-    * payloads transform in place on their executors. */
+    * and PNG payloads (MediaCodecs.resizeBmp/resizePng); other image
+    * formats update metadata only (their pixel codecs aren't in this
+    * build). Narrow op — payloads transform in place on their
+    * executors. */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.map { m =>
       if (m.kind != "image") m
-      else MediaCodecs.resizeBmp(m.content, w, h) match {
+      else MediaCodecs.resizeBmp(m.content, w, h)
+        .orElse(MediaCodecs.resizePng(m.content, w, h)) match {
         case Some(resized) => m.copy(width = w, height = h, content = resized)
         case None => m.copy(width = w, height = h)
       }

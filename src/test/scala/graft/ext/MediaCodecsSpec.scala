@@ -96,6 +96,82 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav("RIFFxxxxWAVEbroken".getBytes).isEmpty)
   }
 
+  test("PNG round trip: every filter type decodes to the exact source pixels") {
+    val rnd = new scala.util.Random(11)
+    val w = 7; val h = 5
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    (0 to 4).foreach { ft =>
+      val png = MediaCodecs.encodePng(w, h, rgb, filterType = ft)
+      assert(MediaCodecs.sniff(png) === "png")
+      val (dw, dh, got) = MediaCodecs.decodePngPixels(png)
+        .getOrElse(fail(s"decode failed for filter $ft"))
+      assert(dw === w && dh === h)
+      assert(got.toSeq === rgb.toSeq, s"pixel mismatch for filter $ft")
+    }
+  }
+
+  test("decodePng: exact channel means; grayscale and RGBA normalize to RGB") {
+    // 2 pixels with known means
+    val rgb = Array[Byte](10, 20, 30, 20, 40, 60)
+    val m = MediaCodecs.decodePng(MediaCodecs.encodePng(2, 1, rgb, 4)).get
+    assert(m.width === 2 && m.height === 1)
+    assert(m.meanR === 15.0 && m.meanG === 30.0 && m.meanB === 45.0)
+    // hand-built grayscale (color type 0): gray replicates to R=G=B
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val out = ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length); out.put(t); out.put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.putInt(crc.getValue.toInt); out.array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val b = new Array[Byte](256)
+      while (!d.finished()) o.write(b, 0, d.deflate(b)); d.end(); o.toByteArray
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    def ihdr(colorType: Int) = {
+      val b = ByteBuffer.allocate(13)
+      b.putInt(2); b.putInt(1); b.put(8.toByte); b.put(colorType.toByte)
+      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.array()
+    }
+    val gray = sig ++ chunk("IHDR", ihdr(0)) ++
+      chunk("IDAT", deflate(Array[Byte](0, 50, 100))) ++
+      chunk("IEND", Array.emptyByteArray)
+    val gm = MediaCodecs.decodePng(gray).get
+    assert(gm.meanR === 75.0 && gm.meanG === 75.0 && gm.meanB === 75.0)
+    // RGBA (color type 6): alpha ignored in means
+    val rgba = sig ++ chunk("IHDR", ihdr(6)) ++
+      chunk("IDAT", deflate(Array[Byte](0, 10, 20, 30, 0, 20, 40, 60, 100.toByte))) ++
+      chunk("IEND", Array.emptyByteArray)
+    val am = MediaCodecs.decodePng(rgba).get
+    assert(am.meanR === 15.0 && am.meanG === 30.0 && am.meanB === 45.0)
+  }
+
+  test("decodePng rejects junk, truncated deflate, and unsupported shapes") {
+    assert(MediaCodecs.decodePng("not a png".getBytes).isEmpty)
+    val good = MediaCodecs.encodePng(4, 4, Array.fill(48)(7.toByte), 2)
+    assert(MediaCodecs.decodePng(good).isDefined)
+    // cut inside the IDAT chunk: inflate cannot complete
+    assert(MediaCodecs.decodePng(good.take(good.length - 16)).isEmpty)
+    // interlaced flag set -> out of scope, fail-soft
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
+    assert(MediaCodecs.decodePng(interlaced).isEmpty)
+  }
+
+  test("resizePng: nearest-neighbor downscale picks exact source pixels") {
+    // 4x2 image, left half red-ish, right half blue-ish
+    val rgb = Array.tabulate(4 * 2 * 3) { i =>
+      val x = (i / 3) % 4
+      (if (x < 2) Array(200, 10, 10) else Array(10, 10, 200))(i % 3).toByte
+    }
+    val small = MediaCodecs.resizePng(MediaCodecs.encodePng(4, 2, rgb, 3), 2, 1).get
+    val (w, h, px) = MediaCodecs.decodePngPixels(small).get
+    assert(w === 2 && h === 1)
+    assert((px(0) & 0xFF) === 200 && (px(5) & 0xFF) === 200) // left red, right blue
+  }
+
   test("Multimodal.decodeFeatures dispatches: tagged real features vs stub") {
     val img = bmp(Array(Array((100, 150, 200))))
     val fImg = Multimodal.decodeFeatures(img, 8)
@@ -104,6 +180,11 @@ class MediaCodecsSpec extends AnyFunSuite {
     val snd = wav(Array.fill(8)(1000.toShort), rate = 44100)
     val fSnd = Multimodal.decodeFeatures(snd, 8)
     assert(fSnd(0) === 2.0f && fSnd(1) === 44.1f)
+    val png = MediaCodecs.encodePng(2, 1,
+      Array[Byte](100.toByte, 0, 0, 200.toByte, 0, 0), filterType = 1)
+    val fPng = Multimodal.decodeFeatures(png, 8)
+    assert(fPng(0) === 3.0f && fPng(1) === 2.0f && fPng(2) === 1.0f)
+    assert(fPng(3) === (150 / 255.0).toFloat)
     val other = Multimodal.decodeFeatures("some text".getBytes, 8)
     assert(other(0) !== 1.0f) // stub path, not a format tag
   }
