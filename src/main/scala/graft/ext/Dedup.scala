@@ -229,16 +229,22 @@ object Dedup {
     * closure: a~b, b~c => {a,b,c} share one cluster, canonical id = min
     * member).
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * min of its own label and its neighbors' labels — one join + one
-    * aggregation per round, all data distributed; the driver loop
-    * carries CONTROL only (a convergence scalar), never rows. Labels
-    * decrease monotonically, so the decimal-summed label total is a
-    * correct, join-free convergence test. Converges in O(component
-    * diameter) rounds — near-dup clusters are shallow (dup groups, not
-    * social graphs), so a handful of rounds suffices; for web-scale
-    * diameters swap in large-star/small-star with the same per-round
-    * plan shape. Each round is materialized through [[Materialize]],
+    * Iterative min-label propagation WITH POINTER JUMPING: each round
+    * every vertex (1) hooks — takes the min of its own label and its
+    * neighbors' labels — then (2) jumps — replaces its label with its
+    * label's own label (path compression). Both steps are one
+    * distributed join each; the driver loop carries CONTROL only (a
+    * convergence scalar), never rows. Jumping halves label-tree depth
+    * every round, so even an adversarial CHAIN graph converges in
+    * O(log diameter) rounds (the same round-complexity class as
+    * large-star/small-star) while shallow near-dup clusters still
+    * finish in 2-3. Correctness is unchanged by jumping: a label is
+    * always the id of a node in the same component, labels decrease
+    * monotonically, and a fixpoint of the hook step forces equal labels
+    * across every edge — so the decimal-summed label total is a
+    * correct, join-free convergence test (sum unchanged means no label
+    * moved in either step that round).
+    * Each round is materialized through [[Materialize]],
     * which cuts the growing lineage with a RELIABLE checkpoint when the
     * session has a checkpoint dir configured (the cluster contract —
     * survives executor loss mid-iteration) and an executor-local
@@ -264,9 +270,19 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbrMin = matEdges.join(labels, matEdges("dst") === labels("id"))
         .groupBy(matEdges("src").as("nid")).agg(min(col("label")).as("nbr_min"))
-      labels = Materialize(labels.join(nbrMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      val hooked = Materialize(
+        labels.join(nbrMin, labels("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      // pointer jumping: follow the label one hop (label := label's
+      // label). Every label is a vertex id present in `hooked`, so the
+      // left join only misses when the label is already a root.
+      labels = Materialize(
+        hooked.as("x").join(
+            hooked.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+            col("x.label") === col("j.jid"), "left")
+          .select(col("x.id").as("id"),
+            coalesce(col("j.jlabel"), col("x.label")).as("label")))
       val total = labelTotal(labels)
       converged = total.compareTo(prevTotal) == 0
       prevTotal = total

@@ -127,6 +127,17 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("components: adversarial 1000-edge chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // a single path 0-1-2-...-1000: diameter 1000. Plain min-label
+    // propagation needs ~1000 rounds; pointer jumping must finish well
+    // inside 20 (≈ log2 growth of per-round reach).
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.components(chain, maxRounds = 20).as[(Long, Long)].collect()
+    assert(got.length === 1001)
+    assert(got.forall(_._2 == 0L), "every chain vertex must label to the min id 0")
+  }
+
   test("components: reliable checkpoint path when a checkpoint dir is configured") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
