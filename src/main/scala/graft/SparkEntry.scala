@@ -324,6 +324,16 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
     },
+    "split_leakage_safe" -> { (s, dir) =>
+      // Cluster-aware split: near-duplicate docs (transitive ngram-
+      // Jaccard clusters) always land in the SAME split — the standard
+      // guard against eval leakage through near-dups that a per-doc
+      // hash split cannot give. Oracle recomputes the closure with a
+      // recursive CTE and applies the identical cluster-id hash.
+      val docs = Tables(s, dir, "documents")
+      Curation.leakageSafeSplit(docs,
+        Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)))
+    },
     "sample_per_group" -> { (s, dir) =>
       // Deterministic per-group sample: first 3 docs per lang in
       // hash-shuffled order (stable "random" sample with a tie-break).
@@ -883,6 +893,7 @@ object SparkEntry {
         | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b FROM documents)
         |GROUP BY 1""".stripMargin,
+    "split_leakage_safe" -> leakageSafeSplitSql,
     "sample_per_group" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,
@@ -1043,15 +1054,36 @@ object SparkEntry {
     * Dedup.components' min-label propagation. The pair set is the SAME
     * string as the dedup_ngram_jaccard oracle (nested as a subquery), so
     * the two oracles can never desynchronize. */
-  private def dedupClustersSql: String =
+  /** Recursive-CTE transitive closure over the exact ngram-Jaccard pair
+    * set — the shared prefix of the dedup_clusters and
+    * split_leakage_safe oracles. */
+  private def dedupClustersCtes: String =
     s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($ngramJaccardSql) q),
        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
        |  UNION SELECT b_id, a_id FROM pairs),
        |reach(id, r) AS (
        | SELECT src, src FROM edges
        | UNION
-       | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""$dedupClustersCtes
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** Leakage-safe split oracle: the same recursive closure, then every
+    * doc buckets by its CLUSTER id (singletons by own id) with the
+    * identical wrap-free multiplicative hash as the Spark side. */
+  private def leakageSafeSplitSql: String =
+    s"""$dedupClustersCtes,
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |assigned AS (
+       | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       | FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, cluster_id,
+       | CASE WHEN ((cluster_id % 100) * 61) % 100 < 80 THEN 'train'
+       |      WHEN ((cluster_id % 100) * 61) % 100 < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM assigned""".stripMargin
 
   /** DuckDB twin of the `text_stats` projection (TextAnalysis.*): nested
     * subqueries compute tokens/padded text once, then the quality ratios,

@@ -133,6 +133,35 @@ object Curation {
       .distinct()
   }
 
+  /** Leakage-safe train/val/test split: every document in the same
+    * near-duplicate CLUSTER lands in the same split. A plain per-doc
+    * hash split leaks evaluation data whenever near-duplicates straddle
+    * the boundary — the standard fix is to split by dedup cluster, not
+    * by document.
+    *
+    * `clusters` is (doc_id, cluster_id) from [[Dedup.components]];
+    * documents absent from the pair graph are their own singleton
+    * cluster (left join + coalesce). Bucketing applies the same
+    * wrap-free mod-before-multiply hash as the per-doc split, to the
+    * CLUSTER id — deterministic across engines and partitionings, and
+    * one broadcast-or-shuffle left join at any scale.
+    *
+    * Output: (idCol, cluster_id, split string). */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need trainPct > 0, valPct >= 0, sum <= 100; got $trainPct/$valPct")
+    val c = clusters.select(col("doc_id").as(idCol), col("cluster_id").as("__cid"))
+    val bucket = pmod(pmod(col("cluster_id"), lit(100L)) * lit(61L), lit(100L))
+    docs.select(col(idCol)).join(c, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__cid"), col(idCol)).as("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Train/test contamination: for every document in the `test` frame,
     * every `train` document sharing at least one word n-gram, with the
     * count of distinct shared n-grams — the exact-overlap decontamination

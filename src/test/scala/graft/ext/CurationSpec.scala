@@ -126,6 +126,31 @@ class CurationSpec extends SparkTestBase {
     assert(cand < allPairs / 100, s"candidate volume $cand is not ≪ n²=$allPairs")
   }
 
+  test("leakageSafeSplit: same cluster same split, singletons keep per-doc hash") {
+    val docs = (1L to 1000L).toDF("doc_id")
+    // two multi-doc clusters; everything else singleton
+    val clusters = Seq(
+      (10L, 10L), (20L, 10L), (30L, 10L), // cluster 10
+      (40L, 40L), (41L, 40L)) // cluster 40
+      .toDF("doc_id", "cluster_id")
+    val out = Curation.leakageSafeSplit(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 1000)
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    // same cluster -> same split
+    assert(Set(byDoc(10L), byDoc(20L), byDoc(30L)).size === 1)
+    assert(Set(byDoc(40L), byDoc(41L)).size === 1)
+    // singleton buckets match the per-doc hash split exactly
+    out.filter(t => t._1 == t._2).foreach { case (id, _, split) =>
+      val b = ((id % 100) * 61) % 100
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(split === expected, s"doc $id")
+    }
+    // distribution sanity: roughly 80/10/10
+    val n = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(n("train") > 700 && n("val") > 50 && n("test") > 50)
+  }
+
   test("contamination finds planted n-gram overlap, exact count") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
     val train = Seq(
