@@ -217,6 +217,16 @@ object SparkEntry {
         Seq(TextAnalysis.langId(t).as("lang_pred"),
           TextAnalysis.fingerprint(t).as("fingerprint")): _*)
     },
+    "text_tokens_bpe" -> { (s, dir) =>
+      // token-cost estimation: whitespace tokens vs BPE-ish pretokenizer
+      // matches (letter/digit/punct runs, optional leading space). The
+      // pattern avoids lookahead so Java regex and DuckDB RE2 agree
+      // match-for-match.
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    },
     "text_keyterms" -> { (s, dir) =>
       // TF-IDF-style keyword extraction with integer-exact ranking: top-3
       // terms per document by (term frequency desc, document frequency
@@ -806,6 +816,14 @@ object SparkEntry {
         |       GENERATE_SUBSCRIPTS(embedding, 1) AS dim1 FROM embeddings)
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN text IS NULL OR LEN(TRIM(text)) = 0 THEN 0
+        |  ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS INT) AS n_ws_tokens,
+        | CAST(CASE WHEN text IS NULL THEN 0
+        |  ELSE LEN(REGEXP_EXTRACT_ALL(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+')) END AS INT)
+        |  AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     "text_keyterms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         |             FROM documents WHERE text IS NOT NULL),

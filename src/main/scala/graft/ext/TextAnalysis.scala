@@ -12,13 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (the BPE-ish regex split: any run of whitespace). */
+  /** Whitespace tokens (split on any run of whitespace). */
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
   /** Token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish pretokenizer match pattern: letter runs, digit runs, and
+    * punctuation runs, each optionally absorbing one leading space —
+    * the GPT-2 pretokenizer shape MINUS its lookahead clauses, so the
+    * same pattern means the same thing in Java regex (Spark codegen)
+    * and RE2 (DuckDB oracle). Whitespace itself is not a token. */
+  val BpeishPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"
+
+  /** BPE-ish token count — the standard "how many tokens will this cost
+    * roughly" estimator when the real tokenizer can't run in-engine.
+    * Counts pretokenizer matches (regexp_count is codegen'd; one narrow
+    * pass, no shuffle). Null-safe: null text counts 0. */
+  def bpeTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(BpeishPattern)), lit(0))
 
   /** All word n-grams of a token array, in order, duplicates kept;
     * documents shorter than n yield an empty array. The single n-gram

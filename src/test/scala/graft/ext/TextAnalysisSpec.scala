@@ -18,6 +18,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0, 0, 1))
   }
 
+  test("bpeTokenCount: letter/digit/punct runs, leading-space absorption, nulls") {
+    import spark.implicits._
+    val df = Seq(
+      Some("hello world"), // "hello", " world" -> 2
+      Some("it's 2024!"), // "it", "'", "s", " 2024", "!" -> 5
+      Some("a  b"), // "a", " b" (second space unabsorbed, not a token) -> 2
+      Some(""), None).toDF("text")
+      .select(bpeTokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 5, 2, 0, 0))
+  }
+
   test("shingles: ordered 3-grams, distinct, short docs empty") {
     val got = one("a b c d c d").select(shingles(col("text")).as("s"))
       .collect().head.getSeq[String](0)
