@@ -152,6 +152,22 @@ object SparkEntry {
           (call_function("div", col("ts"), lit(1000000000L)) -
             call_function("div", col("err_ts"), lit(1000000000L))).as("secs_since_err"))
     },
+    "q_asof_join_forward" -> { (s, dir) =>
+      // Next-event attribution: for every non-error event, the NEXT
+      // error event of the same user at-or-after it (forward as-of;
+      // oracle: DuckDB native ASOF LEFT JOIN with l.ts <= r.ts).
+      val ev = Tables(s, dir, "events")
+      val leftEv = ev.filter(col("event_type") =!= "error")
+        .select("event_id", "user_id", "ts")
+      val rightEv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      graft.ops.AsOfJoin.forward(leftEv, rightEv,
+        keys = Seq("user_id"), tsCol = "ts", pick = Seq("err_id", "err_ts"),
+        suffix = "", tiebreakCol = Some("err_id"))
+        .select(col("event_id"), col("user_id"), col("err_id").as("next_err_id"),
+          (call_function("div", col("err_ts"), lit(1000000000L)) -
+            call_function("div", col("ts"), lit(1000000000L))).as("secs_to_err"))
+    },
     "q_range_join" -> { (s, dir) =>
       // Point-in-interval: every non-first event joined back to the
       // session interval that contains it (bucketized range join).
@@ -737,6 +753,12 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type <> 'error') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS next_err_id,
+        | CAST(FLOOR(EPOCH(r.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(l.ts)) AS BIGINT) AS secs_to_err
+        |FROM (SELECT * FROM events WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        | ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "q_range_join" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,

@@ -66,6 +66,46 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("forward as-of picks smallest right ts >= left ts, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 50L, "l0"), (2L, 600L, "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 80L, 10.0), (1L, 150L, 20.0), (2L, 500L, 30.0))
+      .toDF("k", "ts", "price")
+    val got = AsOfJoin.forward(left, right, keys = Seq("k"), tsCol = "ts",
+      pick = Seq("price")).collect()
+      .map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("price_asof"))).toMap
+    assert(got === Map(
+      "l0" -> Some(10.0), // 50 <= 80
+      "l1" -> Some(20.0), // next right at-or-after 100 is 150
+      "l2" -> None, // nothing at-or-after 200
+      "l3" -> None)) // right row at 500 is before 600
+  }
+
+  test("forward randomized: agrees with a brute-force reference, ties to min tiebreak") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 10, i.toLong)
+    }
+    val right = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 10, i.toLong,
+        if (rnd.nextInt(10) < 3) null else s"p$i")
+    }
+    val got = AsOfJoin.forward(left.toDF("k", "ts", "lid"),
+      right.toDF("k", "ts", "rid", "pa"),
+      keys = Seq("k"), tsCol = "ts", pick = Seq("pa"), tiebreakCol = Some("rid"))
+      .collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("pa_asof"))).toMap
+    // brute force: min (ts, rid) among right rows with ts >= left ts
+    val expected = left.map { case (k, ts, lid) =>
+      val m = right.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(r => (r._2, r._3)).headOption
+      lid -> m.flatMap(r => Option(r._4))
+    }.toMap
+    expected.foreach { case (lid, exp) => assert(got(lid) === exp, s"left row $lid") }
+  }
+
   test("matched row's NULL fields stay NULL — no stale carry from older rows") {
     import spark.implicits._
     val left = Seq((1L, 200L, "l")).toDF("k", "ts", "tag")
