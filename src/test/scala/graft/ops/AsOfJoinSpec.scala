@@ -127,10 +127,13 @@ class AsOfJoinSpec extends SparkTestBase {
     import spark.implicits._
     val left = Seq((1L, 100L, "x")).toDF("k", "ts", "tag")
     val right = Seq((1L, 80L, 1.0)).toDF("k", "ts", "v")
-    val plan = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"))
-      .queryExecution.executedPlan.toString
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles === 1, s"expected exactly 1 shuffle:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    Seq(
+      AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v")),
+      AsOfJoin.forward(left, right, Seq("k"), "ts", Seq("v"))).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1, s"expected exactly 1 shuffle:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    }
   }
 }
