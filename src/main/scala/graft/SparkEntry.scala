@@ -125,6 +125,7 @@ object SparkEntry {
     "q_setop_except" -> (Relational.quietCustomers _),
     "q_rollup" -> (Relational.orderRollup _),
     "q_cube" -> (Relational.orderCube _),
+    "q_grouping_sets" -> (Relational.orderGroupingSets _),
     "q_percentile" -> (Relational.priceQuantiles _),
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
@@ -737,6 +738,12 @@ object SparkEntry {
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS p50,

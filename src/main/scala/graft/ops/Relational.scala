@@ -171,6 +171,18 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
 
+  /** Explicit GROUPING SETS — the arbitrary-combination form that rollup
+    * and cube are shorthands for: per-status and per-priority marginals
+    * in ONE pass over orders (one Expand + one aggregation exchange),
+    * where two separate group-bys would scan and shuffle twice. */
+  def orderGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+
   /** Approximate distinct counts (HLL++): deterministic for fixed input
     * values (register-max merges are order-independent), sketch-level
     * accuracy pinned by unit test, no cross-engine oracle. */
