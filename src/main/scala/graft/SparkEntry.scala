@@ -126,6 +126,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.orderRollup _),
     "q_cube" -> (Relational.orderCube _),
     "q_grouping_sets" -> (Relational.orderGroupingSets _),
+    "q_unpivot" -> (Relational.partUnpivot _),
     "q_percentile" -> (Relational.priceQuantiles _),
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
@@ -199,6 +200,21 @@ object SparkEntry {
     "q_collect_set" -> (Relational.statusSetPerFlag _),
     "q_anti_join" -> (Relational.customersWithoutOrders _),
     "q_semi_join" -> (Relational.orderedParts _),
+    "q_bloom_join" -> { (s, dir) =>
+      // Bloom-pre-filtered semi join: lineitems of expensive orders. The
+      // bloom test thins the probe side BEFORE its shuffle; the final
+      // equi-join removes bloom false positives, so the result is
+      // bit-identical to the plain semi join the oracle runs.
+      val expensive = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      graft.ops.BloomJoin.semiJoin(li, expensive, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+    },
     "q_sql_interface" -> (Relational.sqlInterface _),
     "text_clean" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
@@ -744,12 +760,22 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, p_brand, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, p_brand, 'retail_price' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS p50,
         | quantile_cont(l_extendedprice, 0.9) AS p90,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

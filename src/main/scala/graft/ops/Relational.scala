@@ -183,6 +183,25 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
 
+  /** UNPIVOT (melt): wide part attributes to long (key, metric, value)
+    * triples — the relational reshaping step feature pipelines use before
+    * per-metric aggregation. Spark's native unpivot is a zero-shuffle
+    * Expand projection (each input row emits one output row per value
+    * column in the same task), so it scales embarrassingly: no exchange,
+    * no driver involvement, and column pruning still reaches the scan.
+    * Value columns are cast to a common type up front (unpivot requires
+    * it, exactly like ANSI UNPIVOT). */
+  def partUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retail_price"))
+      .unpivot(
+        ids = Array(col("p_partkey"), col("p_brand")),
+        values = Array(col("size"), col("retail_price")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
   /** Approximate distinct counts (HLL++): deterministic for fixed input
     * values (register-max merges are order-independent), sketch-level
     * accuracy pinned by unit test, no cross-engine oracle. */

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class BloomJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("no false negatives: every build key passes mightContain") {
+    val build = (1L to 2000L).map(_ * 7919L).toDF("k")
+    val (words, k, m) = BloomJoin.buildBits(build, "k", fpp = 0.01)
+    val missed = build.filter(!BloomJoin.mightContain(words, k, m, col("k"))).count()
+    assert(missed === 0L)
+  }
+
+  test("false positive rate is near the configured fpp") {
+    val build = (1L to 5000L).toDF("k")
+    val (words, k, m) = BloomJoin.buildBits(build, "k", fpp = 0.01)
+    // probe keys disjoint from the build set
+    val probe = (1000001L to 1050000L).toDF("k")
+    val fp = probe.filter(BloomJoin.mightContain(words, k, m, col("k"))).count()
+    assert(fp < 50000 * 0.05, s"false positive count $fp way above fpp budget")
+  }
+
+  test("semiJoin result is identical to the plain semi join") {
+    val probe = (1L to 20000L).map(i => (i, i % 97)).toDF("pk", "payload")
+    val build = (1L to 20000L).filter(_ % 13 == 0).map(i => i).toDF("bk")
+    val got = BloomJoin.semiJoin(probe, build, "pk", "bk")
+      .orderBy("pk").collect().map(_.getLong(0))
+    val want = probe.join(build, col("pk") === col("bk"), "left_semi")
+      .orderBy("pk").collect().map(_.getLong(0))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("bloom filter sits on the probe side below the join (pre-shuffle)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // parquet scans, not LocalRelations: ConvertToLocalRelation folds a
+      // Filter over in-memory data away at optimize time, which would hide
+      // the bloom test from the plan string
+      val probe = spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .select(col("l_orderkey").as("pk"))
+      val build = spark.read.parquet(s"${sf()}/orders.parquet")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("bk"))
+      val joined = BloomJoin.semiJoin(probe, build, "pk", "bk")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // membership test present, and the join is a shuffle join whose probe
+      // branch filters before the exchange: the Filter(element_at…) must
+      // appear in the plan, and the result must stay exact regardless.
+      assert(plan.contains("element_at"), s"no bloom membership test in plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join with broadcast disabled:\n$plan")
+      // the bloom Filter must be below the join: in the string rendering the
+      // element_at filter line is indented under the probe-side subtree, i.e.
+      // it appears after the join operator line
+      val joinLine = plan.linesIterator.indexWhere(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      val filterLine = plan.linesIterator.indexWhere(_.contains("element_at"))
+      assert(filterLine > joinLine, "bloom filter should be inside a join subtree")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bloom pre-filter thins the probe side to matches + fpp budget") {
+    val probe = (1L to 100000L).toDF("pk")
+    val build = (1L to 100000L).filter(_ % 100 == 0).toDF("bk") // 1% match
+    val (words, k, m) = BloomJoin.buildBits(build, "bk", fpp = 0.01)
+    val passed = probe.filter(BloomJoin.mightContain(words, k, m, col("pk"))).count()
+    val matches = 1000L
+    assert(passed >= matches)
+    assert(passed <= matches + (100000L * 0.05).toLong,
+      s"bloom passed $passed rows for $matches true matches")
+  }
+}
