@@ -1,7 +1,12 @@
 package graft.ops
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.BloomMightContain
 
 /** Bloom-filter pre-filtered joins.
   *
@@ -18,31 +23,41 @@ import org.apache.spark.sql.functions._
   *
   * Engineering shape (everything stays inside whole-stage codegen):
   *  - k hash functions are `xxhash64(key, seed_i)` — one codegen'd call
-  *    each, no UDF, no custom expression.
+  *    each, no UDF; the probe side builds the identical `XxHash64`
+  *    expressions so its bits match the build side bit-for-bit.
   *  - The bit array is built DISTRIBUTEDLY: each build key explodes to k
   *    bit positions, positions map to (word, mask) pairs, and a
   *    `bit_or` aggregation over 64-bit words produces at most m/64 rows.
   *    The driver only ever collects the aggregated word array (m/64
   *    longs — 128 KiB for a 1M-bit filter), never the keys.
-  *  - The word array is embedded as an array literal, so executors get it
-  *    with the serialized plan exactly like a broadcast variable, and the
-  *    membership test (`element_at` + bitwise AND) is codegen'd straight
-  *    into the probe-side scan stage.
+  *  - The word array travels as a BROADCAST VARIABLE, dereferenced from
+  *    a codegen'd `BloomMightContain` expression — executors fetch it
+  *    once via the torrent protocol. It is deliberately NOT a plan
+  *    literal: a 10M-key filter at fpp 0.01 is ~12 MB, which as a
+  *    `typedLit` would ride every serialized task.
   *
   * Sizing follows the standard Bloom calculus: m = -n·ln(p)/ln(2)²,
   * k = (m/n)·ln(2), both clamped to sane minimums. `expectedItems <= 0`
-  * means "count the build side first" — one cheap action on the small
-  * side (the same eager-fit pattern as Similarity.ivfTopK).
+  * means "size from the build side" — a SINGLE driver action running
+  * `approx_count_distinct` (map-side partial aggregate, no full shuffle);
+  * the ±5% HLL error is absorbed by a 1.1× headroom factor on m.
   */
 object BloomJoin {
 
-  /** Sized Bloom parameters + the filled word array for `keyCol` of
-    * `build`. Returned words array has length m/64, m a multiple of 64. */
+  /** A sized, filled Bloom filter: broadcast word array + parameters.
+    * `bits.value` has length mBits/64. */
+  final case class BloomHandle(bits: Broadcast[Array[Long]], k: Int, mBits: Long)
+
+  /** Build a Bloom filter over `keyCol` of `build`, distributedly, and
+    * broadcast the word array. Exactly one driver action when
+    * `expectedItems` is given; one extra cheap sizing action
+    * (`approx_count_distinct`) when it is not. */
   def buildBits(build: DataFrame, keyCol: String, expectedItems: Long = -1L,
-      fpp: Double = 0.01): (Array[Long], Int, Long) = {
+      fpp: Double = 0.01): BloomHandle = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val n = if (expectedItems > 0) expectedItems
-            else math.max(1L, build.select(keyCol).count())
+            else math.max(1L,
+              (build.select(approx_count_distinct(col(keyCol))).head.getLong(0) * 1.1).toLong)
     val ln2 = math.log(2.0)
     val mBits0 = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
     val mBits = math.max(256L, ((mBits0 + 63) / 64) * 64)
@@ -59,19 +74,17 @@ object BloomJoin {
       .agg(call_function("bit_or", col("mask")).as("bits"))
       .collect()
     rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
-    (words, k, mBits)
+    BloomHandle(build.sparkSession.sparkContext.broadcast(words), k, mBits)
   }
 
   /** Codegen'd membership test for `key` against a built filter. False
-    * negatives are impossible for keys that were in the build set. */
-  def mightContain(words: Array[Long], k: Int, mBits: Long, key: Column): Column = {
-    val arr = typedLit(words)
-    (0 until k).map { i =>
-      val pos = pmod(xxhash64(key, lit(i.toLong)), lit(mBits))
-      val word = call_function("element_at", arr, (pos / 64).cast("int") + 1)
-      val mask = call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int"))
-      word.bitwiseAND(mask) =!= 0L
-    }.reduce(_ && _)
+    * negatives are impossible for keys that were in the build set. The
+    * probe-side `XxHash64(key, seed_i)` children are constructed to be
+    * expression-identical to the build side's `xxhash64(key, seed_i)`. */
+  def mightContain(h: BloomHandle, key: Column): Column = {
+    val keyExpr = ColumnBridge.expression(key)
+    val hashes = (0 until h.k).map(i => XxHash64(Seq(keyExpr, Literal(i.toLong)), 42L))
+    ColumnBridge.column(BloomMightContain(hashes, h.mBits, h.bits))
   }
 
   /** Exact left-semi join with Bloom pre-filtering of the probe side.
@@ -79,9 +92,9 @@ object BloomJoin {
     * Bloom test only thins the probe rows entering the exchange. */
   def semiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
-    val (words, k, mBits) = buildBits(build, buildKey, expectedItems, fpp)
+    val handle = buildBits(build, buildKey, expectedItems, fpp)
     probe
-      .filter(mightContain(words, k, mBits, col(probeKey)))
+      .filter(mightContain(handle, col(probeKey)))
       .join(build.select(col(buildKey)), col(probeKey) === col(buildKey), "left_semi")
   }
 }

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.ArrayType
 import graft.SparkTestBase
 
 class BloomJoinSpec extends SparkTestBase {
@@ -8,17 +10,17 @@ class BloomJoinSpec extends SparkTestBase {
 
   test("no false negatives: every build key passes mightContain") {
     val build = (1L to 2000L).map(_ * 7919L).toDF("k")
-    val (words, k, m) = BloomJoin.buildBits(build, "k", fpp = 0.01)
-    val missed = build.filter(!BloomJoin.mightContain(words, k, m, col("k"))).count()
+    val h = BloomJoin.buildBits(build, "k", fpp = 0.01)
+    val missed = build.filter(!BloomJoin.mightContain(h, col("k"))).count()
     assert(missed === 0L)
   }
 
   test("false positive rate is near the configured fpp") {
     val build = (1L to 5000L).toDF("k")
-    val (words, k, m) = BloomJoin.buildBits(build, "k", fpp = 0.01)
+    val h = BloomJoin.buildBits(build, "k", fpp = 0.01)
     // probe keys disjoint from the build set
     val probe = (1000001L to 1050000L).toDF("k")
-    val fp = probe.filter(BloomJoin.mightContain(words, k, m, col("k"))).count()
+    val fp = probe.filter(BloomJoin.mightContain(h, col("k"))).count()
     assert(fp < 50000 * 0.05, s"false positive count $fp way above fpp budget")
   }
 
@@ -32,7 +34,7 @@ class BloomJoinSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
-  test("bloom filter sits on the probe side below the join (pre-shuffle)") {
+  test("bloom filter sits on the probe side below the join, with no plan literal") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -46,31 +48,52 @@ class BloomJoinSpec extends SparkTestBase {
         .select(col("o_orderkey").as("bk"))
       val joined = BloomJoin.semiJoin(probe, build, "pk", "bk")
       joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
+      val exec = joined.queryExecution.executedPlan
+      val plan = exec.toString
       // membership test present, and the join is a shuffle join whose probe
-      // branch filters before the exchange: the Filter(element_at…) must
+      // branch filters before the exchange: the bloom filter line must
       // appear in the plan, and the result must stay exact regardless.
-      assert(plan.contains("element_at"), s"no bloom membership test in plan:\n$plan")
+      assert(plan.contains("bloom_might_contain"), s"no bloom membership test in plan:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffle join with broadcast disabled:\n$plan")
       // the bloom Filter must be below the join: in the string rendering the
-      // element_at filter line is indented under the probe-side subtree, i.e.
-      // it appears after the join operator line
+      // bloom_might_contain filter line is indented under the probe-side
+      // subtree, i.e. it appears after the join operator line
       val joinLine = plan.linesIterator.indexWhere(l =>
         l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
-      val filterLine = plan.linesIterator.indexWhere(_.contains("element_at"))
+      val filterLine = plan.linesIterator.indexWhere(_.contains("bloom_might_contain"))
       assert(filterLine > joinLine, "bloom filter should be inside a join subtree")
+      // the word array must travel as a broadcast variable, NOT as a plan
+      // literal: no array literal of any size may appear anywhere in the
+      // executed plan's expressions (a 1M-bit filter as typedLit would be
+      // a 128 KiB literal riding every serialized task)
+      val arrayLiterals = exec.collect { case p => p }.flatMap(_.expressions)
+        .flatMap(_.collect { case l @ Literal(_, _: ArrayType) => l })
+      assert(arrayLiterals.isEmpty,
+        s"bloom word array leaked into the plan as a literal: $arrayLiterals")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("bloom pre-filter thins the probe side to matches + fpp budget") {
     val probe = (1L to 100000L).toDF("pk")
     val build = (1L to 100000L).filter(_ % 100 == 0).toDF("bk") // 1% match
-    val (words, k, m) = BloomJoin.buildBits(build, "bk", fpp = 0.01)
-    val passed = probe.filter(BloomJoin.mightContain(words, k, m, col("pk"))).count()
+    val h = BloomJoin.buildBits(build, "bk", fpp = 0.01)
+    val passed = probe.filter(BloomJoin.mightContain(h, col("pk"))).count()
     val matches = 1000L
     assert(passed >= matches)
     assert(passed <= matches + (100000L * 0.05).toLong,
       s"bloom passed $passed rows for $matches true matches")
+  }
+
+  test("sizing uses a single approx_count_distinct action and stays exact") {
+    // heavily duplicated build keys: approx distinct sizing must size on
+    // ~distinct count (500), not row count (50k) — and the join stays exact
+    val build = (1L to 50000L).map(i => i % 500).toDF("bk")
+    val probe = (1L to 5000L).toDF("pk")
+    val h = BloomJoin.buildBits(build, "bk", fpp = 0.01)
+    assert(h.mBits < 64 * 1024, s"sizing ignored duplication: mBits=${h.mBits}")
+    val got = BloomJoin.semiJoin(probe, build, "pk", "bk")
+      .select("pk").distinct().count()
+    assert(got === 499L) // keys 1..499 present (i%500 for i in 1..50000 covers 0..499; pk>=1)
   }
 }
