@@ -30,7 +30,15 @@ object Bench {
     // a far better steady-state estimate under stolen CPU.
     // A failed query records the -1.0 sentinel (NOT its elapsed time) so
     // the JSON cannot report success-shaped numbers for a broken query.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query-name filter for targeted re-measuring
+    // (SPARK_GRAFT_BENCH_ONLY); full suite when unset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    def timedPass(): Map[String, Double] = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -102,7 +102,6 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
     // parquet-backed count is a metadata-cheap pass; it sizes both the
     // fit sample fraction and the auto cell count
     val total = math.max(prepared.count(), 1L)
@@ -112,9 +111,11 @@ object Similarity {
       total).toInt)
     val frac = math.min(1.0, maxFitVectors.toDouble / total.toDouble)
     // cache ONLY the bounded sample: KMeans re-reads its input once per
-    // iteration — without the cache the scan + array casts re-execute ~10x
+    // iteration — without the cache the scan + array casts re-execute ~10x.
+    // ML vectors exist only here: spark.ml is used for FIT ONLY.
     val fitInput =
       (if (frac < 1.0) prepared.sample(withReplacement = false, frac, seed) else prepared)
+        .withColumn("features", array_to_vector(col("v")))
         .cache()
     // random init, not k-means||: the parallel init runs ~5 extra
     // distributed passes to seed centroids, which dominates fit time for
@@ -123,11 +124,21 @@ object Similarity {
       try new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
         .setInitMode("random").fit(fitInput)
       finally fitInput.unpersist()
-    val assigned = model.transform(prepared).withColumnRenamed("prediction", "cell")
+    // full-corpus cell assignment is a map-side codegen'd argmin over a
+    // BROADCAST flat centroid matrix — no ML-vector conversion, no per-row
+    // model UDF, no shuffle (same first-min-wins squared-Euclidean rule
+    // as KMeansModel.transform)
+    val ctrs = model.clusterCenters
+    val dim = ctrs.head.size
+    val flat = new Array[Double](ctrs.length * dim)
+    ctrs.zipWithIndex.foreach { case (ctr, i) =>
+      System.arraycopy(ctr.toArray, 0, flat, i * dim, dim)
+    }
+    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(flat)
+    val assigned = prepared
+      .withColumn("cell", graft.functions.sketches.centroid_argmin(col("v"), bcCentroids, dim))
       .select("id", "v", "cell")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      (i, ctr.toArray)
-    }.toSeq
+    val centroids = ctrs.zipWithIndex.map { case (ctr, i) => (i, ctr.toArray) }.toSeq
     val centDf = corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
     // nProbe nearest cells per query by centroid cosine
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -172,6 +173,52 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Index of the nearest centroid (squared-Euclidean, first-min wins — the
+  * K-Means assignment rule) for an array<double> vector. The centroid
+  * matrix travels as a BROADCAST VARIABLE (flat row-major Array[Double],
+  * nCells × dim), not a plan literal: at the 4096-cell / high-dim end the
+  * matrix is tens of MB, which as a literal would ride every serialized
+  * task. Map-side and shuffle-free — this replaces spark.ml
+  * `model.transform`, whose per-row ML-vector UDF + array conversion cost
+  * ~2× on the IVF assignment pass. */
+case class CentroidArgmin(child: Expression, centroids: Broadcast[Array[Double]], dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0, s"dim must be positive, got $dim")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "centroid_argmin"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"centroid_argmin: vector dim ${v.numElements()} != centroid dim $dim")
+    }
+    val flat = centroids.value
+    val nCells = flat.length / dim
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val t = v.getDouble(j) - flat(off + j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API face of the sketch expressions (Spark 4 bridges Column <->
   * Expression through classic.ExpressionUtils). */
 object sketches {
@@ -184,4 +231,6 @@ object sketches {
     column(SrpSignature(expression(vec), planes))
   def cosine_similarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+  def centroid_argmin(vec: Column, centroids: Broadcast[Array[Double]], dim: Int): Column =
+    column(CentroidArgmin(expression(vec), centroids, dim))
 }
