@@ -170,6 +170,23 @@ object SparkEntry {
           (call_function("div", col("err_ts"), lit(1000000000L)) -
             call_function("div", col("ts"), lit(1000000000L))).as("secs_to_err"))
     },
+    "q_asof_join_nullpick" -> { (s, dir) =>
+      // As-of with a pick column that is NULL on ~a third of right rows:
+      // proves all attached values come from the single matched right row
+      // (a per-column last(ignoreNulls) carry would smear a stale non-null
+      // value over the matched row's NULL; the struct carry cannot).
+      val ev = Tables(s, dir, "events")
+      val leftEv = ev.filter(col("event_type") =!= "error")
+        .select("event_id", "user_id", "ts")
+      val rightEv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+          nullif(pmod(col("event_id"), lit(3)), lit(0)).as("err_mod"))
+      graft.ops.AsOfJoin.backward(leftEv, rightEv,
+        keys = Seq("user_id"), tsCol = "ts", pick = Seq("err_id", "err_mod"),
+        suffix = "", tiebreakCol = Some("err_id"))
+        .select(col("event_id"), col("user_id"),
+          col("err_id").as("last_err_id"), col("err_mod"))
+    },
     "q_range_join" -> { (s, dir) =>
       // Point-in-interval: every non-first event joined back to the
       // session interval that contains it (bucketized range join).
@@ -577,6 +594,37 @@ object SparkEntry {
         unix_timestamp(col("window_start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
     },
+    "stream_late_drop" -> { (s, dir) =>
+      // The OTHER half of watermark semantics: late-row DROPPING (eviction
+      // is pinned by stream_append_tumbling). Replay order 4,3,1,2 over
+      // time-quartile tiles: the LATEST quartile arrives first, raising
+      // the watermark to max(ts) - 2h. The engine propagates a new
+      // watermark with a ONE-BATCH LAG (measured here: the batch after
+      // the raiser still runs with the old watermark — the offset log
+      // records each batch's watermark when the batch is constructed),
+      // so tile 3 is replayed as a spacer batch; by the time the two
+      // EARLIEST quartiles arrive, the max(ts)-2h watermark is effective
+      // and every one of their rows targets a window with end <=
+      // watermark: all dropped. The watermark never advances afterwards
+      // (max already seen), so the emitted result is exactly the closed
+      // (end <= max-2h) windows built from the latest HALF of the rows;
+      // the oracle recomputes that with the same NTILE(4) tiling by
+      // (truncated ts, event_id). A non-dropping engine would re-open
+      // already-emitted windows and emit duplicates/inflated counts,
+      // which the hash compare would catch.
+      val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 4,
+        order = Seq(4, 3, 1, 2))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(replayDir)
+      val agg = graft.streaming.StreamingOps.tumbling(stream,
+        windowLen = "1 hour", watermark = "2 hours")
+      val name = s"graft_stream_late_${streamRunSeq.incrementAndGet()}"
+      graft.streaming.StreamingOps.runToMemory(agg, name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table(name).select(
+        unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    },
     "stream_dedup" -> { (s, dir) =>
       // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
       // keyed by (user_id, event_type). Only the KEY columns are
@@ -605,14 +653,20 @@ object SparkEntry {
     * timed passes reuse one session). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Stage the events fixture as `parts` TIME-ORDERED single-file
-    * parquet writes in a fresh directory, mtimes ascending with time
-    * rank (the file stream source orders its backlog by modification
-    * time, so replay order == event-time order and no row is ever late
-    * behind the watermark). Harness-side prep for the multi-microbatch
+  /** Stage the events fixture as `parts` single-file parquet writes in a
+    * fresh directory, one file per NTILE-by-(ts, event_id) tile, replayed
+    * in `order` (tile indices; defaults to time order 1..parts). The file
+    * stream source orders its backlog by modification time, so mtimes
+    * ascending with position in `order` pin the replay sequence exactly:
+    * time order means no row is ever late; a permutation that replays a
+    * LATE tile after a later one makes its rows provably late behind the
+    * advanced watermark. Harness-side prep for the multi-microbatch
     * streaming rows — not an operator. */
-  private def timeOrderedEventReplay(s: SparkSession, dir: String, parts: Int)
-      : (String, org.apache.spark.sql.types.StructType) = {
+  private def timeOrderedEventReplay(s: SparkSession, dir: String, parts: Int,
+      order: Seq[Int] = Nil): (String, org.apache.spark.sql.types.StructType) = {
+    val replayOrder = if (order.nonEmpty) order else (1 to parts)
+    require(replayOrder.sorted == (1 to parts),
+      s"order must be a permutation of 1..$parts, got $replayOrder")
     val ev = Tables(s, dir, "events").select(
       col("event_id"),
       timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))).as("ts"),
@@ -621,16 +675,16 @@ object SparkEntry {
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
     val replay = java.nio.file.Files.createTempDirectory("graft_replay_")
     val base = System.currentTimeMillis() - (parts + 1) * 60000L
-    (1 to parts).foreach { i =>
+    replayOrder.zipWithIndex.foreach { case (tile, pos) =>
       val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
-      tiled.filter(col("__tile") === i).drop("__tile")
+      tiled.filter(col("__tile") === tile).drop("__tile")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = stage.toFile.listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file written under $stage"))
-      val dest = new java.io.File(replay.toFile, f"events_$i%02d.parquet")
+      val dest = new java.io.File(replay.toFile, f"events_$pos%02d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
-      require(dest.setLastModified(base + i * 60000L), s"cannot set mtime on $dest")
+      require(dest.setLastModified(base + (pos + 1) * 60000L), s"cannot set mtime on $dest")
     }
     (replay.toString, ev.schema)
   }
@@ -792,6 +846,13 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type <> 'error') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         | ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "q_asof_join_nullpick" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS last_err_id, r.err_mod
+        |FROM (SELECT * FROM events WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id,
+        |                  NULLIF(event_id % 3, 0) AS err_mod
+        |                FROM events WHERE event_type = 'error') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_range_join" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,
@@ -1080,6 +1141,18 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         | FROM ev GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, sum_value FROM agg
+        |WHERE window_start + 3600 <= (SELECT MAX(sec) - 7200 FROM ev)""".stripMargin,
+    "stream_late_drop" ->
+      """WITH ev AS (
+        | SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, event_type, "value",
+        |  NTILE(4) OVER (ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id) AS tile
+        | FROM events),
+        |agg AS (
+        | SELECT CAST(FLOOR(sec / 3600) * 3600 AS BIGINT) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | FROM ev WHERE tile >= 3 GROUP BY 1, 2)
         |SELECT window_start, event_type, n_events, sum_value FROM agg
         |WHERE window_start + 3600 <= (SELECT MAX(sec) - 7200 FROM ev)""".stripMargin,
     "stream_dedup" ->
