@@ -41,6 +41,43 @@ object SparkEntry {
         Conditional("flagged", "(`o_totalprice` > 50000) | (`o_orderstatus` == 'F')", "Y", "N")),
         Map.empty).output
     },
+    "fuzz_condexpr" -> { (s, dir) =>
+      // Differential fuzzing of the CondExpr grammar: FuzzN random
+      // well-formed expressions (fixed seed — queries and oracleSql
+      // regenerate the identical battery), each compiled through
+      // CondExpr.translate and evaluated over the fuzz base in ONE
+      // aggregation pass. Per expression the output is (n_true, key_sum):
+      // key_sum = sum of k over rows where the condition holds is
+      // order-independent yet per-row-sensitive — any single row flipping
+      // truth value changes the sum by that row's unique key, so a
+      // semantic divergence anywhere in the battery breaks the hash. The
+      // oracle re-renders the same ASTs as DuckDB SQL.
+      val base = fuzzCondExprBase(Tables(s, dir, "orders"))
+      val cases = graft.etl.FuzzCondExpr.cases(FuzzCondExprN, FuzzCondExprSeed)
+      val conds = cases.map { c =>
+        graft.etl.CondExpr.translate(c.expr, base.schema) match {
+          case Right(cond) => cond
+          case Left(msg) => sys.error(s"fuzz ${c.id} failed to translate: $msg in ${c.expr}")
+        }
+      }
+      // chunked: one 2000-buffer aggregate compiles into a single giant
+      // janino class (measured 13s at sf0.1, almost all fixed codegen
+      // cost); chunks of 100 expressions keep each generated class
+      // JIT-able (measured 5.7s). Each chunk is one scan — the input is
+      // a narrow projection, so the extra scans are noise.
+      cases.zip(conds).grouped(100).map { chunk =>
+        val aggs = chunk.flatMap { case (c, cond) => Seq(
+          sum(when(cond, lit(1L)).otherwise(lit(0L))).as(s"nt_${c.id}"),
+          sum(when(cond, col("k")).otherwise(lit(0L))).as(s"ks_${c.id}")) }
+        base.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(chunk.map { case (c, _) => struct(
+            lit(c.id).as("expr_id"),
+            col(s"nt_${c.id}").as("n_true"),
+            col(s"ks_${c.id}").as("key_sum")) }: _*)).as("r"))
+          .select(col("r.expr_id").as("expr_id"),
+            col("r.n_true").as("n_true"), col("r.key_sum").as("key_sum"))
+      }.reduce(_ unionByName _)
+    },
     "etl_lookup" -> { (s, dir) =>
       val customer = Tables(s, dir, "customer")
       val nation = Tables(s, dir, "nation")
@@ -689,7 +726,48 @@ object SparkEntry {
     (replay.toString, ev.schema)
   }
 
+  /** Shared base for the CondExpr differential fuzz: adds NULL-bearing
+    * numeric/string columns (null comparison semantics are the
+    * highest-risk part of the pandas-eval translation) and a boolean.
+    * Must stay in lockstep with the DuckDB base in fuzzCondExprSql. */
+  private val FuzzCondExprN = 1000
+  private val FuzzCondExprSeed = 0xC0FFEEL
+  private def fuzzCondExprBase(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey").as("k"),
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("prio"),
+      nullif(pmod(col("o_orderkey"), lit(7L)), lit(0L)).as("nk"),
+      nullif(col("o_orderstatus"), lit("F")).as("ns"),
+      (pmod(col("o_orderkey"), lit(2L)) === 0L).as("b"),
+      col("o_orderdate").as("d"))
+
+  private def fuzzCondExprSql: String = {
+    val base =
+      """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+        | o_orderstatus AS status, o_orderpriority AS prio,
+        | NULLIF(o_orderkey % 7, 0) AS nk, NULLIF(o_orderstatus, 'F') AS ns,
+        | (o_orderkey % 2 = 0) AS b, o_orderdate AS d FROM orders""".stripMargin
+    // ONE aggregation pass (2N columns over a single base scan — the
+    // same shape the Spark side uses), then a multi-measure UNPIVOT to
+    // long form. N separate "SELECT ... FROM base" arms would scan the
+    // table N times and, as a flat UNION ALL chain, trip DuckDB's
+    // max_expression_depth at N=1000.
+    val cs = graft.etl.FuzzCondExpr.cases(FuzzCondExprN, FuzzCondExprSeed)
+    val aggCols = cs.map { c =>
+      s"CAST(SUM(CASE WHEN ${c.duck} THEN 1 ELSE 0 END) AS BIGINT) AS nt_${c.id}, " +
+        s"CAST(SUM(CASE WHEN ${c.duck} THEN k ELSE 0 END) AS BIGINT) AS ks_${c.id}"
+    }.mkString(",\n ")
+    val inArms = cs.map(c => s"(nt_${c.id}, ks_${c.id}) AS '${c.id}'").mkString(", ")
+    s"""WITH base AS ($base),
+       |agg AS (SELECT $aggCols FROM base)
+       |SELECT expr_id, n_true, key_sum
+       |FROM agg UNPIVOT ((n_true, key_sum) FOR expr_id IN ($inArms))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "fuzz_condexpr" -> fuzzCondExprSql,
     "etl_direct_map" ->
       "SELECT o_orderkey AS order_id, o_orderstatus AS status, o_totalprice AS total FROM orders",
     "etl_conditional" ->
