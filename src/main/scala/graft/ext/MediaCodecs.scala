@@ -8,10 +8,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * non-interlaced — a REAL compressed format: the zlib inflate ships
   * with the JDK, and the chunk walk, scanline unfiltering
   * (None/Sub/Up/Average/Paeth) and re-encode below implement the public
-  * PNG spec from scratch). Formats needing codec libraries this build
-  * doesn't ship (JPEG/MP3/...) fall back to the deterministic stub in
-  * Multimodal — but the dispatch, metadata extraction, pixel/sample
-  * math, and re-encode paths below are the real thing.
+  * PNG spec from scratch). Baseline JPEG lives in the sibling
+  * JpegCodec (from-scratch DCT/quant/Huffman). Formats needing codec
+  * libraries this build doesn't ship (MP3/...) fall back to the
+  * deterministic stub in Multimodal — but the dispatch, metadata
+  * extraction, pixel/sample math, and re-encode paths below are the
+  * real thing.
   *
   * All functions are pure byte-array transforms: they run inside
   * `mapPartitions` on executors, payloads never touch the driver.
@@ -26,9 +28,12 @@ object MediaCodecs {
   final case class AudioMeta(sampleRate: Int, channels: Int, nFrames: Long,
       rms: Double, zeroCrossRate: Double)
 
-  /** Container sniff by magic bytes: "bmp" | "wav" | "png" | "unknown". */
+  /** Container sniff by magic bytes:
+    * "bmp" | "wav" | "png" | "jpeg" | "unknown". */
   def sniff(b: Array[Byte]): String =
-    if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    if (b != null && b.length >= 3 &&
+      (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpeg"
+    else if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b != null && b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"

@@ -44,11 +44,11 @@ object Multimodal {
       content: Array[Byte])
 
   /** Payload decode with REAL codecs where the format allows it
-    * (MediaCodecs: BMP 24-bit, WAV PCM-16, PNG 8-bit — all parseable
-    * with zero dependencies, PNG via the JDK's zlib); anything else
-    * falls back to the deterministic stub. The leading feature is a
-    * format tag so downstream consumers can tell real decodes from
-    * fallback hashes. */
+    * (MediaCodecs: BMP 24-bit, WAV PCM-16, PNG 8-bit — PNG via the
+    * JDK's zlib — and baseline JPEG via the from-scratch JpegCodec);
+    * anything else (MP3/...) falls back to the deterministic stub. The
+    * leading feature is a format tag so downstream consumers can tell
+    * real decodes from fallback hashes. */
   private[ext] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     def fill(vals: Seq[Double]): Array[Float] = {
@@ -73,6 +73,13 @@ object Multimodal {
       case "png" =>
         MediaCodecs.decodePng(bytes) match {
           case Some(m) => fill(Seq(3.0, m.width, m.height,
+            m.meanR / 255.0, m.meanG / 255.0, m.meanB / 255.0,
+            m.width.toDouble / math.max(m.height, 1)))
+          case None => fakeDecode(bytes, dim)
+        }
+      case "jpeg" =>
+        JpegCodec.decodeJpeg(bytes) match {
+          case Some(m) => fill(Seq(4.0, m.width, m.height,
             m.meanR / 255.0, m.meanG / 255.0, m.meanB / 255.0,
             m.width.toDouble / math.max(m.height, 1)))
           case None => fakeDecode(bytes, dim)
