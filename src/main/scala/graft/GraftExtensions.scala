@@ -4,21 +4,26 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions._
 
 /** SparkSessionExtensions wiring: exposes graft's native expressions to
-  * SQL (`spark.sql("SELECT minhash_signature(...)")`) and to any session
-  * configured with `spark.sql.extensions=graft.GraftExtensions`.
+  * SQL (`spark.sql("SELECT minhash_signature(...)")`), plus the as-of
+  * join as a TABLE-VALUED FUNCTION (`SELECT * FROM graft_asof(...)`), to
+  * any session configured with `spark.sql.extensions=graft.GraftExtensions`.
   *
   * Only function registration is injected — the engine deliberately needs
   * no custom optimizer rules or planner strategies: every operator is
   * expressed through Catalyst-native plans (SURVEY.md §4), so pushdown,
-  * pruning, join planning, and AQE all apply untouched.
+  * pruning, join planning, and AQE all apply untouched. The TVF builder
+  * runs at analysis time and simply returns the same union+window
+  * logical plan the Scala API builds, so the SQL face and the
+  * programmatic face are one plan shape.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -28,6 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(args)
         }))
     }
+    GraftExtensions.tableRegistrations.foreach { case (name, arity, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.ops", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+          builder(args)
+        }))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -51,9 +66,45 @@ object GraftExtensions {
     ("deletion_hashes", 2, args => DeletionHashes(args(0), intLit(args(1), "k"))),
   )
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** Table-valued functions: whole-operator SQL faces. Builders run at
+    * analysis time, resolve their view-name arguments against the ACTIVE
+    * session's catalog, and return the operator's logical plan — the
+    * identical plan the Scala API produces (single shuffle, union+window
+    * for as-of; see ops/AsOfJoin).
+    *
+    *   graft_asof(left_view, right_view, keys_csv, ts_col, pick_csv,
+    *              direction 'backward'|'forward', tiebreak_col|'',
+    *              suffix)
+    */
+  val tableRegistrations: Seq[(String, Int, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_asof", 8, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val left = spark.table(strLit(args(0), "left_view"))
+      val right = spark.table(strLit(args(1), "right_view"))
+      val keys = strLit(args(2), "keys_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val tsCol = strLit(args(3), "ts_col")
+      val pick = strLit(args(4), "pick_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val direction = strLit(args(5), "direction")
+      val tiebreak = Option(strLit(args(6), "tiebreak_col")).filter(_.nonEmpty)
+      val suffix = strLit(args(7), "suffix")
+      val joined = direction match {
+        case "backward" => graft.ops.AsOfJoin.backward(left, right, keys, tsCol, pick, suffix, tiebreak)
+        case "forward" => graft.ops.AsOfJoin.forward(left, right, keys, tsCol, pick, suffix, tiebreak)
+        case other => throw new IllegalArgumentException(
+          s"direction must be 'backward' or 'forward', got '$other'")
+      }
+      joined.queryExecution.logical
+    }))
+
   /** Register the same functions on an already-built session (tests,
     * notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (name, arity, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
@@ -63,4 +114,14 @@ object GraftExtensions {
           builder(args)
         })
     }
+    tableRegistrations.foreach { case (name, arity, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.ops", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+          builder(args)
+        })
+    }
+  }
 }

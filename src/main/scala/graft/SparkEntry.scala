@@ -207,6 +207,28 @@ object SparkEntry {
           (call_function("div", col("err_ts"), lit(1000000000L)) -
             call_function("div", col("ts"), lit(1000000000L))).as("secs_to_err"))
     },
+    "q_asof_sql" -> { (s, dir) =>
+      // The as-of join through its SQL face: graft_asof is a registered
+      // table-valued function whose builder returns the exact logical
+      // plan the Scala API builds (single-shuffle union+window). Same
+      // result set as q_asof_join, checked against the same DuckDB ASOF
+      // oracle — pinning that the SQL face and the programmatic face
+      // are one operator.
+      graft.GraftExtensions.register(s)
+      val ev = Tables(s, dir, "events")
+      ev.filter(col("event_type") =!= "error")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("graft_asof_left_v")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+        .createOrReplaceTempView("graft_asof_right_v")
+      s.sql("""
+        SELECT event_id, user_id, err_id AS last_err_id,
+               (ts DIV 1000000000) - (err_ts DIV 1000000000) AS secs_since_err
+        FROM graft_asof('graft_asof_left_v', 'graft_asof_right_v',
+                        'user_id', 'ts', 'err_id,err_ts', 'backward', 'err_id', '')
+      """)
+    },
     "q_asof_join_nullpick" -> { (s, dir) =>
       // As-of with a pick column that is NULL on ~a third of right rows:
       // proves all attached values come from the single matched right row
@@ -465,11 +487,12 @@ object SparkEntry {
     },
 
     "multimodal_decode" -> { (s, dir) =>
-      // REAL-codec round trip, oracle-checked: a 2x1 BMP, a 4-frame WAV
-      // AND a 2x1 PNG (deflate-compressed, scanline filter rotating
-      // through all five PNG filter types by doc_id) are synthesized per
-      // doc from doc_id arithmetic, decoded with the actual
-      // BMP/WAV/PNG decoders (MediaCodecs), and DuckDB predicts every
+      // REAL-codec round trip, oracle-checked: a 2x1 BMP, a 4-frame WAV,
+      // a 2x1 PNG (deflate-compressed, scanline filter rotating
+      // through all five PNG filter types by doc_id) AND an 8x16
+      // baseline JPEG (full DCT/quant/Huffman pipeline) are synthesized
+      // per doc from doc_id arithmetic, decoded with the actual
+      // decoders (MediaCodecs/JpegCodec), and DuckDB predicts every
       // decoded stat from the same arithmetic without ever seeing a
       // payload. Pixel means use 2 pixels so the mean is an exact
       // half-integer; the square wave's RMS is exactly amp/32768 —
@@ -488,19 +511,31 @@ object SparkEntry {
             val img = graft.ext.MediaCodecs.encodeBmp24(2, 1, rgb)
             val png = graft.ext.MediaCodecs.encodePng(2, 1, rgb,
               filterType = (id % 5).toInt)
+            // JPEG: 8x16 gray, two constant 8x8 blocks, unit quant — the
+            // provably-exact family (DC-only integral coefficients); the
+            // decoded mean is (g1+g2)/2, a sum of ints over a power-of-two
+            // divisor, bit-equal in DuckDB. Exercises DC prediction
+            // across MCUs, EOB coding, and byte stuffing per row.
+            val g1 = m(19, 256); val g2 = m(23, 256)
+            val jpgBytes = graft.ext.JpegCodec.encodeJpegGray(8, 16,
+              Array.fill(64)(g1.toByte) ++ Array.fill(64)(g2.toByte),
+              graft.ext.JpegCodec.UnitQuant)
             val amp = (m(1, 1000) + 1).toShort
             val snd = graft.ext.MediaCodecs.encodeWav16(8000 + m(1, 100), 1,
               Array[Short](amp, (-amp).toShort, amp, (-amp).toShort))
             val im = graft.ext.MediaCodecs.decodeBmp(img).get
             val pm = graft.ext.MediaCodecs.decodePng(png).get
+            val jm = graft.ext.JpegCodec.decodeJpeg(jpgBytes).get
             val au = graft.ext.MediaCodecs.decodeWav(snd).get
             (id, im.width, im.height, im.meanR, im.meanG, im.meanB,
               pm.width, pm.height, pm.meanR, pm.meanG, pm.meanB,
+              jm.width, jm.height, jm.meanR,
               au.sampleRate, au.nFrames, au.rms, au.zeroCrossRate)
           }
         }
         .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
           "png_width", "png_height", "png_mean_r", "png_mean_g", "png_mean_b",
+          "jpg_width", "jpg_height", "jpg_mean",
           "sample_rate", "n_frames", "rms", "zcr")
       rows
     },
@@ -924,6 +959,12 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type <> 'error') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         | ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "q_asof_sql" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS last_err_id,
+        | CAST(FLOOR(EPOCH(l.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(r.ts)) AS BIGINT) AS secs_since_err
+        |FROM (SELECT * FROM events WHERE event_type <> 'error') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_asof_join_nullpick" ->
       """SELECT l.event_id, l.user_id, r.event_id AS last_err_id, r.err_mod
         |FROM (SELECT * FROM events WHERE event_type <> 'error') l
@@ -1138,6 +1179,8 @@ object SparkEntry {
         | CAST((doc_id % 256) + ((doc_id % 256) * 3) % 256 AS DOUBLE) / 2 AS png_mean_r,
         | CAST(((doc_id % 256) * 7) % 256 + ((doc_id % 256) * 11) % 256 AS DOUBLE) / 2 AS png_mean_g,
         | CAST(((doc_id % 256) * 13) % 256 + ((doc_id % 256) * 17) % 256 AS DOUBLE) / 2 AS png_mean_b,
+        | CAST(8 AS INT) AS jpg_width, CAST(16 AS INT) AS jpg_height,
+        | CAST(((doc_id % 256) * 19) % 256 + ((doc_id % 256) * 23) % 256 AS DOUBLE) / 2 AS jpg_mean,
         | CAST(8000 + doc_id % 100 AS INT) AS sample_rate,
         | CAST(4 AS BIGINT) AS n_frames,
         | CAST(doc_id % 1000 + 1 AS DOUBLE) / 32768 AS rms,

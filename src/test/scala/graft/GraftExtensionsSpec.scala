@@ -52,6 +52,48 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === Seq(3)) // {ab, a, b}
   }
 
+  test("graft_asof table-valued function equals the Scala API plan") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u2", 15L))
+      .toDF("event_id", "user_id", "ts").createOrReplaceTempView("tvf_left")
+    Seq(("u1", 5L, 100L), ("u1", 20L, 101L), ("u2", 30L, 102L))
+      .toDF("user_id", "ts", "err_id").createOrReplaceTempView("tvf_right")
+    def pairs(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] =
+      rows.map { r =>
+        val pick = r.getAs[Any]("err_id_asof")
+        (r.getAs[Long]("event_id"), if (pick == null) -1L else pick.asInstanceOf[Long])
+      }.toSeq
+    val viaSql = pairs(spark.sql(
+      """SELECT event_id, user_id, err_id_asof
+        |FROM graft_asof('tvf_left', 'tvf_right', 'user_id', 'ts',
+        |                'err_id', 'backward', 'err_id', '_asof')""".stripMargin)
+      .orderBy("event_id").collect())
+    val viaApi = pairs(graft.ops.AsOfJoin.backward(
+      spark.table("tvf_left"), spark.table("tvf_right"),
+      keys = Seq("user_id"), tsCol = "ts", pick = Seq("err_id"),
+      tiebreakCol = Some("err_id"))
+      .orderBy("event_id").collect())
+    // ts=20 is an exact-ts match (inclusive); u2's event at 15 precedes
+    // its only error at 30 -> null
+    assert(viaSql === Seq((1L, 100L), (2L, 101L), (3L, -1L)))
+    assert(viaSql === viaApi)
+  }
+
+  test("graft_asof forward direction from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "u1", 10L)).toDF("event_id", "user_id", "ts")
+      .createOrReplaceTempView("tvf_fwd_left")
+    Seq(("u1", 5L, 100L), ("u1", 12L, 101L)).toDF("user_id", "ts", "err_id")
+      .createOrReplaceTempView("tvf_fwd_right")
+    val got = spark.sql(
+      """SELECT err_id_asof FROM graft_asof('tvf_fwd_left', 'tvf_fwd_right',
+        |  'user_id', 'ts', 'err_id', 'forward', 'err_id', '_asof')""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(101L)) // next err at-or-after ts=10 is ts=12
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
