@@ -81,6 +81,8 @@ object GraftExtensions {
     *   graft_asof(left_view, right_view, keys_csv, ts_col, pick_csv,
     *              direction 'backward'|'forward', tiebreak_col|'',
     *              suffix)
+    *   graft_range_join(left_view, right_view, keys_csv, ts_col,
+    *              start_col, end_col, bucket_width)
     */
   val tableRegistrations: Seq[(String, Int, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_asof", 8, args => {
@@ -100,7 +102,25 @@ object GraftExtensions {
           s"direction must be 'backward' or 'forward', got '$other'")
       }
       joined.queryExecution.logical
+    }),
+    ("graft_range_join", 7, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val left = spark.table(strLit(args(0), "left_view"))
+      val right = spark.table(strLit(args(1), "right_view"))
+      val keys = strLit(args(2), "keys_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val joined = graft.ops.RangeJoin.pointInInterval(left, right, keys,
+        tsCol = strLit(args(3), "ts_col"),
+        startCol = strLit(args(4), "start_col"),
+        endCol = strLit(args(5), "end_col"),
+        bucketWidth = longLit(args(6), "bucket_width"))
+      joined.queryExecution.logical
     }))
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
 
   /** Register the same functions on an already-built session (tests,
     * notebooks). */

@@ -260,6 +260,24 @@ object SparkEntry {
         bucketWidth = 3600L)
         .select("event_id", "user_id", "session_seq")
     },
+    "q_range_sql" -> { (s, dir) =>
+      // The range join through its SQL face (graft_range_join TVF) —
+      // same plan, same result, same oracle as q_range_join.
+      graft.GraftExtensions.register(s)
+      val ev = Tables(s, dir, "events")
+      ev.select(col("event_id"), col("user_id"),
+        (call_function("div", col("ts"), lit(1000000000L))).as("ts_sec"))
+        .createOrReplaceTempView("graft_range_left_v")
+      graft.ext.Events.sessionize(ev)
+        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+          col("session_start"), col("session_end"))
+        .createOrReplaceTempView("graft_range_right_v")
+      s.sql("""
+        SELECT event_id, user_id, session_seq
+        FROM graft_range_join('graft_range_left_v', 'graft_range_right_v',
+                              'user_id', 'ts_sec', 'session_start', 'session_end', 3600)
+      """)
+    },
     "q_json_props" -> { (s, dir) =>
       // JSON functions over the props column: extract $.k, bucket by
       // parity, aggregate.
@@ -425,6 +443,11 @@ object SparkEntry {
     },
     "dedup_simhash" -> { (s, dir) => // hash-seeded: rows-only check
       Dedup.simhash(Tables(s, dir, "documents"), maxDist = 3)
+    },
+    "dedup_containment" -> { (s, dir) =>
+      // Directional containment (|A∩B| / |A| >= t): catches a short doc
+      // living inside a longer one, which symmetric Jaccard misses.
+      Dedup.containment(Tables(s, dir, "documents"), threshold = 0.7)
     },
 
     // --- [EXT] dataset splitting / sampling (documents) -----------------
@@ -778,6 +801,27 @@ object SparkEntry {
       (pmod(col("o_orderkey"), lit(2L)) === 0L).as("b"),
       col("o_orderdate").as("d"))
 
+  /** Range-join oracle, shared by the Scala-API and SQL-TVF rows. */
+  private def rangeJoinSql: String =
+    """WITH g AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN LAG(ts) OVER w IS NULL
+      |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+      |   THEN 1 ELSE 0 END AS new_session
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      | FROM g),
+      |iv AS (
+      | SELECT user_id, session_seq,
+      |  MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_start,
+      |  MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_end
+      | FROM s GROUP BY user_id, session_seq)
+      |SELECT e.event_id, e.user_id, iv.session_seq
+      |FROM events e JOIN iv ON e.user_id = iv.user_id
+      | AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) BETWEEN iv.session_start AND iv.session_end""".stripMargin
+
   private def fuzzCondExprSql: String = {
     val base =
       """SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
@@ -972,25 +1016,8 @@ object SparkEntry {
         |                  NULLIF(event_id % 3, 0) AS err_mod
         |                FROM events WHERE event_type = 'error') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
-    "q_range_join" ->
-      """WITH g AS (
-        | SELECT user_id, ts, event_id,
-        |  CASE WHEN LAG(ts) OVER w IS NULL
-        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
-        |   THEN 1 ELSE 0 END AS new_session
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        | FROM g),
-        |iv AS (
-        | SELECT user_id, session_seq,
-        |  MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_start,
-        |  MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_end
-        | FROM s GROUP BY user_id, session_seq)
-        |SELECT e.event_id, e.user_id, iv.session_seq
-        |FROM events e JOIN iv ON e.user_id = iv.user_id
-        | AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) BETWEEN iv.session_start AND iv.session_end""".stripMargin,
+    "q_range_join" -> rangeJoinSql,
+    "q_range_sql" -> rangeJoinSql,
     "q_json_props" ->
       """SELECT CAST(k AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
         | MIN(CAST(k AS BIGINT)) AS min_k, MAX(CAST(k AS BIGINT)) AS max_k
@@ -1158,6 +1185,17 @@ object SparkEntry {
         |FROM documents
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |  FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) AS s FROM t WHERE LEN(w) >= 3),
+        |sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
+        |ix AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
+        |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+        |  FROM ix a JOIN ix b ON a.sg = b.sg AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, c * 1.0 / sa.sz AS containment
+        |FROM co JOIN sizes sa ON co.a_id = sa.doc_id
+        |WHERE c * 1.0 / sa.sz >= 0.7""".stripMargin,
     "dedup_minhash" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
 

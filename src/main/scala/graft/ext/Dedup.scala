@@ -80,6 +80,54 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** EXACT directional containment pairs: |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)| >= `threshold` for ORDERED pairs (a, b), a != b — the
+    * asymmetric cousin of ngramJaccard that catches a short document
+    * living inside a longer one (quotation, boilerplate wrapper,
+    * truncated copy), which symmetric Jaccard misses because the union
+    * is dominated by the longer side.
+    *
+    * Prefix filter (asymmetric): only the A side is prefix-reduced — if
+    * |A∩B| >= t·|A| then B must contain one of A's first
+    * |A| - ceil(t·|A|) + 1 shingles in the global rarest-first order
+    * (otherwise the intersection fits inside A's last ceil(t·|A|) - 1
+    * shingles, too few). The B side must index ALL its shingles (no
+    * size constraint exists on B beyond |B| >= ceil(t·|A|), applied as
+    * a pre-verify filter). Skew shape at 100 TB: ubiquitous shingles
+    * sit at the END of every rarest-first ordering, so they almost
+    * never appear in an A-prefix — the hot index keys join against a
+    * near-empty prefix side instead of exploding quadratically.
+    * Verification is exact on the full shingle sets. */
+  def containment(docs: DataFrame, threshold: Double = 0.7, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val withSh = barrier(
+      barrier(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
+        .filter(size(col("shs")) > 0))
+    val idx = withSh.select(col("id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("sh"))
+    val dfreq = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val prefixA = idx.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("id").as("a_id"), col("sz").as("a_sz"), col("sh"))
+    val fullB = idx.select(col("id").as("b_id"), col("sz").as("b_sz"), col("sh"))
+    val cand = prefixA.join(fullB,
+        prefixA("sh") === fullB("sh") && col("a_id") =!= col("b_id") &&
+          col("b_sz") >= ceil(col("a_sz") * lit(threshold)))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(withSh.select(col("id").as("a_id"), col("shs").as("a_shs")), "a_id")
+      .join(withSh.select(col("id").as("b_id"), col("shs").as("b_shs")), "b_id")
+      .withColumn("c", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("containment", col("c").cast("double") / size(col("a_shs")))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Prefix-filtered candidate pairs for Jaccard >= `threshold` over a
     * (id, shs: array<bigint>) frame of per-doc distinct shingle hashes.
     * Exposed for the skew test: candidate volume must stay near-linear

@@ -36,6 +36,45 @@ class DedupSpec extends SparkTestBase {
     assert(got.find(t => t._1 == 0L && t._2 == 1L).get._3 === 1.0)
   }
 
+  test("containment: a doc embedded in a longer one is found directionally") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val short = "gamma delta epsilon zeta eta theta" // contiguous slice of `long`
+    val corpus = Seq((10L, long), (11L, short),
+      (12L, "totally unrelated words about completely other topics entirely here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of `short` appears in `long` -> containment 1.0 that
+    // direction only; the reverse direction is far below threshold
+    assert(got.toSeq === Seq((11L, 10L, 1.0)))
+  }
+
+  test("containment matches a brute-force reference at several thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (0L until 30L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def shingles(s: String): Set[Seq[String]] =
+      s.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3).map(_.toSeq).toSet
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val want = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus
+        if a != b
+        sa = shingles(ta); sb = shingles(tb)
+        if sa.nonEmpty
+        c = (sa & sb).size
+        if c.toDouble / sa.size >= t
+      } yield (a, b)).toSet
+      val got = Dedup.containment(df, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
+
   test("minhash agrees with exact ngramJaccard on verified pairs") {
     val exact = Dedup.ngramJaccard(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
