@@ -476,6 +476,22 @@ object SparkEntry {
       Curation.leakageSafeSplit(docs,
         Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)))
     },
+    "q_equidepth_hist" -> { (s, dir) =>
+      // Per-group equi-depth histogram: 10 rank-buckets of o_totalprice
+      // per priority with exact counts and bounds (partitioned-window
+      // ntile — distributed by group, no global sort).
+      graft.ops.Relational.equiDepthHistogram(Tables(s, dir, "orders"),
+        groupCol = "o_orderpriority", valueCol = "o_totalprice",
+        tiebreakCol = "o_orderkey", buckets = 10)
+        .withColumnRenamed("o_orderpriority", "prio")
+    },
+    "sample_weighted" -> { (s, dir) =>
+      // Deterministic weight-biased sampling: 3 docs per lang, weight =
+      // text length + 1 (longer docs systematically likelier).
+      Curation.weightedSample(Tables(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id",
+        weight = length(col("text")) + lit(1), k = 3)
+    },
     "sample_per_group" -> { (s, dir) =>
       // Deterministic per-group sample: first 3 docs per lang in
       // hash-shuffled order (stable "random" sample with a tie-break).
@@ -1174,6 +1190,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b FROM documents)
         |GROUP BY 1""".stripMargin,
     "split_leakage_safe" -> leakageSafeSplitSql,
+    "q_equidepth_hist" ->
+      """SELECT prio, CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+        | MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM (SELECT o_orderpriority AS prio, o_totalprice,
+        |  NTILE(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
+        |GROUP BY 1, 2""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, priority, rn FROM (
+        | SELECT doc_id, lang,
+        |  CAST(((doc_id % 1000000007) * 751234567) % 1000000007 AS DOUBLE)
+        |    / (LENGTH(text) + 1) AS priority,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |   ORDER BY CAST(((doc_id % 1000000007) * 751234567) % 1000000007 AS DOUBLE)
+        |    / (LENGTH(text) + 1) ASC, doc_id ASC) AS INT) AS rn
+        | FROM documents) WHERE rn <= 3""".stripMargin,
     "sample_per_group" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,

@@ -199,4 +199,29 @@ object Curation {
       .groupBy("test_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Deterministic WEIGHT-BIASED per-group sampling: each row's rank key
+    * is u / w, where u is a portable multiplicative hash of the id
+    * (mod-before-multiply, wrap-free — the split_train_test construction)
+    * standing in for a uniform draw and w is the row's weight; the k
+    * smallest keys per group win. Higher weight divides the key down, so
+    * selection probability grows with weight — a deterministic analogue
+    * of weighted reservoir sampling (Efraimidis–Spirakis u^(1/w), with
+    * the hash as the fixed uniform), reproducible across runs, engines,
+    * and partitionings. The key is an integer-by-integer double division:
+    * bit-identical in any IEEE engine, so the oracle can replay it.
+    */
+  def weightedSample(docs: DataFrame, groupCol: String, idCol: String,
+      weight: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val P = 1000000007L
+    val u = pmod(pmod(col(idCol), lit(P)) * lit(751234567L), lit(P))
+    val priority = u.cast("double") / weight
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("priority").asc, col(idCol).asc)
+    docs
+      .select(col(idCol), col(groupCol), priority.as("priority"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 }

@@ -275,4 +275,25 @@ object Relational {
       concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
       length(col("o_orderpriority")).as("prio_len"),
       pmod(col("o_orderkey"), lit(32)).as("bucket"))
+
+  /** Per-group EQUI-DEPTH histogram: `buckets` rank-partitioned buckets
+    * per group with exact counts and value bounds — the order-statistics
+    * summary a fixed-width histogram cannot give on skewed data.
+    *
+    * Scale shape: ntile needs a total order, but only WITHIN each group —
+    * the window is partitioned by the group key, so the sort distributes
+    * across groups exactly like every other partitioned window here (one
+    * hash shuffle on the group key, per-group sort; no global
+    * single-partition order). Determinism: ties broken by `tiebreakCol`.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      tiebreakCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol).asc, col(tiebreakCol).asc)
+    df.select(col(groupCol), col(valueCol), col(tiebreakCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

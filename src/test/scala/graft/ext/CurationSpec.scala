@@ -34,6 +34,34 @@ class CurationSpec extends SparkTestBase {
     assert(last._2 === "t9 t10 t11")
   }
 
+  test("weightedSample: picks the k smallest u/w keys per group, deterministically") {
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd", "x" * (i.toInt % 7 + 1)))
+      .toDF("doc_id", "lang", "text")
+    def run() = Curation.weightedSample(docs, groupCol = "lang", idCol = "doc_id",
+      weight = length(col("text")) + lit(1), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._2, t._4))
+    val out = run()
+    // reference: replay the exact key construction per row
+    val P = 1000000007L
+    def key(id: Long) = ((id % P) * 751234567L % P).toDouble / ((id.toInt % 7 + 1) + 1)
+    for (g <- Seq("even", "odd")) {
+      val expect = (1L to 40L).filter(i => (i % 2 == 0) == (g == "even"))
+        .sortBy(i => (key(i), i)).take(3)
+      assert(out.filter(_._2 == g).map(_._1).toSeq === expect, s"group $g")
+      assert(out.filter(_._2 == g).map(_._4).toSeq === Seq(1, 2, 3))
+    }
+    assert(run() === out) // rerun is bit-identical
+  }
+
+  test("weightedSample: a dominant weight is effectively always selected") {
+    // one doc with weight 1e9 vs 99 docs with weight 1 -> key ~0 wins
+    val docs = (1L to 100L).map(i => (i, "g", if (i == 42L) 1000000000.0 else 1.0))
+      .toDF("doc_id", "lang", "w")
+    val out = Curation.weightedSample(docs, "lang", "doc_id", col("w"), k = 1).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 42L)
+  }
+
   test("boundedLevenshtein: equals full DP when <= k, caps at k+1 beyond") {
     val rnd = new scala.util.Random(31)
     def lev(a: String, b: String): Int = {
