@@ -51,16 +51,36 @@ object Bench {
       k -> (if (oks.isEmpty) -1.0 else oks.min)
     }
     val failed = results.collect { case (k, v) if v < 0.0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Millisecond precision: the consumer captures only a bounded tail of
+    // the build output, so the one-line JSON must stay well under 2 KB
+    // even at 70+ queries — nanosecond digits are noise under the
+    // documented hypervisor steal anyway.
+    def fmt(dp: Int)(v: Double): String = if (v < 0.0) "-1" else s"%.${dp}f".format(v)
+    def renderQs(dp: Int): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + fmt(dp)(v) }
+        .mkString("{", ",", "}")
+    val qs3 = renderQs(3)
+    val qs = if (qs3.length <= 1700) qs3 else renderQs(2)
+    val f = fmt(3) _
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0.0).sum
+    // A filtered run is structurally distinguishable from a full-suite
+    // run: it carries the filter it ran under, so a stale
+    // SPARK_GRAFT_BENCH_ONLY can never produce a success-shaped partial
+    // result that masquerades as the full contract.
+    val onlyJson = only match {
+      case Some(names) =>
+        names.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
+      case None => ""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson$onlyJson,"sf":"$sfDir"}"""
     println(json)
     // stdout is interleaved with sbt/log4j noise; the file copy makes the
-    // bench contract robust to prefix mangling
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // bench contract robust to prefix mangling. Filtered runs default to
+    // a DIFFERENT file so they cannot clobber a full-suite bench_out.json.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_only_out.json" else "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: $failed")

@@ -220,6 +220,13 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("priority").asc, col(idCol).asc)
     docs
+      // Weights must be strictly positive to mean anything under u / w:
+      // w = 0 gives Infinity, w < 0 a sign-flipped priority that always
+      // wins, and NULL a NULL key that sorts first under nulls-first —
+      // each silently inverting "higher weight, more likely". Such rows
+      // are ineligible by contract and filtered here (a map-side,
+      // shuffle-free predicate, not a validation pass over the data).
+      .filter(weight.isNotNull && (weight > lit(0)))
       .select(col(idCol), col(groupCol), priority.as("priority"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -325,6 +325,11 @@ object JpegCodec {
           height = u16(seg + 1); width = u16(seg + 3)
           val n = bytes(seg + 5) & 0xFF
           if (width <= 0 || height <= 0 || (n != 1 && n != 3)) return None
+          // Per-component planes are width*height bytes, allocated before
+          // any entropy data is validated — a tiny crafted header
+          // declaring e.g. 30000x30000x3 would demand ~2.7 GB on an
+          // executor. Cap at 64M pixels (same posture as the PNG path).
+          if (width.toLong * height.toLong > 64L * 1024 * 1024) return None
           comps = Array.tabulate(n) { i =>
             val o = seg + 6 + 3 * i
             Component(bytes(o) & 0xFF, (bytes(o + 1) & 0xF0) >> 4,

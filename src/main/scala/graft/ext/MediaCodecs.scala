@@ -226,6 +226,10 @@ object MediaCodecs {
       case 6 => 4
       case _ => return None // palette/gray+alpha out of minimal scope
     }
+    // Cap declared dimensions BEFORE allocating: header bytes are
+    // attacker-controlled and the raw buffer is sized from them alone.
+    // 64M pixels matches the JPEG decoder's posture.
+    if (w.toLong * h > 64L * 1024 * 1024) return None
     if (w.toLong * h * channels + h > Int.MaxValue / 2) return None
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)

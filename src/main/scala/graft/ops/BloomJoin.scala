@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal, XxHash64}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -45,8 +45,13 @@ import graft.functions.BloomMightContain
 object BloomJoin {
 
   /** A sized, filled Bloom filter: broadcast word array + parameters.
-    * `bits.value` has length mBits/64. */
-  final case class BloomHandle(bits: Broadcast[Array[Long]], k: Int, mBits: Long)
+    * `bits.value` has length mBits/64. `keyType` is the build key's
+    * resolved data type: xxhash64 is type-sensitive (an INT and a BIGINT
+    * of the same value hash differently), so probe keys must be hashed
+    * AS this type or membership tests silently return false negatives
+    * where the equality join's implicit cast would have matched. */
+  final case class BloomHandle(bits: Broadcast[Array[Long]], k: Int, mBits: Long,
+      keyType: org.apache.spark.sql.types.DataType)
 
   /** Build a Bloom filter over `keyCol` of `build`, distributedly, and
     * broadcast the word array. Exactly one driver action when
@@ -74,15 +79,22 @@ object BloomJoin {
       .agg(call_function("bit_or", col("mask")).as("bits"))
       .collect()
     rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
-    BloomHandle(build.sparkSession.sparkContext.broadcast(words), k, mBits)
+    BloomHandle(build.sparkSession.sparkContext.broadcast(words), k, mBits,
+      build.schema(keyCol).dataType)
   }
 
   /** Codegen'd membership test for `key` against a built filter. False
     * negatives are impossible for keys that were in the build set. The
     * probe-side `XxHash64(key, seed_i)` children are constructed to be
-    * expression-identical to the build side's `xxhash64(key, seed_i)`. */
+    * expression-identical to the build side's `xxhash64(key, seed_i)` —
+    * including the key's DATA TYPE: the probe key is TRY-cast to the
+    * build key's type first, because xxhash64(1:INT) != xxhash64(1:BIGINT).
+    * TRY (not ANSI) cast: a probe value unrepresentable in the build type
+    * cannot equal any build key, and its null-cast hash at worst yields a
+    * false positive, which the exact final join removes. SimplifyCasts
+    * drops the cast entirely when the types already agree. */
   def mightContain(h: BloomHandle, key: Column): Column = {
-    val keyExpr = ColumnBridge.expression(key)
+    val keyExpr = Cast(ColumnBridge.expression(key), h.keyType, None, EvalMode.TRY)
     val hashes = (0 until h.k).map(i => XxHash64(Seq(keyExpr, Literal(i.toLong)), 42L))
     ColumnBridge.column(BloomMightContain(hashes, h.mBits, h.bits))
   }

@@ -62,6 +62,23 @@ class CurationSpec extends SparkTestBase {
     assert(out.length === 1 && out(0).getLong(0) === 42L)
   }
 
+  test("weightedSample: NULL, zero and negative weights are ineligible, never auto-winners") {
+    // w = 0 -> Infinity priority, w < 0 -> negative (always-first) priority,
+    // NULL -> NULL priority sorting first under nulls-first ASC: before the
+    // eligibility filter each of these silently hijacked selection
+    val docs = Seq(
+      (1L, "g", java.lang.Double.valueOf(-5.0)),
+      (2L, "g", java.lang.Double.valueOf(0.0)),
+      (3L, "g", null.asInstanceOf[java.lang.Double]),
+      (4L, "g", java.lang.Double.valueOf(1.0)),
+      (5L, "g", java.lang.Double.valueOf(2.0)),
+      (6L, "g", java.lang.Double.valueOf(3.0))
+    ).toDF("doc_id", "lang", "w")
+    val picked = Curation.weightedSample(docs, "lang", "doc_id", col("w"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked === Set(4L, 5L, 6L), s"ineligible weights leaked into $picked")
+  }
+
   test("boundedLevenshtein: equals full DP when <= k, caps at k+1 beyond") {
     val rnd = new scala.util.Random(31)
     def lev(a: String, b: String): Int = {

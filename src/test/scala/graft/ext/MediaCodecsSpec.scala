@@ -230,6 +230,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     JpegCodec.decodeJpeg(truncated)
   }
 
+  test("JPEG/PNG: crafted huge declared dimensions are rejected before allocation") {
+    // a tiny payload declaring 30000x30000 would demand ~900 MB per
+    // component plane straight from the header; the 64M-pixel cap must
+    // return None without allocating
+    val gray = Array.fill(128)(90.toByte)
+    val jpg = JpegCodec.encodeJpegGray(8, 16, gray, JpegCodec.UnitQuant)
+    // locate the SOF0 segment (FF C0) and patch height/width to 30000
+    val sof = (0 until jpg.length - 1).find(i =>
+      (jpg(i) & 0xFF) == 0xFF && (jpg(i + 1) & 0xFF) == 0xC0).get
+    val patched = jpg.clone()
+    val dim = 30000
+    patched(sof + 5) = ((dim >> 8) & 0xFF).toByte; patched(sof + 6) = (dim & 0xFF).toByte
+    patched(sof + 7) = ((dim >> 8) & 0xFF).toByte; patched(sof + 8) = (dim & 0xFF).toByte
+    assert(JpegCodec.decodeJpeg(patched) === None)
+
+    val rgb = Array.fill(8 * 8 * 3)(100.toByte)
+    val png = MediaCodecs.encodePng(8, 8, rgb)
+    // IHDR data starts at byte 16: width/height are the first two u32s
+    val p2 = png.clone()
+    val b = java.nio.ByteBuffer.wrap(p2)
+    b.putInt(16, dim); b.putInt(20, dim)
+    assert(MediaCodecs.decodePng(p2) === None)
+  }
+
   test("Multimodal.decodeFeatures dispatches: tagged real features vs stub") {
     val img = bmp(Array(Array((100, 150, 200))))
     val fImg = Multimodal.decodeFeatures(img, 8)

@@ -96,4 +96,31 @@ class BloomJoinSpec extends SparkTestBase {
       .select("pk").distinct().count()
     assert(got === 499L) // keys 1..499 present (i%500 for i in 1..50000 covers 0..499; pk>=1)
   }
+
+  test("mixed key types: INT probe vs BIGINT build (and vice versa) matches the equality join") {
+    // xxhash64 is type-sensitive: without the probe-side cast to the
+    // build key's type, an INT probe never hits a BIGINT build key's
+    // bits even for equal values, and the bloom pre-filter silently
+    // drops rows the equality join would have matched.
+    val probeInt = (1 to 5000).map(i => i).toDF("pk")
+      .select(col("pk").cast("int").as("pk"))
+    val buildLong = (1L to 5000L).filter(_ % 11 == 0).toDF("bk") // BIGINT
+    val got1 = BloomJoin.semiJoin(probeInt, buildLong, "pk", "bk")
+      .orderBy("pk").collect().map(_.getInt(0)).toSeq
+    val want1 = probeInt.join(buildLong, col("pk") === col("bk"), "left_semi")
+      .orderBy("pk").collect().map(_.getInt(0)).toSeq
+    assert(got1.nonEmpty && got1 === want1)
+
+    // reverse direction: BIGINT probe, INT build — includes a probe value
+    // beyond Int range, which TRY-cast nulls out (it cannot match) rather
+    // than throwing under ANSI
+    val probeLong = ((1L to 5000L) :+ (Int.MaxValue.toLong + 7L)).toDF("pk")
+    val buildInt = (1 to 5000).filter(_ % 13 == 0).map(i => i).toDF("bk")
+      .select(col("bk").cast("int").as("bk"))
+    val got2 = BloomJoin.semiJoin(probeLong, buildInt, "pk", "bk")
+      .orderBy("pk").collect().map(_.getLong(0)).toSeq
+    val want2 = probeLong.join(buildInt, col("pk") === col("bk"), "left_semi")
+      .orderBy("pk").collect().map(_.getLong(0)).toSeq
+    assert(got2.nonEmpty && got2 === want2)
+  }
 }
