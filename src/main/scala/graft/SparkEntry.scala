@@ -63,20 +63,36 @@ object SparkEntry {
       // chunked: one 2000-buffer aggregate compiles into a single giant
       // janino class (measured 13s at sf0.1, almost all fixed codegen
       // cost); chunks of 100 expressions keep each generated class
-      // JIT-able (measured 5.7s). Each chunk is one scan — the input is
-      // a narrow projection, so the extra scans are noise.
-      cases.zip(conds).grouped(100).map { chunk =>
-        val aggs = chunk.flatMap { case (c, cond) => Seq(
-          sum(when(cond, lit(1L)).otherwise(lit(0L))).as(s"nt_${c.id}"),
-          sum(when(cond, col("k")).otherwise(lit(0L))).as(s"ks_${c.id}")) }
-        base.agg(aggs.head, aggs.tail: _*)
-          .select(explode(array(chunk.map { case (c, _) => struct(
-            lit(c.id).as("expr_id"),
-            col(s"nt_${c.id}").as("n_true"),
-            col(s"ks_${c.id}").as("key_sum")) }: _*)).as("r"))
-          .select(col("r.expr_id").as("expr_id"),
-            col("r.n_true").as("n_true"), col("r.key_sum").as("key_sum"))
-      }.reduce(_ unionByName _)
+      // JIT-able (measured 5.7s). Fully interpreted is worse still
+      // (measured 26s) — codegen earns its cost here. What does NOT need
+      // to be serial is the per-chunk driver-side compile: chunks are
+      // independent aggregates over the same narrow scan, so they are
+      // submitted as CONCURRENT jobs — janino compiles and the tiny jobs
+      // run in parallel (measured: serial chunks 6.6s, parallel 3.4s at
+      // chunk=50; chunk=25 regresses to 5.4s on per-job overhead). The
+      // 1000-row battery result is materialized like the memory-sink rows.
+      import s.implicits._
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val chunkFutures = cases.zip(conds).grouped(50).map { chunk =>
+        Future {
+          val aggs = chunk.flatMap { case (c, cond) => Seq(
+            sum(when(cond, lit(1L)).otherwise(lit(0L))).as(s"nt_${c.id}"),
+            sum(when(cond, col("k")).otherwise(lit(0L))).as(s"ks_${c.id}")) }
+          base.agg(aggs.head, aggs.tail: _*)
+            .select(explode(array(chunk.map { case (c, _) => struct(
+              lit(c.id).as("expr_id"),
+              col(s"nt_${c.id}").as("n_true"),
+              col(s"ks_${c.id}").as("key_sum")) }: _*)).as("r"))
+            .select(col("r.expr_id").as("expr_id"),
+              col("r.n_true").as("n_true"), col("r.key_sum").as("key_sum"))
+            .collect()
+        }
+      }.toSeq
+      val out = Await.result(Future.sequence(chunkFutures), Duration.Inf).flatten
+      out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("expr_id", "n_true", "key_sum")
     },
     "etl_lookup" -> { (s, dir) =>
       val customer = Tables(s, dir, "customer")
@@ -619,150 +635,186 @@ object SparkEntry {
 
     // --- [EXT] Structured Streaming, driven end-to-end ------------------
     "stream_tumbling" -> { (s, dir) =>
-      // The events fixture replayed through the Structured Streaming file
-      // source: readStream → incremental epoch-tumbling aggregation →
-      // memory sink (complete mode, so every window is emitted when the
-      // finite replay drains). The returned frame is the materialized
-      // sink table — proving the streaming path end-to-end against the
-      // same DuckDB oracle shape as the batch query. DECIMAL state makes
-      // microbatch-incremental sums equal a single batch pass exactly.
-      // the file stream source requires a DIRECTORY base path; the glob
-      // filter narrows the listing to the events fixture inside it
-      val batchSchema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val agg = graft.streaming.StreamingOps.tumblingEpoch(stream)
-      val name = s"graft_stream_tumbling_${streamRunSeq.incrementAndGet()}"
-      graft.streaming.StreamingOps.runToMemory(agg, name,
-        org.apache.spark.sql.streaming.OutputMode.Complete())
-      s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
+      withShufflePartitions(s, 4) {
+        // The events fixture replayed through the Structured Streaming file
+        // source: readStream → incremental epoch-tumbling aggregation →
+        // memory sink (complete mode, so every window is emitted when the
+        // finite replay drains). The returned frame is the materialized
+        // sink table — proving the streaming path end-to-end against the
+        // same DuckDB oracle shape as the batch query. DECIMAL state makes
+        // microbatch-incremental sums equal a single batch pass exactly.
+        // the file stream source requires a DIRECTORY base path; the glob
+        // filter narrows the listing to the events fixture inside it
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val agg = graft.streaming.StreamingOps.tumblingEpoch(stream)
+        val name = s"graft_stream_tumbling_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
+      }
     },
     "stream_user_totals" -> { (s, dir) =>
-      // arbitrary stateful processing (mapGroupsWithState) driven
-      // end-to-end: per-user count/min/max — deliberately only
-      // order-independent accumulators, so the emitted state is
-      // bit-reproducible. The single-file fixture replays as ONE
-      // microbatch, so update mode emits each user exactly once.
-      import s.implicits._
-      val batchSchema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .as[graft.streaming.StreamingOps.Event]
-      val out = graft.streaming.StreamingOps.userStats(stream).toDF()
-      val name = s"graft_stream_user_totals_${streamRunSeq.incrementAndGet()}"
-      graft.streaming.StreamingOps.runToMemory(out, name,
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      s.table(name)
+      withShufflePartitions(s, 4) {
+        // arbitrary stateful processing (mapGroupsWithState) driven
+        // end-to-end: per-user count/min/max — deliberately only
+        // order-independent accumulators, so the emitted state is
+        // bit-reproducible. The single-file fixture replays as ONE
+        // microbatch, so update mode emits each user exactly once.
+        import s.implicits._
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.StreamingOps.Event]
+        val out = graft.streaming.StreamingOps.userStats(stream).toDF()
+        val name = s"graft_stream_user_totals_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        s.table(name)
+      }
     },
     "stream_sessions" -> { (s, dir) =>
-      // session_window sessionization through the streaming engine. Event
-      // times truncate to whole seconds on BOTH sides (the fixture is
-      // micros-precision; second-truncated gap arithmetic is the portable
-      // contract). session_window MERGES an event arriving exactly `gap`
-      // after its predecessor (end-inclusive merge — verified empirically
-      // at sf0.1), so the oracle's gaps-and-islands opens a new session
-      // only when the difference EXCEEDS the gap (`> 1800`).
-      val batchSchema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts",
-          timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
-      val agg = graft.streaming.StreamingOps.sessions(stream,
-        gap = "30 minutes", watermark = "2 hours")
-      val name = s"graft_stream_sessions_${streamRunSeq.incrementAndGet()}"
-      graft.streaming.StreamingOps.runToMemory(agg, name,
-        org.apache.spark.sql.streaming.OutputMode.Complete())
-      s.table(name).select(
-        col("user_id"),
-        unix_timestamp(col("session_start")).as("session_start"),
-        unix_timestamp(col("session_end")).as("session_end"),
-        col("n_events"),
-        col("sum_value").cast("double").as("sum_value"))
+      withShufflePartitions(s, 4) {
+        // session_window sessionization through the streaming engine. Event
+        // times truncate to whole seconds on BOTH sides (the fixture is
+        // micros-precision; second-truncated gap arithmetic is the portable
+        // contract). session_window MERGES an event arriving exactly `gap`
+        // after its predecessor (end-inclusive merge — verified empirically
+        // at sf0.1), so the oracle's gaps-and-islands opens a new session
+        // only when the difference EXCEEDS the gap (`> 1800`).
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts",
+            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+        val agg = graft.streaming.StreamingOps.sessions(stream,
+          gap = "30 minutes", watermark = "2 hours")
+        val name = s"graft_stream_sessions_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        s.table(name).select(
+          col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start"),
+          unix_timestamp(col("session_end")).as("session_end"),
+          col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+      }
     },
     "stream_append_tumbling" -> { (s, dir) =>
-      // Multi-microbatch APPEND-mode streaming — the semantics the
-      // complete-mode rows can't show: the fixture is split into 3
-      // time-ordered files (ascending mtimes pin the file source's
-      // replay order), one file per microbatch, so the watermark
-      // genuinely advances batch-over-batch and closed windows are
-      // EVICTED from the state store and emitted exactly once. Append
-      // emits a window only when its end falls behind the watermark, so
-      // the result is the batch windows with end <= max(ts) - 2h (the
-      // final watermark, applied by the trailing no-data microbatch);
-      // time-ordered files mean no row ever arrives late, so nothing is
-      // dropped and the oracle is exact.
-      val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(replayDir)
-      val agg = graft.streaming.StreamingOps.tumbling(stream,
-        windowLen = "1 hour", watermark = "2 hours")
-      val name = s"graft_stream_append_${streamRunSeq.incrementAndGet()}"
-      graft.streaming.StreamingOps.runToMemory(agg, name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      s.table(name).select(
-        unix_timestamp(col("window_start")).as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+      withShufflePartitions(s, 4) {
+        // Multi-microbatch APPEND-mode streaming — the semantics the
+        // complete-mode rows can't show: the fixture is split into 3
+        // time-ordered files (ascending mtimes pin the file source's
+        // replay order), one file per microbatch, so the watermark
+        // genuinely advances batch-over-batch and closed windows are
+        // EVICTED from the state store and emitted exactly once. Append
+        // emits a window only when its end falls behind the watermark, so
+        // the result is the batch windows with end <= max(ts) - 2h (the
+        // final watermark, applied by the trailing no-data microbatch);
+        // time-ordered files mean no row ever arrives late, so nothing is
+        // dropped and the oracle is exact.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val agg = graft.streaming.StreamingOps.tumbling(stream,
+          windowLen = "1 hour", watermark = "2 hours")
+        val name = s"graft_stream_append_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name).select(
+          unix_timestamp(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      }
     },
     "stream_late_drop" -> { (s, dir) =>
-      // The OTHER half of watermark semantics: late-row DROPPING (eviction
-      // is pinned by stream_append_tumbling). Replay order 4,3,1,2 over
-      // time-quartile tiles: the LATEST quartile arrives first, raising
-      // the watermark to max(ts) - 2h. The engine propagates a new
-      // watermark with a ONE-BATCH LAG (measured here: the batch after
-      // the raiser still runs with the old watermark — the offset log
-      // records each batch's watermark when the batch is constructed),
-      // so tile 3 is replayed as a spacer batch; by the time the two
-      // EARLIEST quartiles arrive, the max(ts)-2h watermark is effective
-      // and every one of their rows targets a window with end <=
-      // watermark: all dropped. The watermark never advances afterwards
-      // (max already seen), so the emitted result is exactly the closed
-      // (end <= max-2h) windows built from the latest HALF of the rows;
-      // the oracle recomputes that with the same NTILE(4) tiling by
-      // (truncated ts, event_id). A non-dropping engine would re-open
-      // already-emitted windows and emit duplicates/inflated counts,
-      // which the hash compare would catch.
-      val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 4,
-        order = Seq(4, 3, 1, 2))
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(replayDir)
-      val agg = graft.streaming.StreamingOps.tumbling(stream,
-        windowLen = "1 hour", watermark = "2 hours")
-      val name = s"graft_stream_late_${streamRunSeq.incrementAndGet()}"
-      graft.streaming.StreamingOps.runToMemory(agg, name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      s.table(name).select(
-        unix_timestamp(col("window_start")).as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+      withShufflePartitions(s, 4) {
+        // The OTHER half of watermark semantics: late-row DROPPING (eviction
+        // is pinned by stream_append_tumbling). Replay order 4,3,1,2 over
+        // time-quartile tiles: the LATEST quartile arrives first, raising
+        // the watermark to max(ts) - 2h. The engine propagates a new
+        // watermark with a ONE-BATCH LAG (measured here: the batch after
+        // the raiser still runs with the old watermark — the offset log
+        // records each batch's watermark when the batch is constructed),
+        // so tile 3 is replayed as a spacer batch; by the time the two
+        // EARLIEST quartiles arrive, the max(ts)-2h watermark is effective
+        // and every one of their rows targets a window with end <=
+        // watermark: all dropped. The watermark never advances afterwards
+        // (max already seen), so the emitted result is exactly the closed
+        // (end <= max-2h) windows built from the latest HALF of the rows;
+        // the oracle recomputes that with the same NTILE(4) tiling by
+        // (truncated ts, event_id). A non-dropping engine would re-open
+        // already-emitted windows and emit duplicates/inflated counts,
+        // which the hash compare would catch.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 4,
+          order = Seq(4, 3, 1, 2))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val agg = graft.streaming.StreamingOps.tumbling(stream,
+          windowLen = "1 hour", watermark = "2 hours")
+        val name = s"graft_stream_late_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name).select(
+          unix_timestamp(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      }
     },
     "stream_dedup" -> { (s, dir) =>
-      // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
-      // keyed by (user_id, event_type). Only the KEY columns are
-      // projected: which duplicate arrives first inside a microbatch is
-      // partition-order-dependent in any engine, so the key projection
-      // is the deterministic face — over one drained replay it equals
-      // batch DISTINCT. Within-watermark suppression and state eviction
-      // timing are pinned separately in StreamingOpsSpec.
-      val batchSchema = Tables(s, dir, "events").schema
-      val stream = s.readStream.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts",
-          timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
-        .select("ts", "user_id", "event_type")
-      val dedup = graft.streaming.StreamingOps.dedupStream(stream,
-        keyCols = Seq("user_id", "event_type"), watermark = "1 hour")
-        .select("user_id", "event_type")
-      val name = s"graft_stream_dedup_${streamRunSeq.incrementAndGet()}"
-      graft.streaming.StreamingOps.runToMemory(dedup, name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      s.table(name)
+      withShufflePartitions(s, 4) {
+        // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
+        // keyed by (user_id, event_type). Only the KEY columns are
+        // projected: which duplicate arrives first inside a microbatch is
+        // partition-order-dependent in any engine, so the key projection
+        // is the deterministic face — over one drained replay it equals
+        // batch DISTINCT. Within-watermark suppression and state eviction
+        // timing are pinned separately in StreamingOpsSpec.
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts",
+            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+          .select("ts", "user_id", "event_type")
+        val dedup = graft.streaming.StreamingOps.dedupStream(stream,
+          keyCols = Seq("user_id", "event_type"), watermark = "1 hour")
+          .select("user_id", "event_type")
+        val name = s"graft_stream_dedup_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(dedup, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
     },
   )
 
   /** Memory-sink names must be fresh per invocation (bench warm-up + two
     * timed passes reuse one session). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped down to `n`,
+    * restoring the session value afterwards. A streaming query fixes its
+    * STATE STORE partition count from this conf at start, and every
+    * microbatch then pays per-partition state/commit overhead — at the
+    * fixture's scale (thousands of rows, 3-4 microbatches) 32 partitions
+    * are pure fixed cost. The driver queries replay a finite fixture, so
+    * 4 state partitions lose no parallelism here; a production deployment
+    * starts its long-lived query under the session's real setting. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    withSqlConf(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Run `body` with session SQL confs scoped to `kvs`, restoring previous
+    * values afterwards. Only effective when the body EXECUTES its plans
+    * (streaming drains, collects): conf is read at action time, so a
+    * lazily returned DataFrame would execute under the restored values. */
+  private def withSqlConf[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   /** Stage the events fixture as `parts` single-file parquet writes in a
     * fresh directory, one file per NTILE-by-(ts, event_id) tile, replayed
