@@ -501,6 +501,70 @@ object SparkEntry {
         tiebreakCol = "o_orderkey", buckets = 10)
         .withColumnRenamed("o_orderpriority", "prio")
     },
+    "q_jaro_winkler" -> { (s, dir) =>
+      // Native Jaro/Jaro-Winkler scoring over consecutive part-name
+      // pairs, differentially checked against DuckDB's implementations.
+      // Micro-precision integers (round(sim*1e6)) are the comparison
+      // face: the two engines may associate the jaro double arithmetic
+      // differently, and 1e-6 is far coarser than any ulp divergence.
+      val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("k"), col("p_name").as("na"))
+      val b = p.select((col("p_partkey") - lit(1L)).as("k"), col("p_name").as("nb"))
+      a.join(b, "k").select(
+        col("k").as("p_partkey"),
+        round(graft.functions.strsim.jaro_winkler(col("na"), col("nb")) * lit(1e6))
+          .cast("long").as("jw_micro"),
+        round(graft.functions.strsim.jaro(col("na"), col("nb")) * lit(1e6))
+          .cast("long").as("jaro_micro"))
+    },
+    "etl_cdc_diff" -> { (s, dir) =>
+      // Snapshot CDC: two deterministic snapshots derived from orders
+      // (drops on each side + a totalprice bump) diffed into an
+      // insert/update/delete stream; oracle = the FULL OUTER JOIN
+      // classification in SQL.
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val oldSnap = base.filter(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+      val newSnap = base.filter(pmod(col("o_orderkey"), lit(11L)) =!= 7L)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(13L)) === 0L, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+      graft.ops.Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    },
+    "ts_gapfill" -> { (s, dir) =>
+      // Gap-filled 6-hour resample of per-user event value sums with
+      // linear interpolation across unobserved buckets; the interpolation
+      // expression is mirrored operation-for-operation in the oracle and
+      // compared at micro precision.
+      val ev = Tables(s, dir, "events")
+      val base = ev.select(col("user_id"), Events.tsSec(ev).as("ts_sec"), col("value"))
+      graft.ops.TimeSeries.gapFillInterpolate(base,
+          keyCol = "user_id", tsSecCol = "ts_sec", valueCol = "value", step = 21600L)
+        .select(col("user_id"), col("bucket"),
+          round(col("v") * lit(1e6)).cast("long").as("v_micro"), col("observed"))
+    },
+    "events_funnel" -> { (s, dir) =>
+      // Ordered view -> click -> purchase funnel per user: first-reach
+      // epoch second of each step (strictly-after ordering), pure window
+      // aggregation over one user_id exchange.
+      Events.funnel(Tables(s, dir, "events"), Seq("view", "click", "purchase"))
+    },
+    "etl_incr_agg" -> { (s, dir) =>
+      // Incremental aggregate maintenance: history partial + delta
+      // partial merged; the oracle recomputes the aggregate from ALL
+      // rows from scratch — merge(agg(hist), agg(delta)) == agg(all)
+      // exactly, per the monoid decomposition.
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      val splitTs = lit("1997-01-01").cast("timestamp")
+      val hist = orders.filter(col("o_orderdate") < splitTs)
+      val delta = orders.filter(col("o_orderdate") >= splitTs)
+      val merged = graft.ops.IncrementalAgg.merge(
+        graft.ops.IncrementalAgg.partial(hist, Seq("o_orderpriority"), "o_totalprice"),
+        graft.ops.IncrementalAgg.partial(delta, Seq("o_orderpriority"), "o_totalprice"))
+      merged.select(col("o_orderpriority"), col("n"),
+        col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"))
+    },
     "sample_weighted" -> { (s, dir) =>
       // Deterministic weight-biased sampling: 3 docs per lang, weight =
       // text length + 1 (longer docs systematically likelier).
@@ -1249,6 +1313,77 @@ object SparkEntry {
         |  NTILE(10) OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
         |GROUP BY 1, 2""".stripMargin,
+    "q_jaro_winkler" ->
+      """SELECT a.p_partkey AS p_partkey,
+        | CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000) AS BIGINT) AS jw_micro,
+        | CAST(ROUND(jaro_similarity(a.p_name, b.p_name) * 1000000) AS BIGINT) AS jaro_micro
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin,
+    "etl_cdc_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |o AS (SELECT * FROM base WHERE o_orderkey % 11 <> 3),
+        |n AS (SELECT o_orderkey, o_orderstatus,
+        |   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 11 <> 7),
+        |j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+        |   o.o_orderstatus AS os, n.o_orderstatus AS ns,
+        |   o.o_totalprice AS ot, n.o_totalprice AS nt
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+        |c AS (SELECT COALESCE(ok, nk) AS o_orderkey,
+        |   CASE WHEN ok IS NULL THEN 'insert' WHEN nk IS NULL THEN 'delete'
+        |        WHEN (os IS DISTINCT FROM ns) OR (ot IS DISTINCT FROM nt) THEN 'update'
+        |        ELSE 'unchanged' END AS change_type,
+        |   os AS old_o_orderstatus, ns AS new_o_orderstatus,
+        |   ot AS old_o_totalprice, nt AS new_o_totalprice
+        |  FROM j)
+        |SELECT * FROM c WHERE change_type <> 'unchanged'""".stripMargin,
+    "ts_gapfill" ->
+      """WITH base AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, value FROM events),
+        |obs AS (SELECT user_id, ts_sec - (ts_sec % 21600) AS bucket,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs_v
+        |  FROM base GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(generate_series(mn, mx, 21600)) AS bucket FROM span),
+        |j AS (SELECT g.user_id, g.bucket, o.obs_v
+        |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket),
+        |w AS (SELECT user_id, bucket, obs_v,
+        |   LAST_VALUE(obs_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |   LAST_VALUE(CASE WHEN obs_v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |   FIRST_VALUE(obs_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |   FIRST_VALUE(CASE WHEN obs_v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY bucket
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT user_id, bucket,
+        | CAST(ROUND((CASE WHEN obs_v IS NOT NULL THEN obs_v
+        |   ELSE pv + (nv - pv) * (CAST(bucket - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |   END) * 1000000) AS BIGINT) AS v_micro,
+        | (obs_v IS NOT NULL) AS observed
+        |FROM w""".stripMargin,
+    "events_funnel" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_1 FROM base),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND step_1 IS NOT NULL
+        |     AND ts_sec > step_1 THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_2 FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step_2 IS NOT NULL
+        |     AND ts_sec > step_2 THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_3 FROM s2)
+        |SELECT DISTINCT user_id, step_1, step_2, step_3,
+        | (CASE WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
+        |FROM s3""".stripMargin,
+    "etl_incr_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+        |FROM orders GROUP BY 1""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang, priority, rn FROM (
         | SELECT doc_id, lang,

@@ -35,6 +35,13 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(outDir)
   }
 
+  /** ORC sink — same partitioned columnar shape as parquetDir for
+    * warehouses standardized on ORC. */
+  def orcDir(df: DataFrame, outDir: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(outDir)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)

@@ -35,6 +35,10 @@ object SmartLoad {
       XlsReader.read(spark, path)
     else if (is("json", "json")) json(spark, path)
     else if (is("parquet", "parquet")) spark.read.parquet(path)
+    // columnar sibling formats beyond the reference's surface: ORC is a
+    // Spark-native DSv2 source (predicate pushdown + column pruning like
+    // parquet), so warehouse extracts arriving as ORC load identically
+    else if (is("orc", "orc")) spark.read.orc(path)
     else sniffDelimited(spark, path)
   }
 

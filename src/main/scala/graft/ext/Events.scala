@@ -73,6 +73,35 @@ object Events {
       (col("ts_sec") - lag(col("ts_sec"), 1).over(byUser)).as("secs_since_prev"))
   }
 
+  /** Ordered funnel analysis: for each user, the first time each step of
+    * `steps` was reached IN ORDER — step i+1 counts only strictly after
+    * (second-truncated) the first completion of step i. Implementation is
+    * pure per-user window aggregation: one shuffle on user_id, then one
+    * chained select per step over the SAME partitioning (Catalyst reuses
+    * the exchange), no joins and no driver state — at 100 TB this is a
+    * single exchange + sorts. Second truncation (not raw nanos) is the
+    * portable ordering contract shared with the sessionize oracle.
+    * Output: user_id, step_1..step_n first-reach epoch seconds (null once
+    * the chain breaks), and `reached` = number of completed steps. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8, s"funnel needs 1..8 steps, got ${steps.size}")
+    val byUser = Window.partitionBy("user_id")
+    val base = events.select(col("user_id"), col("event_type"), tsSec(events).as("ts_sec"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col(s"step_${i}").isNotNull &&
+          col("ts_sec") > col(s"step_${i}")
+      df.withColumn(s"step_${i + 1}", min(when(cond, col("ts_sec"))).over(byUser))
+    }
+    val stepCols = (1 to steps.size).map(i => col(s"step_$i"))
+    val reached = stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce[Column](_ + _)
+    withSteps
+      .select((Seq(col("user_id")) ++ stepCols :+ reached.as("reached")): _*)
+      .distinct()
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object string). */
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))

@@ -124,4 +124,16 @@ class SmartLoadSpec extends SparkTestBase {
       SmartLoad.load(spark, p.toString)
     }
   }
+
+  test("orc round trip: Sinks.orcDir -> SmartLoad by extension and by override") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    val out = dir + "/t.orc"
+    Sinks.orcDir(df, out)
+    val back = SmartLoad.load(spark, out)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    val viaOverride = SmartLoad.load(spark, out, formatOverride = Some("orc"))
+    assert(viaOverride.count() === 2L)
+  }
 }

@@ -31,4 +31,29 @@ class EventsSpec extends SparkTestBase {
     assert(s.filter(col("session_end") < col("session_start")).count() === 0)
     assert(s.agg(sum("n_events")).collect().head.getLong(0) === events.count())
   }
+
+  test("funnel: steps must be reached strictly in order") {
+    import spark.implicits._
+    // u1 completes view->click->purchase in order
+    // u2 clicks BEFORE viewing: click must not count, reached = 1
+    // u3 views only; u4 has click same-second as view: '>' excludes it
+    // u5 never views: reached = 0 despite a purchase
+    val df = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "click"), (2L, 200L, "view"),
+      (3L, 100L, "view"),
+      (4L, 100L, "view"), (4L, 100L, "click"),
+      (5L, 100L, "purchase")
+    ).map { case (u, t, e) => (u, t * 1000000000L, e) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2), r.get(3), r.getInt(4))).toMap
+    assert(out(1L) === ((100L, 200L, 300L, 3)))
+    assert(out(2L) === ((200L, null, null, 1)))
+    assert(out(3L) === ((100L, null, null, 1)))
+    assert(out(4L) === ((100L, null, null, 1)))
+    assert(out(5L) === ((null, null, null, 0)))
+    // exactly one row per user
+    assert(out.size === 5)
+  }
 }
