@@ -116,6 +116,21 @@ object GraftExtensions {
         endCol = strLit(args(5), "end_col"),
         bucketWidth = longLit(args(6), "bucket_width"))
       joined.queryExecution.logical
+    }),
+    //   graft_bloom_semi(probe_view, build_view, probe_key, build_key)
+    // Bloom-pre-filtered exact semi join. The filter is BUILT at analysis
+    // time (two cheap driver actions on the build view: HLL sizing +
+    // word-array aggregation — the same actions the Scala API runs) and
+    // travels as a broadcast variable inside the returned plan, never a
+    // plan literal.
+    ("graft_bloom_semi", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val probe = spark.table(strLit(args(0), "probe_view"))
+      val build = spark.table(strLit(args(1), "build_view"))
+      val joined = graft.ops.BloomJoin.semiJoin(probe, build,
+        probeKey = strLit(args(2), "probe_key"),
+        buildKey = strLit(args(3), "build_key"))
+      joined.queryExecution.logical
     }))
 
   private def longLit(e: Expression, what: String): Long = e match {

@@ -310,6 +310,25 @@ object SparkEntry {
     "q_collect_set" -> (Relational.statusSetPerFlag _),
     "q_anti_join" -> (Relational.customersWithoutOrders _),
     "q_semi_join" -> (Relational.orderedParts _),
+    "q_bloom_sql" -> { (s, dir) =>
+      // The Bloom semi join through its SQL face: graft_bloom_semi is a
+      // registered TVF whose builder runs the same distributed filter
+      // build and returns the same broadcast-backed plan as the Scala
+      // API — shared oracle with q_bloom_join.
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey")).createOrReplaceTempView("graft_bloom_build_v")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("graft_bloom_probe_v")
+      s.sql("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM graft_bloom_semi('graft_bloom_probe_v', 'graft_bloom_build_v',
+                              'l_orderkey', 'o_orderkey')
+        GROUP BY l_returnflag
+      """)
+    },
     "q_bloom_join" -> { (s, dir) =>
       // Bloom-pre-filtered semi join: lineitems of expensive orders. The
       // bloom test thins the probe side BEFORE its shuffle; the final
@@ -500,6 +519,25 @@ object SparkEntry {
         groupCol = "o_orderpriority", valueCol = "o_totalprice",
         tiebreakCol = "o_orderkey", buckets = 10)
         .withColumnRenamed("o_orderpriority", "prio")
+    },
+    "events_hopping" -> { (s, dir) =>
+      // Hopping windows (1h window, 15m slide): each event lands in 4
+      // overlapping windows via a plan-side explode(sequence) Expand.
+      Events.hopping(Tables(s, dir, "events"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+    },
+    "q_outlier_mad" -> { (s, dir) =>
+      // Robust MAD outliers per priority. The fixture's totalprice is
+      // near-uniform (no 3-sigma tail at all), so deterministic
+      // anomalies are INJECTED (every 499th key at 20x) and the op must
+      // find exactly those — exact interpolated medians on both sides
+      // (percentile <-> quantile_cont), no float rounding anywhere.
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderpriority"),
+        when(pmod(col("o_orderkey"), lit(499L)) === 0L, col("o_totalprice") * lit(20.0))
+          .otherwise(col("o_totalprice")).as("price"))
+      graft.ops.Relational.madOutliers(base,
+        groupCol = "o_orderpriority", valueCol = "price")
     },
     "q_jaro_winkler" -> { (s, dir) =>
       // Native Jaro/Jaro-Winkler scoring over consecutive part-name
@@ -1119,6 +1157,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY l_returnflag""".stripMargin,
+    "q_bloom_sql" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -1313,6 +1357,28 @@ object SparkEntry {
         |  NTILE(10) OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
         |GROUP BY 1, 2""".stripMargin,
+    "events_hopping" ->
+      """WITH base AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_type, value FROM events),
+        |x AS (SELECT UNNEST(generate_series(((t - 3600) // 900 + 1) * 900,
+        |        (t // 900) * 900, 900)) AS window_start,
+        |       event_type, value FROM base)
+        |SELECT window_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH base AS (SELECT o_orderpriority,
+        |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0
+        |        ELSE o_totalprice END AS price FROM orders),
+        |med AS (SELECT o_orderpriority, quantile_cont(price, 0.5) AS med
+        |  FROM base GROUP BY 1),
+        |d AS (SELECT b.o_orderpriority, b.price, ABS(b.price - m.med) AS adev
+        |  FROM base b JOIN med m USING (o_orderpriority)),
+        |mad AS (SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.o_orderpriority, COUNT(*) AS n_outliers,
+        | MIN(d.price) AS min_outlier, MAX(d.price) AS max_outlier
+        |FROM d JOIN mad USING (o_orderpriority)
+        |WHERE d.adev > 3.0 * 1.4826 * mad.mad
+        |GROUP BY 1""".stripMargin,
     "q_jaro_winkler" ->
       """SELECT a.p_partkey AS p_partkey,
         | CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000) AS BIGINT) AS jw_micro,

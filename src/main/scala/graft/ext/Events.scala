@@ -37,6 +37,30 @@ object Events {
         sum(col("value").cast("decimal(18,6)")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Hopping (sliding) windows: every window of `windowSeconds` advancing
+    * by `slideSeconds` that contains the event. Each event expands to
+    * exactly windowSeconds/slideSeconds rows via a plan-side
+    * `explode(sequence(...))` — a zero-shuffle Expand — then one shuffle
+    * on (window_start, type) with map-side combine, the same topology as
+    * [[tumbling]] scaled by the overlap factor. Epochs are positive, so
+    * integer `div` agrees with floor division in any engine. */
+  def hopping(events: DataFrame, windowSeconds: Int = 3600,
+      slideSeconds: Int = 900): DataFrame = {
+    require(windowSeconds % slideSeconds == 0,
+      s"window ($windowSeconds s) must be a multiple of slide ($slideSeconds s)")
+    val t = tsSec(events)
+    // window [w, w+L) contains t  iff  t-L < w <= t and w ≡ 0 (mod S)
+    val lo = (call_function("div", t - lit(windowSeconds.toLong), lit(slideSeconds.toLong))
+      + lit(1L)) * slideSeconds
+    val hi = call_function("div", t, lit(slideSeconds.toLong)) * slideSeconds
+    events
+      .select(explode(sequence(lo, hi, lit(slideSeconds.toLong))).as("window_start"),
+        col("event_type"), col("value"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts after
     * `gapSeconds` of user inactivity. One shuffle (partition by user),
     * then pure window functions — the batch shape of

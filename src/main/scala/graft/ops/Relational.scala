@@ -296,4 +296,32 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** Robust per-group outlier detection via MAD (median absolute
+    * deviation): a row is an outlier when
+    * |v - median| > nSigma * 1.4826 * MAD (1.4826 scales MAD to σ under
+    * normality — the standard robust z-score). Medians are EXACT
+    * interpolated percentiles, so the result is deterministic and
+    * engine-portable (quantile_cont in the oracle); unlike mean/stddev,
+    * a contaminated group cannot drag its own threshold.
+    *
+    * Plan: two grouped exact-percentile aggregations (group cardinality
+    * rows each) broadcast-joined back to the data — the full table
+    * shuffles only on groupCol for the percentile sorts, and the join
+    * back is a broadcast hash join against aggregate-sized frames. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      nSigma: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.select(col(groupCol), col(valueCol))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("adev") > lit(nSigma) * lit(1.4826) * col("mad"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col(valueCol)).as("min_outlier"), max(col(valueCol)).as("max_outlier"))
+  }
 }

@@ -94,6 +94,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === Seq(101L)) // next err at-or-after ts=10 is ts=12
   }
 
+  test("graft_bloom_semi table-valued function equals the plain semi join") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (1L to 2000L).map(i => (i, i % 17)).toDF("pk", "payload")
+      .createOrReplaceTempView("tvf_bloom_probe")
+    (1L to 2000L).filter(_ % 19 == 0).toDF("bk")
+      .createOrReplaceTempView("tvf_bloom_build")
+    val got = spark.sql(
+      """SELECT pk FROM graft_bloom_semi('tvf_bloom_probe', 'tvf_bloom_build',
+        |  'pk', 'bk') ORDER BY pk""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val want = (1L to 2000L).filter(_ % 19 == 0)
+    assert(got === want)
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -32,6 +32,20 @@ class EventsSpec extends SparkTestBase {
     assert(s.agg(sum("n_events")).collect().head.getLong(0) === events.count())
   }
 
+  test("hopping windows: each event lands in exactly window/slide windows") {
+    import spark.implicits._
+    // event at t=3700 with L=3600, S=900: windows starting 900..3600
+    val df = Seq((1L, 3700L * 1000000000L, "click", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = Events.hopping(df, windowSeconds = 3600, slideSeconds = 900)
+      .orderBy("window_start").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(900L, 1800L, 2700L, 3600L))
+    assert(out.forall(_.getLong(2) === 1L))
+    // conservation: every event counted exactly L/S times
+    val total = Events.hopping(events).agg(sum("n_events")).head.getLong(0)
+    assert(total === events.count() * 4)
+  }
+
   test("funnel: steps must be reached strictly in order") {
     import spark.implicits._
     // u1 completes view->click->purchase in order
