@@ -60,7 +60,8 @@ object Bench {
       results.map { case (k, v) => s"\"" + k + "\":" + fmt(dp)(v) }
         .mkString("{", ",", "}")
     val qs3 = renderQs(3)
-    val qs = if (qs3.length <= 1700) qs3 else renderQs(2)
+    val qs = if (qs3.length <= 1700) qs3
+      else { val qs2 = renderQs(2); if (qs2.length <= 1800) qs2 else renderQs(1) }
     val f = fmt(3) _
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0.0).sum
