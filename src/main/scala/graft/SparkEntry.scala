@@ -757,6 +757,26 @@ object SparkEntry {
         s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
       }
     },
+    "stream_hopping" -> { (s, dir) =>
+      withShufflePartitions(s, 4) {
+        // Hopping windows through the streaming engine (1h window, 15m
+        // slide): drained complete-mode replay equals the batch
+        // explode(sequence) expansion — shared oracle with events_hopping.
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts",
+            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+        val agg = graft.streaming.StreamingOps.hopping(stream)
+        val name = s"graft_stream_hopping_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        s.table(name).select(
+          unix_timestamp(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+      }
+    },
     "stream_user_totals" -> { (s, dir) =>
       withShufflePartitions(s, 4) {
         // arbitrary stateful processing (mapGroupsWithState) driven
@@ -1357,6 +1377,14 @@ object SparkEntry {
         |  NTILE(10) OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders)
         |GROUP BY 1, 2""".stripMargin,
+    "stream_hopping" ->
+      """WITH base AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_type, value FROM events),
+        |x AS (SELECT UNNEST(generate_series(((t - 3600) // 900 + 1) * 900,
+        |        (t // 900) * 900, 900)) AS window_start,
+        |       event_type, value FROM base)
+        |SELECT window_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "events_hopping" ->
       """WITH base AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_type, value FROM events),
         |x AS (SELECT UNNEST(generate_series(((t - 3600) // 900 + 1) * 900,

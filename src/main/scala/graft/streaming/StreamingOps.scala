@@ -53,6 +53,21 @@ object StreamingOps {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
 
+  /** Hopping (sliding) windows per event type — the streaming twin of
+    * Events.hopping. Spark's `window(ts, len, slide)` assigns each event
+    * to every slide-aligned [w, w+len) window containing it, the same
+    * window set as the batch explode(sequence) expansion, so a drained
+    * replay equals the batch result. */
+  def hopping(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows keyed by user (gap-based), the streaming twin of
     * Events.sessionize. */
   def sessions(events: DataFrame, gap: String = "30 minutes",
