@@ -603,6 +603,26 @@ object SparkEntry {
       merged.select(col("o_orderpriority"), col("n"),
         col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"))
     },
+    "pack_sequences" -> { (s, dir) =>
+      // Concat-and-cut sequence packing: docs in doc_id order within 8
+      // shards, cut at 512-token boundaries — pure prefix-sum windows,
+      // token counts shared with the text_stats expression pair.
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packSequences(base, shardCol = "shard", orderCol = "doc_id",
+        tokenCol = "n_tokens", budget = 512L)
+    },
+    "sample_mix" -> { (s, dir) =>
+      // Domain mixing by largest-remainder apportionment: 203 docs at
+      // 40/20/15/15/10% across langs (203 chosen so two remainder seats
+      // are actually contested, incl. an exact es/fr tie broken by name).
+      Curation.mixQuota(Tables(s, dir, "documents"), groupCol = "lang",
+        idCol = "doc_id", total = 203L,
+        weights = Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.1))
+    },
     "sample_weighted" -> { (s, dir) =>
       // Deterministic weight-biased sampling: 3 docs per lang, weight =
       // text length + 1 (longer docs systematically likelier).
@@ -1478,6 +1498,30 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
         |FROM orders GROUP BY 1""".stripMargin,
+    "pack_sequences" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |       ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS prev
+        | FROM tok)
+        |SELECT doc_id, shard, n_tokens, CAST(prev // 512 AS BIGINT) AS pack_id,
+        | CAST(prev % 512 AS BIGINT) AS offset_in_pack FROM c""".stripMargin,
+    "sample_mix" ->
+      """WITH w AS (SELECT lang, CAST(wt AS DOUBLE) AS wt
+        |  FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.15), ('fr', 0.15), ('zh', 0.1))
+        |   AS t(lang, wt)),
+        |q0 AS (SELECT lang, CAST(FLOOR(wt * 203) AS BIGINT) AS base,
+        |        wt * 203 - FLOOR(wt * 203) AS rem FROM w),
+        |q1 AS (SELECT lang, base, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |        203 - SUM(base) OVER () AS deficit FROM q0),
+        |quota AS (SELECT lang, base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS quota FROM q1),
+        |r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |   ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007 ASC, doc_id ASC) AS INT) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rn FROM r JOIN quota USING (lang)
+        |WHERE r.rn <= quota.quota""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang, priority, rn FROM (
         | SELECT doc_id, lang,

@@ -231,4 +231,60 @@ object Curation {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** Sequence packing for training: documents are concatenated in
+    * `orderCol` order within each shard and CUT at fixed `budget`-token
+    * boundaries (the concat-and-cut packing most LLM data pipelines use —
+    * a document may straddle two packs; `offset_in_pack` says where it
+    * starts). Pure prefix-sum arithmetic: pack assignment is
+    * floor(preceding_tokens / budget), so the whole operator is ONE
+    * window over the shard partitioning — no sequential driver loop, and
+    * shards bound the window partitions (pack within a shard, shards
+    * scale out). Greedy no-split bin packing is intentionally NOT offered:
+    * its bin boundary is a sequential recurrence (each reset depends on
+    * the previous), which cannot scale past a partition. */
+  def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val preceding = sum(col(tokenCol)).over(w) - col(tokenCol)
+    docs
+      .withColumn("pack_id", call_function("div", preceding, lit(budget)))
+      .withColumn("offset_in_pack", pmod(preceding, lit(budget)))
+  }
+
+  /** Quota-based domain mixing: pick `total` documents with group
+    * proportions matching `weights` (largest-remainder apportionment:
+    * floor(total*w) each, remaining seats to the largest fractional
+    * remainders), selecting within each group by the deterministic
+    * portable hash order of sample_per_group. Control-plane arithmetic
+    * (the apportionment) runs over group-cardinality rows; the data
+    * takes one window per group. Groups absent from `weights` get 0. */
+  def mixQuota(docs: DataFrame, groupCol: String, idCol: String,
+      total: Long, weights: Map[String, Double]): DataFrame = {
+    require(total > 0 && weights.nonEmpty, "need a positive total and weights")
+    val s = docs.sparkSession
+    import s.implicits._
+    val wdf = weights.toSeq.toDF(groupCol, "w")
+    val base = floor(col("w") * total).cast("long")
+    val deficit = lit(total) - sum(base).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+    val remRank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .orderBy((col("w") * total - base).desc, col(groupCol).asc))
+    val quotas = wdf.select(col(groupCol),
+      (base + when(remRank <= deficit, 1L).otherwise(0L)).as("quota"))
+    val P = 1000000007L
+    val h = pmod(pmod(col(idCol), lit(P)) * lit(654435747L), lit(P))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(h.asc, col(idCol).asc))
+    docs
+      .select(col(idCol), col(groupCol))
+      .withColumn("rn", rn)
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("rn").cast("int").as("rn"))
+  }
 }

@@ -79,6 +79,48 @@ class CurationSpec extends SparkTestBase {
     assert(picked === Set(4L, 5L, 6L), s"ineligible weights leaked into $picked")
   }
 
+  test("packSequences: concat-and-cut boundaries, straddling doc offsets") {
+    // one shard, budget 10; tokens 4,4,4,4 -> cum-prev 0,4,8,12:
+    // doc 3 starts at offset 8 (straddles packs 0/1), doc 4 in pack 1
+    val docs = Seq((1L, 0L, 4L), (2L, 0L, 4L), (3L, 0L, 4L), (4L, 0L, 4L))
+      .toDF("doc_id", "shard", "n_tokens")
+    val out = Curation.packSequences(docs, "shard", "doc_id", "n_tokens", budget = 10L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 8L), (4L, 1L, 2L)))
+  }
+
+  test("packSequences: shards pack independently; token counts conserve") {
+    val docs = (1L to 100L).map(i => (i, i % 4, (i % 7) + 1)).toDF("doc_id", "shard", "n_tokens")
+    val out = Curation.packSequences(docs, "shard", "doc_id", "n_tokens", budget = 16L)
+    // within each shard, (pack_id, offset) strictly increases with doc_id
+    val rows = out.orderBy("shard", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(3) * 16L + r.getLong(4)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val pos = g.sortBy(_._2).map(_._3)
+      assert(pos.zip(pos.tail).forall { case (a, b) => a < b })
+    }
+  }
+
+  test("mixQuota: largest-remainder apportionment hits the exact total") {
+    val docs = (1L to 1000L).map(i => (i, "g" + (i % 3))).toDF("doc_id", "lang")
+    // 100 * (0.5, 0.3, 0.2) = 50/30/20 exactly
+    val out = Curation.mixQuota(docs, "lang", "doc_id", total = 100L,
+      weights = Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.2))
+    val byG = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("g0" -> 50L, "g1" -> 30L, "g2" -> 20L))
+    // remainder seats: total 101 -> one extra seat to the largest remainder
+    val out2 = Curation.mixQuota(docs, "lang", "doc_id", total = 101L,
+      weights = Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.2))
+    assert(out2.count() === 101L)
+    // deterministic: same picks on rerun
+    assert(out.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ===
+      Curation.mixQuota(docs, "lang", "doc_id", 100L,
+        Map("g0" -> 0.5, "g1" -> 0.3, "g2" -> 0.2))
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("boundedLevenshtein: equals full DP when <= k, caps at k+1 beyond") {
     val rnd = new scala.util.Random(31)
     def lev(a: String, b: String): Int = {
