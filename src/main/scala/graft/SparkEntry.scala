@@ -174,6 +174,7 @@ object SparkEntry {
     "q3_revenue_topk" -> (Relational.revenueTopOrders _),
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
+    "q_window_ranks" -> (Relational.rankingWindows _),
     "q_setop_intersect" -> (Relational.richActiveCustomers _),
     "q_setop_except" -> (Relational.quietCustomers _),
     "q_rollup" -> (Relational.orderRollup _),
@@ -1155,6 +1156,15 @@ object SparkEntry {
         | SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
         | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cdist,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
     "q_setop_intersect" ->
       """SELECT c_custkey AS cust_id FROM customer WHERE c_acctbal > 7500
         |INTERSECT

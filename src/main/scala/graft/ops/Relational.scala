@@ -324,4 +324,27 @@ object Relational {
       .agg(count(lit(1)).as("n_outliers"),
         min(col(valueCol)).as("min_outlier"), max(col(valueCol)).as("max_outlier"))
   }
+
+  /** Ranking window family — ntile / percent_rank / cume_dist / lag /
+    * lead over each customer's orders, all from ONE window definition so
+    * the plan carries a single sort within a single exchange on the
+    * partition key.
+    *
+    * Determinism contract: the ordering is made TOTAL by the unique
+    * o_orderkey tiebreak. percent_rank and cume_dist then reduce to
+    * (rn-1)/(n-1) and rn/n — divisions of identical small integers, so
+    * the doubles are bit-identical across engines (no float-accumulation
+    * hazard). At 100 TB the partition key (customer) is high-cardinality
+    * and unskewed, so per-partition state stays tiny. */
+  def rankingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+  }
 }
