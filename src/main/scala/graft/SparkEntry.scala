@@ -527,6 +527,20 @@ object SparkEntry {
       Events.hopping(Tables(s, dir, "events"))
         .withColumn("sum_value", col("sum_value").cast("double"))
     },
+    "dq_checks" -> { (s, dir) =>
+      // Declarative quality gate over orders: four row-local checks fold
+      // into one scan, uniqueness rides the same aggregate as a distinct
+      // count, and the FK check is one broadcast anti join. Thresholds
+      // chosen so the report carries BOTH passing and failing rows.
+      import graft.ops.DataQuality._
+      validate(Tables(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 400000.0),
+        Matches("o_orderpriority", "^[1-3]-[A-Z]+"),
+        InSet("o_orderstatus", Seq("F", "O")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables(s, dir, "customer"), "c_custkey")))
+    },
     "q_outlier_mad" -> { (s, dir) =>
       // Robust MAD outliers per priority. The fixture's totalprice is
       // near-uniform (no 3-sigma tail at all), so deterministic
@@ -1423,6 +1437,25 @@ object SparkEntry {
         |SELECT window_start, event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "dq_checks" ->
+      """WITH agg AS (SELECT
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z]+') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v4,
+        |  CAST(COUNT(*) AS BIGINT) AS total
+        | FROM orders),
+        |fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS v5,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS total
+        | FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        | WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+        |SELECT 'not_null' AS "check", 'o_custkey' AS target, v0 AS violations, total, v0 = 0 AS passed FROM agg
+        |UNION ALL SELECT 'in_range', 'o_totalprice', v1, total, v1 = 0 FROM agg
+        |UNION ALL SELECT 'matches', 'o_orderpriority', v2, total, v2 = 0 FROM agg
+        |UNION ALL SELECT 'in_set', 'o_orderstatus', v3, total, v3 = 0 FROM agg
+        |UNION ALL SELECT 'unique', 'o_orderkey', v4, total, v4 = 0 FROM agg
+        |UNION ALL SELECT 'ref_integrity', 'o_custkey', v5, total, v5 = 0 FROM fk""".stripMargin,
     "q_outlier_mad" ->
       """WITH base AS (SELECT o_orderpriority,
         |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation (Deequ-style), the audit layer a
+  * 100 TB ingest pipeline runs before promoting a batch. The reference
+  * has only an implicit notion of quality (its rule-error isolation,
+  * main.py:152-157); this makes the contract explicit and cheap:
+  *
+  *   - All ROW-LOCAL checks (not-null, range, regex, membership) fold
+  *     into ONE aggregate pass — a single scan produces every violation
+  *     count regardless of how many checks are declared. Adding a check
+  *     adds an expression, not a job.
+  *   - Uniqueness rides the same aggregate as a distinct count over the
+  *     key struct (one Expand, still one scan).
+  *   - Referential integrity is the only per-check join; the dimension
+  *     side is aggregate-sized in practice and broadcast.
+  *
+  * Report: one row per check — (check, target, violations, total,
+  * passed) — small enough to sit in a quality dashboard or gate a
+  * promotion step.
+  */
+object DataQuality {
+
+  sealed trait Check { def target: String }
+  /** Column must not contain NULL. */
+  final case class NotNull(column: String) extends Check { def target = column }
+  /** The column tuple must be unique across rows (candidate key). */
+  final case class Unique(columns: Seq[String]) extends Check {
+    def target = columns.mkString(",")
+  }
+  /** Non-null values must fall in [lo, hi]; NULLs are NotNull's concern. */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+    def target = column
+  }
+  /** Non-null values must match the (engine-portable) regex. */
+  final case class Matches(column: String, pattern: String) extends Check {
+    def target = column
+  }
+  /** Non-null values must be one of the allowed strings. */
+  final case class InSet(column: String, allowed: Seq[String]) extends Check {
+    def target = column
+  }
+  /** Non-null values must exist in dim(dimColumn) — foreign key. */
+  final case class RefIntegrity(column: String, dim: DataFrame, dimColumn: String)
+      extends Check { def target = column }
+
+  private def name(c: Check): String = c match {
+    case _: NotNull      => "not_null"
+    case _: Unique       => "unique"
+    case _: InRange      => "in_range"
+    case _: Matches      => "matches"
+    case _: InSet        => "in_set"
+    case _: RefIntegrity => "ref_integrity"
+  }
+
+  /** Violation indicator for a row-local check (NULL-safe: range /
+    * regex / set checks only judge non-null values). */
+  private def violation(c: Check): Column = c match {
+    case NotNull(col0) => when(col(col0).isNull, 1L).otherwise(0L)
+    case InRange(col0, lo, hi) =>
+      when(col(col0).isNotNull && (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L)
+    case Matches(col0, p) =>
+      when(col(col0).isNotNull && !col(col0).rlike(p), 1L).otherwise(0L)
+    case InSet(col0, allowed) =>
+      when(col(col0).isNotNull && !col(col0).isInCollection(allowed), 1L).otherwise(0L)
+    case _ => throw new IllegalArgumentException(s"not row-local: $c")
+  }
+
+  /** Run every check; returns the per-check report. Deterministic row
+    * set (one row per declared check, in declaration order via the
+    * check/target columns). */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    val rowLocal = checks.filter {
+      case _: NotNull | _: InRange | _: Matches | _: InSet => true
+      case _ => false
+    }
+    val uniques = checks.collect { case u: Unique => u }
+    val fks = checks.collect { case f: RefIntegrity => f }
+
+    // one scan: every row-local violation count + every distinct key
+    // count + the row total, in a single aggregate
+    val aggs: Seq[Column] =
+      rowLocal.zipWithIndex.map { case (c, i) => sum(violation(c)).as(s"_v$i") } ++
+      uniques.zipWithIndex.map { case (u, i) =>
+        count_distinct(struct(u.columns.map(col): _*)).as(s"_d$i")
+      } :+ count(lit(1)).as("_total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    // fold the single aggregate row into report rows plan-side: an
+    // array-of-structs explode, no driver collect
+    val reportStructs: Seq[Column] =
+      rowLocal.zipWithIndex.map { case (c, i) =>
+        struct(lit(name(c)).as("check"), lit(c.target).as("target"),
+          col(s"_v$i").as("violations"), col("_total").as("total"))
+      } ++
+      uniques.zipWithIndex.map { case (u, i) =>
+        struct(lit(name(u)).as("check"), lit(u.target).as("target"),
+          (col("_total") - col(s"_d$i")).as("violations"), col("_total").as("total"))
+      }
+    val local: Option[DataFrame] =
+      if (reportStructs.isEmpty) None
+      else Some(one
+        .select(explode(array(reportStructs: _*)).as("r"))
+        .select(col("r.check"), col("r.target"), col("r.violations"), col("r.total")))
+
+    // referential integrity: count probe values missing from the
+    // dimension (anti join; dimension side broadcast-sized by contract)
+    val fkReports = fks.map { f =>
+      val probe = df.select(col(f.column)).filter(col(f.column).isNotNull)
+      val missing = probe.join(broadcast(f.dim.select(col(f.dimColumn))),
+        probe(f.column) === col(f.dimColumn), "left_anti")
+      val totalRows = df.select(count(lit(1)).as("total"))
+      missing.agg(count(lit(1)).as("violations"))
+        .crossJoin(totalRows)
+        .select(lit(name(f)).as("check"), lit(f.target).as("target"),
+          col("violations"), col("total"))
+    }
+
+    (local.toSeq ++ fkReports).reduce(_ unionAll _)
+      .withColumn("passed", col("violations") === 0L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.DataQuality._
+
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def report(df: org.apache.spark.sql.DataFrame, checks: Seq[Check]) =
+    validate(df, checks).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+
+  test("each check counts exactly its own violations") {
+    val df = Seq(
+      (Some(1L), Some(10.0), "A", "ok"),
+      (Some(2L), Some(-5.0), "B", "ok"),   // range violation
+      (None, Some(20.0), "A", "bad!"),     // null key + regex violation
+      (Some(2L), None, "C", "ok"),         // duplicate key + set violation
+      (Some(3L), Some(999.0), "A", "ok")   // range violation
+    ).toDF("k", "v", "s", "w")
+    val r = report(df, Seq(
+      NotNull("k"), InRange("v", 0.0, 100.0), InSet("s", Seq("A", "B")),
+      Matches("w", "^[a-z]+$"), Unique(Seq("k"))))
+    assert(r(("not_null", "k")) === ((1L, 5L, false)))
+    assert(r(("in_range", "v")) === ((2L, 5L, false)))
+    assert(r(("in_set", "s")) === ((1L, 5L, false)))
+    assert(r(("matches", "w")) === ((1L, 5L, false)))
+    // 4 non-distinct k values over 5 rows (NULL is its own key value)
+    assert(r(("unique", "k"))._3 === false)
+  }
+
+  test("referential integrity counts probe values missing from the dimension") {
+    val facts = Seq((1L, "a"), (2L, "b"), (9L, "c"), (9L, "d")).toDF("fk", "x")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val r = report(facts, Seq(RefIntegrity("fk", dim, "id")))
+    assert(r(("ref_integrity", "fk")) === ((2L, 4L, false)))
+  }
+
+  test("clean data passes everything") {
+    val df = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
+    val rows = validate(df, Seq(NotNull("k"), Unique(Seq("k")), InRange("v", 0, 10)))
+      .collect()
+    assert(rows.length === 3 && rows.forall(_.getBoolean(4)))
+  }
+
+  test("row-local checks and uniqueness share a single scan of the input") {
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+    val rep = validate(df, Seq(
+      NotNull("o_custkey"), InRange("o_totalprice", 0, 1e9),
+      Matches("o_orderpriority", "^[0-9]"), Unique(Seq("o_orderkey"))))
+    rep.collect()
+    val plan = rep.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one scan for all row-local checks, got $scans:\n$plan")
+  }
+}
