@@ -361,6 +361,19 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term").asc)
         .limit(50)
     },
+    "freq_topk" -> { (s, dir) =>
+      // exact heavy hitters WITHOUT a full-domain shuffle: per-partition
+      // Misra-Gries candidates -> broadcast-filtered exact recount ->
+      // driver-side exactness proof (kth freq > n/m), groupBy fallback
+      // otherwise. Same answer as text_term_freq's plain aggregate.
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("term")).as[String]
+      graft.ops.HeavyHitters.topK(toks, 20)
+        .withColumnRenamed("value", "term")
+    },
     "emb_label_centroid" -> { (s, dir) =>
       // elementwise mean embedding per label: posexplode -> (label, dim)
       // aggregation; sums in decimal so partition order cannot perturb
@@ -1311,6 +1324,12 @@ object SparkEntry {
         |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term FROM documents)
         | WHERE LENGTH(term) > 0 GROUP BY term)
         |ORDER BY freq DESC, term ASC LIMIT 50""".stripMargin,
+    "freq_topk" ->
+      """SELECT term, freq FROM (
+        | SELECT term, COUNT(*) AS freq FROM (
+        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term FROM documents)
+        | WHERE LENGTH(term) > 0 GROUP BY term)
+        |ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
     "emb_label_centroid" ->
       """SELECT label, CAST(dim1 - 1 AS INT) AS dim,
         | CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mean_val
