@@ -175,6 +175,7 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q_window_ranks" -> (Relational.rankingWindows _),
+    "q_stats_moments" -> (Relational.momentStats _),
     "q_setop_intersect" -> (Relational.richActiveCustomers _),
     "q_setop_except" -> (Relational.quietCustomers _),
     "q_rollup" -> (Relational.orderRollup _),
@@ -1192,6 +1193,40 @@ object SparkEntry {
         | LEAD(o_totalprice, 1) OVER w AS next_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    // power sums are exact integers; the double formula tree below is a
+    // character-level mirror of Relational.momentStats — identical IEEE
+    // inputs + identical op order = bit-identical doubles, no rounding
+    "q_stats_moments" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |   CAST(l_linenumber AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |   SUM(x) AS sx, SUM(x*x) AS sxx, SUM(x*x*x) AS sxxx, SUM(x*x*x*x) AS sxxxx,
+        |   SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        | FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+        | SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) - 1.0)) AS stddev_q,
+        | (CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |  - 3.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + 2.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |     * SQRT(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  AS skew_q,
+        | (CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |  - 4.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + 6.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+        |  - 3.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |     * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  - 3.0 AS kurt_q,
+        | (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |         * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  AS corr_q_ln,
+        | (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) - 1.0) AS covar_q_ln
+        |FROM s""".stripMargin,
     "q_setop_intersect" ->
       """SELECT c_custkey AS cust_id FROM customer WHERE c_acctbal > 7500
         |INTERSECT

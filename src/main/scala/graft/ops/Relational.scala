@@ -325,6 +325,58 @@ object Relational {
         min(col(valueCol)).as("min_outlier"), max(col(valueCol)).as("max_outlier"))
   }
 
+  /** Statistical moments per group — mean, sample stddev, population
+    * skewness/excess kurtosis, Pearson correlation, sample covariance —
+    * derived from EXACT integer power sums rather than streaming
+    * co-moments.
+    *
+    * Engine-portability contract: the grouped aggregation sums x, x²,
+    * x³, x⁴, y, xy as 64-bit integers (the inputs are small integral
+    * values, so every sum is exact; at 10^10 rows the largest sum is
+    * ~4·10^16, well inside Long). The statistics are then computed in
+    * ONE double-precision expression tree that the DuckDB oracle
+    * mirrors op-for-op — identical IEEE inputs + identical operation
+    * order = bit-identical doubles, with no rounding tolerance anywhere.
+    * (Streaming skewness/kurtosis aggregates differ ACROSS ENGINES in
+    * both bias convention and accumulation order; power sums sidestep
+    * both.) pow(m2, 1.5) is deliberately m2 * sqrt(m2): sqrt is
+    * IEEE-correctly-rounded everywhere, libm pow is not. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = col("l_linenumber").cast("long")
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(x * x * x).as("sxxx"), sum(x * x * x * x).as("sxxxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .selectExpr(
+        "l_returnflag", "n",
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q",
+        """SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+          | / (CAST(n AS DOUBLE) - 1.0)) AS stddev_q""".stripMargin,
+        """(CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE)
+          | - 3.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+          | + 2.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          | / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          |    * SQRT(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+          | AS skew_q""".stripMargin,
+        """(CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE)
+          | - 4.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE))
+          | + 6.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+          | - 3.0 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          | / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          |    * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+          | - 3.0 AS kurt_q""".stripMargin,
+        """(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+          | / SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          |        * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+          | AS corr_q_ln""".stripMargin,
+        """(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+          | / (CAST(n AS DOUBLE) - 1.0) AS covar_q_ln""".stripMargin)
+  }
+
   /** Ranking window family — ntile / percent_rank / cume_dist / lag /
     * lead over each customer's orders, all from ONE window definition so
     * the plan carries a single sort within a single exchange on the
