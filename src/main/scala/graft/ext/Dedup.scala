@@ -306,6 +306,21 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
     val matEdges = Materialize(edges)
+    // The iteration frames are edge-bounded and usually MINUSCULE next
+    // to the corpus that produced the pairs (candidate pairs, not
+    // documents). Size the loop's reducer count from the materialized
+    // edge count instead of inheriting the corpus-scale session setting:
+    // at ~1M edges per reducer the big-graph case keeps full
+    // parallelism, while the common small-graph case stops paying
+    // dozens of near-empty shuffle tasks per round (each round runs
+    // several jobs, so fixed task overhead multiplies).
+    val sess = pairs.sparkSession
+    val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(2, math.min(sessionParts,
+      (matEdges.count() / 1000000L).toInt + 2))
+    val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var labels = Materialize(matEdges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     def labelTotal(l: DataFrame): java.math.BigDecimal = {
@@ -341,7 +356,13 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"components did not converge in $maxRounds rounds — raise maxRounds " +
         "(component diameter exceeds it) or switch to large-star/small-star")
+    // labels is materialized: the returned plan reads the checkpoint, so
+    // restoring the session conf cannot change what was computed
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally prevParts match {
+      case Some(v) => sess.conf.set("spark.sql.shuffle.partitions", v)
+      case None    => sess.conf.unset("spark.sql.shuffle.partitions")
+    }
   }
 
   /** Row-number variant of exact dedup that keeps full rows (first writer
