@@ -362,6 +362,18 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term").asc)
         .limit(50)
     },
+    "graph_pagerank" -> { (s, dir) =>
+      // Integer-exact PageRank over the symmetrized supplier—part
+      // bipartite graph (node encoding: supplier 2k, part 2k+1). The
+      // oracle replays the identical integer recurrence as a recursive
+      // CTE — bit-identical BIGINT ranks, no float anywhere.
+      val sp = Tables(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.PageRank.run(edges, iterations = 5)
+        .select(expr("node % 2").cast("int").as("is_part"),
+          expr("node div 2").as("id"), col("rank"))
+    },
     "freq_topk" -> { (s, dir) =>
       // exact heavy hitters WITHOUT a full-domain shuffle: per-partition
       // Misra-Gries candidates -> broadcast-filtered exact recount ->
@@ -1359,6 +1371,29 @@ object SparkEntry {
         |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term FROM documents)
         | WHERE LENGTH(term) > 0 GROUP BY term)
         |ORDER BY freq DESC, term ASC LIMIT 50""".stripMargin,
+    // NB: bag-semantics UNION (dedup) misbehaves for CTEs nested under
+    // WITH RECURSIVE in DuckDB 1.0 (acts like UNION ALL) — every dedup
+    // below is an explicit DISTINCT over UNION ALL
+    "graph_pagerank" ->
+      """WITH RECURSIVE
+        | sp AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+        | e AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp)),
+        | nodes AS (SELECT DISTINCT node FROM
+        |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        | deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        | eplus AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e
+        |   UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+        | pr(iter, node, rank) AS (
+        |   SELECT 0, node, CAST(1000000000 AS BIGINT) FROM nodes
+        |   UNION ALL
+        |   SELECT p.iter + 1, e2.dst,
+        |     CAST(150000000 + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
+        |   FROM pr p LEFT JOIN deg d ON d.node = p.node JOIN eplus e2 ON e2.src = p.node
+        |   WHERE p.iter < 5
+        |   GROUP BY p.iter, e2.dst)
+        |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
+        |FROM pr WHERE iter = 5""".stripMargin,
     "freq_topk" ->
       """SELECT term, freq FROM (
         | SELECT term, COUNT(*) AS freq FROM (
