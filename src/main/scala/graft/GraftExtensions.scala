@@ -66,6 +66,7 @@ object GraftExtensions {
     ("deletion_hashes", 2, args => DeletionHashes(args(0), intLit(args(1), "k"))),
     ("jaro_winkler", 2, args => JaroWinkler(args(0), args(1))),
     ("jaro_similarity", 2, args => JaroSimilarity(args(0), args(1))),
+    ("damerau_levenshtein", 2, args => DamerauLevenshtein(args(0), args(1))),
   )
 
   private def strLit(e: Expression, what: String): String = e match {

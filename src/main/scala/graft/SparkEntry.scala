@@ -580,6 +580,18 @@ object SparkEntry {
       graft.ops.Relational.madOutliers(base,
         groupCol = "o_orderpriority", valueCol = "price")
     },
+    "q_damerau" -> { (s, dir) =>
+      // Native FULL Damerau-Levenshtein (Lowrance-Wagner, unrestricted
+      // transpositions) over consecutive part-name pairs, differentially
+      // checked against DuckDB's byte-based damerau_levenshtein. Exact
+      // integers — no rounding face needed.
+      val p = Tables(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("k"), col("p_name").as("na"))
+      val b = p.select((col("p_partkey") - lit(1L)).as("k"), col("p_name").as("nb"))
+      a.join(b, "k").select(
+        col("k").as("p_partkey"),
+        graft.functions.strsim.damerau_levenshtein(col("na"), col("nb")).as("dl_dist"))
+    },
     "q_jaro_winkler" -> { (s, dir) =>
       // Native Jaro/Jaro-Winkler scoring over consecutive part-name
       // pairs, differentially checked against DuckDB's implementations.
@@ -1559,6 +1571,10 @@ object SparkEntry {
         |FROM d JOIN mad USING (o_orderpriority)
         |WHERE d.adev > 3.0 * 1.4826 * mad.mad
         |GROUP BY 1""".stripMargin,
+    "q_damerau" ->
+      """SELECT a.p_partkey AS p_partkey,
+        | CAST(damerau_levenshtein(a.p_name, b.p_name) AS INT) AS dl_dist
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin,
     "q_jaro_winkler" ->
       """SELECT a.p_partkey AS p_partkey,
         | CAST(ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000) AS BIGINT) AS jw_micro,

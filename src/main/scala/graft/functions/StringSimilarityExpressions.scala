@@ -81,6 +81,49 @@ private[graft] object StringSimilarity {
     val md = m.toDouble
     (md / la + md / lb + (md - t) / md) / 3.0
   }
+
+  /** FULL (unrestricted) Damerau–Levenshtein distance over UTF-8 bytes —
+    * Lowrance–Wagner 1975, the variant where a transposed pair may also
+    * have edits between its two characters ('CA'->'ABC' = 2, where the
+    * restricted/OSA variant says 3). Pinned against DuckDB's
+    * `damerau_levenshtein`, which is byte-based and unrestricted
+    * (verified: 'CA'/'ABC' -> 2, 'héllo'/'hello' -> 2 = two byte edits).
+    * The `da` last-occurrence table is 256-wide because the unit is a
+    * byte, never a codepoint. O(|a|·|b|) time and space. */
+  def damerauLevenshtein(a: Array[Byte], b: Array[Byte]): Int = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = da(b(j - 1) & 0xff)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val subst = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) = math.min(math.min(subst, ins), math.min(del, trans))
+        j += 1
+      }
+      da(a(i - 1) & 0xff) = i
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
 }
 
 /** double Jaro–Winkler similarity of two string columns. */
@@ -109,10 +152,25 @@ case class JaroSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** int full Damerau–Levenshtein distance of two string columns. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.damerauLevenshtein(
+      l.asInstanceOf[UTF8String].getBytes, r.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object strsim {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
   def jaro(a: Column, b: Column): Column =
     column(JaroSimilarity(expression(a), expression(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    column(DamerauLevenshtein(expression(a), expression(b)))
 }

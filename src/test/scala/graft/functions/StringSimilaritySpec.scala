@@ -56,4 +56,30 @@ class StringSimilaritySpec extends SparkTestBase {
     val df = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
     assert(df.select(strsim.jaro_winkler(col("a"), col("b"))).head.isNullAt(0))
   }
+
+  private def dl(a: String, b: String): Int =
+    StringSimilarity.damerauLevenshtein(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  test("Damerau-Levenshtein pinned against DuckDB's damerau_levenshtein") {
+    // CA/ABC=2 is the UNRESTRICTED signature (OSA says 3); héllo/hello=2
+    // pins the byte (not codepoint) unit
+    val vectors = Seq(
+      ("CA", "ABC") -> 2, ("ab", "ba") -> 1, ("kitten", "sitting") -> 3,
+      ("abc", "abc") -> 0, ("", "xyz") -> 3, ("xyz", "") -> 3,
+      ("abcdef", "badcfe") -> 3, ("an act", "a cat") -> 2,
+      ("Green Spark", "Spark Green") -> 10, ("héllo", "hello") -> 2,
+      ("totally", "different") -> 9)
+    vectors.foreach { case ((a, b), want) =>
+      assert(dl(a, b) == want, s"dl($a, $b)")
+      assert(dl(b, a) == want, s"dl($b, $a) symmetry")
+    }
+  }
+
+  test("Damerau-Levenshtein via Column API and SQL registration") {
+    val df = Seq(("CA", "ABC")).toDF("a", "b")
+    assert(df.select(strsim.damerau_levenshtein(col("a"), col("b"))).head.getInt(0) == 2)
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("dl_in")
+    assert(spark.sql("SELECT damerau_levenshtein(a, b) AS d FROM dl_in").head.getInt(0) == 2)
+  }
 }
