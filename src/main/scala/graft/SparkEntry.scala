@@ -567,6 +567,16 @@ object SparkEntry {
         Unique(Seq("o_orderkey")),
         RefIntegrity("o_custkey", Tables(s, dir, "customer"), "c_custkey")))
     },
+    "dq_k_anonymity" -> { (s, dir) =>
+      // Re-identification audit: order (priority, status, day) tuples
+      // shared by fewer than 3 rows. Day is an integer epoch-day bucket
+      // so the grouping key is engine-exact.
+      graft.ops.DataQuality.kAnonymityRisk(
+        Tables(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderstatus"),
+          expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").as("order_day")),
+        Seq("o_orderpriority", "o_orderstatus", "order_day"), k = 3)
+    },
     "q_outlier_mad" -> { (s, dir) =>
       // Robust MAD outliers per priority. The fixture's totalprice is
       // near-uniform (no 3-sigma tail at all), so deterministic
@@ -1557,6 +1567,11 @@ object SparkEntry {
         |UNION ALL SELECT 'in_set', 'o_orderstatus', v3, total, v3 = 0 FROM agg
         |UNION ALL SELECT 'unique', 'o_orderkey', v4, total, v4 = 0 FROM agg
         |UNION ALL SELECT 'ref_integrity', 'o_custkey', v5, total, v5 = 0 FROM fk""".stripMargin,
+    "dq_k_anonymity" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS order_day,
+        | CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM orders GROUP BY 1, 2, 3 HAVING COUNT(*) < 3""".stripMargin,
     "q_outlier_mad" ->
       """WITH base AS (SELECT o_orderpriority,
         |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0

@@ -122,4 +122,21 @@ object DataQuality {
     (local.toSeq ++ fkReports).reduce(_ unionAll _)
       .withColumn("passed", col("violations") === 0L)
   }
+
+  /** k-anonymity audit: every quasi-identifier combination shared by
+    * FEWER than k rows — the re-identification risk surface a training
+    * corpus must clear before release (a QI combo unique to one person
+    * is a linkage attack waiting to happen; see Sweeney 2002).
+    *
+    * One grouped aggregation on the QI tuple; output is bounded by the
+    * risky-combination count, not the table. Pair with the PII
+    * redaction op: redaction hides direct identifiers, this audits the
+    * indirect ones. */
+  def kAnonymityRisk(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    require(k >= 2, s"k must be >= 2 to mean anything, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
 }

@@ -44,6 +44,17 @@ class DataQualitySpec extends SparkTestBase {
     assert(rows.length === 3 && rows.forall(_.getBoolean(4)))
   }
 
+  test("k-anonymity audit returns exactly the under-k quasi-id groups") {
+    val df = Seq(
+      ("NY", 1980), ("NY", 1980), ("NY", 1980), // size 3: safe at k=3
+      ("SF", 1990), ("SF", 1990),               // size 2: risky
+      ("LA", 2000)                              // size 1: risky
+    ).toDF("city", "birth_year")
+    val risky = DataQuality.kAnonymityRisk(df, Seq("city", "birth_year"), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(risky === Set(("SF", 1990, 2L), ("LA", 2000, 1L)))
+  }
+
   test("row-local checks and uniqueness share a single scan of the input") {
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = validate(df, Seq(
