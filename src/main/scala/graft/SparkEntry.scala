@@ -860,6 +860,30 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
       }
     },
+    "stream_join" -> { (s, dir) =>
+      withShufflePartitions(s, 4) {
+        // Genuine two-stream watermarked interval join (click <- trailing
+        // 4h views per user), drained through append mode. Inner
+        // stream-stream joins emit eagerly on match, so the finite replay
+        // equals the batch join row-for-row — which is the oracle.
+        val batchSchema = Tables(s, dir, "events").schema
+        def src() = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts",
+            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          src().filter(col("event_type") === "click"),
+          src().filter(col("event_type") === "view"),
+          lookback = "4 hours")
+          .select(col("l.event_id").as("click_id"), col("l.user_id").as("user_id"),
+            unix_timestamp(col("l.ts")).as("click_sec"),
+            col("r.event_id").as("view_id"), unix_timestamp(col("r.ts")).as("view_sec"))
+        val name = s"graft_stream_join_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(joined, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
+    },
     "stream_user_totals" -> { (s, dir) =>
       withShufflePartitions(s, 4) {
         // arbitrary stateful processing (mapGroupsWithState) driven
@@ -1792,6 +1816,14 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n_events,
         | MIN("value") AS min_value, MAX("value") AS max_value
         |FROM events GROUP BY user_id""".stripMargin,
+    "stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events)
+        |SELECT c.event_id AS click_id, c.user_id AS user_id, c.sec AS click_sec,
+        | v.event_id AS view_id, v.sec AS view_sec
+        |FROM e c JOIN e v ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.sec BETWEEN c.sec - 14400 AND c.sec""".stripMargin,
     "stream_sessions" ->
       """WITH g AS (
         | SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value", ts, event_id,

@@ -141,6 +141,28 @@ object StreamingOps {
 
   /** Convenience sink for tests/demos: run a streaming frame to a named
     * in-memory table until all available input is processed. */
+  /** Watermarked stream-stream INNER interval join: each left event
+    * matches right events of the same key whose timestamp falls in
+    * [left.ts - lookback, left.ts] — the attribution join (click <-
+    * trailing views) as a genuine two-stream join, not an as-of pick.
+    *
+    * State contract at scale: the key equality partitions both state
+    * stores, the time-range condition lets the engine evict right-side
+    * state older than left-watermark - lookback (and symmetrically), so
+    * state is bounded by lookback x arrival rate per key. Inner joins
+    * emit eagerly on match (no watermark hold on output), so a drained
+    * finite replay equals the batch join row-for-row. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      lookback: String = "4 hours", watermark: String = "24 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol"))
+  }
+
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()

@@ -77,4 +77,35 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(last(100L) === ((100L, 3L, 7.0)))
     assert(last(200L) === ((200L, 1L, 3.0)))
   }
+
+  test("stream-stream interval join matches the batch join across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = intervalJoin(clicks.toDF(), views.toDF(),
+        lookback = "10 minutes", watermark = "1 hour")
+      .selectExpr("l.event_id AS click_id", "r.event_id AS view_id")
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a view, then a click 5 min later -> in range
+      views.addData(Event(10L, ts(0), 100L, "view", 0.0))
+      clicks.addData(Event(1L, ts(5), 100L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: late-arriving view still matches an EARLIER-batch click
+      // (that's what makes it a real two-stream join, not an as-of pick);
+      // a view 11 min before a click is out of range; other user no match
+      views.addData(Event(11L, ts(3), 100L, "view", 0.0))
+      clicks.addData(Event(2L, ts(14), 100L, "click", 0.0),
+        Event(3L, ts(30), 999L, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // click1(:05) matches views at :00 and :03; click2(:14) matches only
+    // :03 + :05-window... view :03 is 11 min before click :14 -> OUT;
+    // view :00 is 14 min before -> OUT. click3: no views for user 999.
+    assert(got === Set((1L, 10L), (1L, 11L)))
+  }
 }
