@@ -176,6 +176,35 @@ object SparkEntry {
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q_window_ranks" -> (Relational.rankingWindows _),
     "q_stats_moments" -> (Relational.momentStats _),
+    "q_group_ols" -> { (s, dir) =>
+      // Per-flag OLS fit (slope/intercept/r) from exact decimal power
+      // sums — one map-side-combined aggregation. The comparison face is
+      // micro-precision integers (the jaro pattern): the sums are exact
+      // in both engines, but DuckDB's decimal->double cast DOUBLE-ROUNDS
+      // (int128 -> double, then /10^scale) while the JVM's is correctly
+      // rounded in one step, so sums whose scaled integers exceed 2^53
+      // (Σy² here) can sit one ulp apart — measured 1e-18 on r.
+      Relational.groupedOls(Tables(s, dir, "lineitem"),
+        groupCol = "l_returnflag", xCol = "l_quantity", yCol = "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope") * 1e6).cast("long").as("slope_micro"),
+          round(col("intercept") * 1e6).cast("long").as("intercept_micro"),
+          round(col("r") * 1e9).cast("long").as("r_nano"))
+    },
+    "q_winsorize" -> { (s, dir) =>
+      // Robust clipping into the per-priority [p05, p95] interpolated
+      // percentile band (percentile <-> quantile_cont, the madOutliers
+      // pairing). Comparison face is integer cents: coarser than any ulp
+      // divergence in the two engines' interpolation arithmetic, while
+      // every unclamped row stays exactly its input cents.
+      Relational.winsorize(
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        groupCol = "o_orderpriority", valueCol = "o_totalprice",
+        pLo = 0.05, pHi = 0.95)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("winsorized") * 100).cast("long").as("wins_cents"))
+    },
     "q_setop_intersect" -> (Relational.richActiveCustomers _),
     "q_setop_except" -> (Relational.quietCustomers _),
     "q_rollup" -> (Relational.orderRollup _),
@@ -577,6 +606,17 @@ object SparkEntry {
           expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").as("order_day")),
         Seq("o_orderpriority", "o_orderstatus", "order_day"), k = 3)
     },
+    "dq_l_diversity" -> { (s, dir) =>
+      // Homogeneity audit: (priority, week) groups whose orders span
+      // fewer than 3 distinct statuses — clears k-anonymity yet leaks
+      // the status of everyone in the group. Week is an integer
+      // epoch-week bucket so the grouping key is engine-exact.
+      graft.ops.DataQuality.lDiversityRisk(
+        Tables(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderstatus"),
+          expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("order_week")),
+        Seq("o_orderpriority", "order_week"), sensitive = "o_orderstatus", l = 3)
+    },
     "q_outlier_mad" -> { (s, dir) =>
       // Robust MAD outliers per priority. The fixture's totalprice is
       // near-uniform (no 3-sigma tail at all), so deterministic
@@ -649,6 +689,13 @@ object SparkEntry {
       // epoch second of each step (strictly-after ordering), pure window
       // aggregation over one user_id exchange.
       Events.funnel(Tables(s, dir, "events"), Seq("view", "click", "purchase"))
+    },
+    "events_transitions" -> { (s, dir) =>
+      // Markov next-event transition matrix: one lead() window pass over
+      // the per-user ordering + one pair aggregate; p is a single
+      // division of exact longs (engine-identical). Ordering is total
+      // ((ts, event_id)), so the pairing is partitioning-independent.
+      Events.transitions(Tables(s, dir, "events"))
     },
     "etl_incr_agg" -> { (s, dir) =>
       // Incremental aggregate maintenance: history partial + delta
@@ -1285,6 +1332,38 @@ object SparkEntry {
         | (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
         |  / (CAST(n AS DOUBLE) - 1.0) AS covar_q_ln
         |FROM s""".stripMargin,
+    "q_group_ols" ->
+      """WITH b AS (SELECT l_returnflag,
+        |   CAST(l_quantity AS DECIMAL(19,6)) AS x,
+        |   CAST(l_extendedprice AS DECIMAL(19,6)) AS y FROM lineitem),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |   SUM(x * x) AS sxx, SUM(y * y) AS syy
+        | FROM b GROUP BY 1),
+        |res AS (SELECT l_returnflag, n,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        | (CAST(sy AS DOUBLE)
+        |  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM s)
+        |SELECT l_returnflag, n,
+        | CAST(ROUND(slope * 1000000) AS BIGINT) AS slope_micro,
+        | CAST(ROUND(intercept * 1000000) AS BIGINT) AS intercept_micro,
+        | CAST(ROUND(r * 1000000000) AS BIGINT) AS r_nano
+        |FROM res""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |   quantile_cont(o_totalprice, 0.05) AS lo,
+        |   quantile_cont(o_totalprice, 0.95) AS hi
+        | FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        | CAST(ROUND(GREATEST(LEAST(o.o_totalprice, b.hi), b.lo) * 100) AS BIGINT) AS wins_cents
+        |FROM orders o JOIN b USING (o_orderpriority)""".stripMargin,
     "q_setop_intersect" ->
       """SELECT c_custkey AS cust_id FROM customer WHERE c_acctbal > 7500
         |INTERSECT
@@ -1596,6 +1675,13 @@ object SparkEntry {
         | CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS order_day,
         | CAST(COUNT(*) AS BIGINT) AS group_size
         |FROM orders GROUP BY 1, 2, 3 HAVING COUNT(*) < 3""".stripMargin,
+    "dq_l_diversity" ->
+      """SELECT o_orderpriority,
+        | CAST(epoch(o_orderdate) AS BIGINT) // 604800 AS order_week,
+        | CAST(COUNT(*) AS BIGINT) AS group_size,
+        | CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive
+        |FROM orders GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT o_orderstatus) < 3""".stripMargin,
     "q_outlier_mad" ->
       """WITH base AS (SELECT o_orderpriority,
         |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0
@@ -1680,6 +1766,18 @@ object SparkEntry {
         |  + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
         |  + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
         |FROM s3""".stripMargin,
+    "events_transitions" ->
+      """WITH base AS (SELECT user_id, event_id, event_type,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
+        |nxt AS (SELECT event_type AS from_type,
+        |   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS to_type
+        | FROM base),
+        |agg AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM agg""".stripMargin,
     "etl_incr_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,

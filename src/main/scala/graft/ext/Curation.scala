@@ -287,4 +287,48 @@ object Curation {
       .filter(col("rn") <= col("quota"))
       .select(col(idCol), col(groupCol), col("rn").cast("int").as("rn"))
   }
+
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * shape): split every document into fixed-length token segments, count
+    * each distinct segment's document frequency CORPUS-WIDE, drop segments
+    * appearing in more than `maxDocs` documents (headers, footers, license
+    * blurbs, navigation chrome), and reassemble the surviving segments in
+    * order. Documents whose every segment is boilerplate disappear —
+    * exactly like a fully-boilerplate page should.
+    *
+    * Plan shape: segmentization is a zero-shuffle Expand (explode over a
+    * plan-side `sequence`, each segment sliced from the token array built
+    * once per doc); the document-frequency pass is one shuffle on the
+    * segment text with partial-distinct combine; the drop is an ANTI JOIN
+    * against the frequent-segment list — which is tiny by construction
+    * (only segments shared by >maxDocs docs), so AQE broadcasts it and
+    * the reassembly groupBy(doc) is the only other exchange. At 100 TB
+    * the frequent list stays broadcast-sized (true boilerplate is rare
+    * distinct / massive count), which is what makes this shape scale.
+    *
+    * Output: (idCol, cleaned_text, n_kept) — one row per surviving doc. */
+  def dropFrequentSegments(docs: DataFrame, segLen: Int = 3, maxDocs: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segLen > 0 && maxDocs >= 1, s"need segLen > 0, maxDocs >= 1")
+    val toks = split(col(textCol), " ")
+    // ceil(n / segLen) in exact integer arithmetic
+    val nSegs = (size(toks).cast("long") + (segLen - 1)) / segLen
+    val seg = docs
+      .select(col(idCol), explode(sequence(lit(0L), nSegs - 1)).as("seg_id"),
+        toks.as("toks"))
+      .select(col(idCol), col("seg_id"),
+        concat_ws(" ", slice(col("toks"),
+          (col("seg_id") * segLen + 1).cast("int"), segLen)).as("seg_text"))
+    val frequent = seg.groupBy(col("seg_text"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("seg_text"))
+    seg.join(frequent, Seq("seg_text"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_id"), col("seg_text")))),
+          s => s.getField("seg_text"))).as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+  }
 }

@@ -126,6 +126,30 @@ object Events {
       .distinct()
   }
 
+  /** Markov next-event transition matrix: per-user event sequences →
+    * (from_type, to_type) counts and transition probabilities. The whole
+    * operator is ONE window pass (lead over the per-user ordering — the
+    * same single exchange sessionize uses) plus one aggregate on the
+    * transition pair; the probability is a single division of two exact
+    * longs, so it is bit-identical in any engine. Ordering is total
+    * ((ts, event_id) — event_id is unique), so the next-event pairing is
+    * deterministic under any partitioning. At 100 TB this is shuffle-
+    * bounded by the user exchange; the transition matrix itself is
+    * |event_type|² rows — driver-trivial. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    val byFrom = Window.partitionBy("from_type")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec(events).as("ts_sec"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(byFrom))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object string). */
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))

@@ -139,4 +139,24 @@ object DataQuality {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
   }
+
+  /** l-diversity audit, k-anonymity's complement: a QI group can clear
+    * k-anonymity (many rows share the tuple) yet still leak — if every
+    * row in the group carries the SAME sensitive value, knowing someone
+    * is in the group reveals their attribute (homogeneity attack;
+    * Machanavajjhala et al. 2007). Flags every quasi-identifier
+    * combination whose rows span fewer than l distinct sensitive
+    * values. Same single-aggregation shape as [[kAnonymityRisk]]: the
+    * distinct count rides the grouped pass, output bounded by the risky
+    * group count. */
+  def lDiversityRisk(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiIds.contains(sensitive), "sensitive column cannot be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2 to mean anything, got $l")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        count_distinct(col(sensitive)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
 }

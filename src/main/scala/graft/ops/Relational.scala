@@ -399,4 +399,54 @@ object Relational {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"))
   }
+
+  /** Winsorization: clamp each value into its group's [pLo, pHi] exact
+    * interpolated percentile band — the robust-scaling step a feature
+    * pipeline runs instead of dropping outliers (clipping preserves row
+    * count; see madOutliers for the detection-only variant). Same
+    * topology as madOutliers: one grouped percentile pass (group-count
+    * rows — broadcast back), then a map-side clamp; no second shuffle,
+    * no global sort at any scale. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("winsorized", greatest(least(col(valueCol), col("hi")), col("lo")))
+      .drop("lo", "hi")
+  }
+
+  /** Per-group simple linear regression + correlation from EXACT power
+    * sums: one scan accumulates (n, Σx, Σy, Σxy, Σx², Σy²) in DECIMAL —
+    * summation-order-independent, so the slope/intercept/r doubles
+    * derived from them are bit-identical on any engine evaluating the
+    * same expression tree (sqrt is correctly rounded in IEEE 754).
+    * This is the scalable shape for grouped OLS at 100 TB: a single
+    * map-side-combined aggregation, never a per-group data pass; the
+    * closed-form stage runs on group-count rows. Keeps `keepCols` from
+    * the sums row for downstream faces. */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(18,6)"
+    val sums = df
+      .select(col(groupCol), col(xCol).cast(dec).as("x"), col(yCol).cast(dec).as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double"); val sxxD = col("sxx").cast("double")
+    val syyD = col("syy").cast("double")
+    val cov = nD * sxyD - sxD * syD
+    val varX = nD * sxxD - sxD * sxD
+    val varY = nD * syyD - syD * syD
+    val slope = cov / varX
+    sums.select(col(groupCol), col("n"),
+      slope.as("slope"),
+      ((syD - slope * sxD) / nD).as("intercept"),
+      (cov / sqrt(varX * varY)).as("r"))
+  }
 }

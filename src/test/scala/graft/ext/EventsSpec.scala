@@ -70,4 +70,37 @@ class EventsSpec extends SparkTestBase {
     // exactly one row per user
     assert(out.size === 5)
   }
+
+  test("transitions: per-user next-event pairs, exact probabilities") {
+    import spark.implicits._
+    // u1: view->click->view->purchase; u2: view->view
+    // last event per user emits no transition
+    val df = Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "click"),
+      (1L, 3L, 300L, "view"), (1L, 4L, 400L, "purchase"),
+      (2L, 5L, 100L, "view"), (2L, 6L, 200L, "view")
+    ).map { case (u, e, t, ty) => (u, e, t * 1000000000L, ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Events.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // from view: ->click (1), ->view (2: u1's view@300->purchase? no —
+    // u1 view@300 -> purchase, u2 view@100 -> view@200), ->purchase (1)
+    assert(out(("view", "click")) === ((1L, 3L, 1.0 / 3.0)))
+    assert(out(("view", "view")) === ((1L, 3L, 1.0 / 3.0)))
+    assert(out(("view", "purchase")) === ((1L, 3L, 1.0 / 3.0)))
+    assert(out(("click", "view")) === ((1L, 1L, 1.0)))
+    assert(out.size === 4) // no transition out of the final events
+  }
+
+  test("transitions: same-timestamp ties break by event_id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 100L, "a"), (1L, 11L, 100L, "b"), (1L, 12L, 100L, "c")
+    ).map { case (u, e, t, ty) => (u, e, t * 1000000000L, ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val pairs = Events.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("a", "b"), ("b", "c")))
+  }
 }

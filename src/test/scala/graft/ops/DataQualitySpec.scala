@@ -55,6 +55,20 @@ class DataQualitySpec extends SparkTestBase {
     assert(risky === Set(("SF", 1990, 2L), ("LA", 2000, 1L)))
   }
 
+  test("l-diversity audit flags homogeneous quasi-id groups") {
+    val df = Seq(
+      ("NY", "flu"), ("NY", "flu"), ("NY", "flu"),        // 1 distinct dx
+      ("SF", "flu"), ("SF", "cold"),                      // 2 distinct
+      ("LA", "flu"), ("LA", "cold"), ("LA", "covid")      // 3 distinct
+    ).toDF("zip", "dx")
+    val atL2 = DataQuality.lDiversityRisk(df, Seq("zip"), "dx", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(atL2 === Set(("NY", 3L, 1L)))
+    val atL3 = DataQuality.lDiversityRisk(df, Seq("zip"), "dx", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(atL3 === Set(("NY", 3L, 1L), ("SF", 2L, 2L)))
+  }
+
   test("row-local checks and uniqueness share a single scan of the input") {
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = validate(df, Seq(
