@@ -488,6 +488,14 @@ object SparkEntry {
     "text_chunk" -> { (s, dir) =>
       Curation.chunk(Tables(s, dir, "documents"), window = 32, stride = 24)
     },
+    "text_boilerplate" -> { (s, dir) =>
+      // CCNet-style corpus-frequency segment removal: 3-token segments
+      // appearing in more than 3 documents are dropped, survivors are
+      // reassembled in order. Zero-shuffle segmentization; the frequent
+      // list is anti-joined (tiny by construction — AQE broadcasts it).
+      Curation.dropFrequentSegments(Tables(s, dir, "documents"),
+        segLen = 3, maxDocs = 3)
+    },
     "text_fuzzy_join" -> { (s, dir) =>
       // fuzzy title dedup: doc pairs whose 40-char prefixes are within
       // edit distance 2 (trigram-blocked exact Levenshtein join)
@@ -1592,6 +1600,19 @@ object SparkEntry {
         | array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
         | CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_chunk_tokens
         |FROM e""".stripMargin,
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks,
+        |   unnest(generate_series(0, (len(toks) + 2) // 3 - 1)) AS i FROM d),
+        |seg AS (SELECT doc_id, i AS seg_id,
+        |   array_to_string(toks[i*3+1 : i*3+3], ' ') AS seg_text FROM e),
+        |freq AS (SELECT seg_text FROM seg
+        |   GROUP BY seg_text HAVING COUNT(DISTINCT doc_id) > 3)
+        |SELECT s.doc_id,
+        | string_agg(s.seg_text, ' ' ORDER BY s.seg_id) AS cleaned_text,
+        | CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM seg s LEFT JOIN freq f USING (seg_text)
+        |WHERE f.seg_text IS NULL GROUP BY 1""".stripMargin,
     "text_fuzzy_join" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title
         |           FROM documents WHERE text IS NOT NULL)

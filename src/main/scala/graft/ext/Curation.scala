@@ -311,14 +311,16 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(segLen > 0 && maxDocs >= 1, s"need segLen > 0, maxDocs >= 1")
     val toks = split(col(textCol), " ")
-    // ceil(n / segLen) in exact integer arithmetic
-    val nSegs = (size(toks).cast("long") + (segLen - 1)) / segLen
+    // ceil(n / segLen) in exact integer arithmetic (div keeps it BIGINT —
+    // Column `/` is SQL double division and would break sequence())
+    val nSegs = call_function("div",
+      size(toks).cast("long") + (segLen - 1), lit(segLen.toLong))
     val seg = docs
       .select(col(idCol), explode(sequence(lit(0L), nSegs - 1)).as("seg_id"),
         toks.as("toks"))
       .select(col(idCol), col("seg_id"),
         concat_ws(" ", slice(col("toks"),
-          (col("seg_id") * segLen + 1).cast("int"), segLen)).as("seg_text"))
+          (col("seg_id") * segLen + 1).cast("int"), lit(segLen))).as("seg_text"))
     val frequent = seg.groupBy(col("seg_text"))
       .agg(count_distinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > maxDocs)

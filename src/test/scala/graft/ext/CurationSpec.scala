@@ -328,4 +328,36 @@ class CurationSpec extends SparkTestBase {
     assert(out(0)._2 === Seq(0.6, 0.8))
     assert(out(1)._2 === Seq(0.0, 0.0))
   }
+
+  test("dropFrequentSegments removes corpus-frequent segments, keeps order") {
+    // segment length 2; "aa bb" appears in docs 1-4 (> maxDocs=3) ->
+    // dropped everywhere; doc 4 is ONLY boilerplate -> disappears;
+    // unique segments survive in their original order
+    val docs = Seq(
+      (1L, "aa bb xx yy zz qq"),
+      (2L, "aa bb cc dd"),
+      (3L, "ee ff aa bb"),
+      (4L, "aa bb"),
+      (5L, "gg hh ii")
+    ).toDF("doc_id", "text")
+    val out = Curation.dropFrequentSegments(docs, segLen = 2, maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("xx yy zz qq", 2L)))
+    assert(out(2L) === (("cc dd", 1L)))
+    assert(out(3L) === (("ee ff", 1L)))
+    assert(!out.contains(4L)) // fully boilerplate
+    assert(out(5L) === (("gg hh ii", 2L))) // tail segment "ii" kept
+  }
+
+  test("dropFrequentSegments counts document frequency, not occurrences") {
+    // "aa bb" occurs 3 times in ONE doc: document frequency is 1, so at
+    // maxDocs=2 it must survive (occurrence-counting would drop it)
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb"),
+      (2L, "cc dd")
+    ).toDF("doc_id", "text")
+    val out = Curation.dropFrequentSegments(docs, segLen = 2, maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "aa bb aa bb aa bb")
+  }
 }
