@@ -403,6 +403,18 @@ object SparkEntry {
         .select(expr("node % 2").cast("int").as("is_part"),
           expr("node div 2").as("id"), col("rank"))
     },
+    "graph_triangles" -> { (s, dir) =>
+      // Per-node triangle counts over the part co-occurrence graph
+      // (parts sharing an order). Degree-ordered orientation bounds the
+      // wedge join by O(sqrt(m)) per node — hub-skew-proof at scale.
+      graft.ops.Graph.triangleCounts(partPairs(s, dir))
+    },
+    "graph_bfs" -> { (s, dir) =>
+      // 3-hop BFS distances from part 0 over the same co-occurrence
+      // graph: frontier expansion with per-round materialization,
+      // oracle is a recursive-CTE breadth-first closure.
+      graft.ops.Graph.bfsDistances(partPairs(s, dir), source = 0L, maxHops = 3)
+    },
     "freq_topk" -> { (s, dir) =>
       // exact heavy hitters WITHOUT a full-domain shuffle: per-partition
       // Misra-Gries candidates -> broadcast-filtered exact recount ->
@@ -1140,6 +1152,17 @@ object SparkEntry {
     * numeric/string columns (null comparison semantics are the
     * highest-risk part of the pandas-eval translation) and a boolean.
     * Must stay in lockstep with the DuckDB base in fuzzCondExprSql. */
+  /** Canonical part co-occurrence edges (u < v, distinct): two parts are
+    * adjacent iff some order contains both. Shared by the graph queries. */
+  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
   private val FuzzCondExprN = 1000
   private val FuzzCondExprSeed = 0xC0FFEEL
   private def fuzzCondExprBase(orders: DataFrame): DataFrame =
@@ -1527,6 +1550,29 @@ object SparkEntry {
         |   GROUP BY p.iter, e2.dst)
         |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
         |FROM pr WHERE iter = 5""".stripMargin,
+    "graph_triangles" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM pairs e1
+        |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |nodes AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY 1""".stripMargin,
+    "graph_bfs" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |adj AS (SELECT u AS s, v AS d FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT a.d, w.dist + 1 FROM walk w JOIN adj a ON a.s = w.node
+        |  WHERE w.dist < 3)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1""".stripMargin,
     "freq_topk" ->
       """SELECT term, freq FROM (
         | SELECT term, COUNT(*) AS freq FROM (

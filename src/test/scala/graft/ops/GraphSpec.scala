@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("triangleCounts on a known small graph") {
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a
+    // pendant edge 4-5 (node 5 in none) and an isolated edge 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("u", "v")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts matches a brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edgeSet = (1 to 300).map { _ =>
+      val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val expected = {
+      val es = edgeSet.toSet
+      val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val nodes = edgeSet.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      for {
+        i <- nodes; j <- nodes if j > i && es((i, j))
+        k <- nodes if k > j && es((i, k)) && es((j, k))
+      } { counts(i) += 1; counts(j) += 1; counts(k) += 1 }
+      counts.toMap
+    }
+    val out = Graph.triangleCounts(edgeSet.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+  }
+
+  test("bfsDistances: layered distances with early drain") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1, dist(5)=2, dist(3)=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("u", "v")
+    val out = Graph.bfsDistances(edges, source = 1L, maxHops = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsDistances respects the hop bound and skips unreachable nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("u", "v")
+    val out = Graph.bfsDistances(edges, source = 1L, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 beyond bound; 8,9 disconnected
+  }
+}
