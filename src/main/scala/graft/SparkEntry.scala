@@ -307,6 +307,23 @@ object SparkEntry {
         bucketWidth = 3600L)
         .select("event_id", "user_id", "session_seq")
     },
+    "q_interval_overlap" -> { (s, dir) =>
+      // Interval x interval: per customer, urgent-order processing
+      // windows overlapping low-priority windows. Bucketized equi join
+      // with owner-bucket dedup (each pair emitted only at the bucket
+      // holding the overlap's start) — exactly-once with no distinct.
+      def win(prio: String, kAlias: String) =
+        Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === prio)
+          .select(col("o_orderkey").as(kAlias), col("o_custkey").as("ck"),
+            expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").as(s"${kAlias}_s"))
+          .withColumn(s"${kAlias}_e",
+            col(s"${kAlias}_s") + lit(30L) + pmod(col(kAlias), lit(30L)))
+      graft.ops.RangeJoin.intervalOverlap(
+        win("1-URGENT", "lk"), win("5-LOW", "rk"), keys = Seq("ck"),
+        lStart = "lk_s", lEnd = "lk_e", rStart = "rk_s", rEnd = "rk_e",
+        bucketWidth = 32L)
+    },
     "q_range_sql" -> { (s, dir) =>
       // The range join through its SQL face (graft_range_join TVF) —
       // same plan, same result, same oracle as q_range_join.
@@ -1474,6 +1491,18 @@ object SparkEntry {
         | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_range_join" -> rangeJoinSql,
     "q_range_sql" -> rangeJoinSql,
+    "q_interval_overlap" ->
+      """WITH l AS (SELECT o_orderkey AS lk, o_custkey AS ck,
+        |   CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS lk_s,
+        |   CAST(epoch(o_orderdate) AS BIGINT) // 86400 + 30 + o_orderkey % 30 AS lk_e
+        | FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |r AS (SELECT o_orderkey AS rk, o_custkey AS ck,
+        |   CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS rk_s,
+        |   CAST(epoch(o_orderdate) AS BIGINT) // 86400 + 30 + o_orderkey % 30 AS rk_e
+        | FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT l.ck, l.lk, l.lk_s, l.lk_e, r.rk, r.rk_s, r.rk_e
+        |FROM l JOIN r ON l.ck = r.ck
+        | AND l.lk_s <= r.rk_e AND r.rk_s <= l.lk_e""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(k AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
         | MIN(CAST(k AS BIGINT)) AS min_k, MAX(CAST(k AS BIGINT)) AS max_k

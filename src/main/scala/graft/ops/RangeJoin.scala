@@ -34,4 +34,33 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__graft_bucket")
   }
+
+  /** Interval × interval overlap join: each left [lStart, lEnd] joined to
+    * every right [rStart, rEnd] with a non-empty intersection (inclusive
+    * bounds), with equality on `keys`.
+    *
+    * Both sides explode to their covered buckets, the join is equi on
+    * (keys, bucket), and the residual overlap predicate runs per
+    * collision. A pair overlapping across MANY shared buckets would
+    * duplicate, so each surviving pair is emitted only at its OWNER
+    * bucket — the one containing max(lStart, rStart), the overlap's
+    * start, which both sides provably cover. Exactly-once without any
+    * post-join distinct: dedup at 100 TB would be a second full shuffle
+    * of the result; the owner-bucket test is a codegen'd filter.
+    *
+    * Shuffle volume is Σ widths/bucketWidth on each side — linear in
+    * input, never quadratic in key cardinality. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__graft_bucket",
+      explode(sequence(floor(col(lStart) / bucketWidth), floor(col(lEnd) / bucketWidth))))
+    val rb = right.withColumn("__graft_bucket",
+      explode(sequence(floor(col(rStart) / bucketWidth), floor(col(rEnd) / bucketWidth))))
+    lb.join(rb, keys :+ "__graft_bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(floor(greatest(col(lStart), col(rStart)) / bucketWidth) === col("__graft_bucket"))
+      .drop("__graft_bucket")
+  }
 }

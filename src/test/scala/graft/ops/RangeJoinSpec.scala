@@ -57,4 +57,44 @@ class RangeJoinSpec extends SparkTestBase {
     val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "ts", "lo", "hi", 10L)
     assert(got.count() === 1)
   }
+
+  test("intervalOverlap matches brute force and emits each pair once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val lhs = (1 to 120).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(80), i.toLong)
+    }
+    val rhs = (1 to 120).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(80), i.toLong)
+    }
+    val got = RangeJoin.intervalOverlap(
+      lhs.toDF("k", "ls", "le", "lid"), rhs.toDF("k", "rs", "re", "rid"),
+      Seq("k"), "ls", "le", "rs", "re", bucketWidth = 16L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      (lk, ls, le, lid) <- lhs
+      (rk, rs, re, rid) <- rhs
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid)).sorted
+    assert(got === expected) // equality (not set-equality): duplicates would fail
+  }
+
+  test("intervalOverlap: pairs sharing many buckets appear exactly once") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 1000L, "L")).toDF("k", "ls", "le", "ln")
+    val r = Seq((1L, 500L, 900L, "R")).toDF("k", "rs", "re", "rn")
+    assert(RangeJoin.intervalOverlap(l, r, Seq("k"), "ls", "le", "rs", "re", 10L).count() === 1)
+  }
+
+  test("intervalOverlap: touching endpoints are inclusive, disjoint are not") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L, 1L)).toDF("k", "ls", "le", "lid")
+    val r = Seq((1L, 10L, 20L, 1L), (1L, 11L, 20L, 2L)).toDF("k", "rs", "re", "rid")
+    val got = RangeJoin.intervalOverlap(l, r, Seq("k"), "ls", "le", "rs", "re", 7L)
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
 }
