@@ -968,6 +968,28 @@ object SparkEntry {
         s.table(name)
       }
     },
+    "stream_enrich" -> { (s, dir) =>
+      withShufflePartitions(s, 4) {
+        // Stream-static enrichment: the events stream joined per
+        // microbatch to a broadcast customer dimension — stateless (no
+        // state store, no watermark), so the drained replay equals the
+        // batch join exactly.
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val dim = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"),
+            col("c_acctbal"))
+        val enriched = graft.streaming.StreamingOps.enrichStatic(stream, dim,
+          keys = Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"), col("c_acctbal"))
+        val name = s"graft_stream_enrich_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(enriched, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
+    },
     "stream_user_totals" -> { (s, dir) =>
       withShufflePartitions(s, 4) {
         // arbitrary stateful processing (mapGroupsWithState) driven
@@ -2018,6 +2040,9 @@ object SparkEntry {
         |FROM e c JOIN e v ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.sec BETWEEN c.sec - 14400 AND c.sec""".stripMargin,
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_acctbal
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "stream_sessions" ->
       """WITH g AS (
         | SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value", ts, event_id,

@@ -163,6 +163,18 @@ object StreamingOps {
         col(s"r.$tsCol") <= col(s"l.$tsCol"))
   }
 
+  /** Stream-static enrichment: streaming fact rows joined to a bounded
+    * dimension table, the canonical streaming lookup. The dimension is
+    * broadcast — every microbatch plans a broadcast hash join, so the
+    * join is STATELESS: no state store, no watermark, no shuffle of the
+    * stream, and the dimension is re-resolvable per batch (a dimension
+    * refresh is picked up on the next trigger when `dim` is backed by a
+    * table). This is the shape that survives 100 TB/day streams: state
+    * size zero, per-batch cost linear in batch size. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()

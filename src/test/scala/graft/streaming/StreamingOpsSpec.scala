@@ -108,4 +108,27 @@ class StreamingOpsSpec extends SparkTestBase {
     // view :00 is 14 min before -> OUT. click3: no views for user 999.
     assert(got === Set((1L, 10L), (1L, 11L)))
   }
+
+  test("stream-static enrichment joins each microbatch against the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((100L, "GOLD"), (200L, "SILVER")).toDF("user_id", "tier")
+    val q = enrichStatic(mem.toDF(), dim, Seq("user_id"))
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sampleEvents.take(2): _*) // both user 100
+      q.processAllAvailable()
+      mem.addData(sampleEvents.drop(2): _*) // user 200, then 100 again
+      q.processAllAvailable()
+      // stateless: the query must carry NO state store rows
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "GOLD"), (2L, "GOLD"), (3L, "SILVER"), (4L, "GOLD")))
+  }
 }
