@@ -550,6 +550,15 @@ object SparkEntry {
       Embeddings.quantizeInt8(Tables(s, dir, "embeddings"))
         .select(col("vec_id"), col("scale"), array_join(col("q"), ",").as("q_str"))
     },
+    "emb_covariance" -> { (s, dir) =>
+      // Full 64x64 upper-triangle covariance of the embedding corpus
+      // from exact decimal sums — the distributed Gram primitive under
+      // fitPca. Nano-integer face (the decimal->double cast can sit one
+      // ulp apart across engines past 2^53, the q_group_ols lesson).
+      Embeddings.covarianceMatrix(Tables(s, dir, "embeddings"), dim = 64)
+        .select(col("i"), col("j"),
+          round(col("cov") * 1e9).cast("long").as("cov_nano"))
+    },
 
     // --- [EXT] dedup (documents) ----------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -1739,6 +1748,22 @@ object SparkEntry {
         |      ELSE array_to_string(list_transform(v,
         |        x -> CAST(FLOOR(x / s * 127 + 0.5) AS INT)), ',') END AS q_str
         |FROM m""".stripMargin,
+    "emb_covariance" ->
+      """WITH p AS (SELECT vec_id, embedding,
+        |   unnest(generate_series(0, 63)) AS i FROM embeddings),
+        |x AS (SELECT vec_id, embedding, i,
+        |   CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(19,9)) AS xi FROM p),
+        |q AS (SELECT i, xi, embedding,
+        |   unnest(generate_series(i, 63)) AS j FROM x),
+        |s AS (SELECT i, j,
+        |   SUM(xi * CAST(CAST(embedding[j+1] AS DOUBLE) AS DECIMAL(19,9))) AS sxy,
+        |   CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+        |m AS (SELECT i AS d, SUM(xi) AS sx FROM x GROUP BY 1)
+        |SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+        | CAST(ROUND((CAST(s.sxy AS DOUBLE)
+        |   - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |  / (CAST(s.n AS DOUBLE) - 1.0) * 1000000000) AS BIGINT) AS cov_nano
+        |FROM s JOIN m mi ON mi.d = s.i JOIN m mj ON mj.d = s.j""".stripMargin,
 
     "split_train_test" ->
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

@@ -41,4 +41,127 @@ object Embeddings {
       col(idCol),
       when(norm === 0.0, v).otherwise(transform(v, x => x / norm)).as("unit"))
   }
+
+  /** Upper-triangle sample covariance matrix of an embedding column, as
+    * (i, j, cov) rows with i <= j, from EXACT decimal sums.
+    *
+    * Scale shape: one posexplode (n·d rows), a plan-side second index
+    * from `sequence(i, d-1)` — NO self-join — so the d²/2 product terms
+    * flow straight into a partially-aggregated groupBy(i, j): shuffle is
+    * the d(d+1)/2-cell aggregate, compute is the unavoidable n·d²/2
+    * multiplies, spread across every core. Means are a second d-row
+    * aggregate broadcast back. Sums accumulate in DECIMAL(18,9) (exact,
+    * order-independent); the closed form runs in double on group-count
+    * rows. This is the Gram-matrix primitive under PCA/whitening. */
+  def covarianceMatrix(emb: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 2, s"need dim >= 2, got $dim")
+    val dec = "decimal(18,9)"
+    val p = emb.select(col(vecCol), posexplode(col(vecCol)))
+      .select(col("pos").as("i"), col("col").cast(dec).as("xi"), col(vecCol))
+    val prods = p
+      .select(col("i"), col("xi"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"), col(vecCol))
+      .select(col("i"), col("j"),
+        (col("xi") * element_at(col(vecCol), col("j") + 1).cast(dec)).as("xy"))
+    val s = prods.groupBy(col("i"), col("j"))
+      .agg(sum(col("xy")).as("sxy"), count(lit(1)).as("n"))
+    val m = p.groupBy(col("i").as("d")).agg(sum(col("xi")).as("sx"))
+    val nD = col("n").cast("double")
+    s.join(broadcast(m.select(col("d").as("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(m.select(col("d").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .select(col("i"), col("j"),
+        ((col("sxy").cast("double") -
+          col("sx_i").cast("double") * col("sx_j").cast("double") / nD)
+          / (nD - 1.0)).as("cov"))
+  }
+
+  /** Eigenvalues (descending) + top-k orthonormal principal components
+    * of the embedding covariance. The d×d eigenproblem is CONTROL-PLANE
+    * work: the covariance collapses to d(d+1)/2 numbers regardless of
+    * corpus size, so the cyclic-Jacobi solve runs on the driver in
+    * microseconds while every data-sized pass stays distributed.
+    * Component signs are canonicalized (largest-|coordinate| entry
+    * positive) so results are deterministic across runs. */
+  final case class PcaModel(eigenvalues: Array[Double],
+      components: Array[Array[Double]]) // k rows, each length d
+
+  def fitPca(emb: DataFrame, dim: Int, k: Int,
+      vecCol: String = "embedding"): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val a = Array.ofDim[Double](dim, dim)
+    covarianceMatrix(emb, dim, vecCol).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (values, vectors) = jacobiEigen(a)
+    val order = values.indices.sortBy(i => -values(i)).take(k)
+    val comps = order.map { ci =>
+      val v = Array.tabulate(dim)(r => vectors(r)(ci))
+      val mx = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(mx) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(order.map(values).toArray, comps)
+  }
+
+  /** Project embeddings onto fitted components: k codegen'd zip_with/
+    * aggregate dot products per row — elementwise, zero shuffle; the
+    * k×d component matrix rides the plan (tiny by construction). */
+  def projectPca(emb: DataFrame, model: PcaModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val dots = model.components.map { c =>
+      val carr = array(c.map(lit(_)): _*)
+      aggregate(zip_with(v, carr, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    }
+    emb.select(col(idCol), array(dots: _*).as("projected"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
+    * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
+    * O(d³) per sweep, converges quadratically; plenty for the d ≤ a few
+    * thousand of any embedding pipeline (d×d fits on the driver long
+    * before the data fits anywhere). */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 64,
+      tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > tol) {
+      for (p <- 0 until n - 1; q <- p + 1 until n if math.abs(a(p)(q)) > tol) {
+        val apq = a(p)(q)
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t =
+          if (theta == 0.0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        val app = a(p)(p); val aqq = a(q)(q)
+        a(p)(p) = app - t * apq
+        a(q)(q) = aqq + t * apq
+        a(p)(q) = 0.0; a(q)(p) = 0.0
+        var k = 0
+        while (k < n) {
+          if (k != p && k != q) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+            a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+          }
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
 }
