@@ -169,6 +169,59 @@ object SparkEntry {
         keys = Seq("c_custkey"), trackedCols = Seq("c_mktsegment", "c_acctbal"))
     },
 
+    "etl_temporal_join" -> { (s, dir) =>
+      // Point-in-time join of the orders fact stream against a
+      // deterministic SCD2 customer dimension: every 3rd customer
+      // changes segment at day 1277 (1995-07-01), every 97th customer
+      // is absent from the dimension entirely (exercises the left-join
+      // NULL face). Fact time = days since 1992-01-01.
+      val facts = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("fact_day"))
+      val cust = Tables(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(97L)) =!= 0)
+      val v1 = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        lit(0L).as("valid_from"),
+        when(pmod(col("c_custkey"), lit(3L)) === 0, lit(1277L))
+          .cast("long").as("valid_to"))
+      val v2 = cust.filter(pmod(col("c_custkey"), lit(3L)) === 0)
+        .select(col("c_custkey"), lit("MOVED").as("seg"),
+          lit(1277L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      Merge.temporalJoin(facts, v1.unionByName(v2),
+          keys = Seq("c_custkey"), factTime = "fact_day")
+        .select(col("o_orderkey"), col("seg"), col("valid_from").as("ver_from"))
+    },
+
+    "etl_table_digest" -> { (s, dir) =>
+      // Merkle-style bucket fingerprint of the orders snapshot: 64 rows
+      // of (bucket, n_rows, digest). The oracle recomputes the identical
+      // md5-based row hashes and XOR digests in DuckDB — the exact
+      // cross-engine replica-verification contract the operator exists
+      // for (shuffle = 64 rows, never the table).
+      val snap = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      graft.ops.Cdc.tableDigest(snap, keys = Seq("o_orderkey"), buckets = 64)
+    },
+    "etl_digest_diff" -> { (s, dir) =>
+      // Digest-then-drill replica diff: new snapshot mutates the status
+      // of every 131st order, drops every 173rd, inserts shifted keys
+      // for every 211th. Dirty buckets come from the digest compare;
+      // the row-level diff runs over those buckets only. Oracle = the
+      // plain FULL OUTER classification — if bucket selection missed a
+      // change, rows would be absent and the hash would diverge.
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val mutated = base
+        .filter(pmod(col("o_orderkey"), lit(173L)) =!= 0L)
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(131L)) === 0L, lit("Z"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(211L)) === 0L)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus")))
+      graft.ops.Cdc.drillDiff(base, mutated, keys = Seq("o_orderkey"), buckets = 64)
+    },
+
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q3_revenue_topk" -> (Relational.revenueTopOrders _),
@@ -1336,6 +1389,49 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey + 5000000, 'NEW', c_acctbal, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
         |FROM cust WHERE c_custkey % 41 = 0""".stripMargin,
+    "etl_temporal_join" ->
+      """WITH f AS (SELECT o_orderkey, o_custkey,
+        |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS fact_day
+        | FROM orders),
+        |d AS (
+        | SELECT c_custkey, c_mktsegment AS seg, CAST(0 AS BIGINT) AS vfrom,
+        |  CASE WHEN c_custkey % 3 = 0 THEN CAST(1277 AS BIGINT) END AS vto
+        | FROM customer WHERE c_custkey % 97 <> 0
+        | UNION ALL
+        | SELECT c_custkey, 'MOVED', CAST(1277 AS BIGINT), CAST(NULL AS BIGINT)
+        | FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 97 <> 0)
+        |SELECT f.o_orderkey, d.seg, d.vfrom AS ver_from
+        |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+        | AND f.fact_day >= d.vfrom AND (d.vto IS NULL OR f.fact_day < d.vto)""".stripMargin,
+    "etl_table_digest" ->
+      """WITH r AS (SELECT
+        |  CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS kh,
+        |  CAST(concat('0x', substring(md5(concat_ws(chr(1),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2)||'NULL'),
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(2)||'NULL'),
+        |    coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)||'NULL'))),1,15)) AS BIGINT) AS h
+        | FROM orders)
+        |SELECT CAST(kh % 64 AS INT) AS bucket, COUNT(*) AS n_rows, bit_xor(h) AS digest
+        |FROM r GROUP BY 1""".stripMargin,
+    "etl_digest_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |m AS (
+        | SELECT o_orderkey, o_custkey,
+        |   CASE WHEN o_orderkey % 131 = 0 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus
+        | FROM base WHERE o_orderkey % 173 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 20000000, o_custkey, o_orderstatus
+        | FROM base WHERE o_orderkey % 211 = 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        | CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |      WHEN n.o_orderkey IS NULL THEN 'delete'
+        |      ELSE 'update' END AS change_type,
+        | o.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+        | o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus
+        |FROM base o FULL OUTER JOIN m n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_custkey IS DISTINCT FROM n.o_custkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -74,6 +74,36 @@ object Merge {
     closed.unionByName(closedNow).unionByName(stillOpen).unionByName(newOpen)
   }
 
+  /** Point-in-time (temporal) join: attach to each fact row the SCD2
+    * dimension version valid at the fact's event time —
+    * `fact.ts >= valid_from AND (valid_to IS NULL OR fact.ts < valid_to)`.
+    *
+    * The equi-key condition drives the join (broadcast for small dims,
+    * shuffle on the key otherwise); the interval test is a join residual.
+    * Because SCD2 intervals are disjoint per key, each fact matches at
+    * most ONE version — no post-join dedup, no row multiplication, and
+    * the per-key probe cost is the key's version count (a handful), not
+    * its fact count. Left join by default so facts that predate every
+    * version (or reference an unknown key) survive with NULL attributes.
+    *
+    * Dimension columns (minus the keys) are appended; names must not
+    * collide with fact columns. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+      factTime: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to", joinType: String = "left"): DataFrame = {
+    val dimCols = dim.columns.filterNot(keys.contains)
+    val collide = dimCols.toSet.intersect(facts.columns.toSet)
+    require(collide.isEmpty, s"temporalJoin: column collision on $collide")
+    val f = facts.as("f")
+    val d = dim.as("d")
+    val keyCond = keys.map(k => col(s"f.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val timeCond = col(s"f.$factTime") >= col(s"d.$validFrom") &&
+      (col(s"d.$validTo").isNull || col(s"f.$factTime") < col(s"d.$validTo"))
+    f.join(d, keyCond && timeCond, joinType)
+      .select(facts.columns.map(c => col(s"f.$c").as(c)).toSeq ++
+        dimCols.map(c => col(s"d.$c").as(c)): _*)
+  }
+
   /** SQL MERGE raises "multiple source rows matched" for duplicate-key
     * updates; silently joining them would MULTIPLY target rows instead of
     * upserting. One cheap aggregation over the (small) update side. */

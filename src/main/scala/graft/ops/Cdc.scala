@@ -60,4 +60,72 @@ object Cdc {
     val out = joined.select(keyCols ++ Seq(changeType.as("change_type")) ++ valCols: _*)
     if (includeUnchanged) out else out.filter(col("change_type") =!= "unchanged")
   }
+
+  /** Engine-portable 60-bit row hash: md5 over a NUL-sentinel encoding
+    * (`concat_ws` alone would conflate NULL with absence). Used instead
+    * of xxhash64 so an external system (or the DuckDB oracle) can
+    * recompute identical digests from SQL alone. Callers hash columns
+    * whose string rendering is engine-stable (ints/longs/strings/dates);
+    * raw doubles can format differently across engines. */
+  def portableRowHash(cols: Seq[String]): Column = {
+    val payload = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*)
+    conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Merkle-style bucket fingerprint of a keyed snapshot: N rows of
+    * (bucket, n_rows, digest) where digest = XOR of per-row hashes.
+    * XOR is commutative/associative, so the digest is independent of
+    * partitioning and row order, and the shuffle this plan performs is
+    * `buckets` rows — NOT the table. Comparing two 100 TB replicas
+    * costs one scan each plus a joined compare of two tiny frames.
+    *
+    * Contract: `keys` identify rows uniquely (a keyed snapshot), so
+    * XOR-cancellation of identical full-row hashes cannot occur within
+    * one table; cross-table cancellation of two compensating edits in
+    * one bucket is a ~2^-60 event, and `n_rows` independently catches
+    * any insert/delete imbalance. */
+  def tableDigest(df: DataFrame, keys: Seq[String], buckets: Int = 1024,
+      hashCols: Seq[String] = Seq.empty): DataFrame = {
+    require(keys.nonEmpty && buckets > 0)
+    val cols = if (hashCols.nonEmpty) hashCols else df.columns.toSeq
+    df.select(
+        pmod(portableRowHash(keys), lit(buckets.toLong)).cast("int").as("bucket"),
+        portableRowHash(cols).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1L)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+  }
+
+  /** Buckets whose digest or row count differ between two snapshots.
+    * Full outer on bucket id so buckets present on one side only (mass
+    * insert/delete) surface too. Output is at most `buckets` rows. */
+  def digestDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      buckets: Int = 1024, hashCols: Seq[String] = Seq.empty): DataFrame = {
+    val o = tableDigest(oldSnap, keys, buckets, hashCols).alias("o")
+    val n = tableDigest(newSnap, keys, buckets, hashCols).alias("n")
+    o.join(n, col("o.bucket") === col("n.bucket"), "full_outer")
+      .filter(!(col("o.digest") <=> col("n.digest")) ||
+        !(col("o.n_rows") <=> col("n.n_rows")))
+      .select(coalesce(col("o.bucket"), col("n.bucket")).as("bucket"),
+        col("o.n_rows").as("old_n"), col("n.n_rows").as("new_n"),
+        col("o.digest").as("old_digest"), col("n.digest").as("new_digest"))
+  }
+
+  /** Digest-then-drill diff: identify dirty buckets from the digests,
+    * then run the exact row-level snapshotDiff ONLY over those buckets
+    * (broadcast semi join on the tiny dirty-bucket set — the full-table
+    * key shuffle of a naive diff happens over the dirty slice alone).
+    * For replica verification where changes are sparse — the common
+    * case — this replaces a 2×100 TB shuffle with two scans plus a
+    * shuffle proportional to the changed fraction. */
+  def drillDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+      buckets: Int = 1024, compareCols: Seq[String] = Seq.empty): DataFrame = {
+    val dirty = digestDiff(oldSnap, newSnap, keys, buckets).select("bucket")
+    def slice(df: DataFrame): DataFrame = df
+      .withColumn("__bucket",
+        pmod(portableRowHash(keys), lit(buckets.toLong)).cast("int"))
+      .join(broadcast(dirty), col("__bucket") === col("bucket"), "left_semi")
+      .drop("__bucket")
+    snapshotDiff(slice(oldSnap), slice(newSnap), keys, compareCols)
+  }
 }
