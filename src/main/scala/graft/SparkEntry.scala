@@ -1030,6 +1030,33 @@ object SparkEntry {
         s.table(name)
       }
     },
+    "stream_join_outer" -> { (s, dir) =>
+      withShufflePartitions(s, 4) {
+        // LEFT OUTER stream-stream interval join over a 3-file
+        // time-ordered replay: matched pairs emit eagerly; a click with
+        // no view in its trailing 30 min emits once, NULL-padded, when
+        // the global watermark passes its event time. Time-ordered files
+        // mean no row is late, so the emitted set is exactly (all batch
+        // matches) ∪ (unmatched clicks STRICTLY below the final
+        // watermark min(max click ts, max view ts) - 2h — the boundary
+        // pinned by StreamingOpsSpec); later unmatched clicks stay in
+        // state, deterministically unemitted in a drained replay.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        def src() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val joined = graft.streaming.StreamingOps.intervalJoinOuter(
+          src().filter(col("event_type") === "click"),
+          src().filter(col("event_type") === "view"),
+          lookback = "30 minutes", watermark = "2 hours")
+          .select(col("l.event_id").as("click_id"), col("l.user_id").as("user_id"),
+            unix_timestamp(col("l.ts")).as("click_sec"),
+            col("r.event_id").as("view_id"), unix_timestamp(col("r.ts")).as("view_sec"))
+        val name = s"graft_stream_join_outer_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(joined, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
+    },
     "stream_enrich" -> { (s, dir) =>
       withShufflePartitions(s, 4) {
         // Stream-static enrichment: the events stream joined per
@@ -2161,6 +2188,24 @@ object SparkEntry {
         |FROM e c JOIN e v ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.sec BETWEEN c.sec - 14400 AND c.sec""".stripMargin,
+    "stream_join_outer" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT LEAST((SELECT MAX(sec) FROM c), (SELECT MAX(sec) FROM v))
+        |        - 7200 AS w)
+        |SELECT c.event_id AS click_id, c.user_id AS user_id, c.sec AS click_sec,
+        | v.event_id AS view_id, v.sec AS view_sec
+        |FROM c JOIN v ON c.user_id = v.user_id
+        | AND v.sec BETWEEN c.sec - 1800 AND c.sec
+        |UNION ALL
+        |SELECT c.event_id, c.user_id, c.sec,
+        | CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM c, wm
+        |WHERE c.sec < wm.w AND NOT EXISTS (
+        |  SELECT 1 FROM v WHERE v.user_id = c.user_id
+        |   AND v.sec BETWEEN c.sec - 1800 AND c.sec)""".stripMargin,
     "stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_acctbal
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,

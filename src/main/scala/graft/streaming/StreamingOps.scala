@@ -154,14 +154,32 @@ object StreamingOps {
     * finite replay equals the batch join row-for-row. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts",
-      lookback: String = "4 hours", watermark: String = "24 hours"): DataFrame = {
+      lookback: String = "4 hours", watermark: String = "24 hours",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookback") &&
-        col(s"r.$tsCol") <= col(s"l.$tsCol"))
+        col(s"r.$tsCol") <= col(s"l.$tsCol"),
+      joinType)
   }
+
+  /** LEFT OUTER variant of [[intervalJoin]] — the "every fact row must
+    * come out, attributed or not" contract. Matched rows still emit
+    * eagerly; an UNMATCHED left row is held in state until the global
+    * watermark proves no future right row can land in its interval
+    * (max possible match time = left.ts here), then emits once,
+    * NULL-padded. State cost is identical to the inner join; the only
+    * addition is the null-emit on eviction, so the 100 TB posture
+    * (state bounded by lookback × per-key arrival rate) is unchanged.
+    * Boundary semantics, pinned by StreamingOpsSpec: a left row
+    * null-emits only when its event time is STRICTLY below the final
+    * watermark. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      lookback: String = "4 hours", watermark: String = "24 hours"): DataFrame =
+    intervalJoin(left, right, keyCol, tsCol, lookback, watermark, "left_outer")
 
   /** Stream-static enrichment: streaming fact rows joined to a bounded
     * dimension table, the canonical streaming lookup. The dimension is

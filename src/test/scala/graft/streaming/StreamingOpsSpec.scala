@@ -109,6 +109,37 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(got === Set((1L, 10L), (1L, 11L)))
   }
 
+  test("left-outer interval join: null-pads only left rows strictly below the final watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = intervalJoinOuter(clicks.toDF(), views.toDF(),
+        lookback = "10 minutes", watermark = "10 minutes")
+      .selectExpr("l.event_id AS click_id", "r.event_id AS view_id")
+    val q = joined.writeStream.format("memory").queryName("sjo_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: matched pair (user 100) + three unmatched clicks
+      views.addData(Event(10L, ts(0), 100L, "view", 0.0))
+      clicks.addData(Event(1L, ts(5), 100L, "click", 0.0),
+        Event(2L, ts(0), 200L, "click", 0.0),   // < final wm -> null-emit
+        Event(3L, ts(20), 300L, "click", 0.0),  // == final wm -> held
+        Event(4L, ts(25), 400L, "click", 0.0))  // > final wm -> held
+      q.processAllAvailable()
+      // batch 2: raise both source watermarks to :30 - 10min = :20
+      views.addData(Event(11L, ts(30), 999L, "view", 0.0))
+      clicks.addData(Event(5L, ts(30), 999L, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sjo_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    // matched row emitted eagerly; click 2 (ts :00 < wm :20) null-padded;
+    // clicks 3 (:20, NOT strictly below) and 4 (:25) still held in state;
+    // click 5 matches view 11 at the same tick.
+    assert(got === Set((1L, Some(10L)), (5L, Some(11L)), (2L, None)))
+  }
+
   test("stream-static enrichment joins each microbatch against the dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
