@@ -222,6 +222,27 @@ object SparkEntry {
       graft.ops.Cdc.drillDiff(base, mutated, keys = Seq("o_orderkey"), buckets = 64)
     },
 
+    "feat_quantile_bin" -> { (s, dir) =>
+      // Exact equal-frequency binning of l_quantity (discrete 1..50)
+      // into 8 bins via the value histogram — no global sort; the
+      // oracle replays the identical cumulative floor-div rule.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ext.Features.quantileBinsDiscrete(li, "qty", k = 8, binCol = "bin")
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("bin"))
+    },
+    "feat_target_encode" -> { (s, dir) =>
+      // Smoothed mean encoding of c_mktsegment against c_acctbal
+      // (m = 10). Micro-precision integer face for the encoding (the
+      // q_group_ols pattern: sums are exact in both engines, the final
+      // double division is quantized).
+      graft.ext.Features.targetEncode(
+          Tables(s, dir, "customer"), "c_mktsegment", "c_acctbal", smoothing = 10.0)
+        .select(col("c_mktsegment"), col("n"),
+          round(col("encoding") * 1e6).cast("long").as("enc_micro"))
+    },
+
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
     "q3_revenue_topk" -> (Relational.revenueTopOrders _),
@@ -1459,6 +1480,26 @@ object SparkEntry {
         |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
         |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
         |   OR o.o_custkey IS DISTINCT FROM n.o_custkey""".stripMargin,
+    "feat_quantile_bin" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |h AS (SELECT qty, COUNT(*) AS cnt FROM li GROUP BY qty),
+        |b AS (SELECT qty,
+        |  CAST((8 * (SUM(cnt) OVER (ORDER BY qty) - cnt)) // (SELECT SUM(cnt) FROM h)
+        |   AS INT) AS bin FROM h)
+        |SELECT li.l_orderkey, li.l_linenumber, li.qty, b.bin
+        |FROM li JOIN b ON li.qty = b.qty""".stripMargin,
+    "feat_target_encode" ->
+      """WITH t AS (SELECT
+        |  CAST(COUNT(*) AS DOUBLE) AS tn,
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS tsum
+        | FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND((CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+        |   + 10.0 * (t.tsum / t.tn)) / (CAST(COUNT(*) AS DOUBLE) + 10.0) * 1000000)
+        |  AS BIGINT) AS enc_micro
+        |FROM customer, t
+        |GROUP BY c_mktsegment, t.tn, t.tsum""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature engineering over tabular corpora — the transforms a
+  * training-data pipeline applies after curation and before export.
+  * Reference scope: the reference's rule engine feeds cleaned frames to
+  * downstream ML (rajatparida125/etl-tool-rep main.py:140-171 transforms);
+  * these are the standard encodings that step needs at scale.
+  */
+object Features {
+
+  /** Exact equal-frequency (quantile) binning for a discrete-valued
+    * column. Global-sort-free: builds the VALUE HISTOGRAM (groupBy value
+    * — shuffle is the distinct-value set, not the table), computes each
+    * value's cumulative row count with a window over that small frame,
+    * assigns bin = floor(k * cum_before / n) — every row of a value
+    * lands in one deterministic bin — and broadcast-joins the value→bin
+    * map back. At 100 TB with a bounded value domain (quantities,
+    * scores, ages, token counts) this is two scans and zero wide
+    * shuffles of the fact table.
+    *
+    * Rows come back with an `__bin` INT column (0..k-1). Exactness
+    * contract: bins are right-packed by cumulative mass, identical to
+    * `floor(k * (dense row rank by value, ties collapsed) / n)`. */
+  def quantileBinsDiscrete(df: DataFrame, valueCol: String, k: Int,
+      binCol: String = "__bin"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1L)).as("__cnt"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumBefore = rows with a strictly smaller value; n = total rows.
+    // The histogram is distinct-value-sized, so the single-partition
+    // window and the grand total ride a tiny frame, never the table.
+    val total = hist.agg(sum(col("__cnt")).as("__n"))
+    val binMap = hist
+      .withColumn("__cum", sum(col("__cnt")).over(w) - col("__cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(valueCol),
+        // integer floor-div, not double floor: k·cum can pass 2^53 at
+        // trillion-row scale and a double quotient would mis-bin
+        // boundary rows
+        call_function("div", lit(k.toLong) * col("__cum"), col("__n"))
+          .cast("int").as(binCol))
+    df.join(broadcast(binMap), Seq(valueCol))
+  }
+
+  /** Smoothed target (mean) encoding: category c ↦
+    * (Σ target(c) + m · global mean) / (n(c) + m) — the Micci-Barreca
+    * smoothing that shrinks rare categories toward the prior. Sums are
+    * exact DECIMAL (map-side combined, one scan); the division happens
+    * once per CATEGORY on the aggregated frame, so float effects are
+    * confined to a deterministic last step. Output: one row per
+    * category (category, n, encoding) to broadcast-join onto any fact
+    * table. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 10.0): DataFrame = {
+    require(smoothing >= 0.0, "smoothing must be non-negative")
+    val dec = col(targetCol).cast("decimal(27,6)")
+    val perCat = df.groupBy(col(catCol))
+      .agg(count(lit(1L)).as("n"), sum(dec).as("__sum"))
+    val tot = df.agg(count(lit(1L)).as("__tn"), sum(dec).as("__tsum"))
+    // global mean via the same exact sums; tot is one row -> broadcast
+    perCat.crossJoin(broadcast(tot))
+      .select(col(catCol), col("n"),
+        ((col("__sum").cast("double") +
+          lit(smoothing) * (col("__tsum").cast("double") / col("__tn").cast("double"))) /
+          (col("n").cast("double") + lit(smoothing))).as("encoding"))
+  }
+}

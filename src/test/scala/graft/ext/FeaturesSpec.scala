@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantileBinsDiscrete: balanced bins, deterministic ties, full coverage") {
+    // 1000 rows over 10 discrete values, 100 each -> k=5 bins of 200
+    val df = (0 until 1000).map(i => (i.toLong, (i % 10).toLong)).toDF("id", "v")
+    val binned = Features.quantileBinsDiscrete(df, "v", k = 5, binCol = "bin")
+    val sizes = binned.groupBy("bin").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(sizes.toSeq === Seq((0, 200L), (1, 200L), (2, 200L), (3, 200L), (4, 200L)))
+    // same value -> same bin, bins ordered by value
+    val vb = binned.select("v", "bin").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(vb.map(_._2).toSeq === vb.map(_._2).sorted.toSeq)
+    assert(vb.length === 10)
+  }
+
+  test("quantileBinsDiscrete: a dominant value owns its bin span") {
+    // value 0 has 90% of the mass -> values 1..9 all squeeze into the top bin
+    val df = ((0 until 900).map(_ => 0L) ++ (1L to 9L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val vb = Features.quantileBinsDiscrete(df, "v", k = 4, binCol = "bin")
+      .select("v", "bin").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(vb(0L) === 0) // cum_before = 0
+    (1L to 9L).foreach(v => assert(vb(v) === 3)) // cum_before >= 900/909 * 4
+  }
+
+  test("targetEncode shrinks rare categories toward the global mean") {
+    // cat "big": 100 rows mean 10; cat "rare": 1 row value 1000
+    val df = ((1 to 100).map(_ => ("big", 10.0)) :+ (("rare", 1000.0)))
+      .toDF("cat", "y")
+    val enc = Features.targetEncode(df, "cat", "y", smoothing = 10.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val globalMean = (100 * 10.0 + 1000.0) / 101
+    val expBig = (100 * 10.0 + 10 * globalMean) / 110
+    val expRare = (1000.0 + 10 * globalMean) / 11
+    assert(enc("big")._1 === 100L)
+    assert(math.abs(enc("big")._2 - expBig) < 1e-9)
+    assert(math.abs(enc("rare")._2 - expRare) < 1e-9)
+    // rare is pulled most of the way from 1000 toward the prior
+    assert(enc("rare")._2 < 120 && enc("rare")._2 > globalMean)
+  }
+
+  test("targetEncode with zero smoothing is the plain per-category mean") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("cat", "y")
+    val enc = Features.targetEncode(df, "cat", "y", smoothing = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(enc("a") - 2.0) < 1e-12 && math.abs(enc("b") - 10.0) < 1e-12)
+  }
+}
