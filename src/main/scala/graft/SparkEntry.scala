@@ -500,6 +500,16 @@ object SparkEntry {
       // wedge join by O(sqrt(m)) per node — hub-skew-proof at scale.
       graft.ops.Graph.triangleCounts(partPairs(s, dir))
     },
+    "graph_sssp" -> { (s, dir) =>
+      // 3-round weighted SSSP from part 0 over the co-occurrence graph
+      // with deterministic integer weights w(u,v) = (u+v) % 97 + 1.
+      // After k frontier rounds the costs are exactly the min over
+      // <= k-edge paths, which the oracle replays as three min-per-node
+      // relaxation levels (no recursion, no path explosion).
+      val weighted = partPairs(s, dir)
+        .withColumn("w", pmod(col("u") + col("v"), lit(97L)) + lit(1L))
+      graft.ops.Graph.ssspDistances(weighted, source = 0L, maxRounds = 3)
+    },
     "graph_bfs" -> { (s, dir) =>
       // 3-hop BFS distances from part 0 over the same co-occurrence
       // graph: frontier expansion with per-round materialization,
@@ -1785,6 +1795,23 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         |FROM nodes GROUP BY 1""".stripMargin,
+    "graph_sssp" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |adj AS (SELECT u AS s, v AS d, (u + v) % 97 + 1 AS w FROM pairs
+        |  UNION ALL SELECT v, u, (u + v) % 97 + 1 FROM pairs),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+        |d1 AS (SELECT node, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT a.d, p.cost + a.w FROM d0 p JOIN adj a ON a.s = p.node) GROUP BY node),
+        |d2 AS (SELECT node, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT a.d, p.cost + a.w FROM d1 p JOIN adj a ON a.s = p.node) GROUP BY node),
+        |d3 AS (SELECT node, MIN(cost) AS cost FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT a.d, p.cost + a.w FROM d2 p JOIN adj a ON a.s = p.node) GROUP BY node)
+        |SELECT node, cost FROM d3""".stripMargin,
     "graph_bfs" ->
       """WITH RECURSIVE pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b

@@ -101,4 +101,52 @@ object Graph {
     }
     settled
   }
+
+  /** Weighted single-source shortest paths, bounded-round Bellman-Ford
+    * with a frontier: after k rounds, `(node, cost)` is EXACTLY the
+    * minimum path cost over paths of ≤ k edges (prefix-optimality of
+    * min-plus makes per-round min-per-node sufficient), so `maxRounds`
+    * is both the compute bound and a well-defined semantic — the same
+    * k-bounded contract as [[bfsDistances]], which this generalizes to
+    * integer edge weights.
+    *
+    * Scale: each round relaxes ONLY edges out of nodes improved last
+    * round (a node re-enters the frontier when a cheaper multi-hop
+    * route arrives), all shuffles key on node id, per-round state is
+    * re-materialized through [[Materialize]] (reliable checkpoint on a
+    * cluster) to keep lineage flat; early-out when a round improves
+    * nothing. Weights must be non-negative for the result to be
+    * meaningful as a distance (the bounded-round min itself is exact
+    * for any weights). */
+  def ssspDistances(edges: DataFrame, source: Long, maxRounds: Int,
+      uCol: String = "u", vCol: String = "v", wCol: String = "w"): DataFrame = {
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = Materialize(
+      edges.select(col(uCol).as("s"), col(vCol).as("d"), col(wCol).as("w"))
+        .unionAll(edges.select(col(vCol).as("s"), col(uCol).as("d"), col(wCol).as("w"))))
+    var best = Materialize(Seq((source, 0L)).toDF("node", "cost"))
+    var frontier = best
+    var round = 0
+    var drained = false
+    while (!drained && round < maxRounds) {
+      round += 1
+      val cand = frontier.join(adj, col("node") === col("s"))
+        .select(col("d").as("node"), (col("cost") + col("w")).as("cand"))
+        .groupBy("node").agg(min(col("cand")).as("cand"))
+      val improved = Materialize(cand
+        .join(best.select(col("node"), col("cost").as("old")), Seq("node"), "left")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("node"), col("cand").as("cost")))
+      if (improved.isEmpty) drained = true
+      else {
+        best = Materialize(
+          best.join(improved.select(col("node")), Seq("node"), "left_anti")
+            .unionAll(improved))
+        frontier = improved
+      }
+    }
+    best
+  }
 }

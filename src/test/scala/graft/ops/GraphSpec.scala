@@ -51,4 +51,36 @@ class GraphSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 beyond bound; 8,9 disconnected
   }
+
+  test("ssspDistances prefers a cheap multi-hop route over a direct edge") {
+    // 1-4 direct costs 10; 1-2-3-4 costs 1+1+1 = 3
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("u", "v", "w")
+    val out = Graph.ssspDistances(edges, source = 1L, maxRounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("ssspDistances after k rounds is the exact min over <= k-edge paths") {
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("u", "v", "w")
+    // 1 round: only direct edges from the source
+    val r1 = Graph.ssspDistances(edges, source = 1L, maxRounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // 2 rounds: node 4 still best via the direct edge (1-2-3-4 needs 3)
+    val r2 = Graph.ssspDistances(edges, source = 1L, maxRounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 10L))
+  }
+
+  test("ssspDistances: a settled node re-enters the frontier on improvement") {
+    // 1-5 cost 100 settles round 1; chain 1-2-3-4-5 (cost 4) improves it
+    // at round 4, and 5's neighbor 6 must then improve at round 5
+    val edges = Seq((1L, 5L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L)).toDF("u", "v", "w")
+    val out = Graph.ssspDistances(edges, source = 1L, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === 4L && out(6L) === 5L)
+  }
 }
