@@ -1061,6 +1061,28 @@ object SparkEntry {
         s.table(name)
       }
     },
+    "stream_upsert_snapshot" -> { (s, dir) =>
+      withShufflePartitions(s, 4) {
+        // foreachBatch upsert sink over the 3-file time-ordered replay:
+        // each microbatch merges into a versioned keyed snapshot
+        // (last-wins by (sec, event_id) within a batch; later batches
+        // replace whole rows). Tiles are NTILE-by-(ts, event_id), so
+        // cross-batch replacement and within-batch struct-max agree on
+        // ONE global rule — argmax by (sec, event_id) per key — which
+        // is the oracle. Exactly-once: versioned dirs + marker flip;
+        // batch replays are skipped (pinned in StreamingOpsSpec).
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+        val snapDir = java.nio.file.Files.createTempDirectory("graft_upsnap_").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft_upckpt_").toString
+        graft.streaming.StreamingOps.upsertSink(stream,
+          keys = Seq("user_id", "event_type"), orderCol = "sec", snapDir, ckptDir)
+        graft.streaming.StreamingOps.readSnapshot(s, snapDir)
+      }
+    },
     "stream_join_outer" -> { (s, dir) =>
       withShufflePartitions(s, 4) {
         // LEFT OUTER stream-stream interval join over a 3-file
@@ -2256,6 +2278,13 @@ object SparkEntry {
         |FROM e c JOIN e v ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.sec BETWEEN c.sec - 14400 AND c.sec""".stripMargin,
+    "stream_upsert_snapshot" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value" FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY sec DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_type, sec, event_id, "value" AS value
+        |FROM r WHERE rn = 1""".stripMargin,
     "stream_join_outer" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),

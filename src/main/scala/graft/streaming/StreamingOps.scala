@@ -214,4 +214,71 @@ object StreamingOps {
       .start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
+
+  // --- streaming upsert sink (foreachBatch -> keyed snapshot) ----------
+
+  /** Streaming UPSERT sink: maintains a keyed snapshot table from a
+    * change stream via foreachBatch + [[graft.etl.Merge.upsert]] — the
+    * streaming-to-serving-table path (CDC stream in, queryable current
+    * state out).
+    *
+    * Exactly-once: foreachBatch can REPLAY a batch after a crash, so
+    * each application writes a fresh versioned directory `v<batchId>`
+    * and flips a `_VERSION` marker last; a replayed batchId ≤ the
+    * marker is skipped ([[applyUpsertBatch]] is idempotent). Within a
+    * batch, duplicate keys collapse last-wins by `orderCol` (ties by
+    * lexicographic row struct — deterministic), satisfying upsert's
+    * unique-key contract. On a real deployment the versioned-dir +
+    * marker pair is the poor man's transactional commit; a lakehouse
+    * table format would replace exactly this seam. */
+  def upsertSink(stream: DataFrame, keys: Seq[String], orderCol: String,
+      snapshotDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyUpsertBatch(batch, batchId, keys, orderCol, snapshotDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent upsert application. Public for direct testing and
+    * for batch backfills that share the streaming sink's snapshot. */
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      orderCol: String, snapshotDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(snapshotDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val others = batch.columns.filterNot(keys.contains).toSeq
+    require(others.contains(orderCol), s"orderCol '$orderCol' must be a non-key column")
+    // last-wins per key: lexicographic max over (orderCol, remaining cols)
+    val packed = batch.groupBy(keys.map(col): _*)
+      .agg(max(struct((orderCol +: others.filterNot(_ == orderCol)).map(col): _*)).as("__r"))
+    val deduped = packed.select(
+      keys.map(col) ++ others.map(c => col(s"__r.$c").as(c)): _*)
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+    val merged = if (current >= 0L)
+      graft.etl.Merge.upsert(
+        spark.read.parquet(s"$snapshotDir/v$current"), deduped, keys)
+    else deduped
+    merged.write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
+    val tmp = new java.io.File(snapshotDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the current committed snapshot maintained by [[upsertSink]]. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotDir: String): DataFrame = {
+    val marker = new java.io.File(snapshotDir, "_VERSION")
+    require(marker.exists, s"no committed snapshot under $snapshotDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    spark.read.parquet(s"$snapshotDir/v$v")
+  }
 }

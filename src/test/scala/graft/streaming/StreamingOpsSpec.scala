@@ -140,6 +140,47 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(got === Set((1L, Some(10L)), (5L, Some(11L)), (2L, None)))
   }
 
+  test("upsert sink maintains a last-wins keyed snapshot, idempotent on replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink_").toString
+    def b(rows: (Long, String, Long)*) = rows.toDF("k", "s", "seq")
+
+    // batch 0: dup key 1 collapses last-wins by seq
+    StreamingOps.applyUpsertBatch(
+      b((1L, "old", 1L), (1L, "new", 2L), (2L, "b", 1L)), 0L, Seq("k"), "seq", dir)
+    // batch 1: update key 2, insert key 3
+    StreamingOps.applyUpsertBatch(
+      b((2L, "b2", 5L), (3L, "c", 1L)), 1L, Seq("k"), "seq", dir)
+    val snap = StreamingOps.readSnapshot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(snap === Map(1L -> "new", 2L -> "b2", 3L -> "c"))
+
+    // replaying batch 1 (crash-retry) changes nothing
+    StreamingOps.applyUpsertBatch(
+      b((2L, "SHOULD_NOT_APPLY", 9L)), 1L, Seq("k"), "seq", dir)
+    val snap2 = StreamingOps.readSnapshot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(snap2 === snap)
+  }
+
+  test("upsert sink drains a stream end-to-end through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsink_s_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsink_c_").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "a2", 2L))
+    StreamingOps.upsertSink(mem.toDF().toDF("k", "s", "seq"),
+      Seq("k"), "seq", dir, ckpt)
+    // second drain with the same checkpoint only sees the new rows
+    mem.addData((2L, "b9", 3L), (4L, "d", 1L))
+    StreamingOps.upsertSink(mem.toDF().toDF("k", "s", "seq"),
+      Seq("k"), "seq", dir, ckpt)
+    val snap = StreamingOps.readSnapshot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(snap === Map(1L -> "a2", 2L -> "b9", 4L -> "d"))
+  }
+
   test("stream-static enrichment joins each microbatch against the dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
