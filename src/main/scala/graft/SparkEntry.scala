@@ -192,6 +192,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("seg"), col("valid_from").as("ver_from"))
     },
 
+    "etl_incr_join" -> { (s, dir) =>
+      // Incremental join-view maintenance: every 19th order and every
+      // 23rd customer arrive as the day's inserts; the materialized
+      // orders⋈customer view is maintained with three delta-sized
+      // broadcast joins instead of a full re-join. Oracle = the full
+      // join of the reconstituted tables — any double-counted or
+      // missed delta term breaks the row-multiset hash.
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val aOld = o.filter(pmod(col("o_orderkey"), lit(19L)) =!= 0L)
+      val aNew = o.filter(pmod(col("o_orderkey"), lit(19L)) === 0L)
+      val bOld = c.filter(pmod(col("c_custkey"), lit(23L)) =!= 0L)
+      val bNew = c.filter(pmod(col("c_custkey"), lit(23L)) === 0L)
+      val view = aOld.join(bOld, Seq("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+      graft.ops.IncrementalJoin.maintain(view, aOld, aNew, bOld, bNew,
+          keys = Seq("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+    },
     "etl_table_digest" -> { (s, dir) =>
       // Merkle-style bucket fingerprint of the orders snapshot: 64 rows
       // of (bucket, n_rows, digest). The oracle recomputes the identical
@@ -1483,6 +1503,9 @@ object SparkEntry {
         |SELECT f.o_orderkey, d.seg, d.vfrom AS ver_from
         |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
         | AND f.fact_day >= d.vfrom AND (d.vto IS NULL OR f.fact_day < d.vto)""".stripMargin,
+    "etl_incr_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "etl_table_digest" ->
       """WITH r AS (SELECT
         |  CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS kh,
