@@ -269,6 +269,14 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q_window_ranks" -> (Relational.rankingWindows _),
+    "q_topk_agg" -> { (s, dir) =>
+      // Top-3 orders per customer by (totalprice, orderkey) through the
+      // k-bounded TopK aggregate — the window-sort-free top-k. Oracle is
+      // the ROW_NUMBER window form; identical output proves the
+      // bounded-buffer path exact.
+      Relational.topKPerKey(Tables(s, dir, "orders"),
+        keyCol = "o_custkey", scoreCol = "o_totalprice", idCol = "o_orderkey", k = 3)
+    },
     "q_stats_moments" -> (Relational.momentStats _),
     "q_group_ols" -> { (s, dir) =>
       // Per-flag OLS fit (slope/intercept/r) from exact decimal power
@@ -1506,6 +1514,13 @@ object SparkEntry {
     "etl_incr_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_topk_agg" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rank
+        | FROM orders)
+        |SELECT o_custkey, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 3""".stripMargin,
     "etl_table_digest" ->
       """WITH r AS (SELECT
         |  CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS kh,

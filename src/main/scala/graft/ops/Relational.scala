@@ -449,4 +449,21 @@ object Relational {
       ((syD - slope * sxD) / nD).as("intercept"),
       (cov / sqrt(varX * varY)).as("r"))
   }
+
+  /** Top-k rows per key WITHOUT a window sort: the k-bounded
+    * [[graft.functions.TopK]] aggregate partial-aggregates map-side, so
+    * each partition ships at most k (score, id) pairs per key to the
+    * exchange — against `ROW_NUMBER() OVER (...) <= k`, which shuffles
+    * and sorts every row of every key. Ranked by (score DESC, id DESC),
+    * a total order, then exploded back to (key, rank, id, score) rows. */
+  def topKPerKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    df.groupBy(col(keyCol))
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(keyCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__t._2").as(idCol), col("__t._1").as(scoreCol))
+  }
 }
