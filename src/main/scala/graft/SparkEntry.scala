@@ -990,6 +990,13 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
     },
+    "sim_hard_negatives" -> { (s, dir) =>
+      // Contrastive hard negatives: top-5 nearest cross-label vectors
+      // per query — exclusion before the cut, same single-corpus-scan
+      // plan as the brute-force search.
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20), k = 5)
+    },
     "sim_topk_lsh" -> { (s, dir) => // hash-seeded buckets: rows-only check
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
@@ -2262,6 +2269,17 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "sim_topk_bruteforce" -> bruteForceTopKSql,
+    "sim_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM c WHERE vec_id < 20),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.v, c.v) AS sim
+        | FROM q JOIN c ON c.label IS DISTINCT FROM q.label)
+        |SELECT query_id, neighbor_id, rank FROM (
+        | SELECT query_id, neighbor_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+        | FROM scored) WHERE rank <= 5""".stripMargin,
     // exhaustive-probe IVF must equal exact brute-force top-k
     "sim_topk_ivf_exact" -> bruteForceTopKSql,
 

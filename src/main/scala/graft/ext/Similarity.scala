@@ -73,6 +73,30 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * k most similar corpus vectors whose LABEL DIFFERS — the near-miss
+    * negatives that sharpen an embedding model, mined with the exact
+    * same one-corpus-scan topology as [[bruteForceTopK]]. The label
+    * exclusion runs BEFORE the top-k cut (a query surrounded by its own
+    * positives still yields k true negatives), and ties break on
+    * neighbor id, so output is partitioning-independent. Swap in the
+    * IVF candidate set upstream when the corpus outgrows a full scan. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", broadcastQueries: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      col(labelCol).as("__cl"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      col(labelCol).as("__ql"))
+    val scored = c.crossJoin(hinted(q, broadcastQueries))
+      .filter(!(col("__cl") <=> col("__ql")))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
   /** B pseudo-random hyperplanes with Rademacher (+1/-1) components,
     * derived deterministically from splitmix64(plane, dim): reproducible
     * across runs and machines with zero stored model state. Native
