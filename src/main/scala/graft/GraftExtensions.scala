@@ -67,6 +67,7 @@ object GraftExtensions {
     ("jaro_winkler", 2, args => JaroWinkler(args(0), args(1))),
     ("jaro_similarity", 2, args => JaroSimilarity(args(0), args(1))),
     ("damerau_levenshtein", 2, args => DamerauLevenshtein(args(0), args(1))),
+    ("porter_stem", 1, args => PorterStemExpr(args(0))),
   )
 
   private def strLit(e: Expression, what: String): String = e match {

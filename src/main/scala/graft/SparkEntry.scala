@@ -510,6 +510,23 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term").asc)
         .limit(50)
     },
+    "text_stemmed_terms" -> { (s, dir) =>
+      // Stemmed corpus vocabulary through the SQL face: porter_stem is
+      // a registered native expression, so the whole pipeline stays in
+      // one generated stage. No DuckDB-side stemmer exists offline →
+      // registered rows-only; the algorithm itself is pinned against
+      // the published Porter vectors in PorterStemSpec.
+      graft.GraftExtensions.register(s)
+      val d = Tables(s, dir, "documents")
+      d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 2)
+        .createOrReplaceTempView("graft_stem_terms")
+      s.sql(
+        """SELECT porter_stem(term) AS stem, COUNT(*) AS freq,
+          |       COUNT(DISTINCT term) AS n_surface_forms
+          |FROM graft_stem_terms
+          |GROUP BY 1 ORDER BY freq DESC, stem ASC LIMIT 50""".stripMargin)
+    },
     "graph_pagerank" -> { (s, dir) =>
       // Integer-exact PageRank over the symmetrized supplier—part
       // bipartite graph (node encoding: supplier 2k, part 2k+1). The
