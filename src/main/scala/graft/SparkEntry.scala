@@ -192,6 +192,24 @@ object SparkEntry {
         .select(col("o_orderkey"), col("seg"), col("valid_from").as("ver_from"))
     },
 
+    "etl_schema_drift" -> { (s, dir) =>
+      // Three drifted extracts of orders: v1 has int keys and no clerk;
+      // v2 widened keys to long and added the status column; v3 has
+      // string keys (CSV reload) and dropped totalprice. Reconciliation
+      // = union of columns, widened types (int∨long→long, then
+      // long∨string→string — integer renderings are engine-stable,
+      // unlike doubles), NULL back-fill: pandas-concat semantics,
+      // typed and total.
+      val o = Tables(s, dir, "orders")
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(3L)) === 0L)
+        .select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_totalprice"))
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(3L)) === 1L)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val v3 = o.filter(pmod(col("o_orderkey"), lit(3L)) === 2L)
+        .select(col("o_orderkey").cast("string").as("o_orderkey"), col("o_orderstatus"))
+      graft.etl.SchemaDrift.reconcileUnion(Seq(v1, v2, v3))
+    },
     "etl_incr_join" -> { (s, dir) =>
       // Incremental join-view maintenance: every 19th order and every
       // 23rd customer arrive as the day's inserts; the materialized
@@ -1538,6 +1556,16 @@ object SparkEntry {
     "etl_incr_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "etl_schema_drift" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice,
+        | CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR), o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS VARCHAR), CAST(NULL AS DOUBLE), o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin,
     "q_topk_agg" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey

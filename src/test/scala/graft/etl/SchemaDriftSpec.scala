@@ -1,0 +1,50 @@
+package graft.etl
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types._
+
+class SchemaDriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("widening lattice: promotions, string fallback, rejections") {
+    assert(SchemaDrift.widen(IntegerType, LongType) === Some(LongType))
+    assert(SchemaDrift.widen(LongType, IntegerType) === Some(LongType))
+    assert(SchemaDrift.widen(IntegerType, DoubleType) === Some(DoubleType))
+    assert(SchemaDrift.widen(LongType, StringType) === Some(StringType))
+    assert(SchemaDrift.widen(DoubleType, StringType) === Some(StringType))
+    assert(SchemaDrift.widen(DateType, TimestampType) === Some(TimestampType))
+    assert(SchemaDrift.widen(DecimalType(10, 2), DecimalType(12, 4)) ===
+      Some(DecimalType(12, 4)))
+    assert(SchemaDrift.widen(DecimalType(10, 2), LongType) === Some(DecimalType(22, 2)))
+    assert(SchemaDrift.widen(DecimalType(10, 2), DoubleType) === Some(DoubleType))
+    assert(SchemaDrift.widen(ArrayType(LongType), ArrayType(IntegerType)) === None)
+    assert(SchemaDrift.widen(BooleanType, LongType) === None)
+  }
+
+  test("reconcileUnion aligns columns, widens types, back-fills NULL") {
+    val a = Seq((1, "x")).toDF("k", "s") // int k
+    val b = Seq((2L, 3.5)).toDF("k", "v") // long k, new v, no s
+    val out = SchemaDrift.reconcileUnion(Seq(a, b))
+    assert(out.schema.map(f => (f.name, f.dataType)) ===
+      Seq(("k", LongType), ("s", StringType), ("v", DoubleType)))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, Some("x"), None), (2L, None, Some(3.5))))
+  }
+
+  test("irreconcilable drift fails loud") {
+    val a = Seq((1, true)).toDF("k", "flag")
+    val b = Seq((2, 9L)).toDF("k", "flag")
+    val e = intercept[IllegalArgumentException] {
+      SchemaDrift.reconcileUnion(Seq(a, b))
+    }
+    assert(e.getMessage.contains("flag"))
+  }
+
+  test("column order is first appearance across batches") {
+    val a = Seq((1, 2)).toDF("x", "y")
+    val b = Seq((3, 4)).toDF("z", "x")
+    assert(SchemaDrift.reconcileUnion(Seq(a, b)).columns.toSeq === Seq("x", "y", "z"))
+  }
+}
