@@ -287,6 +287,22 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q_window_ranks" -> (Relational.rankingWindows _),
+    "q_cube_nav" -> { (s, dir) =>
+      // Aggregate navigation: materialize the (status, order-year) cube
+      // ONCE, then answer "revenue by year" by filtering the cube on
+      // the year-marginal grouping id — zero re-aggregation. The
+      // oracle computes the same marginal directly from the base
+      // table; agreement proves the navigated cube rows exact.
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderstatus"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val cube = graft.ops.CubeNav.materializeCube(o,
+        dims = Seq("o_orderstatus", "o_year"), valueCol = "o_totalprice")
+      graft.ops.CubeNav.fromCube(cube,
+          dims = Seq("o_orderstatus", "o_year"), selectDims = Seq("o_year"))
+        .select(col("o_year"), col("n_rows"),
+          col("sum_v").cast("decimal(38,4)").cast("double").as("revenue"))
+    },
     "q_topk_agg" -> { (s, dir) =>
       // Top-3 orders per customer by (totalprice, orderkey) through the
       // k-bounded TopK aggregate — the window-sort-free top-k. Oracle is
@@ -1566,6 +1582,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(o_orderkey AS VARCHAR), CAST(NULL AS DOUBLE), o_orderstatus
         |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin,
+    "q_cube_nav" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, COUNT(*) AS n_rows,
+        | CAST(CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(27,6)))
+        |   AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_topk_agg" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
