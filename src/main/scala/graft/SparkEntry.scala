@@ -192,6 +192,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("seg"), col("valid_from").as("ver_from"))
     },
 
+    "etl_fixed_width" -> { (s, dir) =>
+      // Fixed-width round trip: orders serialized to 29-byte records
+      // (12d key | 12d cust | 1s status | 4d year), written as text,
+      // read back through the fixed-width reader. Oracle = the same
+      // projection straight off the base table — any slicing, trimming
+      // or casting defect breaks the match. Integer/string fields only:
+      // engine-stable renderings.
+      val o = Tables(s, dir, "orders")
+      val lines = o.select(format_string("%012d%012d%1s%04d",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        year(col("o_orderdate"))).as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fw_").toString
+      lines.write.mode("overwrite").text(tmp)
+      import graft.etl.SmartLoad.FixedWidthCol
+      graft.etl.SmartLoad.fixedWidth(s, tmp, Seq(
+        FixedWidthCol("o_orderkey", 0, 12, "long"),
+        FixedWidthCol("o_custkey", 12, 12, "long"),
+        FixedWidthCol("o_orderstatus", 24, 1),
+        FixedWidthCol("o_year", 25, 4, "int")))
+    },
     "etl_schema_drift" -> { (s, dir) =>
       // Three drifted extracts of orders: v1 has int keys and no clerk;
       // v2 widened keys to long and added the status column; v3 has
@@ -1572,6 +1592,10 @@ object SparkEntry {
     "etl_incr_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "etl_fixed_width" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(YEAR(o_orderdate) AS INT) AS o_year
+        |FROM orders""".stripMargin,
     "etl_schema_drift" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice,
         | CAST(NULL AS VARCHAR) AS o_orderstatus

@@ -42,6 +42,42 @@ object SmartLoad {
     else sniffDelimited(spark, path)
   }
 
+  /** One fixed-width column: [start, start+len) (0-based byte offsets in
+    * the line), cast to `dataType` after trimming. */
+  final case class FixedWidthCol(name: String, start: Int, len: Int,
+      dataType: String = "string")
+
+  /** Fixed-width (mainframe/COBOL-style) text reader: each line is
+    * sliced at byte positions, trimmed and cast — the extract format
+    * the CSV/Excel surface doesn't cover. Built on the `text` source,
+    * so files split and scan in parallel like any line format; slicing
+    * is a pure substring projection (whole-stage codegen, no UDF). Rows
+    * shorter than a column's window yield NULL for that column (blank
+    * slice) rather than failing — fixed-width trailers/short records
+    * are routine in practice. */
+  def fixedWidth(spark: SparkSession, path: String,
+      cols: Seq[FixedWidthCol]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, trim, substring, when, length, lit}
+    require(cols.nonEmpty, "fixedWidth needs at least one column spec")
+    val line = spark.read.text(path)
+    line.select(cols.map { c =>
+      val raw = trim(substring(col("value"), c.start + 1, c.len))
+      when(length(raw) === 0, lit(null).cast(c.dataType))
+        .otherwise(raw.cast(c.dataType)).as(c.name)
+    }: _*)
+  }
+
+  /** Ingest a directory of opaque media/document files as (path,
+    * modificationTime, length, content) with BINARY content — the
+    * multimodal on-ramp (ext/Multimodal consumes the content column).
+    * Spark's binaryFile source: one row per file, scanned in parallel,
+    * with pathGlobFilter pushdown for extension filtering. */
+  def binaryDir(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
+
   /** pandas read_json consumes one whole JSON document; Spark defaults to
     * NDJSON, so multiLine=true is required for fidelity (SURVEY.md §2.1).
     * Both pandas-accepted document shapes are handled (main.py:82-83):

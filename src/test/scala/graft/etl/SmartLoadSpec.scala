@@ -136,4 +136,33 @@ class SmartLoadSpec extends SparkTestBase {
     val viaOverride = SmartLoad.load(spark, out, formatOverride = Some("orc"))
     assert(viaOverride.count() === 2L)
   }
+
+  test("fixedWidth slices, trims, casts; short rows yield NULL columns") {
+    val dir = java.nio.file.Files.createTempDirectory("fw_spec_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.txt"),
+      ("001  alpha  42\n" +
+       "002  beta    7\n" +
+       "003  gamma\n").getBytes) // short row: the int column is absent
+    import SmartLoad.FixedWidthCol
+    val out = SmartLoad.fixedWidth(spark, dir, Seq(
+      FixedWidthCol("id", 0, 3, "int"),
+      FixedWidthCol("name", 3, 9),
+      FixedWidthCol("qty", 12, 3, "int")))
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1, "alpha", Some(42)), (2, "beta", Some(7)), (3, "gamma", None)))
+  }
+
+  test("binaryDir loads opaque files with content bytes and glob pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("bin_spec_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.txt"),
+      "skip".getBytes)
+    val rows = SmartLoad.binaryDir(spark, dir, glob = Some("*.bin")).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("length") === 3L)
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3))
+  }
 }
