@@ -192,6 +192,23 @@ object SparkEntry {
         .select(col("o_orderkey"), col("seg"), col("valid_from").as("ver_from"))
     },
 
+    "curation_pipeline" -> { (s, dir) =>
+      // End-to-end composed curation: clean → length-quality filter →
+      // exact dedup (first-writer-wins by doc_id on the CLEANED text's
+      // fingerprint) → deterministic 80/10/10 split. One chained plan —
+      // clean/filter/fingerprint fuse into a single codegen stage, the
+      // dedup window partitions by 16-byte fingerprint, the split is a
+      // projection. The oracle replays the identical chain in SQL.
+      val d = Tables(s, dir, "documents")
+      val quality = d
+        .select(col("doc_id"), TextAnalysis.cleaned(col("text")).as("clean"))
+        .filter(length(col("clean")) >= 50)
+      val deduped = graft.ext.Dedup.exactRows(quality, textCol = "clean")
+      val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
+      deduped.select(col("doc_id"),
+        length(col("clean")).cast("int").as("clean_len"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    },
     "etl_fixed_width" -> { (s, dir) =>
       // Fixed-width round trip: orders serialized to 29-byte records
       // (12d key | 12d cust | 1s status | 4d year), written as text,
@@ -1592,6 +1609,19 @@ object SparkEntry {
     "etl_incr_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "curation_pipeline" ->
+      """WITH cleaned AS (SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        | FROM documents),
+        |quality AS (SELECT * FROM cleaned WHERE LENGTH(clean) >= 50),
+        |dedup AS (SELECT doc_id, clean, ROW_NUMBER() OVER (
+        |  PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(clean)), '\s+', ' ', 'g'))
+        |  ORDER BY doc_id) AS rn FROM quality)
+        |SELECT doc_id, CAST(LENGTH(clean) AS INT) AS clean_len,
+        | CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM dedup WHERE rn = 1""".stripMargin,
     "etl_fixed_width" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CAST(YEAR(o_orderdate) AS INT) AS o_year
