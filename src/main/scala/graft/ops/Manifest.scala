@@ -122,4 +122,36 @@ object Manifest {
       .withColumn("group_id", lit(null).cast("long"))
     packed.unionByName(passthrough)
   }
+
+  /** Execute a [[compactionPlan]]: rewrite each merge group's files into
+    * ONE output file under `outDir`, copy right-sized files through
+    * untouched (hard-link-equivalent: a read+write of already-good
+    * files is wasted IO at scale, so they are left as-is and listed in
+    * the returned frame with `rewritten = false`).
+    *
+    * Each group rewrite is one job reading only that group's files
+    * (`parquet(paths*)` with coalesce(1)) — groups are independent, so
+    * a scheduler can run them concurrently; failure of one group leaves
+    * every other group's output intact (idempotent per group: the
+    * output path is the group id). Returns (group_id, n_files, bytes,
+    * rewritten) for audit. */
+  def compact(spark: SparkSession, plan: DataFrame, outDir: String): DataFrame = {
+    import spark.implicits._
+    val groups = plan.filter(col("group_id").isNotNull)
+      .select(col("group_id"), col("file"), col("bytes"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    new java.io.File(outDir).mkdirs()
+    val rewritten = groups.map { case (gid, files) =>
+      val paths = files.map(_._2)
+      spark.read.parquet(paths: _*).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/group_$gid")
+      (gid, paths.length.toLong, files.map(_._3).sum, true)
+    }
+    val passthrough = plan.filter(col("group_id").isNull)
+      .select(col("file"), col("bytes")).as[(String, Long)].collect()
+      .map { case (_, bytes) => (-1L, 1L, bytes, false) }
+    (rewritten ++ passthrough)
+      .toDF("group_id", "n_files", "bytes", "rewritten")
+  }
 }

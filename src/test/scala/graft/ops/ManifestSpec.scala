@@ -89,4 +89,29 @@ class ManifestSpec extends SparkTestBase {
     assert(got.size === real.size)
     for ((path, bytes) <- real) assert(got(path) === bytes, s"size mismatch for $path")
   }
+
+  test("compact rewrites each merge group to one file and preserves all rows") {
+    val df = (1L to 20000L).map(i => (i, s"payload_$i")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("compact_in").toString + "/t"
+    df.repartition(16).write.mode("overwrite").parquet(dir) // 16 tiny files
+    val sizes = Manifest.fileSizes(spark, dir)
+    val total = sizes.agg(org.apache.spark.sql.functions.sum("bytes")).head.getLong(0)
+    val target = total / 4 // aim for ~4 output files
+    val plan = Manifest.compactionPlan(sizes, target)
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    val audit = Manifest.compact(spark, plan, out)
+    val groups = audit.filter("rewritten").collect()
+    assert(groups.length >= 3 && groups.length <= 6)
+    // every group directory holds exactly one parquet part
+    groups.foreach { g =>
+      val parts = new java.io.File(s"$out/group_${g.getLong(0)}").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"group ${g.getLong(0)} has ${parts.length} parts")
+    }
+    // all rows survive the rewrite
+    val back = spark.read.parquet(groups.map(g => s"$out/group_${g.getLong(0)}"): _*)
+    assert(back.count() === 20000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      === (1L to 20000L).sum)
+  }
 }
