@@ -37,6 +37,30 @@ object IncrementalAgg {
         max(col(valueCol)).as("max_v"))
   }
 
+  /** Distinct-count maintenance via mergeable HLL sketches (DataSketches,
+    * bundled with Spark): the state per key is a SKETCH (binary, ~KB at
+    * lgK 12), so distinct-count upkeep under daily deltas needs no
+    * re-scan of history and no exact distinct set — union of sketches
+    * is the monoid merge. Approximate by nature (±~1.6% at lgK 12):
+    * tolerance-pinned in IncrementalAggSpec; the exact-distinct path
+    * stays `profile`/COUNT(DISTINCT) where exactness is required. */
+  def partialDistinct(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol)").as("hll"))
+
+  /** Merge distinct-count states (each in `partialDistinct` shape). */
+  def mergeDistinct(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeDistinct needs at least one state")
+    val keys = states.head.columns.filterNot(_ == "hll").toSeq
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(expr("hll_union_agg(hll)").as("hll"))
+  }
+
+  /** Read a distinct-count estimate off a sketch state. */
+  def estimateDistinct(state: DataFrame): DataFrame =
+    state.withColumn("n_distinct_est", expr("hll_sketch_estimate(hll)")).drop("hll")
+
   /** Merge aggregate states (each in `partial` shape) into one. Monoid
     * per measure: counts and sums add, min/max fold. Accepts any number
     * of states — merge(state, partial(delta)) is the incremental step. */

@@ -47,4 +47,28 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(merged.orderBy("g").collect().map(_.toSeq).toSeq ===
       state.orderBy("g").collect().map(_.toSeq).toSeq)
   }
+
+  test("incremental distinct sketches: merged deltas track the exact count within tolerance") {
+    val df = (1L to 6000L).map(i => (i % 5, i % 997)).toDF("g", "v")
+    val exact = df.groupBy("g").agg(countDistinct("v").as("exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // three delta batches merged incrementally
+    val deltas = (0 until 3).map(p =>
+      IncrementalAgg.partialDistinct(df.filter(pmod($"v", lit(3)) === p), Seq("g"), "v"))
+    val merged = IncrementalAgg.estimateDistinct(
+      IncrementalAgg.mergeDistinct(deltas: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (g, ex) =>
+      val est = merged(g)
+      assert(math.abs(est - ex) / ex.toDouble < 0.05,
+        s"group $g: estimate $est vs exact $ex drifted past 5%")
+    }
+    // and the merge-of-deltas tracks the single-pass sketch
+    val onePass = IncrementalAgg.estimateDistinct(
+      IncrementalAgg.partialDistinct(df, Seq("g"), "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    onePass.foreach { case (g, full) =>
+      assert(math.abs(merged(g) - full) / full < 0.05)
+    }
+  }
 }
