@@ -581,6 +581,19 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term").asc)
         .limit(50)
     },
+    "text_bpe_encode" -> { (s, dir) =>
+      // Train 24 BPE merges on the corpus, then segment every document
+      // with the native greedy encoder — the full tokenize-at-scale
+      // loop (train is deterministic by total-order argmax; encode is
+      // a pure function of the merge table). Rows-only: iterative BPE
+      // has no SQL oracle; trainer and encoder are spec-pinned.
+      val d = Tables(s, dir, "documents")
+      val merges = graft.ext.BpeTrainer.collectMerges(
+        graft.ext.BpeTrainer.train(d, "text", numMerges = 24))
+      graft.ext.BpeTrainer.encode(d, "text", merges)
+        .select(col("doc_id"), size(col("tokens")).as("n_bpe_tokens"),
+          array_join(slice(col("tokens"), 1, 8), "|").as("head_tokens"))
+    },
     "text_stemmed_terms" -> { (s, dir) =>
       // Stemmed corpus vocabulary through the SQL face: porter_stem is
       // a registered native expression, so the whole pipeline stays in

@@ -86,4 +86,22 @@ object BpeTrainer {
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Collect a trained merge table (rank-ordered, control-plane-sized)
+    * into the Seq form [[graft.functions.BpeEncode]] takes. */
+  def collectMerges(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.orderBy(col("rank")).select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Segment `textCol` with a trained merge table: adds `tokens`
+    * (array<string>) via the native greedy encode expression. Encoding
+    * is embarrassingly parallel — the merge table is the only shared
+    * state and it is rank-count-sized. */
+  def encode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "tokens"): DataFrame =
+    docs.withColumn(outCol,
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BpeEncode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+          merges)))
 }
