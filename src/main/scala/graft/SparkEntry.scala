@@ -323,6 +323,7 @@ object SparkEntry {
     "q3_revenue_topk" -> (Relational.revenueTopOrders _),
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
+    "q10_returned_items" -> (Relational.returnedItemReport _),
     "q_window_ranks" -> (Relational.rankingWindows _),
     "q_cube_nav" -> { (s, dir) =>
       // Aggregate navigation: materialize the (status, order-year) cube
@@ -1727,6 +1728,18 @@ object SparkEntry {
         |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, n_name,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q5_revenue_by_nation" ->
       """SELECT n_name,
         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

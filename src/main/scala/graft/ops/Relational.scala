@@ -450,6 +450,30 @@ object Relational {
       (cov / sqrt(varX * varY)).as("r"))
   }
 
+  /** TPC-H Q10 shape — returned-item revenue per customer, top 20.
+    * Star join: lineitem (fact) filtered to returns, orders pruned by
+    * date BEFORE the join, customer and nation broadcastable dims;
+    * Catalyst reorders freely because everything is declarative.
+    * Exact decimal revenue, the q1/q3 arithmetic face. */
+  def returnedItemReport(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(18,6)"
+    val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Top-k rows per key WITHOUT a window sort: the k-bounded
     * [[graft.functions.TopK]] aggregate partial-aggregates map-side, so
     * each partition ships at most k (score, id) pairs per key to the

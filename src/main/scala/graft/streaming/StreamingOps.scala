@@ -281,4 +281,30 @@ object StreamingOps {
     val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
     spark.read.parquet(s"$snapshotDir/v$v")
   }
+
+  /** Committed batch versions present under a snapshot dir (ascending).
+    * Versions AFTER the marker are uncommitted leftovers of a crashed
+    * batch and are excluded — they never became visible. */
+  def listSnapshotVersions(snapshotDir: String): Seq[Long] = {
+    val marker = new java.io.File(snapshotDir, "_VERSION")
+    if (!marker.exists) return Seq.empty
+    val committed =
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    Option(new java.io.File(snapshotDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong).toOption)
+      .filter(_ <= committed).sorted.toSeq
+  }
+
+  /** Time travel: the snapshot as of batch `version` — every versioned
+    * directory is immutable once its batch commits, so historical reads
+    * are just path picks (the lakehouse time-travel contract at zero
+    * extra storage beyond the retained versions). */
+  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+      snapshotDir: String, version: Long): DataFrame = {
+    val versions = listSnapshotVersions(snapshotDir)
+    require(versions.contains(version),
+      s"version $version not committed under $snapshotDir (have: $versions)")
+    spark.read.parquet(s"$snapshotDir/v$version")
+  }
 }

@@ -163,6 +163,26 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(snap2 === snap)
   }
 
+  test("snapshot time travel reads any committed version; uncommitted dirs hidden") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    def b(rows: (Long, String, Long)*) = rows.toDF("k", "s", "seq")
+    StreamingOps.applyUpsertBatch(b((1L, "a", 1L)), 0L, Seq("k"), "seq", dir)
+    StreamingOps.applyUpsertBatch(b((1L, "a2", 2L), (2L, "b", 1L)), 1L, Seq("k"), "seq", dir)
+    // a crashed batch 5 wrote its dir but never flipped the marker
+    b((9L, "ghost", 1L)).write.parquet(s"$dir/v5")
+    assert(StreamingOps.listSnapshotVersions(dir) === Seq(0L, 1L))
+    val v0 = StreamingOps.readSnapshotAt(spark, dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(v0 === Map(1L -> "a"))
+    val v1 = StreamingOps.readSnapshotAt(spark, dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(v1 === Map(1L -> "a2", 2L -> "b"))
+    intercept[IllegalArgumentException] {
+      StreamingOps.readSnapshotAt(spark, dir, 5L) // uncommitted
+    }
+  }
+
   test("upsert sink drains a stream end-to-end through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
