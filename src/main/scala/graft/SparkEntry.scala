@@ -324,6 +324,16 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q10_returned_items" -> (Relational.returnedItemReport _),
+    "q_global_rownum" -> { (s, dir) =>
+      // Scalable global dense numbering of lineitem by (shipdate, okey,
+      // linenumber) — range partitions + per-partition offsets instead
+      // of the single-reducer ROW_NUMBER window; oracle IS that window.
+      Relational.globalRowNumber(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+        sortCols = Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("row_num"))
+    },
     "q_window_ranks" -> (Relational.rankingWindows _),
     "q_cube_nav" -> { (s, dir) =>
       // Aggregate navigation: materialize the (status, order-year) cube
@@ -1728,6 +1738,10 @@ object SparkEntry {
         |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_global_rownum" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS row_num
+        |FROM lineitem""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, n_name,
         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

@@ -474,6 +474,44 @@ object Relational {
       .limit(20)
   }
 
+  /** Global dense row numbering by a TOTAL order, without the
+    * single-reducer window: `ROW_NUMBER() OVER (ORDER BY ...)` forces
+    * every row through ONE partition — the classic scale cliff. Here:
+    * range-repartition on the sort key (sampled split points, the same
+    * machinery as a global sort), sort within partitions, then add each
+    * partition's cumulative row-count offset to a PARTITION-LOCAL row
+    * number. The only global coordination is the per-partition count
+    * array (numPartitions longs — control plane), so the plan scales
+    * exactly like a distributed sort.
+    *
+    * `sortCols` must be a total order (add a tiebreaker id) or ranks
+    * within ties are partition-placement-dependent. Output: input
+    * columns + `row_num` (1-based). */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowNumber needs a sort order")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val ranged = df.repartitionByRange(parts, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    // control-plane: rows per range partition -> cumulative offsets
+    // (numPartitions longs), broadcast back as a tiny join
+    val counts = staged.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }.init
+    val offDf = counts.map(_._1).zip(offsets).toSeq.toDF("__pid", "__off")
+    // local row number: window partitioned by __pid — every partition
+    // ranks in parallel (balanced exchange on pid, never one reducer)
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols.map(col): _*)
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("row_num", row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** Top-k rows per key WITHOUT a window sort: the k-bounded
     * [[graft.functions.TopK]] aggregate partial-aggregates map-side, so
     * each partition ships at most k (score, id) pairs per key to the
