@@ -324,6 +324,19 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q10_returned_items" -> (Relational.returnedItemReport _),
+    "q_mode" -> { (s, dir) =>
+      // Deterministic mode: most frequent quantity per (flag, status),
+      // ties toward the smallest value — SQL MODE's tie behavior is
+      // implementation-defined, so both engines replay the same
+      // explicit (count DESC, value ASC) argmax.
+      Relational.modePerGroup(
+          Tables(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity").cast("long").as("qty")),
+          groupCols = Seq("l_returnflag", "l_linestatus"), valueCol = "qty")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("mode_value"), col("mode_count"))
+    },
     "q_global_rownum" -> { (s, dir) =>
       // Scalable global dense numbering of lineitem by (shipdate, okey,
       // linenumber) — range partitions + per-partition offsets instead
@@ -1738,6 +1751,14 @@ object SparkEntry {
         |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_mode" ->
+      """WITH h AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+        | FROM lineitem GROUP BY 1, 2, 3),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+        |        ORDER BY n DESC, qty ASC) AS rk FROM h)
+        |SELECT l_returnflag, l_linestatus, qty AS mode_value, n AS mode_count
+        |FROM r WHERE rk = 1""".stripMargin,
     "q_global_rownum" ->
       """SELECT l_orderkey, l_linenumber,
         | ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) AS row_num

@@ -474,6 +474,24 @@ object Relational {
       .limit(20)
   }
 
+  /** Deterministic MODE per group: the most frequent value, ties broken
+    * toward the smallest value — `max_by(struct(count, negated order))`
+    * over the (group, value) histogram, so the answer is a pure
+    * function of the data (SQL's MODE leaves ties implementation-
+    * defined; a partitioning-dependent answer can't be oracle-checked
+    * or trusted in a pipeline). Two map-side-combined aggregations,
+    * shuffles carry (group, value) pairs then groups. */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "modePerGroup needs grouping columns")
+    df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max_by(col(valueCol), struct(col("__n"), (lit(-1) * col(valueCol)).as("__neg")))
+          .as("mode_value"),
+        max(col("__n")).as("mode_count"))
+  }
+
   /** Global dense row numbering by a TOTAL order, without the
     * single-reducer window: `ROW_NUMBER() OVER (ORDER BY ...)` forces
     * every row through ONE partition — the classic scale cliff. Here:

@@ -296,6 +296,24 @@ object StreamingOps {
       .filter(_ <= committed).sorted.toSeq
   }
 
+  /** Retention: delete committed versions older than the newest
+    * `keepLast`, never touching the current version or uncommitted
+    * directories. Time travel shrinks to the retained window; the
+    * serving path (marker → newest version) is unaffected even if this
+    * crashes mid-delete (old versions are only ever read via explicit
+    * time travel). Returns the versions removed. */
+  def vacuumSnapshots(snapshotDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val versions = listSnapshotVersions(snapshotDir)
+    val doomed = versions.dropRight(keepLast)
+    doomed.foreach { v =>
+      val d = new java.io.File(snapshotDir, s"v$v")
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+    doomed
+  }
+
   /** Time travel: the snapshot as of batch `version` — every versioned
     * directory is immutable once its batch commits, so historical reads
     * are just path picks (the lakehouse time-travel contract at zero

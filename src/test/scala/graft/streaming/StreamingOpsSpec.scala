@@ -181,6 +181,13 @@ class StreamingOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       StreamingOps.readSnapshotAt(spark, dir, 5L) // uncommitted
     }
+    // retention: keep only the newest committed version
+    assert(StreamingOps.vacuumSnapshots(dir, keepLast = 1) === Seq(0L))
+    assert(StreamingOps.listSnapshotVersions(dir) === Seq(1L))
+    assert(StreamingOps.readSnapshot(spark, dir).count() === 2L) // serving unaffected
+    intercept[IllegalArgumentException] {
+      StreamingOps.readSnapshotAt(spark, dir, 0L) // vacuumed away
+    }
   }
 
   test("upsert sink drains a stream end-to-end through foreachBatch") {
