@@ -47,17 +47,22 @@ object PageRank {
     val deg = Materialize(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
     // zero-weight self-loops keep no-inbound nodes in the frame, so the
     // per-round aggregation alone preserves the full node set
-    val eplus = Materialize(
+    val eplus =
       e.select(col("src"), col("dst"), lit(1L).as("w"))
-        .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w"))))
+        .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w")))
+    // out-degree is STATIC: fold it into the edge list once instead of
+    // re-joining deg against the rank frame every round — one join per
+    // iteration instead of two
+    val ed = Materialize(eplus
+      .join(deg.select(col("node").as("src"), col("d")), Seq("src"), "left")
+      .select(col("src"), col("dst"), col("w"), coalesce(col("d"), lit(1L)).as("d")))
 
     var ranks = Materialize(nodes.select(col("node"), lit(r0).as("rank")))
     for (_ <- 1 to iterations) {
       ranks = Materialize(
-        ranks.join(deg, Seq("node"), "left")
-          .join(eplus, col("node") === col("src"))
+        ranks.join(ed, col("node") === col("src"))
           .groupBy(col("dst").as("node2"))
-          .agg(sum(expr("(rank div coalesce(d, 1L)) * w")).as("s"))
+          .agg(sum(expr("(rank div d) * w")).as("s"))
           .select(col("node2").as("node"),
             (lit(base) + expr("(85 * s) div 100")).as("rank")))
     }
