@@ -90,10 +90,11 @@ object Graph {
     require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
+    // canonical input (u < v, distinct) means the two directed copies
+    // can never collide — no distinct pass needed on the adjacency
     val adj = Materialize(
       edges.select(col(uCol).as("s"), col(vCol).as("d"))
-        .unionAll(edges.select(col(vCol).as("s"), col(uCol).as("d")))
-        .distinct())
+        .unionAll(edges.select(col(vCol).as("s"), col(uCol).as("d"))))
     var settled = Materialize(Seq((source, 0L)).toDF("node", "dist"))
     var frontier = settled
     var hop = 0L
