@@ -34,10 +34,14 @@ object Features {
     // cumBefore = rows with a strictly smaller value; n = total rows.
     // The histogram is distinct-value-sized, so the single-partition
     // window and the grand total ride a tiny frame, never the table.
-    val total = hist.agg(sum(col("__cnt")).as("__n"))
+    // total rides a full-frame window over the SAME sorted histogram
+    // pass — a separate hist.agg would recompute the histogram (no CSE
+    // across DataFrame reuse)
+    val wAll = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val binMap = hist
       .withColumn("__cum", sum(col("__cnt")).over(w) - col("__cnt"))
-      .crossJoin(broadcast(total))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
       .select(col(valueCol),
         // integer floor-div, not double floor: k·cum can pass 2^53 at
         // trillion-row scale and a double quotient would mis-bin
