@@ -967,6 +967,11 @@ object SparkEntry {
         .select(col("user_id"), col("bucket"),
           round(col("v") * lit(1e6)).cast("long").as("v_micro"), col("observed"))
     },
+    "events_retention" -> { (s, dir) =>
+      // Weekly cohort retention triangle over the events fixture —
+      // distinct (user, week) activity joined to per-user first week.
+      graft.ext.Events.cohortRetention(Tables(s, dir, "events"))
+    },
     "events_funnel" -> { (s, dir) =>
       // Ordered view -> click -> purchase funnel per user: first-reach
       // epoch second of each step (strictly-after ordering), pure window
@@ -2332,6 +2337,14 @@ object SparkEntry {
         |   END) * 1000000) AS BIGINT) AS v_micro,
         | (obs_v IS NOT NULL) AS observed
         |FROM w""".stripMargin,
+    "events_retention" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS period FROM events),
+        |f AS (SELECT user_id, MIN(period) AS cohort_period FROM b GROUP BY 1)
+        |SELECT f.cohort_period, b.period - f.cohort_period AS period_k,
+        | COUNT(DISTINCT b.user_id) AS n_users
+        |FROM b JOIN f ON b.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH base AS (SELECT user_id, event_type,
         |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),

@@ -150,6 +150,30 @@ object Events {
       .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
   }
 
+  /** Cohort retention: users are cohorted by their FIRST active period
+    * (floor(ts / bucketSeconds)); retention cell (cohort, k) counts the
+    * distinct users of that cohort active k periods later. The standard
+    * product-analytics triangle, all integer arithmetic.
+    *
+    * Plan: distinct (user, period) activity + per-user min period —
+    * both one shuffle on user_id (the distinct's exchange is reused by
+    * the min aggregate's), then an equi join back on user and a count
+    * aggregate over (cohort, k). Nothing wider than (user, period)
+    * pairs ever shuffles; the retention triangle itself is
+    * periods²-sized — driver-trivial. */
+  def cohortRetention(events: DataFrame,
+      bucketSeconds: Long = 7L * 86400): DataFrame = {
+    val activity = events
+      .select(col("user_id"),
+        call_function("div", tsSec(events), lit(bucketSeconds)).as("period"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("period")).as("cohort_period"))
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("period_k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object string). */
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))

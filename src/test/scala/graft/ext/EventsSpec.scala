@@ -103,4 +103,22 @@ class EventsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs === Set(("a", "b"), ("b", "c")))
   }
+
+  test("cohortRetention builds the standard triangle from first activity") {
+    import spark.implicits._
+    // periods of 100s; nanos ts (long column). user 1: periods 0,1,3;
+    // user 2: periods 1,2; user 3: period 0 only
+    def ns(p: Long, off: Long = 0L) = (p * 100 + off) * 1000000000L
+    val df = Seq(
+      (1L, 10L, ns(0)), (1L, 11L, ns(1)), (1L, 12L, ns(3)), (1L, 13L, ns(3, 5)),
+      (2L, 20L, ns(1)), (2L, 21L, ns(2)),
+      (3L, 30L, ns(0))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Events.cohortRetention(df, bucketSeconds = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (0L, 0L, 2L), // cohort 0 = users 1,3
+      (0L, 1L, 1L), (0L, 3L, 1L), // user 1 returns in periods 1 and 3 (dup collapsed)
+      (1L, 0L, 1L), (1L, 1L, 1L))) // cohort 1 = user 2
+  }
 }
