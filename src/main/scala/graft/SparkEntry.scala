@@ -972,6 +972,15 @@ object SparkEntry {
       // distinct (user, week) activity joined to per-user first week.
       graft.ext.Events.cohortRetention(Tables(s, dir, "events"))
     },
+    "dq_volume_anomaly" -> { (s, dir) =>
+      // Ingestion control chart: hourly event volumes flagged against
+      // the trailing-7-hour baseline with the integer-exact squared-z
+      // rule — no sqrt, no float, hash-identical across engines.
+      val ev = Tables(s, dir, "events")
+      val withHr = ev.withColumn("hr",
+        call_function("div", graft.ext.Events.tsSec(ev), lit(3600L)))
+      graft.ops.DataQuality.volumeAnomalies(withHr, "hr", trailingN = 7)
+    },
     "events_funnel" -> { (s, dir) =>
       // Ordered view -> click -> purchase funnel per user: first-reach
       // epoch second of each step (strictly-after ordering), pure window
@@ -2337,6 +2346,18 @@ object SparkEntry {
         |   END) * 1000000) AS BIGINT) AS v_micro,
         | (obs_v IS NOT NULL) AS observed
         |FROM w""".stripMargin,
+    "dq_volume_anomaly" ->
+      """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
+        |  COUNT(*) AS n_rows FROM events GROUP BY 1),
+        |wdw AS (SELECT hr, n_rows,
+        |  COUNT(n_rows) OVER tw AS bn,
+        |  SUM(n_rows) OVER tw AS bs,
+        |  SUM(CAST(n_rows AS HUGEINT) * n_rows) OVER tw AS bs2
+        | FROM c WINDOW tw AS (ORDER BY hr ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT hr, n_rows, CAST(bs AS BIGINT) AS base_sum,
+        | (CAST(bn * n_rows - bs AS HUGEINT) * (bn * n_rows - bs))
+        |   > 9 * (bn * bs2 - CAST(bs AS HUGEINT) * bs) AS is_anomaly
+        |FROM wdw WHERE bn = 7""".stripMargin,
     "events_retention" ->
       """WITH b AS (SELECT DISTINCT user_id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS period FROM events),

@@ -159,4 +159,39 @@ object DataQuality {
         count_distinct(col(sensitive)).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
   }
+
+  /** Ingestion volume control chart: per-period row counts flagged when
+    * they sit more than `zThresh` trailing standard deviations from the
+    * trailing-`trailingN`-period mean (the preceding periods only —
+    * the tested period never contaminates its own baseline). The
+    * operational "did today's load look like the last two weeks"
+    * monitor.
+    *
+    * Exactness: counts are integers; the population-z comparison
+    * |c − Σ/n| > z·σ squares into the integer cross-multiplication
+    * (n·c − Σ)² > z²·(n·Σx² − Σ²) — no sqrt, no float, bit-identical
+    * in any engine. Squared terms run in DECIMAL so 10-billion-row
+    * periods don't overflow a long. One aggregation + one ordered
+    * window over PERIOD-count rows (periods, not raw data — the window
+    * frame is trailingN rows of a frame that has one row per period). */
+  def volumeAnomalies(df: DataFrame, periodCol: String,
+      trailingN: Int = 7, zThresh: Long = 3L): DataFrame = {
+    require(trailingN >= 2, s"need >= 2 trailing periods, got $trailingN")
+    val d = "decimal(20,0)"
+    val counts = df.groupBy(col(periodCol)).agg(count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(periodCol))
+      .rowsBetween(-trailingN, -1)
+    counts
+      .withColumn("base_n", count(col("n_rows")).over(w).cast(d))
+      .withColumn("base_sum", sum(col("n_rows")).over(w).cast(d))
+      .withColumn("base_sum2",
+        sum(col("n_rows").cast(d) * col("n_rows").cast(d)).over(w))
+      .filter(col("base_n") === trailingN) // full baseline only
+      .withColumn("dev", col("base_n") * col("n_rows").cast(d) - col("base_sum"))
+      .select(col(periodCol), col("n_rows"),
+        col("base_sum").cast("long").as("base_sum"),
+        (col("dev") * col("dev") >
+          lit(zThresh * zThresh) * (col("base_n") * col("base_sum2") - col("base_sum") * col("base_sum")))
+          .as("is_anomaly"))
+  }
 }

@@ -80,4 +80,41 @@ class DataQualitySpec extends SparkTestBase {
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"expected one scan for all row-local checks, got $scans:\n$plan")
   }
+
+  test("volumeAnomalies flags a spike against the trailing baseline, exactly") {
+    import spark.implicits._
+    // periods 0..6: ~100 rows each (slight jitter); period 7 normal;
+    // period 8 a 5x spike; period 9 back to normal
+    val rows = (0 to 9).flatMap { p =>
+      val n = p match {
+        case 8 => 500
+        case x => 100 + (x % 3) // 100..102 jitter
+      }
+      (0 until n).map(i => (p.toLong, i.toLong))
+    }.toDF("period", "x")
+    val got = DataQuality.volumeAnomalies(rows, "period", trailingN = 7)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got.keySet === Set(7L, 8L, 9L)) // first 7 periods lack a full baseline
+    assert(!got(7L))
+    assert(got(8L)) // the spike
+    // period 9's baseline CONTAINS the spike, inflating mean and
+    // variance together — assert the exact integer rule, not intuition
+    val base9 = Seq(102L, 100L, 101L, 102L, 100L, 101L, 500L) // periods 2..8
+    val (n, s1, s2) = (base9.size.toLong, base9.sum, base9.map(x => x * x).sum)
+    val c9 = 100L
+    val lhs = (n * c9 - s1) * (n * c9 - s1)
+    val rhs = 9L * (n * s2 - s1 * s1)
+    assert(got(9L) === (lhs > rhs))
+  }
+
+  test("volumeAnomalies: zero-variance baseline flags any deviation, not equality") {
+    import spark.implicits._
+    val rows = ((0 to 7).flatMap(p => (0 until 50).map(i => (p.toLong, i.toLong)))
+      ++ (0 until 51).map(i => (8L, i.toLong)))
+      .toDF("period", "x")
+    val got = DataQuality.volumeAnomalies(rows, "period", trailingN = 7)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(!got(7L)) // equal to the constant baseline: dev = 0, not flagged
+    assert(got(8L))  // 51 vs constant 50: any deviation exceeds zero variance
+  }
 }
