@@ -209,6 +209,29 @@ object SparkEntry {
         length(col("clean")).cast("int").as("clean_len"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
     },
+    "etl_quarantine" -> { (s, dir) =>
+      // Row-level dead-lettering: order keys re-rendered as strings
+      // with every 37th corrupted ('X' suffix) and every 41st blanked;
+      // typed quarantine splits clean (cast applied) from quarantined
+      // (reasons attached) in one scan. Output = union face with a
+      // stream tag so one oracle covers both sides.
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .withColumn("key_str",
+          when(pmod(col("o_orderkey"), lit(37L)) === 0L,
+            concat(col("o_orderkey").cast("string"), lit("X")))
+          .when(pmod(col("o_orderkey"), lit(41L)) === 0L, lit(""))
+          .otherwise(col("o_orderkey").cast("string")))
+      val specs = Seq("key_str" -> "bigint")
+      val clean = graft.etl.Quarantine.clean(o, specs)
+        .select(col("o_orderkey"), col("key_str").cast("string").as("face"),
+          lit("clean").as("stream"))
+      val bad = graft.etl.Quarantine.quarantined(o, specs)
+        .select(col("o_orderkey"),
+          array_join(col("quarantine_reasons"), ",").as("face"),
+          lit("quarantine").as("stream"))
+      clean.unionByName(bad)
+    },
     "etl_fixed_width" -> { (s, dir) =>
       // Fixed-width round trip: orders serialized to 29-byte records
       // (12d key | 12d cust | 1s status | 4d year), written as text,
@@ -1673,6 +1696,18 @@ object SparkEntry {
         |      WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM dedup WHERE rn = 1""".stripMargin,
+    "etl_quarantine" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 37 = 0 THEN CAST(o_orderkey AS VARCHAR) || 'X'
+        |       WHEN o_orderkey % 41 = 0 THEN ''
+        |       ELSE CAST(o_orderkey AS VARCHAR) END AS key_str
+        | FROM orders)
+        |SELECT o_orderkey, CAST(TRY_CAST(key_str AS BIGINT) AS VARCHAR) AS face,
+        | 'clean' AS stream
+        |FROM o WHERE TRY_CAST(key_str AS BIGINT) IS NOT NULL
+        |UNION ALL
+        |SELECT o_orderkey, 'key_str!bigint' AS face, 'quarantine' AS stream
+        |FROM o WHERE key_str IS NOT NULL AND TRY_CAST(key_str AS BIGINT) IS NULL""".stripMargin,
     "etl_fixed_width" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CAST(YEAR(o_orderdate) AS INT) AS o_year
