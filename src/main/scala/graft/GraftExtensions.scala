@@ -133,6 +133,18 @@ object GraftExtensions {
         probeKey = strLit(args(2), "probe_key"),
         buildKey = strLit(args(3), "build_key"))
       joined.queryExecution.logical
+    }),
+    //   graft_temporal(facts_view, dim_view, keys_csv, fact_time_col)
+    // SCD2 point-in-time join: same plan as Merge.temporalJoin (equi-key
+    // drive, validity interval as a join residual, left join).
+    ("graft_temporal", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val facts = spark.table(strLit(args(0), "facts_view"))
+      val dim = spark.table(strLit(args(1), "dim_view"))
+      val keys = strLit(args(2), "keys_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val joined = graft.etl.Merge.temporalJoin(facts, dim, keys,
+        factTime = strLit(args(3), "fact_time_col"))
+      joined.queryExecution.logical
     }))
 
   private def longLit(e: Expression, what: String): Long = e match {

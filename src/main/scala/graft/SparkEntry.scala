@@ -474,6 +474,31 @@ object SparkEntry {
           (call_function("div", col("err_ts"), lit(1000000000L)) -
             call_function("div", col("ts"), lit(1000000000L))).as("secs_to_err"))
     },
+    "q_temporal_sql" -> { (s, dir) =>
+      // The SCD2 point-in-time join through its SQL face: graft_temporal
+      // returns the exact plan Merge.temporalJoin builds. Same scenario
+      // and oracle as etl_temporal_join — SQL face ≡ programmatic face.
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("fact_day"))
+        .createOrReplaceTempView("graft_temporal_facts_v")
+      val cust = Tables(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(97L)) =!= 0)
+      cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          lit(0L).as("valid_from"),
+          when(pmod(col("c_custkey"), lit(3L)) === 0, lit(1277L))
+            .cast("long").as("valid_to"))
+        .unionByName(cust.filter(pmod(col("c_custkey"), lit(3L)) === 0)
+          .select(col("c_custkey"), lit("MOVED").as("seg"),
+            lit(1277L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+        .createOrReplaceTempView("graft_temporal_dim_v")
+      s.sql("""
+        SELECT o_orderkey, seg, valid_from AS ver_from
+        FROM graft_temporal('graft_temporal_facts_v', 'graft_temporal_dim_v',
+                            'c_custkey', 'fact_day')
+      """)
+    },
     "q_asof_sql" -> { (s, dir) =>
       // The as-of join through its SQL face: graft_asof is a registered
       // table-valued function whose builder returns the exact logical
@@ -1666,20 +1691,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey + 5000000, 'NEW', c_acctbal, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
         |FROM cust WHERE c_custkey % 41 = 0""".stripMargin,
-    "etl_temporal_join" ->
-      """WITH f AS (SELECT o_orderkey, o_custkey,
-        |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS fact_day
-        | FROM orders),
-        |d AS (
-        | SELECT c_custkey, c_mktsegment AS seg, CAST(0 AS BIGINT) AS vfrom,
-        |  CASE WHEN c_custkey % 3 = 0 THEN CAST(1277 AS BIGINT) END AS vto
-        | FROM customer WHERE c_custkey % 97 <> 0
-        | UNION ALL
-        | SELECT c_custkey, 'MOVED', CAST(1277 AS BIGINT), CAST(NULL AS BIGINT)
-        | FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 97 <> 0)
-        |SELECT f.o_orderkey, d.seg, d.vfrom AS ver_from
-        |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
-        | AND f.fact_day >= d.vfrom AND (d.vto IS NULL OR f.fact_day < d.vto)""".stripMargin,
+    // SQL face and programmatic face of the temporal join share ONE
+    // oracle — they must be the same operator
+    "q_temporal_sql" -> temporalJoinSql,
+    "etl_temporal_join" -> temporalJoinSql,
     "etl_incr_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
@@ -2679,6 +2694,23 @@ object SparkEntry {
       |SELECT a_id, b_id, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
       |FROM co JOIN sizes sa ON co.a_id = sa.doc_id JOIN sizes sb ON co.b_id = sb.doc_id
       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8""".stripMargin
+
+  /** SCD2 point-in-time join scenario — the oracle shared by the Scala
+    * face (etl_temporal_join) and the SQL TVF face (q_temporal_sql). */
+  private def temporalJoinSql: String =
+    """WITH f AS (SELECT o_orderkey, o_custkey,
+      |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS fact_day
+      | FROM orders),
+      |d AS (
+      | SELECT c_custkey, c_mktsegment AS seg, CAST(0 AS BIGINT) AS vfrom,
+      |  CASE WHEN c_custkey % 3 = 0 THEN CAST(1277 AS BIGINT) END AS vto
+      | FROM customer WHERE c_custkey % 97 <> 0
+      | UNION ALL
+      | SELECT c_custkey, 'MOVED', CAST(1277 AS BIGINT), CAST(NULL AS BIGINT)
+      | FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 97 <> 0)
+      |SELECT f.o_orderkey, d.seg, d.vfrom AS ver_from
+      |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+      | AND f.fact_day >= d.vfrom AND (d.vto IS NULL OR f.fact_day < d.vto)""".stripMargin
 
   /** Exact cosine top-10 for the query slice — the oracle for BOTH the
     * brute-force scan and the exhaustive-probe IVF path. */
