@@ -434,6 +434,19 @@ object SparkEntry {
     "q_percentile" -> (Relational.priceQuantiles _),
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
+    "q_salted_join" -> { (s, dir) =>
+      // Salted equi join: lineitem against the order dimension with the
+      // key spread over 8 salts — small side replicated, big side
+      // salted on non-key content. Oracle is the plain join: salting
+      // must be invisible in the result.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, o, keys = Seq("l_orderkey"), salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"), col("o_orderstatus"))
+    },
     "q_salted_agg" -> { (s, dir) =>
       // Two-stage salted aggregation (hot-key mitigation); result is
       // identical to the plain group-by, which is exactly what the
@@ -1977,6 +1990,10 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        | o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

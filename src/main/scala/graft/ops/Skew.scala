@@ -47,4 +47,32 @@ object Skew {
       .agg(partials.head, partials.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(merges.head, merges.tail: _*)
+
+  /** Salted equi join for skewed keys, the manual fallback when AQE's
+    * skew splitting can't help (e.g. the small side is too big to
+    * broadcast but the big side's key distribution is pathological):
+    * every big-side row gets a deterministic salt in [0, salts) hashed
+    * from its NON-KEY content, the small side is replicated once per
+    * salt (explode over a salts-length array — small side only), and
+    * the join key becomes (key, salt) — a hot key's rows now land on
+    * `salts` reducers instead of one.
+    *
+    * Exact: each big-side row meets exactly the one replica of its
+    * matching small-side row that carries its salt. Cost: small side
+    * ×salts (bounded — that side is dimension-like by assumption), big
+    * side unchanged. Inner and left joins (the semantics where
+    * replication cannot duplicate output). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    require(joinType == "inner" || joinType == "left",
+      s"salted join supports inner/left, got $joinType")
+    val nonKeys = big.columns.filterNot(keys.contains)
+    require(nonKeys.nonEmpty, "salted join needs at least one non-key column to salt on")
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(nonKeys.map(col): _*), lit(salts.toLong)).cast("int"))
+    val s = small
+      .withColumn("__salt", explode(lit((0 until salts).toArray)))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -27,4 +27,25 @@ class SkewSpec extends SparkTestBase {
       .groupBy("k", "__salt").count().count()
     assert(partialGroups > 1, "salt must split the hot key")
   }
+
+  test("saltedJoin equals the plain join, inner and left") {
+    import spark.implicits._
+    // hot key 1 with 2000 rows; key 9 misses the dimension
+    val big = ((1 to 2000).map(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (3L, 2L), (9L, 3L))).toDF("k", "payload")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "unused")).toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    val inner = canon(Skew.saltedJoin(big, dim, Seq("k"), salts = 8))
+    assert(inner === canon(big.join(dim, Seq("k"))))
+    assert(inner.length === 2002)
+    val left = canon(Skew.saltedJoin(big, dim, Seq("k"), salts = 8, joinType = "left"))
+    assert(left === canon(big.join(dim, Seq("k"), "left")))
+    assert(left.length === 2003) // key 9 survives NULL-padded
+    // the hot key genuinely spreads across salt groups
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(col("payload")), lit(8L)).cast("int"))
+      .filter($"k" === 1L).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
 }
