@@ -1028,6 +1028,11 @@ object SparkEntry {
         .select(col("user_id"), col("bucket"),
           round(col("v") * lit(1e6)).cast("long").as("v_micro"), col("observed"))
     },
+    "events_dau_mau" -> { (s, dir) =>
+      // Daily stickiness: DAU over trailing-30-day MAU, exact via the
+      // bounded expansion of the distinct (user, day) activity set.
+      graft.ext.Events.dauMau(Tables(s, dir, "events"))
+    },
     "events_retention" -> { (s, dir) =>
       // Weekly cohort retention triangle over the events fixture —
       // distinct (user, week) activity joined to per-user first week.
@@ -2425,6 +2430,16 @@ object SparkEntry {
         | (CAST(bn * n_rows - bs AS HUGEINT) * (bn * n_rows - bs))
         |   > 9 * (bn * bs2 - CAST(bs AS HUGEINT) * bs) AS is_anomaly
         |FROM wdw WHERE bn = 7""".stripMargin,
+    "events_dau_mau" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+        |m AS (SELECT DISTINCT user_id, day + off AS wday FROM act,
+        |      (SELECT UNNEST(generate_series(0, 29)) AS off) o),
+        |mau AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS mau FROM m GROUP BY 1)
+        |SELECT d.day, d.dau, mau.mau,
+        | (d.dau * 1000000) // mau.mau AS stickiness_micro
+        |FROM dau d JOIN mau ON mau.day = d.day""".stripMargin,
     "events_retention" ->
       """WITH b AS (SELECT DISTINCT user_id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS period FROM events),

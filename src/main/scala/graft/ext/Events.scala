@@ -174,6 +174,32 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** DAU / trailing-MAU stickiness per day. Sliding DISTINCT doesn't
+    * decompose like a sum, so the exact form expands each (user, day)
+    * activity fact into the `windowDays` window-end days it supports —
+    * a bounded ×windowDays blowup of the DISTINCT-collapsed activity
+    * set (user-day pairs, not raw events), then one distinct-count per
+    * window day. Stickiness is emitted as an integer micro-ratio
+    * (dau·10⁶ div mau) — exact cross-engine.
+    *
+    * At 100 TB the expansion is the honest cost of exactness; swap the
+    * distinct count for the HLL sketch path (IncrementalAgg) when ±2%
+    * is acceptable and the ×30 shuffle isn't. */
+  def dauMau(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val day = call_function("div", tsSec(events), lit(86400L))
+    val act = events.select(col("user_id"), day.as("day")).distinct()
+    val dau = act.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val mau = act
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1))).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        call_function("div", col("dau") * lit(1000000L), col("mau")).as("stickiness_micro"))
+  }
+
   /** JSON prop extraction (the `props` column is a JSON object string). */
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))
