@@ -427,6 +427,22 @@ object SparkEntry {
     },
     "q_setop_intersect" -> (Relational.richActiveCustomers _),
     "q_setop_except" -> (Relational.quietCustomers _),
+    "q_setop_except_all" -> { (s, dir) =>
+      // BAG-semantics set ops: multiplicities matter (EXCEPT ALL
+      // subtracts occurrence counts; INTERSECT ALL keeps the min).
+      // Line-item quantities per order vs a filtered copy — the face
+      // is the surviving multiset, which only bag semantics gets right.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      val drop = li.filter(pmod(col("l_orderkey") + col("qty"), lit(3L)) === 0L)
+      li.exceptAll(drop)
+    },
+    "q_setop_intersect_all" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      val keep = li.filter(pmod(col("l_orderkey") + col("qty"), lit(3L)) =!= 1L)
+      li.intersectAll(keep)
+    },
     "q_rollup" -> (Relational.orderRollup _),
     "q_cube" -> (Relational.orderCube _),
     "q_grouping_sets" -> (Relational.orderGroupingSets _),
@@ -1951,6 +1967,16 @@ object SparkEntry {
       """SELECT c_custkey AS cust_id FROM customer WHERE c_acctbal > 7500
         |INTERSECT
         |SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q_setop_except_all" ->
+      """SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |EXCEPT ALL
+        |SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |WHERE (l_orderkey + CAST(l_quantity AS BIGINT)) % 3 = 0""".stripMargin,
+    "q_setop_intersect_all" ->
+      """SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |INTERSECT ALL
+        |SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |WHERE (l_orderkey + CAST(l_quantity AS BIGINT)) % 3 <> 1""".stripMargin,
     "q_setop_except" ->
       """SELECT c_custkey AS cust_id FROM customer
         |EXCEPT
