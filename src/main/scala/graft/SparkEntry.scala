@@ -1339,6 +1339,30 @@ object SparkEntry {
         graft.streaming.StreamingOps.readSnapshot(s, snapDir)
       }
     },
+    "stream_join_full" -> { (s, dir) =>
+      withShufflePartitions(s, 4) {
+        // FULL OUTER stream-stream interval join: matches emit eagerly;
+        // an unmatched click null-pads when its ts falls strictly below
+        // the final watermark, an unmatched view when ts + lookback
+        // does (both boundaries pinned in StreamingOpsSpec). Oracle =
+        // batch matches ∪ the two expired unmatched sets.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        def src() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          src().filter(col("event_type") === "click"),
+          src().filter(col("event_type") === "view"),
+          lookback = "30 minutes", watermark = "2 hours",
+          joinType = "full_outer")
+          .select(col("l.event_id").as("click_id"),
+            unix_timestamp(col("l.ts")).as("click_sec"),
+            col("r.event_id").as("view_id"), unix_timestamp(col("r.ts")).as("view_sec"))
+        val name = s"graft_stream_join_full_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(joined, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
+    },
     "stream_join_outer" -> { (s, dir) =>
       withShufflePartitions(s, 4) {
         // LEFT OUTER stream-stream interval join over a 3-file
@@ -2664,6 +2688,29 @@ object SparkEntry {
         |        ORDER BY sec DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, event_type, sec, event_id, "value" AS value
         |FROM r WHERE rn = 1""".stripMargin,
+    "stream_join_full" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |wm AS (SELECT LEAST((SELECT MAX(sec) FROM c), (SELECT MAX(sec) FROM v))
+        |        - 7200 AS w)
+        |SELECT c.event_id AS click_id, c.sec AS click_sec,
+        | v.event_id AS view_id, v.sec AS view_sec
+        |FROM c JOIN v ON c.user_id = v.user_id
+        | AND v.sec BETWEEN c.sec - 1800 AND c.sec
+        |UNION ALL
+        |SELECT c.event_id, c.sec, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM c, wm
+        |WHERE c.sec < wm.w AND NOT EXISTS (
+        |  SELECT 1 FROM v WHERE v.user_id = c.user_id
+        |   AND v.sec BETWEEN c.sec - 1800 AND c.sec)
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), v.event_id, v.sec
+        |FROM v, wm
+        |WHERE v.sec + 1800 < wm.w AND NOT EXISTS (
+        |  SELECT 1 FROM c WHERE c.user_id = v.user_id
+        |   AND c.sec BETWEEN v.sec AND v.sec + 1800)""".stripMargin,
     "stream_join_outer" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),

@@ -163,6 +163,39 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(snap2 === snap)
   }
 
+  test("full-outer interval join: right rows null-pad when ts + lookback < watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val joined = intervalJoin(clicks.toDF(), views.toDF(),
+        lookback = "5 minutes", watermark = "10 minutes", joinType = "full_outer")
+      .selectExpr("l.event_id AS click_id", "r.event_id AS view_id")
+    val q = joined.writeStream.format("memory").queryName("sjf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // final watermark will be :30 - 10min = :20.
+      // view at :14: matchable clicks up to :19 < wm -> expired, null-emit
+      // view at :15: boundary (15 + 5 == 20, not strictly below) -> held
+      // view at :16: held; unmatched click at :00 -> null-emit (strict below)
+      views.addData(Event(10L, ts(14), 100L, "view", 0.0),
+        Event(11L, ts(15), 200L, "view", 0.0),
+        Event(12L, ts(16), 300L, "view", 0.0))
+      clicks.addData(Event(1L, ts(0), 400L, "click", 0.0))
+      q.processAllAvailable()
+      views.addData(Event(13L, ts(30), 999L, "view", 0.0))
+      clicks.addData(Event(2L, ts(30), 999L, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sjf_out").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      (Some(2L), Some(13L)), // matched eagerly at the same tick
+      (Some(1L), None),      // click :00 strictly below wm :20
+      (None, Some(10L))))    // view :14 — the only right row whose window closed
+  }
+
   test("snapshot time travel reads any committed version; uncommitted dirs hidden") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
