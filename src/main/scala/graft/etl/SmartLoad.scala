@@ -78,6 +78,37 @@ object SmartLoad {
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
 
+  /** Recursively flatten nested STRUCT columns into top-level columns
+    * named `parent_child` (pandas `json_normalize` semantics, sep="_").
+    * Arrays are left intact — exploding them multiplies rows, which is
+    * a semantic decision the caller makes explicitly (chunk/explode
+    * operators exist for that). Pure projection: no shuffle, no UDF,
+    * and column pruning still reaches the scan because the projection
+    * is plain field extraction. Name collisions fail loud rather than
+    * silently shadowing. */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    def fields(prefix: String, path: String, st: StructType): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}"
+        val p = s"$path`${f.name}`"
+        f.dataType match {
+          case nested: StructType => fields(name, s"$p.", nested)
+          case _ => Seq((name, p))
+        }
+      }
+    val flat = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => fields(f.name, s"`${f.name}`.", st)
+        case _ => Seq((f.name, s"`${f.name}`"))
+      }
+    }
+    val dup = flat.groupBy(_._1).collect { case (n, hits) if hits.size > 1 => n }
+    require(dup.isEmpty, s"flattening would collide on column(s): ${dup.mkString(", ")}")
+    df.select(flat.map { case (n, p) => col(p).as(n) }: _*)
+  }
+
   /** pandas read_json consumes one whole JSON document; Spark defaults to
     * NDJSON, so multiLine=true is required for fidelity (SURVEY.md §2.1).
     * Both pandas-accepted document shapes are handled (main.py:82-83):

@@ -154,6 +154,23 @@ class SmartLoadSpec extends SparkTestBase {
       (1, "alpha", Some(42)), (2, "beta", Some(7)), (3, "gamma", None)))
   }
 
+  test("flattenStructs flattens nested structs, keeps arrays, fails on collision") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2).select(
+      col("id"),
+      struct(lit("x").as("a"), struct(lit(7L).as("deep")).as("b")).as("s"),
+      array(lit(1), lit(2)).as("arr"))
+    val flat = SmartLoad.flattenStructs(df)
+    assert(flat.columns.toSeq === Seq("id", "s_a", "s_b_deep", "arr"))
+    val r = flat.orderBy("id").collect()(0)
+    assert(r.getAs[String]("s_a") === "x" && r.getAs[Long]("s_b_deep") === 7L)
+    assert(r.getAs[Seq[Int]]("arr") === Seq(1, 2)) // arrays untouched
+    // collision: a flattened name matching an existing column
+    val clash = spark.range(1).select(col("id"),
+      struct(lit(1).as("a")).as("s"), lit(2).as("s_a"))
+    intercept[IllegalArgumentException] { SmartLoad.flattenStructs(clash) }
+  }
+
   test("binaryDir loads opaque files with content bytes and glob pushdown") {
     val dir = java.nio.file.Files.createTempDirectory("bin_spec_").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
