@@ -209,6 +209,18 @@ object SparkEntry {
         length(col("clean")).cast("int").as("clean_len"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
     },
+    "etl_flatten" -> { (s, dir) =>
+      // Nested-struct flattening end-to-end: events packed into a
+      // two-level struct, flattened back to parent_child columns; the
+      // oracle is the flat projection — path resolution and naming
+      // must round-trip exactly.
+      val ev = Tables(s, dir, "events")
+      val nested = ev.select(col("event_id"),
+        struct(
+          struct(col("user_id").as("id"), col("event_type").as("type")).as("who"),
+          struct(graft.ext.Events.tsSec(ev).as("sec")).as("at")).as("ctx"))
+      graft.etl.SmartLoad.flattenStructs(nested)
+    },
     "etl_quarantine" -> { (s, dir) =>
       // Row-level dead-lettering: order keys re-rendered as strings
       // with every 37th corrupted ('X' suffix) and every 41st blanked;
@@ -1769,6 +1781,10 @@ object SparkEntry {
         |      WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM dedup WHERE rn = 1""".stripMargin,
+    "etl_flatten" ->
+      """SELECT event_id, user_id AS ctx_who_id, event_type AS ctx_who_type,
+        | CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ctx_at_sec
+        |FROM events""".stripMargin,
     "etl_quarantine" ->
       """WITH o AS (SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 37 = 0 THEN CAST(o_orderkey AS VARCHAR) || 'X'
