@@ -359,6 +359,19 @@ object SparkEntry {
     "q5_revenue_by_nation" -> (Relational.revenueByNation _),
     "q_window_top_orders" -> ((s: SparkSession, d: String) => Relational.topOrdersPerCustomer(s, d)),
     "q10_returned_items" -> (Relational.returnedItemReport _),
+    "q_argminmax" -> { (s, dir) =>
+      // Deterministic per-group argmin/argmax in ONE aggregation pass:
+      // earliest and latest order per customer, ties broken by order
+      // key via struct ordering — no window, no second scan.
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min_by(col("o_orderkey"),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("first_order"),
+          max_by(col("o_orderkey"),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("last_order"),
+          count(lit(1)).as("n_orders"))
+    },
     "q_mode" -> { (s, dir) =>
       // Deterministic mode: most frequent quantity per (flag, status),
       // ties toward the smallest value — SQL MODE's tie behavior is
@@ -1889,6 +1902,18 @@ object SparkEntry {
         |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_argminmax" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rk_first,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk_last
+        | FROM orders)
+        |SELECT o_custkey,
+        | MAX(CASE WHEN rk_first = 1 THEN o_orderkey END) AS first_order,
+        | MAX(CASE WHEN rk_last = 1 THEN o_orderkey END) AS last_order,
+        | COUNT(*) AS n_orders
+        |FROM r GROUP BY o_custkey""".stripMargin,
     "q_mode" ->
       """WITH h AS (SELECT l_returnflag, l_linestatus,
         |  CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
