@@ -2045,7 +2045,7 @@ object SparkEntry {
     "q_setop_except" ->
       """SELECT c_custkey AS cust_id FROM customer
         |EXCEPT
-        |SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 100000""".stripMargin,
+        |SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 400000""".stripMargin,
     "q_rollup" ->
       """SELECT order_year, o_orderstatus,
         | COUNT(*) AS n_orders,
@@ -2164,7 +2164,8 @@ object SparkEntry {
         |SELECT agg.l_returnflag, statuses, n FROM agg JOIN n USING (l_returnflag)""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey AS cust_id FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin,
     "q_semi_join" ->
       """SELECT p_partkey AS part_id, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,

@@ -145,10 +145,13 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
 
-  /** Set operation: customers with NO order over 100k (EXCEPT distinct). */
+  /** Set operation: customers with NO order over 400k (EXCEPT distinct).
+    * Threshold picked so the fixture result is comfortably non-empty
+    * (~200 rows at sf0.01) — a near-empty set operation barely
+    * exercises the dedup-and-subtract machinery the oracle checks. */
   def quietCustomers(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables(spark, dir, "customer").select(col("c_custkey").as("cust_id"))
-    val big = Tables(spark, dir, "orders").filter(col("o_totalprice") > 100000)
+    val big = Tables(spark, dir, "orders").filter(col("o_totalprice") > 400000)
       .select(col("o_custkey").as("cust_id"))
     all.except(big)
   }
@@ -211,11 +214,17 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
-  /** Anti join: customers who never ordered (left_anti — the NOT EXISTS
-    * shape; builds a hash set of order keys, no row multiplication). */
+  /** Anti join: churned customers — no order on/after the cutoff
+    * (left_anti — the NOT EXISTS shape; builds a hash set of the
+    * filtered order keys, no row multiplication). The date filter keeps
+    * the result NON-EMPTY on the fixture (every customer has some
+    * order, so an unfiltered anti join returns 0 rows — a result that
+    * hash-matches any oracle and proves nothing). */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer").select(col("c_custkey").as("cust_id"))
-      .join(Tables(spark, dir, "orders").select(col("o_custkey").as("cust_id")),
+      .join(Tables(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("cust_id")),
         Seq("cust_id"), "left_anti")
 
   /** Semi join: parts that appear in at least one line item (EXISTS). */

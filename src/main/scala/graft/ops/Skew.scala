@@ -51,11 +51,16 @@ object Skew {
   /** Salted equi join for skewed keys, the manual fallback when AQE's
     * skew splitting can't help (e.g. the small side is too big to
     * broadcast but the big side's key distribution is pathological):
-    * every big-side row gets a deterministic salt in [0, salts) hashed
-    * from its NON-KEY content, the small side is replicated once per
-    * salt (explode over a salts-length array — small side only), and
-    * the join key becomes (key, salt) — a hot key's rows now land on
-    * `salts` reducers instead of one.
+    * every big-side row gets a salt in [0, salts) hashed from its
+    * partition-local position (`spark_partition_id` +
+    * `monotonically_increasing_id`, same recipe as [[saltedCountSum]] —
+    * deterministic for a given input partitioning), the small side is
+    * replicated once per salt (explode over a salts-length array —
+    * small side only), and the join key becomes (key, salt) — a hot
+    * key's rows now land on `salts` reducers instead of one. Position,
+    * not content: a hot key whose rows are IDENTICAL duplicates (the
+    * degenerate case skew mitigation exists for) still spreads, where a
+    * content hash would put every duplicate on one reducer.
     *
     * Exact: each big-side row meets exactly the one replica of its
     * matching small-side row that carries its salt. Cost: small side
@@ -67,10 +72,9 @@ object Skew {
     require(salts > 1, "salts must be > 1")
     require(joinType == "inner" || joinType == "left",
       s"salted join supports inner/left, got $joinType")
-    val nonKeys = big.columns.filterNot(keys.contains)
-    require(nonKeys.nonEmpty, "salted join needs at least one non-key column to salt on")
     val b = big.withColumn("__salt",
-      pmod(xxhash64(nonKeys.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+        lit(salts.toLong)).cast("int"))
     val s = small
       .withColumn("__salt", explode(lit((0 until salts).toArray)))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")

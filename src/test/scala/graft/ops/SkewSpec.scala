@@ -44,8 +44,25 @@ class SkewSpec extends SparkTestBase {
     assert(left.length === 2003) // key 9 survives NULL-padded
     // the hot key genuinely spreads across salt groups
     val spread = big.withColumn("__salt",
-        pmod(xxhash64(col("payload")), lit(8L)).cast("int"))
+        pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(8L)).cast("int"))
       .filter($"k" === 1L).select("__salt").distinct().count()
     assert(spread > 1)
+  }
+
+  test("saltedJoin spreads a hot key of IDENTICAL duplicate rows") {
+    import spark.implicits._
+    // the degenerate case: every hot row is byte-identical, so a
+    // content-derived salt would collapse to ONE salt value and the
+    // whole hot key would still ride a single reducer
+    val big = Seq.fill(4000)((1L, 7L)).toDF("k", "payload").repartition(8)
+    val dim = Seq((1L, "a")).toDF("k", "attr")
+    val out = Skew.saltedJoin(big, dim, Seq("k"), salts = 8)
+    assert(out.count() === 4000L)
+    // measure the spread with the operator's own salt recipe on the
+    // same partitioning
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(spread > 1, "identical duplicate hot rows must still spread across salts")
   }
 }
