@@ -318,10 +318,20 @@ object Dedup {
     val sessionParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(2, math.min(sessionParts,
       (matEdges.count() / 1000000L).toInt + 2))
-    val prevParts = sess.conf.getOption("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
-    var labels = Materialize(matEdges.select(col("src").as("id")).distinct()
+    // The loop's parallelism is expressed PER FRAME (explicit
+    // repartition on each join/agg key at loopParts) rather than by
+    // flipping spark.sql.shuffle.partitions for the loop's duration:
+    // a session-conf mutation would silently leak the tiny reducer
+    // count into any query running CONCURRENTLY on the same shared
+    // SparkSession — exactly the multi-tenant service shape this
+    // engine targets. An explicit hashpartitioning(key, loopParts)
+    // also already satisfies the join/agg's required distribution, so
+    // Catalyst inserts no second exchange: same shuffle count as the
+    // conf approach, zero session-global state.
+    def byKey(df: DataFrame, c: String): DataFrame =
+      df.repartition(loopParts, col(c))
+    var labels = Materialize(byKey(matEdges.select(col("src").as("id")), "id")
+      .distinct()
       .select(col("id"), col("id").as("label")))
     def labelTotal(l: DataFrame): java.math.BigDecimal = {
       val v = l.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
@@ -331,18 +341,21 @@ object Dedup {
     var round = 0
     var converged = prevTotal.signum == 0 && labels.isEmpty // empty graph: done
     while (!converged && round < maxRounds) {
-      val nbrMin = matEdges.join(labels, matEdges("dst") === labels("id"))
-        .groupBy(matEdges("src").as("nid")).agg(min(col("label")).as("nbr_min"))
+      val nbrMin = byKey(matEdges, "dst").join(byKey(labels, "id"),
+          col("dst") === col("id"))
+        .select(col("src"), col("label"))
+        .repartition(loopParts, col("src"))
+        .groupBy(col("src").as("nid")).agg(min(col("label")).as("nbr_min"))
       val hooked = Materialize(
-        labels.join(nbrMin, labels("id") === col("nid"), "left")
+        byKey(labels, "id").join(nbrMin, labels("id") === col("nid"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       // pointer jumping: follow the label one hop (label := label's
       // label). Every label is a vertex id present in `hooked`, so the
       // left join only misses when the label is already a root.
       labels = Materialize(
-        hooked.as("x").join(
-            hooked.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+        hooked.repartition(loopParts, col("label")).as("x").join(
+            byKey(hooked.select(col("id").as("jid"), col("label").as("jlabel")), "jid").as("j"),
             col("x.label") === col("j.jid"), "left")
           .select(col("x.id").as("id"),
             coalesce(col("j.jlabel"), col("x.label")).as("label")))
@@ -356,13 +369,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"components did not converge in $maxRounds rounds — raise maxRounds " +
         "(component diameter exceeds it) or switch to large-star/small-star")
-    // labels is materialized: the returned plan reads the checkpoint, so
-    // restoring the session conf cannot change what was computed
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    } finally prevParts match {
-      case Some(v) => sess.conf.set("spark.sql.shuffle.partitions", v)
-      case None    => sess.conf.unset("spark.sql.shuffle.partitions")
-    }
   }
 
   /** Row-number variant of exact dedup that keeps full rows (first writer

@@ -199,6 +199,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("components: never mutates session shuffle.partitions (concurrent-query safety)") {
+    import spark.implicits._
+    // A shared-session service may run other queries WHILE the
+    // components loop iterates; the loop's edge-sized parallelism must
+    // live in its own frames (explicit repartition), never in the
+    // session conf where a concurrent query would silently inherit it.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    @volatile var running = true
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val poller = new Thread(() => {
+      while (running) { observed.add(spark.conf.get(key)); Thread.sleep(1) }
+    })
+    poller.start()
+    try {
+      val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val got = Dedup.components(pairs, maxRounds = 20).as[(Long, Long)].collect()
+      assert(got.length === 201 && got.forall(_._2 == 0L))
+    } finally { running = false; poller.join() }
+    assert(spark.conf.get(key) === before)
+    assert(observed.size === 1 && observed.contains(before),
+      s"session $key changed mid-loop: saw $observed")
+  }
+
   test("determinism: same input, same signatures across runs") {
     val r1 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
     val r2 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
