@@ -37,6 +37,43 @@ class GraphSpec extends SparkTestBase {
     assert(out === expected)
   }
 
+  test("triangleCounts broadcastEdges=false: identical counts via a shuffled closing join") {
+    // the 100 TB configuration — edge list too big for executor memory,
+    // so the closing join must run as a SHUFFLE join. Kill broadcast at
+    // both plan time and AQE runtime so the only way a
+    // BroadcastExchange can appear is the operator's own hint.
+    val edgeSet = {
+      val rnd = new scala.util.Random(7)
+      (1 to 400).map { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+    }
+    val edges = edgeSet.toDF("u", "v")
+    val viaBroadcast = Graph.triangleCounts(edges, broadcastEdges = Some(true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = confs.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = Graph.triangleCounts(edges, broadcastEdges = Some(false))
+      val viaShuffle = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaShuffle === viaBroadcast, "fallback must count the same triangles")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"broadcastEdges=false must not broadcast anything:\n$plan")
+      // and the explicit fast path still forces the broadcast under the
+      // same thresholds — proving the flag, not the conf, decides
+      val hinted = Graph.triangleCounts(edges, broadcastEdges = Some(true))
+      hinted.collect()
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bfsDistances: layered distances with early drain") {
     // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1, dist(5)=2, dist(3)=2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("u", "v")
