@@ -24,11 +24,20 @@ object Features {
     *
     * Rows come back with an `__bin` INT column (0..k-1). Exactness
     * contract: bins are right-packed by cumulative mass, identical to
-    * `floor(k * (dense row rank by value, ties collapsed) / n)`. */
+    * `floor(k * (dense row rank by value, ties collapsed) / n)`.
+    *
+    * NULL contract: a NULL has no quantile position, so NULL-valued
+    * rows are KEPT with a NULL bin, and the histogram / boundaries are
+    * computed over the non-null mass only. (The naive alternative —
+    * letting the NULL group enter the histogram — would sort first in
+    * the cumulative window and shift every non-null row's bin, while
+    * the equi-join back silently DROPPED the NULL rows: boundaries
+    * wrong and rows missing at once.) */
   def quantileBinsDiscrete(df: DataFrame, valueCol: String, k: Int,
       binCol: String = "__bin"): DataFrame = {
     require(k > 0, "k must be positive")
-    val hist = df.groupBy(col(valueCol)).agg(count(lit(1L)).as("__cnt"))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1L)).as("__cnt"))
     val w = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // cumBefore = rows with a strictly smaller value; n = total rows.
@@ -48,7 +57,9 @@ object Features {
         // boundary rows
         call_function("div", lit(k.toLong) * col("__cum"), col("__n"))
           .cast("int").as(binCol))
-    df.join(broadcast(binMap), Seq(valueCol))
+    // left join: NULL never equi-matches, so NULL-valued rows survive
+    // with a NULL bin instead of vanishing from the output
+    df.join(broadcast(binMap), Seq(valueCol), "left")
   }
 
   /** Smoothed target (mean) encoding: category c ↦

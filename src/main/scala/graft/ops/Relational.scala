@@ -484,11 +484,17 @@ object Relational {
   }
 
   /** Deterministic MODE per group: the most frequent value, ties broken
-    * toward the smallest value — `max_by(struct(count, negated order))`
+    * toward the smallest value — `min_by(struct(negated count, value))`
     * over the (group, value) histogram, so the answer is a pure
     * function of the data (SQL's MODE leaves ties implementation-
     * defined; a partitioning-dependent answer can't be oracle-checked
-    * or trusted in a pipeline). Two map-side-combined aggregations,
+    * or trusted in a pipeline). The negation rides the COUNT (always
+    * numeric), never the value, so the value-side tie-break is plain
+    * struct field ordering — valid for strings/dates/any ordered type.
+    * (A `-1 * value` tie-break would implicitly cast a string value to
+    * double, yielding NULL: tied structs then compare equal and the
+    * winner silently depends on partitioning — for mode's most common
+    * use, categorical columns.) Two map-side-combined aggregations,
     * shuffles carry (group, value) pairs then groups. */
   def modePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "modePerGroup needs grouping columns")
@@ -496,7 +502,7 @@ object Relational {
       .agg(count(lit(1)).as("__n"))
       .groupBy(groupCols.map(col): _*)
       .agg(
-        max_by(col(valueCol), struct(col("__n"), (lit(-1) * col(valueCol)).as("__neg")))
+        min_by(col(valueCol), struct((lit(-1L) * col("__n")).as("__negn"), col(valueCol)))
           .as("mode_value"),
         max(col("__n")).as("mode_count"))
   }

@@ -31,6 +31,24 @@ class FeaturesSpec extends SparkTestBase {
     (1L to 9L).foreach(v => assert(vb(v) === 3)) // cum_before >= 900/909 * 4
   }
 
+  test("quantileBinsDiscrete: NULLs keep their rows, get a NULL bin, and never shift boundaries") {
+    // 400 non-null rows over values 0..3 (100 each) + 200 NULL rows.
+    // If the NULL group entered the histogram it would sort first and
+    // push every non-null value up ~k*200/600 bins; if the join back
+    // were inner, the 200 NULL rows would vanish.
+    val rows = (0 until 400).map(i => (i.toLong, Some((i % 4).toLong))) ++
+      (400 until 600).map(i => (i.toLong, Option.empty[Long]))
+    val df = rows.toDF("id", "v")
+    val binned = Features.quantileBinsDiscrete(df, "v", k = 4, binCol = "bin")
+    assert(binned.count() === 600L, "NULL-valued rows must survive binning")
+    assert(binned.filter(col("v").isNull && col("bin").isNull).count() === 200L)
+    // non-null boundaries are computed over the 400 non-null rows only:
+    // 4 values x 100 rows into k=4 -> exactly one value per bin
+    val vb = binned.filter(col("v").isNotNull).select("v", "bin").distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(vb === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
   test("targetEncode shrinks rare categories toward the global mean") {
     // cat "big": 100 rows mean 10; cat "rare": 1 row value 1000
     val df = ((1 to 100).map(_ => ("big", 10.0)) :+ (("rare", 1000.0)))
