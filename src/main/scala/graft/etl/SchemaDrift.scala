@@ -33,11 +33,17 @@ object SchemaDrift {
   def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
     case (x, y) if x == y => Some(x)
     case (x: DecimalType, y: DecimalType) =>
-      // enough integral digits and scale for both
+      // enough integral digits and scale for both — or NOTHING. Capping
+      // precision at 38 while keeping the wider scale (e.g.
+      // decimal(38,0) ∨ decimal(10,10) → decimal(38,10)) would produce
+      // a type that cannot hold all values of one input; the later cast
+      // silently NULLs them (non-ANSI), violating the never-lossy
+      // contract. No exact LUB exists past 38 combined digits, so this
+      // is drift that needs an explicit migration: fail loud via None.
       val scale = math.max(x.scale, y.scale)
       val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
-      val p = math.min(DecimalType.MAX_PRECISION, intDigits + scale)
-      Some(DecimalType(p, scale))
+      if (intDigits + scale > DecimalType.MAX_PRECISION) None
+      else Some(DecimalType(intDigits + scale, scale))
     case (x: DecimalType, y) if numericRank.contains(y) =>
       if (numericRank(y) <= 3) widen(x, DecimalType(20, 0)) // any integral fits (20,0)
       else Some(DoubleType) // float/double: decimal can't hold all doubles

@@ -48,22 +48,43 @@ object SmartLoad {
       dataType: String = "string")
 
   /** Fixed-width (mainframe/COBOL-style) text reader: each line is
-    * sliced at byte positions, trimmed and cast — the extract format
-    * the CSV/Excel surface doesn't cover. Built on the `text` source,
-    * so files split and scan in parallel like any line format; slicing
-    * is a pure substring projection (whole-stage codegen, no UDF). Rows
-    * shorter than a column's window yield NULL for that column (blank
-    * slice) rather than failing — fixed-width trailers/short records
-    * are routine in practice. */
+    * sliced at TRUE BYTE positions — the slice runs over the line's
+    * UTF-8 binary form, so a multi-byte character earlier in the record
+    * cannot shift every later field the way a character-based substring
+    * would (record layouts are specified in bytes). Built on the `text`
+    * source, so files split and scan in parallel like any line format;
+    * slicing stays a pure substring/cast projection (whole-stage
+    * codegen, no UDF).
+    *
+    * Short-record contract: a column whose window lies entirely beyond
+    * the line yields NULL (blank slice) — fixed-width trailers/short
+    * records are routine. A PARTIALLY covered window is by default
+    * returned as the unpadded slice: text writers routinely strip
+    * trailing pad spaces, so the last field of a line is legitimately
+    * shorter than its window and NULLing it would break every such
+    * file. When record integrity matters more (a partially covered
+    * window can also mean mid-field truncation in transport — for a
+    * left-aligned numeric field that's a silently WRONG value, not a
+    * cast failure), set `strictWidths = true`: any window not fully
+    * covered by the line yields NULL. */
   def fixedWidth(spark: SparkSession, path: String,
-      cols: Seq[FixedWidthCol]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, trim, substring, when, length, lit}
+      cols: Seq[FixedWidthCol], strictWidths: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, trim, substring, when, length, lit, octet_length}
     require(cols.nonEmpty, "fixedWidth needs at least one column spec")
     val line = spark.read.text(path)
+    val bin = col("value").cast("binary")
     line.select(cols.map { c =>
-      val raw = trim(substring(col("value"), c.start + 1, c.len))
-      when(length(raw) === 0, lit(null).cast(c.dataType))
-        .otherwise(raw.cast(c.dataType)).as(c.name)
+      // substring over BinaryType slices bytes; the cast back to string
+      // decodes the slice (fields in byte-specified layouts are ASCII
+      // or whole UTF-8 sequences — a layout that bisects a multi-byte
+      // character is malformed input, surfacing as replacement chars)
+      val raw = trim(substring(bin, c.start + 1, c.len).cast("string"))
+      val v = when(length(raw) === 0, lit(null).cast(c.dataType))
+        .otherwise(raw.cast(c.dataType))
+      (if (strictWidths)
+        when(octet_length(col("value")) < lit(c.start + c.len),
+          lit(null).cast(c.dataType)).otherwise(v)
+      else v).as(c.name)
     }: _*)
   }
 

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class SchemaDriftSpec extends SparkTestBase {
@@ -19,6 +20,24 @@ class SchemaDriftSpec extends SparkTestBase {
     assert(SchemaDrift.widen(DecimalType(10, 2), DoubleType) === Some(DoubleType))
     assert(SchemaDrift.widen(ArrayType(LongType), ArrayType(IntegerType)) === None)
     assert(SchemaDrift.widen(BooleanType, LongType) === None)
+  }
+
+  test("decimal widening past 38 combined digits fails loud, never lossy") {
+    // decimal(38,0) ∨ decimal(10,10) has no exact LUB: keeping scale 10
+    // under the 38-digit cap would leave only 28 integral digits, so a
+    // 38-digit integer would cast to NULL silently. Contract: None.
+    assert(SchemaDrift.widen(DecimalType(38, 0), DecimalType(10, 10)) === None)
+    assert(SchemaDrift.widen(DecimalType(10, 10), DecimalType(38, 0)) === None)
+    // decimal with huge scale ∨ integral (needs 20 int digits): same cliff
+    assert(SchemaDrift.widen(DecimalType(38, 19), LongType) === None)
+    // exactly-38 combined digits still widens
+    assert(SchemaDrift.widen(DecimalType(28, 0), DecimalType(10, 10)) ===
+      Some(DecimalType(38, 10)))
+    // and reconcileUnion surfaces the failure loudly
+    val a = spark.range(1).select(col("id").cast(DecimalType(38, 0)).as("x"))
+    val b = spark.range(1).select(col("id").cast(DecimalType(10, 10)).as("x"))
+    val e = intercept[IllegalArgumentException] { SchemaDrift.reconcileUnion(Seq(a, b)) }
+    assert(e.getMessage.contains("cannot reconcile"))
   }
 
   test("reconcileUnion aligns columns, widens types, back-fills NULL") {

@@ -154,6 +154,42 @@ class SmartLoadSpec extends SparkTestBase {
       (1, "alpha", Some(42)), (2, "beta", Some(7)), (3, "gamma", None)))
   }
 
+  test("fixedWidth slices BYTE offsets: multi-byte UTF-8 does not shift later fields") {
+    val dir = java.nio.file.Files.createTempDirectory("fw_utf8_").toString
+    // name window [0,8) holds 'é' (2 bytes in UTF-8, 1 char), so
+    // "éclair " pads to exactly 8 BYTES but only 7 chars: a
+    // character-based slice of qty [8,10) would shift right by one and
+    // read "2" -> 2; the byte-based slice must read "42"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.txt"),
+      ("éclair 42\n" +
+       "donut   17\n").getBytes("UTF-8"))
+    import SmartLoad.FixedWidthCol
+    val out = SmartLoad.fixedWidth(spark, dir, Seq(
+      FixedWidthCol("name", 0, 8),
+      FixedWidthCol("qty", 8, 2, "int")))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("donut", 17), ("éclair", 42)))
+  }
+
+  test("fixedWidth strictWidths NULLs partially-covered windows instead of truncating") {
+    val dir = java.nio.file.Files.createTempDirectory("fw_strict_").toString
+    // second row truncated mid-qty: lenient mode returns the silently
+    // wrong 4; strict mode must NULL the whole window
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.txt"),
+      ("001 42\n" +
+       "002 4\n").getBytes("UTF-8"))
+    import SmartLoad.FixedWidthCol
+    val cols = Seq(FixedWidthCol("id", 0, 3, "int"), FixedWidthCol("qty", 4, 2, "int"))
+    val lenient = SmartLoad.fixedWidth(spark, dir, cols)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1)
+    assert(lenient.toSeq === Seq((1, Some(42)), (2, Some(4))))
+    val strict = SmartLoad.fixedWidth(spark, dir, cols, strictWidths = true)
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1)
+    assert(strict.toSeq === Seq((1, Some(42)), (2, None)))
+  }
+
   test("flattenStructs flattens nested structs, keeps arrays, fails on collision") {
     import org.apache.spark.sql.functions._
     val df = spark.range(2).select(
