@@ -119,6 +119,26 @@ object SparkEntry {
       RuleCompiler.run(Tables(s, dir, "orders"), rules,
         Map("customer" -> Tables(s, dir, "customer"))).output
     },
+    "etl_pipeline_legacy" -> { (s, dir) =>
+      // LEGACY-schema import end-to-end: the only pipeline artifact the
+      // reference actually ships is the legacy-shape spec
+      // (examples.json:1-7 — output_columns with a lookup and a
+      // condition); this is that exact shape over the fixture tables,
+      // through parseLegacy -> Rule ADT -> one compiled plan.
+      val spec =
+        """{
+          |  "output_columns": [
+          |    {"name": "CustomerName", "lookup": {"mapping_file": "customer_mapping",
+          |      "input_col": "o_custkey", "key_col": "c_custkey", "target_col": "c_name"}},
+          |    {"name": "Priority", "condition": {"if": [{"input_col": "o_totalprice",
+          |      "operator": ">", "value": 1000}], "then": "VIP", "else": "Regular"}}
+          |  ]
+          |}""".stripMargin
+      val (rules, errs) = RuleJson.parse(spec)
+      require(errs.isEmpty, s"legacy spec must parse cleanly: $errs")
+      RuleCompiler.run(Tables(s, dir, "orders"), rules,
+        Map("customer_mapping" -> Tables(s, dir, "customer"))).output
+    },
 
     "etl_upsert" -> { (s, dir) =>
       // MERGE semantics: a deterministic delta derived from orders —
@@ -1726,6 +1746,12 @@ object SparkEntry {
         | m.c_mktsegment AS segment
         |FROM orders LEFT JOIN
         | (SELECT CAST(c_custkey AS VARCHAR) AS k, c_mktsegment FROM customer) m
+        | ON CAST(o_custkey AS VARCHAR) = m.k""".stripMargin,
+    "etl_pipeline_legacy" ->
+      """SELECT m.c_name AS "CustomerName",
+        | CASE WHEN o_totalprice > 1000 THEN 'VIP' ELSE 'Regular' END AS "Priority"
+        |FROM orders LEFT JOIN
+        | (SELECT CAST(c_custkey AS VARCHAR) AS k, c_name FROM customer) m
         | ON CAST(o_custkey AS VARCHAR) = m.k""".stripMargin,
 
     "etl_upsert" ->
