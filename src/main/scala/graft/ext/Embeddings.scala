@@ -86,9 +86,22 @@ object Embeddings {
   final case class PcaModel(eigenvalues: Array[Double],
       components: Array[Array[Double]]) // k rows, each length d
 
+  /** Upper bound on `dim` for [[fitPca]]: cyclic Jacobi is O(d³) per
+    * sweep ON THE DRIVER, fine to ~2048 (seconds) but silently minutes
+    * at 4096+ — past this, eigensolving stops being control-plane work
+    * and belongs distributed (power iteration / randomized-SVD over the
+    * covariance as a DataFrame, multiplying through the same exact Gram
+    * pass covarianceMatrix already does). */
+  val maxJacobiDim: Int = 2048
+
   def fitPca(emb: DataFrame, dim: Int, k: Int,
       vecCol: String = "embedding"): PcaModel = {
     require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    require(dim <= maxJacobiDim,
+      s"fitPca dim=$dim exceeds maxJacobiDim=$maxJacobiDim: the driver-side " +
+        "Jacobi eigensolve is O(dim^3) and would silently burn minutes; use a " +
+        "distributed eigensolver (power iteration / randomized SVD over the " +
+        "covarianceMatrix frame) for wider embeddings")
     val a = Array.ofDim[Double](dim, dim)
     covarianceMatrix(emb, dim, vecCol).collect().foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))

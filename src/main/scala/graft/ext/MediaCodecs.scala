@@ -9,11 +9,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * with the JDK, and the chunk walk, scanline unfiltering
   * (None/Sub/Up/Average/Paeth) and re-encode below implement the public
   * PNG spec from scratch). Baseline JPEG lives in the sibling
-  * JpegCodec (from-scratch DCT/quant/Huffman). Formats needing codec
-  * libraries this build doesn't ship (MP3/...) fall back to the
-  * deterministic stub in Multimodal — but the dispatch, metadata
-  * extraction, pixel/sample math, and re-encode paths below are the
-  * real thing.
+  * JpegCodec (from-scratch DCT/quant/Huffman). MP3 gets a real
+  * frame-header walk (sample rate/channels/duration/bitrate, see
+  * [[parseMp3Meta]]) with PCM sample decode as the one DOCUMENTED
+  * UNSUPPORTED path in this dependency-free build; unrecognized
+  * formats fall back to the deterministic stub in Multimodal — but the
+  * dispatch, metadata extraction, pixel/sample math, and re-encode
+  * paths below are the real thing.
   *
   * All functions are pure byte-array transforms: they run inside
   * `mapPartitions` on executors, payloads never touch the driver.
@@ -29,7 +31,7 @@ object MediaCodecs {
       rms: Double, zeroCrossRate: Double)
 
   /** Container sniff by magic bytes:
-    * "bmp" | "wav" | "png" | "jpeg" | "unknown". */
+    * "bmp" | "wav" | "png" | "jpeg" | "mp3" | "unknown". */
   def sniff(b: Array[Byte]): String =
     if (b != null && b.length >= 3 &&
       (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpeg"
@@ -40,6 +42,8 @@ object MediaCodecs {
     else if (b != null && b.length >= 8 &&
       (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
       b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A) "png"
+    else if (b != null && b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') || mp3FrameAt(b, 0).isDefined)) "mp3"
     else "unknown"
 
   // ---- BMP (24-bit uncompressed) -------------------------------------
@@ -436,5 +440,89 @@ object MediaCodecs {
     val rms = math.sqrt(sumSq / (nFrames.toLong * channels))
     val zcr = if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0
     Some(AudioMeta(sampleRate, channels, nFrames.toLong, rms, zcr))
+  } catch { case _: Throwable => None }
+
+  // ---- MP3 (MPEG-1/2/2.5 Layer III) — header metadata only -----------
+
+  /** Container-level MP3 metadata from a frame-header walk. Full PCM
+    * decode (huffman + IMDCT + synthesis filterbank) is a DOCUMENTED
+    * UNSUPPORTED path in this dependency-free build; the header layer —
+    * ID3v2 skip, frame sync, bitrate/samplerate tables, frame-length
+    * arithmetic, CBR/VBR detection, duration — is implemented for real
+    * from the public ISO/IEC 11172-3 header layout, so an audio corpus
+    * still gets true sample rates, channel counts and durations
+    * instead of hash noise. */
+  final case class Mp3Meta(sampleRate: Int, channels: Int,
+      bitrateKbps: Int, nFrames: Int, durationMs: Long, vbr: Boolean)
+
+  // index 1..14 valid; [version][row] — MPEG-1 vs MPEG-2/2.5, Layer III
+  private val mp3BitrateKbps: Array[Array[Int]] = Array(
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val mp3SampleRates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG-1
+    2 -> Array(22050, 24000, 16000), // MPEG-2
+    0 -> Array(11025, 12000, 8000))  // MPEG-2.5
+
+  /** Parse one Layer III frame header at `pos`; returns
+    * (frameLenBytes, sampleRate, channels, bitrateKbps, samplesPerFrame)
+    * or None if `pos` is not a valid header. */
+  private def mp3FrameAt(b: Array[Byte], pos: Int):
+      Option[(Int, Int, Int, Int, Int)] = {
+    if (pos + 4 > b.length) return None
+    val h0 = b(pos) & 0xFF; val h1 = b(pos + 1) & 0xFF
+    val h2 = b(pos + 2) & 0xFF; val h3 = b(pos + 3) & 0xFF
+    if (h0 != 0xFF || (h1 & 0xE0) != 0xE0) return None
+    val version = (h1 >> 3) & 0x3       // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layer = (h1 >> 1) & 0x3         // 1 = Layer III
+    if (layer != 1 || version == 1) return None
+    val bitrateIdx = (h2 >> 4) & 0xF
+    val srIdx = (h2 >> 2) & 0x3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val padding = (h2 >> 1) & 0x1
+    val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+    val sampleRate = mp3SampleRates(version)(srIdx)
+    val bitrate = mp3BitrateKbps(if (version == 3) 0 else 1)(bitrateIdx)
+    val samplesPerFrame = if (version == 3) 1152 else 576
+    val frameLen = samplesPerFrame / 8 * bitrate * 1000 / sampleRate + padding
+    if (frameLen < 4) None
+    else Some((frameLen, sampleRate, channels, bitrate, samplesPerFrame))
+  }
+
+  /** Walk every frame of an MP3 payload (skipping a leading ID3v2 tag)
+    * and aggregate container metadata. Requires at least two
+    * consecutive valid frames so random byte runs can't masquerade as
+    * audio; stops at the first non-frame byte (trailing ID3v1/APE tags
+    * are ignored by construction). */
+  def parseMp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = try {
+    if (bytes == null || bytes.length < 8) return None
+    var pos = 0
+    if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      // ID3v2: 10-byte header, 28-bit synchsafe size
+      if (bytes.length < 10) return None
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      pos = 10 + size
+    }
+    var nFrames = 0
+    var sampleRate = 0; var channels = 0
+    var samplesPerFrame = 0
+    var bitrateSum = 0L
+    var minBr = Int.MaxValue; var maxBr = 0
+    var ok = true
+    while (ok) {
+      mp3FrameAt(bytes, pos) match {
+        case Some((len, sr, ch, br, spf)) if nFrames == 0 || sr == sampleRate =>
+          sampleRate = sr; channels = math.max(channels, ch)
+          samplesPerFrame = spf
+          bitrateSum += br; minBr = math.min(minBr, br); maxBr = math.max(maxBr, br)
+          nFrames += 1; pos += len
+        case _ => ok = false
+      }
+    }
+    if (nFrames < 2) return None // one accidental sync is not audio
+    val durationMs = nFrames.toLong * samplesPerFrame * 1000L / sampleRate
+    Some(Mp3Meta(sampleRate, channels, (bitrateSum / nFrames).toInt,
+      nFrames, durationMs, vbr = minBr != maxBr))
   } catch { case _: Throwable => None }
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side shape is real and tested — schema, encoders,
-  * partitioning, batch iteration. BMP, WAV and PNG payloads decode with
-  * REAL codecs (MediaCodecs, zero dependencies); formats whose codecs
-  * aren't in this build (JPEG/MP3/...) fall back to a deterministic
-  * fake: `fakeDecode` derives pseudo-features from a rolling hash of
-  * the payload bytes, so outputs are stable across runs/machines and
-  * the pipeline remains verifiable end-to-end.
+  * partitioning, batch iteration. BMP, WAV, PNG and baseline JPEG
+  * payloads decode with REAL codecs (MediaCodecs/JpegCodec, zero
+  * dependencies); MP3 gets real container metadata from a frame-header
+  * walk while its PCM decode is the one documented-unsupported path;
+  * unrecognized formats fall back to a deterministic fake: `fakeDecode`
+  * derives pseudo-features from a rolling hash of the payload bytes,
+  * so outputs are stable across runs/machines and the pipeline remains
+  * verifiable end-to-end.
   *
   * Scale notes: `mapPartitions` + an internal batch size is exactly the
   * shape a real decoder wants (amortize model/codec init per batch, not
@@ -46,9 +48,10 @@ object Multimodal {
   /** Payload decode with REAL codecs where the format allows it
     * (MediaCodecs: BMP 24-bit, WAV PCM-16, PNG 8-bit — PNG via the
     * JDK's zlib — and baseline JPEG via the from-scratch JpegCodec);
-    * anything else (MP3/...) falls back to the deterministic stub. The
-    * leading feature is a format tag so downstream consumers can tell
-    * real decodes from fallback hashes. */
+    * MP3 yields real header-walk metadata (tag 5.0) with PCM decode
+    * documented unsupported; anything else falls back to the
+    * deterministic stub. The leading feature is a format tag so
+    * downstream consumers can tell real decodes from fallback hashes. */
   private[ext] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     def fill(vals: Seq[Double]): Array[Float] = {
@@ -82,6 +85,18 @@ object Multimodal {
           case Some(m) => fill(Seq(4.0, m.width, m.height,
             m.meanR / 255.0, m.meanG / 255.0, m.meanB / 255.0,
             m.width.toDouble / math.max(m.height, 1)))
+          case None => fakeDecode(bytes, dim)
+        }
+      case "mp3" =>
+        // REAL container metadata (frame-header walk: sample rate,
+        // channels, frame count, duration, mean bitrate); PCM sample
+        // decode is the documented unsupported path in this
+        // dependency-free build, so signal stats (rms/zcr) are absent
+        // rather than faked
+        MediaCodecs.parseMp3Meta(bytes) match {
+          case Some(m) => fill(Seq(5.0, m.sampleRate / 1000.0, m.channels,
+            m.nFrames, m.durationMs / 1000.0, m.bitrateKbps,
+            if (m.vbr) 1.0 else 0.0))
           case None => fakeDecode(bytes, dim)
         }
       case _ => fakeDecode(bytes, dim)

@@ -270,4 +270,46 @@ class MediaCodecsSpec extends AnyFunSuite {
     val other = Multimodal.decodeFeatures("some text".getBytes, 8)
     assert(other(0) !== 1.0f) // stub path, not a format tag
   }
+
+  /** Synthesize a valid MPEG-1 Layer III frame: 4-byte header + filler.
+    * bitrateIdx 9 = 128 kbps, srIdx 0 = 44100 Hz, stereo. */
+  private def mp3Frame(bitrateIdx: Int = 9): Array[Byte] = {
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val frameLen = 144 * bitrates(bitrateIdx) * 1000 / 44100
+    val f = new Array[Byte](frameLen)
+    f(0) = 0xFF.toByte; f(1) = 0xFB.toByte // sync + MPEG1 + Layer III
+    f(2) = ((bitrateIdx << 4) | 0).toByte  // srIdx 0, no padding
+    f(3) = 0x00                            // stereo
+    f
+  }
+
+  test("MP3: frame-header walk yields real sample rate, duration, CBR/VBR") {
+    // CBR: 40 frames at 128 kbps behind an ID3v2 tag with a 100-byte body
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++ new Array[Byte](100)
+    val cbr = id3 ++ Array.fill(40)(mp3Frame()).flatten
+    assert(MediaCodecs.sniff(cbr) === "mp3")
+    val m = MediaCodecs.parseMp3Meta(cbr).get
+    assert(m.sampleRate === 44100 && m.channels === 2 && !m.vbr)
+    assert(m.nFrames === 40 && m.bitrateKbps === 128)
+    // 40 frames * 1152 samples at 44100 Hz ≈ 1044 ms
+    assert(m.durationMs === 40L * 1152 * 1000 / 44100)
+    // VBR: alternating 128/192 kbps, no ID3 tag (sniff via frame sync)
+    val vbr = (0 until 10).flatMap(i => mp3Frame(if (i % 2 == 0) 9 else 11)).toArray
+    assert(MediaCodecs.sniff(vbr) === "mp3")
+    val v = MediaCodecs.parseMp3Meta(vbr).get
+    assert(v.vbr && v.nFrames === 10 && v.bitrateKbps === 160)
+    // decodeFeatures surfaces the real metadata under tag 5.0
+    val feats = Multimodal.decodeFeatures(cbr, 8)
+    assert(feats(0) === 5.0f && feats(1) === 44.1f && feats(2) === 2.0f)
+    assert(feats(3) === 40.0f)
+  }
+
+  test("MP3: random bytes and a lone accidental sync are rejected") {
+    assert(MediaCodecs.parseMp3Meta("definitely not audio".getBytes) === None)
+    // one valid header followed by garbage: a single sync is not audio
+    val lone = mp3Frame().take(4) ++ Array.fill(50)(0x55.toByte)
+    assert(MediaCodecs.parseMp3Meta(lone) === None)
+    // truncated ID3 tag
+    assert(MediaCodecs.parseMp3Meta(Array[Byte]('I', 'D', '3', 4, 0)) === None)
+  }
 }

@@ -66,4 +66,12 @@ class PcaSpec extends SparkTestBase {
     // eigenvalues ARE the projected variances
     assert(math.abs(v0 - model.eigenvalues(0)) / v0 < 0.02)
   }
+
+  test("fitPca rejects dims past the driver-Jacobi bound, naming the alternative") {
+    val emb = spark.range(1).selectExpr("id as vec_id", "array(0.0f, 1.0f) as embedding")
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.fitPca(emb, dim = Embeddings.maxJacobiDim + 1, k = 2)
+    }
+    assert(e.getMessage.contains("distributed eigensolver"))
+  }
 }
