@@ -234,17 +234,29 @@ object Relational {
         Seq("part_id"), "left_semi")
 
   /** The SQL entry path: temp views + spark.sql — the engine serves ANSI
-    * SQL directly, same Catalyst plan as the DataFrame form. */
+    * SQL directly, same Catalyst plan as the DataFrame form. View names
+    * are UNIQUE PER INVOCATION and dropped once the statement is
+    * analyzed (spark.sql binds the view eagerly at analysis, so the
+    * returned frame survives the drop): fixed names in the
+    * session-global temp catalog would let two concurrent callers
+    * clobber each other's registration between register and analyze —
+    * the same shared-session hazard class as mutating session conf. */
   def sqlInterface(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir, "orders").createOrReplaceTempView("v_orders")
-    Tables(spark, dir, "customer").createOrReplaceTempView("v_customer")
-    spark.sql(
-      """SELECT c_mktsegment,
-        | COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
-        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
-        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY c_mktsegment""".stripMargin)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ov = s"v_orders_$tag"; val cv = s"v_customer_$tag"
+    Tables(spark, dir, "orders").createOrReplaceTempView(ov)
+    Tables(spark, dir, "customer").createOrReplaceTempView(cv)
+    try spark.sql(
+      s"""SELECT c_mktsegment,
+         | COUNT(*) AS n_orders,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+         |FROM $ov JOIN $cv ON o_custkey = c_custkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY c_mktsegment""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(ov)
+      spark.catalog.dropTempView(cv)
+    }
   }
 
   /** Pivot (crosstab): orders count by year x status, explicit pivot
