@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Features}
+import graft.ops.{Relational, Skew}
+
+/** Shared-session service smoke: a multi-tenant deployment runs MANY
+  * queries concurrently on ONE SparkSession, so no operator may depend
+  * on session-global mutable state (conf, fixed-name temp views) or on
+  * being the only query in flight. This spec runs a heterogeneous mix —
+  * the iterative components loop (per-frame parallelism), the SQL entry
+  * path (per-invocation views), salted join, mode, quantile binning —
+  * in parallel threads and asserts every result matches its sequential
+  * baseline.
+  */
+class ConcurrentSessionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("heterogeneous operator mix on one session: concurrent == sequential") {
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val skewBig = (1L to 3000L).map(i => (if (i % 3 == 0) 1L else i, i)).toDF("k", "payload")
+    val skewDim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "attr")
+    val modeDf = (0 until 900).map(i => (i % 4L, s"v${i % 11 % (i % 4 + 1)}")).toDF("g", "v")
+    val binDf = (0 until 800).map(i => (i.toLong, (i % 16).toLong)).toDF("id", "v")
+
+    // sequential baselines
+    val seqComponents = Dedup.components(pairs, maxRounds = 20)
+      .as[(Long, Long)].collect().toSet
+    val seqSql = Relational.sqlInterface(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val seqSalted = Skew.saltedJoin(skewBig, skewDim, Seq("k"), salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val seqMode = Relational.modePerGroup(modeDf, Seq("g"), "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val seqBins = Features.quantileBinsDiscrete(binDf, "v", k = 4, binCol = "bin")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.Future
+      // two interleaved rounds of the full mix
+      val futures = (1 to 2).flatMap { _ =>
+        Seq(
+          Future(("components", Dedup.components(pairs, maxRounds = 20)
+            .as[(Long, Long)].collect().toSet == seqComponents)),
+          Future(("sql", Relational.sqlInterface(spark, sf()).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet == seqSql)),
+          Future(("salted", Skew.saltedJoin(skewBig, skewDim, Seq("k"), salts = 4)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == seqSalted)),
+          Future(("mode", Relational.modePerGroup(modeDf, Seq("g"), "v")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == seqMode)),
+          Future(("bins", Features.quantileBinsDiscrete(binDf, "v", k = 4, binCol = "bin")
+            .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet == seqBins)))
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(300, "s"))
+      val wrong = results.filterNot(_._2).map(_._1)
+      assert(wrong.isEmpty, s"operators diverged under concurrency: ${wrong.distinct.mkString(",")}")
+    } finally pool.shutdown()
+    // and the session shows no residue: conf intact, catalog clean
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+    assert(spark.catalog.listTables().collect().isEmpty)
+  }
+}
