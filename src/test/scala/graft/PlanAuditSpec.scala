@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression audit across the WHOLE batch contract surface:
+  * every SparkEntry query's physical plan is checked for the two
+  * quadratic join shapes that only ever appear by accident in a
+  * declarative pipeline — CartesianProduct and BroadcastNestedLoopJoin
+  * — except where the shape is the operator's documented design (the
+  * similarity family broadcasts a small query block through a
+  * nested-loop scoring pass by construction; target encoding and the DQ
+  * suite cross-join a ONE-ROW global-stats frame). A new query that
+  * accidentally plans a cartesian — a dropped join key, a non-equi
+  * predicate that stopped being pushable — fails here at test time
+  * instead of surfacing as a 100x blowup at scale.
+  *
+  * Streaming replays are excluded: their physical plans live inside the
+  * streaming engine per microbatch (asserted in StreamingOps specs),
+  * and invoking them here would re-run whole replay fixtures for no
+  * plan visibility.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  // operators whose BroadcastNestedLoopJoin is the documented design,
+  // always with a broadcast side bounded by construction (query block /
+  // one-row stats frame) — never data x data
+  private val intendedNestedLoop = Set(
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivf_exact",
+    "sim_hard_negatives", // broadcast query block vs corpus scan
+    "feat_target_encode", // one-row exact global-sums frame
+    "dq_checks")          // one-row constraint-summary frame
+
+  test("no contract query plans an unintended cartesian/nested-loop join") {
+    val dir = sf() // sf0.001 — plans, not timings
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => name.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !intendedNestedLoop(name))
+          offenders += s"$name: BroadcastNestedLoopJoin"
+      }
+    assert(offenders.isEmpty,
+      s"unintended quadratic join shapes:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("every oracle references a registered query; flagship entry is wired") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql entries without a query: $dangling")
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+  }
+}
