@@ -32,6 +32,14 @@ object SchemaDrift {
     * None when irreconcilable. */
   def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
     case (x, y) if x == y => Some(x)
+    // String absorption FIRST: with these below the decimal cases,
+    // widen(string, decimal) would ping-pong between the two
+    // flip-argument cases — (x, y: DecimalType) flips to (decimal,
+    // string), (x, StringType) flips straight back — and recurse
+    // forever (found by the lattice property battery).
+    case (StringType, y) if numericRank.contains(y) || y.isInstanceOf[DecimalType] ||
+      y == DateType || y == TimestampType || y == BooleanType => Some(StringType)
+    case (x, StringType) => widen(StringType, x)
     case (x: DecimalType, y: DecimalType) =>
       // enough integral digits and scale for both — or NOTHING. Capping
       // precision at 38 while keeping the wider scale (e.g.
@@ -50,9 +58,6 @@ object SchemaDrift {
     case (x, y: DecimalType) => widen(y, x)
     case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
       Some(if (numericRank(x) >= numericRank(y)) x else y)
-    case (StringType, y) if numericRank.contains(y) || y.isInstanceOf[DecimalType] ||
-      y == DateType || y == TimestampType || y == BooleanType => Some(StringType)
-    case (x, StringType) => widen(StringType, x)
     case (DateType, TimestampType) | (TimestampType, DateType) => Some(TimestampType)
     case _ => None
   }

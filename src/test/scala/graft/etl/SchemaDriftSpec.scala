@@ -20,6 +20,11 @@ class SchemaDriftSpec extends SparkTestBase {
     assert(SchemaDrift.widen(DecimalType(10, 2), DoubleType) === Some(DoubleType))
     assert(SchemaDrift.widen(ArrayType(LongType), ArrayType(IntegerType)) === None)
     assert(SchemaDrift.widen(BooleanType, LongType) === None)
+    // regression: string vs decimal used to ping-pong between the two
+    // flip-argument cases and recurse forever
+    assert(SchemaDrift.widen(StringType, DecimalType(12, 2)) === Some(StringType))
+    assert(SchemaDrift.widen(DecimalType(12, 2), StringType) === Some(StringType))
+    assert(SchemaDrift.widen(StringType, ArrayType(LongType)) === None)
   }
 
   test("decimal widening past 38 combined digits fails loud, never lossy") {
