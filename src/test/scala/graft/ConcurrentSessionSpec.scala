@@ -61,8 +61,13 @@ class ConcurrentSessionSpec extends SparkTestBase {
       val wrong = results.filterNot(_._2).map(_._1)
       assert(wrong.isEmpty, s"operators diverged under concurrency: ${wrong.distinct.mkString(",")}")
     } finally pool.shutdown()
-    // and the session shows no residue: conf intact, catalog clean
+    // and the session shows no residue from THESE operators: conf
+    // intact, no sqlInterface views left behind (other suites share
+    // this session and may hold their own fixture views — only views
+    // this spec's operators could have created count as residue)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
-    assert(spark.catalog.listTables().collect().isEmpty)
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("v_orders"))
+    assert(leaked.isEmpty, s"sqlInterface leaked views: ${leaked.mkString(",")}")
   }
 }
