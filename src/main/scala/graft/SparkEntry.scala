@@ -1121,6 +1121,34 @@ object SparkEntry {
       // ((ts, event_id)), so the pairing is partitioning-independent.
       Events.transitions(Tables(s, dir, "events"))
     },
+    "sketch_segment_overlap" -> { (s, dir) =>
+      // Pairwise audience overlap via mergeable theta sketches: one
+      // pass builds per-partition per-priority sketches of the customer
+      // set, a sketch-sized merge + pair join reads counts and
+      // intersections off the sketches. lgK=14 keeps every priority's
+      // customer set (~1.3k at sf0.01) in exact mode, so the estimates
+      // ARE the true set-algebra counts the oracle computes.
+      graft.ops.Sketches.segmentOverlap(
+        Tables(s, dir, "orders"), "o_orderpriority", "o_custkey", lgK = 15)
+    },
+    "sketch_dau_mau" -> { (s, dir) =>
+      // Sliding-window distinct stickiness off mergeable DAILY theta
+      // sketches — the incremental-state alternative to
+      // events_dau_mau's exact expansion, sharing its oracle: at this
+      // scale every daily and 30-day-window distinct set is far below
+      // 2^14, so the sketch rows ARE the exact rows.
+      graft.ops.Sketches.dauMau(Tables(s, dir, "events"))
+    },
+    "sketch_group_quantiles" -> { (s, dir) =>
+      // Mergeable KLL quantiles per event type: per-partition sketches,
+      // keyed merge, INCLUSIVE quantile read. k=32768 exceeds every
+      // group's row count at oracle scale (~2k at sf0.01, ~20k at
+      // sf0.1), so each quantile is exactly the ceil(p*n)-th order
+      // statistic the oracle replays.
+      graft.ops.Sketches.groupQuantiles(
+        Tables(s, dir, "events"), "event_type", "value",
+        probs = Seq(0.1, 0.5, 0.9, 1.0), k = 32768)
+    },
     "etl_incr_agg" -> { (s, dir) =>
       // Incremental aggregate maintenance: history partial + delta
       // partial merged; the oracle recomputes the aggregate from ALL
@@ -2548,16 +2576,8 @@ object SparkEntry {
         | (CAST(bn * n_rows - bs AS HUGEINT) * (bn * n_rows - bs))
         |   > 9 * (bn * bs2 - CAST(bs AS HUGEINT) * bs) AS is_anomaly
         |FROM wdw WHERE bn = 7""".stripMargin,
-    "events_dau_mau" ->
-      """WITH act AS (SELECT DISTINCT user_id,
-        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day FROM events),
-        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1),
-        |m AS (SELECT DISTINCT user_id, day + off AS wday FROM act,
-        |      (SELECT UNNEST(generate_series(0, 29)) AS off) o),
-        |mau AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS mau FROM m GROUP BY 1)
-        |SELECT d.day, d.dau, mau.mau,
-        | (d.dau * 1000000) // mau.mau AS stickiness_micro
-        |FROM dau d JOIN mau ON mau.day = d.day""".stripMargin,
+    "events_dau_mau" -> dauMauSql,
+    "sketch_dau_mau" -> dauMauSql,
     "events_retention" ->
       """WITH b AS (SELECT DISTINCT user_id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS period FROM events),
@@ -2594,6 +2614,24 @@ object SparkEntry {
         | CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM agg""".stripMargin,
+    "sketch_segment_overlap" ->
+      """WITH s AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c FROM orders),
+        |n AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY 1)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b, na.n AS n_a, nb.n AS n_b,
+        | COUNT(*) AS n_overlap
+        |FROM s a JOIN s b ON a.c = b.c AND a.seg < b.seg
+        |JOIN n na ON na.seg = a.seg JOIN n nb ON nb.seg = b.seg
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "sketch_group_quantiles" ->
+      """WITH probs AS (SELECT CAST(x AS DOUBLE) AS p
+        |  FROM (VALUES (0.1), (0.5), (0.9), (1.0)) v(x)),
+        |ranked AS (SELECT event_type, value AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL AND NOT ISNAN(value))
+        |SELECT event_type, p, MIN(v) AS q
+        |FROM ranked, probs WHERE rn >= CEIL(p * n)
+        |GROUP BY 1, 2""".stripMargin,
     "etl_incr_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
@@ -2870,6 +2908,20 @@ object SparkEntry {
 
   /** SCD2 point-in-time join scenario — the oracle shared by the Scala
     * face (etl_temporal_join) and the SQL TVF face (q_temporal_sql). */
+  /** Shared by `events_dau_mau` (exact bounded expansion) and
+    * `sketch_dau_mau` (mergeable daily theta sketches in exact mode) —
+    * one ground truth, two scale strategies. */
+  private def dauMauSql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+      |m AS (SELECT DISTINCT user_id, day + off AS wday FROM act,
+      |      (SELECT UNNEST(generate_series(0, 29)) AS off) o),
+      |mau AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS mau FROM m GROUP BY 1)
+      |SELECT d.day, d.dau, mau.mau,
+      | (d.dau * 1000000) // mau.mau AS stickiness_micro
+      |FROM dau d JOIN mau ON mau.day = d.day""".stripMargin
+
   private def temporalJoinSql: String =
     """WITH f AS (SELECT o_orderkey, o_custkey,
       |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS fact_day
