@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivf_exact",
     "sim_hard_negatives", // broadcast query block vs corpus scan
     "feat_target_encode", // one-row exact global-sums frame
-    "dq_checks")          // one-row constraint-summary frame
+    "dq_checks",          // one-row constraint-summary frame
+    "sketch_segment_overlap") // |segments|-row sketch pair matrix (a < b)
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings
