@@ -1149,6 +1149,21 @@ object SparkEntry {
         Tables(s, dir, "events"), "event_type", "value",
         probs = Seq(0.1, 0.5, 0.9, 1.0), k = 32768)
     },
+    "sketch_freq_items" -> { (s, dir) =>
+      // Mergeable frequent-items state per user bucket: per-partition
+      // Misra-Gries-family sketches, keyed merge, NO_FALSE_NEGATIVES
+      // read. The 5-type domain sits far inside the 64-counter map, so
+      // the sketch never purges and every estimate IS the exact
+      // contingency count the oracle computes; estimation-mode bounds
+      // are battery-pinned in SketchesSpec.
+      val st = graft.ops.Sketches.freqSketches(
+        Tables(s, dir, "events")
+          .select(pmod(col("user_id"), lit(10L)).as("bucket"), col("event_type")),
+        "bucket", "event_type", maxMapSize = 64)
+      graft.ops.Sketches.frequentItems(st)
+        .select(col("grp").as("bucket"), col("item").as("event_type"),
+          col("est").as("n"))
+    },
     "etl_incr_agg" -> { (s, dir) =>
       // Incremental aggregate maintenance: history partial + delta
       // partial merged; the oracle recomputes the aggregate from ALL
@@ -2631,6 +2646,11 @@ object SparkEntry {
         | FROM events WHERE value IS NOT NULL AND NOT ISNAN(value))
         |SELECT event_type, p, MIN(v) AS q
         |FROM ranked, probs WHERE rn >= CEIL(p * n)
+        |GROUP BY 1, 2""".stripMargin,
+    "sketch_freq_items" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS bucket, event_type,
+        | COUNT(*) AS n
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
     "etl_incr_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -175,6 +175,96 @@ object Sketches {
           .as("stickiness_micro"))
   }
 
+  // ---------------------------------------------------------- freq items
+
+  private def freqSerDe = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+  /** Per-partition frequent-items sketches of `itemCol` per group. */
+  private def freqPartition(
+      it: Iterator[(String, String)], maxMapSize: Int): Iterator[(String, Array[Byte])] = {
+    val sketches =
+      new java.util.HashMap[String, org.apache.datasketches.frequencies.ItemsSketch[String]]()
+    while (it.hasNext) {
+      val (g, v) = it.next()
+      var sk = sketches.get(g)
+      if (sk == null) {
+        sk = new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+        sketches.put(g, sk)
+      }
+      sk.update(v)
+    }
+    val serDe = freqSerDe
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    sketches.forEach((g, sk) => out += ((g, sk.toByteArray(serDe))))
+    out.iterator
+  }
+
+  /** Frequent-items merge aggregator over serialized sketches. */
+  private class FreqMerge(maxMapSize: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def merge2(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        val serDe = freqSerDe
+        val sk = org.apache.datasketches.frequencies.ItemsSketch
+          .getInstance(Memory.wrap(x), serDe)
+        sk.merge(org.apache.datasketches.frequencies.ItemsSketch
+          .getInstance(Memory.wrap(y), serDe))
+        sk.toByteArray(serDe)
+      }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = merge2(b, a)
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = merge2(x, y)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** One merged Misra-Gries-family frequent-items sketch of `itemCol`
+    * per `groupCol` group: (grp, sketch BINARY) — the mergeable
+    * incremental-state complement to [[HeavyHitters]]'s exact two-pass
+    * top-k: per-group item frequencies maintained under daily deltas
+    * with bounded state (maxMapSize counters) and no history re-scan.
+    * NULL groups and NULL items are excluded. */
+  def freqSketches(
+      df: DataFrame, groupCol: String, itemCol: String, maxMapSize: Int): DataFrame = {
+    require(maxMapSize >= 2 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of 2 >= 2, got $maxMapSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+    val merge = udaf(new FreqMerge(maxMapSize))
+    pairs
+      .mapPartitions(freqPartition(_, maxMapSize))
+      .toDF("grp", "sketch")
+      .groupBy("grp")
+      .agg(merge(col("sketch")).as("sketch"))
+  }
+
+  /** Read the frequent items off merged sketches (NO_FALSE_NEGATIVES:
+    * every item whose true count exceeds the sketch's error envelope is
+    * guaranteed present). One row per (grp, item) with the estimate and
+    * its deterministic bounds: lb <= true count <= ub always; in exact
+    * mode (distinct items per group within the map budget, no purge)
+    * lb == est == ub == the true count — the state the driver oracle
+    * replays as a plain contingency count. */
+  def frequentItems(state: DataFrame): DataFrame = {
+    val rows = udf { (bytes: Array[Byte]) =>
+      val sk = org.apache.datasketches.frequencies.ItemsSketch
+        .getInstance(Memory.wrap(bytes), freqSerDe)
+      sk.getFrequentItems(org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound)).toSeq
+    }
+    state
+      .select(col("grp"), explode(rows(col("sketch"))).as("r"))
+      .select(col("grp"), col("r._1").as("item"), col("r._2").as("est"),
+        col("r._3").as("lb"), col("r._4").as("ub"))
+  }
+
   // ------------------------------------------------------------------ kll
 
   /** Per-partition KLL sketches of `valueCol` per group. */

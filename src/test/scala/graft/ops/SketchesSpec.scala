@@ -90,6 +90,53 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------- freq items
+
+  test("frequent items == exact contingency counts in exact mode, any partitioning") {
+    (0 until 5).foreach { scenario =>
+      val rnd = new scala.util.Random(17 + scenario)
+      val rows = (0 until 1000 + rnd.nextInt(1000)).map { _ =>
+        (s"g${rnd.nextInt(3)}", s"item_${rnd.nextInt(20)}")
+      }
+      val expected = rows.groupBy(identity).map { case ((g, v), xs) =>
+        (g, v, xs.size.toLong)
+      }.toSet
+      Seq(1, 7).foreach { parts =>
+        val df = rows.toDF("g", "v").repartition(parts)
+        val st = Sketches.freqSketches(df, "g", "v", maxMapSize = 64)
+        val got = Sketches.frequentItems(st).collect().map { r =>
+          assert(r.getLong(3) === r.getLong(2) && r.getLong(4) === r.getLong(2),
+            s"bounds not collapsed in exact mode: $r")
+          (r.getString(0), r.getString(1), r.getLong(2))
+        }.toSet
+        assert(got === expected, s"scenario $scenario parts=$parts")
+      }
+    }
+  }
+
+  test("frequent items estimation mode: bounds valid, heavy items never missed") {
+    // zipf-ish stream through an adversarially tiny 8-counter map:
+    // purges happen constantly; the guarantees under test are the
+    // deterministic ones — lb <= true <= ub for returned items, and no
+    // item whose true count exceeds every partition-sketch error
+    // envelope is absent (NO_FALSE_NEGATIVES after lossless merge).
+    val rnd = new scala.util.Random(5)
+    val hot = Seq.fill(3000)("hot") ++ (0 until 2000).map(i => s"h${i % 3}")
+    val noise = (0 until 8000).map(_ => s"n_${rnd.nextInt(900)}")
+    val rows = rnd.shuffle(hot ++ noise).map(("g", _))
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val df = rows.toDF("g", "v").repartition(6)
+    val got = Sketches.frequentItems(Sketches.freqSketches(df, "g", "v", maxMapSize = 8))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (item, _, lb, ub) =>
+      val t = truth(item)
+      assert(lb <= t && t <= ub, s"$item: true $t outside [$lb, $ub]")
+    }
+    val returned = got.map(_._1).toSet
+    assert(returned.contains("hot"),
+      s"dominant item missing from NO_FALSE_NEGATIVES read: $returned")
+  }
+
   // ------------------------------------------------------------------ kll
 
   /** The INCLUSIVE order statistic groupQuantiles promises in exact
