@@ -97,6 +97,24 @@ object Sketches {
       .agg(union(col("sketch")).as("sketch"))
   }
 
+  /** Merge theta sketch states (each in [[segmentSketches]] shape,
+    * keyed by `segment`): the incremental step is
+    * `mergeSegmentSketches(lgK, state, segmentSketches(delta, ...))` —
+    * set union is the monoid, so state + delta == a from-scratch build
+    * over all rows (exactly, including in estimation mode: the union
+    * operator is order-insensitive on compact sketches). */
+  def mergeSegmentSketches(lgK: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeSegmentSketches needs at least one state")
+    val union = udaf(new ThetaUnion(lgK))
+    states.reduce(_ unionByName _)
+      .groupBy("segment")
+      .agg(union(col("sketch")).as("sketch"))
+  }
+
+  /** Distinct-count estimates off a [[segmentSketches]]-shaped state. */
+  def estimateSegments(state: DataFrame): DataFrame =
+    state.select(col("segment"), estimateUdf(col("sketch")).as("n_distinct_est"))
+
   /** Rounded distinct-count estimate off a compact theta sketch blob. */
   private def estimateUdf =
     udf { (bytes: Array[Byte]) =>
@@ -304,6 +322,30 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Merge KLL sketch states (each in [[groupSketches]] shape, keyed by
+    * `grp`): state + delta == a from-scratch build's accuracy class —
+    * KLL's error bound is preserved under merge regardless of how the
+    * data was split (and below capacity the merge is lossless, which is
+    * what the delta battery asserts exactly). */
+  def mergeGroupSketches(k: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeGroupSketches needs at least one state")
+    val merge = udaf(new KllMerge(k))
+    states.reduce(_ unionByName _)
+      .groupBy("grp")
+      .agg(merge(col("sketch")).as("sketch"))
+  }
+
+  /** Merge frequent-items states (each in [[freqSketches]] shape):
+    * Misra-Gries merge adds error envelopes but keeps the deterministic
+    * lb/ub guarantees; below the map budget it is lossless. */
+  def mergeFreqSketches(maxMapSize: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeFreqSketches needs at least one state")
+    val merge = udaf(new FreqMerge(maxMapSize))
+    states.reduce(_ unionByName _)
+      .groupBy("grp")
+      .agg(merge(col("sketch")).as("sketch"))
+  }
+
   /** One merged KLL sketch of `valueCol` per `groupCol` group:
     * (group, sketch BINARY). NULL groups and NULL/NaN values are
     * excluded (NaN has no rank). */
@@ -342,12 +384,20 @@ object Sketches {
     require(probs.nonEmpty, "need at least one rank")
     require(probs.forall(p => p > 0.0 && p <= 1.0),
       s"ranks must be in (0,1], got $probs")
-    val sk = groupSketches(df, groupCol, valueCol, k)
+    readQuantiles(groupSketches(df, groupCol, valueCol, k), probs, groupCol)
+  }
+
+  /** Quantile read off a [[groupSketches]]-shaped state (built directly
+    * or via [[mergeGroupSketches]] delta maintenance). */
+  def readQuantiles(
+      state: DataFrame, probs: Seq[Double], outGroupCol: String = "grp"): DataFrame = {
     val quantile = udf { (bytes: Array[Byte], p: Double) =>
       KllDoublesSketch.heapify(Memory.wrap(bytes))
         .getQuantile(p, QuantileSearchCriteria.INCLUSIVE)
     }
-    sk.select(col("grp").as(groupCol), explode(typedLit(probs)).as("p"), col("sketch"))
-      .select(col(groupCol), col("p"), quantile(col("sketch"), col("p")).as("q"))
+    state
+      .select(col("grp").as(outGroupCol), explode(typedLit(probs)).as("p"),
+        col("sketch"))
+      .select(col(outGroupCol), col("p"), quantile(col("sketch"), col("p")).as("q"))
   }
 }

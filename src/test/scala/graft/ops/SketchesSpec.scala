@@ -90,6 +90,51 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch state + delta merges == from-scratch builds (all three kinds)") {
+    (0 until 5).foreach { scenario =>
+      val rnd = new scala.util.Random(314 + scenario)
+      val all = (0 until 1200).map { _ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(400).toLong, rnd.nextInt(500) / 4.0)
+      }
+      val (hist, delta) = all.splitAt(700 + rnd.nextInt(300))
+      val hd = hist.toDF("g", "id", "v").repartition(5)
+      val dd = delta.toDF("g", "id", "v").repartition(3)
+      val fd = all.toDF("g", "id", "v").repartition(4)
+
+      // theta: distinct ids per group — exact mode, byte-level equality
+      // is not promised, estimates are
+      val tMerged = Sketches.estimateSegments(Sketches.mergeSegmentSketches(12,
+        Sketches.segmentSketches(hd, "g", "id", lgK = 12),
+        Sketches.segmentSketches(dd, "g", "id", lgK = 12)))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val tFull = Sketches.estimateSegments(
+        Sketches.segmentSketches(fd, "g", "id", lgK = 12))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(tMerged === tFull, s"theta scenario $scenario")
+
+      // kll: below capacity the merge is lossless — quantiles equal
+      val probs = Seq(0.25, 0.5, 0.75, 1.0)
+      val kMerged = Sketches.readQuantiles(Sketches.mergeGroupSketches(2048,
+        Sketches.groupSketches(hd, "g", "v", k = 2048),
+        Sketches.groupSketches(dd, "g", "v", k = 2048)), probs)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      val kFull = Sketches.readQuantiles(
+        Sketches.groupSketches(fd, "g", "v", k = 2048), probs)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(kMerged === kFull, s"kll scenario $scenario")
+
+      // freq: id-as-item counts within the map budget — exact equality
+      val fMerged = Sketches.frequentItems(Sketches.mergeFreqSketches(1024,
+        Sketches.freqSketches(hd, "g", "id", maxMapSize = 1024),
+        Sketches.freqSketches(dd, "g", "id", maxMapSize = 1024)))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val fFull = Sketches.frequentItems(
+        Sketches.freqSketches(fd, "g", "id", maxMapSize = 1024))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(fMerged === fFull, s"freq scenario $scenario")
+    }
+  }
+
   // ---------------------------------------------------------- freq items
 
   test("frequent items == exact contingency counts in exact mode, any partitioning") {
