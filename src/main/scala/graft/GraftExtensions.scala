@@ -134,6 +134,19 @@ object GraftExtensions {
         buildKey = strLit(args(3), "build_key"))
       joined.queryExecution.logical
     }),
+    //   graft_theta_overlap(table_view, seg_col, id_col, lgK)
+    // Pairwise segment overlap off mergeable theta sketches: same
+    // one-pass sketch build + pair-matrix plan as the Scala API
+    // (Sketches.segmentOverlap); exact set algebra while every
+    // segment's distinct count stays within 2^lgK.
+    ("graft_theta_overlap", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.table(strLit(args(0), "table_view"))
+      val out = graft.ops.Sketches.segmentOverlap(df,
+        strLit(args(1), "seg_col"), strLit(args(2), "id_col"),
+        lgK = longLit(args(3), "lgK").toInt)
+      out.queryExecution.logical
+    }),
     //   graft_temporal(facts_view, dim_view, keys_csv, fact_time_col)
     // SCD2 point-in-time join: same plan as Merge.temporalJoin (equi-key
     // drive, validity interval as a join residual, left join).

@@ -1131,6 +1131,19 @@ object SparkEntry {
       graft.ops.Sketches.segmentOverlap(
         Tables(s, dir, "orders"), "o_orderpriority", "o_custkey", lgK = 15)
     },
+    "sketch_overlap_sql" -> { (s, dir) =>
+      // The theta overlap through its SQL face: graft_theta_overlap is
+      // a registered TVF returning the same sketch-build + pair-matrix
+      // plan as the Scala API — shared oracle with
+      // sketch_segment_overlap. Per-invocation view name, dropped after
+      // analysis (spark.sql binds views eagerly).
+      graft.GraftExtensions.register(s)
+      val v = s"graft_theta_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables(s, dir, "orders").createOrReplaceTempView(v)
+      try s.sql(
+        s"SELECT * FROM graft_theta_overlap('$v', 'o_orderpriority', 'o_custkey', 15)")
+      finally s.catalog.dropTempView(v)
+    },
     "sketch_dau_mau" -> { (s, dir) =>
       // Sliding-window distinct stickiness off mergeable DAILY theta
       // sketches — the incremental-state alternative to
@@ -2629,14 +2642,8 @@ object SparkEntry {
         | CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM agg""".stripMargin,
-    "sketch_segment_overlap" ->
-      """WITH s AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c FROM orders),
-        |n AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY 1)
-        |SELECT a.seg AS seg_a, b.seg AS seg_b, na.n AS n_a, nb.n AS n_b,
-        | COUNT(*) AS n_overlap
-        |FROM s a JOIN s b ON a.c = b.c AND a.seg < b.seg
-        |JOIN n na ON na.seg = a.seg JOIN n nb ON nb.seg = b.seg
-        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "sketch_segment_overlap" -> thetaOverlapSql,
+    "sketch_overlap_sql" -> thetaOverlapSql,
     "sketch_group_quantiles" ->
       """WITH probs AS (SELECT CAST(x AS DOUBLE) AS p
         |  FROM (VALUES (0.1), (0.5), (0.9), (1.0)) v(x)),
@@ -2928,6 +2935,17 @@ object SparkEntry {
 
   /** SCD2 point-in-time join scenario — the oracle shared by the Scala
     * face (etl_temporal_join) and the SQL TVF face (q_temporal_sql). */
+  /** Shared by `sketch_segment_overlap` (Scala face) and
+    * `sketch_overlap_sql` (`graft_theta_overlap` TVF face). */
+  private def thetaOverlapSql: String =
+    """WITH s AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c FROM orders),
+      |n AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY 1)
+      |SELECT a.seg AS seg_a, b.seg AS seg_b, na.n AS n_a, nb.n AS n_b,
+      | COUNT(*) AS n_overlap
+      |FROM s a JOIN s b ON a.c = b.c AND a.seg < b.seg
+      |JOIN n na ON na.seg = a.seg JOIN n nb ON nb.seg = b.seg
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Shared by `events_dau_mau` (exact bounded expansion) and
     * `sketch_dau_mau` (mergeable daily theta sketches in exact mode) —
     * one ground truth, two scale strategies. */

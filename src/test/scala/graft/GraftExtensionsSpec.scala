@@ -109,6 +109,24 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("graft_theta_overlap table-valued function equals brute-force set algebra") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = (0 until 600).map(i => (s"seg_${i % 3}", (i * 7 % 101).toLong))
+    rows.toDF("seg", "id").createOrReplaceTempView("tvf_theta_t")
+    val got = spark.sql(
+      "SELECT * FROM graft_theta_overlap('tvf_theta_t', 'seg', 'id', 12)")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- truth.keys; b <- truth.keys if a < b
+    } yield (a, b, truth(a).size.toLong, truth(b).size.toLong,
+        (truth(a) & truth(b)).size.toLong)).toSet
+    assert(got === want)
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_hard_negatives", // broadcast query block vs corpus scan
     "feat_target_encode", // one-row exact global-sums frame
     "dq_checks",          // one-row constraint-summary frame
-    "sketch_segment_overlap") // |segments|-row sketch pair matrix (a < b)
+    "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
+    "sketch_overlap_sql")     // same plan through the TVF face
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings
