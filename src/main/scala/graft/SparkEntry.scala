@@ -2936,15 +2936,22 @@ object SparkEntry {
   /** SCD2 point-in-time join scenario — the oracle shared by the Scala
     * face (etl_temporal_join) and the SQL TVF face (q_temporal_sql). */
   /** Shared by `sketch_segment_overlap` (Scala face) and
-    * `sketch_overlap_sql` (`graft_theta_overlap` TVF face). */
+    * `sketch_overlap_sql` (`graft_theta_overlap` TVF face). A full
+    * a<b cross of segments (LEFT JOIN + COALESCE 0), because the
+    * operator's contract is ALL pairs including zero-overlap ones —
+    * an inner join on shared ids would silently under-check any
+    * fixture with disjoint segments. NULL seg/id filters mirror the
+    * Scala face's exclusions. */
   private def thetaOverlapSql: String =
-    """WITH s AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c FROM orders),
-      |n AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY 1)
-      |SELECT a.seg AS seg_a, b.seg AS seg_b, na.n AS n_a, nb.n AS n_b,
-      | COUNT(*) AS n_overlap
-      |FROM s a JOIN s b ON a.c = b.c AND a.seg < b.seg
-      |JOIN n na ON na.seg = a.seg JOIN n nb ON nb.seg = b.seg
-      |GROUP BY 1, 2, 3, 4""".stripMargin
+    """WITH s AS (SELECT DISTINCT o_orderpriority AS seg, o_custkey AS c FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL),
+      |n AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY 1),
+      |co AS (SELECT a.seg AS seg_a, b.seg AS seg_b, COUNT(*) AS c
+      |  FROM s a JOIN s b ON a.c = b.c AND a.seg < b.seg GROUP BY 1, 2)
+      |SELECT na.seg AS seg_a, nb.seg AS seg_b, na.n AS n_a, nb.n AS n_b,
+      | CAST(COALESCE(co.c, 0) AS BIGINT) AS n_overlap
+      |FROM n na JOIN n nb ON na.seg < nb.seg
+      |LEFT JOIN co ON co.seg_a = na.seg AND co.seg_b = nb.seg""".stripMargin
 
   /** Shared by `events_dau_mau` (exact bounded expansion) and
     * `sketch_dau_mau` (mergeable daily theta sketches in exact mode) —

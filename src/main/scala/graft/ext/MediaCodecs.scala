@@ -498,11 +498,15 @@ object MediaCodecs {
     if (bytes == null || bytes.length < 8) return None
     var pos = 0
     if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
-      // ID3v2: 10-byte header, 28-bit synchsafe size
+      // ID3v2: 10-byte header, 28-bit synchsafe size; the size field
+      // excludes the header AND the optional 10-byte footer (header
+      // byte 5, bit 4 — ID3v2.4 §3.1), so a footered tag occupies
+      // size+20 bytes total.
       if (bytes.length < 10) return None
       val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
         ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
-      pos = 10 + size
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
     }
     var nFrames = 0
     var sampleRate = 0; var channels = 0

@@ -79,15 +79,25 @@ object Sketches {
   /** One compact theta sketch of `idCol`'s distinct values per `segCol`
     * group. Output: (segment, sketch BINARY) — aggregate-sized state,
     * suitable for storage and later delta merges. NULL segments and NULL
-    * ids are excluded (a sketch of "unknown member" is meaningless). */
+    * ids are excluded (a sketch of "unknown member" is meaningless).
+    *
+    * Integral ids feed the sketch directly; any other id type (string
+    * UUIDs, decimals) is keyed by `xxhash64` — theta only needs a
+    * stable 64-bit key per member, and a lossy `cast("long")` would
+    * turn non-numeric ids into NULLs that crash the typed encoder. */
   def segmentSketches(
       df: DataFrame, segCol: String, idCol: String, lgK: Int = 14): DataFrame = {
     require(lgK >= 4 && lgK <= 26, s"lgK must be in [4,26], got $lgK")
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    val idKey = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(idCol).cast("long")
+      case _                                             => xxhash64(col(idCol))
+    }
     val pairs = df
       .filter(col(segCol).isNotNull && col(idCol).isNotNull)
-      .select(col(segCol).cast("string"), col(idCol).cast("long"))
+      .select(col(segCol).cast("string"), idKey)
       .as[(String, Long)]
     val union = udaf(new ThetaUnion(lgK))
     pairs
@@ -247,8 +257,8 @@ object Sketches {
     * NULL groups and NULL items are excluded. */
   def freqSketches(
       df: DataFrame, groupCol: String, itemCol: String, maxMapSize: Int): DataFrame = {
-    require(maxMapSize >= 2 && (maxMapSize & (maxMapSize - 1)) == 0,
-      s"maxMapSize must be a power of 2 >= 2, got $maxMapSize")
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of 2 >= 8 (the sketch library's floor), got $maxMapSize")
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = df

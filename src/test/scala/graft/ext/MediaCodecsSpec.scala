@@ -304,6 +304,17 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(feats(3) === 40.0f)
   }
 
+  test("MP3: ID3v2 tag with a footer (flag bit 4) still parses real metadata") {
+    // ID3v2.4 §3.1: the synchsafe size excludes the 10-byte footer, so
+    // a footered tag occupies size+20 bytes. Flags byte = 0x10.
+    val body = new Array[Byte](64)
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 64)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 64) ++ body ++ footer
+    val audio = id3 ++ Array.fill(12)(mp3Frame()).flatten
+    val m = MediaCodecs.parseMp3Meta(audio).get
+    assert(m.sampleRate === 44100 && m.nFrames === 12 && m.bitrateKbps === 128)
+  }
+
   test("MP3: random bytes and a lone accidental sync are rejected") {
     assert(MediaCodecs.parseMp3Meta("definitely not audio".getBytes) === None)
     // one valid header followed by garbage: a single sync is not audio

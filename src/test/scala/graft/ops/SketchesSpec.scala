@@ -51,6 +51,36 @@ class SketchesSpec extends SparkTestBase {
       got(0).getLong(3), got(0).getLong(4)) === ("a", "b", 2L, 2L, 1L))
   }
 
+  test("theta sketches accept non-numeric ids (string UUIDs) exactly") {
+    // The common audience-id shape: string UUIDs. A cast("long") would
+    // NULL every id and crash the typed encoder; the operator must key
+    // them via a stable 64-bit hash instead and stay exact.
+    val rnd = new scala.util.Random(7)
+    val ids = (0 until 400).map(_ => new java.util.UUID(rnd.nextLong(), rnd.nextLong()).toString)
+    val rows = ids.zipWithIndex.map { case (id, i) => (s"seg_${i % 3}", id) } ++
+      ids.take(50).map(id => ("seg_0", id)) // duplicates must not double-count
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val df = rows.toDF("seg", "id").repartition(5)
+    val got = Sketches.estimateSegments(Sketches.segmentSketches(df, "seg", "id", lgK = 12))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === truth.view.mapValues(_.size.toLong).toMap)
+
+    val overlap = Sketches.segmentOverlap(df, "seg", "id", lgK = 12).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
+    val expected = (for { a <- truth.keys; b <- truth.keys if a < b }
+      yield (a, b, (truth(a) & truth(b)).size.toLong)).toSet
+    assert(overlap === expected)
+  }
+
+  test("freq sketches reject map sizes below the library's floor at the API boundary") {
+    val df = Seq(("g", "x")).toDF("grp", "item")
+    Seq(2, 4).foreach { m =>
+      val e = intercept[IllegalArgumentException](
+        Sketches.freqSketches(df, "grp", "item", maxMapSize = m))
+      assert(e.getMessage.contains(">= 8"), s"maxMapSize=$m")
+    }
+  }
+
   test("theta estimation mode stays within the published relative-error bound") {
     // 60k distinct ids through a lgK=10 (1024-entry) sketch: deep in
     // sampling territory. Theta RSE is ~1/sqrt(2^lgK); assert 5 sigma.
