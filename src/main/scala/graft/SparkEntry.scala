@@ -1353,8 +1353,8 @@ object SparkEntry {
     },
 
     // --- [EXT] Structured Streaming, driven end-to-end ------------------
-    "stream_tumbling" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_tumbling" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // The events fixture replayed through the Structured Streaming file
         // source: readStream → incremental epoch-tumbling aggregation →
         // memory sink (complete mode, so every window is emitted when the
@@ -1374,8 +1374,8 @@ object SparkEntry {
         s.table(name).withColumn("sum_value", col("sum_value").cast("double"))
       }
     },
-    "stream_hopping" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_hopping" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // Hopping windows through the streaming engine (1h window, 15m
         // slide): drained complete-mode replay equals the batch
         // explode(sequence) expansion — shared oracle with events_hopping.
@@ -1394,8 +1394,8 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
       }
     },
-    "stream_join" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_join" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // Genuine two-stream watermarked interval join (click <- trailing
         // 4h views per user), drained through append mode. Inner
         // stream-stream joins emit eagerly on match, so the finite replay
@@ -1418,8 +1418,8 @@ object SparkEntry {
         s.table(name)
       }
     },
-    "stream_upsert_snapshot" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_upsert_snapshot" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // foreachBatch upsert sink over the 3-file time-ordered replay:
         // each microbatch merges into a versioned keyed snapshot
         // (last-wins by (sec, event_id) within a batch; later batches
@@ -1440,8 +1440,8 @@ object SparkEntry {
         graft.streaming.StreamingOps.readSnapshot(s, snapDir)
       }
     },
-    "stream_join_full" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_join_full" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // FULL OUTER stream-stream interval join: matches emit eagerly;
         // an unmatched click null-pads when its ts falls strictly below
         // the final watermark, an unmatched view when ts + lookback
@@ -1464,8 +1464,8 @@ object SparkEntry {
         s.table(name)
       }
     },
-    "stream_join_outer" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_join_outer" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // LEFT OUTER stream-stream interval join over a 3-file
         // time-ordered replay: matched pairs emit eagerly; a click with
         // no view in its trailing 30 min emits once, NULL-padded, when
@@ -1491,8 +1491,8 @@ object SparkEntry {
         s.table(name)
       }
     },
-    "stream_enrich" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_enrich" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // Stream-static enrichment: the events stream joined per
         // microbatch to a broadcast customer dimension — stateless (no
         // state store, no watermark), so the drained replay equals the
@@ -1513,8 +1513,8 @@ object SparkEntry {
         s.table(name)
       }
     },
-    "stream_user_totals" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_user_totals" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // arbitrary stateful processing (mapGroupsWithState) driven
         // end-to-end: per-user count/min/max — deliberately only
         // order-independent accumulators, so the emitted state is
@@ -1534,8 +1534,8 @@ object SparkEntry {
         s.table(name)
       }
     },
-    "stream_sessions" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_sessions" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // session_window sessionization through the streaming engine. Event
         // times truncate to whole seconds on BOTH sides (the fixture is
         // micros-precision; second-truncated gap arithmetic is the portable
@@ -1561,8 +1561,8 @@ object SparkEntry {
           col("sum_value").cast("double").as("sum_value"))
       }
     },
-    "stream_append_tumbling" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_append_tumbling" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // Multi-microbatch APPEND-mode streaming — the semantics the
         // complete-mode rows can't show: the fixture is split into 3
         // time-ordered files (ascending mtimes pin the file source's
@@ -1587,8 +1587,8 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
       }
     },
-    "stream_late_drop" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_late_drop" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // The OTHER half of watermark semantics: late-row DROPPING (eviction
         // is pinned by stream_append_tumbling). Replay order 4,3,1,2 over
         // time-quartile tiles: the LATEST quartile arrives first, raising
@@ -1620,8 +1620,8 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
       }
     },
-    "stream_dedup" -> { (s, dir) =>
-      withShufflePartitions(s, 4) {
+    "stream_dedup" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
         // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
         // keyed by (user_id, event_type). Only the KEY columns are
         // projected: which duplicate arrives first inside a microbatch is
@@ -1650,28 +1650,29 @@ object SparkEntry {
     * timed passes reuse one session). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Run `body` with `spark.sql.shuffle.partitions` scoped down to `n`,
-    * restoring the session value afterwards. A streaming query fixes its
-    * STATE STORE partition count from this conf at start, and every
-    * microbatch then pays per-partition state/commit overhead — at the
-    * fixture's scale (thousands of rows, 3-4 microbatches) 32 partitions
-    * are pure fixed cost. The driver queries replay a finite fixture, so
-    * 4 state partitions lose no parallelism here; a production deployment
-    * starts its long-lived query under the session's real setting. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
-    withSqlConf(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
-
-  /** Run `body` with session SQL confs scoped to `kvs`, restoring previous
-    * values afterwards. Only effective when the body EXECUTES its plans
-    * (streaming drains, collects): conf is read at action time, so a
-    * lazily returned DataFrame would execute under the restored values. */
-  private def withSqlConf[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
+  /** Run `body` on an ISOLATED clone of `s` (`newSession()`: shared
+    * SparkContext and cached data, fresh SQLConf/catalog) with
+    * `spark.sql.shuffle.partitions` pinned to `n`. A streaming query
+    * fixes its STATE STORE partition count from session conf at start,
+    * and every microbatch then pays per-partition state/commit
+    * overhead — at the fixture's scale (thousands of rows, 3-4
+    * microbatches) 32 partitions are pure fixed cost; a production
+    * deployment starts its long-lived query under its session's real
+    * setting. Cloning instead of set/restore-in-finally means a
+    * concurrent query on `s` can NEVER observe the scoped-down value —
+    * there is no mutation window at all (the hazard class removed from
+    * `Dedup.components` in an earlier round). The parent's runtime conf
+    * is mirrored onto the clone first, so the body keeps the caller's
+    * semantics (timezone, legacy parquet handling) even when those were
+    * set after session build. */
+  private def withStreamSession[T](s: SparkSession, n: Int)(body: SparkSession => T): T = {
+    val iso = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (!iso.conf.getOption(k).contains(v))
+        try iso.conf.set(k, v) catch { case _: Exception => () } // static conf: keep default
     }
+    iso.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(iso)
   }
 
   /** Stage the events fixture as `parts` single-file parquet writes in a

@@ -70,4 +70,31 @@ class ConcurrentSessionSpec extends SparkTestBase {
       .map(_.name).filter(_.startsWith("v_orders"))
     assert(leaked.isEmpty, s"sqlInterface leaked views: ${leaked.mkString(",")}")
   }
+
+  test("streaming replay never mutates the parent session's conf (isolated clone)") {
+    // The streaming contract rows scope shuffle.partitions down to 4 for
+    // their state stores. With set/restore-in-finally scoping, a
+    // concurrent batch query could observe the scoped-down value during
+    // the replay window; running the replay on a newSession() clone must
+    // make that impossible. Pin the parent to a distinguishable value
+    // and poll it throughout the drain.
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try {
+      @volatile var polling = true
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val poller = new Thread(() => {
+        while (polling) { seen.add(spark.conf.get(key)); Thread.sleep(1) }
+      })
+      poller.start()
+      val rows = SparkEntry.queries("stream_tumbling")(spark, sf()).collect()
+      polling = false
+      poller.join()
+      assert(rows.nonEmpty)
+      assert(seen.asScala.toSet === Set("7"),
+        s"parent conf observed ${seen.asScala.toSet} during streaming replay")
+    } finally spark.conf.set(key, prev)
+  }
 }
