@@ -147,6 +147,33 @@ object GraftExtensions {
         lgK = longLit(args(3), "lgK").toInt)
       out.queryExecution.logical
     }),
+    //   graft_sketch_dau_mau(events_view, window_days, lgK)
+    // Sliding-window distinct stickiness off mergeable daily theta
+    // sketches — the SQL face of Sketches.dauMau: same one-pass daily
+    // sketch build + window-union plan; exact while daily and windowed
+    // distinct counts stay within 2^lgK.
+    ("graft_sketch_dau_mau", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val events = spark.table(strLit(args(0), "events_view"))
+      val out = graft.ops.Sketches.dauMau(events,
+        windowDays = longLit(args(1), "window_days").toInt,
+        lgK = longLit(args(2), "lgK").toInt)
+      out.queryExecution.logical
+    }),
+    //   graft_sketch_quantiles(table_view, group_col, value_col, probs_csv, k)
+    // Mergeable per-group KLL quantiles — the SQL face of
+    // Sketches.groupQuantiles (INCLUSIVE read: exact ⌈p·n⌉-th order
+    // statistics below capacity k).
+    ("graft_sketch_quantiles", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.table(strLit(args(0), "table_view"))
+      val probs = strLit(args(3), "probs_csv").split(",").map(_.trim)
+        .filter(_.nonEmpty).map(_.toDouble).toSeq
+      val out = graft.ops.Sketches.groupQuantiles(df,
+        strLit(args(1), "group_col"), strLit(args(2), "value_col"),
+        probs, k = longLit(args(4), "k").toInt)
+      out.queryExecution.logical
+    }),
     //   graft_temporal(facts_view, dim_view, keys_csv, fact_time_col)
     // SCD2 point-in-time join: same plan as Merge.temporalJoin (equi-key
     // drive, validity interval as a join residual, left join).

@@ -1177,6 +1177,30 @@ object SparkEntry {
         .select(col("grp").as("bucket"), col("item").as("event_type"),
           col("est").as("n"))
     },
+    "sketch_dau_mau_sql" -> { (s, dir) =>
+      // Sliding DAU/MAU through its SQL face: graft_sketch_dau_mau is
+      // a registered TVF returning the same daily-sketch + window-union
+      // plan as the Scala API — shared oracle with sketch_dau_mau and
+      // events_dau_mau. Per-invocation view name, dropped after
+      // analysis (spark.sql binds views eagerly).
+      graft.GraftExtensions.register(s)
+      val v = s"graft_daumau_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables(s, dir, "events").createOrReplaceTempView(v)
+      try s.sql(s"SELECT * FROM graft_sketch_dau_mau('$v', 30, 14)")
+      finally s.catalog.dropTempView(v)
+    },
+    "sketch_quantiles_sql" -> { (s, dir) =>
+      // Per-group KLL quantiles through the SQL face — the same sketch
+      // build + INCLUSIVE quantile read plan as sketch_group_quantiles,
+      // sharing its oracle (k=32768 above every group's row count at
+      // oracle scale, so each quantile is the exact order statistic).
+      graft.GraftExtensions.register(s)
+      val v = s"graft_kll_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables(s, dir, "events").createOrReplaceTempView(v)
+      try s.sql(
+        s"SELECT * FROM graft_sketch_quantiles('$v', 'event_type', 'value', '0.1,0.5,0.9,1.0', 32768)")
+      finally s.catalog.dropTempView(v)
+    },
     "etl_incr_agg" -> { (s, dir) =>
       // Incremental aggregate maintenance: history partial + delta
       // partial merged; the oracle recomputes the aggregate from ALL
@@ -2645,16 +2669,9 @@ object SparkEntry {
         |FROM agg""".stripMargin,
     "sketch_segment_overlap" -> thetaOverlapSql,
     "sketch_overlap_sql" -> thetaOverlapSql,
-    "sketch_group_quantiles" ->
-      """WITH probs AS (SELECT CAST(x AS DOUBLE) AS p
-        |  FROM (VALUES (0.1), (0.5), (0.9), (1.0)) v(x)),
-        |ranked AS (SELECT event_type, value AS v,
-        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-        |  COUNT(*) OVER (PARTITION BY event_type) AS n
-        | FROM events WHERE value IS NOT NULL AND NOT ISNAN(value))
-        |SELECT event_type, p, MIN(v) AS q
-        |FROM ranked, probs WHERE rn >= CEIL(p * n)
-        |GROUP BY 1, 2""".stripMargin,
+    "sketch_group_quantiles" -> kllQuantilesSql,
+    "sketch_quantiles_sql" -> kllQuantilesSql,
+    "sketch_dau_mau_sql" -> dauMauSql,
     "sketch_freq_items" ->
       """SELECT CAST(user_id % 10 AS VARCHAR) AS bucket, event_type,
         | COUNT(*) AS n
@@ -2954,9 +2971,25 @@ object SparkEntry {
       |FROM n na JOIN n nb ON na.seg < nb.seg
       |LEFT JOIN co ON co.seg_a = na.seg AND co.seg_b = nb.seg""".stripMargin
 
-  /** Shared by `events_dau_mau` (exact bounded expansion) and
-    * `sketch_dau_mau` (mergeable daily theta sketches in exact mode) —
-    * one ground truth, two scale strategies. */
+  /** Shared by `sketch_group_quantiles` (Scala face) and
+    * `sketch_quantiles_sql` (`graft_sketch_quantiles` TVF face): the
+    * INCLUSIVE quantile at rank p over n rows is the ⌈p·n⌉-th order
+    * statistic — `MIN(v) WHERE rn >= CEIL(p*n)`. */
+  private def kllQuantilesSql: String =
+    """WITH probs AS (SELECT CAST(x AS DOUBLE) AS p
+      |  FROM (VALUES (0.1), (0.5), (0.9), (1.0)) v(x)),
+      |ranked AS (SELECT event_type, value AS v,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      | FROM events WHERE value IS NOT NULL AND NOT ISNAN(value))
+      |SELECT event_type, p, MIN(v) AS q
+      |FROM ranked, probs WHERE rn >= CEIL(p * n)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Shared by `events_dau_mau` (exact bounded expansion),
+    * `sketch_dau_mau` (mergeable daily theta sketches in exact mode),
+    * and `sketch_dau_mau_sql` (TVF face) — one ground truth, three
+    * faces. */
   private def dauMauSql: String =
     """WITH act AS (SELECT DISTINCT user_id,
       |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day FROM events),

@@ -127,6 +127,40 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("graft_sketch_dau_mau table-valued function equals the Scala face") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // nanosecond timestamps over 5 days, 40 users — exact mode at lgK 12
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { _ =>
+      (86400L * rnd.nextInt(5) * 1000000000L + rnd.nextInt(86400) * 1000000000L,
+        rnd.nextInt(40).toLong)
+    }
+    val df = rows.toDF("ts", "user_id")
+    df.createOrReplaceTempView("tvf_daumau_t")
+    val got = spark.sql("SELECT * FROM graft_sketch_dau_mau('tvf_daumau_t', 3, 12)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.ops.Sketches.dauMau(df, windowDays = 3, lgK = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("graft_sketch_quantiles table-valued function equals exact order statistics") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = (0 until 900).map(i => (s"g${i % 3}", (i * 37 % 113).toDouble))
+    rows.toDF("g", "v").createOrReplaceTempView("tvf_kll_t")
+    val got = spark.sql(
+      "SELECT * FROM graft_sketch_quantiles('tvf_kll_t', 'g', 'v', '0.5,1.0', 2048)")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      Seq(0.5, 1.0).map(p =>
+        (g, p, sorted(math.ceil(p * sorted.size).toInt - 1)))
+    }.toSet
+    assert(got === want)
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
