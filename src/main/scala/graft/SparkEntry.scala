@@ -1201,6 +1201,30 @@ object SparkEntry {
         s"SELECT * FROM graft_sketch_quantiles('$v', 'event_type', 'value', '0.1,0.5,0.9,1.0', 32768)")
       finally s.catalog.dropTempView(v)
     },
+    "sketch_incremental_state" -> { (s, dir) =>
+      // The stored-state operational story end-to-end: day-N segment
+      // sketches are built once and PERSISTED through the parquet sink;
+      // day-N+1 re-READS that state from disk and merges it with a
+      // sketch pass over the delta rows only — the merged frame's
+      // lineage contains the state files and the delta scan, never the
+      // history rows again. Set union is the monoid, so state + delta
+      // hash-matches the oracle's full COUNT(DISTINCT) recompute; lgK
+      // 15 keeps every segment in exact mode at oracle scale.
+      val orders = Tables(s, dir, "orders")
+      val history = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val delta = orders.filter(col("o_orderkey") % 4 === 0)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_sketch_state_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ops.Sketches.segmentSketches(
+          history, "o_orderpriority", "o_custkey", lgK = 15),
+        stateDir)
+      val stored = s.read.parquet(stateDir)
+      val merged = graft.ops.Sketches.mergeSegmentSketches(15, stored,
+        graft.ops.Sketches.segmentSketches(
+          delta, "o_orderpriority", "o_custkey", lgK = 15))
+      graft.ops.Sketches.estimateSegments(merged)
+    },
     "etl_incr_agg" -> { (s, dir) =>
       // Incremental aggregate maintenance: history partial + delta
       // partial merged; the oracle recomputes the aggregate from ALL
@@ -2672,6 +2696,12 @@ object SparkEntry {
     "sketch_group_quantiles" -> kllQuantilesSql,
     "sketch_quantiles_sql" -> kllQuantilesSql,
     "sketch_dau_mau_sql" -> dauMauSql,
+    "sketch_incremental_state" ->
+      """SELECT o_orderpriority AS segment,
+        | COUNT(DISTINCT o_custkey) AS n_distinct_est
+        |FROM orders
+        |WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "sketch_freq_items" ->
       """SELECT CAST(user_id % 10 AS VARCHAR) AS bucket, event_type,
         | COUNT(*) AS n

@@ -120,6 +120,53 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch state survives a parquet round trip and merges losslessly (all three kinds)") {
+    // The operational story: today's state is WRITTEN, tomorrow re-READS
+    // it and merges the delta — the BINARY blobs must survive the sink
+    // byte-for-usefully (wrap/heapify on read) for every sketch kind.
+    val rnd = new scala.util.Random(2718)
+    val all = (0 until 1500).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(350).toLong, rnd.nextInt(900) / 8.0)
+    }
+    val (hist, delta) = all.splitAt(900)
+    val hd = hist.toDF("g", "id", "v").repartition(5)
+    val dd = delta.toDF("g", "id", "v").repartition(3)
+    val fd = all.toDF("g", "id", "v").repartition(4)
+
+    def persisted(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_state_rt_").toString
+      graft.etl.Sinks.parquetDir(state, dir)
+      spark.read.parquet(dir)
+    }
+
+    val theta = Sketches.estimateSegments(Sketches.mergeSegmentSketches(12,
+      persisted(Sketches.segmentSketches(hd, "g", "id", lgK = 12)),
+      Sketches.segmentSketches(dd, "g", "id", lgK = 12)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val thetaFull = Sketches.estimateSegments(
+      Sketches.segmentSketches(fd, "g", "id", lgK = 12))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(theta === thetaFull, "theta through disk")
+
+    val kll = Sketches.readQuantiles(Sketches.mergeGroupSketches(2048,
+      persisted(Sketches.groupSketches(hd, "g", "v", k = 2048)),
+      Sketches.groupSketches(dd, "g", "v", k = 2048)), Seq(0.25, 0.75))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val kllFull = Sketches.readQuantiles(
+      Sketches.groupSketches(fd, "g", "v", k = 2048), Seq(0.25, 0.75))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(kll === kllFull, "kll through disk")
+
+    val freq = Sketches.frequentItems(Sketches.mergeFreqSketches(512,
+      persisted(Sketches.freqSketches(hd, "g", "id", maxMapSize = 512)),
+      Sketches.freqSketches(dd, "g", "id", maxMapSize = 512)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val freqFull = Sketches.frequentItems(
+      Sketches.freqSketches(fd, "g", "id", maxMapSize = 512))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(freq === freqFull, "freq through disk")
+  }
+
   test("sketch state + delta merges == from-scratch builds (all three kinds)") {
     (0 until 5).foreach { scenario =>
       val rnd = new scala.util.Random(314 + scenario)
