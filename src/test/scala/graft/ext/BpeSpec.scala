@@ -63,4 +63,104 @@ class BpeSpec extends SparkTestBase {
     assert(got(0).getSeq[String](0) === Seq("lo", "lo"))
     assert(got(1).isNullAt(0))
   }
+
+  // ------------------------------------------------- second reference
+
+  /** Independent greedy-BPE reference: list recursion instead of the
+    * expression's vector loop, written from the spec alone (per word:
+    * merge every occurrence of the LOWEST-rank present pair left to
+    * right, resuming after each merge; repeat until no trainable pair
+    * remains). Divergences adjudicate against Sennrich et al. 2016 /
+    * the GPT-2 encoder convention. */
+  private def refEncode(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    def mergeAll(syms: List[String], a: String, b: String): List[String] = {
+      @annotation.tailrec
+      def go(rest: List[String], acc: List[String]): List[String] = rest match {
+        case x :: y :: t if x == a && y == b => go(t, (a + b) :: acc)
+        case x :: t                          => go(t, x :: acc)
+        case Nil                             => acc
+      }
+      go(syms, Nil).reverse
+    }
+    @annotation.tailrec
+    def step(syms: List[String]): List[String] = {
+      val present = syms.zip(syms.drop(1)).flatMap(rank.get)
+      if (present.isEmpty) syms
+      else { val (a, b) = merges(present.min); step(mergeAll(syms, a, b)) }
+    }
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      .flatMap(w => step(w.map(_.toString).toList))
+  }
+
+  private def nativeEncode(texts: Seq[String], merges: Seq[(String, String)]): Seq[Seq[String]] =
+    BpeTrainer.encode(texts.toDF("text"), "text", merges)
+      .select("tokens").collect().map(_.getSeq[String](0)).toSeq
+
+  test("differential battery: native encode == independent reference on seeded corpora") {
+    // Random words over a 3-letter alphabet (heavy repetition → overlap
+    // edge cases) against TRAINED tables, plus arbitrary adversarial
+    // merge tables the trainer would never emit.
+    (0 until 20).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val alphabet = "abc"
+      def word() = (0 until 1 + rnd.nextInt(10))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (0 until 30).map(_ => (0 until 1 + rnd.nextInt(8)).map(_ => word()).mkString(" "))
+      val merges = BpeTrainer.collectMerges(
+        BpeTrainer.train(docs.toDF("text"), "text", 1 + rnd.nextInt(12)))
+      val got = nativeEncode(docs, merges)
+      docs.zip(got).foreach { case (text, tokens) =>
+        assert(tokens === refEncode(text, merges), s"seed $seed text '$text'")
+        assert(tokens.mkString === text.toLowerCase.replaceAll("\\s+", ""),
+          s"seed $seed tokens must reassemble '$text'")
+      }
+    }
+  }
+
+  test("differential battery: adversarial tie-rank and self-overlap merge tapes") {
+    // Hand-adversarial tables: self-pairs on runs (left-to-right
+    // collapse), chained merges whose outputs re-match later ranks,
+    // rank ties between overlapping candidates, and pairs absent from
+    // the text. Each case checked against the independent reference.
+    val tapes: Seq[(Seq[String], Seq[(String, String)])] = Seq(
+      // run collapse: aaaa -> aa aa; then (aa,aa) -> aaaa
+      (Seq("aaaa", "aaa", "aaaaa"), Seq(("a", "a"), ("aa", "aa"))),
+      // chain: (a,b)->ab, (ab,c)->abc, then self-chain (abc,abc)
+      (Seq("abcabc", "ababc", "abc"), Seq(("a", "b"), ("ab", "c"), ("abc", "abc"))),
+      // overlapping candidates with adjacent ranks: ba vs ab on 'ababab'
+      (Seq("ababab", "bababa"), Seq(("b", "a"), ("a", "b"))),
+      (Seq("ababab", "bababa"), Seq(("a", "b"), ("b", "a"))),
+      // merged symbol recreates an earlier pair's left side
+      (Seq("aab", "aaab", "aaaab"), Seq(("a", "b"), ("a", "ab"), ("a", "aab"))),
+      // table with pairs never present
+      (Seq("xyz"), Seq(("q", "r"), ("x", "q"))),
+      // single chars and empty-ish inputs
+      (Seq("a", "  a  b  ", "ab"), Seq(("a", "b"))))
+    tapes.zipWithIndex.foreach { case ((texts, merges), i) =>
+      val got = nativeEncode(texts, merges)
+      texts.zip(got).foreach { case (text, tokens) =>
+        assert(tokens === refEncode(text, merges), s"tape $i text '$text' merges $merges")
+      }
+    }
+  }
+
+  test("differential battery: random merge tables over random unicode-ish words") {
+    // Tables built from random symbol pairs (single chars AND composite
+    // strings) — shapes a trained table cannot produce, probing the
+    // expression's rank scan outside the trained-vocabulary happy path.
+    (0 until 10).foreach { seed =>
+      val rnd = new scala.util.Random(7700 + seed)
+      val chars = "abßπ"
+      def sym() = (0 until 1 + rnd.nextInt(2)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      val merges = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      (0 until 3 + rnd.nextInt(8)).foreach(_ => merges += ((sym(), sym())))
+      val texts = (0 until 15).map(_ =>
+        (0 until 1 + rnd.nextInt(12)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+      val got = nativeEncode(texts, merges.toSeq)
+      texts.zip(got).foreach { case (text, tokens) =>
+        assert(tokens === refEncode(text, merges.toSeq), s"seed $seed text '$text'")
+      }
+    }
+  }
 }
