@@ -926,6 +926,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.8)
     },
+    "dedup_substring" -> { (s, dir) =>
+      // ExactSubstr-style span dedup: per-doc duplicated-window counts
+      // and covered-token mass; linear (group-by-hash), never pairwise
+      Dedup.substringSpans(Tables(s, dir, "documents"), k = 12)
+    },
+    "dedup_winnow" -> { (s, dir) =>
+      // MOSS winnowing: window-min gram fingerprints (density 2/(w+1)),
+      // pairs sharing >= 2 — partial-overlap detection
+      Dedup.winnowPairs(Tables(s, dir, "documents"), k = 4, w = 8, minShared = 2L)
+    },
     "dedup_clusters" -> { (s, dir) =>
       // pairs -> transitive dedup clusters via distributed min-label
       // propagation; oracle recomputes the same closure with a recursive
@@ -2756,6 +2766,36 @@ object SparkEntry {
         |FROM documents
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_substring" ->
+      // span dedup contract: a k=12-token window is duplicated iff its
+      // exact token sequence occurs >= 2 times corpus-wide (other doc
+      // or same-doc repeat); dup_tokens = distinct positions covered
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, i, ARRAY_TO_STRING(w[i:i+11], ' ') AS sg
+        |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(w) - 10, 1))) AS u(i) WHERE LEN(w) >= 12),
+        |dup AS (SELECT sg FROM g GROUP BY sg HAVING COUNT(*) >= 2),
+        |dpos AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (sg)),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_dup_shingles FROM dpos GROUP BY doc_id),
+        |cov AS (SELECT doc_id, COUNT(DISTINCT p) AS dup_tokens
+        |  FROM (SELECT doc_id, UNNEST(RANGE(i, i + 12)) AS p FROM dpos) GROUP BY doc_id),
+        |base AS (SELECT doc_id, LEN(w) - 11 AS n_shingles FROM t WHERE LEN(w) >= 12)
+        |SELECT base.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(nd.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
+        |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        |FROM base LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "dedup_winnow" ->
+      // winnowing fingerprints are MD5(gram) hex strings on BOTH sides,
+      // so window-min selection replays exactly; value-only min makes
+      // tie rules irrelevant
+      """WITH t AS (SELECT doc_id,
+        |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |h AS (SELECT doc_id, [MD5(ARRAY_TO_STRING(ts[i:i+3], ' ')) FOR i IN RANGE(1, GREATEST(LEN(ts) - 2, 1))] AS hs
+        |  FROM t WHERE LEN(ts) >= 11),
+        |f AS (SELECT doc_id, LIST_DISTINCT([LIST_MIN(hs[j:j+7]) FOR j IN RANGE(1, GREATEST(LEN(hs) - 6, 1))]) AS fps FROM h),
+        |ix AS (SELECT doc_id, UNNEST(fps) AS fp FROM f)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        |FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

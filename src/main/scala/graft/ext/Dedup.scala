@@ -372,6 +372,117 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Duplicate-SPAN detection (ExactSubstr-style): for every document
+    * with at least `k` tokens, how much of it is covered by a `k`-token
+    * contiguous span that occurs elsewhere in the corpus (another doc,
+    * or repeated within the same doc). Output per doc:
+    * `n_shingles` (k-shingle positions), `n_dup_shingles` (positions
+    * whose shingle occurs >= 2 times corpus-wide, multiplicity
+    * counted), `dup_tokens` (distinct token positions covered by the
+    * union of those duplicated windows — the token mass ExactSubstr
+    * would cut).
+    *
+    * Reference semantics: Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (arXiv:2107.06499) build a corpus
+    * suffix array and remove substrings repeated verbatim. The
+    * distributed re-expression hashes every k-token window and
+    * group-counts the hashes: a window repeats iff its hash count >= 2
+    * (64-bit hash, collisions vanishingly rare and only ever
+    * over-flag).
+    *
+    * Why this shape at 100 TB: unlike every pairwise dedup in this
+    * file, span dedup never forms candidate PAIRS — the hot path is a
+    * count aggregate keyed by an 8-byte hash (map-side partial
+    * combine), then one hash-join back to positions. Cost is linear in
+    * total shingles regardless of how duplicated the corpus is; a
+    * boilerplate span occurring in 10^6 docs is one group row, not
+    * 10^12 pairs. The window explosion for coverage is bounded by
+    * k × duplicated-positions only. */
+  def substringSpans(docs: DataFrame, k: Int = 12,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.texthash.shingle_hashes_all
+    val withSh = barrier(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), shingle_hashes_all(col(textCol), k).as("shs"))
+        .filter(size(col("shs")) > 0))
+    val pos = withSh.select(col("id"), posexplode(col("shs")).as(Seq("i", "h")))
+    val dupHashes = pos.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val dupPos = pos.join(dupHashes, "h").select("id", "i")
+    val nDup = dupPos.groupBy("id").agg(count(lit(1)).as("n_dup_shingles"))
+    val cov = dupPos
+      .select(col("id"), explode(sequence(col("i"), col("i") + lit(k - 1))).as("p"))
+      .groupBy("id").agg(countDistinct(col("p")).as("dup_tokens"))
+    withSh.select(col("id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(nDup, Seq("id"), "left")
+      .join(cov, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** Winnowing fingerprint pairs (MOSS): per doc, hash every k-token
+    * gram, slide a window of `w` consecutive gram hashes, keep the
+    * MINIMUM hash of each window, dedup — that's the doc's fingerprint
+    * set; emit doc pairs sharing >= `minShared` fingerprints.
+    *
+    * Reference: Schleimer, Wilkerson, Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting" (SIGMOD 2003). The
+    * guarantee: any shared token run of length >= w + k - 1 shares at
+    * least one selected fingerprint, while expected density is only
+    * 2/(w+1) of grams — partial-overlap detection (quotes, stitched
+    * documents) at a fraction of full-shingle cost, which is exactly
+    * the regime simple whole-doc fingerprints (Dedup.exact) and
+    * symmetric Jaccard miss.
+    *
+    * The gram hash is `md5(gram text)` — lexicographic hex order, so an
+    * independent engine reproduces the identical selection (window-min
+    * over an engine-private 64-bit hash would not be replayable).
+    * Min-per-window keeps the VALUE only, so tie-breaking rules (robust
+    * vs plain winnowing) cannot change the fingerprint set.
+    *
+    * Scale: docs shorter than w+k-1 tokens are excluded (no full
+    * window). The pair join is an inverted-index self-join on
+    * fingerprint; density 2/(w+1) keeps the index small, and at corpus
+    * scale ubiquitous-boilerplate fingerprints should be frequency-
+    * capped before the join (same hot-key argument as prefix
+    * filtering in [[ngramJaccard]]). */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 8, minShared: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    // drop empty tokens: split-on-trim leaves phantom "" entries when
+    // text starts/ends with non-space whitespace (SQL TRIM is
+    // space-only), and a phantom token would shift every gram
+    val ts = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    // TOTAL expressions (empty array below the k/w floor, never a
+    // descending `sequence`): the optimizer infers `size(fps) > 0`
+    // under the explode and may evaluate it BEFORE the length filter
+    // (conjunct order in a merged Filter is unspecified), so a
+    // partial expression would crash on sub-k docs
+    val grams = when(size(col("ts")) >= k,
+      transform(
+        sequence(lit(1), size(col("ts")) - lit(k - 1)),
+        i => md5(concat_ws(" ", slice(col("ts"), i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val mins = when(size(col("hs")) >= w,
+      transform(
+        sequence(lit(1), size(col("hs")) - lit(w - 1)),
+        j => array_min(slice(col("hs"), j, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val fps = barrier(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), ts.as("ts"))
+        .filter(size(col("ts")) >= k + w - 1)
+        .select(col("id"), grams.as("hs")))   // barrier: hash grams once
+      .select(col("id"), array_distinct(mins).as("fps"))
+    val ix = fps.select(col("id"), explode(col("fps")).as("fp"))
+    ix.as("a").join(ix.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Row-number variant of exact dedup that keeps full rows (first writer
     * wins by id) — the shape to use when the surviving row itself is the
     * output. Partitions by fingerprint, so the window never sees skew

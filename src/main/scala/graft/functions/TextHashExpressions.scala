@@ -125,6 +125,29 @@ private[graft] object TextHashing {
     out.toArray
   }
 
+  /** POSITIONAL hashes of n-token shingles: one hash per start
+    * position, in order, repeats kept. `out(i)` is the hash of tokens
+    * `[i, i+n)`; length is `max(tokens - n + 1, 0)`. The positional
+    * form is what span-level dedup needs — a shingle's start index
+    * recovers the token window it covers. */
+  def shingleHashesAll(s: String, n: Int): Array[Long] = {
+    val toks = tokenHashes(s)
+    if (toks.length < n) return Array.emptyLongArray
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0x51095AD6BEEFCAFEL
+      var j = 0
+      while (j < n) {
+        h = Mix.splitmix64(h ^ toks(i + j))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** Distinct hashes of n-token shingles (order-sensitive n-grams). */
   def shingleHashes(s: String, n: Int): Array[Long] = {
     val toks = tokenHashes(s)
@@ -154,6 +177,22 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextHashing.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> of POSITIONAL n-token shingle hashes: element i hashes
+  * tokens [i, i+n); repeats kept, so `posexplode` recovers (start,
+  * hash) pairs for span-coverage arithmetic. Same token/shingle hash
+  * arithmetic as [[ShingleHashes]] — the two differ only in distinct
+  * vs positional output. */
+case class ShingleHashesAll(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 64, s"shingle width must be in [1,64], got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashing.shingleHashesAll(input.asInstanceOf[UTF8String].toString, n))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -211,6 +250,7 @@ case class DeletionHashes(child: Expression, k: Int)
 object texthash {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   def shingle_hashes(text: Column, n: Int): Column = column(ShingleHashes(expression(text), n))
+  def shingle_hashes_all(text: Column, n: Int): Column = column(ShingleHashesAll(expression(text), n))
   def token_hashes(text: Column): Column = column(TokenHashes(expression(text)))
   def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
     column(BoundedLevenshtein(expression(a), expression(b), k))

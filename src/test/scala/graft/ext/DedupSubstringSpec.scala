@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** Span-level dedup (Dedup.substringSpans) vs a brute-force in-JVM
+  * reference built from the actual token-sequence STRINGS (no hashes),
+  * plus hand-built edge cases: exact-dup full coverage, within-doc
+  * repetition, overlapping-window union, sub-k docs excluded. */
+class DedupSubstringSpec extends SparkTestBase {
+
+  /** Brute force on gram strings: (n_shingles, n_dup_shingles,
+    * dup_tokens) per doc with >= k tokens. */
+  private def ref(corpus: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) => (id, t.trim.split("\\s+").filter(_.nonEmpty)) }
+    val grams = toks.flatMap { case (id, w) =>
+      (0 to w.length - k).map(i => (id, i, w.slice(i, i + k).mkString(" ")))
+    }
+    val occ = grams.groupBy(_._3).map { case (g, v) => (g, v.size) }
+    val dup = grams.filter(g => occ(g._3) >= 2)
+    val nDup = dup.groupBy(_._1).map { case (id, v) => (id, v.size.toLong) }
+    val cov = dup.groupBy(_._1).map { case (id, v) =>
+      (id, v.flatMap(t => t._2 until t._2 + k).toSet.size.toLong)
+    }
+    toks.collect { case (id, w) if w.length >= k =>
+      (id, ((w.length - k + 1).toLong, nDup.getOrElse(id, 0L), cov.getOrElse(id, 0L)))
+    }.toMap
+  }
+
+  private def run(corpus: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.substringSpans(corpus.toDF("doc_id", "text"), k = k)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  test("exact duplicate pair: every window duplicated, full token coverage") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val got = run(Seq((0L, t), (1L, t), (2L, "unrelated words here entirely now today")), k = 4)
+    // 8 tokens, k=4 -> 5 windows, all duplicated, all 8 positions covered
+    assert(got(0L) === ((5L, 5L, 8L)))
+    assert(got(1L) === ((5L, 5L, 8L)))
+    assert(!got.contains(2L) || got(2L) === ((3L, 0L, 0L)))
+    assert(got(2L) === ((3L, 0L, 0L)))
+  }
+
+  test("docs shorter than k are excluded; empty and null-ish text safe") {
+    val got = run(Seq((0L, "one two three"), (1L, ""), (2L, "   "),
+      (3L, "a b c d e f g h i j")), k = 5)
+    assert(got.keySet === Set(3L))
+    assert(got(3L) === ((6L, 0L, 0L)))
+  }
+
+  test("within-doc repetition counts as duplication") {
+    // "x y z w x y z w x y z w": window 'x y z w' occurs at 0,4,8 in ONE doc
+    val got = run(Seq((0L, "x y z w x y z w x y z w"),
+      (1L, "p q r s t u v a b c d e")), k = 4)
+    val (n, d, c) = got(0L)
+    assert(n === 9L)
+    // windows at 0,4,8 are identical; windows 1..3 == 5..7 etc: ALL windows
+    // repeat (the tape has period 4), so every position duplicated
+    assert(d === 9L && c === 12L)
+    assert(got(1L) === ((9L, 0L, 0L)))
+  }
+
+  test("overlapping duplicated windows union their coverage (no double count)") {
+    // shared 6-token run inside otherwise-distinct docs, k=4 -> 3
+    // overlapping duplicated windows covering exactly 6 positions
+    val shared = "m1 m2 m3 m4 m5 m6"
+    val got = run(Seq(
+      (0L, s"aa bb cc $shared dd ee ff"),
+      (1L, s"gg hh ii jj $shared kk ll")), k = 4)
+    assert(got(0L)._2 === 3L && got(0L)._3 === 6L)
+    assert(got(1L)._2 === 3L && got(1L)._3 === 6L)
+  }
+
+  test("matches brute-force reference on adversarial random corpora") {
+    for (seed <- 1 to 4; k <- Seq(3, 5)) {
+      val rnd = new scala.util.Random(seed * 31 + k)
+      // tiny vocab + planted copies force heavy span sharing
+      val vocab = Vector("a", "b", "c", "d")
+      val base = (0L until 24L).map { i =>
+        (i, Seq.fill(2 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // plant: doc 24 = copy of doc 0, doc 25 = doc 1 with a tail glued on
+      val corpus = base ++ Seq(
+        (24L, base(0)._2),
+        (25L, base(1)._2 + " " + base(2)._2),
+        (26L, "\t" + base(3)._2 + "  \n")) // whitespace-noise copy
+      val expected = ref(corpus, k)
+      val got = run(corpus, k)
+      assert(got === expected, s"seed=$seed k=$k")
+    }
+  }
+}
