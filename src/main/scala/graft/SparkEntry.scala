@@ -284,6 +284,17 @@ object SparkEntry {
         FixedWidthCol("o_orderstatus", 24, 1),
         FixedWidthCol("o_year", 25, 4, "int")))
     },
+    "etl_avro" -> { (s, dir) =>
+      // Avro OCF round trip over the from-scratch avro-core reader/
+      // writer: the full orders table (long/string/double/timestamp —
+      // timestamp goes through logical timestamp-micros) written as a
+      // container-file directory, read back through SmartLoad's .avro
+      // dispatch. Oracle = the base table verbatim: any encode/decode,
+      // union-nullability or logical-type defect breaks the hash.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_").toString + "/orders_avro"
+      graft.etl.Sinks.avroDir(Tables(s, dir, "orders"), tmp)
+      graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("avro"))
+    },
     "etl_schema_drift" -> { (s, dir) =>
       // Three drifted extracts of orders: v1 has int keys and no clerk;
       // v2 widened keys to long and added the status column; v3 has
@@ -1955,6 +1966,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CAST(YEAR(o_orderdate) AS INT) AS o_year
         |FROM orders""".stripMargin,
+    "etl_avro" ->
+      // round trip must reproduce the base table bit-for-bit (doubles
+      // pass through unaggregated, so they are engine-stable)
+      "SELECT * FROM orders",
     "etl_schema_drift" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice,
         | CAST(NULL AS VARCHAR) AS o_orderstatus

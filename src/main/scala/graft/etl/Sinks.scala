@@ -42,6 +42,12 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(outDir)
   }
 
+  /** Avro OCF sink — one container file per non-empty partition via
+    * [[AvroIO.write]] (from-scratch over avro-core; see its scaladoc
+    * for the supported type lattice). */
+  def avroDir(df: DataFrame, outDir: String): Unit =
+    AvroIO.write(df, outDir)
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)

@@ -39,6 +39,9 @@ object SmartLoad {
     // Spark-native DSv2 source (predicate pushdown + column pruning like
     // parquet), so warehouse extracts arriving as ORC load identically
     else if (is("orc", "orc")) spark.read.orc(path)
+    // row-oriented interchange sibling: from-scratch OCF reader over
+    // avro-core (no connector module on this classpath)
+    else if (is("avro", "avro")) AvroIO.read(spark, path)
     else sniffDelimited(spark, path)
   }
 
