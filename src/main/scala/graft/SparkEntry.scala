@@ -295,6 +295,20 @@ object SparkEntry {
       graft.etl.Sinks.avroDir(Tables(s, dir, "orders"), tmp)
       graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("avro"))
     },
+    "etl_xml" -> { (s, dir) =>
+      // XML round trip over the StAX reader/escaped writer: orders
+      // projected to the inference lattice's types (long/string/double
+      // + a year int), written as record XML, read back and re-typed
+      // by per-column inference. Oracle = the same projection off the
+      // base table (double text round trip is exact: Java toString ->
+      // parse is the identity on doubles).
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString + "/orders_xml"
+      graft.etl.Sinks.xmlDir(o, tmp)
+      graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("xml"))
+    },
     "etl_schema_drift" -> { (s, dir) =>
       // Three drifted extracts of orders: v1 has int keys and no clerk;
       // v2 widened keys to long and added the status column; v3 has
@@ -1970,6 +1984,10 @@ object SparkEntry {
       // round trip must reproduce the base table bit-for-bit (doubles
       // pass through unaggregated, so they are engine-stable)
       "SELECT * FROM orders",
+    "etl_xml" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | CAST(YEAR(o_orderdate) AS BIGINT) AS o_year
+        |FROM orders""".stripMargin,
     "etl_schema_drift" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice,
         | CAST(NULL AS VARCHAR) AS o_orderstatus

@@ -48,6 +48,12 @@ object Sinks {
   def avroDir(df: DataFrame, outDir: String): Unit =
     AvroIO.write(df, outDir)
 
+  /** XML sink — one well-formed file per non-empty partition via
+    * [[XmlIO.write]]; the exact record shape [[XmlIO.read]] ingests. */
+  def xmlDir(df: DataFrame, outDir: String, rowTag: String = "row",
+      rootTag: String = "rows"): Unit =
+    XmlIO.write(df, outDir, rowTag, rootTag)
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)

@@ -42,6 +42,8 @@ object SmartLoad {
     // row-oriented interchange sibling: from-scratch OCF reader over
     // avro-core (no connector module on this classpath)
     else if (is("avro", "avro")) AvroIO.read(spark, path)
+    // flat-record XML (pandas read_xml shape) on the JDK StAX parser
+    else if (is("xml", "xml")) XmlIO.read(spark, path)
     else sniffDelimited(spark, path)
   }
 
