@@ -43,8 +43,13 @@ object XmlIO {
   def read(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame = {
     val recs = spark.sparkContext.wholeTextFiles(path)
       .flatMap { case (_, xml) => parseRecords(xml, rowTag) }
+    // cached through the RETURNED frame's lifetime: schema aggregation,
+    // first-record probe, and the caller's own actions all read the
+    // parse once; the ContextCleaner unpersists automatically when the
+    // frame (and so this RDD) becomes unreachable — an eager unpersist
+    // here would silently re-parse every file on each downstream action
     recs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       if (recs.isEmpty()) return spark.emptyDataFrame
 
       // ---- schema: one distributed aggregate builds the per-column
@@ -101,7 +106,7 @@ object XmlIO {
         })
       }
       spark.createDataFrame(rows, schema)
-    } finally recs.unpersist(blocking = false)
+    }
   }
 
   private def boolOk(s: String) = {

@@ -32,6 +32,20 @@ object Dedup {
   private def barrier(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** Optimizer fence: rebuild the frame from its RDD so the plan below
+    * becomes an opaque LogicalRDD that no Catalyst rule can cross. A
+    * `barrier` stops projection collapse but NOT predicate pushdown —
+    * `InferFiltersFromGenerate` plants `size(col) > 0` under an explode,
+    * and pushdown then substitutes the alias chain into that filter; with
+    * nested higher-order functions the substituted lambda re-evaluates its
+    * argument expression per element (tokenize × grams × windows), a
+    * per-row cascade measured at 430 s vs ~2 s on sf0.1 winnowing. Unlike
+    * `localCheckpoint` this is lazy and fault-tolerant (the RDD keeps
+    * lineage for recompute); the Row ser/deser cost is linear in the
+    * fenced frame, so fence the SMALLEST frame that needs protecting. */
+  private def planFence(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Exact dedup: one surviving (min) doc id per distinct normalized text,
     * with the duplicate count. Groups by md5 fingerprint so the shuffle
     * key is 16 bytes; map-side partial aggregation applies. */
@@ -469,12 +483,21 @@ object Dedup {
         sequence(lit(1), size(col("hs")) - lit(w - 1)),
         j => array_min(slice(col("hs"), j, lit(w)))))
       .otherwise(array().cast("array<string>"))
-    val fps = barrier(
-      docs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), ts.as("ts"))
-        .filter(size(col("ts")) >= k + w - 1)
-        .select(col("id"), grams.as("hs")))   // barrier: hash grams once
-      .select(col("id"), array_distinct(mins).as("fps"))
+    // The inner barrier materializes the gram hashes so the window-min
+    // pass reads a bound column instead of re-deriving grams per lambda
+    // element. The outer barrier ends the fenced RDD's lineage at an
+    // exchange, so the self-join's two scans replay one set of shuffle
+    // files and the winnow computes once. The fence itself is what keeps
+    // the explode fast: without it, InferFiltersFromGenerate's
+    // size(fps) > 0 is pushed down and substituted into the nested HOF
+    // chain (430 s vs ~2 s at sf0.1 — see planFence).
+    val fps = planFence(barrier(
+      barrier(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), ts.as("ts"))
+          .filter(size(col("ts")) >= k + w - 1)
+          .select(col("id"), grams.as("hs")))
+        .select(col("id"), array_distinct(mins).as("fps"))))
     val ix = fps.select(col("id"), explode(col("fps")).as("fp"))
     ix.as("a").join(ix.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
