@@ -309,6 +309,40 @@ object SparkEntry {
       graft.etl.Sinks.xmlDir(o, tmp)
       graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("xml"))
     },
+    "etl_tfrecord" -> { (s, dir) =>
+      // tf.train.Example round trip over the from-scratch TFRecord
+      // codec (masked-CRC32C frames + hand-rolled protobuf): long and
+      // string scalars, a float32 scalar, and an int64 list written as
+      // part shards and read back under the explicit schema. The
+      // float32 cast sits on BOTH faces (IEEE round-to-nearest is
+      // engine-identical); the list face serializes to CSV — array
+      // columns don't order-compare portably across engines.
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("float").as("o_price_f"),
+        array(pmod(col("o_orderkey"), lit(7L)),
+          pmod(col("o_custkey"), lit(11L))).as("o_keys"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tfr_").toString + "/orders_tfrecord"
+      graft.etl.Sinks.tfRecordDir(o, tmp)
+      graft.etl.TfRecordIO.read(s, tmp, o.schema)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_price_f"),
+          array_join(col("o_keys"), ",").as("keys_str"))
+    },
+    "etl_webdataset" -> { (s, dir) =>
+      // WebDataset tar-shard round trip over the from-scratch ustar
+      // writer/reader: each document becomes a `doc-<id>.txt` +
+      // `doc-<id>.lang` sample in a tar shard per partition, read back
+      // by consecutive-key grouping and decoded to strings. Oracle =
+      // the same projection off the base table.
+      val d = Tables(s, dir, "documents").select(
+        concat(lit("doc-"), col("doc_id")).as("key"),
+        col("text").as("txt"), col("lang"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wds_").toString + "/documents_wds"
+      graft.etl.Sinks.webDatasetShards(d, "key", tmp)
+      graft.etl.WebDatasetIO.read(s, tmp)
+        .select(col("key"), col("txt").cast("string").as("txt"),
+          col("lang").cast("string").as("lang"))
+    },
     "etl_schema_drift" -> { (s, dir) =>
       // Three drifted extracts of orders: v1 has int keys and no clerk;
       // v2 widened keys to long and added the status column; v3 has
@@ -1988,6 +2022,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | CAST(YEAR(o_orderdate) AS BIGINT) AS o_year
         |FROM orders""".stripMargin,
+    "etl_tfrecord" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(o_totalprice AS FLOAT4) AS o_price_f,
+        | CAST(o_orderkey % 7 AS VARCHAR) || ',' ||
+        |   CAST(o_custkey % 11 AS VARCHAR) AS keys_str
+        |FROM orders""".stripMargin,
+    "etl_webdataset" ->
+      """SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS key, text AS txt, lang
+        |FROM documents""".stripMargin,
     "etl_schema_drift" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice,
         | CAST(NULL AS VARCHAR) AS o_orderstatus

@@ -54,6 +54,16 @@ object Sinks {
       rootTag: String = "rows"): Unit =
     XmlIO.write(df, outDir, rowTag, rootTag)
 
+  /** TFRecord sink — one `part-NNNNN.tfrecord` of `tf.train.Example`
+    * frames per non-empty partition via [[TfRecordIO.write]]. */
+  def tfRecordDir(df: DataFrame, outDir: String): Unit =
+    TfRecordIO.write(df, outDir)
+
+  /** WebDataset sink — one `shard-NNNNN.tar` per non-empty partition
+    * via [[WebDatasetIO.write]]; shard grain = partition grain. */
+  def webDatasetShards(df: DataFrame, keyCol: String, outDir: String): Unit =
+    WebDatasetIO.write(df, keyCol, outDir)
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)

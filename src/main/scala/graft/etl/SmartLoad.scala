@@ -44,6 +44,13 @@ object SmartLoad {
     else if (is("avro", "avro")) AvroIO.read(spark, path)
     // flat-record XML (pandas read_xml shape) on the JDK StAX parser
     else if (is("xml", "xml")) XmlIO.read(spark, path)
+    // training-loader containers: tf.train.Example frames (schema
+    // inferred from a record sample — pass an explicit schema through
+    // TfRecordIO.read for production shape pinning) and WebDataset
+    // tar shards (extensions inferred from the first shard's headers)
+    else if (is("tfrecord", "tfrecord"))
+      TfRecordIO.read(spark, path, TfRecordIO.inferSchema(spark, path))
+    else if (is("tar", "webdataset")) WebDatasetIO.read(spark, path)
     else sniffDelimited(spark, path)
   }
 
