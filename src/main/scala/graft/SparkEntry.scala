@@ -229,6 +229,25 @@ object SparkEntry {
         length(col("clean")).cast("int").as("clean_len"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
     },
+    "export_train_shards" -> { (s, dir) =>
+      // The full training-export story end-to-end: quality filter →
+      // deterministic engine-portable shard assignment (first md5 hex
+      // nibble — replays identically in DuckDB, unlike a seeded rand)
+      // → shard-co-located TFRecord container write → reload through
+      // the frame-verified reader → per-shard audit. The oracle
+      // recomputes the shard membership and per-shard sums straight
+      // off the base table, so a defect anywhere in the chain —
+      // assignment, encode, frame CRC, decode — breaks the hash.
+      val d = Tables(s, dir, "documents").filter(col("n_chars") >= lit(100L))
+      val sharded = graft.ext.Curation.shardByMd5(d, "doc_id")
+        .select(col("doc_id"), col("shard"), col("n_chars"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_exp_").toString + "/train_shards"
+      graft.etl.Sinks.tfRecordDir(sharded.repartition(16, col("shard")), tmp)
+      graft.etl.TfRecordIO.read(s, tmp, sharded.schema)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
     "etl_flatten" -> { (s, dir) =>
       // Nested-struct flattening end-to-end: events packed into a
       // two-level struct, flattened back to parent_child columns; the
@@ -1994,6 +2013,11 @@ object SparkEntry {
         |      WHEN ((doc_id % 100) * 61) % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM dedup WHERE rn = 1""".stripMargin,
+    "export_train_shards" ->
+      """SELECT SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        | COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 100 GROUP BY 1""".stripMargin,
     "etl_flatten" ->
       """SELECT event_id, user_id AS ctx_who_id, event_type AS ctx_who_type,
         | CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ctx_at_sec

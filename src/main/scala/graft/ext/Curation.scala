@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Deterministic, engine-portable shard assignment: the first
+    * `nibbles` hex characters of md5(key) — 16^nibbles balanced shards
+    * whose assignment replays identically in ANY engine with an md5
+    * function. That portability is the property a training-data export
+    * needs: re-running the export tomorrow, or auditing a shard's
+    * membership from a warehouse, lands every document in the same
+    * shard (a seeded `rand()` replays only inside one engine+plan).
+    * Pure projection — no shuffle; co-locating a shard's rows for a
+    * sharded container write is the caller's `repartition("shard")`.
+    */
+  def shardByMd5(df: DataFrame, keyCol: String, nibbles: Int = 1): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 8, s"nibbles must be in [1,8], got $nibbles")
+    df.withColumn("shard",
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, nibbles))
+  }
+
   /** Split each document into overlapping token-window chunks — the
     * standard pre-tokenization shaping step for context-window-bounded
     * training and for retrieval indexing.

@@ -360,4 +360,30 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) === "aa bb aa bb aa bb")
   }
+
+  test("shardByMd5 matches the published md5 vectors and balances") {
+    import spark.implicits._
+    // RFC 1321 test-suite vector: md5("abc") = 900150983cd24fb0...
+    val v = Curation.shardByMd5(Seq("abc").toDF("k"), "k", nibbles = 4)
+      .select("shard").as[String].head()
+    assert(v === "9001")
+    // assignment is a pure function of the key: identical keys agree
+    // across frames, and 1-nibble shards over sequential ids balance
+    val ids = (1L to 4096L).toDF("id")
+    val byShard = Curation.shardByMd5(ids, "id")
+      .groupBy("shard").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet.subsetOf("0123456789abcdef".map(_.toString).toSet))
+    assert(byShard.size === 16)
+    assert(byShard.values.min > 4096 / 16 / 2 && byShard.values.max < 4096 / 16 * 2)
+    val again = Curation.shardByMd5(ids, "id")
+      .groupBy("shard").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === byShard)
+  }
+
+  test("shardByMd5 nibble bounds fail loud") {
+    import spark.implicits._
+    val df = Seq("x").toDF("k")
+    intercept[IllegalArgumentException](Curation.shardByMd5(df, "k", nibbles = 0))
+    intercept[IllegalArgumentException](Curation.shardByMd5(df, "k", nibbles = 9))
+  }
 }
