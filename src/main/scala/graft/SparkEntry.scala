@@ -607,8 +607,8 @@ object SparkEntry {
         keys = Seq("user_id"), tsCol = "ts", pick = Seq("err_id", "err_ts"),
         suffix = "", tiebreakCol = Some("err_id"))
         .select(col("event_id"), col("user_id"), col("err_id").as("last_err_id"),
-          (call_function("div", col("ts"), lit(1000000000L)) -
-            call_function("div", col("err_ts"), lit(1000000000L))).as("secs_since_err"))
+          (tsEpochSec(ev.schema) - tsEpochSec(ev.schema, "err_ts"))
+            .as("secs_since_err"))
     },
     "q_asof_join_forward" -> { (s, dir) =>
       // Next-event attribution: for every non-error event, the NEXT
@@ -623,8 +623,8 @@ object SparkEntry {
         keys = Seq("user_id"), tsCol = "ts", pick = Seq("err_id", "err_ts"),
         suffix = "", tiebreakCol = Some("err_id"))
         .select(col("event_id"), col("user_id"), col("err_id").as("next_err_id"),
-          (call_function("div", col("err_ts"), lit(1000000000L)) -
-            call_function("div", col("ts"), lit(1000000000L))).as("secs_to_err"))
+          (tsEpochSec(ev.schema, "err_ts") - tsEpochSec(ev.schema))
+            .as("secs_to_err"))
     },
     "q_temporal_sql" -> { (s, dir) =>
       // The SCD2 point-in-time join through its SQL face: graft_temporal
@@ -666,9 +666,13 @@ object SparkEntry {
       ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"), col("event_id").as("err_id"), col("ts").as("err_ts"))
         .createOrReplaceTempView("graft_asof_right_v")
-      s.sql("""
+      val secsExpr =
+        if (tsIsNanoLong(ev.schema))
+          "(ts DIV 1000000000) - (err_ts DIV 1000000000)"
+        else "unix_timestamp(ts) - unix_timestamp(err_ts)"
+      s.sql(s"""
         SELECT event_id, user_id, err_id AS last_err_id,
-               (ts DIV 1000000000) - (err_ts DIV 1000000000) AS secs_since_err
+               $secsExpr AS secs_since_err
         FROM graft_asof('graft_asof_left_v', 'graft_asof_right_v',
                         'user_id', 'ts', 'err_id,err_ts', 'backward', 'err_id', '')
       """)
@@ -695,7 +699,7 @@ object SparkEntry {
       // session interval that contains it (bucketized range join).
       val ev = Tables(s, dir, "events")
       val evSec = ev.select(col("event_id"), col("user_id"),
-        (call_function("div", col("ts"), lit(1000000000L))).as("ts_sec"))
+        tsEpochSec(ev.schema).as("ts_sec"))
       val sessions = graft.ext.Events.sessionize(ev)
         .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
           col("session_start"), col("session_end"))
@@ -727,7 +731,7 @@ object SparkEntry {
       graft.GraftExtensions.register(s)
       val ev = Tables(s, dir, "events")
       ev.select(col("event_id"), col("user_id"),
-        (call_function("div", col("ts"), lit(1000000000L))).as("ts_sec"))
+        tsEpochSec(ev.schema).as("ts_sec"))
         .createOrReplaceTempView("graft_range_left_v")
       graft.ext.Events.sessionize(ev)
         .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
@@ -1518,8 +1522,7 @@ object SparkEntry {
         val batchSchema = Tables(s, dir, "events").schema
         val stream = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts",
-            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+          .withColumn("ts", tsSecondTrunc(batchSchema))
         val agg = graft.streaming.StreamingOps.hopping(stream)
         val name = s"graft_stream_hopping_${streamRunSeq.incrementAndGet()}"
         graft.streaming.StreamingOps.runToMemory(agg, name,
@@ -1539,8 +1542,7 @@ object SparkEntry {
         val batchSchema = Tables(s, dir, "events").schema
         def src() = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts",
-            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+          .withColumn("ts", tsSecondTrunc(batchSchema))
         val joined = graft.streaming.StreamingOps.intervalJoin(
           src().filter(col("event_type") === "click"),
           src().filter(col("event_type") === "view"),
@@ -1660,7 +1662,7 @@ object SparkEntry {
         val batchSchema = Tables(s, dir, "events").schema
         val stream = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+          .withColumn("ts", tsMicros(batchSchema))
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[graft.streaming.StreamingOps.Event]
         val out = graft.streaming.StreamingOps.userStats(stream).toDF()
@@ -1682,8 +1684,7 @@ object SparkEntry {
         val batchSchema = Tables(s, dir, "events").schema
         val stream = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts",
-            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+          .withColumn("ts", tsSecondTrunc(batchSchema))
         val agg = graft.streaming.StreamingOps.sessions(stream,
           gap = "30 minutes", watermark = "2 hours")
         val name = s"graft_stream_sessions_${streamRunSeq.incrementAndGet()}"
@@ -1768,8 +1769,7 @@ object SparkEntry {
         val batchSchema = Tables(s, dir, "events").schema
         val stream = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts",
-            timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))))
+          .withColumn("ts", tsSecondTrunc(batchSchema))
           .select("ts", "user_id", "event_type")
         val dedup = graft.streaming.StreamingOps.dedupStream(stream,
           keyCols = Seq("user_id", "event_type"), watermark = "1 hour")
@@ -1785,6 +1785,37 @@ object SparkEntry {
   /** Memory-sink names must be fresh per invocation (bench warm-up + two
     * timed passes reuse one session). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The events fixture's `ts` has shipped in two encodings across driver
+    * drops: TIMESTAMP(NANOS), which Spark reads as a nanosecond LONG under
+    * spark.sql.legacy.parquet.nanosAsLong, and native micros
+    * TIMESTAMP(_NTZ). Every consumer of event time goes through one of
+    * these three faces so both encodings produce identical results (the
+    * session timezone is pinned UTC, so the NTZ reading is unambiguous —
+    * same convention as `Events.tsSec`). Integer `div` for the nano path:
+    * float division of ~1.7e18 longs corrupts second boundaries. */
+  private def tsIsNanoLong(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema("ts").dataType == org.apache.spark.sql.types.LongType
+
+  private def tsEpochSec(schema: org.apache.spark.sql.types.StructType,
+      c: String = "ts"): org.apache.spark.sql.Column =
+    if (tsIsNanoLong(schema)) call_function("div", col(c), lit(1000000000L))
+    else unix_timestamp(col(c))
+
+  /** Event time truncated to whole seconds as a TimestampType column —
+    * the portable contract for windowed/streaming rows (oracle side:
+    * FLOOR(EPOCH(ts))). */
+  private def tsSecondTrunc(schema: org.apache.spark.sql.types.StructType,
+      c: String = "ts"): org.apache.spark.sql.Column =
+    timestamp_seconds(tsEpochSec(schema, c))
+
+  /** Full-precision event time as TimestampType (micros — Spark's native
+    * resolution; the nano path truncates nanos→micros exactly like the
+    * parquet micros writer would). */
+  private def tsMicros(schema: org.apache.spark.sql.types.StructType,
+      c: String = "ts"): org.apache.spark.sql.Column =
+    if (tsIsNanoLong(schema)) timestamp_micros(call_function("div", col(c), lit(1000L)))
+    else col(c).cast("timestamp")
 
   /** Run `body` on an ISOLATED clone of `s` (`newSession()`: shared
     * SparkContext and cached data, fresh SQLConf/catalog) with
@@ -1825,9 +1856,9 @@ object SparkEntry {
     val replayOrder = if (order.nonEmpty) order else (1 to parts)
     require(replayOrder.sorted == (1 to parts),
       s"order must be a permutation of 1..$parts, got $replayOrder")
-    val ev = Tables(s, dir, "events").select(
-      col("event_id"),
-      timestamp_seconds(call_function("div", col("ts"), lit(1000000000L))).as("ts"),
+    val evRaw = Tables(s, dir, "events")
+    val ev = evRaw.select(
+      col("event_id"), tsSecondTrunc(evRaw.schema).as("ts"),
       col("user_id"), col("event_type"), col("value"))
     val tiled = ev.withColumn("__tile", ntile(parts).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
