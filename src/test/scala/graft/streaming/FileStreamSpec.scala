@@ -5,15 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Drive the streaming operators from a real file source: the events
-  * fixture re-written with proper timestamps (the driver fixture stores
-  * TIMESTAMP(NANOS), which the batch path reads as long nanos), consumed
-  * via readStream and aggregated with a watermark. */
+  * fixture re-written with proper timestamps, consumed via readStream and
+  * aggregated with a watermark. The fixture's ts has shipped both as
+  * TIMESTAMP(NANOS)-read-as-long and as native micros timestamp across
+  * driver drops — normalize either to TimestampType. */
 class FileStreamSpec extends SparkTestBase {
+
+  private def tsAsMicros(schema: org.apache.spark.sql.types.StructType) =
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      timestamp_micros(call_function("div", col("ts"), lit(1000L)))
+    else col("ts").cast("timestamp")
 
   test("readStream over the events fixture feeds the tumbling aggregation") {
     val staged = java.nio.file.Files.createTempDirectory("evstream").toString
-    val batch = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+    val batch = raw.withColumn("ts", tsAsMicros(raw.schema))
     batch.coalesce(1).write.mode("overwrite").parquet(staged)
 
     val stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
@@ -38,7 +44,7 @@ class FileStreamSpec extends SparkTestBase {
     def drainOnce(): Unit = {
       val stream = spark.readStream.schema(batchDf.schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf())
-        .withColumn("ts", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+        .withColumn("ts", tsAsMicros(batchDf.schema))
       StreamingOps.runToParquet(
         StreamingOps.dedupStream(stream, keyCols = Seq("event_id")), out, ckpt)
     }
