@@ -174,6 +174,21 @@ object GraftExtensions {
         probs, k = longLit(args(4), "k").toInt)
       out.queryExecution.logical
     }),
+    //   graft_sketch_freq_items(table_view, group_col, item_col, max_map_size)
+    // Mergeable per-group frequent-items state — the SQL face of
+    // Sketches.freqSketches + frequentItems: same per-partition
+    // Misra-Gries-family build, keyed blob merge, NO_FALSE_NEGATIVES
+    // read (grp, item, est, lb, ub); exact while each group's distinct
+    // item count stays within max_map_size.
+    ("graft_sketch_freq_items", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.table(strLit(args(0), "table_view"))
+      val st = graft.ops.Sketches.freqSketches(df,
+        strLit(args(1), "group_col"), strLit(args(2), "item_col"),
+        maxMapSize = longLit(args(3), "max_map_size").toInt)
+      val out = graft.ops.Sketches.frequentItems(st)
+      out.queryExecution.logical
+    }),
     //   graft_temporal(facts_view, dim_view, keys_csv, fact_time_col)
     // SCD2 point-in-time join: same plan as Merge.temporalJoin (equi-key
     // drive, validity interval as a join residual, left join).

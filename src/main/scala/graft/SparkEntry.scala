@@ -1293,6 +1293,22 @@ object SparkEntry {
         s"SELECT * FROM graft_sketch_quantiles('$v', 'event_type', 'value', '0.1,0.5,0.9,1.0', 32768)")
       finally s.catalog.dropTempView(v)
     },
+    "sketch_freq_items_sql" -> { (s, dir) =>
+      // Frequent-items state through the SQL face: graft_sketch_freq_items
+      // is a registered TVF returning the same per-partition sketch build
+      // + keyed blob merge + NO_FALSE_NEGATIVES read plan as the Scala
+      // API — shared oracle with sketch_freq_items (64-counter map over a
+      // 5-type domain: never purges, estimates are exact counts).
+      graft.GraftExtensions.register(s)
+      val v = s"graft_freq_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Tables(s, dir, "events")
+        .select(pmod(col("user_id"), lit(10L)).as("bucket"), col("event_type"))
+        .createOrReplaceTempView(v)
+      try s.sql(s"SELECT * FROM graft_sketch_freq_items('$v', 'bucket', 'event_type', 64)")
+        .select(col("grp").as("bucket"), col("item").as("event_type"),
+          col("est").as("n"))
+      finally s.catalog.dropTempView(v)
+    },
     "sketch_incremental_state" -> { (s, dir) =>
       // The stored-state operational story end-to-end: day-N segment
       // sketches are built once and PERSISTED through the parquet sink;
@@ -2844,6 +2860,11 @@ object SparkEntry {
         |WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "sketch_freq_items" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS bucket, event_type,
+        | COUNT(*) AS n
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "sketch_freq_items_sql" ->
       """SELECT CAST(user_id % 10 AS VARCHAR) AS bucket, event_type,
         | COUNT(*) AS n
         |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL

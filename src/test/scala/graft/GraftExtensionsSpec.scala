@@ -161,6 +161,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("graft_sketch_freq_items table-valued function equals exact counts") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // 4 groups x 6 items, every count distinct — far inside a 64-counter
+    // map, so the sketch never purges and every estimate is exact
+    val rows = for (g <- 0 until 4; i <- 0 until 6; _ <- 0 until (g * 6 + i + 1))
+      yield (s"g$g", s"item$i")
+    val df = rows.toDF("g", "item")
+    df.createOrReplaceTempView("tvf_freq_t")
+    val got = spark.sql(
+      "SELECT grp, item, est FROM graft_sketch_freq_items('tvf_freq_t', 'g', 'item', 64)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = rows.groupBy(identity).map { case ((g, i), vs) => (g, i, vs.size.toLong) }.toSet
+    assert(got === want && got.size === 24)
+    // lb == est == ub in exact mode
+    val bounds = spark.sql(
+      "SELECT * FROM graft_sketch_freq_items('tvf_freq_t', 'g', 'item', 64)")
+      .filter("lb <> est OR ub <> est").count()
+    assert(bounds === 0L)
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
