@@ -586,6 +586,24 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"), col("o_orderstatus"))
     },
+    "q_auto_skew_join" -> { (s, dir) =>
+      // Hot-key-only salted join: a synthetic pathological key over
+      // lineitem (key 0 carries ~30% of all rows; ~997 cold keys carry
+      // the rest) joined to a small dimension. Sampled detection finds
+      // the hot key; only its rows take the salted path, cold keys ride
+      // the stock hash join, and the union equals the plain join —
+      // which is exactly what the oracle asserts. Detection is
+      // plan-shape-only: the result is sample-independent.
+      val li = Tables(s, dir, "lineitem")
+      val big = li.select(
+        when(pmod(col("l_orderkey"), lit(10L)) < 3, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(997L))).as("k"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val dim = s.range(0, 997).select(col("id").as("k"),
+        (col("id") * 7 % 101).as("dim_code"))
+      graft.ops.Skew.autoSaltedJoin(big, dim, keys = Seq("k"), salts = 8,
+        sampleFraction = 0.1, hotRowThreshold = 1000L)
+    },
     "q_salted_agg" -> { (s, dir) =>
       // Two-stage salted aggregation (hot-key mitigation); result is
       // identical to the plain group-by, which is exactly what the
@@ -2378,6 +2396,16 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
         | o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_auto_skew_join" ->
+      """WITH big AS (
+        | SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+        |   ELSE l_orderkey % 997 END AS k,
+        |  l_orderkey, l_linenumber, l_extendedprice
+        | FROM lineitem),
+        |dim AS (SELECT range AS k, (range * 7) % 101 AS dim_code
+        |        FROM range(0, 997))
+        |SELECT big.k, l_orderkey, l_linenumber, l_extendedprice, dim_code
+        |FROM big JOIN dim USING (k)""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

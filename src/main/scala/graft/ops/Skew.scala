@@ -79,4 +79,64 @@ object Skew {
       .withColumn("__salt", explode(lit((0 until salts).toArray)))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Salted equi join that salts ONLY detected hot keys — the production
+    * refinement of [[saltedJoin]]: blanket salting replicates the whole
+    * small side `salts`× and widens every exchange; at 100 TB the right
+    * move is to pay that cost for the handful of pathological keys and
+    * leave the rest on the stock shuffled hash join.
+    *
+    * Detection: a seeded sample of the big side's keys (one cheap
+    * key-only pass over `sampleFraction` of the rows); a key whose
+    * scaled-up estimate exceeds `hotRowThreshold` rows is hot. The hot
+    * set is bounded by `maxHotKeys` (fail-loud — a join where millions
+    * of keys are "hot" isn't skewed, it's big, and needs a different
+    * plan). Detection affects ONLY plan shape: whichever keys land in
+    * the hot set, both paths compute the same rows, so the result is
+    * sample-independent and equals the plain equi join exactly.
+    *
+    * Routing: the hot-key set (collected, ≤ maxHotKeys rows) splits both
+    * sides via a broadcast semi/anti join — hot rows take the salted
+    * path, cold rows the plain join — and the union of the two disjoint
+    * paths is returned. Inner and left joins, same as [[saltedJoin]];
+    * NULL-keyed left rows fall to the cold path where left-join
+    * semantics preserve them. With no hot keys detected the plain join
+    * is returned untouched (no split, no union). */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int = 16, joinType: String = "inner",
+      sampleFraction: Double = 0.05, hotRowThreshold: Long = 100000L,
+      maxHotKeys: Int = 10000, seed: Long = 42L): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(joinType == "inner" || joinType == "left",
+      s"auto-salted join supports inner/left, got $joinType")
+    val keyCols = keys.map(col)
+    val sampled =
+      if (sampleFraction >= 1.0) big.select(keyCols: _*)
+      else big.select(keyCols: _*).sample(withReplacement = false, sampleFraction, seed)
+    val hot = sampled
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= lit(math.max(1L,
+        math.ceil(hotRowThreshold * sampleFraction).toLong)))
+      .filter(keyCols.map(_.isNotNull).reduce(_ && _))
+      .select(keyCols: _*)
+    val hotRows = hot.limit(maxHotKeys + 1).collect()
+    require(hotRows.length <= maxHotKeys,
+      s"more than $maxHotKeys hot keys detected — this join is uniformly " +
+        "large, not skewed; raise hotRowThreshold or repartition instead")
+    if (hotRows.isEmpty) big.join(small, keys, joinType)
+    else {
+      val hotDf = broadcast(
+        big.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(hotRows: _*)),
+          hot.schema))
+      val bigHot = big.join(hotDf, keys, "left_semi")
+      val bigCold = big.join(hotDf, keys, "left_anti")
+      val smallHot = small.join(hotDf, keys, "left_semi")
+      val smallCold = small.join(hotDf, keys, "left_anti")
+      saltedJoin(bigHot, smallHot, keys, salts, joinType)
+        .unionByName(bigCold.join(smallCold, keys, joinType))
+    }
+  }
 }

@@ -49,6 +49,72 @@ class SkewSpec extends SparkTestBase {
     assert(spread > 1)
   }
 
+  test("autoSaltedJoin equals the plain join with hot, cold, and missing keys") {
+    import spark.implicits._
+    // key 1: 3000 rows (hot); keys 100-199: 10 rows each (cold);
+    // key 9999: misses the dimension entirely
+    val big = ((1 to 3000).map(i => (1L, i.toLong)) ++
+      (for (k <- 100 until 200; i <- 0 until 10) yield (k.toLong, i.toLong)) ++
+      Seq((9999L, 0L))).toDF("k", "payload").repartition(8)
+    val dim = ((Seq(1L) ++ (100L until 200L)).map(k => (k, s"attr$k")))
+      .toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    // full-scan detection (fraction 1.0) with a threshold between the
+    // cold counts (10) and the hot count (3000): exactly key 1 is hot
+    val auto = Skew.autoSaltedJoin(big, dim, Seq("k"), salts = 8,
+      sampleFraction = 1.0, hotRowThreshold = 500L)
+    assert(canon(auto) === canon(big.join(dim, Seq("k"))))
+    val left = Skew.autoSaltedJoin(big, dim, Seq("k"), salts = 8,
+      joinType = "left", sampleFraction = 1.0, hotRowThreshold = 500L)
+    assert(canon(left) === canon(big.join(dim, Seq("k"), "left")))
+    // sampled detection still returns the exact join result (detection
+    // only moves keys between the two paths)
+    val sampled = Skew.autoSaltedJoin(big, dim, Seq("k"), salts = 8,
+      sampleFraction = 0.2, hotRowThreshold = 500L, seed = 7L)
+    assert(canon(sampled) === canon(big.join(dim, Seq("k"))))
+  }
+
+  test("autoSaltedJoin with no hot keys returns the untouched plain join") {
+    import spark.implicits._
+    val big = (for (k <- 0 until 50; i <- 0 until 4) yield (k.toLong, i.toLong))
+      .toDF("k", "payload")
+    val dim = (0L until 50L).map(k => (k, s"a$k")).toDF("k", "attr")
+    val auto = Skew.autoSaltedJoin(big, dim, Seq("k"),
+      sampleFraction = 1.0, hotRowThreshold = 1000L)
+    // no split: the plan contains no salt column and no union
+    val plan = auto.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__salt") && !plan.toLowerCase.contains("union"))
+    assert(auto.count() === 200L)
+  }
+
+  test("autoSaltedJoin fails loud when 'hot' keys exceed the bound") {
+    import spark.implicits._
+    val big = (for (k <- 0 until 300; i <- 0 until 5) yield (k.toLong, i.toLong))
+      .toDF("k", "payload")
+    val dim = (0L until 300L).map(k => (k, s"a$k")).toDF("k", "attr")
+    val e = intercept[IllegalArgumentException] {
+      Skew.autoSaltedJoin(big, dim, Seq("k"), sampleFraction = 1.0,
+        hotRowThreshold = 2L, maxHotKeys = 100)
+    }
+    assert(e.getMessage.contains("hot keys"))
+  }
+
+  test("autoSaltedJoin salts only the hot path") {
+    import spark.implicits._
+    val big = ((1 to 2000).map(i => (1L, i.toLong)) ++
+      (for (k <- 10 until 20; i <- 0 until 5) yield (k.toLong, i.toLong)))
+      .toDF("k", "payload").repartition(4)
+    val dim = (Seq(1L) ++ (10L until 20L)).map(k => (k, s"a$k")).toDF("k", "attr")
+    val auto = Skew.autoSaltedJoin(big, dim, Seq("k"), salts = 8,
+      sampleFraction = 1.0, hotRowThreshold = 100L)
+    val plan = auto.queryExecution.optimizedPlan.toString
+    // the split happened: a union of the salted hot path and a plain path
+    assert(plan.toLowerCase.contains("union"))
+    assert(plan.contains("__salt"))
+    assert(auto.count() === 2050L)
+  }
+
   test("saltedJoin spreads a hot key of IDENTICAL duplicate rows") {
     import spark.implicits._
     // the degenerate case: every hot row is byte-identical, so a
