@@ -1209,6 +1209,18 @@ object SparkEntry {
       // distinct (user, week) activity joined to per-user first week.
       graft.ext.Events.cohortRetention(Tables(s, dir, "events"))
     },
+    "dq_psi_drift" -> { (s, dir) =>
+      // Feature-drift gate: PSI of o_totalprice between a reference and
+      // a current snapshot (deterministic orderkey split), equal-width
+      // bins fixed by the reference, Laplace-smoothed so empty bins
+      // stay in the sum. Per-bin counts are exact; the PSI contribution
+      // compares as nano-quantized integers (q_group_ols pattern).
+      val orders = Tables(s, dir, "orders")
+      graft.ops.DataQuality.psiDrift(
+        ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0),
+        cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        valueCol = "o_totalprice", bins = 10)
+    },
     "dq_volume_anomaly" -> { (s, dir) =>
       // Ingestion control chart: hourly event volumes flagged against
       // the trailing-7-hour baseline with the integer-exact squared-z
@@ -2826,6 +2838,28 @@ object SparkEntry {
         |   END) * 1000000) AS BIGINT) AS v_micro,
         | (obs_v IS NOT NULL) AS observed
         |FROM w""".stripMargin,
+    "dq_psi_drift" ->
+      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM ref),
+        |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+        |       FROM ref, st),
+        |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+        |       FROM cur, st),
+        |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        |r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+        |c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+        |j AS (SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
+        |       COALESCE(n_cur, 0) AS n_cur
+        |      FROM spine LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+        |SELECT bin, n_ref, n_cur,
+        | CAST(ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+        |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
+        |   * 1000000000) AS BIGINT) AS psi_nano
+        |FROM j, t""".stripMargin,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
         |  COUNT(*) AS n_rows FROM events GROUP BY 1),

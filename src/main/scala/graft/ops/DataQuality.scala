@@ -174,6 +174,52 @@ object DataQuality {
     * periods don't overflow a long. One aggregation + one ordered
     * window over PERIOD-count rows (periods, not raw data — the window
     * frame is trailingN rows of a frame that has one row per period). */
+  /** Population Stability Index between a reference and a current
+    * snapshot of a numeric feature — the standard drift gate in front
+    * of a (re)training run: PSI = Σ_bins (p_i - q_i)·ln(p_i/q_i),
+    * conventionally read as <0.1 stable / 0.1-0.25 drifting / >0.25
+    * shifted. Bins are equal-width over the REFERENCE min/max (the
+    * reference fixes the lens; out-of-range current values clamp to the
+    * edge bins), with +0.5 Laplace smoothing per bin so empty bins stay
+    * finite instead of being dropped (dropping is the classic PSI
+    * implementation bug — a bin that empties out is the strongest drift
+    * signal there is). One aggregate pass per side at any scale; the
+    * bin spine is a range frame so empty bins surface with zero counts;
+    * only min/max travel to the driver. Output is one row per bin with
+    * counts and the PSI contribution quantized to nano-integers (the
+    * q_group_ols pattern: ln can sit one ulp apart across engines; the
+    * quantization makes the cross-engine compare exact — callers sum
+    * psi_nano for the headline index). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val v = col(valueCol).cast("double")
+    val Array(mn, mx) = ref.agg(min(v), max(v)).head() match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    require(mx > mn,
+      s"reference $valueCol is constant ($mn) — equal-width bins undefined")
+    val width = (mx - mn) / bins
+    def binOf(df: DataFrame): DataFrame = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(floor((col(valueCol).cast("double") - lit(mn)) / lit(width)),
+        lit(0.0)), lit((bins - 1).toDouble)).cast("long").as("bin"))
+    val r = binOf(ref).groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    val c = binOf(cur).groupBy("bin").agg(count(lit(1)).as("n_cur"))
+    val spine = ref.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val joined = spine
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val p = (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * bins)
+    val q = (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * bins)
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(((p - q) * log(p / q)) * 1e9).cast("long").as("psi_nano"))
+  }
+
   def volumeAnomalies(df: DataFrame, periodCol: String,
       trailingN: Int = 7, zThresh: Long = 3L): DataFrame = {
     require(trailingN >= 2, s"need >= 2 trailing periods, got $trailingN")

@@ -107,6 +107,51 @@ class DataQualitySpec extends SparkTestBase {
     assert(got(9L) === (lhs > rhs))
   }
 
+  test("psiDrift: identical snapshots score exactly zero in every bin") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i % 97).toDouble * 1.5 + 2.0).toDF("v")
+    val out = DataQuality.psiDrift(df, df, "v", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10)
+    // same counts per bin on both sides -> p == q -> (p-q)ln(p/q) == 0 exactly
+    assert(out.forall { case (_, nr, nc, psi) => nr === nc && psi === 0L })
+    assert(out.map(_._2).sum === 1000L)
+  }
+
+  test("psiDrift: a shifted distribution scores above the 0.25 alarm line") {
+    import spark.implicits._
+    val ref = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    // current mass pushed into the top decile of the reference range
+    val cur = (0 until 1000).map(i => 90.0 + (i % 10)).toDF("v")
+    val psi = DataQuality.psiDrift(ref, cur, "v", bins = 10)
+      .agg(org.apache.spark.sql.functions.sum("psi_nano")).head().getLong(0)
+    assert(psi > 250000000L, s"PSI=$psi nano should exceed the 0.25 line")
+  }
+
+  test("psiDrift: empty bins stay in the sum and out-of-range values clamp") {
+    import spark.implicits._
+    val ref = (0 until 100).map(_.toDouble).toDF("v")
+    // current values all BELOW the reference range -> clamp into bin 0;
+    // bins 1-9 are empty on the current side yet still contribute
+    val cur = (0 until 50).map(i => -10.0 - i).toDF("v")
+    val rows = DataQuality.psiDrift(ref, cur, "v", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    assert(rows.find(_._1 == 0L).get._3 === 50L)
+    assert(rows.count(_._3 == 0L) === 9)
+    // every empty bin contributes a non-zero (positive) PSI term
+    assert(rows.filter(_._3 == 0L).forall(_._4 > 0L))
+  }
+
+  test("psiDrift fails loud on a constant reference") {
+    import spark.implicits._
+    val const = Seq.fill(10)(7.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.psiDrift(const, const, "v")
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
   test("volumeAnomalies: zero-variance baseline flags any deviation, not equality") {
     import spark.implicits._
     val rows = ((0 to 7).flatMap(p => (0 until 50).map(i => (p.toLong, i.toLong)))
