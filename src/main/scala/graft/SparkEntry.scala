@@ -1803,6 +1803,29 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
       }
     },
+    "stream_sketch_distinct" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Streaming distinct-per-window off mergeable theta state,
+        // driven through a 3-file time-ordered replay so the
+        // cross-microbatch state union is genuinely exercised (a user
+        // recurring across batches must count once). Update mode emits
+        // a row per key per updated batch; union estimates are
+        // nondecreasing, so max per key = the drained final state. At
+        // lgK 15 every (window, type) group sits far below 2^15
+        // distinct users — exact mode — so the result hash-matches the
+        // DuckDB COUNT(DISTINCT) oracle like any exact operator.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val out = graft.streaming.StreamingOps
+          .sketchDistinct(stream, windowSeconds = 3600L, lgK = 15).toDF()
+        val name = s"graft_stream_sketchdist_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        s.table(name).groupBy("window_start", "event_type")
+          .agg(max(col("n_distinct")).as("n_users"))
+      }
+    },
     "stream_dedup" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
@@ -3211,6 +3234,10 @@ object SparkEntry {
         |WHERE window_start + 3600 <= (SELECT MAX(sec) - 7200 FROM ev)""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_sketch_distinct" ->
+      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        | event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_user_running" ->
       """SELECT event_id, user_id,
         | CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,

@@ -22,6 +22,55 @@ object StreamingOps {
   final case class UserStats(user_id: Long, n_events: Long,
       min_value: Double, max_value: Double)
 
+  final case class WindowDistinct(window_start: Long, event_type: String,
+      n_distinct: Long)
+
+  /** Streaming distinct-per-window off mergeable theta-sketch state —
+    * the streaming twin of `ops.Sketches`: COUNT(DISTINCT) needs the
+    * full member set as state, which is unbounded on a stream; a theta
+    * sketch is the bounded (≤ ~16·2^lgK bytes per group) mergeable
+    * replacement, and it stays EXACT while a group's distinct count
+    * sits under 2^lgK — the regime the driver row pins against the
+    * DuckDB COUNT(DISTINCT) oracle. Each microbatch builds one
+    * UpdateSketch over the group's new rows (per-row update, no
+    * per-row allocation) and unions it into the stored compact blob —
+    * set union is the monoid, so cross-batch merge order is
+    * irrelevant; update-mode estimates are nondecreasing, so the
+    * drained maximum per key is the final state's estimate.
+    * User-facing ids hash through the sketch's own 64-bit keying. */
+  def sketchDistinct(events: DataFrame, windowSeconds: Long = 3600L,
+      lgK: Int = 15): Dataset[WindowDistinct] = {
+    require(lgK >= 4 && lgK <= 26, s"lgK must be in [4,26], got $lgK")
+    import events.sparkSession.implicits._
+    events
+      .select(
+        (floor(unix_timestamp(col("ts")) / windowSeconds) * windowSeconds)
+          .cast("long").as("window_start"),
+        col("event_type"), col("user_id"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (ws, et, _) => (ws, et) }
+      .mapGroupsWithState[Array[Byte], WindowDistinct](GroupStateTimeout.NoTimeout) {
+        case ((ws, et), rows, state) =>
+          val upd = org.apache.datasketches.theta.UpdateSketch.builder()
+            .setLogNominalEntries(lgK).build()
+          rows.foreach { case (_, _, uid) => upd.update(uid) }
+          val merged: Array[Byte] = state.getOption match {
+            case Some(prev) if prev.nonEmpty =>
+              val u = org.apache.datasketches.theta.SetOperation.builder()
+                .setLogNominalEntries(lgK).buildUnion()
+              u.union(org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+                org.apache.datasketches.memory.Memory.wrap(prev)))
+              u.union(upd.compact(true, null))
+              u.getResult(true, null).toByteArray
+            case _ => upd.compact(true, null).toByteArray
+          }
+          state.update(merged)
+          val est = org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+            org.apache.datasketches.memory.Memory.wrap(merged)).getEstimate
+          WindowDistinct(ws, et, Math.round(est))
+      }
+  }
+
   /** Tumbling-window counts/sums per event type with a late-data
     * watermark. Append-mode compatible (emits finalized windows). */
   def tumbling(events: DataFrame, windowLen: String = "1 hour",

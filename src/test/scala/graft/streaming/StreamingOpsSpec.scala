@@ -78,6 +78,43 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(last(200L) === ((200L, 1L, 3.0)))
   }
 
+  test("sketchDistinct unions theta state across batches: recurring users count once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sketchDistinct(mem.toDS().toDF(), windowSeconds = 3600L, lgK = 12)
+      .writeStream.format("memory").queryName("sketch_out").outputMode("update").start()
+    try {
+      // batch 1: users 100, 200 in the 10:00 window
+      mem.addData(Event(1L, ts(0), 100L, "click", 1.0),
+        Event(2L, ts(5), 200L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 100 AGAIN (must not double-count) + new user 300
+      mem.addData(Event(3L, ts(10), 100L, "click", 1.0),
+        Event(4L, ts(20), 300L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val perBatch = spark.table("sketch_out").collect()
+      .map(r => r.getAs[Long]("n_distinct")).sorted
+    // batch 1 emitted 2; batch 2 emitted 3 (union, not 2+2)
+    assert(perBatch === Array(2L, 3L))
+  }
+
+  test("sketchDistinct stays exact below capacity at 4x the nominal boundary check") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sketchDistinct(mem.toDS().toDF(), windowSeconds = 3600L, lgK = 12)
+      .writeStream.format("memory").queryName("sketch_cap_out").outputMode("update").start()
+    try {
+      // 3000 distinct users < 2^12 = 4096: still exact mode
+      mem.addData((1 to 3000).map(i => Event(i.toLong, ts(1), i.toLong, "view", 1.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val n = spark.table("sketch_cap_out").collect().map(_.getAs[Long]("n_distinct")).max
+    assert(n === 3000L)
+  }
+
   test("stream-stream interval join matches the batch join across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
