@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_hard_negatives", // broadcast query block vs corpus scan
     "feat_target_encode", // one-row exact global-sums frame
     "dq_checks",          // one-row constraint-summary frame
+    "dq_psi_drift",       // one-row totals frame x bins-sized spine
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 
