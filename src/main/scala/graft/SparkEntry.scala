@@ -1221,6 +1221,18 @@ object SparkEntry {
         cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
         valueCol = "o_totalprice", bins = 10)
     },
+    "dq_ks_drift" -> { (s, dir) =>
+      // PSI's nonparametric companion on the same snapshot split:
+      // two-sample KS distance in EXACT integer arithmetic (d_num is
+      // the integer numerator; ks_micro an integer division) — no
+      // float touches the statistic. Cumulatives run range-partitioned
+      // with broadcast offsets, never a single-reducer window.
+      val orders = Tables(s, dir, "orders")
+      graft.ops.DataQuality.ksDrift(
+        ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0),
+        cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        valueCol = "o_totalprice")
+    },
     "dq_volume_anomaly" -> { (s, dir) =>
       // Ingestion control chart: hourly event volumes flagged against
       // the trailing-7-hour baseline with the integer-exact squared-z
@@ -2883,6 +2895,24 @@ object SparkEntry {
         |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
         |   * 1000000000) AS BIGINT) AS psi_nano
         |FROM j, t""".stripMargin,
+    "dq_ks_drift" ->
+      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+        |u AS (SELECT v, 1 AS is_ref FROM ref
+        |      UNION ALL SELECT v, 0 FROM cur),
+        |vals AS (SELECT v, SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+        |         FROM u GROUP BY v),
+        |cum AS (SELECT SUM(c_ref) OVER (ORDER BY v) AS cr,
+        |         SUM(c_cur) OVER (ORDER BY v) AS cc FROM vals),
+        |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
+        |       (SELECT COUNT(*) FROM cur) AS nc)
+        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        | CAST(MAX(ABS(cr * nc - cc * nr)) AS BIGINT) AS d_num,
+        | CAST(MAX(ABS(cr * nc - cc * nr)) * 1000000 // (nr * nc) AS BIGINT)
+        |   AS ks_micro
+        |FROM cum, t GROUP BY nr, nc""".stripMargin,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
         |  COUNT(*) AS n_rows FROM events GROUP BY 1),

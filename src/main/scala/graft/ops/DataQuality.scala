@@ -220,6 +220,68 @@ object DataQuality {
         round(((p - q) * log(p / q)) * 1e9).cast("long").as("psi_nano"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic between a reference
+    * and a current snapshot — PSI's nonparametric companion: no bins to
+    * choose, sensitive to ANY distributional difference, and — unlike
+    * PSI's ln — computable in EXACT integer arithmetic:
+    *
+    *   D = max over distinct values of |F_ref(v) - F_cur(v)|
+    *     = max |cum_ref·n_cur - cum_cur·n_ref| / (n_ref·n_cur)
+    *
+    * so the output carries the exact integer numerator `d_num` plus
+    * `ks_micro` = ⌊d_num·10^6 / (n_ref·n_cur)⌋ (integer division —
+    * no float ever touches the statistic, so the cross-engine compare
+    * is exact with no quantization caveat).
+    *
+    * Scale shape: the naive cumulative (`SUM OVER (ORDER BY v)`) is a
+    * single-reducer window — the classic cliff. This uses the
+    * globalRowNumber pattern: per-value counts range-partition on the
+    * value, each partition computes partition-local cumulative sums in
+    * parallel, and only the per-partition totals (2·numPartitions
+    * longs) travel to the driver to become broadcast offsets. */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val both = ref.filter(col(valueCol).isNotNull)
+      .select(v.as("v"), lit(1L).as("one_ref"), lit(0L).as("one_cur"))
+      .unionByName(cur.filter(col(valueCol).isNotNull)
+        .select(v.as("v"), lit(0L).as("one_ref"), lit(1L).as("one_cur")))
+    val counts = both.groupBy("v")
+      .agg(sum("one_ref").as("c_ref"), sum("one_cur").as("c_cur"))
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = counts.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    // control plane: per-partition totals -> cumulative offsets
+    val ptot = staged.groupBy("__pid")
+      .agg(sum("c_ref").as("r"), sum("c_cur").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val nRef = ptot.map(_._2).sum
+    val nCur = ptot.map(_._3).sum
+    require(nRef > 0 && nCur > 0,
+      s"KS needs non-empty snapshots (n_ref=$nRef, n_cur=$nCur)")
+    val offs = ptot.scanLeft((0, 0L, 0L)) { case ((_, ar, ac), (pid, r, c)) =>
+      (pid, ar + r, ac + c)
+    }
+    val offDf = ptot.map(_._1).zip(offs.init.map(o => (o._2, o._3)))
+      .map { case (pid, (or_, oc)) => (pid, or_, oc) }
+      .toSeq.toDF("__pid", "__off_ref", "__off_cur")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .select(abs((sum(col("c_ref")).over(w) + col("__off_ref")) * lit(nCur) -
+        (sum(col("c_cur")).over(w) + col("__off_cur")) * lit(nRef)).as("gap"))
+      .agg(max(col("gap")).as("d_num"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"), col("d_num"),
+        call_function("div", col("d_num") * lit(1000000L), lit(nRef * nCur))
+          .as("ks_micro"))
+  }
+
   def volumeAnomalies(df: DataFrame, periodCol: String,
       trailingN: Int = 7, zThresh: Long = 3L): DataFrame = {
     require(trailingN >= 2, s"need >= 2 trailing periods, got $trailingN")

@@ -143,6 +143,58 @@ class DataQualitySpec extends SparkTestBase {
     assert(rows.filter(_._3 == 0L).forall(_._4 > 0L))
   }
 
+  test("ksDrift: hand-computed distance on a tiny tape") {
+    import spark.implicits._
+    // ref=[1,2,3], cur=[2,3,4]: D = 1/3 -> d_num=3 over nr*nc=9
+    val ref = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = DataQuality.ksDrift(ref, cur, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 3L, 333333L)))
+  }
+
+  test("ksDrift: identical snapshots score zero; disjoint supports score one") {
+    import spark.implicits._
+    val a = (0 until 500).map(i => (i % 37).toDouble).toDF("v")
+    val same = DataQuality.ksDrift(a, a, "v").head()
+    assert(same.getLong(2) === 0L && same.getLong(3) === 0L)
+    val lo = (0 until 300).map(_.toDouble).toDF("v")
+    val hi = (1000 until 1200).map(_.toDouble).toDF("v")
+    val far = DataQuality.ksDrift(lo, hi, "v").head()
+    assert(far.getLong(2) === 300L * 200L && far.getLong(3) === 1000000L)
+  }
+
+  test("ksDrift agrees with a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val refV = Seq.fill(400)(rnd.nextInt(60).toDouble)
+    val curV = Seq.fill(300)((rnd.nextInt(60) + rnd.nextInt(10)).toDouble)
+    val got = DataQuality.ksDrift(refV.toDF("v"), curV.toDF("v"), "v",
+      numPartitions = 7).head()
+    val values = (refV ++ curV).distinct.sorted
+    val want = values.map { x =>
+      val cr = refV.count(_ <= x).toLong
+      val cc = curV.count(_ <= x).toLong
+      math.abs(cr * curV.size - cc * refV.size)
+    }.max
+    assert(got.getLong(2) === want)
+    assert(got.getLong(0) === 400L && got.getLong(1) === 300L)
+  }
+
+  test("ksDrift plans no single-reducer window") {
+    import spark.implicits._
+    val a = (0 until 200).map(_.toDouble).toDF("v")
+    val plan = DataQuality.ksDrift(a, a, "v").queryExecution.executedPlan.toString
+    // the cumulative window must be partitioned by the range-partition id
+    // (parallel), never a bare global ORDER BY (one reducer for all rows);
+    // the final scalar max's SinglePartition exchange is inherent and
+    // partial-aggregated — only the window shape matters here
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"cumulative window not partitioned by __pid:\n$plan")
+    assert(!plan.contains("windowspecdefinition(v#"),
+      s"unpartitioned (single-reducer) cumulative window:\n$plan")
+  }
+
   test("psiDrift fails loud on a constant reference") {
     import spark.implicits._
     val const = Seq.fill(10)(7.0).toDF("v")
