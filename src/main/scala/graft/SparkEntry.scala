@@ -1221,6 +1221,16 @@ object SparkEntry {
         cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
         valueCol = "o_totalprice", bins = 10)
     },
+    "dq_psi_cat_drift" -> { (s, dir) =>
+      // Categorical drift on the same snapshot split: categories are
+      // the bins (union of both sides via full outer join — appearing/
+      // disappearing categories contribute instead of dropping out).
+      val orders = Tables(s, dir, "orders")
+      graft.ops.DataQuality.psiDriftCategorical(
+        ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0),
+        cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        catCol = "o_orderpriority")
+    },
     "dq_ks_drift" -> { (s, dir) =>
       // PSI's nonparametric companion on the same snapshot split:
       // two-sample KS distance in EXACT integer arithmetic (d_num is
@@ -2893,6 +2903,25 @@ object SparkEntry {
         |SELECT bin, n_ref, n_cur,
         | CAST(ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
         |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
+        |   * 1000000000) AS BIGINT) AS psi_nano
+        |FROM j, t""".stripMargin,
+    "dq_psi_cat_drift" ->
+      """WITH ref AS (SELECT o_orderpriority AS cat FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND o_orderpriority IS NOT NULL),
+        |cur AS (SELECT o_orderpriority AS cat FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderpriority IS NOT NULL),
+        |r AS (SELECT cat, COUNT(*) AS n_ref FROM ref GROUP BY 1),
+        |c AS (SELECT cat, COUNT(*) AS n_cur FROM cur GROUP BY 1),
+        |j AS (SELECT COALESCE(r.cat, c.cat) AS category,
+        |       COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+        |       COUNT(*) AS k FROM j)
+        |SELECT category, n_ref, n_cur,
+        | CAST(ROUND(((n_ref + 0.5) / (tr + 0.5 * k)
+        |     - (n_cur + 0.5) / (tc + 0.5 * k))
+        |   * LN(((n_ref + 0.5) / (tr + 0.5 * k))
+        |     / ((n_cur + 0.5) / (tc + 0.5 * k)))
         |   * 1000000000) AS BIGINT) AS psi_nano
         |FROM j, t""".stripMargin,
     "dq_ks_drift" ->

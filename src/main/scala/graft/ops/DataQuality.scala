@@ -220,6 +220,38 @@ object DataQuality {
         round(((p - q) * log(p / q)) * 1e9).cast("long").as("psi_nano"))
   }
 
+  /** Categorical PSI — the drift face for discrete features (segment,
+    * language, source, label), where equal-width bins are meaningless:
+    * the "bins" are the categories themselves, the union of both
+    * snapshots' observed values, so a category that APPEARS or
+    * DISAPPEARS across snapshots contributes instead of being silently
+    * dropped (the full outer join is the load-bearing shape). Same
+    * +0.5 Laplace smoothing and nano-quantization as [[psiDrift]];
+    * the smoothing denominator uses the category count, carried in
+    * the broadcast totals frame — nothing but the aggregate-sized
+    * category spine ever leaves the executors. Category cardinality is
+    * assumed aggregate-sized (it is the GROUP BY that precedes it). */
+  def psiDriftCategorical(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    val r = ref.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val spine = r.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = spine.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+      count(lit(1)).as("k"))
+    val p = (col("n_ref") + 0.5) / (col("t_ref") + col("k") * 0.5)
+    val q = (col("n_cur") + 0.5) / (col("t_cur") + col("k") * 0.5)
+    spine.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(((p - q) * log(p / q)) * 1e9).cast("long").as("psi_nano"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift statistic between a reference
     * and a current snapshot — PSI's nonparametric companion: no bins to
     * choose, sensitive to ANY distributional difference, and — unlike

@@ -143,6 +143,23 @@ class DataQualitySpec extends SparkTestBase {
     assert(rows.filter(_._3 == 0L).forall(_._4 > 0L))
   }
 
+  test("psiDriftCategorical: identical snapshots zero; vanished categories contribute") {
+    import spark.implicits._
+    val a = (0 until 600).map(i => s"cat${i % 5}").toDF("c")
+    val same = DataQuality.psiDriftCategorical(a, a, "c")
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(same.length === 5 && same.forall(_._2 === 0L))
+    // category cat4 exists only in the reference; catX only in current —
+    // the union spine must carry BOTH with a positive contribution
+    val ref = (0 until 500).map(i => s"cat${i % 5}").toDF("c")
+    val cur = ((0 until 400).map(i => s"cat${i % 4}") ++ Seq.fill(100)("catX")).toDF("c")
+    val byCat = DataQuality.psiDriftCategorical(ref, cur, "c")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byCat.keySet === Set("cat0", "cat1", "cat2", "cat3", "cat4", "catX"))
+    assert(byCat("cat4")._1 > 0L && byCat("cat4")._2 === 0L && byCat("cat4")._3 > 0L)
+    assert(byCat("catX")._1 === 0L && byCat("catX")._2 > 0L && byCat("catX")._3 > 0L)
+  }
+
   test("ksDrift: hand-computed distance on a tiny tape") {
     import spark.implicits._
     // ref=[1,2,3], cur=[2,3,4]: D = 1/3 -> d_num=3 over nr*nc=9
