@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkTestBase {
     "feat_target_encode", // one-row exact global-sums frame
     "dq_checks",          // one-row constraint-summary frame
     "dq_psi_drift",       // one-row totals frame x bins-sized spine
+    "dq_psi_cat_drift",   // one-row totals frame x category-sized spine
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 
