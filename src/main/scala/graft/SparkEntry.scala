@@ -1221,6 +1221,17 @@ object SparkEntry {
         cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
         valueCol = "o_totalprice", bins = 10)
     },
+    "dq_cohens_kappa" -> { (s, dir) =>
+      // Label-QA gate: two deterministic "annotation passes" over
+      // orders (the second flips every 7th row's status), scored with
+      // chance-corrected agreement in exact integer arithmetic.
+      val ann = Tables(s, dir, "orders").select(
+        col("o_orderstatus").as("la"),
+        when(pmod(col("o_orderkey"), lit(7L)) === 0,
+          when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
+          .otherwise(col("o_orderstatus")).as("lb"))
+      graft.ops.DataQuality.cohensKappa(ann, "la", "lb")
+    },
     "dq_psi_cat_drift" -> { (s, dir) =>
       // Categorical drift on the same snapshot split: categories are
       // the bins (union of both sides via full outer join — appearing/
@@ -2905,6 +2916,27 @@ object SparkEntry {
         |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
         |   * 1000000000) AS BIGINT) AS psi_nano
         |FROM j, t""".stripMargin,
+    "dq_cohens_kappa" ->
+      """WITH ann AS (
+        | SELECT o_orderstatus AS la,
+        |  CASE WHEN o_orderkey % 7 = 0
+        |   THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+        |   ELSE o_orderstatus END AS lb
+        | FROM orders
+        | WHERE o_orderstatus IS NOT NULL),
+        |cont AS (SELECT la, lb, COUNT(*) AS nn FROM ann GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(nn) AS BIGINT) AS n FROM cont),
+        |a AS (SELECT CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_agree
+        |      FROM cont WHERE la = lb),
+        |ra AS (SELECT la, SUM(nn) AS r FROM cont GROUP BY 1),
+        |cb AS (SELECT lb, SUM(nn) AS c FROM cont GROUP BY 1),
+        |pe AS (SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS pe_num
+        |       FROM ra JOIN cb ON ra.la = cb.lb)
+        |SELECT n, n_agree, pe_num,
+        | CASE WHEN n * n - pe_num = 0 THEN 1000000
+        |  ELSE (n_agree * n - pe_num) * 1000000 // (n * n - pe_num)
+        | END AS kappa_micro
+        |FROM t, a, pe""".stripMargin,
     "dq_psi_cat_drift" ->
       """WITH ref AS (SELECT o_orderpriority AS cat FROM orders
         |  WHERE o_orderkey % 3 <> 0 AND o_orderpriority IS NOT NULL),

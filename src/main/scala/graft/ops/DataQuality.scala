@@ -220,6 +220,44 @@ object DataQuality {
         round(((p - q) * log(p / q)) * 1e9).cast("long").as("psi_nano"))
   }
 
+  /** Cohen's kappa inter-annotator agreement — the label-QA gate for
+    * training-data curation (two labeling passes, human or model, over
+    * the same rows): observed agreement corrected for the agreement two
+    * independent annotators with these marginals would reach by chance.
+    * Exact integer arithmetic end-to-end:
+    *
+    *   kappa = (po - pe) / (1 - pe)
+    *         = (n_agree·n - Σ_k r_k·c_k) / (n² - Σ_k r_k·c_k)
+    *
+    * with r/c the per-label marginals — so the output ships integer
+    * counts plus `kappa_micro` by integer division; no float touches
+    * the statistic. The degenerate pe=1 case (both annotators constant
+    * on the same label) forces po=1 and reports the 1.0 convention.
+    * Labels are aggregate-sized by assumption (they key the GROUP BY);
+    * rows where either label is NULL are excluded (an unlabeled row is
+    * missing data, not disagreement). One shuffle on the label pair;
+    * everything after is aggregate-sized. */
+  def cohensKappa(df: DataFrame, labelA: String, labelB: String): DataFrame = {
+    val pairs = df.filter(col(labelA).isNotNull && col(labelB).isNotNull)
+      .select(col(labelA).cast("string").as("la"),
+        col(labelB).cast("string").as("lb"))
+    val cont = pairs.groupBy("la", "lb").agg(count(lit(1)).as("nn"))
+    val tot = cont.agg(coalesce(sum("nn"), lit(0L)).as("n"))
+    val agree = cont.filter(col("la") === col("lb"))
+      .agg(coalesce(sum("nn"), lit(0L)).as("n_agree"))
+    val ra = cont.groupBy("la").agg(sum("nn").as("r"))
+    val cb = cont.groupBy("lb").agg(sum("nn").as("c"))
+    val peNum = ra.join(cb, ra("la") === cb("lb"))
+      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+    val num = col("n_agree") * col("n") - col("pe_num")
+    val den = col("n") * col("n") - col("pe_num")
+    tot.crossJoin(broadcast(agree)).crossJoin(broadcast(peNum))
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        when(den === 0L, lit(1000000L))
+          .otherwise(call_function("div", num * lit(1000000L), den))
+          .as("kappa_micro"))
+  }
+
   /** Categorical PSI — the drift face for discrete features (segment,
     * language, source, label), where equal-width bins are meaningless:
     * the "bins" are the categories themselves, the union of both

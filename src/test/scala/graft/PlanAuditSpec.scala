@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_checks",          // one-row constraint-summary frame
     "dq_psi_drift",       // one-row totals frame x bins-sized spine
     "dq_psi_cat_drift",   // one-row totals frame x category-sized spine
+    "dq_cohens_kappa",    // three one-row aggregate frames composed
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 

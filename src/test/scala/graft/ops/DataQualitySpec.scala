@@ -143,6 +143,34 @@ class DataQualitySpec extends SparkTestBase {
     assert(rows.filter(_._3 == 0L).forall(_._4 > 0L))
   }
 
+  test("cohensKappa: hand-computed, perfect, chance-level, and degenerate tapes") {
+    import spark.implicits._
+    // la=[x,x,y,y] lb=[x,y,y,y]: po=3/4, pe=(2*1+2*3)/16 -> kappa=0.5
+    val hand = DataQuality.cohensKappa(
+      Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")).toDF("a", "b"), "a", "b").head()
+    assert((hand.getLong(0), hand.getLong(1), hand.getLong(2), hand.getLong(3)) ===
+      ((4L, 3L, 8L, 500000L)))
+    // perfect agreement over >1 label: kappa = 1 exactly
+    val perfect = DataQuality.cohensKappa(
+      (0 until 100).map(i => (s"l${i % 3}", s"l${i % 3}")).toDF("a", "b"), "a", "b").head()
+    assert(perfect.getLong(3) === 1000000L)
+    // independent annotators (every combination equally often): kappa = 0
+    val chance = DataQuality.cohensKappa(
+      (for (i <- 0 until 2; j <- 0 until 2; _ <- 0 until 25)
+        yield (s"l$i", s"l$j")).toDF("a", "b"), "a", "b").head()
+    assert(chance.getLong(3) === 0L)
+    // degenerate: both annotators constant on the same label -> pe = 1,
+    // po = 1 -> the 1.0 convention, not a division by zero
+    val const = DataQuality.cohensKappa(
+      Seq.fill(10)(("x", "x")).toDF("a", "b"), "a", "b").head()
+    assert(const.getLong(3) === 1000000L)
+    // NULL labels are excluded, not counted as disagreement
+    val withNulls = DataQuality.cohensKappa(
+      (Seq(("x", "x"), ("y", "y")) ++ Seq((null, "x"), ("x", null)))
+        .toDF("a", "b"), "a", "b").head()
+    assert(withNulls.getLong(0) === 2L && withNulls.getLong(3) === 1000000L)
+  }
+
   test("psiDriftCategorical: identical snapshots zero; vanished categories contribute") {
     import spark.implicits._
     val a = (0 until 600).map(i => s"cat${i % 5}").toDF("c")
