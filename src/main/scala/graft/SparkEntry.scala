@@ -594,6 +594,12 @@ object SparkEntry {
       // the stock hash join, and the union equals the plain join —
       // which is exactly what the oracle asserts. Detection is
       // plan-shape-only: the result is sample-independent.
+      // The threshold derives from the table's size (hot = ≥5% of rows,
+      // one metadata-cheap parquet count) so the hot/cold split is
+      // SCALE-INVARIANT: a fixed absolute threshold would classify every
+      // cold key (~0.07% of rows each) hot once the fixture grows ~25×
+      // and silently degrade to blanket salting (SkewSpec pins the
+      // detection isolating exactly the one hot key at 10× spreads).
       val li = Tables(s, dir, "lineitem")
       val big = li.select(
         when(pmod(col("l_orderkey"), lit(10L)) < 3, lit(0L))
@@ -601,8 +607,9 @@ object SparkEntry {
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       val dim = s.range(0, 997).select(col("id").as("k"),
         (col("id") * 7 % 101).as("dim_code"))
+      val hotThresh = math.max(1000L, li.count() / 20L)
       graft.ops.Skew.autoSaltedJoin(big, dim, keys = Seq("k"), salts = 8,
-        sampleFraction = 0.1, hotRowThreshold = 1000L)
+        sampleFraction = 0.1, hotRowThreshold = hotThresh)
     },
     "q_salted_agg" -> { (s, dir) =>
       // Two-stage salted aggregation (hot-key mitigation); result is
@@ -2930,11 +2937,13 @@ object SparkEntry {
         |      FROM cont WHERE la = lb),
         |ra AS (SELECT la, SUM(nn) AS r FROM cont GROUP BY 1),
         |cb AS (SELECT lb, SUM(nn) AS c FROM cont GROUP BY 1),
-        |pe AS (SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS pe_num
+        |pe AS (SELECT CAST(COALESCE(SUM(CAST(r AS HUGEINT) * c), 0) AS HUGEINT)
+        |        AS pe_num
         |       FROM ra JOIN cb ON ra.la = cb.lb)
-        |SELECT n, n_agree, pe_num,
-        | CASE WHEN n * n - pe_num = 0 THEN 1000000
-        |  ELSE (n_agree * n - pe_num) * 1000000 // (n * n - pe_num)
+        |SELECT n, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
+        | CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 1000000
+        |  ELSE CAST((CAST(n_agree AS HUGEINT) * n - pe_num) * 1000000
+        |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
         | END AS kappa_micro
         |FROM t, a, pe""".stripMargin,
     "dq_psi_cat_drift" ->
@@ -2970,9 +2979,10 @@ object SparkEntry {
         |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
         |       (SELECT COUNT(*) FROM cur) AS nc)
         |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
-        | CAST(MAX(ABS(cr * nc - cc * nr)) AS BIGINT) AS d_num,
-        | CAST(MAX(ABS(cr * nc - cc * nr)) * 1000000 // (nr * nc) AS BIGINT)
-        |   AS ks_micro
+        | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
+        |   AS BIGINT) AS d_num,
+        | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
+        |   * 1000000 // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_micro
         |FROM cum, t GROUP BY nr, nc""".stripMargin,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,

@@ -194,9 +194,10 @@ object DataQuality {
       bins: Int = 10): DataFrame = {
     require(bins > 1, s"bins must be > 1, got $bins")
     val v = col(valueCol).cast("double")
-    val Array(mn, mx) = ref.agg(min(v), max(v)).head() match {
-      case r => Array(r.getDouble(0), r.getDouble(1))
-    }
+    val extremes = ref.agg(min(v), max(v)).head()
+    require(!extremes.isNullAt(0) && !extremes.isNullAt(1),
+      s"reference $valueCol has no non-null values — equal-width bins undefined")
+    val Array(mn, mx) = Array(extremes.getDouble(0), extremes.getDouble(1))
     require(mx > mn,
       s"reference $valueCol is constant ($mn) — equal-width bins undefined")
     val width = (mx - mn) / bins
@@ -236,8 +237,17 @@ object DataQuality {
     * Labels are aggregate-sized by assumption (they key the GROUP BY);
     * rows where either label is NULL are excluded (an unlabeled row is
     * missing data, not disagreement). One shuffle on the label pair;
-    * everything after is aggregate-sized. */
+    * everything after is aggregate-sized.
+    *
+    * Overflow posture: the quadratic terms (n_agree·n, n², Σ r_k·c_k)
+    * reach n² — past a long at n ≈ 3·10^9 labeled rows — so the whole
+    * quantization runs in decimal(38,0) (good to n ≈ 10^19) and only
+    * the final kappa_micro (|·| ≤ 10^6) lands back in a long. The
+    * diagnostic pe_num column is longed for the report schema; if it
+    * ever exceeds Long.Max the non-ANSI cast yields NULL (visible),
+    * never a silent wrap. */
   def cohensKappa(df: DataFrame, labelA: String, labelB: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val pairs = df.filter(col(labelA).isNotNull && col(labelB).isNotNull)
       .select(col(labelA).cast("string").as("la"),
         col(labelB).cast("string").as("lb"))
@@ -248,12 +258,14 @@ object DataQuality {
     val ra = cont.groupBy("la").agg(sum("nn").as("r"))
     val cb = cont.groupBy("lb").agg(sum("nn").as("c"))
     val peNum = ra.join(cb, ra("la") === cb("lb"))
-      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
-    val num = col("n_agree") * col("n") - col("pe_num")
-    val den = col("n") * col("n") - col("pe_num")
+      .agg(coalesce(sum(col("r").cast(dec) * col("c")), lit(0L).cast(dec))
+        .as("pe_dec"))
+    val num = col("n_agree").cast(dec) * col("n") - col("pe_dec")
+    val den = col("n").cast(dec) * col("n") - col("pe_dec")
     tot.crossJoin(broadcast(agree)).crossJoin(broadcast(peNum))
-      .select(col("n"), col("n_agree"), col("pe_num"),
-        when(den === 0L, lit(1000000L))
+      .select(col("n"), col("n_agree"),
+        col("pe_dec").cast("long").as("pe_num"),
+        when(den === lit(0L).cast(dec), lit(1000000L))
           .otherwise(call_function("div", num * lit(1000000L), den))
           .as("kappa_micro"))
   }
@@ -303,6 +315,14 @@ object DataQuality {
     * no float ever touches the statistic, so the cross-engine compare
     * is exact with no quantization caveat).
     *
+    * Overflow posture: the gap terms cum·n and d_num·10^6 reach
+    * n_ref·n_cur — past a long once both sides exceed ~3·10^9 rows —
+    * so the quantization runs in decimal(38,0) (exact while
+    * n_ref·n_cur·10^6 < 10^38, i.e. any realistic table) and only the
+    * bounded ks_micro plus the diagnostic d_num land back in longs
+    * (d_num overflowing a long surfaces as NULL under the non-ANSI
+    * decimal→long cast, never a silent wrap).
+    *
     * Scale shape: the naive cumulative (`SUM OVER (ORDER BY v)`) is a
     * single-reducer window — the classic cliff. This uses the
     * globalRowNumber pattern: per-value counts range-partition on the
@@ -343,12 +363,15 @@ object DataQuality {
       .partitionBy(col("__pid")).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = "decimal(38,0)"
+    val prod = new java.math.BigDecimal(nRef).multiply(new java.math.BigDecimal(nCur))
     staged.join(broadcast(offDf), Seq("__pid"))
-      .select(abs((sum(col("c_ref")).over(w) + col("__off_ref")) * lit(nCur) -
-        (sum(col("c_cur")).over(w) + col("__off_cur")) * lit(nRef)).as("gap"))
-      .agg(max(col("gap")).as("d_num"))
-      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"), col("d_num"),
-        call_function("div", col("d_num") * lit(1000000L), lit(nRef * nCur))
+      .select(abs((sum(col("c_ref")).over(w) + col("__off_ref")).cast(dec) * lit(nCur) -
+        (sum(col("c_cur")).over(w) + col("__off_cur")).cast(dec) * lit(nRef)).as("gap"))
+      .agg(max(col("gap")).as("d_dec"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        col("d_dec").cast("long").as("d_num"),
+        call_function("div", col("d_dec") * lit(1000000L), lit(prod))
           .as("ks_micro"))
   }
 

@@ -106,10 +106,47 @@ object Skew {
       salts: Int = 16, joinType: String = "inner",
       sampleFraction: Double = 0.05, hotRowThreshold: Long = 100000L,
       maxHotKeys: Int = 10000, seed: Long = 42L): DataFrame = {
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
     require(joinType == "inner" || joinType == "left",
       s"auto-salted join supports inner/left, got $joinType")
+    val hotRows = detectHotKeys(big, keys, sampleFraction, hotRowThreshold,
+      maxHotKeys, seed)
+    val keyCols = keys.map(col)
+    if (hotRows.isEmpty) big.join(small, keys, joinType)
+    else {
+      val hotDf = broadcast(
+        big.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(hotRows: _*)),
+          org.apache.spark.sql.types.StructType(
+            keys.map(k => big.schema(k)))))
+      val bigHot = big.join(hotDf, keys, "left_semi")
+      val bigCold = big.join(hotDf, keys, "left_anti")
+      val smallHot = small.join(hotDf, keys, "left_semi")
+      val smallCold = small.join(hotDf, keys, "left_anti")
+      saltedJoin(bigHot, smallHot, keys, salts, joinType)
+        .unionByName(bigCold.join(smallCold, keys, joinType))
+    }
+  }
+
+  /** Sampled hot-key detection used by [[autoSaltedJoin]], exposed so
+    * plan audits (and SQL faces) can assert WHICH keys were classified
+    * hot: one key-only pass over `sampleFraction` of `big`; a key whose
+    * scaled-up estimate reaches `hotRowThreshold` rows is hot. Returns
+    * the collected hot-key rows (≤ maxHotKeys, fail-loud past that —
+    * millions of "hot" keys mean the join is uniformly large, not
+    * skewed). NULL keys never qualify.
+    *
+    * Calibration at scale: `hotRowThreshold` is an ABSOLUTE row count —
+    * callers should derive it from the table's size (e.g. a fraction of
+    * a row-count estimate: `rows / 20` = "a key is hot when it carries
+    * ≥5% of the table") rather than hard-coding, or at 100× the data a
+    * fixed threshold classifies every key hot and the hot-only refinement
+    * silently degrades to blanket salting. */
+  def detectHotKeys(big: DataFrame, keys: Seq[String],
+      sampleFraction: Double = 0.05, hotRowThreshold: Long = 100000L,
+      maxHotKeys: Int = 10000, seed: Long = 42L): Array[org.apache.spark.sql.Row] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val keyCols = keys.map(col)
     val sampled =
       if (sampleFraction >= 1.0) big.select(keyCols: _*)
@@ -124,19 +161,6 @@ object Skew {
     require(hotRows.length <= maxHotKeys,
       s"more than $maxHotKeys hot keys detected — this join is uniformly " +
         "large, not skewed; raise hotRowThreshold or repartition instead")
-    if (hotRows.isEmpty) big.join(small, keys, joinType)
-    else {
-      val hotDf = broadcast(
-        big.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            java.util.Arrays.asList(hotRows: _*)),
-          hot.schema))
-      val bigHot = big.join(hotDf, keys, "left_semi")
-      val bigCold = big.join(hotDf, keys, "left_anti")
-      val smallHot = small.join(hotDf, keys, "left_semi")
-      val smallCold = small.join(hotDf, keys, "left_anti")
-      saltedJoin(bigHot, smallHot, keys, salts, joinType)
-        .unionByName(bigCold.join(smallCold, keys, joinType))
-    }
+    hotRows
   }
 }

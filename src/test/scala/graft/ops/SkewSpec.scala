@@ -115,6 +115,25 @@ class SkewSpec extends SparkTestBase {
     assert(auto.count() === 2050L)
   }
 
+  test("detectHotKeys with a size-derived threshold isolates the hot key at 10x spreads") {
+    import spark.implicits._
+    // the q_auto_skew_join shape: key 0 carries ~30% of rows, 97 cold
+    // keys share the rest (~0.7% each). A size-derived threshold
+    // (rows/20 = "hot means ≥5% of the table") must classify EXACTLY
+    // key 0 hot at any scale — a fixed absolute threshold passes small
+    // and silently flips every cold key hot once the data grows.
+    for (n <- Seq(2000, 20000)) {
+      val big = (0 until n).map { i =>
+        val k = if (i % 10 < 3) 0L else (i % 97).toLong + 1L
+        (k, i.toLong)
+      }.toDF("k", "payload").repartition(8)
+      val hot = Skew.detectHotKeys(big, Seq("k"), sampleFraction = 1.0,
+        hotRowThreshold = math.max(1L, n / 20L))
+      assert(hot.map(_.getLong(0)).toSeq === Seq(0L),
+        s"at n=$n detection must isolate exactly the hot key (cold path non-empty)")
+    }
+  }
+
   test("saltedJoin spreads a hot key of IDENTICAL duplicate rows") {
     import spark.implicits._
     // the degenerate case: every hot row is byte-identical, so a
