@@ -37,37 +37,73 @@ object StreamingOps {
     * set union is the monoid, so cross-batch merge order is
     * irrelevant; update-mode estimates are nondecreasing, so the
     * drained maximum per key is the final state's estimate.
-    * User-facing ids hash through the sketch's own 64-bit keying. */
+    * User-facing ids hash through the sketch's own 64-bit keying.
+    *
+    * State is BOUNDED: the input is watermarked on `ts` and every
+    * group arms an event-time timeout at its window end, so once the
+    * watermark (max event time − `watermarkDelay`) passes a window,
+    * its groups emit one final row and `state.remove()` — live state
+    * is ≤ open-window × event-type groups forever, never the whole
+    * stream history (the NoTimeout variant grows without bound on a
+    * real stream — the one shape that cannot ship at 100 TB/day). A
+    * watermark-late row re-creates its group fresh and emits a
+    * partial correction row that closes one tick after the current
+    * watermark — late data degrades to per-batch deltas instead of
+    * being silently wrong or crashing the query. Eviction timing is
+    * pinned by StreamingOpsSpec (state-store row counts across a
+    * 3-batch replay); the final-row-on-timeout duplicates the last
+    * update emission, so drained max-per-key consumers are
+    * unaffected. */
   def sketchDistinct(events: DataFrame, windowSeconds: Long = 3600L,
-      lgK: Int = 15): Dataset[WindowDistinct] = {
+      lgK: Int = 15, watermarkDelay: String = "2 hours"): Dataset[WindowDistinct] = {
     require(lgK >= 4 && lgK <= 26, s"lgK must be in [4,26], got $lgK")
     import events.sparkSession.implicits._
+
+    def estimate(blob: Array[Byte]): Long = Math.round(
+      org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(blob)).getEstimate)
+
     events
+      .withWatermark("ts", watermarkDelay)
+      // ts rides along (unused by the function): the event-time-timeout
+      // checker requires the watermarked attribute in the operator input
       .select(
         (floor(unix_timestamp(col("ts")) / windowSeconds) * windowSeconds)
           .cast("long").as("window_start"),
-        col("event_type"), col("user_id"))
-      .as[(Long, String, Long)]
-      .groupByKey { case (ws, et, _) => (ws, et) }
-      .mapGroupsWithState[Array[Byte], WindowDistinct](GroupStateTimeout.NoTimeout) {
+        col("event_type"), col("user_id"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey { case (ws, et, _, _) => (ws, et) }
+      .mapGroupsWithState[Array[Byte], WindowDistinct](GroupStateTimeout.EventTimeTimeout) {
         case ((ws, et), rows, state) =>
-          val upd = org.apache.datasketches.theta.UpdateSketch.builder()
-            .setLogNominalEntries(lgK).build()
-          rows.foreach { case (_, _, uid) => upd.update(uid) }
-          val merged: Array[Byte] = state.getOption match {
-            case Some(prev) if prev.nonEmpty =>
-              val u = org.apache.datasketches.theta.SetOperation.builder()
-                .setLogNominalEntries(lgK).buildUnion()
-              u.union(org.apache.datasketches.theta.Sketches.wrapCompactSketch(
-                org.apache.datasketches.memory.Memory.wrap(prev)))
-              u.union(upd.compact(true, null))
-              u.getResult(true, null).toByteArray
-            case _ => upd.compact(true, null).toByteArray
+          if (state.hasTimedOut) {
+            // watermark passed the window end: emit the final row, drop
+            // the state — the group never returns (on-time data cannot
+            // land behind the watermark)
+            val fin = estimate(state.get)
+            state.remove()
+            WindowDistinct(ws, et, fin)
+          } else {
+            val upd = org.apache.datasketches.theta.UpdateSketch.builder()
+              .setLogNominalEntries(lgK).build()
+            rows.foreach { case (_, _, uid, _) => upd.update(uid) }
+            val merged: Array[Byte] = state.getOption match {
+              case Some(prev) if prev.nonEmpty =>
+                val u = org.apache.datasketches.theta.SetOperation.builder()
+                  .setLogNominalEntries(lgK).buildUnion()
+                u.union(org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+                  org.apache.datasketches.memory.Memory.wrap(prev)))
+                u.union(upd.compact(true, null))
+                u.getResult(true, null).toByteArray
+              case _ => upd.compact(true, null).toByteArray
+            }
+            state.update(merged)
+            // close at the window end; a late-recreated group (end ≤
+            // watermark) closes one tick after the current watermark —
+            // setTimeoutTimestamp rejects timestamps at or below it
+            state.setTimeoutTimestamp(math.max((ws + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            WindowDistinct(ws, et, estimate(merged))
           }
-          state.update(merged)
-          val est = org.apache.datasketches.theta.Sketches.wrapCompactSketch(
-            org.apache.datasketches.memory.Memory.wrap(merged)).getEstimate
-          WindowDistinct(ws, et, Math.round(est))
       }
   }
 

@@ -115,6 +115,44 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(n === 3000L)
   }
 
+  test("sketchDistinct evicts closed-window state once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(time: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $time")
+    val mem = MemoryStream[Event]
+    val q = sketchDistinct(mem.toDS().toDF(), windowSeconds = 3600L, lgK = 12,
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sketch_evict_out")
+      .outputMode(OutputMode.Update()).start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // batch 1: two windows open (10:00 click, 11:00 view)
+      mem.addData(Event(1L, at("10:00:00"), 100L, "click", 1.0),
+        Event(2L, at("10:05:00"), 200L, "click", 1.0),
+        Event(3L, at("11:10:00"), 100L, "view", 1.0))
+      q.processAllAvailable()
+      assert(stateRows === 2L, "both open windows hold state")
+      // batch 2: 14:30 event raises the watermark to 13:30 — strictly
+      // past both earlier window ends (11:00, 12:00): their state must
+      // be EVICTED, leaving only the 14:00 window's group
+      mem.addData(Event(4L, at("14:30:00"), 300L, "click", 1.0))
+      q.processAllAvailable()
+      assert(stateRows === 1L,
+        s"closed windows must evict, got $stateRows state rows")
+    } finally q.stop()
+    // eviction emitted final rows identical to the last update per key:
+    // drained max-per-key still equals the exact distinct counts
+    val finalCounts = spark.table("sketch_evict_out")
+      .groupBy("window_start", "event_type")
+      .agg(org.apache.spark.sql.functions.max("n_distinct").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+    val h14 = Timestamp.valueOf("2024-01-01 14:00:00").getTime / 1000
+    assert(finalCounts === Map((h10, "click") -> 2L, (h11, "view") -> 1L,
+      (h14, "click") -> 1L))
+  }
+
   test("stream-stream interval join matches the batch join across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
