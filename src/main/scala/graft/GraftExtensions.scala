@@ -200,7 +200,37 @@ object GraftExtensions {
       val joined = graft.etl.Merge.temporalJoin(facts, dim, keys,
         factTime = strLit(args(3), "fact_time_col"))
       joined.queryExecution.logical
+    }),
+    //   graft_skew_join(big_view, small_view, keys_csv, salts, join_type,
+    //                   sample_fraction, hot_row_threshold)
+    // Auto-detected hot-key-only salted join — the SQL face of
+    // Skew.autoSaltedJoin, the one production join family a SQL-first
+    // user cannot hand-roll (the hot set comes from a seeded sampled
+    // detection pass run at analysis time, exactly as the Scala API
+    // runs it). Same plan: detected-hot rows take the salted path,
+    // cold rows the stock shuffled join, union of the disjoint paths;
+    // detection moves keys between paths only, so the result equals
+    // the plain equi join for any sample.
+    ("graft_skew_join", 7, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val big = spark.table(strLit(args(0), "big_view"))
+      val small = spark.table(strLit(args(1), "small_view"))
+      val keys = strLit(args(2), "keys_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val joined = graft.ops.Skew.autoSaltedJoin(big, small, keys,
+        salts = longLit(args(3), "salts").toInt,
+        joinType = strLit(args(4), "join_type"),
+        sampleFraction = dblLit(args(5), "sample_fraction"),
+        hotRowThreshold = longLit(args(6), "hot_row_threshold"))
+      joined.queryExecution.logical
     }))
+
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
 
   private def longLit(e: Expression, what: String): Long = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong

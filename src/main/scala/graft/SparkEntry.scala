@@ -611,6 +611,28 @@ object SparkEntry {
       graft.ops.Skew.autoSaltedJoin(big, dim, keys = Seq("k"), salts = 8,
         sampleFraction = 0.1, hotRowThreshold = hotThresh)
     },
+    "q_skew_sql" -> { (s, dir) =>
+      // The auto skew join through its SQL face: graft_skew_join's
+      // builder runs the SAME seeded sampled detection at analysis time
+      // and returns the identical hot/cold split plan (plan parity
+      // pinned in GraftExtensionsSpec). Shares q_auto_skew_join's
+      // scenario, size-derived threshold, and plain-join oracle.
+      graft.GraftExtensions.register(s)
+      val li = Tables(s, dir, "lineitem")
+      li.select(
+        when(pmod(col("l_orderkey"), lit(10L)) < 3, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(997L))).as("k"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .createOrReplaceTempView("graft_skew_big_v")
+      s.range(0, 997).select(col("id").as("k"),
+        (col("id") * 7 % 101).as("dim_code"))
+        .createOrReplaceTempView("graft_skew_dim_v")
+      val hotThresh = math.max(1000L, li.count() / 20L)
+      s.sql(s"""
+        SELECT * FROM graft_skew_join('graft_skew_big_v', 'graft_skew_dim_v',
+          'k', 8, 'inner', 0.1, $hotThresh)
+      """)
+    },
     "q_salted_agg" -> { (s, dir) =>
       // Two-stage salted aggregation (hot-key mitigation); result is
       // identical to the plain group-by, which is exactly what the
@@ -2471,16 +2493,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
         | o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
-    "q_auto_skew_join" ->
-      """WITH big AS (
-        | SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
-        |   ELSE l_orderkey % 997 END AS k,
-        |  l_orderkey, l_linenumber, l_extendedprice
-        | FROM lineitem),
-        |dim AS (SELECT range AS k, (range * 7) % 101 AS dim_code
-        |        FROM range(0, 997))
-        |SELECT big.k, l_orderkey, l_linenumber, l_extendedprice, dim_code
-        |FROM big JOIN dim USING (k)""".stripMargin,
+    "q_auto_skew_join" -> autoSkewJoinSql,
+    "q_skew_sql" -> autoSkewJoinSql,
     "q_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -3402,6 +3416,20 @@ object SparkEntry {
     * `sketch_dau_mau` (mergeable daily theta sketches in exact mode),
     * and `sketch_dau_mau_sql` (TVF face) — one ground truth, three
     * faces. */
+  /** Shared by q_auto_skew_join and its SQL face q_skew_sql: the
+    * hot-key split is plan-shape-only, so both must equal the plain
+    * equi join. */
+  private def autoSkewJoinSql: String =
+    """WITH big AS (
+      | SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+      |   ELSE l_orderkey % 997 END AS k,
+      |  l_orderkey, l_linenumber, l_extendedprice
+      | FROM lineitem),
+      |dim AS (SELECT range AS k, (range * 7) % 101 AS dim_code
+      |        FROM range(0, 997))
+      |SELECT big.k, l_orderkey, l_linenumber, l_extendedprice, dim_code
+      |FROM big JOIN dim USING (k)""".stripMargin
+
   private def dauMauSql: String =
     """WITH act AS (SELECT DISTINCT user_id,
       |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day FROM events),

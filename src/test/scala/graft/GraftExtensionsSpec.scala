@@ -182,6 +182,36 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(bounds === 0L)
   }
 
+  test("graft_skew_join table-valued function equals the plain join and the Scala face") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // key 1 hot (600 rows), keys 10-29 cold (5 rows each), key 999
+    // misses the dimension
+    val big = ((1 to 600).map(i => (1L, i.toLong)) ++
+      (for (k <- 10 until 30; i <- 0 until 5) yield (k.toLong, i.toLong)) ++
+      Seq((999L, 0L))).toDF("k", "payload")
+    big.createOrReplaceTempView("tvf_skew_big")
+    val dim = (Seq(1L) ++ (10L until 30L)).map(k => (k, s"a$k")).toDF("k", "attr")
+    dim.createOrReplaceTempView("tvf_skew_dim")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_skew_join('tvf_skew_big', 'tvf_skew_dim',
+        |  'k', 8, 'inner', 1.0, 100)""".stripMargin)
+    // the SQL face took the split path (salted hot union plain cold)...
+    val plan = viaSql.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("union") && plan.contains("__salt"))
+    // ...and equals both the plain join and the Scala API result
+    assert(canon(viaSql) === canon(big.join(dim, Seq("k"))))
+    assert(canon(viaSql) === canon(graft.ops.Skew.autoSaltedJoin(
+      big, dim, Seq("k"), salts = 8, sampleFraction = 1.0, hotRowThreshold = 100L)))
+    // left join keeps the dimension-missing key
+    val left = spark.sql(
+      """SELECT * FROM graft_skew_join('tvf_skew_big', 'tvf_skew_dim',
+        |  'k', 8, 'left', 1.0, 100)""".stripMargin)
+    assert(canon(left) === canon(big.join(dim, Seq("k"), "left")))
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
