@@ -1261,6 +1261,22 @@ object SparkEntry {
           .otherwise(col("o_orderstatus")).as("lb"))
       graft.ops.DataQuality.cohensKappa(ann, "la", "lb")
     },
+    "dq_fleiss_kappa" -> { (s, dir) =>
+      // Multi-rater label QA: a 3-annotator panel over orders (pass 1 =
+      // the status; passes 2 and 3 flip every 7th / 11th row), scored
+      // with Fleiss' chance-corrected agreement in exact decimal-safe
+      // integer arithmetic. Long-format ratings — the natural shape of
+      // a rating table — one row per (item, rater pass).
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus").isNotNull)
+      def flip(m: Long) = when(pmod(col("o_orderkey"), lit(m)) === 0,
+        when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
+        .otherwise(col("o_orderstatus"))
+      val ratings = o.select(col("o_orderkey").as("item"),
+          col("o_orderstatus").as("label"))
+        .unionByName(o.select(col("o_orderkey").as("item"), flip(7L).as("label")))
+        .unionByName(o.select(col("o_orderkey").as("item"), flip(11L).as("label")))
+      graft.ops.DataQuality.fleissKappa(ratings, "item", "label")
+    },
     "dq_psi_cat_drift" -> { (s, dir) =>
       // Categorical drift on the same snapshot split: categories are
       // the bins (union of both sides via full outer join — appearing/
@@ -2960,6 +2976,32 @@ object SparkEntry {
         |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
         | END AS kappa_micro
         |FROM t, a, pe""".stripMargin,
+    "dq_fleiss_kappa" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderstatus IS NOT NULL),
+        |ratings AS (
+        | SELECT o_orderkey AS item, o_orderstatus AS label FROM o
+        | UNION ALL
+        | SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0
+        |  THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+        |  ELSE o_orderstatus END FROM o
+        | UNION ALL
+        | SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0
+        |  THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+        |  ELSE o_orderstatus END FROM o),
+        |nij AS (SELECT item, label, COUNT(*) AS nn FROM ratings GROUP BY 1, 2),
+        |sz AS (SELECT COUNT(DISTINCT item) AS n_items FROM nij),
+        |a AS (SELECT SUM(CAST(nn AS HUGEINT) * nn) AS a_sum FROM nij),
+        |sj AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS s_sum
+        |       FROM (SELECT SUM(nn) AS c FROM nij GROUP BY label)),
+        |t AS (SELECT CAST(n_items AS HUGEINT) * 3 AS bt, n_items FROM sz)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+        | CAST(a_sum AS BIGINT) AS a_sum, CAST(s_sum AS BIGINT) AS s_sum,
+        | CASE WHEN bt * bt - s_sum = 0 THEN 1000000
+        |  ELSE CAST((bt * (a_sum - bt) - s_sum * 2) * 1000000
+        |    // (2 * (bt * bt - s_sum)) AS BIGINT)
+        | END AS kappa_micro
+        |FROM t, a, sj""".stripMargin,
     "dq_psi_cat_drift" ->
       """WITH ref AS (SELECT o_orderpriority AS cat FROM orders
         |  WHERE o_orderkey % 3 <> 0 AND o_orderpriority IS NOT NULL),

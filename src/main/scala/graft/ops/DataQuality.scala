@@ -270,6 +270,66 @@ object DataQuality {
           .as("kappa_micro"))
   }
 
+  /** Fleiss' kappa multi-rater agreement — [[cohensKappa]]'s n-rater
+    * generalization (Fleiss 1971), the label-QA gate when a labeling
+    * pass uses a PANEL (3 human annotators, an ensemble of labeling
+    * models): chance-corrected agreement over N items each rated by the
+    * same number n of raters. Input is LONG format — one row per
+    * rating, (item, label) — the shape a rating table naturally has.
+    *
+    * Exact integer arithmetic end-to-end: with n_ij the count of
+    * raters putting item i in category j, A = Σ_ij n_ij², S = Σ_j c_j²
+    * (c_j the per-category totals) and T = N·n,
+    *
+    *   kappa = (P̄ − P̄_e) / (1 − P̄_e)
+    *         = [T·(A − T) − S·(n−1)] / [(n−1)·(T² − S)]
+    *
+    * — a ratio of integers, shipped as `kappa_micro` by integer
+    * division with the count diagnostics (N, n, A, S) alongside. T²
+    * and S reach (N·n)², so the arithmetic runs in decimal(38,0)
+    * (exact to N·n ≈ 10^19 ratings; the longed diagnostic columns
+    * NULL visibly past Long.Max rather than wrapping). The degenerate
+    * S = T² case (every rating in one category) forces P̄ = 1 and
+    * reports the 1.0 convention, matching [[cohensKappa]].
+    *
+    * Every item must carry exactly n ratings — a partial panel makes
+    * the statistic undefined, so ragged input fails loud instead of
+    * silently reweighting. Two grouped passes on (item, label) — the
+    * contingency table is the only table-sized intermediate; NULL
+    * items/labels are excluded as missing data. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rated = df.filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("item"), col(labelCol).cast("string").as("label"))
+    val nij = rated.groupBy("item", "label").agg(count(lit(1)).as("nij"))
+    // panel check + sizes: one aggregate-sized action
+    val panel = nij.groupBy("item").agg(sum("nij").as("n_i"))
+      .agg(min("n_i").as("mn"), max("n_i").as("mx"), count(lit(1)).as("n_items"))
+      .head()
+    require(!panel.isNullAt(0), "fleissKappa: no labeled rows")
+    val (nRaters, nItems) = (panel.getLong(0), panel.getLong(2))
+    require(nRaters == panel.getLong(1),
+      s"fleissKappa needs a fixed rater panel: items carry between " +
+        s"$nRaters and ${panel.getLong(1)} ratings")
+    require(nRaters >= 2, s"fleissKappa needs ≥2 raters per item, got $nRaters")
+    val bigT = new java.math.BigDecimal(nItems)
+      .multiply(new java.math.BigDecimal(nRaters))
+    val bigT2 = bigT.multiply(bigT)
+    val aSum = nij.agg(sum(col("nij").cast(dec) * col("nij")).as("a_dec"))
+    val sSum = nij.groupBy("label").agg(sum("nij").as("c"))
+      .agg(sum(col("c").cast(dec) * col("c")).as("s_dec"))
+    val num = (lit(bigT) * (col("a_dec") - lit(bigT)) -
+      col("s_dec") * lit(nRaters - 1L)) * lit(1000000L)
+    val den = lit(new java.math.BigDecimal(nRaters - 1L)) * (lit(bigT2) - col("s_dec"))
+    aSum.crossJoin(broadcast(sSum))
+      .select(lit(nItems).as("n_items"), lit(nRaters).as("n_raters"),
+        col("a_dec").cast("long").as("a_sum"),
+        col("s_dec").cast("long").as("s_sum"),
+        when(lit(bigT2) - col("s_dec") === lit(0L).cast(dec), lit(1000000L))
+          .otherwise(call_function("div", num, den))
+          .as("kappa_micro"))
+  }
+
   /** Categorical PSI — the drift face for discrete features (segment,
     * language, source, label), where equal-width bins are meaningless:
     * the "bins" are the categories themselves, the union of both

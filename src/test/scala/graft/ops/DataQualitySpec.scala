@@ -171,6 +171,51 @@ class DataQualitySpec extends SparkTestBase {
     assert(withNulls.getLong(0) === 2L && withNulls.getLong(3) === 1000000L)
   }
 
+  test("fleissKappa: hand-computed, perfect, degenerate, and ragged tapes") {
+    import spark.implicits._
+    // 2 items x 2 raters: i1 = {A,A}, i2 = {A,B}.
+    // A = 2^2 + (1+1) = 6, S = 3^2 + 1^2 = 10, T = 4:
+    // kappa = [4*(6-4) - 10*1] / [1*(16-10)] = -2/6 -> micro -333333
+    val hand = DataQuality.fleissKappa(
+      Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")).toDF("item", "label"),
+      "item", "label").head()
+    assert((hand.getLong(0), hand.getLong(1), hand.getLong(2),
+      hand.getLong(3), hand.getLong(4)) === ((2L, 2L, 6L, 10L, -333333L)))
+    // per-item unanimity across >1 category: kappa = 1 exactly
+    val perfect = DataQuality.fleissKappa(
+      (for (i <- 0 until 30; _ <- 0 until 3) yield (i.toLong, s"l${i % 3}"))
+        .toDF("item", "label"), "item", "label").head()
+    assert(perfect.getLong(4) === 1000000L)
+    // every rating in ONE category: S = T^2 -> the 1.0 convention
+    val const = DataQuality.fleissKappa(
+      (for (i <- 0 until 10; _ <- 0 until 4) yield (i.toLong, "x"))
+        .toDF("item", "label"), "item", "label").head()
+    assert(const.getLong(4) === 1000000L)
+    // n=2 raters must agree with cohensKappa on the same tape (Fleiss
+    // reduces to Scott's pi at n=2, which equals kappa when both
+    // marginals coincide — symmetric disagreements keep them equal)
+    val pairs = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"), ("x", "x"))
+    val ck = DataQuality.cohensKappa(pairs.toDF("a", "b"), "a", "b")
+      .head().getLong(3)
+    val fk = DataQuality.fleissKappa(
+      pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((i.toLong, a), (i.toLong, b)) }.toDF("item", "label"),
+      "item", "label").head().getLong(4)
+    assert(fk === ck)
+    // ragged panel (an item with fewer ratings) fails loud
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.fleissKappa(
+        Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("item", "label"),
+        "item", "label")
+    }
+    assert(e.getMessage.contains("fixed rater panel"))
+    // NULL items/labels are excluded as missing data
+    val withNulls = DataQuality.fleissKappa(
+      (Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B")) ++
+        Seq((3L, null), (3L, null))).toDF("item", "label"), "item", "label").head()
+    assert(withNulls.getLong(0) === 2L && withNulls.getLong(4) === 1000000L)
+  }
+
   test("psiDriftCategorical: identical snapshots zero; vanished categories contribute") {
     import spark.implicits._
     val a = (0 until 600).map(i => s"cat${i % 5}").toDF("c")
