@@ -1261,6 +1261,34 @@ object SparkEntry {
           .otherwise(col("o_orderstatus")).as("lb"))
       graft.ops.DataQuality.cohensKappa(ann, "la", "lb")
     },
+    "dq_psi_incremental" -> { (s, dir) =>
+      // Drift over PERSISTED state — the incremental twin of
+      // dq_psi_drift: per-day binned histograms (exact mergeable
+      // sketches — counts are the monoid) are built once per "day" and
+      // written through the parquet sink; the PSI between day-groups is
+      // then computed from the STORED summaries only — the result's
+      // lineage contains the state files and the bins-sized spine,
+      // never the history rows again. Bin edges fix ONCE from day 0
+      // (the initial reference) so later days' histograms stay
+      // mergeable. Oracle = exact recompute from raw rows.
+      val orders = Tables(s, dir, "orders")
+      val bins = 10
+      val dayCol = pmod(col("o_orderkey"), lit(5L))
+      val (mn, width) = graft.ops.DataQuality.histogramEdges(
+        orders.filter(dayCol === 0), "o_totalprice", bins)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_psi_state_").toString
+      (0 until 5).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ops.DataQuality.histogramState(
+            orders.filter(dayCol === d), "o_totalprice", mn, width, bins),
+          s"$stateDir/day=$d")
+      }
+      graft.ops.DataQuality.psiFromState(
+        s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1"),
+        s.read.parquet(s"$stateDir/day=2", s"$stateDir/day=3", s"$stateDir/day=4"),
+        bins)
+    },
     "dq_fleiss_kappa" -> { (s, dir) =>
       // Multi-rater label QA: a 3-annotator panel over orders (pass 1 =
       // the status; passes 2 and 3 flip every 7th / 11th row), scored
@@ -2976,6 +3004,30 @@ object SparkEntry {
         |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
         | END AS kappa_micro
         |FROM t, a, pe""".stripMargin,
+    "dq_psi_incremental" ->
+      """WITH day0 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_totalprice IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM day0),
+        |ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 IN (0, 1) AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 IN (2, 3, 4) AND o_totalprice IS NOT NULL),
+        |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+        |       FROM ref, st),
+        |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+        |       FROM cur, st),
+        |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        |r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+        |c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+        |j AS (SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
+        |       COALESCE(n_cur, 0) AS n_cur
+        |      FROM spine LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+        |SELECT bin, n_ref, n_cur,
+        | CAST(ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+        |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
+        |   * 1000000000) AS BIGINT) AS psi_nano
+        |FROM j, t""".stripMargin,
     "dq_fleiss_kappa" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
         |  WHERE o_orderstatus IS NOT NULL),

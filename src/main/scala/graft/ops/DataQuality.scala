@@ -192,22 +192,56 @@ object DataQuality {
     * psi_nano for the headline index). */
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       bins: Int = 10): DataFrame = {
+    val (mn, width) = histogramEdges(ref, valueCol, bins)
+    psiFromState(
+      histogramState(ref, valueCol, mn, width, bins),
+      histogramState(cur, valueCol, mn, width, bins), bins)
+  }
+
+  /** Equal-width bin edges fixed by a reference snapshot: (min, width).
+    * The incremental-drift contract: edges are chosen ONCE (from the
+    * initial reference day) and every later day's histogram uses them —
+    * that is what makes stored histograms mergeable across days.
+    * Fail-loud on empty/all-null and constant references. */
+  def histogramEdges(ref: DataFrame, valueCol: String,
+      bins: Int): (Double, Double) = {
     require(bins > 1, s"bins must be > 1, got $bins")
     val v = col(valueCol).cast("double")
     val extremes = ref.agg(min(v), max(v)).head()
     require(!extremes.isNullAt(0) && !extremes.isNullAt(1),
       s"reference $valueCol has no non-null values — equal-width bins undefined")
-    val Array(mn, mx) = Array(extremes.getDouble(0), extremes.getDouble(1))
+    val (mn, mx) = (extremes.getDouble(0), extremes.getDouble(1))
     require(mx > mn,
       s"reference $valueCol is constant ($mn) — equal-width bins undefined")
-    val width = (mx - mn) / bins
-    def binOf(df: DataFrame): DataFrame = df
-      .filter(col(valueCol).isNotNull)
+    (mn, (mx - mn) / bins)
+  }
+
+  /** Binned-histogram summary of one snapshot: (bin, n) with out-of-range
+    * values clamped to the edge bins — an exact MERGEABLE sketch (counts
+    * add), sized by the bin count, not the data. Persist one per
+    * day/partition and drift gates never re-scan history: PSI between
+    * any two day-groups is [[psiFromState]] over the stored rows. */
+  def histogramState(df: DataFrame, valueCol: String, mn: Double,
+      width: Double, bins: Int): DataFrame = {
+    require(bins > 1 && width > 0, s"bad bins/width: $bins/$width")
+    df.filter(col(valueCol).isNotNull)
       .select(least(greatest(floor((col(valueCol).cast("double") - lit(mn)) / lit(width)),
         lit(0.0)), lit((bins - 1).toDouble)).cast("long").as("bin"))
-    val r = binOf(ref).groupBy("bin").agg(count(lit(1)).as("n_ref"))
-    val c = binOf(cur).groupBy("bin").agg(count(lit(1)).as("n_cur"))
-    val spine = ref.sparkSession.range(0, bins).select(col("id").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI from stored histogram state alone — the incremental twin of
+    * [[psiDrift]]: both sides are (bin, n) frames (possibly many days'
+    * worth — counts sum, the monoid), never raw rows. Same Laplace
+    * smoothing, same bin spine (empty bins surface), same
+    * nano-quantization; [[psiDrift]] itself routes through here, so
+    * batch and from-state PSI are one code path and agree exactly. */
+  def psiFromState(refState: DataFrame, curState: DataFrame,
+      bins: Int): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val r = refState.groupBy("bin").agg(sum("n").as("n_ref"))
+    val c = curState.groupBy("bin").agg(sum("n").as("n_cur"))
+    val spine = refState.sparkSession.range(0, bins).select(col("id").as("bin"))
     val joined = spine
       .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
       .select(col("bin"),

@@ -171,6 +171,42 @@ class DataQualitySpec extends SparkTestBase {
     assert(withNulls.getLong(0) === 2L && withNulls.getLong(3) === 1000000L)
   }
 
+  test("psiFromState over merged per-day histograms equals the batch PSI exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 3000).map(i => (i % 4, rnd.nextGaussian() * (1 + i % 4)))
+    val df = rows.toDF("day", "v")
+    val ref = df.filter($"day" < 2)
+    val cur = df.filter($"day" >= 2)
+    val (mn, width) = DataQuality.histogramEdges(ref, "v", 10)
+    // per-day states persisted and re-read, then merged by psiFromState:
+    // counts are the monoid, so stored-state PSI == raw-rows PSI exactly
+    val stateDir = java.nio.file.Files.createTempDirectory("psi_state_spec_")
+    (0 until 4).foreach { d =>
+      DataQuality.histogramState(df.filter($"day" === d), "v", mn, width, 10)
+        .write.mode("overwrite").parquet(s"$stateDir/day=$d")
+    }
+    val fromState = DataQuality.psiFromState(
+      spark.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1"),
+      spark.read.parquet(s"$stateDir/day=2", s"$stateDir/day=3"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val batch = DataQuality.psiDrift(ref, cur, "v", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(fromState === batch)
+    // and the from-state result never re-scans the raw frame: every
+    // leaf of its plan is a parquet scan of the bins-sized state
+    val leaves = DataQuality.psiFromState(
+      spark.read.parquet(s"$stateDir/day=0"),
+      spark.read.parquet(s"$stateDir/day=1"), 10)
+      .queryExecution.optimizedPlan.collectLeaves()
+    val rels = leaves.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.output.map(_.name)
+    }
+    assert(rels.nonEmpty && rels.forall(_ == Seq("bin", "n")),
+      s"state PSI must scan only (bin, n) state relations, got leaves: $leaves")
+  }
+
   test("fleissKappa: hand-computed, perfect, degenerate, and ragged tapes") {
     import spark.implicits._
     // 2 items x 2 raters: i1 = {A,A}, i2 = {A,B}.
