@@ -1932,6 +1932,48 @@ object SparkEntry {
           .agg(max(col("n_distinct")).as("n_users"))
       }
     },
+    "stream_drift_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Drift-on-arrival: the dq_psi_drift scenario with the CURRENT
+        // snapshot arriving as a 3-file stream. Each microbatch folds
+        // into persisted bins-sized histogram state (foreachBatch,
+        // versioned-dir + marker exactly-once); the result is the PSI
+        // of the drained state against the fixed reference sketch,
+        // computed from summaries only. Counts merge as a monoid, so
+        // the gate's output hash-matches the batch PSI recompute —
+        // dq_psi_drift's own oracle.
+        val orders = Tables(s, dir, "orders")
+        val bins = 10
+        val ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+        val (mn, width) = graft.ops.DataQuality.histogramEdges(
+          ref, "o_totalprice", bins)
+        val refHist = graft.ops.DataQuality.histogramState(
+          ref, "o_totalprice", mn, width, bins)
+        val cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val replayDir = java.nio.file.Files
+          .createTempDirectory("graft_drift_replay_").toFile
+        Seq(0L, 3L, 6L).zipWithIndex.foreach { case (g, i) =>
+          val stage = java.nio.file.Files.createTempDirectory("graft_drift_stage_")
+          cur.filter(pmod(col("o_orderkey"), lit(9L)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"cur_$i%02d.parquet").toPath)
+        }
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_drift_state_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_drift_ckpt_").toString
+        val stream = s.readStream.schema(cur.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.driftGate(stream, "o_totalprice",
+          mn, width, bins, stateDir, ckpt)
+        graft.streaming.StreamingOps.driftGateResult(s, refHist, stateDir, bins)
+      }
+    },
     "stream_dedup" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
@@ -2959,28 +3001,8 @@ object SparkEntry {
         |   END) * 1000000) AS BIGINT) AS v_micro,
         | (obs_v IS NOT NULL) AS observed
         |FROM w""".stripMargin,
-    "dq_psi_drift" ->
-      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-        |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
-        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-        |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
-        |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM ref),
-        |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
-        |       FROM ref, st),
-        |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
-        |       FROM cur, st),
-        |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
-        |r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
-        |c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
-        |j AS (SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
-        |       COALESCE(n_cur, 0) AS n_cur
-        |      FROM spine LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
-        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
-        |SELECT bin, n_ref, n_cur,
-        | CAST(ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
-        |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
-        |   * 1000000000) AS BIGINT) AS psi_nano
-        |FROM j, t""".stripMargin,
+    "dq_psi_drift" -> psiDriftSql,
+    "stream_drift_gate" -> psiDriftSql,
     "dq_cohens_kappa" ->
       """WITH ann AS (
         | SELECT o_orderstatus AS la,
@@ -3510,6 +3532,32 @@ object SparkEntry {
     * `sketch_dau_mau` (mergeable daily theta sketches in exact mode),
     * and `sketch_dau_mau_sql` (TVF face) — one ground truth, three
     * faces. */
+  /** Shared by dq_psi_drift and stream_drift_gate: the gate's drained
+    * state PSI must equal the batch recompute exactly (counts are the
+    * monoid). */
+  private def psiDriftSql: String =
+    """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+      |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+      |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM ref),
+      |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+      |       FROM ref, st),
+      |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+      |       FROM cur, st),
+      |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+      |r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+      |c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+      |j AS (SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
+      |       COALESCE(n_cur, 0) AS n_cur
+      |      FROM spine LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
+      |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+      |SELECT bin, n_ref, n_cur,
+      | CAST(ROUND(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+      |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
+      |   * 1000000000) AS BIGINT) AS psi_nano
+      |FROM j, t""".stripMargin
+
   /** Shared by q_auto_skew_join and its SQL face q_skew_sql: the
     * hot-key split is plan-shape-only, so both must equal the plain
     * equi join. */

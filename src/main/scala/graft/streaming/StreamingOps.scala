@@ -358,6 +358,73 @@ object StreamingOps {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // --- streaming drift gate (foreachBatch -> persisted histogram state) --
+
+  /** Streaming feature-drift gate — drift-on-arrival, composing the
+    * batch PSI family (graft.ops.DataQuality) with persisted mergeable
+    * state: each microbatch folds its rows into a stored (bin, n)
+    * histogram (counts are the monoid, so arrival order and batch
+    * boundaries are irrelevant), and the PSI of everything-seen-so-far
+    * against a FIXED reference snapshot is readable at any moment via
+    * [[driftGateResult]] without touching raw history. Bin edges are
+    * fixed by the reference (the caller computes them once with
+    * `DataQuality.histogramEdges` — the mergeability contract).
+    *
+    * Exactly-once: foreachBatch can replay a batch after a crash, so
+    * each application writes a fresh versioned state directory and
+    * flips a `_VERSION` marker last (the [[upsertSink]] commit shape);
+    * replayed batchIds ≤ the marker are skipped, so the gate's counts
+    * are EXACT — the drained PSI hash-matches the batch recompute, the
+    * driver row's oracle. State is bins-sized forever; per-batch cost
+    * is one scan of the batch plus a bins-sized merge. */
+  def driftGate(stream: DataFrame, valueCol: String, mn: Double,
+      width: Double, bins: Int, stateDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDriftBatch(batch, batchId, valueCol, mn, width, bins, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent histogram-state merge. Public for direct testing
+    * and for batch backfills sharing the gate's state. */
+  def applyDriftBatch(batch: DataFrame, batchId: Long, valueCol: String,
+      mn: Double, width: Double, bins: Int, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val hist = graft.ops.DataQuality.histogramState(batch, valueCol, mn, width, bins)
+    val merged = (if (current >= 0L)
+      hist.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else hist)
+      .groupBy("bin").agg(sum("n").as("n"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** PSI of the gate's committed state against the fixed reference
+    * histogram — reads ONLY bins-sized summaries (stored stream state +
+    * the reference sketch), never raw rows. */
+  def driftGateResult(spark: org.apache.spark.sql.SparkSession,
+      refState: DataFrame, stateDir: String, bins: Int): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed drift state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.DataQuality.psiFromState(refState,
+      spark.read.parquet(s"$stateDir/v$v"), bins)
+  }
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {

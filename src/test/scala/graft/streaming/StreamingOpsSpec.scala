@@ -153,6 +153,26 @@ class StreamingOpsSpec extends SparkTestBase {
       (h14, "click") -> 1L))
   }
 
+  test("drift gate folds batches into bins-sized state, idempotent on replay") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("drift_spec_").toString
+    // bins: [0,1) [1,2) ... width 1 from 0
+    applyDriftBatch(Seq(1.0, 2.0, 9.0).toDF("v"), 0L, "v", 0.0, 1.0, 10, stateDir)
+    val b2 = Seq(2.5, 9.5).toDF("v")
+    applyDriftBatch(b2, 1L, "v", 0.0, 1.0, 10, stateDir)
+    // a foreachBatch REPLAY of batch 1 must be a no-op, not a double count
+    applyDriftBatch(b2, 1L, "v", 0.0, 1.0, 10, stateDir)
+    def counts = spark.read.parquet(s"$stateDir/v1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 1L, 2L -> 2L, 9L -> 2L))
+    // PSI from the gate state vs a reference sketch reads summaries only
+    val refHist = graft.ops.DataQuality.histogramState(
+      Seq(1.2, 2.7, 9.1, 0.5).toDF("v"), "v", 0.0, 1.0, 10)
+    val psi = driftGateResult(spark, refHist, stateDir, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(psi(2L) === ((1L, 2L)) && psi(0L) === ((1L, 0L)) && psi.size === 10)
+  }
+
   test("stream-stream interval join matches the batch join across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
