@@ -222,6 +222,47 @@ object GraftExtensions {
         sampleFraction = dblLit(args(5), "sample_fraction"),
         hotRowThreshold = longLit(args(6), "hot_row_threshold"))
       joined.queryExecution.logical
+    }),
+    //   graft_psi_drift(ref_view, cur_view, value_col, bins)
+    // Numeric PSI drift gate — same plan as DataQuality.psiDrift (the
+    // reference-edge lookup runs at analysis time, like the bloom TVF's
+    // build actions).
+    ("graft_psi_drift", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.psiDrift(
+        spark.table(strLit(args(0), "ref_view")),
+        spark.table(strLit(args(1), "cur_view")),
+        strLit(args(2), "value_col"),
+        bins = longLit(args(3), "bins").toInt)
+      out.queryExecution.logical
+    }),
+    //   graft_ks_drift(ref_view, cur_view, value_col)
+    // Exact two-sample KS drift — same range-partitioned CDF plan as
+    // DataQuality.ksDrift (per-partition offset totals collected at
+    // analysis time).
+    ("graft_ks_drift", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.ksDrift(
+        spark.table(strLit(args(0), "ref_view")),
+        spark.table(strLit(args(1), "cur_view")),
+        strLit(args(2), "value_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_cohens_kappa(table_view, label_a, label_b)
+    ("graft_cohens_kappa", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.cohensKappa(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "label_a"), strLit(args(2), "label_b"))
+      out.queryExecution.logical
+    }),
+    //   graft_fleiss_kappa(ratings_view, item_col, label_col)
+    ("graft_fleiss_kappa", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.fleissKappa(
+        spark.table(strLit(args(0), "ratings_view")),
+        strLit(args(1), "item_col"), strLit(args(2), "label_col"))
+      out.queryExecution.logical
     }))
 
   private def dblLit(e: Expression, what: String): Double = e match {

@@ -1327,6 +1327,57 @@ object SparkEntry {
         cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
         valueCol = "o_totalprice")
     },
+    "dq_psi_sql" -> { (s, dir) =>
+      // The numeric PSI gate through its SQL face: graft_psi_drift
+      // returns the exact plan DataQuality.psiDrift builds (same
+      // scenario and oracle as dq_psi_drift).
+      graft.GraftExtensions.register(s)
+      val orders = Tables(s, dir, "orders")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+        .createOrReplaceTempView("graft_dq_ref_v")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        .createOrReplaceTempView("graft_dq_cur_v")
+      s.sql("""SELECT * FROM graft_psi_drift('graft_dq_ref_v',
+        'graft_dq_cur_v', 'o_totalprice', 10)""")
+    },
+    "dq_ks_sql" -> { (s, dir) =>
+      // Exact KS drift through its SQL face (same range-partitioned
+      // CDF plan, same oracle as dq_ks_drift).
+      graft.GraftExtensions.register(s)
+      val orders = Tables(s, dir, "orders")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+        .createOrReplaceTempView("graft_dq_ref_v")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        .createOrReplaceTempView("graft_dq_cur_v")
+      s.sql("""SELECT * FROM graft_ks_drift('graft_dq_ref_v',
+        'graft_dq_cur_v', 'o_totalprice')""")
+    },
+    "dq_kappa_sql" -> { (s, dir) =>
+      // Cohen's kappa through its SQL face (same contingency plan,
+      // same oracle as dq_cohens_kappa).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders").select(
+        col("o_orderstatus").as("la"),
+        when(pmod(col("o_orderkey"), lit(7L)) === 0,
+          when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
+          .otherwise(col("o_orderstatus")).as("lb"))
+        .createOrReplaceTempView("graft_kappa_v")
+      s.sql("SELECT * FROM graft_cohens_kappa('graft_kappa_v', 'la', 'lb')")
+    },
+    "dq_fleiss_sql" -> { (s, dir) =>
+      // Fleiss' kappa through its SQL face (same panel scenario, same
+      // oracle as dq_fleiss_kappa).
+      graft.GraftExtensions.register(s)
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus").isNotNull)
+      def flip(m: Long) = when(pmod(col("o_orderkey"), lit(m)) === 0,
+        when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
+        .otherwise(col("o_orderstatus"))
+      o.select(col("o_orderkey").as("item"), col("o_orderstatus").as("label"))
+        .unionByName(o.select(col("o_orderkey").as("item"), flip(7L).as("label")))
+        .unionByName(o.select(col("o_orderkey").as("item"), flip(11L).as("label")))
+        .createOrReplaceTempView("graft_fleiss_v")
+      s.sql("SELECT * FROM graft_fleiss_kappa('graft_fleiss_v', 'item', 'label')")
+    },
     "dq_volume_anomaly" -> { (s, dir) =>
       // Ingestion control chart: hourly event volumes flagged against
       // the trailing-7-hour baseline with the integer-exact squared-z
@@ -3002,30 +3053,10 @@ object SparkEntry {
         | (obs_v IS NOT NULL) AS observed
         |FROM w""".stripMargin,
     "dq_psi_drift" -> psiDriftSql,
+    "dq_psi_sql" -> psiDriftSql,
     "stream_drift_gate" -> psiDriftSql,
-    "dq_cohens_kappa" ->
-      """WITH ann AS (
-        | SELECT o_orderstatus AS la,
-        |  CASE WHEN o_orderkey % 7 = 0
-        |   THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
-        |   ELSE o_orderstatus END AS lb
-        | FROM orders
-        | WHERE o_orderstatus IS NOT NULL),
-        |cont AS (SELECT la, lb, COUNT(*) AS nn FROM ann GROUP BY 1, 2),
-        |t AS (SELECT CAST(SUM(nn) AS BIGINT) AS n FROM cont),
-        |a AS (SELECT CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_agree
-        |      FROM cont WHERE la = lb),
-        |ra AS (SELECT la, SUM(nn) AS r FROM cont GROUP BY 1),
-        |cb AS (SELECT lb, SUM(nn) AS c FROM cont GROUP BY 1),
-        |pe AS (SELECT CAST(COALESCE(SUM(CAST(r AS HUGEINT) * c), 0) AS HUGEINT)
-        |        AS pe_num
-        |       FROM ra JOIN cb ON ra.la = cb.lb)
-        |SELECT n, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
-        | CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 1000000
-        |  ELSE CAST((CAST(n_agree AS HUGEINT) * n - pe_num) * 1000000
-        |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
-        | END AS kappa_micro
-        |FROM t, a, pe""".stripMargin,
+    "dq_cohens_kappa" -> cohensKappaSql,
+    "dq_kappa_sql" -> cohensKappaSql,
     "dq_psi_incremental" ->
       """WITH day0 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
         |  WHERE o_orderkey % 5 = 0 AND o_totalprice IS NOT NULL),
@@ -3050,32 +3081,8 @@ object SparkEntry {
         |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
         |   * 1000000000) AS BIGINT) AS psi_nano
         |FROM j, t""".stripMargin,
-    "dq_fleiss_kappa" ->
-      """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
-        |  WHERE o_orderstatus IS NOT NULL),
-        |ratings AS (
-        | SELECT o_orderkey AS item, o_orderstatus AS label FROM o
-        | UNION ALL
-        | SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0
-        |  THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
-        |  ELSE o_orderstatus END FROM o
-        | UNION ALL
-        | SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0
-        |  THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
-        |  ELSE o_orderstatus END FROM o),
-        |nij AS (SELECT item, label, COUNT(*) AS nn FROM ratings GROUP BY 1, 2),
-        |sz AS (SELECT COUNT(DISTINCT item) AS n_items FROM nij),
-        |a AS (SELECT SUM(CAST(nn AS HUGEINT) * nn) AS a_sum FROM nij),
-        |sj AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS s_sum
-        |       FROM (SELECT SUM(nn) AS c FROM nij GROUP BY label)),
-        |t AS (SELECT CAST(n_items AS HUGEINT) * 3 AS bt, n_items FROM sz)
-        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
-        | CAST(a_sum AS BIGINT) AS a_sum, CAST(s_sum AS BIGINT) AS s_sum,
-        | CASE WHEN bt * bt - s_sum = 0 THEN 1000000
-        |  ELSE CAST((bt * (a_sum - bt) - s_sum * 2) * 1000000
-        |    // (2 * (bt * bt - s_sum)) AS BIGINT)
-        | END AS kappa_micro
-        |FROM t, a, sj""".stripMargin,
+    "dq_fleiss_kappa" -> fleissKappaSql,
+    "dq_fleiss_sql" -> fleissKappaSql,
     "dq_psi_cat_drift" ->
       """WITH ref AS (SELECT o_orderpriority AS cat FROM orders
         |  WHERE o_orderkey % 3 <> 0 AND o_orderpriority IS NOT NULL),
@@ -3095,25 +3102,8 @@ object SparkEntry {
         |     / ((n_cur + 0.5) / (tc + 0.5 * k)))
         |   * 1000000000) AS BIGINT) AS psi_nano
         |FROM j, t""".stripMargin,
-    "dq_ks_drift" ->
-      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-        |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
-        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
-        |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
-        |u AS (SELECT v, 1 AS is_ref FROM ref
-        |      UNION ALL SELECT v, 0 FROM cur),
-        |vals AS (SELECT v, SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
-        |         FROM u GROUP BY v),
-        |cum AS (SELECT SUM(c_ref) OVER (ORDER BY v) AS cr,
-        |         SUM(c_cur) OVER (ORDER BY v) AS cc FROM vals),
-        |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
-        |       (SELECT COUNT(*) FROM cur) AS nc)
-        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
-        | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
-        |   AS BIGINT) AS d_num,
-        | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
-        |   * 1000000 // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_micro
-        |FROM cum, t GROUP BY nr, nc""".stripMargin,
+    "dq_ks_drift" -> ksDriftSql,
+    "dq_ks_sql" -> ksDriftSql,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
         |  COUNT(*) AS n_rows FROM events GROUP BY 1),
@@ -3532,6 +3522,80 @@ object SparkEntry {
     * `sketch_dau_mau` (mergeable daily theta sketches in exact mode),
     * and `sketch_dau_mau_sql` (TVF face) — one ground truth, three
     * faces. */
+  /** Shared by dq_cohens_kappa and its SQL face dq_kappa_sql. */
+  private def cohensKappaSql: String =
+    """WITH ann AS (
+      | SELECT o_orderstatus AS la,
+      |  CASE WHEN o_orderkey % 7 = 0
+      |   THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+      |   ELSE o_orderstatus END AS lb
+      | FROM orders
+      | WHERE o_orderstatus IS NOT NULL),
+      |cont AS (SELECT la, lb, COUNT(*) AS nn FROM ann GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(nn) AS BIGINT) AS n FROM cont),
+      |a AS (SELECT CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_agree
+      |      FROM cont WHERE la = lb),
+      |ra AS (SELECT la, SUM(nn) AS r FROM cont GROUP BY 1),
+      |cb AS (SELECT lb, SUM(nn) AS c FROM cont GROUP BY 1),
+      |pe AS (SELECT CAST(COALESCE(SUM(CAST(r AS HUGEINT) * c), 0) AS HUGEINT)
+      |        AS pe_num
+      |       FROM ra JOIN cb ON ra.la = cb.lb)
+      |SELECT n, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
+      | CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 1000000
+      |  ELSE CAST((CAST(n_agree AS HUGEINT) * n - pe_num) * 1000000
+      |    // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
+      | END AS kappa_micro
+      |FROM t, a, pe""".stripMargin
+
+  /** Shared by dq_fleiss_kappa and its SQL face dq_fleiss_sql. */
+  private def fleissKappaSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderstatus IS NOT NULL),
+      |ratings AS (
+      | SELECT o_orderkey AS item, o_orderstatus AS label FROM o
+      | UNION ALL
+      | SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0
+      |  THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+      |  ELSE o_orderstatus END FROM o
+      | UNION ALL
+      | SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0
+      |  THEN CASE WHEN o_orderstatus = 'F' THEN 'O' ELSE 'F' END
+      |  ELSE o_orderstatus END FROM o),
+      |nij AS (SELECT item, label, COUNT(*) AS nn FROM ratings GROUP BY 1, 2),
+      |sz AS (SELECT COUNT(DISTINCT item) AS n_items FROM nij),
+      |a AS (SELECT SUM(CAST(nn AS HUGEINT) * nn) AS a_sum FROM nij),
+      |sj AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS s_sum
+      |       FROM (SELECT SUM(nn) AS c FROM nij GROUP BY label)),
+      |t AS (SELECT CAST(n_items AS HUGEINT) * 3 AS bt, n_items FROM sz)
+      |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+      | CAST(a_sum AS BIGINT) AS a_sum, CAST(s_sum AS BIGINT) AS s_sum,
+      | CASE WHEN bt * bt - s_sum = 0 THEN 1000000
+      |  ELSE CAST((bt * (a_sum - bt) - s_sum * 2) * 1000000
+      |    // (2 * (bt * bt - s_sum)) AS BIGINT)
+      | END AS kappa_micro
+      |FROM t, a, sj""".stripMargin
+
+  /** Shared by dq_ks_drift and its SQL face dq_ks_sql. */
+  private def ksDriftSql: String =
+    """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+      |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+      |u AS (SELECT v, 1 AS is_ref FROM ref
+      |      UNION ALL SELECT v, 0 FROM cur),
+      |vals AS (SELECT v, SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+      |         FROM u GROUP BY v),
+      |cum AS (SELECT SUM(c_ref) OVER (ORDER BY v) AS cr,
+      |         SUM(c_cur) OVER (ORDER BY v) AS cc FROM vals),
+      |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
+      |       (SELECT COUNT(*) FROM cur) AS nc)
+      |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+      | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
+      |   AS BIGINT) AS d_num,
+      | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
+      |   * 1000000 // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_micro
+      |FROM cum, t GROUP BY nr, nc""".stripMargin
+
   /** Shared by dq_psi_drift and stream_drift_gate: the gate's drained
     * state PSI must equal the batch recompute exactly (counts are the
     * monoid). */

@@ -212,6 +212,33 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(canon(left) === canon(big.join(dim, Seq("k"), "left")))
   }
 
+  test("drift/agreement TVFs equal their Scala faces row-for-row") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val ref = (1 to 300).map(i => i.toDouble % 37).toDF("v")
+    val cur = (1 to 200).map(i => (i.toDouble % 31) + 3).toDF("v")
+    ref.createOrReplaceTempView("tvf_drift_ref")
+    cur.createOrReplaceTempView("tvf_drift_cur")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_psi_drift('tvf_drift_ref', 'tvf_drift_cur', 'v', 10)"))
+      === rows(graft.ops.DataQuality.psiDrift(ref, cur, "v", 10)))
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_ks_drift('tvf_drift_ref', 'tvf_drift_cur', 'v')"))
+      === rows(graft.ops.DataQuality.ksDrift(ref, cur, "v")))
+    val ann = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    ann.createOrReplaceTempView("tvf_ann")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_cohens_kappa('tvf_ann', 'a', 'b')"))
+      === rows(graft.ops.DataQuality.cohensKappa(ann, "a", "b")))
+    val ratings = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")).toDF("item", "label")
+    ratings.createOrReplaceTempView("tvf_ratings")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_fleiss_kappa('tvf_ratings', 'item', 'label')"))
+      === rows(graft.ops.DataQuality.fleissKappa(ratings, "item", "label")))
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
