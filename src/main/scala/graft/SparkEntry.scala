@@ -1071,6 +1071,26 @@ object SparkEntry {
       // CTE over the identical pair set
       Dedup.components(Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.8))
     },
+    "dedup_incremental" -> { (s, dir) =>
+      // Incremental LSH dedup against PERSISTED index state — the daily
+      // ingest shape: 2/3 of the corpus is indexed once (lshIndexState →
+      // parquet: shingle hashes + MinHash signature, never the text),
+      // then the remaining third dedups against the STORED index —
+      // new×new plus new×old candidate pairs, exact-Jaccard verified;
+      // old×old pairs were resolved at index-build time and are never
+      // recomputed. Same recall argument as dedup_minhash (loss < 5e-8
+      // at j>=0.8, b=32, r=4), so the oracle is the exact all-pairs
+      // Jaccard restricted to pairs touching the new batch.
+      val docs = Tables(s, dir, "documents")
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_lsh_state_").toString
+      graft.etl.Sinks.parquetDir(
+        Dedup.lshIndexState(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)),
+        stateDir)
+      Dedup.minhashIncremental(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+        s.read.parquet(stateDir), threshold = 0.8)
+    },
     "dedup_minhash" -> { (s, dir) =>
       // LSH banding (b=32, r=4) + exact verification: recall loss at
       // j>=0.8 is < 5e-8, so the exact-Jaccard oracle applies.
@@ -3266,6 +3286,21 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.a_id = sa.doc_id
         |WHERE c * 1.0 / sa.sz >= 0.7""".stripMargin,
     "dedup_minhash" -> ngramJaccardSql,
+    // the all-pairs exact-Jaccard ground truth, restricted to pairs with
+    // at least one side in the "new" third (doc_id % 3 = 0) — old×old
+    // pairs belong to the index build, not the incremental run
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |  FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) AS s FROM t WHERE LEN(w) >= 3),
+        |sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
+        |ix AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
+        |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+        |  FROM ix a JOIN ix b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+        |FROM co JOIN sizes sa ON co.a_id = sa.doc_id JOIN sizes sb ON co.b_id = sb.doc_id
+        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+        |  AND (a_id % 3 = 0 OR b_id % 3 = 0)""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
 
     "multimodal_features" ->

@@ -517,4 +517,85 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
   }
+
+  // --- incremental MinHash-LSH against persisted index state ------------
+
+  /** Persistable LSH index state for a document batch: one row per doc
+    * with its shingle-hash set and MinHash signature — everything the
+    * incremental path needs to (a) bucket the doc into LSH bands and
+    * (b) exactly verify a candidate pair, WITHOUT ever touching the
+    * document text again. This is the operational shape at 100 TB: the
+    * corpus index is built once, stored columnar, and each day's new
+    * batch dedups against it by reading state (KB-scale per doc: the
+    * shingle-hash longs), never re-scanning corpus text.
+    *
+    * Docs whose shingle set is empty (< n tokens) are excluded, same as
+    * `minhash` — they cannot reach the threshold against anything. */
+  def lshIndexState(docs: DataFrame, n: Int = 3, bands: Int = 32, rows: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val k = bands * rows
+    val withSh = barrier(
+      barrier(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
+        .filter(size(col("shs")) > 0))
+    withSh.select(col("id"), col("shs"), minhashSignature(col("shs"), k).as("sig"))
+  }
+
+  /** (id, band, bucket) rows derived from stored signatures — 32 small
+    * rows per doc; the join key for candidate generation. */
+  private def lshBuckets(state: DataFrame, bands: Int, rows: Int): DataFrame =
+    state.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("id", "band", "bucket")
+
+  /** Incremental MinHash-LSH dedup: near-dup pairs (exact-verified
+    * Jaccard >= threshold) between a NEW batch and a PERSISTED index
+    * (`lshIndexState` output read back from storage), plus pairs inside
+    * the new batch itself — exactly the pairs a daily ingest must
+    * resolve; old-old pairs were resolved when the index was built and
+    * are never recomputed.
+    *
+    * Scale shape: candidate generation joins the new batch's ~32
+    * bucket rows/doc against the stored index's bucket rows on
+    * (band, bucket) — a hash join whose build side is the (small) daily
+    * batch, broadcastable below the threshold; verification fetches
+    * shingle sets for CANDIDATE ids only. Nothing is quadratic in the
+    * corpus, and corpus text is never read. Ids are expected disjoint
+    * between state and batch (an id colliding across the two would be a
+    * re-ingest, not a near-dup; self-pairs are dropped). Pairs are
+    * emitted with a_id < b_id regardless of which side is older,
+    * matching `minhash`'s orientation. */
+  def minhashIncremental(newDocs: DataFrame, state: DataFrame,
+      threshold: Double = 0.8, n: Int = 3, bands: Int = 32, rows: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newState = barrier(lshIndexState(newDocs, n, bands, rows, idCol, textCol))
+    val oldState = state.select(col("id"), col("shs"), col("sig"))
+    val newBuckets = lshBuckets(newState, bands, rows)
+    val oldBuckets = lshBuckets(oldState, bands, rows)
+    // new-new pairs (a<b) plus new-old pairs (normalized to a<b):
+    // disjointness of the id spaces makes the union duplicate-free
+    // before the cross-band distinct.
+    val candNewNew = newBuckets.as("x").join(newBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    val candNewOld = newBuckets.as("x").join(oldBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.id"), col("y.id")).as("a_id"),
+        greatest(col("x.id"), col("y.id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val cand = candNewNew.unionByName(candNewOld).distinct()
+    val allSh = newState.select(col("id"), col("shs"))
+      .unionByName(oldState.select(col("id"), col("shs")))
+    val verified = cand
+      .join(allSh.withColumnRenamed("id", "a_id").withColumnRenamed("shs", "a_shs"), "a_id")
+      .join(allSh.withColumnRenamed("id", "b_id").withColumnRenamed("shs", "b_shs"), "b_id")
+      .withColumn("c", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("a_shs")) + size(col("b_shs")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+    verified.select("a_id", "b_id", "jaccard")
+  }
 }

@@ -30,6 +30,11 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_psi_drift",       // one-row totals frame x bins-sized spine
     "dq_psi_cat_drift",   // one-row totals frame x category-sized spine
     "dq_cohens_kappa",    // three one-row aggregate frames composed
+    "dq_kappa_sql",       // same plan through the TVF face
+    "dq_fleiss_kappa",    // two one-row aggregate frames crossed
+    "dq_fleiss_sql",      // same plan through the TVF face
+    "dq_psi_sql",         // dq_psi_drift's plan through the TVF face
+    "dq_psi_incremental", // one-row totals frame x bins-sized spine (stored state)
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 

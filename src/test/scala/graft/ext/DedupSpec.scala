@@ -228,4 +228,39 @@ class DedupSpec extends SparkTestBase {
     val r2 = Dedup.minhash(docs, threshold = 0.5).collect().toSet
     assert(r1 === r2)
   }
+
+  test("minhashIncremental over stored state = full minhash restricted to pairs touching the batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    // seeded corpus with planted near-dup families crossing the old/new split
+    val base = (0L until 40L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // +101 flips parity, so each planted near-dup crosses the old/new split
+    val planted = base.take(6).map { case (i, t) => (i + 101L, t + " zeta") }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val old = corpus.filter("doc_id % 2 = 0")
+    val nw = corpus.filter("doc_id % 2 = 1")
+    val stateDir = java.nio.file.Files.createTempDirectory("lsh_state_").toString
+    Dedup.lshIndexState(old).write.mode("overwrite").parquet(stateDir)
+    val inc = Dedup.minhashIncremental(nw, spark.read.parquet(stateDir), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhash(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => t._1 % 2 == 1 || t._2 % 2 == 1).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty) // fixture must actually exercise cross-split pairs
+    assert(inc.exists(t => t._1 % 2 != t._2 % 2)) // ...including new-old ones
+  }
+
+  test("minhashIncremental with empty state = minhash within the batch") {
+    import spark.implicits._
+    val emptyState = Dedup.lshIndexState(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val inc = Dedup.minhashIncremental(docs, emptyState, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhash(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+  }
 }
