@@ -2003,6 +2003,50 @@ object SparkEntry {
           .agg(max(col("n_distinct")).as("n_users"))
       }
     },
+    "stream_freq_items" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Streaming per-window frequent items off mergeable ItemsSketch
+        // state, 3-file time-ordered replay (cross-batch fold is real).
+        // The 5-type domain sits far inside the 64-counter map, so the
+        // sketch never purges and every estimate IS the exact per-window
+        // contingency count; update-mode estimates are nondecreasing in
+        // exact mode, so max per (window, item) = the drained final
+        // state — the plain GROUP BY COUNT(*) the oracle computes.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val out = graft.streaming.StreamingOps
+          .sketchFreqItems(stream, windowSeconds = 3600L, maxMapSize = 64).toDF()
+        val name = s"graft_stream_freq_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        s.table(name).groupBy("window_start", "item")
+          .agg(max(col("est")).as("n"))
+      }
+    },
+    "stream_quantiles" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Streaming per-window quantiles off mergeable KLL state,
+        // 3-file time-ordered replay. k=32768 exceeds every
+        // (window, type) group's row count at oracle scale, so the
+        // sketch never compacts and each INCLUSIVE quantile is exactly
+        // the ceil(p*n)-th order statistic. Quantiles are not monotone
+        // across folds, so the drained consumer takes each key's row at
+        // MAX n — n strictly grows per fold; the last fold is the final
+        // state (the timeout emission repeats it verbatim).
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val out = graft.streaming.StreamingOps
+          .sketchQuantiles(stream, windowSeconds = 3600L,
+            probs = Seq(0.1, 0.5, 0.9, 1.0), k = 32768).toDF()
+        val name = s"graft_stream_kll_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        s.table(name).groupBy("window_start", "event_type", "p")
+          .agg(expr("max_by(q, n)").as("q"))
+      }
+    },
     "stream_drift_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Drift-on-arrival: the dq_psi_drift scenario with the CURRENT
@@ -3494,6 +3538,21 @@ object SparkEntry {
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
         | event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_freq_items" ->
+      """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        | event_type AS item, COUNT(*) AS n
+        |FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "stream_quantiles" ->
+      """WITH probs AS (SELECT CAST(x AS DOUBLE) AS p
+        |  FROM (VALUES (0.1), (0.5), (0.9), (1.0)) v(x)),
+        |ranked AS (SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+        |  event_type, "value" AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT), event_type ORDER BY "value") AS rn,
+        |  COUNT(*) OVER (PARTITION BY CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT), event_type) AS n
+        | FROM events WHERE "value" IS NOT NULL AND NOT ISNAN("value"))
+        |SELECT window_start, event_type, p, MIN(v) AS q
+        |FROM ranked, probs WHERE rn >= CEIL(p * n)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_user_running" ->
       """SELECT event_id, user_id,
         | CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,

@@ -107,6 +107,142 @@ object StreamingOps {
       }
   }
 
+  final case class WindowFreqItem(window_start: Long, item: String, est: Long)
+
+  /** Streaming per-window frequent items off mergeable Misra-Gries-family
+    * state — the streaming twin of `ops.Sketches.freqSketches`: a full
+    * per-window item count needs per-item state unbounded in the item
+    * domain; an ItemsSketch is the bounded (maxMapSize counters per
+    * window) mergeable replacement, EXACT while a window's distinct item
+    * count stays inside the map (no purge) — the regime the driver row
+    * pins against the plain GROUP BY COUNT(*) oracle. Each microbatch
+    * folds its rows into the stored serialized sketch (merge is the
+    * monoid, order irrelevant); update-mode emissions are the group's
+    * current NO_FALSE_NEGATIVES item rows, nondecreasing per item in
+    * exact mode, so drained max per (window, item) = the final counts.
+    *
+    * State is bounded the same way as [[sketchDistinct]]: event-time
+    * timeout at the window end against the watermark; on timeout the
+    * group emits its final item rows and removes its state, so live
+    * state is ≤ open windows × maxMapSize counters, never stream
+    * history. A watermark-late row re-creates its group fresh and emits
+    * per-batch delta rows closing one tick after the watermark. */
+  def sketchFreqItems(events: DataFrame, windowSeconds: Long = 3600L,
+      maxMapSize: Int = 64, watermarkDelay: String = "2 hours",
+      itemCol: String = "event_type"): Dataset[WindowFreqItem] = {
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of 2 >= 8, got $maxMapSize")
+    import events.sparkSession.implicits._
+    // created per call, executor-side: the serde instance itself is not
+    // java-serializable, so it must never be captured by the closure
+    def serDe = new org.apache.datasketches.common.ArrayOfStringsSerDe()
+
+    def wrap(blob: Array[Byte]) =
+      org.apache.datasketches.frequencies.ItemsSketch.getInstance[String](
+        org.apache.datasketches.memory.Memory.wrap(blob), serDe)
+
+    def itemRows(ws: Long, blob: Array[Byte]): Iterator[WindowFreqItem] =
+      wrap(blob).getFrequentItems(
+          org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+        .iterator.map(r => WindowFreqItem(ws, r.getItem, r.getEstimate))
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col(itemCol).isNotNull)
+      .select(
+        (floor(unix_timestamp(col("ts")) / windowSeconds) * windowSeconds)
+          .cast("long").as("window_start"),
+        col(itemCol).cast("string").as("item"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], WindowFreqItem](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        case (ws, rows, state) =>
+          if (state.hasTimedOut) {
+            val fin = itemRows(ws, state.get).toVector
+            state.remove()
+            fin.iterator
+          } else {
+            val sk = state.getOption.filter(_.nonEmpty).map(wrap).getOrElse(
+              new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize))
+            rows.foreach { case (_, item, _) => sk.update(item) }
+            val blob = sk.toByteArray(serDe)
+            state.update(blob)
+            state.setTimeoutTimestamp(math.max((ws + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            itemRows(ws, blob)
+          }
+      }
+  }
+
+  final case class WindowQuantile(window_start: Long, event_type: String,
+      p: Double, q: Double, n: Long)
+
+  /** Streaming per-window quantiles off mergeable KLL state — the
+    * streaming twin of `ops.Sketches.groupQuantiles`: an exact
+    * per-window percentile needs every value as state; a KLL sketch is
+    * the bounded mergeable replacement whose rank-error bound survives
+    * any merge order, and it stays EXACT while a group's row count sits
+    * under the level-0 capacity — the regime the driver row pins
+    * against the exact order-statistic oracle. Each microbatch folds
+    * its values into the stored sketch and emits the current INCLUSIVE
+    * quantiles tagged with the sketch's row count `n`; quantiles are
+    * not monotone across batches, so the drained consumer picks each
+    * key's row at MAX n (n strictly grows per fold — the last fold IS
+    * the final state; the timeout emission repeats it at equal n with
+    * equal values).
+    *
+    * State bounded like [[sketchDistinct]]: event-time timeout at the
+    * window end; on timeout the group emits its final quantile rows and
+    * removes its state. */
+  def sketchQuantiles(events: DataFrame, windowSeconds: Long = 3600L,
+      probs: Seq[Double] = Seq(0.1, 0.5, 0.9, 1.0), k: Int = 32768,
+      watermarkDelay: String = "2 hours"): Dataset[WindowQuantile] = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"ranks must be in (0,1], got $probs")
+    require(k >= 8, s"KLL k must be >= 8, got $k")
+    import events.sparkSession.implicits._
+
+    def quantileRows(ws: Long, et: String, blob: Array[Byte]): Iterator[WindowQuantile] = {
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(blob))
+      probs.iterator.map(p => WindowQuantile(ws, et, p,
+        sk.getQuantile(p,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE),
+        sk.getN))
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("value").isNotNull && !isnan(col("value").cast("double")))
+      .select(
+        (floor(unix_timestamp(col("ts")) / windowSeconds) * windowSeconds)
+          .cast("long").as("window_start"),
+        col("event_type"), col("value").cast("double").as("value"), col("ts"))
+      .as[(Long, String, Double, java.sql.Timestamp)]
+      .groupByKey { case (ws, et, _, _) => (ws, et) }
+      .flatMapGroupsWithState[Array[Byte], WindowQuantile](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        case ((ws, et), rows, state) =>
+          if (state.hasTimedOut) {
+            val fin = quantileRows(ws, et, state.get).toVector
+            state.remove()
+            fin.iterator
+          } else {
+            val sk = state.getOption.filter(_.nonEmpty)
+              .map(b => org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(b)))
+              .getOrElse(org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
+            rows.foreach { case (_, _, v, _) => sk.update(v) }
+            val blob = sk.toByteArray
+            state.update(blob)
+            state.setTimeoutTimestamp(math.max((ws + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            quantileRows(ws, et, blob)
+          }
+      }
+  }
+
   /** Tumbling-window counts/sums per event type with a late-data
     * watermark. Append-mode compatible (emits finalized windows). */
   def tumbling(events: DataFrame, windowLen: String = "1 hour",

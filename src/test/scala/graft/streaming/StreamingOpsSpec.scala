@@ -115,6 +115,79 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(n === 3000L)
   }
 
+  test("sketchFreqItems folds counts across batches and evicts closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(time: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $time")
+    val mem = MemoryStream[Event]
+    val q = sketchFreqItems(mem.toDS().toDF(), windowSeconds = 3600L,
+        maxMapSize = 64, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("freq_evict_out")
+      .outputMode(OutputMode.Update()).start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // batch 1: 10:00 window gets 2 clicks + 1 view
+      mem.addData(Event(1L, at("10:00:00"), 100L, "click", 1.0),
+        Event(2L, at("10:05:00"), 200L, "click", 1.0),
+        Event(3L, at("10:10:00"), 100L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: one MORE click in the same window (state fold, not 1)
+      mem.addData(Event(4L, at("10:20:00"), 300L, "click", 1.0))
+      q.processAllAvailable()
+      assert(stateRows === 1L, "one open window holds one sketch row")
+      // batch 3: watermark jumps past the 11:00 window end -> eviction
+      mem.addData(Event(5L, at("14:30:00"), 300L, "view", 1.0))
+      q.processAllAvailable()
+      assert(stateRows === 1L,
+        s"closed 10:00 window must evict, got $stateRows state rows")
+    } finally q.stop()
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val h14 = Timestamp.valueOf("2024-01-01 14:00:00").getTime / 1000
+    val finalCounts = spark.table("freq_evict_out")
+      .groupBy("window_start", "item")
+      .agg(org.apache.spark.sql.functions.max("est").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(finalCounts === Map((h10, "click") -> 3L, (h10, "view") -> 1L,
+      (h14, "view") -> 1L))
+  }
+
+  test("sketchQuantiles folds values across batches; exact below capacity; evicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(time: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $time")
+    val mem = MemoryStream[Event]
+    val q = sketchQuantiles(mem.toDS().toDF(), windowSeconds = 3600L,
+        probs = Seq(0.5, 1.0), k = 256, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("kll_evict_out")
+      .outputMode(OutputMode.Update()).start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // batch 1: values 1..4 in the 10:00 click window
+      mem.addData((1 to 4).map(i =>
+        Event(i.toLong, at("10:00:00"), i.toLong, "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 2: values 5..8 fold into the SAME sketch (median moves)
+      mem.addData((5 to 8).map(i =>
+        Event(i.toLong, at("10:30:00"), i.toLong, "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      assert(stateRows === 1L)
+      // batch 3: watermark jump evicts the closed 10:00 window
+      mem.addData(Event(99L, at("14:30:00"), 99L, "view", 42.0))
+      q.processAllAvailable()
+      assert(stateRows === 1L,
+        s"closed window must evict, got $stateRows state rows")
+    } finally q.stop()
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val fin = spark.table("kll_evict_out")
+      .groupBy("window_start", "event_type", "p")
+      .agg(org.apache.spark.sql.functions.expr("max_by(q, n)").as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    // INCLUSIVE over 1..8: p=0.5 -> ceil(4)=4th order stat; p=1.0 -> 8
+    assert(fin((h10, "click", 0.5)) === 4.0)
+    assert(fin((h10, "click", 1.0)) === 8.0)
+  }
+
   test("sketchDistinct evicts closed-window state once the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
