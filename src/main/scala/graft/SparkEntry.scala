@@ -985,6 +985,27 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
     },
+    "text_lm_score" -> { (s, dir) =>
+      // CCNet-style LM quality filter: add-one-smoothed word-bigram model
+      // trained on the even-id half (the "trusted reference"), odd-id
+      // docs scored by nano-quantized NLL. Each pair's log-prob is an
+      // exact-integer-ratio ln, quantized BEFORE the per-doc sum, so the
+      // total is an integer sum no engine summation order can move.
+      val d = Tables(s, dir, "documents")
+      graft.ext.LangModel.bigramNll(
+        ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    },
+    "text_bm25" -> { (s, dir) =>
+      // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
+      // df terms as single-term queries, top-10 docs each. Ranking within
+      // a term uses only the saturation part — a single division of exact
+      // longs, bit-identical cross-engine (idf is constant per term, so
+      // the order IS the BM25 order); the headline score nano-quantizes
+      // ln((2N+2)/(2df+1))·tf_part like the PSI family.
+      graft.ext.Retrieval.bm25TopK(Tables(s, dir, "documents"),
+        k = 10, nQueryTerms = 20)
+    },
     "text_pii_redact" -> { (s, dir) =>
       // the fixture carries no PII, so PII-bearing text is synthesized
       // IDENTICALLY in both engines (doc_id-derived email/IP/phone spliced
@@ -2887,6 +2908,43 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
         | FROM tf JOIN df USING (term)) WHERE rank <= 3""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+        |           FROM documents WHERE text IS NOT NULL),
+        |tw AS (SELECT doc_id, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
+        |pairs AS (SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
+        |  SELECT doc_id, UNNEST([{'a': w[i], 'b': w[i+1]} FOR i IN RANGE(1, LEN(w))]) AS p
+        |  FROM tw WHERE LEN(w) >= 2)),
+        |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE doc_id % 2 = 0)),
+        |sc AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2 ON pr.a = c2.a AND pr.b = c2.b
+        | LEFT JOIN c1 ON pr.a = c1.a, v
+        | WHERE pr.doc_id % 2 = 1)
+        |SELECT doc_id, COUNT(*) AS n_pairs, -SUM(lp) AS nll_nano
+        |FROM sc GROUP BY 1""".stripMargin,
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+        |docs AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 20),
+        |scored AS (SELECT tf.term, tf.doc_id, tf.tf, qt.df, docs.dl,
+        |  CAST(44 * stats.sum_dl * tf.tf AS DOUBLE)
+        |    / CAST(20 * stats.sum_dl * tf.tf + 6 * stats.sum_dl + 18 * docs.dl * stats.n_docs AS DOUBLE) AS tf_part,
+        |  CAST(2 * stats.n_docs + 2 AS DOUBLE) / CAST(2 * qt.df + 1 AS DOUBLE) AS idf_ratio
+        | FROM tf JOIN qt USING (term) JOIN docs USING (doc_id), stats)
+        |SELECT term, doc_id, CAST(rank AS INT) AS rank, tf, df, dl,
+        | CAST(ROUND(LN(idf_ratio) * tf_part * 1000000000) AS BIGINT) AS bm25_nano
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+        |        ORDER BY tf_part DESC, doc_id ASC) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
     "text_pii_redact" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text retrieval over a document corpus — the search face of a training
+  * -data pipeline (mining domain-relevant documents, sourcing hard
+  * negatives for embedding training, grading corpus coverage of a query
+  * set).
+  *
+  * Scale design: one corpus scan builds the (doc, term, tf) inverted
+  * frame; document length and document frequency are windows over that
+  * frame (never a second scan); corpus-level totals are a ONE-ROW
+  * broadcast frame; the query-term set is a broadcast-sized dimension.
+  * Scoring then touches only the postings of query terms — at 100 TB
+  * the non-query postings never shuffle (the semi-join prunes them at
+  * the aggregation's output), and per-term top-k ranks inside term
+  * partitions with WindowGroupLimit pruning before the global sort.
+  *
+  * Cross-engine determinism (the oracle contract): ranking within a
+  * term uses ONLY the BM25 saturation part — a single division of two
+  * exact integers, bit-identical in any IEEE engine (idf is constant
+  * within a term, so this IS the BM25 order). The headline score keeps
+  * the Robertson-Lucene idf `ln((N+1)/(df+0.5))` with its argument
+  * carried as the exact integer ratio (2N+2)/(2df+1), nano-quantized
+  * like the PSI family.
+  */
+object Retrieval {
+
+  /** BM25 top-k (k1 = 6/5, b = 3/4, Lucene non-negative idf), with the
+    * query set taken as the `nQueryTerms` globally most frequent terms
+    * (df-desc, term-asc — deterministic). Integer-exact derivation for
+    * k1 = 6/5, b = 3/4, avgdl = S/N (S = Σ dl over the corpus):
+    *
+    *   tf_part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/(S/N)))
+    *           = 44·S·tf / (20·S·tf + 6·S + 18·dl·N)
+    *
+    * — one division of two exact longs (safe while 44·S·tf fits a
+    * long; at the ~1e16-token scale route the two operands through
+    * decimal(38,0) first — the division is still single). Returns one
+    * row per (term, doc) in the term's top-k:
+    * (term, doc_id, rank, tf, df, dl, bm25_nano). */
+  def bm25TopK(docs: DataFrame, k: Int = 10, nQueryTerms: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && nQueryTerms > 0, s"k and nQueryTerms must be positive")
+    val d = docs.filter(col(textCol).isNotNull)
+    val terms = d.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tfd = tf
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    // corpus totals: one row (N docs, S tokens) — exact longs
+    val stats = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // deterministic query set: top-df terms, term-asc tiebreak
+    val qt = broadcast(tfd.select("term", "df").distinct()
+      .orderBy(col("df").desc, col("term").asc).limit(nQueryTerms)
+      .select("term"))
+    val scored = tfd.join(qt, "term").crossJoin(broadcast(stats))
+      .withColumn("tf_part",
+        (lit(44L) * col("sum_dl") * col("tf")).cast("double") /
+          (lit(20L) * col("sum_dl") * col("tf") + lit(6L) * col("sum_dl") +
+            lit(18L) * col("dl") * col("n_docs")).cast("double"))
+      .withColumn("idf_ratio",
+        (lit(2L) * col("n_docs") + lit(2L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double"))
+    val w = Window.partitionBy("term").orderBy(col("tf_part").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), col("rank"), col("tf"), col("df"),
+        col("dl"),
+        round(log(col("idf_ratio")) * col("tf_part") * lit(1e9))
+          .cast("long").as("bm25_nano"))
+  }
+}

@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivf_exact",
     "sim_hard_negatives", // broadcast query block vs corpus scan
     "feat_target_encode", // one-row exact global-sums frame
+    "text_bm25",          // one-row corpus-stats frame x postings
+    "text_lm_score",      // one-row vocabulary-size frame x scored pairs
     "dq_checks",          // one-row constraint-summary frame
     "dq_psi_drift",       // one-row totals frame x bins-sized spine
     "dq_psi_cat_drift",   // one-row totals frame x category-sized spine
