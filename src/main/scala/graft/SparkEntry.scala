@@ -1092,6 +1092,25 @@ object SparkEntry {
       // CTE over the identical pair set
       Dedup.components(Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.8))
     },
+    "dedup_semantic" -> { (s, dir) =>
+      // Embedding-space near-dup dedup (SemDeDup shape), oracle-checked:
+      // the fixture's natural pair cosines top out at ~0.60, so near-dups
+      // are PLANTED identically in both engines (every 40th vector gets a
+      // +0.1-on-coord-1 twin at id+100000, cosine >= 0.995 against its
+      // base). SRP-banded candidates + exact cosine verification at 0.9:
+      // the >=0.09 margin on both sides of the threshold makes the pair
+      // SET engine-exact (no pair lives near 0.9), and the seeded
+      // hyperplanes make recall deterministic — pinned by this row at
+      // both scale factors. Output is the id pairs only; cosines stay
+      // engine-local.
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.filter(pmod(col("vec_id"), lit(40L)) === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          concat(array((element_at(col("embedding"), 1) + lit(0.1)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val all = e.select("vec_id", "embedding").unionByName(planted)
+      Dedup.embeddingCosine(all, threshold = 0.9).select("a_id", "b_id")
+    },
     "dedup_incremental" -> { (s, dir) =>
       // Incremental LSH dedup against PERSISTED index state — the daily
       // ingest shape: 2/3 of the corpus is indexed once (lshIndexState →
@@ -3404,6 +3423,15 @@ object SparkEntry {
         |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
         |  AND (a_id % 3 = 0 OR b_id % 3 = 0)""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |        list_prepend(CAST(embedding[1] + 0.1 AS FLOAT), embedding[2:]) AS embedding
+        |      FROM e WHERE vec_id % 40 = 0),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

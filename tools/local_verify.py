@@ -23,7 +23,8 @@ def canon(v):
 
 def frame_key(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # sort by repr: None-safe and type-stable (canon already quantized)
+    out = sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
     return [cols[i] for i in order], out
 
 def main():
