@@ -1365,6 +1365,14 @@ object SparkEntry {
         .unionByName(o.select(col("o_orderkey").as("item"), flip(11L).as("label")))
       graft.ops.DataQuality.fleissKappa(ratings, "item", "label")
     },
+    "dq_mutual_info" -> { (s, dir) =>
+      // Feature relevance via mutual information between priority and
+      // status: per-cell pointwise MI nano-quantized BEFORE any sum
+      // (the PSI discipline), marginals as windows over the one
+      // contingency aggregation.
+      graft.ops.DataQuality.mutualInfo(
+        Tables(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+    },
     "dq_psi_cat_drift" -> { (s, dir) =>
       // Categorical drift on the same snapshot split: categories are
       // the bins (union of both sides via full outer join — appearing/
@@ -1452,6 +1460,15 @@ object SparkEntry {
       // epoch second of each step (strictly-after ordering), pure window
       // aggregation over one user_id exchange.
       Events.funnel(Tables(s, dir, "events"), Seq("view", "click", "purchase"))
+    },
+    "events_attribution" -> { (s, dir) =>
+      // First/last-touch attribution: per purchase, the user's
+      // click/view touches inside a 2h lookback; first and last picked
+      // by min_by/max_by over the total (sec, event_id) key — exact
+      // integers and strings end to end, ties deterministic.
+      Events.attribution(Tables(s, dir, "events"),
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSeconds = 7200L)
     },
     "events_transitions" -> { (s, dir) =>
       // Markov next-event transition matrix: one lead() window pass over
@@ -3224,6 +3241,20 @@ object SparkEntry {
         |FROM j, t""".stripMargin,
     "dq_fleiss_kappa" -> fleissKappaSql,
     "dq_fleiss_sql" -> fleissKappaSql,
+    "dq_mutual_info" ->
+      """WITH rated AS (SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+        |   CAST(o_orderstatus AS VARCHAR) AS y FROM orders
+        | WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT x, y, COUNT(*) AS n_xy FROM rated GROUP BY 1, 2),
+        |m AS (SELECT x, y, n_xy,
+        |  SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+        |  SUM(n_xy) OVER (PARTITION BY y) AS n_y FROM cells),
+        |t AS (SELECT SUM(n_xy) AS n FROM cells)
+        |SELECT x, y, n_xy, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        | CAST(ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+        |   * LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000000) AS BIGINT) AS mi_nano
+        |FROM m, t""".stripMargin,
     "dq_psi_cat_drift" ->
       """WITH ref AS (SELECT o_orderpriority AS cat FROM orders
         |  WHERE o_orderkey % 3 <> 0 AND o_orderpriority IS NOT NULL),
@@ -3283,6 +3314,23 @@ object SparkEntry {
         |  + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
         |  + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
         |FROM s3""".stripMargin,
+    "events_attribution" ->
+      """WITH base AS (SELECT user_id, event_id, event_type,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
+        |conv AS (SELECT user_id, event_id AS conv_id, sec AS conv_sec
+        |  FROM base WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_id AS t_id, event_type AS t_type, sec AS t_sec
+        |  FROM base WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.user_id, c.conv_id, t.t_id, t.t_type, t.t_sec,
+        |  ROW_NUMBER() OVER (PARTITION BY c.conv_id ORDER BY t.t_sec, t.t_id) AS rf,
+        |  ROW_NUMBER() OVER (PARTITION BY c.conv_id ORDER BY t.t_sec DESC, t.t_id DESC) AS rl,
+        |  COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        | FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |  AND t.t_sec <= c.conv_sec AND t.t_sec > c.conv_sec - 7200)
+        |SELECT f.user_id, f.conv_id, f.t_id AS first_id, f.t_type AS first_type,
+        | l.t_id AS last_id, l.t_type AS last_type, f.n_touches
+        |FROM (SELECT * FROM j WHERE rf = 1) f
+        |JOIN (SELECT * FROM j WHERE rl = 1) l USING (conv_id)""".stripMargin,
     "events_transitions" ->
       """WITH base AS (SELECT user_id, event_id, event_type,
         |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),

@@ -150,6 +150,42 @@ object Events {
       .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
   }
 
+  /** First/last-touch conversion attribution: for every conversion
+    * event, credit the user's touch events inside the lookback window
+    * ending at the conversion (touch strictly before or at the
+    * conversion instant, within `lookbackSeconds`). One row per
+    * conversion: the first and the last touch (ties broken by
+    * event_id — deterministic in any engine) and the touch count.
+    * Conversions with no in-window touch are omitted (nothing to
+    * attribute).
+    *
+    * Plan shape: an equi join on user_id with a pushed range predicate
+    * — per-user touch×conversion blocks, never a global cross — then
+    * one aggregation per conversion using min_by/max_by over the
+    * (ts, event_id) key, so no window re-sort of the joined frame. */
+  def attribution(events: DataFrame, conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackSeconds: Long = 7200L): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    val ev = events.select(col("user_id"), col("event_id"), col("event_type"),
+      tsSec(events).as("sec"))
+    val conv = ev.filter(col("event_type") === conversionType)
+      .select(col("user_id"), col("event_id").as("conv_id"), col("sec").as("conv_sec"))
+    val touch = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("sec").as("t_sec"))
+    conv.join(touch, Seq("user_id"))
+      .filter(col("t_sec") <= col("conv_sec") &&
+        col("t_sec") > col("conv_sec") - lookbackSeconds)
+      .groupBy(col("user_id"), col("conv_id"))
+      .agg(
+        expr("min_by(t_id, struct(t_sec, t_id))").as("first_id"),
+        expr("min_by(t_type, struct(t_sec, t_id))").as("first_type"),
+        expr("max_by(t_id, struct(t_sec, t_id))").as("last_id"),
+        expr("max_by(t_type, struct(t_sec, t_id))").as("last_type"),
+        count(lit(1)).as("n_touches"))
+  }
+
   /** Cohort retention: users are cohorted by their FIRST active period
     * (floor(ts / bucketSeconds)); retention cell (cohort, k) counts the
     * distinct users of that cohort active k periods later. The standard

@@ -489,4 +489,32 @@ object DataQuality {
           lit(zThresh * zThresh) * (col("base_n") * col("base_sum2") - col("base_sum") * col("base_sum")))
           .as("is_anomaly"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-relevance face of the drift family (how much does knowing
+    * `xCol` say about `yCol`): per-cell pointwise MI contributions
+    * (n_xy/n)·ln(n_xy·n / (n_x·n_y)), nano-quantized PER CELL like the
+    * PSI family so no float sum ever crosses engines; the headline MI
+    * is the exact integer sum of `mi_nano` (≥ 0 up to quantization).
+    *
+    * Plan shape: one contingency aggregation (map-side partial) on
+    * (x, y), the two marginals as windows over that frame — never a
+    * second scan — and the one-row total crossed in (bounded by
+    * construction). Cells scale with |X|·|Y|, never with rows. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rated = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+    val cells = rated.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .withColumn("n_x", sum("n_xy").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("x")))
+      .withColumn("n_y", sum("n_xy").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("y")))
+    val total = cells.agg(sum("n_xy").as("n"))
+    cells.crossJoin(broadcast(total))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        round((col("n_xy").cast("double") / col("n").cast("double")) *
+          log(col("n_xy").cast("double") * col("n").cast("double") /
+            (col("n_x").cast("double") * col("n_y").cast("double"))) * lit(1e9))
+          .cast("long").as("mi_nano"))
+  }
 }

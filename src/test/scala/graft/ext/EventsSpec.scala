@@ -121,4 +121,27 @@ class EventsSpec extends SparkTestBase {
       (0L, 1L, 1L), (0L, 3L, 1L), // user 1 returns in periods 1 and 3 (dup collapsed)
       (1L, 0L, 1L), (1L, 1L, 1L))) // cohort 1 = user 2
   }
+
+  test("attribution credits first/last in-window touches; no-touch conversions omitted") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    val df = Seq(
+      (1L, ns(100), 1L, "click", 0.0),   // first touch of conv 10
+      (2L, ns(200), 1L, "view", 0.0),    // last touch of conv 10
+      (3L, ns(300), 1L, "click", 0.0),   // AFTER conv 10: no credit
+      (10L, ns(250), 1L, "purchase", 0.0),
+      (11L, ns(90), 1L, "purchase", 0.0), // no touch at or before: omitted
+      (5L, ns(500), 2L, "view", 0.0),    // same-second touch counts (<=)
+      (12L, ns(500), 2L, "purchase", 0.0),
+      (6L, ns(400), 3L, "error", 0.0))   // not a touch type
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.attribution(df, lookbackSeconds = 7200L)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[Long]("first_id"), r.getAs[String]("first_type"),
+          r.getAs[Long]("last_id"), r.getAs[String]("last_type"),
+          r.getAs[Long]("n_touches")))).toMap
+    assert(got === Map(
+      10L -> ((1L, "click", 2L, "view", 2L)),
+      12L -> ((5L, "view", 5L, "view", 1L))))
+  }
 }

@@ -340,4 +340,29 @@ class DataQualitySpec extends SparkTestBase {
     assert(!got(7L)) // equal to the constant baseline: dev = 0, not flagged
     assert(got(8L))  // 51 vs constant 50: any deviation exceeds zero variance
   }
+
+  test("mutualInfo: per-cell nano PMI matches a hand reference; marginals exact") {
+    import spark.implicits._
+    val df = Seq(("a", "p"), ("a", "p"), ("a", "q"), ("b", "q"))
+      .toDF("x", "y")
+    val got = DataQuality.mutualInfo(df, "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def nano(nxy: Long, nx: Long, ny: Long, n: Long) =
+      math.round((nxy.toDouble / n) * math.log(nxy.toDouble * n / (nx.toDouble * ny)) * 1e9)
+    assert(got === Map(
+      ("a", "p") -> ((2L, 3L, 2L, nano(2, 3, 2, 4))),
+      ("a", "q") -> ((1L, 3L, 2L, nano(1, 3, 2, 4))),
+      ("b", "q") -> ((1L, 1L, 2L, nano(1, 1, 2, 4)))))
+    // headline MI (sum of cells) is non-negative up to quantization
+    assert(got.values.map(_._4).sum >= -3L)
+  }
+
+  test("mutualInfo: independent columns give ~zero MI cells") {
+    import spark.implicits._
+    // perfectly independent 2x2: every cell n_xy*n == n_x*n_y -> ln 1 = 0
+    val df = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")).toDF("x", "y")
+    val cells = DataQuality.mutualInfo(df, "x", "y").collect()
+    assert(cells.length === 4 && cells.forall(_.getAs[Long]("mi_nano") === 0L))
+  }
 }
