@@ -263,6 +263,29 @@ object GraftExtensions {
         spark.table(strLit(args(0), "ratings_view")),
         strLit(args(1), "item_col"), strLit(args(2), "label_col"))
       out.queryExecution.logical
+    }),
+    //   graft_mutual_info(table_view, x_col, y_col)
+    // Per-cell pointwise mutual information, nano-quantized — the SQL
+    // face of DataQuality.mutualInfo (same one-aggregation contingency
+    // plan with window marginals).
+    ("graft_mutual_info", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.mutualInfo(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "x_col"), strLit(args(2), "y_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_bm25(docs_view, k, n_query_terms)
+    // BM25 top-k retrieval over the corpus's top-df terms — the SQL
+    // face of Retrieval.bm25TopK (same postings build, one-row corpus
+    // stats cross, integer-exact within-term ranking).
+    ("graft_bm25", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Retrieval.bm25TopK(
+        spark.table(strLit(args(0), "docs_view")),
+        k = longLit(args(1), "k").toInt,
+        nQueryTerms = longLit(args(2), "n_query_terms").toInt)
+      out.queryExecution.logical
     }))
 
   private def dblLit(e: Expression, what: String): Double = e match {

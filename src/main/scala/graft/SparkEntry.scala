@@ -1420,6 +1420,20 @@ object SparkEntry {
       s.sql("""SELECT * FROM graft_ks_drift('graft_dq_ref_v',
         'graft_dq_cur_v', 'o_totalprice')""")
     },
+    "dq_mi_sql" -> { (s, dir) =>
+      // Mutual information through its SQL face (same contingency plan,
+      // same oracle as dq_mutual_info).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_mi_v")
+      s.sql("SELECT * FROM graft_mutual_info('graft_mi_v', 'o_orderpriority', 'o_orderstatus')")
+    },
+    "text_bm25_sql" -> { (s, dir) =>
+      // BM25 retrieval through its SQL face (same postings plan, same
+      // oracle as text_bm25).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("graft_bm25_v")
+      s.sql("SELECT * FROM graft_bm25('graft_bm25_v', 10, 20)")
+    },
     "dq_kappa_sql" -> { (s, dir) =>
       // Cohen's kappa through its SQL face (same contingency plan,
       // same oracle as dq_cohens_kappa).
@@ -2963,24 +2977,8 @@ object SparkEntry {
         | WHERE pr.doc_id % 2 = 1)
         |SELECT doc_id, COUNT(*) AS n_pairs, -SUM(lp) AS nll_nano
         |FROM sc GROUP BY 1""".stripMargin,
-    "text_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |             FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
-        |docs AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
-        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |qt AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 20),
-        |scored AS (SELECT tf.term, tf.doc_id, tf.tf, qt.df, docs.dl,
-        |  CAST(44 * stats.sum_dl * tf.tf AS DOUBLE)
-        |    / CAST(20 * stats.sum_dl * tf.tf + 6 * stats.sum_dl + 18 * docs.dl * stats.n_docs AS DOUBLE) AS tf_part,
-        |  CAST(2 * stats.n_docs + 2 AS DOUBLE) / CAST(2 * qt.df + 1 AS DOUBLE) AS idf_ratio
-        | FROM tf JOIN qt USING (term) JOIN docs USING (doc_id), stats)
-        |SELECT term, doc_id, CAST(rank AS INT) AS rank, tf, df, dl,
-        | CAST(ROUND(LN(idf_ratio) * tf_part * 1000000000) AS BIGINT) AS bm25_nano
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
-        |        ORDER BY tf_part DESC, doc_id ASC) AS rank FROM scored)
-        |WHERE rank <= 10""".stripMargin,
+    "text_bm25" -> bm25Sql,
+    "text_bm25_sql" -> bm25Sql,
     "text_pii_redact" ->
       """WITH s AS (
         | SELECT doc_id,
@@ -3241,20 +3239,8 @@ object SparkEntry {
         |FROM j, t""".stripMargin,
     "dq_fleiss_kappa" -> fleissKappaSql,
     "dq_fleiss_sql" -> fleissKappaSql,
-    "dq_mutual_info" ->
-      """WITH rated AS (SELECT CAST(o_orderpriority AS VARCHAR) AS x,
-        |   CAST(o_orderstatus AS VARCHAR) AS y FROM orders
-        | WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
-        |cells AS (SELECT x, y, COUNT(*) AS n_xy FROM rated GROUP BY 1, 2),
-        |m AS (SELECT x, y, n_xy,
-        |  SUM(n_xy) OVER (PARTITION BY x) AS n_x,
-        |  SUM(n_xy) OVER (PARTITION BY y) AS n_y FROM cells),
-        |t AS (SELECT SUM(n_xy) AS n FROM cells)
-        |SELECT x, y, n_xy, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
-        | CAST(ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
-        |   * LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
-        |       / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000000) AS BIGINT) AS mi_nano
-        |FROM m, t""".stripMargin,
+    "dq_mutual_info" -> mutualInfoSql,
+    "dq_mi_sql" -> mutualInfoSql,
     "dq_psi_cat_drift" ->
       """WITH ref AS (SELECT o_orderpriority AS cat FROM orders
         |  WHERE o_orderkey % 3 <> 0 AND o_orderpriority IS NOT NULL),
@@ -3699,6 +3685,42 @@ object SparkEntry {
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for
     * both the exact set-similarity join and the (verified, effectively
     * exact) MinHash path. */
+  /** Shared by dq_mutual_info (Scala face) and dq_mi_sql (TVF face). */
+  private def mutualInfoSql: String =
+    """WITH rated AS (SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+      |   CAST(o_orderstatus AS VARCHAR) AS y FROM orders
+      | WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+      |cells AS (SELECT x, y, COUNT(*) AS n_xy FROM rated GROUP BY 1, 2),
+      |m AS (SELECT x, y, n_xy,
+      |  SUM(n_xy) OVER (PARTITION BY x) AS n_x,
+      |  SUM(n_xy) OVER (PARTITION BY y) AS n_y FROM cells),
+      |t AS (SELECT SUM(n_xy) AS n FROM cells)
+      |SELECT x, y, n_xy, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+      | CAST(ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+      |       / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000000) AS BIGINT) AS mi_nano
+      |FROM m, t""".stripMargin
+
+  /** Shared by text_bm25 (Scala face) and text_bm25_sql (TVF face). */
+  private def bm25Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |             FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+      |docs AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT 20),
+      |scored AS (SELECT tf.term, tf.doc_id, tf.tf, qt.df, docs.dl,
+      |  CAST(44 * stats.sum_dl * tf.tf AS DOUBLE)
+      |    / CAST(20 * stats.sum_dl * tf.tf + 6 * stats.sum_dl + 18 * docs.dl * stats.n_docs AS DOUBLE) AS tf_part,
+      |  CAST(2 * stats.n_docs + 2 AS DOUBLE) / CAST(2 * qt.df + 1 AS DOUBLE) AS idf_ratio
+      | FROM tf JOIN qt USING (term) JOIN docs USING (doc_id), stats)
+      |SELECT term, doc_id, CAST(rank AS INT) AS rank, tf, df, dl,
+      | CAST(ROUND(LN(idf_ratio) * tf_part * 1000000000) AS BIGINT) AS bm25_nano
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+      |        ORDER BY tf_part DESC, doc_id ASC) AS rank FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
   private def ngramJaccardSql: String =
     """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

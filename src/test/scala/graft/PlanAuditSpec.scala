@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkTestBase {
     "text_bm25",          // one-row corpus-stats frame x postings
     "text_lm_score",      // one-row vocabulary-size frame x scored pairs
     "dq_mutual_info",     // one-row total frame x |X|x|Y| contingency cells
+    "dq_mi_sql",          // same plan through the TVF face
+    "text_bm25_sql",      // text_bm25's plan through the TVF face
     "dq_checks",          // one-row constraint-summary frame
     "dq_psi_drift",       // one-row totals frame x bins-sized spine
     "dq_psi_cat_drift",   // one-row totals frame x category-sized spine
