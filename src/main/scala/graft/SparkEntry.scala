@@ -1053,6 +1053,21 @@ object SparkEntry {
       Curation.contamination(
         d.filter(bucket >= 90), d.filter(bucket < 80), n = 8, maxDf = 1L)
     },
+    "contamination_incremental" -> { (s, dir) =>
+      // Continuous decontamination over PERSISTED state: the fixed test
+      // set's n-gram index is built once and stored (8-byte hashes, no
+      // benchmark text), then the training batch is checked against the
+      // STORED index — contamination's exact scenario and oracle, with
+      // the state files in the result's lineage instead of the test text.
+      val d = Tables(s, dir, "documents")
+      val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_contam_state_").toString
+      graft.etl.Sinks.parquetDir(
+        Curation.contaminationIndex(d.filter(bucket >= 90), n = 8), stateDir)
+      Curation.contaminationAgainstIndex(
+        s.read.parquet(stateDir), d.filter(bucket < 80), n = 8, maxDf = 1L)
+    },
     "emb_quantize" -> { (s, dir) =>
       // the int8 array serializes to CSV for the oracle hash — array
       // columns don't order-compare portably across engines' dataframes
@@ -3042,19 +3057,8 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         | AND abs(length(a.title) - length(b.title)) <= 2
         | AND levenshtein(a.title, b.title) <= 2""".stripMargin,
-    "contamination" ->
-      """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
-        |            regexp_split_to_array(trim(text), '\s+') AS toks
-        |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
-        |sh AS (SELECT DISTINCT doc_id, b, s FROM (
-        |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
-        |    i -> array_to_string(toks[i:i+7], ' '))) AS s
-        |  FROM d WHERE len(toks) >= 8)),
-        |keep AS (SELECT s FROM sh WHERE b < 80 GROUP BY s HAVING count(*) <= 1)
-        |SELECT t.doc_id AS test_id, r.doc_id AS train_id, count(*) AS n_shared
-        |FROM (SELECT * FROM sh WHERE b >= 90) t
-        |JOIN (SELECT sh.* FROM sh JOIN keep USING (s) WHERE b < 80) r USING (s)
-        |GROUP BY 1, 2""".stripMargin,
+    "contamination" -> contaminationSql,
+    "contamination_incremental" -> contaminationSql,
     "emb_quantize" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM c)
@@ -3685,6 +3689,22 @@ object SparkEntry {
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for
     * both the exact set-similarity join and the (verified, effectively
     * exact) MinHash path. */
+  /** Shared by contamination (direct) and contamination_incremental
+    * (same scenario through the persisted test-set index). */
+  private def contaminationSql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
+      |            regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+      |sh AS (SELECT DISTINCT doc_id, b, s FROM (
+      |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS s
+      |  FROM d WHERE len(toks) >= 8)),
+      |keep AS (SELECT s FROM sh WHERE b < 80 GROUP BY s HAVING count(*) <= 1)
+      |SELECT t.doc_id AS test_id, r.doc_id AS train_id, count(*) AS n_shared
+      |FROM (SELECT * FROM sh WHERE b >= 90) t
+      |JOIN (SELECT sh.* FROM sh JOIN keep USING (s) WHERE b < 80) r USING (s)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Shared by dq_mutual_info (Scala face) and dq_mi_sql (TVF face). */
   private def mutualInfoSql: String =
     """WITH rated AS (SELECT CAST(o_orderpriority AS VARCHAR) AS x,

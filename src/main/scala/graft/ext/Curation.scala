@@ -197,13 +197,33 @@ object Curation {
     */
   def contamination(test: DataFrame, train: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Long = 0L): DataFrame =
+    contaminationAgainstIndex(
+      contaminationIndex(test, n, idCol, textCol), train, n, idCol, textCol, maxDf)
+
+  /** Persistable test-set fingerprint index: (test_id, sh) — one row per
+    * distinct word n-gram hash per test document. The operational state
+    * for CONTINUOUS decontamination: the evaluation set is fixed, so its
+    * index is built once and stored columnar (8-byte hashes — the
+    * benchmark text itself never needs to travel to the ingest cluster),
+    * and every new training batch is checked against it. */
+  def contaminationIndex(test: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = test
+    .filter(col(textCol).isNotNull)
+    .select(col(idCol).as("test_id"),
+      explode(graft.functions.texthash.shingle_hashes(col(textCol), n)).as("sh"))
+
+  /** Contamination of a (new) training batch against a STORED test-set
+    * index in [[contaminationIndex]] shape — identical output contract
+    * to [[contamination]]; `maxDf` caps n-gram document frequency
+    * within the checked batch (the boilerplate guard). */
+  def contaminationAgainstIndex(tIdx: DataFrame, train: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
       maxDf: Long = 0L): DataFrame = {
-    def index(df: DataFrame, outId: String) = df
+    val rIdx0 = train
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as(outId),
+      .select(col(idCol).as("train_id"),
         explode(graft.functions.texthash.shingle_hashes(col(textCol), n)).as("sh"))
-    val tIdx = index(test, "test_id")
-    val rIdx0 = index(train, "train_id")
     val rIdx =
       if (maxDf <= 0L) rIdx0
       else {

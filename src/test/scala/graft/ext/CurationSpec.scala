@@ -386,4 +386,23 @@ class CurationSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Curation.shardByMd5(df, "k", nibbles = 0))
     intercept[IllegalArgumentException](Curation.shardByMd5(df, "k", nibbles = 9))
   }
+
+  test("contamination via a persisted index equals the direct path") {
+    import spark.implicits._
+    val test = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "totally unrelated evaluation text with other tokens here now"))
+      .toDF("doc_id", "text")
+    val train = Seq((10L, "xx alpha beta gamma delta epsilon zeta eta theta iota yy"),
+      (11L, "no overlap whatsoever in this training document at all okay"))
+      .toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("contam_state_").toString
+    Curation.contaminationIndex(test, n = 8).write.mode("overwrite").parquet(stateDir)
+    val viaState = Curation.contaminationAgainstIndex(
+      spark.read.parquet(stateDir), train, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Curation.contamination(test, train, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaState === direct)
+    assert(viaState.exists(t => t._1 == 1L && t._2 == 10L && t._3 >= 2L))
+  }
 }
