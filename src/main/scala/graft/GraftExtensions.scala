@@ -264,6 +264,19 @@ object GraftExtensions {
         strLit(args(1), "item_col"), strLit(args(2), "label_col"))
       out.queryExecution.logical
     }),
+    //   graft_w1_drift(ref_view, cur_view, value_col, scale)
+    // Exact-integer Wasserstein-1 drift — the SQL face of
+    // DataQuality.w1Drift (same range-partitioned cumulative plan with
+    // control-plane offsets and gap boundaries).
+    ("graft_w1_drift", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.w1Drift(
+        spark.table(strLit(args(0), "ref_view")),
+        spark.table(strLit(args(1), "cur_view")),
+        strLit(args(2), "value_col"),
+        scale = longLit(args(3), "scale"))
+      out.queryExecution.logical
+    }),
     //   graft_mutual_info(table_view, x_col, y_col)
     // Per-cell pointwise mutual information, nano-quantized — the SQL
     // face of DataQuality.mutualInfo (same one-aggregation contingency

@@ -1410,6 +1410,18 @@ object SparkEntry {
         cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
         valueCol = "o_totalprice")
     },
+    "dq_w1_drift" -> { (s, dir) =>
+      // KS's integrating companion on the same snapshot split: exact
+      // integer Wasserstein-1 over cent-quantized prices — CDF-gap sums
+      // weighted by consecutive value gaps, range-partitioned cumulatives
+      // with control-plane offsets + next-partition-min gap boundaries,
+      // accumulation in decimal(38,0). No float in the statistic.
+      val orders = Tables(s, dir, "orders")
+      graft.ops.DataQuality.w1Drift(
+        ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0),
+        cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        valueCol = "o_totalprice", scale = 100L)
+    },
     "dq_psi_sql" -> { (s, dir) =>
       // The numeric PSI gate through its SQL face: graft_psi_drift
       // returns the exact plan DataQuality.psiDrift builds (same
@@ -1434,6 +1446,18 @@ object SparkEntry {
         .createOrReplaceTempView("graft_dq_cur_v")
       s.sql("""SELECT * FROM graft_ks_drift('graft_dq_ref_v',
         'graft_dq_cur_v', 'o_totalprice')""")
+    },
+    "dq_w1_sql" -> { (s, dir) =>
+      // Exact W1 drift through its SQL face (same range-partitioned
+      // cumulative plan, same oracle as dq_w1_drift).
+      graft.GraftExtensions.register(s)
+      val orders = Tables(s, dir, "orders")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+        .createOrReplaceTempView("graft_w1_ref_v")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        .createOrReplaceTempView("graft_w1_cur_v")
+      s.sql("""SELECT * FROM graft_w1_drift('graft_w1_ref_v',
+        'graft_w1_cur_v', 'o_totalprice', 100)""")
     },
     "dq_mi_sql" -> { (s, dir) =>
       // Mutual information through its SQL face (same contingency plan,
@@ -3266,6 +3290,8 @@ object SparkEntry {
         |FROM j, t""".stripMargin,
     "dq_ks_drift" -> ksDriftSql,
     "dq_ks_sql" -> ksDriftSql,
+    "dq_w1_drift" -> w1DriftSql,
+    "dq_w1_sql" -> w1DriftSql,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
         |  COUNT(*) AS n_rows FROM events GROUP BY 1),
@@ -3704,6 +3730,29 @@ object SparkEntry {
       |FROM (SELECT * FROM sh WHERE b >= 90) t
       |JOIN (SELECT sh.* FROM sh JOIN keep USING (s) WHERE b < 80) r USING (s)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Shared by dq_w1_drift (Scala face) and dq_w1_sql (TVF face). */
+  private def w1DriftSql: String =
+    """WITH ref AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+      |cur AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+      |u AS (SELECT v, 1 AS is_ref FROM ref
+      |      UNION ALL SELECT v, 0 FROM cur),
+      |vals AS (SELECT v, SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+      |         FROM u GROUP BY v),
+      |cum AS (SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cr,
+      |         SUM(c_cur) OVER (ORDER BY v) AS cc,
+      |         LEAD(v) OVER (ORDER BY v) AS nv FROM vals),
+      |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
+      |       (SELECT COUNT(*) FROM cur) AS nc)
+      |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+      | CAST(SUM(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr)
+      |   * (nv - v)) AS BIGINT) AS w1_num,
+      | CAST(SUM(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr)
+      |   * (nv - v)) * 1000000
+      |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
+      |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin
 
   /** Shared by dq_mutual_info (Scala face) and dq_mi_sql (TVF face). */
   private def mutualInfoSql: String =

@@ -517,4 +517,89 @@ object DataQuality {
             (col("n_x").cast("double") * col("n_y").cast("double"))) * lit(1e9))
           .cast("long").as("mi_nano"))
   }
+
+  /** Two-sample Wasserstein-1 (earth mover's) drift between snapshots —
+    * KS's integrating companion: where KS takes the SUP of the CDF gap,
+    * W1 takes its INTEGRAL, so it sees how FAR mass moved, not just the
+    * single worst point (a uniform $1 shift of every price moves KS
+    * barely and W1 by exactly $1). Like [[ksDrift]] it is computable in
+    * EXACT integer arithmetic once values are quantized to integer
+    * units (`scale` units per 1.0, e.g. 100 = cents):
+    *
+    *   W1·n_ref·n_cur·scale = Σ over consecutive distinct values
+    *     |cum_ref(v)·n_cur − cum_cur(v)·n_ref| · (next(v) − v)
+    *
+    * Output: one row (n_ref, n_cur, w1_num, w1_micro) where `w1_num`
+    * is the exact integer sum above and `w1_micro` =
+    * ⌊w1_num·10^6 / (n_ref·n_cur·scale)⌋ — W1 in micro-units of the
+    * original column, no float anywhere. Accumulation runs in
+    * decimal(38,0), so exactness survives ~3·10^9-row sides; only the
+    * diagnostic w1_num lands back in a long (NULL on overflow under
+    * the non-ANSI cast, never a silent wrap).
+    *
+    * Scale shape: same range-partition discipline as [[ksDrift]] —
+    * per-value counts range-partition on the value, cumulative sums
+    * run per-partition in parallel, and the driver carries only
+    * per-partition totals PLUS each partition's minimum value (the
+    * consecutive-gap boundary: a partition's last row takes the next
+    * partition's minimum as its successor; the global maximum
+    * contributes no gap). Never a single-reducer window. */
+  def w1Drift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      scale: Long = 100L, numPartitions: Int = 0): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val vq = round(col(valueCol).cast("double") * lit(scale)).cast("long")
+    val both = ref.filter(col(valueCol).isNotNull)
+      .select(vq.as("v"), lit(1L).as("one_ref"), lit(0L).as("one_cur"))
+      .unionByName(cur.filter(col(valueCol).isNotNull)
+        .select(vq.as("v"), lit(0L).as("one_ref"), lit(1L).as("one_cur")))
+    val counts = both.groupBy("v")
+      .agg(sum("one_ref").as("c_ref"), sum("one_cur").as("c_cur"))
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = counts.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    // control plane: per-partition totals -> offsets; per-partition min
+    // value -> the gap boundary for each partition's last row
+    val ptot = staged.groupBy("__pid")
+      .agg(sum("c_ref").as("r"), sum("c_cur").as("c"), min("v").as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nRef = ptot.map(_._2).sum
+    val nCur = ptot.map(_._3).sum
+    require(nRef > 0 && nCur > 0,
+      s"W1 needs non-empty snapshots (n_ref=$nRef, n_cur=$nCur)")
+    val offs = ptot.scanLeft((0, 0L, 0L)) { case ((_, ar, ac), (pid, r, c, _)) =>
+      (pid, ar + r, ac + c)
+    }.init
+    val nextMin: Map[Int, Long] =
+      ptot.map(_._1).zip(ptot.drop(1).map(_._4)).toMap
+    val offDf = ptot.zip(offs).map { case ((pid, _, _, _), (_, or_, oc)) =>
+      (pid, or_, oc, nextMin.get(pid))
+    }.toSeq.toDF("__pid", "__off_ref", "__off_cur", "__next_min")
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+    val w = byV.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = "decimal(38,0)"
+    val prodScale = new java.math.BigDecimal(nRef)
+      .multiply(new java.math.BigDecimal(nCur))
+      .multiply(new java.math.BigDecimal(scale))
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .select(
+        abs((sum(col("c_ref")).over(w) + col("__off_ref")).cast(dec) * lit(nCur) -
+          (sum(col("c_cur")).over(w) + col("__off_cur")).cast(dec) * lit(nRef))
+          .as("diff"),
+        (coalesce(lead(col("v"), 1).over(byV), col("__next_min")) - col("v"))
+          .as("gap"))
+      .filter(col("gap").isNotNull) // the global max value: no successor
+      .agg(sum(col("diff") * col("gap")).as("w1_dec"))
+      .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        col("w1_dec").cast("long").as("w1_num"),
+        call_function("div", col("w1_dec") * lit(1000000L), lit(prodScale))
+          .as("w1_micro"))
+  }
 }

@@ -358,6 +358,40 @@ class DataQualitySpec extends SparkTestBase {
     assert(got.values.map(_._4).sum >= -3L)
   }
 
+  test("w1Drift: hand-computed earth mover distance, exact integers") {
+    import spark.implicits._
+    def run(ref: Seq[Double], cur: Seq[Double]) =
+      DataQuality.w1Drift(ref.toDF("v"), cur.toDF("v"), "v", scale = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Any]("w1_micro").toString.toDouble)).head
+    // {1,2} vs {2,3}: every point moves by 1 -> W1 = 1.0
+    assert(run(Seq(1.0, 2.0), Seq(2.0, 3.0)) === ((2L, 2L, 4L, 1000000.0)))
+    // identical snapshots -> 0
+    assert(run(Seq(5.0, 7.0, 9.0), Seq(5.0, 7.0, 9.0))._3 === 0L)
+    // uniform +1 shift of {0,10} -> W1 exactly 1 even though KS is tiny
+    assert(run(Seq(0.0, 10.0), Seq(1.0, 11.0))._4 === 1000000.0)
+  }
+
+  test("w1Drift equals the sorted-sample formula on equal-size random snapshots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val xs = Seq.fill(n)(rnd.nextInt(1000).toDouble)
+    val ys = Seq.fill(n)(rnd.nextInt(1000).toDouble)
+    val got = DataQuality.w1Drift(xs.toDF("v"), ys.toDF("v"), "v", scale = 1L)
+      .collect().head.getLong(2)
+    // for equal sizes, W1 = (1/n) sum |x_(i) - y_(i)| -> w1_num = n * sum
+    val expected = n.toLong * xs.sorted.zip(ys.sorted)
+      .map { case (a, b) => math.abs(a - b).toLong }.sum
+    assert(got === expected)
+  }
+
+  test("w1Drift fails loud on an empty side") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      DataQuality.w1Drift(Seq.empty[Double].toDF("v"), Seq(1.0).toDF("v"), "v"))
+  }
+
   test("mutualInfo: independent columns give ~zero MI cells") {
     import spark.implicits._
     // perfectly independent 2x2: every cell n_xy*n == n_x*n_y -> ln 1 = 0
