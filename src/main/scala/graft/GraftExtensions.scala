@@ -277,6 +277,28 @@ object GraftExtensions {
         scale = longLit(args(3), "scale"))
       out.queryExecution.logical
     }),
+    //   graft_roc_auc(scored_view, score_col, label_col)
+    // Exact rank-based ROC-AUC — the SQL face of DataQuality.rocAuc
+    // (same range-partitioned cumulative plan with control-plane
+    // offsets; per-partition totals collected at analysis time).
+    ("graft_roc_auc", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.rocAuc(
+        spark.table(strLit(args(0), "scored_view")),
+        strLit(args(1), "score_col"), strLit(args(2), "label_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_chi2_drift(ref_view, cur_view, value_col)
+    // Exact-integer chi-squared homogeneity drift — the SQL face of
+    // DataQuality.chi2Drift (same tagged-union contingency plan).
+    ("graft_chi2_drift", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.chi2Drift(
+        spark.table(strLit(args(0), "ref_view")),
+        spark.table(strLit(args(1), "cur_view")),
+        strLit(args(2), "value_col"))
+      out.queryExecution.logical
+    }),
     //   graft_mutual_info(table_view, x_col, y_col)
     // Per-cell pointwise mutual information, nano-quantized — the SQL
     // face of DataQuality.mutualInfo (same one-aggregation contingency

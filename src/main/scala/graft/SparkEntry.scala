@@ -1186,6 +1186,49 @@ object SparkEntry {
       Curation.leakageSafeSplit(docs,
         Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)))
     },
+    "split_kfold" -> { (s, dir) =>
+      // Stratified 5-fold assignment with EXACT per-stratum balance:
+      // per-language rank (grouped range-partitioned numbering, no
+      // per-stratum single-reducer window) round-robins doc_ids across
+      // folds; reported as per-(lang, fold) counts + id range.
+      graft.ext.Curation.stratifiedKFold(Tables(s, dir, "documents"),
+        strataCol = "lang", idCol = "doc_id", k = 5)
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+    },
+    "q_gini" -> { (s, dir) =>
+      // Per-nation Gini concentration of customer spend, exact integer
+      // arithmetic: per-customer totals summed in decimal (engine-
+      // portable), cent-quantized, ranked per nation, one integer
+      // division for gini_micro.
+      val spend = Tables(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+      val joined = Tables(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          col("spend").cast("double").as("spend"))
+      graft.ops.Relational.giniPerGroup(joined, Seq("nationkey"), "spend",
+        scale = 100L)
+    },
+    "text_sorted_neighborhood" -> { (s, dir) =>
+      // Sorted-neighborhood ER blocking: rank docs by 24-char prefix
+      // key (range-partitioned global numbering), compare each doc to
+      // its 3 sort-successors, verify with exact Levenshtein <= 5 over
+      // 40-char prefixes — n*window candidate pairs, never n^2.
+      graft.ext.Dedup.sortedNeighborhood(Tables(s, dir, "documents"))
+    },
+    "ts_seasonal_anomaly" -> { (s, dir) =>
+      // Calendar-aware volume anomaly: each (type, day, hour) cell vs
+      // the type's same-hour-of-day baseline, flagged at 1.5x the
+      // seasonal mean by the exact cross-multiplied integer rule
+      // 2*n*n_cells > 3*total (no float division; non-vacuous at
+      // every fixture SF).
+      val ev = Tables(s, dir, "events")
+      graft.ops.TimeSeries.seasonalAnomaly(
+        ev.select(col("event_type"), Events.tsSec(ev).as("sec")),
+        secCol = "sec", keyCol = "event_type", factorNum = 3L, factorDen = 2L)
+    },
     "q_equidepth_hist" -> { (s, dir) =>
       // Per-group equi-depth histogram: 10 rank-buckets of o_totalprice
       // per priority with exact counts and bounds (partitioned-window
@@ -1458,6 +1501,62 @@ object SparkEntry {
         .createOrReplaceTempView("graft_w1_cur_v")
       s.sql("""SELECT * FROM graft_w1_drift('graft_w1_ref_v',
         'graft_w1_cur_v', 'o_totalprice', 100)""")
+    },
+    "dq_roc_auc" -> { (s, dir) =>
+      // Exact rank-based ROC-AUC (Mann-Whitney with tie handling, no
+      // float): does order value "score" finished status? Range-
+      // partitioned cumulative negatives with control-plane offsets.
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus").isNotNull)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.ops.DataQuality.rocAuc(orders,
+        scoreCol = "o_totalprice", labelCol = "label")
+    },
+    "dq_roc_sql" -> { (s, dir) =>
+      // The same exact-AUC plan through its SQL face (graft_roc_auc).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders")
+        .filter(col("o_orderstatus").isNotNull)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+        .createOrReplaceTempView("graft_roc_v")
+      s.sql("SELECT * FROM graft_roc_auc('graft_roc_v', 'o_totalprice', 'label')")
+    },
+    "dq_chi2_drift" -> { (s, dir) =>
+      // Chi-squared homogeneity drift on the categorical snapshot split
+      // — PSI's significance-testable companion, quantized by EXACT
+      // integer division (divmod in decimal(38,0), no float).
+      val orders = Tables(s, dir, "orders")
+      graft.ops.DataQuality.chi2Drift(
+        ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0),
+        cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        valueCol = "o_orderpriority")
+    },
+    "dq_chi2_sql" -> { (s, dir) =>
+      // Exact chi-squared drift through its SQL face (same tagged-union
+      // contingency plan, same oracle as dq_chi2_drift).
+      graft.GraftExtensions.register(s)
+      val orders = Tables(s, dir, "orders")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+        .createOrReplaceTempView("graft_chi2_ref_v")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        .createOrReplaceTempView("graft_chi2_cur_v")
+      s.sql("""SELECT * FROM graft_chi2_drift('graft_chi2_ref_v',
+        'graft_chi2_cur_v', 'o_orderpriority')""")
+    },
+    "dq_benford" -> { (s, dir) =>
+      // Benford first-digit conformance over cent-quantized order
+      // totals: exact integer digit counts (digit read off the long's
+      // decimal rendering — no float log in the extraction), micro-
+      // quantized expected mass, signed gap.
+      graft.ops.DataQuality.benford(Tables(s, dir, "orders"),
+        valueCol = "o_totalprice", scale = 100L)
+    },
+    "dq_fd_check" -> { (s, dir) =>
+      // Declared-FD audit: is l_orderkey -> l_suppkey a function?
+      // (No: multi-supplier orders surface as violations, one grouped
+      // aggregation, output scales with violating keys.)
+      graft.ops.DataQuality.fdViolations(Tables(s, dir, "lineitem"),
+        determinant = Seq("l_orderkey"), dependent = "l_suppkey")
     },
     "dq_mi_sql" -> { (s, dir) =>
       // Mutual information through its SQL face (same contingency plan,
@@ -3292,6 +3391,73 @@ object SparkEntry {
     "dq_ks_sql" -> ksDriftSql,
     "dq_w1_drift" -> w1DriftSql,
     "dq_w1_sql" -> w1DriftSql,
+    "dq_roc_auc" -> rocAucSql,
+    "dq_roc_sql" -> rocAucSql,
+    "dq_chi2_drift" -> chi2DriftSql,
+    "dq_chi2_sql" -> chi2DriftSql,
+    "dq_benford" ->
+      """WITH q AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS q
+        |           FROM orders),
+        |c AS (SELECT CAST(SUBSTR(CAST(q AS VARCHAR), 1, 1) AS INT) AS digit,
+        |       COUNT(*) AS n_obs FROM q WHERE q > 0 GROUP BY 1),
+        |sp AS (SELECT CAST(d.digit AS INT) AS digit, COALESCE(c.n_obs, 0) AS n_obs
+        |       FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit) d
+        |       LEFT JOIN c ON c.digit = d.digit),
+        |t AS (SELECT SUM(n_obs) AS n_total FROM sp)
+        |SELECT digit, n_obs, CAST(n_total AS BIGINT) AS n_total,
+        | CAST(ROUND(CAST(n_total AS DOUBLE) * (LN(digit + 1.0) - LN(CAST(digit AS DOUBLE)))
+        |   / LN(10.0) * 1000000) AS BIGINT) AS expected_micro,
+        | n_obs * 1000000 - CAST(ROUND(CAST(n_total AS DOUBLE)
+        |   * (LN(digit + 1.0) - LN(CAST(digit AS DOUBLE)))
+        |   / LN(10.0) * 1000000) AS BIGINT) AS gap_micro
+        |FROM sp, t""".stripMargin,
+    "dq_fd_check" ->
+      """SELECT l_orderkey, COUNT(*) AS n_rows,
+        | COUNT(DISTINCT l_suppkey) AS n_distinct
+        |FROM lineitem WHERE l_suppkey IS NOT NULL
+        |GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1""".stripMargin,
+    "split_kfold" ->
+      """WITH f AS (SELECT lang, doc_id,
+        |    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5 AS fold
+        |  FROM documents)
+        |SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS nationkey,
+        |    CAST(ROUND(spend * 100) AS BIGINT) AS x
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |r AS (SELECT nationkey, x,
+        |    ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY x) AS i
+        |  FROM j WHERE x >= 0),
+        |a AS (SELECT nationkey, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(i AS HUGEINT) * x) AS si FROM r GROUP BY 1)
+        |SELECT nationkey, n, CAST(s AS BIGINT) AS sum_q,
+        | CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_micro
+        |FROM a WHERE s > 0""".stripMargin,
+    "text_sorted_neighborhood" ->
+      """WITH n AS (SELECT doc_id AS id, SUBSTR(TRIM(text), 1, 24) AS key,
+        |    SUBSTR(TRIM(text), 1, 40) AS pre
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT id, pre, ROW_NUMBER() OVER (ORDER BY key, id) AS rn FROM n)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin,
+    "ts_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |cells AS (SELECT event_type, sec // 86400 AS day, (sec // 3600) % 24 AS hour,
+        |    COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+        |base AS (SELECT event_type, hour, COUNT(*) AS n_cells, SUM(n) AS total
+        |         FROM cells GROUP BY 1, 2)
+        |SELECT c.event_type, c.day, c.hour, c.n, b.n_cells,
+        | CAST(b.total AS BIGINT) AS total
+        |FROM cells c JOIN base b USING (event_type, hour)
+        |WHERE c.n * b.n_cells * 2 > 3 * b.total""".stripMargin,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
         |  COUNT(*) AS n_rows FROM events GROUP BY 1),
@@ -3753,6 +3919,38 @@ object SparkEntry {
       |   * (nv - v)) * 1000000
       |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
       |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin
+
+  /** Shared by dq_roc_auc (Scala face) and dq_roc_sql (TVF face). */
+  private def rocAucSql: String =
+    """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+      |g AS (SELECT v, SUM(pos) AS c_pos, SUM(1 - pos) AS c_neg FROM s GROUP BY v),
+      |c AS (SELECT c_pos, c_neg,
+      |    SUM(c_neg) OVER (ORDER BY v) - c_neg AS neg_below FROM g),
+      |t AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn FROM g)
+      |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+      | CAST(SUM(CAST(c_pos AS HUGEINT) * (2 * neg_below + c_neg)) AS BIGINT) AS u2_num,
+      | CAST(SUM(CAST(c_pos AS HUGEINT) * (2 * neg_below + c_neg)) * 1000000
+      |   // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_micro
+      |FROM c, t GROUP BY np, nn""".stripMargin
+
+  /** Shared by dq_chi2_drift (Scala face) and dq_chi2_sql (TVF face). */
+  private def chi2DriftSql: String =
+    """WITH u AS (SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+      |    1 AS one_ref, 0 AS one_cur FROM orders WHERE o_orderkey % 3 <> 0
+      |  UNION ALL SELECT CAST(o_orderpriority AS VARCHAR), 0, 1
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |sp AS (SELECT category, SUM(one_ref) AS n_ref, SUM(one_cur) AS n_cur
+      |       FROM u GROUP BY category),
+      |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM sp),
+      |d AS (SELECT category, n_ref, n_cur,
+      |   CAST(n_ref AS HUGEINT) * tc - CAST(n_cur AS HUGEINT) * tr AS dd,
+      |   CAST(tr AS HUGEINT) * tc * (n_ref + n_cur) AS den FROM sp, t)
+      |SELECT category, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      | CAST((dd * dd // den) * 1000000
+      |   + ((dd * dd % den) * 1000000 // den) AS BIGINT) AS chi2_cell_micro
+      |FROM d""".stripMargin
 
   /** Shared by dq_mutual_info (Scala face) and dq_mi_sql (TVF face). */
   private def mutualInfoSql: String =

@@ -369,4 +369,56 @@ object Curation {
           s => s.getField("seg_text"))).as("cleaned_text"),
         count(lit(1)).as("n_kept"))
   }
+
+  /** Stratified k-fold assignment with EXACT per-stratum balance:
+    * within each stratum, rows ranked by `idCol` round-robin across
+    * the k folds, so every (stratum, fold) count differs by at most 1
+    * — the guarantee hash-mod splits only give in expectation, and
+    * the one cross-validation needs when a stratum is small. The
+    * assignment is a pure function of (stratum, id): re-running on
+    * any engine or partitioning reproduces it row-for-row.
+    *
+    * Scale shape: the per-stratum rank uses the
+    * [[graft.ops.Relational.globalRowNumber]] discipline GROUPED —
+    * range-repartition on (stratum, id) so each partition holds a
+    * contiguous slice of at most a couple of strata, rank locally
+    * per (partition, stratum) in parallel, and carry only the
+    * per-(partition, stratum) counts to the driver as broadcast
+    * offsets (~numPartitions rows — each range partition overlaps
+    * O(1) strata). Never a per-stratum single-reducer window, which
+    * is the cliff when strata are few and huge (5 languages × 20 TB).
+    *
+    * Output: input columns + `fold` (0..k-1). */
+  def stratifiedKFold(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, numPartitions: Int = 0): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(strataCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val staged = Materialize(ranged)
+    // control plane: rows per (partition, stratum) -> per-stratum
+    // cumulative offsets in partition order
+    val counts = staged.groupBy(col("__pid"), col(strataCol).as("__st")).count()
+      .collect().map(r => (r.getInt(0), Option(r.get(1)).map(_.toString), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = scala.collection.mutable.Map.empty[Option[String], Long]
+    val offRows = counts.map { case (pid, st, n) =>
+      val off = offsets.getOrElse(st, 0L)
+      offsets(st) = off + n
+      (pid, st.orNull, off)
+    }.toSeq
+    val offDf = offRows.toDF("__opid", "__st", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col(strataCol)).orderBy(col(idCol))
+    staged
+      .join(broadcast(offDf),
+        col("__pid") === col("__opid") &&
+          col(strataCol).cast("string") <=> col("__st"))
+      .withColumn("fold",
+        pmod(col("__off") + row_number().over(w).cast("long") - 1L, lit(k.toLong)))
+      .drop("__pid", "__opid", "__st", "__off")
+  }
 }

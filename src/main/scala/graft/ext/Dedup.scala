@@ -598,4 +598,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     verified.select("a_id", "b_id", "jaccard")
   }
+
+  /** Sorted-neighborhood entity-resolution blocking (Hernández &
+    * Stolfo, SIGMOD'95): sort the corpus by a cheap blocking key,
+    * compare each record only against its `window` successors in sort
+    * order, verify candidates with exact edit distance. The classic
+    * complement to hash/LSH blocking — catches near-matches whose
+    * PREFIXES agree (typo'd titles, re-issued records) with exactly
+    * n·window candidate pairs, never n².
+    *
+    * Scale shape: the global sort rank uses
+    * [[graft.ops.Relational.globalRowNumber]] (range-partitioned,
+    * control-plane offsets — no single-reducer window); each record
+    * then emits `window` (rank+i) probes via a zero-shuffle Expand,
+    * and candidates materialize through ONE equi-join on the rank —
+    * shuffle keys are 8-byte longs, document prefixes ride only to
+    * the verify. Verification is exact Levenshtein over `prefixLen`-
+    * char prefixes, bounded cost per pair.
+    *
+    * Output: verified pairs — (a_id, b_id, dist), a before b in sort
+    * order, dist ≤ maxDist. */
+  def sortedNeighborhood(docs: DataFrame, idCol: String = "doc_id",
+      strCol: String = "text", keyLen: Int = 24, window: Int = 3,
+      maxDist: Int = 5, prefixLen: Int = 40): DataFrame = {
+    require(window > 0 && keyLen > 0 && prefixLen > 0,
+      s"window/keyLen/prefixLen must be positive")
+    val normed = docs.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(trim(col(strCol)), 1, keyLen).as("key"),
+        substring(trim(col(strCol)), 1, prefixLen).as("pre"))
+    val ranked = graft.ops.Relational.globalRowNumber(normed, Seq("key", "id"))
+    val left = ranked.select(col("id").as("a_id"), col("pre").as("a_pre"),
+        explode(sequence(col("row_num") + 1L, col("row_num") + window.toLong))
+          .as("probe"))
+    val right = ranked.select(col("row_num").as("probe"),
+      col("id").as("b_id"), col("pre").as("b_pre"))
+    left.join(right, Seq("probe"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_pre"), col("b_pre")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

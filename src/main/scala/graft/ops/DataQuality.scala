@@ -602,4 +602,177 @@ object DataQuality {
         call_function("div", col("w1_dec") * lit(1000000L), lit(prodScale))
           .as("w1_micro"))
   }
+
+  /** Exact ROC-AUC of a score column against a binary label — the
+    * model-quality gate a labeling pipeline runs before trusting a
+    * classifier's scores for filtering. AUC is the Mann-Whitney U
+    * statistic normalized by n_pos·n_neg, which is PURELY RANK-BASED,
+    * so (like [[ksDrift]]) it is computable in exact integer
+    * arithmetic with proper tie handling and no float anywhere:
+    *
+    *   2·U = Σ over distinct score values v:
+    *           c_pos(v) · (2·neg_below(v) + c_neg(v))
+    *
+    * (a positive beats every negative with a lower score and half-ties
+    * every negative at the same score; doubling clears the ½). Output
+    * one row (n_pos, n_neg, u2_num, auc_micro) with
+    * `auc_micro` = ⌊2U·10^6 / (2·n_pos·n_neg)⌋ — integer division in
+    * decimal(38,0), exact while 2·n_pos·n_neg·10^6 < 10^38 (any
+    * realistic table); the diagnostic u2_num lands back in a long
+    * (NULL on overflow under the non-ANSI cast, never a silent wrap).
+    *
+    * Any non-zero, non-null label value is positive; rows with a NULL
+    * score or label are excluded. Scale shape: per-score counts
+    * range-partition on the score, per-partition cumulative negatives
+    * run in parallel, and only per-partition (pos, neg) totals travel
+    * to the driver as broadcast offsets — the [[ksDrift]] discipline,
+    * never a single-reducer window. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val isPos = col(labelCol).cast("long") =!= 0L
+    val scored = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("v"),
+        when(isPos, 1L).otherwise(0L).as("one_pos"),
+        when(isPos, 0L).otherwise(1L).as("one_neg"))
+    val counts = scored.groupBy("v")
+      .agg(sum("one_pos").as("c_pos"), sum("one_neg").as("c_neg"))
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = counts.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    // control plane: per-partition (pos, neg) totals -> neg offsets
+    val ptot = staged.groupBy("__pid")
+      .agg(sum("c_pos").as("p"), sum("c_neg").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val nPos = ptot.map(_._2).sum
+    val nNeg = ptot.map(_._3).sum
+    require(nPos > 0 && nNeg > 0,
+      s"ROC-AUC needs both classes present (n_pos=$nPos, n_neg=$nNeg)")
+    val offs = ptot.scanLeft(0L) { case (acc, (_, _, n)) => acc + n }.init
+    val offDf = ptot.map(_._1).zip(offs).toSeq.toDF("__pid", "__off_neg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = "decimal(38,0)"
+    val denom = new java.math.BigDecimal(2L)
+      .multiply(new java.math.BigDecimal(nPos))
+      .multiply(new java.math.BigDecimal(nNeg))
+    staged.join(broadcast(offDf), Seq("__pid"))
+      .select((col("c_pos").cast(dec) *
+        (lit(2L) * (sum(col("c_neg")).over(w) + col("__off_neg") - col("c_neg")) +
+          col("c_neg")).cast(dec)).as("contrib"))
+      .agg(sum("contrib").as("u2_dec"))
+      .select(lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"),
+        col("u2_dec").cast("long").as("u2_num"),
+        call_function("div", col("u2_dec") * lit(1000000L), lit(denom))
+          .as("auc_micro"))
+  }
+
+  /** Chi-squared homogeneity drift between two categorical snapshots —
+    * the classical significance-testable companion to
+    * [[psiDriftCategorical]]'s smoothed-PSI: for the 2×k contingency of
+    * (snapshot × category) the per-category statistic collapses to
+    *
+    *   cell(c) = d_c² / (t_ref · t_cur · n_c),
+    *   d_c = n_ref(c)·t_cur − n_cur(c)·t_ref,  n_c = n_ref(c)+n_cur(c)
+    *
+    * (both snapshot terms of (o−e)²/e share the d_c numerator), which
+    * is RATIONAL — so unlike PSI's ln this is quantized by exact
+    * integer division, no float anywhere: `chi2_cell_micro` =
+    * ⌊d_c²·10^6 / (t_ref·t_cur·n_c)⌋, computed as
+    * q·10^6 + ⌊r·10^6/den⌋ with (q, r) = divmod(d_c², den) so no
+    * intermediate exceeds decimal(38,0) while d_c² < 10^38 — i.e.
+    * t_ref·t_cur < 10^19, both sides up to ~3·10^9 rows (past that the
+    * decimal overflows to NULL, never a silent wrap). Σ cell_micro is
+    * the micro-quantized chi-squared statistic with k−1 df.
+    *
+    * Output: one row per category in EITHER snapshot —
+    * (category, n_ref, n_cur, chi2_cell_micro); NULL category counts as
+    * its own category (drift into NULL is drift). Plan: tagged union →
+    * ONE grouped count (map-side partial), one broadcast totals cross —
+    * cells scale with |categories|, never rows. */
+  def chi2Drift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    // union + one grouped count (not a full-outer join of two counts):
+    // one shuffle, and a NULL category groups as ONE row on both
+    // engines — a join on a NULL key would split it into two.
+    val spine = ref.select(col(valueCol).cast("string").as("category"),
+        lit(1L).as("one_ref"), lit(0L).as("one_cur"))
+      .unionByName(cur.select(col(valueCol).cast("string").as("category"),
+        lit(0L).as("one_ref"), lit(1L).as("one_cur")))
+      .groupBy("category")
+      .agg(sum("one_ref").as("n_ref"), sum("one_cur").as("n_cur"))
+    val tot = spine.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val dec = "decimal(38,0)"
+    val d = col("n_ref").cast(dec) * col("t_cur") - col("n_cur").cast(dec) * col("t_ref")
+    val den = (col("t_ref").cast(dec) * col("t_cur")) * (col("n_ref") + col("n_cur"))
+    spine.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        (call_function("div", d * d, den) * lit(1000000L) +
+          call_function("div", pmod(d * d, den) * lit(1000000L), den))
+          .cast("long").as("chi2_cell_micro"))
+  }
+
+  /** Benford first-significant-digit conformance audit — the classic
+    * fabricated-data screen for naturally-occurring amounts (Benford
+    * 1938): digit d should carry log10(1+1/d) of the mass. Values are
+    * quantized to integer units (`scale` per 1.0, e.g. 100 = cents)
+    * and the first digit read off the integer's decimal rendering —
+    * no float log in the digit extraction, so the observed counts are
+    * exact and engine-portable. Non-positive and NULL values are
+    * excluded (Benford applies to positive magnitudes).
+    *
+    * Output: 9 rows (digit 1-9, zero-filled) —
+    * (digit, n_obs, n_total, expected_micro, gap_micro) where
+    * `expected_micro` = round(n_total·log10(1+1/d)·10^6) (the one
+    * rounded constant — irrational, so never a half-way tie) and
+    * `gap_micro` = n_obs·10^6 − expected_micro, positive when the
+    * digit is over-represented. Plan: one scan, a 9-row grouped count
+    * joined to a literal digit spine, one broadcast total cross. */
+  def benford(df: DataFrame, valueCol: String, scale: Long = 100L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = round(col(valueCol).cast("double") * lit(scale)).cast("long")
+    val counts = df.select(q.as("q")).filter(col("q") > 0L)
+      .select(substring(col("q").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = (1 to 9).toDF("digit")
+    val filled = spine.join(counts, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = filled.agg(sum("n_obs").as("n_total"))
+    val expected = round(col("n_total").cast("double") *
+      (log(col("digit").cast("double") + 1.0) - log(col("digit").cast("double"))) /
+      log(lit(10.0)) * lit(1e6)).cast("long")
+    filled.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        expected.as("expected_micro"),
+        (col("n_obs") * lit(1000000L) - expected).as("gap_micro"))
+  }
+
+  /** Functional-dependency violation audit: for a declared FD
+    * determinant → dependent, every determinant value that maps to
+    * MORE THAN ONE distinct dependent value is a violation — the
+    * schema-level contract check (is order_key → ship_priority really
+    * a function?) that profiling alone doesn't give. Rows with a NULL
+    * dependent are excluded (SQL UNIQUE-style: NULL determines
+    * nothing); NULL determinant values group as themselves.
+    *
+    * Output: one row per violating determinant value —
+    * (determinant cols…, n_rows, n_distinct) with n_distinct > 1.
+    * Plan: one grouped aggregation (map-side partial count + a
+    * distinct count over the dependent, one Expand) — output scales
+    * with violating keys, never rows. */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+      dependent: String): DataFrame = {
+    require(determinant.nonEmpty, "fdViolations needs determinant columns")
+    df.filter(col(dependent).isNotNull)
+      .groupBy(determinant.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(dependent)).as("n_distinct"))
+      .filter(col("n_distinct") > 1L)
+  }
 }

@@ -70,4 +70,42 @@ object TimeSeries {
         when(col("obs_v").isNotNull, col("obs_v")).otherwise(interp).as("v"),
         col("obs_v").isNotNull.as("observed"))
   }
+
+  /** Seasonal-baseline volume anomaly: compare each (key, day, hour)
+    * cell's event count against the key's SAME-HOUR-OF-DAY baseline
+    * across all days — the calendar-aware twin of
+    * [[DataQuality.volumeControlChart]]'s global z-rule (Monday-9am
+    * traffic is only anomalous against other 9am hours, not against
+    * 3am). The test is EXACT integer arithmetic: a cell is anomalous
+    * when
+    *
+    *   n · n_cells · factorDen > factorNum · total
+    *
+    * (n_cells, total over the key's hour-of-day baseline) — i.e. the
+    * cell exceeds (factorNum/factorDen)× its seasonal mean, with the
+    * rational threshold cross-multiplied so no float division ever
+    * runs: the flagged set is a pure function of the data. Epoch
+    * seconds are positive, so integer `div` is floor division on both
+    * engines.
+    *
+    * Output: anomalous cells only — (key, day, hour, n, n_cells,
+    * total). Plan: one grouped count on (key, day, hour) (map-side
+    * combine), the baseline re-aggregated from those cells (never a
+    * second scan), broadcast back over the bounded (key × 24) frame. */
+  def seasonalAnomaly(df: DataFrame, secCol: String, keyCol: String,
+      factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+    require(factorNum > 0 && factorDen > 0 && factorNum >= factorDen,
+      s"threshold factor must be a rational >= 1, got $factorNum/$factorDen")
+    val cells = df
+      .groupBy(col(keyCol),
+        call_function("div", col(secCol), lit(86400L)).as("day"),
+        pmod(call_function("div", col(secCol), lit(3600L)), lit(24L)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy(col(keyCol), col("hour"))
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("total"))
+    cells.join(broadcast(base), Seq(keyCol, "hour"))
+      .filter(col("n") * col("n_cells") * lit(factorDen) > lit(factorNum) * col("total"))
+      .select(col(keyCol), col("day"), col("hour"),
+        col("n"), col("n_cells"), col("total"))
+  }
 }

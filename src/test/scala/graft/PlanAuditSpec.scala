@@ -40,6 +40,9 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_fleiss_sql",      // same plan through the TVF face
     "dq_psi_sql",         // dq_psi_drift's plan through the TVF face
     "dq_psi_incremental", // one-row totals frame x bins-sized spine (stored state)
+    "dq_chi2_drift",      // one-row totals frame x category-sized spine
+    "dq_chi2_sql",        // same plan through the TVF face
+    "dq_benford",         // one-row total frame x 9-row digit spine
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 

@@ -405,4 +405,44 @@ class CurationSpec extends SparkTestBase {
     assert(viaState === direct)
     assert(viaState.exists(t => t._1 == 1L && t._2 == 10L && t._3 >= 2L))
   }
+
+  test("stratifiedKFold: exact per-stratum balance and pure-function folds") {
+    import spark.implicits._
+    // 7-row and 3-row strata, k=3: fold sizes must differ by <= 1 per stratum
+    val rows = (1L to 7L).map(i => ("big", i * 10L)) ++
+      (1L to 3L).map(i => ("small", i))
+    val out = Curation.stratifiedKFold(rows.toDF("lang", "id"), "lang", "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // balance
+    val sizes = out.groupBy(t => (t._1, t._3)).view.mapValues(_.size).toMap
+    assert(sizes.filter(_._1._1 == "big").values.toSeq.sorted === Seq(2, 2, 3))
+    assert(sizes.filter(_._1._1 == "small").values.toSeq.sorted === Seq(1, 1, 1))
+    // fold = (rank by id within stratum - 1) % k, exactly
+    for ((lang, id, fold) <- out) {
+      val rank = rows.filter(_._1 == lang).map(_._2).sorted.indexOf(id) + 1
+      assert(fold === (rank - 1) % 3, s"($lang, $id)")
+    }
+  }
+
+  test("stratifiedKFold survives strata split across range partitions") {
+    import spark.implicits._
+    // force many range partitions so a stratum spans several: the
+    // control-plane offsets must keep ranks contiguous across them
+    val rows = (1L to 500L).map(i => (if (i % 2 == 0) "a" else "b", i))
+    val out = Curation.stratifiedKFold(rows.toDF("lang", "id"), "lang", "id",
+        k = 4, numPartitions = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((lang, id, fold) <- out) {
+      val rank = rows.filter(_._1 == lang).map(_._2).sorted.indexOf(id) + 1
+      assert(fold === (rank - 1) % 4, s"($lang, $id)")
+    }
+    val sizes = out.groupBy(t => (t._1, t._3)).view.mapValues(_.size).values
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("stratifiedKFold fails loud on k < 2") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](Curation.stratifiedKFold(
+      Seq(("a", 1L)).toDF("lang", "id"), "lang", "id", k = 1))
+  }
 }

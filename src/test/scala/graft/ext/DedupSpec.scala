@@ -263,4 +263,39 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc === full)
   }
+
+  test("sortedNeighborhood equals the brute-force window definition") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "apple pie recipe with cinnamon"),
+      (2L, "apple pie recipes with cinnamon"), // 1 edit from doc 1
+      (3L, "apple tart recipe with cinnamon"), // close key, larger distance
+      (4L, "banana bread for breakfast"),
+      (5L, "banana bread for breakfasts"),     // 1 edit from doc 4
+      (6L, "zebra crossing safety rules"))
+    val window = 2
+    val maxDist = 5
+    val got = Dedup.sortedNeighborhood(recs.toDF("doc_id", "text"),
+        window = window, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: sort by (24-char key, id), compare each to its
+    // `window` successors on 40-char prefixes
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sorted = recs.map { case (id, t) => (id, t.trim.take(24), t.trim.take(40)) }
+      .sortBy(t => (t._2, t._1))
+    val expect = (for {
+      i <- sorted.indices
+      j <- (i + 1) to math.min(i + window, sorted.length - 1)
+      d = lev(sorted(i)._3, sorted(j)._3) if d <= maxDist
+    } yield (sorted(i)._1, sorted(j)._1, d)).toSet
+    assert(got === expect)
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1)) // non-vacuous
+    assert(got.exists(t => Set(t._1, t._2) == Set(4L, 5L)))
+  }
 }

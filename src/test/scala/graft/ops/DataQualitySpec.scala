@@ -399,4 +399,98 @@ class DataQualitySpec extends SparkTestBase {
     val cells = DataQuality.mutualInfo(df, "x", "y").collect()
     assert(cells.length === 4 && cells.forall(_.getAs[Long]("mi_nano") === 0L))
   }
+
+  test("rocAuc: perfect / reversed / tied separation, exact integers") {
+    import spark.implicits._
+    def run(rows: Seq[(Double, Int)]) =
+      DataQuality.rocAuc(rows.toDF("score", "label"), "score", "label")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Any]("auc_micro").toString.toLong)).head
+    // positives strictly above negatives -> AUC = 1
+    assert(run(Seq((3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0))) ===
+      ((2L, 2L, 8L, 1000000L)))
+    // positives strictly below -> AUC = 0
+    assert(run(Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)))._4 === 0L)
+    // full ties at every score -> AUC = 1/2 with the half-tie rule
+    assert(run(Seq((1.0, 1), (2.0, 1), (1.0, 0), (2.0, 0))) ===
+      ((2L, 2L, 4L, 500000L)))
+  }
+
+  test("rocAuc matches the O(n^2) pair-counting definition on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(150)((rnd.nextInt(20).toDouble, rnd.nextInt(2)))
+    val got = DataQuality.rocAuc(rows.toDF("score", "label"), "score", "label")
+      .collect().head.getLong(2)
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    // 2U = #(pos>neg)*2 + #(pos==neg)  over all cross pairs
+    val u2 = pos.iterator.map(p =>
+      2L * neg.count(p > _) + neg.count(p == _)).sum
+    assert(got === u2)
+  }
+
+  test("rocAuc fails loud when a class is missing") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](DataQuality.rocAuc(
+      Seq((1.0, 1), (2.0, 1)).toDF("score", "label"), "score", "label"))
+  }
+
+  test("chi2Drift: hand-computed 2x2 homogeneity cells, exact integers") {
+    import spark.implicits._
+    // ref: A,A,A,B  cur: A,B,B,B -> classic chi2 = 2.0, split 1.0 + 1.0
+    val ref = Seq("A", "A", "A", "B").toDF("c")
+    val cur = Seq("A", "B", "B", "B").toDF("c")
+    val got = DataQuality.chi2Drift(ref, cur, "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "A" -> ((3L, 1L, 1000000L)),
+      "B" -> ((1L, 3L, 1000000L))))
+    // identical snapshots -> all cells exactly 0
+    val same = DataQuality.chi2Drift(ref, ref, "c").collect()
+    assert(same.forall(_.getLong(3) === 0L))
+  }
+
+  test("chi2Drift: NULL category is one spine row, counted on both sides") {
+    import spark.implicits._
+    val ref = Seq(Some("A"), None, None).toDF("c")
+    val cur = Seq(Some("A"), None).toDF("c")
+    val rows = DataQuality.chi2Drift(ref, cur, "c").collect()
+    assert(rows.length === 2)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert((nullRow.getLong(1), nullRow.getLong(2)) === ((2L, 1L)))
+  }
+
+  test("benford: digit extraction is integer-exact; expected mass hand-checked") {
+    import spark.implicits._
+    // cents: 100, 150, 200; zero/negative/null excluded
+    val df = Seq(Some(1.0), Some(1.5), Some(2.0), Some(0.0), Some(-3.0), None)
+      .toDF("v")
+    val rows = DataQuality.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet === (1 to 9).toSet)
+    assert(rows(1)._1 === 2L && rows(2)._1 === 1L && rows(3)._1 === 0L)
+    assert(rows.values.forall(_._2 === 3L))
+    // expected_micro(1) = round(3 * log10(2) * 1e6) = 903090
+    assert(rows(1)._3 === 903090L)
+    assert(rows(1)._4 === 2000000L - 903090L)
+    // expected masses decrease in d and sum to ~n*1e6
+    val exp = (1 to 9).map(d => rows(d)._3)
+    assert(exp === exp.sortBy(-_))
+    assert(math.abs(exp.sum - 3000000L) <= 5L)
+  }
+
+  test("fdViolations: only determinant values with >1 dependent surface") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x")), (1L, Some("x")),              // clean key
+      (2L, Some("x")), (2L, Some("y")), (2L, Some("y")), // violation: 2 values
+      (3L, Some("x")), (3L, None)                    // NULL dependent ignored
+    ).toDF("k", "v")
+    val got = DataQuality.fdViolations(df, Seq("k"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 3L, 2L)))
+  }
 }

@@ -56,4 +56,30 @@ class TimeSeriesSpec extends SparkTestBase {
     val plan = out.queryExecution.optimizedPlan.toString
     assert(plan.contains("explode(sequence("), s"grid not plan-side:\n$plan")
   }
+
+  test("seasonalAnomaly flags exactly the cells over the rational threshold") {
+    import spark.implicits._
+    // key "a", hour 0 over 3 days: counts 1, 1, 10 -> only the 10 flags
+    // at 1.5x mean (10*3*2 > 3*12); hour 1 uniform -> nothing flags
+    def secs(day: Long, hour: Long, n: Int) =
+      Seq.fill(n)(day * 86400L + hour * 3600L + 42L)
+    val rows = (secs(0, 0, 1) ++ secs(1, 0, 1) ++ secs(2, 0, 10) ++
+      secs(0, 1, 3) ++ secs(1, 1, 3) ++ secs(2, 1, 3)).map(("a", _))
+    val got = TimeSeries.seasonalAnomaly(rows.toDF("k", "sec"), "sec", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(("a", 2L, 0L, 10L, 3L, 12L)))
+  }
+
+  test("seasonalAnomaly threshold is strict and the factor validated") {
+    import spark.implicits._
+    // counts 1, 1, 4 at one hour: total 6, cells 3 -> at factor 2/1 the
+    // comparison lands exactly on the boundary (4*3*1 = 2*6): NOT flagged
+    val rows = (Seq.fill(1)(0L * 86400L) ++ Seq.fill(1)(1L * 86400L) ++
+      Seq.fill(4)(2L * 86400L)).map(("k", _))
+    assert(TimeSeries.seasonalAnomaly(rows.toDF("k", "sec"), "sec", "k",
+      factorNum = 2L, factorDen = 1L).collect().isEmpty)
+    intercept[IllegalArgumentException](TimeSeries.seasonalAnomaly(
+      rows.toDF("k", "sec"), "sec", "k", factorNum = 1L, factorDen = 2L))
+  }
 }
