@@ -1558,6 +1558,48 @@ object SparkEntry {
       graft.ops.DataQuality.fdViolations(Tables(s, dir, "lineitem"),
         determinant = Seq("l_orderkey"), dependent = "l_suppkey")
     },
+    "dq_entropy" -> { (s, dir) =>
+      // Category-balance monitor: per-category Shannon entropy terms,
+      // nano-quantized per cell from exact integer counts (sum = the
+      // column's entropy; /ln(k) = Pielou evenness).
+      graft.ops.DataQuality.categoryEntropy(
+        Tables(s, dir, "orders"), "o_orderpriority")
+    },
+    "dq_ks_incremental" -> { (s, dir) =>
+      // Exact KS over PERSISTED per-value count state — the
+      // exact-integer twin of dq_psi_incremental: day-level empirical
+      // CDF states (counts are the monoid; nothing to pin at day 0)
+      // are written once through the parquet sink, then drift between
+      // day-groups is computed from the stored states only — bit-
+      // identical to the full recompute, which is the oracle.
+      val orders = Tables(s, dir, "orders")
+      val dayCol = pmod(col("o_orderkey"), lit(5L))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_ks_state_").toString
+      (0 until 5).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ops.DataQuality.valueCountState(
+            orders.filter(dayCol === d), "o_totalprice"),
+          s"$stateDir/day=$d")
+      }
+      graft.ops.DataQuality.ksFromState(
+        s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1"),
+        s.read.parquet(s"$stateDir/day=2", s"$stateDir/day=3", s"$stateDir/day=4"))
+    },
+    "text_vocab_stats" -> { (s, dir) =>
+      // Per-language corpus vocabulary audit: token volume, type and
+      // hapax counts, exact-integer type-token ratio — shuffle rows
+      // scale with the vocabulary, never the token stream.
+      graft.ext.TextAnalysis.vocabStats(
+        Tables(s, dir, "documents"), groupCol = "lang")
+    },
+    "q_skyline" -> { (s, dir) =>
+      // 2D Pareto frontier (biggest AND most expensive parts) via the
+      // sorted running-max identity — range-partitioned prefix maxima
+      // with control-plane floors, never the O(n^2) NOT-EXISTS join.
+      graft.ops.Relational.skylineMax2D(
+        Tables(s, dir, "part"), "p_size", "p_retailprice")
+    },
     "dq_mi_sql" -> { (s, dir) =>
       // Mutual information through its SQL face (same contingency plan,
       // same oracle as dq_mutual_info).
@@ -3393,6 +3435,53 @@ object SparkEntry {
     "dq_w1_sql" -> w1DriftSql,
     "dq_roc_auc" -> rocAucSql,
     "dq_roc_sql" -> rocAucSql,
+    "dq_entropy" ->
+      """WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+        |    COUNT(*) AS n_cat FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n_cat) AS n_total FROM c)
+        |SELECT category, n_cat, CAST(n_total AS BIGINT) AS n_total,
+        | CAST(ROUND(-(CAST(n_cat AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |   * LN(CAST(n_cat AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |   * 1000000000) AS BIGINT) AS h_nano
+        |FROM c, t""".stripMargin,
+    "dq_ks_incremental" ->
+      """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 IN (0, 1) AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 IN (2, 3, 4) AND o_totalprice IS NOT NULL),
+        |u AS (SELECT v, 1 AS is_ref FROM ref
+        |      UNION ALL SELECT v, 0 FROM cur),
+        |vals AS (SELECT v, SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+        |         FROM u GROUP BY v),
+        |cum AS (SELECT SUM(c_ref) OVER (ORDER BY v) AS cr,
+        |         SUM(c_cur) OVER (ORDER BY v) AS cc FROM vals),
+        |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
+        |       (SELECT COUNT(*) FROM cur) AS nc)
+        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
+        |   AS BIGINT) AS d_num,
+        | CAST(MAX(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr))
+        |   * 1000000 // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_micro
+        |FROM cum, t GROUP BY nr, nc""".stripMargin,
+    "text_vocab_stats" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT lang AS slice, term, COUNT(*) AS cnt FROM tok
+        |       WHERE len(term) > 0 GROUP BY 1, 2)
+        |SELECT slice, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+        | COUNT(*) FILTER (cnt = 1) AS n_hapax,
+        | CAST(COUNT(*) * 1000000 // SUM(cnt) AS BIGINT) AS ttr_micro
+        |FROM tf GROUP BY 1""".stripMargin,
+    "q_skyline" ->
+      """WITH m AS (SELECT p_size AS x, MAX(p_retailprice) AS y FROM part
+        |           WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |           GROUP BY 1),
+        |f AS (SELECT x, y, MAX(y) OVER (ORDER BY x DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM m),
+        |fr AS (SELECT x, y FROM f WHERE pm IS NULL OR y > pm)
+        |SELECT fr.x, fr.y, COUNT(*) AS n
+        |FROM part p JOIN fr ON p.p_size = fr.x AND p.p_retailprice = fr.y
+        |GROUP BY 1, 2""".stripMargin,
     "dq_chi2_drift" -> chi2DriftSql,
     "dq_chi2_sql" -> chi2DriftSql,
     "dq_benford" ->

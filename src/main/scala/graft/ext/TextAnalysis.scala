@@ -164,6 +164,36 @@ object TextAnalysis {
       "dup_trigram_frac" -> dupFrac(grams(3)))
   }
 
+  /** Per-slice corpus vocabulary statistics — the Heaps'-law audit a
+    * corpus build runs per language/source slice: token volume, type
+    * (distinct-term) count, hapax-legomena count (terms seen exactly
+    * once — the OCR-garbage / tokenizer-damage tell when the hapax
+    * share spikes), and the type-token ratio as an exact integer
+    * division (`ttr_micro` = ⌊n_types·10^6 / n_tokens⌋ — no float).
+    * Terms are whitespace tokens of the lowercased text, so counts
+    * are exact and engine-portable.
+    *
+    * Output: one row per slice — (slice, n_tokens, n_types, n_hapax,
+    * ttr_micro). Plan: tokenize (zero-shuffle Expand) → ONE grouped
+    * count on (slice, term) with map-side combine → one slice-level
+    * re-aggregation of that frame; shuffle rows scale with the
+    * vocabulary, never the token stream. */
+  def vocabStats(docs: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val terms = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("slice"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    terms.groupBy("slice", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("slice")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("cnt") === 1L, 1)).as("n_hapax"))
+      .select(col("slice"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        call_function("div", col("n_types") * lit(1000000L), col("n_tokens"))
+          .as("ttr_micro"))
+  }
+
   /** All per-document analysis columns in one projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -425,8 +425,6 @@ object DataQuality {
     * longs) travel to the driver to become broadcast offsets. */
   def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       numPartitions: Int = 0): DataFrame = {
-    val spark = ref.sparkSession
-    import spark.implicits._
     val v = col(valueCol).cast("double")
     val both = ref.filter(col(valueCol).isNotNull)
       .select(v.as("v"), lit(1L).as("one_ref"), lit(0L).as("one_cur"))
@@ -434,6 +432,42 @@ object DataQuality {
         .select(v.as("v"), lit(0L).as("one_ref"), lit(1L).as("one_cur")))
     val counts = both.groupBy("v")
       .agg(sum("one_ref").as("c_ref"), sum("one_cur").as("c_cur"))
+    ksFromCounts(counts, numPartitions)
+  }
+
+  /** Exact mergeable KS state: per-value counts (v, c) — counts are
+    * the monoid, so day-level states union+re-sum into any window's
+    * state without rescanning history. The incremental twin of
+    * [[histogramState]] for the EXACT-integer drift family: unlike
+    * PSI's fixed bin edges there is nothing to pin at day 0 — the
+    * per-value counts are the full empirical CDF. State size is the
+    * column's distinct-value count, not its row count (money-like
+    * columns: bounded by the price grid). */
+  def valueCountState(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Two-sample KS from PERSISTED [[valueCountState]] snapshots only —
+    * drift between any two day-groups without touching the history
+    * rows again. Same exact integer statistic and range-partitioned
+    * cumulative plan as [[ksDrift]] (states merge by summed counts;
+    * the result is bit-identical to the full recompute). */
+  def ksFromState(refState: DataFrame, curState: DataFrame,
+      numPartitions: Int = 0): DataFrame = {
+    val counts = refState
+      .select(col("v"), col("c").as("one_ref"), lit(0L).as("one_cur"))
+      .unionByName(curState
+        .select(col("v"), lit(0L).as("one_ref"), col("c").as("one_cur")))
+      .groupBy("v")
+      .agg(sum("one_ref").as("c_ref"), sum("one_cur").as("c_cur"))
+    ksFromCounts(counts, numPartitions)
+  }
+
+  /** Shared KS core over a (v, c_ref, c_cur) counts frame. */
+  private def ksFromCounts(counts: DataFrame, numPartitions: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = counts.repartitionByRange(parts, col("v"))
@@ -774,5 +808,28 @@ object DataQuality {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(dependent)).as("n_distinct"))
       .filter(col("n_distinct") > 1L)
+  }
+
+  /** Per-category Shannon-entropy terms of a categorical column — the
+    * balance monitor behind "did one label swallow the distribution?":
+    * Σ h_nano over the rows is the column's entropy in nats,
+    * nano-quantized; divided by ln(k) it is Pielou evenness. Like
+    * [[mutualInfo]] the quantization is PER CELL (h_nano =
+    * round(−p·ln p·10^9) from exact integer counts), so the output is
+    * a pure function of the data — never an order-dependent float
+    * reduction across cells. NULL categories count as their own
+    * category (a null flood is an imbalance worth seeing).
+    *
+    * Output: one row per category — (category, n_cat, n_total,
+    * h_nano). Plan: one grouped count (map-side partial), one
+    * broadcast one-row total cross; cells scale with |categories|. */
+  def categoryEntropy(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_cat"))
+    val tot = counts.agg(sum("n_cat").as("n_total"))
+    val p = col("n_cat").cast("double") / col("n_total").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_cat"), col("n_total"),
+        round(-p * log(p) * lit(1e9)).cast("long").as("h_nano"))
   }
 }

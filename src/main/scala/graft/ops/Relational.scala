@@ -595,6 +595,60 @@ object Relational {
     * a per-group sort — fine while groups are plentiful relative to
     * executors; for a handful of giant groups, range-partition the
     * cumulative like [[globalRowNumber]] instead. */
+  /** 2D skyline (Pareto-maxima frontier): the points no other point
+    * dominates, where p dominates q iff p.x ≥ q.x ∧ p.y ≥ q.y with at
+    * least one strict — the "biggest AND most expensive" frontier
+    * query. Naive skyline is an O(n²) NOT-EXISTS self-join; the sorted
+    * identity makes it linear: reduce to (x, max y) per distinct x,
+    * then a point survives iff its y STRICTLY exceeds every y at
+    * strictly greater x — a running max over x descending.
+    *
+    * Scale shape: the running max uses the [[globalRowNumber]]
+    * discipline — per-x maxima range-partition on x descending,
+    * per-partition prefix maxima run in parallel, and only each
+    * partition's maximum travels to the driver to become the next
+    * partitions' broadcast floor. Never a single-reducer window, and
+    * never a pair join. A final equi-join back to the input counts the
+    * rows sitting exactly on each frontier point.
+    *
+    * Output: frontier points — (x, y, n), x ascending ⇒ y strictly
+    * descending. */
+  def skylineMax2D(df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("x"), col(yCol).cast("double").as("y"))
+    val perX = pts.groupBy("x").agg(max("y").as("ymax"))
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = perX.repartitionByRange(parts, col("x").desc)
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    // control plane: per-partition max -> prefix floor for later pids
+    // (pid 0 holds the largest x under the descending range order)
+    val pmax = staged.groupBy("__pid").agg(max("ymax").as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val floors = pmax.scanLeft(Double.NegativeInfinity) {
+      case (acc, (_, m)) => math.max(acc, m)
+    }.init
+    val floorDf = pmax.map(_._1).zip(floors).toSeq.toDF("__pid", "__floor")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = staged.join(broadcast(floorDf), Seq("__pid"))
+      .withColumn("__prev",
+        greatest(coalesce(max(col("ymax")).over(wPrev),
+          lit(Double.NegativeInfinity)), col("__floor")))
+      .filter(col("ymax") > col("__prev"))
+      .select(col("x").as("__fx"), col("ymax").as("__fy"))
+    pts.join(broadcast(frontier),
+        col("x") === col("__fx") && col("y") === col("__fy"))
+      .groupBy(col("__fx"), col("__fy"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__fx").as("x"), col("__fy").as("y"), col("n"))
+  }
+
   def giniPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       scale: Long = 100L): DataFrame = {
     require(groupCols.nonEmpty, "giniPerGroup needs grouping columns")

@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_chi2_drift",      // one-row totals frame x category-sized spine
     "dq_chi2_sql",        // same plan through the TVF face
     "dq_benford",         // one-row total frame x 9-row digit spine
+    "dq_entropy",         // one-row total frame x category-sized spine
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 

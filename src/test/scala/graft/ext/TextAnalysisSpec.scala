@@ -111,4 +111,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1).getDouble(0) === 0.0 && out(1).getDouble(2) === 0.0)
     assert(out(2).getDouble(0) === 0.0) // empty text -> all zero
   }
+
+  test("vocabStats: hand-counted tokens, types, hapax, exact TTR") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "The cat sat the CAT"),      // tokens: the,cat,sat,the,cat
+      ("en", "dog"),                      // +1 token, new type, hapax
+      ("de", "eins zwei zwei"),
+      ("de", null.asInstanceOf[String])   // null text drops
+    ).toDF("lang", "text")
+    val got = TextAnalysis.vocabStats(docs, "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 6 tokens {the:2, cat:2, sat:1, dog:1} -> 4 types, 2 hapax
+    assert(got("en") === ((6L, 4L, 2L, 666666L)))
+    // de: 3 tokens {eins:1, zwei:2} -> 2 types, 1 hapax
+    assert(got("de") === ((3L, 2L, 1L, 666666L)))
+  }
 }

@@ -482,6 +482,39 @@ class DataQualitySpec extends SparkTestBase {
     assert(math.abs(exp.sum - 3000000L) <= 5L)
   }
 
+  test("categoryEntropy: per-cell nano terms match the hand formula") {
+    import spark.implicits._
+    val df = Seq("a", "a", "b", "c").toDF("v")
+    val got = DataQuality.categoryEntropy(df, "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def nano(p: Double) = math.round(-p * math.log(p) * 1e9)
+    assert(got === Map(
+      "a" -> ((2L, 4L, nano(0.5))),
+      "b" -> ((1L, 4L, nano(0.25))),
+      "c" -> ((1L, 4L, nano(0.25)))))
+    // single category: p = 1 -> entropy exactly 0
+    val one = DataQuality.categoryEntropy(Seq("x", "x").toDF("v"), "v").collect()
+    assert(one.length === 1 && one.head.getLong(3) === 0L)
+  }
+
+  test("ksFromState over merged day states is bit-identical to the recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(300)((rnd.nextInt(5), rnd.nextInt(40).toDouble))
+      .toDF("day", "v")
+    // per-day states, then group {0,1} vs {2,3,4} from state only
+    val states = (0 until 5).map(d =>
+      DataQuality.valueCountState(rows.filter($"day" === d), "v"))
+    val viaState = DataQuality.ksFromState(
+      states(0).unionByName(states(1)),
+      states(2).unionByName(states(3)).unionByName(states(4))).collect().head
+    val direct = DataQuality.ksDrift(
+      rows.filter($"day" < 2), rows.filter($"day" >= 2), "v").collect().head
+    assert(viaState === direct)
+    assert(viaState.getLong(2) > 0L) // non-vacuous fixture
+  }
+
   test("fdViolations: only determinant values with >1 dependent surface") {
     import spark.implicits._
     val df = Seq(
