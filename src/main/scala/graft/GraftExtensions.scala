@@ -299,6 +299,47 @@ object GraftExtensions {
         strLit(args(2), "value_col"))
       out.queryExecution.logical
     }),
+    //   graft_entropy(table_view, value_col)
+    // Per-category Shannon entropy terms, nano-quantized per cell —
+    // the SQL face of DataQuality.categoryEntropy.
+    ("graft_entropy", 2, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.categoryEntropy(
+        spark.table(strLit(args(0), "table_view")), strLit(args(1), "value_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_benford(table_view, value_col, scale)
+    // Benford first-digit conformance — the SQL face of
+    // DataQuality.benford (integer digit extraction, 9-row spine).
+    ("graft_benford", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.benford(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "value_col"), scale = longLit(args(2), "scale"))
+      out.queryExecution.logical
+    }),
+    //   graft_fd_check(table_view, determinant_csv, dependent_col)
+    // Functional-dependency violation audit — the SQL face of
+    // DataQuality.fdViolations (comma-separated determinant columns).
+    ("graft_fd_check", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.fdViolations(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "determinant_csv").split(",").map(_.trim).toSeq,
+        strLit(args(2), "dependent_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_gini(table_view, group_csv, value_col, scale)
+    // Exact per-group Gini concentration — the SQL face of
+    // Relational.giniPerGroup.
+    ("graft_gini", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Relational.giniPerGroup(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "group_csv").split(",").map(_.trim).toSeq,
+        strLit(args(2), "value_col"), scale = longLit(args(3), "scale"))
+      out.queryExecution.logical
+    }),
     //   graft_mutual_info(table_view, x_col, y_col)
     // Per-cell pointwise mutual information, nano-quantized — the SQL
     // face of DataQuality.mutualInfo (same one-aggregation contingency

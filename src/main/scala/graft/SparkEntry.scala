@@ -1558,6 +1558,36 @@ object SparkEntry {
       graft.ops.DataQuality.fdViolations(Tables(s, dir, "lineitem"),
         determinant = Seq("l_orderkey"), dependent = "l_suppkey")
     },
+    "dq_w1_incremental" -> { (s, dir) =>
+      // Wasserstein-1 over the SAME persisted per-value count state
+      // shape as dq_ks_incremental — one stored empirical CDF per day
+      // serves the whole exact-integer drift family (quantization to
+      // cents happens at read time; counts colliding on a unit re-sum,
+      // identical to quantizing the raw rows). Oracle = full recompute.
+      val orders = Tables(s, dir, "orders")
+      val dayCol = pmod(col("o_orderkey"), lit(5L))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_w1_state_").toString
+      (0 until 5).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ops.DataQuality.valueCountState(
+            orders.filter(dayCol === d), "o_totalprice"),
+          s"$stateDir/day=$d")
+      }
+      graft.ops.DataQuality.w1FromState(
+        s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1"),
+        s.read.parquet(s"$stateDir/day=2", s"$stateDir/day=3", s"$stateDir/day=4"),
+        scale = 100L)
+    },
+    "dedup_canonical" -> { (s, dir) =>
+      // The keep decision: transitive ngram-Jaccard clusters -> one
+      // canonical representative per cluster (longest doc, ties to the
+      // lowest id — a pure function of the data). Oracle recomputes the
+      // closure with the recursive CTE and the same deterministic pick.
+      val docs = Tables(s, dir, "documents")
+      graft.ext.Dedup.canonicalPerCluster(docs,
+        Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)))
+    },
     "dq_entropy" -> { (s, dir) =>
       // Category-balance monitor: per-category Shannon entropy terms,
       // nano-quantized per cell from exact integer counts (sum = the
@@ -1599,6 +1629,40 @@ object SparkEntry {
       // with control-plane floors, never the O(n^2) NOT-EXISTS join.
       graft.ops.Relational.skylineMax2D(
         Tables(s, dir, "part"), "p_size", "p_retailprice")
+    },
+    "dq_entropy_sql" -> { (s, dir) =>
+      // The entropy monitor through its SQL face (same one-aggregation
+      // plan, same oracle as dq_entropy).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_ent_v")
+      s.sql("SELECT * FROM graft_entropy('graft_ent_v', 'o_orderpriority')")
+    },
+    "dq_benford_sql" -> { (s, dir) =>
+      // Benford through its SQL face (same digit-spine plan, same
+      // oracle as dq_benford).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_ben_v")
+      s.sql("SELECT * FROM graft_benford('graft_ben_v', 'o_totalprice', 100)")
+    },
+    "dq_fd_sql" -> { (s, dir) =>
+      // The FD audit through its SQL face (same grouped-distinct plan,
+      // same oracle as dq_fd_check).
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_fd_v")
+      s.sql("SELECT * FROM graft_fd_check('graft_fd_v', 'l_orderkey', 'l_suppkey')")
+    },
+    "q_gini_sql" -> { (s, dir) =>
+      // Per-nation spend Gini through its SQL face (same window+agg
+      // plan, same oracle as q_gini).
+      graft.GraftExtensions.register(s)
+      val spend = Tables(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+      Tables(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").as("nationkey"),
+          col("spend").cast("double").as("spend"))
+        .createOrReplaceTempView("graft_gini_v")
+      s.sql("SELECT * FROM graft_gini('graft_gini_v', 'nationkey', 'spend', 100)")
     },
     "dq_mi_sql" -> { (s, dir) =>
       // Mutual information through its SQL face (same contingency plan,
@@ -3435,15 +3499,30 @@ object SparkEntry {
     "dq_w1_sql" -> w1DriftSql,
     "dq_roc_auc" -> rocAucSql,
     "dq_roc_sql" -> rocAucSql,
-    "dq_entropy" ->
-      """WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS category,
-        |    COUNT(*) AS n_cat FROM orders GROUP BY 1),
-        |t AS (SELECT SUM(n_cat) AS n_total FROM c)
-        |SELECT category, n_cat, CAST(n_total AS BIGINT) AS n_total,
-        | CAST(ROUND(-(CAST(n_cat AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |   * LN(CAST(n_cat AS DOUBLE) / CAST(n_total AS DOUBLE))
-        |   * 1000000000) AS BIGINT) AS h_nano
-        |FROM c, t""".stripMargin,
+    "dq_w1_incremental" ->
+      """WITH ref AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 5 IN (0, 1) AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderkey % 5 IN (2, 3, 4) AND o_totalprice IS NOT NULL),
+        |u AS (SELECT v, 1 AS is_ref FROM ref
+        |      UNION ALL SELECT v, 0 FROM cur),
+        |vals AS (SELECT v, SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+        |         FROM u GROUP BY v),
+        |cum AS (SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cr,
+        |         SUM(c_cur) OVER (ORDER BY v) AS cc,
+        |         LEAD(v) OVER (ORDER BY v) AS nv FROM vals),
+        |t AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
+        |       (SELECT COUNT(*) FROM cur) AS nc)
+        |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+        | CAST(SUM(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr)
+        |   * (nv - v)) AS BIGINT) AS w1_num,
+        | CAST(SUM(ABS(CAST(cr AS HUGEINT) * nc - CAST(cc AS HUGEINT) * nr)
+        |   * (nv - v)) * 1000000
+        |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
+        |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin,
+    "dedup_canonical" -> dedupCanonicalSql,
+    "dq_entropy" -> entropySql,
+    "dq_entropy_sql" -> entropySql,
     "dq_ks_incremental" ->
       """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
         |  WHERE o_orderkey % 5 IN (0, 1) AND o_totalprice IS NOT NULL),
@@ -3484,27 +3563,10 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "dq_chi2_drift" -> chi2DriftSql,
     "dq_chi2_sql" -> chi2DriftSql,
-    "dq_benford" ->
-      """WITH q AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS q
-        |           FROM orders),
-        |c AS (SELECT CAST(SUBSTR(CAST(q AS VARCHAR), 1, 1) AS INT) AS digit,
-        |       COUNT(*) AS n_obs FROM q WHERE q > 0 GROUP BY 1),
-        |sp AS (SELECT CAST(d.digit AS INT) AS digit, COALESCE(c.n_obs, 0) AS n_obs
-        |       FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit) d
-        |       LEFT JOIN c ON c.digit = d.digit),
-        |t AS (SELECT SUM(n_obs) AS n_total FROM sp)
-        |SELECT digit, n_obs, CAST(n_total AS BIGINT) AS n_total,
-        | CAST(ROUND(CAST(n_total AS DOUBLE) * (LN(digit + 1.0) - LN(CAST(digit AS DOUBLE)))
-        |   / LN(10.0) * 1000000) AS BIGINT) AS expected_micro,
-        | n_obs * 1000000 - CAST(ROUND(CAST(n_total AS DOUBLE)
-        |   * (LN(digit + 1.0) - LN(CAST(digit AS DOUBLE)))
-        |   / LN(10.0) * 1000000) AS BIGINT) AS gap_micro
-        |FROM sp, t""".stripMargin,
-    "dq_fd_check" ->
-      """SELECT l_orderkey, COUNT(*) AS n_rows,
-        | COUNT(DISTINCT l_suppkey) AS n_distinct
-        |FROM lineitem WHERE l_suppkey IS NOT NULL
-        |GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1""".stripMargin,
+    "dq_benford" -> benfordSql,
+    "dq_benford_sql" -> benfordSql,
+    "dq_fd_check" -> fdCheckSql,
+    "dq_fd_sql" -> fdCheckSql,
     "split_kfold" ->
       """WITH f AS (SELECT lang, doc_id,
         |    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5 AS fold
@@ -3512,21 +3574,8 @@ object SparkEntry {
         |SELECT lang, CAST(fold AS BIGINT) AS fold, COUNT(*) AS n,
         | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM f GROUP BY 1, 2""".stripMargin,
-    "q_gini" ->
-      """WITH spend AS (SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
-        |  FROM orders GROUP BY 1),
-        |j AS (SELECT c_nationkey AS nationkey,
-        |    CAST(ROUND(spend * 100) AS BIGINT) AS x
-        |  FROM customer JOIN spend ON c_custkey = o_custkey),
-        |r AS (SELECT nationkey, x,
-        |    ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY x) AS i
-        |  FROM j WHERE x >= 0),
-        |a AS (SELECT nationkey, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
-        |    SUM(CAST(i AS HUGEINT) * x) AS si FROM r GROUP BY 1)
-        |SELECT nationkey, n, CAST(s AS BIGINT) AS sum_q,
-        | CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_micro
-        |FROM a WHERE s > 0""".stripMargin,
+    "q_gini" -> giniSql,
+    "q_gini_sql" -> giniSql,
     "text_sorted_neighborhood" ->
       """WITH n AS (SELECT doc_id AS id, SUBSTR(TRIM(text), 1, 24) AS key,
         |    SUBSTR(TRIM(text), 1, 40) AS pre
@@ -4009,6 +4058,59 @@ object SparkEntry {
       |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
       |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin
 
+  /** Shared by dq_entropy (Scala face) and dq_entropy_sql (TVF face). */
+  private def entropySql: String =
+    """WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+      |    COUNT(*) AS n_cat FROM orders GROUP BY 1),
+      |t AS (SELECT SUM(n_cat) AS n_total FROM c)
+      |SELECT category, n_cat, CAST(n_total AS BIGINT) AS n_total,
+      | CAST(ROUND(-(CAST(n_cat AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |   * LN(CAST(n_cat AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |   * 1000000000) AS BIGINT) AS h_nano
+      |FROM c, t""".stripMargin
+
+  /** Shared by dq_benford (Scala face) and dq_benford_sql (TVF face). */
+  private def benfordSql: String =
+    """WITH q AS (SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS q
+      |           FROM orders),
+      |c AS (SELECT CAST(SUBSTR(CAST(q AS VARCHAR), 1, 1) AS INT) AS digit,
+      |       COUNT(*) AS n_obs FROM q WHERE q > 0 GROUP BY 1),
+      |sp AS (SELECT CAST(d.digit AS INT) AS digit, COALESCE(c.n_obs, 0) AS n_obs
+      |       FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit) d
+      |       LEFT JOIN c ON c.digit = d.digit),
+      |t AS (SELECT SUM(n_obs) AS n_total FROM sp)
+      |SELECT digit, n_obs, CAST(n_total AS BIGINT) AS n_total,
+      | CAST(ROUND(CAST(n_total AS DOUBLE) * (LN(digit + 1.0) - LN(CAST(digit AS DOUBLE)))
+      |   / LN(10.0) * 1000000) AS BIGINT) AS expected_micro,
+      | n_obs * 1000000 - CAST(ROUND(CAST(n_total AS DOUBLE)
+      |   * (LN(digit + 1.0) - LN(CAST(digit AS DOUBLE)))
+      |   / LN(10.0) * 1000000) AS BIGINT) AS gap_micro
+      |FROM sp, t""".stripMargin
+
+  /** Shared by dq_fd_check (Scala face) and dq_fd_sql (TVF face). */
+  private def fdCheckSql: String =
+    """SELECT l_orderkey, COUNT(*) AS n_rows,
+      | COUNT(DISTINCT l_suppkey) AS n_distinct
+      |FROM lineitem WHERE l_suppkey IS NOT NULL
+      |GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1""".stripMargin
+
+  /** Shared by q_gini (Scala face) and q_gini_sql (TVF face). */
+  private def giniSql: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY 1),
+      |j AS (SELECT c_nationkey AS nationkey,
+      |    CAST(ROUND(spend * 100) AS BIGINT) AS x
+      |  FROM customer JOIN spend ON c_custkey = o_custkey),
+      |r AS (SELECT nationkey, x,
+      |    ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY x) AS i
+      |  FROM j WHERE x >= 0),
+      |a AS (SELECT nationkey, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CAST(i AS HUGEINT) * x) AS si FROM r GROUP BY 1)
+      |SELECT nationkey, n, CAST(s AS BIGINT) AS sum_q,
+      | CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_micro
+      |FROM a WHERE s > 0""".stripMargin
+
   /** Shared by dq_roc_auc (Scala face) and dq_roc_sql (TVF face). */
   private def rocAucSql: String =
     """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
@@ -4302,6 +4404,22 @@ object SparkEntry {
   private def dedupClustersSql: String =
     s"""$dedupClustersCtes
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** Canonical-pick oracle: the same recursive closure, then the
+    * deterministic (n_chars DESC, doc_id ASC) representative per
+    * cluster with singletons as their own cluster. */
+  private def dedupCanonicalSql: String =
+    s"""$dedupClustersCtes,
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |assigned AS (
+       | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+       | FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+       |rk AS (SELECT cluster_id, doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs FROM assigned)
+       |SELECT cluster_id, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
+       |FROM rk WHERE rn = 1""".stripMargin
 
   /** Leakage-safe split oracle: the same recursive closure, then every
     * doc buckets by its CLUSTER id (singletons by own id) with the

@@ -599,6 +599,38 @@ object Dedup {
     verified.select("a_id", "b_id", "jaccard")
   }
 
+  /** Canonical-representative selection — the KEEP DECISION that turns
+    * dedup clusters into a shipped corpus: every document joins its
+    * transitive cluster (singletons are their own cluster), and each
+    * cluster keeps exactly one representative — the highest-scoring
+    * document, ties broken by LOWEST id, so the kept set is a pure
+    * function of the data (arg_max alone would leave ties
+    * partitioning-dependent). NULL scores sort below every real score
+    * (the doc still counts toward its cluster, it just never wins a
+    * contested pick).
+    *
+    * Output: one row per cluster — (cluster_id, keep_id, n_docs);
+    * n_docs − 1 summed over rows is the corpus's dedup discard count.
+    * Plan: one broadcast-or-shuffle equi-join of docs to the (usually
+    * tiny, pair-bounded) cluster map, one grouped min_by aggregation
+    * with map-side partials — no windows, no sorts. */
+  def canonicalPerCluster(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "n_chars"): DataFrame = {
+    val assigned = docs
+      .select(col(idCol), col(scoreCol).cast("long").as("__score"))
+      .join(clusters.withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("cluster_id", "__cid"), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__cid"), col(idCol)).as("cluster_id"), col("__score"))
+    // min_by over (-score, id): highest score first, then lowest id —
+    // numeric negation rides the score, so the id tie-break is exact
+    assigned.groupBy("cluster_id")
+      .agg(min_by(col(idCol),
+          struct((lit(-1L) * coalesce(col("__score"), lit(Long.MinValue + 1)))
+            .as("__negs"), col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Sorted-neighborhood entity-resolution blocking (Hernández &
     * Stolfo, SIGMOD'95): sort the corpus by a cheap blocking key,
     * compare each record only against its `window` successors in sort

@@ -581,8 +581,6 @@ object DataQuality {
   def w1Drift(ref: DataFrame, cur: DataFrame, valueCol: String,
       scale: Long = 100L, numPartitions: Int = 0): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
-    val spark = ref.sparkSession
-    import spark.implicits._
     val vq = round(col(valueCol).cast("double") * lit(scale)).cast("long")
     val both = ref.filter(col(valueCol).isNotNull)
       .select(vq.as("v"), lit(1L).as("one_ref"), lit(0L).as("one_cur"))
@@ -590,6 +588,34 @@ object DataQuality {
         .select(vq.as("v"), lit(0L).as("one_ref"), lit(1L).as("one_cur")))
     val counts = both.groupBy("v")
       .agg(sum("one_ref").as("c_ref"), sum("one_cur").as("c_cur"))
+    w1FromCounts(counts, scale, numPartitions)
+  }
+
+  /** Wasserstein-1 from PERSISTED [[valueCountState]] snapshots — the
+    * state is shared with [[ksFromState]] (per-value counts, the
+    * monoid), so ONE stored empirical CDF per day serves the whole
+    * exact-integer drift family. Values quantize to `scale` units at
+    * read time (counts at values that collide on a quantized unit
+    * re-sum — identical to quantizing the raw rows), and the result is
+    * bit-identical to [[w1Drift]] over the original snapshots. */
+  def w1FromState(refState: DataFrame, curState: DataFrame,
+      scale: Long = 100L, numPartitions: Int = 0): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val vq = round(col("v") * lit(scale)).cast("long")
+    val counts = refState
+      .select(vq.as("v"), col("c").as("one_ref"), lit(0L).as("one_cur"))
+      .unionByName(curState
+        .select(vq.as("v"), lit(0L).as("one_ref"), col("c").as("one_cur")))
+      .groupBy("v")
+      .agg(sum("one_ref").as("c_ref"), sum("one_cur").as("c_cur"))
+    w1FromCounts(counts, scale, numPartitions)
+  }
+
+  /** Shared W1 core over a quantized (v, c_ref, c_cur) counts frame. */
+  private def w1FromCounts(counts: DataFrame, scale: Long,
+      numPartitions: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = counts.repartitionByRange(parts, col("v"))

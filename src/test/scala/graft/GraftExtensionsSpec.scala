@@ -237,6 +237,33 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rows(spark.sql(
       "SELECT * FROM graft_fleiss_kappa('tvf_ratings', 'item', 'label')"))
       === rows(graft.ops.DataQuality.fleissKappa(ratings, "item", "label")))
+    val scored = (1 to 100).map(i => (i.toDouble % 17, i % 3 min 1)).toDF("s", "y")
+    scored.createOrReplaceTempView("tvf_scored")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_roc_auc('tvf_scored', 's', 'y')"))
+      === rows(graft.ops.DataQuality.rocAuc(scored, "s", "y")))
+    val catRef = (1 to 120).map(i => "c" + (i % 5)).toDF("v")
+    val catCur = (1 to 90).map(i => "c" + (i % 4)).toDF("v")
+    catRef.createOrReplaceTempView("tvf_chi2_ref")
+    catCur.createOrReplaceTempView("tvf_chi2_cur")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_chi2_drift('tvf_chi2_ref', 'tvf_chi2_cur', 'v')"))
+      === rows(graft.ops.DataQuality.chi2Drift(catRef, catCur, "v")))
+    assert(rows(spark.sql("SELECT * FROM graft_entropy('tvf_chi2_ref', 'v')"))
+      === rows(graft.ops.DataQuality.categoryEntropy(catRef, "v")))
+    val amounts = (1 to 200).map(i => (i * 37 % 997) / 10.0).toDF("amt")
+    amounts.createOrReplaceTempView("tvf_amounts")
+    assert(rows(spark.sql("SELECT * FROM graft_benford('tvf_amounts', 'amt', 100)"))
+      === rows(graft.ops.DataQuality.benford(amounts, "amt", 100L)))
+    val fd = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a")).toDF("k", "dep")
+    fd.createOrReplaceTempView("tvf_fd")
+    assert(rows(spark.sql("SELECT * FROM graft_fd_check('tvf_fd', 'k', 'dep')"))
+      === rows(graft.ops.DataQuality.fdViolations(fd, Seq("k"), "dep")))
+    val wealth = (1 to 150).map(i => ("g" + (i % 3), (i * 13 % 97).toDouble))
+      .toDF("grp", "w")
+    wealth.createOrReplaceTempView("tvf_wealth")
+    assert(rows(spark.sql("SELECT * FROM graft_gini('tvf_wealth', 'grp', 'w', 100)"))
+      === rows(graft.ops.Relational.giniPerGroup(wealth, Seq("grp"), "w", 100L)))
   }
 
   test("arity errors are clear") {

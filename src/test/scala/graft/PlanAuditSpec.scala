@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_chi2_sql",        // same plan through the TVF face
     "dq_benford",         // one-row total frame x 9-row digit spine
     "dq_entropy",         // one-row total frame x category-sized spine
+    "dq_entropy_sql",     // same plan through the TVF face
+    "dq_benford_sql",     // dq_benford's plan through the TVF face
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql")     // same plan through the TVF face
 

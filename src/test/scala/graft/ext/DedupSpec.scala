@@ -264,6 +264,30 @@ class DedupSpec extends SparkTestBase {
     assert(inc === full)
   }
 
+  test("canonicalPerCluster keeps the best-scored doc, lowest id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),   // cluster {1,2,3}: 2 and 3 tie -> keep 2
+      (4L, 5L),                          // singleton -> keeps itself
+      (5L, 7L), (6L, 9L)                 // cluster {5,6} -> keep 6
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.canonicalPerCluster(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 3L), (4L, 4L, 1L), (5L, 6L, 2L)))
+  }
+
+  test("canonicalPerCluster: null scores lose contested picks but still count") {
+    import spark.implicits._
+    val docs = Seq((1L, Some(5L)), (2L, None), (3L, None))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.canonicalPerCluster(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 3L)))
+  }
+
   test("sortedNeighborhood equals the brute-force window definition") {
     import spark.implicits._
     val recs = Seq(

@@ -515,6 +515,23 @@ class DataQualitySpec extends SparkTestBase {
     assert(viaState.getLong(2) > 0L) // non-vacuous fixture
   }
 
+  test("w1FromState over the shared count state is bit-identical to the recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(250)((rnd.nextInt(5), rnd.nextInt(30) / 2.0)).toDF("day", "v")
+    val states = (0 until 5).map(d =>
+      DataQuality.valueCountState(rows.filter($"day" === d), "v"))
+    val viaState = DataQuality.w1FromState(
+      states(0).unionByName(states(1)),
+      states(2).unionByName(states(3)).unionByName(states(4)),
+      scale = 2L).collect().head
+    val direct = DataQuality.w1Drift(
+      rows.filter($"day" < 2), rows.filter($"day" >= 2), "v",
+      scale = 2L).collect().head
+    assert(viaState === direct)
+    assert(viaState.getLong(2) > 0L)
+  }
+
   test("fdViolations: only determinant values with >1 dependent surface") {
     import spark.implicits._
     val df = Seq(
