@@ -2404,6 +2404,30 @@ object SparkEntry {
         graft.streaming.StreamingOps.driftGateResult(s, refHist, stateDir, bins)
       }
     },
+    "stream_anomaly_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Anomaly-on-arrival: the ts_seasonal_anomaly scenario with the
+        // events arriving as a 3-file time-ordered stream. Each
+        // microbatch folds into persisted (type, day, hour) cell counts
+        // (foreachBatch, versioned-dir + marker exactly-once); the
+        // result is the calendar-aware volume test over the drained
+        // state, computed from summaries only. Counts merge as a
+        // monoid, so the gate's output hash-matches the batch
+        // recompute — ts_seasonal_anomaly's own oracle.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_anomaly_state_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_anomaly_ckpt_").toString
+        graft.streaming.StreamingOps.anomalyGate(stream, "sec", "event_type",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.anomalyGateResult(s, stateDir,
+          "event_type", factorNum = 3L, factorDen = 2L)
+      }
+    },
     "stream_dedup" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
@@ -3585,17 +3609,8 @@ object SparkEntry {
         | CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
         |WHERE levenshtein(a.pre, b.pre) <= 5""".stripMargin,
-    "ts_seasonal_anomaly" ->
-      """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
-        |           FROM events),
-        |cells AS (SELECT event_type, sec // 86400 AS day, (sec // 3600) % 24 AS hour,
-        |    COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
-        |base AS (SELECT event_type, hour, COUNT(*) AS n_cells, SUM(n) AS total
-        |         FROM cells GROUP BY 1, 2)
-        |SELECT c.event_type, c.day, c.hour, c.n, b.n_cells,
-        | CAST(b.total AS BIGINT) AS total
-        |FROM cells c JOIN base b USING (event_type, hour)
-        |WHERE c.n * b.n_cells * 2 > 3 * b.total""".stripMargin,
+    "ts_seasonal_anomaly" -> seasonalAnomalySql,
+    "stream_anomaly_gate" -> seasonalAnomalySql,
     "dq_volume_anomaly" ->
       """WITH c AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
         |  COUNT(*) AS n_rows FROM events GROUP BY 1),
@@ -4057,6 +4072,21 @@ object SparkEntry {
       |   * (nv - v)) * 1000000
       |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
       |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin
+
+  /** Shared by ts_seasonal_anomaly (batch face) and stream_anomaly_gate
+    * (the drained gate state must equal the batch recompute exactly —
+    * cell counts are the monoid). */
+  private def seasonalAnomalySql: String =
+    """WITH e AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |cells AS (SELECT event_type, sec // 86400 AS day, (sec // 3600) % 24 AS hour,
+      |    COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+      |base AS (SELECT event_type, hour, COUNT(*) AS n_cells, SUM(n) AS total
+      |         FROM cells GROUP BY 1, 2)
+      |SELECT c.event_type, c.day, c.hour, c.n, b.n_cells,
+      | CAST(b.total AS BIGINT) AS total
+      |FROM cells c JOIN base b USING (event_type, hour)
+      |WHERE c.n * b.n_cells * 2 > 3 * b.total""".stripMargin
 
   /** Shared by dq_entropy (Scala face) and dq_entropy_sql (TVF face). */
   private def entropySql: String =

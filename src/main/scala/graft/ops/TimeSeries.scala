@@ -93,14 +93,27 @@ object TimeSeries {
     * combine), the baseline re-aggregated from those cells (never a
     * second scan), broadcast back over the bounded (key × 24) frame. */
   def seasonalAnomaly(df: DataFrame, secCol: String, keyCol: String,
-      factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
-    require(factorNum > 0 && factorDen > 0 && factorNum >= factorDen,
-      s"threshold factor must be a rational >= 1, got $factorNum/$factorDen")
-    val cells = df
-      .groupBy(col(keyCol),
+      factorNum: Long = 3L, factorDen: Long = 2L): DataFrame =
+    seasonalAnomalyFromCells(hourCells(df, secCol, keyCol), keyCol,
+      factorNum, factorDen)
+
+  /** The (key, day, hour, n) cell counts [[seasonalAnomaly]] tests —
+    * exposed because counts are the MONOID a streaming gate persists:
+    * day-level (or microbatch-level) cell states re-sum into any
+    * window's state without rescanning events. */
+  def hourCells(df: DataFrame, secCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol),
         call_function("div", col(secCol), lit(86400L)).as("day"),
         pmod(call_function("div", col(secCol), lit(3600L)), lit(24L)).as("hour"))
       .agg(count(lit(1)).as("n"))
+
+  /** [[seasonalAnomaly]]'s test over a pre-aggregated cells frame
+    * (columns: keyCol, day, hour, n) — used directly by the streaming
+    * anomaly gate, whose stored state IS this frame. */
+  def seasonalAnomalyFromCells(cells: DataFrame, keyCol: String,
+      factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+    require(factorNum > 0 && factorDen > 0 && factorNum >= factorDen,
+      s"threshold factor must be a rational >= 1, got $factorNum/$factorDen")
     val base = cells.groupBy(col(keyCol), col("hour"))
       .agg(count(lit(1)).as("n_cells"), sum("n").as("total"))
     cells.join(broadcast(base), Seq(keyCol, "hour"))

@@ -561,6 +561,67 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), bins)
   }
 
+  // --- streaming anomaly gate (foreachBatch -> persisted cell state) ---
+
+  /** Streaming seasonal-anomaly gate — anomaly-on-arrival, the
+    * [[driftGate]] shape over (key, day, hour) cell counts: each
+    * microbatch folds its events into stored per-cell counts (the
+    * monoid — arrival order and batch boundaries are irrelevant), and
+    * the calendar-aware volume test of everything-seen-so-far is
+    * readable at any moment via [[anomalyGateResult]] without touching
+    * raw events. Same versioned-dir + marker exactly-once commit as
+    * the drift gate, so replayed batches cannot double-count; the
+    * drained result hash-matches the batch recompute
+    * (`TimeSeries.seasonalAnomaly` over the full replay), which is the
+    * driver row's oracle. State size is the key's active (day × 24)
+    * cell grid — summaries, never events. */
+  def anomalyGate(stream: DataFrame, secCol: String, keyCol: String,
+      stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAnomalyBatch(batch, batchId, secCol, keyCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent cell-count state merge (public for direct testing
+    * and for batch backfills sharing the gate's state). */
+  def applyAnomalyBatch(batch: DataFrame, batchId: Long, secCol: String,
+      keyCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val cells = graft.ops.TimeSeries.hourCells(batch, secCol, keyCol)
+    val merged = (if (current >= 0L)
+      cells.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else cells)
+      .groupBy(keyCol, "day", "hour").agg(sum("n").as("n"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The seasonal-anomaly test over the gate's committed cell state —
+    * reads ONLY the stored summaries, never raw events. */
+  def anomalyGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCol: String,
+      factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed anomaly state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.TimeSeries.seasonalAnomalyFromCells(
+      spark.read.parquet(s"$stateDir/v$v"), keyCol, factorNum, factorDen)
+  }
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {

@@ -246,6 +246,31 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(psi(2L) === ((1L, 2L)) && psi(0L) === ((1L, 0L)) && psi.size === 10)
   }
 
+  test("anomaly gate folds cell counts idempotently; drained state equals batch test") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("anomaly_spec_").toString
+    def secs(day: Long, hour: Long, n: Int) =
+      Seq.fill(n)(("a", day * 86400L + hour * 3600L + 7L))
+    // batch 0: days 0-1 quiet; batch 1: day 2 spikes hour 0
+    val b0 = (secs(0, 0, 1) ++ secs(1, 0, 1) ++
+      secs(0, 1, 3) ++ secs(1, 1, 3) ++ secs(2, 1, 3)).toDF("k", "sec")
+    val b1 = secs(2, 0, 10).toDF("k", "sec")
+    applyAnomalyBatch(b0, 0L, "sec", "k", stateDir)
+    applyAnomalyBatch(b1, 1L, "sec", "k", stateDir)
+    // a foreachBatch REPLAY of batch 1 must be a no-op, not a double count
+    applyAnomalyBatch(b1, 1L, "sec", "k", stateDir)
+    val got = anomalyGateResult(spark, stateDir, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // identical to the batch recompute over the union of both batches
+    val batch = graft.ops.TimeSeries.seasonalAnomaly(
+        b0.unionByName(b1), "sec", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === batch.toSeq)
+    assert(got.toSeq === Seq(("a", 2L, 0L, 10L, 3L, 12L)))
+  }
+
   test("stream-stream interval join matches the batch join across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
