@@ -1985,6 +1985,35 @@ object SparkEntry {
       rows
     },
 
+    "multimodal_video" -> { (s, dir) =>
+      // Video modality end-to-end, oracle-checked: a 4-frame MJPEG AVI
+      // (from-scratch RIFF container) is synthesized per doc — each
+      // frame an 8x8 constant-gray baseline JPEG from the provably-
+      // exact family — then FRAME-SAMPLED at stride 2 on container
+      // offsets (unsampled frames are never JPEG-decoded) and the
+      // sampled frames decoded with the real JpegCodec. DuckDB
+      // predicts every decoded mean from the same doc_id arithmetic
+      // without ever seeing a payload.
+      import s.implicits._
+      Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            def m(k: Long) = (((id % 256) * k) % 256).toInt
+            val frames = Seq(29L, 31L, 37L, 41L).map(k =>
+              graft.ext.JpegCodec.encodeJpegGray(8, 8,
+                Array.fill(64)(m(k).toByte), graft.ext.JpegCodec.UnitQuant))
+            val avi = graft.ext.AviCodec.encodeAviMjpeg(8, 8, 40000, frames)
+            val (meta, sampled) =
+              graft.ext.AviCodec.sampleFrames(avi, every = 2).get
+            val means = sampled.map { case (_, f) =>
+              graft.ext.JpegCodec.decodeJpeg(f).get.meanR }
+            (id, meta.width, meta.height, meta.usPerFrame, meta.nFrames,
+              sampled.size, means(0), means(1))
+          }
+        }.toDF("doc_id", "width", "height", "us_per_frame", "n_frames",
+          "n_sampled", "mean_f0", "mean_f2")
+    },
+
     // --- [EXT] similarity search (embeddings) ---------------------------
     "sim_topk_bruteforce" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
@@ -3842,6 +3871,13 @@ object SparkEntry {
         | CAST(1.0 AS DOUBLE) AS zcr
         |FROM documents""".stripMargin,
 
+    "multimodal_video" ->
+      """SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        | CAST(40000 AS INT) AS us_per_frame, CAST(4 AS INT) AS n_frames,
+        | CAST(2 AS INT) AS n_sampled,
+        | CAST(((doc_id % 256) * 29) % 256 AS DOUBLE) AS mean_f0,
+        | CAST(((doc_id % 256) * 37) % 256 AS DOUBLE) AS mean_f2
+        |FROM documents""".stripMargin,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_hard_negatives" ->
       """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
