@@ -1728,6 +1728,15 @@ object SparkEntry {
         conversionType = "purchase", touchTypes = Seq("click", "view"),
         lookbackSeconds = 7200L)
     },
+    "events_attribution_multi" -> { (s, dir) =>
+      // Multi-touch attribution: every click/view in the 2h lookback
+      // credited under two exact-integer models — equal-split linear
+      // and bucketed exponential decay (credit halves per whole 30-min
+      // halflife before the purchase). No float in any weight.
+      Events.attributionMultiTouch(Tables(s, dir, "events"),
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSeconds = 7200L, halflifeSeconds = 1800L)
+    },
     "events_transitions" -> { (s, dir) =>
       // Markov next-event transition matrix: one lead() window pass over
       // the per-user ordering + one pair aggregate; p is a single
@@ -3678,6 +3687,24 @@ object SparkEntry {
         |  + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
         |  + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
         |FROM s3""".stripMargin,
+    "events_attribution_multi" ->
+      """WITH base AS (SELECT user_id, event_id, event_type,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
+        |conv AS (SELECT user_id, event_id AS conv_id, sec AS conv_sec
+        |         FROM base WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_id AS t_id, event_type AS t_type,
+        |          sec AS t_sec FROM base WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT c.user_id, conv_id, t_id, t_type, t_sec, conv_sec
+        |      FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |       AND t_sec <= conv_sec AND t_sec > conv_sec - 7200),
+        |n AS (SELECT *, COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n_touches
+        |      FROM j)
+        |SELECT user_id, conv_id, t_id, t_type, t_sec,
+        | CAST(n_touches AS BIGINT) AS n_touches,
+        | CAST(1000000 // n_touches AS BIGINT) AS w_linear_micro,
+        | CAST(1000000 // (1 << CAST(LEAST((conv_sec - t_sec) // 1800, 30) AS INT))
+        |   AS BIGINT) AS w_decay_micro
+        |FROM n""".stripMargin,
     "events_attribution" ->
       """WITH base AS (SELECT user_id, event_id, event_type,
         |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),

@@ -186,6 +186,49 @@ object Events {
         count(lit(1)).as("n_touches"))
   }
 
+  /** Multi-touch attribution — [[attribution]]'s whole-journey twin:
+    * every touch inside the lookback gets credit, under two EXACT
+    * integer weighting models (no float, so credits are a pure
+    * function of the data):
+    *
+    *   - linear: w_linear_micro = ⌊10^6 / n_touches⌋ — equal credit;
+    *   - bucketed exponential decay: w_decay_micro = ⌊10^6 / 2^k⌋
+    *     with k = ⌊Δ/halflife⌋ capped at 30 — credit halves per whole
+    *     halflife elapsed before the conversion (the dyadic form of
+    *     time-decay attribution that integer arithmetic renders
+    *     exactly; a float 2^(−Δ/h) would be engine-ULP-dependent).
+    *
+    * Output: one row per (conversion, touch) pair in the lookback.
+    * Plan: the same per-user equi join with a pushed lookback range
+    * predicate as [[attribution]], plus one per-conversion window
+    * count (groups bounded by the lookback's touch count). */
+  def attributionMultiTouch(events: DataFrame,
+      conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackSeconds: Long = 7200L,
+      halflifeSeconds: Long = 1800L): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(halflifeSeconds > 0, s"halflife must be positive, got $halflifeSeconds")
+    val ev = events.select(col("user_id"), col("event_id"), col("event_type"),
+      tsSec(events).as("sec"))
+    val conv = ev.filter(col("event_type") === conversionType)
+      .select(col("user_id"), col("event_id").as("conv_id"), col("sec").as("conv_sec"))
+    val touch = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("sec").as("t_sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "conv_id")
+    conv.join(touch, Seq("user_id"))
+      .filter(col("t_sec") <= col("conv_sec") &&
+        col("t_sec") > col("conv_sec") - lookbackSeconds)
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("user_id"), col("conv_id"), col("t_id"), col("t_type"),
+        col("t_sec"), col("n_touches"),
+        call_function("div", lit(1000000L), col("n_touches")).as("w_linear_micro"),
+        expr(s"1000000L div shiftleft(1L, cast(least((conv_sec - t_sec) div " +
+          s"${halflifeSeconds}L, 30L) as int))").as("w_decay_micro"))
+  }
+
   /** Cohort retention: users are cohorted by their FIRST active period
     * (floor(ts / bucketSeconds)); retention cell (cohort, k) counts the
     * distinct users of that cohort active k periods later. The standard

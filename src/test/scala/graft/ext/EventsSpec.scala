@@ -144,4 +144,27 @@ class EventsSpec extends SparkTestBase {
       10L -> ((1L, "click", 2L, "view", 2L)),
       12L -> ((5L, "view", 5L, "view", 1L))))
   }
+
+  test("multi-touch attribution: exact linear split and dyadic time decay") {
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    // three touches for one purchase at t=4000: deltas 3900, 2000, 100
+    // -> halflife buckets k = 2, 1, 0 at halflife 1800
+    val df = Seq(
+      (1L, ns(100), 1L, "click", 0.0),
+      (2L, ns(2000), 1L, "view", 0.0),
+      (3L, ns(3900), 1L, "click", 0.0),
+      (10L, ns(4000), 1L, "purchase", 0.0),
+      (4L, ns(9999), 2L, "view", 0.0))   // no conversion: no rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.attributionMultiTouch(df,
+        lookbackSeconds = 7200L, halflifeSeconds = 1800L)
+      .collect().map(r => r.getAs[Long]("t_id") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("w_linear_micro"),
+          r.getAs[Long]("w_decay_micro")))).toMap
+    assert(got === Map(
+      1L -> ((3L, 333333L, 250000L)),  // k=2 -> 1e6/4
+      2L -> ((3L, 333333L, 500000L)),  // k=1 -> 1e6/2
+      3L -> ((3L, 333333L, 1000000L)))) // k=0 -> full credit
+  }
 }
