@@ -1588,6 +1588,40 @@ object SparkEntry {
       graft.ext.Dedup.canonicalPerCluster(docs,
         Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)))
     },
+    "dq_calibration" -> { (s, dir) =>
+      // ROC-AUC's calibration companion: does the score's MAGNITUDE
+      // mean what it claims? Equal-width reliability bins with exact
+      // integer positive rates (one grouped count; bins-sized output).
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus").isNotNull)
+        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
+      graft.ops.DataQuality.calibration(orders,
+        scoreCol = "o_totalprice", labelCol = "label", bins = 10)
+    },
+    "text_zipf" -> { (s, dir) =>
+      // Zipf rank-frequency law fit per language: ln(freq) ~ ln(rank)
+      // OLS over the top-100 terms (slope ≈ −1 for natural text) —
+      // tokenization shared with vocab stats, exact decimal power sums
+      // via the grouped-OLS core, micro-quantized outputs. The rank
+      // window runs over the per-lang VOCABULARY frame (aggregate-
+      // sized), never the token stream.
+      val tf = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+      val ranked = tf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("lang"), log(col("rank").cast("double")).as("lnr"),
+          log(col("cnt").cast("double")).as("lnf"))
+      graft.ops.Relational.groupedOls(ranked, "lang", "lnr", "lnf")
+        .select(col("lang"), col("n"),
+          round(col("slope") * 1e6).cast("long").as("slope_micro"),
+          round(col("intercept") * 1e6).cast("long").as("intercept_micro"),
+          round(col("r") * 1e6).cast("long").as("r_micro"))
+    },
     "dq_entropy" -> { (s, dir) =>
       // Category-balance monitor: per-category Shannon entropy terms,
       // nano-quantized per cell from exact integer counts (sum = the
@@ -3583,6 +3617,42 @@ object SparkEntry {
         |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
         |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin,
     "dedup_canonical" -> dedupCanonicalSql,
+    "dq_calibration" ->
+      """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM s),
+        |b AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin,
+        |       pos FROM s, st)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        | CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro
+        |FROM b GROUP BY 1""".stripMargin,
+    "text_zipf" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT lang, term, COUNT(*) AS cnt FROM tok
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |rk AS (SELECT lang, cnt, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, term ASC) AS rank FROM tf),
+        |b AS (SELECT lang, CAST(LN(CAST(rank AS DOUBLE)) AS DECIMAL(19,6)) AS x,
+        |       CAST(LN(CAST(cnt AS DOUBLE)) AS DECIMAL(19,6)) AS y
+        |      FROM rk WHERE rank <= 100),
+        |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |   SUM(x * x) AS sxx, SUM(y * y) AS syy FROM b GROUP BY 1),
+        |res AS (SELECT lang, n,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        | CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM s)
+        |SELECT lang, n,
+        | CAST(ROUND(slope * 1000000) AS BIGINT) AS slope_micro,
+        | CAST(ROUND((syd - slope * sxd) / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS intercept_micro,
+        | CAST(ROUND(r * 1000000) AS BIGINT) AS r_micro
+        |FROM res""".stripMargin,
     "dq_entropy" -> entropySql,
     "dq_entropy_sql" -> entropySql,
     "dq_ks_incremental" ->

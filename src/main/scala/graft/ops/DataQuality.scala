@@ -836,6 +836,35 @@ object DataQuality {
       .filter(col("n_distinct") > 1L)
   }
 
+  /** Score-calibration audit (reliability-diagram bins) — [[rocAuc]]'s
+    * companion: AUC says whether the score RANKS well; calibration says
+    * whether its MAGNITUDE means what it claims. Scores bucket into
+    * `bins` equal-width bins (the [[psiDrift]] binning — engine-portable
+    * float floor) and each bin reports its exact positive rate:
+    * `pos_rate_micro` = ⌊n_pos·10^6 / n⌋, integer division, no float
+    * in the statistic. Any non-zero label is positive; NULL score or
+    * label rows are excluded (mirroring [[rocAuc]]).
+    *
+    * Output: one row per OCCUPIED bin — (bin, n, n_pos,
+    * pos_rate_micro). Plan: one min/max control-plane pass for the
+    * edges, then ONE grouped count (map-side partial) — bins-sized
+    * output, never rows. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val isPos = col(labelCol).cast("long") =!= 0L
+    val scored = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("v"),
+        when(isPos, 1L).otherwise(0L).as("pos"))
+    val (mn, width) = histogramEdges(scored, "v", bins)
+    scored
+      .groupBy(least(greatest(floor((col("v") - mn) / width), lit(0)),
+        lit(bins - 1)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        call_function("div", col("n_pos") * lit(1000000L), col("n"))
+          .as("pos_rate_micro"))
+  }
+
   /** Per-category Shannon-entropy terms of a categorical column — the
     * balance monitor behind "did one label swallow the distribution?":
     * Σ h_nano over the rows is the column's entropy in nats,

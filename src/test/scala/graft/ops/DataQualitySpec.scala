@@ -532,6 +532,21 @@ class DataQualitySpec extends SparkTestBase {
     assert(viaState.getLong(2) > 0L)
   }
 
+  test("calibration: per-bin exact positive rates on a hand-built score") {
+    import spark.implicits._
+    // scores 0..9 (bins of width 0.9 over [0,9]); labels positive for
+    // score >= 5 -> low bins rate 0, high bins rate 1e6
+    val rows = (0 until 10).map(i => (i.toDouble, if (i >= 5) 1 else 0))
+    val got = DataQuality.calibration(rows.toDF("s", "y"), "s", "y", bins = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // width 1.8: bins get scores {0,1},{2,3},{4,5},{6,7},{8,9}
+    assert(got === Map(
+      0L -> ((2L, 0L, 0L)), 1L -> ((2L, 0L, 0L)),
+      2L -> ((2L, 1L, 500000L)),
+      3L -> ((2L, 2L, 1000000L)), 4L -> ((2L, 2L, 1000000L))))
+  }
+
   test("fdViolations: only determinant values with >1 dependent surface") {
     import spark.implicits._
     val df = Seq(
