@@ -2523,7 +2523,156 @@ object SparkEntry {
         s.table(name)
       }
     },
+
+    // --- [EXT] geospatial (ops/Geo.scala) -------------------------------
+    "geo_radius_join" -> { (s, dir) =>
+      // Grid-bucketed within-radius join, decided in exact integer
+      // micro-degrees: customers × suppliers on a deterministic key-derived
+      // coordinate lattice (the oracle derives the identical lattice and
+      // brute-forces the cross filter — identical pairs prove the 3×3
+      // neighbor-cell cover exact, including radius-boundary and
+      // cell-boundary points). The Spark plan is one equi-shuffle join on
+      // the cell key; candidate pairs are 9×cell-occupancy², never N×M.
+      graft.ops.Geo.gridRadiusJoin(
+        geoPoints(Tables(s, dir, "customer"), "c_custkey"),
+        geoPoints(Tables(s, dir, "supplier"), "s_suppkey"),
+        "lat_u", "lon_u", radiusMicro = 2000L)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+    },
+    "geo_knn" -> { (s, dir) =>
+      // 3 nearest suppliers within 5000 micro-deg of each customer:
+      // the grid join plus one per-customer ROW_NUMBER over the exact
+      // (dist2, suppkey) order — deterministic under distance ties.
+      graft.ops.Geo.knnWithinRadius(
+        geoPoints(Tables(s, dir, "customer"), "c_custkey"),
+        geoPoints(Tables(s, dir, "supplier"), "s_suppkey"),
+        "lat_u", "lon_u", radiusMicro = 5000L,
+        leftKeyCol = "c_custkey", rightIdCol = "s_suppkey", k = 3)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"), col("knn_rank"))
+    },
+    "geo_haversine" -> { (s, dir) =>
+      // Great-circle distances between same-region nation pairs on a
+      // deterministic coordinate lattice — pure codegen'd trigonometry,
+      // meter-rounded (a meter is ~1e6 libm ulps at earth scale, so the
+      // cross-engine face is stable; lat∈[-70,70), lon span 140° keeps
+      // pairs far from the antipodal asin amplification). The region
+      // equi-join bounds pairs without a cartesian.
+      val nat = Tables(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nkey"),
+        col("n_regionkey").cast("long").as("rkey"),
+        (pmod(col("n_nationkey").cast("long") * lit(7919L), lit(140000000L)) / 1000000.0 - 70.0).as("lat_d"),
+        (pmod(col("n_nationkey").cast("long") * lit(104729L), lit(140000000L)) / 1000000.0 - 70.0).as("lon_d"))
+      val a = nat.select(col("rkey"), col("nkey").as("a_key"),
+        col("lat_d").as("a_lat"), col("lon_d").as("a_lon"))
+      val b = nat.select(col("rkey"), col("nkey").as("b_key"),
+        col("lat_d").as("b_lat"), col("lon_d").as("b_lon"))
+      a.join(b, Seq("rkey")).filter(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"),
+          graft.ops.Geo.haversineMeters(col("a_lat"), col("a_lon"),
+            col("b_lat"), col("b_lon")).as("dist_m"))
+    },
+    "geo_morton_cells" -> { (s, dir) =>
+      // Spatial clustering by Z-order cell: quantize the key-derived
+      // degree lattice at 4 bits/axis and count points per Morton cell.
+      // The interleave is a closed-form integer shift/mask sum (codegen,
+      // engine-portable); the oracle spells out the same 8 terms.
+      val pts = Tables(s, dir, "customer").select(
+        (pmod(col("c_custkey") * lit(7919L), lit(160000L)) / 1000.0 - 80.0).as("lat_d"),
+        (pmod(col("c_custkey") * lit(104729L), lit(320000L)) / 1000.0 - 160.0).as("lon_d"))
+      pts.groupBy(graft.ops.Geo.mortonCellId(col("lat_d"), col("lon_d"), bits = 4)
+          .as("cell_id"))
+        .agg(count(lit(1)).as("n_points"))
+    },
+
+    // --- [EXT] time-series diagnostics (ops/TimeSeries.scala) ------------
+    "ts_acf" -> { (s, dir) =>
+      // Autocorrelation of the hourly per-type value series at lags 1-3:
+      // exact decimal sums (pairs semantics under gaps), one equi-join
+      // on (type, hour) after a zero-shuffle lag Expand; only the final
+      // ratio is floating, micro-quantized. The oracle assembles the
+      // identical sums with a 3-row lag spine.
+      val ev = Tables(s, dir, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(3600L)).as("t"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
+      graft.ops.TimeSeries.acf(hourly, "event_type", "t", "x", maxLag = 3)
+    },
+    "ts_pettitt" -> { (s, dir) =>
+      // Pettitt change-point over the daily per-type event counts —
+      // rank-based, exact to the last integer (doubled average ranks);
+      // earliest argmax day, micro-quantized approximate significance.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.TimeSeries.pettitt(daily, "event_type", "day", "n_events")
+    },
+
+    // --- [EXT] interval analytics (ext/Events.scala) ---------------------
+    "events_concurrency" -> { (s, dir) =>
+      // Per-day peak concurrent sessions: sessionize → closed intervals →
+      // sweep line with per-day parallel running sums and a control-plane
+      // day-carry prefix (never a global single-reducer window). The
+      // oracle replays the same sweep with plain global windows — equal
+      // maxima prove the day decomposition exact, midnight spans included.
+      val sessions = graft.ext.Events.sessionize(Tables(s, dir, "events"))
+      graft.ext.Events.maxConcurrency(sessions, "session_start", "session_end")
+    },
+
+    // --- [EXT] entity resolution scoring (ext/Dedup.scala) ---------------
+    "er_match_score" -> { (s, dir) =>
+      // Fellegi–Sunter linkage over a deterministic dirty copy of
+      // customer: blocked on nation (equi-join — candidate pairs are
+      // per-block, never N²), three field comparators (exact name,
+      // segment, acctbal within 100 cents), micro-integer log-odds
+      // weights, exact integer classification. The oracle mirrors the
+      // corruption, the blocking, and the weight table.
+      val cust = Tables(s, dir, "customer")
+      val left = cust.filter(pmod(col("c_custkey"), lit(2L)) === 0L)
+        .select(col("c_custkey").as("l_key"), col("c_nationkey").as("block"),
+          col("c_name").as("l_name"), col("c_mktsegment").as("l_seg"),
+          round(col("c_acctbal") * 100).cast("long").as("l_bal_c"))
+      val right = cust.filter(pmod(col("c_custkey"), lit(3L)) === 0L)
+        .select(col("c_custkey").as("r_key"), col("c_nationkey").as("block"),
+          // deterministic corruption: every 5th key mangles the name,
+          // every 7th shifts the balance by $3.50
+          when(pmod(col("c_custkey"), lit(5L)) === 0L,
+            concat(col("c_name"), lit("X"))).otherwise(col("c_name")).as("r_name"),
+          col("c_mktsegment").as("r_seg"),
+          (round(col("c_acctbal") * 100).cast("long") +
+            when(pmod(col("c_custkey"), lit(7L)) === 0L, lit(350L)).otherwise(lit(0L)))
+            .as("r_bal_c"))
+      val pairs = left.join(right, Seq("block"))
+        .withColumn("agree_name", col("l_name") === col("r_name"))
+        .withColumn("agree_seg", col("l_seg") === col("r_seg"))
+        .withColumn("agree_bal", abs(col("l_bal_c") - col("r_bal_c")) <= 100L)
+      graft.ext.Dedup.fellegiSunter(pairs,
+          fields = Seq(("agree_name", 4000000L, -2000000L),
+            ("agree_seg", 1500000L, -1200000L),
+            ("agree_bal", 2500000L, -1800000L)),
+          upperMicro = 4000000L, lowerMicro = 0L)
+        .select(col("l_key"), col("r_key"), col("score_micro"), col("fs_class"))
+    },
+
+    // --- [EXT] rank statistics (ops/Relational.scala) --------------------
+    "q_spearman" -> { (s, dir) =>
+      // Per-flag Spearman rank correlation, tie-correct (Pearson over
+      // doubled average ranks), every power sum exact in DECIMAL(38,0)
+      // — the overflow-proof arithmetic the kappa/KS fixes standardized.
+      graft.ops.Relational.spearmanPerGroup(Tables(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+    },
   )
+
+  /** Deterministic key-derived micro-degree point lattice over a 0.1°
+    * square — the shared synthetic-coordinate face of the geo queries
+    * (the fixtures carry no native coordinates; both engines derive the
+    * identical lattice from the integer keys, so the oracle comparison
+    * stays exact). */
+  private def geoPoints(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol),
+      pmod(col(keyCol) * lit(40503L), lit(100000L)).as("lat_u"),
+      pmod(col(keyCol) * lit(69069L), lit(100000L)).as("lon_u"))
 
   /** Memory-sink names must be fresh per invocation (bench warm-up + two
     * timed passes reuse one session). */
@@ -4162,7 +4311,183 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         | CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) AS secs_since_prev
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "geo_radius_join" ->
+      s"""WITH c AS ($geoPointsSqlCustomer),
+         |     s AS ($geoPointsSqlSupplier)
+         |SELECT c.c_custkey, s.s_suppkey,
+         | (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+         |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) AS dist2
+         |FROM c, s
+         |WHERE (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+         |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) <= 4000000""".stripMargin,
+    "geo_knn" ->
+      s"""WITH c AS ($geoPointsSqlCustomer),
+         |     s AS ($geoPointsSqlSupplier),
+         |pairs AS (
+         | SELECT c.c_custkey, s.s_suppkey,
+         |  (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+         |   + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) AS dist2
+         | FROM c, s
+         | WHERE (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+         |   + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) <= 25000000)
+         |SELECT c_custkey, s_suppkey, dist2,
+         | ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS knn_rank
+         |FROM pairs
+         |QUALIFY knn_rank <= 3""".stripMargin,
+    "geo_haversine" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+        |  CAST(n_regionkey AS BIGINT) AS rkey,
+        |  (CAST(n_nationkey AS BIGINT) * 7919) % 140000000 / 1000000.0 - 70.0 AS lat_d,
+        |  (CAST(n_nationkey AS BIGINT) * 104729) % 140000000 / 1000000.0 - 70.0 AS lon_d
+        | FROM nation)
+        |SELECT a.nkey AS a_key, b.nkey AS b_key,
+        | CAST(ROUND(6371008.8 * (2.0 * ASIN(SQRT(LEAST(
+        |   SIN((b.lat_d - a.lat_d) * (PI() / 180.0) / 2) * SIN((b.lat_d - a.lat_d) * (PI() / 180.0) / 2)
+        |   + COS(a.lat_d * (PI() / 180.0)) * COS(b.lat_d * (PI() / 180.0))
+        |     * SIN((b.lon_d - a.lon_d) * (PI() / 180.0) / 2) * SIN((b.lon_d - a.lon_d) * (PI() / 180.0) / 2),
+        |   1.0))))) AS BIGINT) AS dist_m
+        |FROM n a JOIN n b ON a.rkey = b.rkey AND a.nkey < b.nkey""".stripMargin,
+    "geo_morton_cells" -> geoMortonSql,
+    "ts_acf" ->
+      """WITH b AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS t,
+        |  CAST(CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
+        | FROM b GROUP BY 1),
+        |lags AS (SELECT * FROM (VALUES (1), (2), (3)) AS l("lag")),
+        |p AS (SELECT b1.event_type, l."lag" AS lag_k, COUNT(*) AS m,
+        |  SUM(CAST(b1.x AS HUGEINT) * CAST(b2.x AS HUGEINT)) AS a,
+        |  SUM(CAST(b1.x AS HUGEINT)) AS bb, SUM(CAST(b2.x AS HUGEINT)) AS cc
+        | FROM b b1 JOIN lags l ON TRUE
+        | JOIN b b2 ON b2.event_type = b1.event_type AND b2.t = b1.t + l."lag"
+        | GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(p.lag_k AS BIGINT) AS "lag", p.m, tot.n,
+        | CAST(ROUND((CAST(a AS DOUBLE)
+        |   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(bb AS DOUBLE)
+        |   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(cc AS DOUBLE)
+        |   + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  * 1000000.0) AS BIGINT) AS acf_micro
+        |FROM p JOIN tot ON tot.event_type = p.event_type""".stripMargin,
+    "ts_pettitt" ->
+      """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day,
+        |  2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+        |   + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS nn,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS seq
+        | FROM d),
+        |u AS (SELECT event_type, day, nn,
+        |  SUM(r2) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - seq * (nn + 1) AS uu
+        | FROM r QUALIFY seq < nn),
+        |k AS (SELECT event_type, day, nn, ABS(uu) AS au,
+        |  MAX(ABS(uu)) OVER (PARTITION BY event_type) AS kk FROM u)
+        |SELECT event_type, CAST(MAX(nn) AS BIGINT) AS n,
+        | CAST(MAX(kk) AS BIGINT) AS k_stat, MIN(day) AS cp_t,
+        | CAST(ROUND(2.0 * EXP(-6.0 * CAST(MAX(kk) AS DOUBLE) * CAST(MAX(kk) AS DOUBLE)
+        |   / (CAST(MAX(nn) AS DOUBLE) * CAST(MAX(nn) AS DOUBLE) * CAST(MAX(nn) AS DOUBLE)
+        |     + CAST(MAX(nn) AS DOUBLE) * CAST(MAX(nn) AS DOUBLE))) * 1000000.0) AS BIGINT) AS p_micro
+        |FROM k WHERE au = kk GROUP BY event_type""".stripMargin,
+    "events_concurrency" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM g),
+        |iv AS (SELECT user_id, session_seq,
+        |  MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_start,
+        |  MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS session_end
+        | FROM s GROUP BY user_id, session_seq),
+        |sw AS (SELECT session_start AS ts, CAST(1 AS BIGINT) AS d FROM iv
+        | UNION ALL SELECT session_end + 1 AS ts, CAST(-1 AS BIGINT) AS d FROM iv),
+        |net AS (SELECT ts, CAST(SUM(d) AS BIGINT) AS net FROM sw GROUP BY ts),
+        |run AS (SELECT ts,
+        |  CAST(SUM(net) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt,
+        |  CAST(SUM(net) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev
+        | FROM net)
+        |SELECT CAST(FLOOR(ts / 86400) AS BIGINT) AS day,
+        | GREATEST(MAX(cnt), MAX(COALESCE(prev, 0))) AS max_concurrent
+        |FROM run GROUP BY 1""".stripMargin,
+    "er_match_score" ->
+      """WITH l AS (SELECT c_custkey AS l_key, c_nationkey AS block,
+        |  c_name AS l_name, c_mktsegment AS l_seg,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS l_bal_c
+        | FROM customer WHERE c_custkey % 2 = 0),
+        |r AS (SELECT c_custkey AS r_key, c_nationkey AS block,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_name || 'X' ELSE c_name END AS r_name,
+        |  c_mktsegment AS r_seg,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        |   + CASE WHEN c_custkey % 7 = 0 THEN 350 ELSE 0 END AS r_bal_c
+        | FROM customer WHERE c_custkey % 3 = 0),
+        |p AS (SELECT l_key, r_key,
+        |  CASE WHEN l_name = r_name THEN 4000000 ELSE -2000000 END
+        |  + CASE WHEN l_seg = r_seg THEN 1500000 ELSE -1200000 END
+        |  + CASE WHEN ABS(l_bal_c - r_bal_c) <= 100 THEN 2500000 ELSE -1800000 END AS sc
+        | FROM l JOIN r ON l.block = r.block)
+        |SELECT l_key, r_key, CAST(sc AS BIGINT) AS score_micro,
+        | CASE WHEN sc >= 4000000 THEN 'match'
+        |      WHEN sc >= 0 THEN 'possible'
+        |      ELSE 'non_match' END AS fs_class
+        |FROM p""".stripMargin,
+    "q_spearman" ->
+      """WITH b AS (SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+        | FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT l_returnflag,
+        |  2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+        |   + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+        |  2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+        |   + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+        | FROM b),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |  SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+        |  SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+        |  SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+        | FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |  / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+        |  * 1000000.0) AS BIGINT) AS rho_micro
+        |FROM s""".stripMargin,
   )
+
+  /** Shared key-derived lattice CTEs for the geo oracles — must stay in
+    * lockstep with [[geoPoints]]. */
+  private def geoPointsSqlCustomer: String =
+    "SELECT c_custkey, (c_custkey * 40503) % 100000 AS lat_u, (c_custkey * 69069) % 100000 AS lon_u FROM customer"
+  private def geoPointsSqlSupplier: String =
+    "SELECT s_suppkey, (s_suppkey * 40503) % 100000 AS lat_u, (s_suppkey * 69069) % 100000 AS lon_u FROM supplier"
+
+  /** Morton-cell oracle: the same closed-form interleave as
+    * [[graft.ops.Geo.mortonCellId]] at 4 bits/axis, spelled out
+    * term-by-term (generated here so the term list cannot drift from the
+    * Scala side's `0 until bits` loop). */
+  private def geoMortonSql: String = {
+    val bits = 4
+    val n = 1 << bits
+    val terms = (0 until bits).map { k =>
+      s"((latq >> $k) & 1) * ${1L << (2 * k)} + ((lonq >> $k) & 1) * ${2L << (2 * k)}"
+    }.mkString(" + ")
+    s"""WITH pts AS (SELECT
+       |  (c_custkey * 7919) % 160000 / 1000.0 - 80.0 AS lat_d,
+       |  (c_custkey * 104729) % 320000 / 1000.0 - 160.0 AS lon_d
+       | FROM customer),
+       |q AS (SELECT
+       |  CAST(LEAST(GREATEST(FLOOR((lat_d - (-90.0)) / 180.0 * $n.0), 0.0), ${n - 1}.0) AS BIGINT) AS latq,
+       |  CAST(LEAST(GREATEST(FLOOR((lon_d - (-180.0)) / 360.0 * $n.0), 0.0), ${n - 1}.0) AS BIGINT) AS lonq
+       | FROM pts)
+       |SELECT $terms AS cell_id, COUNT(*) AS n_points
+       |FROM q GROUP BY 1""".stripMargin
+  }
 
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for
     * both the exact set-similarity join and the (verified, effectively

@@ -670,4 +670,46 @@ object Dedup {
         levenshtein(col("a_pre"), col("b_pre")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969,
+    * JASA): per candidate pair, sum the per-field log-likelihood-ratio
+    * weights — the agreement weight log(m/u) when the field comparison
+    * holds, the disagreement weight log((1−m)/(1−u)) when it doesn't —
+    * and classify against the (upper, lower) thresholds into
+    * match / possible / non_match. Weights are MICRO-scaled integers
+    * (callers precompute log odds ×1e6), so the whole decision is exact
+    * 64-bit arithmetic: no float epsilon at either threshold at any
+    * scale, and the same pair always lands in the same class on any
+    * partitioning or engine.
+    *
+    * `fields` maps a BOOLEAN agreement column (built by the caller from
+    * whatever comparators fit — equality, banded numerics, Jaro
+    * thresholds) to its (agreeMicro, disagreeMicro) weight pair. A NULL
+    * agreement (either side missing) contributes ZERO — the standard
+    * "comparison not possible" convention, between agree and disagree.
+    *
+    * This is the scoring half of ER; candidate generation is the
+    * blocking half ([[sortedNeighborhood]], or any blocked equi-join) —
+    * composed, the pipeline is candidate pairs → exact integer scores →
+    * classes, one codegen'd projection over the pair stream, no shuffle
+    * beyond what blocking already did. */
+  def fellegiSunter(pairs: DataFrame,
+      fields: Seq[(String, Long, Long)],
+      upperMicro: Long, lowerMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter needs at least one field")
+    require(upperMicro >= lowerMicro,
+      s"upper threshold ($upperMicro) must be >= lower ($lowerMicro)")
+    fields.foreach { case (_, agree, disagree) =>
+      require(agree > disagree,
+        s"agreement weight must exceed disagreement weight: $agree <= $disagree") }
+    val score = fields.map { case (c, agree, disagree) =>
+      when(col(c).isNull, lit(0L))
+        .when(col(c), lit(agree)).otherwise(lit(disagree))
+    }.reduce(_ + _)
+    pairs.withColumn("score_micro", score)
+      .withColumn("fs_class",
+        when(col("score_micro") >= upperMicro, lit("match"))
+          .when(col("score_micro") >= lowerMicro, lit("possible"))
+          .otherwise(lit("non_match")))
+  }
 }

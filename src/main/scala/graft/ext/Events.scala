@@ -280,6 +280,39 @@ object Events {
   }
 
   /** JSON prop extraction (the `props` column is a JSON object string). */
+  /** Per-day maximum concurrency over CLOSED intervals [start, end]
+    * (epoch seconds): the classic sweep line — +1 at start, −1 at
+    * end+1 — but WITHOUT the single-reducer global running sum. The
+    * sweep is decomposed per UTC day: within-day running sums window in
+    * parallel (partitioned by day); cross-midnight sessions are carried
+    * by a prefix sum over PER-DAY NET TOTALS, a frame with one row per
+    * day — control-plane-sized at any data scale, the globalRowNumber
+    * offsets idea applied to interval counting. Coincident sweep points
+    * are pre-summed per timestamp, so the running count is evaluated
+    * only after all deltas at an instant apply — order within an
+    * instant can't affect the max. Days with no sweep activity are
+    * omitted; a day's max includes its carry-in (the midnight count),
+    * which bounds any dip-only day from below. */
+  def maxConcurrency(intervals: DataFrame, startSecCol: String,
+      endSecCol: String): DataFrame = {
+    val deltas = intervals.select(col(startSecCol).as("ts"), lit(1L).as("d"))
+      .unionAll(intervals.select((col(endSecCol) + 1L).as("ts"), lit(-1L).as("d")))
+      .groupBy(col("ts")).agg(sum(col("d")).as("net"))
+      .withColumn("day", call_function("div", col("ts"), lit(86400L)))
+    val inDay = Window.partitionBy(col("day")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("run_in_day", sum(col("net")).over(inDay))
+    val dayTotals = deltas.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
+    val carry = dayTotals.withColumn("carry",
+      coalesce(sum(col("day_net")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    run.join(broadcast(carry), Seq("day"))
+      .groupBy(col("day"))
+      .agg(greatest(max(col("carry") + col("run_in_day")), max(col("carry")))
+        .as("max_concurrent"))
+  }
+
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))
 

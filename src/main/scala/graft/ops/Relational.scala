@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -671,5 +671,45 @@ object Relational {
         call_function("div",
           (lit(2L) * col("__si") - (col("n") + 1L) * col("__s")) * lit(1000000L),
           col("n").cast(dec) * col("__s")).as("gini_micro")): _*)
+  }
+
+  /** Per-group Spearman rank correlation — Pearson over AVERAGE ranks
+    * (the tie-correct definition, not the 6Σd²/n(n²−1) shortcut, which
+    * is only valid tie-free). Doubled average ranks 2r = 2·rank +
+    * tiecount − 1 keep every rank integral; all five power sums are
+    * exact through DECIMAL(38,0) (a lineitem-scale group peaks near
+    * 4n⁴ ≈ 1e24 in n·Σxy — far past int64, the kappa/KS overflow
+    * lesson, comfortably inside 38 digits). Only the final
+    * normalization touches doubles, surfaced micro-quantized.
+    * Plan: two rank windows + one tie-count window pair over the SAME
+    * group partitioning (one shuffle), then one map-side-combined
+    * aggregation. NULL x or y rows are dropped (pairwise-complete). */
+  def spearmanPerGroup(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearmanPerGroup needs grouping columns")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) :+ col(xCol).as("__xv") :+ col(yCol).as("__yv"): _*)
+    def ranks2(c: String): Column =
+      lit(2L) * rank().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col(c))).cast("long") +
+        count(lit(1)).over(
+          Window.partitionBy(groupCols.map(col) :+ col(c): _*)).cast("long") - 1L
+    val dec = "decimal(38,0)"
+    val ranked = base
+      .withColumn("__rx", ranks2("__xv"))
+      .withColumn("__ry", ranks2("__yv"))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum(col("__rx").cast(dec) * col("__ry").cast(dec)).as("__sxy"),
+        sum(col("__rx").cast(dec) * col("__rx").cast(dec)).as("__sxx"),
+        sum(col("__ry").cast(dec) * col("__ry").cast(dec)).as("__syy"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        round(
+          ((col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt((col("n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")).cast("double") *
+              (col("n").cast(dec) * col("__syy") - col("__sy") * col("__sy")).cast("double")))
+            * lit(1e6)).cast("long").as("rho_micro")): _*)
   }
 }

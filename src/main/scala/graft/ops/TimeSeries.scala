@@ -121,4 +121,93 @@ object TimeSeries {
       .select(col(keyCol), col("day"), col("hour"),
         col("n"), col("n_cells"), col("total"))
   }
+
+  /** Per-key autocorrelation at lags 1..`maxLag` over an integer-indexed
+    * series (one row per (key, t)). Pairs semantics under gaps: lag-k
+    * products run over pairs where BOTH t and t+k are present; mean and
+    * variance use the full series. All sums are exact (DECIMAL through
+    * the shuffle — order-independent); only the final ratio is floating,
+    * surfaced as micro-quantized `acf_micro`:
+    *   r_k = Σ_pairs (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    * expanded to A − x̄B − x̄C + m·x̄² over exact sums A=Σx_t·x_{t+k},
+    * B=Σx_t, C=Σx_{t+k}, m=#pairs, so no per-row float ever shuffles.
+    * Values are quantized to MICRO units up front (exact for 6-decimal
+    * inputs) and every sum runs in DECIMAL(38,0) integers — int64 Σx²
+    * overflows near 3M-bucket series, and the scale factors cancel in
+    * the ratio, so micro² units cost nothing (the kappa/KS overflow
+    * lesson). Plan: one groupBy(key) for the totals; a zero-shuffle
+    * Expand (explode of the 1..maxLag literal array) then ONE equi-join
+    * on (key, t) against the un-exploded side and a groupBy (key, lag) —
+    * at 100 TB the cost is maxLag× the series size through one shuffle,
+    * never a window over a single partition. */
+  def acf(df: DataFrame, keyCol: String, tCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64]: $maxLag")
+    val dec = "decimal(38,0)"
+    val base = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      (col(valCol).cast("decimal(18,6)") * lit(1000000L)).cast("long").as("__x"))
+    val tot = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"), sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__ss"))
+    val lagged = base
+      .withColumn("lag", explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)))
+      .select(col(keyCol), (col("__t") + col("lag")).as("__t"),
+        col("lag"), col("__x").as("__x1"))
+    val pairs = lagged.join(base, Seq(keyCol, "__t"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("__x1").cast(dec) * col("__x").cast(dec)).as("__a"),
+        sum(col("__x1").cast(dec)).as("__b"),
+        sum(col("__x").cast(dec)).as("__c"))
+    pairs.join(tot, Seq(keyCol))
+      .select(col(keyCol), col("lag"), col("m"), col("__n").as("n"),
+        {
+          val xbar = col("__s").cast("double") / col("__n").cast("double")
+          val num = col("__a").cast("double") - xbar * col("__b").cast("double") -
+            xbar * col("__c").cast("double") + col("m").cast("double") * xbar * xbar
+          val den = col("__ss").cast("double") - col("__n").cast("double") * xbar * xbar
+          round(num / den * lit(1e6)).cast("long").as("acf_micro")
+        })
+  }
+
+  /** Pettitt change-point test (Pettitt 1979), exact to the last integer:
+    * per key over an ordered series (one row per (key, t)), the
+    * Mann-Whitney-style statistic
+    *   U_t = 2·Σ_{i≤t} r_i − t(n+1)
+    * with AVERAGE ranks r (ties get the tie-group mean; 2r = 2·rank +
+    * tiecount − 1 keeps everything integral), K = max_{t<n} |U_t|, and
+    * the earliest t attaining K as the change location. The approximate
+    * significance 2·exp(−6K²/(n³+n²)) is surfaced micro-quantized (the
+    * one float, deliberately coarse). Plan: rank/cumsum windows inside
+    * each key partition — one shuffle on key; series length per key is
+    * the day/bucket count, orders of magnitude below row count, so the
+    * window sorts stay small even at 100 TB of raw events. */
+  def pettitt(df: DataFrame, keyCol: String, tCol: String,
+      valCol: String): DataFrame = {
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+    val ties = Window.partitionBy(col(keyCol), col("__x"))
+    val byT = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(col(keyCol))
+    val ranked = df
+      .select(col(keyCol), col(tCol).cast("long").as("__t"),
+        col(valCol).cast("long").as("__x"))
+      .withColumn("__r2", lit(2L) * rank().over(byVal) + count(lit(1)).over(ties) - 1L)
+      .withColumn("__nn", count(lit(1)).over(n))
+      .withColumn("__seq", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__t"))).cast("long"))
+      .withColumn("__u", sum(col("__r2")).over(byT) - col("__seq") * (col("__nn") + 1L))
+      .filter(col("__seq") < col("__nn")) // U_n == 0 by construction; exclude
+    ranked
+      .withColumn("__k", max(abs(col("__u"))).over(n))
+      .filter(abs(col("__u")) === col("__k"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__nn")).as("n"), max(col("__k")).as("k_stat"),
+        min(col("__t")).as("cp_t"))
+      .select(col(keyCol), col("n"), col("k_stat"), col("cp_t"),
+        round(lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double") * col("k_stat").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * col("n").cast("double") +
+            col("n").cast("double") * col("n").cast("double"))) * lit(1e6))
+          .cast("long").as("p_micro"))
+  }
 }
