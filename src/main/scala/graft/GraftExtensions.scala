@@ -223,6 +223,20 @@ object GraftExtensions {
         hotRowThreshold = longLit(args(6), "hot_row_threshold"))
       joined.queryExecution.logical
     }),
+    //   graft_geo_radius(left_view, right_view, lat_col, lon_col, radius_micro)
+    // Grid-bucketed within-radius join — the SQL face of
+    // Geo.gridRadiusJoin: integer micro-degree coordinates, 3×3
+    // neighbor-cell Expand on the left, ONE equi-join on the cell key,
+    // exact int64 distance filter. Same plan as the Scala API.
+    ("graft_geo_radius", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Geo.gridRadiusJoin(
+        spark.table(strLit(args(0), "left_view")),
+        spark.table(strLit(args(1), "right_view")),
+        strLit(args(2), "lat_col"), strLit(args(3), "lon_col"),
+        radiusMicro = longLit(args(4), "radius_micro"))
+      out.queryExecution.logical
+    }),
     //   graft_psi_drift(ref_view, cur_view, value_col, bins)
     // Numeric PSI drift gate — same plan as DataQuality.psiDrift (the
     // reference-edge lookup runs at analysis time, like the bloom TVF's

@@ -2662,6 +2662,62 @@ object SparkEntry {
       graft.ops.Relational.spearmanPerGroup(Tables(s, dir, "lineitem"),
         Seq("l_returnflag"), "l_quantity", "l_extendedprice")
     },
+    "ts_decompose" -> { (s, dir) =>
+      // Classical additive seasonal decomposition of the hourly per-type
+      // count series, period 24: zero-filled grid (a missing bucket of a
+      // COUNT series is truly zero), centered weighted MA trend kept as
+      // an exact ×48 integer numerator, per-hour-of-day seasonal index
+      // from the detrended values — the one float is the final mean,
+      // micro-quantized.
+      val ev = Tables(s, dir, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(3600L)).as("t"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.classicalSeasonal(hourly, "event_type", "t", "n",
+        period = 24)
+    },
+    "geo_hotspot" -> { (s, dir) =>
+      // Spatial hotspot cells: 3×3 neighborhood density vs the global
+      // cell average, exact integer cross-multiplied threshold (3/2) and
+      // integer-division hot_micro — no float at the decision boundary.
+      graft.ops.Geo.hotspotCells(
+        geoPoints(Tables(s, dir, "customer"), "c_custkey")
+          .select(col("lat_u"), col("lon_u")),
+        "lat_u", "lon_u", cellMicro = 5000L, factorNum = 3L, factorDen = 2L)
+    },
+    "events_runlength" -> { (s, dir) =>
+      // Run-length compression of per-user event sequences — consecutive
+      // same-type events collapse to (type, run_len, t_start, t_end)
+      // runs in exact (ts, event_id) order.
+      graft.ext.Events.runLength(Tables(s, dir, "events"))
+    },
+    "events_lift" -> { (s, dir) =>
+      // Session-level co-occurrence lift per unordered event-type pair:
+      // exact integer counts and the exact division n_ab·N·10⁶ div
+      // (n_a·n_b) — the market-basket measure over sessionized visits.
+      graft.ext.Events.sessionLift(Tables(s, dir, "events"))
+    },
+    "text_collocations" -> { (s, dir) =>
+      // Dunning G² bigram collocations over the corpus: exact contingency
+      // counts from one in-row bigram zip, margins before the min-count
+      // cut, micro-quantized log-likelihood ratio.
+      graft.ext.TextAnalysis.collocations(Tables(s, dir, "documents"),
+        minCount = 5L)
+    },
+    "q_geo_radius_sql" -> { (s, dir) =>
+      // The grid radius join through its SQL TVF face — identical plan
+      // and oracle as geo_radius_join (plan parity in GraftExtensionsSpec).
+      graft.GraftExtensions.register(s)
+      geoPoints(Tables(s, dir, "customer"), "c_custkey")
+        .createOrReplaceTempView("graft_geo_cust_v")
+      geoPoints(Tables(s, dir, "supplier"), "s_suppkey")
+        .createOrReplaceTempView("graft_geo_supp_v")
+      s.sql("""
+        SELECT c_custkey, s_suppkey, dist2
+        FROM graft_geo_radius('graft_geo_cust_v', 'graft_geo_supp_v',
+          'lat_u', 'lon_u', 2000)
+      """)
+    },
   )
 
   /** Deterministic key-derived micro-degree point lattice over a 0.1°
@@ -4311,15 +4367,8 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         | CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) AS secs_since_prev
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
-    "geo_radius_join" ->
-      s"""WITH c AS ($geoPointsSqlCustomer),
-         |     s AS ($geoPointsSqlSupplier)
-         |SELECT c.c_custkey, s.s_suppkey,
-         | (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
-         |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) AS dist2
-         |FROM c, s
-         |WHERE (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
-         |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) <= 4000000""".stripMargin,
+    "geo_radius_join" -> geoRadiusSql,
+    "q_geo_radius_sql" -> geoRadiusSql,
     "geo_knn" ->
       s"""WITH c AS ($geoPointsSqlCustomer),
          |     s AS ($geoPointsSqlSupplier),
@@ -4458,7 +4507,121 @@ object SparkEntry {
         |    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
         |  * 1000000.0) AS BIGINT) AS rho_micro
         |FROM s""".stripMargin,
+    "ts_decompose" ->
+      """WITH c AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS t,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(t) AS lo, MAX(t) AS hi FROM c GROUP BY 1),
+        |grid AS (SELECT event_type, UNNEST(GENERATE_SERIES(lo, hi)) AS t FROM span),
+        |f AS (SELECT g.event_type, g.t, COALESCE(c.x, 0) AS x
+        | FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.t = g.t),
+        |w AS (SELECT event_type, t, x,
+        |  COUNT(*) OVER ww AS cnt,
+        |  SUM(x) OVER ww + SUM(x) OVER wi AS tnum
+        | FROM f WINDOW
+        |  ww AS (PARTITION BY event_type ORDER BY t ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+        |  wi AS (PARTITION BY event_type ORDER BY t ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+        |d AS (SELECT event_type, t % 24 AS phase, 48 * x - tnum AS d2p
+        | FROM w WHERE cnt = 25)
+        |SELECT event_type, phase, COUNT(*) AS n_obs,
+        | CAST(ROUND(CAST(SUM(d2p) AS DOUBLE) / (48.0 * CAST(COUNT(*) AS DOUBLE))
+        |   * 1000000.0) AS BIGINT) AS seasonal_micro
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    "geo_hotspot" ->
+      s"""WITH pts AS ($geoPointsSqlCustomer),
+         |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
+         |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
+         |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) b(dn)),
+         |nb AS (SELECT c.cell_lat, c.cell_lon, SUM(c2.n) AS s_neigh
+         | FROM cells c JOIN off ON TRUE JOIN cells c2
+         |   ON c2.cell_lat = c.cell_lat + off.dl AND c2.cell_lon = c.cell_lon + off.dn
+         | GROUP BY 1, 2),
+         |tot AS (SELECT COUNT(*) AS ncells, SUM(n) AS ntot FROM cells)
+         |SELECT c.cell_lat, c.cell_lon, c.n, CAST(nb.s_neigh AS BIGINT) AS s_neigh,
+         | CAST(CAST(nb.s_neigh AS HUGEINT) * ncells * 1000000
+         |   // (9 * CAST(ntot AS HUGEINT)) AS BIGINT) AS hot_micro,
+         | CAST(nb.s_neigh AS HUGEINT) * ncells * 2 > 3 * 9 * CAST(ntot AS HUGEINT) AS is_hot
+         |FROM cells c
+         |JOIN nb ON nb.cell_lat = c.cell_lat AND nb.cell_lon = c.cell_lon, tot""".stripMargin,
+    "events_runlength" ->
+      """WITH g AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |  CASE WHEN LAG(event_type) OVER w IS NULL
+        |    OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)),
+        |r AS (SELECT *, CAST(SUM(new_run) OVER (PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+        | FROM g)
+        |SELECT user_id, run_seq, MIN(event_type) AS event_type,
+        | COUNT(*) AS run_len, MIN(ts_sec) AS t_start, MAX(ts_sec) AS t_end
+        |FROM r GROUP BY user_id, run_seq""".stripMargin,
+    "events_lift" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM g),
+        |types AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |tot AS (SELECT COUNT(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM types)),
+        |per_t AS (SELECT event_type, COUNT(*) AS n_t FROM types GROUP BY 1),
+        |pairs AS (SELECT ta.event_type AS a, tb.event_type AS b, COUNT(*) AS n_ab
+        | FROM types ta JOIN types tb
+        |   ON ta.user_id = tb.user_id AND ta.session_seq = tb.session_seq
+        |  AND ta.event_type < tb.event_type
+        | GROUP BY 1, 2)
+        |SELECT p.a, p.b, pa.n_t AS n_a, pb.n_t AS n_b, p.n_ab,
+        | CAST(CAST(p.n_ab AS HUGEINT) * n_sessions * 1000000
+        |   // (CAST(pa.n_t AS HUGEINT) * pb.n_t) AS BIGINT) AS lift_micro
+        |FROM pairs p
+        |JOIN per_t pa ON pa.event_type = p.a
+        |JOIN per_t pb ON pb.event_type = p.b, tot""".stripMargin,
+    "text_collocations" ->
+      """WITH toks AS (SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+        | FROM documents WHERE text IS NOT NULL),
+        |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        | FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+        | WHERE LENGTH(t[i]) > 0 AND LENGTH(t[i + 1]) > 0),
+        |bg AS (SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
+        |lm AS (SELECT w1, COUNT(*) AS n_a FROM big GROUP BY 1),
+        |rm AS (SELECT w2, COUNT(*) AS n_b FROM big GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM big),
+        |j AS (SELECT bg.w1, bg.w2, bg.n_ab, lm.n_a, rm.n_b, tot.n
+        | FROM bg JOIN lm ON lm.w1 = bg.w1 JOIN rm ON rm.w2 = bg.w2, tot
+        | WHERE bg.n_ab >= 5)
+        |SELECT w1, w2, n_ab,
+        | CAST(ROUND(2.0 * (
+        |   (CASE WHEN n_ab = 0 THEN 0.0 ELSE CAST(n_ab AS DOUBLE)
+        |     * LN(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END)
+        |   + (CASE WHEN n_a - n_ab = 0 THEN 0.0 ELSE CAST(n_a - n_ab AS DOUBLE)
+        |     * LN(CAST(n_a - n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(n_a AS DOUBLE) * CAST(n - n_b AS DOUBLE))) END)
+        |   + (CASE WHEN n_b - n_ab = 0 THEN 0.0 ELSE CAST(n_b - n_ab AS DOUBLE)
+        |     * LN(CAST(n_b - n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(n - n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END)
+        |   + (CASE WHEN n - n_a - n_b + n_ab = 0 THEN 0.0 ELSE CAST(n - n_a - n_b + n_ab AS DOUBLE)
+        |     * LN(CAST(n - n_a - n_b + n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |       / (CAST(n - n_a AS DOUBLE) * CAST(n - n_b AS DOUBLE))) END)
+        |  ) * 1000000.0) AS BIGINT) AS g2_micro
+        |FROM j""".stripMargin,
   )
+
+  /** Shared by the Scala-API and SQL-TVF radius-join rows. */
+  private def geoRadiusSql: String =
+    s"""WITH c AS ($geoPointsSqlCustomer),
+       |     s AS ($geoPointsSqlSupplier)
+       |SELECT c.c_custkey, s.s_suppkey,
+       | (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+       |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) AS dist2
+       |FROM c, s
+       |WHERE (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+       |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) <= 4000000""".stripMargin
 
   /** Shared key-derived lattice CTEs for the geo oracles — must stay in
     * lockstep with [[geoPoints]]. */

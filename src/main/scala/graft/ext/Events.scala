@@ -313,6 +313,82 @@ object Events {
         .as("max_concurrent"))
   }
 
+  /** Run-length compression of per-user event sequences: consecutive
+    * events of the same type (in exact (ts, event_id) order) collapse to
+    * one run row — gaps-and-islands with a type-change flag instead of a
+    * time gap. The standard pre-step for sequence modeling (dwell
+    * detection, loop/burst compression, n-gram inputs): a 100 TB
+    * clickstream usually shrinks an order of magnitude here before any
+    * expensive pass. One shuffle (partition by user), pure windows.
+    * Output: (user_id, run_seq, event_type, run_len, t_start, t_end). */
+  def runLength(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    events
+      .withColumn("ts_sec", tsSec(events))
+      .withColumn("__new",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run_seq"))
+      .agg(min(col("event_type")).as("event_type"), // constant within a run
+        count(lit(1)).as("run_len"),
+        min(col("ts_sec")).as("t_start"),
+        max(col("ts_sec")).as("t_end"))
+  }
+
+  /** Session-level co-occurrence lift for unordered event-type pairs:
+    * n_ab = sessions containing both a and b (a < b), against the
+    * independence expectation — lift = n_ab·N / (n_a·n_b), surfaced as
+    * the exact nonnegative integer division n_ab·N·10^6 div (n_a·n_b)
+    * (DECIMAL(38,0) products — four counts multiplied pass int64 at
+    * corpus scale). The market-basket measure over [[sessionize]]'s
+    * sessions. Pair generation is per-session over the DISTINCT types
+    * present — bounded by the type-alphabet, never by events. The
+    * session total rides an explicit one-row broadcast cross join
+    * (build side bounded by construction; plan-audit-allowlisted).
+    * Output: (a, b, n_a, n_b, n_ab, lift_micro). */
+  def sessionLift(events: DataFrame): DataFrame =
+    sessionLiftFromTypes(sessionTypes(events))
+
+  /** The DISTINCT (user, session, event_type) presence frame
+    * [[sessionLift]] pairs over — exposed for tests. */
+  def sessionTypes(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("ts_sec", tsSec(events))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+  }
+
+  private def sessionLiftFromTypes(types: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nTotal = types.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = types.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = types.select(col("user_id"), col("session_seq"),
+        col("event_type").as("a"))
+      .join(types.select(col("user_id"), col("session_seq"),
+        col("event_type").as("b")), Seq("user_id", "session_seq"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perType.select(col("event_type").as("a"), col("n_t").as("n_a")), Seq("a"))
+      .join(perType.select(col("event_type").as("b"), col("n_t").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nTotal)) // one-row session total (allowlisted)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        call_function("div",
+          col("n_ab").cast(dec) * col("n_sessions") * lit(1000000L),
+          col("n_a").cast(dec) * col("n_b")).as("lift_micro"))
+  }
+
   def withProp(events: DataFrame, key: String, outCol: String): DataFrame =
     events.withColumn(outCol, get_json_object(col("props"), s"$$.$key"))
 

@@ -194,6 +194,52 @@ object TextAnalysis {
           .as("ttr_micro"))
   }
 
+  /** Bigram collocations scored by Dunning's log-likelihood ratio G²
+    * (Dunning 1993 — the collocation measure that stays calibrated for
+    * RARE pairs, unlike PMI): for each adjacent lowercased token pair,
+    * the 2×2 contingency table (pair vs left-word margin vs right-word
+    * margin vs everything else) and
+    *   G² = 2 Σ_cells k·ln(k·N / (row·col)),   0-cells contribute 0.
+    * All counts are exact integers (one in-row zip_with builds the
+    * bigram stream — no shuffle until the counting groupBys); only the
+    * final ln-sum is floating, micro-quantized. Margins are computed
+    * over ALL bigrams before the `minCount` cut, so reported scores are
+    * unbiased by the cut. One-row totals ride an explicit broadcast
+    * cross join. Output: (w1, w2, n_ab, g2_micro). */
+  def collocations(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bigrams = docs.filter(col(textCol).isNotNull)
+      .select(explode(zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val left = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+    val right = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+    val totals = bigrams.agg(count(lit(1)).as("__n"))
+    def term(k: Column, r: Column, c: Column, n: Column): Column =
+      when(k === 0L, lit(0.0)).otherwise(
+        k.cast("double") * log(k.cast("double") * n.cast("double") /
+          (r.cast("double") * c.cast("double"))))
+    val joined = bg.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(totals)) // one-row bigram total (allowlisted)
+    val n = col("__n")
+    val k11 = col("n_ab")
+    val k12 = col("n_a") - col("n_ab")
+    val k21 = col("n_b") - col("n_ab")
+    val k22 = n - col("n_a") - col("n_b") + col("n_ab")
+    val r1 = col("n_a"); val r2 = n - col("n_a")
+    val c1 = col("n_b"); val c2 = n - col("n_b")
+    joined
+      .filter(col("n_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(lit(2.0) * (term(k11, r1, c1, n) + term(k12, r1, c2, n) +
+          term(k21, r2, c1, n) + term(k22, r2, c2, n)) * lit(1e6))
+          .cast("long").as("g2_micro"))
+  }
+
   /** All per-document analysis columns in one projection. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -98,6 +98,61 @@ object Geo {
     round(lit(6371008.8) * c).cast("long")
   }
 
+  /** Spatial hotspot cells: each occupied grid cell's 3×3 NEIGHBORHOOD
+    * density against the global cell average, decided by the exact
+    * integer cross-multiplication
+    *   S_c · n_cells · den  >  num · 9 · N_total
+    * (the seasonalAnomaly rational-threshold discipline — no float at
+    * the decision boundary). A simplified Getis-Ord-style statistic
+    * over the OCCUPIED-cell population: empty cells contribute zero to
+    * every neighborhood sum by construction.
+    *
+    * Plan: points collapse to cells in one groupBy (the only shuffle
+    * that sees data volume); neighborhoods form on the CELLS frame —
+    * aggregate-sized — via the same 3×3 Expand + equi-join as
+    * [[gridRadiusJoin]]; global totals ride an explicit ONE-ROW
+    * broadcast cross join (build side bounded by construction). Output:
+    * (cell_lat, cell_lon, n, s_neigh, hot_micro, is_hot) with
+    * hot_micro = S·n_cells·10^6 div (9·N) — exact nonnegative integer
+    * division, identical in any engine. */
+  def hotspotCells(points: DataFrame, latCol: String, lonCol: String,
+      cellMicro: Long, factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+    require(cellMicro > 0, s"cellMicro must be positive: $cellMicro")
+    require(factorNum > 0 && factorDen > 0 && factorNum >= factorDen,
+      s"threshold factor must be a rational >= 1, got $factorNum/$factorDen")
+    val cells = points.groupBy(
+        floorDiv(col(latCol), cellMicro).as("cell_lat"),
+        floorDiv(col(lonCol), cellMicro).as("cell_lon"))
+      .agg(count(lit(1)).as("n"))
+    val probes = cells
+      .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("cell_lat") + col("__dlat")).as("__nl"),
+        (col("cell_lon") + col("__dlon")).as("__nn"),
+        col("cell_lat"), col("cell_lon"))
+    val neigh = probes.join(
+        cells.select(col("cell_lat").as("__nl"), col("cell_lon").as("__nn"),
+          col("n").as("__cnt")),
+        Seq("__nl", "__nn"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(sum(col("__cnt")).as("s_neigh"))
+    val totals = cells
+      .agg(count(lit(1)).as("__ncells"), sum(col("n")).as("__ntot"))
+    // DECIMAL(38,0) products: S·cells·10^6 passes int64 once cell and
+    // row counts reach planet scale (the kappa/KS overflow lesson).
+    // One-row totals ride an explicit broadcast cross join (allowlisted
+    // in the plan audit — the nested loop's build side is 1 row).
+    val dec = "decimal(38,0)"
+    cells.join(neigh, Seq("cell_lat", "cell_lon"))
+      .crossJoin(broadcast(totals))
+      .select(col("cell_lat"), col("cell_lon"), col("n"), col("s_neigh"),
+        call_function("div",
+          col("s_neigh").cast(dec) * col("__ncells") * lit(1000000L),
+          lit(9L) * col("__ntot").cast(dec)).as("hot_micro"),
+        (col("s_neigh").cast(dec) * col("__ncells") * lit(factorDen) >
+          lit(factorNum) * lit(9L) * col("__ntot").cast(dec)).as("is_hot"))
+  }
+
   /** Z-order (Morton) cell id of a point at `bits` bits per axis:
     * latitude quantized over [-90, 90), longitude over [-180, 180),
     * bits interleaved with longitude in the higher (odd) positions —

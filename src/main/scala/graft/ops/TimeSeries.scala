@@ -170,6 +170,55 @@ object TimeSeries {
         })
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, period even): per key over an integer COUNT series — the
+    * grid is zero-filled first (a missing bucket of a count series IS
+    * zero, so ROWS windows align with time), then
+    *  - trend: the standard centered weighted MA for even period p —
+    *    T_t = (x_{t−p/2} + 2·Σ_{|j|<p/2} x_{t+j} + x_{t+p/2}) / 2p,
+    *    kept as the integer numerator ×2p (exact), defined only where
+    *    the full 2·(p/2)+1-row window exists;
+    *  - seasonal index per phase s = t mod p: the mean of detrended
+    *    values (x − T), all algebra on the common denominator 2p so
+    *    every sum is an exact integer; the single float is the final
+    *    mean, micro-quantized.
+    * Output: (key, phase, n_obs, seasonal_micro). Plan: one groupBy for
+    * buckets, a zero-shuffle sequence-Expand for the grid, ROWS windows
+    * inside each key partition (series length = bucket count, far below
+    * raw rows), one grouped mean — nothing global, nothing quadratic. */
+  def classicalSeasonal(df: DataFrame, keyCol: String, tCol: String,
+      valCol: String, period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"period must be even and >= 2 (centered-MA method): $period")
+    val half = period / 2
+    val span = df.groupBy(col(keyCol))
+      .agg(min(col(tCol)).as("__lo"), max(col(tCol)).as("__hi"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"))).as("__t"))
+    val filled = grid.join(
+        df.select(col(keyCol), col(tCol).as("__t"),
+          col(valCol).cast("long").as("__xr")),
+        Seq(keyCol, "__t"), "left")
+      .withColumn("__x", coalesce(col("__xr"), lit(0L)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rowsBetween(-half, half)
+    val inner = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rowsBetween(-(half - 1), half - 1)
+    // numerator of 2p·T: edge terms once, interior terms twice
+    val detr = filled
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__tnum",
+        sum(col("__x")).over(w) + sum(col("__x")).over(inner))
+      .filter(col("__cnt") === (2 * half + 1))
+      // d·2p = 2p·x − 2p·T, exact
+      .withColumn("__d2p", lit(2L * period) * col("__x") - col("__tnum"))
+    detr.groupBy(col(keyCol), pmod(col("__t"), lit(period.toLong)).as("phase"))
+      .agg(count(lit(1)).as("n_obs"),
+        round((sum(col("__d2p")).cast("double") /
+          (lit(2.0 * period) * count(lit(1)).cast("double")))
+          * lit(1e6)).cast("long").as("seasonal_micro"))
+  }
+
   /** Pettitt change-point test (Pettitt 1979), exact to the last integer:
     * per key over an ordered series (one row per (key, t)), the
     * Mann-Whitney-style statistic

@@ -47,7 +47,10 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_entropy_sql",     // same plan through the TVF face
     "dq_benford_sql",     // dq_benford's plan through the TVF face
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
-    "sketch_overlap_sql")     // same plan through the TVF face
+    "sketch_overlap_sql",     // same plan through the TVF face
+    "geo_hotspot",            // one-row (n_cells, n_total) frame x cells
+    "events_lift",            // one-row session-count frame x type pairs
+    "text_collocations")      // one-row bigram-total frame x scored pairs
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings
