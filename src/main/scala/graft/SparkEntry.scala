@@ -2718,6 +2718,98 @@ object SparkEntry {
           'lat_u', 'lon_u', 2000)
       """)
     },
+    "geo_hotspot_incremental" -> { (s, dir) =>
+      // Incremental hotspot maintenance off persisted cell-count state:
+      // day-N cells written to parquet, day-N+1 re-reads that state and
+      // merges a cells pass over the DELTA points only — the merged
+      // frame's lineage contains the state files and the delta scan,
+      // never the history points again. Per-cell counts are the monoid,
+      // so state + delta hash-matches the full recompute (geo_hotspot's
+      // own oracle).
+      val pts = geoPoints(Tables(s, dir, "customer"), "c_custkey")
+      val hist = pts.filter(pmod(col("c_custkey"), lit(4L)) =!= 0L)
+        .select(col("lat_u"), col("lon_u"))
+      val delta = pts.filter(pmod(col("c_custkey"), lit(4L)) === 0L)
+        .select(col("lat_u"), col("lon_u"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_geo_cells_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ops.Geo.cellCounts(hist, "lat_u", "lon_u", cellMicro = 5000L),
+        stateDir)
+      val merged = graft.ops.Geo.mergeCellCounts(s.read.parquet(stateDir),
+        graft.ops.Geo.cellCounts(delta, "lat_u", "lon_u", cellMicro = 5000L))
+      graft.ops.Geo.hotspotFromCells(merged, factorNum = 3L, factorDen = 2L)
+    },
+    "text_colloc_incremental" -> { (s, dir) =>
+      // Incremental collocation maintenance off persisted bigram-count
+      // state: margins and the total are pure re-aggregations of the
+      // count frame, so stored counts + a delta-only tokenization pass
+      // equal the full-corpus G² exactly (text_collocations's oracle).
+      val docs = Tables(s, dir, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
+      val delta = docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_bigram_state_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ext.TextAnalysis.bigramCounts(hist), stateDir)
+      val merged = graft.ext.TextAnalysis.mergeBigramCounts(
+        s.read.parquet(stateDir), graft.ext.TextAnalysis.bigramCounts(delta))
+      graft.ext.TextAnalysis.collocationsFromCounts(merged, minCount = 5L)
+    },
+    "ts_theil_sen" -> { (s, dir) =>
+      // Robust trend of the daily per-type counts: median of all pairwise
+      // slopes — pairs quadratic in the DAY count (30), not in events;
+      // positional median of engine-deterministic exact-ratio doubles.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.TimeSeries.theilSen(daily, "event_type", "day", "n_events")
+    },
+    "er_blocking_recall" -> { (s, dir) =>
+      // Pair-completeness audit of a blocking scheme: ground truth =
+      // same-entity pairs across the two er_match_score copies (same
+      // custkey); candidate blocking = equal $1000 balance band — the
+      // %7 balance corruption pushes some true pairs across a band
+      // boundary, so recall is genuinely < 1. Exact integer counts and
+      // division; the one-row × one-row cross join is control-plane.
+      val cust = Tables(s, dir, "customer")
+      val bal = round(col("c_acctbal") * 100).cast("long")
+      val left = cust.filter(pmod(col("c_custkey"), lit(2L)) === 0L)
+        .select(col("c_custkey").as("l_key"),
+          call_function("div", bal, lit(100000L)).as("l_band"))
+      val right = cust.filter(pmod(col("c_custkey"), lit(3L)) === 0L)
+        .select(col("c_custkey").as("r_key"),
+          call_function("div",
+            bal + when(pmod(col("c_custkey"), lit(7L)) === 0L, lit(350L))
+              .otherwise(lit(0L)), lit(100000L)).as("r_band"))
+      val truth = left.join(right, col("l_key") === col("r_key"))
+      val found = truth.filter(col("l_band") === col("r_band"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_truth"), col("n_found"),
+          call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
+            .as("recall_micro"))
+    },
+    "stream_runlength" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Streaming run-length compression (flatMapGroupsWithState,
+        // append mode) through a 3-file time-ordered replay: runs that
+        // span microbatches continue from per-user state; a run emits
+        // when its successor's type differs. Drained output == batch
+        // runLength minus each user's final (still-open) run — the
+        // oracle's run_seq < max(run_seq) face.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .withColumn("ts_sec", unix_timestamp(col("ts")))
+        val out = graft.streaming.StreamingOps.runLengthStream(stream).toDF()
+        val name = s"graft_stream_runlength_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
+    },
   )
 
   /** Deterministic key-derived micro-degree point lattice over a 0.1°
@@ -4526,35 +4618,44 @@ object SparkEntry {
         | CAST(ROUND(CAST(SUM(d2p) AS DOUBLE) / (48.0 * CAST(COUNT(*) AS DOUBLE))
         |   * 1000000.0) AS BIGINT) AS seasonal_micro
         |FROM d GROUP BY 1, 2""".stripMargin,
-    "geo_hotspot" ->
-      s"""WITH pts AS ($geoPointsSqlCustomer),
-         |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
-         |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
-         |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)
-         |  CROSS JOIN (VALUES (-1), (0), (1)) b(dn)),
-         |nb AS (SELECT c.cell_lat, c.cell_lon, SUM(c2.n) AS s_neigh
-         | FROM cells c JOIN off ON TRUE JOIN cells c2
-         |   ON c2.cell_lat = c.cell_lat + off.dl AND c2.cell_lon = c.cell_lon + off.dn
-         | GROUP BY 1, 2),
-         |tot AS (SELECT COUNT(*) AS ncells, SUM(n) AS ntot FROM cells)
-         |SELECT c.cell_lat, c.cell_lon, c.n, CAST(nb.s_neigh AS BIGINT) AS s_neigh,
-         | CAST(CAST(nb.s_neigh AS HUGEINT) * ncells * 1000000
-         |   // (9 * CAST(ntot AS HUGEINT)) AS BIGINT) AS hot_micro,
-         | CAST(nb.s_neigh AS HUGEINT) * ncells * 2 > 3 * 9 * CAST(ntot AS HUGEINT) AS is_hot
-         |FROM cells c
-         |JOIN nb ON nb.cell_lat = c.cell_lat AND nb.cell_lon = c.cell_lon, tot""".stripMargin,
-    "events_runlength" ->
-      """WITH g AS (SELECT user_id, event_type, event_id,
-        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
-        |  CASE WHEN LAG(event_type) OVER w IS NULL
-        |    OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
-        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)),
-        |r AS (SELECT *, CAST(SUM(new_run) OVER (PARTITION BY user_id
-        |  ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
-        | FROM g)
-        |SELECT user_id, run_seq, MIN(event_type) AS event_type,
-        | COUNT(*) AS run_len, MIN(ts_sec) AS t_start, MAX(ts_sec) AS t_end
-        |FROM r GROUP BY user_id, run_seq""".stripMargin,
+    "geo_hotspot" -> geoHotspotSql,
+    "geo_hotspot_incremental" -> geoHotspotSql,
+    "text_colloc_incremental" -> collocationsSql,
+    "ts_theil_sen" ->
+      """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS s
+        | FROM d a JOIN d b ON b.event_type = a.event_type AND a.day < b.day),
+        |r AS (SELECT event_type, s,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS i,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS m FROM p)
+        |SELECT event_type, MAX(m) AS n_pairs,
+        | CAST(ROUND((MIN(s) + MAX(s)) / 2 * 1000000.0) AS BIGINT) AS slope_micro
+        |FROM r WHERE i = (m + 1) // 2 OR i = (m + 2) // 2
+        |GROUP BY event_type""".stripMargin,
+    "er_blocking_recall" ->
+      """WITH l AS (SELECT c_custkey AS l_key,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS l_band
+        | FROM customer WHERE c_custkey % 2 = 0),
+        |r AS (SELECT c_custkey AS r_key,
+        |  (CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        |   + CASE WHEN c_custkey % 7 = 0 THEN 350 ELSE 0 END) // 100000 AS r_band
+        | FROM customer WHERE c_custkey % 3 = 0),
+        |t AS (SELECT l_band, r_band FROM l JOIN r ON l_key = r_key),
+        |a AS (SELECT COUNT(*) AS n_truth FROM t),
+        |b AS (SELECT COUNT(*) AS n_found FROM t WHERE l_band = r_band)
+        |SELECT n_truth, n_found,
+        | CAST(n_found * 1000000 // n_truth AS BIGINT) AS recall_micro
+        |FROM a, b""".stripMargin,
+    "stream_runlength" ->
+      s"""WITH rl AS ($runlengthSql),
+         |m AS (SELECT user_id, MAX(run_seq) AS mx FROM rl GROUP BY 1)
+         |SELECT rl.user_id, rl.run_seq, rl.event_type, rl.run_len,
+         | rl.t_start, rl.t_end
+         |FROM rl JOIN m ON m.user_id = rl.user_id
+         |WHERE rl.run_seq < m.mx""".stripMargin,
+    "events_runlength" -> runlengthSql,
     "events_lift" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, event_type,
@@ -4581,7 +4682,47 @@ object SparkEntry {
         |FROM pairs p
         |JOIN per_t pa ON pa.event_type = p.a
         |JOIN per_t pb ON pb.event_type = p.b, tot""".stripMargin,
-    "text_collocations" ->
+    "text_collocations" -> collocationsSql,
+  )
+
+  /** Shared by the Scala-API and incremental-state hotspot rows. */
+  private def geoHotspotSql: String =
+
+      s"""WITH pts AS ($geoPointsSqlCustomer),
+         |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
+         |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
+         |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) b(dn)),
+         |nb AS (SELECT c.cell_lat, c.cell_lon, SUM(c2.n) AS s_neigh
+         | FROM cells c JOIN off ON TRUE JOIN cells c2
+         |   ON c2.cell_lat = c.cell_lat + off.dl AND c2.cell_lon = c.cell_lon + off.dn
+         | GROUP BY 1, 2),
+         |tot AS (SELECT COUNT(*) AS ncells, SUM(n) AS ntot FROM cells)
+         |SELECT c.cell_lat, c.cell_lon, c.n, CAST(nb.s_neigh AS BIGINT) AS s_neigh,
+         | CAST(CAST(nb.s_neigh AS HUGEINT) * ncells * 1000000
+         |   // (9 * CAST(ntot AS HUGEINT)) AS BIGINT) AS hot_micro,
+         | CAST(nb.s_neigh AS HUGEINT) * ncells * 2 > 3 * 9 * CAST(ntot AS HUGEINT) AS is_hot
+         |FROM cells c
+         |JOIN nb ON nb.cell_lat = c.cell_lat AND nb.cell_lon = c.cell_lon, tot""".stripMargin
+
+  /** Shared by the batch and (final-run-trimmed) streaming run-length rows. */
+  private def runlengthSql: String =
+
+      """WITH g AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |  CASE WHEN LAG(event_type) OVER w IS NULL
+        |    OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id)),
+        |r AS (SELECT *, CAST(SUM(new_run) OVER (PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+        | FROM g)
+        |SELECT user_id, run_seq, MIN(event_type) AS event_type,
+        | COUNT(*) AS run_len, MIN(ts_sec) AS t_start, MAX(ts_sec) AS t_end
+        |FROM r GROUP BY user_id, run_seq""".stripMargin
+
+  /** Shared by the full-corpus and incremental-state collocation rows. */
+  private def collocationsSql: String =
+
       """WITH toks AS (SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
         | FROM documents WHERE text IS NOT NULL),
         |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
@@ -4609,8 +4750,7 @@ object SparkEntry {
         |     * LN(CAST(n - n_a - n_b + n_ab AS DOUBLE) * CAST(n AS DOUBLE)
         |       / (CAST(n - n_a AS DOUBLE) * CAST(n - n_b AS DOUBLE))) END)
         |  ) * 1000000.0) AS BIGINT) AS g2_micro
-        |FROM j""".stripMargin,
-  )
+        |FROM j""".stripMargin
 
   /** Shared by the Scala-API and SQL-TVF radius-join rows. */
   private def geoRadiusSql: String =

@@ -207,18 +207,39 @@ object TextAnalysis {
     * unbiased by the cut. One-row totals ride an explicit broadcast
     * cross join. Output: (w1, w2, n_ab, g2_micro). */
   def collocations(docs: DataFrame, textCol: String = "text",
-      minCount: Long = 5L): DataFrame = {
+      minCount: Long = 5L): DataFrame =
+    collocationsFromCounts(bigramCounts(docs, textCol), minCount)
+
+  /** The (w1, w2, n_ab) bigram-count frame [[collocations]] scores —
+    * exposed because bigram counts are the MONOID an incremental corpus
+    * pipeline persists: the margins and total are pure re-aggregations
+    * of this frame, so day-level count states re-sum into any corpus
+    * window without retokenizing history. */
+  def bigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(lower(col(textCol)))
     val n1 = greatest(size(t) - 1, lit(0))
-    val bigrams = docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull)
       .select(explode(zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("__b"))
       .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-    val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-    val left = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
-    val right = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
-    val totals = bigrams.agg(count(lit(1)).as("__n"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+  }
+
+  /** Merge of bigram-count states (per-pair re-sum). */
+  def mergeBigramCounts(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeBigramCounts needs at least one state")
+    states.reduce(_.unionAll(_))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n_ab")).as("n_ab"))
+  }
+
+  /** [[collocations]]'s G² scoring over a pre-aggregated bigram-count
+    * frame — margins and the total derive from the counts, so this is
+    * the face incremental callers run over merged stored state. */
+  def collocationsFromCounts(bg: DataFrame, minCount: Long): DataFrame = {
+    val left = bg.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val right = bg.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+    val totals = bg.agg(sum(col("n_ab")).as("__n"))
     def term(k: Column, r: Column, c: Column, n: Column): Column =
       when(k === 0L, lit(0.0)).otherwise(
         k.cast("double") * log(k.cast("double") * n.cast("double") /

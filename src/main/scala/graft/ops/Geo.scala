@@ -116,14 +116,38 @@ object Geo {
     * hot_micro = S·n_cells·10^6 div (9·N) — exact nonnegative integer
     * division, identical in any engine. */
   def hotspotCells(points: DataFrame, latCol: String, lonCol: String,
-      cellMicro: Long, factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+      cellMicro: Long, factorNum: Long = 3L, factorDen: Long = 2L): DataFrame =
+    hotspotFromCells(cellCounts(points, latCol, lonCol, cellMicro),
+      factorNum, factorDen)
+
+  /** The (cell_lat, cell_lon, n) per-cell count frame [[hotspotCells]]
+    * tests — exposed because cell counts are the MONOID an incremental
+    * pipeline persists: day-level cell states re-SUM into any window's
+    * state without rescanning points (the hourCells/anomaly pattern). */
+  def cellCounts(points: DataFrame, latCol: String, lonCol: String,
+      cellMicro: Long): DataFrame = {
     require(cellMicro > 0, s"cellMicro must be positive: $cellMicro")
-    require(factorNum > 0 && factorDen > 0 && factorNum >= factorDen,
-      s"threshold factor must be a rational >= 1, got $factorNum/$factorDen")
-    val cells = points.groupBy(
+    points.groupBy(
         floorDiv(col(latCol), cellMicro).as("cell_lat"),
         floorDiv(col(lonCol), cellMicro).as("cell_lon"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge of cell-count states (set union + per-cell re-sum). */
+  def mergeCellCounts(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeCellCounts needs at least one state")
+    states.reduce(_.unionAll(_))
+      .groupBy(col("cell_lat"), col("cell_lon")).agg(sum(col("n")).as("n"))
+  }
+
+  /** [[hotspotCells]]'s test over a pre-aggregated cells frame (columns:
+    * cell_lat, cell_lon, n) — used directly by incremental callers whose
+    * stored state IS this frame. */
+  def hotspotFromCells(cellsIn: DataFrame,
+      factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+    require(factorNum > 0 && factorDen > 0 && factorNum >= factorDen,
+      s"threshold factor must be a rational >= 1, got $factorNum/$factorDen")
+    val cells = cellsIn
     val probes = cells
       .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__dlon", explode(array(lit(-1L), lit(0L), lit(1L))))

@@ -219,6 +219,40 @@ object TimeSeries {
           * lit(1e6)).cast("long").as("seasonal_micro"))
   }
 
+  /** Theil–Sen robust trend estimator: per key, the MEDIAN of all
+    * pairwise slopes (x_j − x_i)/(t_j − t_i), i<j — the 29%-breakdown
+    * slope OLS can't give (one wild day does not move it). Pairs are
+    * generated by a per-key self equi-join: quadratic IN THE SERIES
+    * LENGTH, which is the bucket count — a 3-year daily series is ~600k
+    * pairs per key, nothing against raw-event volume; the join shuffles
+    * on the key only. Slopes are IEEE doubles of exact integer inputs
+    * (deterministic in any engine); the median is positional — values
+    * at ⌊(m+1)/2⌋ and ⌊(m+2)/2⌋ averaged, the both-parities form —
+    * micro-quantized. Output: (key, n_pairs, slope_micro). */
+  def theilSen(df: DataFrame, keyCol: String, tCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      col(valCol).cast("long").as("__x"))
+    val pairs = base
+      .join(base.select(col(keyCol), col("__t").as("__t2"), col("__x").as("__x2")),
+        Seq(keyCol))
+      .filter(col("__t") < col("__t2"))
+      .select(col(keyCol),
+        ((col("__x2") - col("__x")).cast("double") /
+          (col("__t2") - col("__t")).cast("double")).as("__s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+    val ranked = pairs
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+    ranked
+      .filter(col("__i") === call_function("div", col("__m") + 1L, lit(2L)) ||
+        col("__i") === call_function("div", col("__m") + 2L, lit(2L)))
+      .groupBy(col(keyCol))
+      .agg(max(col("__m")).as("n_pairs"),
+        round(((min(col("__s")) + max(col("__s"))) / 2) * lit(1e6))
+          .cast("long").as("slope_micro"))
+  }
+
   /** Pettitt change-point test (Pettitt 1979), exact to the last integer:
     * per key over an ordered series (one row per (key, t)), the
     * Mann-Whitney-style statistic

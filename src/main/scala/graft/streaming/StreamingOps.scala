@@ -348,6 +348,54 @@ object StreamingOps {
       }
   }
 
+  final case class RunEvent(user_id: Long, event_id: Long, ts_sec: Long,
+      event_type: String)
+  final case class RunCur(run_seq: Long, event_type: String, run_len: Long,
+      t_start: Long, t_end: Long)
+  final case class RunRow(user_id: Long, run_seq: Long, event_type: String,
+      run_len: Long, t_start: Long, t_end: Long)
+
+  /** Streaming run-length compression — the stream-side twin of
+    * `Events.runLength`: per user, consecutive same-type events collapse
+    * to runs; a run EMITS when the next event's type differs (append
+    * mode), while the still-open run rides the state (one small record
+    * per user — the bounded per-key running state family, like
+    * [[runningUserTotals]]; a run can span any number of microbatches).
+    * Within a microbatch the group's rows are sorted by (ts_sec,
+    * event_id) — iterator order is not deterministic, sequence order
+    * must be; ACROSS microbatches the caller replays in time order (the
+    * file-source staging contract all multi-batch rows use). Drained
+    * output over a finite replay therefore equals the batch operator
+    * minus each user's final (never-closed) run — exactly the oracle's
+    * run_seq < max(run_seq) face. */
+  def runLengthStream(events: DataFrame): Dataset[RunRow] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_sec").cast("long"), col("event_type"))
+      .as[RunEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunCur, RunRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RunEvent], state: GroupState[RunCur]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RunRow]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            if (cur == null)
+              cur = RunCur(1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
+            else if (cur.event_type == e.event_type)
+              cur = cur.copy(run_len = cur.run_len + 1L, t_end = e.ts_sec)
+            else {
+              out += RunRow(uid, cur.run_seq, cur.event_type, cur.run_len,
+                cur.t_start, cur.t_end)
+              cur = RunCur(cur.run_seq + 1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on ingest — the stream-side twin of
     * Dedup.exact. `dropDuplicatesWithinWatermark` bounds the dedup state
     * by event time: duplicates are suppressed whenever they arrive within

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.ext.TextAnalysis
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.RunEvent
+
+/** Round-9 batch 3: Theil–Sen hand cases + outlier robustness, the two
+  * exact monoid-state identities (cell counts, bigram counts), and the
+  * streaming run-length operator's cross-batch state. */
+class TheilSenIncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("theilSen: exact slope on a line, unmoved by one wild outlier") {
+    val line = (0L until 20L).map(t => ("clean", t, 5L + 3L * t))
+    val dirty = (0L until 20L).map(t => ("dirty", t, if (t == 7L) 100000L else 5L + 3L * t))
+    val got = TimeSeries.theilSen((line ++ dirty).toDF("g", "t", "x"), "g", "t", "x")
+      .select("g", "n_pairs", "slope_micro").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("clean") == (190L, 3000000L))
+    // 19 of 190 pairs touch the outlier; the median is still exactly 3
+    assert(got("dirty") == (190L, 3000000L))
+  }
+
+  test("theilSen: even pair count averages the two middles") {
+    // t = 0,1,2,3 with x = 0,1,2,10: slopes (pairs in t order):
+    // 1,1,10/3, 1,9/2,8 -> sorted: 1,1,1,10/3,9/2,8 ; m=6 -> avg(1, 10/3)
+    val df = Seq(("k", 0L, 0L), ("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 10L))
+      .toDF("g", "t", "x")
+    val got = TimeSeries.theilSen(df, "g", "t", "x")
+      .select("n_pairs", "slope_micro").as[(Long, Long)].head()
+    assert(got._1 == 6L)
+    assert(got._2 == math.round((1.0 + 10.0 / 3.0) / 2 * 1e6))
+  }
+
+  test("cell-count state merge == single-pass counts (hotspot identity)") {
+    val rnd = new scala.util.Random(11L)
+    val pts = (0 until 300).map(_ => (rnd.nextLong(20000L) - 10000L, rnd.nextLong(20000L) - 10000L))
+    val df = pts.toDF("lat_u", "lon_u")
+    val parts = Seq(df.filter(col("lat_u") % 3 === 0), df.filter(col("lat_u") % 3 =!= 0))
+    val merged = Geo.mergeCellCounts(
+        parts.map(p => Geo.cellCounts(p, "lat_u", "lon_u", 1500L)): _*)
+    val full = Geo.cellCounts(df, "lat_u", "lon_u", 1500L)
+    val a = Geo.hotspotFromCells(merged).collect().map(_.toSeq).toSet
+    val b = Geo.hotspotFromCells(full).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bigram-count state merge == single-pass counts (collocation identity)") {
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha beta gamma ${if (i % 2 == 0) "alpha beta" else "delta"}"))
+      .toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeBigramCounts(
+      TextAnalysis.bigramCounts(docs.filter(col("doc_id") < 15L)),
+      TextAnalysis.bigramCounts(docs.filter(col("doc_id") >= 15L)))
+    val a = TextAnalysis.collocationsFromCounts(merged, minCount = 2L)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.collocations(docs, minCount = 2L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("runLengthStream: a run spanning microbatches emits once, continued") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RunEvent]
+    val q = StreamingOps.runLengthStream(mem.toDS().toDF()).writeStream
+      .format("memory").queryName("runlen_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 starts an 'a' run (2 events)
+      mem.addData(RunEvent(1L, 1L, 10L, "a"), RunEvent(1L, 2L, 11L, "a"))
+      q.processAllAvailable()
+      // batch 2: 'a' continues, then 'b' closes it; 'b' stays open
+      mem.addData(RunEvent(1L, 3L, 12L, "a"), RunEvent(1L, 4L, 13L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("runlen_out")
+      .select("user_id", "run_seq", "event_type", "run_len", "t_start", "t_end")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    // exactly ONE emission: the 3-event 'a' run spanning both batches;
+    // the open 'b' run stays in state
+    assert(rows == Seq((1L, 1L, "a", 3L, 10L, 12L)))
+  }
+
+  test("runLengthStream: within-batch iterator order does not matter") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RunEvent]
+    val q = StreamingOps.runLengthStream(mem.toDS().toDF()).writeStream
+      .format("memory").queryName("runlen_out2").outputMode("append").start()
+    try {
+      // one batch, events deliberately added out of time order
+      mem.addData(RunEvent(7L, 3L, 30L, "c"), RunEvent(7L, 1L, 10L, "a"),
+        RunEvent(7L, 2L, 20L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("runlen_out2")
+      .select("run_seq", "event_type", "run_len").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(rows == Seq((1L, "a", 2L))) // 'c' run open in state
+  }
+}
