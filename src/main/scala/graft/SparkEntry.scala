@@ -2791,6 +2791,40 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "geo_dbscan" -> { (s, dir) =>
+      // Grid-DBSCAN spatial clustering: dense cells (>= 5 points) union
+      // across 8-neighborhoods into clusters labeled by the MIN packed
+      // cell id — pointer-jumping components over the aggregate-sized
+      // dense-cell graph; oracle = recursive-CTE transitive closure
+      // (the dedup_clusters discipline). Sparse cells are noise.
+      graft.ops.Geo.dbscanCells(
+        geoPoints(Tables(s, dir, "customer"), "c_custkey")
+          .select(col("lat_u"), col("lon_u")),
+        "lat_u", "lon_u", cellMicro = 5000L, minPts = 5L)
+    },
+    "stream_hotspot_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Hotspot-on-arrival: the geo_hotspot scenario with points
+        // arriving as a 3-file stream; microbatches fold per-cell
+        // counts into persisted state (foreachBatch, versioned-dir +
+        // marker exactly-once), the result is the hotspot test over
+        // summaries only. Cell counts merge as a monoid, so the gate
+        // hash-matches the batch recompute over the full stream.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(pmod(col("event_id") * lit(40503L), lit(100000L)).as("lat_u"),
+            pmod(col("event_id") * lit(69069L), lit(100000L)).as("lon_u"))
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_hotspot_state_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_hotspot_ckpt_").toString
+        graft.streaming.StreamingOps.hotspotGate(stream, "lat_u", "lon_u",
+          cellMicro = 5000L, stateDir, ckpt)
+        graft.streaming.StreamingOps.hotspotGateResult(s, stateDir,
+          factorNum = 3L, factorDen = 2L)
+      }
+    },
     "stream_runlength" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming run-length compression (flatMapGroupsWithState,
@@ -4620,6 +4654,30 @@ object SparkEntry {
         |FROM d GROUP BY 1, 2""".stripMargin,
     "geo_hotspot" -> geoHotspotSql,
     "geo_hotspot_incremental" -> geoHotspotSql,
+    "stream_hotspot_gate" -> geoHotspotSqlFor(geoPointsSqlEvents),
+    "geo_dbscan" ->
+      s"""WITH RECURSIVE pts AS ($geoPointsSqlCustomer),
+         |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
+         |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
+         |dense AS (SELECT cell_lat, cell_lon, n,
+         |  (cell_lat + 1048576) * 2097152 + (cell_lon + 1048576) AS id
+         | FROM cells WHERE n >= 5),
+         |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)
+         |  CROSS JOIN (VALUES (-1), (0), (1)) b(dn)),
+         |pr AS (SELECT a.id AS a_id, b.id AS b_id
+         | FROM dense a JOIN off ON TRUE JOIN dense b
+         |   ON b.cell_lat = a.cell_lat + off.dl AND b.cell_lon = a.cell_lon + off.dn
+         |  AND a.id < b.id),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         | SELECT src, src FROM edges
+         | UNION
+         | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.cell_lat, d.cell_lon, d.n,
+         | COALESCE(c.cluster_id, d.id) AS cluster_id
+         |FROM dense d LEFT JOIN comp c ON c.id = d.id""".stripMargin,
     "text_colloc_incremental" -> collocationsSql,
     "ts_theil_sen" ->
       """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
@@ -4686,9 +4744,16 @@ object SparkEntry {
   )
 
   /** Shared by the Scala-API and incremental-state hotspot rows. */
-  private def geoHotspotSql: String =
+  private def geoHotspotSql: String = geoHotspotSqlFor(geoPointsSqlCustomer)
 
-      s"""WITH pts AS ($geoPointsSqlCustomer),
+  /** Event-id-derived lattice for the streaming hotspot gate's oracle. */
+  private def geoPointsSqlEvents: String =
+    "SELECT (event_id * 40503) % 100000 AS lat_u, (event_id * 69069) % 100000 AS lon_u FROM events"
+
+  /** The hotspot oracle over any point CTE — shared by the batch,
+    * incremental-state, and streaming-gate rows. */
+  private def geoHotspotSqlFor(ptsSql: String): String =
+      s"""WITH pts AS ($ptsSql),
          |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
          |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
          |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)

@@ -177,6 +177,56 @@ object Geo {
           lit(factorNum) * lit(9L) * col("__ntot").cast(dec)).as("is_hot"))
   }
 
+  /** Cell index packed into one long — offset-shifted so negative
+    * indices pack cleanly; fails loud past ±2^20 cells (a 2-meter grid
+    * still spans the planet inside that). */
+  private def packCell(la: Column, lo: Column): Column = {
+    val bound = 1L << 20
+    val guard = abs(la) >= bound || abs(lo) >= bound
+    when(guard, raise_error(concat(lit("cell index beyond packable range: "),
+      la.cast("string"), lit(","), lo.cast("string"))).cast("long"))
+      .otherwise((la + lit(bound)) * lit(1L << 21) + (lo + lit(bound)))
+  }
+
+  /** Grid-DBSCAN (the cell-level formulation — CLIQUE/GriDBSCAN family):
+    * a cell is DENSE when it holds ≥ minPts points; dense cells that are
+    * 8-neighbors belong to one cluster; the cluster id is the MINIMUM
+    * packed cell id of the component — a pure function of the data, so
+    * labels are engine- and partitioning-independent (the dedup_clusters
+    * discipline). Sparse cells are noise and are not emitted.
+    *
+    * Scale shape: points → cells is the only data-volume shuffle; the
+    * dense-cell graph is aggregate-sized, its edges come from the same
+    * 3×3 Expand + equi-join as [[gridRadiusJoin]], and components run
+    * pointer-jumping in O(log diameter) rounds
+    * ([[graft.ext.Dedup.components]] — per-frame reducer sizing,
+    * reliable checkpoints). Output: (cell_lat, cell_lon, n, cluster_id),
+    * isolated dense cells as their own singleton cluster. */
+  def dbscanCells(points: DataFrame, latCol: String, lonCol: String,
+      cellMicro: Long, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val dense = cellCounts(points, latCol, lonCol, cellMicro)
+      .filter(col("n") >= minPts)
+      .withColumn("__id", packCell(col("cell_lat"), col("cell_lon")))
+    val probes = dense
+      .withColumn("__dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("cell_lat") + col("__dlat")).as("__nl"),
+        (col("cell_lon") + col("__dlon")).as("__nn"),
+        col("__id").as("a_id"))
+    val pairs = probes.join(
+        dense.select(col("cell_lat").as("__nl"), col("cell_lon").as("__nn"),
+          col("__id").as("b_id")),
+        Seq("__nl", "__nn"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val comps = graft.ext.Dedup.components(pairs)
+      .select(col("doc_id").as("__id"), col("cluster_id").as("__comp"))
+    dense.join(comps, Seq("__id"), "left")
+      .select(col("cell_lat"), col("cell_lon"), col("n"),
+        coalesce(col("__comp"), col("__id")).as("cluster_id"))
+  }
+
   /** Z-order (Morton) cell id of a point at `bits` bits per axis:
     * latitude quantized over [-90, 90), longitude over [-180, 180),
     * bits interleaved with longitude in the higher (odd) positions —

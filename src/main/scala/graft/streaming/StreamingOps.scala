@@ -670,6 +670,57 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), keyCol, factorNum, factorDen)
   }
 
+  /** Spatial-hotspot-on-arrival: the anomalyGate shape over per-cell
+    * point counts — each microbatch folds its `Geo.cellCounts` into the
+    * persisted cell state via the versioned-dir + marker exactly-once
+    * commit; [[hotspotGateResult]] then runs the hotspot test over the
+    * SUMMARIES only, never raw points. Cell counts are the monoid, so
+    * the drained gate equals a batch recompute over the full stream. */
+  def hotspotGate(stream: DataFrame, latCol: String, lonCol: String,
+      cellMicro: Long, stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyHotspotBatch(batch, batchId, latCol, lonCol, cellMicro, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent cell-count state merge (public for direct testing
+    * and for batch backfills sharing the gate's state). */
+  def applyHotspotBatch(batch: DataFrame, batchId: Long, latCol: String,
+      lonCol: String, cellMicro: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val cells = graft.ops.Geo.cellCounts(batch, latCol, lonCol, cellMicro)
+    val merged = if (current >= 0L)
+      graft.ops.Geo.mergeCellCounts(cells,
+        spark.read.parquet(s"$stateDir/v$current"))
+    else cells
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The hotspot test over the gate's committed cell state. */
+  def hotspotGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed hotspot state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.Geo.hotspotFromCells(
+      spark.read.parquet(s"$stateDir/v$v"), factorNum, factorDen)
+  }
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {
