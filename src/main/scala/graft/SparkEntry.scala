@@ -2791,6 +2791,25 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "graph_link_jaccard" -> { (s, dir) =>
+      // Link prediction over the part-supplier bipartite incidence
+      // (2% part slice keeps wedge volume honest — the degree-cap move
+      // every production link predictor makes): shared-neighbor count,
+      // exact-integer Jaccard, and nano-quantized Adamic-Adar.
+      val inc = Tables(s, dir, "lineitem")
+        .filter(pmod(col("l_partkey"), lit(50L)) === 0L)
+        .select(col("l_partkey").as("l"), col("l_suppkey").as("r"))
+      graft.ops.Graph.linkPrediction(inc, "l", "r")
+    },
+    "events_paths" -> { (s, dir) =>
+      // Frequent 3-step session paths: consecutive event-type trigrams
+      // within gap-sessions, counted corpus-wide — the unprompted-flow
+      // face of funnel analysis. Day-scale gap (the fixture's inter-event
+      // spacing is hours): the default 30-min gap leaves single-event
+      // sessions and a vacuous result at sf0.01.
+      graft.ext.Events.sessionTrigrams(Tables(s, dir, "events"), minCount = 5L,
+        gapSeconds = 86400L)
+    },
     "geo_dbscan" -> { (s, dir) =>
       // Grid-DBSCAN spatial clustering: dense cells (>= 5 points) union
       // across 8-neighborhoods into clusters labeled by the MIN packed
@@ -4655,6 +4674,42 @@ object SparkEntry {
     "geo_hotspot" -> geoHotspotSql,
     "geo_hotspot_incremental" -> geoHotspotSql,
     "stream_hotspot_gate" -> geoHotspotSqlFor(geoPointsSqlEvents),
+    "graph_link_jaccard" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r
+        | FROM lineitem WHERE l_partkey % 50 = 0),
+        |degl AS (SELECT l, COUNT(*) AS dl FROM inc GROUP BY 1),
+        |degr AS (SELECT r, COUNT(*) AS dr FROM inc GROUP BY 1),
+        |w AS (SELECT i1.l AS a, i2.l AS b, d.dr
+        | FROM inc i1 JOIN inc i2 ON i1.r = i2.r AND i1.l < i2.l
+        | JOIN degr d ON d.r = i1.r),
+        |p AS (SELECT a, b, COUNT(*) AS n_common,
+        |  SUM(CASE WHEN dr > 1
+        |    THEN CAST(ROUND(1000000000.0 / LN(CAST(dr AS DOUBLE))) AS BIGINT)
+        |    ELSE 0 END) AS aa
+        | FROM w GROUP BY 1, 2)
+        |SELECT p.a, p.b, p.n_common,
+        | CAST(p.n_common * 1000000 // (da.dl + db.dl - p.n_common) AS BIGINT) AS jaccard_micro,
+        | CAST(p.aa AS BIGINT) AS adamic_adar_nano
+        |FROM p JOIN degl da ON da.l = p.a JOIN degl db ON db.l = p.b""".stripMargin,
+    "events_paths" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |    OR CAST(FLOOR(EPOCH(ts)) AS BIGINT) - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 86400
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM g),
+        |t AS (SELECT event_type AS t1,
+        |  LEAD(event_type, 1) OVER w2 AS t2,
+        |  LEAD(event_type, 2) OVER w2 AS t3
+        | FROM s WINDOW w2 AS (PARTITION BY user_id, session_seq
+        |   ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT), event_id))
+        |SELECT t1, t2, t3, COUNT(*) AS n_paths
+        |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5""".stripMargin,
     "geo_dbscan" ->
       s"""WITH RECURSIVE pts AS ($geoPointsSqlCustomer),
          |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,

@@ -352,20 +352,49 @@ object Events {
   def sessionLift(events: DataFrame): DataFrame =
     sessionLiftFromTypes(sessionTypes(events))
 
-  /** The DISTINCT (user, session, event_type) presence frame
-    * [[sessionLift]] pairs over — exposed for tests. */
-  def sessionTypes(events: DataFrame): DataFrame = {
+  /** Events annotated with their gap-based session_seq (the sessionize
+    * numbering) — the per-event shape [[sessionTypes]] and
+    * [[sessionTrigrams]] build on. */
+  private def withSessionSeq(events: DataFrame,
+      gapSeconds: Long = 1800L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
       .withColumn("ts_sec", tsSec(events))
       .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSeconds, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** The DISTINCT (user, session, event_type) presence frame
+    * [[sessionLift]] pairs over — exposed for tests. */
+  def sessionTypes(events: DataFrame): DataFrame =
+    withSessionSeq(events)
       .select(col("user_id"), col("session_seq"), col("event_type"))
       .distinct()
+
+  /** Frequent session paths: counts of CONSECUTIVE event-type trigrams
+    * within a session (the path-mining face of funnel analysis — which
+    * 3-step flows actually happen, unprompted). Trigrams come from two
+    * LEAD windows over the session ordering — in-partition, zero extra
+    * shuffle beyond the sessionize partitioning; one grouped count
+    * closes it. Paths below `minCount` are cut. Output:
+    * (t1, t2, t3, n_paths). */
+  def sessionTrigrams(events: DataFrame, minCount: Long = 5L,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    withSessionSeq(events, gapSeconds)
+      .select(col("user_id"), col("session_seq"), col("ts_sec"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .filter(col("n_paths") >= minCount)
   }
 
   private def sessionLiftFromTypes(types: DataFrame): DataFrame = {

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ext.Events
+
+/** Link-prediction scores vs hand-computed values (incl. the degree-1
+  * Adamic-Adar pole) and session-trigram path mining. */
+class LinkPredictionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("linkPrediction: hand bipartite graph, jaccard and adamic-adar exact") {
+    // parts a=1,b=2,c=3 over suppliers: 1-{x,y}, 2-{x,y,z}, 3-{z}
+    // (x deg 2, y deg 2, z deg 2 after mapping below)
+    val inc = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 12L), (1L, 10L)) // duplicate incidence must collapse
+      .toDF("l", "r")
+    val got = Graph.linkPrediction(inc, "l", "r")
+      .select("a", "b", "n_common", "jaccard_micro", "adamic_adar_nano")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val aa2 = math.round(1e9 / math.log(2.0))
+    // pair (1,2): common {10,11}, union {10,11,12} -> jacc 2/3
+    assert(got((1L, 2L)) == (2L, 2L * 1000000L / 3L, 2L * aa2))
+    // pair (2,3): common {12}, union {10,11,12} -> jacc 1/3
+    assert(got((2L, 3L)) == (1L, 1000000L / 3L, aa2))
+    assert(!got.contains((1L, 3L))) // no shared neighbor
+  }
+
+  test("linkPrediction: two leaves sharing one hub — identical neighborhoods") {
+    // a SHARED neighbor always has degree >= 2, so the ln(1)=0 pole the
+    // dr>1 guard excludes can never fire on a shared neighbor — this
+    // minimal hub case pins the guard's boundary from the legal side
+    val inc = Seq((1L, 10L), (2L, 10L)).toDF("l", "r")
+    val got = Graph.linkPrediction(inc, "l", "r")
+      .select("n_common", "jaccard_micro", "adamic_adar_nano")
+      .as[(Long, Long, Long)].head()
+    assert(got == (1L, 1000000L, math.round(1e9 / math.log(2.0))))
+  }
+
+  test("sessionTrigrams: hand sessions, boundary does not leak across sessions") {
+    def e(id: Long, u: Long, sec: Long, t: String) = (id, sec * 1000000000L, u, t, 0.0, "")
+    // user 1 session 1: a b c a b c -> trigrams abc, bca, cab, abc
+    val s1 = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map { case (t, i) =>
+      e(i + 1L, 1L, 100L + i * 10L, t)
+    }
+    // user 1 session 2 (after 40-min gap): a b c  -> abc
+    val s2 = Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+      e(10L + i, 1L, 100L + 50L + 2500L + i * 10L, t)
+    }
+    val ev = (s1 ++ s2).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sessionTrigrams(ev, minCount = 1L)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // abc appears 2x in s1 + 1x in s2 = 3; cross-session "bca" from
+    // (b,c | a...) spanning the gap must NOT appear beyond s1's own
+    assert(got(("a", "b", "c")) == 3L)
+    assert(got(("b", "c", "a")) == 1L)
+    assert(got(("c", "a", "b")) == 1L)
+    assert(got.values.sum == 5L) // total trigrams: 4 (s1) + 1 (s2)
+  }
+}
