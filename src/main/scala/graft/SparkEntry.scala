@@ -2791,6 +2791,13 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "graph_clustering_coef" -> { (s, dir) =>
+      // Per-node local clustering coefficient on the part co-occurrence
+      // graph: 2·triangles/(deg·(deg−1)) as an exact integer division —
+      // composes the degree-oriented triangle count with one degree
+      // aggregation; degree-1 nodes have no coefficient.
+      graft.ops.Graph.clusteringCoefficient(partPairs(s, dir))
+    },
     "graph_link_jaccard" -> { (s, dir) =>
       // Link prediction over the part-supplier bipartite incidence
       // (2% part slice keeps wedge volume honest — the degree-cap move
@@ -4674,6 +4681,23 @@ object SparkEntry {
     "geo_hotspot" -> geoHotspotSql,
     "geo_hotspot_incremental" -> geoHotspotSql,
     "stream_hotspot_gate" -> geoHotspotSqlFor(geoPointsSqlEvents),
+    "graph_clustering_coef" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z FROM pairs e1
+        |  JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |degn AS (SELECT node, COUNT(*) AS deg FROM
+        |  (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+        | CAST(CAST(COALESCE(t.n_tri, 0) AS HUGEINT) * 2000000
+        |   // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS cc_micro
+        |FROM degn d LEFT JOIN tn t ON t.node = d.node
+        |WHERE d.deg >= 2""".stripMargin,
     "graph_link_jaccard" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r
         | FROM lineitem WHERE l_partkey % 50 = 0),

@@ -183,6 +183,28 @@ object Graph {
     best
   }
 
+  /** Per-node local clustering coefficient over canonical edges
+    * (u < v, distinct): cc = 2·triangles / (deg·(deg−1)), surfaced as
+    * the exact nonnegative integer division cc_micro (DECIMAL(38,0)
+    * products — hub degrees square). Composes [[triangleCounts]]
+    * (degree-oriented, broadcast closing join) with one degree
+    * aggregation and a key join; nodes of degree < 2 have no defined
+    * coefficient and are excluded. Output: (node, deg, n_tri, cc_micro). */
+  def clusteringCoefficient(edges: DataFrame, uCol: String = "u",
+      vCol: String = "v"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tri = triangleCounts(edges, uCol, vCol)
+    val deg = edges.select(col(uCol).as("node"))
+      .unionAll(edges.select(col(vCol).as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .filter(col("deg") >= 2L)
+      .select(col("node"), col("deg"), col("n_tri"),
+        call_function("div", col("n_tri").cast(dec) * lit(2000000L),
+          col("deg").cast(dec) * (col("deg") - 1L)).as("cc_micro"))
+  }
+
   /** Link-prediction scores over a BIPARTITE incidence list (left
     * entity, right entity): for every left pair sharing at least one
     * right neighbor —

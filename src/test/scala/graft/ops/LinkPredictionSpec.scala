@@ -37,6 +37,21 @@ class LinkPredictionSpec extends SparkTestBase {
     assert(got == (1L, 1000000L, math.round(1e9 / math.log(2.0))))
   }
 
+  test("clusteringCoefficient: triangle + pendant hand case") {
+    // K3 on {1,2,3} plus pendant 4-1: node 1 has deg 3, 1 triangle ->
+    // cc = 2/(3*2) = 1/3; nodes 2,3 have deg 2, 1 triangle -> cc = 1;
+    // node 4 deg 1 -> excluded
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    val got = Graph.clusteringCoefficient(edges)
+      .select("node", "deg", "n_tri", "cc_micro")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (3L, 1L, 333333L))
+    assert(got(2L) == (2L, 1L, 1000000L))
+    assert(got(3L) == (2L, 1L, 1000000L))
+    assert(!got.contains(4L))
+  }
+
   test("sessionTrigrams: hand sessions, boundary does not leak across sessions") {
     def e(id: Long, u: Long, sec: Long, t: String) = (id, sec * 1000000000L, u, t, 0.0, "")
     // user 1 session 1: a b c a b c -> trigrams abc, bca, cab, abc
