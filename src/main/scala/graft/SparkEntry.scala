@@ -2791,6 +2791,39 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "geo_fence" -> { (s, dir) =>
+      // Exact geofence: point-in-convex-polygon decided by per-edge
+      // int64 cross products — boundary-inclusive, zero float, zero
+      // shuffle (a codegen'd conjunction riding the scan). The oracle
+      // spells the same five cross products (generated from the SAME
+      // vertex constant, so they cannot drift).
+      graft.ops.Geo.pointInConvexPolygon(
+        geoPoints(Tables(s, dir, "customer"), "c_custkey"),
+        "lat_u", "lon_u", GeoFenceVertices)
+        .select(col("c_custkey"), col("inside"))
+    },
+    "stream_asof" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Streaming as-of enrichment (flatMapGroupsWithState, append):
+        // every click is enriched with the user's latest purchase
+        // strictly before it in the (ts_sec, event_id) total order.
+        // State = ONE last-seen record per user (a stream-stream join
+        // would buffer a whole lookback of both sides); arrival is
+        // time-ordered via the 3-file replay, so the drained output
+        // equals the batch windowed as-of — the oracle's argmax face.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .withColumn("ts_sec", unix_timestamp(col("ts")))
+        val out = graft.streaming.StreamingOps
+          .asofEnrichStream(stream, leftType = "click", rightType = "purchase")
+          .toDF()
+        val name = s"graft_stream_asof_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name)
+      }
+    },
     "graph_clustering_coef" -> { (s, dir) =>
       // Per-node local clustering coefficient on the part co-occurrence
       // graph: 2·triangles/(deg·(deg−1)) as an exact integer division —
@@ -4681,6 +4714,23 @@ object SparkEntry {
     "geo_hotspot" -> geoHotspotSql,
     "geo_hotspot_incremental" -> geoHotspotSql,
     "stream_hotspot_gate" -> geoHotspotSqlFor(geoPointsSqlEvents),
+    "geo_fence" -> geoFenceSql,
+    "stream_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, "value",
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |l AS (SELECT * FROM e WHERE event_type = 'click'),
+        |r AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT l.event_id, l.user_id, l.ts_sec,
+        |  r.ts_sec AS r_ts, r."value" AS r_value, r.event_id AS r_id
+        | FROM l LEFT JOIN r ON r.user_id = l.user_id
+        |  AND (r.ts_sec < l.ts_sec
+        |    OR (r.ts_sec = l.ts_sec AND r.event_id < l.event_id))),
+        |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+        |  ORDER BY r_ts DESC NULLS LAST, r_id DESC) AS rn FROM j)
+        |SELECT event_id, user_id, ts_sec,
+        | COALESCE(r_ts, -1) AS r_ts, COALESCE(r_value, 0.0) AS r_value
+        |FROM best WHERE rn = 1""".stripMargin,
     "graph_clustering_coef" ->
       """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
@@ -4906,6 +4956,24 @@ object SparkEntry {
        |FROM c, s
        |WHERE (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
        |  + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) <= 4000000""".stripMargin
+
+  /** The geofence polygon — counterclockwise integer micro-degree
+    * vertices over the [[geoPoints]] lattice; shared by the Spark query
+    * and the generated oracle so the edge terms cannot drift. */
+  private val GeoFenceVertices: Seq[(Long, Long)] = Seq(
+    (10000L, 10000L), (80000L, 20000L), (90000L, 70000L),
+    (50000L, 90000L), (15000L, 60000L))
+
+  private def geoFenceSql: String = {
+    val n = GeoFenceVertices.size
+    val conds = GeoFenceVertices.indices.map { i =>
+      val (ax, ay) = GeoFenceVertices(i)
+      val (bx, by) = GeoFenceVertices((i + 1) % n)
+      s"(${bx - ax} * (lon_u - $ay) - (${by - ay}) * (lat_u - $ax) >= 0)"
+    }.mkString(" AND ")
+    s"""WITH c AS ($geoPointsSqlCustomer)
+       |SELECT c_custkey, ($conds) AS inside FROM c""".stripMargin
+  }
 
   /** Shared key-derived lattice CTEs for the geo oracles — must stay in
     * lockstep with [[geoPoints]]. */

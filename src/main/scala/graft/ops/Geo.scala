@@ -177,6 +177,33 @@ object Geo {
           lit(factorNum) * lit(9L) * col("__ntot").cast(dec)).as("is_hot"))
   }
 
+  /** Point-in-convex-polygon test, exact: the polygon is given as
+    * COUNTERCLOCKWISE integer micro-degree vertices; a point is inside
+    * (boundary inclusive) iff every edge's 2D cross product
+    * (b−a) × (p−a) is ≥ 0 — pure int64 arithmetic (coordinate spans
+    * < ~3·10⁹ keep the products exact), one codegen'd conjunction per
+    * point, zero shuffle: the geofence test runs at scan speed. Fails
+    * loud on polygons under 3 vertices or clockwise winding (negative
+    * shoelace area). */
+  def pointInConvexPolygon(points: DataFrame, latCol: String, lonCol: String,
+      vertices: Seq[(Long, Long)], outCol: String = "inside"): DataFrame = {
+    require(vertices.size >= 3, s"polygon needs >= 3 vertices: ${vertices.size}")
+    val shoelace = vertices.indices.map { i =>
+      val (ax, ay) = vertices(i)
+      val (bx, by) = vertices((i + 1) % vertices.size)
+      ax * by - bx * ay
+    }.sum
+    require(shoelace > 0,
+      s"vertices must wind counterclockwise (shoelace $shoelace <= 0)")
+    val p = (col(latCol), col(lonCol))
+    val inside = vertices.indices.map { i =>
+      val (ax, ay) = vertices(i)
+      val (bx, by) = vertices((i + 1) % vertices.size)
+      (lit(bx - ax) * (p._2 - lit(ay)) - lit(by - ay) * (p._1 - lit(ax))) >= 0L
+    }.reduce(_ && _)
+    points.withColumn(outCol, inside)
+  }
+
   /** Cell index packed into one long — offset-shifted so negative
     * indices pack cleanly; fails loud past ±2^20 cells (a 2-meter grid
     * still spans the planet inside that). */

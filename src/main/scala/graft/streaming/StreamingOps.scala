@@ -396,6 +396,49 @@ object StreamingOps {
       }
   }
 
+  final case class AsofEvent(user_id: Long, event_id: Long, ts_sec: Long,
+      event_type: String, value: Double)
+  final case class AsofLatest(r_ts: Long, r_id: Long, r_value: Double)
+  final case class AsofRow(event_id: Long, user_id: Long, ts_sec: Long,
+      r_ts: Long, r_value: Double)
+
+  /** Streaming as-of enrichment — the stream-side twin of
+    * `ops.AsOfJoin` (backward): every `leftType` event is enriched with
+    * the LATEST `rightType` event at-or-before it (strictly before in
+    * the (ts_sec, event_id) total order) for the same user. Because
+    * arrival is time-ordered (the replay staging contract) the state is
+    * just the last-seen right event per user — one tiny record, the
+    * bounded running-state family — where a stream-stream join would
+    * buffer a whole lookback of BOTH sides. Within a microbatch the
+    * group sorts by (ts_sec, event_id); a right and left event on the
+    * same key in the same batch interleave exactly as the total order
+    * says. Lefts with no preceding right emit r_ts = −1. */
+  def asofEnrichStream(events: DataFrame, leftType: String,
+      rightType: String): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_sec").cast("long"), col("event_type"), col("value").cast("double"))
+      .filter(col("event_type").isin(leftType, rightType))
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofLatest, AsofRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AsofEvent], state: GroupState[AsofLatest]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofRow]
+          var latest = state.getOption.orNull
+          sorted.foreach { e =>
+            if (e.event_type == rightType)
+              latest = AsofLatest(e.ts_sec, e.event_id, e.value)
+            else out += (if (latest == null)
+              AsofRow(e.event_id, uid, e.ts_sec, -1L, 0.0)
+            else AsofRow(e.event_id, uid, e.ts_sec, latest.r_ts, latest.r_value))
+          }
+          if (latest != null) state.update(latest)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on ingest — the stream-side twin of
     * Dedup.exact. `dropDuplicatesWithinWatermark` bounds the dedup state
     * by event time: duplicates are suppressed whenever they arrive within

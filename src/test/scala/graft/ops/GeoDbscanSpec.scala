@@ -70,6 +70,65 @@ class GeoDbscanSpec extends SparkTestBase {
     assert(loneRow.head._3 == (30L + 1048576L) * 2097152L + (30L + 1048576L))
   }
 
+  test("pointInConvexPolygon: interior, exterior, boundary-inclusive, guards") {
+    // CCW unit-ish square in micro coords
+    val sq = Seq((0L, 0L), (100L, 0L), (100L, 100L), (0L, 100L))
+    val pts = Seq(
+      (1L, 50L, 50L),   // interior
+      (2L, 0L, 0L),     // vertex -> inclusive
+      (3L, 100L, 50L),  // edge -> inclusive
+      (4L, 101L, 50L),  // just outside
+      (5L, -1L, 50L),   // outside, negative
+      (6L, 50L, 100L))  // top edge -> inclusive
+      .toDF("id", "lat_u", "lon_u")
+    val got = Geo.pointInConvexPolygon(pts, "lat_u", "lon_u", sq)
+      .select("id", "inside").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> true))
+    intercept[IllegalArgumentException] {
+      Geo.pointInConvexPolygon(pts, "lat_u", "lon_u", sq.reverse) // clockwise
+    }
+    intercept[IllegalArgumentException] {
+      Geo.pointInConvexPolygon(pts, "lat_u", "lon_u", sq.take(2))
+    }
+  }
+
+  test("asofEnrichStream: cross-batch state, same-second tie, no-match sentinel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.AsofEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsofEvent]
+    val q = StreamingOps.asofEnrichStream(mem.toDS().toDF(), "click", "purchase")
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      // batch 1: click before any purchase (-1); purchase at 20; click at 30
+      mem.addData(
+        AsofEvent(1L, 1L, 10L, "click", 0.0),
+        AsofEvent(1L, 2L, 20L, "purchase", 7.5),
+        AsofEvent(1L, 3L, 30L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: the purchase state carries over; a same-second pair —
+      // purchase id 5 at t=40 is visible to click id 6 at t=40 (5 < 6)
+      // but purchase id 8 at t=50 is NOT visible to click id 7 at t=50
+      mem.addData(
+        AsofEvent(1L, 4L, 35L, "click", 0.0),
+        AsofEvent(1L, 5L, 40L, "purchase", 9.0),
+        AsofEvent(1L, 6L, 40L, "click", 0.0),
+        AsofEvent(1L, 7L, 50L, "click", 0.0),
+        AsofEvent(1L, 8L, 50L, "purchase", 11.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_out")
+      .select("event_id", "r_ts", "r_value")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (-1L, 0.0))
+    assert(got(3L) == (20L, 7.5))
+    assert(got(4L) == (20L, 7.5)) // cross-batch state
+    assert(got(6L) == (40L, 9.0)) // same-second, smaller id visible
+    assert(got(7L) == (40L, 9.0)) // same-second, larger id NOT visible
+  }
+
   test("hotspot gate: idempotent batch replay, two folds == one pass") {
     val rnd = new scala.util.Random(33L)
     val pts = (0 until 200).map(_ => (rnd.nextLong(20000L), rnd.nextLong(20000L)))
