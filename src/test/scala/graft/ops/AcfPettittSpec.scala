@@ -93,6 +93,42 @@ class AcfPettittSpec extends SparkTestBase {
     assert(got._1 == k && got._2 == t.toLong)
   }
 
+  test("pettitt == brute force across 10 seeded random series with ties") {
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(500L + seed)
+      val n = 8 + rnd.nextInt(25)
+      // small value alphabet forces heavy ties (the average-rank path)
+      val xs = (0 until n).map(_ => (rnd.nextInt(5) + 1).toDouble)
+      val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong + 1, x.toLong) }
+        .toDF("g", "t", "x")
+      val got = TimeSeries.pettitt(df, "g", "t", "x")
+        .select("k_stat", "cp_t").as[(Long, Long)].head()
+      val (k, t) = pettittRef(xs)
+      assert(got._1 == k, s"seed=$seed xs=$xs")
+      assert(got._2 == t.toLong, s"seed=$seed xs=$xs")
+    }
+  }
+
+  test("acf == local reference across 8 seeded gappy series") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(900L + seed)
+      val xs = (1L to 60L).filter(_ => rnd.nextDouble() > 0.2)
+        .map(t => (t, rnd.nextInt(1000) / 10.0))
+      val df = xs.map { case (t, x) => ("k", t, x) }.toDF("g", "t", "x")
+      val got = TimeSeries.acf(df, "g", "t", "x", maxLag = 3)
+        .select("lag", "m", "acf_micro").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      for (lag <- 1 to 3) {
+        val (m, r) = acfRef(xs, lag)
+        if (m > 0) {
+          assert(got(lag.toLong)._1 == m, s"seed=$seed lag=$lag")
+          assert(math.abs(got(lag.toLong)._2 - math.round(r * 1e6)) <= 1,
+            s"seed=$seed lag=$lag got=${got(lag.toLong)._2} want=$r")
+        }
+      }
+    }
+  }
+
   test("pettitt: constant series has k_stat 0") {
     val df = (1L to 12L).map(t => ("k", t, 5L)).toDF("g", "t", "x")
     val got = TimeSeries.pettitt(df, "g", "t", "x")
