@@ -237,6 +237,44 @@ object GraftExtensions {
         radiusMicro = longLit(args(4), "radius_micro"))
       out.queryExecution.logical
     }),
+    //   graft_geo_hotspot(points_view, lat_col, lon_col, cell_micro,
+    //                     factor_num, factor_den)
+    // Spatial hotspot cells — same plan as Geo.hotspotCells (cells →
+    // 3×3 neighborhood sums → exact integer threshold).
+    ("graft_geo_hotspot", 6, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Geo.hotspotCells(
+        spark.table(strLit(args(0), "points_view")),
+        strLit(args(1), "lat_col"), strLit(args(2), "lon_col"),
+        cellMicro = longLit(args(3), "cell_micro"),
+        factorNum = longLit(args(4), "factor_num"),
+        factorDen = longLit(args(5), "factor_den"))
+      out.queryExecution.logical
+    }),
+    //   graft_spearman(table_view, group_cols_csv, x_col, y_col)
+    // Tie-correct per-group Spearman — same DECIMAL(38,0) plan as
+    // Relational.spearmanPerGroup.
+    ("graft_spearman", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val groups = strLit(args(1), "group_cols_csv").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val out = graft.ops.Relational.spearmanPerGroup(
+        spark.table(strLit(args(0), "table_view")), groups,
+        strLit(args(2), "x_col"), strLit(args(3), "y_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_acf(series_view, key_col, t_col, val_col, max_lag)
+    // Per-key autocorrelation — same micro-integer DECIMAL(38,0) plan
+    // as TimeSeries.acf (one lag Expand, one equi-join).
+    ("graft_acf", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.TimeSeries.acf(
+        spark.table(strLit(args(0), "series_view")),
+        strLit(args(1), "key_col"), strLit(args(2), "t_col"),
+        strLit(args(3), "val_col"),
+        maxLag = longLit(args(4), "max_lag").toInt)
+      out.queryExecution.logical
+    }),
     //   graft_psi_drift(ref_view, cur_view, value_col, bins)
     // Numeric PSI drift gate — same plan as DataQuality.psiDrift (the
     // reference-edge lookup runs at analysis time, like the bloom TVF's

@@ -2791,6 +2791,41 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "q_spearman_sql" -> { (s, dir) =>
+      // Spearman through its SQL TVF face — identical plan and oracle
+      // as q_spearman.
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .createOrReplaceTempView("graft_spearman_v")
+      s.sql("""
+        SELECT * FROM graft_spearman('graft_spearman_v', 'l_returnflag',
+          'l_quantity', 'l_extendedprice')
+      """)
+    },
+    "ts_acf_sql" -> { (s, dir) =>
+      // ACF through its SQL TVF face — identical plan and oracle as
+      // ts_acf (the hourly series view is prepared SQL-side too).
+      graft.GraftExtensions.register(s)
+      val ev = Tables(s, dir, "events")
+      ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(3600L)).as("t"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
+        .createOrReplaceTempView("graft_acf_series_v")
+      s.sql("SELECT * FROM graft_acf('graft_acf_series_v', 'event_type', 't', 'x', 3)")
+    },
+    "geo_hotspot_sql" -> { (s, dir) =>
+      // The hotspot test through its SQL TVF face — identical plan and
+      // oracle as geo_hotspot.
+      graft.GraftExtensions.register(s)
+      geoPoints(Tables(s, dir, "customer"), "c_custkey")
+        .select(col("lat_u"), col("lon_u"))
+        .createOrReplaceTempView("graft_hotspot_pts_v")
+      s.sql("""
+        SELECT * FROM graft_geo_hotspot('graft_hotspot_pts_v',
+          'lat_u', 'lon_u', 5000, 3, 2)
+      """)
+    },
     "geo_fence" -> { (s, dir) =>
       // Exact geofence: point-in-convex-polygon decided by per-edge
       // int64 cross products — boundary-inclusive, zero float, zero
@@ -4582,28 +4617,8 @@ object SparkEntry {
         |   1.0))))) AS BIGINT) AS dist_m
         |FROM n a JOIN n b ON a.rkey = b.rkey AND a.nkey < b.nkey""".stripMargin,
     "geo_morton_cells" -> geoMortonSql,
-    "ts_acf" ->
-      """WITH b AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS t,
-        |  CAST(CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
-        | FROM events GROUP BY 1, 2),
-        |tot AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
-        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
-        | FROM b GROUP BY 1),
-        |lags AS (SELECT * FROM (VALUES (1), (2), (3)) AS l("lag")),
-        |p AS (SELECT b1.event_type, l."lag" AS lag_k, COUNT(*) AS m,
-        |  SUM(CAST(b1.x AS HUGEINT) * CAST(b2.x AS HUGEINT)) AS a,
-        |  SUM(CAST(b1.x AS HUGEINT)) AS bb, SUM(CAST(b2.x AS HUGEINT)) AS cc
-        | FROM b b1 JOIN lags l ON TRUE
-        | JOIN b b2 ON b2.event_type = b1.event_type AND b2.t = b1.t + l."lag"
-        | GROUP BY 1, 2)
-        |SELECT p.event_type, CAST(p.lag_k AS BIGINT) AS "lag", p.m, tot.n,
-        | CAST(ROUND((CAST(a AS DOUBLE)
-        |   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(bb AS DOUBLE)
-        |   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(cc AS DOUBLE)
-        |   + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
-        |  / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
-        |  * 1000000.0) AS BIGINT) AS acf_micro
-        |FROM p JOIN tot ON tot.event_type = p.event_type""".stripMargin,
+    "ts_acf" -> acfSql,
+    "ts_acf_sql" -> acfSql,
     "ts_pettitt" ->
       """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -4671,27 +4686,8 @@ object SparkEntry {
         |      WHEN sc >= 0 THEN 'possible'
         |      ELSE 'non_match' END AS fs_class
         |FROM p""".stripMargin,
-    "q_spearman" ->
-      """WITH b AS (SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
-        | FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-        |r AS (SELECT l_returnflag,
-        |  2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
-        |   + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
-        |  2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
-        |   + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
-        | FROM b),
-        |s AS (SELECT l_returnflag, COUNT(*) AS n,
-        |  SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
-        |  SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
-        |  SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
-        |  SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
-        | FROM r GROUP BY l_returnflag)
-        |SELECT l_returnflag, n,
-        | CAST(ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-        |  / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-        |    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
-        |  * 1000000.0) AS BIGINT) AS rho_micro
-        |FROM s""".stripMargin,
+    "q_spearman" -> spearmanSql,
+    "q_spearman_sql" -> spearmanSql,
     "ts_decompose" ->
       """WITH c AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -4713,6 +4709,7 @@ object SparkEntry {
         |FROM d GROUP BY 1, 2""".stripMargin,
     "geo_hotspot" -> geoHotspotSql,
     "geo_hotspot_incremental" -> geoHotspotSql,
+    "geo_hotspot_sql" -> geoHotspotSql,
     "stream_hotspot_gate" -> geoHotspotSqlFor(geoPointsSqlEvents),
     "geo_fence" -> geoFenceSql,
     "stream_asof" ->
@@ -4871,6 +4868,55 @@ object SparkEntry {
         |JOIN per_t pb ON pb.event_type = p.b, tot""".stripMargin,
     "text_collocations" -> collocationsSql,
   )
+
+  /** Shared by the Scala-API and SQL-TVF Spearman rows. */
+  private def spearmanSql: String =
+
+      """WITH b AS (SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+        | FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT l_returnflag,
+        |  2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+        |   + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+        |  2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+        |   + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+        | FROM b),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |  SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+        |  SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+        |  SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+        | FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | CAST(ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |  / SQRT(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |    * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+        |  * 1000000.0) AS BIGINT) AS rho_micro
+        |FROM s""".stripMargin
+
+  /** Shared by the Scala-API and SQL-TVF ACF rows. */
+  private def acfSql: String =
+
+      """WITH b AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS t,
+        |  CAST(CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
+        | FROM b GROUP BY 1),
+        |lags AS (SELECT * FROM (VALUES (1), (2), (3)) AS l("lag")),
+        |p AS (SELECT b1.event_type, l."lag" AS lag_k, COUNT(*) AS m,
+        |  SUM(CAST(b1.x AS HUGEINT) * CAST(b2.x AS HUGEINT)) AS a,
+        |  SUM(CAST(b1.x AS HUGEINT)) AS bb, SUM(CAST(b2.x AS HUGEINT)) AS cc
+        | FROM b b1 JOIN lags l ON TRUE
+        | JOIN b b2 ON b2.event_type = b1.event_type AND b2.t = b1.t + l."lag"
+        | GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(p.lag_k AS BIGINT) AS "lag", p.m, tot.n,
+        | CAST(ROUND((CAST(a AS DOUBLE)
+        |   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(bb AS DOUBLE)
+        |   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(cc AS DOUBLE)
+        |   + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  * 1000000.0) AS BIGINT) AS acf_micro
+        |FROM p JOIN tot ON tot.event_type = p.event_type""".stripMargin
 
   /** Shared by the Scala-API and incremental-state hotspot rows. */
   private def geoHotspotSql: String = geoHotspotSqlFor(geoPointsSqlCustomer)

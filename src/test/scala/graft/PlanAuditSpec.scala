@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sketch_segment_overlap", // |segments|-row sketch pair matrix (a < b)
     "sketch_overlap_sql",     // same plan through the TVF face
     "geo_hotspot",            // one-row (n_cells, n_total) frame x cells
+    "geo_hotspot_sql",        // same plan through the TVF face
     "geo_hotspot_incremental", // same hotspot face over merged stored state
     "events_lift",            // one-row session-count frame x type pairs
     "text_collocations",      // one-row bigram-total frame x scored pairs
