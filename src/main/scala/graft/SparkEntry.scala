@@ -2837,6 +2837,29 @@ object SparkEntry {
         "lat_u", "lon_u", GeoFenceVertices)
         .select(col("c_custkey"), col("inside"))
     },
+    "stream_dbscan_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Spatial clustering off STREAMED state: the same versioned
+        // cell-count gate stream_hotspot_gate folds (per-cell counts
+        // are one monoid serving both tests); after the replay drains,
+        // grid-DBSCAN runs over the committed summaries only. minPts
+        // 25 sits at the sf0.01 Poisson mean — roughly half the cells
+        // are dense, so the component structure is non-trivial.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(pmod(col("event_id") * lit(40503L), lit(100000L)).as("lat_u"),
+            pmod(col("event_id") * lit(69069L), lit(100000L)).as("lon_u"))
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_dbscan_state_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_dbscan_ckpt_").toString
+        graft.streaming.StreamingOps.hotspotGate(stream, "lat_u", "lon_u",
+          cellMicro = 5000L, stateDir, ckpt)
+        graft.ops.Geo.dbscanFromCells(
+          graft.streaming.StreamingOps.readSnapshot(s, stateDir), minPts = 25L)
+      }
+    },
     "stream_asof" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming as-of enrichment (flatMapGroupsWithState, append):
@@ -4781,29 +4804,8 @@ object SparkEntry {
         |SELECT t1, t2, t3, COUNT(*) AS n_paths
         |FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5""".stripMargin,
-    "geo_dbscan" ->
-      s"""WITH RECURSIVE pts AS ($geoPointsSqlCustomer),
-         |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
-         |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
-         |dense AS (SELECT cell_lat, cell_lon, n,
-         |  (cell_lat + 1048576) * 2097152 + (cell_lon + 1048576) AS id
-         | FROM cells WHERE n >= 5),
-         |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)
-         |  CROSS JOIN (VALUES (-1), (0), (1)) b(dn)),
-         |pr AS (SELECT a.id AS a_id, b.id AS b_id
-         | FROM dense a JOIN off ON TRUE JOIN dense b
-         |   ON b.cell_lat = a.cell_lat + off.dl AND b.cell_lon = a.cell_lon + off.dn
-         |  AND a.id < b.id),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
-         |  UNION SELECT b_id, a_id FROM pr),
-         |reach(id, r) AS (
-         | SELECT src, src FROM edges
-         | UNION
-         | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT d.cell_lat, d.cell_lon, d.n,
-         | COALESCE(c.cluster_id, d.id) AS cluster_id
-         |FROM dense d LEFT JOIN comp c ON c.id = d.id""".stripMargin,
+    "geo_dbscan" -> geoDbscanSqlFor(geoPointsSqlCustomer, 5L),
+    "stream_dbscan_gate" -> geoDbscanSqlFor(geoPointsSqlEvents, 25L),
     "text_colloc_incremental" -> collocationsSql,
     "ts_theil_sen" ->
       """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
@@ -4917,6 +4919,33 @@ object SparkEntry {
         |  / (CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
         |  * 1000000.0) AS BIGINT) AS acf_micro
         |FROM p JOIN tot ON tot.event_type = p.event_type""".stripMargin
+
+  /** Grid-DBSCAN oracle over any point CTE — recursive-CTE transitive
+    * closure with min-id labels (the dedup_clusters discipline); shared
+    * by the batch and streamed-state rows. */
+  private def geoDbscanSqlFor(ptsSql: String, minPts: Long): String =
+    s"""WITH RECURSIVE pts AS ($ptsSql),
+       |cells AS (SELECT lat_u // 5000 AS cell_lat, lon_u // 5000 AS cell_lon,
+       |  COUNT(*) AS n FROM pts GROUP BY 1, 2),
+       |dense AS (SELECT cell_lat, cell_lon, n,
+       |  (cell_lat + 1048576) * 2097152 + (cell_lon + 1048576) AS id
+       | FROM cells WHERE n >= $minPts),
+       |off AS (SELECT * FROM (VALUES (-1), (0), (1)) a(dl)
+       |  CROSS JOIN (VALUES (-1), (0), (1)) b(dn)),
+       |pr AS (SELECT a.id AS a_id, b.id AS b_id
+       | FROM dense a JOIN off ON TRUE JOIN dense b
+       |   ON b.cell_lat = a.cell_lat + off.dl AND b.cell_lon = a.cell_lon + off.dn
+       |  AND a.id < b.id),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+       |  UNION SELECT b_id, a_id FROM pr),
+       |reach(id, r) AS (
+       | SELECT src, src FROM edges
+       | UNION
+       | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.cell_lat, d.cell_lon, d.n,
+       | COALESCE(c.cluster_id, d.id) AS cluster_id
+       |FROM dense d LEFT JOIN comp c ON c.id = d.id""".stripMargin
 
   /** Shared by the Scala-API and incremental-state hotspot rows. */
   private def geoHotspotSql: String = geoHotspotSqlFor(geoPointsSqlCustomer)

@@ -230,9 +230,16 @@ object Geo {
     * reliable checkpoints). Output: (cell_lat, cell_lon, n, cluster_id),
     * isolated dense cells as their own singleton cluster. */
   def dbscanCells(points: DataFrame, latCol: String, lonCol: String,
-      cellMicro: Long, minPts: Long): DataFrame = {
+      cellMicro: Long, minPts: Long): DataFrame =
+    dbscanFromCells(cellCounts(points, latCol, lonCol, cellMicro), minPts)
+
+  /** [[dbscanCells]] over a pre-aggregated cells frame (columns:
+    * cell_lat, cell_lon, n) — the face incremental/streaming callers
+    * run over merged stored cell-count state (the same state the
+    * hotspot gate persists serves both tests). */
+  def dbscanFromCells(cells: DataFrame, minPts: Long): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
-    val dense = cellCounts(points, latCol, lonCol, cellMicro)
+    val dense = cells
       .filter(col("n") >= minPts)
       .withColumn("__id", packCell(col("cell_lat"), col("cell_lon")))
     val probes = dense
