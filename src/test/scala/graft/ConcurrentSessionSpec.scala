@@ -71,6 +71,58 @@ class ConcurrentSessionSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"sqlInterface leaked views: ${leaked.mkString(",")}")
   }
 
+  test("round-9 families on one session: concurrent == sequential") {
+    // the geo grid join (explode + equi-join), ACF (lag Expand + join),
+    // Fellegi-Sunter (pure projection), and clustering coefficient
+    // (iterative-free but Materialize-using) share one session in
+    // parallel — none may depend on fixed-name views or session conf
+    val rnd = new scala.util.Random(77L)
+    val lpts = (0 until 150).map(i => (i.toLong, rnd.nextLong(8000L), rnd.nextLong(8000L)))
+      .toDF("lid", "lat_u", "lon_u")
+    val rpts = (0 until 100).map(i => (i.toLong, rnd.nextLong(8000L), rnd.nextLong(8000L)))
+      .toDF("rid", "lat_u", "lon_u")
+    val series = (1L to 50L).map(t => ("k", t, (t % 7).toDouble)).toDF("g", "t", "x")
+    val fsPairs = (0 until 200).map(i => (i.toLong, i % 3 == 0, i % 5 == 0))
+      .toDF("id", "f1", "f2")
+    val edges = (0L until 60L).flatMap(i => Seq((i, (i + 1) % 60), (i, (i + 2) % 60)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      .toDF("u", "v")
+
+    val seqGeo = graft.ops.Geo.gridRadiusJoin(lpts, rpts, "lat_u", "lon_u", 600L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val seqAcf = graft.ops.TimeSeries.acf(series, "g", "t", "x", 2)
+      .select("lag", "acf_micro").as[(Long, Long)].collect().toSet
+    val seqFs = Dedup.fellegiSunter(fsPairs,
+        Seq(("f1", 3L, -2L), ("f2", 2L, -1L)), 3L, 0L)
+      .select("id", "fs_class").as[(Long, String)].collect().toSet
+    val seqCc = graft.ops.Graph.clusteringCoefficient(edges)
+      .select("node", "cc_micro").as[(Long, Long)].collect().toSet
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.Future
+      val futures = (1 to 2).flatMap { _ =>
+        Seq(
+          Future(("geo", graft.ops.Geo.gridRadiusJoin(lpts, rpts, "lat_u", "lon_u", 600L)
+            .select("lid", "rid").as[(Long, Long)].collect().toSet == seqGeo)),
+          Future(("acf", graft.ops.TimeSeries.acf(series, "g", "t", "x", 2)
+            .select("lag", "acf_micro").as[(Long, Long)].collect().toSet == seqAcf)),
+          Future(("fs", Dedup.fellegiSunter(fsPairs,
+              Seq(("f1", 3L, -2L), ("f2", 2L, -1L)), 3L, 0L)
+            .select("id", "fs_class").as[(Long, String)].collect().toSet == seqFs)),
+          Future(("cc", graft.ops.Graph.clusteringCoefficient(edges)
+            .select("node", "cc_micro").as[(Long, Long)].collect().toSet == seqCc)))
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(300, "s"))
+      val wrong = results.filterNot(_._2).map(_._1)
+      assert(wrong.isEmpty, s"operators diverged under concurrency: ${wrong.distinct.mkString(",")}")
+    } finally pool.shutdown()
+  }
+
   test("streaming replay never mutates the parent session's conf (isolated clone)") {
     // The streaming contract rows scope shuffle.partitions down to 4 for
     // their state stores. With set/restore-in-finally scoping, a
