@@ -2791,6 +2791,19 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "curation_dsir" -> { (s, dir) =>
+      // DSIR importance selection: candidates (doc_id%3==2) ranked by
+      // nll_raw − nll_target under two add-one bigram models (in-domain
+      // = the English %3==0 slice, raw = the %3==1 slice); exact nano
+      // integers end-to-end, k-bounded TopK selection — no global sort.
+      val d = Tables(s, dir, "documents")
+      graft.ext.Curation.dsirSelect(
+        cand = d.filter(pmod(col("doc_id"), lit(3L)) === 2L),
+        targetRef = d.filter(pmod(col("doc_id"), lit(3L)) === 0L &&
+          col("lang") === "en"),
+        rawRef = d.filter(pmod(col("doc_id"), lit(3L)) === 1L),
+        topN = 100)
+    },
     "q_spearman_sql" -> { (s, dir) =>
       // Spearman through its SQL TVF face — identical plan and oracle
       // as q_spearman.
@@ -3746,6 +3759,42 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
         | FROM tf JOIN df USING (term)) WHERE rank <= 3""".stripMargin,
+    "curation_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+        |           FROM documents WHERE text IS NOT NULL),
+        |tw AS (SELECT doc_id, lang, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
+        |pairs AS (SELECT doc_id, lang, p['a'] AS a, p['b'] AS b FROM (
+        |  SELECT doc_id, lang, UNNEST([{'a': w[i], 'b': w[i+1]} FOR i IN RANGE(1, LEN(w))]) AS p
+        |  FROM tw WHERE LEN(w) >= 2)),
+        |c2t AS (SELECT a, b, COUNT(*) AS c2 FROM pairs
+        |  WHERE doc_id % 3 = 0 AND lang = 'en' GROUP BY 1, 2),
+        |c1t AS (SELECT a, SUM(c2) AS c1 FROM c2t GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE doc_id % 3 = 0 AND lang = 'en')),
+        |c2r AS (SELECT a, b, COUNT(*) AS c2 FROM pairs
+        |  WHERE doc_id % 3 = 1 GROUP BY 1, 2),
+        |c1r AS (SELECT a, SUM(c2) AS c1 FROM c2r GROUP BY 1),
+        |vr AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE doc_id % 3 = 1)),
+        |sct AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2t.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1t.c1, 0) + vt.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2t ON pr.a = c2t.a AND pr.b = c2t.b
+        | LEFT JOIN c1t ON pr.a = c1t.a, vt
+        | WHERE pr.doc_id % 3 = 2),
+        |nt AS (SELECT doc_id, COUNT(*) AS n_pairs, -SUM(lp) AS nll FROM sct GROUP BY 1),
+        |scr AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2r.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1r.c1, 0) + vr.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2r ON pr.a = c2r.a AND pr.b = c2r.b
+        | LEFT JOIN c1r ON pr.a = c1r.a, vr
+        | WHERE pr.doc_id % 3 = 2),
+        |nr AS (SELECT doc_id, -SUM(lp) AS nll FROM scr GROUP BY 1),
+        |sc AS (SELECT nt.doc_id, nt.n_pairs, nr.nll - nt.nll AS logw_nano
+        | FROM nt JOIN nr ON nr.doc_id = nt.doc_id),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |  (ORDER BY logw_nano DESC, doc_id DESC) AS BIGINT) AS rank FROM sc)
+        |SELECT doc_id, rank, logw_nano, n_pairs FROM rk WHERE rank <= 100""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
         |           FROM documents WHERE text IS NOT NULL),

@@ -421,4 +421,32 @@ object Curation {
         pmod(col("__off") + row_number().over(w).cast("long") - 1L, lit(k.toLong)))
       .drop("__pid", "__opid", "__st", "__off")
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the n-gram
+    * feature-space variant): every candidate document is scored under
+    * TWO add-one bigram models — one trained on an in-DOMAIN reference,
+    * one on the RAW corpus slice — and ranked by the log importance
+    * weight log w = ll_target − ll_raw = nll_raw − nll_target. Both
+    * NLLs are [[LangModel]]'s exact nano-integer sums, so the weight,
+    * the ordering, and the selected set are bit-identical on any
+    * engine or partitioning. Selection is the k-bounded TopK aggregate
+    * (map-side partial buffers, no global window sort) with the
+    * (score DESC, id DESC) tie order. Output:
+    * (idCol, rank, logw_nano, n_pairs) for the top `topN`. */
+  def dsirSelect(cand: DataFrame, targetRef: DataFrame, rawRef: DataFrame,
+      topN: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val t = LangModel.bigramNll(targetRef, cand, idCol, textCol)
+      .select(col(idCol), col("n_pairs"), col("nll_nano").as("__nt"))
+    val r = LangModel.bigramNll(rawRef, cand, idCol, textCol)
+      .select(col(idCol), col("nll_nano").as("__nr"))
+    val scored = t.join(r, Seq(idCol))
+      .withColumn("logw_nano", col("__nr") - col("__nt"))
+      .withColumn("__k", lit(1))
+    graft.ops.Relational.topKPerKey(scored, "__k", "logw_nano", idCol, topN)
+      .select(col(idCol), col("rank"),
+        col("logw_nano").cast("long").as("logw_nano"))
+      .join(scored.select(col(idCol), col("n_pairs")), Seq(idCol))
+  }
 }

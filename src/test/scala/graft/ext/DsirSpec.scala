@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** DSIR importance selection: in-domain-looking candidates must outrank
+  * raw-looking ones; the weight is the exact difference of the two nano
+  * NLLs; topN bounds and tie order hold. */
+class DsirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dsirSelect ranks domain-like candidates first, exact weights") {
+    val target = (0 until 8).map(i => (100L + i, "alpha beta gamma alpha beta"))
+    val raw = (0 until 8).map(i => (200L + i, "delta epsilon zeta delta epsilon"))
+    val cand = Seq(
+      (1L, "alpha beta gamma"),     // pure domain
+      (2L, "delta epsilon zeta"),   // pure raw
+      (3L, "alpha beta delta epsilon")) // mixed
+      .toDF("doc_id", "text")
+    val got = Curation.dsirSelect(cand, target.toDF("doc_id", "text"),
+        raw.toDF("doc_id", "text"), topN = 2)
+      .select("doc_id", "rank", "logw_nano", "n_pairs")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 2)
+    assert(got(0)._1 == 1L && got(1)._1 == 3L, s"got ${got.toSeq}")
+    assert(got(0)._3 > 0L)        // domain doc: raw NLL exceeds target NLL
+    assert(got(0)._3 > got(1)._3) // strictly better than the mixed doc
+
+    // exact weight identity: logw == nll_raw - nll_target per doc
+    val nt = LangModel.bigramNll(target.toDF("doc_id", "text"), cand)
+      .select("doc_id", "nll_nano").as[(Long, Long)].collect().toMap
+    val nr = LangModel.bigramNll(raw.toDF("doc_id", "text"), cand)
+      .select("doc_id", "nll_nano").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, w, _) => assert(w == nr(id) - nt(id)) }
+  }
+
+  test("dsirSelect: topN >= candidates returns all; guard fails loud") {
+    val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val all = Curation.dsirSelect(docs, docs, docs, topN = 10)
+    assert(all.count() == 2)
+    intercept[IllegalArgumentException] {
+      Curation.dsirSelect(docs, docs, docs, topN = 0)
+    }
+  }
+}
