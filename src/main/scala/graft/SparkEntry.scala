@@ -2791,6 +2791,14 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "sample_temperature" -> { (s, dir) =>
+      // Temperature-scaled domain mixing (p ∝ n^0.5 — up-samples small
+      // languages): one pow() micro-quantized immediately, then exact
+      // integer largest-remainder apportionment in DECIMAL(38,0) and
+      // the keyed-hash deterministic per-group pick.
+      graft.ext.Curation.temperatureQuota(Tables(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id", total = 250L, tau = 0.5)
+    },
     "curation_dsir" -> { (s, dir) =>
       // DSIR importance selection: candidates (doc_id%3==2) ranked by
       // nll_raw − nll_target under two add-one bigram models (in-domain
@@ -3759,6 +3767,24 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
         | FROM tf JOIN df USING (term)) WHERE rank <= 3""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
+        |s0 AS (SELECT lang,
+        |  CAST(ROUND(POW(CAST(n_d AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS s FROM c),
+        |s1 AS (SELECT lang, s, CAST(SUM(s) OVER () AS HUGEINT) AS bigs FROM s0),
+        |q0 AS (SELECT lang, s, bigs,
+        |  CAST(250 AS HUGEINT) * s // bigs AS base,
+        |  CAST(250 AS HUGEINT) * s - (CAST(250 AS HUGEINT) * s // bigs) * bigs AS rem
+        | FROM s1),
+        |q1 AS (SELECT lang, base, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |  250 - SUM(base) OVER () AS deficit FROM q0),
+        |quota AS (SELECT lang,
+        |  base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS quota FROM q1),
+        |r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |   ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007 ASC, doc_id ASC) AS INT) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rn FROM r JOIN quota USING (lang)
+        |WHERE r.rn <= quota.quota""".stripMargin,
     "curation_dsir" ->
       """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
         |           FROM documents WHERE text IS NOT NULL),

@@ -449,4 +449,46 @@ object Curation {
         col("logw_nano").cast("long").as("logw_nano"))
       .join(scored.select(col(idCol), col("n_pairs")), Seq(idCol))
   }
+
+  /** Temperature-scaled domain mixing (the multilingual rebalancing
+    * standard — Devlin et al. 2019 / XLM-R's p ∝ n^τ): apportion `total`
+    * selection slots across groups proportionally to n_d^tau (τ < 1
+    * UP-samples small domains), then select each group's quota
+    * deterministically by the same keyed-hash order as [[mixQuota]].
+    * The one float is pow(n, τ), micro-quantized immediately; the
+    * apportionment itself is exact integer largest-remainder arithmetic
+    * in DECIMAL(38,0) (total·s_d products pass int64 at corpus scale),
+    * so seats — including contested remainder seats — are bit-identical
+    * in any engine. The group frame is aggregate-sized; its windows are
+    * control-plane. Output: (idCol, groupCol, rn ≤ quota). */
+  def temperatureQuota(docs: DataFrame, groupCol: String, idCol: String,
+      total: Long, tau: Double): DataFrame = {
+    require(total > 0, s"total must be positive: $total")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val dec = "decimal(38,0)"
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_d"))
+      .withColumn("s", round(pow(col("n_d").cast("double"), lit(tau)) * lit(1e6))
+        .cast("long"))
+    val bigS = sum(col("s")).over(all).cast(dec)
+    val prod = lit(total).cast(dec) * col("s")
+    val scored = counts
+      .withColumn("base", call_function("div", prod, bigS))
+      .withColumn("rem", prod - col("base") * bigS)
+    val deficit = lit(total) - sum(col("base")).over(all)
+    val remRank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("rem").desc, col(groupCol).asc))
+    val quotas = scored.select(col(groupCol),
+      (col("base") + when(remRank <= deficit, 1L).otherwise(0L)).as("quota"))
+    val P = 1000000007L
+    val h = pmod(pmod(col(idCol), lit(P)) * lit(654435747L), lit(P))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(h.asc, col(idCol).asc))
+    docs
+      .select(col(idCol), col(groupCol))
+      .withColumn("rn", rn)
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("rn").cast("int").as("rn"))
+  }
 }

@@ -33,6 +33,30 @@ class DsirSpec extends SparkTestBase {
     got.foreach { case (id, _, w, _) => assert(w == nr(id) - nt(id)) }
   }
 
+  test("temperatureQuota: tau=1 is proportional, tau=0.5 up-samples the tail") {
+    // groups: big 400, small 100 -> tau=1 quotas 80/20 of 100;
+    // tau=0.5: sqrt weights 20/10 -> 66.67/33.33 -> 67/33
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    def quotas(tau: Double): Map[String, Long] =
+      Curation.temperatureQuota(docs, "lang", "doc_id", 100L, tau)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(quotas(1.0) == Map("big" -> 80L, "small" -> 20L))
+    assert(quotas(0.5) == Map("big" -> 67L, "small" -> 33L))
+    // seats always sum to the total
+    assert(quotas(0.7).values.sum == 100L)
+  }
+
+  test("temperatureQuota: guards fail loud") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Curation.temperatureQuota(docs, "lang", "doc_id", 0L, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.temperatureQuota(docs, "lang", "doc_id", 10L, 1.5)
+    }
+  }
+
   test("dsirSelect: topN >= candidates returns all; guard fails loud") {
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     val all = Curation.dsirSelect(docs, docs, docs, topN = 10)
