@@ -2791,6 +2791,13 @@ object SparkEntry {
           call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
             .as("recall_micro"))
     },
+    "events_funnel_latency" -> { (s, dir) =>
+      // Exact positional p50/p90 of the view→click and click→purchase
+      // step latencies over completing users — the time-to-convert face
+      // of the funnel, no interpolation, engine-exact.
+      graft.ext.Events.funnelLatency(Tables(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"))
+    },
     "sample_temperature" -> { (s, dir) =>
       // Temperature-scaled domain mixing (p ∝ n^0.5 — up-samples small
       // languages): one pow() micro-quantized immediately, then exact
@@ -3767,6 +3774,29 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
         | FROM tf JOIN df USING (term)) WHERE rank <= 3""".stripMargin,
+    "events_funnel_latency" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_1 FROM base),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND step_1 IS NOT NULL
+        |     AND ts_sec > step_1 THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_2 FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step_2 IS NOT NULL
+        |     AND ts_sec > step_2 THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_3 FROM s2),
+        |f AS (SELECT DISTINCT user_id, step_1, step_2, step_3 FROM s3),
+        |tr AS (SELECT 'step_1_to_2' AS transition, step_2 - step_1 AS lat
+        |        FROM f WHERE step_2 IS NOT NULL
+        |       UNION ALL
+        |       SELECT 'step_2_to_3', step_3 - step_2 FROM f WHERE step_3 IS NOT NULL),
+        |r AS (SELECT transition, lat,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY transition ORDER BY lat) AS BIGINT) AS rn,
+        |  COUNT(*) OVER (PARTITION BY transition) AS n FROM tr),
+        |probes AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9)) t(p))
+        |SELECT transition, p, MAX(n) AS n_users, MIN(lat) AS lat_sec
+        |FROM r, probes WHERE rn >= CEIL(p * n)
+        |GROUP BY transition, p""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
         |s0 AS (SELECT lang,

@@ -126,6 +126,35 @@ object Events {
       .distinct()
   }
 
+  /** Funnel step-transition latency percentiles: over users who
+    * completed each consecutive step pair, the EXACT positional
+    * percentiles of step_{i+1} − step_i (the stream_quantiles
+    * convention — value at rank ⌈p·n⌉, no interpolation, so the answer
+    * is a member of the data and engine-exact). One funnel pass, a
+    * zero-shuffle union of the transition frames, one rank window per
+    * transition, one grouped min per probe. Output:
+    * (transition, p, n_users, lat_sec). */
+  def funnelLatency(events: DataFrame, steps: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(steps.size >= 2, s"funnelLatency needs >= 2 steps: ${steps.size}")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentile probes must be in (0, 1]: $ps")
+    val f = funnel(events, steps)
+    val transitions = (1 until steps.size).map { i =>
+      f.filter(col(s"step_${i + 1}").isNotNull)
+        .select(lit(s"step_${i}_to_${i + 1}").as("transition"),
+          (col(s"step_${i + 1}") - col(s"step_$i")).as("lat"))
+    }.reduce(_.unionAll(_))
+    val byT = Window.partitionBy(col("transition"))
+    val ranked = transitions
+      .withColumn("rn", row_number().over(byT.orderBy(col("lat"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byT))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+    ranked.filter(col("rn") >= ceil(col("p") * col("n")))
+      .groupBy(col("transition"), col("p"))
+      .agg(max(col("n")).as("n_users"), min(col("lat")).as("lat_sec"))
+  }
+
   /** Markov next-event transition matrix: per-user event sequences →
     * (from_type, to_type) counts and transition probabilities. The whole
     * operator is ONE window pass (lead over the per-user ordering — the

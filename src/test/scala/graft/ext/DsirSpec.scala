@@ -57,6 +57,26 @@ class DsirSpec extends SparkTestBase {
     }
   }
 
+  test("funnelLatency: hand funnel, exact positional percentiles") {
+    def e(id: Long, u: Long, sec: Long, t: String) = (id, sec * 1000000000L, u, t, 0.0, "")
+    // users 1..4 complete view->click with latencies 10, 20, 30, 40;
+    // only user 1 completes click->purchase (latency 5)
+    val ev = (1L to 4L).flatMap { u =>
+      Seq(e(u * 10, u, 100, "view"), e(u * 10 + 1, u, 100 + u * 10, "click"))
+    } ++ Seq(e(100, 1L, 115, "purchase"))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnelLatency(df, Seq("view", "click", "purchase"))
+      .select("transition", "p", "n_users", "lat_sec")
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // n=4: p50 -> rank ceil(2.0)=2 -> 20; p90 -> rank ceil(3.6)=4 -> 40
+    assert(got(("step_1_to_2", 0.5)) == (4L, 20L))
+    assert(got(("step_1_to_2", 0.9)) == (4L, 40L))
+    // n=1: both probes pick the single latency 5
+    assert(got(("step_2_to_3", 0.5)) == (1L, 5L))
+    assert(got(("step_2_to_3", 0.9)) == (1L, 5L))
+  }
+
   test("dsirSelect: topN >= candidates returns all; guard fails loud") {
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     val all = Curation.dsirSelect(docs, docs, docs, topN = 10)
