@@ -2973,16 +2973,27 @@ object SparkEntry {
     "stream_runlength" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming run-length compression (flatMapGroupsWithState,
-        // append mode) through a 3-file time-ordered replay: runs that
-        // span microbatches continue from per-user state; a run emits
-        // when its successor's type differs. Drained output == batch
-        // runLength minus each user's final (still-open) run — the
-        // oracle's run_seq < max(run_seq) face.
+        // append mode, EventTimeTimeout) through a 3-file time-ordered
+        // replay: runs that span microbatches continue from per-user
+        // state; a run emits when its successor's type differs. A 4th
+        // replay file carries one watermark-raising heartbeat (user_id
+        // = -1, ts past every possible idle-gap expiry), so every
+        // user's final open run times out, emits, and evicts its state
+        // — drained output == the FULL batch runLength (the
+        // events_runlength oracle, no open-run carve-out). gapSec (40
+        // days) exceeds the fixture's 30-day span, so no real user
+        // ever goes idle mid-replay.
+        val gapSec = 40L * 86400L
         val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val evRaw = Tables(s, dir, "events")
+        val maxSec = evRaw.agg(max(unix_timestamp(tsSecondTrunc(evRaw.schema))))
+          .head().getLong(0)
+        appendHeartbeatFile(s, replayDir, schema, maxSec + gapSec + 100L, pos = 3)
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(replayDir)
           .withColumn("ts_sec", unix_timestamp(col("ts")))
-        val out = graft.streaming.StreamingOps.runLengthStream(stream).toDF()
+        val out = graft.streaming.StreamingOps
+          .runLengthStream(stream, gapSec = gapSec).toDF()
         val name = s"graft_stream_runlength_${streamRunSeq.incrementAndGet()}"
         graft.streaming.StreamingOps.runToMemory(out, name,
           org.apache.spark.sql.streaming.OutputMode.Append())
@@ -3095,6 +3106,34 @@ object SparkEntry {
       require(dest.setLastModified(base + (pos + 1) * 60000L), s"cannot set mtime on $dest")
     }
     (replay.toString, ev.schema)
+  }
+
+  /** Appends one watermark-raising heartbeat row (user_id = -1, event
+    * time = `tsSec`) as a trailing replay file: stateful operators with
+    * event-time timeouts (runLengthStream) need the watermark to pass
+    * every armed expiry before the final drain, and a file source only
+    * advances the watermark on data. The row is punctuation — operators
+    * skip `user_id < 0` — so it never lands in the result. */
+  private def appendHeartbeatFile(s: SparkSession, replayDir: String,
+      schema: org.apache.spark.sql.types.StructType, tsSec: Long,
+      pos: Int): Unit = {
+    val hb = s.range(1).select(schema.fields.map { f =>
+      (f.name match {
+        case "ts" => timestamp_seconds(lit(tsSec))
+        case "event_type" => lit("__heartbeat")
+        case _ => lit(-1L)
+      }).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage_hb_")
+    hb.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $stage"))
+    val dest = new java.io.File(replayDir, f"events_$pos%02d.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    // strictly after every tile's mtime (tiles end at now - 60s)
+    require(dest.setLastModified(System.currentTimeMillis()),
+      s"cannot set mtime on $dest")
   }
 
   /** Shared base for the CondExpr differential fuzz: adds NULL-bearing
@@ -3846,7 +3885,7 @@ object SparkEntry {
         | LEFT JOIN c1r ON pr.a = c1r.a, vr
         | WHERE pr.doc_id % 3 = 2),
         |nr AS (SELECT doc_id, -SUM(lp) AS nll FROM scr GROUP BY 1),
-        |sc AS (SELECT nt.doc_id, nt.n_pairs, nr.nll - nt.nll AS logw_nano
+        |sc AS (SELECT nt.doc_id, nt.n_pairs, CAST(nr.nll - nt.nll AS BIGINT) AS logw_nano
         | FROM nt JOIN nr ON nr.doc_id = nt.doc_id),
         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER
         |  (ORDER BY logw_nano DESC, doc_id DESC) AS BIGINT) AS rank FROM sc)
@@ -3868,7 +3907,7 @@ object SparkEntry {
         | FROM pairs pr LEFT JOIN c2 ON pr.a = c2.a AND pr.b = c2.b
         | LEFT JOIN c1 ON pr.a = c1.a, v
         | WHERE pr.doc_id % 2 = 1)
-        |SELECT doc_id, COUNT(*) AS n_pairs, -SUM(lp) AS nll_nano
+        |SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll_nano
         |FROM sc GROUP BY 1""".stripMargin,
     "text_bm25" -> bm25Sql,
     "text_bm25_sql" -> bm25Sql,
@@ -4939,13 +4978,10 @@ object SparkEntry {
         |SELECT n_truth, n_found,
         | CAST(n_found * 1000000 // n_truth AS BIGINT) AS recall_micro
         |FROM a, b""".stripMargin,
-    "stream_runlength" ->
-      s"""WITH rl AS ($runlengthSql),
-         |m AS (SELECT user_id, MAX(run_seq) AS mx FROM rl GROUP BY 1)
-         |SELECT rl.user_id, rl.run_seq, rl.event_type, rl.run_len,
-         | rl.t_start, rl.t_end
-         |FROM rl JOIN m ON m.user_id = rl.user_id
-         |WHERE rl.run_seq < m.mx""".stripMargin,
+    // the heartbeat-closed replay drains EVERY run (event-time timeout
+    // evicts each user's final open run), so the oracle is the full
+    // batch run-length — no open-run carve-out
+    "stream_runlength" -> runlengthSql,
     "events_runlength" -> runlengthSql,
     "events_lift" ->
       """WITH g AS (
@@ -5356,7 +5392,7 @@ object SparkEntry {
       |    / CAST(20 * stats.sum_dl * tf.tf + 6 * stats.sum_dl + 18 * docs.dl * stats.n_docs AS DOUBLE) AS tf_part,
       |  CAST(2 * stats.n_docs + 2 AS DOUBLE) / CAST(2 * qt.df + 1 AS DOUBLE) AS idf_ratio
       | FROM tf JOIN qt USING (term) JOIN docs USING (doc_id), stats)
-      |SELECT term, doc_id, CAST(rank AS INT) AS rank, tf, df, dl,
+      |SELECT term, doc_id, CAST(rank AS INT) AS rank, tf, df, CAST(dl AS BIGINT) AS dl,
       | CAST(ROUND(LN(idf_ratio) * tf_part * 1000000000) AS BIGINT) AS bm25_nano
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
       |        ORDER BY tf_part DESC, doc_id ASC) AS rank FROM scored)

@@ -364,35 +364,75 @@ object StreamingOps {
     * Within a microbatch the group's rows are sorted by (ts_sec,
     * event_id) — iterator order is not deterministic, sequence order
     * must be; ACROSS microbatches the caller replays in time order (the
-    * file-source staging contract all multi-batch rows use). Drained
-    * output over a finite replay therefore equals the batch operator
-    * minus each user's final (never-closed) run — exactly the oracle's
-    * run_seq < max(run_seq) face. */
-  def runLengthStream(events: DataFrame): Dataset[RunRow] = {
+    * file-source staging contract all multi-batch rows use).
+    *
+    * State is BOUNDED by an idle gap: the input is watermarked on
+    * event time (`ts_sec` as seconds, `watermarkDelay` lateness) and
+    * every group arms an event-time timeout at `t_end + gapSec`; when
+    * the watermark passes it, the open run EMITS and `state.remove()`
+    * evicts the user — without this, one state row per ever-seen user
+    * is held forever and each user's final run is never emitted. A
+    * user idle longer than `gapSec` therefore has their open run
+    * closed (noticed either at timeout or, if the next event arrives
+    * first, on arrival), and a post-eviction return renumbers the
+    * user's runs from 1 (a new episode — the sessionization reading of
+    * an idle gap). When `gapSec` exceeds every real within-user gap,
+    * drained output over a finite replay (closed by one watermark-
+    * raising heartbeat: rows with `user_id < 0` advance event time but
+    * are never folded into runs) equals the FULL batch operator — the
+    * `events_runlength` oracle with no open-run carve-out. */
+  def runLengthStream(events: DataFrame, gapSec: Long = 30L * 86400L,
+      watermarkDelay: String = "0 seconds"): Dataset[RunRow] = {
     import events.sparkSession.implicits._
+    require(gapSec > 0L, s"gapSec must be positive, got $gapSec")
     events.select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ts_sec").cast("long"), col("event_type"))
-      .as[RunEvent]
-      .groupByKey(_.user_id)
+      // the event-time-timeout checker requires the watermarked attribute
+      // in the operator input, so __ts rides along (unused by the handler)
+      .withColumn("__ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[RunCur, RunRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[RunEvent], state: GroupState[RunCur]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[RunRow]
-          var cur = state.getOption.orNull
-          sorted.foreach { e =>
-            if (cur == null)
-              cur = RunCur(1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
-            else if (cur.event_type == e.event_type)
-              cur = cur.copy(run_len = cur.run_len + 1L, t_end = e.ts_sec)
-            else {
-              out += RunRow(uid, cur.run_seq, cur.event_type, cur.run_len,
-                cur.t_start, cur.t_end)
-              cur = RunCur(cur.run_seq + 1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[RunCur]) =>
+          if (state.hasTimedOut) {
+            // watermark passed t_end + gapSec: the user went idle — close
+            // and emit the open run, evict the state
+            val cur = state.get
+            state.remove()
+            Iterator.single(RunRow(uid, cur.run_seq, cur.event_type,
+              cur.run_len, cur.t_start, cur.t_end))
+          } else if (uid < 0L) {
+            // heartbeat/punctuation rows: advance the watermark only
+            Iterator.empty
+          } else {
+            val sorted = rows.map(e => RunEvent(e._1, e._2, e._3, e._4))
+              .toSeq.sortBy(e => (e.ts_sec, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[RunRow]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              if (cur == null)
+                cur = RunCur(1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
+              else if (cur.event_type == e.event_type && e.ts_sec - cur.t_end <= gapSec)
+                cur = cur.copy(run_len = cur.run_len + 1L, t_end = e.ts_sec)
+              else {
+                out += RunRow(uid, cur.run_seq, cur.event_type, cur.run_len,
+                  cur.t_start, cur.t_end)
+                cur = RunCur(cur.run_seq + 1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              // close at idle-gap expiry; a watermark-late group closes
+              // one tick after the current watermark (setTimeoutTimestamp
+              // rejects timestamps at or below it)
+              state.setTimeoutTimestamp(math.max((cur.t_end + gapSec) * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          if (cur != null) state.update(cur)
-          out.iterator
       }
   }
 

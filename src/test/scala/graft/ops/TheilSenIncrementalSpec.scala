@@ -83,6 +83,38 @@ class TheilSenIncrementalSpec extends SparkTestBase {
     assert(rows == Seq((1L, 1L, "a", 3L, 10L, 12L)))
   }
 
+  test("runLengthStream: idle-gap timeout emits the open run and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RunEvent]
+    val q = StreamingOps.runLengthStream(mem.toDS().toDF(), gapSec = 100L)
+      .writeStream.format("memory").queryName("runlen_evict")
+      .outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // batch 1: user 1 opens an 'a' run; timeout armed at 11 + 100
+      mem.addData(RunEvent(1L, 1L, 10L, "a"), RunEvent(1L, 2L, 11L, "a"))
+      q.processAllAvailable()
+      assert(stateRows === 1L, "open run rides the state")
+      // batch 2: heartbeat (user_id < 0) raises the watermark past the
+      // expiry; the follow-on no-data batch fires the timeout — the open
+      // run EMITS and the user's state row is REMOVED
+      mem.addData(RunEvent(-1L, -1L, 500L, "__heartbeat"))
+      q.processAllAvailable()
+      assert(stateRows === 0L, s"timed-out run must evict, got $stateRows")
+      // batch 3: the user returns after eviction — a fresh episode whose
+      // numbering restarts at run_seq = 1
+      mem.addData(RunEvent(1L, 3L, 600L, "b"))
+      q.processAllAvailable()
+      mem.addData(RunEvent(-1L, -2L, 1000L, "__heartbeat"))
+      q.processAllAvailable()
+      assert(stateRows === 0L)
+    } finally q.stop()
+    val rows = spark.table("runlen_evict")
+      .select("user_id", "run_seq", "event_type", "run_len", "t_start", "t_end")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 1L, "a", 2L, 10L, 11L), (1L, 1L, "b", 1L, 600L, 600L)))
+  }
+
   test("runLengthStream: within-batch iterator order does not matter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RunEvent]
