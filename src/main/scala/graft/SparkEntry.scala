@@ -241,7 +241,7 @@ object SparkEntry {
       val d = Tables(s, dir, "documents").filter(col("n_chars") >= lit(100L))
       val sharded = graft.ext.Curation.shardByMd5(d, "doc_id")
         .select(col("doc_id"), col("shard"), col("n_chars"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_exp_").toString + "/train_shards"
+      val tmp = scratchDir("graft_exp_").toString + "/train_shards"
       graft.etl.Sinks.tfRecordDir(sharded.repartition(16, col("shard")), tmp)
       graft.etl.TfRecordIO.read(s, tmp, sharded.schema)
         .groupBy(col("shard"))
@@ -294,7 +294,7 @@ object SparkEntry {
       val lines = o.select(format_string("%012d%012d%1s%04d",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         year(col("o_orderdate"))).as("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fw_").toString
+      val tmp = scratchDir("graft_fw_").toString
       lines.write.mode("overwrite").text(tmp)
       import graft.etl.SmartLoad.FixedWidthCol
       graft.etl.SmartLoad.fixedWidth(s, tmp, Seq(
@@ -310,7 +310,7 @@ object SparkEntry {
       // container-file directory, read back through SmartLoad's .avro
       // dispatch. Oracle = the base table verbatim: any encode/decode,
       // union-nullability or logical-type defect breaks the hash.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_").toString + "/orders_avro"
+      val tmp = scratchDir("graft_avro_").toString + "/orders_avro"
       graft.etl.Sinks.avroDir(Tables(s, dir, "orders"), tmp)
       graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("avro"))
     },
@@ -324,7 +324,7 @@ object SparkEntry {
       val o = Tables(s, dir, "orders").select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), year(col("o_orderdate")).cast("long").as("o_year"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString + "/orders_xml"
+      val tmp = scratchDir("graft_xml_").toString + "/orders_xml"
       graft.etl.Sinks.xmlDir(o, tmp)
       graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("xml"))
     },
@@ -341,7 +341,7 @@ object SparkEntry {
         col("o_totalprice").cast("float").as("o_price_f"),
         array(pmod(col("o_orderkey"), lit(7L)),
           pmod(col("o_custkey"), lit(11L))).as("o_keys"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tfr_").toString + "/orders_tfrecord"
+      val tmp = scratchDir("graft_tfr_").toString + "/orders_tfrecord"
       graft.etl.Sinks.tfRecordDir(o, tmp)
       graft.etl.TfRecordIO.read(s, tmp, o.schema)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_price_f"),
@@ -356,7 +356,7 @@ object SparkEntry {
       val d = Tables(s, dir, "documents").select(
         concat(lit("doc-"), col("doc_id")).as("key"),
         col("text").as("txt"), col("lang"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_wds_").toString + "/documents_wds"
+      val tmp = scratchDir("graft_wds_").toString + "/documents_wds"
       graft.etl.Sinks.webDatasetShards(d, "key", tmp)
       graft.etl.WebDatasetIO.read(s, tmp)
         .select(col("key"), col("txt").cast("string").as("txt"),
@@ -618,20 +618,23 @@ object SparkEntry {
       // pinned in GraftExtensionsSpec). Shares q_auto_skew_join's
       // scenario, size-derived threshold, and plain-join oracle.
       graft.GraftExtensions.register(s)
+      val skewBigV = freshViewName("graft_skew_big_v")
+      val skewDimV = freshViewName("graft_skew_dim_v")
       val li = Tables(s, dir, "lineitem")
       li.select(
         when(pmod(col("l_orderkey"), lit(10L)) < 3, lit(0L))
           .otherwise(pmod(col("l_orderkey"), lit(997L))).as("k"),
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .createOrReplaceTempView("graft_skew_big_v")
+        .createOrReplaceTempView(skewBigV)
       s.range(0, 997).select(col("id").as("k"),
         (col("id") * 7 % 101).as("dim_code"))
-        .createOrReplaceTempView("graft_skew_dim_v")
+        .createOrReplaceTempView(skewDimV)
       val hotThresh = math.max(1000L, li.count() / 20L)
-      s.sql(s"""
-        SELECT * FROM graft_skew_join('graft_skew_big_v', 'graft_skew_dim_v',
+      try s.sql(s"""
+        SELECT * FROM graft_skew_join('$skewBigV', '$skewDimV',
           'k', 8, 'inner', 0.1, $hotThresh)
       """)
+      finally { s.catalog.dropTempView(skewBigV); s.catalog.dropTempView(skewDimV) }
     },
     "q_salted_agg" -> { (s, dir) =>
       // Two-stage salted aggregation (hot-key mitigation); result is
@@ -678,10 +681,12 @@ object SparkEntry {
       // returns the exact plan Merge.temporalJoin builds. Same scenario
       // and oracle as etl_temporal_join — SQL face ≡ programmatic face.
       graft.GraftExtensions.register(s)
+      val factsV = freshViewName("graft_temporal_facts_v")
+      val dimV = freshViewName("graft_temporal_dim_v")
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
           datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("fact_day"))
-        .createOrReplaceTempView("graft_temporal_facts_v")
+        .createOrReplaceTempView(factsV)
       val cust = Tables(s, dir, "customer")
         .filter(pmod(col("c_custkey"), lit(97L)) =!= 0)
       cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
@@ -691,12 +696,12 @@ object SparkEntry {
         .unionByName(cust.filter(pmod(col("c_custkey"), lit(3L)) === 0)
           .select(col("c_custkey"), lit("MOVED").as("seg"),
             lit(1277L).as("valid_from"), lit(null).cast("long").as("valid_to")))
-        .createOrReplaceTempView("graft_temporal_dim_v")
-      s.sql("""
+        .createOrReplaceTempView(dimV)
+      try s.sql(s"""
         SELECT o_orderkey, seg, valid_from AS ver_from
-        FROM graft_temporal('graft_temporal_facts_v', 'graft_temporal_dim_v',
-                            'c_custkey', 'fact_day')
+        FROM graft_temporal('$factsV', '$dimV', 'c_custkey', 'fact_day')
       """)
+      finally { s.catalog.dropTempView(factsV); s.catalog.dropTempView(dimV) }
     },
     "q_asof_sql" -> { (s, dir) =>
       // The as-of join through its SQL face: graft_asof is a registered
@@ -706,23 +711,26 @@ object SparkEntry {
       // oracle — pinning that the SQL face and the programmatic face
       // are one operator.
       graft.GraftExtensions.register(s)
+      val leftV = freshViewName("graft_asof_left_v")
+      val rightV = freshViewName("graft_asof_right_v")
       val ev = Tables(s, dir, "events")
       ev.filter(col("event_type") =!= "error")
         .select("event_id", "user_id", "ts")
-        .createOrReplaceTempView("graft_asof_left_v")
+        .createOrReplaceTempView(leftV)
       ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"), col("event_id").as("err_id"), col("ts").as("err_ts"))
-        .createOrReplaceTempView("graft_asof_right_v")
+        .createOrReplaceTempView(rightV)
       val secsExpr =
         if (tsIsNanoLong(ev.schema))
           "(ts DIV 1000000000) - (err_ts DIV 1000000000)"
         else "unix_timestamp(ts) - unix_timestamp(err_ts)"
-      s.sql(s"""
+      try s.sql(s"""
         SELECT event_id, user_id, err_id AS last_err_id,
                $secsExpr AS secs_since_err
-        FROM graft_asof('graft_asof_left_v', 'graft_asof_right_v',
+        FROM graft_asof('$leftV', '$rightV',
                         'user_id', 'ts', 'err_id,err_ts', 'backward', 'err_id', '')
       """)
+      finally { s.catalog.dropTempView(leftV); s.catalog.dropTempView(rightV) }
     },
     "q_asof_join_nullpick" -> { (s, dir) =>
       // As-of with a pick column that is NULL on ~a third of right rows:
@@ -776,19 +784,22 @@ object SparkEntry {
       // The range join through its SQL face (graft_range_join TVF) —
       // same plan, same result, same oracle as q_range_join.
       graft.GraftExtensions.register(s)
+      val leftV = freshViewName("graft_range_left_v")
+      val rightV = freshViewName("graft_range_right_v")
       val ev = Tables(s, dir, "events")
       ev.select(col("event_id"), col("user_id"),
         tsEpochSec(ev.schema).as("ts_sec"))
-        .createOrReplaceTempView("graft_range_left_v")
+        .createOrReplaceTempView(leftV)
       graft.ext.Events.sessionize(ev)
         .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
           col("session_start"), col("session_end"))
-        .createOrReplaceTempView("graft_range_right_v")
-      s.sql("""
+        .createOrReplaceTempView(rightV)
+      try s.sql(s"""
         SELECT event_id, user_id, session_seq
-        FROM graft_range_join('graft_range_left_v', 'graft_range_right_v',
+        FROM graft_range_join('$leftV', '$rightV',
                               'user_id', 'ts_sec', 'session_start', 'session_end', 3600)
       """)
+      finally { s.catalog.dropTempView(leftV); s.catalog.dropTempView(rightV) }
     },
     "q_json_props" -> { (s, dir) =>
       // JSON functions over the props column: extract $.k, bucket by
@@ -812,18 +823,21 @@ object SparkEntry {
       // build and returns the same broadcast-backed plan as the Scala
       // API — shared oracle with q_bloom_join.
       graft.GraftExtensions.register(s)
+      val buildV = freshViewName("graft_bloom_build_v")
+      val probeV = freshViewName("graft_bloom_probe_v")
       Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
-        .select(col("o_orderkey")).createOrReplaceTempView("graft_bloom_build_v")
+        .select(col("o_orderkey")).createOrReplaceTempView(buildV)
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-        .createOrReplaceTempView("graft_bloom_probe_v")
-      s.sql("""
+        .createOrReplaceTempView(probeV)
+      try s.sql(s"""
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-        FROM graft_bloom_semi('graft_bloom_probe_v', 'graft_bloom_build_v',
+        FROM graft_bloom_semi('$probeV', '$buildV',
                               'l_orderkey', 'o_orderkey')
         GROUP BY l_returnflag
       """)
+      finally { s.catalog.dropTempView(buildV); s.catalog.dropTempView(probeV) }
     },
     "q_bloom_join" -> { (s, dir) =>
       // Bloom-pre-filtered semi join: lineitems of expensive orders. The
@@ -877,14 +891,15 @@ object SparkEntry {
       // the published Porter vectors in PorterStemSpec.
       graft.GraftExtensions.register(s)
       val d = Tables(s, dir, "documents")
-      d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-        .filter(length(col("term")) > 2)
-        .createOrReplaceTempView("graft_stem_terms")
-      s.sql(
-        """SELECT porter_stem(term) AS stem, COUNT(*) AS freq,
-          |       COUNT(DISTINCT term) AS n_surface_forms
-          |FROM graft_stem_terms
-          |GROUP BY 1 ORDER BY freq DESC, stem ASC LIMIT 50""".stripMargin)
+      withFreshView(s, "graft_stem_terms",
+          d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+            .filter(length(col("term")) > 2)) { v =>
+        s.sql(
+          s"""SELECT porter_stem(term) AS stem, COUNT(*) AS freq,
+             |       COUNT(DISTINCT term) AS n_surface_forms
+             |FROM $v
+             |GROUP BY 1 ORDER BY freq DESC, stem ASC LIMIT 50""".stripMargin)
+      }
     },
     "graph_pagerank" -> { (s, dir) =>
       // Integer-exact PageRank over the symmetrized supplier—part
@@ -1061,8 +1076,7 @@ object SparkEntry {
       // the state files in the result's lineage instead of the test text.
       val d = Tables(s, dir, "documents")
       val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_contam_state_").toString
+      val stateDir = scratchDir("graft_contam_state_").toString
       graft.etl.Sinks.parquetDir(
         Curation.contaminationIndex(d.filter(bucket >= 90), n = 8), stateDir)
       Curation.contaminationAgainstIndex(
@@ -1137,8 +1151,7 @@ object SparkEntry {
       // at j>=0.8, b=32, r=4), so the oracle is the exact all-pairs
       // Jaccard restricted to pairs touching the new batch.
       val docs = Tables(s, dir, "documents")
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_lsh_state_").toString
+      val stateDir = scratchDir("graft_lsh_state_").toString
       graft.etl.Sinks.parquetDir(
         Dedup.lshIndexState(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)),
         stateDir)
@@ -1394,8 +1407,7 @@ object SparkEntry {
       val dayCol = pmod(col("o_orderkey"), lit(5L))
       val (mn, width) = graft.ops.DataQuality.histogramEdges(
         orders.filter(dayCol === 0), "o_totalprice", bins)
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_psi_state_").toString
+      val stateDir = scratchDir("graft_psi_state_").toString
       (0 until 5).foreach { d =>
         graft.etl.Sinks.parquetDir(
           graft.ops.DataQuality.histogramState(
@@ -1471,36 +1483,45 @@ object SparkEntry {
       // scenario and oracle as dq_psi_drift).
       graft.GraftExtensions.register(s)
       val orders = Tables(s, dir, "orders")
+      val refV = freshViewName("graft_dq_ref_v")
+      val curV = freshViewName("graft_dq_cur_v")
       orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
-        .createOrReplaceTempView("graft_dq_ref_v")
+        .createOrReplaceTempView(refV)
       orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
-        .createOrReplaceTempView("graft_dq_cur_v")
-      s.sql("""SELECT * FROM graft_psi_drift('graft_dq_ref_v',
-        'graft_dq_cur_v', 'o_totalprice', 10)""")
+        .createOrReplaceTempView(curV)
+      try s.sql(s"""SELECT * FROM graft_psi_drift('$refV',
+        '$curV', 'o_totalprice', 10)""")
+      finally { s.catalog.dropTempView(refV); s.catalog.dropTempView(curV) }
     },
     "dq_ks_sql" -> { (s, dir) =>
       // Exact KS drift through its SQL face (same range-partitioned
       // CDF plan, same oracle as dq_ks_drift).
       graft.GraftExtensions.register(s)
       val orders = Tables(s, dir, "orders")
+      val refV = freshViewName("graft_dq_ref_v")
+      val curV = freshViewName("graft_dq_cur_v")
       orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
-        .createOrReplaceTempView("graft_dq_ref_v")
+        .createOrReplaceTempView(refV)
       orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
-        .createOrReplaceTempView("graft_dq_cur_v")
-      s.sql("""SELECT * FROM graft_ks_drift('graft_dq_ref_v',
-        'graft_dq_cur_v', 'o_totalprice')""")
+        .createOrReplaceTempView(curV)
+      try s.sql(s"""SELECT * FROM graft_ks_drift('$refV',
+        '$curV', 'o_totalprice')""")
+      finally { s.catalog.dropTempView(refV); s.catalog.dropTempView(curV) }
     },
     "dq_w1_sql" -> { (s, dir) =>
       // Exact W1 drift through its SQL face (same range-partitioned
       // cumulative plan, same oracle as dq_w1_drift).
       graft.GraftExtensions.register(s)
       val orders = Tables(s, dir, "orders")
+      val refV = freshViewName("graft_w1_ref_v")
+      val curV = freshViewName("graft_w1_cur_v")
       orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
-        .createOrReplaceTempView("graft_w1_ref_v")
+        .createOrReplaceTempView(refV)
       orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
-        .createOrReplaceTempView("graft_w1_cur_v")
-      s.sql("""SELECT * FROM graft_w1_drift('graft_w1_ref_v',
-        'graft_w1_cur_v', 'o_totalprice', 100)""")
+        .createOrReplaceTempView(curV)
+      try s.sql(s"""SELECT * FROM graft_w1_drift('$refV',
+        '$curV', 'o_totalprice', 100)""")
+      finally { s.catalog.dropTempView(refV); s.catalog.dropTempView(curV) }
     },
     "dq_roc_auc" -> { (s, dir) =>
       // Exact rank-based ROC-AUC (Mann-Whitney with tie handling, no
@@ -1515,11 +1536,11 @@ object SparkEntry {
     "dq_roc_sql" -> { (s, dir) =>
       // The same exact-AUC plan through its SQL face (graft_roc_auc).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "orders")
-        .filter(col("o_orderstatus").isNotNull)
-        .withColumn("label", (col("o_orderstatus") === "F").cast("int"))
-        .createOrReplaceTempView("graft_roc_v")
-      s.sql("SELECT * FROM graft_roc_auc('graft_roc_v', 'o_totalprice', 'label')")
+      withFreshView(s, "graft_roc_v", Tables(s, dir, "orders")
+          .filter(col("o_orderstatus").isNotNull)
+          .withColumn("label", (col("o_orderstatus") === "F").cast("int"))) { v =>
+        s.sql(s"SELECT * FROM graft_roc_auc('$v', 'o_totalprice', 'label')")
+      }
     },
     "dq_chi2_drift" -> { (s, dir) =>
       // Chi-squared homogeneity drift on the categorical snapshot split
@@ -1536,12 +1557,15 @@ object SparkEntry {
       // contingency plan, same oracle as dq_chi2_drift).
       graft.GraftExtensions.register(s)
       val orders = Tables(s, dir, "orders")
+      val refV = freshViewName("graft_chi2_ref_v")
+      val curV = freshViewName("graft_chi2_cur_v")
       orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
-        .createOrReplaceTempView("graft_chi2_ref_v")
+        .createOrReplaceTempView(refV)
       orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
-        .createOrReplaceTempView("graft_chi2_cur_v")
-      s.sql("""SELECT * FROM graft_chi2_drift('graft_chi2_ref_v',
-        'graft_chi2_cur_v', 'o_orderpriority')""")
+        .createOrReplaceTempView(curV)
+      try s.sql(s"""SELECT * FROM graft_chi2_drift('$refV',
+        '$curV', 'o_orderpriority')""")
+      finally { s.catalog.dropTempView(refV); s.catalog.dropTempView(curV) }
     },
     "dq_benford" -> { (s, dir) =>
       // Benford first-digit conformance over cent-quantized order
@@ -1566,8 +1590,7 @@ object SparkEntry {
       // identical to quantizing the raw rows). Oracle = full recompute.
       val orders = Tables(s, dir, "orders")
       val dayCol = pmod(col("o_orderkey"), lit(5L))
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_w1_state_").toString
+      val stateDir = scratchDir("graft_w1_state_").toString
       (0 until 5).foreach { d =>
         graft.etl.Sinks.parquetDir(
           graft.ops.DataQuality.valueCountState(
@@ -1638,8 +1661,7 @@ object SparkEntry {
       // identical to the full recompute, which is the oracle.
       val orders = Tables(s, dir, "orders")
       val dayCol = pmod(col("o_orderkey"), lit(5L))
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_ks_state_").toString
+      val stateDir = scratchDir("graft_ks_state_").toString
       (0 until 5).foreach { d =>
         graft.etl.Sinks.parquetDir(
           graft.ops.DataQuality.valueCountState(
@@ -1668,22 +1690,25 @@ object SparkEntry {
       // The entropy monitor through its SQL face (same one-aggregation
       // plan, same oracle as dq_entropy).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "orders").createOrReplaceTempView("graft_ent_v")
-      s.sql("SELECT * FROM graft_entropy('graft_ent_v', 'o_orderpriority')")
+      withFreshView(s, "graft_ent_v", Tables(s, dir, "orders")) { v =>
+        s.sql(s"SELECT * FROM graft_entropy('$v', 'o_orderpriority')")
+      }
     },
     "dq_benford_sql" -> { (s, dir) =>
       // Benford through its SQL face (same digit-spine plan, same
       // oracle as dq_benford).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "orders").createOrReplaceTempView("graft_ben_v")
-      s.sql("SELECT * FROM graft_benford('graft_ben_v', 'o_totalprice', 100)")
+      withFreshView(s, "graft_ben_v", Tables(s, dir, "orders")) { v =>
+        s.sql(s"SELECT * FROM graft_benford('$v', 'o_totalprice', 100)")
+      }
     },
     "dq_fd_sql" -> { (s, dir) =>
       // The FD audit through its SQL face (same grouped-distinct plan,
       // same oracle as dq_fd_check).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_fd_v")
-      s.sql("SELECT * FROM graft_fd_check('graft_fd_v', 'l_orderkey', 'l_suppkey')")
+      withFreshView(s, "graft_fd_v", Tables(s, dir, "lineitem")) { v =>
+        s.sql(s"SELECT * FROM graft_fd_check('$v', 'l_orderkey', 'l_suppkey')")
+      }
     },
     "q_gini_sql" -> { (s, dir) =>
       // Per-nation spend Gini through its SQL face (same window+agg
@@ -1691,38 +1716,40 @@ object SparkEntry {
       graft.GraftExtensions.register(s)
       val spend = Tables(s, dir, "orders").groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
-      Tables(s, dir, "customer")
-        .join(spend, col("c_custkey") === col("o_custkey"))
-        .select(col("c_nationkey").as("nationkey"),
-          col("spend").cast("double").as("spend"))
-        .createOrReplaceTempView("graft_gini_v")
-      s.sql("SELECT * FROM graft_gini('graft_gini_v', 'nationkey', 'spend', 100)")
+      withFreshView(s, "graft_gini_v", Tables(s, dir, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey").as("nationkey"),
+            col("spend").cast("double").as("spend"))) { v =>
+        s.sql(s"SELECT * FROM graft_gini('$v', 'nationkey', 'spend', 100)")
+      }
     },
     "dq_mi_sql" -> { (s, dir) =>
       // Mutual information through its SQL face (same contingency plan,
       // same oracle as dq_mutual_info).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "orders").createOrReplaceTempView("graft_mi_v")
-      s.sql("SELECT * FROM graft_mutual_info('graft_mi_v', 'o_orderpriority', 'o_orderstatus')")
+      withFreshView(s, "graft_mi_v", Tables(s, dir, "orders")) { v =>
+        s.sql(s"SELECT * FROM graft_mutual_info('$v', 'o_orderpriority', 'o_orderstatus')")
+      }
     },
     "text_bm25_sql" -> { (s, dir) =>
       // BM25 retrieval through its SQL face (same postings plan, same
       // oracle as text_bm25).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "documents").createOrReplaceTempView("graft_bm25_v")
-      s.sql("SELECT * FROM graft_bm25('graft_bm25_v', 10, 20)")
+      withFreshView(s, "graft_bm25_v", Tables(s, dir, "documents")) { v =>
+        s.sql(s"SELECT * FROM graft_bm25('$v', 10, 20)")
+      }
     },
     "dq_kappa_sql" -> { (s, dir) =>
       // Cohen's kappa through its SQL face (same contingency plan,
       // same oracle as dq_cohens_kappa).
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "orders").select(
-        col("o_orderstatus").as("la"),
-        when(pmod(col("o_orderkey"), lit(7L)) === 0,
-          when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
-          .otherwise(col("o_orderstatus")).as("lb"))
-        .createOrReplaceTempView("graft_kappa_v")
-      s.sql("SELECT * FROM graft_cohens_kappa('graft_kappa_v', 'la', 'lb')")
+      withFreshView(s, "graft_kappa_v", Tables(s, dir, "orders").select(
+          col("o_orderstatus").as("la"),
+          when(pmod(col("o_orderkey"), lit(7L)) === 0,
+            when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
+            .otherwise(col("o_orderstatus")).as("lb"))) { v =>
+        s.sql(s"SELECT * FROM graft_cohens_kappa('$v', 'la', 'lb')")
+      }
     },
     "dq_fleiss_sql" -> { (s, dir) =>
       // Fleiss' kappa through its SQL face (same panel scenario, same
@@ -1732,11 +1759,12 @@ object SparkEntry {
       def flip(m: Long) = when(pmod(col("o_orderkey"), lit(m)) === 0,
         when(col("o_orderstatus") === "F", lit("O")).otherwise(lit("F")))
         .otherwise(col("o_orderstatus"))
-      o.select(col("o_orderkey").as("item"), col("o_orderstatus").as("label"))
-        .unionByName(o.select(col("o_orderkey").as("item"), flip(7L).as("label")))
-        .unionByName(o.select(col("o_orderkey").as("item"), flip(11L).as("label")))
-        .createOrReplaceTempView("graft_fleiss_v")
-      s.sql("SELECT * FROM graft_fleiss_kappa('graft_fleiss_v', 'item', 'label')")
+      withFreshView(s, "graft_fleiss_v",
+          o.select(col("o_orderkey").as("item"), col("o_orderstatus").as("label"))
+            .unionByName(o.select(col("o_orderkey").as("item"), flip(7L).as("label")))
+            .unionByName(o.select(col("o_orderkey").as("item"), flip(11L).as("label")))) { v =>
+        s.sql(s"SELECT * FROM graft_fleiss_kappa('$v', 'item', 'label')")
+      }
     },
     "dq_volume_anomaly" -> { (s, dir) =>
       // Ingestion control chart: hourly event volumes flagged against
@@ -1886,8 +1914,7 @@ object SparkEntry {
       val orders = Tables(s, dir, "orders")
       val history = orders.filter(col("o_orderkey") % 4 =!= 0)
       val delta = orders.filter(col("o_orderkey") % 4 === 0)
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_sketch_state_").toString
+      val stateDir = scratchDir("graft_sketch_state_").toString
       graft.etl.Sinks.parquetDir(
         graft.ops.Sketches.segmentSketches(
           history, "o_orderpriority", "o_custkey", lgK = 15),
@@ -2181,12 +2208,80 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1").parquet(replayDir)
           .select(col("user_id"), col("event_type"),
             unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
-        val snapDir = java.nio.file.Files.createTempDirectory("graft_upsnap_").toString
-        val ckptDir = java.nio.file.Files.createTempDirectory("graft_upckpt_").toString
+        val snapDir = scratchDir("graft_upsnap_").toString
+        val ckptDir = scratchDir("graft_upckpt_").toString
         graft.streaming.StreamingOps.upsertSink(stream,
           keys = Seq("user_id", "event_type"), orderCol = "sec", snapDir, ckptDir)
         graft.streaming.StreamingOps.readSnapshot(s, snapDir)
       }
+    },
+    "etl_time_travel" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Snapshot time travel + retention over the upsert sink's
+        // versioned snapshots: the stream_upsert_snapshot scenario
+        // commits v0..v2 (one per replay tile), then readSnapshotAt(1)
+        // serves the table AS OF the second batch, vacuumSnapshots
+        // (keepLast = 2) deletes only v0, and the v1 read is re-served
+        // AFTER the vacuum — committed version dirs are immutable, so
+        // retention cannot disturb a retained historical read. Oracle =
+        // last-wins upsert over the first TWO of the three NTILE-by-
+        // (sec, event_id) tiles.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+        val snapDir = scratchDir("graft_ttsnap_").toString
+        val ckptDir = scratchDir("graft_ttckpt_").toString
+        graft.streaming.StreamingOps.upsertSink(stream,
+          keys = Seq("user_id", "event_type"), orderCol = "sec", snapDir, ckptDir)
+        val committed = graft.streaming.StreamingOps.listSnapshotVersions(snapDir)
+        require(committed == Seq(0L, 1L, 2L),
+          s"expected versions 0..2 under $snapDir, got $committed")
+        val removed = graft.streaming.StreamingOps.vacuumSnapshots(snapDir, keepLast = 2)
+        require(removed == Seq(0L), s"vacuum(keepLast=2) must drop v0 only, got $removed")
+        val retained = graft.streaming.StreamingOps.listSnapshotVersions(snapDir)
+        require(retained == Seq(1L, 2L),
+          s"retention must keep the newest two versions, got $retained")
+        graft.streaming.StreamingOps.readSnapshotAt(s, snapDir, 1L)
+      }
+    },
+    "etl_manifest_prune" -> { (s, dir) =>
+      // Per-file min/max stats manifest + file pruning (the Iceberg /
+      // Delta manifest primitive): orders staged as one parquet file
+      // per order-year, statsManifest scans ONCE and aggregates
+      // (file, n_rows, min/max o_orderdate), prunedFiles keeps the
+      // files whose [min, max] date interval intersects the query
+      // range — planning cost is (#files) rows, the data is never
+      // re-read. Result = the pruned files as (year, n_rows), year
+      // recovered from the staged file name; oracle recomputes the
+      // qualifying year set from per-year min/max in DuckDB.
+      val staged = stageOrdersByYear(s, dir)
+      val manifest = graft.ops.Manifest.statsManifest(s, staged, Seq("o_orderdate"))
+      val pruned = graft.ops.Manifest.prunedFiles(manifest, "o_orderdate",
+        lit("1997-03-15").cast("timestamp"), lit("1998-06-15").cast("timestamp"))
+      pruned.join(manifest, "file")
+        .select(regexp_extract(col("file"), "orders_y(\\d+)", 1)
+          .cast("int").as("year"), col("n_rows"))
+    },
+    "etl_manifest_prune_scan" -> { (s, dir) =>
+      // The correctness half of manifest pruning: a scan restricted to
+      // the pruned file set + the residual filter must return exactly
+      // the rows of a full scan + filter (pruning is a superset by
+      // construction; the filter closes the gap). Aggregated per
+      // priority with cent-quantized sums (exact-integer discipline).
+      val staged = stageOrdersByYear(s, dir)
+      val lo = lit("1997-03-15").cast("timestamp")
+      val hi = lit("1998-06-15").cast("timestamp")
+      val manifest = graft.ops.Manifest.statsManifest(s, staged, Seq("o_orderdate"))
+      val files = graft.ops.Manifest.prunedFiles(manifest, "o_orderdate", lo, hi)
+        .collect().map(_.getString(0)).sorted // control-plane: #files rows
+      require(files.nonEmpty, "pruning must retain at least one file for this range")
+      s.read.parquet(files.toIndexedSeq: _*)
+        .filter(col("o_orderdate").between(lo, hi))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     },
     "stream_join_full" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
@@ -2453,10 +2548,9 @@ object SparkEntry {
           ref, "o_totalprice", mn, width, bins)
         val cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
           .select(col("o_orderkey"), col("o_totalprice"))
-        val replayDir = java.nio.file.Files
-          .createTempDirectory("graft_drift_replay_").toFile
+        val replayDir = scratchDir("graft_drift_replay_").toFile
         Seq(0L, 3L, 6L).zipWithIndex.foreach { case (g, i) =>
-          val stage = java.nio.file.Files.createTempDirectory("graft_drift_stage_")
+          val stage = scratchDir("graft_drift_stage_")
           cur.filter(pmod(col("o_orderkey"), lit(9L)) === g)
             .coalesce(1).write.mode("overwrite").parquet(stage.toString)
           val part = stage.toFile.listFiles()
@@ -2465,10 +2559,8 @@ object SparkEntry {
           java.nio.file.Files.move(part.toPath,
             new java.io.File(replayDir, f"cur_$i%02d.parquet").toPath)
         }
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_drift_state_").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_drift_ckpt_").toString
+        val stateDir = scratchDir("graft_drift_state_").toString
+        val ckpt = scratchDir("graft_drift_ckpt_").toString
         val stream = s.readStream.schema(cur.schema)
           .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
         graft.streaming.StreamingOps.driftGate(stream, "o_totalprice",
@@ -2490,10 +2582,8 @@ object SparkEntry {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(replayDir)
           .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_anomaly_state_").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_anomaly_ckpt_").toString
+        val stateDir = scratchDir("graft_anomaly_state_").toString
+        val ckpt = scratchDir("graft_anomaly_ckpt_").toString
         graft.streaming.StreamingOps.anomalyGate(stream, "sec", "event_type",
           stateDir, ckpt)
         graft.streaming.StreamingOps.anomalyGateResult(s, stateDir,
@@ -2708,15 +2798,16 @@ object SparkEntry {
       // The grid radius join through its SQL TVF face — identical plan
       // and oracle as geo_radius_join (plan parity in GraftExtensionsSpec).
       graft.GraftExtensions.register(s)
-      geoPoints(Tables(s, dir, "customer"), "c_custkey")
-        .createOrReplaceTempView("graft_geo_cust_v")
-      geoPoints(Tables(s, dir, "supplier"), "s_suppkey")
-        .createOrReplaceTempView("graft_geo_supp_v")
-      s.sql("""
-        SELECT c_custkey, s_suppkey, dist2
-        FROM graft_geo_radius('graft_geo_cust_v', 'graft_geo_supp_v',
-          'lat_u', 'lon_u', 2000)
-      """)
+      withFreshView(s, "graft_geo_cust_v",
+          geoPoints(Tables(s, dir, "customer"), "c_custkey")) { cv =>
+        withFreshView(s, "graft_geo_supp_v",
+            geoPoints(Tables(s, dir, "supplier"), "s_suppkey")) { sv =>
+          s.sql(s"""
+            SELECT c_custkey, s_suppkey, dist2
+            FROM graft_geo_radius('$cv', '$sv', 'lat_u', 'lon_u', 2000)
+          """)
+        }
+      }
     },
     "geo_hotspot_incremental" -> { (s, dir) =>
       // Incremental hotspot maintenance off persisted cell-count state:
@@ -2731,8 +2822,7 @@ object SparkEntry {
         .select(col("lat_u"), col("lon_u"))
       val delta = pts.filter(pmod(col("c_custkey"), lit(4L)) === 0L)
         .select(col("lat_u"), col("lon_u"))
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_geo_cells_").toString
+      val stateDir = scratchDir("graft_geo_cells_").toString
       graft.etl.Sinks.parquetDir(
         graft.ops.Geo.cellCounts(hist, "lat_u", "lon_u", cellMicro = 5000L),
         stateDir)
@@ -2748,8 +2838,7 @@ object SparkEntry {
       val docs = Tables(s, dir, "documents")
       val hist = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)
       val delta = docs.filter(pmod(col("doc_id"), lit(4L)) === 0L)
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_bigram_state_").toString
+      val stateDir = scratchDir("graft_bigram_state_").toString
       graft.etl.Sinks.parquetDir(
         graft.ext.TextAnalysis.bigramCounts(hist), stateDir)
       val merged = graft.ext.TextAnalysis.mergeBigramCounts(
@@ -2785,10 +2874,14 @@ object SparkEntry {
               .otherwise(lit(0L)), lit(100000L)).as("r_band"))
       val truth = left.join(right, col("l_key") === col("r_key"))
       val found = truth.filter(col("l_band") === col("r_band"))
+      // NULLIF guard: at a degenerate SF with zero truth pairs both
+      // faces degrade identically to recall_micro = NULL (DuckDB's //
+      // would otherwise raise where Spark's div yields NULL)
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
         .select(col("n_truth"), col("n_found"),
-          call_function("div", col("n_found") * lit(1000000L), col("n_truth"))
+          call_function("div", col("n_found") * lit(1000000L),
+            call_function("nullif", col("n_truth"), lit(0L)))
             .as("recall_micro"))
     },
     "events_funnel_latency" -> { (s, dir) =>
@@ -2823,36 +2916,36 @@ object SparkEntry {
       // Spearman through its SQL TVF face — identical plan and oracle
       // as q_spearman.
       graft.GraftExtensions.register(s)
-      Tables(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-        .createOrReplaceTempView("graft_spearman_v")
-      s.sql("""
-        SELECT * FROM graft_spearman('graft_spearman_v', 'l_returnflag',
-          'l_quantity', 'l_extendedprice')
-      """)
+      withFreshView(s, "graft_spearman_v", Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))) { v =>
+        s.sql(s"""
+          SELECT * FROM graft_spearman('$v', 'l_returnflag',
+            'l_quantity', 'l_extendedprice')
+        """)
+      }
     },
     "ts_acf_sql" -> { (s, dir) =>
       // ACF through its SQL TVF face — identical plan and oracle as
       // ts_acf (the hourly series view is prepared SQL-side too).
       graft.GraftExtensions.register(s)
       val ev = Tables(s, dir, "events")
-      ev.groupBy(col("event_type"),
-          call_function("div", tsEpochSec(ev.schema), lit(3600L)).as("t"))
-        .agg(sum(col("value").cast("decimal(18,6)")).as("x"))
-        .createOrReplaceTempView("graft_acf_series_v")
-      s.sql("SELECT * FROM graft_acf('graft_acf_series_v', 'event_type', 't', 'x', 3)")
+      withFreshView(s, "graft_acf_series_v", ev.groupBy(col("event_type"),
+            call_function("div", tsEpochSec(ev.schema), lit(3600L)).as("t"))
+          .agg(sum(col("value").cast("decimal(18,6)")).as("x"))) { v =>
+        s.sql(s"SELECT * FROM graft_acf('$v', 'event_type', 't', 'x', 3)")
+      }
     },
     "geo_hotspot_sql" -> { (s, dir) =>
       // The hotspot test through its SQL TVF face — identical plan and
       // oracle as geo_hotspot.
       graft.GraftExtensions.register(s)
-      geoPoints(Tables(s, dir, "customer"), "c_custkey")
-        .select(col("lat_u"), col("lon_u"))
-        .createOrReplaceTempView("graft_hotspot_pts_v")
-      s.sql("""
-        SELECT * FROM graft_geo_hotspot('graft_hotspot_pts_v',
-          'lat_u', 'lon_u', 5000, 3, 2)
-      """)
+      withFreshView(s, "graft_hotspot_pts_v",
+          geoPoints(Tables(s, dir, "customer"), "c_custkey")
+            .select(col("lat_u"), col("lon_u"))) { v =>
+        s.sql(s"""
+          SELECT * FROM graft_geo_hotspot('$v', 'lat_u', 'lon_u', 5000, 3, 2)
+        """)
+      }
     },
     "geo_fence" -> { (s, dir) =>
       // Exact geofence: point-in-convex-polygon decided by per-edge
@@ -2878,10 +2971,8 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1").parquet(replayDir)
           .select(pmod(col("event_id") * lit(40503L), lit(100000L)).as("lat_u"),
             pmod(col("event_id") * lit(69069L), lit(100000L)).as("lon_u"))
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_dbscan_state_").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_dbscan_ckpt_").toString
+        val stateDir = scratchDir("graft_dbscan_state_").toString
+        val ckpt = scratchDir("graft_dbscan_ckpt_").toString
         graft.streaming.StreamingOps.hotspotGate(stream, "lat_u", "lon_u",
           cellMicro = 5000L, stateDir, ckpt)
         graft.ops.Geo.dbscanFromCells(
@@ -2960,10 +3051,8 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1").parquet(replayDir)
           .select(pmod(col("event_id") * lit(40503L), lit(100000L)).as("lat_u"),
             pmod(col("event_id") * lit(69069L), lit(100000L)).as("lon_u"))
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_hotspot_state_").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_hotspot_ckpt_").toString
+        val stateDir = scratchDir("graft_hotspot_state_").toString
+        val ckpt = scratchDir("graft_hotspot_ckpt_").toString
         graft.streaming.StreamingOps.hotspotGate(stream, "lat_u", "lon_u",
           cellMicro = 5000L, stateDir, ckpt)
         graft.streaming.StreamingOps.hotspotGateResult(s, stateDir,
@@ -3015,6 +3104,40 @@ object SparkEntry {
   /** Memory-sink names must be fresh per invocation (bench warm-up + two
     * timed passes reuse one session). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JVM-lifetime scratch root for every query-created staging / state /
+    * checkpoint directory, removed by a shutdown hook — repeated
+    * invocations (bench warm-up + timed passes) stage fresh dirs per run
+    * (concurrency-safe) but can no longer orphan temp state on disk. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
+  /** Registers `df` under a per-invocation temp-view name (`base` +
+    * unique suffix) and passes the name to `body` — concurrent
+    * invocations of the same SQL-TVF row on a shared session cannot
+    * race view replacement. spark.sql binds views eagerly, so the view
+    * is dropped as soon as the frame is built. */
+  private def freshViewName(base: String): String =
+    s"${base}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  private def withFreshView(s: SparkSession, base: String, df: DataFrame)(
+      body: String => DataFrame): DataFrame = {
+    val v = freshViewName(base)
+    df.createOrReplaceTempView(v)
+    try body(v) finally s.catalog.dropTempView(v)
+  }
 
   /** The events fixture's `ts` has shipped in two encodings across driver
     * drops: TIMESTAMP(NANOS), which Spark reads as a nanosecond LONG under
@@ -3092,10 +3215,10 @@ object SparkEntry {
       col("user_id"), col("event_type"), col("value"))
     val tiled = ev.withColumn("__tile", ntile(parts).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    val replay = java.nio.file.Files.createTempDirectory("graft_replay_")
+    val replay = scratchDir("graft_replay_")
     val base = System.currentTimeMillis() - (parts + 1) * 60000L
     replayOrder.zipWithIndex.foreach { case (tile, pos) =>
-      val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
+      val stage = scratchDir("graft_stage_")
       tiled.filter(col("__tile") === tile).drop("__tile")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = stage.toFile.listFiles()
@@ -3124,7 +3247,7 @@ object SparkEntry {
         case _ => lit(-1L)
       }).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val stage = java.nio.file.Files.createTempDirectory("graft_stage_hb_")
+    val stage = scratchDir("graft_stage_hb_")
     hb.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = stage.toFile.listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -3134,6 +3257,29 @@ object SparkEntry {
     // strictly after every tile's mtime (tiles end at now - 60s)
     require(dest.setLastModified(System.currentTimeMillis()),
       s"cannot set mtime on $dest")
+  }
+
+  /** Stages orders as ONE parquet file per order-year
+    * (`orders_y1997.parquet`, ...) — the deterministic file layout the
+    * manifest-pruning rows prune against (year recoverable from the
+    * file name, so the pruned FILE SET itself is oracle-comparable).
+    * The year list is control-plane-sized (single-digit rows). */
+  private def stageOrdersByYear(s: SparkSession, dir: String): String = {
+    val base = scratchDir("graft_manifest_orders_").toString
+    val orders = Tables(s, dir, "orders")
+    val years = orders.select(year(col("o_orderdate")).as("y"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    years.foreach { y =>
+      val stage = scratchDir("graft_stage_year_")
+      orders.filter(year(col("o_orderdate")) === y)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $stage"))
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(base, s"orders_y$y.parquet").toPath)
+    }
+    base
   }
 
   /** Shared base for the CondExpr differential fuzz: adds NULL-bearing
@@ -4640,6 +4786,30 @@ object SparkEntry {
         |        ORDER BY sec DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, event_type, sec, event_id, "value" AS value
         |FROM r WHERE rn = 1""".stripMargin,
+    // qualifying years = those whose per-year [min, max] o_orderdate
+    // interval intersects the query range (the file-level stats test)
+    "etl_manifest_prune" ->
+      """SELECT CAST(YEAR(o_orderdate) AS INT) AS year, COUNT(*) AS n_rows
+        |FROM orders GROUP BY 1
+        |HAVING MAX(o_orderdate) >= TIMESTAMP '1997-03-15'
+        |   AND MIN(o_orderdate) <= TIMESTAMP '1998-06-15'""".stripMargin,
+    "etl_manifest_prune_scan" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-03-15' AND TIMESTAMP '1998-06-15'
+        |GROUP BY 1""".stripMargin,
+    // time travel to v1 = the upsert state after the first TWO of three
+    // NTILE(3)-by-(sec, event_id) replay tiles
+    "etl_time_travel" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec, "value" FROM events),
+        |t AS (SELECT *, NTILE(3) OVER (ORDER BY sec, event_id) AS tile FROM e),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY sec DESC, event_id DESC) AS rn
+        |      FROM t WHERE tile <= 2)
+        |SELECT user_id, event_type, sec, event_id, "value" AS value
+        |FROM r WHERE rn = 1""".stripMargin,
     "stream_join_full" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
@@ -4976,7 +5146,7 @@ object SparkEntry {
         |a AS (SELECT COUNT(*) AS n_truth FROM t),
         |b AS (SELECT COUNT(*) AS n_found FROM t WHERE l_band = r_band)
         |SELECT n_truth, n_found,
-        | CAST(n_found * 1000000 // n_truth AS BIGINT) AS recall_micro
+        | CAST(n_found * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_micro
         |FROM a, b""".stripMargin,
     // the heartbeat-closed replay drains EVERY run (event-time timeout
     // evicts each user's final open run), so the oracle is the full

@@ -236,7 +236,14 @@ object Geo {
   /** [[dbscanCells]] over a pre-aggregated cells frame (columns:
     * cell_lat, cell_lon, n) — the face incremental/streaming callers
     * run over merged stored cell-count state (the same state the
-    * hotspot gate persists serves both tests). */
+    * hotspot gate persists serves both tests).
+    *
+    * EAGER: unlike the rest of Geo this runs Spark jobs at
+    * DataFrame-CONSTRUCTION time (the pointer-jumping component loop
+    * in `Dedup.components` counts and checkpoints per round), so it
+    * must not be embedded in an analysis-time path such as a SQL TVF
+    * builder — keep it off the `GraftExtensions` table registry unless
+    * converted to a lazy formulation. */
   def dbscanFromCells(cells: DataFrame, minPts: Long): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
     val dense = cells

@@ -123,6 +123,34 @@ class ConcurrentSessionSpec extends SparkTestBase {
     } finally pool.shutdown()
   }
 
+  test("SQL-TVF driver rows on one session: concurrent == sequential") {
+    // The TVF rows register temp views on the shared session; every
+    // registration is now per-invocation-named, so the same row twice in
+    // flight — and the historically name-colliding dq_psi_sql/dq_ks_sql
+    // pair (both once used graft_dq_ref_v/graft_dq_cur_v) — must agree
+    // with their sequential baselines and leave no view residue.
+    val rows = Seq("dq_psi_sql", "dq_ks_sql", "q_spearman_sql", "geo_hotspot_sql")
+    def run(name: String): Set[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sf()).collect().map(_.toSeq.toVector).toSet
+    val baseline = rows.map(n => n -> run(n)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.Future
+      val futures = (1 to 2).flatMap(_ => rows.map(n => Future(n -> (run(n) == baseline(n)))))
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(300, "s"))
+      val wrong = results.filterNot(_._2).map(_._1)
+      assert(wrong.isEmpty, s"TVF rows diverged under concurrency: ${wrong.distinct.mkString(",")}")
+    } finally pool.shutdown()
+    val leaked = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_dq_") || n.startsWith("graft_spearman_v") ||
+        n.startsWith("graft_hotspot_pts_v"))
+    assert(leaked.isEmpty, s"TVF rows leaked views: ${leaked.mkString(",")}")
+  }
+
   test("streaming replay never mutates the parent session's conf (isolated clone)") {
     // The streaming contract rows scope shuffle.partitions down to 4 for
     // their state stores. With set/restore-in-finally scoping, a
