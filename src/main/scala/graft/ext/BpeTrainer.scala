@@ -39,11 +39,99 @@ object BpeTrainer {
     out.toSeq
   }
 
+  /** Exact sequential trainer over a driver-resident word histogram:
+    * a lazy-deletion max-heap keyed by (count DESC, left ASC, right
+    * ASC) — the same total order the distributed loop's ordered
+    * take(1) uses — with incremental pair-count maintenance, so a
+    * 32k-merge production vocabulary costs zero Spark jobs per merge
+    * instead of one. Occurrence lists are additive (stale entries are
+    * re-checked against the live word), counts are exact. */
+  private[ext] def trainLocal(words0: Array[(Seq[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val words = words0.map { case (s, f) => (s.toArray, f) }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    // max-heap by (count, then REVERSED lexicographic pair so the
+    // smallest (left, right) wins ties) with lazy deletion
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val ca = y._2.compareTo(x._2)
+            if (ca != 0) ca else y._3.compareTo(x._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val nv = counts.getOrElse(p, 0L) + delta
+      if (nv <= 0L) counts.remove(p)
+      else {
+        counts.update(p, nv)
+        if (delta > 0L) {
+          occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+          heap.enqueue((nv, p._1, p._2))
+        } else heap.enqueue((nv, p._1, p._2))
+      }
+      ()
+    }
+    words.zipWithIndex.foreach { case ((syms, f), wi) =>
+      var i = 0
+      while (i + 1 < syms.length) { bump((syms(i), syms(i + 1)), f, wi); i += 1 }
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // pop to the first LIVE heap entry (count still current)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val cand = heap.dequeue()
+        if (counts.get((cand._2, cand._3)).contains(cand._1)) top = Some(cand)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((n, a, b)) =>
+          merges += ((rank, a, b, n))
+          val touched = occ.getOrElse((a, b), scala.collection.mutable.Set.empty)
+            .toArray.sorted
+          touched.foreach { wi =>
+            val (syms, f) = words(wi)
+            val hasPair = syms.indices.dropRight(1)
+              .exists(i => syms(i) == a && syms(i + 1) == b)
+            if (hasPair) { // stale occurrence entries are skipped
+              var i = 0
+              while (i + 1 < syms.length) { bump((syms(i), syms(i + 1)), -f, wi); i += 1 }
+              val next = applyMerge(syms.toSeq, a, b).toArray
+              words(wi) = (next, f)
+              i = 0
+              while (i + 1 < next.length) { bump((next(i), next(i + 1)), f, wi); i += 1 }
+            }
+          }
+          occ.remove((a, b))
+          rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Train `numMerges` merges; returns (rank int, left, right,
     * pair_count long) with rank 0 = first merge. May return fewer rows
-    * than numMerges when the histogram runs out of adjacent pairs. */
+    * than numMerges when the histogram runs out of adjacent pairs.
+    *
+    * Hybrid execution: the corpus-scale pass is always the ONE word-
+    * histogram aggregation; when the distinct-word histogram fits on
+    * the driver (`maxLocalWords`, default 1M rows — the regime every
+    * practical tokenizer-training corpus lands in after whitespace
+    * splitting) the merge loop runs locally via [[trainLocal]] with
+    * incremental counts, costing zero Spark jobs per merge. Above the
+    * threshold it falls back to the distributed one-job-per-merge loop
+    * (exact same total order), whose job count is the documented bound
+    * — both paths are pinned bit-identical in BpeSpec. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      lowercase: Boolean = true): DataFrame = {
+      lowercase: Boolean = true, maxLocalWords: Long = 1000000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -57,6 +145,9 @@ object BpeTrainer {
       .map { case (w, f) => (w.map(_.toString), f) }
 
     var words = Materialize(hist.toDF("syms", "freq")).as[(Seq[String], Long)]
+    if (words.count() <= maxLocalWords)
+      return trainLocal(words.collect(), numMerges)
+        .toDF("rank", "left", "right", "pair_count")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false

@@ -64,6 +64,26 @@ class BpeSpec extends SparkTestBase {
     assert(got(1).isNullAt(0))
   }
 
+  test("local heap trainer == distributed per-round trainer, ranks and counts") {
+    // seeded corpora over a tiny alphabet force dense pair collisions
+    // and count ties — the regimes where the heap's lazy deletion and
+    // tie-break must agree exactly with the distributed ordered take(1)
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { _ =>
+        (0 until (2 + rnd.nextInt(6)))
+          .map(_ => (0 until (1 + rnd.nextInt(4)))
+            .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+          .mkString(" ")
+      }.toDF("text")
+      def rows(maxLocal: Long) =
+        BpeTrainer.train(docs, "text", 12, maxLocalWords = maxLocal)
+          .orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(rows(1000000L) === rows(0L), s"seed $seed: local != distributed")
+    }
+  }
+
   // ------------------------------------------------- second reference
 
   /** Independent greedy-BPE reference: list recursion instead of the
