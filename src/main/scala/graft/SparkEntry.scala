@@ -2912,6 +2912,20 @@ object SparkEntry {
         rawRef = d.filter(pmod(col("doc_id"), lit(3L)) === 1L),
         topN = 100)
     },
+    "curation_doremi" -> { (s, dir) =>
+      // DoReMi mixture update: a weak proxy LM (the small %5==0 slice)
+      // and a strong reference LM (%5 in {1,2}) score the candidate
+      // slice (%5 in {3,4}); per-lang mean clipped excess NLL drives
+      // one exponentiated-gradient re-weighting (η = 1) and a 300-slot
+      // largest-remainder apportionment. Exact nano/micro integers
+      // everywhere except the single micro-quantized exp().
+      val d = Tables(s, dir, "documents")
+      graft.ext.Curation.doremiReweight(
+        cand = d.filter(pmod(col("doc_id"), lit(5L)).isin(3L, 4L)),
+        proxyRef = d.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+        strongRef = d.filter(pmod(col("doc_id"), lit(5L)).isin(1L, 2L)),
+        domainCol = "lang", total = 300L)
+    },
     "q_spearman_sql" -> { (s, dir) =>
       // Spearman through its SQL TVF face — identical plan and oracle
       // as q_spearman.
@@ -4000,6 +4014,58 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.lang, r.rn FROM r JOIN quota USING (lang)
         |WHERE r.rn <= quota.quota""".stripMargin,
+    "curation_doremi" ->
+      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+        |           FROM documents WHERE text IS NOT NULL),
+        |tw AS (SELECT doc_id, lang, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
+        |pairs AS (SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
+        |  SELECT doc_id, UNNEST([{'a': w[i], 'b': w[i+1]} FOR i IN RANGE(1, LEN(w))]) AS p
+        |  FROM tw WHERE LEN(w) >= 2)),
+        |c2p AS (SELECT a, b, COUNT(*) AS c2 FROM pairs WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |c1p AS (SELECT a, SUM(c2) AS c1 FROM c2p GROUP BY 1),
+        |vp AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE doc_id % 5 = 0)),
+        |c2s AS (SELECT a, b, COUNT(*) AS c2 FROM pairs WHERE doc_id % 5 IN (1, 2) GROUP BY 1, 2),
+        |c1s AS (SELECT a, SUM(c2) AS c1 FROM c2s GROUP BY 1),
+        |vs AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE doc_id % 5 IN (1, 2))),
+        |scp AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2p.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1p.c1, 0) + vp.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2p ON pr.a = c2p.a AND pr.b = c2p.b
+        | LEFT JOIN c1p ON pr.a = c1p.a, vp
+        | WHERE pr.doc_id % 5 IN (3, 4)),
+        |np AS (SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll
+        |       FROM scp GROUP BY 1),
+        |scs AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2s.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1s.c1, 0) + vs.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2s ON pr.a = c2s.a AND pr.b = c2s.b
+        | LEFT JOIN c1s ON pr.a = c1s.a, vs
+        | WHERE pr.doc_id % 5 IN (3, 4)),
+        |ns AS (SELECT doc_id, CAST(-SUM(lp) AS BIGINT) AS nll FROM scs GROUP BY 1),
+        |ex AS (SELECT np.doc_id, d.lang,
+        |   GREATEST(np.nll - ns.nll, 0) // np.n_pairs AS ex_nano
+        |  FROM np JOIN ns ON ns.doc_id = np.doc_id
+        |  JOIN documents d ON d.doc_id = np.doc_id),
+        |dom AS (SELECT lang, COUNT(*) AS n_docs,
+        |   CAST(SUM(ex_nano) AS BIGINT) // COUNT(*) AS excess_nano FROM ex GROUP BY 1),
+        |f AS (SELECT lang, n_docs, excess_nano,
+        |   CAST(ROUND(EXP(CAST(excess_nano * 1000000 AS DOUBLE) / 1e15) * 1000000.0)
+        |     AS BIGINT) AS factor_micro FROM dom),
+        |n0 AS (SELECT lang, n_docs, excess_nano, factor_micro,
+        |   n_docs * factor_micro AS numer FROM f),
+        |n1 AS (SELECT *, NULLIF(CAST(SUM(numer) OVER () AS HUGEINT), 0) AS bigs FROM n0),
+        |q0 AS (SELECT *, CAST(300 AS HUGEINT) * numer // bigs AS base,
+        |   CAST(300 AS HUGEINT) * numer
+        |     - (CAST(300 AS HUGEINT) * numer // bigs) * bigs AS rem,
+        |   CAST(numer AS HUGEINT) * 1000000 // bigs AS wm FROM n1),
+        |q1 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |   300 - SUM(base) OVER () AS deficit FROM q0)
+        |SELECT lang AS domain, n_docs, excess_nano, factor_micro,
+        | CAST(wm AS BIGINT) AS w_micro,
+        | CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM q1""".stripMargin,
     "curation_dsir" ->
       """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
         |           FROM documents WHERE text IS NOT NULL),

@@ -461,6 +461,67 @@ object Curation {
     * so seats — including contested remainder seats — are bit-identical
     * in any engine. The group frame is aggregate-sized; its windows are
     * control-plane. Output: (idCol, groupCol, rn ≤ quota). */
+  /** DoReMi-style domain re-weighting (Xie et al. 2023, arXiv
+    * 2305.10429): the mixture update step. Per-domain EXCESS loss —
+    * how much worse a weak "proxy" LM scores the domain than a strong
+    * reference LM — drives one exponentiated-gradient update of the
+    * domain mixture: α'_d ∝ n_d · exp(η · λ_d), so the domains the
+    * proxy has learned least (hardest, most informative) gain sampling
+    * weight. Batch variant over the exact bigram-LM NLL frames
+    * ([[graft.ext.LangModel]]), one update step.
+    *
+    * Exact-integer discipline (the DSIR/temperature family's): per-doc
+    * NLLs are nano-quantized integer sums; per-doc per-pair excess =
+    * integer div of the clipped difference by the pair count; the
+    * per-domain mean is an integer div of integer sums; the ONE float
+    * is exp(η·λ), micro-quantized immediately; normalized weights and
+    * the `total` slot apportionment run the largest-remainder
+    * DECIMAL(38,0) arithmetic, bit-identical in any engine. Every
+    * frame after scoring is aggregate-sized (#domains rows).
+    *
+    * Output: (domain, n_docs, excess_nano, factor_micro, w_micro,
+    * quota) — one row per candidate domain. */
+  def doremiReweight(cand: DataFrame, proxyRef: DataFrame, strongRef: DataFrame,
+      domainCol: String, total: Long, etaMicro: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(total > 0, s"total must be positive: $total")
+    require(etaMicro > 0, s"etaMicro must be positive: $etaMicro")
+    val dec = "decimal(38,0)"
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val p = LangModel.bigramNll(proxyRef, cand, idCol, textCol)
+      .select(col(idCol), col("n_pairs"), col("nll_nano").as("__np"))
+    val r = LangModel.bigramNll(strongRef, cand, idCol, textCol)
+      .select(col(idCol), col("nll_nano").as("__nr"))
+    val perDoc = p.join(r, Seq(idCol))
+      .join(cand.select(col(idCol), col(domainCol)), Seq(idCol))
+      .select(col(domainCol),
+        call_function("div", greatest(col("__np") - col("__nr"), lit(0L)),
+          col("n_pairs")).as("ex_nano"))
+    val dom = perDoc.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        call_function("div", sum(col("ex_nano")), count(lit(1))).as("excess_nano"))
+      .withColumn("factor_micro",
+        round(exp((col("excess_nano") * lit(etaMicro)).cast("double") / lit(1e15))
+          * lit(1e6)).cast("long"))
+      .withColumn("numer", col("n_docs") * col("factor_micro"))
+    val bigS = call_function("nullif", sum(col("numer")).over(all).cast(dec),
+      lit(0L).cast(dec))
+    val prod = lit(total).cast(dec) * col("numer")
+    val scored = dom
+      .withColumn("w_micro",
+        call_function("div", col("numer").cast(dec) * lit(1000000L), bigS)
+          .cast("long"))
+      .withColumn("base", call_function("div", prod, bigS))
+      .withColumn("rem", prod - col("base") * bigS)
+    val deficit = lit(total) - sum(col("base")).over(all)
+    val remRank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("rem").desc, col(domainCol).asc))
+    scored.select(col(domainCol).as("domain"), col("n_docs"),
+      col("excess_nano"), col("factor_micro"), col("w_micro"),
+      (col("base") + when(remRank <= deficit, 1L).otherwise(0L))
+        .cast("long").as("quota"))
+  }
+
   def temperatureQuota(docs: DataFrame, groupCol: String, idCol: String,
       total: Long, tau: Double): DataFrame = {
     require(total > 0, s"total must be positive: $total")
