@@ -1164,6 +1164,31 @@ object SparkEntry {
       // j>=0.8 is < 5e-8, so the exact-Jaccard oracle applies.
       Dedup.minhash(Tables(s, dir, "documents"), threshold = 0.8)
     },
+    "dedup_crosslingual" -> { (s, dir) =>
+      // Cross-lingual near-dup: pseudo-translations of every 4th doc
+      // (surface forms reversed; every m-th token dropped, m = 10 +
+      // doc_id % 20, so concept-shingle Jaccard spreads across the 0.8
+      // threshold) rejoined through a corpus-derived reversal lexicon.
+      // Concept-sequence 3-gram MinHash-LSH, cross-language candidates
+      // only, exact verification; oracle = the all-pairs exact concept-
+      // shingle Jaccard ground truth (recall loss at j>=0.8 < 5e-8).
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+      val toks = split(trim(col("text")), "\\s+")
+      val translated = d.filter(pmod(col("doc_id"), lit(4L)) === 0L)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          lit("xx").as("lang"),
+          array_join(transform(
+            filter(toks, (t, i) =>
+              pmod(i, lit(10) + pmod(col("doc_id"), lit(20)).cast("int")) =!= 0),
+            t => reverse(t)), " ").as("text"))
+      val vocab = d.select(explode(toks).as("t"))
+        .filter(length(col("t")) > 0).distinct()
+      val lexicon = vocab.select(col("t").as("surface"), col("t").as("concept"))
+        .unionByName(vocab.select(reverse(col("t")).as("surface"),
+          col("t").as("concept")))
+      Dedup.crossLingualMinhash(d.unionByName(translated), lexicon)
+    },
     "dedup_simhash" -> { (s, dir) => // hash-seeded: rows-only check
       Dedup.simhash(Tables(s, dir, "documents"), maxDist = 3)
     },
@@ -4720,6 +4745,39 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.a_id = sa.doc_id
         |WHERE c * 1.0 / sa.sz >= 0.7""".stripMargin,
     "dedup_minhash" -> ngramJaccardSql,
+    // all-pairs exact concept-shingle Jaccard ground truth for the
+    // cross-lingual LSH (same recall argument as dedup_minhash)
+    "dedup_crosslingual" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w FROM documents),
+        |tr AS (SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang,
+        |  list_transform(
+        |    list_filter([{'s': w[j], 'p': j} FOR j IN RANGE(1, LEN(w)+1)],
+        |      e -> (e['p'] - 1) % (10 + doc_id % 20) != 0),
+        |    e -> REVERSE(e['s'])) AS w
+        | FROM d WHERE doc_id % 4 = 0),
+        |corpus AS (SELECT doc_id, lang, w FROM d UNION ALL SELECT doc_id, lang, w FROM tr),
+        |vocab AS (SELECT DISTINCT UNNEST(w) AS t FROM d WHERE LEN(w) > 0),
+        |lex0 AS (SELECT t AS surface, t AS concept FROM vocab WHERE LEN(t) > 0
+        |  UNION ALL SELECT REVERSE(t) AS surface, t AS concept FROM vocab WHERE LEN(t) > 0),
+        |lex AS (SELECT surface, MIN(concept) AS concept FROM lex0 GROUP BY 1),
+        |pos AS (SELECT doc_id, lang, e['p'] AS p, e['s'] AS surface FROM
+        |  (SELECT doc_id, lang, UNNEST([{'p': i, 's': w[i]} FOR i IN RANGE(1, LEN(w)+1)]) AS e
+        |   FROM corpus) WHERE LEN(surface) > 0),
+        |cs AS (SELECT doc_id, lang, LIST(concept ORDER BY p) AS cs
+        |  FROM pos JOIN lex USING (surface) GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, lang, list_distinct([cs[i] || ' ' || cs[i+1] || ' ' || cs[i+2]
+        |  FOR i IN RANGE(1, LEN(cs) - 1)]) AS s FROM cs WHERE LEN(cs) >= 3),
+        |sizes AS (SELECT doc_id, lang, LEN(s) AS sz FROM sh),
+        |ix AS (SELECT doc_id, UNNEST(s) AS sg FROM sh),
+        |co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+        |  FROM ix a JOIN ix b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, sa.lang AS a_lang, sb.lang AS b_lang,
+        | c * 1.0 / (sa.sz + sb.sz - c) AS jaccard
+        |FROM co JOIN sizes sa ON co.a_id = sa.doc_id
+        |JOIN sizes sb ON co.b_id = sb.doc_id
+        |WHERE sa.lang <> sb.lang
+        |  AND c * 1.0 / (sa.sz + sb.sz - c) >= 0.8""".stripMargin,
     // the all-pairs exact-Jaccard ground truth, restricted to pairs with
     // at least one side in the "new" third (doc_id % 3 = 0) — old×old
     // pairs belong to the index build, not the incremental run

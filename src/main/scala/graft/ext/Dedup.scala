@@ -215,6 +215,79 @@ object Dedup {
     verified.select("a_id", "b_id", "jaccard")
   }
 
+  /** Cross-lingual near-duplicate pairs: documents in DIFFERENT
+    * languages whose CONCEPT sets — surface tokens mapped through a
+    * translation lexicon — overlap at `threshold` Jaccard. The
+    * multilingual-corpus twin of [[minhash]]: machine-translated copies
+    * inflate a multilingual training corpus exactly like literal copies
+    * inflate a monolingual one, but share no surface n-grams, so
+    * surface MinHash cannot see them; dictionary-normalized token
+    * classes (the CLIR trick) restore the overlap signal.
+    *
+    * `lexicon` is a (surface, concept) relation — many surfaces per
+    * concept, one per language; an ambiguous surface resolves to its
+    * lexicographically SMALLEST concept (deterministic in any engine).
+    * Tokens missing from the lexicon are dropped before shingling
+    * (lexicon coverage is the recall knob). The Jaccard runs over
+    * `n`-gram shingles of the CONCEPT SEQUENCE — unigram concept sets
+    * saturate on a small shared vocabulary; sequence shingles keep the
+    * discrimination of [[minhash]]. Scale shape: the lexicon is a
+    * BROADCAST dimension (dictionary-sized); per-doc distinct shingle-
+    * hash sets flow through the same signature→band→bucket-join LSH as
+    * [[minhash]] with candidates restricted to `lang_a != lang_b`,
+    * then exact concept-shingle-Jaccard verification on candidates
+    * only — never all-pairs.
+    *
+    * Output: (a_id, b_id, a_lang, b_lang, jaccard), a_id < b_id. */
+  def crossLingualMinhash(docs: DataFrame, lexicon: DataFrame,
+      threshold: Double = 0.8, n: Int = 3, bands: Int = 32, rows: Int = 4,
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text", surfaceCol: String = "surface",
+      conceptCol: String = "concept"): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val k = bands * rows
+    val tok = barrier(docs.select(col(idCol), col(langCol), col(textCol)))
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        posexplode(filter(TextAnalysis.tokens(lower(col(textCol))),
+          t => length(t) > 0)))
+      .toDF("id", "lang", "pos", "surface")
+    val lex = lexicon
+      .select(col(surfaceCol).as("surface"), col(conceptCol).as("concept"))
+      .groupBy("surface").agg(min(col("concept")).as("concept"))
+    val seqs = tok.join(broadcast(lex), Seq("surface"))
+      .groupBy(col("id"), col("lang"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("concept")))).as("ps"))
+      .select(col("id"), col("lang"),
+        transform(col("ps"), p => p("concept")).as("cs"))
+      .filter(size(col("cs")) >= n)
+    val withSh = barrier(seqs.select(col("id"), col("lang"),
+      array_distinct(transform(sequence(lit(0), size(col("cs")) - n),
+        i => xxhash64(concat_ws(" ",
+          (0 until n).map(j => element_at(col("cs"), i + j + 1)): _*))))
+        .as("shs")))
+    val sigs = barrier(withSh.select(col("id"), col("lang"),
+      minhashSignature(col("shs"), k).as("sig")))
+    val buckets = sigs.select(col("id"), col("lang"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .toDF("id", "lang", "band", "bucket")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id") && col("x.lang") =!= col("y.lang"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("a_id"), col("lang").as("a_lang"),
+        col("shs").as("a_shs")), "a_id")
+      .join(withSh.select(col("id").as("b_id"), col("lang").as("b_lang"),
+        col("shs").as("b_shs")), "b_id")
+      .withColumn("c", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("a_shs")) + size(col("b_shs")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("a_lang"), col("b_lang"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of the token stream: bit i of the result is 1 when
     * more than half the token hashes have bit i set — a native Catalyst
     * expression (graft.functions.SimHash64) over the token-hash array. */

@@ -322,4 +322,39 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1)) // non-vacuous
     assert(got.exists(t => Set(t._1, t._2) == Set(4L, 5L)))
   }
+
+  test("crossLingualMinhash: translated twins found, surface minhash blind") {
+    import spark.implicits._
+    // 'xx' docs are word-for-word translations of the en docs through
+    // the lexicon; doc 3 shares no concepts with doc 1. Surface 3-gram
+    // minhash sees zero overlap between 1 and 2 (disjoint surfaces) —
+    // the lexicon-normalized op must see jaccard 1.0.
+    val docs = Seq(
+      (1L, "en", "big data table scan runs fast on spark"),
+      (2L, "xx", "GROS DONNEES TABLEAU BALAYAGE COURT VITE SUR ETINCELLE"),
+      (3L, "en", "tiny model trains slow off cluster nodes here"),
+      (4L, "xx", "GROS DONNEES TABLEAU BALAYAGE COURT VITE SUR AUTRE")
+    ).toDF("doc_id", "lang", "text")
+    val lexicon = Seq(
+      ("big", "c_big"), ("gros", "c_big"), ("data", "c_data"), ("donnees", "c_data"),
+      ("table", "c_table"), ("tableau", "c_table"), ("scan", "c_scan"),
+      ("balayage", "c_scan"), ("runs", "c_run"), ("court", "c_run"),
+      ("fast", "c_fast"), ("vite", "c_fast"), ("on", "c_on"), ("sur", "c_on"),
+      ("spark", "c_spark"), ("etincelle", "c_spark"), ("autre", "c_other"),
+      ("tiny", "c_tiny"), ("model", "c_model"), ("trains", "c_train"),
+      ("slow", "c_slow"), ("off", "c_off"), ("cluster", "c_cluster"),
+      ("nodes", "c_node"), ("here", "c_here")
+    ).toDF("surface", "concept")
+    val got = Dedup.crossLingualMinhash(docs, lexicon, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toList
+      .sortBy(t => (t._1, t._2))
+    // (1,2) exact translation: jaccard 1.0; (1,4) differs in the last
+    // concept only: 5 shared of the 6 shingles per side -> 5/7; (3, *)
+    // concept-disjoint -> absent
+    assert(got === List((1L, 2L, 1.0), (1L, 4L, 5.0 / 7.0)))
+    // and the surface-level minhash is blind to the same pair
+    val surface = Dedup.minhash(docs, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!surface.contains((1L, 2L)))
+  }
 }
