@@ -2770,6 +2770,25 @@ object SparkEntry {
     },
 
     // --- [EXT] rank statistics (ops/Relational.scala) --------------------
+    "q_item_cooccur" -> { (s, dir) =>
+      // "Customers also bought": top-5 co-purchase neighbors per part
+      // over order baskets, exact-integer cosine² ranking via the
+      // k-bounded TopK aggregate; pairs with fewer than 2 shared
+      // baskets pruned before ranking.
+      graft.ops.Relational.itemCooccurrenceTopK(Tables(s, dir, "lineitem"),
+        basketCol = "l_orderkey", itemCol = "l_partkey", k = 5, minCo = 2L)
+    },
+    "q_rfm" -> { (s, dir) =>
+      // RFM quintile segmentation of customers over their orders
+      // (recency reversed so freshest = 5; cent-quantized monetary).
+      // The quantile index comes from the range-partitioned global row
+      // number + the SQL-standard NTILE split — never a single-
+      // partition window — so the plan survives a billion entities.
+      // Oracle = DuckDB NTILE over the identical total orders.
+      graft.ops.Relational.rfmSegments(Tables(s, dir, "orders"),
+        idCol = "o_custkey", dateCol = "o_orderdate",
+        amountCol = "o_totalprice")
+    },
     "q_spearman" -> { (s, dir) =>
       // Per-flag Spearman rank correlation, tie-correct (Pearson over
       // doubled average ranks), every power sum exact in DECIMAL(38,0)
@@ -5147,6 +5166,35 @@ object SparkEntry {
         |      WHEN sc >= 0 THEN 'possible'
         |      ELSE 'non_match' END AS fs_class
         |FROM p""".stripMargin,
+    "q_item_cooccur" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y
+        |  ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u AS item, v AS nbr, n_ab FROM p
+        |  UNION ALL SELECT v AS item, u AS nbr, n_ab FROM p),
+        |sc AS (SELECT item, nbr, n_ab, a.n AS n_item, b.n AS n_nbr,
+        |  CAST(CAST(n_ab AS HUGEINT) * n_ab * 1000000
+        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS score_micro
+        | FROM sym JOIN ni a ON a.i = item JOIN ni b ON b.i = nbr),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |   ORDER BY score_micro DESC, nbr DESC) AS BIGINT) AS rank FROM sc)
+        |SELECT item, rank, nbr, n_item, n_nbr, n_ab, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q_rfm" ->
+      """WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+        |per AS (SELECT o_custkey,
+        |   CAST(DATE_DIFF('day', MAX(o_orderdate), mxd) AS BIGINT) AS recency_days,
+        |   COUNT(*) AS n_orders,
+        |   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders, mx GROUP BY o_custkey, mxd),
+        |t AS (SELECT *,
+        |   CAST(NTILE(5) OVER (ORDER BY -recency_days, o_custkey) AS BIGINT) AS r,
+        |   CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f,
+        |   CAST(NTILE(5) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS m
+        |  FROM per)
+        |SELECT o_custkey, recency_days, n_orders, cents, r, f, m,
+        | 100 * r + 10 * f + m AS rfm FROM t""".stripMargin,
     "q_spearman" -> spearmanSql,
     "q_spearman_sql" -> spearmanSql,
     "ts_decompose" ->

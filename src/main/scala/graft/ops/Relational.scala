@@ -712,4 +712,93 @@ object Relational {
               (col("n").cast(dec) * col("__syy") - col("__sy") * col("__sy")).cast("double")))
             * lit(1e6)).cast("long").as("rho_micro")): _*)
   }
+
+  /** RFM customer segmentation (Hughes 1994 — recency / frequency /
+    * monetary quintile scoring, the classic CRM triage): per entity,
+    * recency = days from its last order to the corpus max date,
+    * frequency = order count, monetary = cent-quantized spend; each
+    * dimension is `tiles`-quantile-scored over the TOTAL order
+    * (metric, entity id), so ties are deterministic in any engine, and
+    * recency is reversed (most recent scores highest). The quantile
+    * index is computed from [[globalRowNumber]] + the SQL-standard
+    * NTILE split (first n mod k tiles take the extra row) instead of a
+    * single-partition window — the entity frame range-partitions and
+    * ranks in parallel, so the op survives a billion-entity table.
+    * Output: (id, recency_days, n_orders, cents, r, f, m, rfm). */
+  def rfmSegments(orders: DataFrame, idCol: String, dateCol: String,
+      amountCol: String, tiles: Int = 5): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val maxDate = orders.agg(max(col(dateCol)).as("__mx"))
+    val per = orders.groupBy(col(idCol))
+      .agg(max(col(dateCol)).as("__last"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col(amountCol) * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(maxDate)) // one-row max-date frame
+      .withColumn("recency_days", datediff(col("__mx"), col("__last")).cast("long"))
+      .drop("__mx", "__last")
+      .withColumn("__neg_rec", -col("recency_days"))
+    val tot = broadcast(per.agg(count(lit(1)).cast("long").as("__n")))
+    // SQL-standard NTILE from a 0-based global row index: q = n div k,
+    // r = n mod k; the first r tiles carry q+1 rows
+    def tile(idx: org.apache.spark.sql.Column) = {
+      val q = call_function("div", col("__n"), lit(tiles.toLong))
+      val r = pmod(col("__n"), lit(tiles.toLong))
+      when(idx < r * (q + 1L), call_function("div", idx, q + 1L) + 1L)
+        .otherwise(r + call_function("div", idx - r * (q + 1L),
+          when(q > 0L, q).otherwise(lit(1L))) + 1L)
+    }
+    def addTile(df: DataFrame, sortCols: Seq[String], out: String): DataFrame =
+      globalRowNumber(df, sortCols)
+        .crossJoin(tot)
+        .withColumn(out, tile(col("row_num") - 1L))
+        .drop("row_num", "__n")
+    val scored = addTile(addTile(addTile(per,
+      Seq("__neg_rec", idCol), "r"),
+      Seq("n_orders", idCol), "f"),
+      Seq("cents", idCol), "m")
+    scored.select(col(idCol), col("recency_days"), col("n_orders"),
+      col("cents"), col("r"), col("f"), col("m"),
+      (col("r") * 100L + col("f") * 10L + col("m")).as("rfm"))
+  }
+
+  /** Item-item co-occurrence similarity — the "customers also bought"
+    * retrieval primitive. Items co-occur when one basket contains both;
+    * a neighbor's score is cosine² over binary basket vectors kept
+    * EXACT as an integer: score_micro = n_ab²·10⁶ div (n_item·n_nbr) in
+    * DECIMAL(38,0) — monotone in cosine for non-negative counts, so
+    * top-k by score_micro IS top-k by cosine with no float anywhere.
+    * Scale shape: candidate pairs come from the per-basket self-join of
+    * DISTINCT items (co-purchase volume, never item×item); `minCo`
+    * prunes the singleton-pair tail before the per-item ranking; top-k
+    * per item rides the k-bounded [[graft.functions.TopK]] aggregate
+    * (map-side partial, no global window sort). Output: (item, rank,
+    * nbr, n_item, n_nbr, n_ab, score_micro), rank by (score DESC,
+    * nbr DESC). */
+  def itemCooccurrenceTopK(baskets: DataFrame, basketCol: String,
+      itemCol: String, k: Int, minCo: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val bi = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val ni = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("u"), col("y.__i").as("v"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCo)
+    val sym = pairs.select(col("u").as("item"), col("v").as("nbr"), col("n_ab"))
+      .unionByName(pairs.select(col("v").as("item"), col("u").as("nbr"), col("n_ab")))
+    val scored = sym
+      .join(ni.select(col("__i").as("item"), col("__n").as("n_item")), "item")
+      .join(ni.select(col("__i").as("nbr"), col("__n").as("n_nbr")), "nbr")
+      .withColumn("score_micro",
+        call_function("div",
+          col("n_ab").cast(dec) * col("n_ab") * lit(1000000L),
+          col("n_item").cast(dec) * col("n_nbr")).cast("long"))
+    topKPerKey(scored, "item", "score_micro", "nbr", k)
+      .withColumn("score_micro", col("score_micro").cast("long"))
+      .join(scored.select(col("item"), col("nbr"), col("n_item"),
+        col("n_nbr"), col("n_ab")), Seq("item", "nbr"))
+      .select(col("item"), col("rank"), col("nbr"), col("n_item"),
+        col("n_nbr"), col("n_ab"), col("score_micro"))
+  }
 }

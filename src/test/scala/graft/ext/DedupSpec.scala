@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
 
@@ -356,5 +357,29 @@ class DedupSpec extends SparkTestBase {
     val surface = Dedup.minhash(docs, threshold = 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!surface.contains((1L, 2L)))
+  }
+
+  test("crossLingualMinhash with the identity lexicon == surface minhash cross-lang") {
+    import spark.implicits._
+    // under a surface==concept lexicon the concept shingles ARE the
+    // surface shingles, so the op must reproduce minhash()'s pairs and
+    // jaccard values exactly, restricted to lang_a != lang_b
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
+    val identity = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).distinct()
+      .select(col("t").as("surface"), col("t").as("concept"))
+    val got = Dedup.crossLingualMinhash(docs, identity, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(4) * 1e9))).toSet
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Dedup.minhash(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9)))
+      .filter(t => langOf(t._1) != langOf(t._2)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture must contain cross-lang near-dups at 0.6")
   }
 }

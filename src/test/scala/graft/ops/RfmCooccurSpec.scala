@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-10 batch: RFM segmentation (hand-checkable quintile splits,
+  * incl. the uneven and n < tiles NTILE edges the hand-rolled
+  * global-row-number split must match) and item-item co-occurrence
+  * ranking (brute-force cosine² equivalence). */
+class RfmCooccurSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("rfmSegments: hand case with uneven NTILE split (n=7, tiles=3)") {
+    // 7 customers, one order each on distinct days with distinct spend:
+    // every dimension is a pure permutation, so tiles follow the SQL
+    // NTILE split 3|2|2 over each metric's total order.
+    val orders = (1 to 7).map { i =>
+      (i.toLong, ts(i), i * 100.0) // customer i ordered on day i, spent i*100
+    }.toDF("cust", "dt", "amt")
+    val got = Relational.rfmSegments(orders, "cust", "dt", "amt", tiles = 3)
+      .select("cust", "recency_days", "n_orders", "cents", "r", "f", "m", "rfm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // recency: max date = day 7; cust 1 recency 6 (stalest) ... cust 7 = 0
+    assert(got.map(_._2).toSeq == Seq(6L, 5L, 4L, 3L, 2L, 1L, 0L))
+    // r orders by recency DESC -> custs 1,2,3 tile1 | 4,5 tile2 | 6,7 tile3
+    assert(got.map(_._5).toSeq == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // f: all have 1 order; ties broken by cust asc -> same 3|2|2 split
+    assert(got.map(_._6).toSeq == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // m orders by cents asc -> custs 1,2,3 | 4,5 | 6,7
+    assert(got.map(_._7).toSeq == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    assert(got.map(_._8).toSeq == Seq(111L, 111L, 111L, 222L, 222L, 333L, 333L))
+  }
+
+  test("rfmSegments: n < tiles degrades to one row per tile") {
+    val orders = Seq((1L, ts(1), 10.0), (2L, ts(2), 20.0), (3L, ts(3), 30.0))
+      .toDF("cust", "dt", "amt")
+    val got = Relational.rfmSegments(orders, "cust", "dt", "amt", tiles = 5)
+      .select("cust", "m").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L)) // tiles 4,5 empty
+  }
+
+  test("rfmSegments: frequency and monetary aggregate across orders") {
+    val orders = Seq(
+      (1L, ts(1), 100.0), (1L, ts(5), 100.0), // 2 orders, 20000 cents, recency 4
+      (2L, ts(9), 50.0)                       // 1 order, 5000 cents, recency 0
+    ).toDF("cust", "dt", "amt")
+    val got = Relational.rfmSegments(orders, "cust", "dt", "amt", tiles = 2)
+      .select("cust", "recency_days", "n_orders", "cents", "r", "f", "m")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 2L, 20000L, 1L, 2L, 2L),
+      (2L, 0L, 1L, 5000L, 2L, 1L, 1L)))
+  }
+
+  test("itemCooccurrenceTopK == brute-force cosine ranking on a seeded basket set") {
+    val rnd = new scala.util.Random(5L)
+    val rows = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(25).toLong))
+    val df = rows.toDF("basket", "item")
+    val k = 3
+    val got = Relational.itemCooccurrenceTopK(df, "basket", "item", k, minCo = 2L)
+      .select("item", "rank", "nbr", "score_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force over the distinct (basket, item) pairs
+    val bi = rows.distinct
+    val n = bi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val co = bi.groupBy(_._1).values.flatMap { xs =>
+      val items = xs.map(_._2).distinct.sorted
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = co.filter(_._2 >= 2L).toSeq.flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c)) }
+    val expect = sym.groupBy(_._1).toSeq.flatMap { case (item, ns) =>
+      ns.map { case (_, nbr, c) =>
+          (item, nbr, c * c * 1000000L / (n(item) * n(nbr))) }
+        .sortBy { case (_, nbr, sc) => (-sc, -nbr) }
+        .take(k).zipWithIndex
+        .map { case ((_, nbr, sc), i) => (item, i + 1L, nbr, sc) }
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+}
