@@ -2240,6 +2240,35 @@ object SparkEntry {
         graft.streaming.StreamingOps.readSnapshot(s, snapDir)
       }
     },
+    "stream_funnel" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Streaming funnel (flatMapGroupsWithState, EventTimeTimeout):
+        // per-user first-reach seconds of view→click→purchase, one
+        // fixed-size reach array per user; users emit their final row
+        // when idle past gapSec and evict. The heartbeat file closes
+        // the replay, so the drained output is the FULL batch funnel —
+        // the events_funnel oracle, all users, reached ∈ [0, 3].
+        val gapSec = 40L * 86400L
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val evRaw = Tables(s, dir, "events")
+        val maxSec = evRaw.agg(max(unix_timestamp(tsSecondTrunc(evRaw.schema))))
+          .head().getLong(0)
+        appendHeartbeatFile(s, replayDir, schema, maxSec + gapSec + 100L, pos = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .withColumn("ts_sec", unix_timestamp(col("ts")))
+        val out = graft.streaming.StreamingOps
+          .funnelStream(stream, Seq("view", "click", "purchase"), gapSec).toDF()
+        val name = s"graft_stream_funnel_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(out, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        s.table(name).select(
+          Seq(col("user_id")) ++
+            (1 to 3).map(i => when(element_at(col("reach"), i) >= 0L,
+              element_at(col("reach"), i)).as(s"step_$i")) :+
+            col("reached"): _*)
+      }
+    },
     "etl_time_travel" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Snapshot time travel + retention over the upsert sink's
@@ -2307,6 +2336,39 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    },
+    "etl_bloom_prune_scan" -> { (s0, dir) =>
+      // Per-file Bloom-index pruning, the point-lookup complement of
+      // etl_manifest_prune: orders staged one file per year, a bloom
+      // manifest built over o_orderkey, then three probes (min key,
+      // max key, and a guaranteed miss) each scan ONLY the bloom-
+      // qualified files + the equality filter. No false negatives, so
+      // pruned-scan + filter == full-table lookup — the oracle; the
+      // miss probe must yield the zero row even when every file's
+      // filter rejects it. File lists are control-plane (#files rows).
+      val s = s0
+      val staged = stageOrdersByYear(s, dir)
+      val manifest = graft.ops.Manifest.bloomManifest(s, staged, "o_orderkey")
+        .cache()
+      try {
+        val mm = Tables(s, dir, "orders")
+          .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        Seq(lo, hi, hi + 1L).map { k =>
+          val files = graft.ops.Manifest.bloomPrunedFiles(manifest, lit(k))
+            .collect().map(_.getString(0)).sorted
+          if (files.isEmpty)
+            s.range(1).select(lit(k).as("probe"), lit(0L).as("n_rows"),
+              lit(0L).as("cents"))
+          else
+            s.read.parquet(files.toIndexedSeq: _*)
+              .filter(col("o_orderkey") === k)
+              .agg(count(lit(1)).as("n_rows"),
+                coalesce(sum(round(col("o_totalprice") * 100).cast("long")),
+                  lit(0L)).as("cents"))
+              .select(lit(k).as("probe"), col("n_rows"), col("cents"))
+        }.reduce(_.unionByName(_))
+      } finally manifest.unpersist()
     },
     "stream_join_full" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
@@ -4589,22 +4651,10 @@ object SparkEntry {
         | COUNT(DISTINCT b.user_id) AS n_users
         |FROM b JOIN f ON b.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
-    "events_funnel" ->
-      """WITH base AS (SELECT user_id, event_type,
-        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
-        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_sec END)
-        |   OVER (PARTITION BY user_id) AS step_1 FROM base),
-        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND step_1 IS NOT NULL
-        |     AND ts_sec > step_1 THEN ts_sec END)
-        |   OVER (PARTITION BY user_id) AS step_2 FROM s1),
-        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step_2 IS NOT NULL
-        |     AND ts_sec > step_2 THEN ts_sec END)
-        |   OVER (PARTITION BY user_id) AS step_3 FROM s2)
-        |SELECT DISTINCT user_id, step_1, step_2, step_3,
-        | (CASE WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END
-        |  + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
-        |  + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
-        |FROM s3""".stripMargin,
+    // drained streaming funnel == the full batch funnel (heartbeat-
+    // closed replay; every user's state times out and emits)
+    "stream_funnel" -> funnelSql,
+    "events_funnel" -> funnelSql,
     "events_attribution_multi" ->
       """WITH base AS (SELECT user_id, event_id, event_type,
         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
@@ -4929,6 +4979,17 @@ object SparkEntry {
         |        ORDER BY sec DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, event_type, sec, event_id, "value" AS value
         |FROM r WHERE rn = 1""".stripMargin,
+    // bloom pruning has no false negatives: pruned-scan + equality
+    // filter == full-table lookup, including the zero row for the miss
+    "etl_bloom_prune_scan" ->
+      """WITH keys AS (SELECT MIN(o_orderkey) AS k FROM orders
+        |  UNION ALL SELECT MAX(o_orderkey) FROM orders
+        |  UNION ALL SELECT MAX(o_orderkey) + 1 FROM orders)
+        |SELECT k AS probe, COUNT(o.o_orderkey) AS n_rows,
+        | CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)
+        |   AS BIGINT) AS cents
+        |FROM keys LEFT JOIN orders o ON o.o_orderkey = k
+        |GROUP BY 1""".stripMargin,
     // qualifying years = those whose per-year [min, max] o_orderdate
     // interval intersects the query range (the file-level stats test)
     "etl_manifest_prune" ->
@@ -5719,6 +5780,26 @@ object SparkEntry {
       |   * LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
       |       / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000000) AS BIGINT) AS mi_nano
       |FROM m, t""".stripMargin
+
+  /** Shared by events_funnel (batch face) and stream_funnel (the
+    * heartbeat-closed streaming twin, which drains to the identical
+    * full-funnel result). */
+  private def funnelSql: String =
+    """WITH base AS (SELECT user_id, event_type,
+      |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
+      |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_sec END)
+      |   OVER (PARTITION BY user_id) AS step_1 FROM base),
+      |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND step_1 IS NOT NULL
+      |     AND ts_sec > step_1 THEN ts_sec END)
+      |   OVER (PARTITION BY user_id) AS step_2 FROM s1),
+      |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step_2 IS NOT NULL
+      |     AND ts_sec > step_2 THEN ts_sec END)
+      |   OVER (PARTITION BY user_id) AS step_3 FROM s2)
+      |SELECT DISTINCT user_id, step_1, step_2, step_3,
+      | (CASE WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END
+      |  + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
+      |  + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
+      |FROM s3""".stripMargin
 
   /** Shared by text_bm25 (Scala face) and text_bm25_sql (TVF face). */
   private def bm25Sql: String =

@@ -436,6 +436,65 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelState(reach: Array[Long], lastSec: Long)
+  final case class FunnelUserRow(user_id: Long, reach: Seq[Long], reached: Int)
+
+  /** Streaming funnel — the stream-side twin of `Events.funnel`: per
+    * user, the first-reach second of each ordered step (step i+1 counts
+    * only strictly AFTER step i's first reach, matching the batch
+    * window-aggregation semantics exactly under time-ordered arrival —
+    * the first qualifying event in (ts_sec, event_id) order IS the
+    * min). State is one fixed-size reach array per user; nothing emits
+    * until the user goes idle past `gapSec` (emitting on completion
+    * would duplicate the user if they return), when the event-time
+    * timeout emits the user's final row — reached ∈ [0, #steps], null
+    * steps as -1 in `reach` — and `state.remove()`s them. Heartbeat
+    * rows (`user_id < 0`) advance the watermark only. Drained over a
+    * heartbeat-closed finite replay this equals the FULL batch funnel
+    * (the events_funnel oracle). */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      gapSec: Long = 30L * 86400L,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelUserRow] = {
+    require(steps.nonEmpty && steps.size <= 8, s"funnel needs 1..8 steps, got ${steps.size}")
+    require(gapSec > 0L, s"gapSec must be positive, got $gapSec")
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_sec").cast("long"), col("event_type"))
+      .withColumn("__ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUserRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelUserRow(uid, st.reach.toSeq,
+              st.reach.count(_ >= 0L)))
+          } else if (uid < 0L) {
+            Iterator.empty // heartbeat: advance the watermark only
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e._3, e._2))
+            val st = state.getOption.getOrElse(
+              FunnelState(Array.fill(steps.size)(-1L), Long.MinValue))
+            val reach = st.reach.clone()
+            var last = st.lastSec
+            sorted.foreach { e =>
+              if (e._3 > last) last = e._3
+              val j = reach.indexWhere(_ < 0L) // next unreached step
+              if (j >= 0 && e._4 == steps(j) && (j == 0 || e._3 > reach(j - 1)))
+                reach(j) = e._3
+            }
+            state.update(FunnelState(reach, last))
+            state.setTimeoutTimestamp(math.max((last + gapSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   final case class AsofEvent(user_id: Long, event_id: Long, ts_sec: Long,
       event_type: String, value: Double)
   final case class AsofLatest(r_ts: Long, r_id: Long, r_value: Double)

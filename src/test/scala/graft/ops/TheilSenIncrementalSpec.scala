@@ -115,6 +115,37 @@ class TheilSenIncrementalSpec extends SparkTestBase {
     assert(rows == Seq((1L, 1L, "a", 2L, 10L, 11L), (1L, 1L, "b", 1L, 600L, 600L)))
   }
 
+  test("funnelStream: strict-after steps, cross-batch continuation, timeout eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RunEvent]
+    val q = StreamingOps.funnelStream(mem.toDS().toDF(), Seq("a", "b", "c"),
+        gapSec = 100L)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // user 1: 'b' at the SAME second as step-1's reach must NOT count
+      // (strictly-after contract); the 'c' before step-2's reach second
+      // must not count either. user 2 never starts the funnel.
+      mem.addData(RunEvent(1L, 1L, 10L, "a"), RunEvent(1L, 2L, 10L, "b"),
+        RunEvent(1L, 3L, 11L, "c"), RunEvent(1L, 4L, 12L, "b"),
+        RunEvent(2L, 5L, 10L, "b"))
+      q.processAllAvailable()
+      assert(stateRows === 2L, "both users ride the state, nothing emits")
+      // batch 2: the completing 'c' arrives later — state continues
+      mem.addData(RunEvent(1L, 6L, 20L, "c"))
+      q.processAllAvailable()
+      // heartbeat past every expiry: both users emit and evict
+      mem.addData(RunEvent(-1L, -1L, 500L, "__heartbeat"))
+      q.processAllAvailable()
+      assert(stateRows === 0L, s"timed-out funnels must evict, got $stateRows")
+    } finally q.stop()
+    val rows = spark.table("funnel_evict")
+      .select("user_id", "reach", "reached")
+      .as[(Long, Seq[Long], Int)].collect().toSeq.sortBy(_._1)
+    assert(rows === Seq((1L, Seq(10L, 12L, 20L), 3), (2L, Seq(-1L, -1L, -1L), 0)))
+  }
+
   test("runLengthStream: within-batch iterator order does not matter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RunEvent]
