@@ -1800,6 +1800,18 @@ object SparkEntry {
         call_function("div", graft.ext.Events.tsSec(ev), lit(3600L)))
       graft.ops.DataQuality.volumeAnomalies(withHr, "hr", trailingN = 7)
     },
+    "events_survival" -> { (s, dir) =>
+      // Kaplan-Meier time-to-purchase curve: duration = first purchase
+      // minus first event per user, never-buyers right-censored at the
+      // corpus max. Exact risk sets, per-day nano-quantized ln hazard
+      // terms, one terminal micro-quantized exp — engine-exact curve
+      // with REAL event/censor mix at both SFs.
+      graft.ext.Events.conversionSurvival(
+        Tables(s, dir, "events").withColumn("event_type",
+          when(col("event_type") === "purchase" && col("value") > 100.0,
+            lit("big_purchase")).otherwise(col("event_type"))),
+        "big_purchase")
+    },
     "events_funnel" -> { (s, dir) =>
       // Ordered view -> click -> purchase funnel per user: first-reach
       // epoch second of each step (strictly-after ordering), pure window
@@ -4651,6 +4663,37 @@ object SparkEntry {
         | COUNT(DISTINCT b.user_id) AS n_users
         |FROM b JOIN f ON b.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "events_survival" ->
+      """WITH sec AS (SELECT user_id, event_type, "value",
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
+        |per AS (SELECT user_id, MIN(s) AS f,
+        |   MIN(CASE WHEN event_type = 'purchase' AND "value" > 100.0 THEN s END) AS cv
+        |  FROM sec GROUP BY 1),
+        |mx AS (SELECT MAX(s) AS m FROM sec),
+        |u AS (SELECT user_id, (COALESCE(cv, m) - f) // 86400 AS t_day,
+        |   CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS churned FROM per, mx),
+        |d AS (SELECT t_day, COUNT(*) AS n_leaving,
+        |   CAST(SUM(churned) AS BIGINT) AS n_events,
+        |   COUNT(*) - CAST(SUM(churned) AS BIGINT) AS n_censored FROM u GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nt FROM u),
+        |c AS (SELECT *, nt - COALESCE(SUM(n_leaving) OVER
+        |   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS n_risk FROM d, n),
+        |t AS (SELECT *, CASE WHEN n_events > 0 AND n_events < n_risk
+        |     THEN CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE)
+        |       / CAST(n_risk AS DOUBLE)) * 1000000000) AS BIGINT)
+        |     ELSE 0 END AS term,
+        |   MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER
+        |    (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM c),
+        |s2 AS (SELECT *, CAST(SUM(term) OVER
+        |   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum FROM t)
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+        | CASE WHEN dead = 1 THEN 0
+        |  ELSE CAST(ROUND(EXP(CAST(cum AS DOUBLE) / 1e9) * 1000000.0) AS BIGINT)
+        | END AS surv_micro
+        |FROM s2""".stripMargin,
     // drained streaming funnel == the full batch funnel (heartbeat-
     // closed replay; every user's state times out and emits)
     "stream_funnel" -> funnelSql,

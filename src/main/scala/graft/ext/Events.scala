@@ -456,4 +456,83 @@ object Events {
   def withProps(events: DataFrame, schema: org.apache.spark.sql.types.StructType,
       outCol: String = "props_struct"): DataFrame =
     events.withColumn(outCol, from_json(col("props"), schema))
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over user
+    * lifetimes — the churn-curve face of the event log. A user's
+    * lifetime is `last − first` event seconds in whole days; users
+    * whose last event falls within `censorGapSec` of the corpus max
+    * are CENSORED (still alive at observation end), everyone else is a
+    * churn event — right-censoring, the estimator's defining input.
+    *
+    * Exact-integer discipline: risk sets and event/censor counts are
+    * exact longs off one aggregation + one cumulative window over the
+    * day-indexed curve frame (≤ #distinct lifetime days rows —
+    * aggregate-sized, so its single-partition window is control-plane);
+    * each event day contributes ln((n_risk − d)/n_risk) nano-quantized
+    * PER ROW before the cumulative sum (the bigram-LM discipline), and
+    * the one terminal float is exp(cum), micro-quantized — so the
+    * curve is bit-identical in any engine. A day where every remaining
+    * user churns drives survival to exactly 0 from there on (ln(0)
+    * never evaluated). Output: (t_day, n_risk, n_events, n_censored,
+    * surv_micro). */
+  def survivalCurve(events: DataFrame, censorGapSec: Long = 7L * 86400L): DataFrame = {
+    require(censorGapSec >= 0L, s"censorGapSec must be >= 0, got $censorGapSec")
+    val sec = tsSec(events)
+    val per = events.groupBy(col("user_id"))
+      .agg(min(sec).as("__first"), max(sec).as("__last"))
+    val mx = per.agg(max(col("__last")).as("__mx"))
+    val users = per.crossJoin(broadcast(mx)) // one-row corpus-max frame
+      .select(col("user_id"),
+        call_function("div", col("__last") - col("__first"), lit(86400L)).as("t_day"),
+        (col("__last") + lit(censorGapSec) <= col("__mx")).cast("long").as("__event"))
+    kaplanMeier(users)
+  }
+
+  /** Time-to-conversion survival: duration = first `convType` event −
+    * the user's first event of any type, in whole days; users who
+    * never convert are right-censored at the corpus max. The classic
+    * KM application ("how long until purchase?") — the fixture mixes
+    * real conversions with censored never-buyers, so both estimator
+    * paths (hazard terms AND censoring-only days) carry mass. */
+  def conversionSurvival(events: DataFrame, convType: String): DataFrame = {
+    val sec = tsSec(events)
+    val per = events.groupBy(col("user_id"))
+      .agg(min(sec).as("__first"),
+        min(when(col("event_type") === convType, sec)).as("__conv"))
+    val mx = events.agg(max(sec).as("__mx"))
+    val users = per.crossJoin(broadcast(mx)) // one-row corpus-max frame
+      .select(col("user_id"),
+        call_function("div",
+          coalesce(col("__conv"), col("__mx")) - col("__first"),
+          lit(86400L)).as("t_day"),
+        col("__conv").isNotNull.cast("long").as("__event"))
+    kaplanMeier(users)
+  }
+
+  /** The estimator core over a (t_day, __event) subject frame — shared
+    * by [[survivalCurve]] and [[conversionSurvival]]. */
+  private def kaplanMeier(users: DataFrame): DataFrame = {
+    val byDay = users.groupBy(col("t_day"))
+      .agg(count(lit(1)).as("__leaving"), sum(col("__event")).as("n_events"),
+        (count(lit(1)) - sum(col("__event"))).as("n_censored"))
+    val tot = broadcast(users.agg(count(lit(1)).cast("long").as("__n")))
+    val w = Window.partitionBy(lit(1)).orderBy(col("t_day"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = w.rowsBetween(Window.unboundedPreceding, 0)
+    byDay.crossJoin(tot) // one-row total frame
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("__leaving")).over(prior), lit(0L)))
+      .withColumn("__term", when(
+          col("n_events") > 0L && col("n_events") < col("n_risk"),
+          round(log((col("n_risk") - col("n_events")).cast("double") /
+            col("n_risk").cast("double")) * lit(1e9)).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("__dead",
+        max((col("n_events") === col("n_risk")).cast("int")).over(upTo))
+      .withColumn("__cum", sum(col("__term")).over(upTo))
+      .select(col("t_day"), col("n_risk"), col("n_events"), col("n_censored"),
+        when(col("__dead") === 1, lit(0L)).otherwise(
+          round(exp(col("__cum").cast("double") / lit(1e9)) * lit(1e6))
+            .cast("long")).as("surv_micro"))
+  }
+
 }

@@ -56,6 +56,48 @@ class RfmCooccurSpec extends SparkTestBase {
       (2L, 0L, 1L, 5000L, 2L, 1L, 1L)))
   }
 
+  test("conversionSurvival: hand-checkable KM curve with event + censor mix") {
+    def at(day: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + day * 86400000L)
+    // u1, u2 convert on day 1; u4 converts on day 3 (and defines the
+    // corpus max); u3 never converts -> censored at day 3.
+    // S(1) = (4-2)/4 = 0.5 ; S(3) = 0.5 * (2-1)/2 = 0.25
+    val ev = Seq(
+      (1L, "start", 0), (1L, "big", 1),
+      (2L, "start", 0), (2L, "big", 1),
+      (3L, "start", 0), (3L, "idle", 2),
+      (4L, "start", 0), (4L, "big", 3)
+    ).map { case (u, t, d) => (u, t, at(d)) }.toDF("user_id", "event_type", "ts")
+    val got = graft.ext.Events.conversionSurvival(ev, "big")
+      .select("t_day", "n_risk", "n_events", "n_censored", "surv_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L, 2L, 0L, 500000L), (3L, 2L, 1L, 1L, 250000L)))
+  }
+
+  test("survivalCurve: a day where everyone remaining churns pins survival to 0") {
+    def at(day: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + day * 86400000L)
+    // corpus max = day 30 (u3 active at the end -> censored under the
+    // 7-day gap); u1, u2 churn with 1-day lifetimes: day-1 risk set
+    // {u1,u2} all churn -> S(1) = 0 exactly, never via ln(0)
+    val ev = Seq(
+      (1L, "a", 0), (1L, "a", 1),
+      (2L, "a", 0), (2L, "a", 1),
+      (3L, "a", 0), (3L, "a", 30)
+    ).map { case (u, t, d) => (u, t, at(d)) }.toDF("user_id", "event_type", "ts")
+    val got = graft.ext.Events.survivalCurve(ev, censorGapSec = 7L * 86400L)
+      .select("t_day", "n_risk", "n_events", "n_censored", "surv_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // day 1: risk 3? No — u3's lifetime is 30 days, so at day 1 risk =
+    // {u1,u2,u3} = 3, events 2 -> S = 1/3; day 30: risk 1, censored
+    assert(got === Seq(
+      (1L, 3L, 2L, 0L, 333333L), (30L, 1L, 0L, 1L, 333333L)))
+  }
+
   test("itemCooccurrenceTopK == brute-force cosine ranking on a seeded basket set") {
     val rnd = new scala.util.Random(5L)
     val rows = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(25).toLong))
