@@ -2852,6 +2852,27 @@ object SparkEntry {
       graft.ops.Relational.itemCooccurrenceTopK(Tables(s, dir, "lineitem"),
         basketCol = "l_orderkey", itemCol = "l_partkey", k = 5, minCo = 2L)
     },
+    "q_item_cooccur_incremental" -> { (s, dir) =>
+      // Incremental co-occurrence maintenance off persisted pair/item
+      // count state: history baskets (3/4 of orders) aggregate once to
+      // parquet; the delta pass touches ONLY the remaining whole
+      // baskets, merges additively, and re-ranks — pair counts over
+      // disjoint basket sets are the monoid, so state + delta equals
+      // the full recompute (q_item_cooccur's own oracle).
+      val li = Tables(s, dir, "lineitem")
+      val hist = li.filter(pmod(col("l_orderkey"), lit(4L)) =!= 0L)
+      val delta = li.filter(pmod(col("l_orderkey"), lit(4L)) === 0L)
+      val (hp, hi) = graft.ops.Relational.cooccurCounts(hist, "l_orderkey", "l_partkey")
+      val pairDir = scratchDir("graft_cooccur_pairs_").toString
+      val itemDir = scratchDir("graft_cooccur_items_").toString
+      graft.etl.Sinks.parquetDir(hp, pairDir)
+      graft.etl.Sinks.parquetDir(hi, itemDir)
+      val (dp, di) = graft.ops.Relational.cooccurCounts(delta, "l_orderkey", "l_partkey")
+      graft.ops.Relational.cooccurTopKFromCounts(
+        graft.ops.Relational.mergeCooccurPairs(s.read.parquet(pairDir), dp),
+        graft.ops.Relational.mergeItemCounts(s.read.parquet(itemDir), di),
+        k = 5, minCo = 2L)
+    },
     "q_rfm" -> { (s, dir) =>
       // RFM quintile segmentation of customers over their orders
       // (recency reversed so freshest = 5; cent-quantized monetary).
@@ -5271,6 +5292,23 @@ object SparkEntry {
         |      ELSE 'non_match' END AS fs_class
         |FROM p""".stripMargin,
     "q_item_cooccur" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y
+        |  ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u AS item, v AS nbr, n_ab FROM p
+        |  UNION ALL SELECT v AS item, u AS nbr, n_ab FROM p),
+        |sc AS (SELECT item, nbr, n_ab, a.n AS n_item, b.n AS n_nbr,
+        |  CAST(CAST(n_ab AS HUGEINT) * n_ab * 1000000
+        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS score_micro
+        | FROM sym JOIN ni a ON a.i = item JOIN ni b ON b.i = nbr),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |   ORDER BY score_micro DESC, nbr DESC) AS BIGINT) AS rank FROM sc)
+        |SELECT item, rank, nbr, n_item, n_nbr, n_ab, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // state + delta == full recompute: the incremental face shares the
+    // all-baskets oracle
+    "q_item_cooccur_incremental" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
         |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y

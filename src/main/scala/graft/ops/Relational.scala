@@ -776,15 +776,46 @@ object Relational {
     * nbr DESC). */
   def itemCooccurrenceTopK(baskets: DataFrame, basketCol: String,
       itemCol: String, k: Int, minCo: Long = 1L): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val dec = "decimal(38,0)"
+    val (pairs, items) = cooccurCounts(baskets, basketCol, itemCol)
+    cooccurTopKFromCounts(pairs, items, k, minCo)
+  }
+
+  /** The mergeable state behind [[itemCooccurrenceTopK]] — (u, v, n_ab)
+    * pair counts (u < v) and (item, n) basket counts. Both are monoids
+    * over DISJOINT BASKET SETS (a basket's pairs form within one batch;
+    * exactly how ingestion arrives — a day's orders are complete), so
+    * persisted day-N state + a delta-only pass equals the full
+    * recompute bit-for-bit. */
+  def cooccurCounts(baskets: DataFrame, basketCol: String,
+      itemCol: String): (DataFrame, DataFrame) = {
     val bi = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val ni = bi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      .select(col("__i").as("item"), col("__n").as("n"))
     val pairs = bi.as("x").join(bi.as("y"),
         col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
       .groupBy(col("x.__i").as("u"), col("y.__i").as("v"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCo)
+    (pairs, ni)
+  }
+
+  /** Fold mergeable co-occurrence pair states (additive counts). */
+  def mergeCooccurPairs(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_)).groupBy(col("u"), col("v"))
+      .agg(sum(col("n_ab")).as("n_ab"))
+
+  /** Fold mergeable per-item basket-count states. */
+  def mergeItemCounts(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_)).groupBy(col("item"))
+      .agg(sum(col("n")).as("n"))
+
+  /** The ranking half of [[itemCooccurrenceTopK]], over (possibly
+    * merged) count states. */
+  def cooccurTopKFromCounts(pairs0: DataFrame, items: DataFrame, k: Int,
+      minCo: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val ni = items.select(col("item").as("__i"), col("n").as("__n"))
+    val pairs = pairs0.filter(col("n_ab") >= minCo)
     val sym = pairs.select(col("u").as("item"), col("v").as("nbr"), col("n_ab"))
       .unionByName(pairs.select(col("v").as("item"), col("u").as("nbr"), col("n_ab")))
     val scored = sym
