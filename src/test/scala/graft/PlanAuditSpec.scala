@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkTestBase {
     "events_lift",            // one-row session-count frame x type pairs
     "text_collocations",      // one-row bigram-total frame x scored pairs
     "text_colloc_incremental", // same G² face over merged stored state
-    "er_blocking_recall")     // one-row truth count x one-row found count
+    "er_blocking_recall",     // one-row truth count x one-row found count
+    "events_survival",        // one-row corpus-max + total frames x day curve
+    "q_rfm")                  // one-row max-date + entity-count frames x tiles
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings
