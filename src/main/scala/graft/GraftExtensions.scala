@@ -414,6 +414,41 @@ object GraftExtensions {
         k = longLit(args(1), "k").toInt,
         nQueryTerms = longLit(args(2), "n_query_terms").toInt)
       out.queryExecution.logical
+    }),
+    //   graft_rfm(orders_view, id_col, date_col, amount_col, tiles)
+    // RFM quantile segmentation — same plan as Relational.rfmSegments
+    // (the global-row-number range offsets are collected at analysis
+    // time, like the KS/W1 TVFs' partition offsets).
+    ("graft_rfm", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Relational.rfmSegments(
+        spark.table(strLit(args(0), "orders_view")),
+        strLit(args(1), "id_col"), strLit(args(2), "date_col"),
+        strLit(args(3), "amount_col"),
+        tiles = longLit(args(4), "tiles").toInt)
+      out.queryExecution.logical
+    }),
+    //   graft_item_cooccur(baskets_view, basket_col, item_col, k, min_co)
+    // "Customers also bought" — same exact-integer cosine² + k-bounded
+    // TopK plan as Relational.itemCooccurrenceTopK.
+    ("graft_item_cooccur", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Relational.itemCooccurrenceTopK(
+        spark.table(strLit(args(0), "baskets_view")),
+        strLit(args(1), "basket_col"), strLit(args(2), "item_col"),
+        k = longLit(args(3), "k").toInt,
+        minCo = longLit(args(4), "min_co"))
+      out.queryExecution.logical
+    }),
+    //   graft_survival(events_view, conv_type)
+    // Kaplan-Meier time-to-conversion — same exact-integer curve plan
+    // as Events.conversionSurvival.
+    ("graft_survival", 2, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Events.conversionSurvival(
+        spark.table(strLit(args(0), "events_view")),
+        strLit(args(1), "conv_type"))
+      out.queryExecution.logical
     }))
 
   private def dblLit(e: Expression, what: String): Double = e match {

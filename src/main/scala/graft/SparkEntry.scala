@@ -2852,6 +2852,35 @@ object SparkEntry {
       graft.ops.Relational.itemCooccurrenceTopK(Tables(s, dir, "lineitem"),
         basketCol = "l_orderkey", itemCol = "l_partkey", k = 5, minCo = 2L)
     },
+    "q_rfm_sql" -> { (s, dir) =>
+      // RFM through its SQL TVF face — identical plan and oracle as
+      // q_rfm (range offsets collected at analysis time).
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_rfm_v", Tables(s, dir, "orders")) { v =>
+        s.sql(s"""SELECT * FROM graft_rfm('$v', 'o_custkey',
+          'o_orderdate', 'o_totalprice', 5)""")
+      }
+    },
+    "q_cooccur_sql" -> { (s, dir) =>
+      // Item co-occurrence through its SQL TVF face — identical plan
+      // and oracle as q_item_cooccur.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_cooccur_v", Tables(s, dir, "lineitem")) { v =>
+        s.sql(s"""SELECT * FROM graft_item_cooccur('$v', 'l_orderkey',
+          'l_partkey', 5, 2)""")
+      }
+    },
+    "events_survival_sql" -> { (s, dir) =>
+      // Kaplan-Meier through its SQL TVF face — identical plan and
+      // oracle as events_survival (the same big-purchase relabeling).
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_survival_v",
+          Tables(s, dir, "events").withColumn("event_type",
+            when(col("event_type") === "purchase" && col("value") > 100.0,
+              lit("big_purchase")).otherwise(col("event_type")))) { v =>
+        s.sql(s"SELECT * FROM graft_survival('$v', 'big_purchase')")
+      }
+    },
     "q_item_cooccur_incremental" -> { (s, dir) =>
       // Incremental co-occurrence maintenance off persisted pair/item
       // count state: history baskets (3/4 of orders) aggregate once to
@@ -4684,37 +4713,8 @@ object SparkEntry {
         | COUNT(DISTINCT b.user_id) AS n_users
         |FROM b JOIN f ON b.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
-    "events_survival" ->
-      """WITH sec AS (SELECT user_id, event_type, "value",
-        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
-        |per AS (SELECT user_id, MIN(s) AS f,
-        |   MIN(CASE WHEN event_type = 'purchase' AND "value" > 100.0 THEN s END) AS cv
-        |  FROM sec GROUP BY 1),
-        |mx AS (SELECT MAX(s) AS m FROM sec),
-        |u AS (SELECT user_id, (COALESCE(cv, m) - f) // 86400 AS t_day,
-        |   CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS churned FROM per, mx),
-        |d AS (SELECT t_day, COUNT(*) AS n_leaving,
-        |   CAST(SUM(churned) AS BIGINT) AS n_events,
-        |   COUNT(*) - CAST(SUM(churned) AS BIGINT) AS n_censored FROM u GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS nt FROM u),
-        |c AS (SELECT *, nt - COALESCE(SUM(n_leaving) OVER
-        |   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS n_risk FROM d, n),
-        |t AS (SELECT *, CASE WHEN n_events > 0 AND n_events < n_risk
-        |     THEN CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE)
-        |       / CAST(n_risk AS DOUBLE)) * 1000000000) AS BIGINT)
-        |     ELSE 0 END AS term,
-        |   MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER
-        |    (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
-        |  FROM c),
-        |s2 AS (SELECT *, CAST(SUM(term) OVER
-        |   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS BIGINT) AS cum FROM t)
-        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
-        | CASE WHEN dead = 1 THEN 0
-        |  ELSE CAST(ROUND(EXP(CAST(cum AS DOUBLE) / 1e9) * 1000000.0) AS BIGINT)
-        | END AS surv_micro
-        |FROM s2""".stripMargin,
+    "events_survival" -> survivalSql,
+    "events_survival_sql" -> survivalSql,
     // drained streaming funnel == the full batch funnel (heartbeat-
     // closed replay; every user's state times out and emits)
     "stream_funnel" -> funnelSql,
@@ -5291,52 +5291,13 @@ object SparkEntry {
         |      WHEN sc >= 0 THEN 'possible'
         |      ELSE 'non_match' END AS fs_class
         |FROM p""".stripMargin,
-    "q_item_cooccur" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-        |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
-        |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y
-        |  ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |sym AS (SELECT u AS item, v AS nbr, n_ab FROM p
-        |  UNION ALL SELECT v AS item, u AS nbr, n_ab FROM p),
-        |sc AS (SELECT item, nbr, n_ab, a.n AS n_item, b.n AS n_nbr,
-        |  CAST(CAST(n_ab AS HUGEINT) * n_ab * 1000000
-        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS score_micro
-        | FROM sym JOIN ni a ON a.i = item JOIN ni b ON b.i = nbr),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
-        |   ORDER BY score_micro DESC, nbr DESC) AS BIGINT) AS rank FROM sc)
-        |SELECT item, rank, nbr, n_item, n_nbr, n_ab, score_micro
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "q_item_cooccur" -> itemCooccurSql,
+    "q_cooccur_sql" -> itemCooccurSql,
     // state + delta == full recompute: the incremental face shares the
     // all-baskets oracle
-    "q_item_cooccur_incremental" ->
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-        |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
-        |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y
-        |  ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |sym AS (SELECT u AS item, v AS nbr, n_ab FROM p
-        |  UNION ALL SELECT v AS item, u AS nbr, n_ab FROM p),
-        |sc AS (SELECT item, nbr, n_ab, a.n AS n_item, b.n AS n_nbr,
-        |  CAST(CAST(n_ab AS HUGEINT) * n_ab * 1000000
-        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS score_micro
-        | FROM sym JOIN ni a ON a.i = item JOIN ni b ON b.i = nbr),
-        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
-        |   ORDER BY score_micro DESC, nbr DESC) AS BIGINT) AS rank FROM sc)
-        |SELECT item, rank, nbr, n_item, n_nbr, n_ab, score_micro
-        |FROM r WHERE rank <= 5""".stripMargin,
-    "q_rfm" ->
-      """WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
-        |per AS (SELECT o_custkey,
-        |   CAST(DATE_DIFF('day', MAX(o_orderdate), mxd) AS BIGINT) AS recency_days,
-        |   COUNT(*) AS n_orders,
-        |   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders, mx GROUP BY o_custkey, mxd),
-        |t AS (SELECT *,
-        |   CAST(NTILE(5) OVER (ORDER BY -recency_days, o_custkey) AS BIGINT) AS r,
-        |   CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f,
-        |   CAST(NTILE(5) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS m
-        |  FROM per)
-        |SELECT o_custkey, recency_days, n_orders, cents, r, f, m,
-        | 100 * r + 10 * f + m AS rfm FROM t""".stripMargin,
+    "q_item_cooccur_incremental" -> itemCooccurSql,
+    "q_rfm" -> rfmSql,
+    "q_rfm_sql" -> rfmSql,
     "q_spearman" -> spearmanSql,
     "q_spearman_sql" -> spearmanSql,
     "ts_decompose" ->
@@ -5861,6 +5822,74 @@ object SparkEntry {
       |   * LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
       |       / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000000) AS BIGINT) AS mi_nano
       |FROM m, t""".stripMargin
+
+  /** Shared by q_rfm (Scala face) and q_rfm_sql (graft_rfm TVF). */
+  private def rfmSql: String =
+    """WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+        |per AS (SELECT o_custkey,
+        |   CAST(DATE_DIFF('day', MAX(o_orderdate), mxd) AS BIGINT) AS recency_days,
+        |   COUNT(*) AS n_orders,
+        |   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders, mx GROUP BY o_custkey, mxd),
+        |t AS (SELECT *,
+        |   CAST(NTILE(5) OVER (ORDER BY -recency_days, o_custkey) AS BIGINT) AS r,
+        |   CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f,
+        |   CAST(NTILE(5) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS m
+        |  FROM per)
+        |SELECT o_custkey, recency_days, n_orders, cents, r, f, m,
+        | 100 * r + 10 * f + m AS rfm FROM t""".stripMargin
+
+  /** Shared by q_item_cooccur, its incremental twin, and the
+    * graft_item_cooccur TVF face. */
+  private def itemCooccurSql: String =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y
+        |  ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u AS item, v AS nbr, n_ab FROM p
+        |  UNION ALL SELECT v AS item, u AS nbr, n_ab FROM p),
+        |sc AS (SELECT item, nbr, n_ab, a.n AS n_item, b.n AS n_nbr,
+        |  CAST(CAST(n_ab AS HUGEINT) * n_ab * 1000000
+        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS score_micro
+        | FROM sym JOIN ni a ON a.i = item JOIN ni b ON b.i = nbr),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |   ORDER BY score_micro DESC, nbr DESC) AS BIGINT) AS rank FROM sc)
+        |SELECT item, rank, nbr, n_item, n_nbr, n_ab, score_micro
+        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Shared by events_survival (Scala face) and events_survival_sql
+    * (graft_survival TVF). */
+  private def survivalSql: String =
+    """WITH sec AS (SELECT user_id, event_type, "value",
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s FROM events),
+        |per AS (SELECT user_id, MIN(s) AS f,
+        |   MIN(CASE WHEN event_type = 'purchase' AND "value" > 100.0 THEN s END) AS cv
+        |  FROM sec GROUP BY 1),
+        |mx AS (SELECT MAX(s) AS m FROM sec),
+        |u AS (SELECT user_id, (COALESCE(cv, m) - f) // 86400 AS t_day,
+        |   CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END AS churned FROM per, mx),
+        |d AS (SELECT t_day, COUNT(*) AS n_leaving,
+        |   CAST(SUM(churned) AS BIGINT) AS n_events,
+        |   COUNT(*) - CAST(SUM(churned) AS BIGINT) AS n_censored FROM u GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nt FROM u),
+        |c AS (SELECT *, nt - COALESCE(SUM(n_leaving) OVER
+        |   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS n_risk FROM d, n),
+        |t AS (SELECT *, CASE WHEN n_events > 0 AND n_events < n_risk
+        |     THEN CAST(ROUND(LN(CAST(n_risk - n_events AS DOUBLE)
+        |       / CAST(n_risk AS DOUBLE)) * 1000000000) AS BIGINT)
+        |     ELSE 0 END AS term,
+        |   MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER
+        |    (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM c),
+        |s2 AS (SELECT *, CAST(SUM(term) OVER
+        |   (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum FROM t)
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+        | CASE WHEN dead = 1 THEN 0
+        |  ELSE CAST(ROUND(EXP(CAST(cum AS DOUBLE) / 1e9) * 1000000.0) AS BIGINT)
+        | END AS surv_micro
+        |FROM s2""".stripMargin
 
   /** Shared by events_funnel (batch face) and stream_funnel (the
     * heartbeat-closed streaming twin, which drains to the identical
