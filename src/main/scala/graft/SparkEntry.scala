@@ -2881,6 +2881,24 @@ object SparkEntry {
         s.sql(s"SELECT * FROM graft_survival('$v', 'big_purchase')")
       }
     },
+    "events_survival_incremental" -> { (s, dir) =>
+      // Incremental Kaplan-Meier off persisted per-user survival state
+      // (min first / min conv / max last — column-wise monoids over
+      // disjoint event batches): history events fold once to parquet,
+      // the delta pass reads only new events, the merged state yields
+      // the identical curve (events_survival's own oracle).
+      val ev = Tables(s, dir, "events").withColumn("event_type",
+        when(col("event_type") === "purchase" && col("value") > 100.0,
+          lit("big_purchase")).otherwise(col("event_type")))
+      val hist = ev.filter(pmod(col("event_id"), lit(4L)) =!= 0L)
+      val delta = ev.filter(pmod(col("event_id"), lit(4L)) === 0L)
+      val stateDir = scratchDir("graft_surv_state_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ext.Events.survivalState(hist, "big_purchase"), stateDir)
+      graft.ext.Events.survivalFromState(
+        graft.ext.Events.mergeSurvivalState(s.read.parquet(stateDir),
+          graft.ext.Events.survivalState(delta, "big_purchase")))
+    },
     "q_item_cooccur_incremental" -> { (s, dir) =>
       // Incremental co-occurrence maintenance off persisted pair/item
       // count state: history baskets (3/4 of orders) aggregate once to
@@ -4714,6 +4732,7 @@ object SparkEntry {
         |FROM b JOIN f ON b.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
     "events_survival" -> survivalSql,
+    "events_survival_incremental" -> survivalSql,
     "events_survival_sql" -> survivalSql,
     // drained streaming funnel == the full batch funnel (heartbeat-
     // closed replay; every user's state times out and emits)

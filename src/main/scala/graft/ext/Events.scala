@@ -508,6 +508,40 @@ object Events {
     kaplanMeier(users)
   }
 
+  /** The mergeable per-user state behind [[conversionSurvival]]:
+    * (user_id, first_sec, conv_sec nullable, max_sec) — each column a
+    * MIN/MIN/MAX monoid over disjoint event batches, so persisted
+    * day-N state + a delta-only pass folds to exactly the full-history
+    * aggregation and the incremental curve hash-matches the batch
+    * recompute. */
+  def survivalState(events: DataFrame, convType: String): DataFrame = {
+    val sec = tsSec(events)
+    events.groupBy(col("user_id"))
+      .agg(min(sec).as("first_sec"),
+        min(when(col("event_type") === convType, sec)).as("conv_sec"),
+        max(sec).as("max_sec"))
+  }
+
+  /** Fold mergeable survival states (column-wise min/min/max). */
+  def mergeSurvivalState(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_)).groupBy(col("user_id"))
+      .agg(min(col("first_sec")).as("first_sec"),
+        min(col("conv_sec")).as("conv_sec"),
+        max(col("max_sec")).as("max_sec"))
+
+  /** The curve off (possibly merged) [[survivalState]] frames — the
+    * incremental face of [[conversionSurvival]]. */
+  def survivalFromState(state: DataFrame): DataFrame = {
+    val mx = state.agg(max(col("max_sec")).as("__mx"))
+    val users = state.crossJoin(broadcast(mx)) // one-row corpus-max frame
+      .select(col("user_id"),
+        call_function("div",
+          coalesce(col("conv_sec"), col("__mx")) - col("first_sec"),
+          lit(86400L)).as("t_day"),
+        col("conv_sec").isNotNull.cast("long").as("__event"))
+    kaplanMeier(users)
+  }
+
   /** The estimator core over a (t_day, __event) subject frame — shared
     * by [[survivalCurve]] and [[conversionSurvival]]. */
   private def kaplanMeier(users: DataFrame): DataFrame = {

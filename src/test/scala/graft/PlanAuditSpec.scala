@@ -58,7 +58,10 @@ class PlanAuditSpec extends SparkTestBase {
     "text_colloc_incremental", // same G² face over merged stored state
     "er_blocking_recall",     // one-row truth count x one-row found count
     "events_survival",        // one-row corpus-max + total frames x day curve
-    "q_rfm")                  // one-row max-date + entity-count frames x tiles
+    "events_survival_incremental", // same curve face over merged stored state
+    "events_survival_sql",    // same plan through the TVF face
+    "q_rfm",                  // one-row max-date + entity-count frames x tiles
+    "q_rfm_sql")              // same plan through the TVF face
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings

@@ -98,6 +98,26 @@ class RfmCooccurSpec extends SparkTestBase {
       (1L, 3L, 2L, 0L, 333333L), (30L, 1L, 0L, 1L, 333333L)))
   }
 
+  test("survival state merge == single-pass state (monoid identity)") {
+    def at(day: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + day * 86400000L)
+    val rnd = new scala.util.Random(21L)
+    val ev = (0 until 300).map { i =>
+      (rnd.nextInt(40).toLong, if (rnd.nextInt(5) == 0) "conv" else "x",
+        at(rnd.nextInt(25)), i.toLong)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val merged = graft.ext.Events.mergeSurvivalState(
+      graft.ext.Events.survivalState(ev.filter(col("event_id") % 3 === 0), "conv"),
+      graft.ext.Events.survivalState(ev.filter(col("event_id") % 3 =!= 0), "conv"))
+    val a = graft.ext.Events.survivalFromState(merged)
+      .collect().map(_.toSeq).toSet
+    val b = graft.ext.Events.conversionSurvival(ev, "conv")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("itemCooccurrenceTopK == brute-force cosine ranking on a seeded basket set") {
     val rnd = new scala.util.Random(5L)
     val rows = (0 until 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(25).toLong))
