@@ -56,6 +56,24 @@ class RfmCooccurSpec extends SparkTestBase {
       (2L, 0L, 1L, 5000L, 2L, 1L, 1L)))
   }
 
+  test("rfmSegments' global-row-number split == Spark's own ntile (seeded sizes)") {
+    // second reference: the SQL-standard NTILE the oracle uses is also
+    // what Spark's window ntile implements — the hand-rolled split off
+    // globalRowNumber must agree at every n (incl. n % tiles != 0)
+    for (n <- Seq(1, 4, 5, 23, 97)) {
+      val orders = (1 to n).map(i => (i.toLong, ts(1 + i % 28), i * 10.0))
+        .toDF("cust", "dt", "amt")
+      val got = Relational.rfmSegments(orders, "cust", "dt", "amt", tiles = 5)
+        .select("cust", "m").as[(Long, Long)].collect().toMap
+      val expect = orders
+        .select(col("cust"), org.apache.spark.sql.functions.ntile(5).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(round(col("amt") * 100).cast("long"), col("cust"))).as("m"))
+        .as[(Long, Int)].collect().map { case (c, m) => c -> m.toLong }.toMap
+      assert(got === expect, s"n=$n")
+    }
+  }
+
   test("conversionSurvival: hand-checkable KM curve with event + censor mix") {
     def at(day: Int): java.sql.Timestamp =
       new java.sql.Timestamp(
