@@ -3098,6 +3098,18 @@ object SparkEntry {
         rawRef = d.filter(pmod(col("doc_id"), lit(3L)) === 1L),
         topN = 100)
     },
+    "text_ppl_filter" -> { (s, dir) =>
+      // CCNet perplexity tiers (Wenzek et al. 2020): candidates
+      // (doc_id % 3 != 0) scored under the English %3==0 reference
+      // bigram LM; per-language NTILE(3) head/middle/tail over the
+      // exact nano per-pair NLL — the "keep each language's perplexity
+      // head" selection mechanic.
+      val d = Tables(s, dir, "documents")
+      graft.ext.Curation.perplexityBuckets(
+        cand = d.filter(pmod(col("doc_id"), lit(3L)) =!= 0L),
+        ref = d.filter(pmod(col("doc_id"), lit(3L)) === 0L &&
+          col("lang") === "en"))
+    },
     "curation_doremi" -> { (s, dir) =>
       // DoReMi mixture update: a weak proxy LM (the small %5==0 slice)
       // and a strong reference LM (%5 in {1,2}) score the candidate
@@ -4200,6 +4212,33 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.lang, r.rn FROM r JOIN quota USING (lang)
         |WHERE r.rn <= quota.quota""".stripMargin,
+    "text_ppl_filter" ->
+      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+        |           FROM documents WHERE text IS NOT NULL),
+        |tw AS (SELECT doc_id, lang, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
+        |pairs AS (SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
+        |  SELECT doc_id, UNNEST([{'a': w[i], 'b': w[i+1]} FOR i IN RANGE(1, LEN(w))]) AS p
+        |  FROM tw WHERE LEN(w) >= 2)),
+        |c2 AS (SELECT pr.a, pr.b, COUNT(*) AS c2 FROM pairs pr
+        |  JOIN t USING (doc_id) WHERE pr.doc_id % 3 = 0 AND t.lang = 'en'
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT a, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE doc_id % 3 = 0 AND lang = 'en')),
+        |sc AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2 ON pr.a = c2.a AND pr.b = c2.b
+        | LEFT JOIN c1 ON pr.a = c1.a, v
+        | WHERE pr.doc_id % 3 != 0),
+        |n AS (SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll
+        |      FROM sc GROUP BY 1),
+        |x AS (SELECT n.doc_id, d.lang, n.n_pairs, n.nll // n.n_pairs AS ppl_nano
+        |  FROM n JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_pairs, ppl_nano,
+        | CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY ppl_nano, doc_id)
+        |   AS BIGINT) AS tier
+        |FROM x""".stripMargin,
     "curation_doremi" ->
       """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
         |           FROM documents WHERE text IS NOT NULL),

@@ -481,6 +481,30 @@ object Curation {
     *
     * Output: (domain, n_docs, excess_nano, factor_micro, w_micro,
     * quota) — one row per candidate domain. */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): candidate
+    * documents scored under a reference LM are split, per LANGUAGE,
+    * into quality tiers (head/middle/tail thirds in CCNet) by
+    * per-pair NLL — the selection mechanic behind CCNet's
+    * "keep the head of each language's perplexity distribution".
+    * Exact: nano-integer per-pair NLL via integer division of the
+    * LangModel scorer's exact sums; tier = NTILE over the
+    * (ppl, doc_id) total order WITHIN each language (a per-group
+    * window — partitioned, scalable). Output: (doc_id, lang, n_pairs,
+    * ppl_nano, tier). */
+  def perplexityBuckets(cand: DataFrame, ref: DataFrame, tiers: Int = 3,
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(tiers >= 2, s"tiers must be >= 2, got $tiers")
+    val scored = LangModel.bigramNll(ref, cand, idCol, textCol)
+      .withColumn("ppl_nano",
+        call_function("div", col("nll_nano"), col("n_pairs")))
+      .join(cand.select(col(idCol), col(langCol)), Seq(idCol))
+    scored.select(col(idCol), col(langCol), col("n_pairs"), col("ppl_nano"),
+      ntile(tiers).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(langCol)).orderBy(col("ppl_nano"), col(idCol)))
+        .cast("long").as("tier"))
+  }
+
   def doremiReweight(cand: DataFrame, proxyRef: DataFrame, strongRef: DataFrame,
       domainCol: String, total: Long, etaMicro: Long = 1000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkTestBase {
     "text_lm_score",      // one-row vocabulary-size frame x scored pairs
     "curation_dsir",      // two one-row vocabulary frames (both LM scorings)
     "curation_doremi",    // two one-row vocabulary frames (proxy + reference LM)
+    "text_ppl_filter",    // one-row vocabulary frame (reference LM scoring)
     "dq_mutual_info",     // one-row total frame x |X|x|Y| contingency cells
     "dq_mi_sql",          // same plan through the TVF face
     "text_bm25_sql",      // text_bm25's plan through the TVF face
