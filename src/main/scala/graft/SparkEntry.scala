@@ -2920,6 +2920,28 @@ object SparkEntry {
         graft.ops.Relational.mergeItemCounts(s.read.parquet(itemDir), di),
         k = 5, minCo = 2L)
     },
+    "etl_compaction_plan" -> { (s, dir) =>
+      // Small-file compaction planning over a deterministic sizes frame
+      // (per-year order counts as stand-in bytes — the planner is pure
+      // over (file, bytes), so its binning logic gets a DuckDB oracle
+      // even though real file bytes are writer-dependent): files under
+      // the target bin-pack by name-ordered prefix sums; right-sized
+      // files pass through with a NULL group.
+      val orders = Tables(s, dir, "orders")
+      val target = math.max(1L, orders.count() / 4L)
+      val sizes = orders
+        .groupBy(concat(lit("orders_y"),
+          year(col("o_orderdate")).cast("string")).as("file"))
+        .agg(count(lit(1)).as("bytes"))
+      graft.ops.Manifest.compactionPlan(sizes, target)
+    },
+    "q_assoc_rules" -> { (s, dir) =>
+      // Market-basket association rules: top-3 consequents per
+      // antecedent part by exact-integer confidence, with support and
+      // lift — the directed companion of q_item_cooccur.
+      graft.ops.Relational.associationRules(Tables(s, dir, "lineitem"),
+        basketCol = "l_orderkey", itemCol = "l_partkey", k = 3, minCo = 2L)
+    },
     "q_rfm" -> { (s, dir) =>
       // RFM quintile segmentation of customers over their orders
       // (recency reversed so freshest = 5; cent-quantized monetary).
@@ -5354,6 +5376,37 @@ object SparkEntry {
     // state + delta == full recompute: the incremental face shares the
     // all-baskets oracle
     "q_item_cooccur_incremental" -> itemCooccurSql,
+    "etl_compaction_plan" ->
+      """WITH sizes AS (SELECT 'orders_y' || CAST(YEAR(o_orderdate) AS VARCHAR) AS file,
+        |  COUNT(*) AS bytes FROM orders GROUP BY 1),
+        |t AS (SELECT GREATEST(COUNT(*) // 4, 1) AS tgt FROM orders),
+        |small AS (SELECT file, bytes FROM sizes, t WHERE bytes < tgt),
+        |pk AS (SELECT file, bytes,
+        |   SUM(bytes) OVER (ORDER BY file ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) - bytes AS strt FROM small)
+        |SELECT file, bytes, CAST(strt // tgt AS BIGINT) AS group_id FROM pk, t
+        |UNION ALL
+        |SELECT file, bytes, CAST(NULL AS BIGINT) AS group_id
+        |FROM sizes, t WHERE bytes >= tgt""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+        |ni AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT x.i AS u, y.i AS v, COUNT(*) AS n_ab FROM bi x JOIN bi y
+        |  ON x.b = y.b AND x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u AS item, v AS nbr, n_ab FROM p
+        |  UNION ALL SELECT v AS item, u AS nbr, n_ab FROM p),
+        |sc AS (SELECT item, nbr, n_ab, a.n AS n_item, b.n AS n_nbr,
+        |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // nb.n AS BIGINT) AS support_micro,
+        |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // a.n AS BIGINT) AS confidence_micro,
+        |  CAST(CAST(n_ab AS HUGEINT) * nb.n * 1000000
+        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_micro
+        | FROM sym JOIN ni a ON a.i = item JOIN ni b ON b.i = nbr, nb),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+        |   ORDER BY confidence_micro DESC, nbr DESC) AS BIGINT) AS rank FROM sc)
+        |SELECT item, rank, nbr, n_item, n_nbr, n_ab,
+        | support_micro, confidence_micro, lift_micro
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_rfm" -> rfmSql,
     "q_rfm_sql" -> rfmSql,
     "q_spearman" -> spearmanSql,

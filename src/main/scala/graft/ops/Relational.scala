@@ -798,6 +798,52 @@ object Relational {
     (pairs, ni)
   }
 
+  /** Directed pairwise association rules (the Apriori/market-basket
+    * classic at its most-used size): for antecedent→consequent item
+    * pairs, exact-integer support, confidence, and lift —
+    * support_micro = n_ab·10⁶ div N, confidence_micro = n_ab·10⁶ div
+    * n_a, lift_micro = n_ab·N·10⁶ div (n_a·n_b), all in DECIMAL(38,0).
+    * Reuses [[cooccurCounts]]'s candidate shape (per-basket self-join,
+    * never item×item) plus one one-row basket-count frame; rules rank
+    * per antecedent through the k-bounded TopK aggregate by
+    * (confidence, consequent id). Output: (item, rank, nbr, n_item,
+    * n_nbr, n_ab, support_micro, confidence_micro, lift_micro). */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, k: Int, minCo: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val (pairs0, items) = cooccurCounts(baskets, basketCol, itemCol)
+    val nBaskets = broadcast(
+      baskets.select(col(basketCol).as("__b")).distinct()
+        .agg(count(lit(1)).cast("long").as("__nb")))
+    val ni = items.select(col("item").as("__i"), col("n").as("__n"))
+    val pairs = pairs0.filter(col("n_ab") >= minCo)
+    val sym = pairs.select(col("u").as("item"), col("v").as("nbr"), col("n_ab"))
+      .unionByName(pairs.select(col("v").as("item"), col("u").as("nbr"), col("n_ab")))
+    val scored = sym
+      .join(ni.select(col("__i").as("item"), col("__n").as("n_item")), "item")
+      .join(ni.select(col("__i").as("nbr"), col("__n").as("n_nbr")), "nbr")
+      .crossJoin(nBaskets) // one-row basket-count frame
+      .withColumn("support_micro",
+        call_function("div", col("n_ab").cast(dec) * lit(1000000L),
+          col("__nb").cast(dec)).cast("long"))
+      .withColumn("confidence_micro",
+        call_function("div", col("n_ab").cast(dec) * lit(1000000L),
+          col("n_item").cast(dec)).cast("long"))
+      .withColumn("lift_micro",
+        call_function("div",
+          col("n_ab").cast(dec) * col("__nb") * lit(1000000L),
+          col("n_item").cast(dec) * col("n_nbr")).cast("long"))
+    topKPerKey(scored, "item", "confidence_micro", "nbr", k)
+      .drop("confidence_micro")
+      .join(scored.select(col("item"), col("nbr"), col("n_item"), col("n_nbr"),
+        col("n_ab"), col("support_micro"), col("confidence_micro"),
+        col("lift_micro")), Seq("item", "nbr"))
+      .select(col("item"), col("rank"), col("nbr"), col("n_item"), col("n_nbr"),
+        col("n_ab"), col("support_micro"), col("confidence_micro"),
+        col("lift_micro"))
+  }
+
   /** Fold mergeable co-occurrence pair states (additive counts). */
   def mergeCooccurPairs(states: DataFrame*): DataFrame =
     states.reduce(_.unionByName(_)).groupBy(col("u"), col("v"))

@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkTestBase {
     "events_survival",        // one-row corpus-max + total frames x day curve
     "events_survival_incremental", // same curve face over merged stored state
     "events_survival_sql",    // same plan through the TVF face
+    "q_assoc_rules",          // one-row basket-count frame x scored rules
     "q_rfm",                  // one-row max-date + entity-count frames x tiles
     "q_rfm_sql")              // same plan through the TVF face
 
