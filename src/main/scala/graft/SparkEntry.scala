@@ -2281,6 +2281,25 @@ object SparkEntry {
             col("reached"): _*)
       }
     },
+    "stream_ppl_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Prequential perplexity gate: 3 doc_id-tiled microbatches;
+        // each batch is LM-scored under the model trained on all PRIOR
+        // batches only, then folds its bigram/unigram counts into the
+        // versioned state (exactly-once: per-batch output dirs +
+        // marker flip). Batch 1 trains silently; the drained scores
+        // are tiles 2 and 3 under their prefix models — exactly what
+        // the oracle recomputes from the same NTILE(3) tiling.
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val stateDir = scratchDir("graft_lm_state_").toString
+        val outDir = scratchDir("graft_lm_out_").toString
+        val ckpt = scratchDir("graft_lm_ckpt_").toString
+        graft.streaming.StreamingOps.lmGate(stream, stateDir, outDir, ckpt)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
     "etl_time_travel" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Snapshot time travel + retention over the upsert sink's
@@ -3514,6 +3533,30 @@ object SparkEntry {
         new java.io.File(base, s"orders_y$y.parquet").toPath)
     }
     base
+  }
+
+  /** Stages documents as `parts` mtime-ordered replay files tiled by
+    * NTILE over doc_id — the document-corpus analog of
+    * [[timeOrderedEventReplay]] for ingest-order streaming gates. */
+  private def docReplay(s: SparkSession, dir: String,
+      parts: Int): (String, org.apache.spark.sql.types.StructType) = {
+    val d = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val tiled = d.withColumn("__tile", ntile(parts).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val replay = scratchDir("graft_doc_replay_")
+    val base = System.currentTimeMillis() - (parts + 1) * 60000L
+    (1 to parts).foreach { tile =>
+      val stage = scratchDir("graft_doc_stage_")
+      tiled.filter(col("__tile") === tile).drop("__tile")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $stage"))
+      val dest = new java.io.File(replay.toFile, f"docs_$tile%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(base + tile * 60000L), s"cannot set mtime on $dest")
+    }
+    (replay.toString, d.schema)
   }
 
   /** Shared base for the CondExpr differential fuzz: adds NULL-bearing
@@ -4792,6 +4835,43 @@ object SparkEntry {
         | COUNT(DISTINCT b.user_id) AS n_users
         |FROM b JOIN f ON b.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // prequential scores: tile-2 docs under LM(tile 1), tile-3 docs
+    // under LM(tiles 1-2) — same NTILE(3)-by-doc_id tiling the replay
+    // stages
+    "stream_ppl_gate" ->
+      """WITH dt AS (SELECT doc_id, text, NTILE(3) OVER (ORDER BY doc_id) AS tile
+        |           FROM documents),
+        |tw0 AS (SELECT doc_id, tile, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+        |        FROM dt WHERE text IS NOT NULL),
+        |tw AS (SELECT doc_id, tile, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM tw0),
+        |pairs AS (SELECT doc_id, tile, p['a'] AS a, p['b'] AS b FROM (
+        |  SELECT doc_id, tile, UNNEST([{'a': w[i], 'b': w[i+1]} FOR i IN RANGE(1, LEN(w))]) AS p
+        |  FROM tw WHERE LEN(w) >= 2)),
+        |c2a AS (SELECT a, b, COUNT(*) AS c2 FROM pairs WHERE tile = 1 GROUP BY 1, 2),
+        |c1a AS (SELECT a, SUM(c2) AS c1 FROM c2a GROUP BY 1),
+        |va AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE tile = 1)),
+        |sca AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2a.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1a.c1, 0) + va.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2a ON pr.a = c2a.a AND pr.b = c2a.b
+        | LEFT JOIN c1a ON pr.a = c1a.a, va
+        | WHERE pr.tile = 2),
+        |na AS (SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll_nano
+        |       FROM sca GROUP BY 1),
+        |c2b AS (SELECT a, b, COUNT(*) AS c2 FROM pairs WHERE tile <= 2 GROUP BY 1, 2),
+        |c1b AS (SELECT a, SUM(c2) AS c1 FROM c2b GROUP BY 1),
+        |vb AS (SELECT COUNT(DISTINCT term) AS v FROM
+        |  (SELECT UNNEST(w) AS term FROM tw WHERE tile <= 2)),
+        |scb AS (SELECT pr.doc_id,
+        |  CAST(ROUND(LN(CAST(COALESCE(c2b.c2, 0) + 1 AS DOUBLE)
+        |    / CAST(COALESCE(c1b.c1, 0) + vb.v AS DOUBLE)) * 1000000000) AS BIGINT) AS lp
+        | FROM pairs pr LEFT JOIN c2b ON pr.a = c2b.a AND pr.b = c2b.b
+        | LEFT JOIN c1b ON pr.a = c1b.a, vb
+        | WHERE pr.tile = 3),
+        |nb AS (SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll_nano
+        |       FROM scb GROUP BY 1)
+        |SELECT * FROM na UNION ALL SELECT * FROM nb""".stripMargin,
     "events_survival" -> survivalSql,
     "events_survival_incremental" -> survivalSql,
     "events_survival_sql" -> survivalSql,

@@ -80,4 +80,32 @@ object LangModel {
     val (c2, c1, vocab) = trainBigram(ref, idCol, textCol)
     scoreBigram(cand, c2, c1, vocab, idCol, textCol)
   }
+
+  /** The PERSISTABLE model state: (a, b, c2) bigram counts and (t, n)
+    * unigram counts — both additive monoids over disjoint document
+    * batches; everything scoreBigram needs re-derives from them
+    * ([[modelFromState]]), so an incrementally-maintained LM never
+    * rescans corpus history. */
+  def bigramCountState(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val tok = tokens(docs, idCol, textCol)
+    val c2 = bigrams(tok).groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val uni = tok.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    (c2, uni)
+  }
+
+  /** Fold bigram-count states (column-wise additive). */
+  def mergeBigramCountState(states: (DataFrame, DataFrame)*): (DataFrame, DataFrame) = (
+    states.map(_._1).reduce(_.unionByName(_))
+      .groupBy("a", "b").agg(sum(col("c2")).as("c2")),
+    states.map(_._2).reduce(_.unionByName(_))
+      .groupBy("t").agg(sum(col("n")).as("n")))
+
+  /** (c2, c1, vocab) scorer inputs from persisted state: c1 is the
+    * context margin of c2 and the vocabulary size is the unigram-state
+    * row count — both exactly what [[trainBigram]] computes directly. */
+  def modelFromState(c2: DataFrame, uni: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    (c2, c2.groupBy("a").agg(sum("c2").as("c1")),
+      uni.agg(count(lit(1)).as("v")))
 }

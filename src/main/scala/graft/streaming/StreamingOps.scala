@@ -863,6 +863,63 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), factorNum, factorDen)
   }
 
+  /** Prequential perplexity gate — LM scoring on arrival off
+    * persisted, GROWING bigram-count state: every microbatch of
+    * documents is scored under the model trained on all PRIOR batches
+    * only (the prequential "test on the next batch, then absorb it"
+    * discipline — a CCNet-style quality filter run as an online
+    * ingest gate), then folds its own counts into the versioned
+    * state. Exactly-once on both sides: score output is one parquet
+    * dir PER BATCH keyed by batchId (a crash replay overwrites it with
+    * identical bytes — scoring is deterministic) and state commits via
+    * the versioned-dir + marker flip every stored-state gate uses.
+    * The first batch has no model and scores nothing. State size is
+    * vocabulary-shaped (bigram + unigram counts), never corpus-shaped. */
+  def lmGate(stream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLmBatch(batch, batchId, stateDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent prequential score + state fold (public for direct
+    * testing and batch backfills sharing the gate's state). */
+  def applyLmBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    if (current >= 0L) {
+      val c2 = spark.read.parquet(s"$stateDir/v$current/c2")
+      val uni = spark.read.parquet(s"$stateDir/v$current/uni")
+      val (mc2, mc1, mv) = graft.ext.LangModel.modelFromState(c2, uni)
+      graft.ext.LangModel.scoreBigram(batch, mc2, mc1, mv)
+        .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    }
+    val (dc2, duni) = graft.ext.LangModel.bigramCountState(batch)
+    val (nc2, nuni) = if (current >= 0L)
+      graft.ext.LangModel.mergeBigramCountState(
+        (spark.read.parquet(s"$stateDir/v$current/c2"),
+          spark.read.parquet(s"$stateDir/v$current/uni")),
+        (dc2, duni))
+    else (dc2, duni)
+    nc2.write.mode("overwrite").parquet(s"$stateDir/v$batchId/c2")
+    nuni.write.mode("overwrite").parquet(s"$stateDir/v$batchId/uni")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {

@@ -389,6 +389,38 @@ class StreamingOpsSpec extends SparkTestBase {
       (None, Some(10L))))    // view :14 — the only right row whose window closed
   }
 
+  test("applyLmBatch: prequential scoring, growing state, idempotent replay") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_lmst_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lmout_").toString
+    val b0 = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "x y q"), (11L, "z z")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "x y")).toDF("doc_id", "text")
+    StreamingOps.applyLmBatch(b0, 0L, stateDir, outDir)
+    // batch 0 trains silently: no scores, state v0 committed
+    assert(!new java.io.File(outDir, "b0").exists)
+    StreamingOps.applyLmBatch(b1, 1L, stateDir, outDir)
+    val got1 = spark.read.parquet(s"$outDir/b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // prequential: batch 1 scored under the model of batch 0 ONLY
+    val exp1 = graft.ext.LangModel.bigramNll(b0, b1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got1 === exp1 && got1.nonEmpty)
+    StreamingOps.applyLmBatch(b2, 2L, stateDir, outDir)
+    val got2 = spark.read.parquet(s"$outDir/b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 2 under batches 0 UNION 1 — the folded state
+    val exp2 = graft.ext.LangModel.bigramNll(b0.unionByName(b1), b2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === exp2)
+    // crash replay of a committed batch: marker unchanged, scores intact
+    StreamingOps.applyLmBatch(b1, 1L, stateDir, outDir)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L, 2L))
+    val again = spark.read.parquet(s"$outDir/b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === exp1)
+  }
+
   test("snapshot time travel reads any committed version; uncommitted dirs hidden") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
