@@ -2954,6 +2954,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("bytes"))
       graft.ops.Manifest.compactionPlan(sizes, target)
     },
+    "etl_compaction_exec" -> { (s, dir) =>
+      // End-to-end compaction: plan over the staged per-year files'
+      // REAL byte sizes (writer-dependent, so the grouping itself is
+      // not oracled), execute the rewrite, then prove the invariant
+      // that IS layout-independent: compacted groups + passthrough
+      // files together hold exactly the source rows (cent-quantized
+      // aggregate by priority == full-table recompute).
+      val staged = stageOrdersByYear(s, dir)
+      val sizes = graft.ops.Manifest.fileSizes(s, staged)
+      val total = sizes.agg(sum(col("bytes"))).head().getLong(0)
+      val plan = graft.ops.Manifest.compactionPlan(sizes, math.max(1L, total / 4L))
+      val outDir = scratchDir("graft_compact_out_").toString
+      graft.ops.Manifest.compact(s, plan, outDir)
+      val passFiles = plan.filter(col("group_id").isNull)
+        .select("file").collect().map(_.getString(0)) // control-plane: #files
+      val compacted = s.read.parquet(outDir + "/group_*")
+      val all = if (passFiles.isEmpty) compacted
+        else compacted.unionByName(s.read.parquet(passFiles.toIndexedSeq: _*))
+      all.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    },
     "q_assoc_rules" -> { (s, dir) =>
       // Market-basket association rules: top-3 consequents per
       // antecedent part by exact-integer confidence, with support and
@@ -5456,6 +5478,10 @@ object SparkEntry {
     // state + delta == full recompute: the incremental face shares the
     // all-baskets oracle
     "q_item_cooccur_incremental" -> itemCooccurSql,
+    "etl_compaction_exec" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
     "etl_compaction_plan" ->
       """WITH sizes AS (SELECT 'orders_y' || CAST(YEAR(o_orderdate) AS VARCHAR) AS file,
         |  COUNT(*) AS bytes FROM orders GROUP BY 1),
