@@ -2281,6 +2281,25 @@ object SparkEntry {
             col("reached"): _*)
       }
     },
+    "stream_dedup_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Near-dup-on-arrival off the persisted LSH index: 3 doc_id-
+        // tiled microbatches; each checks new×old + new×new candidates
+        // only and folds its signatures into the versioned index. A
+        // pair emits exactly once — with its later document — so the
+        // drained pairs are the FULL corpus near-dup set, the
+        // dedup_minhash oracle verbatim.
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val stateDir = scratchDir("graft_dedup_idx_").toString
+        val outDir = scratchDir("graft_dedup_out_").toString
+        val ckpt = scratchDir("graft_dedup_ckpt_").toString
+        graft.streaming.StreamingOps.dedupGate(stream, stateDir, outDir, ckpt,
+          threshold = 0.8)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
     "stream_ppl_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Prequential perplexity gate: 3 doc_id-tiled microbatches;
@@ -5060,6 +5079,9 @@ object SparkEntry {
         |FROM co JOIN sizes sa ON co.a_id = sa.doc_id
         |WHERE c * 1.0 / sa.sz >= 0.7""".stripMargin,
     "dedup_minhash" -> ngramJaccardSql,
+    // the drained gate emits every pair exactly once (with its later
+    // document), so the oracle is the full-corpus near-dup set
+    "stream_dedup_gate" -> ngramJaccardSql,
     // all-pairs exact concept-shingle Jaccard ground truth for the
     // cross-lingual LSH (same recall argument as dedup_minhash)
     "dedup_crosslingual" ->

@@ -920,6 +920,57 @@ object StreamingOps {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Streaming near-dup gate off the persisted MinHash-LSH index —
+    * `Dedup.minhashIncremental` run as an ingest gate: every microbatch
+    * of documents is checked against the signatures of ALL prior
+    * batches (new×old + new×new candidates only — old×old pairs were
+    * resolved when their batches arrived and are never recomputed),
+    * emits its exact-verified pairs, and folds its own `lshIndexState`
+    * rows into the versioned index. Each pair surfaces exactly once —
+    * in the batch of its LATER document — so the drained output over a
+    * finite replay is the FULL corpus near-dup pair set (the
+    * dedup_minhash oracle). Exactly-once via per-batch output dirs +
+    * the marker flip; index state is signatures + shingle-hash sets,
+    * never document text. */
+  def dedupGate(stream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, threshold: Double = 0.8): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDedupBatch(batch, batchId, stateDir, outDir, threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent check-then-index step (public for direct testing
+    * and batch backfills sharing the gate's index). */
+  def applyDedupBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      outDir: String, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val pairs = if (current >= 0L)
+      graft.ext.Dedup.minhashIncremental(batch,
+        spark.read.parquet(s"$stateDir/v$current"), threshold)
+    else graft.ext.Dedup.minhash(batch, threshold)
+    pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    val newState = graft.ext.Dedup.lshIndexState(batch)
+    val merged = if (current >= 0L)
+      spark.read.parquet(s"$stateDir/v$current").unionByName(newState)
+    else newState
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {

@@ -421,6 +421,29 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(again === exp1)
   }
 
+  test("applyDedupBatch: each pair emits once with its later doc; replay idempotent") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ddst_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ddout_").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val b0 = Seq((1L, text), (2L, text + " iota")).toDF("doc_id", "text")
+    val b1 = Seq((10L, text), (11L, "unrelated words entirely different tokens here now")).toDF("doc_id", "text")
+    StreamingOps.applyDedupBatch(b0, 0L, stateDir, outDir, 0.5)
+    val p0 = spark.read.parquet(s"$outDir/b0")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p0 === Set((1L, 2L))) // within-batch pair
+    StreamingOps.applyDedupBatch(b1, 1L, stateDir, outDir, 0.5)
+    val p1 = spark.read.parquet(s"$outDir/b1")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // new x old pairs only for the later docs; (1,2) never re-emits
+    assert(p1 === Set((1L, 10L), (2L, 10L)))
+    // crash replay of batch 1: marker unchanged, output identical
+    StreamingOps.applyDedupBatch(b1, 1L, stateDir, outDir, 0.5)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L))
+    assert(spark.read.parquet(s"$outDir/b1")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet === p1)
+  }
+
   test("snapshot time travel reads any committed version; uncommitted dirs hidden") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
