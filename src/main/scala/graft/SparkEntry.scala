@@ -3020,6 +3020,17 @@ object SparkEntry {
       graft.ops.Relational.spearmanPerGroup(Tables(s, dir, "lineitem"),
         Seq("l_returnflag"), "l_quantity", "l_extendedprice")
     },
+    "ts_ewma" -> { (s, dir) =>
+      // EWMA smoothing (alpha = 0.25) of the daily per-type count
+      // series: the exact stepwise-quantized integer recurrence — a
+      // recursive-CTE oracle replays it bit-for-bit.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.ewma(daily, "event_type", "day", "x",
+        alphaMicro = 250000L)
+    },
     "ts_decompose" -> { (s, dir) =>
       // Classical additive seasonal decomposition of the hourly per-type
       // count series, period 24: zero-filled grid (a missing bucket of a
@@ -5635,6 +5646,20 @@ object SparkEntry {
     "geo_dbscan" -> geoDbscanSqlFor(geoPointsSqlCustomer, 5L),
     "stream_dbscan_gate" -> geoDbscanSqlFor(geoPointsSqlEvents, 25L),
     "text_colloc_incremental" -> collocationsSql,
+    "ts_ewma" ->
+      """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn FROM d0),
+        |r AS (
+        |  WITH RECURSIVE rec AS (
+        |    SELECT k, t, x, rn, x * 1000000 AS s FROM d WHERE rn = 1
+        |    UNION ALL
+        |    SELECT d.k, d.t, d.x, d.rn,
+        |      (250000 * (d.x * 1000000) + 750000 * rec.s) // 1000000 AS s
+        |    FROM rec JOIN d ON d.k = rec.k AND d.rn = rec.rn + 1)
+        |  SELECT * FROM rec)
+        |SELECT k AS event_type, t AS day, x, CAST(s AS BIGINT) AS ewma_micro
+        |FROM r""".stripMargin,
     "ts_theil_sen" ->
       """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),

@@ -293,4 +293,46 @@ object TimeSeries {
             col("n").cast("double") * col("n").cast("double"))) * lit(1e6))
           .cast("long").as("p_micro"))
   }
+  /** Per-key exponentially weighted moving average — the monitoring/
+    * smoothing classic (Roberts 1959 EWMA control charts), as an EXACT
+    * integer recurrence so both engines replay it bit-for-bit:
+    *
+    *   s_1 = x_1·10⁶ ;  s_t = (α_µ·x_t·10⁶ + (10⁶ − α_µ)·s_{t−1}) div 10⁶
+    *
+    * — stepwise floor-quantized in micro units, so there is no float
+    * and no summation-order dependence anywhere; a recursive-CTE
+    * oracle replays the identical recurrence. The recurrence is
+    * inherently sequential PER KEY, so each key's series folds inside
+    * one group (`mapGroups`, sorted by t) while keys spread across the
+    * cluster — the same per-key-sequential shape as the streaming
+    * running-state family; series length per key is the only memory
+    * bound. `x` must be a non-negative count below 10⁹ (fail-loud) so
+    * every intermediate product fits int64. Output: (key, t, x,
+    * ewma_micro). */
+  def ewma(df: DataFrame, keyCol: String, tCol: String, xCol: String,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(tCol).cast("long"),
+        col(xCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long)]) =>
+        val rows = it.toSeq.sortBy(_._2)
+        var s = 0L
+        var first = true
+        rows.iterator.map { case (_, t, x) =>
+          require(x >= 0L && x < 1000000000L,
+            s"ewma input must be a count in [0, 1e9), got $x for key $k")
+          val xm = x * 1000000L
+          s = if (first) { first = false; xm }
+          else (alphaMicro * xm + (1000000L - alphaMicro) * s) / 1000000L
+          (k, t, x, s)
+        }
+      }
+      .toDF(keyCol, tCol, xCol, "ewma_micro")
+  }
+
 }

@@ -36,6 +36,28 @@ class TheilSenIncrementalSpec extends SparkTestBase {
     assert(got._2 == math.round((1.0 + 10.0 / 3.0) / 2 * 1e6))
   }
 
+  test("ewma: hand recurrence incl. floor quantization and key isolation") {
+    // alpha = 1/2: s_1 = 8e6; s_2 = (4e6*1e6/2 ... ) hand values below;
+    // the odd x=1 step exercises the floor division
+    val df = Seq(("a", 1L, 8L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("b", 1L, 3L)).toDF("k", "t", "x")
+    val got = TimeSeries.ewma(df, "k", "t", "x", alphaMicro = 500000L)
+      .select("k", "t", "ewma_micro").as[(String, Long, Long)]
+      .collect().toSet
+    // a: s1 = 8_000_000; s2 = (.5*0 + .5*8e6) = 4_000_000;
+    //    s3 = (500000*1e6 + 500000*4e6) / 1e6 = 2_500_000
+    // b: s1 = 3_000_000 (keys fold independently)
+    assert(got === Set(("a", 1L, 8000000L), ("a", 2L, 4000000L),
+      ("a", 3L, 2500000L), ("b", 1L, 3000000L)))
+  }
+
+  test("ewma: fail-loud outside the count bound") {
+    val df = Seq(("a", 1L, 1000000000L)).toDF("k", "t", "x")
+    intercept[org.apache.spark.SparkException] {
+      TimeSeries.ewma(df, "k", "t", "x", 500000L).collect()
+    }
+  }
+
   test("cell-count state merge == single-pass counts (hotspot identity)") {
     val rnd = new scala.util.Random(11L)
     val pts = (0 until 300).map(_ => (rnd.nextLong(20000L) - 10000L, rnd.nextLong(20000L) - 10000L))
