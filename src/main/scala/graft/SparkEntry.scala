@@ -5655,7 +5655,8 @@ object SparkEntry {
         |    SELECT k, t, x, rn, x * 1000000 AS s FROM d WHERE rn = 1
         |    UNION ALL
         |    SELECT d.k, d.t, d.x, d.rn,
-        |      (250000 * (d.x * 1000000) + 750000 * rec.s) // 1000000 AS s
+        |      250000 * d.x + 750000 * (rec.s // 1000000)
+        |        + (750000 * (rec.s % 1000000)) // 1000000 AS s
         |    FROM rec JOIN d ON d.k = rec.k AND d.rn = rec.rn + 1)
         |  SELECT * FROM rec)
         |SELECT k AS event_type, t AS day, x, CAST(s AS BIGINT) AS ewma_micro

@@ -64,11 +64,29 @@ object Graph {
     // per consumer
     val e = Materialize(edges.select(col(uCol).as("u"), col(vCol).as("v")))
     // (degree, id) total order packed into one BIGINT: deg * 2^32 + node.
-    // Safe while node ids and degrees stay below 2^31 — checked cheaply
-    // nowhere (ids are fixture partkeys); the pack keeps the wedge
-    // comparison a single long compare instead of a struct compare.
-    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
+    // Correct only while node ids are in [0, 2^31) and degrees below
+    // 2^31 — outside that the pack silently reorders and the failure
+    // mode is WRONG triangle counts, so the bound is asserted fail-loud
+    // with one aggregate over the (materialized, node-count-sized)
+    // degree frame. The materialization also stops the degree groupBy
+    // from re-executing for each of the two orientation joins. The pack
+    // keeps the wedge comparison a single long compare instead of a
+    // struct compare.
+    val degRaw = Materialize(
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d")))
+    val lim = degRaw.agg(min(col("node")).cast("long"),
+      max(col("node")).cast("long"), max(col("d"))).collect()(0)
+    if (!lim.isNullAt(0)) {
+      val (minNode, maxNode, maxDeg) =
+        (lim.getLong(0), lim.getLong(1), lim.getLong(2))
+      require(minNode >= 0L && maxNode < (1L << 31) && maxDeg < (1L << 31),
+        s"triangleCounts packs (degree, id) into one BIGINT as d*2^32 + " +
+          s"node, which needs node ids in [0, 2^31) and degrees < 2^31; " +
+          s"got node range [$minNode, $maxNode], max degree $maxDeg — " +
+          "remap ids to a dense [0, n) range first")
+    }
+    val deg = degRaw
       .select(col("node"), (shiftleft(col("d"), 32) + col("node")).as("ord"))
     val oriented = Materialize(e
       .join(deg.select(col("node").as("u"), col("ord").as("ord_u")), Seq("u"))

@@ -306,9 +306,20 @@ object TimeSeries {
     * one group (`mapGroups`, sorted by t) while keys spread across the
     * cluster — the same per-key-sequential shape as the streaming
     * running-state family; series length per key is the only memory
-    * bound. `x` must be a non-negative count below 10⁹ (fail-loud) so
-    * every intermediate product fits int64. Output: (key, t, x,
-    * ewma_micro). */
+    * bound. `x` must be a non-negative count below 10⁹ (fail-loud).
+    *
+    * Overflow-free across that WHOLE domain: the naive product
+    * α_µ·x·10¹² reaches ~10²¹ and would wrap int64 past x ≈ 9.2·10⁶,
+    * so the step is computed via the exact split at the micro
+    * boundary — with a = α_µ, b = 10⁶ − α_µ, s = q·10⁶ + r (r < 10⁶):
+    *
+    *   ⌊(a·x·10⁶ + b·s) / 10⁶⌋  =  a·x + b·q + ⌊b·r / 10⁶⌋
+    *
+    * (exact because a·x·10⁶ and b·q·10⁶ are divisible by 10⁶ and
+    * s ≥ 0). Every term is ≤ 10⁶·10⁹ = 10¹⁵ ≪ 2⁶³, so every
+    * intermediate genuinely fits int64 — and the recursive-CTE oracle
+    * uses the identical split so neither engine can overflow.
+    * Output: (key, t, x, ewma_micro). */
   def ewma(df: DataFrame, keyCol: String, tCol: String, xCol: String,
       alphaMicro: Long): DataFrame = {
     require(alphaMicro > 0L && alphaMicro <= 1000000L,
@@ -326,9 +337,11 @@ object TimeSeries {
         rows.iterator.map { case (_, t, x) =>
           require(x >= 0L && x < 1000000000L,
             s"ewma input must be a count in [0, 1e9), got $x for key $k")
-          val xm = x * 1000000L
-          s = if (first) { first = false; xm }
-          else (alphaMicro * xm + (1000000L - alphaMicro) * s) / 1000000L
+          s = if (first) { first = false; x * 1000000L }
+          else {
+            val b = 1000000L - alphaMicro
+            alphaMicro * x + b * (s / 1000000L) + b * (s % 1000000L) / 1000000L
+          }
           (k, t, x, s)
         }
       }

@@ -16,6 +16,22 @@ class GraphSpec extends SparkTestBase {
     assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCounts fails loud when a node id breaks the BIGINT pack bound") {
+    // the (deg, id) -> d*2^32 + node pack silently reorders past 2^31;
+    // the guard must throw, not return wrong counts
+    val big = 1L << 31
+    val edges = Seq((1L, 2L), (1L, big), (2L, big)).toDF("u", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.triangleCounts(edges).collect()
+    }
+    assert(ex.getMessage.contains("2^31"))
+    // negative ids break the pack the same way
+    val neg = Seq((-1L, 2L), (-1L, 3L), (2L, 3L)).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      Graph.triangleCounts(neg).collect()
+    }
+  }
+
   test("triangleCounts matches a brute-force enumeration on a random graph") {
     val rnd = new scala.util.Random(42)
     val edgeSet = (1 to 300).map { _ =>

@@ -51,6 +51,28 @@ class TheilSenIncrementalSpec extends SparkTestBase {
       ("a", 3L, 2500000L), ("b", 1L, 3000000L)))
   }
 
+  test("ewma: exact past the old int64 product cliff, up to the domain edge") {
+    // The naive alphaMicro*x*1e12 product wraps Long past x ~ 9.2e6; the
+    // split recurrence must stay EXACT there. Differential vs a BigInt
+    // replay of the spec recurrence at adversarial magnitudes spanning
+    // just-below-cliff, just-above-cliff, and the 1e9-1 domain edge.
+    val alpha = 250000L
+    val xs = Seq(9222372L, 9222373L, 37000000L, 123456789L, 999999999L, 0L,
+      999999999L, 7L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val got = TimeSeries.ewma(df, "k", "t", "x", alpha)
+      .select("t", "ewma_micro").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    var s = BigInt(0); var first = true
+    val want = xs.map { x =>
+      s = if (first) { first = false; BigInt(x) * 1000000 }
+      else (BigInt(alpha) * x * 1000000 + BigInt(1000000 - alpha) * s) / 1000000
+      assert(s.isValidLong)
+      s.toLong
+    }
+    assert(got.toSeq === want)
+  }
+
   test("ewma: fail-loud outside the count bound") {
     val df = Seq(("a", 1L, 1000000000L)).toDF("k", "t", "x")
     intercept[org.apache.spark.SparkException] {
