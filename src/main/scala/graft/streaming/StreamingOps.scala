@@ -374,9 +374,12 @@ object StreamingOps {
     * is held forever and each user's final run is never emitted. A
     * user idle longer than `gapSec` therefore has their open run
     * closed (noticed either at timeout or, if the next event arrives
-    * first, on arrival), and a post-eviction return renumbers the
-    * user's runs from 1 (a new episode — the sessionization reading of
-    * an idle gap). When `gapSec` exceeds every real within-user gap,
+    * first, on arrival), and the return renumbers the user's runs from
+    * 1 on BOTH paths (a new episode — the sessionization reading of an
+    * idle gap): whether the watermark passed `t_end + gapSec` before
+    * the next event's microbatch must not change the emitted run_seq,
+    * so the arrival-path gap closure restarts at 1 exactly like the
+    * post-eviction path. When `gapSec` exceeds every real within-user gap,
     * drained output over a finite replay (closed by one watermark-
     * raising heartbeat: rows with `user_id < 0` advance event time but
     * are never folded into runs) equals the FULL batch operator — the
@@ -420,7 +423,15 @@ object StreamingOps {
               else {
                 out += RunRow(uid, cur.run_seq, cur.event_type, cur.run_len,
                   cur.t_start, cur.t_end)
-                cur = RunCur(cur.run_seq + 1L, e.event_type, 1L, e.ts_sec, e.ts_sec)
+                // an idle-gap-exceeded closure is a NEW EPISODE: restart
+                // at run_seq = 1 exactly like the timeout-eviction path,
+                // so the emitted numbering does not depend on whether the
+                // watermark happened to pass t_end + gapSec before this
+                // event's microbatch (layout-independent output); only a
+                // type change within the gap continues the numbering
+                val nextSeq =
+                  if (e.ts_sec - cur.t_end > gapSec) 1L else cur.run_seq + 1L
+                cur = RunCur(nextSeq, e.event_type, 1L, e.ts_sec, e.ts_sec)
               }
             }
             if (cur != null) {

@@ -159,6 +159,33 @@ class TheilSenIncrementalSpec extends SparkTestBase {
     assert(rows == Seq((1L, 1L, "a", 2L, 10L, 11L), (1L, 1L, "b", 1L, 600L, 600L)))
   }
 
+  test("runLengthStream: arrival-path gap closure renumbers from 1 like eviction") {
+    // Same per-user history as the eviction test, but the gap is noticed
+    // ON ARRIVAL (no heartbeat raises the watermark first). The emitted
+    // run_seq must be identical — whether the timeout fired before the
+    // next event's microbatch is a layout accident, not semantics.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RunEvent]
+    val q = StreamingOps.runLengthStream(mem.toDS().toDF(), gapSec = 100L)
+      .writeStream.format("memory").queryName("runlen_arrival_gap")
+      .outputMode("append").start()
+    try {
+      mem.addData(RunEvent(1L, 1L, 10L, "a"), RunEvent(1L, 2L, 11L, "a"))
+      q.processAllAvailable()
+      // gap of 589 s > gapSec noticed on arrival: 'a' closes, 'b' is a
+      // NEW EPISODE at run_seq = 1
+      mem.addData(RunEvent(1L, 3L, 600L, "b"))
+      q.processAllAvailable()
+      mem.addData(RunEvent(-1L, -1L, 1000L, "__heartbeat"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("runlen_arrival_gap")
+      .select("user_id", "run_seq", "event_type", "run_len", "t_start", "t_end")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // byte-identical to the eviction-path drained output
+    assert(rows === Set((1L, 1L, "a", 2L, 10L, 11L), (1L, 1L, "b", 1L, 600L, 600L)))
+  }
+
   test("funnelStream: strict-after steps, cross-batch continuation, timeout eviction") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[RunEvent]
