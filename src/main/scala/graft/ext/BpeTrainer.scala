@@ -117,6 +117,101 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Largest PROVABLY-SEQUENTIAL prefix batch off one stale top-`m`
+    * pair ranking — the distributed loop's amortizer. `top` is ordered
+    * by the training total order (count DESC, left ASC, right ASC);
+    * `complete` means `top` covers EVERY live pair (fewer than m
+    * exist). Scans in rank order and accepts an entry only while the
+    * stale ranking is guaranteed to equal what sequential BPE would
+    * compute after applying the already-accepted merges:
+    *
+    *  - symbol-disjointness from all accepted merges ⇒ the entry's own
+    *    count is unchanged (a count can only change where an occurrence
+    *    overlaps a merged occurrence, which requires a shared symbol);
+    *  - pairs SPAWNED by an accepted merge (x, ab)/(ab, y) inherit at
+    *    most the stale count of the overlapping pair (x, a)/(b, y) they
+    *    came from. Overlapping pairs ranked before the current entry
+    *    would already have stopped the scan; those ranked after it are
+    *    strictly below it unless tied, and off-list pairs are bounded
+    *    by the list tail — so requiring count > tail-bound and no
+    *    equal-count overlapping entry later in the list rules out any
+    *    spawned pair outranking (or tying) the current entry.
+    *
+    * Ties between accepted entries are safe: both counts are unchanged,
+    * and the list order already applies the lexicographic tie-break.
+    * Worst case (adversarially interlocking pairs) the batch is just
+    * the head — never worse than the one-merge-per-job loop. */
+  private[ext] def selectSafeBatch(top: Seq[(String, String, Long)],
+      complete: Boolean): Seq[(String, String, Long)] = {
+    if (top.isEmpty) return Seq.empty
+    val tailBound = if (complete) 0L else top.last._3
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val symbols = scala.collection.mutable.Set.empty[String]
+    var i = 0
+    var stopped = false
+    while (i < top.length && !stopped) {
+      val (a, b, n) = top(i)
+      val ok =
+        if (accepted.isEmpty) true
+        else if (symbols(a) || symbols(b)) false
+        else if (n <= tailBound) false
+        else !top.drop(i + 1).exists { case (x, y, m) =>
+          m == n && (symbols(x) || symbols(y))
+        }
+      if (ok) { accepted += ((a, b, n)); symbols += a; symbols += b; symbols += (a + b) }
+      else stopped = true
+      i += 1
+    }
+    accepted.toSeq
+  }
+
+  /** Distributed merge loop over an executor-resident word histogram:
+    * each Spark job materializes the top-`topM` stale pair ranking once
+    * and [[selectSafeBatch]] extracts every merge that provably equals
+    * the sequential result, so the job count is numMerges / (average
+    * batch size) instead of one job per merge — on natural-language
+    * histograms (sparse symbol reuse among the head pairs) batches run
+    * close to topM. Returns (merge table, aggregation-job count) so the
+    * spec can pin the amortization. Bit-identical to [[trainLocal]] by
+    * construction (the batch acceptance rule is a proof obligation, not
+    * a heuristic). */
+  private[ext] def trainDistributed(words0: Dataset[(Seq[String], Long)],
+      numMerges: Int, topM: Int): (Seq[(Int, String, String, Long)], Int) = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var jobs = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        .flatMap { case (syms, f) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
+        }
+        .toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(topM)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      jobs += 1
+      val batch = selectSafeBatch(top, complete = top.length < topM)
+        .take(numMerges - rank)
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.foreach { case (a, b, n) => merges += ((rank, a, b, n)); rank += 1 }
+        val applied = words.map { case (syms, f) =>
+          (batch.foldLeft(syms) { case (s, (a, b, _)) => applyMerge(s, a, b) }, f)
+        }.toDF("syms", "freq")
+        // flat lineage each round — a round is already a full job
+        words = Materialize(applied).as[(Seq[String], Long)]
+      }
+    }
+    (merges.toSeq, jobs)
+  }
+
   /** Train `numMerges` merges; returns (rank int, left, right,
     * pair_count long) with rank 0 = first merge. May return fewer rows
     * than numMerges when the histogram runs out of adjacent pairs.
@@ -127,12 +222,15 @@ object BpeTrainer {
     * practical tokenizer-training corpus lands in after whitespace
     * splitting) the merge loop runs locally via [[trainLocal]] with
     * incremental counts, costing zero Spark jobs per merge. Above the
-    * threshold it falls back to the distributed one-job-per-merge loop
-    * (exact same total order), whose job count is the documented bound
-    * — both paths are pinned bit-identical in BpeSpec. */
+    * threshold it runs the distributed loop, amortized to ~`distTopM`
+    * merges per Spark job by [[selectSafeBatch]]'s provably-sequential
+    * prefix batching (exact same total order) — both paths are pinned
+    * bit-identical in BpeSpec. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      lowercase: Boolean = true, maxLocalWords: Long = 1000000L): DataFrame = {
+      lowercase: Boolean = true, maxLocalWords: Long = 1000000L,
+      distTopM: Int = 64): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
+    require(distTopM >= 1, s"distTopM must be positive, got $distTopM")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -144,38 +242,12 @@ object BpeTrainer {
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString), f) }
 
-    var words = Materialize(hist.toDF("syms", "freq")).as[(Seq[String], Long)]
+    val words = Materialize(hist.toDF("syms", "freq")).as[(Seq[String], Long)]
     if (words.count() <= maxLocalWords)
-      return trainLocal(words.collect(), numMerges)
+      trainLocal(words.collect(), numMerges)
         .toDF("rank", "left", "right", "pair_count")
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 0
-    var exhausted = false
-    while (rank < numMerges && !exhausted) {
-      val top = words
-        .flatMap { case (syms, f) =>
-          if (syms.length < 2) Iterator.empty
-          else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
-        }
-        .toDF("a", "b", "f")
-        .groupBy("a", "b").agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .limit(1)
-        .collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, n))
-        val applied = words.map { case (syms, f) => (applyMerge(syms, a, b), f) }
-          .toDF("syms", "freq")
-        // flat lineage every few rounds; in between, lazy chaining is
-        // cheap because each round's map is narrow
-        words = (if (rank % 5 == 4) Materialize(applied) else applied)
-          .as[(Seq[String], Long)]
-        rank += 1
-      }
-    }
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    else trainDistributed(words, numMerges, distTopM)._1
+      .toDF("rank", "left", "right", "pair_count")
   }
 
   /** Collect a trained merge table (rank-ordered, control-plane-sized)

@@ -942,7 +942,17 @@ object StreamingOps {
     * finite replay is the FULL corpus near-dup pair set (the
     * dedup_minhash oracle). Exactly-once via per-batch output dirs +
     * the marker flip; index state is signatures + shingle-hash sets,
-    * never document text. */
+    * never document text.
+    *
+    * Index layout is APPEND-ONLY: each committed batch contributes one
+    * immutable delta directory `v{batchId}` holding ONLY that batch's
+    * `lshIndexState` rows; the live index is the union of a compaction
+    * base (`c{floor}`, see [[compactDedupIndex]]) and every committed
+    * delta above the floor. Per-batch write volume is therefore
+    * proportional to the BATCH, never the corpus — a year-long ingest
+    * writes each signature exactly once plus however many compactions
+    * the operator schedules, instead of rewriting the whole index every
+    * microbatch. */
   def dedupGate(stream: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.8): Unit = {
     val q = stream.writeStream
@@ -955,8 +965,38 @@ object StreamingOps {
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 
+  /** Compaction floor: versions <= floor live merged in `c{floor}`. */
+  private def dedupIndexFloor(stateDir: String): Long = {
+    val f = new java.io.File(stateDir, "_COMPACTED")
+    if (f.exists)
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    else -1L
+  }
+
+  /** The directories whose union IS the current dedup index: the
+    * compaction base (if any) plus every committed delta above the
+    * floor. Empty before the first committed batch. */
+  private[streaming] def dedupIndexPaths(stateDir: String): Seq[String] = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    if (!marker.exists) return Seq.empty
+    val floor = dedupIndexFloor(stateDir)
+    val base = if (floor >= 0L) Seq(s"$stateDir/c$floor") else Seq.empty
+    base ++ listSnapshotVersions(stateDir).filter(_ > floor)
+      .map(v => s"$stateDir/v$v")
+  }
+
+  /** The full persisted LSH index as one frame (for batch backfills
+    * sharing the gate's index, audits, or downstream joins). */
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val paths = dedupIndexPaths(stateDir)
+    require(paths.nonEmpty, s"no committed dedup index under $stateDir")
+    spark.read.parquet(paths: _*)
+  }
+
   /** One idempotent check-then-index step (public for direct testing
-    * and batch backfills sharing the gate's index). */
+    * and batch backfills sharing the gate's index). Writes ONLY the
+    * batch's own delta — O(batch) bytes, not O(corpus). */
   def applyDedupBatch(batch: DataFrame, batchId: Long, stateDir: String,
       outDir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
@@ -965,21 +1005,73 @@ object StreamingOps {
       new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
     else -1L
     if (batchId <= current) return // replay of an already-committed batch
-    val pairs = if (current >= 0L)
+    val indexPaths = dedupIndexPaths(stateDir)
+    val pairs = if (indexPaths.nonEmpty)
       graft.ext.Dedup.minhashIncremental(batch,
-        spark.read.parquet(s"$stateDir/v$current"), threshold)
+        spark.read.parquet(indexPaths: _*), threshold)
     else graft.ext.Dedup.minhash(batch, threshold)
     pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-    val newState = graft.ext.Dedup.lshIndexState(batch)
-    val merged = if (current >= 0L)
-      spark.read.parquet(s"$stateDir/v$current").unionByName(newState)
-    else newState
-    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    graft.ext.Dedup.lshIndexState(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
     java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
     java.nio.file.Files.move(tmp.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Compact the dedup-gate index: merge the compaction base and every
+    * committed delta into one `c{current}` directory, flip the
+    * `_COMPACTED` floor marker atomically, then drop the superseded
+    * directories. Bounds the state-dir file count under an unbounded
+    * ingest (deltas accumulate between compactions only). Crash-safe at
+    * every step: readers resolve the index from the two markers alone,
+    * the staging directory is published by rename BEFORE the marker
+    * flip, and directories left behind by a crash mid-delete are
+    * unreferenced (a later compaction sweeps them). NOTE: deltas are
+    * NOT snapshots — retention here means merging, never dropping;
+    * [[vacuumVersions]] does not apply to this directory. Returns the
+    * delta versions folded in (empty when already compact). */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Seq[Long] = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed dedup index under $stateDir")
+    val current =
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val floor = dedupIndexFloor(stateDir)
+    def sweepUnreferenced(liveFloor: Long): Unit = {
+      val live = listSnapshotVersions(stateDir).filter(_ > liveFloor)
+        .map(v => s"v$v").toSet + s"c$liveFloor"
+      Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !live.contains(d.getName) &&
+          (d.getName.startsWith("c") ||
+            scala.util.Try(d.getName.stripPrefix("v").toLong)
+              .toOption.exists(_ <= liveFloor)))
+        .foreach(deleteRecursively)
+    }
+    val doomed = listSnapshotVersions(stateDir).filter(_ > floor)
+    if (doomed.isEmpty) { sweepUnreferenced(floor); return Seq.empty }
+    val staging = new java.io.File(stateDir, s"c$current.staging")
+    spark.read.parquet(dedupIndexPaths(stateDir): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val published = new java.io.File(stateDir, s"c$current")
+    if (published.exists) deleteRecursively(published) // crashed prior attempt
+    require(staging.renameTo(published), s"cannot publish $published")
+    val tmp = new java.io.File(stateDir, s"_COMPACTED.tmp$current")
+    java.nio.file.Files.write(tmp.toPath, current.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(stateDir, "_COMPACTED").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    sweepUnreferenced(current)
+    doomed
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
@@ -1011,15 +1103,27 @@ object StreamingOps {
     * serving path (marker → newest version) is unaffected even if this
     * crashes mid-delete (old versions are only ever read via explicit
     * time travel). Returns the versions removed. */
-  def vacuumSnapshots(snapshotDir: String, keepLast: Int): Seq[Long] = {
+  def vacuumSnapshots(snapshotDir: String, keepLast: Int): Seq[Long] =
+    vacuumVersions(snapshotDir, keepLast)
+
+  /** Shared retention for every SELF-CONTAINED versioned-state
+    * directory — [[upsertSink]] snapshots and the drift / anomaly /
+    * hotspot / LM gate states, all of which write the FULL (summary-
+    * shaped) state to `v{batchId}` each batch, so any single committed
+    * version can serve alone and older versions exist only for time
+    * travel. Deletes committed versions older than the newest
+    * `keepLast` (recursively — the LM state nests `c2`/`uni` under each
+    * version), never the current version or uncommitted directories.
+    * The serving path (marker → newest version) and the next batch's
+    * fold (reads only `v{current}`) are unaffected even if this crashes
+    * mid-delete. NOT for the dedup-gate index, whose `v` directories
+    * are DELTAS that all remain live — bound that one with
+    * [[compactDedupIndex]] instead. Returns the versions removed. */
+  def vacuumVersions(dir: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current version")
-    val versions = listSnapshotVersions(snapshotDir)
+    val versions = listSnapshotVersions(dir)
     val doomed = versions.dropRight(keepLast)
-    doomed.foreach { v =>
-      val d = new java.io.File(snapshotDir, s"v$v")
-      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      d.delete()
-    }
+    doomed.foreach(v => deleteRecursively(new java.io.File(dir, s"v$v")))
     doomed
   }
 

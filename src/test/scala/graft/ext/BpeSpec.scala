@@ -84,6 +84,42 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("distributed loop batches provably-sequential merges: jobs << merges") {
+    import spark.implicits._
+    // symbol-disjoint head pairs with distinct counts — the natural-
+    // language regime where one top-m ranking yields many safe merges
+    val words = Seq(
+      (Seq("a", "a"), 100L), (Seq("b", "b"), 90L), (Seq("c", "c"), 80L),
+      (Seq("d", "d"), 70L), (Seq("e", "e"), 60L), (Seq("f", "f"), 50L))
+      .toDS()
+    val (merges, jobs) = BpeTrainer.trainDistributed(words, 6, topM = 64)
+    assert(merges.map { case (r, a, b, n) => (r, a + b, n) } ===
+      Seq((0, "aa", 100L), (1, "bb", 90L), (2, "cc", 80L),
+        (3, "dd", 70L), (4, "ee", 60L), (5, "ff", 50L)))
+    // all 6 merges accepted off ONE ranking job — versus 6 jobs for
+    // the old one-merge-per-job loop
+    assert(jobs === 1, s"expected 1 aggregation job, ran $jobs")
+  }
+
+  test("batch selection never diverges from sequential on adversarial ties") {
+    import spark.implicits._
+    // interlocking symbols + count ties: the acceptance proof must stop
+    // batches early, never reorder — exactness beats amortization
+    for (seed <- Seq(7, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 60).map { _ =>
+        ((0 until (2 + rnd.nextInt(5)))
+          .map(_ => "ab".charAt(rnd.nextInt(2)).toString).toList: Seq[String],
+          (1 + rnd.nextInt(3)).toLong)
+      }.groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }.toSeq.toDS()
+      val (dist, jobs) = BpeTrainer.trainDistributed(words, 10, topM = 8)
+      val local = BpeTrainer.trainLocal(
+        words.collect().map { case (s, f) => (s, f) }, 10)
+      assert(dist === local, s"seed $seed: batched distributed != sequential")
+      assert(jobs <= 11, s"seed $seed: jobs must never exceed merges+1, got $jobs")
+    }
+  }
+
   // ------------------------------------------------- second reference
 
   /** Independent greedy-BPE reference: list recursion instead of the

@@ -444,6 +444,71 @@ class StreamingOpsSpec extends SparkTestBase {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet === p1)
   }
 
+  test("dedup index is append-only: per-batch write ∝ batch, compaction bounds dirs") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ddap_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ddap_out_").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    def batch(ids: Long*) = ids.map(i => (i, text)).toDF("doc_id", "text")
+    def stateDirs() =
+      Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    // 4 batches of 2 docs each: every committed version dir holds ONLY
+    // its own batch's index rows — write volume per batch is batch-
+    // sized, never corpus-sized (the O(batches²) rewrite is gone)
+    (0L until 4L).foreach { b =>
+      StreamingOps.applyDedupBatch(batch(2 * b, 2 * b + 1), b, stateDir, outDir, 0.5)
+      assert(spark.read.parquet(s"$stateDir/v$b").count() === 2L,
+        s"delta v$b must hold exactly the batch's 2 docs")
+    }
+    assert(StreamingOps.readDedupIndex(spark, stateDir).count() === 8L)
+    // compaction folds all deltas into one base and drops them
+    assert(StreamingOps.compactDedupIndex(spark, stateDir) === Seq(0L, 1L, 2L, 3L))
+    assert(stateDirs() === Seq("c3"))
+    assert(StreamingOps.readDedupIndex(spark, stateDir).count() === 8L)
+    // already compact → no-op
+    assert(StreamingOps.compactDedupIndex(spark, stateDir) === Seq.empty)
+    // the gate keeps pairing new arrivals against the COMPACTED corpus:
+    // doc 100 must pair with all 8 prior docs (same text)
+    StreamingOps.applyDedupBatch(batch(100L), 4L, stateDir, outDir, 0.5)
+    val p4 = spark.read.parquet(s"$outDir/b4")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p4 === (0L until 8L).map(i => (i, 100L)).toSet)
+    assert(stateDirs() === Seq("c3", "v4"))
+    // replay after compaction: idempotent, no double-pairs
+    StreamingOps.applyDedupBatch(batch(100L), 4L, stateDir, outDir, 0.5)
+    assert(spark.read.parquet(s"$outDir/b4")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet === p4)
+    // rolling ingest with periodic compaction keeps the dir count
+    // bounded by the compaction cadence, not the batch count
+    (5L until 11L).foreach { b =>
+      StreamingOps.applyDedupBatch(batch(200L + b), b, stateDir, outDir, 0.5)
+      if (b % 3L == 0L) StreamingOps.compactDedupIndex(spark, stateDir)
+    }
+    assert(stateDirs().length <= 4,
+      s"state dirs must stay bounded under rolling compaction: ${stateDirs()}")
+    assert(StreamingOps.readDedupIndex(spark, stateDir).count() === 15L)
+  }
+
+  test("vacuumVersions: recursive over nested LM state; gate still folds after") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_vvlm_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vvlm_out_").toString
+    def b(ids: Long*) = ids.map(i => (i, "one two three two one")).toDF("doc_id", "text")
+    StreamingOps.applyLmBatch(b(1L), 0L, stateDir, outDir)
+    StreamingOps.applyLmBatch(b(2L), 1L, stateDir, outDir)
+    StreamingOps.applyLmBatch(b(3L), 2L, stateDir, outDir)
+    // LM versions nest c2/uni — the old flat delete could not remove them
+    assert(StreamingOps.vacuumVersions(stateDir, keepLast = 1) === Seq(0L, 1L))
+    assert(!new java.io.File(stateDir, "v0").exists)
+    assert(!new java.io.File(stateDir, "v1").exists)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(2L))
+    // the next fold reads only v{current}: unaffected by the vacuum
+    StreamingOps.applyLmBatch(b(4L), 3L, stateDir, outDir)
+    assert(spark.read.parquet(s"$outDir/b3").count() > 0L)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(2L, 3L))
+  }
+
   test("snapshot time travel reads any committed version; uncommitted dirs hidden") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tt_").toString
