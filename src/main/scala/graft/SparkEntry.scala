@@ -1962,6 +1962,39 @@ object SparkEntry {
           delta, "o_orderpriority", "o_custkey", lgK = 15))
       graft.ops.Sketches.estimateSegments(merged)
     },
+    "etl_incr_distinct" -> { (s, dir) =>
+      // Incremental distinct-count maintenance end-to-end: day-N
+      // per-segment HLL state is built once and PERSISTED through the
+      // parquet sink; day-N+1 re-reads it and merges a sketch pass over
+      // the delta rows only — history rows never rescanned. The
+      // estimate is approximate (lgK 14, RSE ~0.8%), so the row
+      // contract is the published BAND, not the point value: the query
+      // emits the exact distinct plus a within-band flag and the oracle
+      // recomputes the exact count with TRUE — hash-equal iff every
+      // segment's estimate lands inside ±5% (>3σ at this lgK, and the
+      // sketch is a deterministic function of the data, so the check is
+      // stable, not flaky).
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority").isNotNull && col("o_custkey").isNotNull)
+      val hist = orders.filter(col("o_orderkey") % 4 =!= 0)
+      val delta = orders.filter(col("o_orderkey") % 4 === 0)
+      val stateDir = scratchDir("graft_hll_state_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ops.IncrementalAgg.partialDistinct(
+          hist, Seq("o_orderpriority"), "o_custkey", lgK = 14),
+        stateDir)
+      val merged = graft.ops.IncrementalAgg.mergeDistinct(
+        s.read.parquet(stateDir),
+        graft.ops.IncrementalAgg.partialDistinct(
+          delta, Seq("o_orderpriority"), "o_custkey", lgK = 14))
+      val est = graft.ops.IncrementalAgg.estimateDistinct(merged)
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority").as("segment"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("within_band"))
+    },
     "etl_incr_agg" -> { (s, dir) =>
       // Incremental aggregate maintenance: history partial + delta
       // partial merged; the oracle recomputes the aggregate from ALL
@@ -4999,6 +5032,12 @@ object SparkEntry {
         | COUNT(*) AS n
         |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "etl_incr_distinct" ->
+      """SELECT o_orderpriority AS segment,
+        | COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_band
+        |FROM orders
+        |WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "etl_incr_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,

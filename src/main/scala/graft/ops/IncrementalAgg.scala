@@ -44,9 +44,10 @@ object IncrementalAgg {
     * is the monoid merge. Approximate by nature (±~1.6% at lgK 12):
     * tolerance-pinned in IncrementalAggSpec; the exact-distinct path
     * stays `profile`/COUNT(DISTINCT) where exactness is required. */
-  def partialDistinct(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+  def partialDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"hll_sketch_agg($valueCol)").as("hll"))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("hll"))
 
   /** Merge distinct-count states (each in `partialDistinct` shape). */
   def mergeDistinct(states: DataFrame*): DataFrame = {
