@@ -298,7 +298,7 @@ object DataQuality {
     val den = col("n").cast(dec) * col("n") - col("pe_dec")
     tot.crossJoin(broadcast(agree)).crossJoin(broadcast(peNum))
       .select(col("n"), col("n_agree"),
-        col("pe_dec").cast("long").as("pe_num"),
+        col("pe_dec").try_cast("long").as("pe_num"),
         when(den === lit(0L).cast(dec), lit(1000000L))
           .otherwise(call_function("div", num * lit(1000000L), den))
           .as("kappa_micro"))
@@ -357,8 +357,8 @@ object DataQuality {
     val den = lit(new java.math.BigDecimal(nRaters - 1L)) * (lit(bigT2) - col("s_dec"))
     aSum.crossJoin(broadcast(sSum))
       .select(lit(nItems).as("n_items"), lit(nRaters).as("n_raters"),
-        col("a_dec").cast("long").as("a_sum"),
-        col("s_dec").cast("long").as("s_sum"),
+        col("a_dec").try_cast("long").as("a_sum"),
+        col("s_dec").try_cast("long").as("s_sum"),
         when(lit(bigT2) - col("s_dec") === lit(0L).cast(dec), lit(1000000L))
           .otherwise(call_function("div", num, den))
           .as("kappa_micro"))
@@ -498,7 +498,11 @@ object DataQuality {
         (sum(col("c_cur")).over(w) + col("__off_cur")).cast(dec) * lit(nRef)).as("gap"))
       .agg(max(col("gap")).as("d_dec"))
       .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
-        col("d_dec").cast("long").as("d_num"),
+        // diagnostic: past Long.Max (n_ref·n_cur > ~9·10^18 — reachable
+        // at 100 TB row counts) it goes NULL; try_cast keeps that
+        // contract under Spark 4's ANSI default instead of throwing
+        // and killing the whole drift check over a diagnostic
+        col("d_dec").try_cast("long").as("d_num"),
         call_function("div", col("d_dec") * lit(1000000L), lit(prod))
           .as("ks_micro"))
   }
@@ -653,14 +657,35 @@ object DataQuality {
         abs((sum(col("c_ref")).over(w) + col("__off_ref")).cast(dec) * lit(nCur) -
           (sum(col("c_cur")).over(w) + col("__off_cur")).cast(dec) * lit(nRef))
           .as("diff"),
-        (coalesce(lead(col("v"), 1).over(byV), col("__next_min")) - col("v"))
-          .as("gap"))
+        // the gap subtraction runs in decimal: two quantized values at
+        // opposite long extremes gap past Long.Max, which must stay a
+        // legitimate W1 contribution, not an int64 overflow
+        (coalesce(lead(col("v"), 1).over(byV), col("__next_min")).cast(dec) -
+          col("v").cast(dec)).as("gap"))
       .filter(col("gap").isNotNull) // the global max value: no successor
       .agg(sum(col("diff") * col("gap")).as("w1_dec"))
       .select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
-        col("w1_dec").cast("long").as("w1_num"),
-        call_function("div", col("w1_dec") * lit(1000000L), lit(prodScale))
-          .as("w1_micro"))
+        // diagnostic NULLs past Long.Max (try_cast — the ksFromCounts
+        // contract); w1_micro itself stays exact in decimal
+        col("w1_dec").try_cast("long").as("w1_num"), {
+          // unlike the rest of the micro family, W1's quotient is NOT
+          // bounded by 10^6 — a distribution shifted by ~2^43 column
+          // units already pushes micro-units past Long.Max, where
+          // Spark's decimal IntegralDivide silently truncates to the
+          // low 64 bits (a wraparound, the exact bug class this family
+          // bans). Guard with the exact threshold ⌈2^63·den/10^6⌉,
+          // computed driver-side in BigInteger: quotient ≥ 2^63 ⟺
+          // w1_dec ≥ that ceiling — those rows surface NULL, in-range
+          // rows keep the exact integer division.
+          val threshNum = (BigInt(Long.MaxValue) + 1) *
+            BigInt(prodScale.toBigInteger)
+          val microThresh = new java.math.BigDecimal(
+            ((threshNum + 999999) / 1000000).bigInteger)
+          when(col("w1_dec") >= lit(microThresh), lit(null).cast("long"))
+            .otherwise(
+              call_function("div", col("w1_dec") * lit(1000000L), lit(prodScale)))
+            .as("w1_micro")
+        })
   }
 
   /** Exact ROC-AUC of a score column against a binary label — the

@@ -667,7 +667,7 @@ object Relational {
         sum(col("__i").cast(dec) * col("__x")).as("__si"))
       .filter(col("__s") > 0)
       .select(groupCols.map(col) ++ Seq(col("n"),
-        col("__s").cast("long").as("sum_q"),
+        col("__s").try_cast("long").as("sum_q"),
         call_function("div",
           (lit(2L) * col("__si") - (col("n") + 1L) * col("__s")) * lit(1000000L),
           col("n").cast(dec) * col("__s")).as("gini_micro")): _*)
