@@ -1140,6 +1140,34 @@ object SparkEntry {
       val all = e.select("vec_id", "embedding").unionByName(planted)
       Dedup.embeddingCosine(all, threshold = 0.9).select("a_id", "b_id")
     },
+    "dedup_semdedup_exact" -> { (s, dir) =>
+      // SemDeDup keep/discard decisions, exact face (nCells=1 — every
+      // pair considered, no quantizer): same planted-twin fixture as
+      // dedup_semantic, so the 0.9-pair graph is exactly the isolated
+      // base↔twin pairs and the oracle can replay clusters + the
+      // lowest-id keep rule in plain SQL. One row per clustered doc.
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.filter(pmod(col("vec_id"), lit(40L)) === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          concat(array((element_at(col("embedding"), 1) + lit(0.1)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val all = e.select("vec_id", "embedding").unionByName(planted)
+      Dedup.semdedup(all, threshold = 0.9, nCells = 1, keepLowestId = true)
+    },
+    "dedup_semdedup" -> { (s, dir) =>
+      // The clustered scale path: √N K-Means cells bound the pairwise
+      // to within-cell joins. Near-identical twins co-locate, so the
+      // discard surface matches the exact face on this fixture; the
+      // formal pin is SemDedupSpec's never-over-discard + recall
+      // battery (rows-only here: cell assignment isn't SQL-replayable).
+      val e = Tables(s, dir, "embeddings")
+      val planted = e.filter(pmod(col("vec_id"), lit(40L)) === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          concat(array((element_at(col("embedding"), 1) + lit(0.1)).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val all = e.select("vec_id", "embedding").unionByName(planted)
+      Dedup.semdedup(all, threshold = 0.9, keepLowestId = true)
+    },
     "dedup_incremental" -> { (s, dir) =>
       // Incremental LSH dedup against PERSISTED index state — the daily
       // ingest shape: 2/3 of the corpus is indexed once (lshIndexState →
@@ -5190,6 +5218,20 @@ object SparkEntry {
         |SELECT x.vec_id AS a_id, y.vec_id AS b_id
         |FROM a x JOIN a y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9""".stripMargin,
+
+    "dedup_semdedup_exact" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |        list_prepend(CAST(embedding[1] + 0.1 AS FLOAT), embedding[2:]) AS embedding
+        |      FROM e WHERE vec_id % 40 = 0),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |pr AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |       FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |       WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9)
+        |SELECT a_id AS doc_id, a_id AS cluster_id, a_id AS keep_id,
+        |       TRUE AS is_kept FROM pr
+        |UNION ALL
+        |SELECT b_id, a_id, a_id, FALSE FROM pr""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id,

@@ -359,6 +359,80 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): the
+    * corpus partitions into K-Means cells (the [[Similarity.ivfTopK]]
+    * coarse quantizer, shared code), pairwise exact cosine runs ONLY
+    * within each cell, pairs ≥ `threshold` close transitively into
+    * clusters, and each cluster keeps exactly one document — by the
+    * paper's rule the one FARTHEST from its cell centroid (lowest
+    * cosine to centroid: edge examples preserve diversity), ties and
+    * the `keepLowestId` variant by lowest id, so the keep set is a pure
+    * function of the data.
+    *
+    * Scale shape: candidates form via one equi-join on the cell id —
+    * with √N auto-sized cells the per-cell population stays ~√N, so
+    * within-cell pairwise is bounded and nothing is ever quadratic in
+    * the corpus (the paper's per-cluster pairwise, as a shuffle-local
+    * join). `nCells = 1` is the exact face — every pair is considered
+    * (brute force), no quantizer fit at all — which the driver oracle
+    * replays in SQL; the clustered path trades recall for the bounded
+    * candidate set and is pinned by a seeded recall battery instead.
+    *
+    * Output: one row per document belonging to a near-dup cluster —
+    * (doc_id, cluster_id, keep_id, is_kept); singletons are omitted
+    * (nothing to prune). Discard set = rows with is_kept = false. */
+  def semdedup(embs: DataFrame, threshold: Double = 0.9, nCells: Int = 0,
+      seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",
+      keepLowestId: Boolean = false,
+      maxFitVectors: Long = 1000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = embs.sparkSession
+    val prepared = barrier(embs.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")))
+    val (assigned, centroids) =
+      if (nCells == 1)
+        (prepared.withColumn("cell", lit(0)), Seq.empty[(Int, Array[Double])])
+      else Similarity.kmeansCells(prepared, nCells, seed, maxFitVectors)
+    val a = barrier(assigned)
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        graft.functions.sketches.cosine_similarity(col("x.v"), col("y.v"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val clusters = components(pairs) // (doc_id, cluster_id)
+    val member = clusters
+      .join(a.select(col("id").as("doc_id"), col("v"), col("cell")), "doc_id")
+    val scored =
+      if (keepLowestId) member.withColumn("__score", lit(0.0))
+      else {
+        // keep-farthest-from-centroid: score = cosine to the doc's OWN
+        // cell centroid (cells-sized broadcast frame; for the exact
+        // face the centroid is the global mean, computed in one
+        // dimension-bounded aggregation)
+        val centDf =
+          if (centroids.nonEmpty)
+            broadcast(spark.createDataFrame(centroids).toDF("cell", "centroid"))
+          else broadcast(prepared
+            .select(posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy("pos").agg(avg(col("x")).as("m"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+              .as("ps"))
+            .select(lit(0).as("cell"),
+              transform(col("ps"), p => p.getField("m")).as("centroid")))
+        member.join(centDf, "cell")
+          .withColumn("__score",
+            graft.functions.sketches.cosine_similarity(col("v"), col("centroid")))
+          .drop("centroid")
+      }
+    val keeps = scored.groupBy(col("cluster_id"))
+      .agg(expr("min_by(doc_id, struct(__score, doc_id))").as("keep_id"))
+    scored.join(keeps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+  }
+
   /** Connected components over a near-duplicate PAIR graph — the step
     * that turns pairwise matches into dedup CLUSTERS (transitive
     * closure: a~b, b~c => {a,b,c} share one cluster, canonical id = min

@@ -118,14 +118,21 @@ object Similarity {
     * assignment pass feeding the candidate join. `nCells <= 0` auto-sizes
     * cells by the √N rule (clamped to [16, 4096]) so cell population
     * stays ~√N as the corpus grows. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 0,
-      nProbe: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true, maxFitVectors: Long = 1000000L,
-      broadcastQueries: Boolean = true): DataFrame = {
+  /** Shared coarse quantizer: fit K-Means on a bounded sample, assign
+    * every vector to its nearest centroid via the codegen'd argmin over
+    * a broadcast flat centroid matrix. Returns the assigned (id, v,
+    * cell) frame plus the (cell, centroid) list (cells-sized — control
+    * plane). Powers both [[ivfTopK]] and [[graft.ext.Dedup.semdedup]].
+    *
+    * 100 TB shape: the quantizer trains on at most `maxFitVectors`
+    * rows — only the sample is ever cached, and it is unpersisted after
+    * fit; the full corpus is touched by exactly one assignment pass.
+    * `nCells <= 0` auto-sizes by the √N rule (clamped to [16, 4096]) so
+    * cell population stays ~√N as the corpus grows. */
+  private[ext] def kmeansCells(prepared: DataFrame, nCells: Int, seed: Long,
+      maxFitVectors: Long): (DataFrame, Seq[(Int, Array[Double])]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // parquet-backed count is a metadata-cheap pass; it sizes both the
     // fit sample fraction and the auto cell count
     val total = math.max(prepared.count(), 1L)
@@ -158,11 +165,20 @@ object Similarity {
     ctrs.zipWithIndex.foreach { case (ctr, i) =>
       System.arraycopy(ctr.toArray, 0, flat, i * dim, dim)
     }
-    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(flat)
+    val bcCentroids = prepared.sparkSession.sparkContext.broadcast(flat)
     val assigned = prepared
       .withColumn("cell", graft.functions.sketches.centroid_argmin(col("v"), bcCentroids, dim))
       .select("id", "v", "cell")
-    val centroids = ctrs.zipWithIndex.map { case (ctr, i) => (i, ctr.toArray) }.toSeq
+    (assigned, ctrs.zipWithIndex.map { case (ctr, i) => (i, ctr.toArray) }.toSeq)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 0,
+      nProbe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true, maxFitVectors: Long = 1000000L,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (assigned, centroids) = kmeansCells(prepared, nCells, seed, maxFitVectors)
     val centDf = corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
     // nProbe nearest cells per query by centroid cosine
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
