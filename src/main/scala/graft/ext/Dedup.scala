@@ -215,6 +215,31 @@ object Dedup {
     verified.select("a_id", "b_id", "jaccard")
   }
 
+  /** [[minhash]] starting from persisted `lshIndexState` rows instead
+    * of raw documents — within-state pairs only (bucket self-join +
+    * exact-Jaccard verify, identical to minhash's tail). Lets the
+    * streaming dedup gate's FIRST batch reuse the delta it just wrote,
+    * computing shingles and signatures exactly once. */
+  def minhashFromState(state: DataFrame, threshold: Double = 0.8,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val st = state.select(col("id"), col("shs"), col("sig"))
+    val buckets = lshBuckets(st, bands, rows)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    val withSh = st.select(col("id"), col("shs"))
+    cand
+      .join(withSh.withColumnRenamed("id", "a_id").withColumnRenamed("shs", "a_shs"), "a_id")
+      .join(withSh.withColumnRenamed("id", "b_id").withColumnRenamed("shs", "b_shs"), "b_id")
+      .withColumn("c", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("a_shs")) + size(col("b_shs")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Cross-lingual near-duplicate pairs: documents in DIFFERENT
     * languages whose CONCEPT sets — surface tokens mapped through a
     * translation lexicon — overlap at `threshold` Jaccard. The
@@ -716,8 +741,17 @@ object Dedup {
     * matching `minhash`'s orientation. */
   def minhashIncremental(newDocs: DataFrame, state: DataFrame,
       threshold: Double = 0.8, n: Int = 3, bands: Int = 32, rows: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val newState = barrier(lshIndexState(newDocs, n, bands, rows, idCol, textCol))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashIncrementalFromState(
+      barrier(lshIndexState(newDocs, n, bands, rows, idCol, textCol)),
+      state, threshold, bands, rows)
+
+  /** [[minhashIncremental]] taking the batch's `lshIndexState` rows
+    * directly — for callers (the streaming dedup gate) that already
+    * materialize the batch state for persistence, so shingling and
+    * signatures are computed once per batch, not twice. */
+  def minhashIncrementalFromState(newState: DataFrame, state: DataFrame,
+      threshold: Double = 0.8, bands: Int = 32, rows: Int = 4): DataFrame = {
     val oldState = state.select(col("id"), col("shs"), col("sig"))
     val newBuckets = lshBuckets(newState, bands, rows)
     val oldBuckets = lshBuckets(oldState, bands, rows)

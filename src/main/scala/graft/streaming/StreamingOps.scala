@@ -1006,13 +1006,18 @@ object StreamingOps {
     else -1L
     if (batchId <= current) return // replay of an already-committed batch
     val indexPaths = dedupIndexPaths(stateDir)
-    val pairs = if (indexPaths.nonEmpty)
-      graft.ext.Dedup.minhashIncremental(batch,
-        spark.read.parquet(indexPaths: _*), threshold)
-    else graft.ext.Dedup.minhash(batch, threshold)
-    pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    // the batch delta is persisted FIRST, then read back as the pair
+    // check's new-side state: shingling + signatures run once per
+    // batch, and the check's lineage reads the same files that will
+    // serve every later batch (write-audit for free)
     graft.ext.Dedup.lshIndexState(batch)
       .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val newState = spark.read.parquet(s"$stateDir/v$batchId")
+    val pairs = if (indexPaths.nonEmpty)
+      graft.ext.Dedup.minhashIncrementalFromState(newState,
+        spark.read.parquet(indexPaths: _*), threshold)
+    else graft.ext.Dedup.minhashFromState(newState, threshold)
+    pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
     val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
     java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
     java.nio.file.Files.move(tmp.toPath, marker.toPath,
