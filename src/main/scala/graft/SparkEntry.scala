@@ -1021,6 +1021,18 @@ object SparkEntry {
       graft.ext.Retrieval.bm25TopK(Tables(s, dir, "documents"),
         k = 10, nQueryTerms = 20)
     },
+    "text_rrf_hybrid" -> { (s, dir) =>
+      // Hybrid sparse+dense retrieval fused by truncated-list
+      // reciprocal-rank fusion: per query doc (ids < 20, the sim_topk
+      // query set — vec_id aligns with doc_id), the top-20 by distinct
+      // shared tokens (inverted-index join) and the top-20 by exact
+      // cosine are fused with integer-exact ⌊1e6/(60+rank)⌋ scores —
+      // ranks and the fused order replay verbatim in the oracle.
+      val d = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      graft.ext.Retrieval.hybridRrfTopK(d, emb,
+        d.filter(col("doc_id") < 20).select("doc_id"), k = 10, kRank = 20)
+    },
     "text_pii_redact" -> { (s, dir) =>
       // the fixture carries no PII, so PII-bearing text is synthesized
       // IDENTICALLY in both engines (doc_id-derived email/IP/phone spliced
@@ -2358,6 +2370,32 @@ object SparkEntry {
         val ckpt = scratchDir("graft_dedup_ckpt_").toString
         graft.streaming.StreamingOps.dedupGate(stream, stateDir, outDir, ckpt,
           threshold = 0.8)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
+    "stream_decontam_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Continuous decontamination ON ARRIVAL: the fixed eval set's
+        // n-gram index (bucket >= 90, 8-byte hashes — no benchmark
+        // text) is persisted once; 3 doc_id-tiled microbatches of
+        // training documents (bucket < 80) are each checked against it
+        // and write their own contamination report. Train docs
+        // partition across batches, so each (test, train) pair lives
+        // wholly in its train doc's batch and the drained union IS the
+        // batch contamination result (maxDf = 0) verbatim.
+        val d = Tables(s, dir, "documents")
+        val bucket = pmod(pmod(col("doc_id"), lit(100L)) * lit(61L), lit(100L))
+        val idxDir = scratchDir("graft_decontam_idx_").toString
+        graft.etl.Sinks.parquetDir(
+          Curation.contaminationIndex(d.filter(bucket >= 90), n = 8), idxDir)
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .filter(bucket < 80)
+        val outDir = scratchDir("graft_decontam_out_").toString
+        val ckpt = scratchDir("graft_decontam_ckpt_").toString
+        graft.streaming.StreamingOps.decontamGate(stream, idxDir, outDir, ckpt,
+          n = 8)
         s.read.parquet(s"$outDir/b*")
       }
     },
@@ -4525,6 +4563,8 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll_nano
         |FROM sc GROUP BY 1""".stripMargin,
     "text_bm25" -> bm25Sql,
+    "text_rrf_hybrid" -> rrfHybridSql,
+    "stream_decontam_gate" -> decontamGateSql,
     "text_bm25_sql" -> bm25Sql,
     "text_pii_redact" ->
       """WITH s AS (
@@ -6029,6 +6069,57 @@ object SparkEntry {
       |FROM (SELECT * FROM sh WHERE b >= 90) t
       |JOIN (SELECT sh.* FROM sh JOIN keep USING (s) WHERE b < 80) r USING (s)
       |GROUP BY 1, 2""".stripMargin
+
+  /** contaminationSql minus the maxDf boilerplate cap — the streaming
+    * gate's contract (a positive cap is batch-local on a stream, so the
+    * gate's drained union equals exactly the uncapped batch check). */
+  private def decontamGateSql: String =
+    """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
+      |            regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
+      |sh AS (SELECT DISTINCT doc_id, b, s FROM (
+      |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
+      |    i -> array_to_string(toks[i:i+7], ' '))) AS s
+      |  FROM d WHERE len(toks) >= 8))
+      |SELECT t.doc_id AS test_id, r.doc_id AS train_id, count(*) AS n_shared
+      |FROM (SELECT * FROM sh WHERE b >= 90) t
+      |JOIN (SELECT * FROM sh WHERE b < 80) r USING (s)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Hybrid RRF oracle: dense rank = exact cosine (the bruteForceTopK
+    * contract), sparse rank = distinct shared tokens, fused with
+    * integer division — bit-replayable because every fused score is an
+    * exact BIGINT. */
+  private def rrfHybridSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+      |dscore AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_cosine_similarity(q.v, c.v) AS sim FROM q JOIN c ON c.vec_id <> q.vec_id),
+      |dtop AS (SELECT query_id, neighbor_id, dr FROM (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS dr
+      |  FROM dscore) WHERE dr <= 20),
+      |toks AS (SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+      |  FROM documents WHERE text IS NOT NULL) WHERE LENGTH(term) > 0),
+      |ov AS (SELECT qt.doc_id AS query_id, t.doc_id AS neighbor_id, COUNT(*) AS shared
+      |  FROM (SELECT * FROM toks WHERE doc_id < 20) qt
+      |  JOIN toks t USING (term) WHERE t.doc_id <> qt.doc_id GROUP BY 1, 2),
+      |stop AS (SELECT query_id, neighbor_id, sr FROM (
+      |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY shared DESC, neighbor_id ASC) AS sr
+      |  FROM ov) WHERE sr <= 20),
+      |fused AS (SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+      |  COALESCE(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+      |  COALESCE(1000000 // (60 + d.dr), 0) + COALESCE(1000000 // (60 + s.sr), 0) AS rrf_micro,
+      |  CAST(d.dr AS INT) AS r_dense, CAST(s.sr AS INT) AS r_sparse
+      |  FROM dtop d FULL JOIN stop s
+      |  ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id)
+      |SELECT query_id, neighbor_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+      | r_dense, r_sparse, rank
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |  PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id ASC) AS INT) AS rank
+      | FROM fused) WHERE rank <= 10""".stripMargin
 
   /** Shared by dq_w1_drift (Scala face) and dq_w1_sql (TVF face). */
   private def w1DriftSql: String =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,72 @@ object Retrieval {
         col("dl"),
         round(log(col("idf_ratio")) * col("tf_part") * lit(1e9))
           .cast("long").as("bm25_nano"))
+  }
+
+  /** Hybrid sparse + dense retrieval with reciprocal-rank fusion
+    * (Cormack et al. 2009): for each query document, a SPARSE ranking
+    * (count of distinct shared lowercase tokens — the inverted-index
+    * lexical signal) and a DENSE ranking (exact cosine over the
+    * embedding column, `Similarity.bruteForceTopK`'s contract) are each
+    * truncated at `kRank`, then fused by
+    * `rrf = Σ 1_000_000 div (rrfK + rank)` over the rankers that
+    * surfaced the document — INTEGER division of exact integers, so the
+    * fused score and final order are bit-identical in any engine and an
+    * SQL oracle can replay them. A document absent from one ranker's
+    * top-`kRank` simply contributes nothing for it (truncated-list RRF,
+    * the standard form).
+    *
+    * Scale shape: the sparse side is an inverted-index equi-join on
+    * token (query docs explode to (query_id, term); corpus postings of
+    * non-query terms never survive the join) — the contamination-check
+    * topology, never a text cross join. The dense side is one corpus
+    * scan against the broadcast query vectors; swap its candidate set
+    * to `Similarity.ivfTopK` output when the corpus outgrows a full
+    * scan (RRF consumes ranks, so any ranker drop-in composes). Fusion
+    * itself joins two k-bounded rank lists per query — dimension-sized.
+    *
+    * Output: (query_id, neighbor_id, rrf_micro, r_dense, r_sparse,
+    * rank) — the fused top-`k` per query, rank ties broken by
+    * neighbor id; r_dense / r_sparse are NULL where that ranker did
+    * not surface the document. */
+  def hybridRrfTopK(docs: DataFrame, vecs: DataFrame, queryIds: DataFrame,
+      k: Int = 10, kRank: Int = 20, rrfK: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && kRank > 0 && rrfK >= 0, "k, kRank > 0 and rrfK >= 0")
+    val qids = broadcast(queryIds.select(col(queryIds.columns.head).as("query_id")))
+    // dense ranker: exact cosine top-kRank (ivfTopK drops in at scale)
+    val dense = Similarity.bruteForceTopK(vecs,
+        vecs.join(qids, col(vecIdCol) === col("query_id")).select(vecIdCol, vecCol),
+        kRank, idCol = vecIdCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("r_dense"))
+    // sparse ranker: distinct-shared-token count via the inverted index
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+      .filter(length(col("term")) > 0)
+    val qtoks = toks.join(qids, col("id") === col("query_id")).select("query_id", "term")
+    val overlap = qtoks.join(toks, "term")
+      .filter(col("id") =!= col("query_id"))
+      .groupBy("query_id", "id").agg(count(lit(1)).as("shared"))
+    val sw = Window.partitionBy("query_id").orderBy(col("shared").desc, col("id").asc)
+    val sparse = overlap.withColumn("r_sparse", row_number().over(sw).cast("int"))
+      .filter(col("r_sparse") <= kRank)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("r_sparse"))
+    // truncated-list RRF: ⌊1e6/(rrfK+r)⌋ computed as the exactly-
+    // divisible (N − N mod d)/d — every intermediate is an exact
+    // integer below 2^53, so the double division is exact and the
+    // score replays bit-for-bit in any engine (DuckDB: 1000000 // d)
+    def part(r: Column): Column = {
+      val d = lit(rrfK.toLong) + r.cast("long")
+      coalesce(((lit(1000000L) - pmod(lit(1000000L), d)) / d).cast("long"), lit(0L))
+    }
+    val fused = dense.join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_micro", part(col("r_dense")) + part(col("r_sparse")))
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(fw).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rrf_micro", "r_dense", "r_sparse", "rank")
   }
 }

@@ -1079,6 +1079,54 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming decontamination gate off the persisted test-set n-gram
+    * index — `Curation.contaminationAgainstIndex` run as an ingest
+    * gate: the evaluation set is FIXED, so its `contaminationIndex`
+    * (8-byte shingle hashes, never benchmark text) is built once and
+    * stored; every microbatch of training documents is checked against
+    * it on arrival and writes its (test_id, train_id, n_shared)
+    * contamination report to `outDir/b{batchId}`. Train documents
+    * partition across batches, so each (test, train) pair lives wholly
+    * in its train document's batch and the drained union over a finite
+    * replay is EXACTLY the batch `contamination` result (with
+    * `maxDf = 0`; a positive cap is batch-local by construction —
+    * document-frequency pruning across an unbounded stream would
+    * itself need unbounded state).
+    *
+    * Scale shape: the index is immutable and benchmark-sized (an eval
+    * suite's distinct 8-grams are millions of 8-byte keys, not corpus-
+    * shaped) — AQE broadcasts it under every batch join; per-batch
+    * cost is one scan of the batch plus the hash join. Nothing is ever
+    * rewritten: the gate's only writes are the per-batch reports, so a
+    * crash replay overwrites `b{batchId}` with byte-equal content
+    * (the test index being immutable makes the step idempotent with no
+    * version marker at all). */
+  def decontamGate(stream: DataFrame, testIndexDir: String, outDir: String,
+      checkpointDir: String, n: Int = 8, maxDf: Long = 0L,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDecontamBatch(batch, batchId, testIndexDir, outDir, n, maxDf,
+          idCol, textCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent decontamination check (public for direct testing
+    * and batch backfills sharing the gate's index): the batch against
+    * the stored test index, report to `outDir/b{batchId}`. */
+  def applyDecontamBatch(batch: DataFrame, batchId: Long,
+      testIndexDir: String, outDir: String, n: Int = 8, maxDf: Long = 0L,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    graft.ext.Curation.contaminationAgainstIndex(
+      spark.read.parquet(testIndexDir), batch, n, idCol, textCol, maxDf)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+  }
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {

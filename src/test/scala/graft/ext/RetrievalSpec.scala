@@ -60,4 +60,51 @@ class RetrievalSpec extends SparkTestBase {
     // tf_part is bounded by (k1+1)/1 ratio: nano score stays positive and finite
     assert(got.forall(_.getAs[Long]("bm25_nano") >= 0L))
   }
+
+  test("hybridRrfTopK: integer-exact truncated-list RRF over dense+sparse ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry date"),
+      (2L, "apple banana cherry"),
+      (3L, "apple banana"),
+      (4L, "apple"),
+      (5L, "kiwi lemon mango")).toDF("doc_id", "text")
+    // cosines vs query (1,0): doc5 0.99995 > doc2 0.9939 > doc4 0.707 > doc3 0
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.5f, 0.5f)),
+      (5L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(1L)).toDF("doc_id")
+    // kRank=2 truncation: dense list = (5 r1, 2 r2); sparse shared
+    // counts 2→3, 3→2, 4→1 so sparse list = (2 r1, 3 r2).
+    // part(r1)=1000000 div 61=16393, part(r2)=1000000 div 62=16129.
+    val got = Retrieval.hybridRrfTopK(docs, vecs, q, k = 3, kRank = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), r.getInt(5))).toSet
+    assert(got === Set(
+      (1L, 2L, 32522L, Some(2), Some(1), 1),   // both rankers
+      (1L, 5L, 16393L, Some(1), None, 2),      // dense-only
+      (1L, 3L, 16129L, None, Some(2), 3)))     // sparse-only
+  }
+
+  test("hybridRrfTopK: repeated tokens count once; zero-overlap docs never in sparse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple apple apple"),
+      (3L, "banana apple extra"),
+      (4L, "kiwi lemon")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Retrieval.hybridRrfTopK(docs, vecs,
+        Seq(Tuple1(1L)).toDF("doc_id"), k = 4, kRank = 4)
+      .collect().map(r => (r.getLong(1), Option(r.get(4)))).toMap
+    // doc3 shares {apple, banana}=2 → sparse r1; doc2 shares {apple}=1
+    // (multiplicity ignored) → r2; doc4 shares nothing → absent
+    assert(got(3L) === Some(1) && got(2L) === Some(2))
+    assert(got(4L) === None)
+  }
 }

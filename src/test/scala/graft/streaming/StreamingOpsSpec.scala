@@ -490,6 +490,39 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(StreamingOps.readDedupIndex(spark, stateDir).count() === 15L)
   }
 
+  test("applyDecontamBatch: per-batch reports vs the fixed index; union = one-shot; replay idempotent") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_dcidx_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dcout_").toString
+    val t8 = "one two three four five six seven eight"
+    val testSet = Seq((100L, t8 + " nine")).toDF("doc_id", "text")
+    graft.ext.Curation.contaminationIndex(testSet, n = 8)
+      .write.mode("overwrite").parquet(idxDir)
+    val b0 = Seq((1L, t8),
+      (2L, "no overlap at all here with anything else listed")).toDF("doc_id", "text")
+    val b1 = Seq((3L, t8 + " nine")).toDF("doc_id", "text")
+    StreamingOps.applyDecontamBatch(b0, 0L, idxDir, outDir, n = 8)
+    StreamingOps.applyDecontamBatch(b1, 1L, idxDir, outDir, n = 8)
+    def report(dir: String) = spark.read.parquet(dir)
+      .select("test_id", "train_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch 0: doc 1 shares exactly the one 8-gram; doc 2 nothing
+    assert(report(s"$outDir/b0") === Set((100L, 1L, 1L)))
+    // batch 1: doc 3 is the full test text — both of its 8-grams shared
+    assert(report(s"$outDir/b1") === Set((100L, 3L, 2L)))
+    // crash replay overwrites byte-equal (index immutable, no marker needed)
+    StreamingOps.applyDecontamBatch(b0, 0L, idxDir, outDir, n = 8)
+    assert(report(s"$outDir/b0") === Set((100L, 1L, 1L)))
+    // drained union over the replay == the one-shot batch check (maxDf=0)
+    val oneShot = graft.ext.Curation.contamination(testSet, b0.union(b1), n = 8)
+      .select("test_id", "train_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(report(s"$outDir/b*") === oneShot)
+    // the gate writes ONLY per-batch reports: no state dirs appear
+    assert(Option(new java.io.File(idxDir).listFiles()).get
+      .forall(f => !f.isDirectory), "test index dir must stay flat/immutable")
+  }
+
   test("vacuumVersions: recursive over nested LM state; gate still folds after") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft_vvlm_").toString
