@@ -913,6 +913,20 @@ object SparkEntry {
         .select(expr("node % 2").cast("int").as("is_part"),
           expr("node div 2").as("id"), col("rank"))
     },
+    "graph_ppr" -> { (s, dir) =>
+      // Personalized PageRank: teleport mass restarts only at the seed
+      // suppliers (s_suppkey < 5) — rank is proximity to the seed set
+      // over the same symmetrized bipartite graph, same integer
+      // recurrence, oracle = the pagerank CTE with two seed CASEs.
+      val sp = Tables(s, dir, "lineitem")
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables(s, dir, "supplier").filter(col("s_suppkey") < 5)
+        .select((col("s_suppkey") * 2).as("node"))
+      graft.ops.PageRank.personalized(edges, seeds, iterations = 5)
+        .select(expr("node % 2").cast("int").as("is_part"),
+          expr("node div 2").as("id"), col("rank"))
+    },
     "graph_triangles" -> { (s, dir) =>
       // Per-node triangle counts over the part co-occurrence graph
       // (parts sharing an order). Degree-ordered orientation bounds the
@@ -1675,6 +1689,19 @@ object SparkEntry {
       val docs = Tables(s, dir, "documents")
       graft.ext.Dedup.canonicalPerCluster(docs,
         Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)))
+    },
+    "er_survivorship" -> { (s, dir) =>
+      // Golden-record construction over the same transitive clusters:
+      // field-wise survivorship — text from the longest member (ties to
+      // highest id, the FieldMaxBy total order), source from the
+      // first-seen member (lowest doc_id), n_chars as the plain max —
+      // one grouped aggregation, each pick a pure function of the data.
+      import graft.ext.Dedup.SurviveRule._
+      val docs = Tables(s, dir, "documents")
+      graft.ext.Dedup.survivorship(docs,
+        Dedup.components(Dedup.ngramJaccard(docs, threshold = 0.8)),
+        Seq("text" -> FieldMaxBy("n_chars"), "source" -> FieldMinBy("doc_id"),
+          "n_chars" -> ColMax))
     },
     "dq_calibration" -> { (s, dir) =>
       // ROC-AUC's calibration companion: does the score's MAGNITUDE
@@ -4316,6 +4343,28 @@ object SparkEntry {
         |   GROUP BY p.iter, e2.dst)
         |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
         |FROM pr WHERE iter = 5""".stripMargin,
+    "graph_ppr" ->
+      """WITH RECURSIVE
+        | sp AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+        | e AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp)),
+        | nodes AS (SELECT DISTINCT node FROM
+        |   (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        | deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        | eplus AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e
+        |   UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+        | pr(iter, node, rank) AS (
+        |   SELECT 0, node, CAST(CASE WHEN node % 2 = 0 AND node // 2 < 5
+        |     THEN 1000000000 ELSE 0 END AS BIGINT) FROM nodes
+        |   UNION ALL
+        |   SELECT p.iter + 1, e2.dst,
+        |     CAST(CASE WHEN e2.dst % 2 = 0 AND e2.dst // 2 < 5 THEN 150000000 ELSE 0 END
+        |       + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
+        |   FROM pr p LEFT JOIN deg d ON d.node = p.node JOIN eplus e2 ON e2.src = p.node
+        |   WHERE p.iter < 5
+        |   GROUP BY p.iter, e2.dst)
+        |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
+        |FROM pr WHERE iter = 5""".stripMargin,
     "graph_triangles" ->
       """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
@@ -4864,6 +4913,7 @@ object SparkEntry {
         |   // (CAST(nr AS HUGEINT) * nc * 100) AS BIGINT) AS w1_micro
         |FROM cum, t WHERE nv IS NOT NULL GROUP BY nr, nc""".stripMargin,
     "dedup_canonical" -> dedupCanonicalSql,
+    "er_survivorship" -> erSurvivorshipSql,
     "dq_calibration" ->
       """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
@@ -6609,6 +6659,32 @@ object SparkEntry {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs FROM assigned)
        |SELECT cluster_id, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
        |FROM rk WHERE rn = 1""".stripMargin
+
+  /** Survivorship oracle: same recursive closure, then each field's
+    * arg-pick replayed as a ROW_NUMBER over its rule's total order —
+    * FieldMaxBy = (value-null-last, key DESC, id DESC), FieldMinBy =
+    * (value-null-last, key ASC, id ASC). */
+  private def erSurvivorshipSql: String =
+    s"""$dedupClustersCtes,
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |assigned AS (
+       | SELECT d.doc_id, d.text, d.source, d.n_chars,
+       |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       | FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+       |rk_text AS (SELECT cluster_id, text, ROW_NUMBER() OVER (
+       |  PARTITION BY cluster_id
+       |  ORDER BY (text IS NOT NULL) DESC, n_chars DESC, doc_id DESC) AS rn
+       | FROM assigned),
+       |rk_src AS (SELECT cluster_id, source, ROW_NUMBER() OVER (
+       |  PARTITION BY cluster_id
+       |  ORDER BY (source IS NULL) ASC, doc_id ASC) AS rn
+       | FROM assigned),
+       |agg AS (SELECT cluster_id, MAX(n_chars) AS n_chars,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs FROM assigned GROUP BY 1)
+       |SELECT a.cluster_id, t.text, s.source, a.n_chars, a.n_docs
+       |FROM agg a
+       |JOIN (SELECT cluster_id, text FROM rk_text WHERE rn = 1) t USING (cluster_id)
+       |JOIN (SELECT cluster_id, source FROM rk_src WHERE rn = 1) s USING (cluster_id)""".stripMargin
 
   /** Leakage-safe split oracle: the same recursive closure, then every
     * doc buckets by its CLUSTER id (singletons by own id) with the

@@ -780,6 +780,69 @@ object Dedup {
     verified.select("a_id", "b_id", "jaccard")
   }
 
+  /** Field-level survivorship rules for [[survivorship]]. The two
+    * arg-picks carry a TOTAL order key — (value-null-last, key, id) —
+    * so every pick is a pure function of the data: `FieldMaxBy` takes
+    * the value from the cluster row with the largest (key, id)
+    * (non-null values always beat null; key ties go to the HIGHEST
+    * id), `FieldMinBy` the smallest (key, id) with key ties to the
+    * LOWEST id. Plain-order keys should be non-null by contract (a
+    * NULL key sorts per Spark struct semantics and an oracle replay
+    * must mirror it explicitly). */
+  sealed trait SurviveRule
+  object SurviveRule {
+    /** value from the row maximizing (key, id) — "longest"/"most recent" */
+    final case class FieldMaxBy(keyCol: String) extends SurviveRule
+    /** value from the row minimizing (key, id) — "first seen"/"earliest" */
+    final case class FieldMinBy(keyCol: String) extends SurviveRule
+    /** plain column maximum over the cluster */
+    case object ColMax extends SurviveRule
+    /** plain column minimum over the cluster */
+    case object ColMin extends SurviveRule
+    /** column sum over the cluster */
+    case object ColSum extends SurviveRule
+  }
+
+  /** Entity-resolution survivorship — the GOLDEN-RECORD construction
+    * that follows clustering: each output row is one cluster, each
+    * output column is picked FIELD-WISE by its own deterministic
+    * [[SurviveRule]] (the classic MDM merge: longest text from one
+    * member, first-seen source from another, max length from a third).
+    * Documents without a cluster row are their own singleton cluster,
+    * mirroring [[canonicalPerCluster]].
+    *
+    * Scale shape: one broadcast-or-shuffle equi-join of records to the
+    * (pair-bounded, usually tiny) cluster map, then ONE grouped
+    * aggregation carrying every rule as a max_by/min_by/max/min/sum —
+    * map-side partials keep per-cluster state at one candidate per
+    * rule, no window and no per-cluster sort anywhere. Output is
+    * cluster-count-shaped.
+    *
+    * Output: (cluster_id, <one column per rule, original names>,
+    * n_docs). */
+  def survivorship(records: DataFrame, clusters: DataFrame,
+      rules: Seq[(String, SurviveRule)], idCol: String = "doc_id"): DataFrame = {
+    require(rules.nonEmpty, "need at least one survivorship rule")
+    import SurviveRule._
+    val assigned = records
+      .join(clusters.withColumnRenamed("doc_id", idCol)
+          .withColumnRenamed("cluster_id", "__cid").select(col(idCol), col("__cid")),
+        Seq(idCol), "left_outer")
+      .withColumn("__cid", coalesce(col("__cid"), col(idCol)))
+    val aggs = rules.map { case (c, rule) =>
+      (rule match {
+        case FieldMaxBy(k) => max_by(col(c),
+          struct(col(c).isNotNull.as("nn"), col(k).as("k"), col(idCol).as("i")))
+        case FieldMinBy(k) => min_by(col(c),
+          struct(col(c).isNull.as("nl"), col(k).as("k"), col(idCol).as("i")))
+        case ColMax => max(col(c))
+        case ColMin => min(col(c))
+        case ColSum => sum(col(c))
+      }).as(c)
+    } :+ count(lit(1)).as("n_docs")
+    assigned.groupBy(col("__cid").as("cluster_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Canonical-representative selection — the KEEP DECISION that turns
     * dedup clusters into a shipped corpus: every document joins its
     * transitive cluster (singletons are their own cluster), and each

@@ -68,4 +68,59 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: identical recurrence and conventions as
+    * [[run]], but the initial mass AND the per-round 15% teleport base
+    * live ONLY on the seed set — rank measures proximity to the seeds
+    * (the random surfer restarts at a seed, never at an arbitrary
+    * node). The topical-authority primitive of corpus curation: score
+    * a crawl or link graph by closeness to a trusted/domain seed list.
+    * Seeds absent from the graph are ignored; with seeds = all nodes
+    * the recurrence degenerates to exactly [[run]].
+    *
+    * Scale shape: the seed flag is folded into the static edge frame
+    * once (seed lists are dimension-sized — broadcast), so each round
+    * is still ONE join + ONE aggregation; the flag rides the
+    * aggregation as a constant-per-group max. Integer-exactness and
+    * the dangling/self-loop conventions are [[run]]'s verbatim, so the
+    * DuckDB recursive-CTE oracle differs only in two seed CASEs. */
+  def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int = 5,
+      r0: Long = 1000000000L, srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = Materialize(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val deg = Materialize(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
+    val seedSet = broadcast(
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .withColumn("__s", lit(1L)))
+    val flagged = Materialize(nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed")))
+    val eplus =
+      e.select(col("src"), col("dst"), lit(1L).as("w"))
+        .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w")))
+    // static per-edge facts folded in once: out-degree AND the dst's
+    // seed flag — each round stays one join + one aggregation
+    val ed = Materialize(eplus
+      .join(deg.select(col("node").as("src"), col("d")), Seq("src"), "left")
+      .join(flagged.select(col("node").as("dst"), col("is_seed").as("ds")), Seq("dst"))
+      .select(col("src"), col("dst"), col("w"),
+        coalesce(col("d"), lit(1L)).as("d"), col("ds")))
+
+    var ranks = Materialize(
+      flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank")))
+    for (_ <- 1 to iterations) {
+      ranks = Materialize(
+        ranks.join(ed, col("node") === col("src"))
+          .groupBy(col("dst").as("node2"))
+          .agg(sum(expr("(rank div d) * w")).as("s"), max(col("ds")).as("isd"))
+          .select(col("node2").as("node"),
+            (col("isd") * lit(base) + expr("(85 * s) div 100")).as("rank")))
+    }
+    ranks
+  }
 }

@@ -289,6 +289,49 @@ class DedupSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 1L, 3L)))
   }
 
+  test("survivorship: field-wise picks with total-order ties; nulls lose; singletons pass through") {
+    import spark.implicits._
+    import Dedup.SurviveRule._
+    val recs = Seq(
+      // cluster {1,2,3}: text longest = doc2/doc3 tie at len 30 -> FieldMaxBy
+      // takes the HIGHEST id (doc3); source first-seen = doc1; max len 30
+      (1L, Some("a"), Some("web"), 10L),
+      (2L, Some("bb"), Some("pdf"), 30L),
+      (3L, Some("cc"), None, 30L),
+      // singleton 4: its own values verbatim
+      (4L, Some("solo"), Some("mail"), 5L),
+      // cluster {5,6}: doc6 has the longer length but NULL text -> the
+      // non-null text from doc5 must win despite the smaller key
+      (5L, Some("short"), Some("web"), 7L),
+      (6L, None, Some("pdf"), 99L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.survivorship(recs, clusters,
+        Seq("text" -> FieldMaxBy("n_chars"), "source" -> FieldMinBy("doc_id"),
+          "n_chars" -> ColMax))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, "cc", "web", 30L, 3L),
+      (4L, "solo", "mail", 5L, 1L),
+      (5L, "short", "web", 99L, 2L)))
+  }
+
+  test("survivorship: ColMin/ColSum rules aggregate per cluster") {
+    import spark.implicits._
+    import Dedup.SurviveRule._
+    val recs = Seq((1L, 10L), (2L, 4L), (3L, 6L)).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.survivorship(recs, clusters,
+        Seq("n_chars" -> ColSum), idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 20L, 3L)))
+    val gotMin = Dedup.survivorship(recs, clusters, Seq("n_chars" -> ColMin))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotMin === Seq((1L, 4L)))
+  }
+
   test("sortedNeighborhood equals the brute-force window definition") {
     import spark.implicits._
     val recs = Seq(

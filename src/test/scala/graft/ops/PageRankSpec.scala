@@ -46,4 +46,49 @@ class PageRankSpec extends SparkTestBase {
     val dup = run(Seq(1L -> 2L, 1L -> 2L, 2L -> 1L), 3)
     assert(once === dup)
   }
+
+  /** Driver-side personalized reference: init and base only on seeds. */
+  private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, r0: Long): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * r0 / 100
+    var rank = nodes.map(n => n -> (if (seeds(n)) r0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inbound = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      nodes.foreach(n => inbound(n) += 0L)
+      e.foreach { case (s, d) => inbound(d) += rank(s) / deg(s) }
+      rank = inbound.map { case (n, s) =>
+        n -> ((if (seeds(n)) base else 0L) + 85L * s / 100)
+      }.toMap
+    }
+    rank
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst"),
+        seeds.map(Tuple1(_)).toDF("node"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalized matches its integer recurrence; unreachable component stays 0") {
+    // two components: 1<->2<->3 (seeded at 1) and 10<->11 (unseeded)
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 10L -> 11L, 11L -> 10L)
+    val got = runPpr(edges, Seq(1L), 5)
+    assert(got === referencePpr(edges, Set(1L), 5, 1000000000L))
+    assert(got(10L) === 0L && got(11L) === 0L,
+      "mass must never reach a component with no seed")
+    assert(got(1L) > got(3L), "closer to the seed must outrank farther")
+  }
+
+  test("personalized with seeds = all nodes degenerates to run()") {
+    val edges = (2L to 8L).map(_ -> 1L) :+ (1L -> 2L)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(runPpr(edges, nodes, 4) === run(edges, 4))
+  }
+
+  test("personalized ignores seeds absent from the graph") {
+    val edges = Seq(1L -> 2L, 2L -> 1L)
+    assert(runPpr(edges, Seq(1L, 999L), 3) === runPpr(edges, Seq(1L), 3))
+  }
 }
