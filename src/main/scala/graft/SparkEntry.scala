@@ -440,6 +440,18 @@ object SparkEntry {
       graft.ext.Features.quantileBinsDiscrete(li, "qty", k = 8, binCol = "bin")
         .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("bin"))
     },
+    "feat_quantile_transform" -> { (s, dir) =>
+      // Mid-rank percentile scaling of l_quantity onto [0, 1e6] in
+      // exact integers (min→0, max→1e6, ties at their block's average
+      // rank) — the QuantileTransformer face of the same value-
+      // histogram topology; the oracle replays the floor-div rule.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ext.Features.quantileTransform(li, "qty")
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+          col("pct_micro"))
+    },
     "feat_target_encode" -> { (s, dir) =>
       // Smoothed mean encoding of c_mktsegment against c_acctbal
       // (m = 10). Micro-precision integer face for the encoding (the
@@ -4005,6 +4017,15 @@ object SparkEntry {
         |   AS INT) AS bin FROM h)
         |SELECT li.l_orderkey, li.l_linenumber, li.qty, b.bin
         |FROM li JOIN b ON li.qty = b.qty""".stripMargin,
+    "feat_quantile_transform" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |h AS (SELECT qty, COUNT(*) AS cnt FROM li GROUP BY qty),
+        |p AS (SELECT qty,
+        |  CAST((1000000 * (2 * (SUM(cnt) OVER (ORDER BY qty) - cnt) + cnt - 1))
+        |   // (2 * ((SELECT SUM(cnt) FROM h) - 1)) AS BIGINT) AS pct_micro FROM h)
+        |SELECT li.l_orderkey, li.l_linenumber, li.qty, p.pct_micro
+        |FROM li JOIN p ON li.qty = p.qty""".stripMargin,
     "feat_target_encode" ->
       """WITH t AS (SELECT
         |  CAST(COUNT(*) AS DOUBLE) AS tn,

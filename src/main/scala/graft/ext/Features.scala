@@ -62,6 +62,47 @@ object Features {
     df.join(broadcast(binMap), Seq(valueCol), "left")
   }
 
+  /** Rank-based quantile transform — the QuantileTransformer /
+    * percentile-scaling of ML preprocessing, in exact integers: each
+    * non-null value maps to its tied block's AVERAGE 0-indexed rank
+    * scaled onto [0, 10^6],
+    *
+    *   pct_micro = ⌊10^6 · (2·cum_before + cnt − 1) / (2·(n − 1))⌋
+    *
+    * (cum_before = rows strictly smaller, cnt = the value's tie count;
+    * the global min maps to 0, the max to 10^6, mid-rank averaging
+    * makes ties symmetric — Spearman's tie convention). The division
+    * is the chi2Drift exact-divmod split q·10^6 + ⌊r·10^6/den⌋ over
+    * decimal(38,0), so there is no overflow cliff at any realistic n
+    * and every engine replays the BIGINT bit-for-bit.
+    *
+    * Same topology and contracts as [[quantileBinsDiscrete]]: the
+    * histogram shuffle is the distinct-value set, the cumulative
+    * window rides that tiny frame (never the table), the value→pct
+    * map broadcast-joins back, NULL values keep a NULL pct. n = 1
+    * degenerates to 0. */
+  def quantileTransform(df: DataFrame, valueCol: String,
+      outCol: String = "pct_micro"): DataFrame = {
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1L)).as("__cnt"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dec = "decimal(38,0)"
+    val num = (lit(2L) * col("__cum") + col("__cnt") - lit(1L)).cast(dec)
+    val den = (lit(2L) * (col("__n") - lit(1L))).cast(dec)
+    val pctMap = hist
+      .withColumn("__cum", sum(col("__cnt")).over(w) - col("__cnt"))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select(col(valueCol),
+        when(col("__n") === 1L, lit(0L)).otherwise(
+          (call_function("div", num, den) * lit(1000000L) +
+            call_function("div", pmod(num, den) * lit(1000000L), den))
+            .cast("long")).as(outCol))
+    df.join(broadcast(pctMap), Seq(valueCol), "left")
+  }
+
   /** Smoothed target (mean) encoding: category c ↦
     * (Σ target(c) + m · global mean) / (n(c) + m) — the Micci-Barreca
     * smoothing that shrinks rare categories toward the prior. Sums are

@@ -71,4 +71,30 @@ class FeaturesSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs(enc("a") - 2.0) < 1e-12 && math.abs(enc("b") - 10.0) < 1e-12)
   }
+
+  test("quantileTransform: mid-rank percentiles, min 0, max 1e6, tied block averaged") {
+    import spark.implicits._
+    // values [10, 20, 20, 30]: n=4, den=6 → 10→0, 20→(2·1+2−1)·1e6/6=500000, 30→1e6
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+    val got = Features.quantileTransform(df, "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_micro")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 500000L, 3L -> 500000L, 4L -> 1000000L))
+  }
+
+  test("quantileTransform: NULL keeps its row with NULL pct; single value degenerates to 0") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(9L))).toDF("id", "v")
+    val got = Features.quantileTransform(df, "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("pct_micro"))).toMap
+    assert(got === Map(1L -> Some(0L), 2L -> None, 3L -> Some(1000000L)))
+    val single = Features.quantileTransform(
+        Seq((1L, 7L), (2L, 7L)).toDF("id", "v"), "v")
+      .collect().map(_.getAs[Long]("pct_micro")).toSeq
+    // n=2 all tied: num = 2·0+2−1 = 1, den = 2 → 500000 each
+    assert(single === Seq(500000L, 500000L))
+    val one = Features.quantileTransform(Seq((1L, 7L)).toDF("id", "v"), "v")
+      .collect().map(_.getAs[Long]("pct_micro")).toSeq
+    assert(one === Seq(0L))
+  }
 }
