@@ -452,6 +452,28 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
           col("pct_micro"))
     },
+    "feat_quantile_transform_incremental" -> { (s, dir) =>
+      // Incremental maintenance of the same transform: the corpus
+      // histogram (orderkey % 3 != 0) is PERSISTED once; the delta
+      // tile's histogram merges in (count monoid) and the full table
+      // scores off merged state alone — bit-identical to the direct
+      // transform, so it shares feat_quantile_transform's oracle with
+      // the state files in the lineage instead of a second corpus scan.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val stateDir = scratchDir("graft_qt_state_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ext.Features.valueHistogram(
+          li.filter(col("l_orderkey") % 3 =!= 0), "qty"), stateDir)
+      val merged = graft.ext.Features.mergeValueHistograms(
+        s.read.parquet(stateDir),
+        graft.ext.Features.valueHistogram(
+          li.filter(col("l_orderkey") % 3 === 0), "qty"))
+      graft.ext.Features.quantileTransformFromState(li, "qty", merged)
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+          col("pct_micro"))
+    },
     "feat_target_encode" -> { (s, dir) =>
       // Smoothed mean encoding of c_mktsegment against c_acctbal
       // (m = 10). Micro-precision integer face for the encoding (the
@@ -4018,6 +4040,15 @@ object SparkEntry {
         |SELECT li.l_orderkey, li.l_linenumber, li.qty, b.bin
         |FROM li JOIN b ON li.qty = b.qty""".stripMargin,
     "feat_quantile_transform" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |h AS (SELECT qty, COUNT(*) AS cnt FROM li GROUP BY qty),
+        |p AS (SELECT qty,
+        |  CAST((1000000 * (2 * (SUM(cnt) OVER (ORDER BY qty) - cnt) + cnt - 1))
+        |   // (2 * ((SELECT SUM(cnt) FROM h) - 1)) AS BIGINT) AS pct_micro FROM h)
+        |SELECT li.l_orderkey, li.l_linenumber, li.qty, p.pct_micro
+        |FROM li JOIN p ON li.qty = p.qty""".stripMargin,
+    "feat_quantile_transform_incremental" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
         |h AS (SELECT qty, COUNT(*) AS cnt FROM li GROUP BY qty),

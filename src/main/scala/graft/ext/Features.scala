@@ -82,9 +82,33 @@ object Features {
     * map broadcast-joins back, NULL values keep a NULL pct. n = 1
     * degenerates to 0. */
   def quantileTransform(df: DataFrame, valueCol: String,
-      outCol: String = "pct_micro"): DataFrame = {
-    val hist = df.filter(col(valueCol).isNotNull)
+      outCol: String = "pct_micro"): DataFrame =
+    quantileTransformFromState(df, valueCol, valueHistogram(df, valueCol), outCol)
+
+  /** Persistable value histogram — [[quantileTransform]]'s incremental
+    * -maintenance state: (valueCol, __cnt) rows in the value's NATIVE
+    * type. Counts are a monoid ([[mergeValueHistograms]]), so a stored
+    * corpus histogram folds with each day's delta and the transform
+    * replays bit-identically off state alone — the valueCountState /
+    * histogramState pattern applied to feature scaling. */
+  def valueHistogram(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1L)).as("__cnt"))
+
+  /** Merge [[valueHistogram]] snapshots by summed counts. */
+  def mergeValueHistograms(a: DataFrame, b: DataFrame): DataFrame = {
+    val valueCol = a.columns.head
+    a.unionByName(b).groupBy(col(valueCol)).agg(sum("__cnt").as("__cnt"))
+  }
+
+  /** [[quantileTransform]] off a PERSISTED (or merged) histogram state
+    * — score rows against a corpus distribution without rescanning the
+    * corpus. The map rides the distinct-value frame exactly as in the
+    * direct path; rows whose value is absent from the state get a NULL
+    * percentile (like NULL values — the state defines the
+    * distribution). */
+  def quantileTransformFromState(df: DataFrame, valueCol: String,
+      hist: DataFrame, outCol: String = "pct_micro"): DataFrame = {
     val w = Window.orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col(valueCol))

@@ -97,4 +97,23 @@ class FeaturesSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("pct_micro")).toSeq
     assert(one === Seq(0L))
   }
+
+  test("quantileTransform off merged histogram state == direct; absent value gets NULL") {
+    import spark.implicits._
+    val part1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val part2 = Seq((3L, 20L), (4L, 30L)).toDF("id", "v")
+    val full = part1.union(part2)
+    val merged = Features.mergeValueHistograms(
+      Features.valueHistogram(part1, "v"), Features.valueHistogram(part2, "v"))
+    val fromState = Features.quantileTransformFromState(full, "v", merged)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_micro")).toMap
+    val direct = Features.quantileTransform(full, "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_micro")).toMap
+    assert(fromState === direct)
+    // a value the state never saw has no percentile position
+    val unseen = Features.quantileTransformFromState(
+        Seq((9L, 99L)).toDF("id", "v"), "v", merged)
+      .collect().map(r => Option(r.getAs[Any]("pct_micro"))).toSeq
+    assert(unseen === Seq(None))
+  }
 }
