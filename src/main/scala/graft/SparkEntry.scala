@@ -2460,6 +2460,27 @@ object SparkEntry {
         s.read.parquet(s"$outDir/b*")
       }
     },
+    "stream_golden_records" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Incremental MDM: 3 doc_id-tiled microbatches fold their keyed
+        // survivorship state into the versioned snapshot; because every
+        // rule is associative over its persisted form, the final
+        // snapshot IS the one-shot per-lang golden-record table the
+        // oracle recomputes (longest text with the FieldMaxBy total
+        // order, max length, member count).
+        import graft.ext.Dedup.SurviveRule._
+        val rules = Seq("text" -> FieldMaxBy("len"), "len" -> ColMax)
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .withColumn("len", length(col("text")))
+        val stateDir = scratchDir("graft_golden_state_").toString
+        val ckpt = scratchDir("graft_golden_ckpt_").toString
+        graft.streaming.StreamingOps.survivorshipSink(stream, stateDir, ckpt,
+          keyCol = "lang", rules)
+        graft.streaming.StreamingOps.readGoldenRecords(s, stateDir, rules)
+      }
+    },
     "stream_ppl_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Prequential perplexity gate: 3 doc_id-tiled microbatches;
@@ -4666,6 +4687,15 @@ object SparkEntry {
     "text_bm25" -> bm25Sql,
     "text_rrf_hybrid" -> rrfHybridSql,
     "stream_decontam_gate" -> decontamGateSql,
+    "stream_golden_records" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |  CAST(LENGTH(text) AS INT) AS len FROM documents),
+        |rk AS (SELECT lang, text, ROW_NUMBER() OVER (PARTITION BY lang
+        |  ORDER BY (text IS NOT NULL) DESC, len DESC, doc_id DESC) AS rn FROM d),
+        |agg AS (SELECT lang, MAX(len) AS len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1)
+        |SELECT a.lang, t.text, a.len, a.n_docs
+        |FROM agg a JOIN (SELECT lang, text FROM rk WHERE rn = 1) t USING (lang)""".stripMargin,
     "text_bm25_sql" -> bm25Sql,
     "text_pii_redact" ->
       """WITH s AS (

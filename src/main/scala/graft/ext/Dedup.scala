@@ -843,6 +843,68 @@ object Dedup {
     assigned.groupBy(col("__cid").as("cluster_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Keyed survivorship STATE for incremental golden-record
+    * maintenance — one row per key. Field-pick rules persist the full
+    * picked (value, order-key, id) triple so a later [[
+    * mergeSurvivorshipState]] re-runs the same total-order contest
+    * against new candidates; Col rules persist their scalar monoid.
+    * Because every rule is associative over its persisted form, state
+    * built per batch and folded equals the one-shot [[survivorship]]
+    * over the union — the invariant the streaming sink rides. */
+  def survivorshipState(records: DataFrame, keyCol: String,
+      rules: Seq[(String, SurviveRule)], idCol: String = "doc_id"): DataFrame = {
+    require(rules.nonEmpty, "need at least one survivorship rule")
+    import SurviveRule._
+    val aggs = rules.map { case (c, rule) =>
+      (rule match {
+        case FieldMaxBy(k) => max_by(
+          struct(col(c).as("v"), col(k).as("k"), col(idCol).as("i")),
+          struct(col(c).isNotNull.as("nn"), col(k).as("k"), col(idCol).as("i")))
+        case FieldMinBy(k) => min_by(
+          struct(col(c).as("v"), col(k).as("k"), col(idCol).as("i")),
+          struct(col(c).isNull.as("nl"), col(k).as("k"), col(idCol).as("i")))
+        case ColMax => max(col(c))
+        case ColMin => min(col(c))
+        case ColSum => sum(col(c))
+      }).as(c)
+    } :+ count(lit(1)).as("n_docs")
+    records.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold two [[survivorshipState]] snapshots (same key + rules): each
+    * field-pick re-contests on the persisted total order, scalars merge
+    * by their monoid, n_docs adds. Associative and commutative, so any
+    * batching of the corpus folds to the same state. */
+  def mergeSurvivorshipState(a: DataFrame, b: DataFrame, keyCol: String,
+      rules: Seq[(String, SurviveRule)]): DataFrame = {
+    import SurviveRule._
+    val aggs = rules.map { case (c, rule) =>
+      (rule match {
+        case FieldMaxBy(_) => max_by(col(c), struct(
+          col(s"$c.v").isNotNull.as("nn"), col(s"$c.k").as("k"), col(s"$c.i").as("i")))
+        case FieldMinBy(_) => min_by(col(c), struct(
+          col(s"$c.v").isNull.as("nl"), col(s"$c.k").as("k"), col(s"$c.i").as("i")))
+        case ColMax => max(col(c))
+        case ColMin => min(col(c))
+        case ColSum => sum(col(c))
+      }).as(c)
+    } :+ sum("n_docs").as("n_docs")
+    a.unionByName(b).groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The golden records a [[survivorshipState]] snapshot serves:
+    * field-pick columns unwrap to their picked value, scalars pass
+    * through — (key, <one column per rule>, n_docs). */
+  def goldenFromState(state: DataFrame,
+      rules: Seq[(String, SurviveRule)]): DataFrame = {
+    import SurviveRule._
+    val keyCol = state.columns.head
+    state.select(col(keyCol) +: rules.map {
+      case (c, FieldMaxBy(_) | FieldMinBy(_)) => col(s"$c.v").as(c)
+      case (c, _) => col(c)
+    } :+ col("n_docs"): _*)
+  }
+
   /** Canonical-representative selection — the KEEP DECISION that turns
     * dedup clusters into a shipped corpus: every document joins its
     * transitive cluster (singletons are their own cluster), and each

@@ -1127,6 +1127,63 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
   }
 
+  /** Streaming golden-record maintenance — incremental MDM: each
+    * microbatch's keyed `Dedup.survivorshipState` folds into the
+    * persisted snapshot ([[graft.ext.Dedup.mergeSurvivorshipState]]),
+    * so after any prefix of the stream the state holds EXACTLY the
+    * one-shot keyed survivorship of everything ingested (every rule is
+    * associative over its persisted form — field picks carry their
+    * total-order key, scalars their monoid). State is key-dimension-
+    * sized (one row per entity key, one candidate per rule), never
+    * corpus-shaped; the per-batch write is the whole snapshot, which
+    * IS the served table — the upsertSink copy-on-write shape, with
+    * [[vacuumVersions]] bounding retained versions. Exactly-once via
+    * the versioned-dir + `_VERSION` marker-flip protocol. */
+  def survivorshipSink(stream: DataFrame, stateDir: String,
+      checkpointDir: String, keyCol: String,
+      rules: Seq[(String, graft.ext.Dedup.SurviveRule)],
+      idCol: String = "doc_id"): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySurvivorshipBatch(batch, batchId, stateDir, keyCol, rules, idCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent fold step (public for direct testing and batch
+    * backfills sharing the snapshot). */
+  def applySurvivorshipBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, keyCol: String,
+      rules: Seq[(String, graft.ext.Dedup.SurviveRule)],
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val delta = graft.ext.Dedup.survivorshipState(batch, keyCol, rules, idCol)
+    val merged = if (current >= 0L)
+      graft.ext.Dedup.mergeSurvivorshipState(
+        spark.read.parquet(s"$stateDir/v$current"), delta, keyCol, rules)
+    else delta
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The golden records served by the sink's current snapshot. */
+  def readGoldenRecords(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      rules: Seq[(String, graft.ext.Dedup.SurviveRule)]): DataFrame =
+    graft.ext.Dedup.goldenFromState(readSnapshot(spark, stateDir), rules)
+
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {

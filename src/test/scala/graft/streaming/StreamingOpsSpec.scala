@@ -523,6 +523,33 @@ class StreamingOpsSpec extends SparkTestBase {
       .forall(f => !f.isDirectory), "test index dir must stay flat/immutable")
   }
 
+  test("applySurvivorshipBatch: folded state == one-shot survivorship; replay idempotent") {
+    import spark.implicits._
+    import graft.ext.Dedup.SurviveRule._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_gold_").toString
+    val rules = Seq("text" -> FieldMaxBy("len"), "len" -> ColMax)
+    val b0 = Seq((1L, "en", "aa", 2), (2L, "en", "bbbb", 4), (3L, "fr", "c", 1))
+      .toDF("doc_id", "lang", "text", "len")
+    val b1 = Seq((4L, "en", "dddd", 4), (5L, "fr", "eee", 3))
+      .toDF("doc_id", "lang", "text", "len")
+    StreamingOps.applySurvivorshipBatch(b0, 0L, stateDir, "lang", rules)
+    StreamingOps.applySurvivorshipBatch(b1, 1L, stateDir, "lang", rules)
+    def golden() = StreamingOps.readGoldenRecords(spark, stateDir, rules)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    // en: len tie 4/4 between docs 2 and 4 -> FieldMaxBy takes highest id (doc 4)
+    val exp = Set(("en", "dddd", 4, 3L), ("fr", "eee", 3, 2L))
+    assert(golden() === exp)
+    // one-shot keyed survivorship over the union must agree
+    val oneShot = graft.ext.Dedup.goldenFromState(
+        graft.ext.Dedup.survivorshipState(b0.union(b1), "lang", rules), rules)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(oneShot === exp)
+    // crash replay of batch 1: marker unchanged, state identical
+    StreamingOps.applySurvivorshipBatch(b1, 1L, stateDir, "lang", rules)
+    assert(golden() === exp)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L))
+  }
+
   test("vacuumVersions: recursive over nested LM state; gate still folds after") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft_vvlm_").toString
