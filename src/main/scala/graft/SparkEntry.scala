@@ -1069,6 +1069,25 @@ object SparkEntry {
       graft.ext.Retrieval.bm25TopK(Tables(s, dir, "documents"),
         k = 10, nQueryTerms = 20)
     },
+    "text_unicode_normalize" -> { (s, dir) =>
+      // Unicode canonicalization: the fixture corpus is ASCII, so
+      // accent-bearing text is synthesized IDENTICALLY in both engines
+      // (the text_pii_redact trick — combining marks via chr()), then
+      // run through the native NFC / strip-accents expressions; the
+      // oracle uses DuckDB's nfc_normalize/strip_accents. nfc_len <
+      // raw_len pins that composition actually happened.
+      import graft.functions.textnorm.{nfc_normalize, strip_accents}
+      // NB: Spark's chr() is ASCII (mod 256) unlike DuckDB's code-point
+      // chr — the combining marks are Scala literals here, chr() there
+      val raw = concat(
+        lit("cafe\u0301 a\u0300 u\u0308 n\u0303-"),
+        (col("doc_id") % 10).cast("string"))
+      Tables(s, dir, "documents").select(col("doc_id"),
+        nfc_normalize(raw).as("nfc"),
+        strip_accents(raw).as("ascii"),
+        length(nfc_normalize(raw)).cast("int").as("nfc_len"),
+        length(raw).cast("int").as("raw_len"))
+    },
     "text_rrf_hybrid" -> { (s, dir) =>
       // Hybrid sparse+dense retrieval fused by truncated-list
       // reciprocal-rank fusion: per query doc (ids < 20, the sim_topk
@@ -4685,6 +4704,14 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_pairs, CAST(-SUM(lp) AS BIGINT) AS nll_nano
         |FROM sc GROUP BY 1""".stripMargin,
     "text_bm25" -> bm25Sql,
+    "text_unicode_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        | 'cafe' || chr(769) || ' a' || chr(768) || ' u' || chr(776) ||
+        |   ' n' || chr(771) || '-' || CAST(doc_id % 10 AS VARCHAR) AS raw
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc, strip_accents(raw) AS ascii,
+        | CAST(LENGTH(nfc_normalize(raw)) AS INT) AS nfc_len,
+        | CAST(LENGTH(raw) AS INT) AS raw_len FROM r""".stripMargin,
     "text_rrf_hybrid" -> rrfHybridSql,
     "stream_decontam_gate" -> decontamGateSql,
     "stream_golden_records" ->
