@@ -2191,6 +2191,19 @@ object SparkEntry {
           size(col("content_features")).as("n_features"))
     },
 
+    "multimodal_dhash" -> { (s, dir) =>
+      // Perceptual image hashing through the REAL codec pipeline
+      // (encodeBmp24 → decodeBmpPixels → dHash); the oracle recomputes
+      // the 64 gradient bits from the doc_id pixel arithmetic.
+      dhashCorpus(s, dir)
+    },
+    "multimodal_dhash_pairs" -> { (s, dir) =>
+      // Near-duplicate images: pigeonhole-exact 4-chunk banding over
+      // the dHash words + exact Hamming verify — group-mate images
+      // (one-pixel edits) land at dist <= 2; oracle = all-pairs
+      // bit_count over the same predicted hashes.
+      graft.ext.Dedup.dhashPairs(dhashCorpus(s, dir), maxDist = 3)
+    },
     "multimodal_decode" -> { (s, dir) =>
       // REAL-codec round trip, oracle-checked: a 2x1 BMP, a 4-frame WAV,
       // a 2x1 PNG (deflate-compressed, scanline filter rotating
@@ -3790,6 +3803,42 @@ object SparkEntry {
   /** Stages documents as `parts` mtime-ordered replay files tiled by
     * NTILE over doc_id — the document-corpus analog of
     * [[timeOrderedEventReplay]] for ingest-order streaming gates. */
+  /** Shared corpus for the dHash rows: one 9×8 grayscale BMP per doc,
+    * every pixel a pure function of doc_id — group id (doc_id div 20)
+    * drives the whole frame, one center pixel carries the within-group
+    * remainder, so group-mates are near-identical images (≤ 2 gradient
+    * bits apart) and distinct groups diverge. Encoded with the real BMP
+    * encoder, decoded back with the real pixel decoder, then dHashed —
+    * the full perceptual pipeline; the oracle predicts all 64 gradient
+    * bits from the same arithmetic without seeing a payload. */
+  private def dhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = id / 20; val r = id % 20
+          val rgb = new Array[Byte](9 * 8 * 3)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val f = (((g + 1) * (y + 3) * 177 + x * 13 + 7 * x * x +
+                (if (x == 4 && y == 4) r else 0L)) % 256L).toInt
+              val o = (y * 9 + x) * 3
+              rgb(o) = f.toByte; rgb(o + 1) = f.toByte; rgb(o + 2) = f.toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = graft.ext.MediaCodecs.encodeBmp24(9, 8, rgb)
+          val (w, h, px) = graft.ext.MediaCodecs.decodeBmpPixels(bytes)
+            .getOrElse(sys.error(s"BMP round-trip failed for doc $id"))
+          val (hi, lo) = graft.ext.Multimodal.dHash(w, h, px)
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
   private def docReplay(s: SparkSession, dir: String,
       parts: Int): (String, org.apache.spark.sql.types.StructType) = {
     val d = Tables(s, dir, "documents").select("doc_id", "lang", "text")
@@ -5440,6 +5489,8 @@ object SparkEntry {
         | CAST(8 AS INT) AS n_features
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
+    "multimodal_dhash" -> dhashSql,
+    "multimodal_dhash_pairs" -> dhashPairsSql,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,
@@ -6768,6 +6819,36 @@ object SparkEntry {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs FROM assigned)
        |SELECT cluster_id, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
        |FROM rk WHERE rn = 1""".stripMargin
+
+  /** dHash oracle CTEs: replay the 9×8 pixel arithmetic and fold the
+    * 64 gradient comparisons into the two non-negative 32-bit words —
+    * shared by the hash row and the pairs row so they can never
+    * desynchronize. */
+  private def dhashCtes: String =
+    """WITH p AS (SELECT doc_id, doc_id // 20 AS g, doc_id % 20 AS r FROM documents),
+      |px AS (SELECT doc_id, x, y,
+      |  ((g+1)*(y+3)*177 + x*13 + 7*x*x + CASE WHEN x=4 AND y=4 THEN r ELSE 0 END) % 256 AS f
+      |  FROM p, generate_series(0,8) AS t1(x), generate_series(0,7) AS t2(y)),
+      |bits AS (SELECT a.doc_id, a.x, a.y, CASE WHEN a.f > b.f THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN y*8+x >= 32
+      |    THEN bit * (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS h_hi,
+      |  CAST(SUM(CASE WHEN y*8+x < 32
+      |    THEN bit * (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS h_lo
+      | FROM bits GROUP BY doc_id)""".stripMargin
+
+  private def dhashSql: String =
+    s"""$dhashCtes
+       |SELECT doc_id, h_hi, h_lo FROM hashes""".stripMargin
+
+  private def dhashPairsSql: String =
+    s"""$dhashCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS dist
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3""".stripMargin
 
   /** Survivorship oracle: same recursive closure, then each field's
     * arg-pick replayed as a ROW_NUMBER over its rule's total order —

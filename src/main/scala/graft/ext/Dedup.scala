@@ -348,6 +348,36 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Perceptual near-duplicate IMAGE pairs off precomputed dHash words
+    * ([[Multimodal.dHash]]: h_hi = gradient bits 32..63, h_lo = 0..31,
+    * both non-negative 32-bit values) — [[simhash]]'s pigeonhole
+    * banding applied to the image hash: 4 16-bit chunks across the two
+    * words, so Hamming distance <= 3 FORCES an exact chunk match and
+    * candidates come from an equi-join on (chunk index, chunk value),
+    * never all-pairs; exact 64-bit Hamming verifies every candidate.
+    * Output: (a_id, b_id, dist), a < b, dist <= maxDist. */
+  def dhashPairs(hashes: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole banding guarantees recall only for dist<=3")
+    val h = hashes.select(col(idCol).as("id"),
+      col("h_hi").cast("long").as("h_hi"), col("h_lo").cast("long").as("h_lo"))
+    val chunks = h.select(col("id"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(0xFFFFL)),
+        call_function("shiftright", col("h_lo"), lit(16)).bitwiseAND(lit(0xFFFFL)),
+        col("h_hi").bitwiseAND(lit(0xFFFFL)),
+        call_function("shiftright", col("h_hi"), lit(16)).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "h_hi", "h_lo", "chunk_idx", "chunk")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        (bit_count(col("x.h_hi").bitwiseXOR(col("y.h_hi"))) +
+          bit_count(col("x.h_lo").bitwiseXOR(col("y.h_lo")))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded SRP-LSH candidates
     * verified by exact cosine >= threshold.
     *

@@ -83,6 +83,41 @@ object MediaCodecs {
     Some(ImageMeta(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   } catch { case _: Throwable => None }
 
+  /** Full pixel decode of a 24-bit uncompressed BMP: (width, height,
+    * RGB top-down, 3 bytes per pixel) — the accessor the perceptual-
+    * hash path needs ([[decodeBmp]] only aggregates channel means). */
+  def decodeBmpPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (sniff(bytes) != "bmp" || bytes.length < 54) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val heightRaw = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xFFFF
+    val compression = buf.getInt(30)
+    if (width <= 0 || heightRaw == 0 || bpp != 24 || compression != 0) return None
+    val height = math.abs(heightRaw)
+    val topDown = heightRaw < 0
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (dataOffset.toLong + rowSize.toLong * height > bytes.length) return None
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val fileRow = if (topDown) y else height - 1 - y
+      val base = dataOffset + fileRow * rowSize
+      var x = 0
+      while (x < width) {
+        val p = base + x * 3
+        val o = (y * width + x) * 3
+        out(o) = bytes(p + 2)     // R (BMP stores BGR)
+        out(o + 1) = bytes(p + 1) // G
+        out(o + 2) = bytes(p)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, out))
+  } catch { case _: Throwable => None }
+
   /** Nearest-neighbor resize of a 24-bit BMP, re-encoded as a minimal
     * 54-byte-header 24-bit BMP (bottom-up). Real pixel work — the image
     * twin of what a production thumbnail stage does, minus fancy

@@ -120,6 +120,64 @@ object Multimodal {
     out
   }
 
+  /** 64-bit perceptual difference hash (dHash — the public
+    * gradient-hash construction for near-duplicate image detection):
+    * grayscale the RGB frame (integer (r+g+b)/3), block-average down
+    * to a 9×8 grid (integer means over the pixel blocks; a 9×8 input
+    * passes through untouched, which is what the oracle-checked driver
+    * row exploits), then bit (y·8+x) = gray(x,y) > gray(x+1,y).
+    * Returned as two NON-NEGATIVE 32-bit words (hi = bits 32..63,
+    * lo = 0..31) so the value is sign-free in every engine. A one-
+    * pixel edit moves at most a handful of gradient bits — Hamming
+    * distance over the 64 bits is the near-dup metric
+    * ([[Dedup.dhashPairs]] buckets it exactly). */
+  def dHash(width: Int, height: Int, rgbTopDown: Array[Byte]): (Long, Long) = {
+    require(width >= 9 && height >= 8, s"dHash needs >= 9x8 input, got ${width}x$height")
+    // integer grayscale
+    val gray = new Array[Int](width * height)
+    var i = 0
+    while (i < gray.length) {
+      val o = i * 3
+      gray(i) = ((rgbTopDown(o) & 0xFF) + (rgbTopDown(o + 1) & 0xFF) +
+        (rgbTopDown(o + 2) & 0xFF)) / 3
+      i += 1
+    }
+    // block-mean downsample to 9x8 (floor boundaries, floor mean)
+    val cell = new Array[Int](9 * 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * height / 8; val y1 = (cy + 1) * height / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * width / 9; val x1 = (cx + 1) * width / 9
+        var s = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y * width + x); n += 1; x += 1 }
+          y += 1
+        }
+        cell(cy * 9 + cx) = (s / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    var hi = 0L; var lo = 0L
+    var yy = 0
+    while (yy < 8) {
+      var x = 0
+      while (x < 8) {
+        if (cell(yy * 9 + x) > cell(yy * 9 + x + 1)) {
+          val k = yy * 8 + x
+          if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+        }
+        x += 1
+      }
+      yy += 1
+    }
+    (hi, lo)
+  }
+
   /** Batched per-partition feature extraction. `batchSize` models the
     * unit a real decoder/model would consume (e.g. a GPU batch). */
   def extractFeatures(items: Dataset[MediaItem], dim: Int = 16,

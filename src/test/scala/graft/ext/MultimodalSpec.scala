@@ -56,6 +56,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("ExistingRDD"), s"RDD scan barrier in plan:\n$plan")
   }
 
+  test("dHash: gradient bits match a brute-force reference on a 9x8 frame") {
+    // deterministic gray ramp with a wrap so both bit values occur
+    def f(x: Int, y: Int): Int = (x * 37 + y * 29) % 256
+    val rgb = new Array[Byte](9 * 8 * 3)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val o = (y * 9 + x) * 3
+      rgb(o) = f(x, y).toByte; rgb(o + 1) = f(x, y).toByte; rgb(o + 2) = f(x, y).toByte
+    }
+    val (hi, lo) = Multimodal.dHash(9, 8, rgb)
+    var expHi = 0L; var expLo = 0L
+    for (y <- 0 until 8; x <- 0 until 8; if f(x, y) > f(x + 1, y)) {
+      val k = y * 8 + x
+      if (k >= 32) expHi |= 1L << (k - 32) else expLo |= 1L << k
+    }
+    assert((hi, lo) === (expHi, expLo))
+    assert(hi >= 0L && lo >= 0L && hi < (1L << 32) && lo < (1L << 32))
+  }
+
+  test("dHash: 2x block upscale leaves the hash invariant (block-mean downsample)") {
+    def f(x: Int, y: Int): Int = (x * 53 + y * 17) % 256
+    val base = new Array[Byte](9 * 8 * 3)
+    val big = new Array[Byte](18 * 16 * 3)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = f(x, y).toByte
+      val o = (y * 9 + x) * 3
+      base(o) = v; base(o + 1) = v; base(o + 2) = v
+      for (dy <- 0 to 1; dx <- 0 to 1) {
+        val o2 = ((2 * y + dy) * 18 + 2 * x + dx) * 3
+        big(o2) = v; big(o2 + 1) = v; big(o2 + 2) = v
+      }
+    }
+    assert(Multimodal.dHash(9, 8, base) === Multimodal.dHash(18, 16, big))
+  }
+
+  test("dhashPairs: banded join == brute force; one-pixel twin within distance 3") {
+    import spark.implicits._
+    // 30 hashes from a seeded LCG, plus a planted twin of id 0 with 2 bits flipped
+    var s0 = 12345L
+    def next(): Long = { s0 = s0 * 6364136223846793005L + 1442695040888963407L; (s0 >>> 32) }
+    val base = (0L until 30L).map { i => (i, next(), next()) }
+    val twin = (100L, base.head._2 ^ 1L, base.head._3 ^ 4L) // 2 bits from id 0
+    val all = (base :+ twin).toDF("doc_id", "h_hi", "h_lo")
+    val got = Dedup.dhashPairs(all, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same rows
+    val rowsSeq = base :+ twin
+    val exp = (for {
+      a <- rowsSeq; b <- rowsSeq; if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 3
+    } yield (a._1, b._1, d)).toSet
+    assert(got === exp)
+    assert(exp.contains((0L, 100L, 2)), "planted 2-bit twin must surface")
+  }
+
   test("withContentFeatures: null payload yields null features, not a crash") {
     import spark.implicits._
     val df = Seq((1L, Some(Array[Byte](1, 2, 3))), (2L, None))
