@@ -2492,6 +2492,26 @@ object SparkEntry {
         s.read.parquet(s"$outDir/b*")
       }
     },
+    "stream_dhash_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Image near-dup ON ARRIVAL: the dHash corpus (hashed at ingest
+        // through the real codec pipeline) replays in 3 doc_id tiles;
+        // each microbatch checks new×old + new×new pigeonhole
+        // candidates only and appends its 2×32-bit rows as an index
+        // delta. A pair emits exactly once — with its later image — so
+        // the drained union is the full multimodal_dhash_pairs set,
+        // the same oracle.
+        val (replayDir, schema) = frameReplay(dhashCorpus(s, dir), parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val stateDir = scratchDir("graft_dhash_idx_").toString
+        val outDir = scratchDir("graft_dhash_out_").toString
+        val ckpt = scratchDir("graft_dhash_ckpt_").toString
+        graft.streaming.StreamingOps.dhashGate(stream, stateDir, outDir, ckpt,
+          maxDist = 3)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
     "stream_golden_records" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Incremental MDM: 3 doc_id-tiled microbatches fold their keyed
@@ -3837,6 +3857,31 @@ object SparkEntry {
           (id, hi, lo)
         }
       }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** Stage an arbitrary (small) frame as `parts` mtime-ordered
+    * single-file parquet tiles (NTILE by the first column) for
+    * file-stream replay — [[docReplay]] generalized to any frame;
+    * harness-side prep, not an operator. */
+  private def frameReplay(frame: DataFrame, parts: Int)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    val keyCol = frame.columns.head
+    val tiled = frame.withColumn("__tile", ntile(parts).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))))
+    val replay = scratchDir("graft_frame_replay_")
+    val base = System.currentTimeMillis() - (parts + 1) * 60000L
+    (1 to parts).foreach { tile =>
+      val stage = scratchDir("graft_frame_stage_")
+      tiled.filter(col("__tile") === tile).drop("__tile")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $stage"))
+      val dest = new java.io.File(replay.toFile, f"tile_$tile%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      require(dest.setLastModified(base + tile * 60000L), s"cannot set mtime on $dest")
+    }
+    (replay.toString, frame.schema)
   }
 
   private def docReplay(s: SparkSession, dir: String,
@@ -5491,6 +5536,7 @@ object SparkEntry {
 
     "multimodal_dhash" -> dhashSql,
     "multimodal_dhash_pairs" -> dhashPairsSql,
+    "stream_dhash_gate" -> dhashPairsSql,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,

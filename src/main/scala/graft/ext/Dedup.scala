@@ -378,6 +378,42 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** [[dhashPairs]] restricted to pairs TOUCHING the new batch —
+    * new×new plus new×old candidates from the same pigeonhole chunk
+    * join (old×old pairs were resolved when their batches arrived and
+    * are never recomputed); output keeps a_id < b_id. The incremental
+    * face the streaming image-dedup gate folds per microbatch. */
+  def dhashPairsIncremental(newHashes: DataFrame, oldHashes: DataFrame,
+      maxDist: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole banding guarantees recall only for dist<=3")
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+      col("h_hi").cast("long").as("h_hi"), col("h_lo").cast("long").as("h_lo"))
+    def chunksOf(df: DataFrame) = df.select(col("id"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(lit(0xFFFFL)),
+        call_function("shiftright", col("h_lo"), lit(16)).bitwiseAND(lit(0xFFFFL)),
+        col("h_hi").bitwiseAND(lit(0xFFFFL)),
+        call_function("shiftright", col("h_hi"), lit(16)).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "h_hi", "h_lo", "chunk_idx", "chunk")
+    val nc = chunksOf(prep(newHashes))
+    val oc = chunksOf(prep(oldHashes))
+    def hamming(ah: org.apache.spark.sql.Column, al: org.apache.spark.sql.Column,
+        bh: org.apache.spark.sql.Column, bl: org.apache.spark.sql.Column) =
+      (bit_count(ah.bitwiseXOR(bh)) + bit_count(al.bitwiseXOR(bl))).cast("int")
+    val newNew = nc.as("x").join(nc.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        hamming(col("x.h_hi"), col("x.h_lo"), col("y.h_hi"), col("y.h_lo")).as("dist"))
+    val newOld = nc.as("x").join(oc.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk"))
+      .select(least(col("x.id"), col("y.id")).as("a_id"),
+        greatest(col("x.id"), col("y.id")).as("b_id"),
+        hamming(col("x.h_hi"), col("x.h_lo"), col("y.h_hi"), col("y.h_lo")).as("dist"))
+      .filter(col("a_id") =!= col("b_id"))
+    newNew.unionByName(newOld).distinct().filter(col("dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded SRP-LSH candidates
     * verified by exact cosine >= threshold.
     *

@@ -1127,6 +1127,56 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$outDir/b$batchId")
   }
 
+  /** Streaming image-dedup gate — the [[dedupGate]] design applied to
+    * perceptual hashes: every microbatch of (id, h_hi, h_lo) dHash
+    * rows is checked against ALL prior batches (new×new + new×old
+    * pigeonhole candidates only, `Dedup.dhashPairsIncremental`), emits
+    * its exact-Hamming pairs to `outDir/b{batchId}`, and appends its
+    * own rows as an immutable `v{batchId}` index delta. Each pair
+    * surfaces exactly once — with its LATER image — so the drained
+    * union over a finite replay is the full corpus `dhashPairs` set.
+    * The index shares the dedup gate's marker/compaction protocol
+    * ([[compactDedupIndex]] works unchanged: it unions parquet deltas
+    * without caring about their schema), and state is 2×32 bits per
+    * image — the cheapest per-item state of any gate here. */
+  def dhashGate(hashStream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, maxDist: Int = 3): Unit = {
+    val q = hashStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDhashBatch(batch, batchId, stateDir, outDir, maxDist)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent check-then-index step of [[dhashGate]] (public for
+    * direct testing and batch backfills sharing the index). */
+  def applyDhashBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      outDir: String, maxDist: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val indexPaths = dedupIndexPaths(stateDir)
+    batch.select("doc_id", "h_hi", "h_lo")
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val newHashes = spark.read.parquet(s"$stateDir/v$batchId")
+    val pairs = if (indexPaths.nonEmpty)
+      graft.ext.Dedup.dhashPairsIncremental(newHashes,
+        spark.read.parquet(indexPaths: _*), maxDist)
+    else graft.ext.Dedup.dhashPairs(newHashes, maxDist)
+    pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Streaming golden-record maintenance — incremental MDM: each
     * microbatch's keyed `Dedup.survivorshipState` folds into the
     * persisted snapshot ([[graft.ext.Dedup.mergeSurvivorshipState]]),

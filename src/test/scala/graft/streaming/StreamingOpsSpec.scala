@@ -523,6 +523,42 @@ class StreamingOpsSpec extends SparkTestBase {
       .forall(f => !f.isDirectory), "test index dir must stay flat/immutable")
   }
 
+  test("applyDhashBatch: pairs emit once with the later image; union == full dhashPairs; replay idempotent") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_dhst_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dhout_").toString
+    // ids 1,2 near-identical (1 bit apart); 3 far; 10 is 2 bits from 1
+    val b0 = Seq((1L, 0xAAAA0000L, 0x5555L), (2L, 0xAAAA0000L, 0x5554L),
+      (3L, 0x12345678L, 0x0F0FL)).toDF("doc_id", "h_hi", "h_lo")
+    val b1 = Seq((10L, 0xAAAA0001L, 0x5554L)).toDF("doc_id", "h_hi", "h_lo")
+    StreamingOps.applyDhashBatch(b0, 0L, stateDir, outDir, maxDist = 3)
+    val p0 = spark.read.parquet(s"$outDir/b0")
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(p0 === Set((1L, 2L, 1)))
+    StreamingOps.applyDhashBatch(b1, 1L, stateDir, outDir, maxDist = 3)
+    val p1 = spark.read.parquet(s"$outDir/b1")
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    // new x old only for the later image; (1,2) never re-emits
+    assert(p1 === Set((1L, 10L, 2), (2L, 10L, 1)))
+    // union over the replay == the batch dhashPairs over everything
+    val full = graft.ext.Dedup.dhashPairs(b0.union(b1), maxDist = 3)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert((p0 ++ p1) === full)
+    // crash replay: marker unchanged, output byte-equal
+    StreamingOps.applyDhashBatch(b1, 1L, stateDir, outDir, maxDist = 3)
+    assert(spark.read.parquet(s"$outDir/b1")
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet === p1)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L))
+    // compaction (shared dedup-gate machinery) folds the hash deltas too
+    assert(StreamingOps.compactDedupIndex(spark, stateDir) === Seq(0L, 1L))
+    StreamingOps.applyDhashBatch(
+      Seq((20L, 0xAAAA0000L, 0x5555L)).toDF("doc_id", "h_hi", "h_lo"),
+      2L, stateDir, outDir, maxDist = 3)
+    val p2 = spark.read.parquet(s"$outDir/b2")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p2 === Set((1L, 20L), (2L, 20L), (10L, 20L)))
+  }
+
   test("applySurvivorshipBatch: folded state == one-shot survivorship; replay idempotent") {
     import spark.implicits._
     import graft.ext.Dedup.SurviveRule._
