@@ -605,6 +605,15 @@ object SparkEntry {
     "q_grouping_sets" -> (Relational.orderGroupingSets _),
     "q_unpivot" -> (Relational.partUnpivot _),
     "q_percentile" -> (Relational.priceQuantiles _),
+    "q_weighted_quantile" -> { (s, dir) =>
+      // EXACT weighted median: the price below which half the shipped
+      // QUANTITY sits, per return flag — cumulative micro-int weights
+      // over the distinct value set (tie-order-independent), integer
+      // threshold test, no float in the decision.
+      Relational.weightedQuantilePerGroup(Tables(s, dir, "lineitem"),
+        groupCol = "l_returnflag", valueCol = "l_extendedprice",
+        weightCol = "l_quantity", pMicro = 500000L)
+    },
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
     "q_salted_join" -> { (s, dir) =>
@@ -1524,6 +1533,48 @@ object SparkEntry {
           .otherwise(col("o_orderstatus")).as("lb"))
       graft.ops.DataQuality.cohensKappa(ann, "la", "lb")
     },
+    "dq_js_drift" -> { (s, dir) =>
+      // Jensen–Shannon drift on the PSI scenario: bounded (≤ ln 2) and
+      // symmetric, so one alert threshold works across features even
+      // under disjoint supports where PSI explodes. Same fixed-edge
+      // binning + Laplace smoothing; nano-quantized contributions.
+      val orders = Tables(s, dir, "orders")
+      graft.ops.DataQuality.jsDrift(
+        ref = orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0),
+        cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        valueCol = "o_totalprice", bins = 10)
+    },
+    "dq_cramers_v" -> { (s, dir) =>
+      // Cramér's V association between order priority and status —
+      // the feature-redundancy / label-leakage audit. χ² over the
+      // contingency table in exact decimal divmod arithmetic; the one
+      // double op is an IEEE-exact sqrt rounded at 1e-6.
+      graft.ops.DataQuality.cramersV(Tables(s, dir, "orders"),
+        aCol = "o_orderpriority", bCol = "o_orderstatus")
+    },
+    "dq_js_incremental" -> { (s, dir) =>
+      // JS divergence over PERSISTED histogram state — shares the
+      // dq_psi_incremental scenario and state layout exactly (the
+      // histogram (bin, n) summaries ARE the shared mergeable sketch;
+      // only the read-side formula differs), so one stored state
+      // serves both drift families without re-scanning history.
+      val orders = Tables(s, dir, "orders")
+      val bins = 10
+      val dayCol = pmod(col("o_orderkey"), lit(5L))
+      val (mn, width) = graft.ops.DataQuality.histogramEdges(
+        orders.filter(dayCol === 0), "o_totalprice", bins)
+      val stateDir = scratchDir("graft_js_state_").toString
+      (0 until 5).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ops.DataQuality.histogramState(
+            orders.filter(dayCol === d), "o_totalprice", mn, width, bins),
+          s"$stateDir/day=$d")
+      }
+      graft.ops.DataQuality.jsFromState(
+        s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1"),
+        s.read.parquet(s"$stateDir/day=2", s"$stateDir/day=3", s"$stateDir/day=4"),
+        bins)
+    },
     "dq_psi_incremental" -> { (s, dir) =>
       // Drift over PERSISTED state — the incremental twin of
       // dq_psi_drift: per-day binned histograms (exact mergeable
@@ -2371,6 +2422,22 @@ object SparkEntry {
           unix_timestamp(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"))
+      }
+    },
+    "stream_ohlc" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // OHLC bars through the streaming engine: min_by/max_by keep
+        // one (value, order-key) pair of state per bar, so the drained
+        // complete-mode replay is bit-identical to the batch rollup —
+        // shared oracle with ts_ohlc.
+        val batchSchema = Tables(s, dir, "events").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val agg = graft.streaming.StreamingOps.ohlcEpoch(stream)
+        val name = s"graft_stream_ohlc_${streamRunSeq.incrementAndGet()}"
+        graft.streaming.StreamingOps.runToMemory(agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        s.table(name)
       }
     },
     "stream_join" -> { (s0, dir) =>
@@ -3263,6 +3330,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("x"))
       graft.ops.TimeSeries.ewma(daily, "event_type", "day", "x",
         alphaMicro = 250000L)
+    },
+    "ts_ohlc" -> { (s, dir) =>
+      // OHLC candlestick bars: per (event_type, hour), open/close at
+      // the min/max (ts, event_id) order key via single-shuffle
+      // min_by/max_by — no window sort — plus exact micro-int volume.
+      graft.ops.TimeSeries.ohlcBars(Tables(s, dir, "events"),
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valCol = "value", widthSec = 3600L)
+    },
+    "ts_twap" -> { (s, dir) =>
+      // Time-weighted average per event type: each value held until
+      // the type's next observation (lead), numerator in
+      // decimal(38,0), final division as the exact floor-divmod split
+      // rounded half-up — bit-identical in any engine.
+      graft.ops.TimeSeries.twap(Tables(s, dir, "events"),
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valCol = "value")
     },
     "ts_decompose" -> { (s, dir) =>
       // Classical additive seasonal decomposition of the hourly per-type
@@ -5037,6 +5121,39 @@ object SparkEntry {
         | (obs_v IS NOT NULL) AS observed
         |FROM w""".stripMargin,
     "dq_psi_drift" -> psiDriftSql,
+    "dq_js_drift" -> jsDriftSql,
+    "dq_js_incremental" ->
+      """WITH day0 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 = 0 AND o_totalprice IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM day0),
+        |ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 IN (0, 1) AND o_totalprice IS NOT NULL),
+        |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderkey % 5 IN (2, 3, 4) AND o_totalprice IS NOT NULL),
+        |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+        |       FROM ref, st),
+        |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+        |       FROM cur, st),
+        |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        |r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+        |c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+        |j AS (SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
+        |       COALESCE(n_cur, 0) AS n_cur
+        |      FROM spine LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+        |pq AS (SELECT bin, n_ref, n_cur,
+        |        (n_ref + 0.5) / (tr + 5.0) AS p,
+        |        (n_cur + 0.5) / (tc + 5.0) AS q
+        |       FROM j, t)
+        |SELECT bin, n_ref, n_cur,
+        | CAST(ROUND((p * LN(p / ((p + q) / 2)) + q * LN(q / ((p + q) / 2)))
+        |   / 2 * 1000000000) AS BIGINT) AS js_nano
+        |FROM pq""".stripMargin,
+    "dq_cramers_v" -> cramersVSql,
+    "ts_ohlc" -> ohlcSql,
+    "stream_ohlc" -> ohlcSql,
+    "ts_twap" -> twapSql,
+    "q_weighted_quantile" -> weightedQuantileSql,
     "dq_psi_sql" -> psiDriftSql,
     "stream_drift_gate" -> psiDriftSql,
     "dq_cohens_kappa" -> cohensKappaSql,
@@ -6774,6 +6891,130 @@ object SparkEntry {
       |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
       |   * 1000000000) AS BIGINT) AS psi_nano
       |FROM j, t""".stripMargin
+
+  /** Shared by dq_js_drift: the PSI scenario scored with the bounded
+    * symmetric Jensen–Shannon divergence. Same smoothing/spine; the
+    * formula is ½(p·ln(p/m) + q·ln(q/m)) with m the midpoint. */
+  private def jsDriftSql: String =
+    """WITH ref AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_orderkey % 3 <> 0 AND o_totalprice IS NOT NULL),
+      |cur AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |  WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+      |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM ref),
+      |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+      |       FROM ref, st),
+      |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT) AS bin
+      |       FROM cur, st),
+      |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+      |r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY 1),
+      |c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY 1),
+      |j AS (SELECT spine.bin, COALESCE(n_ref, 0) AS n_ref,
+      |       COALESCE(n_cur, 0) AS n_cur
+      |      FROM spine LEFT JOIN r USING (bin) LEFT JOIN c USING (bin)),
+      |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+      |pq AS (SELECT bin, n_ref, n_cur,
+      |        (n_ref + 0.5) / (tr + 5.0) AS p,
+      |        (n_cur + 0.5) / (tc + 5.0) AS q
+      |       FROM j, t)
+      |SELECT bin, n_ref, n_cur,
+      | CAST(ROUND((p * LN(p / ((p + q) / 2)) + q * LN(q / ((p + q) / 2)))
+      |   / 2 * 1000000000) AS BIGINT) AS js_nano
+      |FROM pq""".stripMargin
+
+  /** Shared by dq_cramers_v: exact-integer χ² over the contingency
+    * table (per-cell HUGEINT floor division mirroring the decimal(38,0)
+    * divmod), then one IEEE-exact sqrt rounded at 1e-6. */
+  private def cramersVSql: String =
+    """WITH cells AS (SELECT
+      |   COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>') AS a,
+      |   COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>') AS b,
+      |   COUNT(*) AS n_ab
+      |  FROM orders GROUP BY 1, 2),
+      |ra AS (SELECT a, SUM(n_ab) AS r_a FROM cells GROUP BY 1),
+      |cb AS (SELECT b, SUM(n_ab) AS c_b FROM cells GROUP BY 1),
+      |t AS (SELECT SUM(n_ab) AS n, COUNT(DISTINCT a) AS r_levels,
+      |   COUNT(DISTINCT b) AS c_levels FROM cells),
+      |grid AS (SELECT ra.a, cb.b, r_a, c_b, COALESCE(n_ab, 0) AS n_ab
+      |  FROM ra CROSS JOIN cb
+      |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      |cc AS (SELECT n, r_levels, c_levels,
+      |   CAST(n AS HUGEINT) * n_ab - CAST(r_a AS HUGEINT) * c_b AS d,
+      |   CAST(n AS HUGEINT) * r_a * c_b AS den FROM grid, t),
+      |s AS (SELECT n, r_levels, c_levels,
+      |   SUM(d * d * 1000000 // den) AS chi2_micro
+      |  FROM cc GROUP BY 1, 2, 3)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      | CAST(r_levels AS BIGINT) AS r_levels,
+      | CAST(c_levels AS BIGINT) AS c_levels,
+      | CAST(chi2_micro AS BIGINT) AS chi2_micro,
+      | CASE WHEN LEAST(r_levels, c_levels) > 1 THEN
+      |   CAST(ROUND(SQRT(CAST(chi2_micro //
+      |     (CAST(n AS HUGEINT) * (LEAST(r_levels, c_levels) - 1)) AS DOUBLE)
+      |     / 1000000) * 1000000) AS BIGINT) END AS v_micro
+      |FROM s""".stripMargin
+
+  /** Shared by ts_ohlc (batch) and stream_ohlc (drained streaming
+    * replay): open/close picked by the (ts, event_id) total order. */
+  private def ohlcSql: String =
+    """WITH e AS (SELECT event_type AS key,
+      |   CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+      |   ts, event_id, "value" AS v
+      |  FROM events WHERE "value" IS NOT NULL),
+      |r AS (SELECT *,
+      |   ROW_NUMBER() OVER (PARTITION BY key, window_start
+      |     ORDER BY ts, event_id) AS rn_a,
+      |   ROW_NUMBER() OVER (PARTITION BY key, window_start
+      |     ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT key, window_start,
+      | MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+      | MAX(v) AS high, MIN(v) AS low,
+      | MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+      | COUNT(*) AS n_obs,
+      | CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Shared by ts_twap: interval-hold weighting with the exact
+    * floor-divmod half-up division (sign-safe: the remainder is
+    * normalized nonnegative before the quotient). */
+  private def twapSql: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t_us,
+      |   CAST(ROUND("value" * 1000000) AS BIGINT) AS v_micro, event_id AS id
+      |  FROM events WHERE "value" IS NOT NULL),
+      |h AS (SELECT key, v_micro,
+      |   COALESCE(LEAD(t_us) OVER (PARTITION BY key ORDER BY t_us, id), t_us)
+      |     - t_us AS hold_us
+      |  FROM e),
+      |a AS (SELECT key, COUNT(*) AS n_obs, SUM(hold_us) AS dur_us,
+      |   SUM(CAST(v_micro AS HUGEINT) * hold_us) AS num FROM h GROUP BY 1)
+      |SELECT key, CAST(n_obs AS BIGINT) AS n_obs,
+      | CAST(dur_us AS BIGINT) AS dur_us,
+      | CASE WHEN dur_us > 0 THEN CAST(
+      |   (num - ((num % dur_us) + dur_us) % dur_us) // dur_us
+      |   + CASE WHEN 2 * (((num % dur_us) + dur_us) % dur_us) >= dur_us
+      |       THEN 1 ELSE 0 END AS BIGINT) END AS twap_micro
+      |FROM a""".stripMargin
+
+  /** Shared by q_weighted_quantile: cumulative micro-int weights over
+    * the DISTINCT value set; HUGEINT threshold product (cum·10^6
+    * exceeds int64 at scale). */
+  private def weightedQuantileSql: String =
+    """WITH pv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+      |   SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT)) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |  GROUP BY 1, 2),
+      |c AS (SELECT g, v, w,
+      |   SUM(w) OVER (PARTITION BY g ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   SUM(w) OVER (PARTITION BY g) AS w_total_micro
+      |  FROM pv)
+      |SELECT g AS l_returnflag, MIN(v) AS wq_value,
+      | CAST(MAX(w_total_micro) AS BIGINT) AS w_total_micro
+      |FROM c
+      |WHERE CAST(cum AS HUGEINT) * 1000000 >=
+      |      CAST(w_total_micro AS HUGEINT) * 500000
+      |GROUP BY 1""".stripMargin
 
   /** Shared by q_auto_skew_join and its SQL face q_skew_sql: the
     * hot-key split is plan-shape-only, so both must equal the plain

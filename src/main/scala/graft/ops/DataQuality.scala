@@ -255,6 +255,127 @@ object DataQuality {
         round(((p - q) * log(p / q)) * 1e9).cast("long").as("psi_nano"))
   }
 
+  /** Jensen–Shannon divergence drift — the bounded, symmetric
+    * complement to [[psiDrift]]: JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M) with
+    * M the midpoint mixture, always finite and ≤ ln 2, so a single
+    * alert threshold works across features regardless of how violent
+    * the shift is (PSI is unbounded and explodes on disjoint
+    * supports). Same fixed equal-width binning contract as PSI —
+    * edges from the reference, stored-histogram mergeable — and the
+    * same Laplace smoothing and bin spine so empty bins surface.
+    * Per-bin contributions are nano-quantized after one double log
+    * per term (the psiFromState discipline: counts exact, the single
+    * transcendental rounded at 1e-9 where cross-engine ULP noise
+    * vanishes).
+    *
+    * Output: (bin, n_ref, n_cur, js_nano) — Σ js_nano / 1e9 is the
+    * divergence in nats. */
+  def jsDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    val (mn, width) = histogramEdges(ref, valueCol, bins)
+    jsFromState(
+      histogramState(ref, valueCol, mn, width, bins),
+      histogramState(cur, valueCol, mn, width, bins), bins)
+  }
+
+  /** JS divergence from stored histogram state — the incremental twin
+    * of [[jsDrift]] (which routes through here): both sides are
+    * (bin, n) frames whose counts sum, so persisted per-day summaries
+    * merge into either role without re-scanning history. */
+  def jsFromState(refState: DataFrame, curState: DataFrame,
+      bins: Int): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val r = refState.groupBy("bin").agg(sum("n").as("n_ref"))
+    val c = curState.groupBy("bin").agg(sum("n").as("n_cur"))
+    val spine = refState.sparkSession.range(0, bins).select(col("id").as("bin"))
+    val joined = spine
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val p = (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * bins)
+    val q = (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * bins)
+    val m = (p + q) / 2.0
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((p * log(p / m) + q * log(q / m)) / 2.0 * 1e9)
+          .cast("long").as("js_nano"))
+  }
+
+  /** Cramér's V association audit between two categorical columns of
+    * ONE table — "are these features redundant / is this label leaking
+    * from that column?", the categorical analogue of a correlation
+    * check. V = sqrt(χ² / (n·min(r−1, c−1))) ∈ [0, 1].
+    *
+    * The χ² statistic over the contingency table is computed the
+    * [[chi2Drift]] way: each cell's (n·n_ab − r_a·c_b)² / (n·r_a·c_b)
+    * as an exact decimal(38,0) floor-divmod split micro-quantized per
+    * cell, then summed — integer end-to-end, so `chi2_micro` is
+    * engine-exact. The final V touches doubles only for one IEEE-exact
+    * sqrt after an exact integer division is rounded at 1e-6 (the
+    * psiDrift transcendental discipline). NULL categories count as a
+    * real level (a missing label associating with a feature IS
+    * leakage) via a sentinel. A degenerate single-level column makes
+    * V undefined (min(r−1, c−1) = 0) and surfaces as NULL `v_micro`
+    * with the exact χ² (= 0) still reported.
+    *
+    * Plan shape at 100 TB: one shuffle for the (a, b) contingency
+    * counts (map-side combined, so the exchange carries the distinct
+    * pair set, not rows); marginals derive from the cell counts
+    * (aggregate-sized re-group, no second scan); totals broadcast.
+    *
+    * Output: one row (n_rows, r_levels, c_levels, chi2_micro,
+    * v_micro). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    cramersVFromCells(df.select(
+        coalesce(col(aCol).cast("string"), lit("<NULL>")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("<NULL>")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab")))
+
+  /** Cramér's V from a contingency-cell state frame (a, b, n_ab) —
+    * the mergeable face of [[cramersV]] (which routes through here):
+    * cell counts are the monoid, so persisted per-day contingency
+    * summaries sum into the audit without re-scanning rows. Overflow
+    * posture: the per-cell d²·10^6 term reaches n⁴·10^6 — inside
+    * decimal(38,0) to n ≈ 10^8 rows per audited column pair; past
+    * that the audit fails LOUD (ANSI arithmetic overflow; NULL χ²
+    * under non-ANSI sessions), never a wrapped value
+    * (battery-pinned). */
+  def cramersVFromCells(cellsIn: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = cellsIn.groupBy("a", "b").agg(sum("n_ab").as("n_ab"))
+    val ra = cells.groupBy("a").agg(sum("n_ab").as("r_a"))
+    val cb = cells.groupBy("b").agg(sum("n_ab").as("c_b"))
+    val tot = cells.agg(sum("n_ab").as("n"),
+      countDistinct("a").as("r_levels"), countDistinct("b").as("c_levels"))
+    // the χ² sum runs over the FULL r×c grid: an UNOBSERVED (a, b)
+    // pair still contributes (0 − r_a·c_b/n)²-worth of statistic, so
+    // the marginal cross product is the spine and missing cells
+    // zero-fill. The spine is level-cardinality-sized (categorical
+    // audit), never data-sized.
+    val joined = ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("n_ab", coalesce(col("n_ab"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val d = col("n").cast(dec) * col("n_ab") - col("r_a").cast(dec) * col("c_b")
+    val den = col("n").cast(dec) * col("r_a") * col("c_b")
+    val cell = call_function("div", d * d * lit(1000000L), den)
+    joined
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        cell.as("cell_micro"))
+      .groupBy("n", "r_levels", "c_levels")
+      .agg(sum("cell_micro").as("chi2_micro"))
+      .select(col("n").as("n_rows"), col("r_levels"), col("c_levels"),
+        col("chi2_micro").cast("long").as("chi2_micro"),
+        when(least(col("r_levels"), col("c_levels")) > 1L,
+          round(sqrt(
+            call_function("div", col("chi2_micro"),
+              (col("n").cast(dec) * (least(col("r_levels"), col("c_levels")) - 1)))
+              .cast("double") / 1e6) * 1e6).cast("long"))
+          .as("v_micro"))
+  }
+
   /** Cohen's kappa inter-annotator agreement — the label-QA gate for
     * training-data curation (two labeling passes, human or model, over
     * the same rows): observed agreement corrected for the agreement two

@@ -878,4 +878,51 @@ object Relational {
       .select(col("item"), col("rank"), col("nbr"), col("n_item"),
         col("n_nbr"), col("n_ab"), col("score_micro"))
   }
+
+  /** Per-group EXACT weighted quantile — "the price below which half
+    * the shipped QUANTITY sits", not half the rows: the weighted
+    * lower quantile at probability p is the smallest value v whose
+    * cumulative weight W(v) = Σ{w : value ≤ v} reaches p·W_total.
+    * The unweighted percentile treats a 1-unit and a 10 000-unit line
+    * item identically; inventory/revenue questions need the weighted
+    * one.
+    *
+    * Exactness: weights are micro-quantized to longs once and summed
+    * as integers; the threshold test `W(v)·10^6 ≥ round(p·10^6)·W_tot`
+    * is pure integer arithmetic (p enters as one rounded constant), so
+    * ties against the threshold resolve identically in any engine.
+    * Cumulation is defined over DISTINCT values (all rows of equal
+    * value enter W(v) together), making the result independent of any
+    * intra-tie ordering.
+    *
+    * Plan shape at 100 TB: one shuffle groups (group, value) with
+    * map-side combine — the window cumsum then runs over the DISTINCT
+    * value set per group, not the rows, and the final min is
+    * aggregate-sized. No global sort; the only per-group sort is the
+    * distinct-value window, bounded by value cardinality.
+    *
+    * Output: (group, wq_value, w_total_micro). */
+  def weightedQuantilePerGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      pMicro: Long = 500000L): DataFrame = {
+    require(pMicro > 0L && pMicro <= 1000000L,
+      s"pMicro must be in (0, 1e6], got $pMicro")
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        round(col(weightCol).cast("double") * lit(1000000L)).cast("long")
+          .as("w_micro"))
+      .groupBy("g", "v").agg(sum("w_micro").as("w"))
+    val win = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("g")
+    val dec = "decimal(38,0)"
+    perValue
+      .withColumn("cum", sum("w").over(win))
+      .withColumn("w_total_micro", sum("w").over(tot))
+      .filter(col("cum").cast(dec) * lit(1000000L) >=
+        col("w_total_micro").cast(dec) * lit(pMicro))
+      .groupBy(col("g").as(groupCol))
+      .agg(min("v").as("wq_value"), max("w_total_micro").as("w_total_micro"))
+  }
 }

@@ -348,4 +348,97 @@ object TimeSeries {
       .toDF(keyCol, tCol, xCol, "ewma_micro")
   }
 
+  /** OHLC candlestick bars: per (key, tumbling bucket of `widthSec`),
+    * the first/highest/lowest/last observation plus exact volume. The
+    * classic market-data rollup (open-high-low-close), equally useful
+    * as a generic "first/extremes/last per window" compaction for any
+    * measurement stream.
+    *
+    * Open/close need a total order inside the bucket; wall-clock `ts`
+    * alone can tie, so the order key is the pair (ts, id) with `idCol`
+    * a unique row id — open = value at the MIN (ts, id), close = value
+    * at the MAX. Spark's `min_by`/`max_by` over a two-field struct
+    * gives both in the same single-shuffle aggregation as the min/max/
+    * count — no window sort, no second pass. High/low compare the raw
+    * value (no arithmetic, engine-exact); the volume sum is micro-
+    * quantized to a long so summation order can't perturb a float.
+    *
+    * Plan shape at 100 TB: one hash aggregation with map-side combine
+    * on (key, bucket) — state per group is five scalars + two order
+    * keys, so partial aggregation compacts each input partition to its
+    * distinct (key, bucket) set before the shuffle.
+    *
+    * Output: (key, window_start, open, high, low, close, n_obs,
+    * sum_micro). */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, widthSec: Long = 3600L): DataFrame = {
+    require(widthSec > 0, s"widthSec must be positive, got $widthSec")
+    val sec = unix_timestamp(col(tsCol))
+    val v = col(valCol).cast("double")
+    val ord = struct(col(tsCol), col(idCol))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        (floor(sec / widthSec) * widthSec).as("window_start"))
+      .agg(
+        min_by(v, ord).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, ord).as("close"),
+        count(lit(1)).as("n_obs"),
+        sum(round(v * lit(1000000L)).cast("long")).as("sum_micro"))
+  }
+
+  /** Time-weighted average (TWAP): per key, the mean of a step signal
+    * that HOLDS each observed value until the next observation — the
+    * honest average of an irregularly-sampled series, where the plain
+    * AVG over-weights bursts of dense samples. Each observation's
+    * weight is its holding time (microseconds to the key's next
+    * observation in (ts, id) order); the key's last observation has
+    * nothing after it and carries zero weight, per the standard
+    * half-open [t_i, t_{i+1}) convention.
+    *
+    * Exactness: values are micro-quantized to longs once; the
+    * numerator Σ value_micro·hold_us runs in decimal(38,0) (a long
+    * would overflow at value_micro·span_us ≈ 10^9·10^11), and the
+    * final division is the exact floor divmod split, so `twap_micro`
+    * is bit-identical in any engine. Ties on ts order by the unique
+    * id; equal timestamps yield zero holds, so the value order inside
+    * a tie can't affect the sum.
+    *
+    * Plan shape: one window (lead over the key partition) + one
+    * grouped aggregation — both shuffle on the key, and AQE coalesces
+    * them into a single exchange since the partitioning matches.
+    * Per-key state is O(1). Keys with a single observation have zero
+    * duration and surface with NULL twap_micro (undefined, loudly).
+    *
+    * Output: (key, n_obs, dur_us, twap_micro). */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val dec = "decimal(38,0)"
+    val stepped = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), us.as("t_us"),
+        round(col(valCol).cast("double") * lit(1000000L)).cast("long")
+          .as("v_micro"), col(idCol).as("id"))
+      .withColumn("hold_us",
+        coalesce(lead(col("t_us"), 1).over(
+          Window.partitionBy(col("key")).orderBy(col("t_us"), col("id"))),
+          col("t_us")) - col("t_us"))
+    val agg = stepped.groupBy("key").agg(
+      count(lit(1)).as("n_obs"),
+      sum("hold_us").as("dur_us"),
+      sum(col("v_micro").cast(dec) * col("hold_us")).as("num"))
+    // exact round-half-up division valid for ANY numerator sign:
+    // pmod is the nonnegative remainder, so (num - r) / den is the
+    // floor quotient exactly (no truncation-direction ambiguity), and
+    // the half-up carry compares 2r against den in exact decimals
+    val den = col("dur_us").cast(dec)
+    val r = pmod(col("num"), den)
+    val floorQ = call_function("div", col("num") - r, den)
+    agg.select(col("key"), col("n_obs"), col("dur_us"),
+      when(col("dur_us") > 0L,
+        (floorQ + when(r * 2 >= den, lit(1)).otherwise(lit(0))).cast("long"))
+        .as("twap_micro"))
+  }
+
 }

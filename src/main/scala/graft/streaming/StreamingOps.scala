@@ -274,6 +274,37 @@ object StreamingOps {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"))
 
+  /** Streaming OHLC candlestick bars — the streaming twin of
+    * [[graft.ops.TimeSeries.ohlcBars]], sharing its epoch bucket and
+    * (ts, id) open/close order so a drained replay is bit-identical to
+    * the batch rollup. Every aggregate here is an order-independent
+    * fold with O(1) state per (key, bucket): min_by/max_by keep one
+    * (value, order-key) pair each, min/max/count/sum one scalar — all
+    * streaming-legal declarative aggregates, so microbatch boundaries
+    * can't perturb the result (the micro-quantized integer sum is
+    * exact under any accumulation order, unlike a float sum). Complete
+    * or update mode against finite replays; production appends add
+    * `.withWatermark(tsCol, …)` upstream, and closed bars then emit
+    * exactly once. */
+  def ohlcEpoch(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valCol: String = "value", windowSeconds: Long = 3600L): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val v = col(valCol).cast("double")
+    val ord = struct(col(tsCol), col(idCol))
+    events.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        (floor(unix_timestamp(col(tsCol)) / windowSeconds) * windowSeconds)
+          .as("window_start"))
+      .agg(
+        min_by(v, ord).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, ord).as("close"),
+        count(lit(1)).as("n_obs"),
+        sum(round(v * lit(1000000L)).cast("long")).as("sum_micro"))
+  }
+
   /** Hopping (sliding) windows per event type — the streaming twin of
     * Events.hopping. Spark's `window(ts, len, slide)` assigns each event
     * to every slide-aligned [w, w+len) window containing it, the same

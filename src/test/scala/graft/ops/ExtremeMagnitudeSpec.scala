@@ -365,4 +365,80 @@ class ExtremeMagnitudeSpec extends SparkTestBase {
       assert(math.abs(g._5 - e._5) <= 1L, s"surv_micro ${g._5} vs ${e._5}")
     }
   }
+
+  test("twap exact past int64: year-long holds × 10^12 values (BigInt reference)") {
+    // per-term v_micro·hold_us ≈ 10^12·10^11 = 10^23 — a long numerator
+    // would have wrapped 10^4 times over; decimal(38,0) must carry it
+    // exactly and the floor-divmod division must replay in BigInt
+    def t(us: Long) = new java.sql.Timestamp(us / 1000L) // whole-ms epochs
+    val obs = Seq(
+      (0L, 1000000.0),             // v_micro 10^12 held 10^11+e6 us
+      (100000001000000L, 2000000.0), // v_micro 2·10^12 held 10^11-e6 us
+      (200000000000000L, 0.0))     // terminal, zero hold
+    val df = obs.zipWithIndex
+      .map { case ((us, v), i) => ("g", t(us), i.toLong, v) }
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.twap(df, "k", "ts", "id", "v").head()
+    val vMicro = obs.map(o => BigInt(math.round(o._2 * 1e6)))
+    val tsUs = obs.map(o => BigInt(o._1))
+    val holds = tsUs.sliding(2).map(p => p(1) - p(0)).toSeq :+ BigInt(0)
+    val num = vMicro.zip(holds).map { case (v, h) => v * h }.sum
+    val dur = holds.sum
+    val expected = (num - num.mod(dur)) / dur +
+      (if (num.mod(dur) * 2 >= dur) 1 else 0)
+    assert(BigInt(got.getLong(2)) === dur)
+    assert(BigInt(got.getLong(3)) === expected)
+  }
+
+  test("cramersVFromCells exact at 10^7-scale counts (BigInt reference); " +
+    "past the decimal cliff χ² is NULL, never a wrap") {
+    // strongly-associated 2x2 with counts a unit test could never
+    // generate by rows: d ≈ 10^14, so d²·10^6 ≈ 10^34 exercises the
+    // top of decimal(38,0) while staying exact
+    val (xu, xw, yu, yw) = (10000000L, 1L, 1L, 10000000L)
+    val cells = Seq(("x", "u", xu), ("x", "w", xw),
+      ("y", "u", yu), ("y", "w", yw)).toDF("a", "b", "n_ab")
+    val got = DataQuality.cramersVFromCells(cells).head()
+    val n = BigInt(xu) + xw + yu + yw
+    val (ra1, ra2) = (BigInt(xu) + xw, BigInt(yu) + yw)
+    val (cb1, cb2) = (BigInt(xu) + yu, BigInt(xw) + yw)
+    val chi2 = Seq(
+      (BigInt(xu), ra1, cb1), (BigInt(xw), ra1, cb2),
+      (BigInt(yu), ra2, cb1), (BigInt(yw), ra2, cb2))
+      .map { case (nab, ra, cb) =>
+        val d = n * nab - ra * cb
+        d * d * 1000000 / (n * ra * cb)
+      }.sum
+    assert(big(got, 0) === n)
+    assert(big(got, 3) === chi2)
+    // replay the operator's exact pipeline: floor-div by n·(k−1),
+    // THEN the one double sqrt — not a pure-double reformulation
+    val vExp = math.round(math.sqrt((chi2 / n).toLong / 1e6) * 1e6)
+    assert(got.getLong(4) === vExp)
+    // cliff: diagonal counts at 10^10 give d = 10^20, d² = 10^40 —
+    // past decimal(38,0): LOUD (ANSI overflow error, or visible NULL
+    // under a non-ANSI session), never a silently wrapped χ²
+    val over = Seq(("x", "u", 10000000000L), ("y", "w", 10000000000L))
+      .toDF("a", "b", "n_ab")
+    try {
+      val o = DataQuality.cramersVFromCells(over).head()
+      assert(o.isNullAt(3), "chi2 past the decimal cliff must surface NULL")
+    } catch {
+      case e: Exception =>
+        val m = e.getMessage
+        assert(m.contains("OUT_OF_RANGE") || m.contains("OVERFLOW"),
+          s"expected an overflow error, got: $m")
+    }
+  }
+
+  test("weightedQuantilePerGroup integer threshold exact at 10^12-unit weights") {
+    // w_micro ≈ 9·10^17 per row: cum·10^6 ≈ 10^24 would wrap a long —
+    // the threshold product must run in decimal. Two heavy rows: the
+    // first holds exactly half the mass -> lower median is the first.
+    val w = 900000000000.0 // 9e11 units -> 9e17 micro, double-exact
+    val df = Seq(("g", 1.0, w), ("g", 2.0, w)).toDF("k", "v", "w")
+    val r = Relational.weightedQuantilePerGroup(df, "k", "v", "w").head()
+    assert(r.getDouble(1) === 1.0)
+    assert(BigInt(r.getLong(2)) === BigInt(math.round(w * 1e6)) * 2)
+  }
 }
