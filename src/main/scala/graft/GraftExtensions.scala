@@ -288,6 +288,28 @@ object GraftExtensions {
         bins = longLit(args(3), "bins").toInt)
       out.queryExecution.logical
     }),
+    //   graft_js_drift(ref_view, cur_view, value_col, bins)
+    // Bounded symmetric Jensen–Shannon drift — same fixed-edge binning
+    // plan as DataQuality.jsDrift (shares PSI's histogram state).
+    ("graft_js_drift", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.jsDrift(
+        spark.table(strLit(args(0), "ref_view")),
+        spark.table(strLit(args(1), "cur_view")),
+        strLit(args(2), "value_col"),
+        bins = longLit(args(3), "bins").toInt)
+      out.queryExecution.logical
+    }),
+    //   graft_cramers_v(table_view, col_a, col_b)
+    // Cramér's V categorical association — same zero-filled contingency
+    // grid plan as DataQuality.cramersV.
+    ("graft_cramers_v", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.cramersV(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "col_a"), strLit(args(2), "col_b"))
+      out.queryExecution.logical
+    }),
     //   graft_ks_drift(ref_view, cur_view, value_col)
     // Exact two-sample KS drift — same range-partitioned CDF plan as
     // DataQuality.ksDrift (per-partition offset totals collected at

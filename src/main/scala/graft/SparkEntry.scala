@@ -1660,6 +1660,32 @@ object SparkEntry {
         cur = orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
         valueCol = "o_totalprice", scale = 100L)
     },
+    "dq_js_sql" -> { (s, dir) =>
+      // JS divergence through its SQL face: graft_js_drift returns the
+      // exact plan DataQuality.jsDrift builds (same scenario and
+      // oracle as dq_js_drift).
+      graft.GraftExtensions.register(s)
+      val orders = Tables(s, dir, "orders")
+      val refV = freshViewName("graft_js_ref_v")
+      val curV = freshViewName("graft_js_cur_v")
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) =!= 0)
+        .createOrReplaceTempView(refV)
+      orders.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        .createOrReplaceTempView(curV)
+      try s.sql(s"""SELECT * FROM graft_js_drift('$refV',
+        '$curV', 'o_totalprice', 10)""")
+      finally { s.catalog.dropTempView(refV); s.catalog.dropTempView(curV) }
+    },
+    "dq_cramers_sql" -> { (s, dir) =>
+      // Cramér's V through its SQL face (same plan and oracle as
+      // dq_cramers_v).
+      graft.GraftExtensions.register(s)
+      val v = freshViewName("graft_cramers_v_v")
+      Tables(s, dir, "orders").createOrReplaceTempView(v)
+      try s.sql(
+        s"SELECT * FROM graft_cramers_v('$v', 'o_orderpriority', 'o_orderstatus')")
+      finally s.catalog.dropTempView(v)
+    },
     "dq_psi_sql" -> { (s, dir) =>
       // The numeric PSI gate through its SQL face: graft_psi_drift
       // returns the exact plan DataQuality.psiDrift builds (same
@@ -3347,6 +3373,28 @@ object SparkEntry {
       graft.ops.TimeSeries.twap(Tables(s, dir, "events"),
         keyCol = "event_type", tsCol = "ts", idCol = "event_id",
         valCol = "value")
+    },
+    "ts_ohlc_incremental" -> { (s, dir) =>
+      // OHLC bars off PERSISTED per-day state — the incremental twin
+      // of ts_ohlc: three event tiles each fold to an ohlcState
+      // written through the parquet sink; the bars are computed from
+      // the STORED states only (state files in the lineage, events
+      // never re-read), and the (t_us, id, v)-struct min/max monoid
+      // makes the merge EXACTLY equal the one-shot rollup — shared
+      // oracle with ts_ohlc.
+      val ev = Tables(s, dir, "events")
+      val stateDir = scratchDir("graft_ohlc_state_").toString
+      (0 until 3).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ops.TimeSeries.ohlcState(
+            ev.filter(pmod(col("event_id"), lit(3L)) === d),
+            "event_type", "ts", "event_id", "value", widthSec = 3600L),
+          s"$stateDir/day=$d")
+      }
+      graft.ops.TimeSeries.ohlcFromState(
+        graft.ops.TimeSeries.mergeOhlcStates(
+          s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1",
+            s"$stateDir/day=2")))
     },
     "ts_decompose" -> { (s, dir) =>
       // Classical additive seasonal decomposition of the hourly per-type
@@ -5122,6 +5170,8 @@ object SparkEntry {
         |FROM w""".stripMargin,
     "dq_psi_drift" -> psiDriftSql,
     "dq_js_drift" -> jsDriftSql,
+    "dq_js_sql" -> jsDriftSql,
+    "dq_cramers_sql" -> cramersVSql,
     "dq_js_incremental" ->
       """WITH day0 AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
         |  WHERE o_orderkey % 5 = 0 AND o_totalprice IS NOT NULL),
@@ -5151,6 +5201,7 @@ object SparkEntry {
         |FROM pq""".stripMargin,
     "dq_cramers_v" -> cramersVSql,
     "ts_ohlc" -> ohlcSql,
+    "ts_ohlc_incremental" -> ohlcSql,
     "stream_ohlc" -> ohlcSql,
     "ts_twap" -> twapSql,
     "q_weighted_quantile" -> weightedQuantileSql,

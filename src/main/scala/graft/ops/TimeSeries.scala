@@ -355,13 +355,16 @@ object TimeSeries {
     * measurement stream.
     *
     * Open/close need a total order inside the bucket; wall-clock `ts`
-    * alone can tie, so the order key is the pair (ts, id) with `idCol`
-    * a unique row id — open = value at the MIN (ts, id), close = value
-    * at the MAX. Spark's `min_by`/`max_by` over a two-field struct
-    * gives both in the same single-shuffle aggregation as the min/max/
+    * alone can tie, so the order key is the pair (t_us, id) with
+    * `idCol` a unique row id — open = value at the MIN (t_us, id),
+    * close = value at the MAX, picked by min/max over an order-keyed
+    * struct in the same single-shuffle aggregation as the min/max/
     * count — no window sort, no second pass. High/low compare the raw
     * value (no arithmetic, engine-exact); the volume sum is micro-
     * quantized to a long so summation order can't perturb a float.
+    * Routes through [[ohlcState]]/[[ohlcFromState]], so incremental
+    * bar maintenance off persisted per-day states is the same code
+    * path.
     *
     * Plan shape at 100 TB: one hash aggregation with map-side combine
     * on (key, bucket) — state per group is five scalars + two order
@@ -371,22 +374,57 @@ object TimeSeries {
     * Output: (key, window_start, open, high, low, close, n_obs,
     * sum_micro). */
   def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, widthSec: Long = 3600L): DataFrame =
+    ohlcFromState(ohlcState(df, keyCol, tsCol, idCol, valCol, widthSec))
+
+  /** Mergeable OHLC bar state: one row per (key, bucket) carrying the
+    * open/close picks WITH their (t_us, id) order keys — `open_k` is
+    * the MINIMUM of struct(t_us, id, v) (struct ordering compares
+    * fields left to right, and id is unique, so v along for the ride
+    * can never decide), `close_k` the maximum. Min/max over a total
+    * order are associative and commutative, and the other four
+    * aggregates are count/sum/min/max monoids — so per-day persisted
+    * states fold with [[mergeOhlcStates]] into EXACTLY the bars a
+    * one-shot pass over the union computes. Persist one frame per
+    * day/partition and bar maintenance never re-reads history. */
+  def ohlcState(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valCol: String, widthSec: Long = 3600L): DataFrame = {
     require(widthSec > 0, s"widthSec must be positive, got $widthSec")
     val sec = unix_timestamp(col(tsCol))
     val v = col(valCol).cast("double")
-    val ord = struct(col(tsCol), col(idCol))
+    val tagged = struct(unix_micros(col(tsCol).cast("timestamp")).as("t_us"),
+      col(idCol).cast("long").as("id"), v.as("v"))
     df.filter(col(valCol).isNotNull)
       .groupBy(col(keyCol).as("key"),
         (floor(sec / widthSec) * widthSec).as("window_start"))
       .agg(
-        min_by(v, ord).as("open"),
+        min(tagged).as("open_k"),
+        max(tagged).as("close_k"),
         max(v).as("high"),
         min(v).as("low"),
-        max_by(v, ord).as("close"),
         count(lit(1)).as("n_obs"),
         sum(round(v * lit(1000000L)).cast("long")).as("sum_micro"))
   }
+
+  /** Fold any number of [[ohlcState]] frames (unioned) into one state
+    * row per (key, bucket) — the monoid merge. */
+  def mergeOhlcStates(states: DataFrame): DataFrame =
+    states.groupBy("key", "window_start")
+      .agg(
+        min("open_k").as("open_k"),
+        max("close_k").as("close_k"),
+        max("high").as("high"),
+        min("low").as("low"),
+        sum("n_obs").as("n_obs"),
+        sum("sum_micro").as("sum_micro"))
+
+  /** Project OHLC state to the bar schema (key, window_start, open,
+    * high, low, close, n_obs, sum_micro) — [[ohlcBars]] routes through
+    * here, so direct and from-state bars are one code path. */
+  def ohlcFromState(state: DataFrame): DataFrame =
+    state.select(col("key"), col("window_start"),
+      col("open_k.v").as("open"), col("high"), col("low"),
+      col("close_k.v").as("close"), col("n_obs"), col("sum_micro"))
 
   /** Time-weighted average (TWAP): per key, the mean of a step signal
     * that HOLDS each observed value until the next observation — the

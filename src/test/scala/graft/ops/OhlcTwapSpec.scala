@@ -56,6 +56,24 @@ class OhlcTwapSpec extends SparkTestBase {
     assert(batch.collect().toSeq === stream.collect().toSeq)
   }
 
+  test("ohlcState: per-split states merge into EXACTLY the one-shot bars") {
+    val df = Seq(
+      ("A", ts(h + 5), 1L, 5.0), ("A", ts(h + 5), 2L, 7.0),
+      ("A", ts(h + 1800), 3L, 2.0), ("A", ts(h + 3599), 4L, 6.0),
+      ("B", ts(h + 10), 5L, 3.0), ("A", ts(h + 3600), 6L, 9.0)
+    ).toDF("k", "t", "id", "v")
+    // split so a bar's open and close land in DIFFERENT states — the
+    // merge must re-run the (t_us, id) contest, not concatenate
+    val s1 = TimeSeries.ohlcState(df.filter(col("id") % 2 === 0), "k", "t", "id", "v")
+    val s2 = TimeSeries.ohlcState(df.filter(col("id") % 2 === 1), "k", "t", "id", "v")
+    val merged = TimeSeries.ohlcFromState(
+      TimeSeries.mergeOhlcStates(s1.unionByName(s2)))
+      .orderBy("key", "window_start").collect().toSeq
+    val direct = TimeSeries.ohlcBars(df, "k", "t", "id", "v")
+      .orderBy("key", "window_start").collect().toSeq
+    assert(merged === direct)
+  }
+
   test("twap: interval-hold weighting, last observation carries zero") {
     // A: v=10 held 10s, v=20 held 30s, v=50 held 0
     //    num = 1e7*1e7 + 2e7*3e7 = 7e14; dur = 4e7 us; twap = 17.5
