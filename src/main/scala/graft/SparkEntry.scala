@@ -484,6 +484,15 @@ object SparkEntry {
         .select(col("c_mktsegment"), col("n"),
           round(col("encoding") * 1e6).cast("long").as("enc_micro"))
     },
+    "feat_zscore" -> { (s, dir) =>
+      // Per-type z-score standardization of event values: micro-int
+      // power sums -> bit-identical mu/sigma doubles in any engine,
+      // one broadcast join back onto the rows, z quantized at 1e-6.
+      graft.ext.Features.standardize(
+          Tables(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z_micro"))
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -3031,6 +3040,73 @@ object SparkEntry {
         graft.streaming.StreamingOps.driftGateResult(s, refHist, stateDir, bins)
       }
     },
+    "stream_cramers_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Association-on-arrival: the dq_cramers_v scenario with orders
+        // arriving as a 3-file stream. Contingency cells are a pure
+        // count monoid, so the drained gate state recomputes EXACTLY
+        // the one-shot Cramér's V — dq_cramers_v's own oracle. State
+        // is level-cardinality-sized; each batch folds via
+        // foreachBatch with the versioned-dir + marker commit.
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+        val replayDir = scratchDir("graft_assoc_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_assoc_stage_")
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_assoc_state_").toString
+        val ckpt = scratchDir("graft_assoc_ckpt_").toString
+        val stream = s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.associationGate(stream,
+          "o_orderpriority", "o_orderstatus", stateDir, ckpt)
+        graft.streaming.StreamingOps.associationGateResult(s, stateDir)
+      }
+    },
+    "stream_twap_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // TWAP-on-arrival: events arriving as 3 TIME-ORDERED tiles
+        // (the gates' replay contract — a key's observations never go
+        // backwards across batches). Each batch's per-key slice state
+        // folds onto the stored state with the ordered
+        // mergeTwapStates — the previous last value held across the
+        // seam — so the drained gate reads back EXACTLY the one-shot
+        // TWAP (ts_twap's own oracle) from one state row per key.
+        val ev = Tables(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val bounds = ev.agg(min(unix_timestamp(col("ts"))),
+          max(unix_timestamp(col("ts")))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+        val cut1 = lo + (hi - lo) / 3
+        val cut2 = lo + 2 * (hi - lo) / 3
+        val sec = unix_timestamp(col("ts"))
+        val tiles = Seq(sec < cut1, sec >= cut1 && sec < cut2, sec >= cut2)
+        val replayDir = scratchDir("graft_twap_replay_").toFile
+        tiles.zipWithIndex.foreach { case (p, i) =>
+          val stage = scratchDir("graft_twap_stage_")
+          ev.filter(p).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$i%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_twap_state_").toString
+        val ckpt = scratchDir("graft_twap_ckpt_").toString
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.twapGate(stream, "event_type", "ts",
+          "event_id", "value", stateDir, ckpt)
+        graft.streaming.StreamingOps.twapGateResult(s, stateDir)
+      }
+    },
     "stream_anomaly_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Anomaly-on-arrival: the ts_seasonal_anomaly scenario with the
@@ -5204,7 +5280,29 @@ object SparkEntry {
     "ts_ohlc_incremental" -> ohlcSql,
     "stream_ohlc" -> ohlcSql,
     "ts_twap" -> twapSql,
+    "stream_twap_gate" -> twapSql,
+    "stream_cramers_gate" -> cramersVSql,
     "q_weighted_quantile" -> weightedQuantileSql,
+    "feat_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, "value",
+        |   CASE WHEN "value" IS NOT NULL
+        |     THEN CAST(ROUND("value" * 1000000) AS BIGINT) END AS vm
+        |  FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(vm) AS sx,
+        |   SUM(CAST(vm AS HUGEINT) * vm) AS sxx
+        |  FROM e WHERE vm IS NOT NULL GROUP BY 1)
+        |SELECT event_id, e.event_type, "value",
+        | CASE WHEN vm IS NOT NULL AND n > 1 AND
+        |   (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+        |  THEN CAST(ROUND(
+        |    (CAST(vm AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * 1000000) AS BIGINT) END AS z_micro
+        |FROM e LEFT JOIN s USING (event_type)""".stripMargin,
     "dq_psi_sql" -> psiDriftSql,
     "stream_drift_gate" -> psiDriftSql,
     "dq_cohens_kappa" -> cohensKappaSql,

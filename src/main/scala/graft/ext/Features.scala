@@ -149,4 +149,41 @@ object Features {
           lit(smoothing) * (col("__tsum").cast("double") / col("__tn").cast("double"))) /
           (col("n").cast("double") + lit(smoothing))).as("encoding"))
   }
+
+  /** Per-group z-score standardization — the StandardScaler transform
+    * at pipeline scale: z = (x − μ_g) / σ_g with POPULATION σ (ddof=0,
+    * sklearn's convention). Values are micro-quantized to integers
+    * ONCE (the family-wide 1e-6 discipline), then the group moments
+    * (n, Σx, Σx²) accumulate as exact integers/decimals in one
+    * map-side-combined aggregation — summation-order-independent, so
+    * the μ/σ doubles derived from them are bit-identical in any engine
+    * evaluating the same expression tree (z is a ratio of micro
+    * quantities, so the quantization unit cancels; sqrt is
+    * IEEE-exact). The group-count-sized stats frame broadcasts back
+    * onto the rows: one scan + one broadcast join, no window, no
+    * second shuffle of the data.
+    *
+    * Output: input columns plus `z_micro` = round(z·10^6); NULL for
+    * NULL values and for degenerate groups (n = 1 or σ = 0 — a
+    * constant group has no scale; surfacing NULL beats a fabricated 0,
+    * and the constant column is the signal to drop the feature). */
+  def standardize(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vMic = round(col(valueCol).cast("double") * lit(1000000L))
+      .cast("long")
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1L)).as("__n"), sum(vMic).as("__sx"),
+        sum(vMic.cast(dec) * vMic).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val mu = col("__sx").cast("double") / nD
+    val varPop = col("__sxx").cast("double") / nD - mu * mu
+    df.join(broadcast(stats), Seq(groupCol), "left")
+      .withColumn("z_micro",
+        when(col(valueCol).isNotNull && col("__n") > 1L && varPop > 0.0,
+          round((vMic.cast("double") - mu) / sqrt(varPop) *
+            lit(1000000L)).cast("long")))
+      .drop("__n", "__sx", "__sxx")
+  }
 }

@@ -451,21 +451,78 @@ object TimeSeries {
     *
     * Output: (key, n_obs, dur_us, twap_micro). */
   def twap(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
-      valCol: String): DataFrame = {
+      valCol: String): DataFrame =
+    twapFromState(twapState(df, keyCol, tsCol, idCol, valCol))
+
+  /** Mergeable TWAP state: one row per key carrying the running
+    * (n_obs, dur_us, num) accumulators PLUS the key's first and last
+    * observations as (t_us, id, v_micro) structs — exactly what a
+    * later slice needs to bridge onto this one. Unlike a count
+    * monoid, TWAP state merges under a TIME ORDER (the earlier
+    * slice's last value holds until the later slice's first
+    * observation), so the fold face is the ordered pairwise
+    * [[mergeTwapStates]], matching how a streaming gate folds
+    * arriving batches. */
+  def twapState(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
     val us = unix_micros(col(tsCol).cast("timestamp"))
     val dec = "decimal(38,0)"
     val stepped = df.filter(col(valCol).isNotNull)
       .select(col(keyCol).as("key"), us.as("t_us"),
         round(col(valCol).cast("double") * lit(1000000L)).cast("long")
-          .as("v_micro"), col(idCol).as("id"))
+          .as("v_micro"), col(idCol).cast("long").as("id"))
       .withColumn("hold_us",
         coalesce(lead(col("t_us"), 1).over(
           Window.partitionBy(col("key")).orderBy(col("t_us"), col("id"))),
           col("t_us")) - col("t_us"))
-    val agg = stepped.groupBy("key").agg(
+    val tagged = struct(col("t_us"), col("id"), col("v_micro"))
+    stepped.groupBy("key").agg(
       count(lit(1)).as("n_obs"),
       sum("hold_us").as("dur_us"),
-      sum(col("v_micro").cast(dec) * col("hold_us")).as("num"))
+      sum(col("v_micro").cast(dec) * col("hold_us")).as("num"),
+      min(tagged).as("first_k"),
+      max(tagged).as("last_k"))
+  }
+
+  /** Ordered merge of two TWAP states: every observation of a key in
+    * `earlier` must precede the key's observations in `later` (the
+    * arriving-batch contract — identical to the other gates'
+    * time-ordered replay assumption). The earlier slice's last value
+    * is held across the seam to the later slice's first observation;
+    * accumulators then add. Associative under that order, so folding
+    * day 1..N pairwise equals the one-shot pass — bit-identically,
+    * since every term is integer/decimal. */
+  def mergeTwapStates(earlier: DataFrame, later: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = earlier.select(col("key"), col("n_obs").as("e_n"),
+      col("dur_us").as("e_dur"), col("num").as("e_num"),
+      col("first_k").as("e_first"), col("last_k").as("e_last"))
+    val l = later.select(col("key"), col("n_obs").as("l_n"),
+      col("dur_us").as("l_dur"), col("num").as("l_num"),
+      col("first_k").as("l_first"), col("last_k").as("l_last"))
+    val both = col("e_n").isNotNull && col("l_n").isNotNull
+    val bridge = when(both, col("l_first.t_us") - col("e_last.t_us"))
+      .otherwise(lit(0L))
+    e.join(l, Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("e_n"), lit(0L)) + coalesce(col("l_n"), lit(0L)))
+          .as("n_obs"),
+        (coalesce(col("e_dur"), lit(0L)) + bridge +
+          coalesce(col("l_dur"), lit(0L))).as("dur_us"),
+        (coalesce(col("e_num"), lit(0L).cast(dec)) +
+          when(both, col("e_last.v_micro").cast(dec) * bridge)
+            .otherwise(lit(0L).cast(dec)) +
+          coalesce(col("l_num"), lit(0L).cast(dec))).cast(dec).as("num"),
+        coalesce(col("e_first"), col("l_first")).as("first_k"),
+        coalesce(col("l_last"), col("e_last")).as("last_k"))
+  }
+
+  /** Final TWAP read off a state frame — the exact sign-safe
+    * floor-divmod half-up division; [[twap]] routes through here, so
+    * direct, incremental, and streaming-gate TWAPs are one code
+    * path. Output: (key, n_obs, dur_us, twap_micro). */
+  def twapFromState(state: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     // exact round-half-up division valid for ANY numerator sign:
     // pmod is the nonnegative remainder, so (num - r) / den is the
     // floor quotient exactly (no truncation-direction ambiguity), and
@@ -473,7 +530,7 @@ object TimeSeries {
     val den = col("dur_us").cast(dec)
     val r = pmod(col("num"), den)
     val floorQ = call_function("div", col("num") - r, den)
-    agg.select(col("key"), col("n_obs"), col("dur_us"),
+    state.select(col("key"), col("n_obs"), col("dur_us"),
       when(col("dur_us") > 0L,
         (floorQ + when(r * 2 >= den, lit(1)).otherwise(lit(0))).cast("long"))
         .as("twap_micro"))

@@ -793,6 +793,132 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), bins)
   }
 
+  // --- streaming association gate (foreachBatch -> contingency state) ---
+
+  /** Streaming categorical-association monitor — Cramér's V on
+    * arrival, the [[driftGate]] shape over contingency cells: each
+    * microbatch folds its (a, b) level-pair counts into the stored
+    * contingency state (a pure count monoid — batch boundaries and
+    * arrival order are irrelevant), and the association of everything
+    * seen so far is readable at any moment via
+    * [[associationGateResult]] from level-cardinality-sized summaries,
+    * never raw rows. Same versioned-dir + marker exactly-once commit
+    * as the drift gate; [[vacuumVersions]] bounds retained versions.
+    * The use: watch a feature↔label association drift toward leakage
+    * (or a redundant feature pair appear) while the data streams in. */
+  def associationGate(stream: DataFrame, aCol: String, bCol: String,
+      stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAssociationBatch(batch, batchId, aCol, bCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent contingency-cell merge (public for direct testing
+    * and batch backfills sharing the gate's state). The same NULL
+    * sentinel as `DataQuality.cramersV`, so the gate's level space is
+    * identical to the batch audit's. */
+  def applyAssociationBatch(batch: DataFrame, batchId: Long,
+      aCol: String, bCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val cells = batch.select(
+        coalesce(col(aCol).cast("string"), lit("<NULL>")).as("a"),
+        coalesce(col(bCol).cast("string"), lit("<NULL>")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val merged = (if (current >= 0L)
+      cells.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else cells)
+      .groupBy("a", "b").agg(sum("n_ab").as("n_ab"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Cramér's V of the gate's committed contingency state — reads ONLY
+    * the stored cell counts. */
+  def associationGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed association state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.DataQuality.cramersVFromCells(
+      spark.read.parquet(s"$stateDir/v$v"))
+  }
+
+  // --- streaming TWAP gate (foreachBatch -> per-key hold state) ---
+
+  /** Streaming time-weighted average — TWAP on arrival: each
+    * microbatch's per-key slice state (running numerator/duration plus
+    * the first/last observations) folds onto the stored state with
+    * `TimeSeries.mergeTwapStates`, the earlier state's last value held
+    * across the batch seam. Requires the other gates' time-ordered
+    * replay contract: a key's observations must not arrive out of
+    * order ACROSS batches (within a batch any order is fine — the
+    * slice state sorts on (t_us, id) internally). State is one row per
+    * key; [[twapGateResult]] reads the exact TWAP of everything seen
+    * so far via `TimeSeries.twapFromState` — the same division code
+    * path as the batch operator, so a drained replay is bit-identical
+    * to the one-shot TWAP. */
+  def twapGate(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTwapBatch(batch, batchId, keyCol, tsCol, idCol, valCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent TWAP state fold (public for direct testing and
+    * batch backfills sharing the gate's state). */
+  def applyTwapBatch(batch: DataFrame, batchId: Long, keyCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val slice = graft.ops.TimeSeries.twapState(batch, keyCol, tsCol,
+      idCol, valCol)
+    val merged = if (current >= 0L)
+      graft.ops.TimeSeries.mergeTwapStates(
+        spark.read.parquet(s"$stateDir/v$current"), slice)
+    else slice
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** TWAP of the gate's committed per-key state — `twapFromState` over
+    * the stored rows only. */
+  def twapGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed twap state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.TimeSeries.twapFromState(spark.read.parquet(s"$stateDir/v$v"))
+  }
+
   // --- streaming anomaly gate (foreachBatch -> persisted cell state) ---
 
   /** Streaming seasonal-anomaly gate — anomaly-on-arrival, the

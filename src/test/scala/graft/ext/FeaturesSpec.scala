@@ -116,4 +116,40 @@ class FeaturesSpec extends SparkTestBase {
       .collect().map(r => Option(r.getAs[Any]("pct_micro"))).toSeq
     assert(unseen === Seq(None))
   }
+
+  test("standardize: hand-computed z-scores, population sigma (ddof=0)") {
+    // group g: 1, 2, 3 -> mu=2, sigma=sqrt(2/3); z(3)=sqrt(3/2)=1.2247449
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0))
+      .toDF("k", "id", "v")
+    val got = Features.standardize(df, "k", "v")
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(got.toSeq === Seq(-1224745L, 0L, 1224745L))
+  }
+
+  test("standardize: NULL value, singleton group, constant group all NULL z") {
+    val df = Seq(
+      ("solo", 1L, Some(5.0)),
+      ("const", 2L, Some(4.0)), ("const", 3L, Some(4.0)),
+      ("ok", 4L, Some(1.0)), ("ok", 5L, Some(2.0)), ("ok", 6L, None)
+    ).toDF("k", "id", "v")
+    val z = Features.standardize(df, "k", "v").orderBy("id")
+      .collect().map(r => Option(r.getAs[Any]("z_micro"))).toSeq
+    assert(z(0) === None)            // singleton: no scale
+    assert(z(1) === None && z(2) === None) // constant: sigma 0
+    assert(z(3).isDefined && z(4).isDefined)
+    assert(z(5) === None)            // NULL value stays NULL
+    // two-point group: z = ±1 exactly (each point one sigma from mu)
+    assert(z(3) === Some(-1000000L) && z(4) === Some(1000000L))
+  }
+
+  test("standardize: groups are independent and the stats join broadcasts") {
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 10.0), ("b", 3L, 100.0),
+      ("b", 4L, 300.0)).toDF("k", "id", "v")
+    val out = Features.standardize(df, "k", "v")
+    val z = out.orderBy("id").collect().map(_.getLong(3))
+    assert(z.toSeq === Seq(-1000000L, 1000000L, -1000000L, 1000000L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"stats must broadcast back, got:\n$plan")
+  }
 }

@@ -105,6 +105,25 @@ class OhlcTwapSpec extends SparkTestBase {
     assert(out(0).getLong(3) === 10000000L) // the 999 never held
   }
 
+  test("twapState: ordered pairwise folds equal the one-shot state") {
+    val df = Seq(
+      ("A", ts(0), 1L, 10.0), ("A", ts(10), 2L, 20.0),
+      ("A", ts(40), 3L, 50.0), ("A", ts(60), 4L, 30.0),
+      ("B", ts(25), 5L, 4.0), ("B", ts(55), 6L, 8.0)
+    ).toDF("k", "t", "id", "v")
+    val slices = Seq(
+      df.filter(col("id") <= 2), // A's first two
+      df.filter(col("id") === 3L || col("id") === 5L),
+      df.filter(col("id") >= 4L && col("id") =!= 5L))
+      .map(TimeSeries.twapState(_, "k", "t", "id", "v"))
+    val folded = slices.reduceLeft(TimeSeries.mergeTwapStates)
+    val oneShot = TimeSeries.twap(df, "k", "t", "id", "v")
+      .orderBy("key").collect().map(_.toSeq)
+    val viaFold = TimeSeries.twapFromState(folded)
+      .orderBy("key").collect().map(_.toSeq)
+    assert(viaFold.toSeq === oneShot.toSeq)
+  }
+
   test("twap: exact half rounds up (round-half-up contract)") {
     // v=1 held 1us, v=2 held 1us, last 0: num=3e6, dur=2 -> 1.5e6 + r
     // r = 0; pick values so num/dur has remainder exactly den/2:

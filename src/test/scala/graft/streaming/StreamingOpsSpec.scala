@@ -672,4 +672,43 @@ class StreamingOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "GOLD"), (2L, "GOLD"), (3L, "SILVER"), (4L, "GOLD")))
   }
+
+  test("association gate: cells fold idempotently; drained V equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("assoc_spec_").toString
+    val b0 = Seq(("x", "u"), ("x", "u"), ("y", "w")).toDF("p", "q")
+    val b1 = Seq(("x", "u"), ("y", "w"), ("y", "w")).toDF("p", "q")
+    applyAssociationBatch(b0, 0L, "p", "q", stateDir)
+    applyAssociationBatch(b1, 1L, "p", "q", stateDir)
+    // a foreachBatch replay must be a no-op, not a double count
+    applyAssociationBatch(b1, 1L, "p", "q", stateDir)
+    val gate = associationGateResult(spark, stateDir).head()
+    val direct = graft.ops.DataQuality
+      .cramersV(b0.unionByName(b1), "p", "q").head()
+    assert(gate.toSeq === direct.toSeq)
+    assert(gate.getLong(4) === 1000000L) // perfect association
+  }
+
+  test("twap gate: bridge across batch seams; drained equals one-shot twap") {
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val stateDir = java.nio.file.Files.createTempDirectory("twapg_spec_").toString
+    // key A: v=10 @0s, v=20 @10s | seam | v=50 @40s  (ts_twap fixture:
+    // the 20 must be held 30s ACROSS the seam -> twap 17.5)
+    // key B appears only in batch 1 (no earlier state to bridge from)
+    val b0 = Seq(("A", t(0), 1L, 10.0), ("A", t(10), 2L, 20.0))
+      .toDF("k", "t", "id", "v")
+    val b1 = Seq(("A", t(40), 3L, 50.0), ("B", t(40), 4L, 7.0))
+      .toDF("k", "t", "id", "v")
+    applyTwapBatch(b0, 0L, "k", "t", "id", "v", stateDir)
+    applyTwapBatch(b1, 1L, "k", "t", "id", "v", stateDir)
+    applyTwapBatch(b1, 1L, "k", "t", "id", "v", stateDir) // replay no-op
+    val gate = twapGateResult(spark, stateDir)
+      .orderBy("key").collect().map(_.toSeq)
+    val direct = graft.ops.TimeSeries
+      .twap(b0.unionByName(b1), "k", "t", "id", "v")
+      .orderBy("key").collect().map(_.toSeq)
+    assert(gate.toSeq === direct.toSeq)
+    assert(gate(0) === Seq("A", 3L, 40000000L, 17500000L))
+  }
 }
