@@ -493,6 +493,27 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("z_micro"))
     },
+    "dq_srm" -> { (s, dir) =>
+      // Sample-ratio-mismatch gate: a synthetic 3-arm assignment off
+      // the order key checked against its intended 1:1:1 allocation —
+      // exact goodness-of-fit cells via the decimal divmod split.
+      val arm = when(pmod(col("o_orderkey"), lit(3L)) === 0, "A")
+        .when(pmod(col("o_orderkey"), lit(3L)) === 1, "B")
+        .otherwise("C")
+      graft.ops.Experiment.srmCheck(
+        Tables(s, dir, "orders").withColumn("arm", arm), "arm",
+        weights = Seq("A" -> 1L, "B" -> 1L, "C" -> 1L))
+    },
+    "exp_cuped" -> { (s, dir) =>
+      // CUPED variance reduction: o_totalprice adjusted by its
+      // rounded-to-hundreds pre-period proxy — theta from exact
+      // micro-int power sums, residuals per order.
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"),
+        (floor(col("o_totalprice") / 100.0) * 100.0).as("x_pre"))
+      graft.ops.Experiment.cuped(o, "o_totalprice", "x_pre")
+        .select(col("o_orderkey"), col("theta_micro"), col("y_adj_micro"))
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -5283,6 +5304,51 @@ object SparkEntry {
     "stream_twap_gate" -> twapSql,
     "stream_cramers_gate" -> cramersVSql,
     "q_weighted_quantile" -> weightedQuantileSql,
+    "dq_srm" ->
+      """WITH c AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'A'
+        |    WHEN o_orderkey % 3 = 1 THEN 'B' ELSE 'C' END AS arm,
+        |   COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT UNNEST(['A', 'B', 'C']) AS arm, 1 AS w),
+        |f AS (SELECT spine.arm, w, COALESCE(n_obs, 0) AS n_obs
+        |  FROM spine LEFT JOIN c USING (arm)),
+        |t AS (SELECT SUM(n_obs) AS n FROM f)
+        |SELECT arm, n_obs,
+        | CAST(CAST(n AS HUGEINT) * w * 1000000 // 3 AS BIGINT) AS expected_micro,
+        | CASE WHEN n > 0 THEN CAST(
+        |   (CAST(n_obs AS HUGEINT) * 3 - CAST(n AS HUGEINT) * w)
+        |   * (CAST(n_obs AS HUGEINT) * 3 - CAST(n AS HUGEINT) * w)
+        |   * 1000000 // (CAST(n AS HUGEINT) * w * 3) AS BIGINT) END AS srm_cell_micro
+        |FROM f, t""".stripMargin,
+    "exp_cuped" ->
+      """WITH e AS (SELECT o_orderkey,
+        |   CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS ym,
+        |   CAST(ROUND(FLOOR(o_totalprice / 100) * 100 * 1000000) AS BIGINT) AS xm
+        |  FROM orders),
+        |s AS (SELECT COUNT(*) AS n, SUM(CAST(xm AS HUGEINT)) AS sx,
+        |   SUM(CAST(ym AS HUGEINT)) AS sy,
+        |   SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+        |   SUM(CAST(xm AS HUGEINT) * xm) AS sxx
+        |  FROM e WHERE ym IS NOT NULL AND xm IS NOT NULL),
+        |d AS (SELECT n,
+        |   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |   (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS theta,
+        |   (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS varx
+        |  FROM s)
+        |SELECT o_orderkey,
+        | CASE WHEN n > 1 AND varx > 0
+        |  THEN CAST(ROUND(theta * 1000000) AS BIGINT) END AS theta_micro,
+        | CASE WHEN ym IS NOT NULL AND xm IS NOT NULL AND n > 1 AND varx > 0
+        |  THEN CAST(ROUND(CAST(ym AS DOUBLE)
+        |    - theta * (CAST(xm AS DOUBLE) - mx)) AS BIGINT) END AS y_adj_micro
+        |FROM e, d""".stripMargin,
     "feat_zscore" ->
       """WITH e AS (SELECT event_id, event_type, "value",
         |   CASE WHEN "value" IS NOT NULL

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experimentation analytics: the A/B-test data-quality and variance
+  * tooling an analytics platform runs over event/exposure logs. Same
+  * discipline as the drift family — counts and power sums exact in
+  * integers/decimals, the handful of derived doubles computed from
+  * those exact sums by one fixed expression tree (bit-identical in any
+  * engine), outputs micro/nano-quantized.
+  */
+object Experiment {
+
+  /** Sample-ratio-mismatch (SRM) check — the first gate any experiment
+    * readout must pass: do the arm sizes match the intended allocation?
+    * A mismatched ratio means broken bucketing/logging and invalidates
+    * the experiment regardless of its metrics (the classic silent
+    * killer: a crash that drops one arm's events). χ² goodness-of-fit
+    * against integer allocation weights, each arm's cell
+    * (o·W − n·w)² / (n·w·W) quantized by the exact decimal(38,0)
+    * floor-divmod split — no float in the statistic. Arms observed in
+    * the data but absent from `weights` fail loud (an unknown arm IS
+    * the bug); declared arms with zero observations surface with their
+    * full expected mass.
+    *
+    * Plan shape: one grouped count (map-side combined, arm-cardinality
+    * sized), a literal weight spine, one broadcast total.
+    *
+    * Output: one row per declared arm —
+    * (arm, n_obs, expected_micro, srm_cell_micro); Σ srm_cell_micro is
+    * χ²·10^6 with |arms|−1 degrees of freedom. */
+  def srmCheck(df: DataFrame, armCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"allocation weights must be positive, got $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val wTot = weights.map(_._2).sum
+    val counts = df.select(col(armCol).cast("string").as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("n_obs"))
+    val known = weights.map(_._1).toSet
+    val unknown = counts.filter(!col("arm").isin(known.toSeq: _*))
+      .select("arm").collect().map(_.getString(0))
+    require(unknown.isEmpty,
+      s"arms observed but not declared in the allocation: ${unknown.mkString(", ")}")
+    val spine = weights.toDF("arm", "w")
+    val filled = spine.join(counts, Seq("arm"), "left")
+      .select(col("arm"), col("w"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = filled.agg(sum("n_obs").as("n"))
+    val j = filled.crossJoin(broadcast(tot))
+    // e = n·w/W exactly; cell = (o·W − n·w)²/(n·w·W), both as the
+    // divmod micro split so the oracle replays bit-for-bit
+    val eNum = col("n").cast(dec) * col("w")
+    val d = col("n_obs").cast(dec) * wTot - eNum
+    val den = eNum * wTot
+    j.select(col("arm"), col("n_obs"),
+      (call_function("div", eNum * lit(1000000L), lit(wTot).cast(dec)))
+        .cast("long").as("expected_micro"),
+      when(col("n") > 0L,
+        call_function("div", d * d * lit(1000000L), den).cast("long"))
+        .as("srm_cell_micro"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — adjust each unit's
+    * metric with a pre-experiment covariate so the arm comparison runs
+    * on residuals: y_adj = y − θ·(x − x̄) with θ = cov(x, y)/var(x).
+    * The workhorse of online experimentation: same means, far tighter
+    * intervals when x predicts y.
+    *
+    * θ and x̄ derive from EXACT micro-int power sums (n, Σx, Σy, Σxy,
+    * Σx²) in one map-side-combined aggregation — the groupedOls
+    * discipline, so the doubles are bit-identical in any engine — and
+    * broadcast back onto the rows: one scan + one broadcast join.
+    * Rows with a NULL metric or covariate pass through with NULL
+    * adjustment (they contribute nothing to the sums); a
+    * zero-variance covariate makes θ undefined → NULL adjustments
+    * (the covariate carries no information, the signal to drop it).
+    *
+    * Output: input columns plus `theta_micro` (the shared θ, on every
+    * row for self-describing downstream use) and `y_adj_micro`. */
+  def cuped(df: DataFrame, metricCol: String,
+      covariateCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val yM = round(col(metricCol).cast("double") * lit(1000000L)).cast("long")
+    val xM = round(col(covariateCol).cast("double") * lit(1000000L)).cast("long")
+    val stats = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull)
+      .agg(count(lit(1L)).as("__n"),
+        sum(xM.cast(dec)).as("__sx"), sum(yM.cast(dec)).as("__sy"),
+        sum(xM.cast(dec) * yM).as("__sxy"),
+        sum(xM.cast(dec) * xM).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val mx = col("__sx").cast("double") / nD
+    val my = col("__sy").cast("double") / nD
+    val covXY = col("__sxy").cast("double") / nD - mx * my
+    val varX = col("__sxx").cast("double") / nD - mx * mx
+    val theta = covXY / varX
+    df.crossJoin(broadcast(stats))
+      .withColumn("theta_micro",
+        when(col("__n") > 1L && varX > 0.0,
+          round(theta * lit(1000000L)).cast("long")))
+      .withColumn("y_adj_micro",
+        when(col(metricCol).isNotNull && col(covariateCol).isNotNull &&
+          col("__n") > 1L && varX > 0.0,
+          round(yM.cast("double") - theta * (xM.cast("double") - mx))
+            .cast("long")))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
+}
