@@ -1924,6 +1924,34 @@ object SparkEntry {
         s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1"),
         s.read.parquet(s"$stateDir/day=2", s"$stateDir/day=3", s"$stateDir/day=4"))
     },
+    "text_readability" -> { (s, dir) =>
+      // Flesch reading-ease as a curation quality signal: regex-count
+      // arithmetic chosen to evaluate identically under Java regex and
+      // RE2, both ratio terms exact integer floor divisions.
+      graft.ext.TextAnalysis.readability(Tables(s, dir, "documents"))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables",
+          "flesch_micro")
+    },
+    "q_not_in_null" -> { (s, dir) =>
+      // ANSI null-aware NOT IN semantics pin: a nullable subquery list
+      // poisons NOT IN (never TRUE) while IN still matches — Spark's
+      // NullAwareAntiJoin must reproduce DuckDB's ANSI answer exactly.
+      val oV = freshViewName("graft_nin_orders_v")
+      val cV = freshViewName("graft_nin_cust_v")
+      Tables(s, dir, "orders").createOrReplaceTempView(oV)
+      Tables(s, dir, "customer").createOrReplaceTempView(cV)
+      try s.sql(s"""SELECT
+        (SELECT COUNT(*) FROM $oV WHERE o_custkey IN
+          (SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey END FROM $cV))
+          AS n_in_nullable,
+        (SELECT COUNT(*) FROM $oV WHERE o_custkey NOT IN
+          (SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey END FROM $cV))
+          AS n_not_in_nullable,
+        (SELECT COUNT(*) FROM $oV WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM $cV WHERE c_custkey % 7 = 0))
+          AS n_not_in_clean""")
+      finally { s.catalog.dropTempView(oV); s.catalog.dropTempView(cV) }
+    },
     "text_vocab_stats" -> { (s, dir) =>
       // Per-language corpus vocabulary audit: token volume, type and
       // hapax counts, exact-integer type-token ratio — shuffle rows
@@ -5304,6 +5332,35 @@ object SparkEntry {
     "stream_twap_gate" -> twapSql,
     "stream_cramers_gate" -> cramersVSql,
     "q_weighted_quantile" -> weightedQuantileSql,
+    "text_readability" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |   + len(regexp_extract_all(text, '\S+'))
+        |   - len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*')) AS BIGINT)
+        |   AS n_syllables,
+        | CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN CAST(
+        |   206835000
+        |   - (1015000 * len(regexp_extract_all(text, '\S+')))
+        |     // GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        |   - (84600000 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |       + len(regexp_extract_all(text, '\S+'))
+        |       - len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*'))))
+        |     // len(regexp_extract_all(text, '\S+'))
+        |   AS BIGINT) END AS flesch_micro
+        |FROM documents""".stripMargin,
+    "q_not_in_null" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+        |   (SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey END FROM customer))
+        |   AS n_in_nullable,
+        | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |   (SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey END FROM customer))
+        |   AS n_not_in_nullable,
+        | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0))
+        |   AS n_not_in_clean""".stripMargin,
     "dq_srm" ->
       """WITH c AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'A'
         |    WHEN o_orderkey % 3 = 1 THEN 'B' ELSE 'C' END AS arm,

@@ -269,4 +269,42 @@ object TextAnalysis {
       "fingerprint" -> fingerprint(t))
     cols.foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
   }
+
+  /** Flesch reading-ease scoring — the classic curation quality signal
+    * for "is this text human-readable prose or keyword soup":
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * micro-quantized with both ratios as exact integer floor divisions
+    * so the score replays bit-for-bit in any engine.
+    *
+    * Counting is pure regex-count arithmetic chosen to evaluate
+    * identically under Java regex and RE2 (no lookaround):
+    * words = non-space runs; sentences = [.!?]+ runs (a text with no
+    * terminal punctuation counts as ONE sentence — the standard
+    * fragment convention); syllables = [aeiouy]+ vowel groups (they
+    * never span whitespace, so a whole-text count equals the per-word
+    * sum) plus one for each vowel-less word (the min-1-per-word rule;
+    * vowel-less words = words − words containing a vowel). Everything
+    * is a map-side expression — no shuffle, no UDF; empty/NULL texts
+    * surface NULL score.
+    *
+    * Output: input columns + (n_words, n_sentences, n_syllables,
+    * flesch_micro). */
+  def readability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lower = org.apache.spark.sql.functions.lower(t)
+    val nWords = regexp_count(t, lit("\\S+"))
+    val nSent = regexp_count(t, lit("[.!?]+"))
+    val vowelGroups = regexp_count(lower, lit("[aeiouy]+"))
+    val vowelWords = regexp_count(lower, lit("\\S*[aeiouy]\\S*"))
+    val nSyll = vowelGroups + (nWords - vowelWords)
+    val sEff = greatest(lit(1L), col("n_sentences"))
+    val w = col("n_words")
+    val score = lit(206835000L) -
+      call_function("div", lit(1015000L) * w, sEff) -
+      call_function("div", lit(84600000L) * col("n_syllables"), w)
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("n_sentences", nSent.cast("long"))
+      .withColumn("n_syllables", nSyll.cast("long"))
+      .withColumn("flesch_micro", when(w > 0L, score))
+  }
 }

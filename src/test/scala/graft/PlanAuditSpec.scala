@@ -64,7 +64,14 @@ class PlanAuditSpec extends SparkTestBase {
     "events_survival_sql",    // same plan through the TVF face
     "q_assoc_rules",          // one-row basket-count frame x scored rules
     "q_rfm",                  // one-row max-date + entity-count frames x tiles
-    "q_rfm_sql")              // same plan through the TVF face
+    "q_rfm_sql",              // same plan through the TVF face
+    "dq_js_drift",            // one-row totals frame x bins-sized spine
+    "dq_js_incremental",      // same JS face over merged stored state
+    "dq_js_sql",              // dq_js_drift's plan through the TVF face
+    "dq_cramers_v",           // one-row totals frame x level-grid cells
+    "dq_cramers_sql",         // same plan through the TVF face
+    "dq_srm",                 // one-row total frame x arm-sized spine
+    "exp_cuped")              // one-row exact power-sums frame x rows
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings

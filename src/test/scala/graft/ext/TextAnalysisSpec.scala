@@ -128,4 +128,28 @@ class TextAnalysisSpec extends SparkTestBase {
     // de: 3 tokens {eins:1, zwei:2} -> 2 types, 1 hapax
     assert(got("de") === ((3L, 2L, 1L, 666666L)))
   }
+
+  test("readability: hand-computed Flesch pieces") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 w, 2 s, 6 syll
+      (2L, "tsk tsk"),                   // vowel-less words get 1 syllable each
+      (3L, "sky!"),                      // y is a vowel
+      (4L, ""),                          // empty: zero counts, NULL score
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = readability(df).orderBy("doc_id").collect()
+      .map(r => (Option(r.getAs[Any]("n_words")),
+        Option(r.getAs[Any]("n_sentences")),
+        Option(r.getAs[Any]("n_syllables")),
+        Option(r.getAs[Any]("flesch_micro"))))
+    // doc 1: 206835000 - (1015000*6)//2 - (84600000*6)//6
+    assert(got(0) === ((Some(6L), Some(2L), Some(6L), Some(119190000L))))
+    // doc 2: 0 vowel groups + 2 vowel-less words; 1-sentence fallback
+    assert(got(1) === ((Some(2L), Some(0L), Some(2L), Some(120205000L))))
+    assert(got(2) === ((Some(1L), Some(1L), Some(1L),
+      Some(206835000L - 1015000L - 84600000L))))
+    assert(got(3) === ((Some(0L), Some(0L), Some(0L), None)))
+    assert(got(4) === ((None, None, None, None)))
+  }
 }
