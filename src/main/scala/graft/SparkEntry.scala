@@ -644,6 +644,32 @@ object SparkEntry {
         groupCol = "l_returnflag", valueCol = "l_extendedprice",
         weightCol = "l_quantity", pMicro = 500000L)
     },
+    "q_weighted_quantile_incremental" -> { (s, dir) =>
+      // The same weighted median off PERSISTED per-day weighted-value
+      // histograms: three lineitem tiles each fold to a (g, v, w)
+      // state through the parquet sink; the quantile reads the STORED
+      // states only (weights are a count monoid), sharing
+      // q_weighted_quantile's oracle.
+      val li = Tables(s, dir, "lineitem")
+      val stateDir = scratchDir("graft_wq_state_").toString
+      (0 until 3).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          Relational.weightedValueHistogram(
+            li.filter(pmod(col("l_orderkey"), lit(3L)) === d),
+            "l_returnflag", "l_extendedprice", "l_quantity"),
+          s"$stateDir/day=$d")
+      }
+      Relational.weightedQuantileFromState(
+        s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1",
+          s"$stateDir/day=2"),
+        groupCol = "l_returnflag", pMicro = 500000L)
+    },
+    "events_coverage" -> { (s, dir) =>
+      // Interval-union uptime per user: 300s holds around each event
+      // merged by the islands sweep — exact integer covered/span/gap.
+      graft.ext.Events.coverage(Tables(s, dir, "events"),
+        keyCol = "user_id", lenSec = 300L)
+    },
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
     "q_salted_join" -> { (s, dir) =>
@@ -5332,6 +5358,27 @@ object SparkEntry {
     "stream_twap_gate" -> twapSql,
     "stream_cramers_gate" -> cramersVSql,
     "q_weighted_quantile" -> weightedQuantileSql,
+    "q_weighted_quantile_incremental" -> weightedQuantileSql,
+    "events_coverage" ->
+      """WITH b AS (SELECT user_id AS key,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS st,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 300 AS en FROM events),
+        |w1 AS (SELECT *, MAX(en) OVER (PARTITION BY key ORDER BY st, en
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM b),
+        |w2 AS (SELECT *, SUM(CASE WHEN prev_max IS NULL OR st > prev_max
+        |     THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY key ORDER BY st, en
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w1),
+        |i AS (SELECT key, island, MIN(st) AS i_st, MAX(en) AS i_en,
+        |   COUNT(*) AS n FROM w2 GROUP BY 1, 2)
+        |SELECT key AS user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        | COUNT(*) AS n_islands,
+        | CAST(SUM(i_en - i_st) AS BIGINT) AS covered_sec,
+        | CAST(MAX(i_en) - MIN(i_st) AS BIGINT) AS span_sec,
+        | CAST(MAX(i_en) - MIN(i_st) - SUM(i_en - i_st) AS BIGINT) AS gap_sec
+        |FROM i GROUP BY 1""".stripMargin,
     "text_readability" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,

@@ -569,4 +569,47 @@ object Events {
             .cast("long")).as("surv_micro"))
   }
 
+  /** Interval-union coverage per key — the uptime/SLA question: out of
+    * the span a key was active, how much wall-clock was actually
+    * covered by at least one interval, and how much was gap? Intervals
+    * are the half-open [start, start+lenSec) holds around each
+    * observation (a heartbeat, a session ping, a job report). Merged
+    * via the classic islands sweep: within a key, an interval starts a
+    * NEW island iff its start lies strictly past the running max end
+    * of everything before it — with equal starts the earlier-tied
+    * rows' ends are already in that running max, so tie order cannot
+    * change the island assignment. All arithmetic is exact integer
+    * seconds.
+    *
+    * Plan shape: two window passes (running max end, island cumsum)
+    * over the SAME (key, start) partitioning — one shuffle — then an
+    * islands-sized aggregation. Per-key state is O(islands), never a
+    * driver-side interval list.
+    *
+    * Output: (key, n_events, n_islands, covered_sec, span_sec,
+    * gap_sec) with span = max end − min start and
+    * gap = span − covered. */
+  def coverage(events: DataFrame, keyCol: String, lenSec: Long): DataFrame = {
+    require(lenSec > 0, s"lenSec must be positive, got $lenSec")
+    val s = tsSec(events)
+    val base = events.select(col(keyCol).as("key"), s.as("st"),
+      (s + lenSec).as("en"))
+    val w = Window.partitionBy("key").orderBy("st", "en")
+    val prevMax = max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L)
+    val islands = base
+      .withColumn("island",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "island")
+      .agg(min("st").as("i_st"), max("en").as("i_en"),
+        count(lit(1)).as("n"))
+    islands.groupBy(col("key").as(keyCol))
+      .agg(sum("n").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_en") - col("i_st")).as("covered_sec"),
+        (max("i_en") - min("i_st")).as("span_sec"),
+        (max("i_en") - min("i_st") - sum(col("i_en") - col("i_st")))
+          .as("gap_sec"))
+  }
+
 }

@@ -904,15 +904,33 @@ object Relational {
     * Output: (group, wq_value, w_total_micro). */
   def weightedQuantilePerGroup(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String,
+      pMicro: Long = 500000L): DataFrame =
+    weightedQuantileFromState(
+      weightedValueHistogram(df, groupCol, valueCol, weightCol),
+      groupCol, pMicro)
+
+  /** Mergeable weighted-value histogram: (g, v, w) with w the summed
+    * micro-int weight per distinct (group, value) — a count monoid, so
+    * persisted per-day histograms union into
+    * [[weightedQuantileFromState]] without re-scanning rows. Sized by
+    * value cardinality per group, never rows. */
+  def weightedValueHistogram(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame = df
+    .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+    .select(col(groupCol).as("g"), col(valueCol).as("v"),
+      round(col(weightCol).cast("double") * lit(1000000L)).cast("long")
+        .as("w_micro"))
+    .groupBy("g", "v").agg(sum("w_micro").as("w"))
+
+  /** Weighted quantile off histogram state alone — re-aggregates (so
+    * unioned multi-day states pool), then the cumulative threshold
+    * test; [[weightedQuantilePerGroup]] routes through here, so direct
+    * and from-state quantiles are one code path. */
+  def weightedQuantileFromState(state: DataFrame, groupCol: String,
       pMicro: Long = 500000L): DataFrame = {
     require(pMicro > 0L && pMicro <= 1000000L,
       s"pMicro must be in (0, 1e6], got $pMicro")
-    val perValue = df
-      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
-      .select(col(groupCol).as("g"), col(valueCol).as("v"),
-        round(col(weightCol).cast("double") * lit(1000000L)).cast("long")
-          .as("w_micro"))
-      .groupBy("g", "v").agg(sum("w_micro").as("w"))
+    val perValue = state.groupBy("g", "v").agg(sum("w").as("w"))
     val win = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy("g")

@@ -167,4 +167,31 @@ class EventsSpec extends SparkTestBase {
       2L -> ((3L, 333333L, 500000L)),  // k=1 -> 1e6/2
       3L -> ((3L, 333333L, 1000000L)))) // k=0 -> full credit
   }
+
+  test("coverage: islands merge overlaps, adjacency (half-open) merges, gaps exact") {
+    import spark.implicits._
+    // user 1, len 10: [0,10)+[5,15) merge; [15,25) is ADJACENT (st=15
+    // not > prevMax=15) so it extends the island; [40,50) is its own
+    // -> islands [0,25) and [40,50): covered 35, span 50, gap 15
+    // user 2: one event -> covered == len, gap 0
+    val df = Seq((1L, 0L), (1L, 5L), (1L, 15L), (1L, 40L), (2L, 100L))
+      .map { case (u, sec) => (u, sec * 1000000000L) }
+      .toDF("user_id", "ts")
+    val got = Events.coverage(df, "user_id", lenSec = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((4L, 2L, 35L, 50L, 15L)))
+    assert(got(2L) === ((1L, 1L, 10L, 10L, 0L)))
+  }
+
+  test("coverage: duplicate timestamps cannot split an island") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 0L), (1L, 0L), (1L, 3L))
+      .map { case (u, sec) => (u, sec * 1000000000L) }
+      .toDF("user_id", "ts")
+    val got = Events.coverage(df, "user_id", lenSec = 5L).head()
+    assert(got.getLong(2) === 1L) // one island
+    assert(got.getLong(3) === 8L) // [0, 8)
+  }
 }

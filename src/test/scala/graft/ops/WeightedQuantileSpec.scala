@@ -49,6 +49,20 @@ class WeightedQuantileSpec extends SparkTestBase {
     assert(r.getDouble(1) === 51.0) // ceil-median of 1..101
   }
 
+  test("per-day histogram states union into the one-shot quantile") {
+    val df = Seq(("g", 1.0, 4.0), ("g", 2.0, 3.0), ("g", 2.0, 3.0),
+      ("g", 3.0, 2.0), ("h", 9.0, 1.0)).toDF("k", "v", "w")
+    val s1 = Relational.weightedValueHistogram(
+      df.filter(col("w") > 2.5), "k", "v", "w")
+    val s2 = Relational.weightedValueHistogram(
+      df.filter(col("w") <= 2.5), "k", "v", "w")
+    val merged = Relational.weightedQuantileFromState(
+      s1.unionByName(s2), "k").orderBy("k").collect().map(_.toSeq)
+    val direct = Relational.weightedQuantilePerGroup(df, "k", "v", "w")
+      .orderBy("k").collect().map(_.toSeq)
+    assert(merged.toSeq === direct.toSeq)
+  }
+
   test("groups are independent; window runs over distinct values only") {
     val df = Seq(("a", 1.0, 1.0), ("a", 9.0, 3.0), ("b", 5.0, 2.0))
       .toDF("k", "v", "w")
