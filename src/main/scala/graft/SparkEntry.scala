@@ -670,6 +670,13 @@ object SparkEntry {
       graft.ext.Events.coverage(Tables(s, dir, "events"),
         keyCol = "user_id", lenSec = 300L)
     },
+    "events_funnel_exclusion" -> { (s, dir) =>
+      // "view then click then purchase WITHOUT an error in between":
+      // exclusion-window funnel — an error inside any completed
+      // consecutive step pair taints the conversion.
+      graft.ext.Events.funnelWithExclusion(Tables(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"), excluded = "error")
+    },
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
     "q_salted_join" -> { (s, dir) =>
@@ -5721,6 +5728,39 @@ object SparkEntry {
     // closed replay; every user's state times out and emits)
     "stream_funnel" -> funnelSql,
     "events_funnel" -> funnelSql,
+    "events_funnel_exclusion" ->
+      """WITH base AS (SELECT user_id, event_type,
+        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_1 FROM base),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND step_1 IS NOT NULL
+        |     AND ts_sec > step_1 THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_2 FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND step_2 IS NOT NULL
+        |     AND ts_sec > step_2 THEN ts_sec END)
+        |   OVER (PARTITION BY user_id) AS step_3 FROM s2),
+        |f AS (SELECT DISTINCT user_id, step_1, step_2, step_3,
+        |  (CASE WHEN step_1 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN step_2 IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN step_3 IS NOT NULL THEN 1 ELSE 0 END) AS reached
+        | FROM s3),
+        |ex AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ex_sec
+        |  FROM events WHERE event_type = 'error'),
+        |j AS (SELECT f.*, ex_sec FROM f LEFT JOIN ex USING (user_id))
+        |SELECT user_id, step_1, step_2, step_3, reached,
+        | CAST(SUM(CASE WHEN
+        |    (step_1 IS NOT NULL AND step_2 IS NOT NULL
+        |      AND ex_sec > step_1 AND ex_sec < step_2)
+        |    OR (step_2 IS NOT NULL AND step_3 IS NOT NULL
+        |      AND ex_sec > step_2 AND ex_sec < step_3)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded_between,
+        | (reached = 3 AND SUM(CASE WHEN
+        |    (step_1 IS NOT NULL AND step_2 IS NOT NULL
+        |      AND ex_sec > step_1 AND ex_sec < step_2)
+        |    OR (step_2 IS NOT NULL AND step_3 IS NOT NULL
+        |      AND ex_sec > step_2 AND ex_sec < step_3)
+        |   THEN 1 ELSE 0 END) = 0) AS clean
+        |FROM j GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     "events_attribution_multi" ->
       """WITH base AS (SELECT user_id, event_id, event_type,
         |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),

@@ -126,6 +126,41 @@ object Events {
       .distinct()
   }
 
+  /** Ordered funnel with an EXCLUSION event — "did A then B WITHOUT C
+    * in between", the funnel feature plain step matching can't
+    * express: a user's conversion only counts as clean if no excluded
+    * event falls strictly between any pair of consecutive COMPLETED
+    * step times (the standard exclusion-window semantics — an error
+    * between click and purchase taints that conversion; one before the
+    * funnel or after the last step does not). Builds on [[funnel]]'s
+    * first-touch step times; one extra equi-join of the excluded
+    * events on user (per-user blocks, never a cross) plus one grouped
+    * count.
+    *
+    * Output: funnel's (user_id, step_1..step_k, reached) plus
+    * `n_excluded_between` and `clean` (completed all steps AND zero
+    * excluded events inside the windows). */
+  def funnelWithExclusion(events: DataFrame, steps: Seq[String],
+      excluded: String): DataFrame = {
+    require(steps.size >= 2, s"exclusion funnel needs >= 2 steps: ${steps.size}")
+    require(!steps.contains(excluded),
+      s"excluded type '$excluded' cannot also be a step")
+    val f = funnel(events, steps)
+    val ex = events.filter(col("event_type") === excluded)
+      .select(col("user_id"), tsSec(events).as("ex_sec"))
+    val betweenAnyPair = (1 until steps.size).map { i =>
+      col(s"step_$i").isNotNull && col(s"step_${i + 1}").isNotNull &&
+        col("ex_sec") > col(s"step_$i") && col("ex_sec") < col(s"step_${i + 1}")
+    }.reduce(_ || _)
+    val stepCols = (1 to steps.size).map(i => col(s"step_$i"))
+    f.join(ex, Seq("user_id"), "left")
+      .groupBy((col("user_id") +: stepCols) :+ col("reached"): _*)
+      .agg(sum(when(betweenAnyPair, 1L).otherwise(0L))
+        .as("n_excluded_between"))
+      .withColumn("clean",
+        col("reached") === steps.size && col("n_excluded_between") === 0L)
+  }
+
   /** Funnel step-transition latency percentiles: over users who
     * completed each consecutive step pair, the EXACT positional
     * percentiles of step_{i+1} − step_i (the stream_quantiles

@@ -168,6 +168,27 @@ class EventsSpec extends SparkTestBase {
       3L -> ((3L, 333333L, 1000000L)))) // k=0 -> full credit
   }
 
+  test("funnelWithExclusion: errors only taint inside completed step pairs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 250L, "error"),
+      (1L, 300L, "purchase"), // error inside click->purchase: tainted
+      (2L, 100L, "view"), (2L, 50L, "error"), (2L, 200L, "click"),
+      (2L, 300L, "purchase"), (2L, 400L, "error"), // outside windows: clean
+      (3L, 100L, "view"), (3L, 150L, "error"), (3L, 200L, "click"),
+      (4L, 100L, "view")
+    ).map { case (u, t, e) => (u, t * 1000000000L, e) }
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnelWithExclusion(df,
+        Seq("view", "click", "purchase"), excluded = "error")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got(1L) === ((3, 1L, false)))
+    assert(got(2L) === ((3, 0L, true)))
+    assert(got(3L) === ((2, 1L, false))) // tainted view->click pair
+    assert(got(4L) === ((1, 0L, false)))
+  }
+
   test("coverage: islands merge overlaps, adjacency (half-open) merges, gaps exact") {
     import spark.implicits._
     // user 1, len 10: [0,10)+[5,15) merge; [15,25) is ADJACENT (st=15
