@@ -677,6 +677,17 @@ object SparkEntry {
       graft.ext.Events.funnelWithExclusion(Tables(s, dir, "events"),
         steps = Seq("view", "click", "purchase"), excluded = "error")
     },
+    "q_rootcause_deltas" -> { (s, dir) =>
+      // "Which dimension explains the revenue move between the two
+      // snapshots?" — per-segment deltas for BOTH candidate dimensions
+      // in one Expand pass, exact micro-int sums.
+      val orders = Tables(s, dir, "orders")
+      graft.ops.RootCause.dimensionDeltas(
+        a = orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0),
+        b = orders.filter(pmod(col("o_orderkey"), lit(2L)) === 1),
+        dims = Seq("o_orderpriority", "o_orderstatus"),
+        valueCol = "o_totalprice")
+    },
     "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
     "q_salted_join" -> { (s, dir) =>
@@ -5728,6 +5739,38 @@ object SparkEntry {
     // closed replay; every user's state times out and emits)
     "stream_funnel" -> funnelSql,
     "events_funnel" -> funnelSql,
+    "q_rootcause_deltas" ->
+      """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        |   AND o_totalprice IS NOT NULL),
+        |b AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1
+        |   AND o_totalprice IS NOT NULL),
+        |u AS (
+        | SELECT 'o_orderpriority' AS dim,
+        |  COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>') AS segment,
+        |  1 AS one_a, 0 AS one_b,
+        |  CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS v_a,
+        |  CAST(0 AS BIGINT) AS v_b FROM a
+        | UNION ALL
+        | SELECT 'o_orderstatus',
+        |  COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'), 1, 0,
+        |  CAST(ROUND(o_totalprice * 1000000) AS BIGINT), CAST(0 AS BIGINT)
+        | FROM a
+        | UNION ALL
+        | SELECT 'o_orderpriority',
+        |  COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>'), 0, 1,
+        |  CAST(0 AS BIGINT), CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+        | FROM b
+        | UNION ALL
+        | SELECT 'o_orderstatus',
+        |  COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>'), 0, 1,
+        |  CAST(0 AS BIGINT), CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+        | FROM b)
+        |SELECT dim, segment,
+        | CAST(SUM(one_a) AS BIGINT) AS n_a, CAST(SUM(one_b) AS BIGINT) AS n_b,
+        | CAST(SUM(v_a) AS BIGINT) AS v_a_micro,
+        | CAST(SUM(v_b) AS BIGINT) AS v_b_micro,
+        | CAST(SUM(v_b) - SUM(v_a) AS BIGINT) AS delta_micro
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "events_funnel_exclusion" ->
       """WITH base AS (SELECT user_id, event_type,
         |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events),
