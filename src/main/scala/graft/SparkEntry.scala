@@ -3200,6 +3200,41 @@ object SparkEntry {
         graft.streaming.StreamingOps.twapGateResult(s, stateDir)
       }
     },
+    "stream_coverage_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Uptime-on-arrival: events in 3 TIME-ORDERED tiles fold into
+        // one island-state row per user (closed totals + the open last
+        // island, spliced by re-running the sweep over batch ∪ carry);
+        // the drained gate reads back EXACTLY the one-shot coverage —
+        // events_coverage's own oracle.
+        val ev = Tables(s, dir, "events").select(col("user_id"), col("ts"))
+        val bounds = ev.agg(min(unix_timestamp(col("ts"))),
+          max(unix_timestamp(col("ts")))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+        val cut1 = lo + (hi - lo) / 3
+        val cut2 = lo + 2 * (hi - lo) / 3
+        val sec = unix_timestamp(col("ts"))
+        val tiles = Seq(sec < cut1, sec >= cut1 && sec < cut2, sec >= cut2)
+        val replayDir = scratchDir("graft_cov_replay_").toFile
+        tiles.zipWithIndex.foreach { case (p, i) =>
+          val stage = scratchDir("graft_cov_stage_")
+          ev.filter(p).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$i%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_cov_state_").toString
+        val ckpt = scratchDir("graft_cov_ckpt_").toString
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.coverageGate(stream, "user_id",
+          lenSec = 300L, stateDir, ckpt)
+        graft.streaming.StreamingOps.coverageGateResult(s, stateDir)
+          .withColumnRenamed("key", "user_id")
+      }
+    },
     "stream_anomaly_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Anomaly-on-arrival: the ts_seasonal_anomaly scenario with the
@@ -5377,26 +5412,8 @@ object SparkEntry {
     "stream_cramers_gate" -> cramersVSql,
     "q_weighted_quantile" -> weightedQuantileSql,
     "q_weighted_quantile_incremental" -> weightedQuantileSql,
-    "events_coverage" ->
-      """WITH b AS (SELECT user_id AS key,
-        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS st,
-        |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 300 AS en FROM events),
-        |w1 AS (SELECT *, MAX(en) OVER (PARTITION BY key ORDER BY st, en
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-        |  FROM b),
-        |w2 AS (SELECT *, SUM(CASE WHEN prev_max IS NULL OR st > prev_max
-        |     THEN 1 ELSE 0 END)
-        |   OVER (PARTITION BY key ORDER BY st, en
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM w1),
-        |i AS (SELECT key, island, MIN(st) AS i_st, MAX(en) AS i_en,
-        |   COUNT(*) AS n FROM w2 GROUP BY 1, 2)
-        |SELECT key AS user_id, CAST(SUM(n) AS BIGINT) AS n_events,
-        | COUNT(*) AS n_islands,
-        | CAST(SUM(i_en - i_st) AS BIGINT) AS covered_sec,
-        | CAST(MAX(i_en) - MIN(i_st) AS BIGINT) AS span_sec,
-        | CAST(MAX(i_en) - MIN(i_st) - SUM(i_en - i_st) AS BIGINT) AS gap_sec
-        |FROM i GROUP BY 1""".stripMargin,
+    "stream_coverage_gate" -> coverageSql,
+    "events_coverage" -> coverageSql,
     "text_readability" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
@@ -7293,6 +7310,29 @@ object SparkEntry {
       |   * LN(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0)))
       |   * 1000000000) AS BIGINT) AS psi_nano
       |FROM j, t""".stripMargin
+
+  /** Shared by events_coverage and stream_coverage_gate (the drained
+    * gate equals the one-shot islands sweep). */
+  private def coverageSql: String =
+    """WITH b AS (SELECT user_id AS key,
+      |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS st,
+      |   CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 300 AS en FROM events),
+      |w1 AS (SELECT *, MAX(en) OVER (PARTITION BY key ORDER BY st, en
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM b),
+      |w2 AS (SELECT *, SUM(CASE WHEN prev_max IS NULL OR st > prev_max
+      |     THEN 1 ELSE 0 END)
+      |   OVER (PARTITION BY key ORDER BY st, en
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM w1),
+      |i AS (SELECT key, island, MIN(st) AS i_st, MAX(en) AS i_en,
+      |   COUNT(*) AS n FROM w2 GROUP BY 1, 2)
+      |SELECT key AS user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      | COUNT(*) AS n_islands,
+      | CAST(SUM(i_en - i_st) AS BIGINT) AS covered_sec,
+      | CAST(MAX(i_en) - MIN(i_st) AS BIGINT) AS span_sec,
+      | CAST(MAX(i_en) - MIN(i_st) - SUM(i_en - i_st) AS BIGINT) AS gap_sec
+      |FROM i GROUP BY 1""".stripMargin
 
   /** Shared by dq_js_drift: the PSI scenario scored with the bounded
     * symmetric Jensen–Shannon divergence. Same smoothing/spine; the

@@ -628,7 +628,18 @@ object Events {
     require(lenSec > 0, s"lenSec must be positive, got $lenSec")
     val s = tsSec(events)
     val base = events.select(col(keyCol).as("key"), s.as("st"),
-      (s + lenSec).as("en"))
+      (s + lenSec).as("en"), lit(1L).as("cnt"))
+    coverageFromStats(islandStats(base)).withColumnRenamed("key", keyCol)
+  }
+
+  /** The islands sweep + per-key stats over a (key, st, en, cnt) frame
+    * — the shared core of [[coverage]] and the streaming coverage
+    * gate (whose carried last-island rows enter with cnt = 0 so they
+    * merge without double-counting). Interval lengths must be uniform
+    * (the coverage contract), which guarantees the LAST island also
+    * carries the maximum end. Output: (key, n_events, n_islands,
+    * covered_sec, first_st, last_st, last_en). */
+  private[graft] def islandStats(base: DataFrame): DataFrame = {
     val w = Window.partitionBy("key").orderBy("st", "en")
     val prevMax = max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
     val isNew = when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L)
@@ -636,15 +647,21 @@ object Events {
       .withColumn("island",
         sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("key", "island")
-      .agg(min("st").as("i_st"), max("en").as("i_en"),
-        count(lit(1)).as("n"))
-    islands.groupBy(col("key").as(keyCol))
+      .agg(min("st").as("i_st"), max("en").as("i_en"), sum("cnt").as("n"))
+    islands.groupBy("key")
       .agg(sum("n").as("n_events"),
         count(lit(1)).as("n_islands"),
         sum(col("i_en") - col("i_st")).as("covered_sec"),
-        (max("i_en") - min("i_st")).as("span_sec"),
-        (max("i_en") - min("i_st") - sum(col("i_en") - col("i_st")))
-          .as("gap_sec"))
+        min("i_st").as("first_st"),
+        max("i_st").as("last_st"),
+        max("i_en").as("last_en"))
   }
+
+  /** Project island stats to the coverage report shape. */
+  private[graft] def coverageFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("key"), col("n_events"), col("n_islands"),
+      col("covered_sec"),
+      (col("last_en") - col("first_st")).as("span_sec"),
+      (col("last_en") - col("first_st") - col("covered_sec")).as("gap_sec"))
 
 }

@@ -919,6 +919,93 @@ object StreamingOps {
     graft.ops.TimeSeries.twapFromState(spark.read.parquet(s"$stateDir/v$v"))
   }
 
+  // --- streaming coverage gate (foreachBatch -> per-key island state) ---
+
+  /** Streaming interval-union coverage — uptime/SLA on arrival: each
+    * microbatch's events (uniform `lenSec` holds) fold into one state
+    * row per key carrying the closed-island totals plus the OPEN last
+    * island. The fold re-runs the islands sweep over the batch rows
+    * UNION the carried last-island rows (cnt = 0, so they merge
+    * without double-counting), then splices: closed contributions add,
+    * the old last island's extent is replaced by whatever the sweep
+    * made of it. Requires the gates' time-ordered replay contract
+    * (a key's events never arrive before its already-CLOSED islands —
+    * true whenever batches arrive in event-time order); within a batch
+    * any order is fine. [[coverageGateResult]] reads the exact
+    * coverage of everything seen so far — bit-identical to the batch
+    * `Events.coverage` over the drained replay, which is the driver
+    * row's oracle. */
+  def coverageGate(stream: DataFrame, keyCol: String, lenSec: Long,
+      stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCoverageBatch(batch, batchId, keyCol, lenSec, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent island-state fold (public for direct testing and
+    * batch backfills sharing the gate's state). */
+  def applyCoverageBatch(batch: DataFrame, batchId: Long, keyCol: String,
+      lenSec: Long, stateDir: String): Unit = {
+    require(lenSec > 0, s"lenSec must be positive, got $lenSec")
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val s = graft.ext.Events.tsSec(batch)
+    val base = batch.select(col(keyCol).as("key"), s.as("st"),
+      (s + lenSec).as("en"), lit(1L).as("cnt"))
+    val prior = if (current >= 0L)
+      Some(spark.read.parquet(s"$stateDir/v$current"))
+    else None
+    val carry = prior.map(_.select(col("key"), col("last_st").as("st"),
+      col("last_en").as("en"), lit(0L).as("cnt")))
+    val sweep = graft.ext.Events.islandStats(
+      carry.fold(base)(base.unionByName(_)))
+    val merged = prior match {
+      case None => sweep
+      case Some(st) =>
+        val p = st.select(col("key"), col("n_events").as("p_n"),
+          col("n_islands").as("p_ni"), col("covered_sec").as("p_cov"),
+          col("first_st").as("p_first"),
+          (col("last_en") - col("last_st")).as("p_last_ext"))
+        // every state key re-enters the sweep via its carry row, so
+        // the join is left from the sweep side; closed-island totals
+        // add, the old OPEN island's extent is replaced by the sweep's
+        sweep.join(p, Seq("key"), "left")
+          .select(col("key"),
+            (col("n_events") + coalesce(col("p_n"), lit(0L))).as("n_events"),
+            (col("n_islands") + coalesce(col("p_ni") - 1L, lit(0L)))
+              .as("n_islands"),
+            (col("covered_sec") +
+              coalesce(col("p_cov") - col("p_last_ext"), lit(0L)))
+              .as("covered_sec"),
+            coalesce(col("p_first"), col("first_st")).as("first_st"),
+            col("last_st"), col("last_en"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Coverage report off the gate's committed per-key island state. */
+  def coverageGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed coverage state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ext.Events.coverageFromStats(spark.read.parquet(s"$stateDir/v$v"))
+  }
+
   // --- streaming anomaly gate (foreachBatch -> persisted cell state) ---
 
   /** Streaming seasonal-anomaly gate — anomaly-on-arrival, the

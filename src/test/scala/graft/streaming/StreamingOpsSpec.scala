@@ -689,6 +689,31 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(gate.getLong(4) === 1000000L) // perfect association
   }
 
+  test("coverage gate: open islands splice across seams; drained equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("covg_spec_").toString
+    def ns(sec: Long) = sec * 1000000000L
+    // user 1's island [0,15) spans the seam: [0,10) in batch 0 extends
+    // with [5,15) in batch 1; then a separate island [40,50).
+    // user 2 closes an island in batch 0 and opens another in batch 1.
+    // user 3 exists only in batch 0 (carry-only key must be unchanged).
+    val b0 = Seq((1L, ns(0)), (2L, ns(100)), (3L, ns(7)))
+      .toDF("user_id", "ts")
+    val b1 = Seq((1L, ns(5)), (1L, ns(40)), (2L, ns(200)), (4L, ns(0)))
+      .toDF("user_id", "ts")
+    applyCoverageBatch(b0, 0L, "user_id", 10L, stateDir)
+    applyCoverageBatch(b1, 1L, "user_id", 10L, stateDir)
+    applyCoverageBatch(b1, 1L, "user_id", 10L, stateDir) // replay no-op
+    val gate = coverageGateResult(spark, stateDir)
+      .orderBy("key").collect().map(_.toSeq)
+    val direct = graft.ext.Events.coverage(
+        b0.unionByName(b1), "user_id", lenSec = 10L)
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(gate.toSeq === direct.toSeq)
+    // and the seam case concretely: user 1 covered [0,15)+[40,50) = 25
+    assert(gate(0) === Seq(1L, 3L, 2L, 25L, 50L, 25L))
+  }
+
   test("twap gate: bridge across batch seams; drained equals one-shot twap") {
     import spark.implicits._
     def t(sec: Long) = new Timestamp(sec * 1000L)
