@@ -1466,6 +1466,31 @@ object SparkEntry {
         tiebreakCol = "o_orderkey", buckets = 10)
         .withColumnRenamed("o_orderpriority", "prio")
     },
+    "q_equiwidth_hist" -> { (s, dir) =>
+      // Equal-width histogram (10 bins, edges from the data's own
+      // min/max) — the fixed-edge companion of q_equidepth_hist,
+      // reusing the drift family's mergeable histogramState; the bin
+      // spine left-join surfaces empty bins with zero counts.
+      val orders = Tables(s, dir, "orders")
+      val bins = 10
+      val (mn, width) = graft.ops.DataQuality.histogramEdges(
+        orders, "o_totalprice", bins)
+      val counts = graft.ops.DataQuality.histogramState(
+        orders, "o_totalprice", mn, width, bins)
+      s.range(0, bins).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    },
+    "q_string_agg" -> { (s, dir) =>
+      // Deterministic ordered string aggregation per group — the
+      // GROUP_CONCAT/string_agg surface: sort_array before concat so
+      // the result is a pure function of the set, not partitioning.
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",",
+            sort_array(collect_set(col("o_orderstatus")))).as("statuses"))
+    },
     "events_hopping" -> { (s, dir) =>
       // Hopping windows (1h window, 15m slide): each event lands in 4
       // overlapping windows via a plan-side explode(sequence) Expand.
@@ -5414,6 +5439,21 @@ object SparkEntry {
     "q_weighted_quantile_incremental" -> weightedQuantileSql,
     "stream_coverage_gate" -> coverageSql,
     "events_coverage" -> coverageSql,
+    "q_equiwidth_hist" ->
+      """WITH d AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |st AS (SELECT MIN(v) AS mn, (MAX(v) - MIN(v)) / 10 AS w FROM d),
+        |b AS (SELECT CAST(LEAST(GREATEST(FLOOR((v - mn) / w), 0), 9) AS BIGINT)
+        |   AS bin FROM d, st),
+        |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 10)),
+        |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1)
+        |SELECT spine.bin, CAST(COALESCE(n, 0) AS BIGINT) AS n
+        |FROM spine LEFT JOIN c USING (bin)""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |   AS statuses
+        |FROM orders GROUP BY 1""".stripMargin,
     "text_readability" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
