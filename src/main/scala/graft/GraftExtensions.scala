@@ -441,6 +441,29 @@ object GraftExtensions {
     // RFM quantile segmentation — same plan as Relational.rfmSegments
     // (the global-row-number range offsets are collected at analysis
     // time, like the KS/W1 TVFs' partition offsets).
+    //   graft_coverage(events_view, key_col, len_sec)
+    // Interval-union uptime per key — same islands-sweep plan as
+    // Events.coverage.
+    ("graft_coverage", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Events.coverage(
+        spark.table(strLit(args(0), "events_view")),
+        strLit(args(1), "key_col"),
+        longLit(args(2), "len_sec"))
+      out.queryExecution.logical
+    }),
+    //   graft_weighted_quantile(table_view, group_col, value_col, weight_col, p_micro)
+    // Exact weighted quantile — same distinct-value cumulative plan as
+    // Relational.weightedQuantilePerGroup.
+    ("graft_weighted_quantile", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Relational.weightedQuantilePerGroup(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "group_col"), strLit(args(2), "value_col"),
+        strLit(args(3), "weight_col"),
+        pMicro = longLit(args(4), "p_micro"))
+      out.queryExecution.logical
+    }),
     ("graft_rfm", 5, args => {
       val spark = org.apache.spark.sql.SparkSession.active
       val out = graft.ops.Relational.rfmSegments(

@@ -677,6 +677,25 @@ object SparkEntry {
       graft.ext.Events.funnelWithExclusion(Tables(s, dir, "events"),
         steps = Seq("view", "click", "purchase"), excluded = "error")
     },
+    "q_coverage_sql" -> { (s, dir) =>
+      // Interval coverage through its SQL face (same plan and oracle
+      // as events_coverage).
+      graft.GraftExtensions.register(s)
+      val v = freshViewName("graft_cov_ev_v")
+      Tables(s, dir, "events").createOrReplaceTempView(v)
+      try s.sql(s"SELECT * FROM graft_coverage('$v', 'user_id', 300)")
+      finally s.catalog.dropTempView(v)
+    },
+    "q_wquantile_sql" -> { (s, dir) =>
+      // Weighted quantile through its SQL face (same plan and oracle
+      // as q_weighted_quantile).
+      graft.GraftExtensions.register(s)
+      val v = freshViewName("graft_wq_li_v")
+      Tables(s, dir, "lineitem").createOrReplaceTempView(v)
+      try s.sql(s"""SELECT * FROM graft_weighted_quantile('$v',
+        'l_returnflag', 'l_extendedprice', 'l_quantity', 500000)""")
+      finally s.catalog.dropTempView(v)
+    },
     "q_rootcause_deltas" -> { (s, dir) =>
       // "Which dimension explains the revenue move between the two
       // snapshots?" — per-segment deltas for BOTH candidate dimensions
@@ -5439,6 +5458,8 @@ object SparkEntry {
     "q_weighted_quantile_incremental" -> weightedQuantileSql,
     "stream_coverage_gate" -> coverageSql,
     "events_coverage" -> coverageSql,
+    "q_coverage_sql" -> coverageSql,
+    "q_wquantile_sql" -> weightedQuantileSql,
     "q_equiwidth_hist" ->
       """WITH d AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
         |  WHERE o_totalprice IS NOT NULL),
