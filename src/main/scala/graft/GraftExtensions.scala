@@ -275,6 +275,33 @@ object GraftExtensions {
         maxLag = longLit(args(4), "max_lag").toInt)
       out.queryExecution.logical
     }),
+    //   graft_cusum(series_view, key_col, t_col, val_col,
+    //               k_num, k_den, h_num, h_den)
+    // Page's CUSUM change-point detector — same exact-integer
+    // DECIMAL(38,0) one-shuffle plan as TimeSeries.cusum.
+    ("graft_cusum", 8, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.TimeSeries.cusum(
+        spark.table(strLit(args(0), "series_view")),
+        strLit(args(1), "key_col"), strLit(args(2), "t_col"),
+        strLit(args(3), "val_col"),
+        kNum = longLit(args(4), "k_num"), kDen = longLit(args(5), "k_den"),
+        hNum = longLit(args(6), "h_num"), hDen = longLit(args(7), "h_den"))
+      out.queryExecution.logical
+    }),
+    //   graft_ccf(series_view, key_col, t_col, x_col, y_col, max_lag)
+    // Per-key cross-correlation at lags -max_lag..max_lag — same
+    // micro-integer DECIMAL(38,0) plan as TimeSeries.ccf (one lag
+    // Expand, one equi-join).
+    ("graft_ccf", 6, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.TimeSeries.ccf(
+        spark.table(strLit(args(0), "series_view")),
+        strLit(args(1), "key_col"), strLit(args(2), "t_col"),
+        strLit(args(3), "x_col"), strLit(args(4), "y_col"),
+        maxLag = longLit(args(5), "max_lag").toInt)
+      out.queryExecution.logical
+    }),
     //   graft_psi_drift(ref_view, cur_view, value_col, bins)
     // Numeric PSI drift gate — same plan as DataQuality.psiDrift (the
     // reference-edge lookup runs at analysis time, like the bloom TVF's

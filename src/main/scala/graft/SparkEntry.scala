@@ -3301,6 +3301,27 @@ object SparkEntry {
           "event_type", factorNum = 3L, factorDen = 2L)
       }
     },
+    "stream_cusum_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // CUSUM-on-arrival: the ts_cusum scenario with the events
+        // arriving as a 3-file time-ordered stream. Each microbatch
+        // folds into persisted (type, day) daily counts (foreachBatch,
+        // versioned-dir + marker exactly-once); the change-point test
+        // runs over the drained state, computed from summaries only.
+        // Counts merge as a monoid, so the gate's output hash-matches
+        // the batch recompute — ts_cusum's own oracle.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+        val stateDir = scratchDir("graft_cusum_state_").toString
+        val ckpt = scratchDir("graft_cusum_ckpt_").toString
+        graft.streaming.StreamingOps.cusumGate(stream, "sec", "event_type",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.cusumGateResult(s, stateDir,
+          "event_type", kNum = 1L, kDen = 100L, hNum = 3L, hDen = 10L)
+      }
+    },
     "stream_dedup" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
@@ -3604,6 +3625,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("x"))
       graft.ops.TimeSeries.ewma(daily, "event_type", "day", "x",
         alphaMicro = 250000L)
+    },
+    "ts_cusum" -> { (s, dir) =>
+      // Page's CUSUM change-point detector on the daily per-type count
+      // series: allowance k = mu/100, alarm threshold h = 0.3*mu, the
+      // max-recursion evaluated as cumsum-minus-running-min — every
+      // term an exact DECIMAL(38,0) integer, so the flagged set is a
+      // pure function of the data on any engine.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.TimeSeries.cusum(daily, "event_type", "day", "n",
+        kNum = 1L, kDen = 100L, hNum = 3L, hDen = 10L)
+    },
+    "ts_cusum_sql" -> { (s, dir) =>
+      // CUSUM through its SQL TVF face — identical plan and oracle as
+      // ts_cusum.
+      graft.GraftExtensions.register(s)
+      val ev = Tables(s, dir, "events")
+      withFreshView(s, "graft_cusum_series_v", ev.groupBy(col("event_type"),
+            call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+          .agg(count(lit(1)).as("n"))) { v =>
+        s.sql(s"SELECT * FROM graft_cusum('$v', 'event_type', 'day', 'n', 1, 100, 3, 10)")
+      }
+    },
+    "ts_ccf" -> { (s, dir) =>
+      // Cross-correlation between the daily click and purchase count
+      // series per user segment, lags -7..+7 (positive lag = clicks
+      // lead purchases): exact micro-int power sums over the paired
+      // sub-series, one lag Expand + one equi-join, the final ratio
+      // the only float — micro-quantized like spearman's rho.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(pmod(col("user_id"), lit(4L)).as("seg"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      graft.ops.TimeSeries.ccf(daily, "seg", "day", "x", "y", maxLag = 7)
     },
     "ts_ohlc" -> { (s, dir) =>
       // OHLC candlestick bars: per (event_type, hour), open/close at
@@ -6620,6 +6678,29 @@ object SparkEntry {
     "geo_dbscan" -> geoDbscanSqlFor(geoPointsSqlCustomer, 5L),
     "stream_dbscan_gate" -> geoDbscanSqlFor(geoPointsSqlEvents, 25L),
     "text_colloc_incremental" -> collocationsSql,
+    "ts_cusum" -> cusumSql,
+    "ts_cusum_sql" -> cusumSql,
+    "stream_cusum_gate" -> cusumSql,
+    "ts_ccf" ->
+      """WITH d AS (SELECT user_id % 4 AS seg, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000 AS x,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 AS y
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT seg, t + lag AS t, lag, x
+        | FROM d, (SELECT UNNEST(generate_series(-7, 7)) AS lag)),
+        |p AS (SELECT l.seg, l.lag, COUNT(*) AS m,
+        |  SUM(CAST(l.x AS HUGEINT) * d.y) AS sxy,
+        |  SUM(CAST(l.x AS HUGEINT)) AS sx, SUM(CAST(d.y AS HUGEINT)) AS sy,
+        |  SUM(CAST(l.x AS HUGEINT) * l.x) AS sxx,
+        |  SUM(CAST(d.y AS HUGEINT) * d.y) AS syy
+        | FROM l JOIN d ON d.seg = l.seg AND d.t = l.t GROUP BY 1, 2)
+        |SELECT seg, lag, m,
+        | CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+        |   CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |     SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+        |       * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
+        | END AS ccf_micro
+        |FROM p""".stripMargin,
     "ts_ewma" ->
       """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -7480,6 +7561,38 @@ object SparkEntry {
   /** Shared by ts_twap: interval-hold weighting with the exact
     * floor-divmod half-up division (sign-safe: the remainder is
     * normalized nonnegative before the quotient). */
+  /** Shared by ts_cusum / ts_cusum_sql / stream_cusum_gate: Page's
+    * CUSUM via the cumsum-minus-running-extremum identity, allowance
+    * mu/100 and threshold 0.3*mu cross-multiplied so no division runs; the
+    * HUGEINT sums mirror the Spark plan's DECIMAL(38,0). */
+  private def cusumSql: String =
+    """WITH d AS (SELECT event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
+      |  COUNT(*) * 1000000 AS x_micro FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, t, x_micro,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |  SUM(CAST(x_micro AS HUGEINT)) OVER (PARTITION BY event_type) AS tot
+      | FROM d),
+      |c AS (SELECT event_type, t, x_micro, tot,
+      |  SUM(100 * n * CAST(x_micro AS HUGEINT) - 101 * tot) OVER
+      |    (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING) AS cu,
+      |  SUM(100 * n * CAST(x_micro AS HUGEINT) - 99 * tot) OVER
+      |    (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING) AS cd
+      | FROM w),
+      |sb AS (SELECT event_type, t, x_micro, tot,
+      |  cu - LEAST(0, MIN(cu) OVER
+      |    (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING)) AS sp,
+      |  GREATEST(0, MAX(cd) OVER
+      |    (PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING)) - cd AS sn
+      | FROM c)
+      |SELECT event_type, t, CAST(x_micro AS BIGINT) AS x_micro,
+      | CASE WHEN tot <> 0 THEN
+      |   CAST((sp * 2000000 + 100 * ABS(tot)) // (200 * ABS(tot)) AS BIGINT) END AS s_pos_micro,
+      | CASE WHEN tot <> 0 THEN
+      |   CAST((sn * 2000000 + 100 * ABS(tot)) // (200 * ABS(tot)) AS BIGINT) END AS s_neg_micro,
+      | (tot <> 0 AND sp * 10 > 300 * ABS(tot)) AS flag_up,
+      | (tot <> 0 AND sn * 10 > 300 * ABS(tot)) AS flag_down
+      |FROM sb""".stripMargin
+
   private def twapSql: String =
     """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS t_us,
       |   CAST(ROUND("value" * 1000000) AS BIGINT) AS v_micro, event_id AS id

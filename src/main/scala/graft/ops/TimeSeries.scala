@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,55 @@ object TimeSeries {
           val den = col("__ss").cast("double") - col("__n").cast("double") * xbar * xbar
           round(num / den * lit(1e6)).cast("long").as("acf_micro")
         })
+  }
+
+  /** Per-key cross-correlation between two aligned series (one row per
+    * (key, t) carrying both x and y) at lags −maxLag..maxLag: lag ℓ
+    * correlates x_t with y_{t+ℓ}, so a POSITIVE peak lag means x leads
+    * y by ℓ steps. Pairs semantics under gaps (like [[acf]]): each
+    * lag's statistic is the exact Pearson correlation over the pairs
+    * where both endpoints exist — means and variances of the PAIRED
+    * sub-series, so r is always in [−1, 1] and gaps never bias it.
+    * Values micro-quantize up front and every power sum runs in
+    * DECIMAL(38,0) (Σx² at micro scale passes int64 near 3M buckets —
+    * the kappa/KS lesson); the single float is the final ratio,
+    * micro-quantized with the identical expression shape both engines
+    * execute bit-for-bit.
+    *
+    * Plan: a zero-shuffle Expand of the (2·maxLag+1)-literal lag array
+    * on the x side, ONE equi-join on (key, t+lag) against the
+    * un-exploded y side, one groupBy (key, lag) — at 100 TB the cost
+    * is (2L+1)× the series size through one shuffle, never a window
+    * over a single partition. Output: (key, lag, m, ccf_micro). */
+  def ccf(df: DataFrame, keyCol: String, tCol: String, xCol: String,
+      yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64]: $maxLag")
+    val dec = "decimal(38,0)"
+    val base = df.select(col(keyCol), col(tCol).cast("long").as("__t"),
+      (col(xCol).cast("decimal(18,6)") * lit(1000000L)).cast("long").as("__x"),
+      (col(yCol).cast("decimal(18,6)") * lit(1000000L)).cast("long").as("__y"))
+    val lagged = base
+      .withColumn("lag",
+        explode(array((-maxLag to maxLag).map(k => lit(k.toLong)): _*)))
+      .select(col(keyCol), (col("__t") + col("lag")).as("__t"),
+        col("lag"), col("__x").as("__x1"))
+    val pairs = lagged
+      .join(base.select(col(keyCol), col("__t"), col("__y")), Seq(keyCol, "__t"))
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("__x1").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x1").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x1").cast(dec) * col("__x1").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+    val varX = col("m").cast(dec) * col("__sxx") - col("__sx") * col("__sx")
+    val varY = col("m").cast(dec) * col("__syy") - col("__sy") * col("__sy")
+    pairs.select(col(keyCol), col("lag"), col("m"),
+      when(varX > 0 && varY > 0, // degenerate pairs (m=1 / constant) -> null
+        round(
+          ((col("m").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt(varX.cast("double") * varY.cast("double")))
+            * lit(1e6)).cast("long")).as("ccf_micro"))
   }
 
   /** Classical additive seasonal decomposition (the moving-average
@@ -535,5 +584,96 @@ object TimeSeries {
         (floorQ + when(r * 2 >= den, lit(1)).otherwise(lit(0))).cast("long"))
         .as("twap_micro"))
   }
+
+  /** Per-(key, day) count monoid — the daily twin of [[hourCells]],
+    * exposed because daily counts are the state a CUSUM streaming gate
+    * persists: microbatch-level cell states re-sum into the full series
+    * without rescanning events. */
+  def dayCells(df: DataFrame, secCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol),
+        call_function("div", col(secCol), lit(86400L)).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Page's CUSUM change-point detector over a keyed series (one row
+    * per (key, t)), EXACT in integer arithmetic end to end — the
+    * flagged set is a pure function of the data, never of float
+    * summation order.
+    *
+    * Target/allowance are self-calibrated off the key's own series:
+    * with μ = total/n the in-control mean and allowance k = (kNum/kDen)·μ,
+    * the classic recursions
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k)   (upward shifts)
+    *   S⁻_t = max(0, S⁻_{t−1} − x_t + μ − k)   (downward shifts)
+    *
+    * are evaluated via the prefix identity max-recursion ≡ running
+    * cumsum minus its running min (the empty prefix included), so no
+    * per-row iteration exists anywhere: scaling every deviation by
+    * n·kDen clears both divisions —
+    *
+    *   D⁺_i = kDen·n·x_i − (kDen+kNum)·total      (exact integers)
+    *   S⁺_t = cum⁺_t − min(0, min_{i≤t} cum⁺_i)
+    *
+    * and a point alarms when S exceeds h = (hNum/hDen)·|μ|, i.e.
+    * S·hDen > hNum·kDen·|total| cross-multiplied (no division). All
+    * sums run in DECIMAL(38,0) — a year of 10^12-count days keeps the
+    * running sums near 10^30, far past int64 (the kappa/KS overflow
+    * lesson). Surfaced magnitudes are micro-quantized in μ units via
+    * the exact half-up divmod split (S ≥ 0, so the positive-branch
+    * split suffices).
+    *
+    * Plan: ONE shuffle on key; the per-key totals and both running
+    * extrema are windows over that same partitioning (no join, no
+    * second exchange); series length per key is the bucket count
+    * (days), never raw rows. Output: (key, t, x_micro, s_pos_micro,
+    * s_neg_micro, flag_up, flag_down). */
+  def cusum(df: DataFrame, keyCol: String, tCol: String, valCol: String,
+      kNum: Long = 1L, kDen: Long = 4L,
+      hNum: Long = 2L, hDen: Long = 1L): DataFrame = {
+    require(kNum >= 0 && kDen > 0, s"allowance must be >= 0: $kNum/$kDen")
+    require(hNum > 0 && hDen > 0, s"threshold must be > 0: $hNum/$hDen")
+    val dec = "decimal(38,0)"
+    val base = df.select(col(keyCol), col(tCol).cast("long").as("t"),
+      (col(valCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+        .as("x_micro"))
+    val whole = Window.partitionBy(col(keyCol))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = count(lit(1)).over(whole).cast(dec)
+    val total = sum(col("x_micro").cast(dec)).over(whole)
+    val dUp = lit(kDen).cast(dec) * n * col("x_micro").cast(dec) -
+      lit(kDen + kNum).cast(dec) * total
+    val dDn = lit(kDen).cast(dec) * n * col("x_micro").cast(dec) -
+      lit(kDen - kNum).cast(dec) * total
+    val stepped = base
+      .withColumn("__tot", total)
+      .withColumn("__cu", sum(dUp).over(run))
+      .withColumn("__cd", sum(dDn).over(run))
+      .withColumn("__sp", col("__cu") - least(lit(0).cast(dec), min(col("__cu")).over(run)))
+      .withColumn("__sn", greatest(lit(0).cast(dec), max(col("__cd")).over(run)) - col("__cd"))
+    // micro magnitude in μ units: S / (kDen·|total|), exact half-up
+    def mu(s: Column): Column = {
+      val den = lit(kDen).cast(dec) * abs(col("__tot"))
+      when(col("__tot") =!= 0,
+        call_function("div", s * lit(2000000L).cast(dec) + den,
+          den * 2).cast("long"))
+    }
+    def alarm(s: Column): Column =
+      col("__tot") =!= 0 &&
+        s * lit(hDen).cast(dec) > lit(hNum * kDen).cast(dec) * abs(col("__tot"))
+    stepped.select(col(keyCol), col("t"), col("x_micro"),
+      mu(col("__sp")).as("s_pos_micro"), mu(col("__sn")).as("s_neg_micro"),
+      alarm(col("__sp")).as("flag_up"), alarm(col("__sn")).as("flag_down"))
+  }
+
+  /** [[cusum]] over a persisted daily-count cell state (columns:
+    * keyCol, day, n) — used by the streaming CUSUM gate, whose stored
+    * state IS this frame: cells re-sum first, so unioned per-batch
+    * states pool exactly and the gate equals a batch recompute. */
+  def cusumFromCells(cells: DataFrame, keyCol: String,
+      kNum: Long = 1L, kDen: Long = 4L,
+      hNum: Long = 2L, hDen: Long = 1L): DataFrame =
+    cusum(cells.groupBy(col(keyCol), col("day")).agg(sum("n").as("n")),
+      keyCol, "day", "n", kNum, kDen, hNum, hDen)
 
 }

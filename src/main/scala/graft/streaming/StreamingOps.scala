@@ -1067,6 +1067,66 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), keyCol, factorNum, factorDen)
   }
 
+  /** CUSUM-on-arrival: the anomalyGate shape over per-(key, day) count
+    * cells — each microbatch folds its `TimeSeries.dayCells` into the
+    * persisted daily state (a count monoid: arrival order and batch
+    * boundaries are irrelevant), and Page's change-point test over
+    * everything-seen-so-far is readable at any moment via
+    * [[cusumGateResult]] without touching raw events. Same
+    * versioned-dir + marker exactly-once commit as the other gates, so
+    * replayed batches cannot double-count; the drained result
+    * hash-matches the batch recompute (`TimeSeries.cusum` over the
+    * full replay's daily series), which is the driver row's oracle.
+    * State size is the keys' active day grid — summaries, never
+    * events. */
+  def cusumGate(stream: DataFrame, secCol: String, keyCol: String,
+      stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCusumBatch(batch, batchId, secCol, keyCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent daily-cell state merge (public for direct testing
+    * and for batch backfills sharing the gate's state). */
+  def applyCusumBatch(batch: DataFrame, batchId: Long, secCol: String,
+      keyCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val cells = graft.ops.TimeSeries.dayCells(batch, secCol, keyCol)
+    val merged = (if (current >= 0L)
+      cells.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else cells)
+      .groupBy(keyCol, "day").agg(sum("n").as("n"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Page's CUSUM test over the gate's committed daily state — reads
+    * ONLY the stored summaries, never raw events. */
+  def cusumGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCol: String,
+      kNum: Long = 1L, kDen: Long = 4L,
+      hNum: Long = 2L, hDen: Long = 1L): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed cusum state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.TimeSeries.cusumFromCells(
+      spark.read.parquet(s"$stateDir/v$v"), keyCol, kNum, kDen, hNum, hDen)
+  }
+
   /** Spatial-hotspot-on-arrival: the anomalyGate shape over per-cell
     * point counts — each microbatch folds its `Geo.cellCounts` into the
     * persisted cell state via the versioned-dir + marker exactly-once
