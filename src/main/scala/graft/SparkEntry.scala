@@ -493,6 +493,25 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("z_micro"))
     },
+    "feat_robust_scale" -> { (s, dir) =>
+      // Per-flag robust scaling of prices — (x − median)/IQR, the
+      // outlier-immune sibling of feat_zscore: exact lower-quantile
+      // cuts off the distinct-value histogram, sign-safe half-up
+      // divmod ratio, one broadcast join back onto the rows.
+      graft.ext.Features.robustScale(
+        Tables(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice")), "l_returnflag", "l_extendedprice")
+    },
+    "events_inter_arrival" -> { (s, dir) =>
+      // Inter-arrival cadence profile per event type: integer-second
+      // gaps off the deterministic (sec, id) order, exact discrete
+      // p50/p90 off the gap histogram, half-up divmod mean.
+      val ev = Tables(s, dir, "events")
+      graft.ext.Events.interArrival(
+        ev.select(col("event_type"),
+          graft.ext.Events.tsSec(ev).as("sec"), col("event_id")),
+        "event_type", "sec", "event_id")
+    },
     "dq_srm" -> { (s, dir) =>
       // Sample-ratio-mismatch gate: a synthetic 3-arm assignment off
       // the order key checked against its intended 1:1:1 allocation —
@@ -1116,6 +1135,17 @@ object SparkEntry {
         TextAnalysis.qualitySignals(t).map { case (n, c) => c.as(n) } ++
         Seq(TextAnalysis.langId(t).as("lang_pred"),
           TextAnalysis.fingerprint(t).as("fingerprint")): _*)
+    },
+    "text_quality_filters" -> { (s, dir) =>
+      // C4/Gopher pretraining-filter battery: word/line counts, mean
+      // word length, alphabetic ratio, boilerplate markers, and the
+      // Gopher keep-band — pure length/replace integer arithmetic in
+      // one codegen'd projection, replayed bit-for-bit by the oracle.
+      TextAnalysis.qualityFilters(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("n_lines"),
+          col("mean_word_len_micro"), col("alpha_ratio_micro"),
+          col("has_brace"), col("has_lorem"), col("has_js"),
+          col("terminal_punct"), col("keep"))
     },
     "text_tokens_bpe" -> { (s, dir) =>
       // token-cost estimation: whitespace tokens vs BPE-ish pretokenizer
@@ -2508,6 +2538,33 @@ object SparkEntry {
           }
         }.toDF("doc_id", "width", "height", "us_per_frame", "n_frames",
           "n_sampled", "mean_f0", "mean_f2")
+    },
+    "multimodal_audio" -> { (s, dir) =>
+      // Audio feature extraction through the REAL WAV pipeline: per doc
+      // a PCM payload is synthesized from doc_id arithmetic (4–8
+      // samples, values ((id·(i+3)) mod 2001) − 1000), encoded with
+      // encodeWav16, decoded back with decodeWavPcm, and the signal
+      // stats (energy, level, peak, zero crossings, near-silence) are
+      // computed DISTRIBUTED over the samples array by codegen'd
+      // higher-order functions — DuckDB predicts every stat from the
+      // same arithmetic without ever seeing a payload, so the whole
+      // encode→decode→extract path is oracle-pinned.
+      import s.implicits._
+      val pcm = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (4 + id % 5).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * (i + 3)) % 2001) - 1000).toShort)
+            val wav = graft.ext.MediaCodecs.encodeWav16(8000, 1, samples)
+            val out = graft.ext.MediaCodecs.decodeWavPcm(wav).get
+            (id, out.samples.map(_.toInt).toSeq)
+          }
+        }.toDF("doc_id", "samples")
+      graft.ext.Multimodal.audioFeatures(pcm, "samples")
+        .select(col("doc_id"), col("n_samples"), col("energy"),
+          col("sum_abs"), col("peak"), col("zero_crossings"),
+          col("silence_n"))
     },
 
     // --- [EXT] similarity search (embeddings) ---------------------------
@@ -5042,6 +5099,36 @@ object SparkEntry {
         |       GENERATE_SUBSCRIPTS(embedding, 1) AS dim1 FROM embeddings)
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
+    "text_quality_filters" ->
+      """WITH b AS (SELECT doc_id, text,
+        |   TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |   LOWER(text) AS lo FROM documents),
+        |f AS (SELECT doc_id, text, norm, lo,
+        |   CASE WHEN LENGTH(norm) = 0 THEN 0
+        |     ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END AS n_words,
+        |   LENGTH(REPLACE(norm, ' ', '')) AS nonspace,
+        |   LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |   CASE WHEN LENGTH(text) = 0 THEN 0
+        |     ELSE LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) + 1 END AS n_lines
+        |  FROM b)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_lines AS BIGINT) AS n_lines,
+        | CASE WHEN n_words > 0 THEN
+        |   CAST((nonspace * 2000000 + n_words) // (n_words * 2) AS BIGINT)
+        | END AS mean_word_len_micro,
+        | CASE WHEN LENGTH(text) > 0 THEN
+        |   CAST((n_alpha * 2000000 + LENGTH(text)) // (LENGTH(text) * 2) AS BIGINT)
+        | END AS alpha_ratio_micro,
+        | strpos(text, '{') > 0 AS has_brace,
+        | strpos(lo, 'lorem ipsum') > 0 AS has_lorem,
+        | strpos(lo, 'javascript') > 0 AS has_js,
+        | RIGHT(norm, 1) IN ('.', '!', '?', '"') AS terminal_punct,
+        | (n_words >= 50 AND n_words <= 100000
+        |   AND COALESCE(mean_word_len_micro BETWEEN 3000000 AND 10000000, FALSE)
+        |   AND COALESCE(alpha_ratio_micro >= 700000, FALSE)
+        |   AND strpos(text, '{') = 0 AND strpos(lo, 'lorem ipsum') = 0
+        |   AND strpos(lo, 'javascript') = 0) AS keep
+        |FROM f""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         | CAST(CASE WHEN text IS NULL OR LEN(TRIM(text)) = 0 THEN 0
@@ -5607,6 +5694,47 @@ object SparkEntry {
         |  THEN CAST(ROUND(CAST(ym AS DOUBLE)
         |    - theta * (CAST(xm AS DOUBLE) - mx)) AS BIGINT) END AS y_adj_micro
         |FROM e, d""".stripMargin,
+    "feat_robust_scale" ->
+      """WITH v AS (SELECT l_returnflag, l_extendedprice,
+        |   CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS vm FROM lineitem),
+        |h AS (SELECT l_returnflag AS g, vm, COUNT(*) AS c FROM v
+        |  WHERE vm IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT g, vm,
+        |   SUM(c) OVER (PARTITION BY g ORDER BY vm
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER (PARTITION BY g) AS tot FROM h),
+        |q AS (SELECT g, MIN(CASE WHEN cum * 4 >= tot THEN vm END) AS q1,
+        |   MIN(CASE WHEN cum * 2 >= tot THEN vm END) AS med,
+        |   MIN(CASE WHEN cum * 4 >= 3 * tot THEN vm END) AS q3
+        |  FROM cw GROUP BY g),
+        |j AS (SELECT v.l_returnflag, v.l_extendedprice, v.vm,
+        |   CAST(v.vm - q.med AS HUGEINT) * 1000000 AS num,
+        |   q.q3 - q.q1 AS den
+        |  FROM v JOIN q ON v.l_returnflag = q.g)
+        |SELECT l_returnflag, l_extendedprice,
+        | CASE WHEN vm IS NOT NULL AND den > 0 THEN CAST(
+        |   (num - ((num % den) + den) % den) // den
+        |   + CASE WHEN 2 * (((num % den) + den) % den) >= den
+        |       THEN 1 ELSE 0 END AS BIGINT) END AS robust_micro
+        |FROM j""".stripMargin,
+    "events_inter_arrival" ->
+      """WITH e AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |   event_id AS id FROM events),
+        |g AS (SELECT k, sec - LAG(sec) OVER (PARTITION BY k ORDER BY sec, id) AS gap
+        |  FROM e),
+        |h AS (SELECT k, gap, COUNT(*) AS c FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT k, gap, c,
+        |   SUM(c) OVER (PARTITION BY k ORDER BY gap
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER (PARTITION BY k) AS tot FROM h),
+        |s AS (SELECT k, MAX(tot) AS n_gaps,
+        |   MIN(CASE WHEN cum * 2 >= tot THEN gap END) AS p50_gap,
+        |   MIN(CASE WHEN cum * 10 >= 9 * tot THEN gap END) AS p90_gap,
+        |   SUM(CAST(gap AS HUGEINT) * c) AS sumg FROM cw GROUP BY k)
+        |SELECT k AS event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+        | p50_gap, p90_gap,
+        | CAST((sumg * 2000000 + n_gaps) // (n_gaps * 2) AS BIGINT) AS mean_gap_micro
+        |FROM s""".stripMargin,
     "feat_zscore" ->
       """WITH e AS (SELECT event_id, event_type, "value",
         |   CASE WHEN "value" IS NOT NULL
@@ -6192,6 +6320,22 @@ object SparkEntry {
     "multimodal_dhash" -> dhashSql,
     "multimodal_dhash_pairs" -> dhashPairsSql,
     "stream_dhash_gate" -> dhashPairsSql,
+    "multimodal_audio" ->
+      """WITH n AS (SELECT doc_id, 4 + doc_id % 5 AS ns FROM documents),
+        |s AS (SELECT n.doc_id, gs.i,
+        |   ((n.doc_id * (gs.i + 3)) % 2001) - 1000 AS v
+        |  FROM n JOIN (SELECT UNNEST(generate_series(0, 8)) AS i) gs
+        |    ON gs.i < n.ns),
+        |w AS (SELECT doc_id, v,
+        |   LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv FROM s)
+        |SELECT doc_id, COUNT(*) AS n_samples,
+        | CAST(SUM(v * v) AS BIGINT) AS energy,
+        | CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        | CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        | CAST(SUM(CASE WHEN nv IS NOT NULL AND v * nv < 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS zero_crossings,
+        | CAST(SUM(CASE WHEN ABS(v) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS silence_n
+        |FROM w GROUP BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,

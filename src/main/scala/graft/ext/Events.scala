@@ -664,4 +664,48 @@ object Events {
       (col("last_en") - col("first_st")).as("span_sec"),
       (col("last_en") - col("first_st") - col("covered_sec")).as("gap_sec"))
 
+  /** Inter-arrival-time profile per key: the distribution of gaps
+    * between consecutive events — the latency/cadence audit that sizes
+    * watermarks, session thresholds, and polling intervals. Exact end
+    * to end: gaps are integer seconds off the deterministic
+    * (sec, id) order (the id tiebreak makes same-second bursts
+    * well-defined), the p50/p90 cuts are LOWER discrete quantiles read
+    * off the per-key gap histogram (integer cross-multiplied — no
+    * float rank), and the mean is the half-up divmod split of the
+    * exact gap sum.
+    *
+    * Plan: ONE window pass over the key partitioning for the lag (the
+    * unavoidable per-key time order — the sessionize shape), then the
+    * histogram aggregation shuffles only the distinct (key, gap) set,
+    * the cumulative window and quantile min ride that small frame, and
+    * nothing returns to the fact table. Output: (key, n_gaps,
+    * p50_gap, p90_gap, mean_gap_micro). */
+  def interArrival(df: DataFrame, keyCol: String, secCol: String,
+      idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(secCol), col(idCol))
+    val gaps = df
+      .withColumn("__gap", col(secCol) - lag(col(secCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val hist = gaps.groupBy(col(keyCol), col("__gap"))
+      .agg(count(lit(1L)).as("__c"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("__gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(wRun))
+      .withColumn("__tot", sum("__c").over(wAll))
+    val sumG = sum(col("__gap").cast(dec) * col("__c").cast(dec))
+    cum.groupBy(col(keyCol))
+      .agg(
+        max(col("__tot")).as("n_gaps"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("__gap"))).as("p50_gap"),
+        min(when(col("__cum") * 10 >= col("__tot") * 9, col("__gap"))).as("p90_gap"),
+        sumG.as("__sum"))
+      .select(col(keyCol), col("n_gaps"), col("p50_gap"), col("p90_gap"),
+        call_function("div",
+          col("__sum") * lit(2000000L) + col("n_gaps").cast(dec),
+          col("n_gaps").cast(dec) * 2).cast("long").as("mean_gap_micro"))
+  }
+
 }

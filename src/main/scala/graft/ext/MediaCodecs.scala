@@ -477,6 +477,44 @@ object MediaCodecs {
     Some(AudioMeta(sampleRate, channels, nFrames.toLong, rms, zcr))
   } catch { case _: Throwable => None }
 
+  /** Raw PCM payload of a 16-bit RIFF/WAVE file: sample rate, channel
+    * count, and the channel-interleaved samples — the decode face
+    * feature extraction runs on (decodeWav surfaces summary stats
+    * only). Same chunk walk and format guards as [[decodeWav]]. */
+  final case class PcmAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  def decodeWavPcm(bytes: Array[Byte]): Option[PcmAudio] = try {
+    if (sniff(bytes) != "wav") return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var dataStart = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length && (dataStart < 0 || !fmtOk)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          val audioFormat = buf.getShort(pos + 8) & 0xFFFF
+          channels = buf.getShort(pos + 10) & 0xFFFF
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xFFFF
+          fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && sampleRate > 0
+        case "data" =>
+          dataStart = pos + 8; dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (!fmtOk || dataStart < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(dataStart + 2 * i); i += 1 }
+    Some(PcmAudio(sampleRate, channels, out))
+  } catch { case _: Throwable => None }
+
   // ---- MP3 (MPEG-1/2/2.5 Layer III) — header metadata only -----------
 
   /** Container-level MP3 metadata from a frame-header walk. Full PCM

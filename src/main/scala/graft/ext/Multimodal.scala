@@ -236,6 +236,39 @@ object Multimodal {
     * re-assembly, one serialize/deserialize boundary that a real
     * batch-decoding codec needs anyway. Null payloads yield null
     * features (left-join-shaped inputs survive). */
+  /** Audio signal features over a decoded PCM samples column
+    * (array<int>, one element per 16-bit sample) — the exact-integer
+    * stats a speech/audio curation pipeline gates on: total energy
+    * (Σs², loudness proxy), mean-absolute level, peak amplitude,
+    * strict zero-crossing count (s_i·s_{i+1} < 0 — pitch/noisiness
+    * proxy), and near-silence sample count (|s| < silenceAbs — the
+    * dead-air trim signal). Every stat is integer arithmetic over the
+    * samples array via codegen'd higher-order functions (aggregate /
+    * zip_with / transform) — no UDF, no float, so an independent
+    * engine replays them bit-for-bit from the same PCM. Zero shuffle:
+    * a pure projection that runs at scan speed next to the decode
+    * stage ([[MediaCodecs.decodeWavPcm]] feeds this from real WAV
+    * payloads). */
+  def audioFeatures(df: DataFrame, samplesCol: String): DataFrame = {
+    val s = col(samplesCol)
+    val n = size(s)
+    def sumL(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (acc, x) => acc + x)
+    df.withColumn("n_samples", n.cast("long"))
+      .withColumn("energy", sumL(transform(s, x => x.cast("long") * x)))
+      .withColumn("sum_abs", sumL(transform(s, x => abs(x).cast("long"))))
+      .withColumn("peak",
+        when(n > 0, array_max(transform(s, x => abs(x))).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("zero_crossings",
+        when(n > 1, sumL(zip_with(
+          slice(s, lit(1), n - 1), slice(s, lit(2), n - 1),
+          (a, b) => when(a * b < 0, lit(1L)).otherwise(lit(0L)))))
+          .otherwise(lit(0L)))
+      .withColumn("silence_n",
+        sumL(transform(s, x => when(abs(x) < 100, lit(1L)).otherwise(lit(0L)))))
+  }
+
   def withContentFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
     val outSchema = df.schema.add("content_features",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))

@@ -307,4 +307,56 @@ object TextAnalysis {
       .withColumn("n_syllables", nSyll.cast("long"))
       .withColumn("flesch_micro", when(w > 0L, score))
   }
+
+  /** C4/Gopher-style corpus quality filters (Raffel et al. 2020 §2.2,
+    * Rae et al. 2021 A1.1) — the rule battery a pretraining pipeline
+    * runs per document before anything expensive: word count, mean
+    * word length, alphabetic ratio, line count, terminal punctuation,
+    * and the boilerplate markers (braces = code/markup leakage, "lorem
+    * ipsum" = placeholder text, "javascript" = cookie/JS-warning
+    * chrome). `keep` is the Gopher band: 50–100k words, mean word
+    * length 3–10 chars, ≥ 70% alphabetic.
+    *
+    * EXACT and engine-portable by construction: counts come from pure
+    * length/replace arithmetic (words = spaces+1 after whitespace
+    * collapse; lines = newlines+1), character classes from one
+    * replace-all regex, ratios via the half-up divmod split — no
+    * tokenizer, no float, so DuckDB replays the flags bit-for-bit.
+    * Plan: a single codegen'd projection — zero shuffle, zero UDF; at
+    * 100 TB this runs at scan speed and is the cheapest prune in the
+    * pipeline, which is exactly where a 40–60% corpus cut belongs. */
+  def qualityFilters(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val norm = trim(regexp_replace(t, "\\s+", " "))
+    val nWords = when(length(norm) === 0, lit(0L))
+      .otherwise((length(norm) - length(regexp_replace(norm, " ", "")) + 1)
+        .cast("long"))
+    val nonSpace = length(regexp_replace(norm, " ", "")).cast("long")
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    val nLines = when(length(t) === 0, lit(0L))
+      .otherwise((length(t) - length(regexp_replace(t, "\n", "")) + 1)
+        .cast("long"))
+    // half-up integer ratios: (2·num·scale + den) div (2·den)
+    def ratioMicro(num: Column, den: Column): Column =
+      when(den > 0L,
+        call_function("div", num * lit(2000000L) + den, den * 2))
+    val meanWl = ratioMicro(nonSpace, nWords)
+    val alphaR = ratioMicro(nAlpha, length(t).cast("long"))
+    val lowered = lower(t)
+    df.withColumn("n_words", nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("mean_word_len_micro", meanWl)
+      .withColumn("alpha_ratio_micro", alphaR)
+      .withColumn("has_brace", instr(t, "{") > 0)
+      .withColumn("has_lorem", instr(lowered, "lorem ipsum") > 0)
+      .withColumn("has_js", instr(lowered, "javascript") > 0)
+      .withColumn("terminal_punct",
+        call_function("right", norm, lit(1)).isin(".", "!", "?", "\""))
+      .withColumn("keep",
+        nWords >= 50L && nWords <= 100000L &&
+          coalesce(meanWl >= 3000000L && meanWl <= 10000000L, lit(false)) &&
+          coalesce(alphaR >= 700000L, lit(false)) &&
+          instr(t, "{") === 0 && instr(lowered, "lorem ipsum") === 0 &&
+          instr(lowered, "javascript") === 0)
+  }
 }
