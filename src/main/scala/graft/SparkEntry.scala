@@ -1088,6 +1088,23 @@ object SparkEntry {
       // wedge join by O(sqrt(m)) per node — hub-skew-proof at scale.
       graft.ops.Graph.triangleCounts(partPairs(s, dir))
     },
+    "graph_kcore" -> { (s, dir) => // iterative peel: rows-only check
+      // 2-core of the REPEAT-co-occurrence graph (parts sharing >= 2
+      // distinct orders — the thresholded graph has real peel depth,
+      // unlike the dense single-order graph): repeated delete-degree-<k
+      // until the unique maximal fixpoint. Differential-pinned against
+      // a local reference peel in GraphSpec; no SQL oracle exists (the
+      // peel needs two references to the recursive set per round).
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("u"))
+        .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("w"))
+        .filter(col("w") >= 2).select(col("u"), col("v"))
+      graft.ops.Graph.kCore(edges, k = 2)
+    },
     "graph_sssp" -> { (s, dir) =>
       // 3-round weighted SSSP from part 0 over the co-occurrence graph
       // with deterministic integer weights w(u,v) = (u+v) % 97 + 1.
@@ -2595,6 +2612,16 @@ object SparkEntry {
     "sim_topk_ivf" -> { (s, dir) => // trained quantizer: rows-only check
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    },
+    "sim_mmr_rerank" -> { (s, dir) => // greedy rank: rows-only check
+      // MMR-diversified top-10 from the exact top-50 candidates per
+      // query (lambda = 0.7): the RAG/dedup re-rank that trades
+      // relevance against redundancy. Deterministic micro-int greedy,
+      // differential-pinned in SimilarityRerankSpec (greedy selection
+      // is not SQL-expressible, so this is a rows-only driver row).
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 20),
+        k = 10, fetch = 50, lambdaMicro = 700000L)
     },
 
     // --- [EXT] event analytics (events) ---------------------------------

@@ -232,4 +232,106 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    * top-k: re-rank each query's `fetch` nearest candidates greedily by
+    *
+    *   MMR(c) = λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * — the retrieval/RAG dedup step that stops k near-identical
+    * passages from filling the context window. The first pick is the
+    * most relevant candidate; every later pick trades relevance
+    * against redundancy with what is already selected.
+    *
+    * Deterministic end to end: candidates come from the exact
+    * brute-force scan with the (sim desc, id asc) tie order, scores
+    * micro-quantize before comparison, and greedy ties break on
+    * (mmr desc, rel desc, id asc) — output is a pure function of the
+    * data, pinned by a differential spec (hash-free ranking makes no
+    * SQL oracle possible, so this is a rows-only driver row).
+    *
+    * Scale shape: stage 1 is [[bruteForceTopK]]'s one-corpus-scan plan
+    * keeping vectors; stage 2 groups the ≤ fetch candidates per query
+    * (groupByKey on query_id — each group is k-bounded, so the
+    * per-group greedy is O(fetch²·dim) driver-free local work, never a
+    * shuffle of the corpus). Output: (query_id, rank, neighbor_id,
+    * rel_micro, mmr_micro). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      fetch: Int, lambdaMicro: Long = 700000L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1 && fetch >= k, s"need fetch >= k >= 1: k=$k fetch=$fetch")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1e6]: $lambdaMicro")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val joined = c.crossJoin(hinted(q, broadcastQueries))
+    val scored = (if (excludeSelf) joined.filter(col("id") =!= col("query_id")) else joined)
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qv"), col("v")) * lit(1000000L)).cast("long")
+          .as("rel_micro"), col("v"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel_micro").desc, col("id").asc)
+    val cands = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fetch)
+      .select(col("query_id"), col("id"), col("rel_micro"), col("v"))
+      .as[(Long, Long, Long, Seq[Double])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Double])]) =>
+        val cs = it.toArray.sortBy(t => (-t._3, t._2)) // (rel desc, id asc)
+        val vecs = cs.map(_._4.toArray)
+        def simMicro(a: Array[Double], b: Array[Double]): Long = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          val d = math.sqrt(na) * math.sqrt(nb)
+          if (d == 0.0) 0L else math.round(dot / d * 1000000L)
+        }
+        val n = cs.length
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSim = Array.fill(n)(0L) // max sim to the selected set
+        val taken = Array.fill(n)(false)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        var r = 1
+        while (r <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Long.MinValue; var bestRel = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val mmr =
+                if (selected.isEmpty) lambdaMicro * cs(i)._3
+                else lambdaMicro * cs(i)._3 - (1000000L - lambdaMicro) * maxSim(i)
+              val better = mmr > bestScore ||
+                (mmr == bestScore && (cs(i)._3 > bestRel ||
+                  (cs(i)._3 == bestRel && best >= 0 && cs(i)._2 < cs(best)._2)))
+              if (best < 0 || better) {
+                best = i; bestScore = mmr; bestRel = cs(i)._3
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          selected += best
+          out += ((qid, r.toLong, cs(best)._2, cs(best)._3,
+            // surfaced score back in micro units (÷1e6 of the product)
+            bestScore / 1000000L))
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val s = simMicro(vecs(j), vecs(best))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "rel_micro", "mmr_micro")
+  }
 }

@@ -266,4 +266,53 @@ object Graph {
           col("da") + col("db") - col("n_common")).as("jaccard_micro"),
         col("adamic_adar_nano"))
   }
+
+  /** k-core decomposition at a fixed k: the (unique) maximal subgraph
+    * of the undirected graph in which every node has degree ≥ k — the
+    * standard dense-community / spam-farm / influence-backbone
+    * extractor. Computed by the classic peel: repeatedly delete nodes
+    * of degree < k until none remain; the fixpoint is
+    * order-independent, so the result is a pure function of the edge
+    * set.
+    *
+    * Distributed shape per round: ONE degree aggregation (map-side
+    * combined) + two left-semi joins of the edge list against the
+    * surviving-node set, re-materialized ([[graft.ext.Materialize]])
+    * so lineage stays flat across rounds — the PageRank/BFS loop
+    * discipline. The per-round `.count()` is the control-plane
+    * fixpoint probe (one scalar to the driver, never rows). Rounds are
+    * data-dependent but ≤ the peel depth, which is small for real
+    * graphs (hubs keep cores stable); `maxRounds` bounds the driver
+    * loop and FAILS LOUD on pathological chains rather than spinning.
+    *
+    * Input: canonical undirected edges (u < v, distinct). Output:
+    * (node, core_degree) for every node in the k-core, core_degree the
+    * node's degree WITHIN the core (≥ k by construction). */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    var e = graft.ext.Materialize(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")))
+    var prev = e.count()
+    var round = 0
+    var done = prev == 0L
+    while (!done && round < maxRounds) {
+      val keep = degrees(e).filter(col("core_degree") >= k).select("node")
+      val ne = graft.ext.Materialize(
+        e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+      val cnt = ne.count()
+      done = cnt == prev // no edge peeled -> every survivor has deg >= k
+      prev = cnt
+      e = ne
+      round += 1
+    }
+    require(done, s"k-core peel did not converge in $maxRounds rounds " +
+      "(pathological chain?) — raise maxRounds")
+    degrees(e)
+  }
 }
