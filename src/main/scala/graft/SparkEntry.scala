@@ -904,6 +904,47 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("err_id").as("last_err_id"), col("err_mod"))
     },
+    "q_asof_nearest" -> { (s, dir) =>
+      // Nearest-in-time as-of: for every non-error event, the CLOSEST
+      // error event of the same user in either direction (equal
+      // distance prefers at-or-before) — two one-shuffle as-of passes
+      // composed, no pair explosion. Oracle: two DuckDB ASOF joins +
+      // the identical distance pick.
+      val ev = Tables(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val leftEv = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), us.as("t_us"))
+      val rightEv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), us.as("t_us"), col("event_id").as("err_id"))
+      graft.ops.AsOfJoin.nearest(leftEv, rightEv, keys = Seq("user_id"),
+          tsCol = "t_us", pick = Seq("err_id", "t_us"), suffix = "_near",
+          tiebreakCol = Some("err_id"))
+        .select(col("event_id"), col("user_id"),
+          col("err_id_near").as("near_err_id"),
+          abs(col("t_us") - col("t_us_near")).as("dist_us"))
+    },
+    "dedup_url" -> { (s, dir) =>
+      // URL-level exact dedup off canonicalization: five crawl-style
+      // variants per page (scheme/host case + www, tracking params
+      // kept-param mix, trailing slash, fragment, utm-only query) are
+      // synthesized from doc_id arithmetic and must collapse to the
+      // canonical form — the oracle rebuilds the same URLs and replays
+      // the identical regex chain.
+      val b = pmod(col("doc_id"), lit(100L))
+      val v = pmod(call_function("div", col("doc_id"), lit(100L)), lit(5L))
+      val site = concat(lit("site"), pmod(b, lit(10L)).cast("string"),
+        lit(".com/p/"), b.cast("string"))
+      val url = when(v === 0, concat(lit("HTTPS://WWW.Site"),
+          pmod(b, lit(10L)).cast("string"), lit(".COM/p/"), b.cast("string")))
+        .when(v === 1, concat(lit("https://"), site, lit("?ref="),
+          pmod(b, lit(3L)).cast("string"), lit("&utm_source=feed")))
+        .when(v === 2, concat(lit("https://"), site, lit("/")))
+        .when(v === 3, concat(lit("https://"), site, lit("#frag")))
+        .otherwise(concat(lit("https://"), site, lit("?utm_a=1&utm_b=2")))
+      graft.ext.UrlOps.dedupByUrl(
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .withColumn("url", url), "url", "doc_id")
+    },
     "q_range_join" -> { (s, dir) =>
       // Point-in-interval: every non-first event joined back to the
       // session interval that contains it (bucketized range join).
@@ -3746,6 +3787,30 @@ object SparkEntry {
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
       graft.ops.TimeSeries.ccf(daily, "seg", "day", "x", "y", maxLag = 7)
+    },
+    "ts_ccf_incremental" -> { (s, dir) =>
+      // The same cross-correlation off PERSISTED per-slice daily
+      // (seg, day, x, y) count states — the incremental twin of
+      // ts_ccf: three event tiles each fold to a daily-count state
+      // written through the parquet sink; the CCF is computed from the
+      // STORED states only (counts are a monoid, so the merge exactly
+      // equals the one-shot rollup) — shared oracle with ts_ccf.
+      val ev = Tables(s, dir, "events")
+      val stateDir = scratchDir("graft_ccf_state_").toString
+      def daily(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(pmod(col("user_id"), lit(4L)).as("seg"),
+            call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      (0 until 3).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          daily(ev.filter(pmod(col("event_id"), lit(3L)) === d)),
+          s"$stateDir/day=$d")
+      }
+      val merged = s.read
+        .parquet(s"$stateDir/day=0", s"$stateDir/day=1", s"$stateDir/day=2")
+        .groupBy("seg", "day").agg(sum("x").as("x"), sum("y").as("y"))
+      graft.ops.TimeSeries.ccf(merged, "seg", "day", "x", "y", maxLag = 7)
     },
     "ts_ohlc" -> { (s, dir) =>
       // OHLC candlestick bars: per (event_type, hour), open/close at
@@ -6852,26 +6917,61 @@ object SparkEntry {
     "ts_cusum" -> cusumSql,
     "ts_cusum_sql" -> cusumSql,
     "stream_cusum_gate" -> cusumSql,
-    "ts_ccf" ->
-      """WITH d AS (SELECT user_id % 4 AS seg, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000 AS x,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 AS y
-        | FROM events GROUP BY 1, 2),
-        |l AS (SELECT seg, t + lag AS t, lag, x
-        | FROM d, (SELECT UNNEST(generate_series(-7, 7)) AS lag)),
-        |p AS (SELECT l.seg, l.lag, COUNT(*) AS m,
-        |  SUM(CAST(l.x AS HUGEINT) * d.y) AS sxy,
-        |  SUM(CAST(l.x AS HUGEINT)) AS sx, SUM(CAST(d.y AS HUGEINT)) AS sy,
-        |  SUM(CAST(l.x AS HUGEINT) * l.x) AS sxx,
-        |  SUM(CAST(d.y AS HUGEINT) * d.y) AS syy
-        | FROM l JOIN d ON d.seg = l.seg AND d.t = l.t GROUP BY 1, 2)
-        |SELECT seg, lag, m,
-        | CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
-        |   CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
-        |     SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
-        |       * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
-        | END AS ccf_micro
-        |FROM p""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type <> 'error'),
+        |r AS (SELECT user_id, epoch_us(ts) AS t, event_id AS err_id
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (SELECT l.event_id, l.user_id, l.t, r.err_id AS b_id, r.t AS b_t
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t),
+        |f AS (SELECT l.event_id, r.err_id AS f_id, r.t AS f_t
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t)
+        |SELECT b.event_id, b.user_id,
+        | CASE WHEN f_t IS NULL OR (b_t IS NOT NULL AND b.t - b_t <= f_t - b.t)
+        |   THEN b_id ELSE f_id END AS near_err_id,
+        | CASE WHEN f_t IS NULL OR (b_t IS NOT NULL AND b.t - b_t <= f_t - b.t)
+        |   THEN b.t - b_t ELSE f_t - b.t END AS dist_us
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id, doc_id % 100 AS b, (doc_id // 100) % 5 AS v
+        |  FROM documents),
+        |raw AS (SELECT doc_id, CASE v
+        |   WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(b % 10 AS VARCHAR)
+        |     || '.COM/p/' || CAST(b AS VARCHAR)
+        |   WHEN 1 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '?ref=' || CAST(b % 3 AS VARCHAR)
+        |     || '&utm_source=feed'
+        |   WHEN 2 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '/'
+        |   WHEN 3 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '#frag'
+        |   ELSE 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '?utm_a=1&utm_b=2' END AS url
+        |  FROM u),
+        |c AS (SELECT doc_id, url,
+        |   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+        |   regexp_replace(lower(regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host,
+        |   regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+        |  FROM raw),
+        |n AS (SELECT doc_id, url, scheme, host,
+        |   regexp_replace(regexp_replace(rest, 'utm_[^&#]*&', '', 'g'),
+        |     '[?&]utm_[^&#]*$', '') AS noutm FROM c),
+        |p AS (SELECT doc_id, url, scheme, host,
+        |   regexp_extract(noutm, '^([^?]*)', 1) AS pth,
+        |   regexp_extract(noutm, '^[^?]*[?](.*)$', 1) AS qry FROM n),
+        |f AS (SELECT doc_id, CASE WHEN scheme = '' OR host = '' THEN url ELSE
+        |   lower(scheme) || '://' || host ||
+        |   (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+        |     ELSE regexp_replace(pth, '/+$', '') END) ||
+        |   (CASE WHEN qry = '' THEN '' ELSE '?' || qry END) END AS canonical_url
+        |  FROM p)
+        |SELECT canonical_url, COUNT(*) AS n_variants,
+        | MIN(doc_id) AS representative
+        |FROM f GROUP BY 1""".stripMargin,
+    "ts_ccf" -> ccfSql,
+    "ts_ccf_incremental" -> ccfSql,
     "ts_ewma" ->
       """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -7732,6 +7832,31 @@ object SparkEntry {
   /** Shared by ts_twap: interval-hold weighting with the exact
     * floor-divmod half-up division (sign-safe: the remainder is
     * normalized nonnegative before the quotient). */
+  /** Shared by ts_ccf / ts_ccf_incremental: pairs-Pearson cross-
+    * correlation at lags -7..7 over the zero-filled daily click and
+    * purchase counts per user segment; HUGEINT power sums mirror the
+    * Spark plan's DECIMAL(38,0). */
+  private def ccfSql: String =
+    """WITH d AS (SELECT user_id % 4 AS seg, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000 AS x,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 AS y
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT seg, t + lag AS t, lag, x
+        | FROM d, (SELECT UNNEST(generate_series(-7, 7)) AS lag)),
+        |p AS (SELECT l.seg, l.lag, COUNT(*) AS m,
+        |  SUM(CAST(l.x AS HUGEINT) * d.y) AS sxy,
+        |  SUM(CAST(l.x AS HUGEINT)) AS sx, SUM(CAST(d.y AS HUGEINT)) AS sy,
+        |  SUM(CAST(l.x AS HUGEINT) * l.x) AS sxx,
+        |  SUM(CAST(d.y AS HUGEINT) * d.y) AS syy
+        | FROM l JOIN d ON d.seg = l.seg AND d.t = l.t GROUP BY 1, 2)
+        |SELECT seg, lag, m,
+        | CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+        |   CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |     SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+        |       * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
+        | END AS ccf_micro
+        |FROM p""".stripMargin
+
   /** Shared by ts_cusum / ts_cusum_sql / stream_cusum_gate: Page's
     * CUSUM via the cumsum-minus-running-extremum identity, allowance
     * mu/100 and threshold 0.3*mu cross-multiplied so no division runs; the

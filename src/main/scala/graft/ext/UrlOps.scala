@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus dedup — the normalization every
+  * crawl pipeline runs before URL-level exact dedup (C4/CommonCrawl
+  * practice): the same page arrives as `HTTPS://WWW.Site.COM/p/1/`,
+  * `https://site.com/p/1?utm_source=feed`, `https://site.com/p/1#nav`,
+  * and counting it four times skews both dedup and per-domain quotas.
+  *
+  * Rules (each a deliberate, documented choice):
+  *  - scheme and host lowercase; path/query case is preserved
+  *    (RFC 3986 §6.2.2.1 — only scheme/host are case-insensitive);
+  *  - a leading `www.` strips off the host;
+  *  - the fragment drops entirely (never sent to the server);
+  *  - `utm_*` tracking parameters drop; other parameters KEEP their
+  *    original order (reordering would merge genuinely different URLs
+  *    on servers with positional semantics);
+  *  - trailing slashes collapse off the path (empty path → `/`).
+  *
+  * Everything is a chain of codegen'd regexp/string expressions — zero
+  * shuffle, zero UDF, so canonicalization runs at scan speed and the
+  * DuckDB oracle replays the identical regex chain bit-for-bit. */
+object UrlOps {
+
+  /** Lowercased host with any leading `www.` removed (empty string for
+    * unparseable input). */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+
+  /** The canonical form described above. Input must carry an explicit
+    * `scheme://host` prefix; anything else passes through unchanged
+    * (fail-safe: an un-normalized URL is a missed merge, not data
+    * loss). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val host = urlHost(url)
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    // strip utm_* params: interior ones take their trailing '&' along,
+    // a trailing one takes its leading '?' or '&'
+    val noUtm = regexp_replace(regexp_replace(rest,
+      "utm_[^&#]*&", ""), "[?&]utm_[^&#]*$", "")
+    val path = regexp_extract(noUtm, "^([^?]*)", 1)
+    val query = regexp_extract(noUtm, "^[^?]*[?](.*)$", 1)
+    val cleanPath = regexp_replace(path, "/+$", "")
+    val normPath = when(cleanPath === "", lit("/")).otherwise(cleanPath)
+    when(scheme === "" || host === "", url)
+      .otherwise(concat(lower(scheme), lit("://"), host, normPath,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** URL-level exact dedup off the canonical form: one hash aggregation
+    * keyed by the canonical URL — (canonical_url, n_variants,
+    * representative) with the smallest id as the deterministic
+    * representative. The aggregation is the only shuffle and it carries
+    * the URL-distinct set, never the corpus. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1L)).as("n_variants"), min(col(idCol)).as("representative"))
+}

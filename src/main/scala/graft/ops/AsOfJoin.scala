@@ -55,6 +55,31 @@ object AsOfJoin {
       tiebreakCol: Option[String] = None): DataFrame =
     asof(left, right, keys, tsCol, pick, suffix, tiebreakCol, forwardDir = true)
 
+  /** Nearest right row in EITHER direction: for each left row, the
+    * right row minimizing |left.ts − right.ts| within the key group —
+    * sensor alignment / closest-fix enrichment, where at-or-before is
+    * the wrong bias. Composes the backward and forward passes (each
+    * one union+window shuffle, so still no pair explosion) and picks
+    * the closer side per row; EQUAL distances prefer the at-or-before
+    * match, and rows with only one side matched take it. `tsCol` must
+    * be numeric (epoch seconds/micros): distances subtract. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      pick: Seq[String], suffix: String = "_asof",
+      tiebreakCol: Option[String] = None): DataFrame = {
+    val pickAll = pick.distinct
+    val withTs = (pickAll :+ tsCol).distinct
+    val b = backward(left, right, keys, tsCol, withTs, "_bk__", tiebreakCol)
+    val bf = forward(b, right, keys, tsCol, withTs, "_fw__", tiebreakCol)
+    val ts = col(tsCol)
+    val bts = col(tsCol + "_bk__")
+    val fts = col(tsCol + "_fw__")
+    val useB = fts.isNull || (bts.isNotNull && (ts - bts) <= (fts - ts))
+    val out = pickAll.map(p =>
+      when(useB, col(p + "_bk__")).otherwise(col(p + "_fw__")).as(p + suffix))
+    bf.select(
+      bf.columns.filterNot(_.endsWith("__")).map(col).toSeq ++ out: _*)
+  }
+
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
       pick: Seq[String], suffix: String, tiebreakCol: Option[String],
       forwardDir: Boolean): DataFrame = {

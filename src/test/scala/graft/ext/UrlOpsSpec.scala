@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins UrlOps canonicalization rules and AsOfJoin.nearest picks. */
+class UrlOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.canonicalUrl(col("url"))).collect()
+      .map(_.getString(0)).toSeq
+
+  test("scheme/host lowercase + www strip, path case preserved") {
+    assert(canon("HTTPS://WWW.Example.COM/Path/To") ===
+      Seq("https://example.com/Path/To"))
+  }
+
+  test("fragment drops; trailing slashes collapse; empty path -> /") {
+    assert(canon(
+      "https://a.com/p/1/#section",
+      "https://a.com/p/1///",
+      "https://a.com",
+      "https://a.com/#top") === Seq(
+      // empty path normalizes to "/" (RFC 3986 §6.2.3), so the bare
+      // and slash-only forms merge
+      "https://a.com/p/1", "https://a.com/p/1", "https://a.com/", "https://a.com/"))
+  }
+
+  test("utm params drop in every position; other params keep order") {
+    assert(canon(
+      "https://a.com/p?utm_source=x",
+      "https://a.com/p?utm_a=1&utm_b=2",
+      "https://a.com/p?utm_a=1&ref=7",
+      "https://a.com/p?ref=7&utm_a=1",
+      "https://a.com/p?b=2&a=1") === Seq(
+      "https://a.com/p", "https://a.com/p", "https://a.com/p?ref=7",
+      "https://a.com/p?ref=7", "https://a.com/p?b=2&a=1"))
+  }
+
+  test("non-URL input passes through unchanged (fail-safe)") {
+    assert(canon("not a url", "relative/path?utm_a=1") ===
+      Seq("not a url", "relative/path?utm_a=1"))
+  }
+
+  test("dedupByUrl groups variants under one representative") {
+    val df = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "HTTPS://WWW.A.COM/x/"),
+      (3L, "https://a.com/x#f"),
+      (4L, "https://a.com/y")).toDF("id", "url")
+    val out = UrlOps.dedupByUrl(df, "url", "id")
+      .orderBy("canonical_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("https://a.com/x", 3L, 1L), ("https://a.com/y", 1L, 4L)))
+  }
+
+  test("asof nearest: closer side wins, ties prefer at-or-before") {
+    // left at t=10: backward at 7 (d=3), forward at 12 (d=2) -> forward
+    // left at t=20: backward at 18 (d=2), forward at 22 (d=2) -> tie -> backward
+    // left at t=30: only backward exists -> backward
+    // left key B: no right rows -> nulls
+    val left = Seq(("A", 10L, 1L), ("A", 20L, 2L), ("A", 30L, 3L),
+      ("B", 5L, 4L)).toDF("k", "t", "lid")
+    val right = Seq(("A", 7L, 70L), ("A", 12L, 120L), ("A", 18L, 180L),
+      ("A", 22L, 220L)).toDF("k", "t", "rid")
+    val out = graft.ops.AsOfJoin.nearest(left, right, Seq("k"), "t",
+        pick = Seq("rid"), suffix = "_n", tiebreakCol = Some("rid"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, Some(120L)), (2L, Some(180L)), (3L, Some(220L)), (4L, None)))
+  }
+}
