@@ -275,6 +275,16 @@ object GraftExtensions {
         maxLag = longLit(args(4), "max_lag").toInt)
       out.queryExecution.logical
     }),
+    //   graft_url_dedup(table_view, url_col, id_col)
+    // URL-level exact dedup off the canonical form — same zero-shuffle
+    // regex chain + one aggregation as UrlOps.dedupByUrl.
+    ("graft_url_dedup", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.UrlOps.dedupByUrl(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "url_col"), strLit(args(2), "id_col"))
+      out.queryExecution.logical
+    }),
     //   graft_cusum(series_view, key_col, t_col, val_col,
     //               k_num, k_den, h_num, h_den)
     // Page's CUSUM change-point detector — same exact-integer

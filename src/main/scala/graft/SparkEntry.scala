@@ -930,20 +930,34 @@ object SparkEntry {
       // synthesized from doc_id arithmetic and must collapse to the
       // canonical form — the oracle rebuilds the same URLs and replays
       // the identical regex chain.
-      val b = pmod(col("doc_id"), lit(100L))
-      val v = pmod(call_function("div", col("doc_id"), lit(100L)), lit(5L))
-      val site = concat(lit("site"), pmod(b, lit(10L)).cast("string"),
-        lit(".com/p/"), b.cast("string"))
-      val url = when(v === 0, concat(lit("HTTPS://WWW.Site"),
-          pmod(b, lit(10L)).cast("string"), lit(".COM/p/"), b.cast("string")))
-        .when(v === 1, concat(lit("https://"), site, lit("?ref="),
-          pmod(b, lit(3L)).cast("string"), lit("&utm_source=feed")))
-        .when(v === 2, concat(lit("https://"), site, lit("/")))
-        .when(v === 3, concat(lit("https://"), site, lit("#frag")))
-        .otherwise(concat(lit("https://"), site, lit("?utm_a=1&utm_b=2")))
-      graft.ext.UrlOps.dedupByUrl(
-        Tables(s, dir, "documents").select(col("doc_id"))
-          .withColumn("url", url), "url", "doc_id")
+      graft.ext.UrlOps.dedupByUrl(syntheticUrls(s, dir), "url", "doc_id")
+    },
+    "dedup_url_sql" -> { (s, dir) =>
+      // The same dedup through its SQL TVF face — identical plan and
+      // oracle as dedup_url.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_url_dedup_v", syntheticUrls(s, dir)) { v =>
+        s.sql(s"SELECT * FROM graft_url_dedup('$v', 'url', 'doc_id')")
+      }
+    },
+    "dedup_url_incremental" -> { (s, dir) =>
+      // URL dedup off PERSISTED per-slice states — the incremental
+      // twin: three crawl tiles each fold to a (canonical, n, min-id)
+      // state written through the parquet sink; the dedup is computed
+      // from the STORED states only ((count, min) is a monoid, so the
+      // merge exactly equals the one-shot pass) — shared oracle with
+      // dedup_url.
+      val urls = syntheticUrls(s, dir)
+      val stateDir = scratchDir("graft_urldedup_state_").toString
+      (0 until 3).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ext.UrlOps.dedupByUrl(
+            urls.filter(pmod(col("doc_id"), lit(3L)) === d), "url", "doc_id"),
+          s"$stateDir/day=$d")
+      }
+      graft.ext.UrlOps.mergeUrlDedupStates(
+        s.read.parquet(s"$stateDir/day=0", s"$stateDir/day=1",
+          s"$stateDir/day=2"))
     },
     "q_range_join" -> { (s, dir) =>
       // Point-in-interval: every non-first event joined back to the
@@ -2468,6 +2482,18 @@ object SparkEntry {
       Curation.weightedSample(Tables(s, dir, "documents"),
         groupCol = "lang", idCol = "doc_id",
         weight = length(col("text")) + lit(1), k = 3)
+    },
+    "sample_negative" -> { (s, dir) =>
+      // Negative sampling for recsys/contrastive training: per
+      // purchasing user, 5 deterministic hash-draws over a 500-item
+      // space, minus collisions with true interactions (propose-and-
+      // drop, one anti-join). The mod-P hash is plain integer
+      // arithmetic, so the oracle redraws the identical negatives.
+      val pos = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), pmod(col("event_id"), lit(500L)).as("item"))
+      graft.ext.Curation.negativeSample(pos, "user_id", "item",
+        k = 5, itemSpace = 500L)
     },
     "sample_per_group" -> { (s, dir) =>
       // Deterministic per-group sample: first 3 docs per lang in
@@ -4498,6 +4524,24 @@ object SparkEntry {
     * Must stay in lockstep with the DuckDB base in fuzzCondExprSql. */
   /** Canonical part co-occurrence edges (u < v, distinct): two parts are
     * adjacent iff some order contains both. Shared by the graph queries. */
+  /** Crawl-style URL variants synthesized from doc_id arithmetic —
+    * shared by the dedup_url family; the oracle rebuilds the identical
+    * strings. */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+    val b = pmod(col("doc_id"), lit(100L))
+    val v = pmod(call_function("div", col("doc_id"), lit(100L)), lit(5L))
+    val site = concat(lit("site"), pmod(b, lit(10L)).cast("string"),
+      lit(".com/p/"), b.cast("string"))
+    val url = when(v === 0, concat(lit("HTTPS://WWW.Site"),
+        pmod(b, lit(10L)).cast("string"), lit(".COM/p/"), b.cast("string")))
+      .when(v === 1, concat(lit("https://"), site, lit("?ref="),
+        pmod(b, lit(3L)).cast("string"), lit("&utm_source=feed")))
+      .when(v === 2, concat(lit("https://"), site, lit("/")))
+      .when(v === 3, concat(lit("https://"), site, lit("#frag")))
+      .otherwise(concat(lit("https://"), site, lit("?utm_a=1&utm_b=2")))
+    Tables(s, dir, "documents").select(col("doc_id")).withColumn("url", url)
+  }
+
   private def partPairs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -6932,44 +6976,19 @@ object SparkEntry {
         | CASE WHEN f_t IS NULL OR (b_t IS NOT NULL AND b.t - b_t <= f_t - b.t)
         |   THEN b.t - b_t ELSE f_t - b.t END AS dist_us
         |FROM b JOIN f USING (event_id)""".stripMargin,
-    "dedup_url" ->
-      """WITH u AS (SELECT doc_id, doc_id % 100 AS b, (doc_id // 100) % 5 AS v
-        |  FROM documents),
-        |raw AS (SELECT doc_id, CASE v
-        |   WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(b % 10 AS VARCHAR)
-        |     || '.COM/p/' || CAST(b AS VARCHAR)
-        |   WHEN 1 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
-        |     || CAST(b AS VARCHAR) || '?ref=' || CAST(b % 3 AS VARCHAR)
-        |     || '&utm_source=feed'
-        |   WHEN 2 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
-        |     || CAST(b AS VARCHAR) || '/'
-        |   WHEN 3 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
-        |     || CAST(b AS VARCHAR) || '#frag'
-        |   ELSE 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
-        |     || CAST(b AS VARCHAR) || '?utm_a=1&utm_b=2' END AS url
-        |  FROM u),
-        |c AS (SELECT doc_id, url,
-        |   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
-        |   regexp_replace(lower(regexp_extract(url,
-        |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host,
-        |   regexp_extract(url,
-        |     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
-        |  FROM raw),
-        |n AS (SELECT doc_id, url, scheme, host,
-        |   regexp_replace(regexp_replace(rest, 'utm_[^&#]*&', '', 'g'),
-        |     '[?&]utm_[^&#]*$', '') AS noutm FROM c),
-        |p AS (SELECT doc_id, url, scheme, host,
-        |   regexp_extract(noutm, '^([^?]*)', 1) AS pth,
-        |   regexp_extract(noutm, '^[^?]*[?](.*)$', 1) AS qry FROM n),
-        |f AS (SELECT doc_id, CASE WHEN scheme = '' OR host = '' THEN url ELSE
-        |   lower(scheme) || '://' || host ||
-        |   (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
-        |     ELSE regexp_replace(pth, '/+$', '') END) ||
-        |   (CASE WHEN qry = '' THEN '' ELSE '?' || qry END) END AS canonical_url
-        |  FROM p)
-        |SELECT canonical_url, COUNT(*) AS n_variants,
-        | MIN(doc_id) AS representative
-        |FROM f GROUP BY 1""".stripMargin,
+    "dedup_url" -> urlDedupSql,
+    "dedup_url_sql" -> urlDedupSql,
+    "dedup_url_incremental" -> urlDedupSql,
+    "sample_negative" ->
+      """WITH pos AS (SELECT DISTINCT user_id, event_id % 500 AS item
+        |  FROM events WHERE event_type = 'purchase'),
+        |users AS (SELECT DISTINCT user_id FROM pos),
+        |prop AS (SELECT user_id, i AS draw,
+        |   ((user_id % 1000000007) * 26544357 + i * 40503) % 500 AS item
+        |  FROM users, (SELECT UNNEST(generate_series(0, 4)) AS i))
+        |SELECT p.user_id, p.draw, p.item
+        |FROM prop p ANTI JOIN pos
+        | ON p.user_id = pos.user_id AND p.item = pos.item""".stripMargin,
     "ts_ccf" -> ccfSql,
     "ts_ccf_incremental" -> ccfSql,
     "ts_ewma" ->
@@ -7832,6 +7851,48 @@ object SparkEntry {
   /** Shared by ts_twap: interval-hold weighting with the exact
     * floor-divmod half-up division (sign-safe: the remainder is
     * normalized nonnegative before the quotient). */
+  /** Shared by the dedup_url family: rebuilds the synthetic crawl
+    * variants from doc_id arithmetic and replays the identical
+    * canonicalization regex chain. */
+  private def urlDedupSql: String =
+    """WITH u AS (SELECT doc_id, doc_id % 100 AS b, (doc_id // 100) % 5 AS v
+        |  FROM documents),
+        |raw AS (SELECT doc_id, CASE v
+        |   WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(b % 10 AS VARCHAR)
+        |     || '.COM/p/' || CAST(b AS VARCHAR)
+        |   WHEN 1 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '?ref=' || CAST(b % 3 AS VARCHAR)
+        |     || '&utm_source=feed'
+        |   WHEN 2 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '/'
+        |   WHEN 3 THEN 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '#frag'
+        |   ELSE 'https://site' || CAST(b % 10 AS VARCHAR) || '.com/p/'
+        |     || CAST(b AS VARCHAR) || '?utm_a=1&utm_b=2' END AS url
+        |  FROM u),
+        |c AS (SELECT doc_id, url,
+        |   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+        |   regexp_replace(lower(regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host,
+        |   regexp_extract(url,
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+        |  FROM raw),
+        |n AS (SELECT doc_id, url, scheme, host,
+        |   regexp_replace(regexp_replace(rest, 'utm_[^&#]*&', '', 'g'),
+        |     '[?&]utm_[^&#]*$', '') AS noutm FROM c),
+        |p AS (SELECT doc_id, url, scheme, host,
+        |   regexp_extract(noutm, '^([^?]*)', 1) AS pth,
+        |   regexp_extract(noutm, '^[^?]*[?](.*)$', 1) AS qry FROM n),
+        |f AS (SELECT doc_id, CASE WHEN scheme = '' OR host = '' THEN url ELSE
+        |   lower(scheme) || '://' || host ||
+        |   (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+        |     ELSE regexp_replace(pth, '/+$', '') END) ||
+        |   (CASE WHEN qry = '' THEN '' ELSE '?' || qry END) END AS canonical_url
+        |  FROM p)
+        |SELECT canonical_url, COUNT(*) AS n_variants,
+        | MIN(doc_id) AS representative
+        |FROM f GROUP BY 1""".stripMargin
+
   /** Shared by ts_ccf / ts_ccf_incremental: pairs-Pearson cross-
     * correlation at lags -7..7 over the zero-filled daily click and
     * purchase counts per user segment; HUGEINT power sums mirror the

@@ -576,4 +576,40 @@ object Curation {
       .filter(col("rn") <= col("quota"))
       .select(col(idCol), col(groupCol), col("rn").cast("int").as("rn"))
   }
+
+  /** Negative sampling for contrastive/recsys training: per user, k
+    * pseudo-random items from [0, itemSpace) that the user did NOT
+    * interact with. Uses the standard propose-and-drop shape: each
+    * (user, draw i) proposes item
+    *
+    *   ((user mod P)·A + i·B) mod itemSpace      (P = 1e9+7 prime)
+    *
+    * — a deterministic integer hash both engines evaluate exactly (the
+    * mod-P fold keeps the product far inside int64 at ANY user-id
+    * magnitude) — then one anti-join drops proposals that collide with
+    * a true interaction. Collisions are simply dropped, not redrawn
+    * (per-user output is k minus its collision count): redraw loops are
+    * iterative and data-dependent, while the expected loss is the
+    * interaction density, which is tiny for real catalogs — callers
+    * needing exactly-k oversample draws and cut.
+    *
+    * Plan: one distinct-users aggregation, a zero-shuffle Expand of the
+    * k draw indices, ONE anti-join against the positives on
+    * (user, item) — no per-user loop, no rejection iteration, nothing
+    * quadratic. Output: (userCol, draw, itemCol). */
+  def negativeSample(interactions: DataFrame, userCol: String,
+      itemCol: String, k: Int, itemSpace: Long): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000]: $k")
+    require(itemSpace >= 2, s"itemSpace must be >= 2: $itemSpace")
+    val P = 1000000007L
+    val pos = interactions.select(col(userCol), col(itemCol)).distinct()
+    val proposals = pos.select(col(userCol)).distinct()
+      .withColumn("draw",
+        explode(array((0 until k).map(i => lit(i.toLong)): _*)))
+      .withColumn(itemCol,
+        pmod(pmod(col(userCol), lit(P)) * lit(26544357L) +
+          col("draw") * lit(40503L), lit(itemSpace)))
+    proposals.join(pos, Seq(userCol, itemCol), "left_anti")
+      .select(col(userCol), col("draw"), col(itemCol))
+  }
 }

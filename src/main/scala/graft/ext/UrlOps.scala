@@ -60,4 +60,13 @@ object UrlOps {
     df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
       .groupBy(col("canonical_url"))
       .agg(count(lit(1L)).as("n_variants"), min(col(idCol)).as("representative"))
+
+  /** Fold of [[dedupByUrl]] states — (count, min-id) is a monoid, so
+    * persisted per-slice states union and re-aggregate into exactly the
+    * one-shot result without re-canonicalizing any URL: the incremental
+    * maintenance face for a crawl that lands in daily tiles. */
+  def mergeUrlDedupStates(states: DataFrame): DataFrame =
+    states.groupBy(col("canonical_url"))
+      .agg(sum(col("n_variants")).as("n_variants"),
+        min(col("representative")).as("representative"))
 }

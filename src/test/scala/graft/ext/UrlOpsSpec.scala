@@ -56,6 +56,40 @@ class UrlOpsSpec extends SparkTestBase {
       ("https://a.com/x", 3L, 1L), ("https://a.com/y", 1L, 4L)))
   }
 
+  test("negativeSample: never collides, <= k per user, deterministic") {
+    val P = 1000000007L
+    val pos = Seq((1L, 3L), (1L, 7L), (2L, 0L), (2L, 1L), (2L, 2L))
+      .toDF("u", "item")
+    def run() = Curation.negativeSample(pos, "u", "item", k = 4, itemSpace = 10L)
+      .orderBy("u", "draw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    assert(out.toSeq === run().toSeq, "deterministic")
+    val posSet = Set((1L, 3L), (1L, 7L), (2L, 0L), (2L, 1L), (2L, 2L))
+    assert(out.forall { case (u, _, it) => !posSet((u, it)) },
+      "no negative is a true interaction")
+    assert(out.groupBy(_._1).forall(_._2.length <= 4))
+    // the hash replays locally: item = ((u mod P)*A + i*B) mod space
+    out.foreach { case (u, i, it) =>
+      assert(it === ((u % P) * 26544357L + i * 40503L) % 10L)
+    }
+  }
+
+  test("merged per-slice url-dedup states equal the one-shot pass") {
+    val df = Seq(
+      (1L, "https://a.com/x"), (2L, "HTTPS://WWW.A.COM/x/"),
+      (3L, "https://a.com/x#f"), (4L, "https://a.com/y"),
+      (5L, "https://a.com/x?utm_s=1"), (6L, "https://b.com/z/")
+    ).toDF("id", "url")
+    val tiles = (0 until 3).map(d => UrlOps.dedupByUrl(
+      df.filter(pmod(col("id"), lit(3L)) === d), "url", "id"))
+    val merged = UrlOps.mergeUrlDedupStates(
+      tiles.reduce(_ unionByName _)).orderBy("canonical_url").collect()
+    val oneShot = UrlOps.dedupByUrl(df, "url", "id")
+      .orderBy("canonical_url").collect()
+    assert(merged.toSeq === oneShot.toSeq)
+  }
+
   test("asof nearest: closer side wins, ties prefer at-or-before") {
     // left at t=10: backward at 7 (d=3), forward at 12 (d=2) -> forward
     // left at t=20: backward at 18 (d=2), forward at 22 (d=2) -> tie -> backward
