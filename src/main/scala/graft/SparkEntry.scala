@@ -3473,6 +3473,25 @@ object SparkEntry {
           "event_type", kNum = 1L, kDen = 100L, hNum = 3L, hDen = 10L)
       }
     },
+    "stream_quality_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Corpus quality ON ARRIVAL: the text_quality_filters battery
+        // over a 3-file document replay, folding per-(lang, keep)
+        // counts into persisted state (foreachBatch, versioned-dir +
+        // marker exactly-once; keyed by lang — the replay projection).
+        // Counts merge as a monoid, so the drained per-language
+        // keep-rates hash-match the batch recompute — the filters' own
+        // oracle wrapped in a per-language rollup.
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val stateDir = scratchDir("graft_quality_state_").toString
+        val ckpt = scratchDir("graft_quality_ckpt_").toString
+        graft.streaming.StreamingOps.qualityGate(stream, "text", "lang",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.qualityGateResult(s, stateDir, "lang")
+      }
+    },
     "stream_dedup" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Streaming exact dedup end-to-end: dropDuplicatesWithinWatermark
@@ -3776,6 +3795,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("x"))
       graft.ops.TimeSeries.ewma(daily, "event_type", "day", "x",
         alphaMicro = 250000L)
+    },
+    "ts_holt" -> { (s, dir) =>
+      // Holt linear-trend smoothing (alpha = 0.3, beta = 0.1) of the
+      // daily per-type count series: the exact signed stepwise-
+      // quantized integer recurrence — a recursive-CTE oracle replays
+      // it bit-for-bit via the identical normalized-remainder splits.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.holt(daily, "event_type", "day", "x",
+        alphaMicro = 300000L, betaMicro = 100000L)
     },
     "ts_cusum" -> { (s, dir) =>
       // Page's CUSUM change-point detector on the daily per-type count
@@ -5235,36 +5266,15 @@ object SparkEntry {
         |       GENERATE_SUBSCRIPTS(embedding, 1) AS dim1 FROM embeddings)
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
-    "text_quality_filters" ->
-      """WITH b AS (SELECT doc_id, text,
-        |   TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
-        |   LOWER(text) AS lo FROM documents),
-        |f AS (SELECT doc_id, text, norm, lo,
-        |   CASE WHEN LENGTH(norm) = 0 THEN 0
-        |     ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END AS n_words,
-        |   LENGTH(REPLACE(norm, ' ', '')) AS nonspace,
-        |   LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-        |   CASE WHEN LENGTH(text) = 0 THEN 0
-        |     ELSE LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) + 1 END AS n_lines
-        |  FROM b)
-        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-        | CAST(n_lines AS BIGINT) AS n_lines,
-        | CASE WHEN n_words > 0 THEN
-        |   CAST((nonspace * 2000000 + n_words) // (n_words * 2) AS BIGINT)
-        | END AS mean_word_len_micro,
-        | CASE WHEN LENGTH(text) > 0 THEN
-        |   CAST((n_alpha * 2000000 + LENGTH(text)) // (LENGTH(text) * 2) AS BIGINT)
-        | END AS alpha_ratio_micro,
-        | strpos(text, '{') > 0 AS has_brace,
-        | strpos(lo, 'lorem ipsum') > 0 AS has_lorem,
-        | strpos(lo, 'javascript') > 0 AS has_js,
-        | RIGHT(norm, 1) IN ('.', '!', '?', '"') AS terminal_punct,
-        | (n_words >= 50 AND n_words <= 100000
-        |   AND COALESCE(mean_word_len_micro BETWEEN 3000000 AND 10000000, FALSE)
-        |   AND COALESCE(alpha_ratio_micro >= 700000, FALSE)
-        |   AND strpos(text, '{') = 0 AND strpos(lo, 'lorem ipsum') = 0
-        |   AND strpos(lo, 'javascript') = 0) AS keep
-        |FROM f""".stripMargin,
+    "text_quality_filters" -> qualityFiltersSql,
+    "stream_quality_gate" ->
+      ("WITH qf AS (" + qualityFiltersSql + """)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        | SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS n_keep,
+        | CAST((SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) * 2000000 + COUNT(*))
+        |   // (COUNT(*) * 2) AS BIGINT) AS keep_rate_micro
+        |FROM qf JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin),
     "text_tokens_bpe" ->
       """SELECT doc_id,
         | CAST(CASE WHEN text IS NULL OR LEN(TRIM(text)) = 0 THEN 0
@@ -6991,6 +7001,38 @@ object SparkEntry {
         | ON p.user_id = pos.user_id AND p.item = pos.item""".stripMargin,
     "ts_ccf" -> ccfSql,
     "ts_ccf_incremental" -> ccfSql,
+    "ts_holt" ->
+      """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn,
+        |  COUNT(*) OVER (PARTITION BY k) AS nk,
+        |  LEAD(x) OVER (PARTITION BY k ORDER BY t) AS x2 FROM d0),
+        |r AS (
+        |  WITH RECURSIVE rec AS (
+        |    SELECT k, t, x, rn, nk, x * 1000000 AS l,
+        |      CASE WHEN nk > 1 THEN (x2 - x) * 1000000 ELSE 0 END AS b
+        |    FROM d WHERE rn = 1
+        |    UNION ALL
+        |    SELECT k, t, x, rn, nk, l,
+        |      100000 * ((l - prevl
+        |          - (((l - prevl) % 1000000 + 1000000) % 1000000)) // 1000000)
+        |      + 900000 * ((prevb
+        |          - ((prevb % 1000000 + 1000000) % 1000000)) // 1000000)
+        |      + (100000 * (((l - prevl) % 1000000 + 1000000) % 1000000)
+        |         + 900000 * ((prevb % 1000000 + 1000000) % 1000000)) // 1000000 AS b
+        |    FROM (
+        |      SELECT d.k, d.t, d.x, d.rn, d.nk,
+        |        rec.l AS prevl, rec.b AS prevb,
+        |        300000 * d.x
+        |        + 700000 * ((rec.l + rec.b
+        |            - (((rec.l + rec.b) % 1000000 + 1000000) % 1000000)) // 1000000)
+        |        + (700000 * (((rec.l + rec.b) % 1000000 + 1000000) % 1000000))
+        |            // 1000000 AS l
+        |      FROM rec JOIN d ON d.k = rec.k AND d.rn = rec.rn + 1) z)
+        |  SELECT * FROM rec)
+        |SELECT k AS event_type, t AS day, x,
+        | CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro
+        |FROM r""".stripMargin,
     "ts_ewma" ->
       """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -7851,6 +7893,40 @@ object SparkEntry {
   /** Shared by ts_twap: interval-hold weighting with the exact
     * floor-divmod half-up division (sign-safe: the remainder is
     * normalized nonnegative before the quotient). */
+  /** Shared by text_quality_filters / stream_quality_gate: the
+    * C4/Gopher rule battery replayed with identical length/replace
+    * arithmetic and regex classes. */
+  private def qualityFiltersSql: String =
+    """WITH b AS (SELECT doc_id, text,
+        |   TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |   LOWER(text) AS lo FROM documents),
+        |f AS (SELECT doc_id, text, norm, lo,
+        |   CASE WHEN LENGTH(norm) = 0 THEN 0
+        |     ELSE LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 END AS n_words,
+        |   LENGTH(REPLACE(norm, ' ', '')) AS nonspace,
+        |   LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |   CASE WHEN LENGTH(text) = 0 THEN 0
+        |     ELSE LENGTH(text) - LENGTH(REPLACE(text, chr(10), '')) + 1 END AS n_lines
+        |  FROM b)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_lines AS BIGINT) AS n_lines,
+        | CASE WHEN n_words > 0 THEN
+        |   CAST((nonspace * 2000000 + n_words) // (n_words * 2) AS BIGINT)
+        | END AS mean_word_len_micro,
+        | CASE WHEN LENGTH(text) > 0 THEN
+        |   CAST((n_alpha * 2000000 + LENGTH(text)) // (LENGTH(text) * 2) AS BIGINT)
+        | END AS alpha_ratio_micro,
+        | strpos(text, '{') > 0 AS has_brace,
+        | strpos(lo, 'lorem ipsum') > 0 AS has_lorem,
+        | strpos(lo, 'javascript') > 0 AS has_js,
+        | RIGHT(norm, 1) IN ('.', '!', '?', '"') AS terminal_punct,
+        | (n_words >= 50 AND n_words <= 100000
+        |   AND COALESCE(mean_word_len_micro BETWEEN 3000000 AND 10000000, FALSE)
+        |   AND COALESCE(alpha_ratio_micro >= 700000, FALSE)
+        |   AND strpos(text, '{') = 0 AND strpos(lo, 'lorem ipsum') = 0
+        |   AND strpos(lo, 'javascript') = 0) AS keep
+        |FROM f""".stripMargin
+
   /** Shared by the dedup_url family: rebuilds the synthetic crawl
     * variants from doc_id arithmetic and replays the identical
     * canonicalization regex chain. */

@@ -397,6 +397,73 @@ object TimeSeries {
       .toDF(keyCol, tCol, xCol, "ewma_micro")
   }
 
+  /** Per-key Holt linear-trend (double exponential) smoothing — EWMA's
+    * big sibling for series with drift, where plain EWMA lags the trend
+    * forever (Holt 1957):
+    *
+    *   l_1 = x_1 ;  b_1 = x_2 − x_1 (0 for singletons)
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * as an EXACT stepwise floor-quantized integer recurrence in micro
+    * units, so both engines replay it bit-for-bit. Signed state makes
+    * the overflow-free split subtler than [[ewma]]'s: every step
+    * splits its signed operands at the micro boundary with FLOOR
+    * div/mod (s = q·10⁶ + r, 0 ≤ r < 10⁶ even for s < 0), so
+    *
+    *   ⌊(a·x·10⁶ + b·s) / 10⁶⌋ = a·x + b·q + ⌊b·r / 10⁶⌋
+    *   ⌊(g·d + h·s) / 10⁶⌋ = g·q_d + h·q_s + (g·r_d + h·r_s) div 10⁶
+    *
+    * — each residual term nonnegative and < 10¹², every other term
+    * ≤ ~10¹⁵, so nothing approaches int64. The recursive-CTE oracle
+    * uses the identical normalized-remainder split. Same per-key-
+    * sequential shape as [[ewma]] (keys spread across the cluster,
+    * series length is the only per-group bound). `x` must be a
+    * non-negative count below 10⁹ (fail-loud). Output:
+    * (key, t, x, level_micro, trend_micro). */
+  def holt(df: DataFrame, keyCol: String, tCol: String, xCol: String,
+      alphaMicro: Long, betaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    require(betaMicro > 0L && betaMicro <= 1000000L,
+      s"betaMicro must be in (0, 1e6], got $betaMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val M = 1000000L
+    df.select(col(keyCol).cast("string"), col(tCol).cast("long"),
+        col(xCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long)]) =>
+        val rows = it.toSeq.sortBy(_._2)
+        rows.foreach { case (_, _, x) =>
+          require(x >= 0L && x < 1000000000L,
+            s"holt input must be a count in [0, 1e9), got $x for key $k")
+        }
+        // floor-split of a signed micro value: s = q*M + r, 0 <= r < M
+        def qr(s: Long): (Long, Long) =
+          (java.lang.Math.floorDiv(s, M), java.lang.Math.floorMod(s, M))
+        var l = 0L; var b = 0L
+        rows.iterator.zipWithIndex.map { case ((_, t, x), i) =>
+          if (i == 0) {
+            l = x * M
+            b = if (rows.size > 1) (rows(1)._3 - x) * M else 0L
+          } else {
+            val (a, ac) = (alphaMicro, M - alphaMicro)
+            val (g, gc) = (betaMicro, M - betaMicro)
+            val prevL = l
+            val (qs, rs) = qr(l + b)           // l_{t-1} + b_{t-1}
+            l = a * x + ac * qs + ac * rs / M
+            val (qd, rd) = qr(l - prevL)       // level delta
+            val (qb, rb) = qr(b)
+            b = g * qd + gc * qb + (g * rd + gc * rb) / M
+          }
+          (k, t, x, l, b)
+        }
+      }
+      .toDF(keyCol, tCol, xCol, "level_micro", "trend_micro")
+  }
+
   /** OHLC candlestick bars: per (key, tumbling bucket of `widthSec`),
     * the first/highest/lowest/last observation plus exact volume. The
     * classic market-data rollup (open-high-low-close), equally useful

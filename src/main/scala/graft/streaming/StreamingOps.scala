@@ -1078,7 +1078,8 @@ object StreamingOps {
     * hash-matches the batch recompute (`TimeSeries.cusum` over the
     * full replay's daily series), which is the driver row's oracle.
     * State size is the keys' active day grid — summaries, never
-    * events. */
+    * events; [[vacuumVersions]] bounds retained versions (only the
+    * marker's current version is ever read). */
   def cusumGate(stream: DataFrame, secCol: String, keyCol: String,
       stateDir: String, checkpointDir: String): Unit = {
     val q = stream.writeStream
@@ -1125,6 +1126,71 @@ object StreamingOps {
     val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
     graft.ops.TimeSeries.cusumFromCells(
       spark.read.parquet(s"$stateDir/v$v"), keyCol, kNum, kDen, hNum, hDen)
+  }
+
+  /** Quality-filter-on-arrival: the C4/Gopher rule battery
+    * (`TextAnalysis.qualityFilters`) applied to each landing microbatch
+    * of documents, folding per-(source, keep) counts into persisted
+    * state — the live corpus-health dashboard a crawl ingest needs
+    * (keep-rate collapse = upstream extraction broke). Counts are a
+    * PURE monoid: arrival order and batch boundaries are irrelevant,
+    * so the drained gate hash-matches the batch recompute over the
+    * full corpus — the driver row's oracle. Same versioned-dir +
+    * marker exactly-once commit as the other gates;
+    * [[vacuumVersions]] bounds retained versions. State is
+    * (source × 2)-sized — never documents. */
+  def qualityGate(stream: DataFrame, textCol: String, srcCol: String,
+      stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQualityBatch(batch, batchId, textCol, srcCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent (source, keep)-count state merge. */
+  def applyQualityBatch(batch: DataFrame, batchId: Long, textCol: String,
+      srcCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(stateDir, "_VERSION")
+    val current = if (marker.exists)
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    else -1L
+    if (batchId <= current) return // replay of an already-committed batch
+    val cells = graft.ext.TextAnalysis.qualityFilters(batch, textCol)
+      .groupBy(col(srcCol), col("keep")).agg(count(lit(1L)).as("n"))
+    val merged = (if (current >= 0L)
+      cells.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else cells)
+      .groupBy(srcCol, "keep").agg(sum("n").as("n"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Per-source corpus health off the gate's committed counts — reads
+    * ONLY the stored summaries: (source, n_docs, n_keep,
+    * keep_rate_micro), the rate the exact half-up divmod. */
+  def qualityGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, srcCol: String): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed quality state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val dec = "decimal(38,0)"
+    spark.read.parquet(s"$stateDir/v$v")
+      .groupBy(col(srcCol))
+      .agg(sum("n").as("n_docs"),
+        sum(when(col("keep"), col("n")).otherwise(lit(0L))).as("n_keep"))
+      .select(col(srcCol), col("n_docs"), col("n_keep"),
+        call_function("div",
+          col("n_keep").cast(dec) * lit(2000000L) + col("n_docs").cast(dec),
+          col("n_docs").cast(dec) * 2).cast("long").as("keep_rate_micro"))
   }
 
   /** Spatial-hotspot-on-arrival: the anomalyGate shape over per-cell

@@ -97,6 +97,39 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(out.getAs[Long]("p50_gap") === 0L)
   }
 
+  test("quality gate: folded (key, keep) counts equal the one-shot pass") {
+    import graft.streaming.StreamingOps
+    val stateDir = java.nio.file.Files.createTempDirectory("quality_spec_").toString
+    val word = "steady "
+    val docs = (0L until 90L).map { i =>
+      val lang = "l" + (i % 3)
+      val text = if (i % 4 == 0) "too short" else (word * 60).trim
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val Seq(b0, b1, b2) = Seq(0L, 1L, 2L).map(m =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === m))
+    StreamingOps.applyQualityBatch(b0, 0L, "text", "lang", stateDir)
+    StreamingOps.applyQualityBatch(b1, 1L, "text", "lang", stateDir)
+    StreamingOps.applyQualityBatch(b1, 1L, "text", "lang", stateDir) // replay
+    StreamingOps.applyQualityBatch(b2, 2L, "text", "lang", stateDir)
+    val gate = StreamingOps.qualityGateResult(spark, stateDir, "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one-shot reference off the batch operator itself
+    val oneShot = TextAnalysis.qualityFilters(docs, "text")
+      .groupBy("lang")
+      .agg(count(lit(1L)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gate.map(t => (t._1, t._2, t._3)).toSeq === oneShot.toSeq)
+    // keep-rate divmod: 90 docs, 30 per lang; i%4==0 drops ~1/4
+    gate.foreach { case (_, n, k, rate) =>
+      assert(rate === (k * 2000000L + n) / (2L * n))
+      assert(k > 0L && k < n, "both filter branches exercised")
+    }
+  }
+
   test("decodeWavPcm round-trips samples exactly; audioFeatures exact") {
     val samples = Array[Short](100, -200, 0, 300, -50, 99)
     val wav = MediaCodecs.encodeWav16(16000, 1, samples)

@@ -89,6 +89,56 @@ class CusumCcfSpec extends SparkTestBase {
     val v = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(stateDir, "_VERSION").toPath)).trim
     assert(v === "2")
+    // retention: vacuum to the newest version only; the gate result is
+    // unchanged (only the marker's current version is ever read)
+    val doomed = StreamingOps.vacuumVersions(stateDir, keepLast = 1)
+    assert(doomed === Seq(0L, 1L))
+    assert(StreamingOps.cusumGateResult(spark, stateDir, "k")
+      .orderBy("k", "t").collect().toSeq === oneShot)
+  }
+
+  /** Independent Holt reference: plain BigInt floor of the unsplit
+    * expressions — what the operator's overflow-free splits must
+    * reproduce exactly. */
+  private def localHolt(xs: Seq[Long], aMu: Long, bMu: Long): Seq[(Long, Long)] = {
+    val M = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b; if (a % b != 0 && (a.signum * b.signum) < 0) q - 1 else q
+    }
+    var l = BigInt(0); var b = BigInt(0)
+    xs.zipWithIndex.map { case (x, i) =>
+      if (i == 0) {
+        l = BigInt(x) * M
+        b = if (xs.size > 1) BigInt(xs(1) - x) * M else BigInt(0)
+      } else {
+        val prevL = l
+        l = fdiv(BigInt(aMu) * x * M + BigInt(1000000 - aMu) * (l + b), M)
+        b = fdiv(BigInt(bMu) * (l - prevL) + BigInt(1000000 - bMu) * b, M)
+      }
+      (l.toLong, b.toLong)
+    }
+  }
+
+  test("holt equals the unsplit BigInt floor reference, signed trends") {
+    for (xs <- Seq(
+      (0 until 30).map(t => 100L + 3L * t),            // rising: trend > 0
+      (0 until 30).map(t => 500L - 7L * t).map(_ max 0L), // falling: trend < 0
+      Seq(42L),                                         // singleton: b = 0
+      (0 until 25).map(i => (i * 37 % 11) * 9L))) {     // oscillating
+      val df = xs.zipWithIndex.map { case (x, t) => ("k", t.toLong, x) }
+        .toDF("k", "t", "x")
+      val got = TimeSeries.holt(df, "k", "t", "x",
+          alphaMicro = 300000L, betaMicro = 100000L)
+        .orderBy("t").collect().map(r => (r.getLong(3), r.getLong(4)))
+      assert(got.toSeq === localHolt(xs, 300000L, 100000L), s"series $xs")
+    }
+    // direction sanity on the clean linear series
+    val rising = (0 until 30).map(t => 100L + 3L * t)
+    val df = rising.zipWithIndex.map { case (x, t) => ("k", t.toLong, x) }
+      .toDF("k", "t", "x")
+    val last = TimeSeries.holt(df, "k", "t", "x", 300000L, 100000L)
+      .orderBy("t").collect().last
+    assert(last.getLong(4) > 0L, "rising series carries positive trend")
   }
 
   test("ccf: a pure shift correlates perfectly at its lag, not elsewhere") {
