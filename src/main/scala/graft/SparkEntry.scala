@@ -5270,7 +5270,7 @@ object SparkEntry {
     "stream_quality_gate" ->
       ("WITH qf AS (" + qualityFiltersSql + """)
         |SELECT d.lang, COUNT(*) AS n_docs,
-        | SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS n_keep,
+        | CAST(SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         | CAST((SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) * 2000000 + COUNT(*))
         |   // (COUNT(*) * 2) AS BIGINT) AS keep_rate_micro
         |FROM qf JOIN documents d USING (doc_id)
