@@ -181,7 +181,10 @@ object TimeSeries {
     * DECIMAL(38,0) (Σx² at micro scale passes int64 near 3M buckets —
     * the kappa/KS lesson); the single float is the final ratio,
     * micro-quantized with the identical expression shape both engines
-    * execute bit-for-bit.
+    * execute bit-for-bit. Exact domain: the m·Σx² product bounds
+    * |value| near 2·10¹¹ at 40-point series (scaling as 1/√(m³)) —
+    * far above any real count series; past it the statistic fails
+    * LOUD under ANSI (battery-pinned), never a silent wrap.
     *
     * Plan: a zero-shuffle Expand of the (2·maxLag+1)-literal lag array
     * on the x side, ONE equi-join on (key, t+lag) against the

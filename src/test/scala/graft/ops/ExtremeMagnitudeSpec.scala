@@ -441,4 +441,120 @@ class ExtremeMagnitudeSpec extends SparkTestBase {
     assert(r.getDouble(1) === 1.0)
     assert(BigInt(r.getLong(2)) === BigInt(math.round(w * 1e6)) * 2)
   }
+
+  test("cusum exact at decimal(18,6)-cap values (BigInt Page reference)") {
+    // x at the quantization cap 999 999 999 999 -> x_micro ≈ 10^18;
+    // cum ≈ kDen·n·x_micro·n ≈ 1.6·10^22, s·2·10^6 ≈ 3·10^28 — all
+    // deep inside decimal(38,0); the statistic must equal Page's
+    // recursion on the same scaled BigInts EXACTLY (no tolerance).
+    val cap = 999999999999L
+    val xs = (0 until 25).map(i => cap - 500L + (i % 7)) ++
+      (0 until 15).map(i => cap - 100L + (i % 3)) // upward shift at the cap
+    val df = xs.zipWithIndex.map { case (x, t) => ("k", t.toLong, x.toDouble) }
+      .toDF("k", "t", "x")
+    val got = TimeSeries.cusum(df, "k", "t", "x",
+        kNum = 1L, kDen = 10L, hNum = 1L, hDen = 2L)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    // Page recursion in BigInt on the identical scaled integers
+    val micro = xs.map(x => BigInt(x) * 1000000)
+    val n = BigInt(micro.size); val total = micro.sum
+    val den = BigInt(10) * total.abs
+    var sp = BigInt(0); var sn = BigInt(0)
+    val want = micro.map { x =>
+      sp = (sp + (BigInt(10) * n * x - BigInt(11) * total)).max(BigInt(0))
+      sn = (sn - (BigInt(10) * n * x - BigInt(9) * total)).max(BigInt(0))
+      def mu(s: BigInt) = ((s * 2000000 + den) / (den * 2)).toLong
+      (mu(sp), mu(sn), sp * 2 > BigInt(10) * total.abs,
+        sn * 2 > BigInt(10) * total.abs)
+    }
+    assert(got.toSeq === want)
+    // at cap magnitude the relative shift is ~4e-10 of mu, so no alarm
+    // fires — the differential above is the guarantee; flag semantics
+    // at alarm-scale shifts are pinned in CusumCcfSpec
+    assert(!got.exists(_._3) && !got.exists(_._4))
+  }
+
+  test("ccf exact(±1µ) at 10^11-scale values; past the m·Σx² cliff → loud, never garbage") {
+    // ccf's final m·Σx² decimal product bounds the exact domain near
+    // |x| ≈ 2.4·10^11 for a 40-point series (vs acf, which drops to
+    // double before the n· product) — far above any count series; the
+    // cliff is LOUD under ANSI (pinned below at the quantization cap)
+    val cap = 200000000000.0
+    val rnd = new scala.util.Random(33)
+    val rows = (0 until 40).map { t =>
+      ("k", t.toLong,
+        (if (rnd.nextBoolean()) 1 else -1) * (cap - rnd.nextInt(1000)),
+        (if (rnd.nextBoolean()) 1 else -1) * (cap - rnd.nextInt(1000)))
+    }
+    val df = rows.toDF("k", "t", "x", "y")
+    val got = TimeSeries.ccf(df, "k", "t", "x", "y", maxLag = 1)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val xs = rows.map(r => (BigDecimal(r._3).setScale(6) * 1000000).toBigInt)
+    val ys = rows.map(r => (BigDecimal(r._4).setScale(6) * 1000000).toBigInt)
+    (-1 to 1).foreach { lag =>
+      // pair x_t with y_{t+lag} over valid indices
+      val idx = rows.indices.filter(i => i + lag >= 0 && i + lag < rows.size)
+      val m = idx.size
+      val sxy = idx.map(i => xs(i) * ys(i + lag)).sum
+      val sx = idx.map(xs(_)).sum; val sy = idx.map(i => ys(i + lag)).sum
+      val sxx = idx.map(i => xs(i) * xs(i)).sum
+      val syy = idx.map(i => ys(i + lag) * ys(i + lag)).sum
+      val num = (BigInt(m) * sxy - sx * sy).toDouble
+      val d = math.sqrt((BigInt(m) * sxx - sx * sx).toDouble *
+        (BigInt(m) * syy - sy * sy).toDouble)
+      val exp = math.round(num / d * 1e6)
+      assert(got(lag.toLong).isDefined &&
+        math.abs(got(lag.toLong).get - exp) <= 1L, s"lag $lag")
+    }
+    // at the decimal(18,6) quantization cap, m·Σx² ≈ 1.5·10^39 crosses
+    // decimal(38,0) — ANSI throws loudly; non-ANSI surfaces NULL. A
+    // wrapped value never.
+    val hard = 999999999999.0
+    val big = (0 until 40).map(t => ("k", t.toLong, hard, hard)).toDF("k", "t", "x", "y")
+    scala.util.Try(TimeSeries.ccf(big, "k", "t", "x", "y", maxLag = 1).collect()) match {
+      case scala.util.Failure(e) =>
+        def loud(m: String) = m.contains("ARITHMETIC_OVERFLOW") ||
+          m.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+        assert(Option(e.getMessage).exists(loud) ||
+          Option(e.getCause).exists(c => Option(c.getMessage).exists(loud)),
+          s"cliff must fail loudly, got: $e")
+      case scala.util.Success(rs) =>
+        assert(rs.nonEmpty && rs.forall(_.isNullAt(3)),
+          "past the cliff ccf_micro must be NULL, not a wrapped value")
+    }
+  }
+
+  test("holt exact at the count-domain edge; out-of-domain fails loud") {
+    // x just under the documented 10^9 bound: the splits stay ≤ ~10^15
+    // by construction — the result must equal the unsplit BigInt floor
+    val top = 999999999L
+    val xs = (0 until 30).map(i => top - 1000L + (i % 13) * 3L)
+    val df = xs.zipWithIndex.map { case (x, t) => ("k", t.toLong, x) }
+      .toDF("k", "t", "x")
+    val got = TimeSeries.holt(df, "k", "t", "x", 300000L, 100000L)
+      .orderBy("t").collect().map(r => (r.getLong(3), r.getLong(4)))
+    val M = BigInt(1000000)
+    def fdiv(a: BigInt, b: BigInt) = {
+      val q = a / b; if (a % b != 0 && (a.signum * b.signum) < 0) q - 1 else q
+    }
+    var l = BigInt(0); var b = BigInt(0)
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      if (i == 0) { l = BigInt(x) * M; b = BigInt(xs(1) - x) * M }
+      else {
+        val prevL = l
+        l = fdiv(BigInt(300000) * x * M + BigInt(700000) * (l + b), M)
+        b = fdiv(BigInt(100000) * (l - prevL) + BigInt(900000) * b, M)
+      }
+      (l.toLong, b.toLong)
+    }
+    assert(got.toSeq === want)
+    val bad = Seq(("k", 0L, 1000000000L)).toDF("k", "t", "x")
+    val ex = intercept[org.apache.spark.SparkException] {
+      TimeSeries.holt(bad, "k", "t", "x", 300000L, 100000L).collect()
+    }
+    assert(ex.getMessage.contains("holt input") ||
+      Option(ex.getCause).exists(_.getMessage.contains("holt input")))
+  }
 }
