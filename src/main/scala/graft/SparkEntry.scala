@@ -3473,6 +3473,33 @@ object SparkEntry {
           "event_type", kNum = 1L, kDen = 100L, hNum = 3L, hDen = 10L)
       }
     },
+    "stream_holt_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // One ingested state, many faces: the SAME (key, day) count
+        // monoid the CUSUM gate maintains also serves trend smoothing
+        // — Holt read off the drained state equals the batch ts_holt
+        // (shared oracle), and raw events are never re-read.
+        val (replayDir, schema) = timeOrderedEventReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+          .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+        val stateDir = scratchDir("graft_holt_state_").toString
+        val ckpt = scratchDir("graft_holt_ckpt_").toString
+        graft.streaming.StreamingOps.cusumGate(stream, "sec", "event_type",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.holtGateResult(s, stateDir,
+          "event_type", alphaMicro = 300000L, betaMicro = 100000L)
+      }
+    },
+    "dq_iqr_outliers" -> { (s, dir) =>
+      // Tukey 1.5-IQR fences on event values per type: exact
+      // lower-quantile cuts, cross-multiplied fence tests, outliers
+      // only with their side — the boxplot rule next to the MAD rule.
+      graft.ext.Features.iqrOutliers(
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+    },
     "stream_quality_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Corpus quality ON ARRIVAL: the text_quality_filters battery
@@ -7001,38 +7028,26 @@ object SparkEntry {
         | ON p.user_id = pos.user_id AND p.item = pos.item""".stripMargin,
     "ts_ccf" -> ccfSql,
     "ts_ccf_incremental" -> ccfSql,
-    "ts_holt" ->
-      """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
-        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
-        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn,
-        |  COUNT(*) OVER (PARTITION BY k) AS nk,
-        |  LEAD(x) OVER (PARTITION BY k ORDER BY t) AS x2 FROM d0),
-        |r AS (
-        |  WITH RECURSIVE rec AS (
-        |    SELECT k, t, x, rn, nk, x * 1000000 AS l,
-        |      CASE WHEN nk > 1 THEN (x2 - x) * 1000000 ELSE 0 END AS b
-        |    FROM d WHERE rn = 1
-        |    UNION ALL
-        |    SELECT k, t, x, rn, nk, l,
-        |      100000 * ((l - prevl
-        |          - (((l - prevl) % 1000000 + 1000000) % 1000000)) // 1000000)
-        |      + 900000 * ((prevb
-        |          - ((prevb % 1000000 + 1000000) % 1000000)) // 1000000)
-        |      + (100000 * (((l - prevl) % 1000000 + 1000000) % 1000000)
-        |         + 900000 * ((prevb % 1000000 + 1000000) % 1000000)) // 1000000 AS b
-        |    FROM (
-        |      SELECT d.k, d.t, d.x, d.rn, d.nk,
-        |        rec.l AS prevl, rec.b AS prevb,
-        |        300000 * d.x
-        |        + 700000 * ((rec.l + rec.b
-        |            - (((rec.l + rec.b) % 1000000 + 1000000) % 1000000)) // 1000000)
-        |        + (700000 * (((rec.l + rec.b) % 1000000 + 1000000) % 1000000))
-        |            // 1000000 AS l
-        |      FROM rec JOIN d ON d.k = rec.k AND d.rn = rec.rn + 1) z)
-        |  SELECT * FROM rec)
-        |SELECT k AS event_type, t AS day, x,
-        | CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro
-        |FROM r""".stripMargin,
+    "stream_holt_gate" -> holtSql,
+    "ts_holt" -> holtSql,
+    "dq_iqr_outliers" ->
+      """WITH v AS (SELECT event_id, event_type, "value",
+        |   CAST(ROUND("value" * 1000000) AS BIGINT) AS vm
+        |  FROM events WHERE "value" IS NOT NULL),
+        |h AS (SELECT event_type AS g, vm, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, vm,
+        |   SUM(c) OVER (PARTITION BY g ORDER BY vm
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER (PARTITION BY g) AS tot FROM h),
+        |q AS (SELECT g, MIN(CASE WHEN cum * 4 >= tot THEN vm END) AS q1,
+        |   MIN(CASE WHEN cum * 4 >= 3 * tot THEN vm END) AS q3
+        |  FROM cw GROUP BY g)
+        |SELECT v.event_id, v.event_type, v."value",
+        | CASE WHEN 2 * v.vm < 2 * q1 - 3 * (q3 - q1) THEN 'low'
+        |   ELSE 'high' END AS side
+        |FROM v JOIN q ON v.event_type = q.g
+        |WHERE 2 * v.vm < 2 * q1 - 3 * (q3 - q1)
+        |   OR 2 * v.vm > 2 * q3 + 3 * (q3 - q1)""".stripMargin,
     "ts_ewma" ->
       """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -7993,6 +8008,42 @@ object SparkEntry {
         |       * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
         | END AS ccf_micro
         |FROM p""".stripMargin
+
+  /** Shared by ts_holt / stream_holt_gate: the signed Holt recurrence
+    * replayed via a recursive CTE with the identical
+    * normalized-remainder floor splits. */
+  private def holtSql: String =
+    """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn,
+        |  COUNT(*) OVER (PARTITION BY k) AS nk,
+        |  LEAD(x) OVER (PARTITION BY k ORDER BY t) AS x2 FROM d0),
+        |r AS (
+        |  WITH RECURSIVE rec AS (
+        |    SELECT k, t, x, rn, nk, x * 1000000 AS l,
+        |      CASE WHEN nk > 1 THEN (x2 - x) * 1000000 ELSE 0 END AS b
+        |    FROM d WHERE rn = 1
+        |    UNION ALL
+        |    SELECT k, t, x, rn, nk, l,
+        |      100000 * ((l - prevl
+        |          - (((l - prevl) % 1000000 + 1000000) % 1000000)) // 1000000)
+        |      + 900000 * ((prevb
+        |          - ((prevb % 1000000 + 1000000) % 1000000)) // 1000000)
+        |      + (100000 * (((l - prevl) % 1000000 + 1000000) % 1000000)
+        |         + 900000 * ((prevb % 1000000 + 1000000) % 1000000)) // 1000000 AS b
+        |    FROM (
+        |      SELECT d.k, d.t, d.x, d.rn, d.nk,
+        |        rec.l AS prevl, rec.b AS prevb,
+        |        300000 * d.x
+        |        + 700000 * ((rec.l + rec.b
+        |            - (((rec.l + rec.b) % 1000000 + 1000000) % 1000000)) // 1000000)
+        |        + (700000 * (((rec.l + rec.b) % 1000000 + 1000000) % 1000000))
+        |            // 1000000 AS l
+        |      FROM rec JOIN d ON d.k = rec.k AND d.rn = rec.rn + 1) z)
+        |  SELECT * FROM rec)
+        |SELECT k AS event_type, t AS day, x,
+        | CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro
+        |FROM r""".stripMargin
 
   /** Shared by ts_cusum / ts_cusum_sql / stream_cusum_gate: Page's
     * CUSUM via the cumsum-minus-running-extremum identity, allowance

@@ -208,9 +208,13 @@ object Features {
     * Output: input columns plus `robust_micro` = half-up of
     * (x − med)·10^6 / IQR; NULL for NULL values and for degenerate
     * groups (IQR = 0 — a half-constant group has no robust scale). */
-  def robustScale(df: DataFrame, groupCol: String,
+  /** Per-group lower-discrete quartile cuts (__q1, __med, __q3 in micro
+    * units) off the distinct-value histogram — shared by
+    * [[robustScale]] and [[iqrOutliers]]: the shuffle is the distinct
+    * (group, value) set and the cumulative window rides that small
+    * frame, never the table. */
+  private def quartileCuts(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val vMic = round(col(valueCol).cast("double") * lit(1000000L))
       .cast("long")
     val hist = df.filter(col(valueCol).isNotNull)
@@ -219,7 +223,7 @@ object Features {
     val wRun = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
-    val cuts = hist
+    hist
       .withColumn("__cum", sum("__c").over(wRun))
       .withColumn("__tot", sum("__c").over(wAll))
       .groupBy(col(groupCol))
@@ -227,6 +231,14 @@ object Features {
         min(when(col("__cum") * 4 >= col("__tot"), col("__v"))).as("__q1"),
         min(when(col("__cum") * 2 >= col("__tot"), col("__v"))).as("__med"),
         min(when(col("__cum") * 4 >= col("__tot") * 3, col("__v"))).as("__q3"))
+  }
+
+  def robustScale(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vMic = round(col(valueCol).cast("double") * lit(1000000L))
+      .cast("long")
+    val cuts = quartileCuts(df, groupCol, valueCol)
     val num = (vMic - col("__med")).cast(dec) * lit(1000000L)
     val den = (col("__q3") - col("__q1")).cast(dec)
     val r = pmod(num, den)
@@ -236,6 +248,35 @@ object Features {
         when(col(valueCol).isNotNull && col("__q3") > col("__q1"),
           (floorQ + when(r * 2 >= den, lit(1)).otherwise(lit(0)))
             .cast("long")))
+      .drop("__q1", "__med", "__q3")
+  }
+
+  /** Tukey IQR-fence outlier detection (the boxplot rule) — the
+    * distribution-free sibling of the MAD rule: a value is an outlier
+    * when it falls below q1 − (fNum/fDen)·IQR or above
+    * q3 + (fNum/fDen)·IQR (default 3/2 — the classic 1.5·IQR fence).
+    * EXACT: quartiles are the [[robustScale]] lower-discrete cuts off
+    * the distinct-value histogram, and both fence tests cross-multiply
+    * (v·fDen < q1·fDen − fNum·IQR), so no division ever runs and the
+    * flagged set is a pure function of the data.
+    *
+    * Plan: the histogram topology again — one distinct-value shuffle,
+    * windows over that small frame, the group-count-sized cuts
+    * broadcast back; one scan of the fact table, outliers filtered
+    * map-side. Output: outlier rows only, input columns plus `side`
+    * ('low' | 'high'). */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      fNum: Long = 3L, fDen: Long = 2L): DataFrame = {
+    require(fNum > 0 && fDen > 0, s"fence factor must be > 0: $fNum/$fDen")
+    val vMic = round(col(valueCol).cast("double") * lit(1000000L))
+      .cast("long")
+    val cuts = quartileCuts(df, groupCol, valueCol)
+    val iqr = col("__q3") - col("__q1")
+    val low = vMic * fDen < col("__q1") * fDen - lit(fNum) * iqr
+    val high = vMic * fDen > col("__q3") * fDen + lit(fNum) * iqr
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(col(valueCol).isNotNull && (low || high))
+      .withColumn("side", when(low, lit("low")).otherwise(lit("high")))
       .drop("__q1", "__med", "__q3")
   }
 }

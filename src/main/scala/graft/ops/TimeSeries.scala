@@ -746,4 +746,13 @@ object TimeSeries {
     cusum(cells.groupBy(col(keyCol), col("day")).agg(sum("n").as("n")),
       keyCol, "day", "n", kNum, kDen, hNum, hDen)
 
+  /** [[holt]] over the SAME persisted daily-count cell state the CUSUM
+    * gate maintains — one stored state serves both change detection and
+    * trend smoothing (the PSI/JS shared-histogram discipline): the gate
+    * ingests once, and every series face reads summaries only. */
+  def holtFromCells(cells: DataFrame, keyCol: String,
+      alphaMicro: Long, betaMicro: Long): DataFrame =
+    holt(cells.groupBy(col(keyCol), col("day")).agg(sum("n").as("x")),
+      keyCol, "day", "x", alphaMicro, betaMicro)
+
 }

