@@ -57,4 +57,30 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = planOf(Relational.modePerGroup(df, Seq("g"), "v"))
     assert(!plan.contains("Window"), s"mode must not window over raw rows:\n$plan")
   }
+
+  test("cusum runs on ONE shuffle: totals and running extrema reuse the key partitioning") {
+    val df = (1L to 2000L).map(i => ("k" + i % 5, i % 200, i % 7)).toDF("k", "t", "x")
+    val plan = planOf(TimeSeries.cusum(df, "k", "t", "x"))
+    assert(shuffleCount(plan) === 1,
+      s"windows must all ride the single key exchange:\n$plan")
+  }
+
+  test("robustScale broadcasts the quartile cuts back — the table never re-shuffles") {
+    val df = (1L to 5000L).map(i => ("g" + i % 3, (i % 40).toDouble)).toDF("g", "v")
+    val plan = planOf(Features.robustScale(df, "g", "v"))
+    assert(plan.contains("BroadcastHashJoin"), s"cuts must broadcast:\n$plan")
+    // shuffles touch only the distinct-value histogram (agg + window)
+    assert(shuffleCount(plan) <= 2,
+      s"too many shuffles for the histogram topology:\n$plan")
+  }
+
+  test("ccf is one lag-Expand equi-join — no window over the series") {
+    val df = (0L until 500L).map(t => ("k", t, t % 9, t % 11)).toDF("k", "t", "x", "y")
+    val plan = planOf(TimeSeries.ccf(df, "k", "t", "x", "y", maxLag = 3))
+    assert(!plan.contains("Window"), s"ccf must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lag pairing must be an equi join:\n$plan")
+    assert(plan.contains("Expand") || plan.toLowerCase.contains("generate"),
+      s"lags must fan out as a zero-shuffle Expand/Generate:\n$plan")
+  }
 }
