@@ -275,6 +275,38 @@ object GraftExtensions {
         maxLag = longLit(args(4), "max_lag").toInt)
       out.queryExecution.logical
     }),
+    //   graft_quality_filters(table_view, text_col)
+    // The C4/Gopher pretraining filter battery — same zero-shuffle
+    // codegen'd projection as TextAnalysis.qualityFilters.
+    ("graft_quality_filters", 2, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.TextAnalysis.qualityFilters(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "text_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_iqr_outliers(table_view, group_col, value_col, f_num, f_den)
+    // Tukey IQR-fence outliers — same histogram-topology plan as
+    // Features.iqrOutliers.
+    ("graft_iqr_outliers", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Features.iqrOutliers(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "group_col"), strLit(args(2), "value_col"),
+        fNum = longLit(args(3), "f_num"), fDen = longLit(args(4), "f_den"))
+      out.queryExecution.logical
+    }),
+    //   graft_inter_arrival(table_view, key_col, sec_col, id_col)
+    // Inter-arrival cadence profile — same one-window + gap-histogram
+    // plan as Events.interArrival.
+    ("graft_inter_arrival", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Events.interArrival(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "key_col"), strLit(args(2), "sec_col"),
+        strLit(args(3), "id_col"))
+      out.queryExecution.logical
+    }),
     //   graft_url_dedup(table_view, url_col, id_col)
     // URL-level exact dedup off the canonical form — same zero-shuffle
     // regex chain + one aggregation as UrlOps.dedupByUrl.

@@ -3500,6 +3500,38 @@ object SparkEntry {
           .select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value")
     },
+    "dq_iqr_sql" -> { (s, dir) =>
+      // The fences through their SQL TVF face — identical plan and
+      // oracle as dq_iqr_outliers.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_iqr_v", Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))) { v =>
+        s.sql(s"SELECT * FROM graft_iqr_outliers('$v', 'event_type', 'value', 3, 2)")
+      }
+    },
+    "text_quality_sql" -> { (s, dir) =>
+      // The filter battery through its SQL TVF face — identical plan
+      // and oracle as text_quality_filters.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_quality_v", Tables(s, dir, "documents")) { v =>
+        s.sql(s"""
+          SELECT doc_id, n_words, n_lines, mean_word_len_micro,
+                 alpha_ratio_micro, has_brace, has_lorem, has_js,
+                 terminal_punct, keep
+          FROM graft_quality_filters('$v', 'text')
+        """)
+      }
+    },
+    "events_interarrival_sql" -> { (s, dir) =>
+      // The cadence profile through its SQL TVF face — identical plan
+      // and oracle as events_inter_arrival.
+      graft.GraftExtensions.register(s)
+      val ev = Tables(s, dir, "events")
+      withFreshView(s, "graft_ia_v", ev.select(col("event_type"),
+          graft.ext.Events.tsSec(ev).as("sec"), col("event_id"))) { v =>
+        s.sql(s"SELECT * FROM graft_inter_arrival('$v', 'event_type', 'sec', 'event_id')")
+      }
+    },
     "stream_quality_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Corpus quality ON ARRIVAL: the text_quality_filters battery
@@ -5294,6 +5326,7 @@ object SparkEntry {
         |WHERE dim1 <= 4 GROUP BY label, dim1""".stripMargin,
     "text_stats" -> textStatsSql,
     "text_quality_filters" -> qualityFiltersSql,
+    "text_quality_sql" -> qualityFiltersSql,
     "stream_quality_gate" ->
       ("WITH qf AS (" + qualityFiltersSql + """)
         |SELECT d.lang, COUNT(*) AS n_docs,
@@ -5890,24 +5923,8 @@ object SparkEntry {
         |   + CASE WHEN 2 * (((num % den) + den) % den) >= den
         |       THEN 1 ELSE 0 END AS BIGINT) END AS robust_micro
         |FROM j""".stripMargin,
-    "events_inter_arrival" ->
-      """WITH e AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
-        |   event_id AS id FROM events),
-        |g AS (SELECT k, sec - LAG(sec) OVER (PARTITION BY k ORDER BY sec, id) AS gap
-        |  FROM e),
-        |h AS (SELECT k, gap, COUNT(*) AS c FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
-        |cw AS (SELECT k, gap, c,
-        |   SUM(c) OVER (PARTITION BY k ORDER BY gap
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |   SUM(c) OVER (PARTITION BY k) AS tot FROM h),
-        |s AS (SELECT k, MAX(tot) AS n_gaps,
-        |   MIN(CASE WHEN cum * 2 >= tot THEN gap END) AS p50_gap,
-        |   MIN(CASE WHEN cum * 10 >= 9 * tot THEN gap END) AS p90_gap,
-        |   SUM(CAST(gap AS HUGEINT) * c) AS sumg FROM cw GROUP BY k)
-        |SELECT k AS event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
-        | p50_gap, p90_gap,
-        | CAST((sumg * 2000000 + n_gaps) // (n_gaps * 2) AS BIGINT) AS mean_gap_micro
-        |FROM s""".stripMargin,
+    "events_inter_arrival" -> interArrivalSql,
+    "events_interarrival_sql" -> interArrivalSql,
     "feat_zscore" ->
       """WITH e AS (SELECT event_id, event_type, "value",
         |   CASE WHEN "value" IS NOT NULL
@@ -7030,24 +7047,8 @@ object SparkEntry {
     "ts_ccf_incremental" -> ccfSql,
     "stream_holt_gate" -> holtSql,
     "ts_holt" -> holtSql,
-    "dq_iqr_outliers" ->
-      """WITH v AS (SELECT event_id, event_type, "value",
-        |   CAST(ROUND("value" * 1000000) AS BIGINT) AS vm
-        |  FROM events WHERE "value" IS NOT NULL),
-        |h AS (SELECT event_type AS g, vm, COUNT(*) AS c FROM v GROUP BY 1, 2),
-        |cw AS (SELECT g, vm,
-        |   SUM(c) OVER (PARTITION BY g ORDER BY vm
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |   SUM(c) OVER (PARTITION BY g) AS tot FROM h),
-        |q AS (SELECT g, MIN(CASE WHEN cum * 4 >= tot THEN vm END) AS q1,
-        |   MIN(CASE WHEN cum * 4 >= 3 * tot THEN vm END) AS q3
-        |  FROM cw GROUP BY g)
-        |SELECT v.event_id, v.event_type, v."value",
-        | CASE WHEN 2 * v.vm < 2 * q1 - 3 * (q3 - q1) THEN 'low'
-        |   ELSE 'high' END AS side
-        |FROM v JOIN q ON v.event_type = q.g
-        |WHERE 2 * v.vm < 2 * q1 - 3 * (q3 - q1)
-        |   OR 2 * v.vm > 2 * q3 + 3 * (q3 - q1)""".stripMargin,
+    "dq_iqr_outliers" -> iqrOutliersSql,
+    "dq_iqr_sql" -> iqrOutliersSql,
     "ts_ewma" ->
       """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),
@@ -8008,6 +8009,47 @@ object SparkEntry {
         |       * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
         | END AS ccf_micro
         |FROM p""".stripMargin
+
+  /** Shared by dq_iqr_outliers / dq_iqr_sql: exact quartile cuts +
+    * cross-multiplied Tukey fences. */
+  private def iqrOutliersSql: String =
+    """WITH v AS (SELECT event_id, event_type, "value",
+        |   CAST(ROUND("value" * 1000000) AS BIGINT) AS vm
+        |  FROM events WHERE "value" IS NOT NULL),
+        |h AS (SELECT event_type AS g, vm, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |cw AS (SELECT g, vm,
+        |   SUM(c) OVER (PARTITION BY g ORDER BY vm
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER (PARTITION BY g) AS tot FROM h),
+        |q AS (SELECT g, MIN(CASE WHEN cum * 4 >= tot THEN vm END) AS q1,
+        |   MIN(CASE WHEN cum * 4 >= 3 * tot THEN vm END) AS q3
+        |  FROM cw GROUP BY g)
+        |SELECT v.event_id, v.event_type, v."value",
+        | CASE WHEN 2 * v.vm < 2 * q1 - 3 * (q3 - q1) THEN 'low'
+        |   ELSE 'high' END AS side
+        |FROM v JOIN q ON v.event_type = q.g
+        |WHERE 2 * v.vm < 2 * q1 - 3 * (q3 - q1)
+        |   OR 2 * v.vm > 2 * q3 + 3 * (q3 - q1)""".stripMargin
+
+  /** Shared by events_inter_arrival / events_interarrival_sql. */
+  private def interArrivalSql: String =
+    """WITH e AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |   event_id AS id FROM events),
+        |g AS (SELECT k, sec - LAG(sec) OVER (PARTITION BY k ORDER BY sec, id) AS gap
+        |  FROM e),
+        |h AS (SELECT k, gap, COUNT(*) AS c FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT k, gap, c,
+        |   SUM(c) OVER (PARTITION BY k ORDER BY gap
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER (PARTITION BY k) AS tot FROM h),
+        |s AS (SELECT k, MAX(tot) AS n_gaps,
+        |   MIN(CASE WHEN cum * 2 >= tot THEN gap END) AS p50_gap,
+        |   MIN(CASE WHEN cum * 10 >= 9 * tot THEN gap END) AS p90_gap,
+        |   SUM(CAST(gap AS HUGEINT) * c) AS sumg FROM cw GROUP BY k)
+        |SELECT k AS event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+        | p50_gap, p90_gap,
+        | CAST((sumg * 2000000 + n_gaps) // (n_gaps * 2) AS BIGINT) AS mean_gap_micro
+        |FROM s""".stripMargin
 
   /** Shared by ts_holt / stream_holt_gate: the signed Holt recurrence
     * replayed via a recursive CTE with the identical
