@@ -2680,6 +2680,16 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
     },
+    "sim_topk_pq" -> { (s, dir) => // trained quantizer: rows-only check
+      // Product quantization with asymmetric distance + exact top-50
+      // refinement (IVFADC+R): the corpus scans as 8 small codes per
+      // row instead of 64 floats — the embedding-store compression
+      // path. Recall pinned by the seeded battery in
+      // SimilarityRecallSpec (refined = 1.0 on all three corpora).
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        m = 8, codebookSize = 16, refine = 50)
+    },
     "sim_mmr_rerank" -> { (s, dir) => // greedy rank: rows-only check
       // MMR-diversified top-10 from the exact top-50 candidates per
       // query (lambda = 0.7): the RAG/dedup re-rank that trades

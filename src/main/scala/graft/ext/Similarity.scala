@@ -233,6 +233,103 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
+  /** Product-quantization codebooks fit per subspace (Jégou et al.
+    * 2011): the vector splits into `m` contiguous subvectors and each
+    * subspace gets its own `codebookSize`-centroid K-Means — the
+    * compression that turns a 256-byte float vector into `m` small
+    * codes while ADC search stays accurate. Returns the flat broadcast
+    * codebook (layout `[((j·k + c)·dsub) + t]`) and the subvector
+    * width. Fit runs on a bounded cached sample like [[kmeansCells]];
+    * the corpus is never cached. */
+  private[ext] def pqCodebooks(prepared: DataFrame, m: Int,
+      codebookSize: Int, seed: Long, maxFitVectors: Long)
+      : (org.apache.spark.broadcast.Broadcast[Array[Double]], Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = prepared.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val total = math.max(prepared.count(), 1L)
+    val frac = math.min(1.0, maxFitVectors.toDouble / total.toDouble)
+    val sample =
+      (if (frac < 1.0) prepared.sample(withReplacement = false, frac, seed)
+      else prepared).cache()
+    val flat = new Array[Double](m * codebookSize * dsub)
+    try {
+      (0 until m).foreach { j =>
+        val sub = sample.select(array_to_vector(
+          slice(col("v"), j * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(codebookSize).setSeed(seed + j)
+          .setMaxIter(10).setInitMode("random").fit(sub)
+        model.clusterCenters.zipWithIndex.foreach { case (ctr, c) =>
+          System.arraycopy(ctr.toArray, 0, flat, (j * codebookSize + c) * dsub, dsub)
+        }
+      }
+    } finally sample.unpersist()
+    (prepared.sparkSession.sparkContext.broadcast(flat), dsub)
+  }
+
+  /** PQ approximate top-k with asymmetric distance (ADC): the corpus is
+    * encoded ONCE into m-code rows (32× smaller than raw vectors — the
+    * embedding-store compression path), queries stay exact, and each
+    * candidate scores as the squared L2 to its reconstruction. The
+    * encode pass and the scoring are codegen-path native expressions
+    * over a BROADCAST flat codebook — no per-row model UDF, no shuffle
+    * beyond the per-query top-k. Deterministic: fixed fit seed,
+    * first-min-wins code assignment, (distance asc, id asc) tie order.
+    * Approximation = quantization distortion only, pinned by a seeded
+    * recall battery (no SQL oracle exists for a trained quantizer —
+    * rows-only driver row, like IVF/LSH).
+    *
+    * 100 TB shape: m fits on a bounded sample; ONE corpus pass encodes;
+    * search touches only (id, codes) rows — at dim=64/m=8 that is 8
+    * ints instead of 64 floats per row, which is the whole point:
+    * the scan that dominates ANN at scale shrinks ~8×, and the exact
+    * vectors never travel. Compose with the IVF cell filter upstream
+    * when even the code scan is too big. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      codebookSize: Int = 16, refine: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true, seed: Long = 42L,
+      maxFitVectors: Long = 100000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(refine == 0 || refine >= k,
+      s"refine must be 0 (off) or >= k: refine=$refine k=$k")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (bc, dsub) = pqCodebooks(c, m, codebookSize, seed, maxFitVectors)
+    val codes = c.select(col("id"),
+      graft.functions.sketches.subvector_argmins(col("v"), bc, m, dsub,
+        codebookSize).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val cand = codes.crossJoin(hinted(q, broadcastQueries))
+    val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
+      .select(col("query_id"), col("id"),
+        graft.functions.sketches.pq_adc_dist(col("qv"), col("codes"), bc, m,
+          dsub, codebookSize).as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("id").asc)
+    val adcTop = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, refine))
+    if (refine == 0)
+      adcTop.select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    else {
+      // IVFADC+R refinement (Jégou et al. 2011 §V): re-rank the ADC
+      // top-`refine` by EXACT distance — the candidate set is k-bounded
+      // per query, so the vector join touches refine·|Q| rows, never
+      // the corpus; quantization then only costs recall when a true
+      // neighbor falls outside the refine window entirely
+      val exact = adcTop.select(col("query_id"), col("id"))
+        .join(c, Seq("id"))
+        .join(hinted(q, broadcastQueries = true), Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("id").asc)
+      exact.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    }
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
     * top-k: re-rank each query's `fetch` nearest candidates greedily by
     *

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -219,6 +219,98 @@ case class CentroidArgmin(child: Expression, centroids: Broadcast[Array[Double]]
     copy(child = newChild)
 }
 
+/** Per-subspace nearest-centroid codes for product quantization: the
+  * input vector splits into `m` contiguous subvectors of `dsub` dims;
+  * each gets the argmin centroid id within ITS codebook — the PQ
+  * encoding pass (Jégou et al. 2011). Flat codebook layout:
+  * `flat[((j*k + c)*dsub) + t]` for subspace j, centroid c, component t.
+  * Broadcast for the same reason as [[CentroidArgmin]]; map-side,
+  * shuffle-free, first-min-wins ties. */
+case class SubvectorArgmins(child: Expression,
+    codebooks: Broadcast[Array[Double]], m: Int, dsub: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(m > 0 && dsub > 0 && k > 0, s"bad PQ shape: m=$m dsub=$dsub k=$k")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "subvector_argmins"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * dsub) {
+      throw new IllegalArgumentException(
+        s"subvector_argmins: vector dim ${v.numElements()} != m*dsub ${m * dsub}")
+    }
+    val flat = codebooks.value
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (j * k + c) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val x = v.getDouble(j * dsub + t) - flat(off + t)
+          d += x * x
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ distance (ADC): squared L2 between an exact query
+  * vector and a PQ-coded corpus vector's reconstruction — the query
+  * side stays exact, only the corpus is quantized, which is what makes
+  * PQ search accurate at 32× compression. Same flat codebook layout as
+  * [[SubvectorArgmins]]. */
+case class PqAdcDistance(left: Expression, right: Expression,
+    codebooks: Broadcast[Array[Double]], m: Int, dsub: Int, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(m > 0 && dsub > 0 && k > 0, s"bad PQ shape: m=$m dsub=$dsub k=$k")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_dist"
+
+  override def nullSafeEval(qIn: Any, cIn: Any): Any = {
+    val q = qIn.asInstanceOf[ArrayData]
+    val codes = cIn.asInstanceOf[ArrayData]
+    if (q.numElements() != m * dsub || codes.numElements() != m) {
+      throw new IllegalArgumentException(
+        s"pq_adc_dist: dims ${q.numElements()}/${codes.numElements()} != ${m * dsub}/$m")
+    }
+    val flat = codebooks.value
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      val off = (j * k + codes.getInt(j)) * dsub
+      var t = 0
+      while (t < dsub) {
+        val x = q.getDouble(j * dsub + t) - flat(off + t)
+        d += x * x
+        t += 1
+      }
+      j += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API face of the sketch expressions (Spark 4 bridges Column <->
   * Expression through classic.ExpressionUtils). */
 object sketches {
@@ -233,4 +325,10 @@ object sketches {
     column(CosineSimilarity(expression(a), expression(b)))
   def centroid_argmin(vec: Column, centroids: Broadcast[Array[Double]], dim: Int): Column =
     column(CentroidArgmin(expression(vec), centroids, dim))
+  def subvector_argmins(vec: Column, codebooks: Broadcast[Array[Double]],
+      m: Int, dsub: Int, k: Int): Column =
+    column(SubvectorArgmins(expression(vec), codebooks, m, dsub, k))
+  def pq_adc_dist(qv: Column, codes: Column, codebooks: Broadcast[Array[Double]],
+      m: Int, dsub: Int, k: Int): Column =
+    column(PqAdcDistance(expression(qv), expression(codes), codebooks, m, dsub, k))
 }

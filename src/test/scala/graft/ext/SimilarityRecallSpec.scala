@@ -91,6 +91,54 @@ class SimilarityRecallSpec extends SparkTestBase {
     }
   }
 
+  test("pqTopK recall@10 >= 0.9 at production resolution; coarse codes degrade gracefully") {
+    // ADC ranks by L2 while the exact reference ranks by cosine; on the
+    // near-unit-norm clustered corpora the orderings agree, which is
+    // the regime PQ is used in (normalized embedding stores). The
+    // contract configuration is IVFADC+R: raw ADC ranks the codes, and
+    // the top-50 window re-ranks by exact distance — quantization then
+    // only costs recall when a true neighbor misses the window.
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val corpus = clusteredCorpus(seed)
+      val queries = queriesOf(corpus)
+      val exact = topSets(Similarity.bruteForceTopK(corpus, queries, k = 10))
+      val pq = topSets(Similarity.pqTopK(corpus, queries, k = 10,
+        m = 4, codebookSize = 256, refine = 50))
+      val r = meanRecall(exact, pq)
+      info(f"seed $seed: PQ+refine mean recall@10 = $r%.4f")
+      assert(r >= 0.9, s"seed $seed: PQ mean recall@10 $r below the 0.9 bound")
+      // unrefined ADC: the quantization-distortion floor (measured
+      // 0.72-0.8 here — the literature's raw-ADC regime); a broken
+      // codebook/encode path scores near 10/|corpus| ~ 0.02
+      val raw = meanRecall(exact, topSets(Similarity.pqTopK(
+        corpus, queries, k = 10, m = 4, codebookSize = 256)))
+      info(f"seed $seed: raw-ADC mean recall@10 = $raw%.4f")
+      assert(raw >= 0.6, s"seed $seed: raw ADC $raw below the distortion floor")
+    }
+    // the coarse-code floor: same-cluster candidates tie on identical
+    // codes, so recall collapses toward the id-order floor — still
+    // cluster-correct (every returned neighbor IS from the right
+    // cluster), never garbage
+    val corpus = clusteredCorpus(101L)
+    val queries = queriesOf(corpus)
+    val coarse = Similarity.pqTopK(corpus, queries, k = 10,
+      m = 4, codebookSize = 16).collect()
+    assert(coarse.forall(r =>
+      r.getLong(1) / PerCluster === r.getLong(0) / PerCluster),
+      "coarse PQ neighbors must still come from the query's own cluster")
+  }
+
+  test("pqTopK is deterministic and k-bounded per query") {
+    val corpus = clusteredCorpus(7L)
+    val queries = queriesOf(corpus)
+    def run() = Similarity.pqTopK(corpus, queries, k = 5, m = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "same seed, same ranking")
+    assert(a.groupBy(_._1).forall(_._2.length === 5))
+  }
+
   test("recall harness sanity: brute force against itself scores exactly 1") {
     val corpus = clusteredCorpus(7L)
     val queries = queriesOf(corpus)
