@@ -7030,10 +7030,15 @@ object SparkEntry {
         |  FROM events WHERE event_type <> 'error'),
         |r AS (SELECT user_id, epoch_us(ts) AS t, event_id AS err_id
         |  FROM events WHERE event_type = 'error'),
-        |b AS (SELECT l.event_id, l.user_id, l.t, r.err_id AS b_id, r.t AS b_t
-        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t),
-        |f AS (SELECT l.event_id, r.err_id AS f_id, r.t AS f_t
-        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t <= r.t)
+        |-- pre-collapse same-instant right rows to the Spark tiebreak
+        |-- (backward: MAX err_id, forward: MIN err_id) — DuckDB's ASOF
+        |-- pick among tied right rows is otherwise unspecified
+        |rb AS (SELECT user_id, t, MAX(err_id) AS err_id FROM r GROUP BY 1, 2),
+        |rf AS (SELECT user_id, t, MIN(err_id) AS err_id FROM r GROUP BY 1, 2),
+        |b AS (SELECT l.event_id, l.user_id, l.t, rb.err_id AS b_id, rb.t AS b_t
+        |  FROM l ASOF LEFT JOIN rb ON l.user_id = rb.user_id AND l.t >= rb.t),
+        |f AS (SELECT l.event_id, rf.err_id AS f_id, rf.t AS f_t
+        |  FROM l ASOF LEFT JOIN rf ON l.user_id = rf.user_id AND l.t <= rf.t)
         |SELECT b.event_id, b.user_id,
         | CASE WHEN f_t IS NULL OR (b_t IS NOT NULL AND b.t - b_t <= f_t - b.t)
         |   THEN b_id ELSE f_id END AS near_err_id,
@@ -7924,7 +7929,7 @@ object SparkEntry {
     * arithmetic and regex classes. */
   private def qualityFiltersSql: String =
     """WITH b AS (SELECT doc_id, text,
-        |   TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |   TRIM(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm,
         |   LOWER(text) AS lo FROM documents),
         |f AS (SELECT doc_id, text, norm, lo,
         |   CASE WHEN LENGTH(norm) = 0 THEN 0
@@ -7979,12 +7984,11 @@ object SparkEntry {
         |   regexp_extract(url,
         |     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
         |  FROM raw),
-        |n AS (SELECT doc_id, url, scheme, host,
-        |   regexp_replace(regexp_replace(rest, 'utm_[^&#]*&', '', 'g'),
-        |     '[?&]utm_[^&#]*$', '') AS noutm FROM c),
         |p AS (SELECT doc_id, url, scheme, host,
-        |   regexp_extract(noutm, '^([^?]*)', 1) AS pth,
-        |   regexp_extract(noutm, '^[^?]*[?](.*)$', 1) AS qry FROM n),
+        |   regexp_extract(rest, '^([^?]*)', 1) AS pth,
+        |   regexp_replace(regexp_replace(
+        |     '&' || regexp_extract(rest, '^[^?]*[?](.*)$', 1),
+        |     '&utm_[^&]*', '', 'g'), '^&', '') AS qry FROM c),
         |f AS (SELECT doc_id, CASE WHEN scheme = '' OR host = '' THEN url ELSE
         |   lower(scheme) || '://' || host ||
         |   (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'

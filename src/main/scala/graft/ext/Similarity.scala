@@ -390,7 +390,12 @@ object Similarity {
         }
         val n = cs.length
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val maxSim = Array.fill(n)(0L) // max sim to the selected set
+        // max sim to the selected set — sentinel until the first pick
+        // lands so anti-correlated candidates keep their true NEGATIVE
+        // max (a clamp at 0 would over-penalize them); every !taken
+        // slot is refreshed right after each pick, so by the time the
+        // selected.nonEmpty branch reads it the sentinel is gone
+        val maxSim = Array.fill(n)(Long.MinValue)
         val taken = Array.fill(n)(false)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
         var r = 1

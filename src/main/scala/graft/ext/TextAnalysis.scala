@@ -327,7 +327,10 @@ object TextAnalysis {
     * pipeline, which is exactly where a 40–60% corpus cut belongs. */
   def qualityFilters(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val norm = trim(regexp_replace(t, "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java \s matches \x0B while
+    // RE2 (DuckDB) \s does not — the shared class keeps the word-count
+    // arithmetic bit-identical across both engines
+    val norm = trim(regexp_replace(t, "[ \\t\\n\\r\\f\\x0B]+", " "))
     val nWords = when(length(norm) === 0, lit(0L))
       .otherwise((length(norm) - length(regexp_replace(norm, " ", "")) + 1)
         .cast("long"))

@@ -38,12 +38,17 @@ object UrlOps {
     val scheme = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val host = urlHost(url)
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
-    // strip utm_* params: interior ones take their trailing '&' along,
-    // a trailing one takes its leading '?' or '&'
-    val noUtm = regexp_replace(regexp_replace(rest,
-      "utm_[^&#]*&", ""), "[?&]utm_[^&#]*$", "")
-    val path = regexp_extract(noUtm, "^([^?]*)", 1)
-    val query = regexp_extract(noUtm, "^[^?]*[?](.*)$", 1)
+    // Split path/query FIRST so a literal "utm_" inside a path segment
+    // or a parameter VALUE can never match: with the query prefixed by
+    // a sentinel '&', every parameter carries its own leading separator,
+    // so one global pass on "&utm_[^&]*" drops exactly the params whose
+    // NAME starts with utm_ — consecutive runs included (each has its
+    // own '&'), values untouched ('&q=utm_x' does not start '&utm_').
+    // RE2-safe (no lookahead) so the DuckDB oracle replays it verbatim.
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val rawQuery = regexp_extract(rest, "^[^?]*[?](.*)$", 1)
+    val query = regexp_replace(
+      regexp_replace(concat(lit("&"), rawQuery), "&utm_[^&]*", ""), "^&", "")
     val cleanPath = regexp_replace(path, "/+$", "")
     val normPath = when(cleanPath === "", lit("/")).otherwise(cleanPath)
     when(scheme === "" || host === "", url)

@@ -47,6 +47,24 @@ class SimilarityRerankSpec extends SparkTestBase {
     assert(mmr.toSeq === Seq(1L, 3L), "MMR swaps in the diverse pick")
   }
 
+  test("anti-correlated candidate earns a redundancy BONUS, not a clamp") {
+    // After S = (0.8, 0.6) is picked: X ⊥ S (sim 0, rel 0.6) vs
+    // Y anti-correlated with S (sim −0.6, rel 0). At λ = 0.3 the true
+    // MMR is X: 0.3·0.6 − 0.7·0 = 0.18 < Y: 0 − 0.7·(−0.6) = 0.42, so
+    // Y must win — a clamp of the redundancy term at 0 would flip the
+    // pick to X (Carbonell & Goldstein define max over the selected
+    // set, with no floor).
+    val corpus = emb(
+      (1L, Seq(0.8f, 0.6f)),  // S: top relevance, picked first
+      (2L, Seq(0.6f, -0.8f)), // X: orthogonal to S
+      (3L, Seq(0f, -1f)))     // Y: anti-correlated with S
+    val queries = emb((9L, Seq(1f, 0f)))
+    val out = Similarity.mmrRerank(corpus, queries, k = 2, fetch = 3,
+        lambdaMicro = 300000L)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
   test("deterministic, k rows per query, first pick = top relevance") {
     val rnd = new scala.util.Random(11)
     val corpus = emb((0L until 40L).map(i =>

@@ -38,6 +38,23 @@ class UrlOpsSpec extends SparkTestBase {
       "https://a.com/p?ref=7", "https://a.com/p?b=2&a=1"))
   }
 
+  test("utm_ matches only at a param-NAME start: path segments, values," +
+      " and consecutive runs survive intact") {
+    assert(canon(
+      // literal utm_ inside a path segment: untouched
+      "https://h.com/utm_x?a=1&b=2",
+      // utm_ inside a parameter VALUE: untouched
+      "https://h.com/p?q=utm_test&b=2",
+      // a run of consecutive utm params between kept ones
+      "https://h.com/p?a=1&utm_a=1&utm_b=2&utm_c=3&z=9",
+      // key merely CONTAINING utm_ (not a prefix): kept
+      "https://h.com/p?xutm_k=9&utm_a=1") === Seq(
+      "https://h.com/utm_x?a=1&b=2",
+      "https://h.com/p?q=utm_test&b=2",
+      "https://h.com/p?a=1&z=9",
+      "https://h.com/p?xutm_k=9"))
+  }
+
   test("non-URL input passes through unchanged (fail-safe)") {
     assert(canon("not a url", "relative/path?utm_a=1") ===
       Seq("not a url", "relative/path?utm_a=1"))

@@ -43,11 +43,16 @@ class UrlPropertySpec extends SparkTestBase {
         www = rnd.nextBoolean(),
         host = pick(Seq("alpha.example", "beta-cdn.example", "x9.example")),
         segs = Seq.fill(rnd.nextInt(4))(
-          pick(Seq("Docs", "item", "p1", "Very-Long-Segment", "q"))),
+          // "utm_seg" sweeps the literal prefix INSIDE a path segment —
+          // the position the param-strip must never touch
+          pick(Seq("Docs", "item", "p1", "Very-Long-Segment", "q", "utm_seg"))),
         trailing = rnd.nextInt(3),
-        params = Seq.fill(rnd.nextInt(4))(
+        params = Seq.fill(rnd.nextInt(6))(
+          // "q" -> "utm_test" puts the prefix in a VALUE; "xutm_k" is a
+          // key merely containing it; both must survive the strip
           pick(Seq("utm_source" -> "feed", "utm_a" -> "1", "ref" -> "7",
-            "id" -> "42", "utm_campaign" -> "x", "page" -> "3"))),
+            "id" -> "42", "utm_campaign" -> "x", "page" -> "3",
+            "q" -> "utm_test", "xutm_k" -> "9"))),
         fragment = if (rnd.nextBoolean()) Some(pick(Seq("top", "sec2"))) else None)
     }
   }
@@ -75,11 +80,17 @@ class UrlPropertySpec extends SparkTestBase {
     assert(bad.isEmpty, s"non-fixpoint cases: ${bad.take(5).mkString("; ")}")
   }
 
-  test("no canonical query string retains a utm_ parameter") {
+  test("no canonical query string retains a utm_-NAMED parameter") {
+    // values and path segments MAY legitimately contain "utm_"; the
+    // invariant is on parameter names only
     val urls = gen(99L, 300).map(render)
-    val out = urls.toDF("url")
+    val got = urls.toDF("url")
       .select(UrlOps.canonicalUrl(col("url")).as("c"))
-      .filter(col("c").contains("utm_")).collect()
-    assert(out.isEmpty, s"utm survived: ${out.take(5).mkString("; ")}")
+      .collect().map(_.getString(0))
+    val bad = got.filter { c =>
+      val q = c.dropWhile(_ != '?').drop(1)
+      q.nonEmpty && q.split("&").exists(_.startsWith("utm_"))
+    }
+    assert(bad.isEmpty, s"utm param survived: ${bad.take(5).mkString("; ")}")
   }
 }
