@@ -141,7 +141,8 @@ object Manifest {
       .select(col("group_id"), col("file"), col("bytes"))
       .as[(Long, String, Long)].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
-    new java.io.File(outDir).mkdirs()
+    // no local mkdirs: the parquet writer creates group dirs through the
+    // Hadoop FS for whatever scheme outDir carries (file:, hdfs:, s3a:)
     val rewritten = groups.map { case (gid, files) =>
       val paths = files.map(_._2)
       spark.read.parquet(paths: _*).coalesce(1)

@@ -701,10 +701,7 @@ object StreamingOps {
   def applyUpsertBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
       orderCol: String, snapshotDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(snapshotDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(snapshotDir)
     if (batchId <= current) return // replay of an already-committed batch
     val others = batch.columns.filterNot(keys.contains).toSeq
     require(others.contains(orderCol), s"orderCol '$orderCol' must be a non-key column")
@@ -719,11 +716,7 @@ object StreamingOps {
         spark.read.parquet(s"$snapshotDir/v$current"), deduped, keys)
     else deduped
     merged.write.mode("overwrite").parquet(s"$snapshotDir/v$batchId")
-    val tmp = new java.io.File(snapshotDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(snapshotDir, batchId)
   }
 
   // --- streaming drift gate (foreachBatch -> persisted histogram state) --
@@ -763,10 +756,7 @@ object StreamingOps {
   def applyDriftBatch(batch: DataFrame, batchId: Long, valueCol: String,
       mn: Double, width: Double, bins: Int, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val hist = graft.ops.DataQuality.histogramState(batch, valueCol, mn, width, bins)
     val merged = (if (current >= 0L)
@@ -774,11 +764,7 @@ object StreamingOps {
     else hist)
       .groupBy("bin").agg(sum("n").as("n"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** PSI of the gate's committed state against the fixed reference
@@ -786,9 +772,7 @@ object StreamingOps {
     * the reference sketch), never raw rows. */
   def driftGateResult(spark: org.apache.spark.sql.SparkSession,
       refState: DataFrame, stateDir: String, bins: Int): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed drift state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "drift state")
     graft.ops.DataQuality.psiFromState(refState,
       spark.read.parquet(s"$stateDir/v$v"), bins)
   }
@@ -825,10 +809,7 @@ object StreamingOps {
   def applyAssociationBatch(batch: DataFrame, batchId: Long,
       aCol: String, bCol: String, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val cells = batch.select(
         coalesce(col(aCol).cast("string"), lit("<NULL>")).as("a"),
@@ -839,20 +820,14 @@ object StreamingOps {
     else cells)
       .groupBy("a", "b").agg(sum("n_ab").as("n_ab"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Cramér's V of the gate's committed contingency state — reads ONLY
     * the stored cell counts. */
   def associationGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed association state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "association state")
     graft.ops.DataQuality.cramersVFromCells(
       spark.read.parquet(s"$stateDir/v$v"))
   }
@@ -890,10 +865,7 @@ object StreamingOps {
       tsCol: String, idCol: String, valCol: String,
       stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val slice = graft.ops.TimeSeries.twapState(batch, keyCol, tsCol,
       idCol, valCol)
@@ -902,20 +874,14 @@ object StreamingOps {
         spark.read.parquet(s"$stateDir/v$current"), slice)
     else slice
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** TWAP of the gate's committed per-key state — `twapFromState` over
     * the stored rows only. */
   def twapGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed twap state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "twap state")
     graft.ops.TimeSeries.twapFromState(spark.read.parquet(s"$stateDir/v$v"))
   }
 
@@ -953,10 +919,7 @@ object StreamingOps {
       lenSec: Long, stateDir: String): Unit = {
     require(lenSec > 0, s"lenSec must be positive, got $lenSec")
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val s = graft.ext.Events.tsSec(batch)
     val base = batch.select(col(keyCol).as("key"), s.as("st"),
@@ -990,19 +953,13 @@ object StreamingOps {
             col("last_st"), col("last_en"))
     }
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Coverage report off the gate's committed per-key island state. */
   def coverageGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed coverage state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "coverage state")
     graft.ext.Events.coverageFromStats(spark.read.parquet(s"$stateDir/v$v"))
   }
 
@@ -1037,10 +994,7 @@ object StreamingOps {
   def applyAnomalyBatch(batch: DataFrame, batchId: Long, secCol: String,
       keyCol: String, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val cells = graft.ops.TimeSeries.hourCells(batch, secCol, keyCol)
     val merged = (if (current >= 0L)
@@ -1048,11 +1002,7 @@ object StreamingOps {
     else cells)
       .groupBy(keyCol, "day", "hour").agg(sum("n").as("n"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** The seasonal-anomaly test over the gate's committed cell state —
@@ -1060,9 +1010,7 @@ object StreamingOps {
   def anomalyGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, keyCol: String,
       factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed anomaly state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "anomaly state")
     graft.ops.TimeSeries.seasonalAnomalyFromCells(
       spark.read.parquet(s"$stateDir/v$v"), keyCol, factorNum, factorDen)
   }
@@ -1097,10 +1045,7 @@ object StreamingOps {
   def applyCusumBatch(batch: DataFrame, batchId: Long, secCol: String,
       keyCol: String, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val cells = graft.ops.TimeSeries.dayCells(batch, secCol, keyCol)
     val merged = (if (current >= 0L)
@@ -1108,11 +1053,7 @@ object StreamingOps {
     else cells)
       .groupBy(keyCol, "day").agg(sum("n").as("n"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Page's CUSUM test over the gate's committed daily state — reads
@@ -1121,9 +1062,7 @@ object StreamingOps {
       stateDir: String, keyCol: String,
       kNum: Long = 1L, kDen: Long = 4L,
       hNum: Long = 2L, hDen: Long = 1L): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed cusum state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "cusum state")
     graft.ops.TimeSeries.cusumFromCells(
       spark.read.parquet(s"$stateDir/v$v"), keyCol, kNum, kDen, hNum, hDen)
   }
@@ -1136,9 +1075,7 @@ object StreamingOps {
   def holtGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, keyCol: String,
       alphaMicro: Long, betaMicro: Long): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed cusum state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "cusum state")
     graft.ops.TimeSeries.holtFromCells(
       spark.read.parquet(s"$stateDir/v$v"), keyCol, alphaMicro, betaMicro)
   }
@@ -1170,10 +1107,7 @@ object StreamingOps {
   def applyQualityBatch(batch: DataFrame, batchId: Long, textCol: String,
       srcCol: String, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val cells = graft.ext.TextAnalysis.qualityFilters(batch, textCol)
       .groupBy(col(srcCol), col("keep")).agg(count(lit(1L)).as("n"))
@@ -1182,11 +1116,7 @@ object StreamingOps {
     else cells)
       .groupBy(srcCol, "keep").agg(sum("n").as("n"))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Per-source corpus health off the gate's committed counts — reads
@@ -1194,9 +1124,7 @@ object StreamingOps {
     * keep_rate_micro), the rate the exact half-up divmod. */
   def qualityGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, srcCol: String): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed quality state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "quality state")
     val dec = "decimal(38,0)"
     spark.read.parquet(s"$stateDir/v$v")
       .groupBy(col(srcCol))
@@ -1231,10 +1159,7 @@ object StreamingOps {
   def applyHotspotBatch(batch: DataFrame, batchId: Long, latCol: String,
       lonCol: String, cellMicro: Long, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val cells = graft.ops.Geo.cellCounts(batch, latCol, lonCol, cellMicro)
     val merged = if (current >= 0L)
@@ -1242,19 +1167,13 @@ object StreamingOps {
         spark.read.parquet(s"$stateDir/v$current"))
     else cells
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** The hotspot test over the gate's committed cell state. */
   def hotspotGateResult(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, factorNum: Long = 3L, factorDen: Long = 2L): DataFrame = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed hotspot state under $stateDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(stateDir, "hotspot state")
     graft.ops.Geo.hotspotFromCells(
       spark.read.parquet(s"$stateDir/v$v"), factorNum, factorDen)
   }
@@ -1288,10 +1207,7 @@ object StreamingOps {
   def applyLmBatch(batch: DataFrame, batchId: Long, stateDir: String,
       outDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     if (current >= 0L) {
       val c2 = spark.read.parquet(s"$stateDir/v$current/c2")
@@ -1309,11 +1225,7 @@ object StreamingOps {
     else (dc2, duni)
     nc2.write.mode("overwrite").parquet(s"$stateDir/v$batchId/c2")
     nuni.write.mode("overwrite").parquet(s"$stateDir/v$batchId/uni")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Streaming near-dup gate off the persisted MinHash-LSH index —
@@ -1351,19 +1263,14 @@ object StreamingOps {
   }
 
   /** Compaction floor: versions <= floor live merged in `c{floor}`. */
-  private def dedupIndexFloor(stateDir: String): Long = {
-    val f = new java.io.File(stateDir, "_COMPACTED")
-    if (f.exists)
-      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
-    else -1L
-  }
+  private def dedupIndexFloor(stateDir: String): Long =
+    StateCommit.readVersion(stateDir, "_COMPACTED")
 
   /** The directories whose union IS the current dedup index: the
     * compaction base (if any) plus every committed delta above the
     * floor. Empty before the first committed batch. */
   private[streaming] def dedupIndexPaths(stateDir: String): Seq[String] = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    if (!marker.exists) return Seq.empty
+    if (StateCommit.readVersion(stateDir) < 0L) return Seq.empty
     val floor = dedupIndexFloor(stateDir)
     val base = if (floor >= 0L) Seq(s"$stateDir/c$floor") else Seq.empty
     base ++ listSnapshotVersions(stateDir).filter(_ > floor)
@@ -1385,10 +1292,7 @@ object StreamingOps {
   def applyDedupBatch(batch: DataFrame, batchId: Long, stateDir: String,
       outDir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val indexPaths = dedupIndexPaths(stateDir)
     // the batch delta is persisted FIRST, then read back as the pair
@@ -1403,11 +1307,7 @@ object StreamingOps {
         spark.read.parquet(indexPaths: _*), threshold)
     else graft.ext.Dedup.minhashFromState(newState, threshold)
     pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Compact the dedup-gate index: merge the compaction base and every
@@ -1424,44 +1324,29 @@ object StreamingOps {
     * delta versions folded in (empty when already compact). */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Seq[Long] = {
-    val marker = new java.io.File(stateDir, "_VERSION")
-    require(marker.exists, s"no committed dedup index under $stateDir")
-    val current =
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val current = StateCommit.requireVersion(stateDir, "dedup index")
     val floor = dedupIndexFloor(stateDir)
     def sweepUnreferenced(liveFloor: Long): Unit = {
       val live = listSnapshotVersions(stateDir).filter(_ > liveFloor)
         .map(v => s"v$v").toSet + s"c$liveFloor"
-      Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && !live.contains(d.getName) &&
-          (d.getName.startsWith("c") ||
-            scala.util.Try(d.getName.stripPrefix("v").toLong)
+      StateCommit.listDirNames(stateDir)
+        .filter(n => !live.contains(n) &&
+          (n.startsWith("c") ||
+            scala.util.Try(n.stripPrefix("v").toLong)
               .toOption.exists(_ <= liveFloor)))
-        .foreach(deleteRecursively)
+        .foreach(n => StateCommit.deleteDir(s"$stateDir/$n"))
     }
     val doomed = listSnapshotVersions(stateDir).filter(_ > floor)
     if (doomed.isEmpty) { sweepUnreferenced(floor); return Seq.empty }
-    val staging = new java.io.File(stateDir, s"c$current.staging")
+    val staging = s"$stateDir/c$current.staging"
     spark.read.parquet(dedupIndexPaths(stateDir): _*)
-      .write.mode("overwrite").parquet(staging.toString)
-    val published = new java.io.File(stateDir, s"c$current")
-    if (published.exists) deleteRecursively(published) // crashed prior attempt
-    require(staging.renameTo(published), s"cannot publish $published")
-    val tmp = new java.io.File(stateDir, s"_COMPACTED.tmp$current")
-    java.nio.file.Files.write(tmp.toPath, current.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(stateDir, "_COMPACTED").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      .write.mode("overwrite").parquet(staging)
+    val published = s"$stateDir/c$current"
+    StateCommit.deleteDir(published) // crashed prior attempt, if any
+    StateCommit.renameDir(staging, published)
+    StateCommit.flipVersion(stateDir, current, "_COMPACTED")
     sweepUnreferenced(current)
     doomed
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
   }
 
   /** Streaming decontamination gate off the persisted test-set n-gram
@@ -1541,10 +1426,7 @@ object StreamingOps {
   def applyDhashBatch(batch: DataFrame, batchId: Long, stateDir: String,
       outDir: String, maxDist: Int = 3): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val indexPaths = dedupIndexPaths(stateDir)
     batch.select("doc_id", "h_hi", "h_lo")
@@ -1555,11 +1437,7 @@ object StreamingOps {
         spark.read.parquet(indexPaths: _*), maxDist)
     else graft.ext.Dedup.dhashPairs(newHashes, maxDist)
     pairs.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** Streaming golden-record maintenance — incremental MDM: each
@@ -1595,10 +1473,7 @@ object StreamingOps {
       rules: Seq[(String, graft.ext.Dedup.SurviveRule)],
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(stateDir, "_VERSION")
-    val current = if (marker.exists)
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    else -1L
+    val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
     val delta = graft.ext.Dedup.survivorshipState(batch, keyCol, rules, idCol)
     val merged = if (current >= 0L)
@@ -1606,11 +1481,7 @@ object StreamingOps {
         spark.read.parquet(s"$stateDir/v$current"), delta, keyCol, rules)
     else delta
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s"_VERSION.tmp$batchId")
-    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StateCommit.flipVersion(stateDir, batchId)
   }
 
   /** The golden records served by the sink's current snapshot. */
@@ -1622,9 +1493,7 @@ object StreamingOps {
   /** Read the current committed snapshot maintained by [[upsertSink]]. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
       snapshotDir: String): DataFrame = {
-    val marker = new java.io.File(snapshotDir, "_VERSION")
-    require(marker.exists, s"no committed snapshot under $snapshotDir")
-    val v = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+    val v = StateCommit.requireVersion(snapshotDir, "snapshot")
     spark.read.parquet(s"$snapshotDir/v$v")
   }
 
@@ -1632,14 +1501,12 @@ object StreamingOps {
     * Versions AFTER the marker are uncommitted leftovers of a crashed
     * batch and are excluded — they never became visible. */
   def listSnapshotVersions(snapshotDir: String): Seq[Long] = {
-    val marker = new java.io.File(snapshotDir, "_VERSION")
-    if (!marker.exists) return Seq.empty
-    val committed =
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-    Option(new java.io.File(snapshotDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toLong).toOption)
-      .filter(_ <= committed).sorted.toSeq
+    val committed = StateCommit.readVersion(snapshotDir)
+    if (committed < 0L) return Seq.empty
+    StateCommit.listDirNames(snapshotDir)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .filter(_ <= committed).sorted
   }
 
   /** Retention: delete committed versions older than the newest
@@ -1668,7 +1535,7 @@ object StreamingOps {
     require(keepLast >= 1, "must keep at least the current version")
     val versions = listSnapshotVersions(dir)
     val doomed = versions.dropRight(keepLast)
-    doomed.foreach(v => deleteRecursively(new java.io.File(dir, s"v$v")))
+    doomed.foreach(v => StateCommit.deleteDir(s"$dir/v$v"))
     doomed
   }
 
