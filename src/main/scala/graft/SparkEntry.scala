@@ -726,7 +726,7 @@ object SparkEntry {
         dims = Seq("o_orderpriority", "o_orderstatus"),
         valueCol = "o_totalprice")
     },
-    "q_approx_distinct" -> (Relational.approxPartCounts _), // sketch: rows-only
+    "q_approx_distinct" -> (Relational.approxPartCounts _), // ±band oracle
     "q_scalar_funcs" -> (Relational.scalarShowcase _),
     "q_salted_join" -> { (s, dir) =>
       // Salted equi join: lineitem against the order dimension with the
@@ -1143,13 +1143,14 @@ object SparkEntry {
       // wedge join by O(sqrt(m)) per node — hub-skew-proof at scale.
       graft.ops.Graph.triangleCounts(partPairs(s, dir))
     },
-    "graph_kcore" -> { (s, dir) => // iterative peel: rows-only check
+    "graph_kcore" -> { (s, dir) =>
       // 2-core of the REPEAT-co-occurrence graph (parts sharing >= 2
       // distinct orders — the thresholded graph has real peel depth,
       // unlike the dense single-order graph): repeated delete-degree-<k
       // until the unique maximal fixpoint. Differential-pinned against
-      // a local reference peel in GraphSpec; no SQL oracle exists (the
-      // peel needs two references to the recursive set per round).
+      // a local reference peel in GraphSpec AND oracle-checked: the
+      // peel unrolls as chained CTEs (kcoreSql) since extra rounds past
+      // the fixpoint are the identity.
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val edges = li.select(col("ok"), col("pk").as("u"))
@@ -2667,6 +2668,17 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
     },
+    "sim_topk_lsh_exact" -> { (s, dir) =>
+      // exhaustive probing (every one of the 2^planes buckets) makes
+      // SRP-LSH provably exact: the signature/bucket-join/re-rank
+      // machinery must reproduce brute-force top-k bit-for-bit — the
+      // approximation in sim_topk_lsh is ONLY probe selection, and this
+      // query pins everything else against the SQL oracle (the same
+      // trick sim_topk_ivf_exact plays on the IVF path).
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        planes = 6, probeAll = true)
+    },
     "sim_topk_ivf_exact" -> { (s, dir) =>
       // exhaustive probing (nProbe = nCells) makes IVF provably exact:
       // the quantizer/assignment/candidate-union/re-rank machinery must
@@ -2689,6 +2701,18 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
         m = 8, codebookSize = 16, refine = 50)
+    },
+    "sim_topk_ivfpq" -> { (s, dir) => // trained quantizers: rows-only check
+      // IVF∘PQ composed (IVFADC shape): the coarse quantizer restricts
+      // each query to its nProbe cells AND candidates scan as 8-int PQ
+      // codes — candidate count and candidate width cut in one plan.
+      // Recall pinned >= 0.9 by the seeded battery in
+      // SimilarityRecallSpec; both halves are separately pinned
+      // (sim_topk_ivf_exact oracle-equal to brute force, sim_topk_pq
+      // refine battery), so this row exercises only their composition.
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        nProbe = 4, m = 8, codebookSize = 16, refine = 50)
     },
     "sim_mmr_rerank" -> { (s, dir) => // greedy rank: rows-only check
       // MMR-diversified top-10 from the exact top-50 candidates per
@@ -5240,6 +5264,7 @@ object SparkEntry {
     // NB: bag-semantics UNION (dedup) misbehaves for CTEs nested under
     // WITH RECURSIVE in DuckDB 1.0 (acts like UNION ALL) — every dedup
     // below is an explicit DISTINCT over UNION ALL
+    "graph_kcore" -> kcoreSql,
     "graph_pagerank" ->
       """WITH RECURSIVE
         | sp AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
@@ -6342,6 +6367,10 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
         |GROUP BY 1""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts_exact,
+        | COUNT(*) AS n, TRUE AS within_band
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "etl_incr_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
@@ -6575,6 +6604,7 @@ object SparkEntry {
         | FROM scored) WHERE rank <= 5""".stripMargin,
     // exhaustive-probe IVF must equal exact brute-force top-k
     "sim_topk_ivf_exact" -> bruteForceTopKSql,
+    "sim_topk_lsh_exact" -> bruteForceTopKSql,
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -8214,6 +8244,40 @@ object SparkEntry {
 
   /** Exact cosine top-10 for the query slice — the oracle for BOTH the
     * brute-force scan and the exhaustive-probe IVF path. */
+  /** graph_kcore oracle: the peel is a deterministic fixpoint, so it
+    * UNROLLS — each round deletes every edge with an endpoint of degree
+    * < 2, and once the fixpoint is reached further rounds are the
+    * identity. 8 unrolled rounds cover the fixture's measured depth
+    * (3 at sf0.01, 5 at sf0.1) with margin; if a future fixture ever
+    * needs more, the Spark side fails loud first (kCore's maxRounds
+    * convergence guard), never silently diverges. */
+  private def kcoreSql: String = {
+    val rounds = 8
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // three times, so default CTE inlining would expand the base scan
+    // 3^rounds times (measured as an fd-exhaustion failure, not just
+    // slowness) — materialization keeps the oracle one scan per round
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+        | FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY 1, 2 HAVING COUNT(DISTINCT a.ok) >= 2)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT node FROM (
+         |  SELECT u AS node FROM e$i UNION ALL SELECT v AS node FROM e$i)
+         | GROUP BY 1 HAVING COUNT(*) >= 2),
+         |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
+         | WHERE u IN (SELECT node FROM k$i)
+         |   AND v IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT node, COUNT(*) AS core_degree FROM (
+         | SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds)
+         |GROUP BY 1""".stripMargin
+  }
+
   private def bruteForceTopKSql: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),

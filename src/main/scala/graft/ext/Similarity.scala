@@ -202,18 +202,32 @@ object Similarity {
   /** Approximate top-k via SRP-LSH bucketing: candidates are corpus
     * vectors whose `planes`-bit signature matches the query's exactly
     * (multi-probe over all 1-bit flips when `probe1` is set), re-ranked by
-    * exact cosine. */
+    * exact cosine.
+    *
+    * `probeAll` probes EVERY one of the 2^planes buckets — the
+    * candidate set is then the whole corpus and the result provably
+    * equals [[bruteForceTopK]]: the approximation in the default
+    * configuration is ONLY probe selection, and the exhaustive face
+    * pins the signature/bucket-join/re-rank machinery against the SQL
+    * oracle (the `sim_topk_ivf_exact` trick). Diagnostic-scale only
+    * (2^planes probe rows per query). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12,
-      probe1: Boolean = true,
+      probe1: Boolean = true, probeAll: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true, broadcastQueries: Boolean = true): DataFrame = {
+    require(!probeAll || planes <= 16,
+      s"probeAll explodes 2^planes buckets per query; planes=$planes is too wide")
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", srpSignature(col("v"), planes))
     val qBase = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qsig", srpSignature(col("qv"), planes))
-    // probe buckets: the exact signature plus optionally all 1-bit flips
+    // probe buckets: every bucket (exhaustive face), or the exact
+    // signature plus optionally all 1-bit flips
     val probes =
-      if (probe1)
+      if (probeAll)
+        qBase.select(col("query_id"), col("qv"),
+          explode(sequence(lit(0L), lit((1L << planes) - 1L))).as("sig"))
+      else if (probe1)
         qBase.select(col("query_id"), col("qv"), explode(
           array_union(
             array(col("qsig")),
@@ -256,17 +270,84 @@ object Similarity {
       else prepared).cache()
     val flat = new Array[Double](m * codebookSize * dsub)
     try {
-      (0 until m).foreach { j =>
-        val sub = sample.select(array_to_vector(
-          slice(col("v"), j * dsub + 1, dsub)).as("features"))
-        val model = new KMeans().setK(codebookSize).setSeed(seed + j)
-          .setMaxIter(10).setInitMode("random").fit(sub)
-        model.clusterCenters.zipWithIndex.foreach { case (ctr, c) =>
-          System.arraycopy(ctr.toArray, 0, flat, (j * codebookSize + c) * dsub, dsub)
+      // materialize the shared sample ONCE before fanning out, so the
+      // concurrent fits hit the cache instead of racing to build it
+      sample.count()
+      // the m sub-quantizer fits are independent jobs over the same
+      // cached sample — embarrassingly parallel, so submit them from a
+      // bounded thread pool (Spark schedules concurrent jobs fine) and
+      // let local[32] overlap their passes instead of serializing
+      // m × (iters + 1) scans; per-subspace seeds keep the codebooks
+      // bit-identical to the sequential fit regardless of finish order
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(m, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fits = (0 until m).map { j =>
+          scala.concurrent.Future {
+            val sub = sample.select(array_to_vector(
+              slice(col("v"), j * dsub + 1, dsub)).as("features"))
+            val model = new KMeans().setK(codebookSize).setSeed(seed + j)
+              .setMaxIter(10).setInitMode("random").fit(sub)
+            (j, model.clusterCenters)
+          }
         }
-      }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf)
+          .foreach { case (j, ctrs) =>
+            ctrs.zipWithIndex.foreach { case (ctr, c) =>
+              System.arraycopy(ctr.toArray, 0, flat,
+                (j * codebookSize + c) * dsub, dsub)
+            }
+          }
+      } finally pool.shutdown()
     } finally sample.unpersist()
     (prepared.sparkSession.sparkContext.broadcast(flat), dsub)
+  }
+
+  /** Persisted PQ codebook state: one (subspace, code, centroid) row
+    * per cell of the product codebook — the train-once discipline the
+    * other incremental-state operators follow. Fit on ingest (bounded
+    * sample, concurrent sub-fits), write this frame next to the data,
+    * and every later search/encode pass loads it via
+    * [[pqTopKFromState]] instead of re-running m K-Means fits. The
+    * frame is control-plane sized (m·codebookSize rows). */
+  def pqCodebookState(corpus: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      seed: Long = 42L, maxFitVectors: Long = 100000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (bc, dsub) = pqCodebooks(c, m, codebookSize, seed, maxFitVectors)
+    val flat = bc.value
+    val rows = for (j <- 0 until m; cc <- 0 until codebookSize) yield {
+      val off = (j * codebookSize + cc) * dsub
+      (j, cc, flat.slice(off, off + dsub).toSeq)
+    }
+    corpus.sparkSession.createDataFrame(rows)
+      .toDF("subspace", "code", "centroid")
+  }
+
+  /** Rebuild the broadcast flat codebook from a persisted
+    * [[pqCodebookState]] frame (control-plane sized collect). */
+  private def flatFromState(state: DataFrame)
+      : (org.apache.spark.broadcast.Broadcast[Array[Double]], Int, Int, Int) = {
+    val rows = state.select(col("subspace").cast("int"),
+        col("code").cast("int"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(rows.nonEmpty, "empty PQ codebook state")
+    val m = rows.map(_._1).max + 1
+    val codebookSize = rows.map(_._2).max + 1
+    val dsub = rows.head._3.length
+    require(rows.length == m * codebookSize,
+      s"codebook state incomplete: ${rows.length} rows for m=$m k=$codebookSize")
+    val flat = new Array[Double](m * codebookSize * dsub)
+    rows.foreach { case (j, cc, ctr) =>
+      require(ctr.length == dsub, "ragged centroid widths in codebook state")
+      var t = 0
+      while (t < dsub) { flat((j * codebookSize + cc) * dsub + t) = ctr(t); t += 1 }
+    }
+    (state.sparkSession.sparkContext.broadcast(flat), m, codebookSize, dsub)
   }
 
   /** PQ approximate top-k with asymmetric distance (ADC): the corpus is
@@ -292,15 +373,43 @@ object Similarity {
       vecCol: String = "embedding", excludeSelf: Boolean = true,
       broadcastQueries: Boolean = true, seed: Long = 42L,
       maxFitVectors: Long = 100000L): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (bc, dsub) = pqCodebooks(c, m, codebookSize, seed, maxFitVectors)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    pqSearch(c, q, bc, m, dsub, codebookSize, k, refine, excludeSelf,
+      broadcastQueries)
+  }
+
+  /** [[pqTopK]] off a persisted [[pqCodebookState]] frame — search with
+    * ZERO K-Means fits: the stored codebooks rebuild the broadcast
+    * table (control-plane collect), the corpus encodes in one pass,
+    * and ADC + optional exact refine run identically to the fresh-fit
+    * path (same codebooks ⇒ bit-identical results, pinned by spec). */
+  def pqTopKFromState(corpus: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, k: Int, refine: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (bc, m, codebookSize, dsub) = flatFromState(codebooks)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    pqSearch(c, q, bc, m, dsub, codebookSize, k, refine, excludeSelf,
+      broadcastQueries)
+  }
+
+  /** Shared PQ search tail: encode the corpus once, score candidates by
+    * ADC over the broadcast codebook, optionally exact-refine. `c` is
+    * (id, v) with v array<double>; `q` is (query_id, qv). */
+  private def pqSearch(c: DataFrame, q: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Double]], m: Int,
+      dsub: Int, codebookSize: Int, k: Int, refine: Int,
+      excludeSelf: Boolean, broadcastQueries: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(refine == 0 || refine >= k,
       s"refine must be 0 (off) or >= k: refine=$refine k=$k")
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val (bc, dsub) = pqCodebooks(c, m, codebookSize, seed, maxFitVectors)
     val codes = c.select(col("id"),
       graft.functions.sketches.subvector_argmins(col("v"), bc, m, dsub,
         codebookSize).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val cand = codes.crossJoin(hinted(q, broadcastQueries))
     val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
       .select(col("query_id"), col("id"),
@@ -317,6 +426,71 @@ object Similarity {
       // per query, so the vector join touches refine·|Q| rows, never
       // the corpus; quantization then only costs recall when a true
       // neighbor falls outside the refine window entirely
+      val exact = adcTop.select(col("query_id"), col("id"))
+        .join(c, Seq("id"))
+        .join(hinted(q, broadcastQueries = true), Seq("query_id"))
+        .select(col("query_id"), col("id"),
+          cosine(col("qv"), col("v")).as("sim"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("id").asc)
+      exact.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    }
+  }
+
+  /** IVF∘PQ composed search (IVFADC without residual encoding): the
+    * coarse K-Means quantizer restricts each query to its `nProbe`
+    * nearest cells exactly as in [[ivfTopK]], and WITHIN those cells
+    * candidates score by PQ asymmetric distance over the 8-int code
+    * rows instead of the raw 64-float vectors — the two scale levers
+    * multiplied (candidate count drops ~nProbe/nCells, candidate WIDTH
+    * drops ~8×). Codes quantize the raw vectors (not cell residuals) so
+    * the PQ codebook is shared corpus-wide and both halves reuse their
+    * battle-tested single faces; the exact-refine window recovers what
+    * residual coding would (recall pinned ≥ 0.9 by the seeded battery).
+    *
+    * 100 TB shape: two bounded-sample fits, ONE assignment pass + ONE
+    * encode pass over the corpus, search touches nProbe cells of codes
+    * per query. This is the default shape when both the corpus size
+    * AND the scan width hurt. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 0, nProbe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+      refine: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true,
+      maxFitVectors: Long = 100000L,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(refine == 0 || refine >= k,
+      s"refine must be 0 (off) or >= k: refine=$refine k=$k")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (assigned, centroids) = kmeansCells(c, nCells, seed, maxFitVectors)
+    val (bc, dsub) = pqCodebooks(c, m, codebookSize, seed, maxFitVectors)
+    // one encode pass, keyed by cell for the probe equi-join
+    val codes = assigned.select(col("id"), col("cell"),
+      graft.functions.sketches.subvector_argmins(col("v"), bc, m, dsub,
+        codebookSize).as("codes"))
+    val centDf = corpus.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probeCells = q.crossJoin(broadcast(centDf))
+      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val cand = codes.join(hinted(probeCells, broadcastQueries), "cell")
+    val scored = (if (excludeSelf) cand.filter(col("id") =!= col("query_id")) else cand)
+      .select(col("query_id"), col("id"),
+        graft.functions.sketches.pq_adc_dist(col("qv"), col("codes"), bc, m,
+          dsub, codebookSize).as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("id").asc)
+    val adcTop = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(k, refine))
+    if (refine == 0)
+      adcTop.select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    else {
       val exact = adcTop.select(col("query_id"), col("id"))
         .join(c, Seq("id"))
         .join(hinted(q, broadcastQueries = true), Seq("query_id"))

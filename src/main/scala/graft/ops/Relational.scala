@@ -208,11 +208,22 @@ object Relational {
   /** Approximate distinct counts (HLL++): deterministic for fixed input
     * values (register-max merges are order-independent), sketch-level
     * accuracy pinned by unit test, no cross-engine oracle. */
+  /** Approx distinct via HLL++ at rsd = 0.01, published as the BAND
+    * contract (the etl_incr_distinct pattern): the row carries the
+    * exact distinct plus a within-±5%-of-exact flag — >3σ at this
+    * precision, and the sketch is a deterministic function of the
+    * data, so the oracle (exact counts + TRUE) hash-matches stably
+    * while any estimator regression (wrong column, broken merge,
+    * precision loss) trips the flag. */
   def approxPartCounts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("est"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n_parts_exact"), col("n"),
+        (abs(col("est") - col("n_parts_exact")) <=
+          col("n_parts_exact") * lit(0.05)).as("within_band"))
 
   /** Anti join: churned customers — no order on/after the cutoff
     * (left_anti — the NOT EXISTS shape; builds a hash set of the

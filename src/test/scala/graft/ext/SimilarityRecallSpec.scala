@@ -139,6 +139,45 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(a.groupBy(_._1).forall(_._2.length === 5))
   }
 
+  test("pqTopKFromState off persisted codebooks == fresh-fit pqTopK") {
+    // the train-once discipline: persist pqCodebookState, reload, and
+    // the stateless search must reproduce the fresh fit bit-for-bit
+    // (same codebooks in, same ADC ranking out)
+    val corpus = clusteredCorpus(7L)
+    val queries = queriesOf(corpus)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_pqstate_").toString
+    Similarity.pqCodebookState(corpus, m = 4, codebookSize = 16)
+      .write.mode("overwrite").parquet(stateDir)
+    val fresh = Similarity.pqTopK(corpus, queries, k = 5, m = 4,
+      codebookSize = 16, refine = 20)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val fromState = Similarity.pqTopKFromState(corpus, queries,
+      spark.read.parquet(stateDir), k = 5, refine = 20)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fromState.toSeq === fresh.toSeq)
+    // the state frame is control-plane sized: m·codebookSize rows
+    assert(spark.read.parquet(stateDir).count() === 4L * 16L)
+  }
+
+  test("ivfPqTopK recall@10 >= 0.9 on three seeded clustered corpora") {
+    // IVF cell filter upstream of the PQ/ADC code scan + exact refine —
+    // both approximations composed still clear the battery bound on
+    // the clustered regime
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val corpus = clusteredCorpus(seed)
+      val queries = queriesOf(corpus)
+      val exact = topSets(Similarity.bruteForceTopK(corpus, queries, k = 10))
+      val ivfpq = topSets(Similarity.ivfPqTopK(corpus, queries, k = 10,
+        nProbe = 4, m = 4, codebookSize = 256, refine = 50))
+      val r = meanRecall(exact, ivfpq)
+      info(f"seed $seed: IVF-PQ mean recall@10 = $r%.4f")
+      assert(r >= 0.9, s"seed $seed: IVF-PQ mean recall@10 $r below the 0.9 bound")
+    }
+  }
+
   test("recall harness sanity: brute force against itself scores exactly 1") {
     val corpus = clusteredCorpus(7L)
     val queries = queriesOf(corpus)
