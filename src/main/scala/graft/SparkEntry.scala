@@ -1220,6 +1220,22 @@ object SparkEntry {
           col("has_brace"), col("has_lorem"), col("has_js"),
           col("terminal_punct"), col("keep"))
     },
+    "text_quality_classifier" -> { (s, dir) =>
+      // Trained corpus-quality classifier (CCNet/fastText-style learned
+      // stage): a distributed multinomial Naive Bayes whose labels
+      // bootstrap from the qualityFilters rule battery on the held-out
+      // 3/4 slice (doc_id % 4 != 0); the remaining quarter scores under
+      // the trained model. Pure aggregations train it; integer-nano
+      // per-token log-odds make the scores exact integer sums the
+      // oracle replays bit-for-bit (the Fellegi-Sunter discipline).
+      val docs = Tables(s, dir, "documents")
+      val labeled = graft.ext.TextAnalysis.qualityFilters(
+          docs.filter(col("doc_id") % 4 =!= 0), "text")
+        .select(col("doc_id"), col("text"), col("keep").as("label"))
+      val cand = docs.filter(col("doc_id") % 4 === 0)
+        .select("doc_id", "text")
+      graft.ext.QualityClassifier.trainScore(labeled, cand)
+    },
     "text_tokens_bpe" -> { (s, dir) =>
       // token-cost estimation: whitespace tokens vs BPE-ish pretokenizer
       // matches (letter/digit/punct runs, optional leading space). The
@@ -5362,6 +5378,39 @@ object SparkEntry {
     "text_stats" -> textStatsSql,
     "text_quality_filters" -> qualityFiltersSql,
     "text_quality_sql" -> qualityFiltersSql,
+    "text_quality_classifier" ->
+      ("WITH qf AS MATERIALIZED (" + qualityFiltersSql + """),
+        |lab AS (SELECT d.doc_id, d.text, qf.keep AS label
+        |  FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+        |  WHERE d.doc_id % 4 <> 0),
+        |cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |cnt AS (SELECT token,
+        |   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM (SELECT label, UNNEST([x FOR x IN
+        |     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
+        |    FROM lab WHERE text IS NOT NULL) GROUP BY 1),
+        |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn, COUNT(*) AS v FROM cnt),
+        |dc AS (SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS dp,
+        |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS dn FROM lab),
+        |prior AS (SELECT CAST(ROUND(LN(CAST(dp + 1 AS DOUBLE)
+        |   / CAST(dn + 1 AS DOUBLE)) * 1000000000) AS BIGINT) AS prior_nano FROM dc),
+        |ct AS (SELECT doc_id, token, COUNT(*) AS c FROM (
+        |  SELECT doc_id, UNNEST([x FOR x IN
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
+        |  FROM cand WHERE text IS NOT NULL) GROUP BY 1, 2),
+        |sc AS (SELECT ct.doc_id, SUM(ct.c) AS n_tokens,
+        |  SUM(ct.c * (
+        |   CAST(ROUND(LN(CAST(COALESCE(cnt.n_pos, 0) + 1 AS DOUBLE)
+        |     / CAST(tot.np + tot.v AS DOUBLE)) * 1000000000) AS BIGINT)
+        |   - CAST(ROUND(LN(CAST(COALESCE(cnt.n_neg, 0) + 1 AS DOUBLE)
+        |     / CAST(tot.nn + tot.v AS DOUBLE)) * 1000000000) AS BIGINT))) AS lik
+        | FROM ct LEFT JOIN cnt ON ct.token = cnt.token, tot
+        | GROUP BY 1)
+        |SELECT c.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(prior.prior_nano + COALESCE(sc.lik, 0) AS BIGINT) AS llr_nano,
+        | (prior.prior_nano + COALESCE(sc.lik, 0)) > 0 AS pred_pos
+        |FROM cand c LEFT JOIN sc ON c.doc_id = sc.doc_id, prior""".stripMargin),
     "stream_quality_gate" ->
       ("WITH qf AS (" + qualityFiltersSql + """)
         |SELECT d.lang, COUNT(*) AS n_docs,
