@@ -1093,6 +1093,21 @@ object SparkEntry {
         .select(col("doc_id"), size(col("tokens")).as("n_bpe_tokens"),
           array_join(slice(col("tokens"), 1, 8), "|").as("head_tokens"))
     },
+    "text_unigram_encode" -> { (s, dir) =>
+      // Unigram-LM (SentencePiece-style) tokenizer: seed substring
+      // candidates, hard-EM Viterbi re-estimation, prune to a 512-piece
+      // vocabulary, then segment every document with the native Viterbi
+      // encoder. Rows-only: iterative EM has no SQL oracle; the trainer
+      // is pinned by the 3-seed local==distributed differential and the
+      // encoder by the shared-Viterbi spec (UnigramSpec).
+      val d = Tables(s, dir, "documents")
+      val vocab = graft.ext.UnigramTrainer.collectVocab(
+        graft.ext.UnigramTrainer.train(d, "text", vocabSize = 512,
+          rounds = 2, maxPieceLen = 6))
+      graft.ext.UnigramTrainer.encode(d, "text", vocab)
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          array_join(slice(col("pieces"), 1, 8), "|").as("head_pieces"))
+    },
     "text_stemmed_terms" -> { (s, dir) =>
       // Stemmed corpus vocabulary through the SQL face: porter_stem is
       // a registered native expression, so the whole pipeline stays in
