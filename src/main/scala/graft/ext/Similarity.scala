@@ -464,6 +464,10 @@ object Similarity {
     require(refine == 0 || refine >= k,
       s"refine must be 0 (off) or >= k: refine=$refine k=$k")
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // the two fits stay SEQUENTIAL on purpose: overlapping them was
+    // measured 20-40% slower at local[32] (the coarse fit and the PQ
+    // fit's 8-way concurrent sub-fits oversubscribe the same cores);
+    // train-once cost either way
     val (assigned, centroids) = kmeansCells(c, nCells, seed, maxFitVectors)
     val (bc, dsub) = pqCodebooks(c, m, codebookSize, seed, maxFitVectors)
     // one encode pass, keyed by cell for the probe equi-join

@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkTestBase {
     "curation_dsir",      // two one-row vocabulary frames (both LM scorings)
     "curation_doremi",    // two one-row vocabulary frames (proxy + reference LM)
     "text_ppl_filter",    // one-row vocabulary frame (reference LM scoring)
+    "text_quality_classifier", // one-row totals + one-row prior frames (NB)
     "dq_mutual_info",     // one-row total frame x |X|x|Y| contingency cells
     "dq_mi_sql",          // same plan through the TVF face
     "text_bm25_sql",      // text_bm25's plan through the TVF face
