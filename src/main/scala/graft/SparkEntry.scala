@@ -3007,6 +3007,25 @@ object SparkEntry {
         s.read.parquet(s"$outDir/b*")
       }
     },
+    "stream_classifier_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Prequential trained-classifier gate: 3 doc_id-tiled
+        // microbatches; each batch is NB-scored under the classifier
+        // trained (qualityFilters label bootstrap) on all PRIOR batches
+        // only, then folds its token/doc class counts into the
+        // versioned state. Batch 1 trains silently; drained scores are
+        // tiles 2 and 3 under their prefix models — what the oracle
+        // recomputes from the same NTILE(3) tiling.
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir)
+        val stateDir = scratchDir("graft_nbcls_state_").toString
+        val outDir = scratchDir("graft_nbcls_out_").toString
+        val ckpt = scratchDir("graft_nbcls_ckpt_").toString
+        graft.streaming.StreamingOps.classifierGate(stream, stateDir, outDir, ckpt)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
     "etl_time_travel" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Snapshot time travel + retention over the upsert sink's
@@ -5394,38 +5413,14 @@ object SparkEntry {
     "text_quality_filters" -> qualityFiltersSql,
     "text_quality_sql" -> qualityFiltersSql,
     "text_quality_classifier" ->
-      ("WITH qf AS MATERIALIZED (" + qualityFiltersSql + """),
-        |lab AS (SELECT d.doc_id, d.text, qf.keep AS label
-        |  FROM documents d JOIN qf ON d.doc_id = qf.doc_id
-        |  WHERE d.doc_id % 4 <> 0),
-        |cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
-        |cnt AS (SELECT token,
-        |   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
-        |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
-        |  FROM (SELECT label, UNNEST([x FOR x IN
-        |     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
-        |    FROM lab WHERE text IS NOT NULL) GROUP BY 1),
-        |tot AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn, COUNT(*) AS v FROM cnt),
-        |dc AS (SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS dp,
-        |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS dn FROM lab),
-        |prior AS (SELECT CAST(ROUND(LN(CAST(dp + 1 AS DOUBLE)
-        |   / CAST(dn + 1 AS DOUBLE)) * 1000000000) AS BIGINT) AS prior_nano FROM dc),
-        |ct AS (SELECT doc_id, token, COUNT(*) AS c FROM (
-        |  SELECT doc_id, UNNEST([x FOR x IN
-        |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
-        |  FROM cand WHERE text IS NOT NULL) GROUP BY 1, 2),
-        |sc AS (SELECT ct.doc_id, SUM(ct.c) AS n_tokens,
-        |  SUM(ct.c * (
-        |   CAST(ROUND(LN(CAST(COALESCE(cnt.n_pos, 0) + 1 AS DOUBLE)
-        |     / CAST(tot.np + tot.v AS DOUBLE)) * 1000000000) AS BIGINT)
-        |   - CAST(ROUND(LN(CAST(COALESCE(cnt.n_neg, 0) + 1 AS DOUBLE)
-        |     / CAST(tot.nn + tot.v AS DOUBLE)) * 1000000000) AS BIGINT))) AS lik
-        | FROM ct LEFT JOIN cnt ON ct.token = cnt.token, tot
-        | GROUP BY 1)
-        |SELECT c.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-        | CAST(prior.prior_nano + COALESCE(sc.lik, 0) AS BIGINT) AS llr_nano,
-        | (prior.prior_nano + COALESCE(sc.lik, 0)) > 0 AS pred_pos
-        |FROM cand c LEFT JOIN sc ON c.doc_id = sc.doc_id, prior""".stripMargin),
+      (nbLabeledDocsSql +
+        nbScoreBlockSql("a", "doc_id % 4 <> 0", "doc_id % 4 = 0") + "\n" +
+        "SELECT * FROM outa"),
+    "stream_classifier_gate" ->
+      (nbLabeledDocsSql +
+        nbScoreBlockSql("a", "tile = 1", "tile = 2") + ",\n" +
+        nbScoreBlockSql("b", "tile <= 2", "tile = 3") + "\n" +
+        "SELECT * FROM outa UNION ALL SELECT * FROM outb"),
     "stream_quality_gate" ->
       ("WITH qf AS (" + qualityFiltersSql + """)
         |SELECT d.lang, COUNT(*) AS n_docs,
@@ -8021,6 +8016,54 @@ object SparkEntry {
   /** Shared by text_quality_filters / stream_quality_gate: the
     * C4/Gopher rule battery replayed with identical length/replace
     * arithmetic and regex classes. */
+  /** Shared prefix of the Naive-Bayes classifier oracles: every
+    * document with its qualityFilters keep label and its NTILE(3)
+    * replay tile. */
+  private def nbLabeledDocsSql: String =
+    "WITH qf AS MATERIALIZED (" + qualityFiltersSql + """),
+      |dt AS (SELECT d.doc_id, d.text, qf.keep AS label,
+      |   NTILE(3) OVER (ORDER BY d.doc_id) AS tile
+      |  FROM documents d JOIN qf ON d.doc_id = qf.doc_id),
+      |""".stripMargin
+
+  /** One train-on-TRAINCOND / score-CANDCOND Naive-Bayes block over the
+    * `dt` CTE — replays QualityClassifier's integer-nano arithmetic
+    * (add-one smoothing, per-token quantized log-odds, prior from doc
+    * counts). Emitted CTEs are suffixed with `idx`; the scored rows
+    * land in `out<idx>`. */
+  private def nbScoreBlockSql(idx: String, trainCond: String,
+      candCond: String): String =
+    """cntIDX AS (SELECT token,
+      |   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+      |  FROM (SELECT label, UNNEST([x FOR x IN
+      |     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
+      |    FROM dt WHERE (TRAINCOND) AND text IS NOT NULL) GROUP BY 1),
+      |totIDX AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn, COUNT(*) AS v FROM cntIDX),
+      |dcIDX AS (SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS dp,
+      |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS dn FROM dt WHERE (TRAINCOND)),
+      |priorIDX AS (SELECT CAST(ROUND(LN(CAST(dp + 1 AS DOUBLE)
+      |   / CAST(dn + 1 AS DOUBLE)) * 1000000000) AS BIGINT) AS prior_nano FROM dcIDX),
+      |ctIDX AS (SELECT doc_id, token, COUNT(*) AS c FROM (
+      |  SELECT doc_id, UNNEST([x FOR x IN
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
+      |  FROM dt WHERE (CANDCOND) AND text IS NOT NULL) GROUP BY 1, 2),
+      |scIDX AS (SELECT ctIDX.doc_id, SUM(ctIDX.c) AS n_tokens,
+      |  SUM(ctIDX.c * (
+      |   CAST(ROUND(LN(CAST(COALESCE(cntIDX.n_pos, 0) + 1 AS DOUBLE)
+      |     / CAST(totIDX.np + totIDX.v AS DOUBLE)) * 1000000000) AS BIGINT)
+      |   - CAST(ROUND(LN(CAST(COALESCE(cntIDX.n_neg, 0) + 1 AS DOUBLE)
+      |     / CAST(totIDX.nn + totIDX.v AS DOUBLE)) * 1000000000) AS BIGINT))) AS lik
+      | FROM ctIDX LEFT JOIN cntIDX ON ctIDX.token = cntIDX.token, totIDX
+      | GROUP BY 1),
+      |outIDX AS (SELECT c.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+      | CAST(p.prior_nano + COALESCE(s.lik, 0) AS BIGINT) AS llr_nano,
+      | (p.prior_nano + COALESCE(s.lik, 0)) > 0 AS pred_pos
+      |FROM (SELECT doc_id FROM dt WHERE (CANDCOND)) c
+      | LEFT JOIN scIDX s ON c.doc_id = s.doc_id, priorIDX p)""".stripMargin
+      .replace("IDX", idx).replace("TRAINCOND", trainCond)
+      .replace("CANDCOND", candCond)
+
   private def qualityFiltersSql: String =
     """WITH b AS (SELECT doc_id, text,
         |   TRIM(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm,

@@ -180,8 +180,60 @@ object Similarity {
     val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val (assigned, centroids) = kmeansCells(prepared, nCells, seed, maxFitVectors)
     val centDf = corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
-    // nProbe nearest cells per query by centroid cosine
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    ivfSearch(assigned, centDf, q, k, nProbe, excludeSelf, broadcastQueries)
+  }
+
+  /** Persisted IVF coarse-quantizer state: one (cell, centroid) row per
+    * K-Means cell — the train-once discipline ([[pqCodebookState]]'s
+    * twin for the coarse quantizer). Fit on ingest, persist the frame,
+    * and every later search assigns + probes via [[ivfTopKFromState]]
+    * with ZERO fits. Control-plane sized (cells rows). */
+  def ivfCentroidState(corpus: DataFrame, nCells: Int = 0, seed: Long = 42L,
+      maxFitVectors: Long = 1000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (_, centroids) = kmeansCells(prepared, nCells, seed, maxFitVectors)
+    corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
+  }
+
+  /** [[ivfTopK]] off a persisted [[ivfCentroidState]] frame — search
+    * with ZERO K-Means fits: the stored centroids rebuild the broadcast
+    * flat matrix (control-plane collect), the corpus assigns in one
+    * codegen'd argmin pass, and probing/re-ranking run identically to
+    * the fresh-fit path (same centroids ⇒ bit-identical results,
+    * pinned by spec). */
+  def ivfTopKFromState(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val rows = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, "empty IVF centroid state")
+    val cells = rows.map(_._1).max + 1
+    require(rows.length == cells && rows.map(_._1).toSet.size == cells,
+      s"centroid state must carry contiguous cells 0..${cells - 1}")
+    val dim = rows.head._2.length
+    require(rows.forall(_._2.length == dim), "ragged centroid widths in state")
+    val flat = new Array[Double](cells * dim)
+    rows.foreach { case (c, ctr) => System.arraycopy(ctr, 0, flat, c * dim, dim) }
+    val bcCentroids = corpus.sparkSession.sparkContext.broadcast(flat)
+    val assigned = prepared
+      .withColumn("cell",
+        graft.functions.sketches.centroid_argmin(col("v"), bcCentroids, dim))
+      .select("id", "v", "cell")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    ivfSearch(assigned, centroids.select(col("cell"), col("centroid")), q,
+      k, nProbe, excludeSelf, broadcastQueries)
+  }
+
+  /** Shared IVF search tail: probe each query's nProbe nearest cells by
+    * centroid cosine, exact-cosine re-rank within the probed cells. */
+  private def ivfSearch(assigned: DataFrame, centDf: DataFrame, q: DataFrame,
+      k: Int, nProbe: Int, excludeSelf: Boolean,
+      broadcastQueries: Boolean): DataFrame = {
     val wCell = Window.partitionBy("query_id").orderBy(col("cell_sim").desc, col("cell").asc)
     val probeCells = q.crossJoin(broadcast(centDf))
       .withColumn("cell_sim", cosine(col("qv"), col("centroid")))

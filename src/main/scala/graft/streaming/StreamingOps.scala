@@ -1228,6 +1228,57 @@ object StreamingOps {
     StateCommit.flipVersion(stateDir, batchId)
   }
 
+  /** Prequential trained-classifier gate — Naive-Bayes quality scoring
+    * on arrival off persisted, GROWING class-count state (the [[lmGate]]
+    * shape over [[graft.ext.QualityClassifier]]'s model): every
+    * microbatch of documents is scored under the classifier trained on
+    * all PRIOR batches only, then labels itself with the qualityFilters
+    * rule battery (the label bootstrap) and folds its token/doc class
+    * counts — additive monoids — into the versioned state. Exactly-once
+    * on both sides: per-batch score dirs + the marker flip. The first
+    * batch has no model and scores nothing. State is vocabulary-shaped
+    * (token class counts + one doc-prior row), never corpus-shaped. */
+  def classifierGate(stream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, textCol: String = "text"): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyClassifierBatch(batch, batchId, stateDir, outDir, textCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent prequential score + class-count fold (public for
+    * direct testing and batch backfills sharing the gate's state). */
+  def applyClassifierBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      outDir: String, textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    if (current >= 0L) {
+      graft.ext.QualityClassifier.score(batch,
+          spark.read.parquet(s"$stateDir/v$current/tok"),
+          spark.read.parquet(s"$stateDir/v$current/doc"),
+          textCol = textCol)
+        .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    }
+    // label bootstrap: the rule battery supplies this batch's classes
+    val labeled = graft.ext.TextAnalysis.qualityFilters(batch, textCol)
+      .select(col("doc_id"), col(textCol), col("keep").as("label"))
+    val (tok, doc) = graft.ext.QualityClassifier.train(labeled, textCol = textCol)
+    val (ntok, ndoc) = if (current >= 0L)
+      (graft.ext.QualityClassifier.mergeTokenCountStates(
+        spark.read.parquet(s"$stateDir/v$current/tok"), tok),
+        graft.ext.QualityClassifier.mergeDocCountStates(
+          spark.read.parquet(s"$stateDir/v$current/doc"), doc))
+    else (tok, doc)
+    ntok.write.mode("overwrite").parquet(s"$stateDir/v$batchId/tok")
+    ndoc.write.mode("overwrite").parquet(s"$stateDir/v$batchId/doc")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
   /** Streaming near-dup gate off the persisted MinHash-LSH index —
     * `Dedup.minhashIncremental` run as an ingest gate: every microbatch
     * of documents is checked against the signatures of ALL prior

@@ -162,6 +162,24 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(spark.read.parquet(stateDir).count() === 4L * 16L)
   }
 
+  test("ivfTopKFromState off persisted centroids == fresh-fit ivfTopK") {
+    val corpus = clusteredCorpus(7L)
+    val queries = queriesOf(corpus)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfstate_").toString
+    Similarity.ivfCentroidState(corpus, nCells = 8)
+      .write.mode("overwrite").parquet(stateDir)
+    val fresh = Similarity.ivfTopK(corpus, queries, k = 5, nCells = 8)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val fromState = Similarity.ivfTopKFromState(corpus, queries,
+      spark.read.parquet(stateDir), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fromState.toSeq === fresh.toSeq)
+    assert(spark.read.parquet(stateDir).count() === 8L)
+  }
+
   test("ivfPqTopK recall@10 >= 0.9 on three seeded clustered corpora") {
     // IVF cell filter upstream of the PQ/ADC code scan + exact refine —
     // both approximations composed still clear the battery bound on

@@ -421,6 +421,48 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(again === exp1)
   }
 
+  test("applyClassifierBatch: prequential NB scoring, folded state, idempotent replay") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_nbst_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_nbout_").toString
+    // texts long/clean enough that qualityFilters yields BOTH labels
+    val keepText = Seq.fill(60)("clean prose sentence").mkString(" ") + "."
+    val dropText = "short junk {"
+    val b0 = Seq((1L, keepText), (2L, dropText)).toDF("doc_id", "text")
+    val b1 = Seq((10L, keepText + " extra"), (11L, "tiny {")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "clean prose")).toDF("doc_id", "text")
+    def nbOf(train: org.apache.spark.sql.DataFrame,
+        cand: org.apache.spark.sql.DataFrame) = {
+      val lab = graft.ext.TextAnalysis.qualityFilters(train, "text")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("keep").as("label"))
+      graft.ext.QualityClassifier.trainScore(lab, cand)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+    }
+    StreamingOps.applyClassifierBatch(b0, 0L, stateDir, outDir)
+    // batch 0 trains silently: no scores, state v0 committed
+    assert(!new java.io.File(outDir, "b0").exists)
+    StreamingOps.applyClassifierBatch(b1, 1L, stateDir, outDir)
+    val got1 = spark.read.parquet(s"$outDir/b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got1 === nbOf(b0, b1) && got1.nonEmpty)
+    StreamingOps.applyClassifierBatch(b2, 2L, stateDir, outDir)
+    val got2 = spark.read.parquet(s"$outDir/b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // batch 2 under batches 0 UNION 1 — the folded monoid state
+    assert(got2 === nbOf(b0.unionByName(b1), b2))
+    // crash replay of a committed batch: marker unchanged, scores intact
+    StreamingOps.applyClassifierBatch(b1, 1L, stateDir, outDir)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L, 2L))
+    assert(spark.read.parquet(s"$outDir/b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet === got1)
+  }
+
   test("applyDedupBatch: each pair emits once with its later doc; replay idempotent") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ddst_").toString
