@@ -1165,7 +1165,9 @@ object SparkEntry {
       // until the unique maximal fixpoint. Differential-pinned against
       // a local reference peel in GraphSpec AND oracle-checked: the
       // peel unrolls as chained CTEs (kcoreSql) since extra rounds past
-      // the fixpoint are the identity.
+      // the fixpoint are the identity. maxRounds matches the oracle's
+      // unroll bound so depth growth past it fails LOUD here instead of
+      // silently diverging from the 8-round oracle.
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val edges = li.select(col("ok"), col("pk").as("u"))
@@ -1174,7 +1176,7 @@ object SparkEntry {
         .groupBy(col("u"), col("v"))
         .agg(count_distinct(col("ok")).as("w"))
         .filter(col("w") >= 2).select(col("u"), col("v"))
-      graft.ops.Graph.kCore(edges, k = 2)
+      graft.ops.Graph.kCore(edges, k = 2, maxRounds = 8)
     },
     "graph_sssp" -> { (s, dir) =>
       // 3-round weighted SSSP from part 0 over the co-occurrence graph
@@ -1517,7 +1519,7 @@ object SparkEntry {
       // shingle Jaccard ground truth (recall loss at j>=0.8 < 5e-8).
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")
       val translated = d.filter(pmod(col("doc_id"), lit(4L)) === 0L)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           lit("xx").as("lang"),
@@ -4865,11 +4867,11 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "curation_pipeline" ->
       """WITH cleaned AS (SELECT doc_id,
-        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 \t\n\r\f\x0B]', ' ', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean
         | FROM documents),
         |quality AS (SELECT * FROM cleaned WHERE LENGTH(clean) >= 50),
         |dedup AS (SELECT doc_id, clean, ROW_NUMBER() OVER (
-        |  PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(clean)), '\s+', ' ', 'g'))
+        |  PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(clean)), '[ \t\n\r\f\x0B]+', ' ', 'g'))
         |  ORDER BY doc_id) AS rn FROM quality)
         |SELECT doc_id, CAST(LENGTH(clean) AS INT) AS clean_len,
         | CASE WHEN ((doc_id % 100) * 61) % 100 < 80 THEN 'train'
@@ -5302,13 +5304,13 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     "text_clean" ->
       """SELECT doc_id,
-        | TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
-        | CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS INT) AS clean_len
+        | TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 \t\n\r\f\x0B]', ' ', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text,
+        | CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 \t\n\r\f\x0B]', ' ', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS INT) AS clean_len
         |FROM documents""".stripMargin,
     "text_term_freq" ->
       """SELECT term, freq FROM (
         | SELECT term, COUNT(*) AS freq FROM (
-        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term FROM documents)
+        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+')) AS term FROM documents)
         | WHERE LENGTH(term) > 0 GROUP BY term)
         |ORDER BY freq DESC, term ASC LIMIT 50""".stripMargin,
     // NB: bag-semantics UNION (dedup) misbehaves for CTEs nested under
@@ -5400,7 +5402,7 @@ object SparkEntry {
     "freq_topk" ->
       """SELECT term, freq FROM (
         | SELECT term, COUNT(*) AS freq FROM (
-        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term FROM documents)
+        |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+')) AS term FROM documents)
         | WHERE LENGTH(term) > 0 GROUP BY term)
         |ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
     "emb_label_centroid" ->
@@ -5432,13 +5434,13 @@ object SparkEntry {
     "text_tokens_bpe" ->
       """SELECT doc_id,
         | CAST(CASE WHEN text IS NULL OR LEN(TRIM(text)) = 0 THEN 0
-        |  ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS INT) AS n_ws_tokens,
+        |  ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS INT) AS n_ws_tokens,
         | CAST(CASE WHEN text IS NULL THEN 0
         |  ELSE LEN(REGEXP_EXTRACT_ALL(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+')) END AS INT)
         |  AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "text_keyterms" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
         |             FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
@@ -5489,7 +5491,7 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, r.rn FROM r JOIN quota USING (lang)
         |WHERE r.rn <= quota.quota""".stripMargin,
     "text_ppl_filter" ->
-      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w0
         |           FROM documents WHERE text IS NOT NULL),
         |tw AS (SELECT doc_id, lang, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
         |pairs AS (SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
@@ -5516,7 +5518,7 @@ object SparkEntry {
         |   AS BIGINT) AS tier
         |FROM x""".stripMargin,
     "curation_doremi" ->
-      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w0
         |           FROM documents WHERE text IS NOT NULL),
         |tw AS (SELECT doc_id, lang, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
         |pairs AS (SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
@@ -5568,7 +5570,7 @@ object SparkEntry {
         | CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM q1""".stripMargin,
     "curation_dsir" ->
-      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+      """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w0
         |           FROM documents WHERE text IS NOT NULL),
         |tw AS (SELECT doc_id, lang, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
         |pairs AS (SELECT doc_id, lang, p['a'] AS a, p['b'] AS b FROM (
@@ -5604,7 +5606,7 @@ object SparkEntry {
         |  (ORDER BY logw_nano DESC, doc_id DESC) AS BIGINT) AS rank FROM sc)
         |SELECT doc_id, rank, logw_nano, n_pairs FROM rk WHERE rank <= 100""".stripMargin,
     "text_lm_score" ->
-      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w0
         |           FROM documents WHERE text IS NOT NULL),
         |tw AS (SELECT doc_id, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM t),
         |pairs AS (SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
@@ -5657,7 +5659,7 @@ object SparkEntry {
         |   '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
         |FROM s""".stripMargin,
     "text_repetition" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS toks
         |           FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id, toks,
         |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
@@ -5674,7 +5676,7 @@ object SparkEntry {
         |  CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri) END AS dup_trigram_frac
         |FROM g""".stripMargin,
     "text_chunk" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS toks
         |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
         |n AS (SELECT doc_id, toks,
         |       CASE WHEN len(toks) <= 32 THEN 1
@@ -6130,7 +6132,7 @@ object SparkEntry {
         | CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro
         |FROM b GROUP BY 1""".stripMargin,
     "text_zipf" ->
-      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
         |             FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT lang, term, COUNT(*) AS cnt FROM tok
         |       WHERE len(term) > 0 GROUP BY 1, 2),
@@ -6177,7 +6179,7 @@ object SparkEntry {
         |   * 1000000 // (CAST(nr AS HUGEINT) * nc) AS BIGINT) AS ks_micro
         |FROM cum, t GROUP BY nr, nc""".stripMargin,
     "text_vocab_stats" ->
-      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
         |             FROM documents WHERE text IS NOT NULL),
         |tf AS (SELECT lang AS slice, term, COUNT(*) AS cnt FROM tok
         |       WHERE len(term) > 0 GROUP BY 1, 2)
@@ -6249,7 +6251,7 @@ object SparkEntry {
     "stream_ppl_gate" ->
       """WITH dt AS (SELECT doc_id, text, NTILE(3) OVER (ORDER BY doc_id) AS tile
         |           FROM documents),
-        |tw0 AS (SELECT doc_id, tile, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w0
+        |tw0 AS (SELECT doc_id, tile, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w0
         |        FROM dt WHERE text IS NOT NULL),
         |tw AS (SELECT doc_id, tile, [x FOR x IN w0 IF LEN(x) > 0] AS w FROM tw0),
         |pairs AS (SELECT doc_id, tile, p['a'] AS a, p['b'] AS b FROM (
@@ -6438,7 +6440,7 @@ object SparkEntry {
     "pack_sequences" ->
       """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-        |       ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+        |       ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS BIGINT) AS n_tokens
         | FROM documents),
         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS prev
@@ -6477,13 +6479,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents
-        |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))""".stripMargin,
+        |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_substring" ->
       // span dedup contract: a k=12-token window is duplicated iff its
       // exact token sequence occurs >= 2 times corpus-wide (other doc
       // or same-doc repeat); dup_tokens = distinct positions covered
-      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+') AS w FROM documents),
         |g AS (SELECT doc_id, i, ARRAY_TO_STRING(w[i:i+11], ' ') AS sg
         |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(w) - 10, 1))) AS u(i) WHERE LEN(w) >= 12),
         |dup AS (SELECT sg FROM g GROUP BY sg HAVING COUNT(*) >= 2),
@@ -6501,7 +6503,7 @@ object SparkEntry {
       // so window-min selection replays exactly; value-only min makes
       // tie rules irrelevant
       """WITH t AS (SELECT doc_id,
-        |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |  LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS ts FROM documents),
         |h AS (SELECT doc_id, [MD5(ARRAY_TO_STRING(ts[i:i+3], ' ')) FOR i IN RANGE(1, GREATEST(LEN(ts) - 2, 1))] AS hs
         |  FROM t WHERE LEN(ts) >= 11),
         |f AS (SELECT doc_id, LIST_DISTINCT([LIST_MIN(hs[j:j+7]) FOR j IN RANGE(1, GREATEST(LEN(hs) - 6, 1))]) AS fps FROM h),
@@ -6510,7 +6512,7 @@ object SparkEntry {
         |FROM ix a JOIN ix b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "dedup_containment" ->
-      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |  FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) AS s FROM t WHERE LEN(w) >= 3),
         |sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
@@ -6528,7 +6530,7 @@ object SparkEntry {
     // cross-lingual LSH (same recall argument as dedup_minhash)
     "dedup_crosslingual" ->
       """WITH d AS (SELECT doc_id, lang,
-        |  REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w FROM documents),
+        |  REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w FROM documents),
         |tr AS (SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang,
         |  list_transform(
         |    list_filter([{'s': w[j], 'p': j} FOR j IN RANGE(1, LEN(w)+1)],
@@ -6561,7 +6563,7 @@ object SparkEntry {
     // at least one side in the "new" third (doc_id % 3 = 0) — old×old
     // pairs belong to the index build, not the incremental run
     "dedup_incremental" ->
-      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |  FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) AS s FROM t WHERE LEN(w) >= 3),
         |sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
@@ -7350,7 +7352,7 @@ object SparkEntry {
   /** Shared by the full-corpus and incremental-state collocation rows. */
   private def collocationsSql: String =
 
-      """WITH toks AS (SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS t
+      """WITH toks AS (SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS t
         | FROM documents WHERE text IS NOT NULL),
         |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
         | FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
@@ -7444,7 +7446,7 @@ object SparkEntry {
     * (same scenario through the persisted test-set index). */
   private def contaminationSql: String =
     """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
-      |            regexp_split_to_array(trim(text), '\s+') AS toks
+      |            regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS toks
       |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
       |sh AS (SELECT DISTINCT doc_id, b, s FROM (
       |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
@@ -7461,7 +7463,7 @@ object SparkEntry {
     * gate's drained union equals exactly the uncapped batch check). */
   private def decontamGateSql: String =
     """WITH d AS (SELECT doc_id, ((doc_id % 100) * 61) % 100 AS b,
-      |            regexp_split_to_array(trim(text), '\s+') AS toks
+      |            regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS toks
       |           FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0),
       |sh AS (SELECT DISTINCT doc_id, b, s FROM (
       |  SELECT doc_id, b, unnest(list_transform(generate_series(1, len(toks)-7),
@@ -7486,7 +7488,7 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS dr
       |  FROM dscore) WHERE dr <= 20),
       |toks AS (SELECT DISTINCT doc_id, term FROM (
-      |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS term
+      |  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+')) AS term
       |  FROM documents WHERE text IS NOT NULL) WHERE LENGTH(term) > 0),
       |ov AS (SELECT qt.doc_id AS query_id, t.doc_id AS neighbor_id, COUNT(*) AS shared
       |  FROM (SELECT * FROM toks WHERE doc_id < 20) qt
@@ -7736,7 +7738,7 @@ object SparkEntry {
 
   /** Shared by text_bm25 (Scala face) and text_bm25_sql (TVF face). */
   private def bm25Sql: String =
-    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
       |             FROM documents WHERE text IS NOT NULL),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
       |docs AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
@@ -7755,7 +7757,7 @@ object SparkEntry {
       |WHERE rank <= 10""".stripMargin
 
   private def ngramJaccardSql: String =
-    """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w FROM documents),
+    """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+') AS w FROM documents),
       |sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |  FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) AS s FROM t WHERE LEN(w) >= 3),
       |sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
@@ -8037,7 +8039,7 @@ object SparkEntry {
       |   SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
       |   SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
       |  FROM (SELECT label, UNNEST([x FOR x IN
-      |     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
+      |     REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') IF LEN(x) > 0]) AS token
       |    FROM dt WHERE (TRAINCOND) AND text IS NOT NULL) GROUP BY 1),
       |totIDX AS (SELECT SUM(n_pos) AS np, SUM(n_neg) AS nn, COUNT(*) AS v FROM cntIDX),
       |dcIDX AS (SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS dp,
@@ -8046,7 +8048,7 @@ object SparkEntry {
       |   / CAST(dn + 1 AS DOUBLE)) * 1000000000) AS BIGINT) AS prior_nano FROM dcIDX),
       |ctIDX AS (SELECT doc_id, token, COUNT(*) AS c FROM (
       |  SELECT doc_id, UNNEST([x FOR x IN
-      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') IF LEN(x) > 0]) AS token
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') IF LEN(x) > 0]) AS token
       |  FROM dt WHERE (CANDCOND) AND text IS NOT NULL) GROUP BY 1, 2),
       |scIDX AS (SELECT ctIDX.doc_id, SUM(ctIDX.c) AS n_tokens,
       |  SUM(ctIDX.c * (
@@ -8355,9 +8357,11 @@ object SparkEntry {
     * UNROLLS — each round deletes every edge with an endpoint of degree
     * < 2, and once the fixpoint is reached further rounds are the
     * identity. 8 unrolled rounds cover the fixture's measured depth
-    * (3 at sf0.01, 5 at sf0.1) with margin; if a future fixture ever
-    * needs more, the Spark side fails loud first (kCore's maxRounds
-    * convergence guard), never silently diverges. */
+    * (3 at sf0.01, 5 at sf0.1) with margin; the graph_kcore call site
+    * pins kCore's maxRounds to the SAME bound, so a deeper future
+    * fixture makes the Spark side fail loud (convergence guard at
+    * depth ≥ 8, one round below the oracle's validity limit) — it can
+    * never silently diverge from the unroll. */
   private def kcoreSql: String = {
     val rounds = 8
     // every CTE is MATERIALIZED: each round references its predecessor
@@ -8534,17 +8538,17 @@ object SparkEntry {
       | CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE
       |  (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g'))) * 1.0 / LENGTH(text) END AS upper_ratio,
       | CASE WHEN n_tok = 0 THEN 0.0 ELSE
-      |  LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', '', 'g')) * 1.0 / n_tok END AS mean_token_len,
+      |  LENGTH(REGEXP_REPLACE(TRIM(text), '[ \t\n\r\f\x0B]+', '', 'g')) * 1.0 / n_tok END AS mean_token_len,
       | CASE WHEN n_tok = 0 THEN 0.0 ELSE (STOPC) * 1.0 / n_tok END AS stopword_ratio,
       | LANGCASE AS lang_pred,
-      | MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+      | MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fingerprint
       |FROM (
       | SELECT *, BESTEXPR AS best FROM (
       |  SELECT *, SCORESEL FROM (
       |   SELECT *,
       |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-      |     ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tok,
-      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS toks_lower,
+      |     ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS n_tok,
+      |    REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS toks_lower,
       |    ' ' || LOWER(text) || ' ' AS p
       |   FROM documents)))""".stripMargin
       .replace("STOPC", stopCount)

@@ -40,9 +40,13 @@ object QualityClassifier {
     * (true = positive/keep class). */
   def tokenCountState(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", labelCol: String = "label"): DataFrame =
-    toks(docs, idCol, textCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(labelCol).as("__l")), "doc_id")
-      .select(explode(col("toks")).as("token"), col("__l"))
+    // label rides the token explosion — ONE narrow pass + one map-side
+    // combined aggregation, no self-join back onto the corpus (this
+    // runs per microbatch in the streaming gate)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(labelCol).as("__l"),
+        explode(filter(TextAnalysis.tokens(lower(col(textCol))),
+          t => length(t) > 0)).as("token"))
       .groupBy("token")
       .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("__l"), 0L).otherwise(1L)).as("n_neg"))

@@ -391,8 +391,10 @@ object Similarity {
     val m = rows.map(_._1).max + 1
     val codebookSize = rows.map(_._2).max + 1
     val dsub = rows.head._3.length
-    require(rows.length == m * codebookSize,
-      s"codebook state incomplete: ${rows.length} rows for m=$m k=$codebookSize")
+    require(rows.length == m * codebookSize &&
+      rows.map(r => (r._1, r._2)).toSet.size == rows.length,
+      s"codebook state incomplete or duplicated: ${rows.length} rows " +
+        s"for m=$m k=$codebookSize")
     val flat = new Array[Double](m * codebookSize * dsub)
     rows.foreach { case (j, cc, ctr) =>
       require(ctr.length == dsub, "ragged centroid widths in codebook state")

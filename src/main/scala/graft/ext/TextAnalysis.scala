@@ -14,7 +14,7 @@ object TextAnalysis {
 
   /** Whitespace tokens (split on any run of whitespace). */
   def tokens(text: Column): Column =
-    split(trim(text), "\\s+")
+    split(trim(text), "[ \\t\\n\\r\\f\\x0B]+")
 
   /** Token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
@@ -69,7 +69,7 @@ object TextAnalysis {
       "digit_ratio" -> ratioOf(regexp_replace(text, "[0-9]", "")),
       "upper_ratio" -> ratioOf(regexp_replace(text, "[A-Z]", "")),
       "mean_token_len" -> when(nTok === 0, lit(0.0))
-        .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nTok),
+        .otherwise(length(regexp_replace(trim(text), "[ \\t\\n\\r\\f\\x0B]+", "")).cast("double") / nTok),
       "stopword_ratio" -> when(nTok === 0, lit(0.0)).otherwise(stopCount.cast("double") / nTok),
     )
   }
@@ -112,7 +112,7 @@ object TextAnalysis {
     * Engine-portable (md5 is standard everywhere), used as the exact-dedup
     * grouping key so shuffles carry 16 bytes instead of document bodies. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\r\\f\\x0B]+", " "))
 
   /** Rolling polynomial hash of the token stream (base 1000003, mod
     * 1e9+7) — an order-sensitive document signature, cheap to band on.
@@ -128,7 +128,7 @@ object TextAnalysis {
     * strip non-alphanumerics (keeping spaces), collapse whitespace,
     * trim. One codegen'd scalar expression. */
   def cleaned(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f\\x0B]", " "), "[ \\t\\n\\r\\f\\x0B]+", " "))
 
   /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
     * replaced with typed placeholders — the standard scrubbing pass

@@ -153,8 +153,12 @@ object UnigramTrainer {
       rounds: Int, maxPieceLen: Int, seedSize: Int): Seq[(String, Long, Long)] = {
     val spark = hist.sparkSession
     import spark.implicits._
-    val seedCounts = hist.flatMap { case (w, f) => substrings(w, f, maxPieceLen) }
-      .toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
+    // materialized: the substring-explosion aggregation feeds BOTH the
+    // top-multis collect and the all-singles collect below — without the
+    // fence the dominant seeding pass would execute twice
+    val seedCounts = Materialize(
+      hist.flatMap { case (w, f) => substrings(w, f, maxPieceLen) }
+        .toDF("piece", "c").groupBy("piece").agg(sum("c").as("c")))
     // the seed selection must see every single char plus the top multis
     // in (count DESC, piece ASC) order — take seedSize + enough slack to
     // cover all singles, then let the shared prune apply the real rule
@@ -191,7 +195,7 @@ object UnigramTrainer {
     val seeds = if (seedSize > 0) seedSize else vocabSize * 8
     val base = if (lowercase) lower(col(textCol)) else col(textCol)
     val hist = docs
-      .select(explode(split(trim(base), "\\s+")).as("w"))
+      .select(explode(split(trim(base), "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
@@ -213,10 +217,11 @@ object UnigramTrainer {
     * (array<string>) via the native Viterbi encode expression —
     * embarrassingly parallel, vocabulary is the only shared state. */
   def encode(docs: DataFrame, textCol: String, vocab: Seq[(String, Long)],
-      outCol: String = "pieces", maxPieceLen: Int = 6): DataFrame =
+      outCol: String = "pieces", maxPieceLen: Int = 6,
+      lowercase: Boolean = true): DataFrame =
     docs.withColumn(outCol,
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.UnigramEncode(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
-          vocab, maxPieceLen)))
+          vocab, maxPieceLen, lowercase)))
 }

@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (vocab-count entries — KBs). Native expression (CodegenFallback):
   * bounded per-word DP, no UDF serialization. */
 case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
-    maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
+    maxPieceLen: Int, lowercase: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
 
   // java.lang.Long values: a primitive-Long map would unbox a missing
   // key's null to score 0 (see UnigramTrainer.scoreMap)
@@ -33,9 +34,13 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
   override def prettyName: String = "unigram_encode"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val raw = input.asInstanceOf[UTF8String].toString.trim
+    // case handling must MATCH the trainer's flag: lowercasing a
+    // case-sensitive vocabulary would silently drop every capitalized
+    // piece to the FloorNano char fallback
+    val text = if (lowercase) raw.toLowerCase else raw
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    text.split("\\s+").foreach { w =>
+    text.split("[ \\t\\n\\r\\f\\x0B]+").foreach { w =>
       if (w.nonEmpty)
         graft.ext.UnigramTrainer.viterbiSegment(w, scores, maxPieceLen)
           .foreach(p => out += UTF8String.fromString(p))

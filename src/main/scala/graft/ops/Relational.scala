@@ -214,7 +214,11 @@ object Relational {
     * precision, and the sketch is a deterministic function of the
     * data, so the oracle (exact counts + TRUE) hash-matches stably
     * while any estimator regression (wrong column, broken merge,
-    * precision loss) trips the flag. */
+    * precision loss) trips the flag. The exact countDistinct here is
+    * the ORACLE-CHECK face, not the production shape — a deployment
+    * keeps only the approx_count_distinct column (the whole point of
+    * the sketch is skipping the exact-distinct shuffle); the band
+    * check pays it once per driver run at test SFs. */
   def approxPartCounts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
