@@ -88,6 +88,49 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("viterbi == brute-force enumeration over 400 random (word, vocab) cases") {
+    // exhaustively enumerate every segmentation of words <= 8 chars and
+    // apply the documented total order (score desc, then longer pieces
+    // right-to-left); the DP must agree on every case, including
+    // unseen-char floors and negative scores
+    val rnd = new scala.util.Random(20260815L)
+    val alpha = "abc"
+    def allSegs(w: String, maxLen: Int): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(maxLen, w.length)).flatMap(l =>
+        allSegs(w.drop(l), maxLen).map(w.take(l) +: _))
+    for (_ <- 0 until 400) {
+      val w = (0 until (rnd.nextInt(7) + 1))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      // random vocab over substrings; singles included at random — the
+      // floor path must cover the gaps
+      val pieces = (for {
+        i <- 0 until w.length; j <- (i + 1) to math.min(i + 4, w.length)
+      } yield w.substring(i, j)).distinct.filter(_ => rnd.nextBoolean())
+      val vocab = pieces.map(p => p -> (-(rnd.nextInt(20) + 1).toLong * 1000L))
+      val scores = sm(vocab: _*)
+      def segScore(seg: Seq[String]): Option[Long] = {
+        val ss = seg.map { p =>
+          val v = scores.get(p)
+          if (v != null) v.longValue()
+          else if (p.length == 1) UnigramTrainer.FloorNano
+          else return None
+        }
+        Some(ss.sum)
+      }
+      val feasible = allSegs(w, 4).flatMap(s => segScore(s).map(sc => (s, sc)))
+      assert(feasible.nonEmpty, s"'$w' must always segment via char floors")
+      val bestScore = feasible.map(_._2).max
+      // among max-score segs: longest last piece, then longest before it...
+      val want = feasible.filter(_._2 == bestScore).map(_._1)
+        .minBy(seg => seg.reverse.map(p => -p.length).toIndexedSeq)(
+          Ordering.Implicits.seqOrdering[IndexedSeq, Int])
+      val got = UnigramTrainer.viterbiSegment(w, scores, maxPieceLen = 4)
+      assert(got === want,
+        s"word '$w' vocab ${vocab.toMap}: got $got want $want")
+    }
+  }
+
   test("train is deterministic across repartitionings") {
     val d = docs("one two three two one", "three three one two")
     def run(parts: Int) = UnigramTrainer.train(d.repartition(parts), "text",
