@@ -1350,6 +1350,23 @@ object SparkEntry {
         lit("+1 555-010-"), lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 4, "0"))
       d.select(col("doc_id"), TextAnalysis.piiRedacted(salted).as("redacted"))
     },
+    "text_strip_html" -> { (s, dir) =>
+      // HTML -> text extraction (the C4/WET step): the fixture is plain
+      // text, so each document is wrapped in synthesized crawl-style
+      // HTML — head/style, comments, entities, a script with operators
+      // that MUST NOT leak — identically in both engines, then
+      // stripped; the oracle replays the same chain, so the check
+      // covers real stripping behavior, not a no-op.
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val html = concat(
+        lit("<html><head><title>T"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("</title><style type=\"text/css\">p { margin: 0; }</style></head>"),
+        lit("<body><!-- crawl-id --><h1>&quot;Doc&quot; &amp;amp; &lt;more&gt;</h1><p>"),
+        substring(col("text"), 1, 200),
+        lit("</p><script>if (a < b && c > d) { run(); }</script><br/></body></html>"))
+      d.select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+        .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+    },
     "text_repetition" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       d.select(Seq(col("doc_id")) ++
@@ -5645,6 +5662,29 @@ object SparkEntry {
         |SELECT a.lang, t.text, a.len, a.n_docs
         |FROM agg a JOIN (SELECT lang, text FROM rk WHERE rn = 1) t USING (lang)""".stripMargin,
     "text_bm25_sql" -> bm25Sql,
+    "text_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>T' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '</title><style type="text/css">p { margin: 0; }</style></head>' ||
+        |  '<body><!-- crawl-id --><h1>&quot;Doc&quot; &amp;amp; &lt;more&gt;</h1><p>' ||
+        |  SUBSTR(text, 1, 200) ||
+        |  '</p><script>if (a < b && c > d) { run(); }</script><br/></body></html>'
+        |    AS html
+        | FROM documents WHERE text IS NOT NULL),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |c AS (SELECT doc_id,
+        |  TRIM(regexp_replace(t, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM s5)
+        |SELECT doc_id, clean, CAST(LENGTH(clean) AS BIGINT) AS n_clean_chars
+        |FROM c""".stripMargin,
     "text_pii_redact" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -138,6 +138,31 @@ object TextAnalysis {
     * oracle-checkable across engines. Order matters: emails first (their
     * local parts contain digits), then IPs (dots, never matched by the
     * phone pattern), then phones. */
+  /** HTML → text extraction — the step every web-corpus pipeline runs
+    * between the crawl and everything else here (C4 §2.2 / CommonCrawl
+    * WET-style): script and style elements drop WHOLESALE (their
+    * content is never prose), comments drop, remaining tags become
+    * separators, the five ubiquitous entities decode (`&amp;` LAST so
+    * `&amp;lt;` yields the literal `&lt;` — single-decode, the
+    * standard behavior), and whitespace collapses.
+    *
+    * One chain of codegen'd regexp_replace calls — zero shuffle, runs
+    * at scan speed — inside the regex subset shared by Java and RE2:
+    * inline `(?is)` flags and non-greedy `.*?` are portable, while
+    * backreferences are NOT (RE2 has none), hence separate script and
+    * style rules instead of `<(script|style)>.*?</\1>`. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
+  }
+
   def piiRedacted(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -129,6 +129,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("de") === ((3L, 2L, 1L, 666666L)))
   }
 
+  test("stripHtml: blocks drop wholesale, tags separate, entities single-decode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script/style content never leaks, even with operators inside
+      (1L, "<p>keep</p><script>if (a < b && c > d) { run(); }</script><i>tail</i>",
+        "keep tail"),
+      (2L, "<style>p { color: red; }</style>body", "body"),
+      // comments drop; tags become separators (no word gluing)
+      (3L, "<!-- hidden -->a<b>b</b>c", "a b c"),
+      // single-decode: &amp;lt; is the LITERAL string "&lt;" after one pass
+      (4L, "x &amp;lt; y &lt; z &quot;q&quot; &#39;s&#39; &nbsp;.", "x &lt; y < z \"q\" 's' ."),
+      // multiline block with attributes
+      (5L, "<script type=\"text/javascript\">\nvar a = 1;\n</script>after", "after"),
+      // whitespace collapse + trim
+      (6L, "  <br/>  spaced   out  ", "spaced out"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
+      .select(col("id"), TextAnalysis.stripHtml(col("html")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    cases.zip(got).foreach { case ((i, in, want), g) =>
+      assert(g === want, s"case $i: <$in>")
+    }
+  }
+
   test("readability: hand-computed Flesch pieces") {
     import spark.implicits._
     val df = Seq(
