@@ -1449,6 +1449,24 @@ object SparkEntry {
       // pairs sharing >= 2 — partial-overlap detection
       Dedup.winnowPairs(Tables(s, dir, "documents"), k = 4, w = 8, minShared = 2L)
     },
+    "dedup_sentence_spans" -> { (s, dir) =>
+      // C4-style three-sentence-span dedup: the fixture text carries no
+      // punctuation, so sentence-bearing text is synthesized from
+      // doc_id arithmetic IDENTICALLY in both engines — ~10 docs per
+      // bucket share a sentence triple (corpus-wide duplicate spans),
+      // a per-pair 'delta' sentence duplicates across doc_id%250
+      // partners, and even docs append one extra sentence so span
+      // counts vary. Oracle replays synthesis + split + hash chain.
+      val d = Tables(s, dir, "documents")
+      val b = pmod(col("doc_id"), lit(50L)).cast("string")
+      val u = pmod(col("doc_id"), lit(250L)).cast("string")
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      val text = concat(
+        lit("alpha "), b, lit(". beta "), b, lit("! gamma "), b,
+        lit(". delta "), u, lit("?"),
+        when(even, concat(lit(" omega "), b, lit("."))).otherwise(lit("")))
+      Dedup.sentenceSpans(d.select(col("doc_id"), text.as("text")), n = 3)
+    },
     "dedup_clusters" -> { (s, dir) =>
       // pairs -> transitive dedup clusters via distributed min-label
       // propagation; oracle recomputes the same closure with a recursive
@@ -6521,6 +6539,31 @@ object SparkEntry {
         |FROM documents
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_sentence_spans" ->
+      """WITH syn AS (SELECT doc_id,
+        |  'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |    ELSE '' END AS text
+        | FROM documents),
+        |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
+        |       FROM syn WHERE text IS NOT NULL),
+        |s1 AS (SELECT doc_id, [x FOR x IN
+        |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
+        |  IF LEN(x) > 0] AS ss FROM s0),
+        |d AS (SELECT doc_id, ss, LEN(ss) AS n_sentences FROM s1 WHERE LEN(ss) >= 3),
+        |sp AS (SELECT doc_id, MD5(ARRAY_TO_STRING(ss[i:i+2], ' ')) AS h
+        |       FROM (SELECT doc_id, ss, UNNEST(RANGE(1, LEN(ss) - 1)) AS i FROM d)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+        |       FROM sp JOIN dup USING (h) GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n_sentences AS BIGINT) AS n_sentences,
+        | CAST(d.n_sentences - 2 AS BIGINT) AS n_spans,
+        | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        |FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id""".stripMargin,
     "dedup_substring" ->
       // span dedup contract: a k=12-token window is duplicated iff its
       // exact token sequence occurs >= 2 times corpus-wide (other doc

@@ -673,6 +673,50 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** Duplicate SENTENCE-span detection — C4's actual dedup unit
+    * (Raffel et al. 2020 §2.2: "we discarded any three-sentence span
+    * occurring more than once in the data set"): text splits into
+    * terminated sentences (runs ending in `.`/`!`/`?` — unterminated
+    * trailing text is not a sentence, the C4 convention), each
+    * whitespace-normalized; every window of `n` consecutive sentences
+    * hashes to md5 and spans duplicated CORPUS-WIDE are counted per
+    * document. The token-window twin is [[substringSpans]]; this
+    * granularity is what C4 itself ships.
+    *
+    * Scale shape: spans build INSIDE each row (transform over
+    * sequence — no shuffle), the dup test is ONE linear group-by-hash
+    * over 16-byte md5 keys (a million-document boilerplate span is one
+    * group row, never pairs), per-doc stats are a second keyed
+    * aggregation. Engine-portable end to end: the sentence regex,
+    * normalization, join separator, and md5 all replay in DuckDB.
+    * Documents with fewer than `n` sentences carry no span and are
+    * excluded (same contract as substringSpans' length floor).
+    * Output: (idCol, n_sentences, n_spans, n_dup_spans). */
+  def sentenceSpans(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"span width must be >= 1: $n")
+    val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
+    val sents = filter(
+      transform(raw, s => trim(regexp_replace(s, "[ \\t\\n\\r\\f\\x0B]+", " "))),
+      s => length(s) > 0)
+    val withS = barrier(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), sents.as("ss"))
+        .filter(size(col("ss")) >= n))
+    val spans = withS.select(col("id"), size(col("ss")).cast("long").as("n_sentences"),
+      explode(transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
+        i => md5(array_join(slice(col("ss"), i, lit(n)), " ")))).as("h"))
+    val dupHashes = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val nDup = spans.join(dupHashes, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
+    withS.select(col("id"), size(col("ss")).cast("long").as("n_sentences"),
+        (size(col("ss")) - lit(n - 1)).cast("long").as("n_spans"))
+      .join(nDup, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_sentences"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
   /** Winnowing fingerprint pairs (MOSS): per doc, hash every k-token
     * gram, slide a window of `w` consecutive gram hashes, keep the
     * MINIMUM hash of each window, dedup — that's the doc's fingerprint

@@ -72,6 +72,31 @@ class DedupSubstringSpec extends SparkTestBase {
     assert(got(1L)._2 === 3L && got(1L)._3 === 6L)
   }
 
+  test("sentenceSpans: C4 three-sentence spans, cross- and within-doc dups") {
+    import spark.implicits._
+    // docs 1 and 2 share sentences A. B! C. -> their (A,B,C) span is a
+    // corpus-wide dup; doc 1 has a 4th unique sentence so its (B,C,U)
+    // span is not; doc 3 repeats one sentence triple INSIDE itself
+    // (A. A. A. A.) -> both its spans are the same hash = both dup;
+    // doc 4 has only 2 sentences -> excluded
+    val docs = Seq(
+      (1L, "Aa aa. Bb bb! Cc cc. Uu uu?"),
+      (2L, "Aa  aa. Bb\tbb! Cc cc."), // whitespace-normalized equal
+      (3L, "Same s. Same s. Same s. Same s."),
+      (4L, "One. Two.")).toDF("doc_id", "text")
+    val got = Dedup.sentenceSpans(docs, n = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 2L, 1L),  // spans (A,B,C) dup + (B,C,U) unique
+      (2L, 3L, 1L, 1L),  // its only span IS (A,B,C)
+      (3L, 4L, 2L, 2L))) // both spans identical -> both duplicated
+    // unterminated trailing text is not a sentence
+    val tail = Seq((9L, "Aa. Bb. Cc. trailing without punct"))
+      .toDF("doc_id", "text")
+    val t = Dedup.sentenceSpans(tail, n = 3).collect().head
+    assert(t.getLong(1) === 3L && t.getLong(2) === 1L)
+  }
+
   test("matches brute-force reference on adversarial random corpora") {
     for (seed <- 1 to 4; k <- Seq(3, 5)) {
       val rnd = new scala.util.Random(seed * 31 + k)
