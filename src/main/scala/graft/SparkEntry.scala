@@ -1467,6 +1467,33 @@ object SparkEntry {
         when(even, concat(lit(" omega "), b, lit("."))).otherwise(lit("")))
       Dedup.sentenceSpans(d.select(col("doc_id"), text.as("text")), n = 3)
     },
+    "dedup_sentence_incremental" -> { (s, dir) =>
+      // Incremental maintenance of the sentence-span dedup: three
+      // doc_id tiles build PERSISTED span states independently (each
+      // through the parquet sink — historical tiles never re-split),
+      // the union folds them, and the result face recomputes the
+      // corpus-wide dup test over folded hashes — a new tile CAN flip
+      // an old document's span to duplicated, which is exactly what
+      // the one-shot oracle demands.
+      val d = Tables(s, dir, "documents")
+      val b = pmod(col("doc_id"), lit(50L)).cast("string")
+      val u = pmod(col("doc_id"), lit(250L)).cast("string")
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      val text = concat(
+        lit("alpha "), b, lit(". beta "), b, lit("! gamma "), b,
+        lit(". delta "), u, lit("?"),
+        when(even, concat(lit(" omega "), b, lit("."))).otherwise(lit("")))
+      val syn = d.select(col("doc_id"), text.as("text"))
+      val tiles = (0 until 3).map { t =>
+        val stateDir = scratchDir(s"graft_sspan_state_${t}_").toString
+        graft.etl.Sinks.parquetDir(
+          graft.ext.Dedup.sentenceSpanState(
+            syn.filter(pmod(col("doc_id"), lit(3L)) === t), n = 3),
+          stateDir)
+        s.read.parquet(stateDir)
+      }
+      graft.ext.Dedup.sentenceSpansFromState(tiles.reduce(_ unionByName _))
+    },
     "dedup_clusters" -> { (s, dir) =>
       // pairs -> transitive dedup clusters via distributed min-label
       // propagation; oracle recomputes the same closure with a recursive
@@ -6539,31 +6566,8 @@ object SparkEntry {
         |FROM documents
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_sentence_spans" ->
-      """WITH syn AS (SELECT doc_id,
-        |  'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
-        |    ELSE '' END AS text
-        | FROM documents),
-        |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
-        |       FROM syn WHERE text IS NOT NULL),
-        |s1 AS (SELECT doc_id, [x FOR x IN
-        |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
-        |  IF LEN(x) > 0] AS ss FROM s0),
-        |d AS (SELECT doc_id, ss, LEN(ss) AS n_sentences FROM s1 WHERE LEN(ss) >= 3),
-        |sp AS (SELECT doc_id, MD5(ARRAY_TO_STRING(ss[i:i+2], ' ')) AS h
-        |       FROM (SELECT doc_id, ss, UNNEST(RANGE(1, LEN(ss) - 1)) AS i FROM d)),
-        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
-        |nd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
-        |       FROM sp JOIN dup USING (h) GROUP BY 1)
-        |SELECT d.doc_id, CAST(d.n_sentences AS BIGINT) AS n_sentences,
-        | CAST(d.n_sentences - 2 AS BIGINT) AS n_spans,
-        | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
-        |FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id""".stripMargin,
+    "dedup_sentence_spans" -> sentenceSpansSql,
+    "dedup_sentence_incremental" -> sentenceSpansSql,
     "dedup_substring" ->
       // span dedup contract: a k=12-token window is duplicated iff its
       // exact token sequence occurs >= 2 times corpus-wide (other doc
@@ -8101,6 +8105,35 @@ object SparkEntry {
   /** Shared by text_quality_filters / stream_quality_gate: the
     * C4/Gopher rule battery replayed with identical length/replace
     * arithmetic and regex classes. */
+  /** Shared by dedup_sentence_spans / dedup_sentence_incremental:
+    * rebuilds the synthetic sentence-bearing text and replays the
+    * split + normalize + md5-window + corpus-wide dup-test chain. */
+  private def sentenceSpansSql: String =
+    """WITH syn AS (SELECT doc_id,
+        |  'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |    ELSE '' END AS text
+        | FROM documents),
+        |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
+        |       FROM syn WHERE text IS NOT NULL),
+        |s1 AS (SELECT doc_id, [x FOR x IN
+        |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
+        |  IF LEN(x) > 0] AS ss FROM s0),
+        |d AS (SELECT doc_id, ss, LEN(ss) AS n_sentences FROM s1 WHERE LEN(ss) >= 3),
+        |sp AS (SELECT doc_id, MD5(ARRAY_TO_STRING(ss[i:i+2], ' ')) AS h
+        |       FROM (SELECT doc_id, ss, UNNEST(RANGE(1, LEN(ss) - 1)) AS i FROM d)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+        |       FROM sp JOIN dup USING (h) GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n_sentences AS BIGINT) AS n_sentences,
+        | CAST(d.n_sentences - 2 AS BIGINT) AS n_spans,
+        | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        |FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id""".stripMargin
+
   /** Shared prefix of the Naive-Bayes classifier oracles: every
     * document with its qualityFilters keep label and its NTILE(3)
     * replay tile. */

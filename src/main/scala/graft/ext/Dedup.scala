@@ -693,25 +693,46 @@ object Dedup {
     * excluded (same contract as substringSpans' length floor).
     * Output: (idCol, n_sentences, n_spans, n_dup_spans). */
   def sentenceSpans(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // one-shot IS the state face applied to one slice — the incremental
+    // path (per-tile states unioned) is structurally the same plan
+    sentenceSpansFromState(sentenceSpanState(docs, n, idCol, textCol), idCol)
+
+  /** The PERSISTABLE sentence-span state: one (id, n_sentences, h) row
+    * per span position — append-only over disjoint document slices
+    * (each document's spans live wholly in its own slice), so per-tile
+    * states UNION into exactly the full-corpus state and
+    * [[sentenceSpansFromState]] reproduces the one-shot result without
+    * re-splitting any historical document. A new tile can flip an OLD
+    * document's span to duplicated (C4's dup test is corpus-wide), so
+    * the result face recomputes from the folded hash counts — span
+    * hashes are the state, never document text. */
+  def sentenceSpanState(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"span width must be >= 1: $n")
     val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
     val sents = filter(
       transform(raw, s => trim(regexp_replace(s, "[ \\t\\n\\r\\f\\x0B]+", " "))),
       s => length(s) > 0)
-    val withS = barrier(
+    barrier(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), sents.as("ss"))
         .filter(size(col("ss")) >= n))
-    val spans = withS.select(col("id"), size(col("ss")).cast("long").as("n_sentences"),
-      explode(transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
-        i => md5(array_join(slice(col("ss"), i, lit(n)), " ")))).as("h"))
-    val dupHashes = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+      .select(col("id"), size(col("ss")).cast("long").as("n_sentences"),
+        explode(transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
+          i => md5(array_join(slice(col("ss"), i, lit(n)), " ")))).as("h"))
+  }
+
+  /** [[sentenceSpans]]' result off a folded span state (the union of
+    * per-slice [[sentenceSpanState]] frames). */
+  def sentenceSpansFromState(state: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dupHashes = state.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("h")
-    val nDup = spans.join(dupHashes, "h")
+    val nDup = state.join(dupHashes, "h")
       .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
-    withS.select(col("id"), size(col("ss")).cast("long").as("n_sentences"),
-        (size(col("ss")) - lit(n - 1)).cast("long").as("n_spans"))
+    state.groupBy("id").agg(max(col("n_sentences")).as("n_sentences"),
+        count(lit(1)).as("n_spans"))
       .join(nDup, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_sentences"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
