@@ -1581,7 +1581,7 @@ object SparkEntry {
       // shingle Jaccard ground truth (recall loss at j>=0.8 < 5e-8).
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), lower(col("text")).as("text"))
-      val toks = split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")
+      val toks = split(trim(col("text")), graft.ext.TextAnalysis.WhitespaceClass)
       val translated = d.filter(pmod(col("doc_id"), lit(4L)) === 0L)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           lit("xx").as("lang"),
@@ -5498,7 +5498,7 @@ object SparkEntry {
         | CAST(CASE WHEN text IS NULL OR LEN(TRIM(text)) = 0 THEN 0
         |  ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS INT) AS n_ws_tokens,
         | CAST(CASE WHEN text IS NULL THEN 0
-        |  ELSE LEN(REGEXP_EXTRACT_ALL(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+')) END AS INT)
+        |  ELSE LEN(REGEXP_EXTRACT_ALL(text, ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\n\r\f\x0B]+')) END AS INT)
         |  AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "text_keyterms" ->

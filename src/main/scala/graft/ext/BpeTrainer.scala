@@ -236,7 +236,7 @@ object BpeTrainer {
 
     val base = if (lowercase) lower(col(textCol)) else col(textCol)
     val hist: Dataset[(Seq[String], Long)] = docs
-      .select(explode(split(trim(base), "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
+      .select(explode(split(trim(base), TextAnalysis.WhitespaceClass)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]

@@ -43,7 +43,7 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f\\x0B]+")
+    val toks = split(trim(col(textCol)), TextAnalysis.WhitespaceClass)
     val nTok = size(toks)
     val nChunks = when(nTok <= window, lit(1L))
       .otherwise(ceil((nTok - window).cast("double") / stride).cast("long") + 1L)

@@ -712,7 +712,7 @@ object Dedup {
     require(n >= 1, s"span width must be >= 1: $n")
     val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
     val sents = filter(
-      transform(raw, s => trim(regexp_replace(s, "[ \\t\\n\\r\\f\\x0B]+", " "))),
+      transform(raw, s => trim(regexp_replace(s, graft.ext.TextAnalysis.WhitespaceClass, " "))),
       s => length(s) > 0)
     barrier(
       docs.filter(col(textCol).isNotNull)

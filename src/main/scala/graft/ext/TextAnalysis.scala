@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** THE whitespace class, single-sourced: written out explicitly
+    * (never \s) because Java \s includes \x0B while RE2 (DuckDB)
+    * \s does not — every Scala tokenization site and JVM-side
+    * String.split references this constant, and each DuckDB oracle
+    * spells the identical class. */
+  val WhitespaceClass = "[ \\t\\n\\r\\f\\x0B]+"
+
   /** Whitespace tokens (split on any run of whitespace). */
   def tokens(text: Column): Column =
-    split(trim(text), "[ \\t\\n\\r\\f\\x0B]+")
+    split(trim(text), WhitespaceClass)
 
   /** Token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
@@ -25,7 +32,7 @@ object TextAnalysis {
     * the GPT-2 pretokenizer shape MINUS its lookahead clauses, so the
     * same pattern means the same thing in Java regex (Spark codegen)
     * and RE2 (DuckDB oracle). Whitespace itself is not a token. */
-  val BpeishPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"
+  val BpeishPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} \\t\\n\\r\\f\\x0B]+"
 
   /** BPE-ish token count — the standard "how many tokens will this cost
     * roughly" estimator when the real tokenizer can't run in-engine.
@@ -69,7 +76,7 @@ object TextAnalysis {
       "digit_ratio" -> ratioOf(regexp_replace(text, "[0-9]", "")),
       "upper_ratio" -> ratioOf(regexp_replace(text, "[A-Z]", "")),
       "mean_token_len" -> when(nTok === 0, lit(0.0))
-        .otherwise(length(regexp_replace(trim(text), "[ \\t\\n\\r\\f\\x0B]+", "")).cast("double") / nTok),
+        .otherwise(length(regexp_replace(trim(text), WhitespaceClass, "")).cast("double") / nTok),
       "stopword_ratio" -> when(nTok === 0, lit(0.0)).otherwise(stopCount.cast("double") / nTok),
     )
   }
@@ -112,7 +119,7 @@ object TextAnalysis {
     * Engine-portable (md5 is standard everywhere), used as the exact-dedup
     * grouping key so shuffles carry 16 bytes instead of document bodies. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\r\\f\\x0B]+", " "))
+    md5(regexp_replace(lower(trim(text)), WhitespaceClass, " "))
 
   /** Rolling polynomial hash of the token stream (base 1000003, mod
     * 1e9+7) — an order-sensitive document signature, cheap to band on.
@@ -128,16 +135,8 @@ object TextAnalysis {
     * strip non-alphanumerics (keeping spaces), collapse whitespace,
     * trim. One codegen'd scalar expression. */
   def cleaned(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f\\x0B]", " "), "[ \\t\\n\\r\\f\\x0B]+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r\\f\\x0B]", " "), WhitespaceClass, " "))
 
-  /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
-    * replaced with typed placeholders — the standard scrubbing pass
-    * before corpus release/training. Three chained regexp_replace calls
-    * (one codegen'd projection, no shuffle). Patterns stay inside the
-    * regex subset shared by Java and RE2 so the operator is
-    * oracle-checkable across engines. Order matters: emails first (their
-    * local parts contain digits), then IPs (dots, never matched by the
-    * phone pattern), then phones. */
   /** HTML → text extraction — the step every web-corpus pipeline runs
     * between the crawl and everything else here (C4 §2.2 / CommonCrawl
     * WET-style): script and style elements drop WHOLESALE (their
@@ -160,9 +159,17 @@ object TextAnalysis {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
     ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
-    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
+    trim(regexp_replace(decoded, WhitespaceClass, " "))
   }
 
+  /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
+    * replaced with typed placeholders — the standard scrubbing pass
+    * before corpus release/training. Three chained regexp_replace calls
+    * (one codegen'd projection, no shuffle). Patterns stay inside the
+    * regex subset shared by Java and RE2 so the operator is
+    * oracle-checkable across engines. Order matters: emails first (their
+    * local parts contain digits), then IPs (dots, never matched by the
+    * phone pattern), then phones. */
   def piiRedacted(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
@@ -355,7 +362,7 @@ object TextAnalysis {
     // explicit whitespace class, NOT \s: Java \s matches \x0B while
     // RE2 (DuckDB) \s does not — the shared class keeps the word-count
     // arithmetic bit-identical across both engines
-    val norm = trim(regexp_replace(t, "[ \\t\\n\\r\\f\\x0B]+", " "))
+    val norm = trim(regexp_replace(t, WhitespaceClass, " "))
     val nWords = when(length(norm) === 0, lit(0L))
       .otherwise((length(norm) - length(regexp_replace(norm, " ", "")) + 1)
         .cast("long"))

@@ -195,7 +195,7 @@ object UnigramTrainer {
     val seeds = if (seedSize > 0) seedSize else vocabSize * 8
     val base = if (lowercase) lower(col(textCol)) else col(textCol)
     val hist = docs
-      .select(explode(split(trim(base), "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
+      .select(explode(split(trim(base), TextAnalysis.WhitespaceClass)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]

@@ -57,7 +57,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    text.split("[ \\t\\n\\r\\f\\x0B]+").foreach(w => if (w.nonEmpty) encodeWord(w, out))
+    text.split(graft.ext.TextAnalysis.WhitespaceClass).foreach(w => if (w.nonEmpty) encodeWord(w, out))
     new GenericArrayData(out.toArray)
   }
 

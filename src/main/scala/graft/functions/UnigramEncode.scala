@@ -40,7 +40,7 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
     // piece to the FloorNano char fallback
     val text = if (lowercase) raw.toLowerCase else raw
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    text.split("[ \\t\\n\\r\\f\\x0B]+").foreach { w =>
+    text.split(graft.ext.TextAnalysis.WhitespaceClass).foreach { w =>
       if (w.nonEmpty)
         graft.ext.UnigramTrainer.viterbiSegment(w, scores, maxPieceLen)
           .foreach(p => out += UTF8String.fromString(p))
