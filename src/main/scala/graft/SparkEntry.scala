@@ -1450,22 +1450,12 @@ object SparkEntry {
       Dedup.winnowPairs(Tables(s, dir, "documents"), k = 4, w = 8, minShared = 2L)
     },
     "dedup_sentence_spans" -> { (s, dir) =>
-      // C4-style three-sentence-span dedup: the fixture text carries no
-      // punctuation, so sentence-bearing text is synthesized from
-      // doc_id arithmetic IDENTICALLY in both engines — ~10 docs per
-      // bucket share a sentence triple (corpus-wide duplicate spans),
-      // a per-pair 'delta' sentence duplicates across doc_id%250
-      // partners, and even docs append one extra sentence so span
-      // counts vary. Oracle replays synthesis + split + hash chain.
-      val d = Tables(s, dir, "documents")
-      val b = pmod(col("doc_id"), lit(50L)).cast("string")
-      val u = pmod(col("doc_id"), lit(250L)).cast("string")
-      val even = pmod(col("doc_id"), lit(2L)) === 0
-      val text = concat(
-        lit("alpha "), b, lit(". beta "), b, lit("! gamma "), b,
-        lit(". delta "), u, lit("?"),
-        when(even, concat(lit(" omega "), b, lit("."))).otherwise(lit("")))
-      Dedup.sentenceSpans(d.select(col("doc_id"), text.as("text")), n = 3)
+      // C4-style three-sentence-span dedup over the shared synthesized
+      // fixture (sentenceSpanFixture — dup triples per bucket, short
+      // docs for the n_spans=0 contract). Oracle replays synthesis +
+      // split + hash chain.
+      Dedup.sentenceSpans(
+        sentenceSpanFixture(Tables(s, dir, "documents")), n = 3)
     },
     "dedup_sentence_incremental" -> { (s, dir) =>
       // Incremental maintenance of the sentence-span dedup: three
@@ -1475,15 +1465,7 @@ object SparkEntry {
       // corpus-wide dup test over folded hashes — a new tile CAN flip
       // an old document's span to duplicated, which is exactly what
       // the one-shot oracle demands.
-      val d = Tables(s, dir, "documents")
-      val b = pmod(col("doc_id"), lit(50L)).cast("string")
-      val u = pmod(col("doc_id"), lit(250L)).cast("string")
-      val even = pmod(col("doc_id"), lit(2L)) === 0
-      val text = concat(
-        lit("alpha "), b, lit(". beta "), b, lit("! gamma "), b,
-        lit(". delta "), u, lit("?"),
-        when(even, concat(lit(" omega "), b, lit("."))).otherwise(lit("")))
-      val syn = d.select(col("doc_id"), text.as("text"))
+      val syn = sentenceSpanFixture(Tables(s, dir, "documents"))
       val tiles = (0 until 3).map { t =>
         val stateDir = scratchDir(s"graft_sspan_state_${t}_").toString
         graft.etl.Sinks.parquetDir(
@@ -1493,6 +1475,15 @@ object SparkEntry {
         s.read.parquet(stateDir)
       }
       graft.ext.Dedup.sentenceSpansFromState(tiles.reduce(_ unionByName _))
+    },
+    "dedup_span_remove" -> { (s, dir) =>
+      // C4's ACTUAL cleaning rule (Raffel 2020 §2.2): drop every
+      // sentence in a corpus-duplicated three-sentence span except the
+      // first occurrence's (min (doc_id, pos) — engine-portable), and
+      // re-emit the cleaned text in order. Oracle replays the split +
+      // hash + window-rank + anti-join + ordered string_agg chain.
+      Dedup.removeDuplicateSpans(
+        sentenceSpanFixture(Tables(s, dir, "documents")), n = 3)
     },
     "dedup_clusters" -> { (s, dir) =>
       // pairs -> transitive dedup clusters via distributed min-label
@@ -4513,6 +4504,28 @@ object SparkEntry {
   private def scratchDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
 
+  /** Shared sentence-bearing fixture for the sentence-span dedup
+    * family: the documents text carries no punctuation, so
+    * sentence-bearing text is synthesized from doc_id arithmetic
+    * IDENTICALLY in both engines — ~10 docs per doc_id%50 bucket share
+    * a sentence triple (corpus-wide duplicate spans), a per-pair
+    * 'delta' sentence duplicates across doc_id%250 partners, even docs
+    * append one extra sentence so span counts vary, and doc_id%7==3
+    * docs carry a SINGLE sentence (below the 3-span floor) to exercise
+    * the short-document n_spans=0 contract. */
+  private def sentenceSpanFixture(d: DataFrame): DataFrame = {
+    val b = pmod(col("doc_id"), lit(50L)).cast("string")
+    val u = pmod(col("doc_id"), lit(250L)).cast("string")
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val text = when(pmod(col("doc_id"), lit(7L)) === 3,
+        concat(lit("solo "), u, lit(".")))
+      .otherwise(concat(
+        lit("alpha "), b, lit(". beta "), b, lit("! gamma "), b,
+        lit(". delta "), u, lit("?"),
+        when(even, concat(lit(" omega "), b, lit("."))).otherwise(lit(""))))
+    d.select(col("doc_id"), text.as("text"))
+  }
+
   /** Registers `df` under a per-invocation temp-view name (`base` +
     * unique suffix) and passes the name to `body` — concurrent
     * invocations of the same SQL-TVF row on a shared session cannot
@@ -6568,6 +6581,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sentence_spans" -> sentenceSpansSql,
     "dedup_sentence_incremental" -> sentenceSpansSql,
+    "dedup_span_remove" -> spanRemoveSql,
     "dedup_substring" ->
       // span dedup contract: a k=12-token window is duplicated iff its
       // exact token sequence occurs >= 2 times corpus-wide (other doc
@@ -8105,34 +8119,73 @@ object SparkEntry {
   /** Shared by text_quality_filters / stream_quality_gate: the
     * C4/Gopher rule battery replayed with identical length/replace
     * arithmetic and regex classes. */
-  /** Shared by dedup_sentence_spans / dedup_sentence_incremental:
-    * rebuilds the synthetic sentence-bearing text and replays the
-    * split + normalize + md5-window + corpus-wide dup-test chain. */
-  private def sentenceSpansSql: String =
+  /** Shared CTE prefix of the sentence-span dedup oracles: rebuilds
+    * the synthetic sentence-bearing text (sentenceSpanFixture's doc_id
+    * arithmetic, incl. the doc_id%7==3 single-sentence short docs) and
+    * replays split + normalize + positioned md5 windows. `d` carries
+    * EVERY non-NULL-text doc (short docs included — the n_spans=0
+    * contract); `sp` carries (doc_id, pos, h) per 3-window. */
+  private def sentenceSpanCtes: String =
     """WITH syn AS (SELECT doc_id,
-        |  'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |  '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
-        |    ELSE '' END AS text
+        |  CASE WHEN doc_id % 7 = 3
+        |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
+        |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |      ELSE '' END
+        |  END AS text
         | FROM documents),
         |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
         |       FROM syn WHERE text IS NOT NULL),
         |s1 AS (SELECT doc_id, [x FOR x IN
         |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
         |  IF LEN(x) > 0] AS ss FROM s0),
-        |d AS (SELECT doc_id, ss, LEN(ss) AS n_sentences FROM s1 WHERE LEN(ss) >= 3),
-        |sp AS (SELECT doc_id, MD5(ARRAY_TO_STRING(ss[i:i+2], ' ')) AS h
-        |       FROM (SELECT doc_id, ss, UNNEST(RANGE(1, LEN(ss) - 1)) AS i FROM d)),
+        |d AS (SELECT doc_id, ss, LEN(ss) AS n_sentences FROM s1),
+        |sp AS (SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(ss[i:i+2], ' ')) AS h
+        |       FROM (SELECT doc_id, ss, UNNEST(RANGE(1, LEN(ss) - 1)) AS i
+        |             FROM d WHERE LEN(ss) >= 3))""".stripMargin
+
+  /** Shared by dedup_sentence_spans / dedup_sentence_incremental /
+    * dedup_sentence_sql: the corpus-wide dup test over the span CTEs;
+    * short docs surface with n_spans = 0. */
+  private def sentenceSpansSql: String =
+    sentenceSpanCtes + """,
         |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
         |nd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
         |       FROM sp JOIN dup USING (h) GROUP BY 1)
         |SELECT d.doc_id, CAST(d.n_sentences AS BIGINT) AS n_sentences,
-        | CAST(d.n_sentences - 2 AS BIGINT) AS n_spans,
+        | CAST(GREATEST(d.n_sentences - 2, 0) AS BIGINT) AS n_spans,
         | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
         |FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id""".stripMargin
+
+  /** dedup_span_remove oracle: rank each duplicated span's occurrences
+    * by (doc_id, pos) — rn 1 is the kept FIRST occurrence — expand the
+    * non-first occurrences to covered sentence positions, anti-join
+    * the per-doc sentence explode against them, and reassemble with an
+    * ordered string_agg. */
+  private def spanRemoveSql: String =
+    sentenceSpanCtes + """,
+        |rk AS (SELECT doc_id, pos,
+        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |        COUNT(*) OVER (PARTITION BY h) AS occ
+        |       FROM sp),
+        |dp AS (SELECT DISTINCT doc_id, pos + off AS p
+        |       FROM (SELECT doc_id, pos FROM rk WHERE occ >= 2 AND rn > 1),
+        |            (SELECT UNNEST(RANGE(0, 3)) AS off)),
+        |sent AS (SELECT doc_id, i AS p, ss[i] AS s
+        |         FROM (SELECT doc_id, ss, UNNEST(RANGE(1, LEN(ss) + 1)) AS i FROM d)),
+        |kept AS (SELECT doc_id, STRING_AGG(s, ' ' ORDER BY p) AS cleaned_text
+        |         FROM (SELECT * FROM sent ANTI JOIN dp USING (doc_id, p))
+        |         GROUP BY 1),
+        |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM dp GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(kept.cleaned_text, '') AS cleaned_text,
+        | CAST(d.n_sentences AS BIGINT) AS n_sentences,
+        | CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |LEFT JOIN nrem ON d.doc_id = nrem.doc_id""".stripMargin
 
   /** Shared prefix of the Naive-Bayes classifier oracles: every
     * document with its qualityFilters keep label and its NTILE(3)
@@ -8467,8 +8520,6 @@ object SparkEntry {
       |FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
       | AND f.fact_day >= d.vfrom AND (d.vto IS NULL OR f.fact_day < d.vto)""".stripMargin
 
-  /** Exact cosine top-10 for the query slice — the oracle for BOTH the
-    * brute-force scan and the exhaustive-probe IVF path. */
   /** graph_kcore oracle: the peel is a deterministic fixpoint, so it
     * UNROLLS — each round deletes every edge with an endpoint of degree
     * < 2, and once the fixpoint is reached further rounds are the
@@ -8505,6 +8556,8 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin
   }
 
+  /** Exact cosine top-10 for the query slice — the oracle for BOTH the
+    * brute-force scan and the exhaustive-probe ANN paths. */
   private def bruteForceTopKSql: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
@@ -8517,14 +8570,12 @@ object SparkEntry {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
       | FROM scored) WHERE rank <= 10""".stripMargin
 
-  /** Transitive closure (recursive CTE) over the exact ngram-Jaccard
-    * pair set: cluster id = min reachable doc id — the oracle twin of
-    * Dedup.components' min-label propagation. The pair set is the SAME
-    * string as the dedup_ngram_jaccard oracle (nested as a subquery), so
-    * the two oracles can never desynchronize. */
-  /** Recursive-CTE transitive closure over the exact ngram-Jaccard pair
-    * set — the shared prefix of the dedup_clusters and
-    * split_leakage_safe oracles. */
+  /** Recursive-CTE transitive closure over the exact ngram-Jaccard
+    * pair set (cluster id = min reachable doc id — the oracle twin of
+    * Dedup.components' min-label propagation), the shared prefix of
+    * the dedup_clusters and split_leakage_safe oracles. The pair set
+    * is the SAME string as the dedup_ngram_jaccard oracle (nested as
+    * a subquery), so the oracles can never desynchronize. */
   private def dedupClustersCtes: String =
     s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($ngramJaccardSql) q),
        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs

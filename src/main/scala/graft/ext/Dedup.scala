@@ -689,8 +689,11 @@ object Dedup {
     * group row, never pairs), per-doc stats are a second keyed
     * aggregation. Engine-portable end to end: the sentence regex,
     * normalization, join separator, and md5 all replay in DuckDB.
-    * Documents with fewer than `n` sentences carry no span and are
-    * excluded (same contract as substringSpans' length floor).
+    * Documents with fewer than `n` sentences (including zero) carry no
+    * span but STILL surface with `n_spans = 0, n_dup_spans = 0` and
+    * their actual sentence count — a per-doc quality signal must not
+    * vanish for exactly the short documents a filter pipeline still
+    * routes. Only NULL-text docs are excluded.
     * Output: (idCol, n_sentences, n_spans, n_dup_spans). */
   def sentenceSpans(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -706,7 +709,10 @@ object Dedup {
     * re-splitting any historical document. A new tile can flip an OLD
     * document's span to duplicated (C4's dup test is corpus-wide), so
     * the result face recomputes from the folded hash counts — span
-    * hashes are the state, never document text. */
+    * hashes are the state, never document text. A document with fewer
+    * than `n` sentences carries ONE row with `h = NULL` (a presence
+    * marker: the result face counts only non-NULL hashes, and NULL
+    * never equi-joins), so short docs survive the state round-trip. */
   def sentenceSpanState(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"span width must be >= 1: $n")
@@ -714,28 +720,101 @@ object Dedup {
     val sents = filter(
       transform(raw, s => trim(regexp_replace(s, graft.ext.TextAnalysis.WhitespaceClass, " "))),
       s => length(s) > 0)
+    val spanHashes = when(size(col("ss")) >= n,
+        transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
+          i => md5(array_join(slice(col("ss"), i, lit(n)), " "))))
+      .otherwise(array(lit(null).cast("string")))
     barrier(
       docs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), sents.as("ss"))
-        .filter(size(col("ss")) >= n))
+        .select(col(idCol).as("id"), sents.as("ss")))
       .select(col("id"), size(col("ss")).cast("long").as("n_sentences"),
-        explode(transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
-          i => md5(array_join(slice(col("ss"), i, lit(n)), " ")))).as("h"))
+        explode(spanHashes).as("h"))
   }
 
   /** [[sentenceSpans]]' result off a folded span state (the union of
-    * per-slice [[sentenceSpanState]] frames). */
+    * per-slice [[sentenceSpanState]] frames). `count(h)` skips the
+    * NULL presence markers short documents carry, so they report
+    * `n_spans = 0` rather than disappearing. */
   def sentenceSpansFromState(state: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val dupHashes = state.groupBy("h").agg(count(lit(1)).as("occ"))
+    val dupHashes = state.filter(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("h")
     val nDup = state.join(dupHashes, "h")
       .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
     state.groupBy("id").agg(max(col("n_sentences")).as("n_sentences"),
-        count(lit(1)).as("n_spans"))
+        count(col("h")).as("n_spans"))
       .join(nDup, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_sentences"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  /** C4 duplicate-span REMOVAL — the actual cleaning operator behind
+    * [[sentenceSpans]]' report (Raffel et al. 2020 §2.2: "we discarded
+    * any three-sentence span occurring more than once in the data
+    * set", keeping one copy): every sentence participating in a
+    * corpus-duplicated `n`-sentence span is DROPPED, except that the
+    * FIRST occurrence of each duplicated span — min (id, pos) over the
+    * hash group, an engine-portable total order — keeps its sentences.
+    * (A first-occurrence sentence can still fall if it also sits
+    * inside a non-first occurrence of some other duplicated span:
+    * removal is the union of sentence positions covered by non-first
+    * occurrences.) Surviving sentences re-emit in original order,
+    * single-space joined — the whitespace-normalized form the span
+    * hash itself is built on.
+    *
+    * Scale shape — same linear skeleton as [[sentenceSpanState]], plus
+    * one broadcast-sized join back: the dup test is a group-by over
+    * 16-byte md5 keys with map-side combine (argmin of (id, pos) rides
+    * the same aggregate); removed POSITIONS explode only for actually-
+    * duplicated spans (bounded by n × duplicated-positions, not corpus
+    * size); the final reassembly is a per-doc array filter against a
+    * collected drop-set — no global sort, no pairs, no second pass
+    * over text. Short docs (< n sentences) and fully-boilerplate docs
+    * both survive with their (possibly empty) cleaned text.
+    *
+    * Output: (idCol, cleaned_text, n_sentences, n_removed) — one row
+    * per non-NULL-text input document. */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"span width must be >= 1: $n")
+    val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
+    val sents = filter(
+      transform(raw, s => trim(regexp_replace(s, graft.ext.TextAnalysis.WhitespaceClass, " "))),
+      s => length(s) > 0)
+    val base = barrier(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), sents.as("ss")))
+    // (id, pos, h) per n-sentence window — pos is the 1-based index of
+    // the window's first sentence
+    val spans = base.filter(size(col("ss")) >= n)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
+          i => struct(i.as("pos"),
+            md5(array_join(slice(col("ss"), i, lit(n)), " ")).as("h")))).as("sp"))
+      .select(col("id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+    // duplicated hashes with their first occurrence: ONE aggregate
+    // carries both the count and the argmin (id, pos)
+    val winners = spans.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+      .select(col("h"), col("first.id").as("w_id"), col("first.pos").as("w_pos"))
+    // sentence positions covered by NON-first occurrences of dup spans
+    val dropPos = spans.join(winners, "h")
+      .filter(!(col("id") === col("w_id") && col("pos") === col("w_pos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(collect_set(col("p")).as("drop_pos"))
+    val dp = coalesce(col("drop_pos"), array().cast("array<int>"))
+    base.join(dropPos, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        concat_ws(" ",
+          filter(col("ss"), (s, i) => !array_contains(dp, i + lit(1))))
+          .as("cleaned_text"),
+        size(col("ss")).cast("long").as("n_sentences"),
+        size(dp).cast("long").as("n_removed"))
   }
 
   /** Winnowing fingerprint pairs (MOSS): per doc, hash every k-token

@@ -55,7 +55,10 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    // Locale.ROOT matches Spark's locale-independent lower() used at
+    // training time (default-locale toLowerCase diverges under tr_TR)
+    val text = input.asInstanceOf[UTF8String].toString.trim
+      .toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     text.split(graft.ext.TextAnalysis.WhitespaceClass).foreach(w => if (w.nonEmpty) encodeWord(w, out))
     new GenericArrayData(out.toArray)

@@ -37,8 +37,10 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
     val raw = input.asInstanceOf[UTF8String].toString.trim
     // case handling must MATCH the trainer's flag: lowercasing a
     // case-sensitive vocabulary would silently drop every capitalized
-    // piece to the FloorNano char fallback
-    val text = if (lowercase) raw.toLowerCase else raw
+    // piece to the FloorNano char fallback. Locale.ROOT matches
+    // Spark's locale-independent lower() — the default-locale form
+    // maps 'I' to dotless 'ı' under tr_TR and diverges from training.
+    val text = if (lowercase) raw.toLowerCase(java.util.Locale.ROOT) else raw
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     text.split(graft.ext.TextAnalysis.WhitespaceClass).foreach { w =>
       if (w.nonEmpty)

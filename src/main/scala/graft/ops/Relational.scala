@@ -205,11 +205,10 @@ object Relational {
         variableColumnName = "metric",
         valueColumnName = "value")
 
-  /** Approximate distinct counts (HLL++): deterministic for fixed input
-    * values (register-max merges are order-independent), sketch-level
-    * accuracy pinned by unit test, no cross-engine oracle. */
-  /** Approx distinct via HLL++ at rsd = 0.01, published as the BAND
-    * contract (the etl_incr_distinct pattern): the row carries the
+  /** Approx distinct via HLL++ at rsd = 0.01 (deterministic for fixed
+    * input values — register-max merges are order-independent),
+    * published as the BAND contract (the etl_incr_distinct pattern):
+    * the row carries the
     * exact distinct plus a within-±5%-of-exact flag — >3σ at this
     * precision, and the sketch is a deterministic function of the
     * data, so the oracle (exact counts + TRUE) hash-matches stably

@@ -54,17 +54,23 @@ private[streaming] object StateCommit {
     v
   }
 
-  /** Atomically flip `dir/name` to `v` (create temp + overwrite-rename). */
+  /** Atomically flip `dir/name` to `v` (create temp + overwrite-rename).
+    * Both the temp write and the rename go through the SAME
+    * FileContext: a FileSystem-side create would route file: paths
+    * through the checksummed LocalFileSystem and leave one orphaned
+    * `.crc` sidecar per committed batch after the raw-FS rename. */
   def flipVersion(dir: String, v: Long, name: String = "_VERSION"): Unit = {
     val raw = new Path(dir)
     val fs = fsOf(raw)
     fs.mkdirs(raw)
     val dirPath = fs.makeQualified(raw)
     val tmp = new Path(dirPath, s"$name.tmp$v")
-    val out = fs.create(tmp, true)
+    val fc = FileContext.getFileContext(dirPath.toUri, conf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(dirPath.toUri, conf)
-      .rename(tmp, new Path(dirPath, name), Options.Rename.OVERWRITE)
+    fc.rename(tmp, new Path(dirPath, name), Options.Rename.OVERWRITE)
   }
 
   /** Child DIRECTORY names under `dir` (empty when `dir` is absent). */

@@ -78,23 +78,57 @@ class DedupSubstringSpec extends SparkTestBase {
     // corpus-wide dup; doc 1 has a 4th unique sentence so its (B,C,U)
     // span is not; doc 3 repeats one sentence triple INSIDE itself
     // (A. A. A. A.) -> both its spans are the same hash = both dup;
-    // doc 4 has only 2 sentences -> excluded
+    // doc 4 has only 2 sentences and doc 5 none -> both still surface
+    // with n_spans = 0 (the short-document contract)
     val docs = Seq(
       (1L, "Aa aa. Bb bb! Cc cc. Uu uu?"),
       (2L, "Aa  aa. Bb\tbb! Cc cc."), // whitespace-normalized equal
       (3L, "Same s. Same s. Same s. Same s."),
-      (4L, "One. Two.")).toDF("doc_id", "text")
+      (4L, "One. Two."),
+      (5L, "no terminal punctuation")).toDF("doc_id", "text")
     val got = Dedup.sentenceSpans(docs, n = 3).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(
       (1L, 4L, 2L, 1L),  // spans (A,B,C) dup + (B,C,U) unique
       (2L, 3L, 1L, 1L),  // its only span IS (A,B,C)
-      (3L, 4L, 2L, 2L))) // both spans identical -> both duplicated
+      (3L, 4L, 2L, 2L),  // both spans identical -> both duplicated
+      (4L, 2L, 0L, 0L),  // short doc: present, zero spans
+      (5L, 0L, 0L, 0L))) // sentence-free doc: present, zero everything
     // unterminated trailing text is not a sentence
     val tail = Seq((9L, "Aa. Bb. Cc. trailing without punct"))
       .toDF("doc_id", "text")
     val t = Dedup.sentenceSpans(tail, n = 3).collect().head
     assert(t.getLong(1) === 3L && t.getLong(2) === 1L)
+  }
+
+  test("removeDuplicateSpans: first occurrence keeps, later ones lose their sentences") {
+    import spark.implicits._
+    // docs 1 and 2 share the (A,B,C) triple: doc 1 holds the first
+    // occurrence (min (id, pos)) so it keeps everything; doc 2's copy
+    // is a non-first occurrence so ALL THREE of its sentences go
+    val docs = Seq(
+      (1L, "Aa aa. Bb bb! Cc cc. Uu uu?"),
+      (2L, "Aa  aa. Bb\tbb! Cc cc."),
+      (3L, "One. Two."),
+      (4L, "no terminal punctuation")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, n = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "Aa aa. Bb bb! Cc cc. Uu uu?", 4L, 0L),
+      (2L, "", 3L, 3L),        // fully-boilerplate doc -> empty, row kept
+      (3L, "One. Two.", 2L, 0L), // short doc passes through untouched
+      (4L, "", 0L, 0L)))         // sentence-free doc: empty both ways
+  }
+
+  test("removeDuplicateSpans: within-doc repeat keeps one copy of the span") {
+    import spark.implicits._
+    // spans at pos 1 and pos 2 hash identically; pos 1 is the first
+    // occurrence, so the removal set is pos 2's sentences {2,3,4}
+    val docs = Seq((7L, "Same s. Same s. Same s. Same s."))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, n = 3).collect().head
+    assert(got.getString(1) === "Same s." && got.getLong(2) === 4L &&
+      got.getLong(3) === 3L)
   }
 
   test("matches brute-force reference on adversarial random corpora") {

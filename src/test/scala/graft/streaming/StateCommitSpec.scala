@@ -22,13 +22,18 @@ class StateCommitSpec extends SparkTestBase {
     // overwrite-rename replaces the live marker in place
     StateCommit.flipVersion(dir, 7L)
     assert(StateCommit.readVersion(dir) === 7L)
-    // the flip left no tmp litter behind (rename consumed it); the
-    // local checksummed FS adds its own ._VERSION.crc sidecar
+    // the flip left no UNBOUNDED litter behind: the tmp write goes
+    // through the same FileContext as the rename, so the checksummed
+    // local AbstractFileSystem (LocalFs = ChecksumFs over RawLocalFs)
+    // renames the crc sidecar ALONGSIDE the marker — after any number
+    // of flips the dir holds exactly _VERSION plus its one live
+    // ._VERSION.crc, never a per-batch ._VERSION.tmpN.crc pile-up
+    // (which a FileSystem-side create + FileContext rename produced)
     val names = StateCommit.listDirNames(dir)
     assert(names.isEmpty) // only files live here, no dirs
     val local = new java.io.File(new java.net.URI(dir))
-    val visible = local.listFiles().map(_.getName).filterNot(_.endsWith(".crc"))
-    assert(visible.toSet === Set("_VERSION"))
+    assert(local.listFiles().map(_.getName).toSet ===
+      Set("_VERSION", "._VERSION.crc"))
     assert(StateCommit.requireVersion(dir, "spec state") === 7L)
   }
 
