@@ -1353,15 +1353,20 @@ object SparkEntry {
     "text_strip_html" -> { (s, dir) =>
       // HTML -> text extraction (the C4/WET step): the fixture is plain
       // text, so each document is wrapped in synthesized crawl-style
-      // HTML — head/style, comments, entities, a script with operators
-      // that MUST NOT leak — identically in both engines, then
-      // stripped; the oracle replays the same chain, so the check
-      // covers real stripping behavior, not a no-op.
+      // HTML — head/style, comments, named AND numeric character
+      // references (incl. the single-decode traps &amp;#60; / &#38;lt;
+      // and the passthrough family: out-of-range, surrogate, zero,
+      // overlong, unterminated), a script with operators that MUST NOT
+      // leak — identically in both engines, then stripped; the oracle
+      // replays the same chain, so the check covers real stripping
+      // behavior, not a no-op.
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val html = concat(
         lit("<html><head><title>T"), pmod(col("doc_id"), lit(7L)).cast("string"),
         lit("</title><style type=\"text/css\">p { margin: 0; }</style></head>"),
-        lit("<body><!-- crawl-id --><h1>&quot;Doc&quot; &amp;amp; &lt;more&gt;</h1><p>"),
+        lit("<body><!-- crawl-id --><h1>&quot;Doc&quot; &amp;amp; &lt;more&gt;</h1>"),
+        lit("<p>It&#8217;s &#x27;q&#39; caf&#xE9; A&#x1F600;B &#38;lt; &amp;#60;"),
+        lit(" bad:&#0;&#55296;&#xD800;&#x110000;&#12345678;&#x;&#; tail&#38</p><p>"),
         substring(col("text"), 1, 200),
         lit("</p><script>if (a < b && c > d) { run(); }</script><br/></body></html>"))
       d.select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
@@ -5724,7 +5729,9 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>T' || CAST(doc_id % 7 AS VARCHAR) ||
         |  '</title><style type="text/css">p { margin: 0; }</style></head>' ||
-        |  '<body><!-- crawl-id --><h1>&quot;Doc&quot; &amp;amp; &lt;more&gt;</h1><p>' ||
+        |  '<body><!-- crawl-id --><h1>&quot;Doc&quot; &amp;amp; &lt;more&gt;</h1>' ||
+        |  '<p>It&#8217;s &#x27;q&#39; caf&#xE9; A&#x1F600;B &#38;lt; &amp;#60;' ||
+        |  ' bad:&#0;&#55296;&#xD800;&#x110000;&#12345678;&#x;&#; tail&#38</p><p>' ||
         |  SUBSTR(text, 1, 200) ||
         |  '</p><script>if (a < b && c > d) { run(); }</script><br/></body></html>'
         |    AS html
@@ -5735,10 +5742,26 @@ object SparkEntry {
         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
         |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id,
-        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |s5 AS (SELECT doc_id, array_to_string(list_transform(str_split(t, '&'),
+        |  (p, i) -> CASE
+        |   WHEN i = 1 THEN p
+        |   WHEN p LIKE 'amp;%' THEN '&' || substr(p, 5)
+        |   WHEN p LIKE 'lt;%' THEN '<' || substr(p, 4)
+        |   WHEN p LIKE 'gt;%' THEN '>' || substr(p, 4)
+        |   WHEN p LIKE 'quot;%' THEN '"' || substr(p, 6)
+        |   WHEN p LIKE 'apos;%' THEN CHR(39) || substr(p, 6)
+        |   WHEN p LIKE 'nbsp;%' THEN ' ' || substr(p, 6)
+        |   WHEN regexp_matches(p, '^#[0-9]{1,7};')
+        |     AND CAST(regexp_extract(p, '^#([0-9]{1,7});', 1) AS BIGINT) BETWEEN 1 AND 1114111
+        |     AND NOT CAST(regexp_extract(p, '^#([0-9]{1,7});', 1) AS BIGINT) BETWEEN 55296 AND 57343
+        |    THEN chr(CAST(regexp_extract(p, '^#([0-9]{1,7});', 1) AS INTEGER))
+        |      || regexp_replace(p, '^#[0-9]{1,7};', '')
+        |   WHEN regexp_matches(p, '^#[xX][0-9a-fA-F]{1,6};')
+        |     AND CAST('0x' || regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT) BETWEEN 1 AND 1114111
+        |     AND NOT CAST('0x' || regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT) BETWEEN 55296 AND 57343
+        |    THEN chr(CAST('0x' || regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,6});', 1) AS INTEGER))
+        |      || regexp_replace(p, '^#[xX][0-9a-fA-F]{1,6};', '')
+        |   ELSE '&' || p END), '') AS t FROM s4),
         |c AS (SELECT doc_id,
         |  TRIM(regexp_replace(t, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean FROM s5)
         |SELECT doc_id, clean, CAST(LENGTH(clean) AS BIGINT) AS n_clean_chars

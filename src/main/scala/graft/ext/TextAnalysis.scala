@@ -141,24 +141,26 @@ object TextAnalysis {
     * between the crawl and everything else here (C4 §2.2 / CommonCrawl
     * WET-style): script and style elements drop WHOLESALE (their
     * content is never prose), comments drop, remaining tags become
-    * separators, the five ubiquitous entities decode (`&amp;` LAST so
-    * `&amp;lt;` yields the literal `&lt;` — single-decode, the
-    * standard behavior), and whitespace collapses.
+    * separators, character references decode — named
+    * `&amp;/&lt;/&gt;/&quot;/&apos;/&nbsp;` plus ALL terminated
+    * numeric forms (`&#8217;`, `&#x27;`, …) via
+    * [[graft.functions.HtmlEntities]]' single-scan single-decode
+    * (`&amp;#39;` and `&#38;lt;` both yield their literal text, which
+    * no per-entity replace chain can do) — and whitespace collapses.
     *
-    * One chain of codegen'd regexp_replace calls — zero shuffle, runs
-    * at scan speed — inside the regex subset shared by Java and RE2:
-    * inline `(?is)` flags and non-greedy `.*?` are portable, while
-    * backreferences are NOT (RE2 has none), hence separate script and
-    * style rules instead of `<(script|style)>.*?</\1>`. */
+    * The tag rules are codegen'd regexp_replace calls inside the regex
+    * subset shared by Java and RE2: inline `(?is)` flags and
+    * non-greedy `.*?` are portable, while backreferences are NOT (RE2
+    * has none), hence separate script and style rules instead of
+    * `<(script|style)>.*?</\1>`. The entity scan is one native
+    * expression pass; the oracle replays it as split-on-`&` + a
+    * per-piece lambda. Zero shuffle end to end. */
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val decoded = graft.functions.htmlentities.html_entity_decode(noTags)
     trim(regexp_replace(decoded, WhitespaceClass, " "))
   }
 
@@ -169,7 +171,18 @@ object TextAnalysis {
     * regex subset shared by Java and RE2 so the operator is
     * oracle-checkable across engines. Order matters: emails first (their
     * local parts contain digits), then IPs (dots, never matched by the
-    * phone pattern), then phones. */
+    * phone pattern), then phones.
+    *
+    * The phone pattern is deliberately RECALL-BIASED: any 9+-character
+    * run of digits with internal dashes/spaces redacts, which sweeps
+    * up ISBNs ("978-0-306-40615-7"), dashed order ids, and
+    * space-grouped numbers ("20 000 000") along with every phone
+    * format. That is the right trade for a pre-release scrub — a
+    * missed phone number is a privacy leak, a redacted ISBN is a lost
+    * token — and it is the PINNED contract (spec case + oracle), not
+    * an accident. A precision-first variant would need boundary
+    * context (labels, country-code tables) outside the Java∩RE2
+    * oracle-replayable subset. */
   def piiRedacted(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")

@@ -100,6 +100,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(4) === "plain text stays as is")
   }
 
+  test("piiRedacted: phone pattern is recall-biased BY CONTRACT — ISBN/order-id shapes redact too") {
+    import spark.implicits._
+    // pinned trade: a missed phone is a privacy leak, a redacted ISBN
+    // is a lost token — long dashed/spaced digit runs all redact
+    val got = Seq(
+      "ISBN 978-0-306-40615-7 in print",   // 13 digits, dashed
+      "order 2024-000187-55 shipped",      // dashed order id
+      "population 20 000 000 people",      // space-grouped number
+      "short id 12-34 stays",              // under the 9-char floor
+      "year 20240101 stays"                // 8 plain digits: no dash/space run
+    ).toDF("text").select(piiRedacted(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "ISBN <PHONE> in print")
+    assert(got(1) === "order <PHONE> shipped")
+    assert(got(2) === "population <PHONE> people")
+    assert(got(3) === "short id 12-34 stays")
+    assert(got(4) === "year 20240101 stays")
+  }
+
   test("repetitionSignals: duplicate token/bigram/trigram fractions") {
     import spark.implicits._
     val df = Seq("spam spam spam spam", "all words here differ now", "")
@@ -144,7 +162,18 @@ class TextAnalysisSpec extends SparkTestBase {
       // multiline block with attributes
       (5L, "<script type=\"text/javascript\">\nvar a = 1;\n</script>after", "after"),
       // whitespace collapse + trim
-      (6L, "  <br/>  spaced   out  ", "spaced out"))
+      (6L, "  <br/>  spaced   out  ", "spaced out"),
+      // numeric references: decimal, hex, Latin-1, supplementary plane
+      (7L, "It&#8217;s caf&#xE9; A&#x1F600;B", "It’s café A😀B"),
+      // single-decode traps in BOTH directions: &#38;lt; encodes the
+      // literal "&lt;", &amp;#60; encodes the literal "&#60;"
+      (8L, "&#38;lt; &amp;#60; &#38;amp;", "&lt; &#60; &amp;"),
+      // passthrough family: zero, surrogate (dec + hex), out-of-range,
+      // overlong digit run, empty, unterminated
+      (9L, "&#0; &#55296; &#xD800; &#x110000; &#12345678; &#x; &#; &#38",
+        "&#0; &#55296; &#xD800; &#x110000; &#12345678; &#x; &#; &#38"),
+      // apos joins the named set
+      (10L, "&apos;a&apos; &gt;&lt;", "'a' ><"))
     val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
       .select(col("id"), TextAnalysis.stripHtml(col("html")).as("c"))
       .orderBy("id").collect().map(_.getString(1))
