@@ -563,6 +563,18 @@ object GraftExtensions {
         spark.table(strLit(args(0), "events_view")),
         strLit(args(1), "conv_type"))
       out.queryExecution.logical
+    }),
+    //   graft_sentence_spans(docs_view, id_col, text_col, n)
+    // C4 sentence-span dedup report — same linear group-by-hash plan
+    // as Dedup.sentenceSpans (short docs surface with n_spans = 0).
+    ("graft_sentence_spans", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Dedup.sentenceSpans(
+        spark.table(strLit(args(0), "docs_view")),
+        n = intLit(args(3), "n"),
+        idCol = strLit(args(1), "id_col"),
+        textCol = strLit(args(2), "text_col"))
+      out.queryExecution.logical
     }))
 
   private def dblLit(e: Expression, what: String): Double = e match {

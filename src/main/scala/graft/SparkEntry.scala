@@ -1481,6 +1481,15 @@ object SparkEntry {
       }
       graft.ext.Dedup.sentenceSpansFromState(tiles.reduce(_ unionByName _))
     },
+    "dedup_sentence_sql" -> { (s, dir) =>
+      // The same C4 span report through its SQL TVF face — identical
+      // plan and oracle as dedup_sentence_spans.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_sspan_v",
+          sentenceSpanFixture(Tables(s, dir, "documents"))) { v =>
+        s.sql(s"SELECT * FROM graft_sentence_spans('$v', 'doc_id', 'text', 3)")
+      }
+    },
     "dedup_span_remove" -> { (s, dir) =>
       // C4's ACTUAL cleaning rule (Raffel 2020 §2.2): drop every
       // sentence in a corpus-duplicated three-sentence span except the
@@ -2793,6 +2802,27 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
         m = 8, codebookSize = 16, refine = 50)
     },
+    "sim_topk_pq_exact" -> { (s, dir) =>
+      // refine window = ENTIRE corpus (refine = Int.MaxValue, so the
+      // ADC ranking prunes nothing): the encode/ADC/exact-refine
+      // machinery must reproduce brute-force top-k bit-for-bit — the
+      // approximation in sim_topk_pq is ONLY the bounded refine
+      // window, and this query pins everything else (the
+      // sim_topk_lsh_exact trick applied to PQ)
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        m = 8, codebookSize = 16, refine = Int.MaxValue)
+    },
+    "sim_topk_ivfpq_exact" -> { (s, dir) =>
+      // BOTH approximation levers disabled at once: nProbe = nCells
+      // (exhaustive coarse probing) AND refine = corpus — the composed
+      // IVF∘PQ assignment/probe/encode/ADC/refine plan must equal
+      // brute force exactly
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        nCells = 8, nProbe = 8, m = 8, codebookSize = 16,
+        refine = Int.MaxValue)
+    },
     "sim_topk_ivfpq" -> { (s, dir) => // trained quantizers: rows-only check
       // IVF∘PQ composed (IVFADC shape): the coarse quantizer restricts
       // each query to its nProbe cells AND candidates scan as 8-int PQ
@@ -2978,6 +3008,27 @@ object SparkEntry {
         val ckpt = scratchDir("graft_dedup_ckpt_").toString
         graft.streaming.StreamingOps.dedupGate(stream, stateDir, outDir, ckpt,
           threshold = 0.8)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
+    "stream_span_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // C4 sentence-span dedup ON ARRIVAL: 3 doc_id-tiled
+        // microbatches of the synthesized sentence fixture; each
+        // arriving tile's documents report their span stats against
+        // everything seen so far (prior tiles + the tile itself) and
+        // fold their span hashes into the versioned index. A doc's
+        // verdict freezes at arrival, so the oracle replays the
+        // NTILE(3) cumulative dup test per tile.
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = sentenceSpanFixture(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(replayDir))
+        val stateDir = scratchDir("graft_sspan_gate_state_").toString
+        val outDir = scratchDir("graft_sspan_gate_out_").toString
+        val ckpt = scratchDir("graft_sspan_gate_ckpt_").toString
+        graft.streaming.StreamingOps.sentenceSpanGate(
+          stream, stateDir, outDir, ckpt, n = 3)
         s.read.parquet(s"$outDir/b*")
       }
     },
@@ -6604,7 +6655,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sentence_spans" -> sentenceSpansSql,
     "dedup_sentence_incremental" -> sentenceSpansSql,
+    "dedup_sentence_sql" -> sentenceSpansSql,
     "dedup_span_remove" -> spanRemoveSql,
+    // as-of-arrival verdicts: dup test cumulative over replay tiles
+    "stream_span_gate" -> spanGateSql,
     "dedup_substring" ->
       // span dedup contract: a k=12-token window is duplicated iff its
       // exact token sequence occurs >= 2 times corpus-wide (other doc
@@ -6787,9 +6841,12 @@ object SparkEntry {
         | SELECT query_id, neighbor_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
         | FROM scored) WHERE rank <= 5""".stripMargin,
-    // exhaustive-probe IVF must equal exact brute-force top-k
+    // exhaustive-probe / full-refine ANN paths must equal exact
+    // brute-force top-k
     "sim_topk_ivf_exact" -> bruteForceTopKSql,
     "sim_topk_lsh_exact" -> bruteForceTopKSql,
+    "sim_topk_pq_exact" -> bruteForceTopKSql,
+    "sim_topk_ivfpq_exact" -> bruteForceTopKSql,
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -8179,6 +8236,27 @@ object SparkEntry {
         |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
         |nd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
         |       FROM sp JOIN dup USING (h) GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n_sentences AS BIGINT) AS n_sentences,
+        | CAST(GREATEST(d.n_sentences - 2, 0) AS BIGINT) AS n_spans,
+        | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        |FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id""".stripMargin
+
+  /** stream_span_gate oracle: each document's span verdict AS OF its
+    * arrival tile — n_dup_spans counts spans whose hash occurs >= 2 in
+    * tiles <= the doc's own NTILE(3) replay tile (docReplay's tiling),
+    * via a cumulative per-(h, tile) window sum. */
+  private def spanGateSql: String =
+    sentenceSpanCtes + """,
+        |tl AS (SELECT doc_id, NTILE(3) OVER (ORDER BY doc_id) AS tile
+        |       FROM documents),
+        |spt AS (SELECT sp.doc_id, sp.h, tl.tile
+        |        FROM sp JOIN tl ON sp.doc_id = tl.doc_id),
+        |oc AS (SELECT h, tile, COUNT(*) AS c FROM spt GROUP BY 1, 2),
+        |cum AS (SELECT h, tile,
+        |         SUM(c) OVER (PARTITION BY h ORDER BY tile) AS cc FROM oc),
+        |nd AS (SELECT a.doc_id, COUNT(*) AS n_dup_spans
+        |       FROM spt a JOIN cum ON cum.h = a.h AND cum.tile = a.tile
+        |       WHERE cum.cc >= 2 GROUP BY 1)
         |SELECT d.doc_id, CAST(d.n_sentences AS BIGINT) AS n_sentences,
         | CAST(GREATEST(d.n_sentences - 2, 0) AS BIGINT) AS n_spans,
         | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans

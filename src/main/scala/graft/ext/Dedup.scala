@@ -749,6 +749,36 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
+  /** As-of-arrival sentence-span report: ONE slice's span state
+    * ([[sentenceSpanState]] of an arriving batch) checked against the
+    * full folded state seen so far — prior slices PLUS the batch
+    * itself, so within-batch repeats count. Per new document:
+    * n_dup_spans = its spans whose hash occurs >= 2 anywhere in
+    * `fullState`. This is the ingest-gate face of [[sentenceSpans]]:
+    * a document's verdict is frozen at its arrival (later arrivals
+    * can flip an OLD doc's span to duplicated, but the gate already
+    * routed that doc — the batch-recompute face
+    * [[sentenceSpansFromState]] is the one that revises history).
+    *
+    * Scale shape: the probe hash set is BATCH-sized and distinct, so
+    * the full-state scan filters through a broadcast semi-join before
+    * the occ aggregate — per-batch cost is O(state scan) with
+    * batch-bounded shuffle, never corpus × corpus. */
+  def sentenceSpansAgainstState(newState: DataFrame, fullState: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val probe = newState.filter(col("h").isNotNull).select("h").distinct()
+    val dupHashes = fullState.join(broadcast(probe), "h")
+      .groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val nDup = newState.join(dupHashes, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_spans"))
+    newState.groupBy("id").agg(max(col("n_sentences")).as("n_sentences"),
+        count(col("h")).as("n_spans"))
+      .join(nDup, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_sentences"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
   /** C4 duplicate-span REMOVAL — the actual cleaning operator behind
     * [[sentenceSpans]]' report (Raffel et al. 2020 §2.2: "we discarded
     * any three-sentence span occurring more than once in the data

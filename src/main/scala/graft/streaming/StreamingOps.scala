@@ -1491,6 +1491,52 @@ object StreamingOps {
     StateCommit.flipVersion(stateDir, batchId)
   }
 
+  /** Streaming C4 sentence-span gate — the [[dedupGate]] design
+    * applied to span hashes: every microbatch of documents splits to
+    * its [[graft.ext.Dedup.sentenceSpanState]] rows, appends them as
+    * an immutable `v{batchId}` index delta, and reports EACH ARRIVING
+    * document's span stats as of everything seen so far (prior deltas
+    * plus the batch itself — within-batch repeats count) via
+    * [[graft.ext.Dedup.sentenceSpansAgainstState]]. A document's
+    * verdict is frozen at arrival — the on-ingest filtering contract —
+    * while the folded state stays exactly the one-shot
+    * [[graft.ext.Dedup.sentenceSpansFromState]] input for batch
+    * revisions. State is (id, n_sentences, 16-byte md5) per span,
+    * never document text; the index shares the dedup gate's
+    * marker/compaction protocol ([[compactDedupIndex]] unions parquet
+    * deltas schema-agnostically). */
+  def sentenceSpanGate(stream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, n: Int = 3): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySentenceSpanBatch(batch, batchId, stateDir, outDir, n)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent split-then-report step of [[sentenceSpanGate]]
+    * (public for direct testing and batch backfills sharing the
+    * index). Writes ONLY the batch's own delta — O(batch) bytes. */
+  def applySentenceSpanBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, n: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val indexPaths = dedupIndexPaths(stateDir)
+    graft.ext.Dedup.sentenceSpanState(batch, n)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val newState = spark.read.parquet(s"$stateDir/v$batchId")
+    val full = if (indexPaths.nonEmpty)
+      newState.unionByName(spark.read.parquet(indexPaths: _*))
+    else newState
+    graft.ext.Dedup.sentenceSpansAgainstState(newState, full)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
   /** Streaming golden-record maintenance — incremental MDM: each
     * microbatch's keyed `Dedup.survivorshipState` folds into the
     * persisted snapshot ([[graft.ext.Dedup.mergeSurvivorshipState]]),

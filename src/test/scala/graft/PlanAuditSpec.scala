@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_hard_negatives", // broadcast query block vs corpus scan
     "sim_mmr_rerank",     // candidate stage = bruteForce's broadcast query block
     "sim_topk_pq",        // code scan x broadcast query block (+ k-bounded refine)
+    "sim_topk_pq_exact",  // same candidate stage, refine window = corpus
     "sim_topk_ivfpq",     // query block x broadcast cells-sized centroid frame
+    "sim_topk_ivfpq_exact", // same stages, nProbe = nCells + full refine
     "text_rrf_hybrid",    // dense ranker = bruteForceTopK's broadcast query block
     "feat_target_encode", // one-row exact global-sums frame
     "text_bm25",          // one-row corpus-stats frame x postings

@@ -486,6 +486,41 @@ class StreamingOpsSpec extends SparkTestBase {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet === p1)
   }
 
+  test("applySentenceSpanBatch: verdict frozen at arrival; within-batch repeats count; replay idempotent") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_sspst_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sspout_").toString
+    def rows(dir: String) = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch 0: docs 1 and 2 share the (A,B,C) triple (within-batch dup);
+    // doc 3 is short (1 sentence) — must surface with zero spans
+    val b0 = Seq(
+      (1L, "Aa. Bb. Cc. Uu."),
+      (2L, "Aa. Bb. Cc."),
+      (3L, "Solo.")).toDF("doc_id", "text")
+    StreamingOps.applySentenceSpanBatch(b0, 0L, stateDir, outDir)
+    assert(rows(s"$outDir/b0") === Set(
+      (1L, 4L, 2L, 1L), (2L, 3L, 1L, 1L), (3L, 1L, 0L, 0L)))
+    // batch 1: doc 10 repeats doc 1's UNIQUE span (B,C,U) — doc 10's
+    // copy flags against the stored state, doc 1's frozen b0 verdict
+    // does NOT revise (the gate contract)
+    val b1 = Seq((10L, "Bb. Cc. Uu.")).toDF("doc_id", "text")
+    StreamingOps.applySentenceSpanBatch(b1, 1L, stateDir, outDir)
+    assert(rows(s"$outDir/b1") === Set((10L, 3L, 1L, 1L)))
+    assert(rows(s"$outDir/b0") === Set(
+      (1L, 4L, 2L, 1L), (2L, 3L, 1L, 1L), (3L, 1L, 0L, 0L)))
+    // crash replay of batch 1: marker unchanged, output identical
+    StreamingOps.applySentenceSpanBatch(b1, 1L, stateDir, outDir)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L))
+    assert(rows(s"$outDir/b1") === Set((10L, 3L, 1L, 1L)))
+    // the folded state still serves the REVISING batch face: doc 1's
+    // (B,C,U) span is duplicated corpus-wide after batch 1
+    val folded = graft.ext.Dedup.sentenceSpansFromState(
+      spark.read.parquet(s"$stateDir/v0", s"$stateDir/v1"))
+    val d1 = folded.filter($"doc_id" === 1L).collect().head
+    assert(d1.getLong(3) === 2L)
+  }
+
   test("dedup index is append-only: per-batch write ∝ batch, compaction bounds dirs") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ddap_").toString
