@@ -1449,6 +1449,14 @@ object SparkEntry {
       // and covered-token mass; linear (group-by-hash), never pairwise
       Dedup.substringSpans(Tables(s, dir, "documents"), k = 12)
     },
+    "dedup_substr_remove" -> { (s, dir) =>
+      // ExactSubstr REMOVAL (Lee et al. 2107.06499): drop every token
+      // in a corpus-duplicated 12-token window except the first
+      // occurrence's (min (doc_id, pos)), re-emit cleaned text — the
+      // fixture carries real duplicated windows (945+ dup grams at
+      // sf0.01), so the oracle checks actual rewriting, not a no-op.
+      Dedup.removeDuplicateSubstrings(Tables(s, dir, "documents"), k = 12)
+    },
     "dedup_winnow" -> { (s, dir) =>
       // MOSS winnowing: window-min gram fingerprints (density 2/(w+1)),
       // pairs sharing >= 2 — partial-overlap detection
@@ -6657,6 +6665,7 @@ object SparkEntry {
     "dedup_sentence_incremental" -> sentenceSpansSql,
     "dedup_sentence_sql" -> sentenceSpansSql,
     "dedup_span_remove" -> spanRemoveSql,
+    "dedup_substr_remove" -> substrRemoveSql,
     // as-of-arrival verdicts: dup test cumulative over replay tiles
     "stream_span_gate" -> spanGateSql,
     "dedup_substring" ->
@@ -8261,6 +8270,37 @@ object SparkEntry {
         | CAST(GREATEST(d.n_sentences - 2, 0) AS BIGINT) AS n_spans,
         | CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
         |FROM d LEFT JOIN nd ON d.doc_id = nd.doc_id""".stripMargin
+
+  /** dedup_substr_remove oracle: the dedup_substring window machinery
+    * (gram TEXT stands in for the 64-bit shingle hash — same groups)
+    * plus window-rank keep-first, position expansion, anti-join, and
+    * ordered string_agg reassembly. */
+  private def substrRemoveSql: String =
+    """WITH t AS (SELECT doc_id,
+        |  [x FOR x IN REGEXP_SPLIT_TO_ARRAY(TRIM(text), '[ \t\n\r\f\x0B]+')
+        |   IF LEN(x) > 0] AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i, ARRAY_TO_STRING(w[i:i+11], ' ') AS sg
+        |      FROM (SELECT doc_id, w, UNNEST(RANGE(1, LEN(w) - 10)) AS i
+        |            FROM t WHERE LEN(w) >= 12)),
+        |rk AS (SELECT doc_id, i,
+        |        ROW_NUMBER() OVER (PARTITION BY sg ORDER BY doc_id, i) AS rn,
+        |        COUNT(*) OVER (PARTITION BY sg) AS occ
+        |       FROM g),
+        |dp AS (SELECT DISTINCT doc_id, i + off AS p
+        |       FROM (SELECT doc_id, i FROM rk WHERE occ >= 2 AND rn > 1),
+        |            (SELECT UNNEST(RANGE(0, 12)) AS off)),
+        |tok AS (SELECT doc_id, j AS p, w[j] AS tk
+        |        FROM (SELECT doc_id, w, UNNEST(RANGE(1, LEN(w) + 1)) AS j FROM t)),
+        |kept AS (SELECT doc_id, STRING_AGG(tk, ' ' ORDER BY p) AS cleaned_text
+        |         FROM (SELECT * FROM tok ANTI JOIN dp USING (doc_id, p))
+        |         GROUP BY 1),
+        |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM dp GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(kept.cleaned_text, '') AS cleaned_text,
+        | CAST(LEN(t.w) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |LEFT JOIN nrem ON t.doc_id = nrem.doc_id""".stripMargin
 
   /** dedup_span_remove oracle: rank each duplicated span's occurrences
     * by (doc_id, pos) — rn 1 is the kept FIRST occurrence — expand the

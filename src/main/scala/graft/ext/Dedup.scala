@@ -673,6 +673,67 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
+  /** ExactSubstr duplicate-substring REMOVAL — the cleaning operator
+    * behind [[substringSpans]]' report (Lee et al. 2107.06499 §4.1
+    * remove duplicated substrings, keeping one copy): every token
+    * inside a corpus-duplicated k-token window is DROPPED, except that
+    * the FIRST occurrence of each duplicated window — min (id, pos)
+    * over the hash group, an engine-portable total order — keeps its
+    * tokens. (A first-occurrence token can still fall when it also
+    * sits inside a non-first occurrence of some other duplicated
+    * window: removal is the union of token positions covered by
+    * non-first occurrences.) Survivors re-emit in original order,
+    * single-space joined. The sentence-granularity twin is
+    * [[removeDuplicateSpans]]; this is the token-level rule the paper
+    * itself ships.
+    *
+    * Scale shape — [[substringSpans]]' linear skeleton plus one join
+    * back: positional shingle hashes build in-row (native expression,
+    * no shuffle); the dup test + argmin (id, pos) ride ONE group-by
+    * over 8-byte hashes with map-side combine; removed POSITIONS
+    * explode only for actually-duplicated windows (k × duplicated
+    * positions, not corpus size); reassembly is a per-doc array filter
+    * against a collected drop-set. Docs shorter than k tokens pass
+    * through whole (whitespace-normalized by the token join).
+    *
+    * Output: (idCol, cleaned_text, n_tokens, n_removed) — one row per
+    * non-NULL-text input document. */
+  def removeDuplicateSubstrings(docs: DataFrame, k: Int = 12,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.texthash.shingle_hashes_all
+    require(k >= 1, s"window width must be >= 1: $k")
+    // literal tokens split by the SAME whitespace rule the positional
+    // shingle hasher applies (explicit class, empties skipped), so
+    // token index i aligns with shingle start i
+    val toks = filter(
+      split(trim(col(textCol)), graft.ext.TextAnalysis.WhitespaceClass),
+      t => length(t) > 0)
+    val base = barrier(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), toks.as("toks"),
+          shingle_hashes_all(col(textCol), k).as("shs")))
+    val pos = base.select(col("id"), posexplode(col("shs")).as(Seq("i", "h")))
+    val winners = pos.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("i"))).as("first"))
+      .filter(col("occ") >= 2)
+      .select(col("h"), col("first.id").as("w_id"), col("first.i").as("w_i"))
+    val dropPos = pos.join(winners, "h")
+      .filter(!(col("id") === col("w_id") && col("i") === col("w_i")))
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(collect_set(col("p")).as("drop_pos"))
+    val dp = coalesce(col("drop_pos"), array().cast("array<int>"))
+    base.join(dropPos, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        concat_ws(" ",
+          filter(col("toks"), (t, idx) => !array_contains(dp, idx)))
+          .as("cleaned_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(dp).cast("long").as("n_removed"))
+  }
+
   /** Duplicate SENTENCE-span detection — C4's actual dedup unit
     * (Raffel et al. 2020 §2.2: "we discarded any three-sentence span
     * occurring more than once in the data set"): text splits into

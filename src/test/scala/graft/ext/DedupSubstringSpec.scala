@@ -131,6 +131,39 @@ class DedupSubstringSpec extends SparkTestBase {
       got.getLong(3) === 3L)
   }
 
+  test("removeDuplicateSubstrings: first window keeps, later ones lose their tokens") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, t),                       // first occurrence of the window
+      (2L, s"pre $t post"),          // later copy: 4 tokens drop
+      (3L, "one two three"),         // sub-k doc passes through whole
+      (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSubstrings(docs, k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "alpha beta gamma delta", 4L, 0L),
+      (2L, "pre post", 6L, 4L),
+      (3L, "one two three", 3L, 0L),
+      (4L, "", 0L, 0L)))
+  }
+
+  test("removeDuplicateSubstrings: within-doc periodic tape keeps one period") {
+    import spark.implicits._
+    // period-4 tape: all 9 windows share hashes pairwise across the
+    // period; the first occurrence of each distinct window is at
+    // positions 0..3, so removal covers positions 4..11 plus the
+    // overlap-union of positions the later windows touch
+    val docs = Seq((5L, "x y z w x y z w x y z w")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSubstrings(docs, k = 4).collect().head
+    // windows at 0 and 4 and 8 are identical: winners at 0..3 keep
+    // tokens 0..6 only where no later window covers them; later
+    // windows 4..8 cover positions 4..11
+    assert(got.getString(1) === "x y z w" && got.getLong(2) === 12L &&
+      got.getLong(3) === 8L)
+  }
+
   test("matches brute-force reference on adversarial random corpora") {
     for (seed <- 1 to 4; k <- Seq(3, 5)) {
       val rnd = new scala.util.Random(seed * 31 + k)
