@@ -575,6 +575,18 @@ object GraftExtensions {
         idCol = strLit(args(1), "id_col"),
         textCol = strLit(args(2), "text_col"))
       out.queryExecution.logical
+    }),
+    //   graft_span_remove(docs_view, id_col, text_col, n)
+    // C4 duplicate-span REMOVAL — same keep-first rewrite plan as
+    // Dedup.removeDuplicateSpans.
+    ("graft_span_remove", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Dedup.removeDuplicateSpans(
+        spark.table(strLit(args(0), "docs_view")),
+        n = intLit(args(3), "n"),
+        idCol = strLit(args(1), "id_col"),
+        textCol = strLit(args(2), "text_col"))
+      out.queryExecution.logical
     }))
 
   private def dblLit(e: Expression, what: String): Double = e match {

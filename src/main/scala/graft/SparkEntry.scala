@@ -1498,6 +1498,15 @@ object SparkEntry {
         s.sql(s"SELECT * FROM graft_sentence_spans('$v', 'doc_id', 'text', 3)")
       }
     },
+    "dedup_span_remove_sql" -> { (s, dir) =>
+      // The C4 removal rewrite through its SQL TVF face — identical
+      // plan and oracle as dedup_span_remove.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_sprm_v",
+          sentenceSpanFixture(Tables(s, dir, "documents"))) { v =>
+        s.sql(s"SELECT * FROM graft_span_remove('$v', 'doc_id', 'text', 3)")
+      }
+    },
     "dedup_span_remove" -> { (s, dir) =>
       // C4's ACTUAL cleaning rule (Raffel 2020 §2.2): drop every
       // sentence in a corpus-duplicated three-sentence span except the
@@ -6665,6 +6674,7 @@ object SparkEntry {
     "dedup_sentence_incremental" -> sentenceSpansSql,
     "dedup_sentence_sql" -> sentenceSpansSql,
     "dedup_span_remove" -> spanRemoveSql,
+    "dedup_span_remove_sql" -> spanRemoveSql,
     "dedup_substr_remove" -> substrRemoveSql,
     // as-of-arrival verdicts: dup test cumulative over replay tiles
     "stream_span_gate" -> spanGateSql,
