@@ -3049,6 +3049,24 @@ object SparkEntry {
         s.read.parquet(s"$outDir/b*")
       }
     },
+    "stream_span_remove_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // C4 span REMOVAL on arrival: doc_id-tiled replay means
+        // first-seen == global min (doc_id, pos), so the drained
+        // cleaned corpus equals the one-shot removeDuplicateSpans
+        // rewrite row-for-row — the batch operator's oracle verbatim.
+        val (replayDir, schema) = docReplay(s, dir, parts = 3)
+        val stream = sentenceSpanFixture(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(replayDir))
+        val stateDir = scratchDir("graft_sprm_gate_state_").toString
+        val outDir = scratchDir("graft_sprm_gate_out_").toString
+        val ckpt = scratchDir("graft_sprm_gate_ckpt_").toString
+        graft.streaming.StreamingOps.spanRemoveGate(
+          stream, stateDir, outDir, ckpt, n = 3)
+        s.read.parquet(s"$outDir/b*")
+      }
+    },
     "stream_decontam_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Continuous decontamination ON ARRIVAL: the fixed eval set's
@@ -6675,6 +6693,9 @@ object SparkEntry {
     "dedup_sentence_sql" -> sentenceSpansSql,
     "dedup_span_remove" -> spanRemoveSql,
     "dedup_span_remove_sql" -> spanRemoveSql,
+    // ascending-id tiling makes first-seen == global min (id, pos),
+    // so the drained removal gate shares the one-shot rewrite oracle
+    "stream_span_remove_gate" -> spanRemoveSql,
     "dedup_substr_remove" -> substrRemoveSql,
     // as-of-arrival verdicts: dup test cumulative over replay tiles
     "stream_span_gate" -> spanGateSql,

@@ -869,29 +869,58 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"span width must be >= 1: $n")
+    val base = sentenceBase(docs, idCol, textCol)
+    val spans = posSpans(base, n)
+    removalFromSpans(base, spans, spanWinners(spans), n, idCol)
+  }
+
+  /** (id, ss) — the barriered per-doc sentence arrays shared by the
+    * span-removal family. */
+  private def sentenceBase(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
     val sents = filter(
       transform(raw, s => trim(regexp_replace(s, graft.ext.TextAnalysis.WhitespaceClass, " "))),
       s => length(s) > 0)
-    val base = barrier(
+    barrier(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), sents.as("ss")))
-    // (id, pos, h) per n-sentence window — pos is the 1-based index of
-    // the window's first sentence
-    val spans = base.filter(size(col("ss")) >= n)
+  }
+
+  /** (id, pos, h) per n-sentence window — pos is the 1-based index of
+    * the window's first sentence. */
+  private def posSpans(base: DataFrame, n: Int): DataFrame =
+    base.filter(size(col("ss")) >= n)
       .select(col("id"),
         explode(transform(sequence(lit(1), size(col("ss")) - lit(n - 1)),
           i => struct(i.as("pos"),
             md5(array_join(slice(col("ss"), i, lit(n)), " ")).as("h")))).as("sp"))
       .select(col("id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
-    // duplicated hashes with their first occurrence: ONE aggregate
-    // carries both the count and the argmin (id, pos)
-    val winners = spans.groupBy("h")
+
+  /** The POSITIONAL span state the removal gate persists: one
+    * (id, pos, h) row per n-sentence window — [[sentenceSpanState]]'s
+    * shape plus the start position the keep-first rule needs.
+    * Append-only over disjoint document slices, like every span
+    * state. */
+  def spanPosState(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"span width must be >= 1: $n")
+    posSpans(sentenceBase(docs, idCol, textCol), n)
+  }
+
+  /** Duplicated hashes with their first occurrence — ONE aggregate
+    * carries both the count and the argmin (id, pos). */
+  private def spanWinners(spans: DataFrame): DataFrame =
+    spans.groupBy("h")
       .agg(count(lit(1)).as("occ"),
         min(struct(col("id"), col("pos"))).as("first"))
       .filter(col("occ") >= 2)
       .select(col("h"), col("first.id").as("w_id"), col("first.pos").as("w_pos"))
-    // sentence positions covered by NON-first occurrences of dup spans
+
+  /** Drop every sentence position covered by a NON-first occurrence of
+    * a duplicated span, reassemble survivors in order. */
+  private def removalFromSpans(base: DataFrame, spans: DataFrame,
+      winners: DataFrame, n: Int, idCol: String): DataFrame = {
     val dropPos = spans.join(winners, "h")
       .filter(!(col("id") === col("w_id") && col("pos") === col("w_pos")))
       .select(col("id"),
@@ -906,6 +935,29 @@ object Dedup {
           .as("cleaned_text"),
         size(col("ss")).cast("long").as("n_sentences"),
         size(dp).cast("long").as("n_removed"))
+  }
+
+  /** Clean-on-arrival face of [[removeDuplicateSpans]]: rewrite ONE
+    * arriving batch against the full folded positional state
+    * (`fullPos` = prior slices' [[spanPosState]] rows PLUS the
+    * batch's own). A batch sentence drops when its span's (id, pos)
+    * is not the minimum over everything seen so far — and when
+    * arrival order respects ascending (id, pos) (doc-id-tiled
+    * ingest), first-seen IS the global minimum, so the drained union
+    * over a finite replay equals the one-shot [[removeDuplicateSpans]]
+    * output row-for-row. The winner aggregate runs over the folded
+    * state RESTRICTED to the batch's hash probe (batch-sized,
+    * broadcast), so per-batch cost is one filtered state scan, never
+    * corpus × corpus. */
+  def removeSpansAgainstState(batch: DataFrame, fullPos: DataFrame,
+      n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"span width must be >= 1: $n")
+    val base = sentenceBase(batch, idCol, textCol)
+    val batchPos = posSpans(base, n)
+    val probe = batchPos.select("h").distinct()
+    val winners = spanWinners(fullPos.join(broadcast(probe), "h"))
+    removalFromSpans(base, batchPos, winners, n, idCol)
   }
 
   /** Winnowing fingerprint pairs (MOSS): per doc, hash every k-token

@@ -1537,6 +1537,48 @@ object StreamingOps {
     StateCommit.flipVersion(stateDir, batchId)
   }
 
+  /** Streaming C4 span REMOVAL gate — [[sentenceSpanGate]]'s sibling
+    * that rewrites instead of reporting: each microbatch appends its
+    * POSITIONAL span state ([[graft.ext.Dedup.spanPosState]] —
+    * (id, pos, h), the keep-first rule needs positions) as an
+    * immutable delta and emits its own documents' CLEANED text via
+    * [[graft.ext.Dedup.removeSpansAgainstState]]. When ingest order
+    * respects ascending doc ids (doc-id-tiled replay), first-seen is
+    * the global (id, pos) minimum, so the drained union equals the
+    * one-shot [[graft.ext.Dedup.removeDuplicateSpans]] rewrite
+    * row-for-row — the gate shares its oracle verbatim. */
+  def spanRemoveGate(stream: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, n: Int = 3): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySpanRemoveBatch(batch, batchId, stateDir, outDir, n)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent clean-on-arrival step of [[spanRemoveGate]]
+    * (public for direct testing and batch backfills sharing the
+    * index). Writes ONLY the batch's own delta — O(batch) bytes. */
+  def applySpanRemoveBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, n: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val indexPaths = dedupIndexPaths(stateDir)
+    graft.ext.Dedup.spanPosState(batch, n)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val newPos = spark.read.parquet(s"$stateDir/v$batchId")
+    val full = if (indexPaths.nonEmpty)
+      newPos.unionByName(spark.read.parquet(indexPaths: _*))
+    else newPos
+    graft.ext.Dedup.removeSpansAgainstState(batch, full, n)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
   /** Streaming golden-record maintenance — incremental MDM: each
     * microbatch's keyed `Dedup.survivorshipState` folds into the
     * persisted snapshot ([[graft.ext.Dedup.mergeSurvivorshipState]]),

@@ -521,6 +521,34 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(d1.getLong(3) === 2L)
   }
 
+  test("applySpanRemoveBatch: drained union == one-shot removeDuplicateSpans under id-ordered tiles") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_sprmst_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sprmout_").toString
+    def rows(dir: String) = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // ascending-id tiles: batch 0 = docs 1-2, batch 1 = docs 10-11
+    val b0 = Seq(
+      (1L, "Aa. Bb. Cc. Uu."),    // first occurrence of (A,B,C)
+      (2L, "Aa. Bb. Cc.")).toDF("doc_id", "text") // within-batch copy: drops
+    val b1 = Seq(
+      (10L, "Aa. Bb. Cc. Zz."),   // cross-batch copy of (A,B,C): drops
+      (11L, "Fresh. New. Words. Here.")).toDF("doc_id", "text")
+    StreamingOps.applySpanRemoveBatch(b0, 0L, stateDir, outDir)
+    StreamingOps.applySpanRemoveBatch(b1, 1L, stateDir, outDir)
+    val drained = rows(s"$outDir/b0") ++ rows(s"$outDir/b1")
+    val oneShot = graft.ext.Dedup.removeDuplicateSpans(
+      b0.unionByName(b1), n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(drained === oneShot)
+    assert(drained.contains((2L, "", 3L, 3L)))       // within-batch copy gone
+    assert(drained.contains((10L, "Zz.", 4L, 3L)))   // cross-batch copy gone
+    // crash replay of batch 1: marker unchanged, output identical
+    StreamingOps.applySpanRemoveBatch(b1, 1L, stateDir, outDir)
+    assert(StreamingOps.listSnapshotVersions(stateDir) === Seq(0L, 1L))
+    assert(rows(s"$outDir/b1") ++ rows(s"$outDir/b0") === oneShot)
+  }
+
   test("dedup index is append-only: per-batch write ∝ batch, compaction bounds dirs") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ddap_").toString
