@@ -587,6 +587,19 @@ object GraftExtensions {
         idCol = strLit(args(1), "id_col"),
         textCol = strLit(args(2), "text_col"))
       out.queryExecution.logical
+    }),
+    //   graft_dict_tag(docs_view, id_col, text_col, phrases_csv)
+    // Dictionary tagging / C4 badwords scan — same single-pass
+    // Aho-Corasick projection as Curation.dictionaryTags (phrases are
+    // comma-separated; multi-word phrases keep their internal spaces).
+    ("graft_dict_tag", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Curation.dictionaryTags(
+        spark.table(strLit(args(0), "docs_view")),
+        strLit(args(3), "phrases_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        idCol = strLit(args(1), "id_col"),
+        textCol = strLit(args(2), "text_col"))
+      out.queryExecution.logical
     }))
 
   private def dblLit(e: Expression, what: String): Double = e match {

@@ -1372,6 +1372,53 @@ object SparkEntry {
       d.select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
         .withColumn("n_clean_chars", length(col("clean")).cast("long"))
     },
+    "text_dict_tag" -> { (s, dir) =>
+      // Dictionary tagging (the C4 §2.2 badwords machinery as a TAGGING
+      // face): the fixture text carries no blockable terms, so
+      // punctuation/case-bearing splices are appended in doc_id-derived
+      // positions IDENTICALLY in both engines. The dictionary exercises
+      // every contract edge: fixture-vocabulary words ("spark", "dup"),
+      // a phrase that overlaps itself in doc text ("batch batch" inside
+      // "batch batch batch"), case-folded punctuation-flanked splices
+      // ("gambling" from " ...Gambling!"), two phrases overlapping in
+      // ONE splice ("online casino" + "casino bonus" inside
+      // " Online, CASINO bonus?"), a substring-of-a-token trap ("ord"
+      // inside "order" — must NOT fire), and an absent phrase. One
+      // Aho-Corasick pass per doc; the oracle replays the normalization
+      // and tests space-flanked containment per phrase.
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      Curation.dictionaryTags(
+        d.select(col("doc_id"), dictTagSalted.as("text")), dictTagFixture)
+    },
+    "text_dict_sql" -> { (s, dir) =>
+      // The dictionary scan through its SQL TVF face — same plan as
+      // Curation.dictionaryTags (plan parity in GraftExtensionsSpec);
+      // shares text_dict_tag's fixture and oracle.
+      graft.GraftExtensions.register(s)
+      val v = freshViewName("graft_dict_v")
+      Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), dictTagSalted.as("text"))
+        .createOrReplaceTempView(v)
+      try s.sql(s"""
+        SELECT * FROM graft_dict_tag('$v', 'doc_id', 'text',
+          '${dictTagFixture.mkString(",")}')
+      """)
+      finally s.catalog.dropTempView(v)
+    },
+    "text_blocklist_filter" -> { (s, dir) =>
+      // The C4 badwords PAGE FILTER itself (Raffel §2.2: drop any page
+      // containing a blocklisted term): same salted fixture; the two
+      // blocked terms ride the doc_id%3 / doc_id%5 splices, so the
+      // filter provably removes ~47% of pages while the oracle derives
+      // the SAME survivor set purely by replaying the text-side
+      // normalization + containment (never doc_id arithmetic).
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val pages = d.select(col("doc_id"), dictTagSalted.as("text"),
+        col("lang"), col("source"))
+      Curation.blocklistFilter(pages, Seq("gambling", "casino bonus"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars_kept"))
+    },
     "text_repetition" -> { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
       d.select(Seq(col("doc_id")) ++
@@ -4617,6 +4664,20 @@ object SparkEntry {
     d.select(col("doc_id"), text.as("text"))
   }
 
+  /** Shared fixture for the dictionary-tag/blocklist family: the
+    * fixture vocabulary carries no blockable terms, so case- and
+    * punctuation-bearing splices ride doc_id-derived buckets —
+    * appended IDENTICALLY in both engines (the piiRedact salting
+    * pattern). */
+  private val dictTagFixture = Seq("spark", "dup", "batch batch",
+    "gambling", "online casino", "casino bonus", "ord", "quantum flux")
+
+  private def dictTagSalted: org.apache.spark.sql.Column = concat(col("text"),
+    when(pmod(col("doc_id"), lit(3L)) === 0, lit(" ...Gambling!"))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5L)) === 0, lit(" Online, CASINO bonus?"))
+      .otherwise(lit("")))
+
   /** Registers `df` under a per-invocation temp-view name (`base` +
     * unique suffix) and passes the name to `body` — concurrent
     * invocations of the same SQL-TVF row on a shared session cannot
@@ -5811,6 +5872,9 @@ object SparkEntry {
         |SELECT a.lang, t.text, a.len, a.n_docs
         |FROM agg a JOIN (SELECT lang, text FROM rk WHERE rn = 1) t USING (lang)""".stripMargin,
     "text_bm25_sql" -> bm25Sql,
+    "text_dict_tag" -> dictTagSql,
+    "text_dict_sql" -> dictTagSql,
+    "text_blocklist_filter" -> blocklistSql,
     "text_strip_html" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>T' || CAST(doc_id % 7 AS VARCHAR) ||
@@ -7958,6 +8022,44 @@ object SparkEntry {
       |FROM s3""".stripMargin
 
   /** Shared by text_bm25 (Scala face) and text_bm25_sql (TVF face). */
+  /** Shared oracle machinery for the dictionary-tag family: replays the
+    * normalization contract (lower → whitespace split → ASCII
+    * edge-punctuation strip → single-space join) with the same salting
+    * as dictTagSalted, then tests each phrase by space-flanked
+    * containment — the quadratic doc × dict form the Aho-Corasick pass
+    * exists to avoid, which is exactly what makes it an independent
+    * oracle. */
+  private def dictNormCte: String =
+    """WITH s AS (SELECT doc_id, lang, source, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' ...Gambling!' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' Online, CASINO bonus?' ELSE '' END AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |norm AS (SELECT doc_id, lang, source, LENGTH(t) AS n_chars_kept,
+      |  ' ' || array_to_string(list_filter(list_transform(
+      |    regexp_split_to_array(lower(t), '[ \t\n\r\f\x0B]+'),
+      |    w -> regexp_replace(regexp_replace(w, '^[!-/:-@\[-`{-~]+', ''),
+      |                        '[!-/:-@\[-`{-~]+$', '')),
+      |    w -> w <> ''), ' ') || ' ' AS st
+      |  FROM s)""".stripMargin
+
+  private def dictTagSql: String =
+    dictNormCte + """,
+      |dict(phrase) AS (VALUES ('spark'),('dup'),('batch batch'),('gambling'),
+      |  ('online casino'),('casino bonus'),('ord'),('quantum flux')),
+      |hit AS (SELECT n.doc_id, d.phrase FROM norm n JOIN dict d
+      |        ON contains(n.st, ' ' || d.phrase || ' ')),
+      |agg AS (SELECT doc_id, array_to_string(list_sort(list(phrase)), ',') AS tags,
+      |        COUNT(*) AS n_tags FROM hit GROUP BY 1)
+      |SELECT n.doc_id, COALESCE(a.tags, '') AS tags,
+      |  CAST(COALESCE(a.n_tags, 0) AS INT) AS n_tags
+      |FROM norm n LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  private def blocklistSql: String =
+    dictNormCte + """
+      |SELECT doc_id, lang, source, CAST(n_chars_kept AS BIGINT) AS n_chars_kept
+      |FROM norm
+      |WHERE NOT contains(st, ' gambling ') AND NOT contains(st, ' casino bonus ')""".stripMargin
+
   private def bm25Sql: String =
     """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
       |             FROM documents WHERE text IS NOT NULL),

@@ -612,4 +612,36 @@ object Curation {
     proposals.join(pos, Seq(userCol, itemCol), "left_anti")
       .select(col(userCol), col("draw"), col(itemCol))
   }
+
+  /** Dictionary tagging: which blocklist/topic phrases does each
+    * document contain? One Aho-Corasick pass per document
+    * (functions.DictionaryTags — whole-token matches over the shared
+    * normalization contract), NEVER a doc × dictionary join, so a
+    * 10⁵-phrase dictionary costs the same scan as a 10-word one.
+    * EVERY input document surfaces — zero-match and null-text docs
+    * report `tags = ''`, `n_tags = 0` (the per-doc-signal contract a
+    * downstream router needs; the sentenceSpans short-doc lesson).
+    * Output: (idCol, tags — comma-joined sorted normalized phrases,
+    * n_tags). Zero shuffle. */
+  def dictionaryTags(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tags = graft.functions.dictionaryscan.dictionary_tags(
+      coalesce(col(textCol), lit("")), phrases)
+    docs.select(col(idCol), tags.as("tags_arr"))
+      .select(col(idCol),
+        concat_ws(",", col("tags_arr")).as("tags"),
+        size(col("tags_arr")).cast("int").as("n_tags"))
+  }
+
+  /** The C4 "bad words" page filter (Raffel et al. 2020 §2.2: drop any
+    * page containing a blocklisted word/phrase — reference pipelines
+    * use the public "dirty, naughty …" list). Survivors pass through
+    * with ALL their columns; matching is the dictionaryTags contract
+    * (whole-token, normalized), so "scunthorpe" never trips a "thorpe"
+    * entry. One scan, zero shuffle — the filter composes with any
+    * downstream plan untouched. Null text survives (nothing to match). */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docs.filter(size(graft.functions.dictionaryscan.dictionary_tags(
+      coalesce(col(textCol), lit("")), phrases)) === 0)
 }

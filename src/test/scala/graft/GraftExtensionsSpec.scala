@@ -266,6 +266,20 @@ class GraftExtensionsSpec extends SparkTestBase {
       === rows(graft.ops.Relational.giniPerGroup(wealth, Seq("grp"), "w", 100L)))
   }
 
+  test("graft_dict_tag TVF equals the Scala face") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((0L, "try Online, CASINO bonus? now"), (1L, "order ord!"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_dict_docs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val dict = Seq("online casino", "casino bonus", "ord", "missing")
+    assert(rows(spark.sql(
+      s"SELECT * FROM graft_dict_tag('tvf_dict_docs', 'doc_id', 'text', '${dict.mkString(",")}')"))
+      === rows(graft.ext.Curation.dictionaryTags(docs, dict)))
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
