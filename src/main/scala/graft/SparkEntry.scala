@@ -1483,6 +1483,14 @@ object SparkEntry {
         .select(col("i"), col("j"),
           round(col("cov") * 1e9).cast("long").as("cov_nano"))
     },
+    "emb_random_projection" -> { (s, dir) =>
+      // Johnson-Lindenstrauss Rademacher projection 64 -> 16: micro-int
+      // quantize first, then exact ±1 integer sums; the sign matrix is
+      // md5-derived, so the oracle rebuilds the identical matrix from
+      // DuckDB's md5 and replays the sums exactly.
+      Embeddings.randomProject(Tables(s, dir, "embeddings"),
+        inDim = 64, outDim = 16)
+    },
 
     // --- [EXT] dedup (documents) ----------------------------------------
     "dedup_exact" -> { (s, dir) =>
@@ -6006,6 +6014,17 @@ object SparkEntry {
         |  / (CAST(s.n AS DOUBLE) - 1.0) * 1000000000) AS BIGINT) AS cov_nano
         |FROM s JOIN m mi ON mi.d = s.i JOIN m mj ON mj.d = s.j""".stripMargin,
 
+    "emb_random_projection" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |jx AS (SELECT vec_id, e, unnest(generate_series(0, 63)) AS j FROM v),
+        |x AS (SELECT vec_id, j,
+        |   CAST(FLOOR(e[j+1] * 1000000 + 0.5) AS BIGINT) AS vm FROM jx),
+        |kx AS (SELECT vec_id, j, vm, unnest(generate_series(0, 15)) AS k FROM x)
+        |SELECT vec_id, CAST(k AS INT) AS k,
+        | CAST(SUM(vm * CASE WHEN (strpos('0123456789abcdef',
+        |     substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |   THEN 1 ELSE -1 END) AS BIGINT) AS proj_micro
+        |FROM kx GROUP BY 1, 2""".stripMargin,
     "split_train_test" ->
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id

@@ -130,6 +130,52 @@ object Embeddings {
     emb.select(col(idCol), array(dots: _*).as("projected"))
   }
 
+  /** Rademacher (±1) random projection — the Johnson-Lindenstrauss
+    * dimensionality reduction of Achlioptas 2001 ("Database-friendly
+    * random projections"): out[k] = Σ_j sign(j,k) · v[j], preserving
+    * pairwise distances within (1±ε) at outDim = O(log n / ε²). Unlike
+    * fitPca this needs NO fit pass and NO driver-side model — the right
+    * first reduction at 100 TB, where even one extra corpus scan
+    * matters.
+    *
+    * Engine-portable determinism, twice over:
+    *  - values quantize to micro-ints FIRST (floor(x·1e6 + 0.5), the
+    *    quantizeInt8 widening/rounding discipline), so each projection
+    *    is an exact int64 sum — no float summation order anywhere;
+    *  - the sign matrix derives from md5: sign(j,k) = +1 iff the first
+    *    hex digit of md5("seed:j:k") is even — the shardByMd5
+    *    portability argument: any engine with an md5 function replays
+    *    the identical matrix, where a seeded rand() replays only
+    *    inside one engine+plan.
+    *
+    * The inDim×outDim sign matrix rides the plan as literals (KBs).
+    * One codegen'd zip_with/aggregate per output dim, zero shuffle.
+    * Consumers wanting unbiased norms rescale by 1/√outDim (kept out
+    * of the operator to preserve exact integers). Vectors must carry
+    * exactly inDim elements (same contract as covarianceMatrix).
+    * Output: (idCol, k int, proj_micro long) — long format, one row
+    * per (vector, output dim). */
+  def randomProject(emb: DataFrame, inDim: Int, outDim: Int,
+      seed: String = "rp", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"bad dims: $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, k: Int): Long = {
+      val h = md.digest(s"$seed:$j:$k".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+    }
+    val vm = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+    val projections = (0 until outDim).map { k =>
+      val sk = array((0 until inDim).map(j => lit(sign(j, k))): _*)
+      aggregate(zip_with(vm, sk, (x, s) => x * s), lit(0L), (acc, t) => acc + t)
+    }
+    emb.select(col(idCol), posexplode(array(projections: _*)))
+      .select(col(idCol), col("pos").cast("int").as("k"),
+        col("col").as("proj_micro"))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
     * O(d³) per sweep, converges quadratically; plenty for the d ≤ a few
