@@ -588,6 +588,18 @@ object GraftExtensions {
         textCol = strLit(args(2), "text_col"))
       out.queryExecution.logical
     }),
+    //   graft_t_closeness(table_view, quasi_csv, sensitive_col, t_nano)
+    // t-closeness distribution-leak audit — same broadcast-spine
+    // integer-TVD plan as DataQuality.tClosenessRisk.
+    ("graft_t_closeness", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.DataQuality.tClosenessRisk(
+        spark.table(strLit(args(0), "table_view")),
+        strLit(args(1), "quasi_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        strLit(args(2), "sensitive_col"),
+        tNano = longLit(args(3), "t_nano"))
+      out.queryExecution.logical
+    }),
     //   graft_dict_tag(docs_view, id_col, text_col, phrases_csv)
     // Dictionary tagging / C4 badwords scan — same single-pass
     // Aho-Corasick projection as Curation.dictionaryTags (phrases are

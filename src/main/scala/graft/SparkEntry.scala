@@ -1826,6 +1826,34 @@ object SparkEntry {
           expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("order_week")),
         Seq("o_orderpriority", "order_week"), sensitive = "o_orderstatus", l = 3)
     },
+    "dq_t_closeness" -> { (s, dir) =>
+      // Distribution-leak audit, the ladder's third rung: (priority,
+      // week) groups whose order-status distribution sits more than
+      // 0.15 TVD from the corpus-wide one — groups that clear both
+      // k-anonymity and l-diversity yet still skew-leak. Exact integer
+      // TVD; the threshold flags a strict subset at both SFs (~2/3 of
+      // groups at sf0.01, ~1% at sf0.1 — group size drives closeness).
+      graft.ops.DataQuality.tClosenessRisk(
+        Tables(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderstatus"),
+          expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("order_week")),
+        Seq("o_orderpriority", "order_week"), sensitive = "o_orderstatus",
+        tNano = 150000000L)
+    },
+    "dq_tcl_sql" -> { (s, dir) =>
+      // t-closeness through its SQL TVF face — same plan as the Scala
+      // API; shares dq_t_closeness's oracle.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_tcl_v",
+        Tables(s, dir, "orders").select(
+          col("o_orderpriority"), col("o_orderstatus"),
+          expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("order_week"))) { v =>
+        s.sql(s"""
+          SELECT * FROM graft_t_closeness('$v',
+            'o_orderpriority,order_week', 'o_orderstatus', 150000000)
+        """)
+      }
+    },
     "q_outlier_mad" -> { (s, dir) =>
       // Robust MAD outliers per priority. The fixture's totalprice is
       // near-uniform (no 3-sigma tail at all), so deterministic
@@ -6085,6 +6113,8 @@ object SparkEntry {
         | CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive
         |FROM orders GROUP BY 1, 2
         |HAVING COUNT(DISTINCT o_orderstatus) < 3""".stripMargin,
+    "dq_t_closeness" -> tClosenessSql,
+    "dq_tcl_sql" -> tClosenessSql,
     "q_outlier_mad" ->
       """WITH base AS (SELECT o_orderpriority,
         |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0
@@ -8304,6 +8334,32 @@ object SparkEntry {
   /** Shared by dq_cramers_v: exact-integer χ² over the contingency
     * table (per-cell HUGEINT floor division mirroring the decimal(38,0)
     * divmod), then one IEEE-exact sqrt rounded at 1e-6. */
+  /** t-closeness oracle: full group × category spine, integer TVD
+    * numerator, one HUGEINT floor-division per group (internal only —
+    * outputs are BIGINT per the lint rule). */
+  private def tClosenessSql: String =
+    """WITH b AS (SELECT o_orderpriority,
+      |   CAST(epoch(o_orderdate) AS BIGINT) // 604800 AS order_week,
+      |   COALESCE(CAST(o_orderstatus AS VARCHAR), '<NULL>') AS s FROM orders),
+      |cells AS (SELECT o_orderpriority, order_week, s, COUNT(*) AS n_gc
+      |  FROM b GROUP BY 1, 2, 3),
+      |grp AS (SELECT o_orderpriority, order_week, SUM(n_gc) AS n_g
+      |  FROM cells GROUP BY 1, 2),
+      |cat AS (SELECT s, SUM(n_gc) AS n_c FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(n_c) AS n FROM cat),
+      |spine AS (SELECT g.o_orderpriority, g.order_week, g.n_g, c.s, c.n_c, t.n
+      |  FROM grp g CROSS JOIN cat c CROSS JOIN tot t),
+      |j AS (SELECT spine.*, COALESCE(cl.n_gc, 0) AS n_gc FROM spine
+      |  LEFT JOIN cells cl ON cl.o_orderpriority = spine.o_orderpriority
+      |   AND cl.order_week = spine.order_week AND cl.s = spine.s),
+      |agg AS (SELECT o_orderpriority, order_week, n_g, n,
+      |   SUM(ABS(CAST(n_gc AS HUGEINT) * n - CAST(n_c AS HUGEINT) * n_g)) AS num
+      |  FROM j GROUP BY 1, 2, 3, 4)
+      |SELECT o_orderpriority, order_week, CAST(n_g AS BIGINT) AS group_size,
+      | CAST(num * 1000000000 // (2 * CAST(n_g AS HUGEINT) * n) AS BIGINT) AS tvd_nano
+      |FROM agg
+      |WHERE num * 1000000000 // (2 * CAST(n_g AS HUGEINT) * n) > 150000000""".stripMargin
+
   private def cramersVSql: String =
     """WITH cells AS (SELECT
       |   COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>') AS a,

@@ -160,6 +160,60 @@ object DataQuality {
       .filter(col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the release-audit ladder after [[kAnonymityRisk]] and
+    * [[lDiversityRisk]]: a QI group can be k-anonymous AND l-diverse yet
+    * still leak when its sensitive-value DISTRIBUTION sits far from the
+    * corpus's ("90% of this group carries value X" discloses plenty even
+    * with 3 distinct values present — the paper's skewness attack).
+    * Flags every quasi-identifier group whose sensitive distribution is
+    * farther than t from the global one in total variation distance (the
+    * categorical instance of the paper's EMD, unit ground distance).
+    *
+    * Exact integer arithmetic end-to-end:
+    *   TVD_g = Σ_c |n_gc·n − n_c·n_g| / (2·n_g·n)
+    * — numerator summed as decimal(38,0), one exact integer division per
+    * group nano-quantizes it (the chi2Drift divmod discipline; floor in
+    * both engines). The sum runs over the FULL group × category grid
+    * (cramersVFromCells' spine argument): a category ABSENT from a group
+    * still contributes its |0 − n_c·n_g| mass — the absence IS distance.
+    * The spine is |groups|·|categories| — audit-cardinality, never
+    * row-count; the category side is broadcast.
+    *
+    * Plan: one grouped count (cells), two rollups off it, one broadcast
+    * spine join, one grouped sum. Output: one row per flagged group
+    * (quasiIds…, group_size, tvd_nano ∈ [0, 1e9]). NULL sensitive values
+    * are a real category (the cramersV convention). */
+  def tClosenessRisk(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      tNano: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    require(!quasiIds.contains(sensitive), "sensitive column cannot be a quasi-identifier")
+    require(tNano >= 0L && tNano < 1000000000L,
+      s"tNano is a TVD threshold in nanos, must be in [0, 1e9): $tNano")
+    val dec = "decimal(38,0)"
+    val cells = df.select(quasiIds.map(col) :+
+        coalesce(col(sensitive).cast("string"), lit("<NULL>")).as("__sens"): _*)
+      .groupBy((quasiIds :+ "__sens").map(col): _*)
+      .agg(count(lit(1)).as("n_gc"))
+    val groups = cells.groupBy(quasiIds.map(col): _*).agg(sum("n_gc").as("n_g"))
+    val cats = cells.groupBy("__sens").agg(sum("n_gc").as("n_c"))
+    val tot = cats.agg(sum("n_c").as("n"))
+    val spine = groups.crossJoin(broadcast(cats)).crossJoin(broadcast(tot))
+    val joined = spine.join(cells, quasiIds :+ "__sens", "left")
+      .withColumn("n_gc", coalesce(col("n_gc"), lit(0L)))
+    val term = abs(col("n_gc").cast(dec) * col("n") -
+      col("n_c").cast(dec) * col("n_g"))
+    joined
+      .groupBy((quasiIds.map(col) :+ col("n_g")) :+ col("n"): _*)
+      .agg(sum(term).as("num"))
+      .withColumn("tvd_nano",
+        call_function("div", col("num") * lit(1000000000L),
+          col("n_g").cast(dec) * col("n") * lit(2L)).cast("long"))
+      .filter(col("tvd_nano") > tNano)
+      .select(quasiIds.map(col) :+ col("n_g").as("group_size") :+
+        col("tvd_nano"): _*)
+  }
+
   /** Ingestion volume control chart: per-period row counts flagged when
     * they sit more than `zThresh` trailing standard deviations from the
     * trailing-`trailingN`-period mean (the preceding periods only —

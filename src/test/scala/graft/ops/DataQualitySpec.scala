@@ -69,6 +69,39 @@ class DataQualitySpec extends SparkTestBase {
     assert(atL3 === Set(("NY", 3L, 1L), ("SF", 2L, 2L)))
   }
 
+  test("t-closeness flags skewed groups a homogeneity audit clears") {
+    // Global: flu 6, cold 6 (50/50). A is 1:5, B is 5:1 — both
+    // l-diverse at l=2 yet both skewed by TVD
+    // = ½(|5/6 − 1/2| + |1/6 − 1/2|) = 1/3 -> 333_333_333 nano (floored).
+    val df = Seq(
+      ("A", "flu"), ("A", "cold"), ("A", "cold"), ("A", "cold"),
+      ("A", "cold"), ("A", "cold"),
+      ("B", "flu"), ("B", "flu"), ("B", "flu"), ("B", "flu"),
+      ("B", "flu"), ("B", "cold")).toDF("zip", "dx")
+    // both groups clear l-diversity at l=2...
+    assert(DataQuality.lDiversityRisk(df, Seq("zip"), "dx", l = 2).isEmpty)
+    // ...but both fail t-closeness at t=0.2
+    val flagged = DataQuality.tClosenessRisk(df, Seq("zip"), "dx", tNano = 200000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flagged === Set(("A", 6L, 333333333L), ("B", 6L, 333333333L)))
+    // a category ABSENT from a group is distance: all-flu group C vs
+    // the 50/50 corpus has TVD 1/2 exactly
+    val df2 = Seq(("C", "flu"), ("C", "flu"), ("D", "cold"), ("D", "cold"))
+      .toDF("zip", "dx")
+    val f2 = DataQuality.tClosenessRisk(df2, Seq("zip"), "dx", tNano = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(f2 === Set(("C", 500000000L), ("D", 500000000L)))
+    // identical distributions -> zero TVD -> nothing flagged at t=0
+    val even = Seq(("X", "a"), ("X", "b"), ("Y", "a"), ("Y", "b")).toDF("zip", "dx")
+    assert(DataQuality.tClosenessRisk(even, Seq("zip"), "dx", tNano = 0L).isEmpty)
+    // NULL sensitive values are a real category
+    val withNull = Seq(("X", "a"), ("X", null), ("Y", "a"), ("Y", "a"))
+      .toDF("zip", "dx")
+    val f3 = DataQuality.tClosenessRisk(withNull, Seq("zip"), "dx", tNano = 100000000L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(f3 === Set(("X", 250000000L), ("Y", 250000000L)))
+  }
+
   test("row-local checks and uniqueness share a single scan of the input") {
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = validate(df, Seq(
