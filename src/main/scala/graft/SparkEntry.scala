@@ -1840,6 +1840,30 @@ object SparkEntry {
         Seq("o_orderpriority", "order_week"), sensitive = "o_orderstatus",
         tNano = 150000000L)
     },
+    "dq_tcl_incremental" -> { (s, dir) =>
+      // t-closeness over PERSISTED state — the audit's incremental twin
+      // (the dq_psi_incremental discipline): per-shard quasi×sensitive
+      // cell counts (a plain count monoid) are written through the
+      // parquet sink once, then the audit runs from the STORED
+      // summaries only — the result's lineage contains the state files
+      // and the audit-cardinality spine, never the history rows again.
+      // Shares dq_t_closeness's oracle (exact recompute from raw rows).
+      val base = Tables(s, dir, "orders")
+        .withColumn("__shard", pmod(col("o_orderkey"), lit(3L)))
+      val stateDir = scratchDir("graft_tcl_state_").toString
+      (0 until 3).foreach { d =>
+        graft.etl.Sinks.parquetDir(
+          graft.ops.DataQuality.tClosenessCellState(
+            base.filter(col("__shard") === d).select(
+              col("o_orderpriority"), col("o_orderstatus"),
+              expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("order_week")),
+            Seq("o_orderpriority", "order_week"), "o_orderstatus"),
+          s"$stateDir/shard=$d")
+      }
+      graft.ops.DataQuality.tClosenessFromCells(
+        s.read.parquet(s"$stateDir/shard=0", s"$stateDir/shard=1", s"$stateDir/shard=2"),
+        Seq("o_orderpriority", "order_week"), tNano = 150000000L)
+    },
     "dq_tcl_sql" -> { (s, dir) =>
       // t-closeness through its SQL TVF face — same plan as the Scala
       // API; shares dq_t_closeness's oracle.
@@ -6115,6 +6139,7 @@ object SparkEntry {
         |HAVING COUNT(DISTINCT o_orderstatus) < 3""".stripMargin,
     "dq_t_closeness" -> tClosenessSql,
     "dq_tcl_sql" -> tClosenessSql,
+    "dq_tcl_incremental" -> tClosenessSql,
     "q_outlier_mad" ->
       """WITH base AS (SELECT o_orderpriority,
         |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0

@@ -186,15 +186,36 @@ object DataQuality {
     * are a real category (the cramersV convention). */
   def tClosenessRisk(df: DataFrame, quasiIds: Seq[String], sensitive: String,
       tNano: Long): DataFrame = {
-    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
     require(!quasiIds.contains(sensitive), "sensitive column cannot be a quasi-identifier")
-    require(tNano >= 0L && tNano < 1000000000L,
-      s"tNano is a TVD threshold in nanos, must be in [0, 1e9): $tNano")
-    val dec = "decimal(38,0)"
-    val cells = df.select(quasiIds.map(col) :+
+    tClosenessFromCells(tClosenessCellState(df, quasiIds, sensitive),
+      quasiIds, tNano)
+  }
+
+  /** The t-closeness audit's mergeable state: (quasiIds…, __sens, n_gc)
+    * cell counts — a plain count monoid, so per-day/per-shard summaries
+    * written through any sink SUM into the audit without re-scanning
+    * rows (the histogramState/cramersVFromCells discipline). */
+  def tClosenessCellState(df: DataFrame, quasiIds: Seq[String],
+      sensitive: String): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    df.select(quasiIds.map(col) :+
         coalesce(col(sensitive).cast("string"), lit("<NULL>")).as("__sens"): _*)
       .groupBy((quasiIds :+ "__sens").map(col): _*)
       .agg(count(lit(1)).as("n_gc"))
+  }
+
+  /** t-closeness from a cell-state frame — the mergeable face of
+    * [[tClosenessRisk]] (which routes through here): duplicate cells
+    * from unioned state shards sum first, then the same spine/TVD plan
+    * runs over cell-count rows only. */
+  def tClosenessFromCells(cellsIn: DataFrame, quasiIds: Seq[String],
+      tNano: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns given")
+    require(tNano >= 0L && tNano < 1000000000L,
+      s"tNano is a TVD threshold in nanos, must be in [0, 1e9): $tNano")
+    val dec = "decimal(38,0)"
+    val cells = cellsIn.groupBy((quasiIds :+ "__sens").map(col): _*)
+      .agg(sum("n_gc").as("n_gc"))
     val groups = cells.groupBy(quasiIds.map(col): _*).agg(sum("n_gc").as("n_g"))
     val cats = cells.groupBy("__sens").agg(sum("n_gc").as("n_c"))
     val tot = cats.agg(sum("n_c").as("n"))

@@ -102,6 +102,26 @@ class DataQualitySpec extends SparkTestBase {
     assert(f3 === Set(("X", 250000000L), ("Y", 250000000L)))
   }
 
+  test("t-closeness from merged cell states equals the direct audit") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = spark.read.parquet(s"${sf()}/orders.parquet").select(
+      col("o_orderpriority"), col("o_orderstatus"),
+      expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("w"))
+    val quasi = Seq("o_orderpriority", "w")
+    val direct = DataQuality.tClosenessRisk(df, quasi, "o_orderstatus", 150000000L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val half = expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) % 2")
+    val base = spark.read.parquet(s"${sf()}/orders.parquet")
+    def state(p: Int) = DataQuality.tClosenessCellState(
+      base.filter(half === p).select(col("o_orderpriority"), col("o_orderstatus"),
+        expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("w")),
+      quasi, "o_orderstatus")
+    val merged = DataQuality.tClosenessFromCells(
+      state(0).union(state(1)), quasi, 150000000L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(direct.nonEmpty && merged === direct)
+  }
+
   test("row-local checks and uniqueness share a single scan of the input") {
     val df = spark.read.parquet(s"${sf()}/orders.parquet")
     val rep = validate(df, Seq(
