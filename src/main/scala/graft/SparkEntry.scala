@@ -3695,6 +3695,38 @@ object SparkEntry {
         graft.streaming.StreamingOps.associationGateResult(s, stateDir)
       }
     },
+    "stream_tcl_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Release-audit-on-arrival: the dq_t_closeness scenario with
+        // orders arriving as a 3-file stream. Quasi×sensitive cell
+        // counts are a pure count monoid, so the drained gate state
+        // recomputes EXACTLY the one-shot audit — dq_t_closeness's own
+        // oracle. State is audit-cardinality-sized; each batch folds
+        // via foreachBatch with the versioned-dir + marker commit.
+        val orders = Tables(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 604800").as("order_week"))
+        val replayDir = scratchDir("graft_tclg_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_tclg_stage_")
+          orders.filter(pmod(col("o_orderkey"), lit(3L)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_tclg_state_").toString
+        val ckpt = scratchDir("graft_tclg_ckpt_").toString
+        val stream = s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.tClosenessGate(stream,
+          Seq("o_orderpriority", "order_week"), "o_orderstatus", stateDir, ckpt)
+        graft.streaming.StreamingOps.tClosenessGateResult(s, stateDir,
+          Seq("o_orderpriority", "order_week"), tNano = 150000000L)
+      }
+    },
     "stream_twap_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // TWAP-on-arrival: events arriving as 3 TIME-ORDERED tiles
@@ -6140,6 +6172,7 @@ object SparkEntry {
     "dq_t_closeness" -> tClosenessSql,
     "dq_tcl_sql" -> tClosenessSql,
     "dq_tcl_incremental" -> tClosenessSql,
+    "stream_tcl_gate" -> tClosenessSql,
     "q_outlier_mad" ->
       """WITH base AS (SELECT o_orderpriority,
         |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 20.0

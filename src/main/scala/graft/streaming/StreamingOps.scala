@@ -832,6 +832,54 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"))
   }
 
+  // --- streaming t-closeness gate (foreachBatch -> cell-count state) ---
+
+  /** Streaming t-closeness — the release audit on arrival: each
+    * microbatch's quasi × sensitive cell counts (a pure count monoid,
+    * `DataQuality.tClosenessCellState`) fold onto the stored state with
+    * the versioned-dir + marker commit, so the drained gate recomputes
+    * EXACTLY the one-shot audit from cell-count rows only. State is
+    * audit-cardinality-sized; the associationGate shape with a
+    * multi-column key. */
+  def tClosenessGate(stream: DataFrame, quasiIds: Seq[String],
+      sensitive: String, stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTClosenessBatch(batch, batchId, quasiIds, sensitive, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent cell-count merge (public for direct testing and
+    * batch backfills sharing the gate's state). */
+  def applyTClosenessBatch(batch: DataFrame, batchId: Long,
+      quasiIds: Seq[String], sensitive: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val cells = graft.ops.DataQuality.tClosenessCellState(
+      batch, quasiIds, sensitive)
+    val merged = (if (current >= 0L)
+      cells.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else cells)
+      .groupBy((quasiIds :+ "__sens").map(col): _*)
+      .agg(sum("n_gc").as("n_gc"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** t-closeness audit of the gate's committed cell state — reads ONLY
+    * the stored counts. */
+  def tClosenessGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, quasiIds: Seq[String], tNano: Long): DataFrame = {
+    val v = StateCommit.requireVersion(stateDir, "t-closeness state")
+    graft.ops.DataQuality.tClosenessFromCells(
+      spark.read.parquet(s"$stateDir/v$v"), quasiIds, tNano)
+  }
+
   // --- streaming TWAP gate (foreachBatch -> per-key hold state) ---
 
   /** Streaming time-weighted average — TWAP on arrival: each

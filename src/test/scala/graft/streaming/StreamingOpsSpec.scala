@@ -794,6 +794,23 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(gate.getLong(4) === 1000000L) // perfect association
   }
 
+  test("t-closeness gate: cells fold idempotently; drained audit equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("tcl_spec_").toString
+    val b0 = Seq(("A", "flu"), ("A", "cold"), ("B", "flu")).toDF("zip", "dx")
+    val b1 = Seq(("A", "cold"), ("B", "flu"), ("B", "flu")).toDF("zip", "dx")
+    applyTClosenessBatch(b0, 0L, Seq("zip"), "dx", stateDir)
+    applyTClosenessBatch(b1, 1L, Seq("zip"), "dx", stateDir)
+    // a foreachBatch replay must be a no-op, not a double count
+    applyTClosenessBatch(b1, 1L, Seq("zip"), "dx", stateDir)
+    val gate = tClosenessGateResult(spark, stateDir, Seq("zip"), 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val direct = graft.ops.DataQuality
+      .tClosenessRisk(b0.unionByName(b1), Seq("zip"), "dx", 0L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(gate.nonEmpty && gate === direct)
+  }
+
   test("coverage gate: open islands splice across seams; drained equals one-shot") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("covg_spec_").toString
