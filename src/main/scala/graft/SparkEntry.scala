@@ -3695,6 +3695,43 @@ object SparkEntry {
         graft.streaming.StreamingOps.associationGateResult(s, stateDir)
       }
     },
+    "stream_ivf_ingest" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Index-on-arrival: the coarse quantizer fits ONCE and persists
+        // (the zero-fit serving discipline); embeddings then arrive as
+        // a 3-file stream, each batch assigning to its nearest cell in
+        // one argmin pass and appending an immutable postings delta
+        // under the marker commit. Assignment is a pure function of
+        // the FIXED centroids, so the drained index equals the batch
+        // assignment row-for-row — and the exhaustive-probe search
+        // over the committed state (nProbe = nCells) is provably the
+        // brute-force top-k: sim_topk_ivf_exact's own oracle pins the
+        // whole stream-ingest + search path.
+        val emb = Tables(s, dir, "embeddings")
+        val centroidDir = scratchDir("graft_ivfg_cent_").toString
+        graft.etl.Sinks.parquetDir(
+          graft.ext.Similarity.ivfCentroidState(emb, nCells = 8), centroidDir)
+        val replayDir = scratchDir("graft_ivfg_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_ivfg_stage_")
+          emb.filter(pmod(col("vec_id"), lit(3L)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_ivfg_state_").toString
+        val ckpt = scratchDir("graft_ivfg_ckpt_").toString
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.ivfIngestGate(stream, centroidDir,
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.ivfSearchFromIngest(s, stateDir,
+          centroidDir, emb.filter(col("vec_id") < 20), k = 10, nProbe = 8)
+      }
+    },
     "stream_tcl_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Release-audit-on-arrival: the dq_t_closeness scenario with
@@ -7056,6 +7093,7 @@ object SparkEntry {
     // brute-force top-k
     "sim_topk_ivf_exact" -> bruteForceTopKSql,
     "sim_topk_lsh_exact" -> bruteForceTopKSql,
+    "stream_ivf_ingest" -> bruteForceTopKSql,
     "sim_topk_pq_exact" -> bruteForceTopKSql,
     "sim_topk_ivfpq_exact" -> bruteForceTopKSql,
 

@@ -207,7 +207,20 @@ object Similarity {
       centroids: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true): DataFrame =
+    ivfTopKFromAssigned(
+      assignFromCentroidState(corpus, centroids, idCol, vecCol),
+      queries, centroids, k, nProbe, idCol, vecCol,
+      excludeSelf, broadcastQueries)
+
+  /** Cell assignment off a persisted [[ivfCentroidState]] frame: the
+    * stored centroids rebuild the broadcast flat matrix (control-plane
+    * collect) and the corpus assigns in ONE codegen'd argmin pass.
+    * Returns the (id, v, cell) postings frame — the IVF index's
+    * append-only unit (same centroids ⇒ same cells, so per-batch
+    * assignments union into exactly the one-shot assignment). */
+  def assignFromCentroidState(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val prepared = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val rows = centroids.select(col("cell").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -220,12 +233,23 @@ object Similarity {
     val flat = new Array[Double](cells * dim)
     rows.foreach { case (c, ctr) => System.arraycopy(ctr, 0, flat, c * dim, dim) }
     val bcCentroids = corpus.sparkSession.sparkContext.broadcast(flat)
-    val assigned = prepared
+    prepared
       .withColumn("cell",
         graft.functions.sketches.centroid_argmin(col("v"), bcCentroids, dim))
       .select("id", "v", "cell")
+  }
+
+  /** IVF search over an already-assigned (id, v, cell) postings frame —
+    * the face a persisted/streamed index serves queries from (probing
+    * and re-ranking identical to the fresh-fit path). */
+  def ivfTopKFromAssigned(assigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    ivfSearch(assigned, centroids.select(col("cell"), col("centroid")), q,
+    ivfSearch(assigned.select(col("id"), col("v"), col("cell")),
+      centroids.select(col("cell"), col("centroid")), q,
       k, nProbe, excludeSelf, broadcastQueries)
   }
 

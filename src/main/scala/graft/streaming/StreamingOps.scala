@@ -1409,6 +1409,67 @@ object StreamingOps {
     StateCommit.flipVersion(stateDir, batchId)
   }
 
+  // --- streaming IVF index-ingest gate (foreachBatch -> postings deltas) ---
+
+  /** Streaming ANN index ingest — IVF postings ON ARRIVAL: the coarse
+    * quantizer is trained ONCE (`Similarity.ivfCentroidState`, persisted
+    * at `centroidDir` — the zero-fit production discipline) and each
+    * arriving microbatch assigns its vectors to their nearest cell in
+    * one codegen'd argmin pass, appending the (id, v, cell) postings as
+    * an immutable delta under the dedup gate's versioned-dir + marker
+    * commit ([[compactDedupIndex]] applies unchanged — the protocol is
+    * schema-agnostic). Assignment is a pure function of the FIXED
+    * centroids, so the drained index equals the one-shot batch
+    * assignment row-for-row and [[ivfSearchFromIngest]] serves queries
+    * identically to `ivfTopKFromState` over the full corpus — with
+    * exhaustive probing, the exact brute-force top-k (how the driver
+    * pins this gate to the SQL oracle). */
+  def ivfIngestGate(stream: DataFrame, centroidDir: String, stateDir: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfIngestBatch(batch, batchId, centroidDir, stateDir, idCol, vecCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent assign-and-append step (public for direct testing
+    * and batch backfills sharing the gate's index). */
+  def applyIvfIngestBatch(batch: DataFrame, batchId: Long,
+      centroidDir: String, stateDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    graft.ext.Similarity.assignFromCentroidState(batch,
+        spark.read.parquet(centroidDir), idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** The full committed postings index as one frame (compaction base +
+    * committed deltas). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val paths = dedupIndexPaths(stateDir)
+    require(paths.nonEmpty, s"no committed IVF index under $stateDir")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Serve a query set from the committed index with ZERO fits — the
+    * same probe/re-rank plan as the batch faces. */
+  def ivfSearchFromIngest(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, centroidDir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame =
+    graft.ext.Similarity.ivfTopKFromAssigned(readIvfIndex(spark, stateDir),
+      queries, spark.read.parquet(centroidDir), k, nProbe, idCol, vecCol,
+      excludeSelf)
+
   /** Compact the dedup-gate index: merge the compaction base and every
     * committed delta into one `c{current}` directory, flip the
     * `_COMPACTED` floor marker atomically, then drop the superseded

@@ -28,6 +28,35 @@ class SimilarityIvfSpec extends SparkTestBase {
     assert(r1 === r2)
   }
 
+  test("streamed postings deltas serve searches identical to the one-shot index") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val centroidDir = java.nio.file.Files.createTempDirectory("ivfg_cent_").toString + "/c"
+    Similarity.ivfCentroidState(emb, nCells = 4)
+      .write.parquet(centroidDir)
+    val stateDir = java.nio.file.Files.createTempDirectory("ivfg_state_").toString
+    (0 until 3).foreach { g =>
+      graft.streaming.StreamingOps.applyIvfIngestBatch(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === g), g.toLong,
+        centroidDir, stateDir)
+    }
+    // a foreachBatch replay must be a no-op, not a duplicate delta
+    graft.streaming.StreamingOps.applyIvfIngestBatch(
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 2), 2L, centroidDir, stateDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val fromIngest = rows(graft.streaming.StreamingOps.ivfSearchFromIngest(
+      spark, stateDir, centroidDir, queries, k = 5, nProbe = 2))
+    val oneShot = rows(Similarity.ivfTopKFromState(
+      emb, queries, spark.read.parquet(centroidDir), k = 5, nProbe = 2))
+    assert(fromIngest.nonEmpty && fromIngest === oneShot)
+    // exhaustive probing over the drained index == brute force
+    val exhaustive = rows(graft.streaming.StreamingOps.ivfSearchFromIngest(
+      spark, stateDir, centroidDir, queries, k = 5, nProbe = 4))
+    val brute = rows(Similarity.bruteForceTopK(emb, queries, k = 5))
+    assert(exhaustive === brute)
+  }
+
   test("embeddingCosine finds planted near-duplicate vectors") {
     import spark.implicits._
     val dim = 16
