@@ -1427,6 +1427,16 @@ object SparkEntry {
     "text_chunk" -> { (s, dir) =>
       Curation.chunk(Tables(s, dir, "documents"), window = 32, stride = 24)
     },
+    "text_chunk_sentences" -> { (s, dir) =>
+      // Sentence-window RAG chunking over the shared sentence-bearing
+      // fixture (the plain fixture carries no punctuation): window 3 /
+      // stride 2 gives one-sentence overlap across seams; 5-, 4- and
+      // 1-sentence docs exercise multi-chunk, short-tail and
+      // single-chunk shapes. Oracle replays synthesis + split + the
+      // identical slice arithmetic.
+      Curation.chunkBySentences(
+        sentenceSpanFixture(Tables(s, dir, "documents")), window = 3, stride = 2)
+    },
     "text_boilerplate" -> { (s, dir) =>
       // CCNet-style corpus-frequency segment removal: 3-token segments
       // appearing in more than 3 documents are dropped, survivors are
@@ -6897,6 +6907,35 @@ object SparkEntry {
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sentence_spans" -> sentenceSpansSql,
+    "text_chunk_sentences" ->
+      """WITH syn AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3
+        |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
+        |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
+        |      ELSE '' END
+        |  END AS text
+        | FROM documents),
+        |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
+        |       FROM syn WHERE text IS NOT NULL),
+        |s1 AS (SELECT doc_id, [x FOR x IN
+        |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
+        |  IF LEN(x) > 0] AS ss FROM s0),
+        |n AS (SELECT doc_id, ss,
+        |   CASE WHEN LEN(ss) <= 3 THEN 1
+        |        ELSE CAST(CEIL(CAST(LEN(ss) - 3 AS DOUBLE) / 2) AS BIGINT) + 1 END AS nc
+        |  FROM s1 WHERE LEN(ss) > 0),
+        |e AS (SELECT doc_id, ss, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        | array_to_string(ss[i*2+1 : i*2+3], ' ') AS chunk_text,
+        | CAST(LEN(ss[i*2+1 : i*2+3]) AS INT) AS n_sentences,
+        | CAST(LEN(regexp_split_to_array(TRIM(array_to_string(ss[i*2+1 : i*2+3], ' ')),
+        |   '[ \t\n\r\f\x0B]+')) AS INT) AS n_tokens
+        |FROM e""".stripMargin,
     "dedup_sentence_incremental" -> sentenceSpansSql,
     "dedup_sentence_sql" -> sentenceSpansSql,
     "dedup_span_remove" -> spanRemoveSql,

@@ -613,6 +613,45 @@ object Curation {
       .select(col(userCol), col("draw"), col(itemCol))
   }
 
+  /** Sentence-window chunking — [[chunk]]'s RAG-prep twin at sentence
+    * granularity: retrieval context should never split mid-sentence.
+    * Sentences follow the C4 convention shared with the span-dedup
+    * family (terminated `[.!?]` runs, whitespace-normalized;
+    * unterminated trailing text is not a sentence); each chunk is
+    * `window` consecutive sentences stepping by `stride`, so
+    * window − stride sentences of context carry across every chunk
+    * seam. Documents with no terminated sentence produce no chunks.
+    * Zero shuffle — one regexp pass + one explode, like chunk.
+    * Output: (idCol, chunk_id, chunk_text, n_sentences, n_tokens). */
+  def chunkBySentences(docs: DataFrame, window: Int = 3, stride: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
+    val sents = filter(
+      transform(raw, s => trim(regexp_replace(s, TextAnalysis.WhitespaceClass, " "))),
+      s => length(s) > 0)
+    val nS = size(col("__ss"))
+    val nChunks = when(nS <= window, lit(1L))
+      .otherwise(ceil((nS - window).cast("double") / stride).cast("long") + 1L)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), sents.as("__ss"))
+      .filter(size(col("__ss")) > 0)
+      .select(col(idCol), col("__ss"), nChunks.as("__nc"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0L), col("__nc") - 1L), i =>
+          struct(
+            i.cast("int").as("chunk_id"),
+            array_join(slice(col("__ss"), (i * stride + 1L).cast("int"), lit(window)), " ")
+              .as("chunk_text"),
+            size(slice(col("__ss"), (i * stride + 1L).cast("int"), lit(window)))
+              .as("n_sentences")))).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.chunk_text"),
+        col("__c.n_sentences"),
+        TextAnalysis.tokenCount(col("__c.chunk_text")).cast("int").as("n_tokens"))
+  }
+
   /** Dictionary tagging: which blocklist/topic phrases does each
     * document contain? One Aho-Corasick pass per document
     * (functions.DictionaryTags — whole-token matches over the shared

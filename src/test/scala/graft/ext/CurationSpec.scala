@@ -25,6 +25,27 @@ class CurationSpec extends SparkTestBase {
     assert(!out.exists(t => t._1 == 3L || t._1 == 4L)) // null/blank dropped
   }
 
+  test("chunkBySentences: sentence windows with overlap, never mid-sentence") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a one. b two! c three. d four? e five."), // 5 sentences -> 2 chunks
+      (1L, "only one  sentence."),                    // 1 -> single chunk (ws normalized)
+      (2L, "unterminated text no punct"),             // 0 sentences -> dropped
+      (3L, "s1. s2. s3. s4.")                         // 4 -> short-tail second chunk
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkBySentences(docs, window = 3, stride = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got((0L, 0)) === (("a one. b two! c three.", 3, 6)))
+    assert(got((0L, 1)) === (("c three. d four? e five.", 3, 6))) // 1-sentence overlap
+    assert(got((1L, 0)) === (("only one sentence.", 1, 3)))
+    assert(got((3L, 0)) === (("s1. s2. s3.", 3, 3)))
+    assert(got((3L, 1)) === (("s3. s4.", 2, 2)))
+    assert(!got.keySet.exists(_._1 == 2L))
+    assert(got.size === 5)
+  }
+
   test("chunk: stride not covering the tail still reaches the last token") {
     val docs = Seq((1L, (1 to 11).map("t" + _).mkString(" "))).toDF("doc_id", "text")
     val out = Curation.chunk(docs, window = 4, stride = 4).collect()
