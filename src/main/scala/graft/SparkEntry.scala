@@ -4530,6 +4530,15 @@ object SparkEntry {
       graft.ext.Curation.temperatureQuota(Tables(s, dir, "documents"),
         groupCol = "lang", idCol = "doc_id", total = 250L, tau = 0.5)
     },
+    "sample_token_budget" -> { (s, dir) =>
+      // Token-budget mixing (the production unit: budgets in tokens,
+      // p ∝ mass^0.5 up-samples small languages): exact integer
+      // largest-remainder apportionment of 8000 tokens across langs,
+      // keyed-hash order within each, taken while the running count
+      // BEFORE the doc sits under the quota — whole documents only.
+      graft.ext.Curation.tokenBudgetQuota(Tables(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id", totalTokens = 8000L, tau = 0.5)
+    },
     "curation_dsir" -> { (s, dir) =>
       // DSIR importance selection: candidates (doc_id%3==2) ranked by
       // nll_raw − nll_target under two add-one bigram models (in-domain
@@ -5856,6 +5865,31 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.lang, r.rn FROM r JOIN quota USING (lang)
         |WHERE r.rn <= quota.quota""".stripMargin,
+    "sample_token_budget" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  CASE WHEN text IS NULL OR LEN(TRIM(text)) = 0 THEN 0
+        |       ELSE LEN(regexp_split_to_array(TRIM(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens
+        | FROM documents),
+        |m AS (SELECT lang, SUM(n_tokens) AS m_g FROM tok GROUP BY 1),
+        |s0 AS (SELECT lang,
+        |  CAST(ROUND(POW(CAST(m_g AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS s FROM m),
+        |s1 AS (SELECT lang, s, CAST(SUM(s) OVER () AS HUGEINT) AS bigs FROM s0),
+        |q0 AS (SELECT lang, s, bigs,
+        |  CAST(8000 AS HUGEINT) * s // bigs AS base,
+        |  CAST(8000 AS HUGEINT) * s - (CAST(8000 AS HUGEINT) * s // bigs) * bigs AS rem
+        | FROM s1),
+        |q1 AS (SELECT lang, base, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |  8000 - SUM(base) OVER () AS deficit FROM q0),
+        |quota AS (SELECT lang,
+        |  CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota FROM q1),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007 ASC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM tok)
+        |SELECT r.doc_id, r.lang, CAST(r.n_tokens AS INT) AS n_tokens,
+        | CAST(r.cum_before AS BIGINT) AS cum_before, quota.quota
+        |FROM r JOIN quota USING (lang) WHERE r.cum_before < quota.quota""".stripMargin,
     "text_ppl_filter" ->
       """WITH t AS (SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+') AS w0
         |           FROM documents WHERE text IS NOT NULL),

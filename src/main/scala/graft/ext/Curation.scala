@@ -577,6 +577,60 @@ object Curation {
       .select(col(idCol), col(groupCol), col("rn").cast("int").as("rn"))
   }
 
+  /** Token-budget mixture — [[temperatureQuota]]'s production twin:
+    * pretraining mixtures are specified in TOKEN budgets, not document
+    * counts (a ten-word post and a ten-thousand-word article are not
+    * the same unit of training signal). Per-group token mass m_g
+    * (whitespace tokenCount — the cheap estimator face) is
+    * temperature-scaled s_g = round(m_g^tau · 1e6), `totalTokens`
+    * apportions across groups by the exact largest-remainder integer
+    * rule (temperatureQuota's), and within each group documents order
+    * by the same engine-portable keyed hash and are taken while the
+    * RUNNING token count BEFORE the document sits under the group's
+    * quota — budgets exhaust in whole documents (never splitting one),
+    * overshooting each group by at most one document. pow stays at
+    * tau = 0.5-family exponents in the driver contract (sqrt is
+    * correctly rounded in every IEEE engine — the sample_temperature
+    * discipline); null/blank text counts zero tokens.
+    * Output: (idCol, groupCol, n_tokens, cum_before, quota). */
+  def tokenBudgetQuota(docs: DataFrame, groupCol: String, idCol: String,
+      totalTokens: Long, tau: Double, textCol: String = "text"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive: $totalTokens")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    val dec = "decimal(38,0)"
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val withTok = docs.select(col(idCol), col(groupCol),
+      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"))
+    val masses = withTok.groupBy(col(groupCol)).agg(sum("n_tokens").as("m_g"))
+      .withColumn("s",
+        round(pow(col("m_g").cast("double"), lit(tau)) * lit(1e6)).cast("long"))
+    val bigS = sum(col("s")).over(all).cast(dec)
+    val prod = lit(totalTokens).cast(dec) * col("s")
+    val scored = masses
+      .withColumn("base", call_function("div", prod, bigS))
+      .withColumn("rem", prod - col("base") * bigS)
+    val deficit = lit(totalTokens) - sum(col("base")).over(all)
+    val remRank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("rem").desc, col(groupCol).asc))
+    val quotas = scored.select(col(groupCol),
+      (col("base") + when(remRank <= deficit, 1L).otherwise(0L))
+        .cast("long").as("quota"))
+    val P = 1000000007L
+    val h = pmod(pmod(col(idCol), lit(P)) * lit(654435747L), lit(P))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(h.asc, col(idCol).asc)
+    val cumBefore = coalesce(
+      sum(col("n_tokens")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L))
+    withTok
+      .withColumn("cum_before", cumBefore)
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("cum_before") < col("quota"))
+      .select(col(idCol), col(groupCol),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("cum_before"), col("quota"))
+  }
+
   /** Negative sampling for contrastive/recsys training: per user, k
     * pseudo-random items from [0, itemSpace) that the user did NOT
     * interact with. Uses the standard propose-and-drop shape: each

@@ -46,6 +46,41 @@ class CurationSpec extends SparkTestBase {
     assert(got.size === 5)
   }
 
+  test("tokenBudgetQuota: whole-doc take-until-budget, at most one overshoot per group") {
+    import spark.implicits._
+    // group a: 4 docs x 10 tokens (mass 40); group b: 4 docs x 30 (mass 120)
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = (0L until 4L).map(i => (i, "a", words(10, "x"))) ++
+      (10L until 14L).map(i => (i, "b", words(30, "y")))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val got = Curation.tokenBudgetQuota(df, "lang", "doc_id",
+      totalTokens = 80L, tau = 1.0)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // tau=1: quotas proportional to mass -> a: 20 tokens, b: 60
+    val quotaByLang = rows.map(r => (r._2, r._5)).toMap
+    assert(quotaByLang === Map("a" -> 20L, "b" -> 60L))
+    // whole docs, running-count-before-doc rule: a takes 2 docs
+    // (cum_before 0, 10 < 20), b takes 2 (0, 30 < 60; 60 is NOT < 60)
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("a" -> 2, "b" -> 2))
+    rows.foreach(r => assert(r._4 < r._5))
+    // overshoot bound: selected mass < quota + one doc's tokens
+    val massA = rows.filter(_._2 == "a").map(_._3).sum
+    val massB = rows.filter(_._2 == "b").map(_._3).sum
+    assert(massA === 20 && massB === 60)
+    // deterministic across runs
+    val again = Curation.tokenBudgetQuota(df, "lang", "doc_id", 80L, 1.0)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(again === got.collect().map(_.toSeq).sortBy(_.toString))
+    // null/blank text counts zero tokens and never blocks the scan
+    val withNull = (df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
+      ((99L, "a", null.asInstanceOf[String]))).toDF("doc_id", "lang", "text")
+    val g2 = Curation.tokenBudgetQuota(withNull, "lang", "doc_id", 80L, 1.0)
+    assert(g2.filter(col("doc_id") === 99L).collect()
+      .forall(_.getInt(2) == 0))
+  }
+
   test("chunk: stride not covering the tail still reaches the last token") {
     val docs = Seq((1L, (1 to 11).map("t" + _).mkString(" "))).toDF("doc_id", "text")
     val out = Curation.chunk(docs, window = 4, stride = 4).collect()
