@@ -1427,6 +1427,35 @@ object SparkEntry {
     "text_chunk" -> { (s, dir) =>
       Curation.chunk(Tables(s, dir, "documents"), window = 32, stride = 24)
     },
+    "text_c4_line_clean" -> { (s, dir) =>
+      // The ACTUAL C4 line-level rewrite (Raffel §2.2) — the fixture
+      // carries no newlines, so multi-line crawl-style pages are
+      // synthesized from doc_id arithmetic identically in both engines:
+      // a good terminated line, a too-short line, an unterminated line,
+      // a javascript notice (doc_id%4), a double-spaced good line, a
+      // third good line on even docs (page survives at >= 3 sentences),
+      // a lorem-ipsum line (%11) and a brace line (%13) that pass the
+      // LINE rules yet kill the PAGE — pinning that the two rule levels
+      // are independent. concat_ws skips the conditional NULL lines in
+      // both engines.
+      val d = Tables(s, dir, "documents")
+      val b = pmod(col("doc_id"), lit(50L)).cast("string")
+      val u = pmod(col("doc_id"), lit(250L)).cast("string")
+      val text = concat_ws("\n",
+        concat(lit("The first good sentence has plenty of words b"), b, lit(".")),
+        lit("too short."),
+        concat(lit("this line has no terminal punctuation at all u"), u),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          lit("Please enable JavaScript to view the content.")),
+        concat(lit("Another  complete sentence closes the paragraph u"), u, lit("!")),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("A third proper sentence makes the page survive b"), b, lit("."))),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          lit("lorem ipsum dolor sit amet filler text.")),
+        when(pmod(col("doc_id"), lit(13L)) === 0,
+          lit("code sample { return x } end.")))
+      TextAnalysis.c4LineClean(d.select(col("doc_id"), text.as("text")))
+    },
     "text_chunk_sentences" -> { (s, dir) =>
       // Sentence-window RAG chunking over the shared sentence-bearing
       // fixture (the plain fixture carries no punctuation): window 3 /
@@ -6941,6 +6970,32 @@ object SparkEntry {
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sentence_spans" -> sentenceSpansSql,
+    "text_c4_line_clean" ->
+      """WITH syn AS (SELECT doc_id, concat_ws(chr(10),
+        |  'The first good sentence has plenty of words b' || CAST(doc_id % 50 AS VARCHAR) || '.',
+        |  'too short.',
+        |  'this line has no terminal punctuation at all u' || CAST(doc_id % 250 AS VARCHAR),
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Please enable JavaScript to view the content.' END,
+        |  'Another  complete sentence closes the paragraph u' || CAST(doc_id % 250 AS VARCHAR) || '!',
+        |  CASE WHEN doc_id % 2 = 0 THEN 'A third proper sentence makes the page survive b'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '.' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet filler text.' END,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'code sample { return x } end.' END) AS text
+        | FROM documents),
+        |k AS (SELECT doc_id, text, [x FOR x IN
+        |   [TRIM(regexp_replace(l, '[ \t\n\r\f\x0B]+', ' ', 'g'))
+        |    FOR l IN string_split(text, chr(10))]
+        |   IF LEN(x) > 0 AND RIGHT(x, 1) IN ('.', '!', '?', '"')
+        |      AND LEN(string_split(x, ' ')) >= 5
+        |      AND instr(lower(x), 'javascript') = 0] AS kept
+        | FROM syn),
+        |c AS (SELECT doc_id, text, array_to_string(kept, chr(10)) AS cleaned_text,
+        |   CAST(LEN(kept) AS INT) AS n_lines_kept FROM k)
+        |SELECT doc_id, cleaned_text, n_lines_kept,
+        | CAST(LEN(regexp_extract_all(cleaned_text, '[^.!?]+[.!?]+')) AS INT) AS n_sentences,
+        | (LEN(regexp_extract_all(cleaned_text, '[^.!?]+[.!?]+')) >= 3
+        |   AND instr(text, '{') = 0 AND instr(lower(text), 'lorem ipsum') = 0) AS keep_page
+        |FROM c""".stripMargin,
     "text_chunk_sentences" ->
       """WITH syn AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3

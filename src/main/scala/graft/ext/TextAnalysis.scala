@@ -370,6 +370,42 @@ object TextAnalysis {
     * Plan: a single codegen'd projection — zero shuffle, zero UDF; at
     * 100 TB this runs at scan speed and is the cheapest prune in the
     * pipeline, which is exactly where a 40–60% corpus cut belongs. */
+  /** C4 line-level page cleaning (Raffel et al. 2020 §2.2) — the actual
+    * REWRITE the paper applies before span dedup, where
+    * [[qualityFilters]] is the page-level report face. Per line (split
+    * on `\n`, each whitespace-normalized): keep iff it ends in terminal
+    * punctuation (`.` `!` `?` `"` — the qualityFilters set), carries at
+    * least `minWords` words, and does not mention "javascript"
+    * (case-insensitive). The page re-emits as the kept lines joined by
+    * newline; it SURVIVES iff the cleaned text carries at least 3
+    * C4-convention sentences (terminated `[.!?]` runs) and the RAW page
+    * had neither `{` nor "lorem ipsum" (the paper's code/placeholder
+    * page drops). Every input document surfaces — `keep_page` is the
+    * verdict, the cleaned text is usable either way. One codegen'd
+    * projection, zero shuffle at any scale. */
+  def c4LineClean(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1: $minWords")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val kept = filter(
+      transform(lines, l => trim(regexp_replace(l, WhitespaceClass, " "))),
+      l => length(l) > 0 &&
+        call_function("right", l, lit(1)).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= minWords &&
+        instr(lower(l), "javascript") === 0)
+    df.select(col(idCol), t.as("__raw"),
+        array_join(kept, "\n").as("cleaned_text"),
+        size(kept).cast("int").as("n_lines_kept"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("cleaned_text"), lit("[^.!?]+[.!?]+"), lit(0)))
+          .cast("int"))
+      .withColumn("keep_page",
+        col("n_sentences") >= 3 && instr(col("__raw"), "{") === 0 &&
+          instr(lower(col("__raw")), "lorem ipsum") === 0)
+      .drop("__raw")
+  }
+
   def qualityFilters(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     // explicit whitespace class, NOT \s: Java \s matches \x0B while

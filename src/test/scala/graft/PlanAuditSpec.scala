@@ -76,6 +76,9 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_js_sql",              // dq_js_drift's plan through the TVF face
     "dq_cramers_v",           // one-row totals frame x level-grid cells
     "dq_cramers_sql",         // same plan through the TVF face
+    "dq_t_closeness",         // group rows x broadcast category spine + one-row total
+    "dq_tcl_sql",             // same plan through the TVF face
+    "dq_tcl_incremental",     // same audit face over merged stored cell state
     "dq_srm",                 // one-row total frame x arm-sized spine
     "exp_cuped")              // one-row exact power-sums frame x rows
 

@@ -100,6 +100,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(4) === "plain text stays as is")
   }
 
+  test("c4LineClean: line rules rewrite the page, page rules are independent") {
+    import spark.implicits._
+    val pages = Seq(
+      // 3 good lines -> survives; short/unterminated/js lines drop
+      (0L, "One good line with five words here.\nshort.\nno terminal punct line words\n" +
+        "Please enable JavaScript to proceed now.\nSecond good line with enough words too!\n" +
+        "Third  good line with  double spaces inside?"),
+      // only 2 good lines -> keep_page false, cleaned text still emitted
+      (1L, "One good line with five words here.\nSecond good line with enough words too!"),
+      // lorem ipsum kills the page even though its line passes
+      (2L, "One good line with five words here.\nSecond good line with enough words too!\n" +
+        "Third good line with enough words here.\nlorem ipsum dolor sit amet filler text."),
+      // a brace anywhere kills the page
+      (3L, "One good line with five words here.\nSecond good line with enough words too!\n" +
+        "Third good line { braces } with words here."),
+      // quote counts as terminal punctuation
+      (4L, "He said the quoted words end like this \"\nSecond good line with enough words too!\n" +
+        "Third good line with enough words here.\nFourth good line with enough words again."),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineClean(pages).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(got(0L) === (("One good line with five words here.\n" +
+      "Second good line with enough words too!\n" +
+      "Third good line with double spaces inside?", 3, 3, true)))
+    assert(got(1L)._2 === 2 && !got(1L)._4)
+    assert(got(2L)._2 === 4 && !got(2L)._4) // lorem line KEPT, page dropped
+    assert(got(3L)._2 === 3 && !got(3L)._4) // brace line kept, page dropped
+    assert(got(4L)._2 === 4 && got(4L)._4)  // quote-terminated line kept
+    assert(got(5L) === (("", 0, 0, false))) // null text surfaces
+  }
+
   test("piiRedacted: phone pattern is recall-biased BY CONTRACT — ISBN/order-id shapes redact too") {
     import spark.implicits._
     // pinned trade: a missed phone is a privacy leak, a redacted ISBN
