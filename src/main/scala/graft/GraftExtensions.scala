@@ -588,6 +588,31 @@ object GraftExtensions {
         textCol = strLit(args(2), "text_col"))
       out.queryExecution.logical
     }),
+    //   graft_c4_line_clean(docs_view, id_col, text_col, min_words)
+    // C4 line-level page cleaning — same zero-shuffle rewrite
+    // projection as TextAnalysis.c4LineClean.
+    ("graft_c4_line_clean", 4, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.TextAnalysis.c4LineClean(
+        spark.table(strLit(args(0), "docs_view")),
+        idCol = strLit(args(1), "id_col"),
+        textCol = strLit(args(2), "text_col"),
+        minWords = intLit(args(3), "min_words"))
+      out.queryExecution.logical
+    }),
+    //   graft_chunk_sentences(docs_view, id_col, text_col, window, stride)
+    // Sentence-window RAG chunking — same plan as
+    // Curation.chunkBySentences.
+    ("graft_chunk_sentences", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ext.Curation.chunkBySentences(
+        spark.table(strLit(args(0), "docs_view")),
+        window = intLit(args(3), "window"),
+        stride = intLit(args(4), "stride"),
+        idCol = strLit(args(1), "id_col"),
+        textCol = strLit(args(2), "text_col"))
+      out.queryExecution.logical
+    }),
     //   graft_t_closeness(table_view, quasi_csv, sensitive_col, t_nano)
     // t-closeness distribution-leak audit — same broadcast-spine
     // integer-TVD plan as DataQuality.tClosenessRisk.

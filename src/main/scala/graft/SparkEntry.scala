@@ -1436,25 +1436,26 @@ object SparkEntry {
       // third good line on even docs (page survives at >= 3 sentences),
       // a lorem-ipsum line (%11) and a brace line (%13) that pass the
       // LINE rules yet kill the PAGE — pinning that the two rule levels
-      // are independent. concat_ws skips the conditional NULL lines in
-      // both engines.
-      val d = Tables(s, dir, "documents")
-      val b = pmod(col("doc_id"), lit(50L)).cast("string")
-      val u = pmod(col("doc_id"), lit(250L)).cast("string")
-      val text = concat_ws("\n",
-        concat(lit("The first good sentence has plenty of words b"), b, lit(".")),
-        lit("too short."),
-        concat(lit("this line has no terminal punctuation at all u"), u),
-        when(pmod(col("doc_id"), lit(4L)) === 0,
-          lit("Please enable JavaScript to view the content.")),
-        concat(lit("Another  complete sentence closes the paragraph u"), u, lit("!")),
-        when(pmod(col("doc_id"), lit(2L)) === 0,
-          concat(lit("A third proper sentence makes the page survive b"), b, lit("."))),
-        when(pmod(col("doc_id"), lit(11L)) === 0,
-          lit("lorem ipsum dolor sit amet filler text.")),
-        when(pmod(col("doc_id"), lit(13L)) === 0,
-          lit("code sample { return x } end.")))
-      TextAnalysis.c4LineClean(d.select(col("doc_id"), text.as("text")))
+      // are independent (fixture shared via c4LineFixture).
+      TextAnalysis.c4LineClean(c4LineFixture(Tables(s, dir, "documents")))
+    },
+    "text_c4_line_sql" -> { (s, dir) =>
+      // The C4 line rewrite through its SQL TVF face — same plan,
+      // shares text_c4_line_clean's fixture and oracle.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_c4l_v",
+        c4LineFixture(Tables(s, dir, "documents"))) { v =>
+        s.sql(s"SELECT * FROM graft_c4_line_clean('$v', 'doc_id', 'text', 5)")
+      }
+    },
+    "text_chunk_sent_sql" -> { (s, dir) =>
+      // Sentence chunking through its SQL TVF face — same plan, shares
+      // text_chunk_sentences's fixture and oracle.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_cs_v",
+        sentenceSpanFixture(Tables(s, dir, "documents"))) { v =>
+        s.sql(s"SELECT * FROM graft_chunk_sentences('$v', 'doc_id', 'text', 3, 2)")
+      }
     },
     "text_chunk_sentences" -> { (s, dir) =>
       // Sentence-window RAG chunking over the shared sentence-bearing
@@ -4841,6 +4842,32 @@ object SparkEntry {
     d.select(col("doc_id"), text.as("text"))
   }
 
+  /** Shared multi-line crawl-style fixture for the C4 line-clean
+    * family: a good terminated line, a too-short line, an unterminated
+    * line, a javascript notice (doc_id%4), a double-spaced good line, a
+    * third good line on even docs (page survives at >= 3 sentences), a
+    * lorem-ipsum line (%11) and a brace line (%13) that pass the LINE
+    * rules yet kill the PAGE. concat_ws skips the conditional NULL
+    * lines in both engines. */
+  private def c4LineFixture(d: DataFrame): DataFrame = {
+    val b = pmod(col("doc_id"), lit(50L)).cast("string")
+    val u = pmod(col("doc_id"), lit(250L)).cast("string")
+    val text = concat_ws("\n",
+      concat(lit("The first good sentence has plenty of words b"), b, lit(".")),
+      lit("too short."),
+      concat(lit("this line has no terminal punctuation at all u"), u),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        lit("Please enable JavaScript to view the content.")),
+      concat(lit("Another  complete sentence closes the paragraph u"), u, lit("!")),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+        concat(lit("A third proper sentence makes the page survive b"), b, lit("."))),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        lit("lorem ipsum dolor sit amet filler text.")),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit("code sample { return x } end.")))
+    d.select(col("doc_id"), text.as("text"))
+  }
+
   /** Shared fixture for the dictionary-tag/blocklist family: the
     * fixture vocabulary carries no blockable terms, so case- and
     * punctuation-bearing splices ride doc_id-derived buckets —
@@ -6970,61 +6997,10 @@ object SparkEntry {
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_sentence_spans" -> sentenceSpansSql,
-    "text_c4_line_clean" ->
-      """WITH syn AS (SELECT doc_id, concat_ws(chr(10),
-        |  'The first good sentence has plenty of words b' || CAST(doc_id % 50 AS VARCHAR) || '.',
-        |  'too short.',
-        |  'this line has no terminal punctuation at all u' || CAST(doc_id % 250 AS VARCHAR),
-        |  CASE WHEN doc_id % 4 = 0 THEN 'Please enable JavaScript to view the content.' END,
-        |  'Another  complete sentence closes the paragraph u' || CAST(doc_id % 250 AS VARCHAR) || '!',
-        |  CASE WHEN doc_id % 2 = 0 THEN 'A third proper sentence makes the page survive b'
-        |    || CAST(doc_id % 50 AS VARCHAR) || '.' END,
-        |  CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet filler text.' END,
-        |  CASE WHEN doc_id % 13 = 0 THEN 'code sample { return x } end.' END) AS text
-        | FROM documents),
-        |k AS (SELECT doc_id, text, [x FOR x IN
-        |   [TRIM(regexp_replace(l, '[ \t\n\r\f\x0B]+', ' ', 'g'))
-        |    FOR l IN string_split(text, chr(10))]
-        |   IF LEN(x) > 0 AND RIGHT(x, 1) IN ('.', '!', '?', '"')
-        |      AND LEN(string_split(x, ' ')) >= 5
-        |      AND instr(lower(x), 'javascript') = 0] AS kept
-        | FROM syn),
-        |c AS (SELECT doc_id, text, array_to_string(kept, chr(10)) AS cleaned_text,
-        |   CAST(LEN(kept) AS INT) AS n_lines_kept FROM k)
-        |SELECT doc_id, cleaned_text, n_lines_kept,
-        | CAST(LEN(regexp_extract_all(cleaned_text, '[^.!?]+[.!?]+')) AS INT) AS n_sentences,
-        | (LEN(regexp_extract_all(cleaned_text, '[^.!?]+[.!?]+')) >= 3
-        |   AND instr(text, '{') = 0 AND instr(lower(text), 'lorem ipsum') = 0) AS keep_page
-        |FROM c""".stripMargin,
-    "text_chunk_sentences" ->
-      """WITH syn AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 3
-        |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
-        |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
-        |      ELSE '' END
-        |  END AS text
-        | FROM documents),
-        |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
-        |       FROM syn WHERE text IS NOT NULL),
-        |s1 AS (SELECT doc_id, [x FOR x IN
-        |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
-        |  IF LEN(x) > 0] AS ss FROM s0),
-        |n AS (SELECT doc_id, ss,
-        |   CASE WHEN LEN(ss) <= 3 THEN 1
-        |        ELSE CAST(CEIL(CAST(LEN(ss) - 3 AS DOUBLE) / 2) AS BIGINT) + 1 END AS nc
-        |  FROM s1 WHERE LEN(ss) > 0),
-        |e AS (SELECT doc_id, ss, unnest(generate_series(0, nc - 1)) AS i FROM n)
-        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
-        | array_to_string(ss[i*2+1 : i*2+3], ' ') AS chunk_text,
-        | CAST(LEN(ss[i*2+1 : i*2+3]) AS INT) AS n_sentences,
-        | CAST(LEN(regexp_split_to_array(TRIM(array_to_string(ss[i*2+1 : i*2+3], ' ')),
-        |   '[ \t\n\r\f\x0B]+')) AS INT) AS n_tokens
-        |FROM e""".stripMargin,
+    "text_c4_line_sql" -> c4LineCleanSql,
+    "text_chunk_sent_sql" -> chunkSentencesSql,
+    "text_c4_line_clean" -> c4LineCleanSql,
+    "text_chunk_sentences" -> chunkSentencesSql,
     "dedup_sentence_incremental" -> sentenceSpansSql,
     "dedup_sentence_sql" -> sentenceSpansSql,
     "dedup_span_remove" -> spanRemoveSql,
@@ -8646,6 +8622,68 @@ object SparkEntry {
     * replays split + normalize + positioned md5 windows. `d` carries
     * EVERY non-NULL-text doc (short docs included — the n_spans=0
     * contract); `sp` carries (doc_id, pos, h) per 3-window. */
+  /** Shared by text_c4_line_clean / text_c4_line_sql: replays the
+    * c4LineFixture synthesis, the per-line keep rules, and the page
+    * verdict. */
+  private def c4LineCleanSql: String =
+    """WITH syn AS (SELECT doc_id, concat_ws(chr(10),
+      |  'The first good sentence has plenty of words b' || CAST(doc_id % 50 AS VARCHAR) || '.',
+      |  'too short.',
+      |  'this line has no terminal punctuation at all u' || CAST(doc_id % 250 AS VARCHAR),
+      |  CASE WHEN doc_id % 4 = 0 THEN 'Please enable JavaScript to view the content.' END,
+      |  'Another  complete sentence closes the paragraph u' || CAST(doc_id % 250 AS VARCHAR) || '!',
+      |  CASE WHEN doc_id % 2 = 0 THEN 'A third proper sentence makes the page survive b'
+      |    || CAST(doc_id % 50 AS VARCHAR) || '.' END,
+      |  CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet filler text.' END,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'code sample { return x } end.' END) AS text
+      | FROM documents),
+      |k AS (SELECT doc_id, text, [x FOR x IN
+      |   [TRIM(regexp_replace(l, '[ \t\n\r\f\x0B]+', ' ', 'g'))
+      |    FOR l IN string_split(text, chr(10))]
+      |   IF LEN(x) > 0 AND RIGHT(x, 1) IN ('.', '!', '?', '"')
+      |      AND LEN(string_split(x, ' ')) >= 5
+      |      AND instr(lower(x), 'javascript') = 0] AS kept
+      | FROM syn),
+      |c AS (SELECT doc_id, text, array_to_string(kept, chr(10)) AS cleaned_text,
+      |   CAST(LEN(kept) AS INT) AS n_lines_kept FROM k)
+      |SELECT doc_id, cleaned_text, n_lines_kept,
+      | CAST(LEN(regexp_extract_all(cleaned_text, '[^.!?]+[.!?]+')) AS INT) AS n_sentences,
+      | (LEN(regexp_extract_all(cleaned_text, '[^.!?]+[.!?]+')) >= 3
+      |   AND instr(text, '{') = 0 AND instr(lower(text), 'lorem ipsum') = 0) AS keep_page
+      |FROM c""".stripMargin
+
+  /** Shared by text_chunk_sentences / text_chunk_sent_sql: replays the
+    * sentence fixture + split + identical slice arithmetic. */
+  private def chunkSentencesSql: String =
+    """WITH syn AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 3
+      |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
+      |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
+      |      ELSE '' END
+      |  END AS text
+      | FROM documents),
+      |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
+      |       FROM syn WHERE text IS NOT NULL),
+      |s1 AS (SELECT doc_id, [x FOR x IN
+      |  [TRIM(regexp_replace(y, '[ \t\n\r\f\x0B]+', ' ', 'g')) FOR y IN raw]
+      |  IF LEN(x) > 0] AS ss FROM s0),
+      |n AS (SELECT doc_id, ss,
+      |   CASE WHEN LEN(ss) <= 3 THEN 1
+      |        ELSE CAST(CEIL(CAST(LEN(ss) - 3 AS DOUBLE) / 2) AS BIGINT) + 1 END AS nc
+      |  FROM s1 WHERE LEN(ss) > 0),
+      |e AS (SELECT doc_id, ss, unnest(generate_series(0, nc - 1)) AS i FROM n)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      | array_to_string(ss[i*2+1 : i*2+3], ' ') AS chunk_text,
+      | CAST(LEN(ss[i*2+1 : i*2+3]) AS INT) AS n_sentences,
+      | CAST(LEN(regexp_split_to_array(TRIM(array_to_string(ss[i*2+1 : i*2+3], ' ')),
+      |   '[ \t\n\r\f\x0B]+')) AS INT) AS n_tokens
+      |FROM e""".stripMargin
+
   private def sentenceSpanCtes: String =
     """WITH syn AS (SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3
