@@ -3387,6 +3387,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     },
+    "etl_zorder_prune_scan" -> { (s0, dir) =>
+      // Z-ORDER 2-D data skipping, oracle-checked end to end: orders
+      // z-clustered on (o_custkey, order_day) into aligned Morton
+      // tiles, a stats manifest built over BOTH columns, and a 2-D box
+      // query pruned to the files whose rectangles intersect the box
+      // on EACH dimension (file-set intersection — planning cost is
+      // #files rows). Pruned scan + residual box filter == full scan +
+      // filter (the etl_manifest_prune_scan discipline, now skipping
+      // on both dimensions at once — a 1-D sort cannot; ZOrderSpec
+      // pins the skipping rate itself).
+      val s = s0
+      val orders = Tables(s, dir, "orders").withColumn("order_day",
+        expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400"))
+      val outDir = scratchDir("graft_zorder_").toString
+      graft.ops.ZOrder.zOrderWrite(orders, "o_custkey", "order_day", outDir)
+      val manifest = graft.ops.Manifest.statsManifest(s, outDir,
+        Seq("o_custkey", "order_day")).cache()
+      try {
+        val (loK, hiK) = (100L, 600L)
+        val loD = java.time.LocalDate.parse("1997-03-15").toEpochDay
+        val hiD = java.time.LocalDate.parse("1998-06-15").toEpochDay
+        val files = graft.ops.Manifest
+          .prunedFiles(manifest, "o_custkey", lit(loK), lit(hiK))
+          .join(graft.ops.Manifest
+            .prunedFiles(manifest, "order_day", lit(loD), lit(hiD)), "file")
+          .collect().map(_.getString(0)).sorted // control-plane: #files rows
+        require(files.nonEmpty, "z-order pruning must retain at least one file")
+        s.read.parquet(files.toIndexedSeq: _*)
+          .filter(col("o_custkey").between(loK, hiK) &&
+            col("order_day").between(loD, hiD))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      } finally manifest.unpersist()
+    },
     "etl_bloom_prune_scan" -> { (s0, dir) =>
       // Per-file Bloom-index pruning, the point-lookup complement of
       // etl_manifest_prune: orders staged one file per year, a bloom
@@ -7277,6 +7312,15 @@ object SparkEntry {
         |FROM orders GROUP BY 1
         |HAVING MAX(o_orderdate) >= TIMESTAMP '1997-03-15'
         |   AND MIN(o_orderdate) <= TIMESTAMP '1998-06-15'""".stripMargin,
+    "etl_zorder_prune_scan" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 600
+        |  AND CAST(epoch(o_orderdate) AS BIGINT) // 86400
+        |      BETWEEN CAST(epoch(TIMESTAMP '1997-03-15') AS BIGINT) // 86400
+        |          AND CAST(epoch(TIMESTAMP '1998-06-15') AS BIGINT) // 86400
+        |GROUP BY 1""".stripMargin,
     "etl_manifest_prune_scan" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

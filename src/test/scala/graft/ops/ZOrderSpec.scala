@@ -65,6 +65,33 @@ class ZOrderSpec extends SparkTestBase {
       df.agg(sum("x"), sum("y")).head)
   }
 
+  test("2-D manifest intersection prunes a box to a corner of the tile grid") {
+    val df = (1L to 50000L).map { i =>
+      val x = (i * 2654435761L % 100003L).toDouble
+      val y = (i * 972663749L % 100019L).toDouble
+      (i, x, y)
+    }.toDF("id", "x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder2d").toString + "/t"
+    ZOrder.zOrderWrite(df, "x", "y", zDir, prefixBits = 4)
+    val manifest = Manifest.statsManifest(spark, zDir, Seq("x", "y"))
+    val total = manifest.count()
+    // quarter box on each dimension -> the intersection keeps roughly a
+    // corner of the 4x4 aligned grid, far fewer files than either 1-D cut
+    val kept = Manifest.prunedFiles(manifest, "x", lit(1000.0), lit(24000.0))
+      .join(Manifest.prunedFiles(manifest, "y", lit(1000.0), lit(24000.0)), "file")
+    val keptFiles = kept.collect().map(_.getString(0))
+    assert(total >= 16L, s"expected >= 16 files, got $total")
+    assert(keptFiles.nonEmpty && keptFiles.length <= total / 4,
+      s"2-D intersection kept ${keptFiles.length} of $total files")
+    // pruned scan + residual filter == full filter (no rows lost)
+    val full = df.filter(col("x").between(1000.0, 24000.0) &&
+      col("y").between(1000.0, 24000.0)).count()
+    val pruned = spark.read.parquet(keptFiles.toIndexedSeq: _*)
+      .filter(col("x").between(1000.0, 24000.0) &&
+        col("y").between(1000.0, 24000.0)).count()
+    assert(pruned === full)
+  }
+
   test("zValue: interleaved code is monotone in each dimension's bucket") {
     val bounds = (1 until 256).map(_.toDouble).toArray
     val df = Seq((10.0, 10.0), (10.0, 200.0), (200.0, 10.0), (200.0, 200.0))
