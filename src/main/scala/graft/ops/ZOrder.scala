@@ -68,8 +68,10 @@ object ZOrder {
     require(prefixBits >= 2 && prefixBits <= 8 && prefixBits % 2 == 0,
       s"prefixBits must be even in [2,8], got $prefixBits")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val Seq(aB, bB) = Seq(colA, colB).map(c =>
-      df.stat.approxQuantile(c, probs, 0.001))
+    // one sampling pass for BOTH dimensions (the multi-column
+    // approxQuantile overload) — at 100 TB the boundary scan is the
+    // dominant planning cost and it should be paid once, not per axis
+    val Array(aB, bB) = df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
     val withZ = df.withColumn("__zval", zValue(col(colA), aB, col(colB), bB))
       .withColumn("__zp", shiftright(col("__zval"), 16 - prefixBits))
     withZ
