@@ -1395,15 +1395,14 @@ object SparkEntry {
       // Curation.dictionaryTags (plan parity in GraftExtensionsSpec);
       // shares text_dict_tag's fixture and oracle.
       graft.GraftExtensions.register(s)
-      val v = freshViewName("graft_dict_v")
-      Tables(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), dictTagSalted.as("text"))
-        .createOrReplaceTempView(v)
-      try s.sql(s"""
-        SELECT * FROM graft_dict_tag('$v', 'doc_id', 'text',
-          '${dictTagFixture.mkString(",")}')
-      """)
-      finally s.catalog.dropTempView(v)
+      withFreshView(s, "graft_dict_v",
+        Tables(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), dictTagSalted.as("text"))) { v =>
+        s.sql(s"""
+          SELECT * FROM graft_dict_tag('$v', 'doc_id', 'text',
+            '${dictTagFixture.mkString(",")}')
+        """)
+      }
     },
     "text_blocklist_filter" -> { (s, dir) =>
       // The C4 badwords PAGE FILTER itself (Raffel §2.2: drop any page
@@ -3387,7 +3386,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     },
-    "etl_zorder_prune_scan" -> { (s0, dir) =>
+    "etl_zorder_prune_scan" -> { (s, dir) =>
       // Z-ORDER 2-D data skipping, oracle-checked end to end: orders
       // z-clustered on (o_custkey, order_day) into aligned Morton
       // tiles, a stats manifest built over BOTH columns, and a 2-D box
@@ -3397,7 +3396,6 @@ object SparkEntry {
       // filter (the etl_manifest_prune_scan discipline, now skipping
       // on both dimensions at once — a 1-D sort cannot; ZOrderSpec
       // pins the skipping rate itself).
-      val s = s0
       val orders = Tables(s, dir, "orders").withColumn("order_day",
         expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400"))
       val outDir = scratchDir("graft_zorder_").toString
@@ -8697,20 +8695,11 @@ object SparkEntry {
       |FROM c""".stripMargin
 
   /** Shared by text_chunk_sentences / text_chunk_sent_sql: replays the
-    * sentence fixture + split + identical slice arithmetic. */
+    * sentence fixture + split + identical slice arithmetic (the `syn`
+    * synthesis is single-sourced with sentenceSpanCtes — both replay
+    * sentenceSpanFixture, so they can never desynchronize). */
   private def chunkSentencesSql: String =
-    """WITH syn AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 7 = 3
-      |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
-      |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
-      |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
-      |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
-      |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
-      |    CASE WHEN doc_id % 2 = 0
-      |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
-      |      ELSE '' END
-      |  END AS text
-      | FROM documents),
+    sentenceFixtureCte + """,
       |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
       |       FROM syn WHERE text IS NOT NULL),
       |s1 AS (SELECT doc_id, [x FOR x IN
@@ -8728,19 +8717,24 @@ object SparkEntry {
       |   '[ \t\n\r\f\x0B]+')) AS INT) AS n_tokens
       |FROM e""".stripMargin
 
-  private def sentenceSpanCtes: String =
+  /** The sentenceSpanFixture synthesis as a SQL CTE — the single source
+    * every sentence-family oracle (span dedup, chunking) builds on. */
+  private def sentenceFixtureCte: String =
     """WITH syn AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 3
-        |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
-        |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
-        |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
-        |      ELSE '' END
-        |  END AS text
-        | FROM documents),
+      |  CASE WHEN doc_id % 7 = 3
+      |   THEN 'solo ' || CAST(doc_id % 250 AS VARCHAR) || '.'
+      |   ELSE 'alpha ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '. beta ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '! gamma ' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '. delta ' || CAST(doc_id % 250 AS VARCHAR) || '?' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' omega ' || CAST(doc_id % 50 AS VARCHAR) || '.'
+      |      ELSE '' END
+      |  END AS text
+      | FROM documents)""".stripMargin
+
+  private def sentenceSpanCtes: String =
+    sentenceFixtureCte + """,
         |s0 AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]+') AS raw
         |       FROM syn WHERE text IS NOT NULL),
         |s1 AS (SELECT doc_id, [x FOR x IN

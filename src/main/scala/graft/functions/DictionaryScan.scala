@@ -119,17 +119,29 @@ object DictionaryScan {
     sb.toString
   }
 
-  /** Aho-Corasick automaton over char keys. Dense root dispatch is not
-    * needed at dictionary scale — per-node HashMaps keep the build
-    * simple and the scan O(chars) amortized. */
+  /** Aho-Corasick automaton frozen into primitive arrays for the
+    * per-row scan (this runs once per DOCUMENT CHAR at corpus scale —
+    * no boxing, no hashing): the root gets a dense 64K char → state
+    * table (one per executor, 256 KB); every other node keeps its
+    * transitions as a sorted char array + parallel target array probed
+    * by binary search (nodes average a handful of edges). */
   final class Automaton(
-      next: Array[java.util.HashMap[Character, Integer]],
+      rootNext: Array[Int], // dense: char -> state (or 0)
+      nodeChars: Array[Array[Char]],
+      nodeTargets: Array[Array[Int]],
       fail: Array[Int],
       // per node: phrase ids whose last char lands here (after output-
       // link merging), paired with their lengths for boundary checks
       outIds: Array[Array[Int]],
       outLens: Array[Array[Int]],
       nPhrases: Int) extends Serializable {
+
+    private def step(st: Int, c: Char): Int =
+      if (st == 0) rootNext(c)
+      else {
+        val idx = java.util.Arrays.binarySearch(nodeChars(st), c)
+        if (idx >= 0) nodeTargets(st)(idx) else -1
+      }
 
     /** Distinct ids of phrases occurring whole-token in the normalized
       * stream (flanked by space/edge), in first-match order. */
@@ -140,11 +152,11 @@ object DictionaryScan {
       var i = 0
       val n = s.length
       while (i < n) {
-        val c = Character.valueOf(s.charAt(i))
+        val c = s.charAt(i)
         var st = state
-        var nx = next(st).get(c)
-        while (nx == null && st != 0) { st = fail(st); nx = next(st).get(c) }
-        state = if (nx == null) 0 else nx.intValue()
+        var nx = step(st, c)
+        while (nx < 0 && st != 0) { st = fail(st); nx = step(st, c) }
+        state = if (nx < 0) 0 else nx
         val ids = outIds(state)
         if (ids.length > 0 && (i + 1 == n || s.charAt(i + 1) == ' ')) {
           val lens = outLens(state)
@@ -203,7 +215,22 @@ object DictionaryScan {
         queue.add(v.intValue())
       }
     }
-    new Automaton(next.toArray, fail,
+    // freeze into the scan-time primitive form (see Automaton)
+    val rootNext = new Array[Int](Char.MaxValue + 1)
+    next(0).forEach { (c, v) => rootNext(c.charValue()) = v.intValue() }
+    val nodeChars = new Array[Array[Char]](next.length)
+    val nodeTargets = new Array[Array[Int]](next.length)
+    var ni = 0
+    while (ni < next.length) {
+      val entries = new Array[(Char, Int)](next(ni).size())
+      var e = 0
+      next(ni).forEach { (c, v) => entries(e) = (c.charValue(), v.intValue()); e += 1 }
+      java.util.Arrays.sort(entries, Ordering.by((t: (Char, Int)) => t._1))
+      nodeChars(ni) = entries.map(_._1)
+      nodeTargets(ni) = entries.map(_._2)
+      ni += 1
+    }
+    new Automaton(rootNext, nodeChars, nodeTargets, fail,
       outI.map(_.toArray).toArray, outL.map(_.toArray).toArray, phrases.length)
   }
 }

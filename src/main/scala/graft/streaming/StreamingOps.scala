@@ -1379,9 +1379,15 @@ object StreamingOps {
   /** The full persisted LSH index as one frame (for batch backfills
     * sharing the gate's index, audits, or downstream joins). */
   def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): DataFrame = {
+      stateDir: String): DataFrame =
+    readCommittedIndex(spark, stateDir, "dedup index")
+
+  /** Shared committed-index read: compaction base (if any) + every
+    * committed delta, resolved from the two markers alone. */
+  private def readCommittedIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, what: String): DataFrame = {
     val paths = dedupIndexPaths(stateDir)
-    require(paths.nonEmpty, s"no committed dedup index under $stateDir")
+    require(paths.nonEmpty, s"no committed $what under $stateDir")
     spark.read.parquet(paths: _*)
   }
 
@@ -1452,13 +1458,11 @@ object StreamingOps {
   }
 
   /** The full committed postings index as one frame (compaction base +
-    * committed deltas). */
+    * committed deltas — one read path shared with the dedup gate, so
+    * the two can never diverge on delta/floor resolution). */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): DataFrame = {
-    val paths = dedupIndexPaths(stateDir)
-    require(paths.nonEmpty, s"no committed IVF index under $stateDir")
-    spark.read.parquet(paths: _*)
-  }
+      stateDir: String): DataFrame =
+    readCommittedIndex(spark, stateDir, "IVF index")
 
   /** Serve a query set from the committed index with ZERO fits — the
     * same probe/re-rank plan as the batch faces. */

@@ -73,12 +73,15 @@ class CurationSpec extends SparkTestBase {
     val again = Curation.tokenBudgetQuota(df, "lang", "doc_id", 80L, 1.0)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(again === got.collect().map(_.toSeq).sortBy(_.toString))
-    // null/blank text counts zero tokens and never blocks the scan
+    // null/blank text counts zero tokens: with a budget covering every
+    // token, the null-text doc MUST surface (cum_before < quota) and
+    // report n_tokens = 0 — a regression to size(null) = -1/null would
+    // either drop the row or fail the 0 check
     val withNull = (df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq :+
       ((99L, "a", null.asInstanceOf[String]))).toDF("doc_id", "lang", "text")
-    val g2 = Curation.tokenBudgetQuota(withNull, "lang", "doc_id", 80L, 1.0)
-    assert(g2.filter(col("doc_id") === 99L).collect()
-      .forall(_.getInt(2) == 0))
+    val g2 = Curation.tokenBudgetQuota(withNull, "lang", "doc_id", 200L, 1.0)
+      .filter(col("doc_id") === 99L).collect()
+    assert(g2.length === 1 && g2(0).getInt(2) === 0)
   }
 
   test("chunk: stride not covering the tail still reaches the last token") {
