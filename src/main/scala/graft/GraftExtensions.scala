@@ -68,6 +68,8 @@ object GraftExtensions {
     ("jaro_similarity", 2, args => JaroSimilarity(args(0), args(1))),
     ("damerau_levenshtein", 2, args => DamerauLevenshtein(args(0), args(1))),
     ("porter_stem", 1, args => PorterStemExpr(args(0))),
+    ("dictionary_tags", 2, args => DictionaryTags(args(0),
+      strLit(args(1), "phrases_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq)),
   )
 
   private def strLit(e: Expression, what: String): String = e match {

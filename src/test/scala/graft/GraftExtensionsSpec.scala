@@ -266,6 +266,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       === rows(graft.ops.Relational.giniPerGroup(wealth, Seq("grp"), "w", 100L)))
   }
 
+  test("dictionary_tags scalar function matches the Column face") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq("try Online, CASINO bonus? now", "order only", "")
+      .toDF("text").createOrReplaceTempView("dict_scalar_t")
+    val rows = spark.sql(
+      "SELECT dictionary_tags(text, 'online casino,casino bonus,ord') FROM dict_scalar_t")
+      .collect().map(_.getSeq[String](0).mkString(","))
+    assert(rows.toSeq === Seq("casino bonus,online casino", "", ""))
+  }
+
   test("graft_dict_tag TVF equals the Scala face") {
     GraftExtensions.register(spark)
     import spark.implicits._
