@@ -533,6 +533,23 @@ object SparkEntry {
       graft.ops.Experiment.cuped(o, "o_totalprice", "x_pre")
         .select(col("o_orderkey"), col("theta_micro"), col("y_adj_micro"))
     },
+    "exp_conformal" -> { (s, dir) =>
+      // Split conformal intervals: a synthetic scorer (actual +
+      // deterministic doc-derived noise in [-48, 48]) is "predicted"
+      // identically in both engines; the %3==0 slice calibrates, the
+      // %3==1 slice receives ŷ ± q̂ at α = 0.1 — q̂ is the exact
+      // ⌈(n+1)·0.9⌉-th smallest |residual|, so every output value is an
+      // exact integer the oracle recomputes from the same arithmetic.
+      val scored = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+          .cast("double")).as("pred"),
+        col("o_totalprice").as("actual"))
+      graft.ops.Experiment.conformalIntervals(
+        scored.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        scored.filter(pmod(col("o_orderkey"), lit(3L)) === 1),
+        "pred", "actual", alphaMicro = 100000L, idCol = "o_orderkey")
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -6515,6 +6532,25 @@ object SparkEntry {
         |   * (CAST(n_obs AS HUGEINT) * 3 - CAST(n AS HUGEINT) * w)
         |   * 1000000 // (CAST(n AS HUGEINT) * w * 3) AS BIGINT) END AS srm_cell_micro
         |FROM f, t""".stripMargin,
+    "exp_conformal" ->
+      """WITH sc AS (SELECT o_orderkey,
+        |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS pred,
+        |   o_totalprice AS actual FROM orders),
+        |r AS (SELECT ABS(CAST(FLOOR(pred * 1000000 + 0.5) AS BIGINT)
+        |        - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)) AS r
+        |      FROM sc WHERE o_orderkey % 3 = 0),
+        |h AS (SELECT r, COUNT(*) AS c FROM r GROUP BY 1),
+        |cu AS (SELECT r, SUM(c) OVER (ORDER BY r
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       SUM(c) OVER () AS n FROM h),
+        |q AS (SELECT MIN(r) AS qhat FROM cu
+        |      WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
+        |SELECT sc.o_orderkey,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) AS pred_micro,
+        | CAST(q.qhat AS BIGINT) AS qhat_micro,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
+        |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin,
     "exp_cuped" ->
       """WITH e AS (SELECT o_orderkey,
         |   CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS ym,

@@ -109,4 +109,70 @@ object Experiment {
             .cast("long")))
       .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
   }
+
+  /** Split conformal prediction intervals (Vovk et al. 2005; Lei et al.
+    * 2018, "Distribution-Free Predictive Inference for Regression"):
+    * given a CALIBRATION frame of (prediction, actual) and a TEST frame
+    * of predictions, emit ŷ ± q̂ where q̂ is the k-th smallest absolute
+    * calibration residual with k = ⌈(n+1)(1−α)⌉ — finite-sample
+    * marginal coverage P(y ∈ interval) ≥ 1−α for exchangeable data,
+    * with NO distributional assumption. The model-agnostic uncertainty
+    * wrapper every scored-output pipeline can afford.
+    *
+    * Exactness: predictions/actuals micro-quantize first (floor(x·1e6
+    * + 0.5), the quantizeInt8 discipline), residuals are exact int64,
+    * k comes from exact integer ceil-division, and q̂ is an exact order
+    * statistic off a distinct-residual histogram + cumulative window
+    * (the weightedQuantileFromState topology; cells are distinct
+    * residual magnitudes — calibration sets are bounded by
+    * construction in split conformal, so one cell partition is the
+    * right plan; a corpus-sized calibration would swap in the ksDrift
+    * range-partition discipline). q̂/n/k resolve to ONE control-plane
+    * row collected at build (the bloom-TVF precedent) and ride the
+    * test projection as literals — zero shuffle on the test side.
+    *
+    * Fail-loud: k > n (calibration too small for the requested α —
+    * n ≥ ⌈1/α⌉ − 1 is the Lei et al. minimum) throws rather than
+    * emitting a silently-infinite interval.
+    *
+    * Output: test rows + (pred_micro, qhat_micro, lo_micro, hi_micro).
+    */
+  def conformalIntervals(calib: DataFrame, test: DataFrame,
+      predCol: String, actualCol: String,
+      alphaMicro: Long = 100000L, idCol: String = "id"): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val M = 1000000L
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * M + 0.5).cast("long")
+    val hist = calib
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(abs(micro(col(predCol)) - micro(col(actualCol))).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy("r")
+      .rowsBetween(Long.MinValue, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val dec = "decimal(38,0)"
+    val qRow = hist
+      .withColumn("cum", sum("c").over(win))
+      .withColumn("n", sum("c").over(all))
+      .withColumn("k", call_function("div",
+        (col("n").cast(dec) + 1L) * lit(M - alphaMicro) + lit(M - 1L), lit(M))
+        .cast("long"))
+      .filter(col("cum") >= col("k"))
+      .agg(min("r").as("qhat"), max("n").as("n"), max("k").as("k"))
+      .collect() // ONE row: (qhat, n, k) — control-plane by design
+    val (qhat, n, k) = qRow.headOption match {
+      case Some(row) if !row.isNullAt(0) =>
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      case _ => throw new IllegalStateException(
+        "conformal calibration is empty or too small for alpha: " +
+          s"need n >= ceil(1/alpha) - 1 residuals (alphaMicro=$alphaMicro)")
+    }
+    require(k <= n, s"unreachable: k=$k > n=$n survived the cumulative filter")
+    test.select(col(idCol), micro(col(predCol)).as("pred_micro"))
+      .withColumn("qhat_micro", lit(qhat))
+      .withColumn("lo_micro", col("pred_micro") - qhat)
+      .withColumn("hi_micro", col("pred_micro") + qhat)
+  }
 }

@@ -75,4 +75,46 @@ class ExperimentSpec extends SparkTestBase {
     assert(got.map(_.getLong(4)).toSeq ===
       Seq(7000000L, 9000000L, 9000000L, 7000000L))
   }
+
+  test("conformal: qhat is the exact ceil((n+1)(1-alpha))-th residual") {
+    import spark.implicits._
+    // residuals 1..10 (n=10); alpha=0.2 -> k = ceil(11*0.8) = 9 -> qhat=9
+    val calib = (1 to 10).map(i => (i.toLong, 100.0 + i, 100.0))
+      .toDF("id", "pred", "actual")
+    val test0 = Seq((99L, 50.0)).toDF("id", "pred")
+    val got = Experiment.conformalIntervals(calib, test0, "pred", "actual",
+      alphaMicro = 200000L).head()
+    assert(got.getLong(1) === 50000000L)  // pred_micro
+    assert(got.getLong(2) === 9000000L)   // qhat = 9 in micro
+    assert(got.getLong(3) === 41000000L && got.getLong(4) === 59000000L)
+  }
+
+  test("conformal: marginal coverage >= 1 - alpha on an exchangeable holdout") {
+    import spark.implicits._
+    // noisy scorer: pred = actual + hash-noise in [-50, 50]; calibration
+    // and evaluation slices are exchangeable by construction
+    def noise(i: Long): Double = ((i * 2654435761L) % 101L - 50L).toDouble
+    val rows = (1L to 3000L).map(i => (i, 1000.0 + (i % 37), 1000.0 + (i % 37) + noise(i)))
+      .toDF("id", "actual", "pred")
+    val calib = rows.filter($"id" % 2 === 0)
+    val eval0 = rows.filter($"id" % 2 === 1)
+    val iv = Experiment.conformalIntervals(calib, eval0, "pred", "actual",
+      alphaMicro = 100000L)
+    val joined = iv.join(eval0.select($"id", ($"actual" * 1000000).cast("long").as("am")), "id")
+    val n = joined.count()
+    val covered = joined.filter($"am" >= $"lo_micro" && $"am" <= $"hi_micro").count()
+    assert(covered.toDouble / n >= 0.88, s"coverage ${covered.toDouble / n}")
+  }
+
+  test("conformal: calibration too small for alpha fails loud") {
+    import spark.implicits._
+    val calib = Seq((1L, 1.0, 2.0), (2L, 1.0, 3.0)).toDF("id", "pred", "actual")
+    val test0 = Seq((9L, 5.0)).toDF("id", "pred")
+    // n=2, alpha=0.1 -> k = ceil(3*0.9) = 3 > n
+    val e = intercept[IllegalStateException] {
+      Experiment.conformalIntervals(calib, test0, "pred", "actual", 100000L)
+    }
+    assert(e.getMessage.contains("too small"))
+  }
 }
+
