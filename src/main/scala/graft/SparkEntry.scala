@@ -550,6 +550,25 @@ object SparkEntry {
         scored.filter(pmod(col("o_orderkey"), lit(3L)) === 1),
         "pred", "actual", alphaMicro = 100000L, idCol = "o_orderkey")
     },
+    "exp_conformal_group" -> { (s, dir) =>
+      // Mondrian conformal: the same scorer but with per-PRIORITY noise
+      // spread (easy and noisy segments coexist), calibrated per group
+      // — each segment gets its own exact q̂, so coverage holds WITHIN
+      // every priority, not just on average. Fully distributed: no
+      // driver collect, one broadcast q̂ join.
+      val noise = (pmod(col("o_orderkey"), lit(97L)) - 48L).cast("double")
+      val spread = (substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .cast("double")
+      val scored = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice") + noise * spread).as("pred"),
+        col("o_totalprice").as("actual"))
+      graft.ops.Experiment.conformalIntervalsByGroup(
+        scored.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        scored.filter(pmod(col("o_orderkey"), lit(3L)) === 1),
+        "o_orderpriority", "pred", "actual",
+        alphaMicro = 100000L, idCol = "o_orderkey")
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -6532,6 +6551,28 @@ object SparkEntry {
         |   * (CAST(n_obs AS HUGEINT) * 3 - CAST(n AS HUGEINT) * w)
         |   * 1000000 // (CAST(n AS HUGEINT) * w * 3) AS BIGINT) END AS srm_cell_micro
         |FROM f, t""".stripMargin,
+    "exp_conformal_group" ->
+      """WITH sc AS (SELECT o_orderkey, o_orderpriority,
+        |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE)
+        |     * CAST(CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS DOUBLE) AS pred,
+        |   o_totalprice AS actual FROM orders),
+        |r AS (SELECT o_orderpriority AS g,
+        |   ABS(CAST(FLOOR(pred * 1000000 + 0.5) AS BIGINT)
+        |     - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)) AS r
+        |  FROM sc WHERE o_orderkey % 3 = 0),
+        |h AS (SELECT g, r, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |cu AS (SELECT g, r, SUM(c) OVER (PARTITION BY g ORDER BY r
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       SUM(c) OVER (PARTITION BY g) AS n FROM h),
+        |q AS (SELECT g, MIN(r) AS qhat FROM cu
+        |      WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000 GROUP BY 1)
+        |SELECT sc.o_orderkey, sc.o_orderpriority,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) AS pred_micro,
+        | CAST(q.qhat AS BIGINT) AS qhat_micro,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
+        |FROM sc LEFT JOIN q ON q.g = sc.o_orderpriority
+        |WHERE sc.o_orderkey % 3 = 1""".stripMargin,
     "exp_conformal" ->
       """WITH sc AS (SELECT o_orderkey,
         |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS pred,

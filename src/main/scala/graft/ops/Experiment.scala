@@ -175,4 +175,54 @@ object Experiment {
       .withColumn("lo_micro", col("pred_micro") - qhat)
       .withColumn("hi_micro", col("pred_micro") + qhat)
   }
+
+  /** Mondrian (group-conditional) split conformal (Vovk 2005 §4.5;
+    * "Mondrian conformal prediction"): [[conformalIntervals]]'s
+    * marginal guarantee averages over the population — a segment with
+    * noisier predictions silently under-covers while an easy segment
+    * over-covers. Calibrating q̂ PER GROUP restores the guarantee
+    * within every segment: coverage ≥ 1−α conditional on the group.
+    *
+    * Fully distributed (no driver collect, unlike the global face): one
+    * grouped residual histogram, one group-partitioned cumulative
+    * window over distinct-residual cells, and ONE broadcast join of the
+    * groups-sized q̂ frame onto the test rows. Groups whose calibration
+    * is too small for α (k > n) get NULL bounds — per-group fail-soft
+    * where the global face fails loud, because one thin segment must
+    * not sink every other segment's intervals (the NULL surfaces the
+    * gap to route around, the quantileBinsDiscrete contract).
+    *
+    * Output: test rows + (pred_micro, qhat_micro, lo_micro, hi_micro),
+    * NULLs for uncalibratable groups. */
+  def conformalIntervalsByGroup(calib: DataFrame, test: DataFrame,
+      groupCol: String, predCol: String, actualCol: String,
+      alphaMicro: Long = 100000L, idCol: String = "id"): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val M = 1000000L
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") * M + 0.5).cast("long")
+    val hist = calib
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        abs(micro(col(predCol)) - micro(col(actualCol))).as("r"))
+      .groupBy("__g", "r").agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("r").rowsBetween(Long.MinValue, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val dec = "decimal(38,0)"
+    val qhats = hist
+      .withColumn("cum", sum("c").over(win))
+      .withColumn("n", sum("c").over(all))
+      .withColumn("k", call_function("div",
+        (col("n").cast(dec) + 1L) * lit(M - alphaMicro) + lit(M - 1L), lit(M))
+        .cast("long"))
+      .filter(col("cum") >= col("k")) // empty for k > n groups -> NULL via left join
+      .groupBy("__g").agg(min("r").as("qhat_micro"))
+    test.select(col(idCol), col(groupCol), micro(col(predCol)).as("pred_micro"))
+      .join(broadcast(qhats), col(groupCol) === col("__g"), "left")
+      .select(col(idCol), col(groupCol), col("pred_micro"), col("qhat_micro"),
+        (col("pred_micro") - col("qhat_micro")).as("lo_micro"),
+        (col("pred_micro") + col("qhat_micro")).as("hi_micro"))
+  }
 }

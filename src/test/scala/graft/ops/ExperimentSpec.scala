@@ -116,5 +116,31 @@ class ExperimentSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("too small"))
   }
+
+  test("mondrian conformal: per-group qhat, thin groups fail soft with NULLs") {
+    import spark.implicits._
+    // group A residuals 1..10, group B residuals 10,20,...,100: same n,
+    // different qhat (alpha=0.2 -> k=9 -> 9 vs 90); group C has ONE row
+    // (k = ceil(2*0.8) = 2 > 1) -> NULL bounds
+    val calib = ((1 to 10).map(i => ("A", 100.0 + i, 100.0)) ++
+      (1 to 10).map(i => ("B", 100.0 + 10 * i, 100.0)) ++
+      Seq(("C", 101.0, 100.0))).zipWithIndex
+      .map { case ((g, p, a), i) => (i.toLong, g, p, a) }
+      .toDF("id", "g", "pred", "actual")
+    val test0 = Seq((1L, "A", 50.0), (2L, "B", 50.0), (3L, "C", 50.0))
+      .toDF("id", "g", "pred")
+    val got = Experiment.conformalIntervalsByGroup(calib, test0, "g",
+      "pred", "actual", alphaMicro = 200000L)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(got("A").getLong(3) === 9000000L)
+    assert(got("B").getLong(3) === 90000000L)
+    assert(got("C").isNullAt(3) && got("C").isNullAt(4) && got("C").isNullAt(5))
+    // single-group mondrian == the global face
+    val one = calib.filter($"g" === "A")
+    val t1 = Seq((9L, "A", 70.0)).toDF("id", "g", "pred")
+    val m = Experiment.conformalIntervalsByGroup(one, t1, "g", "pred", "actual", 200000L).head()
+    val gl = Experiment.conformalIntervals(one, t1.drop("g"), "pred", "actual", 200000L).head()
+    assert(m.getLong(3) === gl.getLong(2) && m.getLong(4) === gl.getLong(3))
+  }
 }
 
