@@ -3841,6 +3841,41 @@ object SparkEntry {
           centroidDir, emb.filter(col("vec_id") < 20), k = 10, nProbe = 8)
       }
     },
+    "stream_conformal_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Calibration-on-arrival: the exp_conformal scenario with the
+        // calibration slice arriving as a 3-file stream. Residual
+        // histograms are a pure count monoid, so the drained state's
+        // q̂ is EXACTLY the one-shot split-conformal quantile —
+        // exp_conformal's own oracle pins the whole fold + serve path.
+        val scored = Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+            .cast("double")).as("pred"),
+          col("o_totalprice").as("actual"))
+        val calib = scored.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        val replayDir = scratchDir("graft_conf_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_conf_stage_")
+          calib.filter(pmod(col("o_orderkey"), lit(9L)) === g * 3L)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_conf_state_").toString
+        val ckpt = scratchDir("graft_conf_ckpt_").toString
+        val stream = s.readStream.schema(calib.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.conformalGate(stream, "pred", "actual",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.conformalGateResult(s, stateDir,
+          scored.filter(pmod(col("o_orderkey"), lit(3L)) === 1),
+          "pred", alphaMicro = 100000L, idCol = "o_orderkey")
+      }
+    },
     "stream_tcl_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Release-audit-on-arrival: the dq_t_closeness scenario with
@@ -6573,25 +6608,8 @@ object SparkEntry {
         | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
         |FROM sc LEFT JOIN q ON q.g = sc.o_orderpriority
         |WHERE sc.o_orderkey % 3 = 1""".stripMargin,
-    "exp_conformal" ->
-      """WITH sc AS (SELECT o_orderkey,
-        |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS pred,
-        |   o_totalprice AS actual FROM orders),
-        |r AS (SELECT ABS(CAST(FLOOR(pred * 1000000 + 0.5) AS BIGINT)
-        |        - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)) AS r
-        |      FROM sc WHERE o_orderkey % 3 = 0),
-        |h AS (SELECT r, COUNT(*) AS c FROM r GROUP BY 1),
-        |cu AS (SELECT r, SUM(c) OVER (ORDER BY r
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |       SUM(c) OVER () AS n FROM h),
-        |q AS (SELECT MIN(r) AS qhat FROM cu
-        |      WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
-        |SELECT sc.o_orderkey,
-        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) AS pred_micro,
-        | CAST(q.qhat AS BIGINT) AS qhat_micro,
-        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
-        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
-        |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin,
+    "exp_conformal" -> conformalSql,
+    "stream_conformal_gate" -> conformalSql,
     "exp_cuped" ->
       """WITH e AS (SELECT o_orderkey,
         |   CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS ym,
@@ -8678,6 +8696,29 @@ object SparkEntry {
       | CAST(num * 1000000000 // (2 * CAST(n_g AS HUGEINT) * n) AS BIGINT) AS tvd_nano
       |FROM agg
       |WHERE num * 1000000000 // (2 * CAST(n_g AS HUGEINT) * n) > 150000000""".stripMargin
+
+  /** Shared by exp_conformal / stream_conformal_gate: replays the
+    * deterministic scorer, the residual histogram, and the exact
+    * ceil((n+1)(1-alpha)) order statistic. */
+  private def conformalSql: String =
+    """WITH sc AS (SELECT o_orderkey,
+        |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS pred,
+        |   o_totalprice AS actual FROM orders),
+        |r AS (SELECT ABS(CAST(FLOOR(pred * 1000000 + 0.5) AS BIGINT)
+        |        - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)) AS r
+        |      FROM sc WHERE o_orderkey % 3 = 0),
+        |h AS (SELECT r, COUNT(*) AS c FROM r GROUP BY 1),
+        |cu AS (SELECT r, SUM(c) OVER (ORDER BY r
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       SUM(c) OVER () AS n FROM h),
+        |q AS (SELECT MIN(r) AS qhat FROM cu
+        |      WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
+        |SELECT sc.o_orderkey,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) AS pred_micro,
+        | CAST(q.qhat AS BIGINT) AS qhat_micro,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
+        | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
+        |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin
 
   private def cramersVSql: String =
     """WITH cells AS (SELECT

@@ -142,13 +142,35 @@ object Experiment {
       alphaMicro: Long = 100000L, idCol: String = "id"): DataFrame = {
     require(alphaMicro > 0L && alphaMicro < 1000000L,
       s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    conformalFromHistogram(
+      conformalResidualHistogram(calib, predCol, actualCol),
+      test, predCol, alphaMicro, idCol)
+  }
+
+  private def microCol(c: org.apache.spark.sql.Column) =
+    floor(c.cast("double") * 1000000L + 0.5).cast("long")
+
+  /** The conformal machinery's mergeable state: (r, c) counts per
+    * distinct micro-int absolute residual — a plain count monoid, so
+    * per-batch/per-day histograms union into [[conformalFromHistogram]]
+    * without re-scoring history (the tClosenessCellState discipline). */
+  def conformalResidualHistogram(calib: DataFrame, predCol: String,
+      actualCol: String): DataFrame = calib
+    .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+    .select(abs(microCol(col(predCol)) - microCol(col(actualCol))).as("r"))
+    .groupBy("r").agg(count(lit(1)).as("c"))
+
+  /** Intervals off a residual-histogram state frame —
+    * [[conformalIntervals]] routes through here, so direct and
+    * from-state intervals are one code path. Duplicate residual cells
+    * from unioned state shards sum first. */
+  def conformalFromHistogram(histIn: DataFrame, test: DataFrame,
+      predCol: String, alphaMicro: Long = 100000L,
+      idCol: String = "id"): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
     val M = 1000000L
-    def micro(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") * M + 0.5).cast("long")
-    val hist = calib
-      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
-      .select(abs(micro(col(predCol)) - micro(col(actualCol))).as("r"))
-      .groupBy("r").agg(count(lit(1)).as("c"))
+    val hist = histIn.groupBy("r").agg(sum("c").as("c"))
     val win = org.apache.spark.sql.expressions.Window.orderBy("r")
       .rowsBetween(Long.MinValue, 0)
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
@@ -170,7 +192,7 @@ object Experiment {
           s"need n >= ceil(1/alpha) - 1 residuals (alphaMicro=$alphaMicro)")
     }
     require(k <= n, s"unreachable: k=$k > n=$n survived the cumulative filter")
-    test.select(col(idCol), micro(col(predCol)).as("pred_micro"))
+    test.select(col(idCol), microCol(col(predCol)).as("pred_micro"))
       .withColumn("qhat_micro", lit(qhat))
       .withColumn("lo_micro", col("pred_micro") - qhat)
       .withColumn("hi_micro", col("pred_micro") + qhat)
@@ -200,12 +222,10 @@ object Experiment {
     require(alphaMicro > 0L && alphaMicro < 1000000L,
       s"alphaMicro must be in (0, 1e6), got $alphaMicro")
     val M = 1000000L
-    def micro(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") * M + 0.5).cast("long")
     val hist = calib
       .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
       .select(col(groupCol).as("__g"),
-        abs(micro(col(predCol)) - micro(col(actualCol))).as("r"))
+        abs(microCol(col(predCol)) - microCol(col(actualCol))).as("r"))
       .groupBy("__g", "r").agg(count(lit(1)).as("c"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("__g").orderBy("r").rowsBetween(Long.MinValue, 0)
@@ -219,7 +239,7 @@ object Experiment {
         .cast("long"))
       .filter(col("cum") >= col("k")) // empty for k > n groups -> NULL via left join
       .groupBy("__g").agg(min("r").as("qhat_micro"))
-    test.select(col(idCol), col(groupCol), micro(col(predCol)).as("pred_micro"))
+    test.select(col(idCol), col(groupCol), microCol(col(predCol)).as("pred_micro"))
       .join(broadcast(qhats), col(groupCol) === col("__g"), "left")
       .select(col(idCol), col(groupCol), col("pred_micro"), col("qhat_micro"),
         (col("pred_micro") - col("qhat_micro")).as("lo_micro"),

@@ -1415,6 +1415,54 @@ object StreamingOps {
     StateCommit.flipVersion(stateDir, batchId)
   }
 
+  // --- streaming conformal gate (foreachBatch -> residual-histogram state) ---
+
+  /** Streaming conformal calibration — intervals that tighten as
+    * scored outcomes arrive: each microbatch's absolute-residual
+    * histogram (`Experiment.conformalResidualHistogram`, a pure count
+    * monoid) folds onto the stored state under the versioned-dir +
+    * marker commit, so intervals served from the drained state are
+    * EXACTLY the one-shot split-conformal q̂ over everything seen.
+    * State is distinct-residual-cell sized. */
+  def conformalGate(stream: DataFrame, predCol: String, actualCol: String,
+      stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyConformalBatch(batch, batchId, predCol, actualCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent residual-histogram merge (public for direct
+    * testing and batch backfills sharing the gate's state). */
+  def applyConformalBatch(batch: DataFrame, batchId: Long,
+      predCol: String, actualCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val hist = graft.ops.Experiment.conformalResidualHistogram(
+      batch, predCol, actualCol)
+    val merged = (if (current >= 0L)
+      hist.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else hist)
+      .groupBy("r").agg(sum("c").as("c"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** Intervals for a test frame off the gate's committed residual
+    * state — the same q̂ code path as the batch face. */
+  def conformalGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, test: DataFrame, predCol: String,
+      alphaMicro: Long = 100000L, idCol: String = "id"): DataFrame = {
+    val v = StateCommit.requireVersion(stateDir, "conformal state")
+    graft.ops.Experiment.conformalFromHistogram(
+      spark.read.parquet(s"$stateDir/v$v"), test, predCol, alphaMicro, idCol)
+  }
+
   // --- streaming IVF index-ingest gate (foreachBatch -> postings deltas) ---
 
   /** Streaming ANN index ingest — IVF postings ON ARRIVAL: the coarse

@@ -811,6 +811,25 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(gate.nonEmpty && gate === direct)
   }
 
+  test("conformal gate: residual histograms fold idempotently; drained q-hat equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("conf_spec_").toString
+    val b0 = Seq((1L, 101.0, 100.0), (2L, 103.0, 100.0), (3L, 105.0, 100.0),
+      (4L, 102.0, 100.0), (5L, 104.0, 100.0)).toDF("id", "pred", "actual")
+    val b1 = Seq((6L, 106.0, 100.0), (7L, 108.0, 100.0), (8L, 107.0, 100.0),
+      (9L, 109.0, 100.0), (10L, 110.0, 100.0)).toDF("id", "pred", "actual")
+    applyConformalBatch(b0, 0L, "pred", "actual", stateDir)
+    applyConformalBatch(b1, 1L, "pred", "actual", stateDir)
+    // a foreachBatch replay must be a no-op, not a double count
+    applyConformalBatch(b1, 1L, "pred", "actual", stateDir)
+    val test0 = Seq((99L, 50.0)).toDF("id", "pred")
+    val gate = conformalGateResult(spark, stateDir, test0, "pred", 200000L).head()
+    val direct = graft.ops.Experiment.conformalIntervals(
+      b0.unionByName(b1), test0, "pred", "actual", 200000L).head()
+    assert(gate.toSeq === direct.toSeq)
+    assert(gate.getLong(2) === 9000000L) // k = ceil(11*0.8) = 9 -> 9th residual
+  }
+
   test("coverage gate: open islands splice across seams; drained equals one-shot") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("covg_spec_").toString
