@@ -590,6 +590,36 @@ object GraftExtensions {
         textCol = strLit(args(2), "text_col"))
       out.queryExecution.logical
     }),
+    //   graft_conformal(calib_view, test_view, pred_col, actual_col,
+    //                   alpha_micro, id_col)
+    // Split conformal intervals — same exact order-statistic plan as
+    // Experiment.conformalIntervals (q̂ resolved at analysis time, the
+    // bloom-TVF build-action precedent).
+    ("graft_conformal", 6, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Experiment.conformalIntervals(
+        spark.table(strLit(args(0), "calib_view")),
+        spark.table(strLit(args(1), "test_view")),
+        strLit(args(2), "pred_col"), strLit(args(3), "actual_col"),
+        alphaMicro = longLit(args(4), "alpha_micro"),
+        idCol = strLit(args(5), "id_col"))
+      out.queryExecution.logical
+    }),
+    //   graft_conformal_group(calib_view, test_view, group_col, pred_col,
+    //                         actual_col, alpha_micro, id_col)
+    // Mondrian group-conditional conformal — same fully-distributed
+    // per-group q̂ plan as Experiment.conformalIntervalsByGroup.
+    ("graft_conformal_group", 7, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Experiment.conformalIntervalsByGroup(
+        spark.table(strLit(args(0), "calib_view")),
+        spark.table(strLit(args(1), "test_view")),
+        strLit(args(2), "group_col"),
+        strLit(args(3), "pred_col"), strLit(args(4), "actual_col"),
+        alphaMicro = longLit(args(5), "alpha_micro"),
+        idCol = strLit(args(6), "id_col"))
+      out.queryExecution.logical
+    }),
     //   graft_c4_line_clean(docs_view, id_col, text_col, min_words)
     // C4 line-level page cleaning — same zero-shuffle rewrite
     // projection as TextAnalysis.c4LineClean.

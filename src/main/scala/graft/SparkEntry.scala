@@ -3841,6 +3841,26 @@ object SparkEntry {
           centroidDir, emb.filter(col("vec_id") < 20), k = 10, nProbe = 8)
       }
     },
+    "exp_conformal_sql" -> { (s, dir) =>
+      // The conformal interval through its SQL TVF face — same plan
+      // (q̂ resolved at analysis time); shares exp_conformal's oracle.
+      graft.GraftExtensions.register(s)
+      val scored = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+          .cast("double")).as("pred"),
+        col("o_totalprice").as("actual"))
+      withFreshView(s, "graft_conf_calib_v",
+        scored.filter(pmod(col("o_orderkey"), lit(3L)) === 0)) { cv =>
+        withFreshView(s, "graft_conf_test_v",
+          scored.filter(pmod(col("o_orderkey"), lit(3L)) === 1)) { tv =>
+          s.sql(s"""
+            SELECT * FROM graft_conformal('$cv', '$tv',
+              'pred', 'actual', 100000, 'o_orderkey')
+          """)
+        }
+      }
+    },
     "stream_conformal_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Calibration-on-arrival: the exp_conformal scenario with the
@@ -6609,6 +6629,7 @@ object SparkEntry {
         |FROM sc LEFT JOIN q ON q.g = sc.o_orderpriority
         |WHERE sc.o_orderkey % 3 = 1""".stripMargin,
     "exp_conformal" -> conformalSql,
+    "exp_conformal_sql" -> conformalSql,
     "stream_conformal_gate" -> conformalSql,
     "exp_cuped" ->
       """WITH e AS (SELECT o_orderkey,

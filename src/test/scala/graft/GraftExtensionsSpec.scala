@@ -291,6 +291,26 @@ class GraftExtensionsSpec extends SparkTestBase {
       === rows(graft.ext.Curation.dictionaryTags(docs, dict)))
   }
 
+  test("conformal TVFs equal their Scala faces") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val calib = (1 to 10).map(i => (i.toLong, "A", 100.0 + i, 100.0))
+      .toDF("id", "g", "pred", "actual")
+    val test0 = Seq((99L, "A", 50.0)).toDF("id", "g", "pred")
+    calib.createOrReplaceTempView("tvf_conf_calib")
+    test0.createOrReplaceTempView("tvf_conf_test")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_conformal('tvf_conf_calib', 'tvf_conf_test', 'pred', 'actual', 200000, 'id')"))
+      === rows(graft.ops.Experiment.conformalIntervals(
+        calib, test0, "pred", "actual", 200000L)))
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_conformal_group('tvf_conf_calib', 'tvf_conf_test', 'g', 'pred', 'actual', 200000, 'id')"))
+      === rows(graft.ops.Experiment.conformalIntervalsByGroup(
+        calib, test0, "g", "pred", "actual", 200000L)))
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._
