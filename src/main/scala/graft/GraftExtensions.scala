@@ -68,6 +68,9 @@ object GraftExtensions {
     ("jaro_similarity", 2, args => JaroSimilarity(args(0), args(1))),
     ("damerau_levenshtein", 2, args => DamerauLevenshtein(args(0), args(1))),
     ("porter_stem", 1, args => PorterStemExpr(args(0))),
+    // phrases_csv splits on ',' unescaped: a comma-containing phrase is
+    // inexpressible here (it would silently become two phrases) — the
+    // Column face (Curation.dictionaryTags) takes Seq[String] for those
     ("dictionary_tags", 2, args => DictionaryTags(args(0),
       strLit(args(1), "phrases_csv").split(",").map(_.trim).filter(_.nonEmpty).toSeq)),
   )
@@ -594,7 +597,11 @@ object GraftExtensions {
     //                   alpha_micro, id_col)
     // Split conformal intervals — same exact order-statistic plan as
     // Experiment.conformalIntervals (q̂ resolved at analysis time, the
-    // bloom-TVF build-action precedent).
+    // bloom-TVF build-action precedent). NOTE: resolving q̂ runs the
+    // calibration scan DURING ANALYSIS — planning a query that names
+    // this TVF triggers cluster work even if the query never executes,
+    // and each re-analysis re-runs it; cache/persist the calib view in
+    // callers that re-plan repeatedly.
     ("graft_conformal", 6, args => {
       val spark = org.apache.spark.sql.SparkSession.active
       val out = graft.ops.Experiment.conformalIntervals(
@@ -661,6 +668,11 @@ object GraftExtensions {
     // Dictionary tagging / C4 badwords scan — same single-pass
     // Aho-Corasick projection as Curation.dictionaryTags (phrases are
     // comma-separated; multi-word phrases keep their internal spaces).
+    // CONSTRAINT (shared with the dictionary_tags scalar): the CSV
+    // split is unescaped, so a phrase CONTAINING a comma cannot be
+    // expressed through the SQL faces — it would silently split into
+    // two phrases. Use the Column face (Curation.dictionaryTags), which
+    // takes Seq[String] and has no such limit.
     ("graft_dict_tag", 4, args => {
       val spark = org.apache.spark.sql.SparkSession.active
       val out = graft.ext.Curation.dictionaryTags(

@@ -569,6 +569,49 @@ object SparkEntry {
         "o_orderpriority", "pred", "actual",
         alphaMicro = 100000L, idCol = "o_orderkey")
     },
+    "exp_cqr" -> { (s, dir) =>
+      // Conformalized quantile regression: a deterministic ASYMMETRIC
+      // band [price − key%50, price + key%70] plays the quantile
+      // model's two heads; actual = price + key-derived noise. The %3
+      // folds mirror exp_conformal; q̂ is the exact k-th smallest
+      // SIGNED score max(lo−y, y−hi) — the oracle replays the same
+      // integer arithmetic end-to-end.
+      val sc = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") -
+          pmod(col("o_orderkey"), lit(50L)).cast("double")).as("lo"),
+        (col("o_totalprice") +
+          pmod(col("o_orderkey"), lit(70L)).cast("double")).as("hi"),
+        (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+          .cast("double")).as("actual"))
+      graft.ops.Experiment.cqrIntervals(
+        sc.filter(pmod(col("o_orderkey"), lit(3L)) === 0),
+        sc.filter(pmod(col("o_orderkey"), lit(3L)) === 1),
+        "lo", "hi", "actual", alphaMicro = 100000L, idCol = "o_orderkey")
+    },
+    "exp_mannwhitney" -> { (s, dir) =>
+      // Nonparametric A/B readout: returned ('A') vs refused ('R')
+      // lineitems compared on extended price — exact doubled mid-rank
+      // sums off the micro-value histogram (range-partitioned
+      // cumulative, never a one-reducer rank), tie-corrected z from
+      // one fixed double tree the oracle mirrors operand-for-operand.
+      graft.ops.Experiment.mannWhitney(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+        "g", "v", "A", "R")
+    },
+    "exp_fdr_bh" -> { (s, dir) =>
+      // Benjamini-Hochberg over a deterministic multi-metric readout:
+      // each priority is an "experiment", each key-bucket a "metric",
+      // p_micro synthesized from exact integer sums — the step-up
+      // suffix-min and ceil quantization replay exactly in the oracle.
+      val m = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("exp_id"),
+          pmod(col("o_orderkey"), lit(20L)).as("metric"))
+        .agg(pmod(sum(col("o_orderkey")), lit(1000001L)).as("p_micro"))
+      graft.ops.Experiment.bhAdjust(m, "exp_id", "metric", "p_micro",
+        alphaMicro = 50000L)
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -6631,6 +6674,80 @@ object SparkEntry {
     "exp_conformal" -> conformalSql,
     "exp_conformal_sql" -> conformalSql,
     "stream_conformal_gate" -> conformalSql,
+    "exp_cqr" ->
+      """WITH sc AS (SELECT o_orderkey,
+        |   o_totalprice - CAST(o_orderkey % 50 AS DOUBLE) AS lo,
+        |   o_totalprice + CAST(o_orderkey % 70 AS DOUBLE) AS hi,
+        |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS actual
+        |  FROM orders),
+        |r AS (SELECT GREATEST(
+        |     CAST(FLOOR(lo * 1000000 + 0.5) AS BIGINT)
+        |       - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT),
+        |     CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)
+        |       - CAST(FLOOR(hi * 1000000 + 0.5) AS BIGINT)) AS r
+        |  FROM sc WHERE o_orderkey % 3 = 0),
+        |h AS (SELECT r, COUNT(*) AS c FROM r GROUP BY 1),
+        |cu AS (SELECT r, SUM(c) OVER (ORDER BY r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER () AS n FROM h),
+        |q AS (SELECT MIN(r) AS qhat FROM cu
+        |   WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
+        |SELECT sc.o_orderkey,
+        | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) AS lo_pred_micro,
+        | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) AS hi_pred_micro,
+        | CAST(q.qhat AS BIGINT) AS qhat_micro,
+        | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
+        | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
+        |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin,
+    "exp_mannwhitney" ->
+      """WITH src AS (SELECT
+        |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq,
+        |   l_returnflag AS g FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')),
+        |h AS (SELECT vq, SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca,
+        |   COUNT(*) AS t FROM src GROUP BY 1),
+        |cu AS (SELECT vq, ca, t,
+        |   COALESCE(SUM(t) OVER (ORDER BY vq
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM h),
+        |ag AS (SELECT SUM(CAST(ca AS HUGEINT) * (2 * cumb + t + 1)) AS r2a,
+        |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d,
+        |   SUM(ca) AS na, SUM(t) AS nn FROM cu),
+        |fin AS (SELECT na, nn, nn - na AS nb, tie_d,
+        |   r2a - CAST(na AS HUGEINT) * (na + 1) AS u2a FROM ag)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | CAST(u2a AS BIGINT) AS u2_a,
+        | CAST(2 * CAST(na AS HUGEINT) * nb - u2a AS BIGINT) AS u2_b,
+        | CAST(tie_d AS BIGINT) AS tie_term,
+        | CASE WHEN na > 0 AND nb > 0 AND nn > 1 AND
+        |   (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
+        |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))) > 0.0
+        |  THEN CAST(FLOOR((CAST(u2a AS DOUBLE)
+        |     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |   / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |     * (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
+        |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
+        |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
+        |FROM fin""".stripMargin,
+    "exp_fdr_bh" ->
+      """WITH met AS (SELECT o_orderpriority AS exp_id,
+        |   o_orderkey % 20 AS metric,
+        |   SUM(o_orderkey) % 1000001 AS p_micro
+        |  FROM orders GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |   ROW_NUMBER() OVER (PARTITION BY exp_id
+        |     ORDER BY p_micro, metric) AS "rank",
+        |   COUNT(*) OVER (PARTITION BY exp_id) AS m FROM met),
+        |t AS (SELECT *, LEAST(1000000,
+        |   (m * p_micro + "rank" - 1) // "rank") AS term FROM rk),
+        |a AS (SELECT *, MIN(term) OVER (PARTITION BY exp_id
+        |   ORDER BY p_micro DESC, metric DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj
+        |  FROM t)
+        |SELECT exp_id, CAST(metric AS BIGINT) AS metric,
+        | CAST(p_micro AS BIGINT) AS p_micro, CAST("rank" AS BIGINT) AS "rank",
+        | CAST(m AS BIGINT) AS m, CAST(p_adj AS BIGINT) AS p_adj_micro,
+        | p_adj <= 50000 AS reject FROM a""".stripMargin,
     "exp_cuped" ->
       """WITH e AS (SELECT o_orderkey,
         |   CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS ym,

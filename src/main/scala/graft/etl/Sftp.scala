@@ -31,7 +31,16 @@ final class LocalFsTransport(root: Path) extends FileTransport {
 
 /** Placeholder for a real SFTP transport: fails loudly (this build has no
   * SSH library), mirroring the reference's connection-error path
-  * (main.py:123-127). */
+  * (main.py:123-127).
+  *
+  * Probed r17: hadoop-client-api 3.4.2 ships
+  * `org.apache.hadoop.fs.sftp.SFTPFileSystem`, but its jsch dependency
+  * (`com/jcraft/jsch`) is absent from every jar on the offline
+  * classpath, so an `sftp://` Hadoop FS path would NoClassDefFoundError
+  * at connect — the loud throw here stays the honest steady state. On a
+  * cluster with jsch present, `new Path("sftp://user@host/...")` +
+  * `fs.sftp.impl = org.apache.hadoop.fs.sftp.SFTPFileSystem` is the
+  * drop-in network transport. */
 final class SftpTransport(host: String, port: Int, user: String)
     extends FileTransport {
   private def unsupported = throw new UnsupportedOperationException(

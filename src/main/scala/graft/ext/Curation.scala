@@ -546,6 +546,24 @@ object Curation {
         .cast("long").as("quota"))
   }
 
+  /** Temperature-scaled apportionment score s = round(m^tau · 1e6),
+    * guarded: past 2^63 (m ≈ 9.2e12 at tau = 1.0 — reachable token
+    * masses at the 100 TB scale these budgets target) the long cast
+    * would overflow, and with ANSI off that overflow is SILENT quota
+    * corruption (negative scores misapportion every group) — so it
+    * fails loud with the offending mass instead, independent of any
+    * session conf. */
+  private[ext] def temperatureScore(m: org.apache.spark.sql.Column,
+      tau: Double): org.apache.spark.sql.Column = {
+    val powv = pow(m.cast("double"), lit(tau)) * lit(1e6)
+    when(powv < lit(9.223372036854776e18), round(powv).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("temperature score m^tau*1e6 overflows long for mass m="),
+        m.cast("string"),
+        lit(s" at tau=$tau — lower tau or pre-scale the masses")))
+        .cast("long"))
+  }
+
   def temperatureQuota(docs: DataFrame, groupCol: String, idCol: String,
       total: Long, tau: Double): DataFrame = {
     require(total > 0, s"total must be positive: $total")
@@ -553,8 +571,7 @@ object Curation {
     val dec = "decimal(38,0)"
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_d"))
-      .withColumn("s", round(pow(col("n_d").cast("double"), lit(tau)) * lit(1e6))
-        .cast("long"))
+      .withColumn("s", temperatureScore(col("n_d"), tau))
     val bigS = sum(col("s")).over(all).cast(dec)
     val prod = lit(total).cast(dec) * col("s")
     val scored = counts
@@ -603,8 +620,7 @@ object Curation {
       coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
         .as("n_tokens"))
     val masses = withTok.groupBy(col(groupCol)).agg(sum("n_tokens").as("m_g"))
-      .withColumn("s",
-        round(pow(col("m_g").cast("double"), lit(tau)) * lit(1e6)).cast("long"))
+      .withColumn("s", temperatureScore(col("m_g"), tau))
     val bigS = sum(col("s")).over(all).cast(dec)
     val prod = lit(totalTokens).cast(dec) * col("s")
     val scored = masses

@@ -12,10 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** Range-partitioned cumulative over a (value, __cnt) histogram —
+    * the ksFromCounts/conformalFromHistogram discipline shared by the
+    * quantile family: range-repartition the cells on the value, collect
+    * ONLY the numPartitions per-partition subtotals (control plane),
+    * and stitch partition-LOCAL cumulative windows to the broadcast
+    * offsets. No empty-partitionSpec WindowExec anywhere, so a
+    * continuous column whose distinct values grow toward row count
+    * never funnels the histogram through one reducer.
+    *
+    * Output: histogram columns + `__cum` (rows with a STRICTLY smaller
+    * value) + `__n` (total non-null mass, a literal). Runs one
+    * control-plane action at build time (the conformal precedent). */
+  private def cumBeforeByValue(hist: DataFrame, valueCol: String,
+      cntCol: String): DataFrame =
+    graft.ops.Relational.cumBeforeByKey(hist, valueCol, Seq(cntCol))
+      .withColumnRenamed(s"__cumb_$cntCol", "__cum")
+      .withColumnRenamed(s"__tot_$cntCol", "__n")
+
   /** Exact equal-frequency (quantile) binning for a discrete-valued
     * column. Global-sort-free: builds the VALUE HISTOGRAM (groupBy value
     * — shuffle is the distinct-value set, not the table), computes each
-    * value's cumulative row count with a window over that small frame,
+    * value's cumulative row count with the [[cumBeforeByValue]]
+    * range-partitioned cumulative (never a single-reducer window),
     * assigns bin = floor(k * cum_before / n) — every row of a value
     * lands in one deterministic bin — and broadcast-joins the value→bin
     * map back. At 100 TB with a bounded value domain (quantities,
@@ -38,19 +57,10 @@ object Features {
     require(k > 0, "k must be positive")
     val hist = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol)).agg(count(lit(1L)).as("__cnt"))
-    val w = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // cumBefore = rows with a strictly smaller value; n = total rows.
-    // The histogram is distinct-value-sized, so the single-partition
-    // window and the grand total ride a tiny frame, never the table.
-    // total rides a full-frame window over the SAME sorted histogram
-    // pass — a separate hist.agg would recompute the histogram (no CSE
-    // across DataFrame reuse)
-    val wAll = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val binMap = hist
-      .withColumn("__cum", sum(col("__cnt")).over(w) - col("__cnt"))
-      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    // cumBefore = rows with a strictly smaller value; n = total rows —
+    // both from the range-partitioned cumulative, which stays parallel
+    // even when a continuous column makes the histogram row-sized
+    val binMap = cumBeforeByValue(hist, valueCol, "__cnt")
       .select(col(valueCol),
         // integer floor-div, not double floor: k·cum can pass 2^53 at
         // trillion-row scale and a double quotient would mis-bin
@@ -77,10 +87,10 @@ object Features {
     * and every engine replays the BIGINT bit-for-bit.
     *
     * Same topology and contracts as [[quantileBinsDiscrete]]: the
-    * histogram shuffle is the distinct-value set, the cumulative
-    * window rides that tiny frame (never the table), the value→pct
-    * map broadcast-joins back, NULL values keep a NULL pct. n = 1
-    * degenerates to 0. */
+    * histogram shuffle is the distinct-value set, the cumulative is
+    * the [[cumBeforeByValue]] range-partitioned stitch (parallel even
+    * for a row-sized histogram), the value→pct map broadcast-joins
+    * back, NULL values keep a NULL pct. n = 1 degenerates to 0. */
   def quantileTransform(df: DataFrame, valueCol: String,
       outCol: String = "pct_micro"): DataFrame =
     quantileTransformFromState(df, valueCol, valueHistogram(df, valueCol), outCol)
@@ -109,16 +119,10 @@ object Features {
     * distribution). */
   def quantileTransformFromState(df: DataFrame, valueCol: String,
       hist: DataFrame, outCol: String = "pct_micro"): DataFrame = {
-    val w = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val dec = "decimal(38,0)"
     val num = (lit(2L) * col("__cum") + col("__cnt") - lit(1L)).cast(dec)
     val den = (lit(2L) * (col("__n") - lit(1L))).cast(dec)
-    val pctMap = hist
-      .withColumn("__cum", sum(col("__cnt")).over(w) - col("__cnt"))
-      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    val pctMap = cumBeforeByValue(hist, valueCol, "__cnt")
       .select(col(valueCol),
         when(col("__n") === 1L, lit(0L)).otherwise(
           (call_function("div", num, den) * lit(1000000L) +

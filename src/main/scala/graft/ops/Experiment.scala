@@ -122,14 +122,17 @@ object Experiment {
     * Exactness: predictions/actuals micro-quantize first (floor(x·1e6
     * + 0.5), the quantizeInt8 discipline), residuals are exact int64,
     * k comes from exact integer ceil-division, and q̂ is an exact order
-    * statistic off a distinct-residual histogram + cumulative window
-    * (the weightedQuantileFromState topology; cells are distinct
-    * residual magnitudes — calibration sets are bounded by
-    * construction in split conformal, so one cell partition is the
-    * right plan; a corpus-sized calibration would swap in the ksDrift
-    * range-partition discipline). q̂/n/k resolve to ONE control-plane
-    * row collected at build (the bloom-TVF precedent) and ride the
-    * test projection as literals — zero shuffle on the test side.
+    * statistic off a distinct-residual histogram via the ksDrift/
+    * globalRowNumber RANGE-PARTITIONED cumulative: range-repartition
+    * the cells on r, collect only the per-partition subtotals
+    * (numPartitions longs — control plane), and resolve the k-th
+    * residual inside the ONE range partition that straddles k with a
+    * partition-local window. No single-reducer window anywhere, so the
+    * plan survives a continuous-target calibration whose distinct
+    * residuals grow toward row count. q̂/n/k resolve to ONE
+    * control-plane row collected at build (the bloom-TVF precedent)
+    * and ride the test projection as literals — zero shuffle on the
+    * test side.
     *
     * Fail-loud: k > n (calibration too small for the requested α —
     * n ≥ ⌈1/α⌉ − 1 is the Lei et al. minimum) throws rather than
@@ -163,39 +166,160 @@ object Experiment {
   /** Intervals off a residual-histogram state frame —
     * [[conformalIntervals]] routes through here, so direct and
     * from-state intervals are one code path. Duplicate residual cells
-    * from unioned state shards sum first. */
+    * from unioned state shards sum first.
+    *
+    * Plan shape (the ksFromCounts discipline): the distinct-residual
+    * cells range-repartition on r; the driver collects ONLY the
+    * numPartitions per-partition subtotals, derives n and k exactly
+    * (BigInt — no overflow at any n), locates the one range partition
+    * whose cumulative span contains k, and runs a PARTITION-LOCAL
+    * cumulative window over just that partition's cells. Every other
+    * partition is pruned by a pushed __pid filter; no empty-
+    * partitionSpec window touches the histogram, so micro-quantized
+    * residuals of a continuous target (distinct cells → row count)
+    * never funnel through one reducer.
+    *
+    * NOTE: q̂/n/k are resolved by two control-plane Spark actions AT
+    * BUILD TIME (the bloom-TVF build-action precedent) — constructing
+    * this DataFrame, e.g. analyzing a `graft_conformal` TVF query,
+    * runs the calibration scan even if the query never executes, and
+    * re-analysis re-runs it. Callers that re-plan repeatedly should
+    * persist/cache the histogram input. */
   def conformalFromHistogram(histIn: DataFrame, test: DataFrame,
       predCol: String, alphaMicro: Long = 100000L,
       idCol: String = "id"): DataFrame = {
     require(alphaMicro > 0L && alphaMicro < 1000000L,
       s"alphaMicro must be in (0, 1e6), got $alphaMicro")
-    val M = 1000000L
-    val hist = histIn.groupBy("r").agg(sum("c").as("c"))
-    val win = org.apache.spark.sql.expressions.Window.orderBy("r")
-      .rowsBetween(Long.MinValue, 0)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val dec = "decimal(38,0)"
-    val qRow = hist
-      .withColumn("cum", sum("c").over(win))
-      .withColumn("n", sum("c").over(all))
-      .withColumn("k", call_function("div",
-        (col("n").cast(dec) + 1L) * lit(M - alphaMicro) + lit(M - 1L), lit(M))
-        .cast("long"))
-      .filter(col("cum") >= col("k"))
-      .agg(min("r").as("qhat"), max("n").as("n"), max("k").as("k"))
-      .collect() // ONE row: (qhat, n, k) — control-plane by design
-    val (qhat, n, k) = qRow.headOption match {
-      case Some(row) if !row.isNullAt(0) =>
-        (row.getLong(0), row.getLong(1), row.getLong(2))
-      case _ => throw new IllegalStateException(
-        "conformal calibration is empty or too small for alpha: " +
-          s"need n >= ceil(1/alpha) - 1 residuals (alphaMicro=$alphaMicro)")
-    }
-    require(k <= n, s"unreachable: k=$k > n=$n survived the cumulative filter")
+    val qhat = kthScoreFromHistogram(histIn, alphaMicro)
     test.select(col(idCol), microCol(col(predCol)).as("pred_micro"))
       .withColumn("qhat_micro", lit(qhat))
       .withColumn("lo_micro", col("pred_micro") - qhat)
       .withColumn("hi_micro", col("pred_micro") + qhat)
+  }
+
+  /** The conformal family's shared exact order statistic: the k-th
+    * smallest score of a (r, c) histogram, k = ⌈(n+1)(1−α)⌉, via the
+    * ksFromCounts range-partition discipline — per-partition subtotals
+    * collected as control plane (numPartitions longs), then ONE
+    * partition-local cumulative window inside the single range
+    * partition that straddles k (every other partition pruned by a
+    * pushed __pid filter; no empty-partitionSpec window anywhere).
+    * Duplicate score cells from unioned state shards sum first.
+    * Signed scores are fine — only the total order matters (CQR's
+    * calibration scores are negative when the actual sits inside the
+    * predicted band). */
+  private def kthScoreFromHistogram(histIn: DataFrame,
+      alphaMicro: Long): Long = {
+    val M = 1000000L
+    val spark = histIn.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val hist = histIn.groupBy("r").agg(sum("c").as("c"))
+    val ranged = hist.repartitionByRange(parts, col("r"))
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    // control plane: per-range-partition cell subtotals (numPartitions
+    // longs) -> exact n, k, and the k-straddling partition's offset
+    val ptot = staged.groupBy("__pid").agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = ptot.iterator.map(_._2).sum
+    // k = ceil((n+1)(M-alpha)/M), exact in BigInt (long would overflow
+    // past n ~ 9.2e12 at M = 1e6 — reachable row counts at 100 TB)
+    val kBig = (BigInt(n) + 1) * BigInt(M - alphaMicro) + BigInt(M - 1L)
+    val k = (kBig / BigInt(M)).toLong
+    if (n <= 0L || k > n || k <= 0L) throw new IllegalStateException(
+      "conformal calibration is empty or too small for alpha: " +
+        s"need n >= ceil(1/alpha) - 1 residuals (alphaMicro=$alphaMicro)")
+    val offs = ptot.map(_._2).scanLeft(0L)(_ + _).init
+    val (pidT, offT) = ptot.zip(offs)
+      .collectFirst { case ((pid, c), off) if off < k && k <= off + c =>
+        (pid, off) }
+      .getOrElse(throw new IllegalStateException(
+        s"unreachable: k=$k <= n=$n but no range partition spans it"))
+    // the k-th score lives in exactly one range partition: local
+    // cumulative window there (partitionBy __pid — never one global
+    // reducer), every other partition pruned by the __pid filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("r")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val qRow = staged.filter(col("__pid") === pidT)
+      .withColumn("cum", sum("c").over(w) + lit(offT))
+      .filter(col("cum") >= k)
+      .agg(min("r").as("qhat"))
+      .collect() // ONE row: qhat — control-plane by design
+    qRow.headOption match {
+      case Some(row) if !row.isNullAt(0) => row.getLong(0)
+      case _ => throw new IllegalStateException(
+        s"unreachable: partition $pidT lost the k=$k-th score")
+    }
+  }
+
+  /** Conformalized quantile regression (Romano, Patterson & Candès
+    * 2019, "Conformalized Quantile Regression"): [[conformalIntervals]]
+    * wraps a POINT prediction in a symmetric band — constant width
+    * everywhere, so heteroscedastic data over-covers easy regions and
+    * under-covers noisy ones. CQR instead starts from a pair of
+    * QUANTILE predictions (loCol, hiCol — e.g. a pinball-loss model's
+    * α/2 and 1−α/2 heads) and calibrates the conformity score
+    *
+    *   r = max(lo − y, y − hi)
+    *
+    * — SIGNED: negative when y sits inside the band, so calibration can
+    * SHRINK an over-wide band, not only widen. q̂ is the usual
+    * ⌈(n+1)(1−α)⌉-th smallest score ([[kthScoreFromHistogram]] — the
+    * same range-partitioned machinery), and the interval
+    * [lo − q̂, hi + q̂] carries the finite-sample marginal 1−α
+    * guarantee while ADAPTING width to the base model's local
+    * uncertainty.
+    *
+    * Same exactness/fail-loud/plan contracts as the point face:
+    * micro-quantized int64 scores, BigInt k, control-plane q̂ riding
+    * the test projection as a literal, zero shuffle on the test side.
+    *
+    * Output: test rows + (lo_pred_micro, hi_pred_micro, qhat_micro,
+    * lo_micro, hi_micro). */
+  def cqrIntervals(calib: DataFrame, test: DataFrame,
+      loCol: String, hiCol: String, actualCol: String,
+      alphaMicro: Long = 100000L, idCol: String = "id"): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val hist = cqrScoreHistogram(calib, loCol, hiCol, actualCol)
+    val qhat = kthScoreFromHistogram(hist, alphaMicro)
+    test.select(col(idCol),
+        microCol(col(loCol)).as("lo_pred_micro"),
+        microCol(col(hiCol)).as("hi_pred_micro"))
+      .withColumn("qhat_micro", lit(qhat))
+      .withColumn("lo_micro", col("lo_pred_micro") - qhat)
+      .withColumn("hi_micro", col("hi_pred_micro") + qhat)
+  }
+
+  /** CQR's mergeable state: (r, c) counts per distinct SIGNED
+    * conformity score max(lo−y, y−hi) in micro ints — a count monoid,
+    * so per-slice histograms union into [[cqrFromHistogram]] without
+    * re-scoring history (the conformalResidualHistogram discipline). */
+  def cqrScoreHistogram(calib: DataFrame, loCol: String, hiCol: String,
+      actualCol: String): DataFrame = calib
+    .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+      col(actualCol).isNotNull)
+    .select(greatest(
+      microCol(col(loCol)) - microCol(col(actualCol)),
+      microCol(col(actualCol)) - microCol(col(hiCol))).as("r"))
+    .groupBy("r").agg(count(lit(1)).as("c"))
+
+  /** [[cqrIntervals]] off a persisted/merged score-histogram state —
+    * direct and from-state intervals are one code path. */
+  def cqrFromHistogram(histIn: DataFrame, test: DataFrame,
+      loCol: String, hiCol: String, alphaMicro: Long = 100000L,
+      idCol: String = "id"): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val qhat = kthScoreFromHistogram(histIn, alphaMicro)
+    test.select(col(idCol),
+        microCol(col(loCol)).as("lo_pred_micro"),
+        microCol(col(hiCol)).as("hi_pred_micro"))
+      .withColumn("qhat_micro", lit(qhat))
+      .withColumn("lo_micro", col("lo_pred_micro") - qhat)
+      .withColumn("hi_micro", col("hi_pred_micro") + qhat)
   }
 
   /** Mondrian (group-conditional) split conformal (Vovk 2005 §4.5;
@@ -244,5 +368,118 @@ object Experiment {
       .select(col(idCol), col(groupCol), col("pred_micro"), col("qhat_micro"),
         (col("pred_micro") - col("qhat_micro")).as("lo_micro"),
         (col("pred_micro") + col("qhat_micro")).as("hi_micro"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
+    * nonparametric two-sample A/B readout: does `groupA`'s metric
+    * stochastically dominate `groupB`'s, with NO normality assumption?
+    * The robust complement to the t-style CUPED pipeline for heavy-
+    * tailed metrics (revenue, latency) where means mislead.
+    *
+    * Exactness: values micro-quantize (the conformal grid — ranks are
+    * computed on the micro grid, the documented tie convention), the
+    * VALUE HISTOGRAM carries per-group counts per distinct value, and
+    * the tie-corrected rank sum uses mid-ranks through the doubled
+    * identity (2·midrank = 2·cum_before + t + 1, integer always):
+    *
+    *   2·R_A = Σ_v cA(v) · (2·cumb(v) + t(v) + 1)   (decimal(38,0))
+    *   2·U_A = 2·R_A − nA(nA+1),  2·U_B = 2·nA·nB − 2·U_A
+    *
+    * z is the tie-corrected normal approximation computed by ONE fixed
+    * double expression from those exact sums (the drift-family
+    * discipline; no continuity correction — documented):
+    *
+    *   z = (2U_A − nAnB) / (2·√(nAnB/12 · (N+1 − ΣT(t³−t)/(N(N−1)))))
+    *
+    * Plan shape: one map-side-combined histogram shuffle on the micro
+    * value, the [[Relational.cumBeforeByKey]] range-partitioned
+    * cumulative (never a single-reducer window — the histogram of a
+    * continuous metric grows toward row count), one scalar aggregate.
+    *
+    * Degenerate contract: z is NULL when either group is empty, N < 2,
+    * or the variance is 0 (all values tied); u2/tie outputs are still
+    * exact. u2 casts to long fail loud past nA·nB ~ 4.6e18 (ANSI) —
+    * beyond any per-experiment arm size.
+    *
+    * Output: one row — (n_a, n_b, u2_a, u2_b, tie_term, z_nano) where
+    * u2_* = 2·U_* (exact integers; halves never materialize). */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val dec = "decimal(38,0)"
+    val src = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .select(microCol(col(valueCol)).as("vq"), col(groupCol).as("g"))
+    val hist = src.groupBy("vq").agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+      count(lit(1)).as("t"))
+    val cum = Relational.cumBeforeByKey(hist, "vq", Seq("ca", "t"))
+    val agg = cum.agg(
+      sum(col("ca").cast(dec) *
+        (lit(2L) * col("__cumb_t") + col("t") + lit(1L)).cast(dec)).as("r2a"),
+      sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("tie_d"),
+      max(col("__tot_ca")).as("na"),
+      max(col("__tot_t")).as("nn"))
+    val u2a = col("r2a") - col("na").cast(dec) * (col("na") + lit(1L)).cast(dec)
+    val naD = col("na").cast("double")
+    val nbD = (col("nn") - col("na")).cast("double")
+    val nD = col("nn").cast("double")
+    // variance inner term; z by ONE fixed double tree (mirrored
+    // operand-for-operand in the DuckDB oracle)
+    val inner = nD + lit(1.0) -
+      col("tie_d").cast("double") / (nD * (nD - lit(1.0)))
+    val zf = (u2a.cast("double") - naD * nbD) /
+      (lit(2.0) * sqrt(naD * nbD / lit(12.0) * inner))
+    agg.select(
+      coalesce(col("na"), lit(0L)).as("n_a"),
+      coalesce(col("nn") - col("na"), lit(0L)).as("n_b"),
+      u2a.cast("long").as("u2_a"),
+      (lit(2L).cast(dec) * col("na").cast(dec) *
+        (col("nn") - col("na")).cast(dec) - u2a).cast("long").as("u2_b"),
+      col("tie_d").cast("long").as("tie_term"),
+      when(col("na") > 0L && col("nn") - col("na") > 0L &&
+        col("nn") > 1L && inner > 0.0,
+        floor(zf * lit(1.0e9) + lit(0.5)).cast("long")).as("z_nano"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg
+    * 1995) over per-group hypothesis frames — the guard a multi-metric
+    * experiment readout needs: at 20 metrics per experiment, α = 0.05
+    * expects one false positive per readout; BH caps the FALSE
+    * DISCOVERY RATE instead of the per-test error.
+    *
+    * All integer: p-values arrive micro-scaled; the adjusted value is
+    *   p̂_(i) = min_{j ≥ i} ⌈m·p_(j)/j⌉   (capped at 10^6)
+    * computed as a suffix-min window over ranks descending. The CEIL
+    * quantization is the conservative side (an adjusted p never rounds
+    * DOWN across the α threshold), and `reject` = p̂ ≤ α — equivalent
+    * to the classic step-up rule under that quantization. Ties in p
+    * break by `idCol` (a total order, so ranks are pure functions of
+    * the data).
+    *
+    * Plan shape: both windows partition by `groupCol` — experiments
+    * rank in parallel, and each group's frame is hypothesis-sized
+    * (#metrics), never data-sized. Output: input rows + (rank, m,
+    * p_adj_micro, reject). */
+  def bhAdjust(df: DataFrame, groupCol: String, idCol: String,
+      pCol: String, alphaMicro: Long = 50000L): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(pCol).asc, col(idCol).asc)
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val wSuffix = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(pCol).desc, col(idCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(groupCol), col(idCol), col(pCol))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wGrp))
+      // ceil(m·p/rank) = div(m·p + rank − 1, rank); m·p ≤ m·10^6 — long
+      .withColumn("__term", least(lit(1000000L), call_function("div",
+        col("m") * col(pCol) + col("rank") - lit(1L), col("rank"))))
+      .withColumn("p_adj_micro", min(col("__term")).over(wSuffix))
+      .withColumn("reject", col("p_adj_micro") <= lit(alphaMicro))
+      .drop("__term")
   }
 }

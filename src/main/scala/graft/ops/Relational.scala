@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -569,6 +569,61 @@ object Relational {
     staged.join(broadcast(offDf), Seq("__pid"))
       .withColumn("row_num", row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** Range-partitioned strictly-before cumulative over a (key,
+    * counts...) histogram frame — the shared topology behind
+    * [[globalRowNumber]], ksDrift, conformal q̂, and the quantile
+    * family: range-repartition the cells on `keyCol`, collect ONLY the
+    * numPartitions per-count subtotals (control plane), and stitch
+    * partition-LOCAL cumulative windows to the broadcast offsets. No
+    * empty-partitionSpec WindowExec anywhere, so a histogram whose
+    * distinct keys grow toward row count never funnels through one
+    * reducer.
+    *
+    * For each c in `cntCols` the output adds `__cumb_<c>` (the exact
+    * sum of c over STRICTLY smaller keys) and `__tot_<c>` (the grand
+    * total, as a literal). Runs one control-plane action at build time
+    * (the conformal/bloom precedent); the input is materialized, so
+    * callers reuse the staged cells without recompute. */
+  private[graft] def cumBeforeByKey(frame: DataFrame, keyCol: String,
+      cntCols: Seq[String]): DataFrame = {
+    require(cntCols.nonEmpty, "cumBeforeByKey needs count columns")
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = frame.repartitionByRange(parts, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    val staged = graft.ext.Materialize(ranged)
+    val aggs = cntCols.map(c => sum(col(c)).as(c))
+    val ptot = staged.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), cntCols.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).toVector))
+      .sortBy(_._1)
+    val totals = cntCols.indices.map(i => ptot.iterator.map(_._2(i)).sum)
+    val offs = ptot.map(_._2).scanLeft(Vector.fill(cntCols.size)(0L)) {
+      (acc, cs) => acc.lazyZip(cs).map(_ + _)
+    }.init
+    val offDf = ptot.map(_._1).zip(offs)
+      .map { case (pid, o) => Row.fromSeq(pid +: o) }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        cntCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__off_$c", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(offDf.toSeq, 1), offSchema)
+    val w = Window.partitionBy("__pid").orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = staged.join(broadcast(offFrame), Seq("__pid"))
+    val withCums = cntCols.zipWithIndex.foldLeft(joined) {
+      case (df, (c, i)) => df
+        .withColumn(s"__cumb_$c",
+          sum(col(c)).over(w) + col(s"__off_$c") - col(c))
+        .withColumn(s"__tot_$c", lit(totals(i)))
+    }
+    withCums.drop("__pid" +: cntCols.map(c => s"__off_$c"): _*)
   }
 
   /** Top-k rows per key WITHOUT a window sort: the k-bounded

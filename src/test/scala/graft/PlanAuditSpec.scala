@@ -98,6 +98,46 @@ class PlanAuditSpec extends SparkTestBase {
       s"unintended quadratic join shapes:\n  ${offenders.mkString("\n  ")}")
   }
 
+  // operators whose empty-partitionSpec WindowExec runs over a frame
+  // that is AGGREGATE-SIZED by construction (per-period counts, bins,
+  // category spines — never row-shaped data), so one reducer is the
+  // right plan; every entry names the bounded frame
+  private val intendedGlobalWindow: Set[String] = Set(
+    "curation_doremi",     // largest-remainder apportionment over the DOMAIN frame (mixture domains: tens)
+    "sample_mix",          // same apportionment window over the weights/groups frame
+    "sample_temperature",  // same apportionment window over per-group counts
+    "sample_token_budget", // same apportionment window over per-group token masses
+    "dq_volume_anomaly",   // trailing-baseline window over per-PERIOD counts (days)
+    "events_concurrency",  // midnight carry-in window over per-DAY sweep totals
+    "events_survival",     // KM hazard product over the per-DAY subject curve
+    "events_survival_incremental", // same day-curve face over merged stored state
+    "events_survival_sql", // same plan through the TVF face
+    "etl_compaction_plan") // sequential-fill packing over the FILE MANIFEST (#files rows)
+
+  test("no contract query plans a single-reducer window over a data-shaped frame") {
+    // the one-reducer cliff: WindowExec with an empty partitionSpec
+    // funnels EVERY row through one task. Legit only on frames already
+    // reduced to aggregate cardinality; anything else must use the
+    // range-partitioned cumulative discipline (globalRowNumber /
+    // ksFromCounts / conformalFromHistogram).
+    val dir = sf() // sf0.001 — plans, not timings
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => name.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty && !intendedGlobalWindow(name))
+          offenders += s"$name: ${bad.map(_.nodeName).distinct.mkString(",")}"
+      }
+    assert(offenders.isEmpty,
+      s"unintended single-reducer windows:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("every oracle references a registered query; flagship entry is wired") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracleSql entries without a query: $dangling")

@@ -55,6 +55,23 @@ class BpeSpec extends SparkTestBase {
     assert(toks === Seq("x", "y", "z"))
   }
 
+  test("encode lowercases via Locale.ROOT: a Turkish default locale cannot degrade trained pieces") {
+    // under the tr_TR default locale, String.toLowerCase() maps 'I' to
+    // dotless 'ı' — a default-locale lowercase at encode time would
+    // silently miss every trained piece containing 'i' for capitalized
+    // input. The expression pins Locale.ROOT (matching Spark's
+    // locale-independent lower() used at training), so segmentation is
+    // identical whatever the JVM's default locale is.
+    val merges = Seq(("i", "o"))
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      val got = BpeTrainer.encode(Seq("IO io").toDF("text"), "text", merges)
+        .select("tokens").collect()
+      assert(got(0).getSeq[String](0) === Seq("io", "io"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("expression is null-safe and lowercases like the trainer") {
     val merges = Seq(("l", "o"))
     val df = Seq(Some("LO lo"), None).toDF("text")

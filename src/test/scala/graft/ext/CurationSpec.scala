@@ -46,6 +46,21 @@ class CurationSpec extends SparkTestBase {
     assert(got.size === 5)
   }
 
+  test("temperatureScore: overflow past 2^63 fails loud, never a silent negative quota") {
+    // m^tau*1e6 past Long.MaxValue (m = 1e13 at tau = 1.0 -> 1e19)
+    // must raise, independent of the session's ANSI setting; in-range
+    // masses keep the exact rounded score
+    val masses = Seq(10_000_000_000_000L).toDF("m")
+    val e = intercept[Exception] {
+      masses.select(Curation.temperatureScore(col("m"), 1.0).as("s")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("overflows long"),
+      s"wrong failure: ${e.getMessage}")
+    val ok = masses.select(Curation.temperatureScore(col("m"), 0.5).as("s")).head()
+    // sqrt(1e13)*1e6 = 3162277660168.38 -> rounds to ...168
+    assert(ok.getLong(0) === 3162277660168L)
+  }
+
   test("tokenBudgetQuota: whole-doc take-until-budget, at most one overshoot per group") {
     import spark.implicits._
     // group a: 4 docs x 10 tokens (mass 40); group b: 4 docs x 30 (mass 120)

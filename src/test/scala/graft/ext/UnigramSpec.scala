@@ -19,6 +19,21 @@ class UnigramSpec extends SparkTestBase {
     m
   }
 
+  test("encode lowercases via Locale.ROOT: a Turkish default locale cannot degrade trained pieces") {
+    // tr_TR default-locale lowercasing maps 'I' -> dotless 'ı', which
+    // would drop every trained piece containing 'i' to the char
+    // fallback for capitalized input; the expression pins Locale.ROOT
+    val vocab = Seq(("io", 0L), ("i", -1000000000L), ("o", -1000000000L),
+      ("ı", -1000000000L))
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      val got = UnigramTrainer.encode(docs("IO io"), "text", vocab)
+        .select("pieces").as[Seq[String]].head()
+      assert(got === Seq("io", "io"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("viterbi maximizes summed scores; ties prefer the longer piece") {
     // "abc": {abc: -10} beats {ab: -4, c: -7} (-10 > -11)
     assert(UnigramTrainer.viterbiSegment("abc",

@@ -89,6 +89,66 @@ class ExperimentSpec extends SparkTestBase {
     assert(got.getLong(3) === 41000000L && got.getLong(4) === 59000000L)
   }
 
+  test("conformal: k-th residual resolves across range-partition boundaries") {
+    import spark.implicits._
+    // 4001 distinct residuals over 4 shuffle partitions — the histogram
+    // is genuinely multi-partition, so qhat must stitch the partition-
+    // local cumulative to the control-plane offsets correctly at
+    // several different k positions (first, middle, last partition)
+    val calib = (1 to 4001).map(i => (i.toLong, 100.0 + i, 100.0))
+      .toDF("id", "pred", "actual")
+    val test0 = Seq((99L, 0.0)).toDF("id", "pred")
+    def qhat(alphaMicro: Long): Long =
+      Experiment.conformalIntervals(calib, test0, "pred", "actual", alphaMicro)
+        .head().getLong(2) / 1000000L
+    // n=4001: k = ceil(4002*(1-alpha)); residuals are 1..4001 so qhat=k
+    assert(qhat(900000L) === 401L)   // k deep in the first partition
+    assert(qhat(500000L) === 2001L)  // k mid-histogram
+    assert(qhat(250000L) === 3002L)  // k in the back half
+    assert(qhat(300L) === 4001L)     // k = n: the very last cell
+  }
+
+  test("conformal: no single-reducer window in any build-time plan") {
+    import spark.implicits._
+    // VERDICT r16 #1: the q̂ cumulative must use the range-partitioned
+    // discipline (ksFromCounts topology), never an empty-partitionSpec
+    // WindowExec — the plan every build-time Spark action runs is
+    // captured via a QueryExecutionListener and audited node-by-node.
+    val offenders = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        seen.incrementAndGet()
+        val bad = qe.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) offenders.add(qe.sparkPlan.toString)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val calib = (1 to 4001).map(i => (i.toLong, 100.0 + i, 100.0))
+        .toDF("id", "pred", "actual")
+      val test0 = Seq((99L, 50.0)).toDF("id", "pred")
+      val got = Experiment.conformalIntervals(calib, test0, "pred", "actual",
+        alphaMicro = 250000L).collect()
+      assert(got.nonEmpty)
+      // listener delivery is async on the listener bus — wait until the
+      // two build-time collects plus the final action have surfaced
+      val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+      while (seen.get() < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.get() >= 3, s"listener saw only ${seen.get()} executions")
+    } finally spark.listenerManager.unregister(listener)
+    assert(offenders.isEmpty,
+      s"single-reducer window in conformal build:\n${offenders.toArray.mkString("\n")}")
+  }
+
   test("conformal: marginal coverage >= 1 - alpha on an exchangeable holdout") {
     import spark.implicits._
     // noisy scorer: pred = actual + hash-noise in [-50, 50]; calibration
@@ -115,6 +175,128 @@ class ExperimentSpec extends SparkTestBase {
       Experiment.conformalIntervals(calib, test0, "pred", "actual", 100000L)
     }
     assert(e.getMessage.contains("too small"))
+  }
+
+  test("cqr: signed scores — k-th order statistic, negative qhat SHRINKS the band") {
+    import spark.implicits._
+    // fixed band [0, 10]; actuals 5..14 -> scores max(0-y, y-10) =
+    // (-5,-4,...,-1, 0, 1, 2, 3, 4); n=10, alpha=0.2 -> k=9 -> 9th
+    // smallest signed score = 3
+    val calib = (5 to 14).map(i => (i.toLong, 0.0, 10.0, i.toDouble))
+      .toDF("id", "lo", "hi", "actual")
+    val test0 = Seq((99L, 2.0, 8.0)).toDF("id", "lo", "hi")
+    val got = Experiment.cqrIntervals(calib, test0, "lo", "hi", "actual",
+      alphaMicro = 200000L).head()
+    assert(got.getLong(3) === 3000000L)  // qhat_micro
+    assert(got.getLong(4) === -1000000L) // lo_micro = 2 - 3
+    assert(got.getLong(5) === 11000000L) // hi_micro = 8 + 3
+    // every actual deep inside the band -> all scores negative -> a
+    // NEGATIVE qhat: calibration shrinks the over-wide band
+    val tight = (1 to 10).map(i => (i.toLong, -100.0, 100.0, i.toDouble))
+      .toDF("id", "lo", "hi", "actual")
+    val g2 = Experiment.cqrIntervals(tight, test0, "lo", "hi", "actual",
+      alphaMicro = 200000L).head()
+    assert(g2.getLong(3) < 0L)
+    assert(g2.getLong(5) < 8000000L) // hi tightened below the predicted hi
+    // merged state shards == direct
+    val h1 = Experiment.cqrScoreHistogram(calib.filter($"id" <= 9), "lo", "hi", "actual")
+    val h2 = Experiment.cqrScoreHistogram(calib.filter($"id" > 9), "lo", "hi", "actual")
+    val fromState = Experiment.cqrFromHistogram(h1.unionByName(h2), test0,
+      "lo", "hi", alphaMicro = 200000L).head()
+    assert(fromState.getLong(3) === got.getLong(3))
+  }
+
+  private def mwRef(a: Seq[Double], b: Seq[Double]): (Long, Long, Long, Option[Long]) = {
+    // naive mid-rank reference: doubled rank sums over the pooled sort
+    val pooled = (a.map((_, 'a')) ++ b.map((_, 'b'))).sortBy(_._1)
+    val n = pooled.size
+    val byVal = pooled.groupBy(_._1)
+    val cumb = pooled.map(_._1).distinct.sorted
+      .scanLeft(0L)((acc, v) => acc + byVal(v).size).init
+    val cumbOf = pooled.map(_._1).distinct.sorted.zip(cumb).toMap
+    val r2a = a.map(v => 2L * cumbOf(v) + byVal(v).size + 1L).sum
+    val u2a = r2a - a.size.toLong * (a.size + 1L)
+    val u2b = 2L * a.size * b.size - u2a
+    val tie = byVal.values.map(g => g.size.toLong).map(t => t * t * t - t).sum
+    val nD = n.toDouble
+    val inner = nD + 1.0 - tie.toDouble / (nD * (nD - 1.0))
+    val z = if (a.isEmpty || b.isEmpty || n < 2 || inner <= 0.0) None
+      else Some(math.floor((u2a.toDouble - a.size.toDouble * b.size.toDouble) /
+        (2.0 * math.sqrt(a.size.toDouble * b.size.toDouble / 12.0 * inner)) *
+        1.0e9 + 0.5).toLong)
+    (u2a, u2b, tie, z)
+  }
+
+  test("mannWhitney: hand examples — no ties, mid-rank ties, degenerate NULL z") {
+    import spark.implicits._
+    def run(a: Seq[Double], b: Seq[Double]) = {
+      val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+      Experiment.mannWhitney(df, "g", "v", "A", "B").head()
+    }
+    // A={1,2}, B={3,4}: R_A=3 -> 2U_A=0, 2U_B=8, no ties
+    val r1 = run(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4)) === (2L, 2L, 0L, 8L, 0L))
+    val want1 = mwRef(Seq(1.0, 2.0), Seq(3.0, 4.0))._4.get
+    assert(r1.getLong(5) === want1)
+    // ties: A={1,1,2}, B={1,2,2}: midranks 2,2,5 -> R_A=9 -> 2U_A=6
+    val r2 = run(Seq(1.0, 1.0, 2.0), Seq(1.0, 2.0, 2.0))
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === (6L, 12L, 48L))
+    assert(r2.getLong(5) === mwRef(Seq(1.0, 1.0, 2.0), Seq(1.0, 2.0, 2.0))._4.get)
+    // all values identical: zero variance -> NULL z, exact u2 intact
+    val r3 = run(Seq(5.0, 5.0), Seq(5.0))
+    assert(r3.getLong(2) === 2L && r3.isNullAt(5)) // 2U_A = 2R_A-na(na+1) = 8-6
+    // one group absent from the data -> NULL z, counts honest
+    val r4 = run(Seq(1.0, 2.0), Seq.empty)
+    assert(r4.getLong(0) === 2L && r4.getLong(1) === 0L && r4.isNullAt(5))
+  }
+
+  test("mannWhitney: differential vs naive reference across range partitions") {
+    import spark.implicits._
+    // 2000 distinct-ish values across 4 shuffle partitions, seeded
+    // hash noise, heavy ties — the cross-partition offset stitching
+    // must reproduce the naive single-machine mid-rank computation
+    def noise(i: Long): Double = ((i * 2654435761L) % 401L).toDouble / 4.0
+    val a = (1L to 1200L).map(i => noise(i) + 10.0)
+    val b = (1L to 800L).map(i => noise(i * 7L) + 12.0)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val got = Experiment.mannWhitney(df, "g", "v", "A", "B").head()
+    val want = mwRef(a, b)
+    assert((got.getLong(2), got.getLong(3), got.getLong(4)) ===
+      (want._1, want._2, want._3))
+    assert(got.getLong(5) === want._4.get)
+  }
+
+  test("bhAdjust: step-up suffix-min, ceil quantization, per-group ranks, cap at 1e6") {
+    import spark.implicits._
+    // classic all-reject ladder: p = .01...05, m=5, alpha=.05 ->
+    // every adjusted p is exactly 50000 and every row rejects
+    val ladder = (1 to 5).map(i => ("e1", s"m$i", i * 10000L))
+      .toDF("exp", "metric", "p_micro")
+    val g1 = Experiment.bhAdjust(ladder, "exp", "metric", "p_micro", 50000L)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(3), r.getLong(5), r.getBoolean(6))).toMap
+    (1 to 5).foreach { i =>
+      assert(g1(s"m$i") === (i.toLong, 50000L, true), s"m$i: ${g1(s"m$i")}")
+    }
+    // mixed ladder: suffix-min keeps the small p, large ones stand
+    val mixed = Seq(("e1", "a", 1000L), ("e1", "b", 200000L),
+      ("e1", "c", 900000L)).toDF("exp", "metric", "p_micro")
+    val g2 = Experiment.bhAdjust(mixed, "exp", "metric", "p_micro", 50000L)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(3), r.getLong(5), r.getBoolean(6))).toMap
+    assert(g2("a") === (1L, 3000L, true))   // ceil(3*1000/1)
+    assert(g2("b") === (2L, 300000L, false)) // ceil(3*200000/2)
+    assert(g2("c") === (3L, 900000L, false))
+    // two experiments adjust independently; cap at 1e6 holds
+    val two = Seq(("e1", "a", 1000L), ("e2", "a", 900000L),
+      ("e2", "b", 950000L)).toDF("exp", "metric", "p_micro")
+    val g3 = Experiment.bhAdjust(two, "exp", "metric", "p_micro", 50000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(g3(("e1", "a")) === (1L, 1L, 1000L))
+    assert(g3(("e2", "a")) === (1L, 2L, 950000L)) // min(ceil(2*.9/1)=1e6 cap? no: 1800000 capped to 1e6; suffix-min with rank2's 950000)
+    assert(g3(("e2", "b")) === (2L, 2L, 950000L))
   }
 
   test("mondrian conformal: per-group qhat, thin groups fail soft with NULLs") {
