@@ -1257,6 +1257,22 @@ object SparkEntry {
         .filter(col("w") >= 2).select(col("u"), col("v"))
       graft.ops.Graph.kCore(edges, k = 2, maxRounds = 8)
     },
+    "graph_lpa" -> { (s, dir) =>
+      // Deterministic synchronous label propagation (3 rounds, min-tie)
+      // over the same thresholded co-occurrence graph as graph_kcore:
+      // communities of parts repeatedly bought together. The fixed
+      // round count makes the result a pure function of the edges, so
+      // the oracle unrolls the identical rounds as chained CTEs.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("u"))
+        .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count_distinct(col("ok")).as("w"))
+        .filter(col("w") >= 2).select(col("u"), col("v"))
+      graft.ops.Graph.labelPropagation(edges, rounds = 3)
+    },
     "graph_sssp" -> { (s, dir) =>
       // 3-round weighted SSSP from part 0 over the co-occurrence graph
       // with deterministic integer weights w(u,v) = (u+v) % 97 + 1.
@@ -1375,6 +1391,25 @@ object SparkEntry {
       graft.ext.LangModel.bigramNll(
         ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0),
         cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    },
+    "text_ranking_eval" -> { (s, dir) =>
+      // Retrieval-eval metrics (hits/P/R/MRR/DCG/NDCG @10) on a
+      // deterministic harness: per-nation suppliers ranked by
+      // (acctbal DESC, suppkey) play the retrieval run; the %3 == 0
+      // key slice plays the binary relevance set. The log2 discount
+      // table is driver-computed nano-int constants embedded in BOTH
+      // engines, so DCG sums are exact integers.
+      val sup = Tables(s, dir, "supplier")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      val ranked = sup.select(col("s_nationkey").as("query_id"),
+          col("s_suppkey").as("doc_id"), row_number().over(w).as("rank"))
+        .filter(col("rank") <= 10)
+      val truth = sup.filter(pmod(col("s_suppkey"), lit(3L)) === 0)
+        .select(col("s_nationkey").as("query_id"),
+          col("s_suppkey").as("doc_id"))
+      graft.ext.Retrieval.rankingEval(ranked, truth, k = 10)
     },
     "text_bm25" -> { (s, dir) =>
       // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
@@ -5915,6 +5950,8 @@ object SparkEntry {
     // WITH RECURSIVE in DuckDB 1.0 (acts like UNION ALL) — every dedup
     // below is an explicit DISTINCT over UNION ALL
     "graph_kcore" -> kcoreSql,
+    "graph_lpa" -> lpaSql,
+    "text_ranking_eval" -> rankingEvalSql,
     "graph_pagerank" ->
       """WITH RECURSIVE
         | sp AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
@@ -9459,6 +9496,68 @@ object SparkEntry {
          |SELECT node, COUNT(*) AS core_degree FROM (
          | SELECT u AS node FROM e$rounds UNION ALL SELECT v AS node FROM e$rounds)
          |GROUP BY 1""".stripMargin
+  }
+
+  /** graph_lpa oracle: the deterministic synchronous rounds UNROLL as
+    * chained CTEs (the kcoreSql discipline) — same thresholded
+    * co-occurrence base graph, 3 rounds of most-frequent-neighbor-label
+    * with ties to the smallest label. MATERIALIZED per round for the
+    * same CTE-inlining reason as kcoreSql. */
+  private def lpaSql: String = {
+    val rounds = 3
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v
+        | FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        | GROUP BY 1, 2 HAVING COUNT(DISTINCT a.ok) >= 2),
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
+        | UNION SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s""",
+         |c$i AS MATERIALIZED (SELECT s.src AS node, l.label, COUNT(*) AS c
+         | FROM sym s JOIN l$i l ON l.node = s.dst GROUP BY 1, 2),
+         |l${i + 1} AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+         |    ORDER BY c DESC, label ASC) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString
+    base + steps + s"\nSELECT node, label FROM l$rounds"
+  }
+
+  /** text_ranking_eval oracle: re-embeds the SAME driver-computed
+    * nano-int log2 discount table and its prefix sums as VALUES
+    * spines, so DCG/IDCG are exact integer sums in both engines. */
+  private def rankingEvalSql: String = {
+    val k = 10
+    val gains = (1 to k).map(r =>
+      math.floor(1.0e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+    val idcg = gains.scanLeft(0L)(_ + _).tail
+    val gainVals = (1 to k).map(r => s"($r, ${gains(r - 1)})").mkString(", ")
+    val idcgVals = (1 to k).map(r => s"($r, ${idcg(r - 1)})").mkString(", ")
+    s"""WITH ranked AS (SELECT s_nationkey AS query_id, s_suppkey AS doc_id,
+       |   ROW_NUMBER() OVER (PARTITION BY s_nationkey
+       |     ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+       |  FROM supplier QUALIFY rnk <= $k),
+       |g(rnk, gain_nano) AS (VALUES $gainVals),
+       |ic(cap, idcg_nano) AS (VALUES $idcgVals),
+       |rel AS (SELECT DISTINCT s_nationkey AS query_id, s_suppkey AS doc_id
+       |  FROM supplier WHERE s_suppkey % 3 = 0),
+       |nr AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+       |h AS (SELECT r.query_id, COUNT(*) AS hits, MIN(r.rnk) AS first_rank,
+       |   SUM(g.gain_nano) AS dcg_nano
+       |  FROM ranked r JOIN rel USING (query_id, doc_id)
+       |  JOIN g ON g.rnk = r.rnk GROUP BY 1)
+       |SELECT nr.query_id, CAST(nr.n_rel AS BIGINT) AS n_rel,
+       | CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       | CAST(CASE WHEN h.first_rank IS NOT NULL
+       |   THEN 1000000000 // h.first_rank ELSE 0 END AS BIGINT) AS mrr_nano,
+       | CAST(COALESCE(h.dcg_nano, 0) AS BIGINT) AS dcg_nano,
+       | CAST(ic.idcg_nano AS BIGINT) AS idcg_nano,
+       | CAST(COALESCE(h.dcg_nano, 0) * 1000000 // ic.idcg_nano AS BIGINT) AS ndcg_micro,
+       | CAST(COALESCE(h.hits, 0) * 1000000 // $k AS BIGINT) AS precision_micro,
+       | CAST(COALESCE(h.hits, 0) * 1000000 // nr.n_rel AS BIGINT) AS recall_micro
+       |FROM nr LEFT JOIN h ON h.query_id = nr.query_id
+       |JOIN ic ON ic.cap = LEAST(nr.n_rel, $k)""".stripMargin
   }
 
   /** Exact cosine top-10 for the query slice — the oracle for BOTH the

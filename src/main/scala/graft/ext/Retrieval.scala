@@ -28,6 +28,72 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Ranked-retrieval evaluation — the per-query metrics a RAG/search
+    * pipeline reports: hits@k, precision@k, recall@k, MRR@k, DCG@k and
+    * NDCG@k (Järvelin & Kekäläinen 2002) — over a (query, doc, rank)
+    * ranked frame judged against a (query, doc) binary-relevance truth
+    * frame.
+    *
+    * Exactness: the log2 rank-discount table for ranks 1..k is computed
+    * ONCE driver-side (k doubles, nano-quantized to int64) and rides
+    * the plan as a broadcast literal spine — each hit's gain term is
+    * then an exact long, so DCG is an order-independent integer SUM
+    * (distributed float summation could flip low bits per run), and
+    * IDCG is a driver-side PREFIX-SUM lookup joined on min(n_rel, k).
+    * NDCG/precision/recall quantize by exact integer division; MRR is
+    * ⌊10^9 / first-hit-rank⌋. The oracle re-embeds the SAME driver-side
+    * constants, so every output is bit-stable across engines.
+    *
+    * Contracts: relevance is binary (truth membership; truth dedupes);
+    * ranked rows with rank > k are ignored; a query with truth but no
+    * ranked hits reports zero metrics; a query absent from truth is
+    * dropped (recall/NDCG undefined there — surface those with a
+    * separate coverage join if needed).
+    *
+    * Plan shape: one semi join of the rank-bounded results against
+    * truth (shuffle on (query, doc)), one grouped aggregate, two
+    * broadcast spine joins (k rows each). Output: (queryCol, n_rel,
+    * hits, mrr_nano, dcg_nano, idcg_nano, ndcg_micro, precision_micro,
+    * recall_micro). */
+  def rankingEval(ranked: DataFrame, truth: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val gains = (1 to k).map(r => (r.toLong,
+      math.floor(1.0e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong))
+    val idcg = gains.map(_._2).scanLeft(0L)(_ + _).tail
+    val gainDf = gains.toDF(rankCol, "__gain_nano")
+    val idcgDf = (1 to k).map(i => (i.toLong, idcg(i - 1)))
+      .toDF("__nrel_cap", "__idcg_nano")
+    val rel = truth.select(col(queryCol), col(docCol)).distinct()
+    val nrel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col(rankCol) <= k)
+      .join(rel, Seq(queryCol, docCol), "left_semi")
+      .join(broadcast(gainDf), Seq(rankCol))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("hits"),
+        min(col(rankCol)).cast("long").as("__first_rank"),
+        sum(col("__gain_nano")).as("dcg_nano"))
+    nrel.join(hits, Seq(queryCol), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("dcg_nano", coalesce(col("dcg_nano"), lit(0L)))
+      .withColumn("mrr_nano", when(col("__first_rank").isNotNull,
+        call_function("div", lit(1000000000L), col("__first_rank")))
+        .otherwise(lit(0L)))
+      .join(broadcast(idcgDf),
+        least(col("n_rel"), lit(k.toLong)) === col("__nrel_cap"))
+      .select(col(queryCol), col("n_rel"), col("hits"), col("mrr_nano"),
+        col("dcg_nano"), col("__idcg_nano").as("idcg_nano"),
+        call_function("div", col("dcg_nano") * lit(1000000L),
+          col("__idcg_nano")).as("ndcg_micro"),
+        call_function("div", col("hits") * lit(1000000L), lit(k.toLong))
+          .as("precision_micro"),
+        call_function("div", col("hits") * lit(1000000L), col("n_rel"))
+          .as("recall_micro"))
+  }
+
   /** BM25 top-k (k1 = 6/5, b = 3/4, Lucene non-negative idf), with the
     * query set taken as the `nQueryTerms` globally most frequent terms
     * (df-desc, term-asc — deterministic). Integer-exact derivation for

@@ -288,6 +288,48 @@ object Graph {
     * Input: canonical undirected edges (u < v, distinct). Output:
     * (node, core_degree) for every node in the k-core, core_degree the
     * node's degree WITHIN the core (≥ k by construction). */
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007), DETERMINISTIC variant: labels start as the node id;
+    * each round EVERY node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label (the
+    * modePerGroup rule); exactly `rounds` rounds run. Classic LPA
+    * updates asynchronously in random order — run-order-dependent and
+    * useless under an exactness contract; the synchronous min-tie
+    * fixed-round form is a pure function of (edges, rounds) that
+    * replays identically in any engine (and unrolls as SQL for the
+    * oracle). Synchronous LPA can two-cycle on bipartite-ish structure,
+    * so `rounds` is a hard cap by design, not a convergence loop —
+    * small round counts (3-5) are the published sweet spot; labels
+    * after round r incorporate r-hop structure.
+    *
+    * Plan per round: one labels join shuffled on the node key, one
+    * map-side-combined (node, label) count, one exact deterministic
+    * mode ([[Relational.modePerGroup]]'s min_by — no row explosion
+    * beyond the adjacency), lineage cut via Materialize — the
+    * PageRank/BFS iterative discipline. Parallel edges dedupe first so
+    * counts mean NEIGHBORS, not edge multiplicity.
+    *
+    * Output: (node, label) — label is the community representative id. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      uCol: String = "u", vCol: String = "v"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val sym = edges.select(col(uCol).as("src"), col(vCol).as("dst"))
+      .unionAll(edges.select(col(vCol).as("src"), col(uCol).as("dst")))
+      .distinct()
+    val symM = graft.ext.Materialize(sym)
+    var labels = symM.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val nb = symM
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+      labels = graft.ext.Materialize(
+        Relational.modePerGroup(nb, Seq("node"), "label")
+          .select(col("node"), col("mode_value").as("label")))
+    }
+    labels
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100,
       uCol: String = "u", vCol: String = "v"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

@@ -39,6 +39,40 @@ class RetrievalSpec extends SparkTestBase {
     (5L, "engines and pipelines and engines again"),
     (6L, "unrelated words entirely about gardening and cooking here"))
 
+  test("rankingEval: hand-computed NDCG/MRR/P/R at k=3, zero-hit and truth-only queries") {
+    import spark.implicits._
+    val gain = (r: Int) =>
+      math.floor(1.0e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong
+    // q1: ranked a,b,c; truth {b, d} -> one hit at rank 2
+    // q2: ranked x,y; truth {z} -> zero hits, zero metrics
+    // q3: in truth only -> zero row still reported (n_rel = 1)
+    // q4: perfect: ranked p,q; truth {p, q} (dup truth row dedupes)
+    val ranked = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (2L, 21L, 1), (2L, 22L, 2),
+      (4L, 41L, 1), (4L, 42L, 2)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 12L), (1L, 14L), (2L, 29L), (3L, 31L),
+      (4L, 41L), (4L, 42L), (4L, 42L)).toDF("query_id", "doc_id")
+    val got = Retrieval.rankingEval(ranked, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = got(1L)
+    assert(q1.getLong(1) === 2L && q1.getLong(2) === 1L) // n_rel, hits
+    assert(q1.getLong(3) === 500000000L)                 // mrr = 1e9/2
+    assert(q1.getLong(4) === gain(2))                    // dcg
+    assert(q1.getLong(5) === gain(1) + gain(2))          // idcg: min(2,3)=2
+    assert(q1.getLong(6) === gain(2) * 1000000L / (gain(1) + gain(2)))
+    assert(q1.getLong(7) === 333333L && q1.getLong(8) === 500000L)
+    val q2 = got(2L)
+    assert(q2.getLong(2) === 0L && q2.getLong(3) === 0L &&
+      q2.getLong(4) === 0L && q2.getLong(6) === 0L)
+    val q3 = got(3L)
+    assert(q3.getLong(1) === 1L && q3.getLong(2) === 0L)
+    val q4 = got(4L)
+    assert(q4.getLong(1) === 2L && q4.getLong(2) === 2L)
+    assert(q4.getLong(3) === 1000000000L)
+    assert(q4.getLong(6) === 1000000L) // perfect NDCG
+    assert(q4.getLong(8) === 1000000L) // perfect recall
+  }
+
   test("bm25TopK matches an independent reference on ranks and nano scores") {
     import spark.implicits._
     val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), k = 3, nQueryTerms = 4)

@@ -90,6 +90,40 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("labelPropagation: two triangles with a bridge settle to two communities") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; synchronous
+    // min-tie rounds hand-traced: after round 3 the left triangle
+    // carries label 1 and the right carries label 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation matches a naive synchronous reference on a random graph") {
+    // seeded sparse graph; reference replays the same min-tie
+    // synchronous rounds in plain Scala
+    val rnd = new scala.util.Random(7)
+    val edges0 = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = edges0.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var lab = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (n, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.labelPropagation(edges0.toDF("u", "v"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lab)
+  }
+
   test("bfsDistances: layered distances with early drain") {
     // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1, dist(5)=2, dist(3)=2
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("u", "v")
