@@ -627,6 +627,22 @@ object GraftExtensions {
         idCol = strLit(args(6), "id_col"))
       out.queryExecution.logical
     }),
+    //   graft_cqr(calib_view, test_view, lo_col, hi_col, actual_col,
+    //             alpha_micro, id_col)
+    // Conformalized quantile regression — same signed-score exact
+    // order-statistic plan as Experiment.cqrIntervals (q̂ resolved at
+    // analysis time; the graft_conformal build-action caveat applies).
+    ("graft_cqr", 7, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val out = graft.ops.Experiment.cqrIntervals(
+        spark.table(strLit(args(0), "calib_view")),
+        spark.table(strLit(args(1), "test_view")),
+        strLit(args(2), "lo_col"), strLit(args(3), "hi_col"),
+        strLit(args(4), "actual_col"),
+        alphaMicro = longLit(args(5), "alpha_micro"),
+        idCol = strLit(args(6), "id_col"))
+      out.queryExecution.logical
+    }),
     //   graft_c4_line_clean(docs_view, id_col, text_col, min_words)
     // C4 line-level page cleaning — same zero-shuffle rewrite
     // projection as TextAnalysis.c4LineClean.

@@ -612,6 +612,29 @@ object SparkEntry {
       graft.ops.Experiment.bhAdjust(m, "exp_id", "metric", "p_micro",
         alphaMicro = 50000L)
     },
+    "exp_kruskal" -> { (s, dir) =>
+      // Kruskal-Wallis omnibus over the three return-flag arms on
+      // quantity — a discrete 1..50 metric, so the tie correction
+      // carries real weight; H from exact doubled mid-rank sums and
+      // the per-group floor-quantized square sum (identical in both
+      // engines by construction).
+      graft.ops.Experiment.kruskalWallis(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_quantity").as("v")),
+        "g", "v")
+    },
+    "exp_wilcoxon" -> { (s, dir) =>
+      // Wilcoxon signed-rank on deterministic paired deltas: post =
+      // price + key-noise, pre = price — zero deltas (key%97 == 48)
+      // drop by Wilcoxon's rule; |d| mid-ranks off the histogram with
+      // the range-partitioned cumulative.
+      graft.ops.Experiment.wilcoxonSignedRank(
+        Tables(s, dir, "orders").select(
+          col("o_totalprice").as("pre"),
+          (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+            .cast("double")).as("post")),
+        "pre", "post")
+    },
 
     // --- relational analytics (SURVEY.md §2.6 gaps, exercised at scale) --
     "q1_pricing_summary" -> (Relational.pricingSummary _),
@@ -3939,6 +3962,67 @@ object SparkEntry {
         }
       }
     },
+    "exp_cqr_sql" -> { (s, dir) =>
+      // CQR through its SQL TVF face — same signed-score plan (q̂
+      // resolved at analysis time); shares exp_cqr's oracle.
+      graft.GraftExtensions.register(s)
+      val sc = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_totalprice") -
+          pmod(col("o_orderkey"), lit(50L)).cast("double")).as("lo"),
+        (col("o_totalprice") +
+          pmod(col("o_orderkey"), lit(70L)).cast("double")).as("hi"),
+        (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+          .cast("double")).as("actual"))
+      withFreshView(s, "graft_cqr_calib_v",
+        sc.filter(pmod(col("o_orderkey"), lit(3L)) === 0)) { cv =>
+        withFreshView(s, "graft_cqr_test_v",
+          sc.filter(pmod(col("o_orderkey"), lit(3L)) === 1)) { tv =>
+          s.sql(s"""
+            SELECT * FROM graft_cqr('$cv', '$tv',
+              'lo', 'hi', 'actual', 100000, 'o_orderkey')
+          """)
+        }
+      }
+    },
+    "stream_cqr_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // CQR calibration-on-arrival: the exp_cqr scenario with the
+        // calibration slice arriving as a 3-file stream. Signed-score
+        // histograms are a pure count monoid, so the drained state's
+        // q̂ is EXACTLY the one-shot CQR quantile — exp_cqr's own
+        // oracle pins the whole fold + serve path.
+        val sc = Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          (col("o_totalprice") -
+            pmod(col("o_orderkey"), lit(50L)).cast("double")).as("lo"),
+          (col("o_totalprice") +
+            pmod(col("o_orderkey"), lit(70L)).cast("double")).as("hi"),
+          (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+            .cast("double")).as("actual"))
+        val calib = sc.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        val replayDir = scratchDir("graft_cqr_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_cqr_stage_")
+          calib.filter(pmod(col("o_orderkey"), lit(9L)) === g * 3L)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_cqr_state_").toString
+        val ckpt = scratchDir("graft_cqr_ckpt_").toString
+        val stream = s.readStream.schema(calib.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.cqrGate(stream, "lo", "hi", "actual",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.cqrGateResult(s, stateDir,
+          sc.filter(pmod(col("o_orderkey"), lit(3L)) === 1),
+          "lo", "hi", alphaMicro = 100000L, idCol = "o_orderkey")
+      }
+    },
     "stream_conformal_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Calibration-on-arrival: the exp_conformal scenario with the
@@ -6711,31 +6795,9 @@ object SparkEntry {
     "exp_conformal" -> conformalSql,
     "exp_conformal_sql" -> conformalSql,
     "stream_conformal_gate" -> conformalSql,
-    "exp_cqr" ->
-      """WITH sc AS (SELECT o_orderkey,
-        |   o_totalprice - CAST(o_orderkey % 50 AS DOUBLE) AS lo,
-        |   o_totalprice + CAST(o_orderkey % 70 AS DOUBLE) AS hi,
-        |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS actual
-        |  FROM orders),
-        |r AS (SELECT GREATEST(
-        |     CAST(FLOOR(lo * 1000000 + 0.5) AS BIGINT)
-        |       - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT),
-        |     CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)
-        |       - CAST(FLOOR(hi * 1000000 + 0.5) AS BIGINT)) AS r
-        |  FROM sc WHERE o_orderkey % 3 = 0),
-        |h AS (SELECT r, COUNT(*) AS c FROM r GROUP BY 1),
-        |cu AS (SELECT r, SUM(c) OVER (ORDER BY r
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |   SUM(c) OVER () AS n FROM h),
-        |q AS (SELECT MIN(r) AS qhat FROM cu
-        |   WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
-        |SELECT sc.o_orderkey,
-        | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) AS lo_pred_micro,
-        | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) AS hi_pred_micro,
-        | CAST(q.qhat AS BIGINT) AS qhat_micro,
-        | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
-        | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
-        |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin,
+    "exp_cqr" -> cqrSql,
+    "exp_cqr_sql" -> cqrSql,
+    "stream_cqr_gate" -> cqrSql,
     "exp_mannwhitney" ->
       """WITH src AS (SELECT
         |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq,
@@ -6766,6 +6828,65 @@ object SparkEntry {
         |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
         |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
         |FROM fin""".stripMargin,
+    "exp_kruskal" ->
+      """WITH src AS (SELECT
+        |   CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS vq,
+        |   l_returnflag AS g FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |pv AS (SELECT vq, COUNT(*) AS t FROM src GROUP BY 1),
+        |cu AS (SELECT vq, t, COALESCE(SUM(t) OVER (ORDER BY vq
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM pv),
+        |gv AS (SELECT g, vq, COUNT(*) AS cg FROM src GROUP BY 1, 2),
+        |gr AS (SELECT g, SUM(CAST(cg AS HUGEINT) * (2 * cumb + t + 1)) AS r2g,
+        |   SUM(cg) AS ng FROM gv JOIN cu USING (vq) GROUP BY 1),
+        |ag AS (SELECT SUM(r2g * r2g // (4 * CAST(ng AS HUGEINT))) AS s_q,
+        |   COUNT(*) AS n_groups FROM gr),
+        |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tie_d,
+        |   SUM(t) AS nn FROM cu)
+        |SELECT CAST(COALESCE(nn, 0) AS BIGINT) AS n,
+        | CAST(n_groups AS BIGINT) AS n_groups,
+        | CAST(tie_d AS BIGINT) AS tie_term,
+        | CASE WHEN nn > 1 AND (1.0 - CAST(tie_d AS DOUBLE)
+        |   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |     - CAST(nn AS DOUBLE))) > 0.0
+        |  THEN CAST(FLOOR((12.0 * CAST(s_q AS DOUBLE)
+        |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |     - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |   / (1.0 - CAST(tie_d AS DOUBLE)
+        |     / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |       - CAST(nn AS DOUBLE)))
+        |   * 1000000000.0 + 0.5) AS BIGINT) END AS h_nano
+        |FROM ag CROSS JOIN tt""".stripMargin,
+    "exp_wilcoxon" ->
+      """WITH d0 AS (SELECT
+        |   CAST(FLOOR((o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE))
+        |     * 1000000 + 0.5) AS BIGINT)
+        |   - CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |dd AS (SELECT d FROM d0 WHERE d <> 0),
+        |h AS (SELECT ABS(d) AS ad,
+        |   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos, COUNT(*) AS t
+        |  FROM dd GROUP BY 1),
+        |cu AS (SELECT ad, cpos, t, COALESCE(SUM(t) OVER (ORDER BY ad
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM h),
+        |ag AS (SELECT SUM(CAST(cpos AS HUGEINT) * (2 * cumb + t + 1)) AS w2p,
+        |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d, SUM(t) AS nn FROM cu)
+        |SELECT CAST(COALESCE(nn, 0) AS BIGINT) AS n,
+        | CAST(COALESCE(w2p, 0) AS BIGINT) AS w2_pos,
+        | CAST(COALESCE(CAST(nn AS HUGEINT) * (nn + 1) - w2p, 0) AS BIGINT) AS w2_neg,
+        | CAST(COALESCE(tie_d, 0) AS BIGINT) AS tie_term,
+        | CASE WHEN nn > 0 AND (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+        |   * (2.0 * CAST(nn AS DOUBLE) + 1.0) / 24.0
+        |   - CAST(tie_d AS DOUBLE) / 48.0) > 0.0
+        |  THEN CAST(FLOOR((CAST(w2p AS DOUBLE)
+        |     - CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 2.0)
+        |   / (2.0 * SQRT(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+        |     * (2.0 * CAST(nn AS DOUBLE) + 1.0) / 24.0
+        |     - CAST(tie_d AS DOUBLE) / 48.0))
+        |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
+        |FROM ag""".stripMargin,
     "exp_fdr_bh" ->
       """WITH met AS (SELECT o_orderpriority AS exp_id,
         |   o_orderkey % 20 AS metric,
@@ -8894,6 +9015,35 @@ object SparkEntry {
         | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
         | CAST(FLOOR(sc.pred * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
         |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin
+
+  /** Shared by exp_cqr / exp_cqr_sql / stream_cqr_gate: replays the
+    * deterministic band, the SIGNED score histogram, and the exact
+    * ceil((n+1)(1-alpha)) order statistic. */
+  private def cqrSql: String =
+    """WITH sc AS (SELECT o_orderkey,
+      |   o_totalprice - CAST(o_orderkey % 50 AS DOUBLE) AS lo,
+      |   o_totalprice + CAST(o_orderkey % 70 AS DOUBLE) AS hi,
+      |   o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE) AS actual
+      |  FROM orders),
+      |r AS (SELECT GREATEST(
+      |     CAST(FLOOR(lo * 1000000 + 0.5) AS BIGINT)
+      |       - CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT),
+      |     CAST(FLOOR(actual * 1000000 + 0.5) AS BIGINT)
+      |       - CAST(FLOOR(hi * 1000000 + 0.5) AS BIGINT)) AS r
+      |  FROM sc WHERE o_orderkey % 3 = 0),
+      |h AS (SELECT r, COUNT(*) AS c FROM r GROUP BY 1),
+      |cu AS (SELECT r, SUM(c) OVER (ORDER BY r
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   SUM(c) OVER () AS n FROM h),
+      |q AS (SELECT MIN(r) AS qhat FROM cu
+      |   WHERE cum >= ((n + 1) * 900000 + 999999) // 1000000)
+      |SELECT sc.o_orderkey,
+      | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) AS lo_pred_micro,
+      | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) AS hi_pred_micro,
+      | CAST(q.qhat AS BIGINT) AS qhat_micro,
+      | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
+      | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
+      |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin
 
   private def cramersVSql: String =
     """WITH cells AS (SELECT

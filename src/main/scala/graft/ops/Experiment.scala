@@ -442,6 +442,118 @@ object Experiment {
         floor(zf * lit(1.0e9) + lit(0.5)).cast("long")).as("z_nano"))
   }
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — [[mannWhitney]]'s
+    * k-group generalization: do ANY of the arms differ in location,
+    * with no normality assumption? The one-shot omnibus gate before
+    * pairwise readouts.
+    *
+    * Exactness: micro-grid values; per-VALUE totals t(v) ride the
+    * [[Relational.cumBeforeByKey]] range-partitioned cumulative; each
+    * group's doubled mid-rank sum 2R_g = Σ_v c_g(v)·(2·cumb(v)+t(v)+1)
+    * is exact decimal(38,0); the cross-group aggregate
+    * S = Σ_g ⌊(2R_g)² / (4·n_g)⌋ floor-quantizes PER GROUP so the sum
+    * is an exact integer in BOTH engines (a per-group double would sum
+    * in engine-dependent order) — the ≤ 1/group floor loss shifts H by
+    * ≤ 12k/(N(N+1)), far below any decision threshold, and
+    * IDENTICALLY in every engine. The (2R_g)² square fails loud
+    * (decimal(38,0), ANSI) past N ≈ 1.5e9 rows per test — beyond any
+    * per-readout arm size; pre-aggregate heavier inputs.
+    *
+    *   H = [12·S/(N(N+1)) − 3(N+1)] / (1 − ΣT(t³−t)/(N³−N))
+    *
+    * — ONE fixed double tree over exact ints, mirrored in the oracle.
+    * NULL h on N < 2 or zero variance (all values tied).
+    *
+    * Output: one row — (n, n_groups, tie_term, h_nano). */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val src = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(microCol(col(valueCol)).as("vq"), col(groupCol).as("g"))
+    val perVal = src.groupBy("vq").agg(count(lit(1)).as("t"))
+    val cum = Relational.cumBeforeByKey(perVal, "vq", Seq("t"))
+    val perGroupVal = src.groupBy("g", "vq").agg(count(lit(1)).as("cg"))
+    val grp = perGroupVal.join(cum, Seq("vq"))
+      .groupBy("g")
+      .agg(sum(col("cg").cast(dec) *
+          (lit(2L) * col("__cumb_t") + col("t") + lit(1L)).cast(dec))
+          .as("r2g"),
+        sum(col("cg")).as("ng"),
+        max(col("__tot_t")).as("nn"))
+    val agg = grp.agg(
+      sum(call_function("div", col("r2g") * col("r2g"),
+        lit(4L).cast(dec) * col("ng").cast(dec))).as("s_q_d"),
+      count(lit(1)).as("n_groups"),
+      max(col("nn")).as("nn"))
+    // tie term rides the value-level frame; one-row cross join
+    val tie = cum.agg(coalesce(
+      sum(col("t").cast(dec) * col("t") * col("t") - col("t")),
+      lit(0L).cast(dec)).as("tie_d"))
+    val nD = col("nn").cast("double")
+    val hRaw = lit(12.0) * col("s_q_d").cast("double") /
+      (nD * (nD + lit(1.0))) - lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("tie_d").cast("double") /
+      (nD * nD * nD - nD)
+    agg.crossJoin(broadcast(tie)).select(
+      coalesce(col("nn"), lit(0L)).as("n"),
+      col("n_groups"),
+      col("tie_d").cast("long").as("tie_term"),
+      when(col("nn") > 1L && corr > 0.0,
+        floor(hRaw / corr * lit(1.0e9) + lit(0.5)).cast("long"))
+        .as("h_nano"))
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
+    * nonparametric readout: same units measured pre/post (or under two
+    * treatments); does the median paired difference differ from zero?
+    * The rank-based complement to a paired t-test for skewed deltas.
+    *
+    * Standard conventions: zero differences DROP (Wilcoxon's rule),
+    * |d| ranks with mid-ranks on the micro grid, W⁺ = Σ ranks of
+    * positive d. Doubled identity through the |d| HISTOGRAM with
+    * positive-side counts (the [[mannWhitney]] machinery on
+    * [[Relational.cumBeforeByKey]]):
+    *
+    *   2·W⁺ = Σ_v cpos(v) · (2·cumb(v) + t(v) + 1)    (exact decimal)
+    *   z = (2W⁺ − n(n+1)/2) / (2·√(n(n+1)(2n+1)/24 − ΣT(t³−t)/48))
+    *
+    * — ONE fixed double tree over exact ints, mirrored in the oracle;
+    * no continuity correction (documented). NULL z when n = 0 or the
+    * variance is non-positive (every |d| tied can still leave positive
+    * variance; n < 1 cannot).
+    *
+    * Output: one row — (n, w2_pos, w2_neg, tie_term, z_nano), w2 = 2W. */
+  def wilcoxonSignedRank(df: DataFrame, preCol: String,
+      postCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select((microCol(col(postCol)) - microCol(col(preCol))).as("d"))
+      .filter(col("d") =!= 0L)
+    val hist = d.groupBy(abs(col("d")).as("ad")).agg(
+      sum(when(col("d") > 0L, 1L).otherwise(0L)).as("cpos"),
+      count(lit(1)).as("t"))
+    val cum = Relational.cumBeforeByKey(hist, "ad", Seq("t"))
+    val agg = cum.agg(
+      sum(col("cpos").cast(dec) *
+        (lit(2L) * col("__cumb_t") + col("t") + lit(1L)).cast(dec)).as("w2p"),
+      sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("tie_d"),
+      max(col("__tot_t")).as("nn"))
+    val nD = col("nn").cast("double")
+    // w2p + w2n = 2(W+ + W-) = n(n+1)
+    val w2n = col("nn").cast(dec) * (col("nn") + lit(1L)).cast(dec) - col("w2p")
+    val variance = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(24.0) - col("tie_d").cast("double") / lit(48.0)
+    val zf = (col("w2p").cast("double") - nD * (nD + lit(1.0)) / lit(2.0)) /
+      (lit(2.0) * sqrt(variance))
+    agg.select(
+      coalesce(col("nn"), lit(0L)).as("n"),
+      coalesce(col("w2p").cast("long"), lit(0L)).as("w2_pos"),
+      coalesce(w2n.cast("long"), lit(0L)).as("w2_neg"),
+      coalesce(col("tie_d").cast("long"), lit(0L)).as("tie_term"),
+      when(col("nn") > 0L && variance > 0.0,
+        floor(zf * lit(1.0e9) + lit(0.5)).cast("long")).as("z_nano"))
+  }
+
   /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg
     * 1995) over per-group hypothesis frames — the guard a multi-metric
     * experiment readout needs: at 20 metrics per experiment, α = 0.05

@@ -1463,6 +1463,52 @@ object StreamingOps {
       spark.read.parquet(s"$stateDir/v$v"), test, predCol, alphaMicro, idCol)
   }
 
+  /** CQR calibration-on-arrival — [[conformalGate]]'s quantile-band
+    * twin: each microbatch folds its SIGNED conformity-score histogram
+    * max(lo−y, y−hi) (a count monoid,
+    * `Experiment.cqrScoreHistogram`) into the versioned-dir + marker
+    * state, so the drained q̂ equals the one-shot CQR quantile
+    * exactly. */
+  def cqrGate(stream: DataFrame, loCol: String, hiCol: String,
+      actualCol: String, stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCqrBatch(batch, batchId, loCol, hiCol, actualCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent CQR score-histogram merge (public for direct
+    * testing and batch backfills sharing the gate's state). */
+  def applyCqrBatch(batch: DataFrame, batchId: Long, loCol: String,
+      hiCol: String, actualCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val hist = graft.ops.Experiment.cqrScoreHistogram(
+      batch, loCol, hiCol, actualCol)
+    val merged = (if (current >= 0L)
+      hist.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else hist)
+      .groupBy("r").agg(sum("c").as("c"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** CQR intervals for a test frame off the gate's committed score
+    * state — the same q̂ code path as the batch face. */
+  def cqrGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, test: DataFrame, loCol: String, hiCol: String,
+      alphaMicro: Long = 100000L, idCol: String = "id"): DataFrame = {
+    val v = StateCommit.requireVersion(stateDir, "cqr state")
+    graft.ops.Experiment.cqrFromHistogram(
+      spark.read.parquet(s"$stateDir/v$v"), test, loCol, hiCol,
+      alphaMicro, idCol)
+  }
+
   // --- streaming IVF index-ingest gate (foreachBatch -> postings deltas) ---
 
   /** Streaming ANN index ingest — IVF postings ON ARRIVAL: the coarse

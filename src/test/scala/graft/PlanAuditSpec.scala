@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_tcl_sql",             // same plan through the TVF face
     "dq_tcl_incremental",     // same audit face over merged stored cell state
     "dq_srm",                 // one-row total frame x arm-sized spine
-    "exp_cuped")              // one-row exact power-sums frame x rows
+    "exp_cuped",              // one-row exact power-sums frame x rows
+    "exp_kruskal")            // one-row group-sum frame x one-row tie frame
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings

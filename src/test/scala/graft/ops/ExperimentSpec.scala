@@ -267,6 +267,50 @@ class ExperimentSpec extends SparkTestBase {
     assert(got.getLong(5) === want._4.get)
   }
 
+  test("kruskalWallis: hand-traced H with the per-group floor quantization; degenerates NULL") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}, C={5,6}: ranks 1..6, R={3,7,11} -> r2={6,14,22}
+    // -> S = 36//8 + 196//8 + 484//8 = 4+24+60 = 88 (floor per group,
+    // the documented quantization); H = 12*88/42 - 21, no ties
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 6.0)).toDF("g", "v")
+    val r = Experiment.kruskalWallis(df, "g", "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (6L, 3L, 0L))
+    val h = 12.0 * 88.0 / (6.0 * 7.0) - 3.0 * 7.0
+    assert(r.getLong(3) === math.floor(h / 1.0 * 1.0e9 + 0.5).toLong)
+    // ties across groups engage the correction: A={1,1}, B={1,2}
+    // hist: v1 t=3 cumb=0, v2 t=1 cumb=3; r2_A = 2*(0+3+1)=8,
+    // r2_B = (0+3+1)+(6+1+1)=12; S = 64//8 + 144//8 = 8+18=26;
+    // tie = 27-3 = 24; corr = 1 - 24/(64-4) = 0.6
+    val df2 = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v")
+    val r2 = Experiment.kruskalWallis(df2, "g", "v").head()
+    assert(r2.getLong(2) === 24L)
+    val h2 = (12.0 * 26.0 / (4.0 * 5.0) - 3.0 * 5.0) / (1.0 - 24.0 / 60.0)
+    assert(r2.getLong(3) === math.floor(h2 * 1.0e9 + 0.5).toLong)
+    // all values identical -> zero variance -> NULL h
+    val r3 = Experiment.kruskalWallis(
+      Seq(("A", 7.0), ("B", 7.0)).toDF("g", "v"), "g", "v").head()
+    assert(r3.isNullAt(3))
+  }
+
+  test("wilcoxonSignedRank: mid-rank hand trace, zero-delta drop, NULL on empty") {
+    import spark.implicits._
+    // deltas {+1, +2, +3, -1} (one zero pair drops): |d| midranks
+    // 1.5,1.5,3,4 -> W+ = 1.5+3+4 = 8.5 -> 2W+ = 17, 2W- = 3, tie = 6
+    val df = Seq((10.0, 11.0), (10.0, 12.0), (10.0, 13.0), (10.0, 9.0),
+      (10.0, 10.0)).toDF("pre", "post")
+    val r = Experiment.wilcoxonSignedRank(df, "pre", "post").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (4L, 17L, 3L, 6L))
+    val varw = 4.0 * 5.0 * 9.0 / 24.0 - 6.0 / 48.0
+    val z = (17.0 - 4.0 * 5.0 / 2.0) / (2.0 * math.sqrt(varw))
+    assert(r.getLong(4) === math.floor(z * 1.0e9 + 0.5).toLong)
+    // all-zero deltas -> n = 0, NULL z
+    val r2 = Experiment.wilcoxonSignedRank(
+      Seq((1.0, 1.0), (2.0, 2.0)).toDF("pre", "post"), "pre", "post").head()
+    assert(r2.getLong(0) === 0L && r2.isNullAt(4))
+  }
+
   test("bhAdjust: step-up suffix-min, ceil quantization, per-group ranks, cap at 1e6") {
     import spark.implicits._
     // classic all-reject ladder: p = .01...05, m=5, alpha=.05 ->

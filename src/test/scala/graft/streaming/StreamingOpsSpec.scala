@@ -830,6 +830,26 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(gate.getLong(2) === 9000000L) // k = ceil(11*0.8) = 9 -> 9th residual
   }
 
+  test("cqr gate: signed-score histograms fold idempotently; drained q-hat equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("cqr_spec_").toString
+    // fixed band [0, 10]; actuals straddle it so scores carry both signs
+    val b0 = (5 to 9).map(i => (i.toLong, 0.0, 10.0, i.toDouble))
+      .toDF("id", "lo", "hi", "actual")
+    val b1 = (10 to 14).map(i => (i.toLong, 0.0, 10.0, i.toDouble))
+      .toDF("id", "lo", "hi", "actual")
+    applyCqrBatch(b0, 0L, "lo", "hi", "actual", stateDir)
+    applyCqrBatch(b1, 1L, "lo", "hi", "actual", stateDir)
+    // a foreachBatch replay must be a no-op, not a double count
+    applyCqrBatch(b1, 1L, "lo", "hi", "actual", stateDir)
+    val test0 = Seq((99L, 2.0, 8.0)).toDF("id", "lo", "hi")
+    val gate = cqrGateResult(spark, stateDir, test0, "lo", "hi", 200000L).head()
+    val direct = graft.ops.Experiment.cqrIntervals(
+      b0.unionByName(b1), test0, "lo", "hi", "actual", 200000L).head()
+    assert(gate.toSeq === direct.toSeq)
+    assert(gate.getLong(3) === 3000000L) // k = 9 -> 9th signed score = 3
+  }
+
   test("coverage gate: open islands splice across seams; drained equals one-shot") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("covg_spec_").toString
