@@ -612,6 +612,26 @@ object SparkEntry {
       graft.ops.Experiment.bhAdjust(m, "exp_id", "metric", "p_micro",
         alphaMicro = 50000L)
     },
+    "exp_qte" -> { (s, dir) =>
+      // Quantile treatment effects at p25/p50/p75: where in the
+      // distribution do returned and refused lineitems differ on
+      // price? Per-arm type-1 order statistics resolved in-plan
+      // against the broadcast p-spine — exact micro ints end to end.
+      graft.ops.Experiment.quantileTreatmentEffect(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+        "g", "v", "A", "R", Seq(250000L, 500000L, 750000L))
+    },
+    "exp_jackknife_ratio" -> { (s, dir) =>
+      // Delete-one-bucket jackknife SE for revenue-per-unit (a ratio
+      // of sums): orders hash into 64 buckets by portable integer
+      // arithmetic, leave-one-out ratios nano-quantize BEFORE the
+      // spread, so the variance arithmetic is exact integers.
+      graft.ops.Experiment.jackknifeRatio(
+        Tables(s, dir, "lineitem").select(col("l_orderkey").as("id"),
+          col("l_extendedprice").as("num"), col("l_quantity").as("den")),
+        "id", "num", "den", buckets = 64)
+    },
     "exp_kruskal" -> { (s, dir) =>
       // Kruskal-Wallis omnibus over the three return-flag arms on
       // quantity — a discrete 1..50 metric, so the tie correction
@@ -6828,6 +6848,58 @@ object SparkEntry {
         |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
         |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
         |FROM fin""".stripMargin,
+    "exp_qte" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')),
+        |h AS (SELECT g, vq, COUNT(*) AS t FROM src GROUP BY 1, 2),
+        |cu AS (SELECT g, vq, t,
+        |   COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY vq
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |   SUM(t) OVER (PARTITION BY g) AS n FROM h),
+        |p(p_micro) AS (VALUES (250000), (500000), (750000)),
+        |q AS (SELECT p.p_micro, cu.g, cu.n, cu.vq FROM cu JOIN p
+        |  ON cumb < (p.p_micro * n + 999999) // 1000000
+        | AND (p.p_micro * n + 999999) // 1000000 <= cumb + t)
+        |SELECT CAST(p_micro AS BIGINT) AS p_micro,
+        | CAST(MAX(CASE WHEN g = 'A' THEN n END) AS BIGINT) AS n_a,
+        | CAST(MAX(CASE WHEN g = 'R' THEN n END) AS BIGINT) AS n_b,
+        | CAST(MAX(CASE WHEN g = 'A' THEN vq END) AS BIGINT) AS q_a_micro,
+        | CAST(MAX(CASE WHEN g = 'R' THEN vq END) AS BIGINT) AS q_b_micro,
+        | CAST(MAX(CASE WHEN g = 'A' THEN vq END)
+        |   - MAX(CASE WHEN g = 'R' THEN vq END) AS BIGINT) AS qte_micro
+        |FROM q GROUP BY 1""".stripMargin,
+    "exp_jackknife_ratio" ->
+      """WITH src AS (SELECT
+        |   ((l_orderkey % 1000000007) * 654435747 % 1000000007) % 64 AS bucket,
+        |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS nm,
+        |   CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS dm
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |pb AS (SELECT bucket, SUM(CAST(nm AS HUGEINT)) AS sn,
+        |   SUM(CAST(dm AS HUGEINT)) AS sd FROM src GROUP BY 1),
+        |tt AS (SELECT SUM(sn) AS tn, SUM(sd) AS td, COUNT(*) AS nb FROM pb),
+        |rb AS (SELECT CAST(FLOOR(CAST(tt.tn - pb.sn AS DOUBLE)
+        |     / CAST(tt.td - pb.sd AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+        |     AS r_nano,
+        |   (tt.td <= pb.sd OR tt.td <= 0) AS bad FROM pb CROSS JOIN tt),
+        |ag AS (SELECT
+        |   SUM(CASE WHEN NOT bad THEN CAST(r_nano AS HUGEINT) END) AS sr,
+        |   SUM(CASE WHEN NOT bad THEN CAST(r_nano AS HUGEINT) * r_nano END) AS srr,
+        |   COUNT(CASE WHEN NOT bad THEN 1 END) AS n_ok FROM rb)
+        |SELECT CAST(tt.nb AS BIGINT) AS n_buckets,
+        | CASE WHEN tt.td > 0 AND ag.n_ok = tt.nb
+        |  THEN CAST(FLOOR(CAST(tt.tn AS DOUBLE) / CAST(tt.td AS DOUBLE)
+        |    * 1000000000.0 + 0.5) AS BIGINT) END AS theta_nano,
+        | CASE WHEN tt.td > 0 AND ag.n_ok = tt.nb
+        |  THEN CAST(FLOOR(SQRT(
+        |    CAST(tt.nb - 1 AS DOUBLE) / CAST(tt.nb AS DOUBLE)
+        |    * CAST(CAST(tt.nb AS HUGEINT) * tt.nb * ag.srr
+        |       - CAST(tt.nb AS HUGEINT) * ag.sr * ag.sr AS DOUBLE)
+        |    / (CAST(tt.nb AS DOUBLE) * CAST(tt.nb AS DOUBLE)) / 1.0e18)
+        |   * 1000000000.0 + 0.5) AS BIGINT) END AS se_nano
+        |FROM tt CROSS JOIN ag""".stripMargin,
     "exp_kruskal" ->
       """WITH src AS (SELECT
         |   CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS vq,

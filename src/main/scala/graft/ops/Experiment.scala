@@ -554,6 +554,125 @@ object Experiment {
         floor(zf * lit(1.0e9) + lit(0.5)).cast("long")).as("z_nano"))
   }
 
+  /** Quantile treatment effects (QTE) — where in the DISTRIBUTION did
+    * the treatment move the metric? Mean lifts hide tail effects (a
+    * latency win at p50 that regresses p95, a revenue change driven by
+    * whales); QTE reports Q_A(p) − Q_B(p) at each requested quantile.
+    *
+    * Exactness: per-arm micro-value histograms ride
+    * [[Relational.cumBeforeByKey]] (range-partitioned — never a
+    * per-arm one-reducer window, the cliff when arms are few and
+    * huge); the p-th empirical quantile is the type-1 order statistic
+    * k = ⌈p·n⌉ resolved IN-PLAN by joining the cumulative cells
+    * against the broadcast p-spine on cumb < k ≤ cumb + t (k in
+    * decimal — p·n overflows long at 100 TB row counts). Each arm
+    * resolves all requested quantiles in one pass.
+    *
+    * Output: one row per requested p —
+    * (p_micro, n_a, n_b, q_a_micro, q_b_micro, qte_micro). */
+  def quantileTreatmentEffect(df: DataFrame, groupCol: String,
+      valueCol: String, groupA: String, groupB: String,
+      pMicros: Seq[Long] = Seq(250000L, 500000L, 750000L)): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    require(pMicros.nonEmpty && pMicros.forall(p => p > 0L && p <= 1000000L),
+      s"pMicros must be in (0, 1e6]: $pMicros")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pSpine = broadcast(pMicros.sorted.toDF("p_micro"))
+    def armQuantiles(g: String, qName: String, nName: String): DataFrame = {
+      val hist = df
+        .filter(col(valueCol).isNotNull && col(groupCol) === g)
+        .groupBy(microCol(col(valueCol)).as("vq"))
+        .agg(count(lit(1)).as("t"))
+      val cum = Relational.cumBeforeByKey(hist, "vq", Seq("t"))
+      val k = call_function("div",
+        col("p_micro").cast(dec) * col("__tot_t").cast(dec) + lit(999999L),
+        lit(1000000L))
+      // |pMicros|-row broadcast spine against the histogram cells: the
+      // non-equi band condition selects exactly one cell per p
+      cum.crossJoin(pSpine)
+        .filter(col("__cumb_t").cast(dec) < k &&
+          k <= (col("__cumb_t") + col("t")).cast(dec))
+        .select(col("p_micro"), col("vq").as(qName),
+          col("__tot_t").as(nName))
+    }
+    armQuantiles(groupA, "q_a_micro", "n_a")
+      .join(armQuantiles(groupB, "q_b_micro", "n_b"), Seq("p_micro"), "full")
+      .select(col("p_micro"), col("n_a"), col("n_b"),
+        col("q_a_micro"), col("q_b_micro"),
+        (col("q_a_micro") - col("q_b_micro")).as("qte_micro"))
+  }
+
+  /** Delete-one-bucket jackknife standard error for a RATIO metric
+    * (Σ numerator / Σ denominator — CTR, revenue per session, tokens
+    * per doc): the estimator every experiment platform uses because a
+    * ratio of sums has no closed-form variance and unit-level deltas
+    * are correlated within the denominator.
+    *
+    * Exactness: units hash deterministically into `buckets` buckets by
+    * pure integer arithmetic (engine-portable — no engine hash); each
+    * bucket carries EXACT micro-sums; every leave-one-out ratio
+    * quantizes to nano BEFORE the spread is computed, so the variance
+    * arithmetic Σ(B·r_b − Σr)² runs on exact integers in decimal and
+    * the only doubles are one division per bucket and the final
+    * √-scale — both fixed trees mirrored in the oracle.
+    *
+    *   θ̂ = SN/SD;  se² = (B−1)/B · Σ_b (r_b − r̄)²,
+    *   r_b = (SN − sn_b)/(SD − sd_b)
+    *
+    * Degenerate contract: any bucket whose left-out denominator is
+    * ≤ 0, or SD ≤ 0, yields NULL theta/se (a poisoned ratio must not
+    * silently pass). B counts the OCCUPIED buckets — delete-one over
+    * the groups the hash actually filled.
+    *
+    * Output: one row — (n_buckets, theta_nano, se_nano). */
+  def jackknifeRatio(df: DataFrame, idCol: String, numCol: String,
+      denCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    val dec = "decimal(38,0)"
+    val P = 1000000007L
+    val b = pmod(pmod(col(idCol).cast("long"), lit(P)) * lit(654435747L),
+      lit(P)) % buckets
+    val perBucket = df
+      .filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .groupBy(b.as("bucket"))
+      .agg(sum(microCol(col(numCol)).cast(dec)).as("sn"),
+        sum(microCol(col(denCol)).cast(dec)).as("sd"))
+    val tot = perBucket.agg(
+      sum(col("sn")).as("tn"), sum(col("sd")).as("td"),
+      count(lit(1)).as("nb"))
+    val joined = perBucket.crossJoin(broadcast(tot))
+    // per-bucket leave-one-out ratio, nano-quantized (ONE double
+    // division each — deterministic; everything after is integer)
+    val rNano = floor((col("tn") - col("sn")).cast("double") /
+      (col("td") - col("sd")).cast("double") * lit(1.0e9) + lit(0.5))
+      .cast("long")
+    val rb = joined
+      .withColumn("__bad",
+        (col("td") <= col("sd")) || (col("td") <= 0L))
+      .withColumn("r_nano", when(!col("__bad"), rNano))
+    val agg = rb.agg(
+      sum(col("r_nano").cast(dec)).as("sr"),
+      sum(col("r_nano").cast(dec) * col("r_nano").cast(dec)).as("srr"),
+      count(col("r_nano")).as("n_ok"),
+      max(col("nb")).as("nb"),
+      max(col("tn")).as("tn"), max(col("td")).as("td"))
+    // Σ(B·r − Σr)² = B²·Σr² − 2·B·Σr·Σr + B·(Σr)² = B²·Σr² − B·(Σr)²
+    val bL = col("nb").cast(dec)
+    val sumDev2 = bL * bL * col("srr") - bL * col("sr") * col("sr")
+    val varN = (bL - lit(1L).cast(dec)).cast("double") / bL.cast("double") *
+      sumDev2.cast("double") / (bL.cast("double") * bL.cast("double")) /
+      lit(1.0e18)
+    agg.select(
+      col("nb").as("n_buckets"),
+      when(col("td") > 0L && col("n_ok") === col("nb"),
+        floor(col("tn").cast("double") / col("td").cast("double") *
+          lit(1.0e9) + lit(0.5)).cast("long")).as("theta_nano"),
+      when(col("td") > 0L && col("n_ok") === col("nb"),
+        floor(sqrt(varN) * lit(1.0e9) + lit(0.5)).cast("long")).as("se_nano"))
+  }
+
   /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg
     * 1995) over per-group hypothesis frames — the guard a multi-metric
     * experiment readout needs: at 20 metrics per experiment, α = 0.05

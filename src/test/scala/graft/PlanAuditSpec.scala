@@ -81,7 +81,9 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_tcl_incremental",     // same audit face over merged stored cell state
     "dq_srm",                 // one-row total frame x arm-sized spine
     "exp_cuped",              // one-row exact power-sums frame x rows
-    "exp_kruskal")            // one-row group-sum frame x one-row tie frame
+    "exp_kruskal",            // one-row group-sum frame x one-row tie frame
+    "exp_qte",                // histogram cells x |p|-row broadcast quantile spine
+    "exp_jackknife_ratio")    // bucket frame x one-row totals frame
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings

@@ -267,6 +267,59 @@ class ExperimentSpec extends SparkTestBase {
     assert(got.getLong(5) === want._4.get)
   }
 
+  test("quantileTreatmentEffect: type-1 order statistics per arm, full-join on missing arms") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      (11 to 20).map(i => ("B", i.toDouble))).toDF("g", "v")
+    val got = Experiment.quantileTreatmentEffect(df, "g", "v", "A", "B",
+      Seq(250000L, 500000L, 750000L, 1000000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // k = ceil(p*10): p25->3rd, p50->5th, p75->8th, p100->10th
+    assert(got(250000L) === (3000000L, 13000000L, -10000000L))
+    assert(got(500000L) === (5000000L, 15000000L, -10000000L))
+    assert(got(750000L) === (8000000L, 18000000L, -10000000L))
+    assert(got(1000000L) === (10000000L, 20000000L, -10000000L))
+    // an arm absent from the data -> NULLs on its side via the full join
+    val one = (1 to 4).map(i => ("A", i.toDouble)).toDF("g", "v")
+    val g2 = Experiment.quantileTreatmentEffect(one, "g", "v", "A", "B",
+      Seq(500000L)).head()
+    assert(g2.getLong(3) === 2000000L && g2.isNullAt(4) && g2.isNullAt(5))
+  }
+
+  test("jackknifeRatio: constant ratio -> zero SE; reference differential; degenerate NULL") {
+    import spark.implicits._
+    // num = 3*den exactly -> every leave-one-out ratio is 3 -> se = 0
+    val const = (1L to 500L).map(i => (i, 3.0 * (i % 7 + 1), (i % 7 + 1).toDouble))
+      .toDF("id", "num", "den")
+    val r = Experiment.jackknifeRatio(const, "id", "num", "den", 16).head()
+    assert(r.getLong(1) === 3000000000L && r.getLong(2) === 0L)
+    // seeded non-constant data vs a plain-Scala replica of the exact
+    // bucket-hash + nano-quantized jackknife arithmetic
+    val rows = (1L to 400L).map(i =>
+      (i, ((i * 13) % 101 + 1).toDouble, ((i * 7) % 31 + 1).toDouble))
+    val P = 1000000007L
+    val by = rows.groupBy { case (id, _, _) => (((id % P) * 654435747L) % P) % 16 }
+    val sn = by.view.mapValues(_.map(t => math.floor(t._2 * 1e6 + 0.5).toLong).sum).toMap
+    val sd = by.view.mapValues(_.map(t => math.floor(t._3 * 1e6 + 0.5).toLong).sum).toMap
+    val (tn, td, nb) = (sn.values.sum, sd.values.sum, by.size)
+    val rN = by.keys.toSeq.map(b =>
+      math.floor((tn - sn(b)).toDouble / (td - sd(b)).toDouble * 1e9 + 0.5).toLong)
+    val (sr, srr) = (rN.map(BigInt(_)).sum, rN.map(x => BigInt(x) * x).sum)
+    val dev2 = BigInt(nb) * nb * srr - BigInt(nb) * sr * sr
+    val varN = (nb - 1).toDouble / nb.toDouble * dev2.toDouble /
+      (nb.toDouble * nb.toDouble) / 1.0e18
+    val wantTheta = math.floor(tn.toDouble / td.toDouble * 1e9 + 0.5).toLong
+    val wantSe = math.floor(math.sqrt(varN) * 1e9 + 0.5).toLong
+    val g = Experiment.jackknifeRatio(rows.toDF("id", "num", "den"),
+      "id", "num", "den", 16).head()
+    assert((g.getLong(1), g.getLong(2)) === (wantTheta, wantSe))
+    // all-zero denominators poison every leave-one-out ratio -> NULLs
+    val zero = (1L to 50L).map(i => (i, 1.0, 0.0)).toDF("id", "num", "den")
+    val g3 = Experiment.jackknifeRatio(zero, "id", "num", "den", 8).head()
+    assert(g3.isNullAt(1) && g3.isNullAt(2))
+  }
+
   test("kruskalWallis: hand-traced H with the per-group floor quantization; degenerates NULL") {
     import spark.implicits._
     // A={1,2}, B={3,4}, C={5,6}: ranks 1..6, R={3,7,11} -> r2={6,14,22}
