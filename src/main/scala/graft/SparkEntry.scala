@@ -1345,6 +1345,21 @@ object SparkEntry {
       graft.ops.HeavyHitters.topK(toks, 20)
         .withColumnRenamed("value", "term")
     },
+    "text_lexical_diversity" -> { (s, dir) =>
+      // Vocabulary-richness curation signals: per-doc TTR and hapax
+      // fraction over the portable whitespace tokenizer — exact counts
+      // and integer-division ratios.
+      graft.ext.TextAnalysis.lexicalDiversity(Tables(s, dir, "documents"))
+    },
+    "emb_centroid_drift" -> { (s, dir) =>
+      // Embedding-space drift between the even and odd vec_id slices:
+      // centroid cosine (the 1/n factors cancel, so it is the cosine
+      // of exact per-dim decimal sums) + nano-quantized mean-delta L2.
+      val e = Tables(s, dir, "embeddings")
+      graft.ext.Embeddings.centroidDrift(
+        e.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    },
     "emb_label_centroid" -> { (s, dir) =>
       // elementwise mean embedding per label: posexplode -> (label, dim)
       // aggregation; sums in decimal so partition order cannot perturb
@@ -6144,6 +6159,51 @@ object SparkEntry {
         |  SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '[ \t\n\r\f\x0B]+')) AS term FROM documents)
         | WHERE LENGTH(term) > 0 GROUP BY term)
         |ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |   trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |st AS (SELECT doc_id, COUNT(*) AS n_types, SUM(c) AS n_tokens,
+        |   COUNT(CASE WHEN c = 1 THEN 1 END) AS n_hapax FROM tf GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(st.n_types, 0) AS BIGINT) AS n_types,
+        | CAST(COALESCE(st.n_hapax, 0) AS BIGINT) AS n_hapax,
+        | CASE WHEN st.n_tokens > 0
+        |  THEN CAST(st.n_types * 1000000 // st.n_tokens AS BIGINT) END AS ttr_micro,
+        | CASE WHEN st.n_types > 0
+        |  THEN CAST(st.n_hapax * 1000000 // st.n_types AS BIGINT) END AS hapax_micro
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
+    "emb_centroid_drift" ->
+      """WITH ex AS (SELECT vec_id % 2 AS sl,
+        |   GENERATE_SUBSCRIPTS(embedding, 1) AS dim1, UNNEST(embedding) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |sa AS (SELECT dim1, CAST(FLOOR(SUM(CAST(CAST(v AS DOUBLE)
+        |     AS DECIMAL(27,10))) * 1000000) AS HUGEINT) AS s, COUNT(*) AS n
+        |  FROM ex WHERE sl = 0 GROUP BY 1),
+        |sb AS (SELECT dim1, CAST(FLOOR(SUM(CAST(CAST(v AS DOUBLE)
+        |     AS DECIMAL(27,10))) * 1000000) AS HUGEINT) AS s, COUNT(*) AS n
+        |  FROM ex WHERE sl = 1 GROUP BY 1),
+        |j AS (SELECT sa.s AS sax, sa.n AS na, sb.s AS sbx, sb.n AS nb,
+        |   CAST(FLOOR((CAST(sa.s AS DOUBLE) / CAST(sa.n AS DOUBLE)
+        |     - CAST(sb.s AS DOUBLE) / CAST(sb.n AS DOUBLE)) * 1000.0 + 0.5)
+        |     AS BIGINT) AS dq
+        |  FROM sa FULL JOIN sb USING (dim1)),
+        |ag AS (SELECT SUM(sax * sbx) AS dot, SUM(sax * sax) AS naa,
+        |   SUM(sbx * sbx) AS nbb,
+        |   SUM(CAST(COALESCE(dq, 0) AS HUGEINT) * COALESCE(dq, 0)) AS dd,
+        |   MAX(na) AS n_a, MAX(nb) AS n_b, COUNT(*) AS n_dims FROM j)
+        |SELECT CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        | CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+        | CAST(n_dims AS BIGINT) AS n_dims,
+        | CASE WHEN naa > 0 AND nbb > 0
+        |  THEN CAST(FLOOR(CAST(dot AS DOUBLE)
+        |    / (SQRT(CAST(naa AS DOUBLE)) * SQRT(CAST(nbb AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) END AS centroid_cos_micro,
+        | CAST(FLOOR(SQRT(CAST(dd AS DOUBLE)) + 0.5) AS BIGINT) AS centroid_l2_nano
+        |FROM ag""".stripMargin,
     "emb_label_centroid" ->
       """SELECT label, CAST(dim1 - 1 AS INT) AS dim,
         | CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mean_val

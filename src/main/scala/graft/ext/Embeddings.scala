@@ -8,6 +8,61 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Embedding-distribution drift between two corpus slices — the
+    * "did this week's crawl move in embedding space?" monitor a
+    * training-data pipeline runs next to its KS/PSI scalar drift: the
+    * cosine between the two slice CENTROIDS plus their L2 separation.
+    *
+    * Exactness: per-dim sums accumulate in decimal(27,10) (order-
+    * independent — a float sum over shuffled partitions is not), then
+    * micro-quantize to exact ints. The 1/n factors cancel inside
+    * cosine, so centroid cosine = cosine of the per-dim SUM vectors —
+    * exact integer dot products in decimal(38,0), one √-tree at the
+    * end. The L2 path quantizes each per-dim MEAN DELTA to nano
+    * BEFORE squaring, so its sum is an exact integer too (64 doubles
+    * summed distributively would be order-nondeterministic).
+    *
+    * Plan shape: one posexplode + dim aggregation per slice
+    * (map-side combined, dims-sized shuffle), a dims-sized join, one
+    * scalar aggregate. Output: one row — (n_a, n_b, n_dims,
+    * centroid_cos_micro, centroid_l2_nano); NULL cosine when either
+    * centroid is the zero vector. */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def sums(df: DataFrame, sName: String, nName: String): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(floor(sum(col("v").cast("decimal(27,10)")) * lit(1000000L))
+        .cast(dec).as(sName), count(lit(1)).as(nName))
+    val j = sums(a, "sa", "na").join(sums(b, "sb", "nb"), Seq("dim"), "full")
+    val saD = col("sa").cast("double") / col("na").cast("double")
+    val sbD = col("sb").cast("double") / col("nb").cast("double")
+    // per-dim mean delta in nano mean-units, quantized BEFORE squaring
+    val dq = floor((saD - sbD) * lit(1000.0) + lit(0.5)).cast("long")
+    val agg = j
+      .withColumn("__dq", coalesce(dq, lit(0L)))
+      .agg(
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("naa"),
+        sum(col("sb") * col("sb")).as("nbb"),
+        sum(col("__dq").cast(dec) * col("__dq").cast(dec)).as("dd"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_dims"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("naa").cast("double")) * sqrt(col("nbb").cast("double")))
+    agg.select(
+      coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      col("n_dims"),
+      when(col("naa") > 0L && col("nbb") > 0L,
+        floor(cos * lit(1000000.0) + lit(0.5)).cast("long"))
+        .as("centroid_cos_micro"),
+      floor(sqrt(col("dd").cast("double")) + lit(0.5)).cast("long")
+        .as("centroid_l2_nano"))
+  }
+
   /** Symmetric per-vector int8 quantization: q[i] = round(v[i] / maxabs *
     * 127), the classic storage-compression step before ANN serving (4×
     * smaller than float32; recall loss negligible for cosine work).

@@ -27,6 +27,44 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Per-document lexical diversity — the vocabulary-richness quality
+    * signals (Gopher's "fraction of unique words" family): type-token
+    * ratio, hapax-legomenon fraction, and the raw counts they derive
+    * from, over lowercased whitespace tokens ([[WhitespaceClass]] —
+    * the engine-portable tokenizer every text oracle mirrors).
+    * Keyword-stuffed and boilerplate pages sit at the TTR extremes;
+    * natural prose lives in the middle band.
+    *
+    * All integer: counts from one (doc, term) aggregation (map-side
+    * combined; the shuffle carries distinct per-doc terms, not
+    * tokens), ratios by exact integer division micro-scaled. NULL and
+    * blank docs keep their row with zero counts and NULL ratios (the
+    * tokenCount discipline).
+    *
+    * Output: (idCol, n_tokens, n_types, n_hapax, ttr_micro,
+    * hapax_micro). */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val st = tf.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("c")).as("n_tokens"),
+      count(when(col("c") === 1L, 1)).as("n_hapax"))
+    docs.select(col(idCol)).join(st, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(col("n_tokens") > 0L, call_function("div",
+          col("n_types") * lit(1000000L), col("n_tokens"))).as("ttr_micro"),
+        when(col("n_types") > 0L, call_function("div",
+          col("n_hapax") * lit(1000000L), col("n_types"))).as("hapax_micro"))
+  }
+
   /** BPE-ish pretokenizer match pattern: letter runs, digit runs, and
     * punctuation runs, each optionally absorbing one leading space —
     * the GPT-2 pretokenizer shape MINUS its lookahead clauses, so the

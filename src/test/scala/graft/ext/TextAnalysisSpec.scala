@@ -11,6 +11,29 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(Tuple1(text)).toDF("text")
   }
 
+  test("lexicalDiversity: TTR and hapax fraction, case folding, null/blank rows kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The the THE cat sat"),        // tokens 5, types 3 (the,cat,sat), hapax 2
+      (2L, "a b c d"),                    // all hapax: ttr 1e6, hapax 1e6
+      (3L, null.asInstanceOf[String]),    // kept, zero counts, NULL ratios
+      (4L, "   ")                         // blank: same contract
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) === (5L, 3L, 2L))
+    assert(d1.getLong(4) === 600000L)  // 3*1e6 // 5
+    assert(d1.getLong(5) === 666666L)  // 2*1e6 // 3
+    val d2 = got(2L)
+    assert(d2.getLong(4) === 1000000L && d2.getLong(5) === 1000000L)
+    Seq(3L, 4L).foreach { id =>
+      val d = got(id)
+      assert(d.getLong(1) === 0L && d.getLong(2) === 0L)
+      assert(d.isNullAt(4) && d.isNullAt(5))
+    }
+  }
+
   test("tokenCount: words, blanks, empties") {
     import spark.implicits._
     val df = Seq("a b  c", "  ", "", "single").toDF("text")
