@@ -643,6 +643,35 @@ object GraftExtensions {
         idCol = strLit(args(6), "id_col"))
       out.queryExecution.logical
     }),
+    //   graft_mannwhitney(view, group_col, value_col, group_a, group_b)
+    // Mann-Whitney U — same exact doubled-mid-rank plan as
+    // Experiment.mannWhitney (range-partitioned cumulative inside).
+    ("graft_mannwhitney", 5, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Experiment.mannWhitney(
+        spark.table(strLit(args(0), "view")),
+        strLit(args(1), "group_col"), strLit(args(2), "value_col"),
+        strLit(args(3), "group_a"), strLit(args(4), "group_b"))
+        .queryExecution.logical
+    }),
+    //   graft_kruskal(view, group_col, value_col)
+    // Kruskal-Wallis H — same plan as Experiment.kruskalWallis.
+    ("graft_kruskal", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Experiment.kruskalWallis(
+        spark.table(strLit(args(0), "view")),
+        strLit(args(1), "group_col"), strLit(args(2), "value_col"))
+        .queryExecution.logical
+    }),
+    //   graft_wilcoxon(view, pre_col, post_col)
+    // Wilcoxon signed-rank — same plan as Experiment.wilcoxonSignedRank.
+    ("graft_wilcoxon", 3, args => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.ops.Experiment.wilcoxonSignedRank(
+        spark.table(strLit(args(0), "view")),
+        strLit(args(1), "pre_col"), strLit(args(2), "post_col"))
+        .queryExecution.logical
+    }),
     //   graft_c4_line_clean(docs_view, id_col, text_col, min_words)
     // C4 line-level page cleaning — same zero-shuffle rewrite
     // projection as TextAnalysis.c4LineClean.

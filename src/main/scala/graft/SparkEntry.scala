@@ -632,6 +632,52 @@ object SparkEntry {
           col("l_extendedprice").as("num"), col("l_quantity").as("den")),
         "id", "num", "den", buckets = 64)
     },
+    "exp_mw_sql" -> { (s, dir) =>
+      // Mann-Whitney through its SQL TVF face; shares exp_mannwhitney's
+      // oracle.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_mw_v",
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))) { v =>
+        s.sql(s"SELECT * FROM graft_mannwhitney('$v', 'g', 'v', 'A', 'R')")
+      }
+    },
+    "exp_mw_incremental" -> { (s, dir) =>
+      // The same U statistic off MERGED per-slice value states (odd and
+      // even order halves) — counts are a monoid, so the merged state
+      // replays the one-shot readout bit-for-bit; shares
+      // exp_mannwhitney's oracle.
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v"))
+      val s0 = graft.ops.Experiment.mwValueState(
+        li.filter(pmod(col("l_orderkey"), lit(2L)) === 0), "g", "v", "A", "R")
+      val s1 = graft.ops.Experiment.mwValueState(
+        li.filter(pmod(col("l_orderkey"), lit(2L)) === 1), "g", "v", "A", "R")
+      graft.ops.Experiment.mannWhitneyFromState(s0.unionByName(s1))
+    },
+    "exp_kruskal_sql" -> { (s, dir) =>
+      // Kruskal-Wallis through its SQL TVF face; shares exp_kruskal's
+      // oracle.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_kw_v",
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))) { v =>
+        s.sql(s"SELECT * FROM graft_kruskal('$v', 'g', 'v')")
+      }
+    },
+    "exp_wilcoxon_sql" -> { (s, dir) =>
+      // Wilcoxon signed-rank through its SQL TVF face; shares
+      // exp_wilcoxon's oracle.
+      graft.GraftExtensions.register(s)
+      withFreshView(s, "graft_wsr_v",
+        Tables(s, dir, "orders").select(
+          col("o_totalprice").as("pre"),
+          (col("o_totalprice") + (pmod(col("o_orderkey"), lit(97L)) - 48L)
+            .cast("double")).as("post"))) { v =>
+        s.sql(s"SELECT * FROM graft_wilcoxon('$v', 'pre', 'post')")
+      }
+    },
     "exp_kruskal" -> { (s, dir) =>
       // Kruskal-Wallis omnibus over the three return-flag arms on
       // quantity — a discrete 1..50 metric, so the tie correction
@@ -6878,36 +6924,13 @@ object SparkEntry {
     "exp_cqr" -> cqrSql,
     "exp_cqr_sql" -> cqrSql,
     "stream_cqr_gate" -> cqrSql,
-    "exp_mannwhitney" ->
-      """WITH src AS (SELECT
-        |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq,
-        |   l_returnflag AS g FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')),
-        |h AS (SELECT vq, SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca,
-        |   COUNT(*) AS t FROM src GROUP BY 1),
-        |cu AS (SELECT vq, ca, t,
-        |   COALESCE(SUM(t) OVER (ORDER BY vq
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
-        |  FROM h),
-        |ag AS (SELECT SUM(CAST(ca AS HUGEINT) * (2 * cumb + t + 1)) AS r2a,
-        |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d,
-        |   SUM(ca) AS na, SUM(t) AS nn FROM cu),
-        |fin AS (SELECT na, nn, nn - na AS nb, tie_d,
-        |   r2a - CAST(na AS HUGEINT) * (na + 1) AS u2a FROM ag)
-        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        | CAST(u2a AS BIGINT) AS u2_a,
-        | CAST(2 * CAST(na AS HUGEINT) * nb - u2a AS BIGINT) AS u2_b,
-        | CAST(tie_d AS BIGINT) AS tie_term,
-        | CASE WHEN na > 0 AND nb > 0 AND nn > 1 AND
-        |   (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
-        |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))) > 0.0
-        |  THEN CAST(FLOOR((CAST(u2a AS DOUBLE)
-        |     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-        |   / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
-        |     * (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
-        |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
-        |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
-        |FROM fin""".stripMargin,
+    "exp_mw_sql" -> mannWhitneySql,
+    "exp_mw_incremental" -> mannWhitneySql,
+    "exp_kruskal_sql" -> kruskalSql,
+    "exp_wilcoxon_sql" -> wilcoxonSql,
+    "exp_mannwhitney" -> mannWhitneySql,
+    "exp_kruskal" -> kruskalSql,
+    "exp_wilcoxon" -> wilcoxonSql,
     "exp_qte" ->
       """WITH src AS (SELECT l_returnflag AS g,
         |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq
@@ -6960,65 +6983,6 @@ object SparkEntry {
         |    / (CAST(tt.nb AS DOUBLE) * CAST(tt.nb AS DOUBLE)) / 1.0e18)
         |   * 1000000000.0 + 0.5) AS BIGINT) END AS se_nano
         |FROM tt CROSS JOIN ag""".stripMargin,
-    "exp_kruskal" ->
-      """WITH src AS (SELECT
-        |   CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS vq,
-        |   l_returnflag AS g FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
-        |pv AS (SELECT vq, COUNT(*) AS t FROM src GROUP BY 1),
-        |cu AS (SELECT vq, t, COALESCE(SUM(t) OVER (ORDER BY vq
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
-        |  FROM pv),
-        |gv AS (SELECT g, vq, COUNT(*) AS cg FROM src GROUP BY 1, 2),
-        |gr AS (SELECT g, SUM(CAST(cg AS HUGEINT) * (2 * cumb + t + 1)) AS r2g,
-        |   SUM(cg) AS ng FROM gv JOIN cu USING (vq) GROUP BY 1),
-        |ag AS (SELECT SUM(r2g * r2g // (4 * CAST(ng AS HUGEINT))) AS s_q,
-        |   COUNT(*) AS n_groups FROM gr),
-        |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tie_d,
-        |   SUM(t) AS nn FROM cu)
-        |SELECT CAST(COALESCE(nn, 0) AS BIGINT) AS n,
-        | CAST(n_groups AS BIGINT) AS n_groups,
-        | CAST(tie_d AS BIGINT) AS tie_term,
-        | CASE WHEN nn > 1 AND (1.0 - CAST(tie_d AS DOUBLE)
-        |   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
-        |     - CAST(nn AS DOUBLE))) > 0.0
-        |  THEN CAST(FLOOR((12.0 * CAST(s_q AS DOUBLE)
-        |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
-        |     - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
-        |   / (1.0 - CAST(tie_d AS DOUBLE)
-        |     / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
-        |       - CAST(nn AS DOUBLE)))
-        |   * 1000000000.0 + 0.5) AS BIGINT) END AS h_nano
-        |FROM ag CROSS JOIN tt""".stripMargin,
-    "exp_wilcoxon" ->
-      """WITH d0 AS (SELECT
-        |   CAST(FLOOR((o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE))
-        |     * 1000000 + 0.5) AS BIGINT)
-        |   - CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS d
-        |  FROM orders WHERE o_totalprice IS NOT NULL),
-        |dd AS (SELECT d FROM d0 WHERE d <> 0),
-        |h AS (SELECT ABS(d) AS ad,
-        |   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos, COUNT(*) AS t
-        |  FROM dd GROUP BY 1),
-        |cu AS (SELECT ad, cpos, t, COALESCE(SUM(t) OVER (ORDER BY ad
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
-        |  FROM h),
-        |ag AS (SELECT SUM(CAST(cpos AS HUGEINT) * (2 * cumb + t + 1)) AS w2p,
-        |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d, SUM(t) AS nn FROM cu)
-        |SELECT CAST(COALESCE(nn, 0) AS BIGINT) AS n,
-        | CAST(COALESCE(w2p, 0) AS BIGINT) AS w2_pos,
-        | CAST(COALESCE(CAST(nn AS HUGEINT) * (nn + 1) - w2p, 0) AS BIGINT) AS w2_neg,
-        | CAST(COALESCE(tie_d, 0) AS BIGINT) AS tie_term,
-        | CASE WHEN nn > 0 AND (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
-        |   * (2.0 * CAST(nn AS DOUBLE) + 1.0) / 24.0
-        |   - CAST(tie_d AS DOUBLE) / 48.0) > 0.0
-        |  THEN CAST(FLOOR((CAST(w2p AS DOUBLE)
-        |     - CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 2.0)
-        |   / (2.0 * SQRT(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
-        |     * (2.0 * CAST(nn AS DOUBLE) + 1.0) / 24.0
-        |     - CAST(tie_d AS DOUBLE) / 48.0))
-        |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
-        |FROM ag""".stripMargin,
     "exp_fdr_bh" ->
       """WITH met AS (SELECT o_orderpriority AS exp_id,
         |   o_orderkey % 20 AS metric,
@@ -9176,6 +9140,103 @@ object SparkEntry {
       | CAST(FLOOR(sc.lo * 1000000 + 0.5) AS BIGINT) - q.qhat AS lo_micro,
       | CAST(FLOOR(sc.hi * 1000000 + 0.5) AS BIGINT) + q.qhat AS hi_micro
       |FROM sc CROSS JOIN q WHERE sc.o_orderkey % 3 = 1""".stripMargin
+
+  /** Shared by exp_mannwhitney / exp_mw_sql / exp_mw_incremental:
+    * replays the micro-grid histogram, exact doubled mid-rank sums,
+    * and the tie-corrected z tree. */
+  private def mannWhitneySql: String =
+    """WITH src AS (SELECT
+      |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq,
+      |   l_returnflag AS g FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')),
+      |h AS (SELECT vq, SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca,
+      |   COUNT(*) AS t FROM src GROUP BY 1),
+      |cu AS (SELECT vq, ca, t,
+      |   COALESCE(SUM(t) OVER (ORDER BY vq
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM h),
+      |ag AS (SELECT SUM(CAST(ca AS HUGEINT) * (2 * cumb + t + 1)) AS r2a,
+      |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d,
+      |   SUM(ca) AS na, SUM(t) AS nn FROM cu),
+      |fin AS (SELECT na, nn, nn - na AS nb, tie_d,
+      |   r2a - CAST(na AS HUGEINT) * (na + 1) AS u2a FROM ag)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      | CAST(u2a AS BIGINT) AS u2_a,
+      | CAST(2 * CAST(na AS HUGEINT) * nb - u2a AS BIGINT) AS u2_b,
+      | CAST(tie_d AS BIGINT) AS tie_term,
+      | CASE WHEN na > 0 AND nb > 0 AND nn > 1 AND
+      |   (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
+      |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))) > 0.0
+      |  THEN CAST(FLOOR((CAST(u2a AS DOUBLE)
+      |     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |   / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |     * (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
+      |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
+      |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
+      |FROM fin""".stripMargin
+
+  /** Shared by exp_kruskal / exp_kruskal_sql. */
+  private def kruskalSql: String =
+    """WITH src AS (SELECT
+      |   CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS vq,
+      |   l_returnflag AS g FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+      |pv AS (SELECT vq, COUNT(*) AS t FROM src GROUP BY 1),
+      |cu AS (SELECT vq, t, COALESCE(SUM(t) OVER (ORDER BY vq
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM pv),
+      |gv AS (SELECT g, vq, COUNT(*) AS cg FROM src GROUP BY 1, 2),
+      |gr AS (SELECT g, SUM(CAST(cg AS HUGEINT) * (2 * cumb + t + 1)) AS r2g,
+      |   SUM(cg) AS ng FROM gv JOIN cu USING (vq) GROUP BY 1),
+      |ag AS (SELECT SUM(r2g * r2g // (4 * CAST(ng AS HUGEINT))) AS s_q,
+      |   COUNT(*) AS n_groups FROM gr),
+      |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tie_d,
+      |   SUM(t) AS nn FROM cu)
+      |SELECT CAST(COALESCE(nn, 0) AS BIGINT) AS n,
+      | CAST(n_groups AS BIGINT) AS n_groups,
+      | CAST(tie_d AS BIGINT) AS tie_term,
+      | CASE WHEN nn > 1 AND (1.0 - CAST(tie_d AS DOUBLE)
+      |   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |     - CAST(nn AS DOUBLE))) > 0.0
+      |  THEN CAST(FLOOR((12.0 * CAST(s_q AS DOUBLE)
+      |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |     - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+      |   / (1.0 - CAST(tie_d AS DOUBLE)
+      |     / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |       - CAST(nn AS DOUBLE)))
+      |   * 1000000000.0 + 0.5) AS BIGINT) END AS h_nano
+      |FROM ag CROSS JOIN tt""".stripMargin
+
+  /** Shared by exp_wilcoxon / exp_wilcoxon_sql. */
+  private def wilcoxonSql: String =
+    """WITH d0 AS (SELECT
+      |   CAST(FLOOR((o_totalprice + CAST(o_orderkey % 97 - 48 AS DOUBLE))
+      |     * 1000000 + 0.5) AS BIGINT)
+      |   - CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS d
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |dd AS (SELECT d FROM d0 WHERE d <> 0),
+      |h AS (SELECT ABS(d) AS ad,
+      |   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cpos, COUNT(*) AS t
+      |  FROM dd GROUP BY 1),
+      |cu AS (SELECT ad, cpos, t, COALESCE(SUM(t) OVER (ORDER BY ad
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM h),
+      |ag AS (SELECT SUM(CAST(cpos AS HUGEINT) * (2 * cumb + t + 1)) AS w2p,
+      |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d, SUM(t) AS nn FROM cu)
+      |SELECT CAST(COALESCE(nn, 0) AS BIGINT) AS n,
+      | CAST(COALESCE(w2p, 0) AS BIGINT) AS w2_pos,
+      | CAST(COALESCE(CAST(nn AS HUGEINT) * (nn + 1) - w2p, 0) AS BIGINT) AS w2_neg,
+      | CAST(COALESCE(tie_d, 0) AS BIGINT) AS tie_term,
+      | CASE WHEN nn > 0 AND (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+      |   * (2.0 * CAST(nn AS DOUBLE) + 1.0) / 24.0
+      |   - CAST(tie_d AS DOUBLE) / 48.0) > 0.0
+      |  THEN CAST(FLOOR((CAST(w2p AS DOUBLE)
+      |     - CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 2.0)
+      |   / (2.0 * SQRT(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+      |     * (2.0 * CAST(nn AS DOUBLE) + 1.0) / 24.0
+      |     - CAST(tie_d AS DOUBLE) / 48.0))
+      |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
+      |FROM ag""".stripMargin
 
   private def cramersVSql: String =
     """WITH cells AS (SELECT

@@ -406,13 +406,30 @@ object Experiment {
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
     require(groupA != groupB, "groupA and groupB must differ")
-    val dec = "decimal(38,0)"
-    val src = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
-      .select(microCol(col(valueCol)).as("vq"), col(groupCol).as("g"))
-    val hist = src.groupBy("vq").agg(
+    mannWhitneyFromState(mwValueState(df, groupCol, valueCol, groupA, groupB))
+  }
+
+  /** [[mannWhitney]]'s mergeable state: (vq, ca, t) counts per distinct
+    * micro value — group-A count and total count are both count
+    * monoids, so per-slice states union into
+    * [[mannWhitneyFromState]] (merge duplicate cells by summing)
+    * without rescanning history — weekly A/B readouts off persisted
+    * state alone, the valueCountState discipline. */
+  def mwValueState(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = df
+    .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+    .select(microCol(col(valueCol)).as("vq"), col(groupCol).as("g"))
+    .groupBy("vq").agg(
       sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
       count(lit(1)).as("t"))
+
+  /** The U statistic off a (vq, ca, t) state frame — direct and
+    * from-state readouts are one code path; duplicate cells from
+    * unioned state shards sum first. */
+  def mannWhitneyFromState(state: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist = state.groupBy("vq")
+      .agg(sum("ca").as("ca"), sum("t").as("t"))
     val cum = Relational.cumBeforeByKey(hist, "vq", Seq("ca", "t"))
     val agg = cum.agg(
       sum(col("ca").cast(dec) *

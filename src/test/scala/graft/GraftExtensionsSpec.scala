@@ -311,6 +311,53 @@ class GraftExtensionsSpec extends SparkTestBase {
         calib, test0, "g", "pred", "actual", 200000L)))
   }
 
+  test("nonparametric-test and CQR TVFs equal their Scala faces") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val two = (Seq.tabulate(8)(i => ("A", (i % 5 + 1).toDouble)) ++
+      Seq.tabulate(6)(i => ("B", (i % 4 + 2).toDouble))).toDF("g", "v")
+    two.createOrReplaceTempView("tvf_np_two")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_mannwhitney('tvf_np_two', 'g', 'v', 'A', 'B')"))
+      === rows(graft.ops.Experiment.mannWhitney(two, "g", "v", "A", "B")))
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_kruskal('tvf_np_two', 'g', 'v')"))
+      === rows(graft.ops.Experiment.kruskalWallis(two, "g", "v")))
+    val paired = (1 to 9).map(i => (i * 1.0, i * 1.0 + (i % 3) - 1))
+      .toDF("pre", "post")
+    paired.createOrReplaceTempView("tvf_np_paired")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_wilcoxon('tvf_np_paired', 'pre', 'post')"))
+      === rows(graft.ops.Experiment.wilcoxonSignedRank(paired, "pre", "post")))
+    val calib = (5 to 14).map(i => (i.toLong, 0.0, 10.0, i.toDouble))
+      .toDF("id", "lo", "hi", "actual")
+    val test0 = Seq((99L, 2.0, 8.0)).toDF("id", "lo", "hi")
+    calib.createOrReplaceTempView("tvf_cqr_calib")
+    test0.createOrReplaceTempView("tvf_cqr_test")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_cqr('tvf_cqr_calib', 'tvf_cqr_test', 'lo', 'hi', 'actual', 200000, 'id')"))
+      === rows(graft.ops.Experiment.cqrIntervals(
+        calib, test0, "lo", "hi", "actual", 200000L)))
+  }
+
+  test("mannWhitney state shards merge to the exact one-shot readout") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0L) "B" else "A", ((i * 17) % 23).toDouble))
+      .toDF("id", "g", "v")
+    val s0 = graft.ops.Experiment.mwValueState(
+      df.filter($"id" % 2 === 0), "g", "v", "A", "B")
+    val s1 = graft.ops.Experiment.mwValueState(
+      df.filter($"id" % 2 === 1), "g", "v", "A", "B")
+    val merged = graft.ops.Experiment
+      .mannWhitneyFromState(s0.unionByName(s1)).head()
+    val direct = graft.ops.Experiment
+      .mannWhitney(df, "g", "v", "A", "B").head()
+    assert(merged.toSeq === direct.toSeq)
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     import spark.implicits._

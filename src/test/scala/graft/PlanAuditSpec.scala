@@ -82,6 +82,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dq_srm",                 // one-row total frame x arm-sized spine
     "exp_cuped",              // one-row exact power-sums frame x rows
     "exp_kruskal",            // one-row group-sum frame x one-row tie frame
+    "exp_kruskal_sql",        // same plan through the TVF face
     "exp_qte",                // histogram cells x |p|-row broadcast quantile spine
     "exp_jackknife_ratio")    // bucket frame x one-row totals frame
 
