@@ -4104,6 +4104,38 @@ object SparkEntry {
           "lo", "hi", alphaMicro = 100000L, idCol = "o_orderkey")
       }
     },
+    "stream_mw_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Nonparametric drift-on-arrival: the %3==1 price slice streams
+        // in as 3 tiles, folding its micro-value histogram (a count
+        // monoid) under the marker commit; the readout ranks the
+        // %3==0 reference against the drained live mass — exactly the
+        // one-shot two-sample U statistic, which the oracle replays.
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val live = o.filter(pmod(col("o_orderkey"), lit(3L)) === 1)
+        val replayDir = scratchDir("graft_mw_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_mw_stage_")
+          live.filter(pmod(col("o_orderkey"), lit(9L)) === 3L * g + 1L)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"tile_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_mw_state_").toString
+        val ckpt = scratchDir("graft_mw_ckpt_").toString
+        val stream = s.readStream.schema(live.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.mwGate(stream, "o_totalprice",
+          stateDir, ckpt)
+        graft.streaming.StreamingOps.mwGateResult(s, stateDir,
+          graft.ops.Experiment.mwMicroHistogram(
+            o.filter(pmod(col("o_orderkey"), lit(3L)) === 0), "o_totalprice"))
+      }
+    },
     "stream_conformal_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Calibration-on-arrival: the exp_conformal scenario with the
@@ -6924,6 +6956,36 @@ object SparkEntry {
     "exp_cqr" -> cqrSql,
     "exp_cqr_sql" -> cqrSql,
     "stream_cqr_gate" -> cqrSql,
+    "stream_mw_gate" ->
+      """WITH src AS (SELECT
+        |   CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS vq,
+        |   o_orderkey % 3 AS g FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderkey % 3 < 2),
+        |h AS (SELECT vq, SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+        |   COUNT(*) AS t FROM src GROUP BY 1),
+        |cu AS (SELECT vq, ca, t,
+        |   COALESCE(SUM(t) OVER (ORDER BY vq
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM h),
+        |ag AS (SELECT SUM(CAST(ca AS HUGEINT) * (2 * cumb + t + 1)) AS r2a,
+        |   SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_d,
+        |   SUM(ca) AS na, SUM(t) AS nn FROM cu),
+        |fin AS (SELECT na, nn, nn - na AS nb, tie_d,
+        |   r2a - CAST(na AS HUGEINT) * (na + 1) AS u2a FROM ag)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | CAST(u2a AS BIGINT) AS u2_a,
+        | CAST(2 * CAST(na AS HUGEINT) * nb - u2a AS BIGINT) AS u2_b,
+        | CAST(tie_d AS BIGINT) AS tie_term,
+        | CASE WHEN na > 0 AND nb > 0 AND nn > 1 AND
+        |   (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
+        |     / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))) > 0.0
+        |  THEN CAST(FLOOR((CAST(u2a AS DOUBLE)
+        |     - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |   / (2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |     * (CAST(nn AS DOUBLE) + 1.0 - CAST(tie_d AS DOUBLE)
+        |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
+        |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
+        |FROM fin""".stripMargin,
     "exp_mw_sql" -> mannWhitneySql,
     "exp_mw_incremental" -> mannWhitneySql,
     "exp_kruskal_sql" -> kruskalSql,

@@ -423,6 +423,16 @@ object Experiment {
       sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
       count(lit(1)).as("t"))
 
+  /** Ungrouped micro-value histogram (vq, t) — the one-sample state
+    * the streaming MW drift gate folds (a count monoid); a reference
+    * snapshot and live mass built through this face rank against each
+    * other via [[mannWhitneyFromState]] with the reference entering
+    * as the group-A counts. */
+  def mwMicroHistogram(df: DataFrame, valueCol: String): DataFrame = df
+    .filter(col(valueCol).isNotNull)
+    .groupBy(microCol(col(valueCol)).as("vq"))
+    .agg(count(lit(1)).as("t"))
+
   /** The U statistic off a (vq, ca, t) state frame — direct and
     * from-state readouts are one code path; duplicate cells from
     * unioned state shards sum first. */
@@ -576,14 +586,16 @@ object Experiment {
     * latency win at p50 that regresses p95, a revenue change driven by
     * whales); QTE reports Q_A(p) − Q_B(p) at each requested quantile.
     *
-    * Exactness: per-arm micro-value histograms ride
-    * [[Relational.cumBeforeByKey]] (range-partitioned — never a
-    * per-arm one-reducer window, the cliff when arms are few and
-    * huge); the p-th empirical quantile is the type-1 order statistic
-    * k = ⌈p·n⌉ resolved IN-PLAN by joining the cumulative cells
-    * against the broadcast p-spine on cumb < k ≤ cumb + t (k in
-    * decimal — p·n overflows long at 100 TB row counts). Each arm
-    * resolves all requested quantiles in one pass.
+    * Exactness: ONE shared micro-value histogram carries BOTH arms'
+    * counts through a single [[Relational.cumBeforeByKey]] pass
+    * (two cumulative columns in one range-partitioned stitch — never
+    * a per-arm one-reducer window, and never two materialization
+    * passes); the p-th empirical quantile is the type-1 order
+    * statistic k = ⌈p·n⌉ resolved IN-PLAN by joining the cumulative
+    * cells against the broadcast p-spine on cumb < k ≤ cumb + t (k in
+    * decimal — p·n overflows long at 100 TB row counts). An absent
+    * arm fails soft: its k is 0, no cell matches, the full join
+    * surfaces NULLs.
     *
     * Output: one row per requested p —
     * (p_micro, n_a, n_b, q_a_micro, q_b_micro, qte_micro). */
@@ -597,25 +609,27 @@ object Experiment {
     import spark.implicits._
     val dec = "decimal(38,0)"
     val pSpine = broadcast(pMicros.sorted.toDF("p_micro"))
-    def armQuantiles(g: String, qName: String, nName: String): DataFrame = {
-      val hist = df
-        .filter(col(valueCol).isNotNull && col(groupCol) === g)
-        .groupBy(microCol(col(valueCol)).as("vq"))
-        .agg(count(lit(1)).as("t"))
-      val cum = Relational.cumBeforeByKey(hist, "vq", Seq("t"))
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(microCol(col(valueCol)).as("vq"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ta"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("tb"))
+    val cum = Relational.cumBeforeByKey(hist, "vq", Seq("ta", "tb"))
+    def armQuantiles(c: String, qName: String, nName: String): DataFrame = {
       val k = call_function("div",
-        col("p_micro").cast(dec) * col("__tot_t").cast(dec) + lit(999999L),
+        col("p_micro").cast(dec) * col(s"__tot_$c").cast(dec) + lit(999999L),
         lit(1000000L))
       // |pMicros|-row broadcast spine against the histogram cells: the
-      // non-equi band condition selects exactly one cell per p
+      // non-equi band condition selects exactly one cell per p (cells
+      // where this arm's count is 0 can never straddle k)
       cum.crossJoin(pSpine)
-        .filter(col("__cumb_t").cast(dec) < k &&
-          k <= (col("__cumb_t") + col("t")).cast(dec))
+        .filter(col(s"__cumb_$c").cast(dec) < k &&
+          k <= (col(s"__cumb_$c") + col(c)).cast(dec))
         .select(col("p_micro"), col("vq").as(qName),
-          col("__tot_t").as(nName))
+          col(s"__tot_$c").as(nName))
     }
-    armQuantiles(groupA, "q_a_micro", "n_a")
-      .join(armQuantiles(groupB, "q_b_micro", "n_b"), Seq("p_micro"), "full")
+    armQuantiles("ta", "q_a_micro", "n_a")
+      .join(armQuantiles("tb", "q_b_micro", "n_b"), Seq("p_micro"), "full")
       .select(col("p_micro"), col("n_a"), col("n_b"),
         col("q_a_micro"), col("q_b_micro"),
         (col("q_a_micro") - col("q_b_micro")).as("qte_micro"))

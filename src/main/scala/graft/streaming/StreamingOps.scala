@@ -1509,6 +1509,58 @@ object StreamingOps {
       alphaMicro, idCol)
   }
 
+  /** Streaming nonparametric drift gate — Mann–Whitney ON ARRIVAL:
+    * each microbatch folds its micro-value histogram (vq, t) — a count
+    * monoid — into the versioned-dir + marker state, and
+    * [[mwGateResult]] ranks the drained LIVE mass against a REFERENCE
+    * histogram through `Experiment.mannWhitneyFromState` (reference
+    * cells enter as group-A counts, live cells as group-B), so the
+    * gate's z equals the one-shot two-sample U statistic exactly. The
+    * rank-based complement to the KS drift gate: KS sees the worst
+    * CDF point, U sees a location shift, with no distributional
+    * assumption. */
+  def mwGate(stream: DataFrame, valueCol: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMwBatch(batch, batchId, valueCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent micro-value-histogram merge (public for direct
+    * testing and batch backfills sharing the gate's state). */
+  def applyMwBatch(batch: DataFrame, batchId: Long, valueCol: String,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val hist = graft.ops.Experiment.mwMicroHistogram(batch, valueCol)
+    val merged = (if (current >= 0L)
+      hist.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else hist)
+      .groupBy("vq").agg(sum("t").as("t"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** Mann–Whitney U of REFERENCE (group A) vs the gate's committed
+    * live mass (group B) — the same from-state code path as the batch
+    * face, so drained == one-shot bit-for-bit. `reference` is a
+    * (vq, t) histogram from [[graft.ops.Experiment.mwMicroHistogram]]
+    * (persist it once; the gate never rescans it). */
+  def mwGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, reference: DataFrame): DataFrame = {
+    val v = StateCommit.requireVersion(stateDir, "mw-gate state")
+    val live = spark.read.parquet(s"$stateDir/v$v")
+    graft.ops.Experiment.mannWhitneyFromState(
+      reference.select(col("vq"), col("t").as("ca"), col("t"))
+        .unionByName(live.select(col("vq"), lit(0L).as("ca"), col("t"))))
+  }
+
   // --- streaming IVF index-ingest gate (foreachBatch -> postings deltas) ---
 
   /** Streaming ANN index ingest — IVF postings ON ARRIVAL: the coarse

@@ -850,6 +850,24 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(gate.getLong(3) === 3000000L) // k = 9 -> 9th signed score = 3
   }
 
+  test("mw gate: value histograms fold idempotently; drained z equals one-shot two-sample U") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("mwg_spec_").toString
+    val b0 = Seq(5.0, 6.0, 7.0).toDF("v")
+    val b1 = Seq(6.0, 8.0, 9.0, 10.0).toDF("v")
+    applyMwBatch(b0, 0L, "v", stateDir)
+    applyMwBatch(b1, 1L, "v", stateDir)
+    applyMwBatch(b1, 1L, "v", stateDir) // replay must be a no-op
+    val ref = Seq(1.0, 2.0, 3.0, 6.0).toDF("v")
+    val gate = mwGateResult(spark, stateDir,
+      graft.ops.Experiment.mwMicroHistogram(ref, "v")).head()
+    val oneShot = graft.ops.Experiment.mannWhitney(
+      (Seq(1.0, 2.0, 3.0, 6.0).map(("A", _)) ++
+        Seq(5.0, 6.0, 7.0, 6.0, 8.0, 9.0, 10.0).map(("B", _))).toDF("g", "v"),
+      "g", "v", "A", "B").head()
+    assert(gate.toSeq === oneShot.toSeq)
+  }
+
   test("coverage gate: open islands splice across seams; drained equals one-shot") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("covg_spec_").toString
