@@ -632,6 +632,25 @@ object SparkEntry {
           col("l_extendedprice").as("num"), col("l_quantity").as("den")),
         "id", "num", "den", buckets = 64)
     },
+    "exp_winsorized_mean" -> { (s, dir) =>
+      // Robust metric readout: per-arm means after clamping to each
+      // arm's own [p5, p95] cuts — the fused two-arm histogram + one
+      // range-partitioned stitch, winsorized sums exact in decimal.
+      graft.ops.Experiment.winsorizedMean(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+        "g", "v", "A", "R", pLoMicro = 50000L, pHiMicro = 950000L)
+    },
+    "exp_did" -> { (s, dir) =>
+      // Difference-in-differences on a deterministic 2x2: order-key
+      // parity plays treatment, customer-key parity plays period —
+      // four exact micro sums, one mirrored double tree.
+      val o = Tables(s, dir, "orders").select(
+        when(pmod(col("o_orderkey"), lit(2L)) === 0, "T").otherwise("C").as("g"),
+        when(pmod(col("o_custkey"), lit(2L)) === 0, "pre").otherwise("post").as("p"),
+        col("o_totalprice").as("v"))
+      graft.ops.Experiment.diffInDiff(o, "g", "p", "v", "T", "C", "pre", "post")
+    },
     "exp_mw_sql" -> { (s, dir) =>
       // Mann-Whitney through its SQL TVF face; shares exp_mannwhitney's
       // oracle.
@@ -6986,6 +7005,67 @@ object SparkEntry {
         |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
         |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
         |FROM fin""".stripMargin,
+    "exp_winsorized_mean" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')),
+        |h AS (SELECT g, vq, COUNT(*) AS t FROM src GROUP BY 1, 2),
+        |cu AS (SELECT g, vq, t,
+        |   COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY vq
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |   SUM(t) OVER (PARTITION BY g) AS n FROM h),
+        |p(p_micro) AS (VALUES (50000), (950000)),
+        |cuts AS (SELECT g, MAX(n) AS n,
+        |   MIN(CASE WHEN p_micro = 50000 THEN vq END) AS lo,
+        |   MIN(CASE WHEN p_micro = 950000 THEN vq END) AS hi
+        |  FROM cu JOIN p
+        |   ON cumb < (p.p_micro * n + 999999) // 1000000
+        |  AND (p.p_micro * n + 999999) // 1000000 <= cumb + t
+        |  GROUP BY g),
+        |w AS (SELECT cu.g,
+        |   SUM(CAST(cu.t AS HUGEINT) * GREATEST(c.lo, LEAST(c.hi, cu.vq))) AS wsum,
+        |   MAX(c.n) AS n, MAX(c.lo) AS lo, MAX(c.hi) AS hi
+        |  FROM cu JOIN cuts c ON c.g = cu.g GROUP BY 1)
+        |SELECT g AS arm, CAST(n AS BIGINT) AS n,
+        | CAST(lo AS BIGINT) AS lo_cut_micro, CAST(hi AS BIGINT) AS hi_cut_micro,
+        | CAST(wsum // CAST(n AS HUGEINT) AS BIGINT) AS wmean_micro
+        |FROM w""".stripMargin,
+    "exp_did" ->
+      """WITH src AS (SELECT
+        |   CASE WHEN o_orderkey % 2 = 0 THEN 'T' ELSE 'C' END AS g,
+        |   CASE WHEN o_custkey % 2 = 0 THEN 'pre' ELSE 'post' END AS p,
+        |   CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT) AS vm
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |ag AS (SELECT
+        |  SUM(CASE WHEN g = 'T' AND p = 'pre' THEN CAST(vm AS HUGEINT) END) AS s_t_pre,
+        |  SUM(CASE WHEN g = 'T' AND p = 'pre' THEN 1 ELSE 0 END) AS n_t_pre,
+        |  SUM(CASE WHEN g = 'T' AND p = 'post' THEN CAST(vm AS HUGEINT) END) AS s_t_post,
+        |  SUM(CASE WHEN g = 'T' AND p = 'post' THEN 1 ELSE 0 END) AS n_t_post,
+        |  SUM(CASE WHEN g = 'C' AND p = 'pre' THEN CAST(vm AS HUGEINT) END) AS s_c_pre,
+        |  SUM(CASE WHEN g = 'C' AND p = 'pre' THEN 1 ELSE 0 END) AS n_c_pre,
+        |  SUM(CASE WHEN g = 'C' AND p = 'post' THEN CAST(vm AS HUGEINT) END) AS s_c_post,
+        |  SUM(CASE WHEN g = 'C' AND p = 'post' THEN 1 ELSE 0 END) AS n_c_post
+        | FROM src)
+        |SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+        | CAST(n_t_post AS BIGINT) AS n_t_post,
+        | CAST(n_c_pre AS BIGINT) AS n_c_pre,
+        | CAST(n_c_post AS BIGINT) AS n_c_post,
+        | CASE WHEN n_t_pre > 0 THEN CAST(FLOOR(CAST(s_t_pre AS DOUBLE)
+        |   / CAST(n_t_pre AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) END AS mean_t_pre_nano,
+        | CASE WHEN n_t_post > 0 THEN CAST(FLOOR(CAST(s_t_post AS DOUBLE)
+        |   / CAST(n_t_post AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) END AS mean_t_post_nano,
+        | CASE WHEN n_c_pre > 0 THEN CAST(FLOOR(CAST(s_c_pre AS DOUBLE)
+        |   / CAST(n_c_pre AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) END AS mean_c_pre_nano,
+        | CASE WHEN n_c_post > 0 THEN CAST(FLOOR(CAST(s_c_post AS DOUBLE)
+        |   / CAST(n_c_post AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) END AS mean_c_post_nano,
+        | CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0
+        |  THEN CAST(FLOOR((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |    - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+        |    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |      - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)))
+        |   * 1000.0 + 0.5) AS BIGINT) END AS did_nano
+        |FROM ag""".stripMargin,
     "exp_mw_sql" -> mannWhitneySql,
     "exp_mw_incremental" -> mannWhitneySql,
     "exp_kruskal_sql" -> kruskalSql,

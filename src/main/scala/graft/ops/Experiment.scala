@@ -635,6 +635,108 @@ object Experiment {
         (col("q_a_micro") - col("q_b_micro")).as("qte_micro"))
   }
 
+  /** Winsorized mean per arm — the robust metric readout every revenue
+    * experiment needs (one whale order must not decide the test):
+    * values clamp to the arm's own [p_lo, p_hi] type-1 quantile cuts
+    * before averaging.
+    *
+    * Exactness: the SAME fused two-arm histogram + single
+    * [[Relational.cumBeforeByKey]] pass as
+    * [[quantileTreatmentEffect]]; each arm's cuts resolve by the
+    * broadcast band join, and the winsorized sum is
+    * Σ_cells t·clamp(v, lo, hi) — exact decimal over micro ints, so
+    * the mean is one exact integer division. Tie cells at the cuts
+    * clamp correctly by construction.
+    *
+    * Output: one row per arm — (arm, n, lo_cut_micro, hi_cut_micro,
+    * wmean_micro); an absent arm simply has no row. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String,
+      pLoMicro: Long = 50000L, pHiMicro: Long = 950000L): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    require(0L < pLoMicro && pLoMicro < pHiMicro && pHiMicro <= 1000000L,
+      s"need 0 < pLo < pHi <= 1e6: ($pLoMicro, $pHiMicro)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(microCol(col(valueCol)).as("vq"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ta"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("tb"))
+    val cum = Relational.cumBeforeByKey(hist, "vq", Seq("ta", "tb"))
+    val pSpine = broadcast(Seq(pLoMicro, pHiMicro).toDF("p_micro"))
+    def arm(c: String, label: String): DataFrame = {
+      val k = call_function("div",
+        col("p_micro").cast(dec) * col(s"__tot_$c").cast(dec) + lit(999999L),
+        lit(1000000L))
+      val cuts = cum.crossJoin(pSpine)
+        .filter(col(s"__cumb_$c").cast(dec) < k &&
+          k <= (col(s"__cumb_$c") + col(c)).cast(dec))
+        .groupBy()
+        .agg(min(when(col("p_micro") === pLoMicro, col("vq"))).as("lo"),
+          min(when(col("p_micro") === pHiMicro, col("vq"))).as("hi"))
+      cum.crossJoin(broadcast(cuts))
+        .agg(
+          sum(col(c).cast(dec) *
+            greatest(col("lo"), least(col("hi"), col("vq"))).cast(dec))
+            .as("wsum"),
+          max(col(s"__tot_$c")).as("n"),
+          max(col("lo")).as("lo_cut_micro"),
+          max(col("hi")).as("hi_cut_micro"))
+        .filter(col("n") > 0L)
+        .select(lit(label).as("arm"), col("n"),
+          col("lo_cut_micro"), col("hi_cut_micro"),
+          call_function("div", col("wsum"), col("n").cast(dec))
+            .cast("long").as("wmean_micro"))
+    }
+    arm("ta", groupA).unionByName(arm("tb", groupB))
+  }
+
+  /** Difference-in-differences (the 2×2 natural-experiment readout):
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the treated
+    * arm's change net of the control arm's trend. Four exact micro
+    * sums + counts (one map-side-combined aggregation), the four means
+    * and the estimate by ONE fixed double tree mirrored in the oracle
+    * (the CUPED discipline). NULL estimate when any cell is empty.
+    *
+    * Output: one row — (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    * mean_t_pre_nano, mean_t_post_nano, mean_c_pre_nano,
+    * mean_c_post_nano, did_nano). */
+  def diffInDiff(df: DataFrame, groupCol: String, periodCol: String,
+      valueCol: String, treatGroup: String, controlGroup: String,
+      prePeriod: String, postPeriod: String): DataFrame = {
+    require(treatGroup != controlGroup && prePeriod != postPeriod,
+      "treat/control groups and pre/post periods must differ")
+    val dec = "decimal(38,0)"
+    def cell(g: String, p: String, tag: String) = Seq(
+      sum(when(col(groupCol) === g && col(periodCol) === p,
+        microCol(col(valueCol))).cast(dec)).as(s"s_$tag"),
+      sum(when(col(groupCol) === g && col(periodCol) === p, 1L)
+        .otherwise(0L)).as(s"n_$tag"))
+    val aggs = cell(treatGroup, prePeriod, "t_pre") ++
+      cell(treatGroup, postPeriod, "t_post") ++
+      cell(controlGroup, prePeriod, "c_pre") ++
+      cell(controlGroup, postPeriod, "c_post")
+    val agg = df.filter(col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def meanN(tag: String) =
+      col(s"s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    val ok = col("n_t_pre") > 0L && col("n_t_post") > 0L &&
+      col("n_c_pre") > 0L && col("n_c_post") > 0L
+    def nano(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000.0) + lit(0.5)).cast("long")
+    val did = meanN("t_post") - meanN("t_pre") -
+      (meanN("c_post") - meanN("c_pre"))
+    agg.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      when(col("n_t_pre") > 0L, nano(meanN("t_pre"))).as("mean_t_pre_nano"),
+      when(col("n_t_post") > 0L, nano(meanN("t_post"))).as("mean_t_post_nano"),
+      when(col("n_c_pre") > 0L, nano(meanN("c_pre"))).as("mean_c_pre_nano"),
+      when(col("n_c_post") > 0L, nano(meanN("c_post"))).as("mean_c_post_nano"),
+      when(ok, nano(did)).as("did_nano"))
+  }
+
   /** Delete-one-bucket jackknife standard error for a RATIO metric
     * (Σ numerator / Σ denominator — CTR, revenue per session, tokens
     * per doc): the estimator every experiment platform uses because a

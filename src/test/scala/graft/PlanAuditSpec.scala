@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkTestBase {
     "exp_kruskal",            // one-row group-sum frame x one-row tie frame
     "exp_kruskal_sql",        // same plan through the TVF face
     "exp_qte",                // histogram cells x |p|-row broadcast quantile spine
+    "exp_winsorized_mean",    // histogram cells x 2-row p-spine + one-row cuts frame
     "exp_jackknife_ratio")    // bucket frame x one-row totals frame
 
   test("no contract query plans an unintended cartesian/nested-loop join") {

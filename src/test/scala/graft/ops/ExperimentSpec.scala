@@ -287,6 +287,41 @@ class ExperimentSpec extends SparkTestBase {
     assert(g2.getLong(3) === 2000000L && g2.isNullAt(4) && g2.isNullAt(5))
   }
 
+  test("winsorizedMean: per-arm cuts clamp, tie cells clamp correctly, absent arm drops") {
+    import spark.implicits._
+    // arm A = 1..20 at p25/p75: cuts k=5 -> lo=5, k=15 -> hi=15;
+    // sum clamp = 5*5 + (6..14) + 15*6 = 25+90+90 = 205 -> mean 10.25
+    // arm B = four 10s: both cuts land on the tied cell -> mean 10
+    val df = ((1 to 20).map(i => ("A", i.toDouble)) ++
+      Seq.fill(4)(("B", 10.0))).toDF("g", "v")
+    val got = Experiment.winsorizedMean(df, "g", "v", "A", "B",
+      pLoMicro = 250000L, pHiMicro = 750000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("A") === (20L, 5000000L, 15000000L, 10250000L))
+    assert(got("B") === (4L, 10000000L, 10000000L, 10000000L))
+    // an arm with no rows yields no row, not garbage
+    val one = (1 to 4).map(i => ("A", i.toDouble)).toDF("g", "v")
+    val g2 = Experiment.winsorizedMean(one, "g", "v", "A", "B", 250000L, 750000L)
+      .collect()
+    assert(g2.length === 1 && g2.head.getString(0) === "A")
+  }
+
+  test("diffInDiff: hand 2x2; empty cell -> NULL estimate, cell means still reported") {
+    import spark.implicits._
+    val df = Seq(("T", "pre", 10.0), ("T", "post", 20.0), ("T", "post", 22.0),
+      ("C", "pre", 5.0), ("C", "post", 7.0)).toDF("g", "p", "v")
+    val r = Experiment.diffInDiff(df, "g", "p", "v", "T", "C", "pre", "post").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (1L, 2L, 1L, 1L))
+    assert(r.getLong(5) === 21000000000L) // mean T post = 21 in nano
+    assert(r.getLong(8) === 9000000000L)  // (21-10) - (7-5) = 9
+    val missing = df.filter($"g" =!= "C" || $"p" =!= "post")
+    val r2 = Experiment.diffInDiff(missing, "g", "p", "v", "T", "C", "pre", "post").head()
+    assert(r2.getLong(3) === 0L && r2.isNullAt(7) && r2.isNullAt(8))
+    assert(r2.getLong(5) === 21000000000L) // surviving cells still report
+  }
+
   test("jackknifeRatio: constant ratio -> zero SE; reference differential; degenerate NULL") {
     import spark.implicits._
     // num = 3*den exactly -> every leave-one-out ratio is 3 -> se = 0
