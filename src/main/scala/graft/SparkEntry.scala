@@ -632,6 +632,24 @@ object SparkEntry {
           col("l_extendedprice").as("num"), col("l_quantity").as("den")),
         "id", "num", "den", buckets = 64)
     },
+    "exp_mcnemar" -> { (s, dir) =>
+      // Paired binary flip test on a deterministic condition pair:
+      // discordant counts + the exact divmod chi-square.
+      graft.ops.Experiment.mcnemar(
+        Tables(s, dir, "orders").select(
+          (pmod(col("o_orderkey"), lit(3L)) === 0).as("pre"),
+          (pmod(col("o_custkey"), lit(2L)) === 0).as("post")),
+        "pre", "post")
+    },
+    "exp_proportions" -> { (s, dir) =>
+      // Conversion-rate readout: returned vs refused arms on the
+      // "large order line" success flag — exact counts, one mirrored
+      // z tree, exact integer rate difference.
+      graft.ops.Experiment.proportionTest(
+        Tables(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+          (col("l_quantity") > 25.0).as("s")),
+        "g", "s", "A", "R")
+    },
     "exp_winsorized_mean" -> { (s, dir) =>
       // Robust metric readout: per-arm means after clamping to each
       // arm's own [p5, p95] cuts — the fused two-arm histogram + one
@@ -7005,6 +7023,44 @@ object SparkEntry {
         |       / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))))
         |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
         |FROM fin""".stripMargin,
+    "exp_mcnemar" ->
+      """WITH src AS (SELECT (o_orderkey % 3 = 0) AS pre,
+        |   (o_custkey % 2 = 0) AS post FROM orders),
+        |ag AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN pre AND post THEN 1 ELSE 0 END) AS n_both,
+        |  SUM(CASE WHEN pre AND NOT post THEN 1 ELSE 0 END) AS b,
+        |  SUM(CASE WHEN NOT pre AND post THEN 1 ELSE 0 END) AS c,
+        |  SUM(CASE WHEN NOT pre AND NOT post THEN 1 ELSE 0 END) AS n_neither
+        | FROM src)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+        | CAST(b AS BIGINT) AS n_pre_only, CAST(c AS BIGINT) AS n_post_only,
+        | CAST(n_neither AS BIGINT) AS n_neither,
+        | CASE WHEN b + c > 0 THEN CAST(
+        |   CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+        |  AS BIGINT) END AS chi2_micro
+        |FROM ag""".stripMargin,
+    "exp_proportions" ->
+      """WITH src AS (SELECT l_returnflag AS g, (l_quantity > 25.0) AS s
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |ag AS (SELECT
+        |  SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN g = 'A' AND s THEN 1 ELSE 0 END) AS xa,
+        |  SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS nb,
+        |  SUM(CASE WHEN g = 'R' AND s THEN 1 ELSE 0 END) AS xb
+        | FROM src)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+        | CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+        | CASE WHEN na > 0 AND nb > 0 THEN CAST(
+        |   (CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na) * 1000000
+        |     // (CAST(na AS HUGEINT) * nb) AS BIGINT) END AS diff_micro,
+        | CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb
+        |  THEN CAST(FLOOR((CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+        |     - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |   / SQRT((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |     * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |     * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |   * 1000000000.0 + 0.5) AS BIGINT) END AS z_nano
+        |FROM ag""".stripMargin,
     "exp_winsorized_mean" ->
       """WITH src AS (SELECT l_returnflag AS g,
         |   CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT) AS vq

@@ -635,6 +635,81 @@ object Experiment {
         (col("q_a_micro") - col("q_b_micro")).as("qte_micro"))
   }
 
+  /** McNemar's test (McNemar 1947) — the PAIRED binary readout: same
+    * units observed under two conditions (did the new ranker convert
+    * users the old one lost, net of the reverse?). Only the DISCORDANT
+    * pairs carry signal: b = (yes, no), c = (no, yes),
+    * χ² = (b − c)²/(b + c). All exact: counts from one aggregation,
+    * the statistic by the decimal floor-divmod micro split — no float
+    * anywhere. NULL χ² when b + c = 0 (no discordance, no evidence).
+    *
+    * Output: one row — (n, n_both, n_pre_only, n_post_only, n_neither,
+    * chi2_micro). */
+  def mcnemar(df: DataFrame, preCol: String, postCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agg = df.filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(preCol) && col(postCol), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col(preCol) && !col(postCol), 1L).otherwise(0L)).as("b"),
+        sum(when(!col(preCol) && col(postCol), 1L).otherwise(0L)).as("c"),
+        sum(when(!col(preCol) && !col(postCol), 1L).otherwise(0L)).as("n_neither"))
+    val d = (col("b") - col("c")).cast(dec)
+    agg.select(col("n"), col("n_both"),
+      col("b").as("n_pre_only"), col("c").as("n_post_only"),
+      col("n_neither"),
+      when(col("b") + col("c") > 0L,
+        call_function("div", d * d * lit(1000000L),
+          (col("b") + col("c")).cast(dec)).cast("long")).as("chi2_micro"))
+  }
+
+  /** Two-proportion z-test — the conversion-rate readout: does arm A
+    * convert at a different rate than arm B? Pooled-variance normal
+    * approximation,
+    *
+    *   z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)),  p̂ pooled,
+    *
+    * from four exact counts by ONE fixed double tree mirrored in the
+    * oracle (the mannWhitney z discipline); the rate difference also
+    * surfaces as an exact integer ⌊10^6·(x_A·n_B − x_B·n_A)/(n_A·n_B)⌋
+    * decimal division. NULL z when either arm is empty or the pooled
+    * rate is degenerate (all successes or all failures — zero
+    * variance).
+    *
+    * Output: one row — (n_a, x_a, n_b, x_b, diff_micro, z_nano). */
+  def proportionTest(df: DataFrame, groupCol: String, successCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val dec = "decimal(38,0)"
+    val agg = df
+      .filter(col(successCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === groupA && col(successCol), 1L)
+          .otherwise(0L)).as("xa"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("nb"),
+        sum(when(col(groupCol) === groupB && col(successCol), 1L)
+          .otherwise(0L)).as("xb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val pa = col("xa").cast("double") / naD
+    val pb = col("xb").cast("double") / nbD
+    val pp = (col("xa") + col("xb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val zf = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / naD + lit(1.0) / nbD))
+    agg.select(
+      col("na").as("n_a"), col("xa").as("x_a"),
+      col("nb").as("n_b"), col("xb").as("x_b"),
+      when(col("na") > 0L && col("nb") > 0L,
+        call_function("div",
+          (col("xa").cast(dec) * col("nb") - col("xb").cast(dec) * col("na"))
+            * lit(1000000L),
+          col("na").cast(dec) * col("nb")).cast("long")).as("diff_micro"),
+      when(col("na") > 0L && col("nb") > 0L &&
+        col("xa") + col("xb") > 0L &&
+        col("xa") + col("xb") < col("na") + col("nb"),
+        floor(zf * lit(1.0e9) + lit(0.5)).cast("long")).as("z_nano"))
+  }
+
   /** Winsorized mean per arm — the robust metric readout every revenue
     * experiment needs (one whale order must not decide the test):
     * values clamp to the arm's own [p_lo, p_hi] type-1 quantile cuts

@@ -287,6 +287,39 @@ class ExperimentSpec extends SparkTestBase {
     assert(g2.getLong(3) === 2000000L && g2.isNullAt(4) && g2.isNullAt(5))
   }
 
+  test("mcnemar: discordant-pair chi-square, zero-discordance NULL") {
+    import spark.implicits._
+    // b = 3 (pre-only), c = 1 (post-only): chi2 = (3-1)^2/4 = 1.0
+    val df = (Seq.fill(2)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("pre", "post")
+    val r = Experiment.mcnemar(df, "pre", "post").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (10L, 2L, 3L, 1L, 4L))
+    assert(r.getLong(5) === 1000000L)
+    // perfectly concordant -> no evidence -> NULL
+    val conc = Seq((true, true), (false, false)).toDF("pre", "post")
+    assert(Experiment.mcnemar(conc, "pre", "post").head().isNullAt(5))
+  }
+
+  test("proportionTest: hand z and exact diff; degenerate pooled rate NULL") {
+    import spark.implicits._
+    // A: 3/4 convert, B: 1/4: diff = 0.5 exactly; z from the pooled tree
+    val df = (Seq.fill(3)(("A", true)) ++ Seq(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false))).toDF("g", "s")
+    val r = Experiment.proportionTest(df, "g", "s", "A", "B").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (4L, 3L, 4L, 1L))
+    assert(r.getLong(4) === 500000L)
+    val pp = 4.0 / 8.0
+    val z = (0.75 - 0.25) / math.sqrt(pp * (1.0 - pp) * (0.25 + 0.25))
+    assert(r.getLong(5) === math.floor(z * 1.0e9 + 0.5).toLong)
+    // all-success pooled rate -> zero variance -> NULL z, diff exact 0
+    val all = Seq(("A", true), ("B", true)).toDF("g", "s")
+    val r2 = Experiment.proportionTest(all, "g", "s", "A", "B").head()
+    assert(r2.getLong(4) === 0L && r2.isNullAt(5))
+  }
+
   test("winsorizedMean: per-arm cuts clamp, tie cells clamp correctly, absent arm drops") {
     import spark.implicits._
     // arm A = 1..20 at p25/p75: cuts k=5 -> lo=5, k=15 -> hi=15;
