@@ -129,7 +129,8 @@ class ConcurrentSessionSpec extends SparkTestBase {
     // flight — and the historically name-colliding dq_psi_sql/dq_ks_sql
     // pair (both once used graft_dq_ref_v/graft_dq_cur_v) — must agree
     // with their sequential baselines and leave no view residue.
-    val rows = Seq("dq_psi_sql", "dq_ks_sql", "q_spearman_sql", "geo_hotspot_sql")
+    val rows = Seq("dq_psi_sql", "dq_ks_sql", "q_spearman_sql",
+      "geo_hotspot_sql", "exp_mw_sql")
     def run(name: String): Set[Seq[Any]] =
       SparkEntry.queries(name)(spark, sf()).collect().map(_.toSeq.toVector).toSet
     val baseline = rows.map(n => n -> run(n)).toMap
@@ -147,7 +148,7 @@ class ConcurrentSessionSpec extends SparkTestBase {
     } finally pool.shutdown()
     val leaked = spark.catalog.listTables().collect().map(_.name)
       .filter(n => n.startsWith("graft_dq_") || n.startsWith("graft_spearman_v") ||
-        n.startsWith("graft_hotspot_pts_v"))
+        n.startsWith("graft_hotspot_pts_v") || n.startsWith("graft_mw_v"))
     assert(leaked.isEmpty, s"TVF rows leaked views: ${leaked.mkString(",")}")
   }
 
