@@ -843,7 +843,8 @@ object Experiment {
     val b = pmod(pmod(col(idCol).cast("long"), lit(P)) * lit(654435747L),
       lit(P)) % buckets
     val perBucket = df
-      .filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .filter(col(numCol).isNotNull && col(denCol).isNotNull &&
+        col(idCol).isNotNull) // a NULL id must not mint a phantom bucket
       .groupBy(b.as("bucket"))
       .agg(sum(microCol(col(numCol)).cast(dec)).as("sn"),
         sum(microCol(col(denCol)).cast(dec)).as("sd"))
@@ -894,7 +895,9 @@ object Experiment {
     * DOWN across the α threshold), and `reject` = p̂ ≤ α — equivalent
     * to the classic step-up rule under that quantization. Ties in p
     * break by `idCol` (a total order, so ranks are pure functions of
-    * the data).
+    * the data). Input contract: `pCol` values must already sit in
+    * [0, 10^6]; m·p stays far under long overflow for any realistic
+    * hypothesis count.
     *
     * Plan shape: both windows partition by `groupCol` — experiments
     * rank in parallel, and each group's frame is hypothesis-sized

@@ -313,8 +313,11 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
       uCol: String = "u", vCol: String = "v"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    // standard LPA: self-loops drop (a node must not vote for its own
+    // label), parallel edges dedupe (counts mean NEIGHBORS)
     val sym = edges.select(col(uCol).as("src"), col(vCol).as("dst"))
       .unionAll(edges.select(col(vCol).as("src"), col(uCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
     val symM = graft.ext.Materialize(sym)
     var labels = symM.select(col("src").as("node")).distinct()

@@ -386,6 +386,13 @@ class ExperimentSpec extends SparkTestBase {
     val zero = (1L to 50L).map(i => (i, 1.0, 0.0)).toDF("id", "num", "den")
     val g3 = Experiment.jackknifeRatio(zero, "id", "num", "den", 8).head()
     assert(g3.isNullAt(1) && g3.isNullAt(2))
+    // a NULL id must not mint a phantom bucket: result identical to
+    // the frame with that row dropped
+    val withNullId = rows.toDF("id", "num", "den").unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], 99.0, 1.0))
+        .toDF("id", "num", "den"))
+    val g4 = Experiment.jackknifeRatio(withNullId, "id", "num", "den", 16).head()
+    assert((g4.getLong(1), g4.getLong(2)) === (wantTheta, wantSe))
   }
 
   test("kruskalWallis: hand-traced H with the per-group floor quantization; degenerates NULL") {

@@ -94,7 +94,8 @@ class GraphSpec extends SparkTestBase {
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; synchronous
     // min-tie rounds hand-traced: after round 3 the left triangle
     // carries label 1 and the right carries label 3
-    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+    // the (5,5) self-loop and (2,3) duplicate must not distort votes
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 3L), (5L, 5L),
       (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
     val got = Graph.labelPropagation(edges, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
