@@ -4726,6 +4726,28 @@ object SparkEntry {
       graft.ops.Relational.spearmanPerGroup(Tables(s, dir, "lineitem"),
         Seq("l_returnflag"), "l_quantity", "l_extendedprice")
     },
+    "ts_forecast_error" -> { (s, dir) =>
+      // MASE denominators for the smoothing family: naive and
+      // weekly-seasonal-naive MAE of the daily per-type count series —
+      // exact |error| ints, one exact division per key.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.forecastBaselineErrors(daily, "event_type",
+        "day", "x", season = 7)
+    },
+    "ts_backtest_folds" -> { (s, dir) =>
+      // Rolling-origin backtest assignment over the same daily series:
+      // 3 folds, 7-day horizon, per-key t_max — train/test roles with
+      // future rows structurally excluded per fold.
+      val ev = Tables(s, dir, "events")
+      val daily = ev.groupBy(col("event_type"),
+          call_function("div", tsEpochSec(ev.schema), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.rollingOriginFolds(daily, "event_type", "day",
+        folds = 3, horizon = 7L)
+    },
     "ts_ewma" -> { (s, dir) =>
       // EWMA smoothing (alpha = 0.25) of the daily per-type count
       // series: the exact stepwise-quantized integer recurrence — a
@@ -8416,6 +8438,34 @@ object SparkEntry {
     "ts_holt" -> holtSql,
     "dq_iqr_outliers" -> iqrOutliersSql,
     "dq_iqr_sql" -> iqrOutliersSql,
+    "ts_forecast_error" ->
+      """WITH d0 AS (SELECT event_type AS k,
+        |   CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT k, x * 1000000 AS xm,
+        |   LAG(x * 1000000, 1) OVER (PARTITION BY k ORDER BY t) AS l1,
+        |   LAG(x * 1000000, 7) OVER (PARTITION BY k ORDER BY t) AS l7
+        |  FROM d0)
+        |SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(l1) AS BIGINT) AS n_naive,
+        | CASE WHEN COUNT(l1) > 0 THEN CAST(SUM(ABS(xm - l1)) // COUNT(l1)
+        |   AS BIGINT) END AS mae_naive_micro,
+        | CAST(COUNT(l7) AS BIGINT) AS n_snaive,
+        | CASE WHEN COUNT(l7) > 0 THEN CAST(SUM(ABS(xm - l7)) // COUNT(l7)
+        |   AS BIGINT) END AS mae_snaive_micro
+        |FROM e GROUP BY 1""".stripMargin,
+    "ts_backtest_folds" ->
+      """WITH d0 AS (SELECT event_type AS k,
+        |   CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT k, MAX(t) AS tmax FROM d0 GROUP BY 1),
+        |f(fold) AS (VALUES (1), (2), (3)),
+        |a AS (SELECT d0.k, d0.t, f.fold, m.tmax - (3 - f.fold) * 7 AS e
+        |  FROM d0 JOIN m ON m.k = d0.k CROSS JOIN f)
+        |SELECT k AS event_type, t AS day, CAST(fold AS BIGINT) AS fold,
+        | CASE WHEN t > e - 7 AND t <= e THEN 'test'
+        |      WHEN t <= e - 7 THEN 'train' END AS role
+        |FROM a WHERE t <= e""".stripMargin,
     "ts_ewma" ->
       """WITH d0 AS (SELECT event_type AS k, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS t,
         |  COUNT(*) AS x FROM events GROUP BY 1, 2),

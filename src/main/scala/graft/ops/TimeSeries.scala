@@ -755,4 +755,77 @@ object TimeSeries {
     holt(cells.groupBy(col(keyCol), col("day")).agg(sum("n").as("x")),
       keyCol, "day", "x", alphaMicro, betaMicro)
 
+  /** Forecast-baseline errors per key — the MASE denominators (Hyndman
+    * & Koehler 2006): the mean absolute error of the NAIVE forecast
+    * (ŷ_t = y_{t−1}) and the SEASONAL-NAIVE forecast (ŷ_t =
+    * y_{t−season}) over the observed sequence. Any model the smoothing
+    * family produces (ewma/holt) is judged against these — a
+    * "forecast" that can't beat last-week's value isn't one.
+    *
+    * Lags are POSITIONAL over each key's observed order (resample
+    * first — [[resampleInterpolate]]/[[gapFillInterpolate]] — if the
+    * grid has holes and strict time lags matter). Exactness: values
+    * micro-quantize, |errors| are exact int64, MAE is one exact
+    * decimal division. Keys too short for a lag report 0 comparisons
+    * and a NULL MAE.
+    *
+    * Plan: one window pass per key partitioning (parallel across
+    * keys), one grouped aggregate. Output: (keyCol, n, n_naive,
+    * mae_naive_micro, n_snaive, mae_snaive_micro). */
+  def forecastBaselineErrors(df: DataFrame, keyCol: String, tCol: String,
+      valCol: String, season: Int): DataFrame = {
+    require(season >= 2,
+      s"season must be >= 2 (season 1 IS the naive lag): $season")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val xm = floor(col(valCol).cast("double") * 1000000L + 0.5).cast("long")
+    val d = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tCol), xm.as("xm"))
+      .withColumn("d1", abs(col("xm") - lag(col("xm"), 1).over(w)))
+      .withColumn("ds", abs(col("xm") - lag(col("xm"), season).over(w)))
+    d.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      count(col("d1")).as("n_naive"),
+      when(count(col("d1")) > 0L, call_function("div",
+        sum(col("d1").cast(dec)), count(col("d1")).cast(dec)).cast("long"))
+        .as("mae_naive_micro"),
+      count(col("ds")).as("n_snaive"),
+      when(count(col("ds")) > 0L, call_function("div",
+        sum(col("ds").cast(dec)), count(col("ds")).cast(dec)).cast("long"))
+        .as("mae_snaive_micro"))
+  }
+
+  /** Rolling-origin backtest folds (the forecasting cross-validation:
+    * "evaluation on a rolling forecasting origin", Hyndman) — fold f's
+    * TEST window is the `horizon`-length slice ending at
+    * t_max − (folds − f)·horizon, its TRAIN set everything at or
+    * before the window's start; rows after the fold's end are EXCLUDED
+    * from that fold (future leakage is structurally impossible, the
+    * contamination-safe-split discipline). Every key uses its OWN
+    * t_max, so short-lived keys backtest over their own span.
+    *
+    * Plan: one per-key max (map-side combined) joined back on the key,
+    * one broadcast folds-spine expansion (rows × folds — the caller
+    * picks small fold counts), pure column arithmetic. Output:
+    * (keyCol, tCol, fold, role ∈ train|test). */
+  def rollingOriginFolds(df: DataFrame, keyCol: String, tCol: String,
+      folds: Int, horizon: Long): DataFrame = {
+    require(folds >= 1, s"folds must be >= 1: $folds")
+    require(horizon >= 1L, s"horizon must be >= 1: $horizon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = broadcast((1 to folds).map(_.toLong).toDF("fold"))
+    val tmax = df.groupBy(col(keyCol)).agg(max(col(tCol)).as("__tmax"))
+    df.select(col(keyCol), col(tCol))
+      .join(tmax, Seq(keyCol))
+      .crossJoin(spine)
+      .withColumn("__end",
+        col("__tmax") - (lit(folds.toLong) - col("fold")) * lit(horizon))
+      .withColumn("role",
+        when(col(tCol) > col("__end") - lit(horizon) &&
+          col(tCol) <= col("__end"), "test")
+          .when(col(tCol) <= col("__end") - lit(horizon), "train"))
+      .filter(col("role").isNotNull)
+      .select(col(keyCol), col(tCol), col("fold"), col("role"))
+  }
 }

@@ -85,7 +85,8 @@ class PlanAuditSpec extends SparkTestBase {
     "exp_kruskal_sql",        // same plan through the TVF face
     "exp_qte",                // histogram cells x |p|-row broadcast quantile spine
     "exp_winsorized_mean",    // histogram cells x 2-row p-spine + one-row cuts frame
-    "exp_jackknife_ratio")    // bucket frame x one-row totals frame
+    "exp_jackknife_ratio",    // bucket frame x one-row totals frame
+    "ts_backtest_folds")      // daily series x |folds|-row broadcast spine
 
   test("no contract query plans an unintended cartesian/nested-loop join") {
     val dir = sf() // sf0.001 — plans, not timings

@@ -6,6 +6,44 @@ import graft.SparkTestBase
 class TimeSeriesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("forecastBaselineErrors: hand MAEs, short-key NULLs, positional lags") {
+    import spark.implicits._
+    // key a: x = 1,3,2,6 -> naive |d| = 2,1,4 -> MAE = 7/3 (floor micro);
+    // season 2: |2-1|,|6-3| = 1,3 -> MAE = 2
+    val df = (Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 6.0)).map {
+      case (t, x) => ("a", t, x) } :+ (("b", 1L, 5.0))).toDF("k", "t", "x")
+    val got = TimeSeries.forecastBaselineErrors(df, "k", "t", "x", season = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(4)) === (4L, 3L, 2L))
+    assert(a.getLong(3) === 7000000L / 3L) // exact floor division
+    assert(a.getLong(5) === 2000000L)
+    // single-observation key: no lags -> 0 comparisons, NULL MAEs
+    val b = got("b")
+    assert(b.getLong(2) === 0L && b.isNullAt(3) && b.isNullAt(5))
+  }
+
+  test("rollingOriginFolds: window arithmetic, per-key t_max, future rows excluded") {
+    import spark.implicits._
+    // key a observed on days 1..10; folds=2, horizon=3:
+    // fold 1: end = 10-3 = 7 -> test (4,7], train <= 4; day 8-10 excluded
+    // fold 2: end = 10 -> test (7,10], train <= 7
+    val df = (1L to 10L).map(t => ("a", t, 1.0)).toDF("k", "t", "x")
+    val got = TimeSeries.rollingOriginFolds(df, "k", "t", folds = 2, horizon = 3L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getString(3)).toMap
+    (1L to 4L).foreach(t => assert(got((t, 1L)) === "train"))
+    (5L to 7L).foreach(t => assert(got((t, 1L)) === "test"))
+    (8L to 10L).foreach(t => assert(!got.contains((t, 1L)))) // excluded: future
+    (1L to 7L).foreach(t => assert(got((t, 2L)) === "train"))
+    (8L to 10L).foreach(t => assert(got((t, 2L)) === "test"))
+    // a short-lived key backtests over its OWN span
+    val two = df.unionByName(Seq(("b", 3L, 1.0), ("b", 4L, 1.0)).toDF("k", "t", "x"))
+    val gb = TimeSeries.rollingOriginFolds(two, "k", "t", 1, 1L)
+      .filter($"k" === "b")
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(gb === Map(3L -> "train", 4L -> "test"))
+  }
+
   test("grid spans each key's own observed range; gaps interpolate linearly") {
     // key A: observations at t=0 (v=10) and t=40 (v=50), step 10
     //        -> grid 0,10,20,30,40 with 20/30/40 interpolated
