@@ -646,6 +646,11 @@ object GraftExtensions {
     //   graft_mannwhitney(view, group_col, value_col, group_a, group_b)
     // Mann-Whitney U — same exact doubled-mid-rank plan as
     // Experiment.mannWhitney (range-partitioned cumulative inside).
+    // NOTE: the cumulative's control-plane actions (materialize +
+    // subtotal collect) run DURING ANALYSIS — planning a query that
+    // names this TVF scans the input view, and re-analysis re-scans
+    // it; cache/persist the view in callers that re-plan repeatedly
+    // (the graft_conformal build-action caveat).
     ("graft_mannwhitney", 5, args => {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.ops.Experiment.mannWhitney(
@@ -656,6 +661,9 @@ object GraftExtensions {
     }),
     //   graft_kruskal(view, group_col, value_col)
     // Kruskal-Wallis H — same plan as Experiment.kruskalWallis.
+    // NOTE: same analysis-time-scan caveat as graft_mannwhitney —
+    // planning runs the cumulative's build actions over the view;
+    // cache/persist it if re-planning repeatedly.
     ("graft_kruskal", 3, args => {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.ops.Experiment.kruskalWallis(
@@ -665,6 +673,9 @@ object GraftExtensions {
     }),
     //   graft_wilcoxon(view, pre_col, post_col)
     // Wilcoxon signed-rank — same plan as Experiment.wilcoxonSignedRank.
+    // NOTE: same analysis-time-scan caveat as graft_mannwhitney —
+    // planning runs the cumulative's build actions over the view;
+    // cache/persist it if re-planning repeatedly.
     ("graft_wilcoxon", 3, args => {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.ops.Experiment.wilcoxonSignedRank(

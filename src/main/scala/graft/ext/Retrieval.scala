@@ -48,7 +48,11 @@ object Retrieval {
     * ranked rows with rank > k are ignored; a query with truth but no
     * ranked hits reports zero metrics; a query absent from truth is
     * dropped (recall/NDCG undefined there — surface those with a
-    * separate coverage join if needed).
+    * separate coverage join if needed). The run side is DEDUPED on
+    * (query, doc) keeping the smallest rank before judging — a run
+    * that lists a doc at several ranks (or repeats a rank) counts it
+    * once, so hits/DCG can never double-count and precision/recall
+    * stay <= 1e6.
     *
     * Plan shape: one semi join of the rank-bounded results against
     * truth (shuffle on (query, doc)), one grouped aggregate, two
@@ -69,7 +73,12 @@ object Retrieval {
       .toDF("__nrel_cap", "__idcg_nano")
     val rel = truth.select(col(queryCol), col(docCol)).distinct()
     val nrel = rel.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    // dedupe the rank-bounded run on (query, doc) at its best rank —
+    // map-side partial min, so a well-formed (already-unique) run
+    // pays one cheap pre-aggregation on the same shuffle key
     val hits = ranked.filter(col(rankCol) <= k)
+      .groupBy(col(queryCol), col(docCol))
+      .agg(min(col(rankCol)).as(rankCol))
       .join(rel, Seq(queryCol, docCol), "left_semi")
       .join(broadcast(gainDf), Seq(rankCol))
       .groupBy(col(queryCol))

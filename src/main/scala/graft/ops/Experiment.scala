@@ -605,6 +605,10 @@ object Experiment {
     require(groupA != groupB, "groupA and groupB must differ")
     require(pMicros.nonEmpty && pMicros.forall(p => p > 0L && p <= 1000000L),
       s"pMicros must be in (0, 1e6]: $pMicros")
+    // a duplicated p would duplicate spine rows and turn the final
+    // full join on p_micro many-to-many, multiplying output rows
+    require(pMicros.distinct.size == pMicros.size,
+      s"pMicros must be distinct: $pMicros")
     val spark = df.sparkSession
     import spark.implicits._
     val dec = "decimal(38,0)"

@@ -585,7 +585,16 @@ object Relational {
     * sum of c over STRICTLY smaller keys) and `__tot_<c>` (the grand
     * total, as a literal). Runs one control-plane action at build time
     * (the conformal/bloom precedent); the input is materialized, so
-    * callers reuse the staged cells without recompute. */
+    * callers reuse the staged cells without recompute.
+    *
+    * Duplicate keys are SAFE: the cumulative is a RANGE frame (all
+    * rows with key <= current) minus the peer-frame sum (all rows with
+    * key == current), both over the same ordered spec — so every
+    * duplicate row of a key gets the identical strictly-before sum
+    * regardless of intra-partition row order among equal keys. (All
+    * current callers pre-aggregate to distinct keys; this removes the
+    * order-dependence a raw ROWS frame would reintroduce if one ever
+    * didn't.) */
   private[graft] def cumBeforeByKey(frame: DataFrame, keyCol: String,
       cntCols: Seq[String]): DataFrame = {
     require(cntCols.nonEmpty, "cumBeforeByKey needs count columns")
@@ -614,13 +623,21 @@ object Relational {
           s"__off_$c", org.apache.spark.sql.types.LongType, nullable = false)))
     val offFrame = spark.createDataFrame(
       spark.sparkContext.parallelize(offDf.toSeq, 1), offSchema)
-    val w = Window.partitionBy("__pid").orderBy(col(keyCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Two frames over ONE ordered spec (single WindowExec, no extra
+    // exchange): RANGE up-to-current sums keys <= current INCLUDING
+    // every duplicate row; RANGE current-row..current-row sums exactly
+    // the peer group (rows with the same key). Their difference is the
+    // strictly-before cumulative, deterministic under duplicate keys —
+    // a ROWS frame minus own count would depend on row order there.
+    val spec = Window.partitionBy("__pid").orderBy(col(keyCol))
+    val wUpTo = spec.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeers = spec.rangeBetween(Window.currentRow, Window.currentRow)
     val joined = staged.join(broadcast(offFrame), Seq("__pid"))
     val withCums = cntCols.zipWithIndex.foldLeft(joined) {
       case (df, (c, i)) => df
         .withColumn(s"__cumb_$c",
-          sum(col(c)).over(w) + col(s"__off_$c") - col(c))
+          sum(col(c)).over(wUpTo) - sum(col(c)).over(wPeers) +
+            col(s"__off_$c"))
         .withColumn(s"__tot_$c", lit(totals(i)))
     }
     withCums.drop("__pid" +: cntCols.map(c => s"__off_$c"): _*)

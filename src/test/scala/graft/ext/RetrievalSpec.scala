@@ -73,6 +73,24 @@ class RetrievalSpec extends SparkTestBase {
     assert(q4.getLong(8) === 1000000L) // perfect recall
   }
 
+  test("rankingEval: a run with duplicate (query, doc) rows counts each doc once at its best rank") {
+    import spark.implicits._
+    val gain = (r: Int) =>
+      math.floor(1.0e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong
+    // doc 11 listed at ranks 1 AND 3, doc 12 at rank 2 twice: hits must
+    // be 2 (not 4), dcg must use ranks 1 and 2 only, precision <= 1e6
+    val ranked = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 11L, 3),
+      (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 11L), (1L, 12L)).toDF("query_id", "doc_id")
+    val r = Retrieval.rankingEval(ranked, truth, k = 3).head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L) // n_rel, hits
+    assert(r.getLong(3) === 1000000000L)               // mrr: best rank 1
+    assert(r.getLong(4) === gain(1) + gain(2))         // dcg, deduped
+    assert(r.getLong(6) === 1000000L)                  // ndcg perfect
+    assert(r.getLong(7) === 666666L)                   // precision 2/3
+    assert(r.getLong(8) === 1000000L)                  // recall capped at 1e6
+  }
+
   test("bm25TopK matches an independent reference on ranks and nano scores") {
     import spark.implicits._
     val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), k = 3, nQueryTerms = 4)

@@ -64,6 +64,28 @@ class CumBeforeByKeySpec extends SparkTestBase {
     assert(empty.count() === 0L)
   }
 
+  test("duplicate keys: every duplicate row gets the same strictly-before sum") {
+    // keys intentionally repeated across rows (NOT pre-aggregated) —
+    // the RANGE-frame cumulative must hand every duplicate of a key
+    // the identical sum over strictly smaller keys, independent of
+    // intra-partition row order among equal keys
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(5).toLong, rnd.nextInt(9).toLong)
+    }
+    val byKey = rows.groupBy(_._1).map { case (k, g) =>
+      (k, g.map(_._2).sum, g.map(_._3).sum) }.toSeq
+    val want = reference(byKey)
+    val got = Relational.cumBeforeByKey(
+      rows.toDF("k", "a", "b"), "k", Seq("a", "b"))
+      .collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[Long]("__cumb_a"), r.getAs[Long]("__cumb_b")))
+    assert(got.length === rows.length)
+    got.foreach { case (k, cba, cbb) =>
+      assert((cba, cbb) === want(k), s"key $k")
+    }
+  }
+
   test("partition-count invariance: 1, 4, and 32 shuffle partitions agree") {
     val rows = (1L to 300L).map(i => (i * 7 % 101, 1L)).groupBy(_._1)
       .map { case (k, g) => (k, g.map(_._2).sum) }.toSeq
