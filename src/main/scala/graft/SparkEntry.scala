@@ -3253,6 +3253,20 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
         nProbe = 4, m = 8, codebookSize = 16, refine = 50)
     },
+    "sim_mmr_rerank_exact" -> { (s, dir) =>
+      // Small-k exact face for the MMR greedy: k=5 picks from the exact
+      // top-8 candidates per query, unrolled as 5 chained CTE steps in
+      // the oracle (the kcore/LPA unroll discipline) — each step
+      // replays argmax of λ·rel − (1−λ)·max-sim-to-selected with the
+      // (mmr desc, rel desc, id asc) tie order in plain SQL. This pins
+      // the greedy selection machinery itself against DuckDB;
+      // sim_mmr_rerank keeps the production k/fetch as a rows-only row
+      // with the differential battery.
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 20),
+        k = 5, fetch = 8, lambdaMicro = 700000L)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    },
     "sim_mmr_rerank" -> { (s, dir) => // greedy rank: rows-only check
       // MMR-diversified top-10 from the exact top-50 candidates per
       // query (lambda = 0.7): the RAG/dedup re-rank that trades
@@ -7940,6 +7954,7 @@ object SparkEntry {
     "stream_ivf_ingest" -> bruteForceTopKSql,
     "sim_topk_pq_exact" -> bruteForceTopKSql,
     "sim_topk_ivfpq_exact" -> bruteForceTopKSql,
+    "sim_mmr_rerank_exact" -> mmrRerankExactSql,
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -10149,6 +10164,52 @@ object SparkEntry {
        | CAST(COALESCE(h.hits, 0) * 1000000 // nr.n_rel AS BIGINT) AS recall_micro
        |FROM nr LEFT JOIN h ON h.query_id = nr.query_id
        |JOIN ic ON ic.cap = LEAST(nr.n_rel, $k)""".stripMargin
+  }
+
+  /** sim_mmr_rerank_exact oracle: the MMR greedy UNROLLS as chained
+    * CTEs (the kcore/LPA discipline) — exact top-`fetch` candidates
+    * per query, pairwise candidate sims micro-quantized with the SAME
+    * floor(x·1e6 + 0.5) the Spark greedy's simMicro uses (rel uses
+    * round(), mirroring the Spark-side round()), then k−1 argmax
+    * steps each ordered (mmr desc, rel desc, id asc) over the
+    * not-yet-selected candidates. MATERIALIZED per step: every
+    * selection references its predecessor twice (kcoreSql's
+    * CTE-inlining rationale). */
+  private def mmrRerankExactSql: String = {
+    val (k, fetch, lam) = (5, 8, 700000L)
+    val mu = 1000000L - lam
+    val base =
+      s"""WITH c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT id AS query_id, v AS qv FROM c WHERE id < 20),
+         |cand AS MATERIALIZED (SELECT query_id, id, rel_micro FROM (
+         |  SELECT query_id, id, rel_micro, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rel_micro DESC, id ASC) AS rn
+         |  FROM (SELECT q.query_id, c.id,
+         |     CAST(round(list_cosine_similarity(q.qv, c.v) * 1000000) AS BIGINT) AS rel_micro
+         |    FROM q JOIN c ON c.id <> q.query_id)) WHERE rn <= $fetch),
+         |pair AS MATERIALIZED (SELECT x.query_id, x.id AS a, y.id AS b,
+         |   CAST(floor(list_cosine_similarity(cx.v, cy.v) * 1000000 + 0.5) AS BIGINT) AS sim_micro
+         |  FROM cand x JOIN cand y ON x.query_id = y.query_id AND x.id <> y.id
+         |  JOIN c cx ON cx.id = x.id JOIN c cy ON cy.id = y.id),
+         |sel1 AS MATERIALIZED (SELECT query_id, id, 1 AS rnk FROM (
+         |  SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rel_micro DESC, id ASC) AS rn FROM cand) WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { r =>
+      s""",
+         |p$r AS MATERIALIZED (SELECT query_id, id, $r AS rnk FROM (
+         |  SELECT cc.query_id, cc.id, ROW_NUMBER() OVER (PARTITION BY cc.query_id
+         |    ORDER BY ($lam * cc.rel_micro - $mu * ms.maxsim) DESC,
+         |      cc.rel_micro DESC, cc.id ASC) AS rn
+         |  FROM cand cc
+         |  JOIN (SELECT p.query_id, p.a AS id, MAX(p.sim_micro) AS maxsim
+         |        FROM pair p JOIN sel${r - 1} s ON s.query_id = p.query_id AND s.id = p.b
+         |        GROUP BY 1, 2) ms ON ms.query_id = cc.query_id AND ms.id = cc.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+         |    WHERE s.query_id = cc.query_id AND s.id = cc.id)) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString
+    base + steps +
+      s"\nSELECT query_id, CAST(rnk AS BIGINT) AS rank, id AS neighbor_id FROM sel$k"
   }
 
   /** Exact cosine top-10 for the query slice — the oracle for BOTH the

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkTestBase {
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivf_exact",
     "sim_hard_negatives", // broadcast query block vs corpus scan
     "sim_mmr_rerank",     // candidate stage = bruteForce's broadcast query block
+    "sim_mmr_rerank_exact", // same candidate stage at the small-k face
     "sim_topk_pq",        // code scan x broadcast query block (+ k-bounded refine)
     "sim_topk_pq_exact",  // same candidate stage, refine window = corpus
     "sim_topk_ivfpq",     // query block x broadcast cells-sized centroid frame
