@@ -1313,6 +1313,36 @@ object SparkEntry {
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
           array_join(slice(col("pieces"), 1, 8), "|").as("head_pieces"))
     },
+    "text_wordpiece_encode" -> { (s, dir) =>
+      // Train 24 WordPiece merges (likelihood score n/(cl·cr), exact
+      // rational argmax) on the corpus, build the induced vocabulary,
+      // then segment every document with the native greedy
+      // longest-match encoder. Rows-only: iterative likelihood
+      // training has no SQL oracle; trainer pinned by WordPieceSpec's
+      // from-scratch recount differential + local==distributed, and
+      // the ENCODER is oracle-checked in text_wordpiece_exact.
+      val d = Tables(s, dir, "documents")
+      val merges = graft.ext.WordPieceTrainer.train(d, "text", numMerges = 24)
+      val vocab = graft.ext.WordPieceTrainer.collectVocab(
+        graft.ext.WordPieceTrainer.vocab(d, "text", merges))
+      graft.ext.WordPieceTrainer.encode(d, "text", vocab)
+        .select(col("doc_id"), size(col("wp_tokens")).as("n_wp_tokens"),
+          array_join(slice(col("wp_tokens"), 1, 8), "|").as("head_tokens"))
+    },
+    "text_wordpiece_exact" -> { (s, dir) =>
+      // Exact face for the greedy longest-match-first WordPiece
+      // encoder: a FIXED vocabulary (full a–z alphabet + ## forms +
+      // 20 multi-char pieces, embedded verbatim in BOTH engines — the
+      // rankingEval constant-spine precedent) makes the scan total, so
+      // the oracle unrolls the per-word greedy as 10 chained CTE steps
+      // (fixture max word length is 8) each taking the longest
+      // matching piece at the current offset. Every document's full
+      // token sequence must agree.
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      graft.ext.WordPieceTrainer.encode(d, "text", wordPieceFixedVocab)
+        .select(col("doc_id"), array_join(col("wp_tokens"), "|").as("wp_tokens"))
+    },
     "text_stemmed_terms" -> { (s, dir) =>
       // Stemmed corpus vocabulary through the SQL face: porter_stem is
       // a registered native expression, so the whole pipeline stays in
@@ -7955,6 +7985,7 @@ object SparkEntry {
     "sim_topk_pq_exact" -> bruteForceTopKSql,
     "sim_topk_ivfpq_exact" -> bruteForceTopKSql,
     "sim_mmr_rerank_exact" -> mmrRerankExactSql,
+    "text_wordpiece_exact" -> wordpieceExactSql,
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -10164,6 +10195,66 @@ object SparkEntry {
        | CAST(COALESCE(h.hits, 0) * 1000000 // nr.n_rel AS BIGINT) AS recall_micro
        |FROM nr LEFT JOIN h ON h.query_id = nr.query_id
        |JOIN ic ON ic.cap = LEAST(nr.n_rel, $k)""".stripMargin
+  }
+
+  /** The fixed WordPiece vocabulary text_wordpiece_exact embeds in
+    * BOTH engines: the full a–z alphabet (raw + ## continuation forms,
+    * a superset of the fixture's a–y charset so the greedy scan is
+    * total — no [UNK] branch in the oracle) plus 20 multi-char pieces
+    * that exercise longest-match-beats-shorter at word starts and
+    * continuations alike. */
+  private val wordPieceFixedVocab: Seq[String] = {
+    val chars = ('a' to 'z').map(_.toString)
+    chars ++ chars.map("##" + _) ++ Seq(
+      "the", "th", "an", "in", "on", "er", "re", "or", "at", "en",
+      "##he", "##er", "##an", "##nd", "##in", "##ng", "##re", "##ed",
+      "##on", "##at")
+  }
+
+  /** text_wordpiece_exact oracle: the greedy longest-match scan
+    * UNROLLS as chained CTE steps (the kcore/LPA discipline) — step r
+    * joins the still-unfinished words against the piece table at the
+    * current offset and QUALIFY keeps the LONGEST match (unique per
+    * offset: piece bodies are distinct, so at most one body per
+    * length matches a fixed substring). 10 steps covers the fixture's
+    * max word length of 8 with margin; a longer future word would
+    * surface as a row mismatch, never silent truncation of a matched
+    * word (steps 9–10 simply produce no rows today). */
+  private def wordpieceExactSql: String = {
+    val steps = 10
+    val starts = wordPieceFixedVocab.filterNot(_.startsWith("##"))
+    val conts = wordPieceFixedVocab.filter(_.startsWith("##")).map(_.stripPrefix("##"))
+    val vfVals = starts.map(p => s"('$p', ${p.length})").mkString(", ")
+    val vcVals = conts.map(p => s"('$p', ${p.length})").mkString(", ")
+    val base =
+      s"""WITH vf(body, blen) AS (VALUES $vfVals),
+         |vc(body, blen) AS (VALUES $vcVals),
+         |w AS MATERIALIZED (SELECT doc_id,
+         |   unnest(generate_series(1, len(toks))) AS word_no, unnest(toks) AS word
+         |  FROM (SELECT doc_id,
+         |     regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS toks
+         |    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0)),
+         |s1 AS MATERIALIZED (SELECT doc_id, word_no, word, 1 AS step,
+         |   v.body AS token, 1 + v.blen AS nxt
+         |  FROM w JOIN vf v ON substr(w.word, 1, v.blen) = v.body
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, word_no
+         |    ORDER BY v.blen DESC) = 1)""".stripMargin
+    val unroll = (2 to steps).map { r =>
+      s""",
+         |s$r AS MATERIALIZED (SELECT p.doc_id, p.word_no, p.word, $r AS step,
+         |   '##' || v.body AS token, p.nxt + v.blen AS nxt
+         |  FROM s${r - 1} p JOIN vc v ON p.nxt <= len(p.word)
+         |    AND substr(p.word, p.nxt, v.blen) = v.body
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.doc_id, p.word_no
+         |    ORDER BY v.blen DESC) = 1)""".stripMargin
+    }.mkString
+    val union = (1 to steps)
+      .map(r => s"SELECT doc_id, word_no, step, token FROM s$r")
+      .mkString(" UNION ALL ")
+    base + unroll +
+      s"""
+         |SELECT doc_id, string_agg(token, '|' ORDER BY word_no, step) AS wp_tokens
+         |FROM ($union) GROUP BY doc_id""".stripMargin
   }
 
   /** sim_mmr_rerank_exact oracle: the MMR greedy UNROLLS as chained
