@@ -35,29 +35,33 @@ import graft.ext.Materialize
   */
 object PageRank {
 
-  def run(edges: DataFrame, iterations: Int = 5, r0: Long = 1000000000L,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(iterations >= 1, s"need at least one iteration, got $iterations")
-    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
-    val base = 15L * r0 / 100
+  /** The distinct node frame of an edge list. */
+  private def nodeFrame(e: DataFrame): DataFrame = Materialize(
+    e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
 
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes = Materialize(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+  /** The static per-edge frame the rounds iterate on: zero-weight
+    * self-loops keep no-inbound nodes in the frame (so the per-round
+    * aggregation alone preserves the full node set), and out-degree is
+    * STATIC so it folds into the edge list once instead of re-joining
+    * against the rank frame every round — one join per iteration
+    * instead of two. */
+  private def staticEdges(e: DataFrame, nodes: DataFrame): DataFrame = {
     val deg = Materialize(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
-    // zero-weight self-loops keep no-inbound nodes in the frame, so the
-    // per-round aggregation alone preserves the full node set
     val eplus =
       e.select(col("src"), col("dst"), lit(1L).as("w"))
         .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w")))
-    // out-degree is STATIC: fold it into the edge list once instead of
-    // re-joining deg against the rank frame every round — one join per
-    // iteration instead of two
-    val ed = Materialize(eplus
+    Materialize(eplus
       .join(deg.select(col("node").as("src"), col("d")), Seq("src"), "left")
       .select(col("src"), col("dst"), col("w"), coalesce(col("d"), lit(1L)).as("d")))
+  }
 
-    var ranks = Materialize(nodes.select(col("node"), lit(r0).as("rank")))
+  /** `iterations` rounds of the integer recurrence from an arbitrary
+    * starting rank frame — the shared engine of [[run]] and
+    * [[resume]]. Ranks re-materialize each round so lineage stays
+    * flat on a 1000-executor run. */
+  private def iterate(ed: DataFrame, ranks0: DataFrame, iterations: Int,
+      base: Long): DataFrame = {
+    var ranks = ranks0
     for (_ <- 1 to iterations) {
       ranks = Materialize(
         ranks.join(ed, col("node") === col("src"))
@@ -67,6 +71,54 @@ object PageRank {
             (lit(base) + expr("(85 * s) div 100")).as("rank")))
     }
     ranks
+  }
+
+  def run(edges: DataFrame, iterations: Int = 5, r0: Long = 1000000000L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = nodeFrame(e)
+    val ed = staticEdges(e, nodes)
+    iterate(ed, Materialize(nodes.select(col("node"), lit(r0).as("rank"))),
+      iterations, base)
+  }
+
+  /** Resume PageRank from PERSISTED rank state after a delta edge
+    * batch lands — the incremental-maintenance face of [[run]] (the
+    * `ops/IncrementalAgg` discipline applied to the bench's most
+    * expensive family): instead of re-running the full schedule from
+    * uniform init, seed the rank frame from the stored (node, rank)
+    * rows — brand-new nodes enter at `r0` — and run `iterations`
+    * MORE rounds of the identical recurrence over the full
+    * (base ∪ delta) edge list. Degrees and self-loops are REBUILT
+    * from the union (a recount, never stored stale — a delta edge
+    * changes its endpoints' out-degrees, so stored degrees would
+    * corrupt every incident floor division).
+    *
+    * By construction this equals running the same two-phase schedule
+    * in one session (k rounds on the base graph, then j on the
+    * union), which is exactly what the DuckDB oracle replays as two
+    * chained recursive CTEs — so the incremental driver row proves
+    * the state round-trip through the parquet sink, bit-exactly.
+    * Cost: each resume round is [[run]]'s one join + one aggregation;
+    * the savings is the k base rounds that never re-run. */
+  def resume(edges: DataFrame, state: DataFrame, iterations: Int = 2,
+      r0: Long = 1000000000L, srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val nodes = nodeFrame(e)
+    val ed = staticEdges(e, nodes)
+    val ranks0 = Materialize(nodes
+      .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__stored"), lit(r0)).as("rank")))
+    iterate(ed, ranks0, iterations, base)
   }
 
   /** Personalized PageRank: identical recurrence and conventions as

@@ -47,6 +47,35 @@ class PageRankSpec extends SparkTestBase {
     assert(once === dup)
   }
 
+  test("resume from persisted state equals the one-session two-phase schedule") {
+    // phase 1: 3 rounds on the base graph; phase 2: 2 rounds on the
+    // union after a delta batch adds node 9 and rewires 4
+    val base = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L)
+    val delta = Seq(9L -> 1L, 1L -> 9L, 4L -> 3L)
+    val all = base ++ delta
+    val dir = java.nio.file.Files.createTempDirectory("pr_state_").toString
+    val stateDf = PageRank.run(base.toDF("src", "dst"), iterations = 3)
+    graft.etl.Sinks.parquetDir(stateDf, dir)
+    val got = PageRank.resume(all.toDF("src", "dst"),
+      spark.read.parquet(dir), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the same schedule without any persistence round-trip
+    val r0 = 1000000000L
+    val phase1 = reference(base, 3, r0)
+    val e = all.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(n => n -> phase1.getOrElse(n, r0)).toMap
+    for (_ <- 1 to 2) {
+      val inbound = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      nodes.foreach(n => inbound(n) += 0L)
+      e.foreach { case (s, d) => inbound(d) += rank(s) / deg(s) }
+      rank = inbound.map { case (n, s) => n -> (150000000L + 85L * s / 100) }.toMap
+    }
+    assert(got === rank)
+    assert(got.contains(9L), "delta-born node must enter at r0 and iterate")
+  }
+
   /** Driver-side personalized reference: init and base only on seeds. */
   private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
       iters: Int, r0: Long): Map[Long, Long] = {
