@@ -1413,6 +1413,31 @@ object SparkEntry {
         .select(expr("node % 2").cast("int").as("is_part"),
           expr("node div 2").as("id"), col("rank"))
     },
+    "graph_ppr_incremental" -> { (s, dir) =>
+      // Personalized-PageRank warm-start off persisted rank state —
+      // graph_pagerank_incremental's discipline on the seed-based
+      // recurrence: 3 rounds on the base graph land in parquet, the
+      // delta batch resumes with 2 more rounds over the union (new
+      // nodes enter at is_seed·r0, flags/degrees rebuilt). Oracle =
+      // the two-phase recursive CTE with the seed CASEs.
+      val li = Tables(s, dir, "lineitem")
+      def sym(df: org.apache.spark.sql.DataFrame) = {
+        val sp = df.select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      val baseEdges = sym(li.filter(pmod(col("l_orderkey"), lit(3L)) =!= 0L))
+      val deltaEdges = sym(li.filter(pmod(col("l_orderkey"), lit(3L)) === 0L))
+      val seeds = Tables(s, dir, "supplier").filter(col("s_suppkey") < 5)
+        .select((col("s_suppkey") * 2).as("node"))
+      val stateDir = scratchDir("graft_ppr_state_").toString
+      graft.etl.Sinks.parquetDir(
+        graft.ops.PageRank.personalized(baseEdges, seeds, iterations = 3), stateDir)
+      graft.ops.PageRank.resumePersonalized(baseEdges.union(deltaEdges), seeds,
+        s.read.parquet(stateDir), iterations = 2)
+        .select(expr("node % 2").cast("int").as("is_part"),
+          expr("node div 2").as("id"), col("rank"))
+    },
     "graph_triangles" -> { (s, dir) =>
       // Per-node triangle counts over the part co-occurrence graph
       // (parts sharing an order). Degree-ordered orientation bounds the
@@ -6336,6 +6361,53 @@ object SparkEntry {
         |   UNION ALL
         |   SELECT p.iter + 1, e2.dst,
         |     CAST(150000000 + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
+        |   FROM pr2 p LEFT JOIN da d ON d.node = p.node JOIN epa e2 ON e2.src = p.node
+        |   WHERE p.iter < 2
+        |   GROUP BY p.iter, e2.dst)
+        |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
+        |FROM pr2 WHERE iter = 2""".stripMargin,
+    // the personalized two-phase warm-start: seed-CASE init and teleport
+    // base, 3 base-graph rounds, then 2 union rounds seeded from phase 1
+    // (absent nodes enter at is_seed*r0)
+    "graph_ppr_incremental" ->
+      """WITH RECURSIVE
+        | sp1 AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |   FROM lineitem WHERE l_orderkey % 3 <> 0),
+        | e1 AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM sp1 UNION ALL SELECT dst, src FROM sp1)),
+        | n1 AS (SELECT DISTINCT node FROM
+        |   (SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1)),
+        | d1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e1 GROUP BY 1),
+        | ep1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e1
+        |   UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM n1),
+        | pr1(iter, node, rank) AS (
+        |   SELECT 0, node, CAST(CASE WHEN node % 2 = 0 AND node // 2 < 5
+        |     THEN 1000000000 ELSE 0 END AS BIGINT) FROM n1
+        |   UNION ALL
+        |   SELECT p.iter + 1, e2.dst,
+        |     CAST(CASE WHEN e2.dst % 2 = 0 AND e2.dst // 2 < 5 THEN 150000000 ELSE 0 END
+        |       + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
+        |   FROM pr1 p LEFT JOIN d1 d ON d.node = p.node JOIN ep1 e2 ON e2.src = p.node
+        |   WHERE p.iter < 3
+        |   GROUP BY p.iter, e2.dst),
+        | st AS (SELECT node, rank FROM pr1 WHERE iter = 3),
+        | spa AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+        | ea AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM spa UNION ALL SELECT dst, src FROM spa)),
+        | na AS (SELECT DISTINCT node FROM
+        |   (SELECT src AS node FROM ea UNION ALL SELECT dst FROM ea)),
+        | da AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM ea GROUP BY 1),
+        | epa AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM ea
+        |   UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM na),
+        | pr2(iter, node, rank) AS (
+        |   SELECT 0, na.node, CAST(COALESCE(st.rank,
+        |     CASE WHEN na.node % 2 = 0 AND na.node // 2 < 5
+        |       THEN 1000000000 ELSE 0 END) AS BIGINT)
+        |   FROM na LEFT JOIN st ON st.node = na.node
+        |   UNION ALL
+        |   SELECT p.iter + 1, e2.dst,
+        |     CAST(CASE WHEN e2.dst % 2 = 0 AND e2.dst // 2 < 5 THEN 150000000 ELSE 0 END
+        |       + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
         |   FROM pr2 p LEFT JOIN da d ON d.node = p.node JOIN epa e2 ON e2.src = p.node
         |   WHERE p.iter < 2
         |   GROUP BY p.iter, e2.dst)

@@ -142,10 +142,22 @@ object PageRank {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
-
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val nodes = Materialize(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val (flagged, ed) = personalizedStatic(e, seeds)
+    iteratePersonalized(ed,
+      Materialize(flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))),
+      iterations, base)
+  }
+
+  /** The static frames [[personalized]] iterates on: the seed-flagged
+    * node frame and the self-loop-extended edge frame with out-degree
+    * AND the dst's seed flag folded in once (seed lists are
+    * dimension-sized — broadcast) — each round stays one join + one
+    * aggregation; the flag rides the aggregation as a
+    * constant-per-group max. */
+  private def personalizedStatic(e: DataFrame, seeds: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val nodes = nodeFrame(e)
     val deg = Materialize(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
     val seedSet = broadcast(
       seeds.select(col(seeds.columns.head).as("node")).distinct()
@@ -155,16 +167,17 @@ object PageRank {
     val eplus =
       e.select(col("src"), col("dst"), lit(1L).as("w"))
         .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w")))
-    // static per-edge facts folded in once: out-degree AND the dst's
-    // seed flag — each round stays one join + one aggregation
     val ed = Materialize(eplus
       .join(deg.select(col("node").as("src"), col("d")), Seq("src"), "left")
       .join(flagged.select(col("node").as("dst"), col("is_seed").as("ds")), Seq("dst"))
       .select(col("src"), col("dst"), col("w"),
         coalesce(col("d"), lit(1L)).as("d"), col("ds")))
+    (flagged, ed)
+  }
 
-    var ranks = Materialize(
-      flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank")))
+  private def iteratePersonalized(ed: DataFrame, ranks0: DataFrame,
+      iterations: Int, base: Long): DataFrame = {
+    var ranks = ranks0
     for (_ <- 1 to iterations) {
       ranks = Materialize(
         ranks.join(ed, col("node") === col("src"))
@@ -174,5 +187,30 @@ object PageRank {
             (col("isd") * lit(base) + expr("(85 * s) div 100")).as("rank")))
     }
     ranks
+  }
+
+  /** Personalized-PageRank warm-start resumption — [[resume]]'s
+    * discipline applied to [[personalized]]: stored (node, rank) state
+    * seeds the rank frame (delta-born nodes enter at is_seed·r0 — the
+    * personalized init, so a brand-new non-seed node starts at zero
+    * mass exactly as a one-session schedule would have it), degrees,
+    * self-loops and seed flags are REBUILT over the full base ∪ delta
+    * edge list, and `iterations` more rounds of the identical
+    * seed-based recurrence run. Equals the one-session two-phase
+    * schedule by construction; the oracle replays it as chained
+    * recursive CTEs with the seed CASEs. */
+  def resumePersonalized(edges: DataFrame, seeds: DataFrame,
+      state: DataFrame, iterations: Int = 2, r0: Long = 1000000000L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val (flagged, ed) = personalizedStatic(e, seeds)
+    val ranks0 = Materialize(flagged
+      .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__stored"), col("is_seed") * lit(r0)).as("rank")))
+    iteratePersonalized(ed, ranks0, iterations, base)
   }
 }

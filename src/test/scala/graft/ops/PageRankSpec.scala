@@ -120,4 +120,36 @@ class PageRankSpec extends SparkTestBase {
     val edges = Seq(1L -> 2L, 2L -> 1L)
     assert(runPpr(edges, Seq(1L, 999L), 3) === runPpr(edges, Seq(1L), 3))
   }
+
+  test("personalized resume equals the one-session two-phase schedule; delta non-seed enters at 0") {
+    val seeds = Set(1L)
+    val base = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val delta = Seq(9L -> 1L, 1L -> 9L)
+    val all = base ++ delta
+    val dir = java.nio.file.Files.createTempDirectory("ppr_state_").toString
+    graft.etl.Sinks.parquetDir(
+      PageRank.personalized(base.toDF("src", "dst"),
+        seeds.toSeq.map(Tuple1(_)).toDF("node"), iterations = 3), dir)
+    val got = PageRank.resumePersonalized(all.toDF("src", "dst"),
+      seeds.toSeq.map(Tuple1(_)).toDF("node"),
+      spark.read.parquet(dir), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r0 = 1000000000L
+    val phase1 = referencePpr(base, seeds, 3, r0)
+    val e = all.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(n =>
+      n -> phase1.getOrElse(n, if (seeds(n)) r0 else 0L)).toMap
+    for (_ <- 1 to 2) {
+      val inbound = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      nodes.foreach(n => inbound(n) += 0L)
+      e.foreach { case (s, d) => inbound(d) += rank(s) / deg(s) }
+      rank = inbound.map { case (n, s) =>
+        n -> ((if (seeds(n)) 150000000L else 0L) + 85L * s / 100)
+      }.toMap
+    }
+    assert(got === rank)
+    assert(got.contains(9L), "delta-born node must join the frame")
+  }
 }
