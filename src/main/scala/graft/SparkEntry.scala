@@ -1633,6 +1633,29 @@ object SparkEntry {
           col("s_suppkey").as("doc_id"))
       graft.ext.Retrieval.rankingEval(ranked, truth, k = 10)
     },
+    "text_rouge1" -> { (s, dir) =>
+      // ROUGE-1 / clipped unigram precision over (candidate, reference)
+      // document pairs — odd doc paired to its even predecessor
+      // (pair_id = doc_id div 2). All-integer clipped overlap counts;
+      // P, R and F1 (= 2m/(c+r), the harmonic mean collapsed to one
+      // exact count ratio) micro-quantize by integer division.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.ngramOverlap(cand, ref, n = 1, idCol = "pair_id")
+    },
+    "text_rouge2" -> { (s, dir) =>
+      // ROUGE-2: the same clipped-overlap machinery at bigram order —
+      // the standard fluency-sensitive companion readout.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.ngramOverlap(cand, ref, n = 2, idCol = "pair_id")
+    },
     "text_bm25" -> { (s, dir) =>
       // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
       // df terms as single-term queries, top-10 docs each. Ranking within
@@ -8127,6 +8150,8 @@ object SparkEntry {
     "sim_topk_ivfpq_exact" -> bruteForceTopKSql,
     "sim_mmr_rerank_exact" -> mmrRerankExactSql,
     "text_wordpiece_exact" -> wordpieceExactSql,
+    "text_rouge1" -> rougeSql(1),
+    "text_rouge2" -> rougeSql(2),
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -10336,6 +10361,43 @@ object SparkEntry {
        | CAST(COALESCE(h.hits, 0) * 1000000 // nr.n_rel AS BIGINT) AS recall_micro
        |FROM nr LEFT JOIN h ON h.query_id = nr.query_id
        |JOIN ic ON ic.cap = LEAST(nr.n_rel, $k)""".stripMargin
+  }
+
+  /** text_rouge{1,2} oracle: the same lowercased whitespace tokens,
+    * in-list n-gram keys (space-joined — tokens cannot contain the
+    * separator), clipped-min overlap join and exact integer-division
+    * micro metrics as TextEval.ngramOverlap. */
+  private def rougeSql(n: Int): String = {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0) AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    def grams(src: String, name: String) =
+      s"""$name AS (SELECT id, g, COUNT(*) AS c FROM (
+         |  SELECT id, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |    i -> array_to_string(toks[i:i + ${n - 1}], ' '))) AS g
+         |  FROM $src WHERE len(toks) >= $n) GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${side(1, "cd")}, ${side(0, "rd")},
+       |${grams("cd", "cg")}, ${grams("rd", "rg")},
+       |ct AS (SELECT id, SUM(c) AS cand_ngrams FROM cg GROUP BY 1),
+       |rt AS (SELECT id, SUM(c) AS ref_ngrams FROM rg GROUP BY 1),
+       |m AS (SELECT cg.id, SUM(LEAST(cg.c, rg.c)) AS m
+       |      FROM cg JOIN rg ON cg.id = rg.id AND cg.g = rg.g GROUP BY 1)
+       |SELECT COALESCE(ct.id, rt.id) AS pair_id,
+       | CAST(COALESCE(m.m, 0) AS BIGINT) AS match_clipped,
+       | CAST(COALESCE(ct.cand_ngrams, 0) AS BIGINT) AS cand_ngrams,
+       | CAST(COALESCE(rt.ref_ngrams, 0) AS BIGINT) AS ref_ngrams,
+       | CAST(CASE WHEN COALESCE(ct.cand_ngrams, 0) > 0
+       |   THEN COALESCE(m.m, 0) * 1000000 // ct.cand_ngrams END AS BIGINT) AS precision_micro,
+       | CAST(CASE WHEN COALESCE(rt.ref_ngrams, 0) > 0
+       |   THEN COALESCE(m.m, 0) * 1000000 // rt.ref_ngrams END AS BIGINT) AS recall_micro,
+       | CAST(CASE WHEN COALESCE(ct.cand_ngrams, 0) + COALESCE(rt.ref_ngrams, 0) > 0
+       |   THEN COALESCE(m.m, 0) * 2000000 //
+       |     (COALESCE(ct.cand_ngrams, 0) + COALESCE(rt.ref_ngrams, 0)) END AS BIGINT) AS f1_micro
+       |FROM ct FULL JOIN rt ON ct.id = rt.id
+       |LEFT JOIN m ON m.id = COALESCE(ct.id, rt.id)""".stripMargin
   }
 
   /** The fixed WordPiece vocabulary text_wordpiece_exact embeds in

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram overlap generation eval — ROUGE-N (Lin 2004) and the clipped
+  * n-gram precision at the core of BLEU (Papineni et al. 2002) — over
+  * (candidate, reference) document pairs: the corpus-scale readout of
+  * a generation/summarization/rewrite pipeline ("how close is the
+  * model output to the reference, per document, across a few billion
+  * documents?").
+  *
+  * Per pair and order n, the CLIPPED match count is
+  * Σ_g min(count_cand(g), count_ref(g)) over distinct n-grams g —
+  * repeating an n-gram in the candidate beyond its reference count
+  * earns nothing (the BLEU clipping rule). Then, all exact integers:
+  * precision = m / |cand n-grams|, recall = m / |ref n-grams|
+  * (ROUGE-N), and F1 = 2m / (|cand| + |ref|) — the P/R harmonic mean
+  * collapses to one exact ratio of counts, so no float appears
+  * anywhere; outputs micro-quantize by integer division and NULL out
+  * on an empty denominator.
+  *
+  * Scale shape: n-grams are built IN-ROW from the token array
+  * (transform over sequence — no window, no per-token shuffle), then
+  * two (pair, n-gram) keyed counts with map-side partials; the clipped
+  * overlap is ONE equi-join of those counts on their natural key —
+  * never all-pairs, nothing quadratic, and the per-pair aggregation is
+  * pair-count-sized. The tokenization (lowercased whitespace tokens)
+  * and the space-joined n-gram key are both replayed verbatim by the
+  * DuckDB oracle. */
+object TextEval {
+
+  /** (id, g, c): per-document n-gram instance counts, n-gram key =
+    * space-joined tokens (tokens are whitespace-split, so the join
+    * character can never collide). */
+  private def ngramCounts(docs: DataFrame, n: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
+          .as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+
+  /** ROUGE-N / clipped-precision eval of `cand` against `ref`, paired
+    * on `idCol`. One row per pair id present on either side:
+    * (idCol, match_clipped, cand_ngrams, ref_ngrams, precision_micro,
+    * recall_micro, f1_micro) — counts coalesce to 0, metrics NULL on a
+    * zero denominator (a side with no n-grams of this order). */
+  def ngramOverlap(cand: DataFrame, ref: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram order must be positive, got $n")
+    val cg = ngramCounts(cand, n, idCol, textCol)
+    val rg = ngramCounts(ref, n, idCol, textCol)
+    val ct = cg.groupBy("id").agg(sum(col("c")).as("cand_ngrams"))
+    val rt = rg.groupBy("id").agg(sum(col("c")).as("ref_ngrams"))
+    val m = cg.select(col("id"), col("g"), col("c").as("cc"))
+      .join(rg.select(col("id"), col("g"), col("c").as("cr")), Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("cc"), col("cr"))).as("m"))
+    ct.join(rt, Seq("id"), "full")
+      .join(m, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("m"), lit(0L)).as("match_clipped"),
+        coalesce(col("cand_ngrams"), lit(0L)).as("cand_ngrams"),
+        coalesce(col("ref_ngrams"), lit(0L)).as("ref_ngrams"))
+      .withColumn("precision_micro", when(col("cand_ngrams") > 0L,
+        call_function("div", col("match_clipped") * lit(1000000L),
+          col("cand_ngrams"))))
+      .withColumn("recall_micro", when(col("ref_ngrams") > 0L,
+        call_function("div", col("match_clipped") * lit(1000000L),
+          col("ref_ngrams"))))
+      .withColumn("f1_micro",
+        when(col("cand_ngrams") + col("ref_ngrams") > 0L,
+          call_function("div", col("match_clipped") * lit(2000000L),
+            col("cand_ngrams") + col("ref_ngrams"))))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class TextEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eval(cand: Seq[(Long, String)], ref: Seq[(Long, String)], n: Int) =
+    TextEval.ngramOverlap(cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text"), n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long]))).toMap
+
+  test("ROUGE-1: hand-computed clipped counts, P/R/F1 exact micro") {
+    // cand: "the cat the cat sat" (the:2 cat:2 sat:1, 5 grams)
+    // ref:  "the cat sat down"    (the:1 cat:1 sat:1 down:1, 4 grams)
+    // clipped m = min(2,1)+min(2,1)+min(1,1) = 3
+    val got = eval(Seq(1L -> "the cat the cat sat"),
+      Seq(1L -> "the cat sat down"), n = 1)(1L)
+    assert(got._1 === 3L && got._2 === 5L && got._3 === 4L)
+    assert(got._4 === Some(600000L))  // 3/5
+    assert(got._5 === Some(750000L))  // 3/4
+    assert(got._6 === Some(666666L))  // 2*3/9
+  }
+
+  test("ROUGE-2: clipping counts repeated bigrams once per reference occurrence") {
+    // cand bigrams: (a b) x3           ref bigrams: (a b) x1, (b a) x1, (a b)...
+    // cand "a b a b a b": a-b:3? tokens a b a b a b -> bigrams: ab ba ab ba ab (ab:3, ba:2), 5 grams
+    // ref "a b a": ab:1 ba:1, 2 grams -> m = min(3,1)+min(2,1) = 2
+    val got = eval(Seq(1L -> "a b a b a b"), Seq(1L -> "a b a"), n = 2)(1L)
+    assert(got._1 === 2L && got._2 === 5L && got._3 === 2L)
+    assert(got._4 === Some(400000L) && got._5 === Some(1000000L))
+  }
+
+  test("identical texts score perfect 1e6 on all three metrics") {
+    val got = eval(Seq(7L -> "spark engines at scale"),
+      Seq(7L -> "spark engines at scale"), n = 2)(7L)
+    assert(got._4 === Some(1000000L) && got._5 === Some(1000000L) &&
+      got._6 === Some(1000000L))
+  }
+
+  test("disjoint texts score zero; empty/short side yields NULL metric not a crash") {
+    val got = eval(Seq(1L -> "aa bb"), Seq(1L -> "cc dd"), n = 1)(1L)
+    assert(got._1 === 0L && got._4 === Some(0L) && got._5 === Some(0L))
+    // ref too short for bigrams: recall NULL, precision 0
+    val short = eval(Seq(2L -> "aa bb cc"), Seq(2L -> "dd"), n = 2)(2L)
+    assert(short._1 === 0L && short._3 === 0L)
+    assert(short._4 === Some(0L) && short._5 === None)
+    // pair present on one side only (full-join path)
+    val lonely = eval(Seq(3L -> "aa bb"), Seq.empty, n = 1)(3L)
+    assert(lonely._2 === 2L && lonely._3 === 0L && lonely._5 === None)
+  }
+
+  test("tokenization is lowercased whitespace; case folds before matching") {
+    val got = eval(Seq(1L -> "The CAT"), Seq(1L -> "the cat"), n = 1)(1L)
+    assert(got._4 === Some(1000000L) && got._5 === Some(1000000L))
+  }
+}
