@@ -1656,6 +1656,18 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.ngramOverlap(cand, ref, n = 2, idCol = "pair_id")
     },
+    "text_rouge_l" -> { (s, dir) => // per-pair LCS DP: rows-only check
+      // ROUGE-L over the same odd/even document pairing: token-level
+      // LCS P/R/F1 via the native lcs_length expression. No offline
+      // SQL oracle (LCS needs a DP); the expression is pinned by
+      // TextEvalSpec's independent recursive-memo differential.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.rougeL(cand, ref, idCol = "pair_id")
+    },
     "text_bm25" -> { (s, dir) =>
       // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
       // df terms as single-term queries, top-10 docs each. Ranking within

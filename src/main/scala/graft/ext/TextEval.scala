@@ -77,4 +77,42 @@ object TextEval {
           call_function("div", col("match_clipped") * lit(2000000L),
             col("cand_ngrams") + col("ref_ngrams"))))
   }
+
+  /** ROUGE-L eval of `cand` against `ref`, paired on `idCol`: token-
+    * level longest-common-subsequence P/R/F1 (Lin 2004) via the native
+    * [[graft.functions.LcsLength]] expression — in-order overlap at
+    * any gap, the sentence-structure companion to [[ngramOverlap]].
+    * One equi-join on the pair id, then per-row O(|c|·|r|) local DP —
+    * embarrassingly parallel, but quadratic in document token count,
+    * so run it AFTER the page-length filters. All-integer: lcs,
+    * lengths, and micro P/R/F1 (F1 = 2·lcs/(c+r)); NULL metrics on an
+    * empty side. Inner-join contract: only pairs present on BOTH
+    * sides score (an unpaired doc has no LCS to report). No SQL
+    * oracle exists offline (LCS needs a DP), so the driver row is
+    * rows-only; TextEvalSpec pins the expression against an
+    * independent recursive-memo reference. */
+  def rougeL(cand: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def toks(df: DataFrame, name: String) =
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
+            .as(name))
+    val joined = toks(cand, "ctoks").join(toks(ref, "rtoks"), Seq("id"))
+    val lcs = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LcsLength(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ctoks")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("rtoks"))))
+    joined
+      .select(col("id").as(idCol), lcs.cast("long").as("lcs"),
+        size(col("ctoks")).cast("long").as("cand_tokens"),
+        size(col("rtoks")).cast("long").as("ref_tokens"))
+      .withColumn("precision_micro", when(col("cand_tokens") > 0L,
+        call_function("div", col("lcs") * lit(1000000L), col("cand_tokens"))))
+      .withColumn("recall_micro", when(col("ref_tokens") > 0L,
+        call_function("div", col("lcs") * lit(1000000L), col("ref_tokens"))))
+      .withColumn("f1_micro", when(col("cand_tokens") + col("ref_tokens") > 0L,
+        call_function("div", col("lcs") * lit(2000000L),
+          col("cand_tokens") + col("ref_tokens"))))
+  }
 }

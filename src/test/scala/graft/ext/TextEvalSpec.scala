@@ -57,4 +57,51 @@ class TextEvalSpec extends SparkTestBase {
     val got = eval(Seq(1L -> "The CAT"), Seq(1L -> "the cat"), n = 1)(1L)
     assert(got._4 === Some(1000000L) && got._5 === Some(1000000L))
   }
+
+  /** Independent LCS reference: recursive with memoization — no shared
+    * code with the expression's two-row iterative DP. */
+  private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    def go(i: Int, j: Int): Int =
+      if (i == a.length || j == b.length) 0
+      else memo.getOrElseUpdate((i, j),
+        if (a(i) == b(j)) 1 + go(i + 1, j + 1)
+        else math.max(go(i + 1, j), go(i, j + 1)))
+    go(0, 0)
+  }
+
+  private def rougeL(cand: Seq[(Long, String)], ref: Seq[(Long, String)]) =
+    TextEval.rougeL(cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(6)).map(_.asInstanceOf[Long]))).toMap
+
+  test("ROUGE-L: hand case — in-order overlap at a gap beats no bigram match") {
+    // cand "a x b y c" vs ref "a b c": LCS = 3 (a b c) though no
+    // shared bigram exists
+    val got = rougeL(Seq(1L -> "a x b y c"), Seq(1L -> "a b c"))(1L)
+    assert(got._1 === 3L && got._2 === 5L && got._3 === 3L)
+    assert(got._4 === Some(750000L)) // f1 = 2*3/8
+  }
+
+  test("ROUGE-L: lcs_length matches an independent recursive-memo reference on random tapes") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "c", "d")
+    val pairs = (0 until 25).map { i =>
+      val mk = () => Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(4))).mkString(" ")
+      (i.toLong, mk(), mk())
+    }
+    val got = rougeL(pairs.map(p => (p._1, p._2)), pairs.map(p => (p._1, p._3)))
+    pairs.foreach { case (id, c, r) =>
+      val want = lcsRef(c.split(" ").filter(_.nonEmpty).toSeq,
+        r.split(" ").filter(_.nonEmpty).toSeq)
+      assert(got(id)._1 === want.toLong, s"pair $id: '$c' vs '$r'")
+    }
+  }
+
+  test("ROUGE-L: empty side gives lcs 0 with NULL-safe metrics; unpaired docs drop (inner join)") {
+    val got = rougeL(Seq(1L -> "a b", 2L -> "a"), Seq(1L -> "   "))
+    assert(got.keySet === Set(1L)) // pair 2 has no reference row
+    assert(got(1L)._1 === 0L && got(1L)._3 === 0L && got(1L)._4 === Some(0L))
+  }
 }
