@@ -39,14 +39,24 @@ object PageRank {
   private def nodeFrame(e: DataFrame): DataFrame = Materialize(
     e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
 
+  /** The canonical distinct edge list, MATERIALIZED once: it feeds the
+    * node frame, the degree count and the self-loop union (three
+    * consumers — an unfenced distinct would re-shuffle the whole edge
+    * list for each, the triangleCounts lesson). */
+  private def edgeFrame(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = Materialize(
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+
   /** The static per-edge frame the rounds iterate on: zero-weight
     * self-loops keep no-inbound nodes in the frame (so the per-round
     * aggregation alone preserves the full node set), and out-degree is
     * STATIC so it folds into the edge list once instead of re-joining
     * against the rank frame every round — one join per iteration
-    * instead of two. */
+    * instead of two. `deg` is consumed exactly once (by the fold-in
+    * join) off the already-checkpointed edge list, so it carries no
+    * fence of its own. */
   private def staticEdges(e: DataFrame, nodes: DataFrame): DataFrame = {
-    val deg = Materialize(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val eplus =
       e.select(col("src"), col("dst"), lit(1L).as("w"))
         .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w")))
@@ -79,7 +89,7 @@ object PageRank {
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
 
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
     val ed = staticEdges(e, nodes)
     iterate(ed, Materialize(nodes.select(col("node"), lit(r0).as("rank"))),
@@ -112,7 +122,7 @@ object PageRank {
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
 
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
     val ed = staticEdges(e, nodes)
     val ranks0 = Materialize(nodes
@@ -142,7 +152,7 @@ object PageRank {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edgeFrame(edges, srcCol, dstCol)
     val (flagged, ed) = personalizedStatic(e, seeds)
     iteratePersonalized(ed,
       Materialize(flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))),
@@ -158,7 +168,7 @@ object PageRank {
   private def personalizedStatic(e: DataFrame, seeds: DataFrame)
       : (DataFrame, DataFrame) = {
     val nodes = nodeFrame(e)
-    val deg = Materialize(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val seedSet = broadcast(
       seeds.select(col(seeds.columns.head).as("node")).distinct()
         .withColumn("__s", lit(1L)))
@@ -205,7 +215,7 @@ object PageRank {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edgeFrame(edges, srcCol, dstCol)
     val (flagged, ed) = personalizedStatic(e, seeds)
     val ranks0 = Materialize(flagged
       .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
