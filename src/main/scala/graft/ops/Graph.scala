@@ -211,9 +211,13 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame, uCol: String = "u",
       vCol: String = "v"): DataFrame = {
     val dec = "decimal(38,0)"
-    val tri = triangleCounts(edges, uCol, vCol)
-    val deg = edges.select(col(uCol).as("node"))
-      .unionAll(edges.select(col(vCol).as("node")))
+    // fence the canonical edge list HERE: it feeds both the triangle
+    // pass and the degree count, and upstream derivations (the
+    // co-occurrence self-join + distinct) must not run twice
+    val e = Materialize(edges.select(col(uCol).as("u"), col(vCol).as("v")))
+    val tri = triangleCounts(e)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     deg.join(tri, Seq("node"), "left")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
