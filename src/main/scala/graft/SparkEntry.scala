@@ -1656,6 +1656,18 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.ngramOverlap(cand, ref, n = 2, idCol = "pair_id")
     },
+    "text_chrf" -> { (s, dir) =>
+      // chrF2 (character 3-gram F-beta, beta=2) over the same odd/even
+      // pairing — the tokenization-free generation metric. All-integer:
+      // F_beta = (1+b2)m/(b2*r + c) collapses to one exact division.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.charNgramOverlap(cand, ref, n = 3, betaSq = 4,
+        idCol = "pair_id")
+    },
     "text_rouge_l" -> { (s, dir) => // per-pair LCS DP: rows-only check
       // ROUGE-L over the same odd/even document pairing: token-level
       // LCS P/R/F1 via the native lcs_length expression. No offline
@@ -8164,6 +8176,7 @@ object SparkEntry {
     "text_wordpiece_exact" -> wordpieceExactSql,
     "text_rouge1" -> rougeSql(1),
     "text_rouge2" -> rougeSql(2),
+    "text_chrf" -> chrfSql(3, 4),
 
     "events_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS window_start,
@@ -10408,6 +10421,41 @@ object SparkEntry {
        | CAST(CASE WHEN COALESCE(ct.cand_ngrams, 0) + COALESCE(rt.ref_ngrams, 0) > 0
        |   THEN COALESCE(m.m, 0) * 2000000 //
        |     (COALESCE(ct.cand_ngrams, 0) + COALESCE(rt.ref_ngrams, 0)) END AS BIGINT) AS f1_micro
+       |FROM ct FULL JOIN rt ON ct.id = rt.id
+       |LEFT JOIN m ON m.id = COALESCE(ct.id, rt.id)""".stripMargin
+  }
+
+  /** text_chrf oracle: the same whitespace-stripped lowercased char
+    * stream ('g' flag — DuckDB regexp_replace is first-match-only by
+    * default where Spark's replaces all), substring grams, clipped-min
+    * overlap and the one-division F-beta as TextEval.charNgramOverlap. */
+  private def chrfSql(n: Int, betaSq: Int): String = {
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  regexp_replace(lower(text), '\\s+', '', 'g') AS cs
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    def grams(src: String, name: String) =
+      s"""$name AS (SELECT id, g, COUNT(*) AS c FROM (
+         |  SELECT id, unnest(list_transform(generate_series(1, len(cs) - ${n - 1}),
+         |    i -> substring(cs, i, $n))) AS g
+         |  FROM $src WHERE len(cs) >= $n) GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${side(1, "cd")}, ${side(0, "rd")},
+       |${grams("cd", "cg")}, ${grams("rd", "rg")},
+       |ct AS (SELECT id, SUM(c) AS cand_ngrams FROM cg GROUP BY 1),
+       |rt AS (SELECT id, SUM(c) AS ref_ngrams FROM rg GROUP BY 1),
+       |m AS (SELECT cg.id, SUM(LEAST(cg.c, rg.c)) AS m
+       |      FROM cg JOIN rg ON cg.id = rg.id AND cg.g = rg.g GROUP BY 1)
+       |SELECT COALESCE(ct.id, rt.id) AS pair_id,
+       | CAST(COALESCE(m.m, 0) AS BIGINT) AS match_clipped,
+       | CAST(COALESCE(ct.cand_ngrams, 0) AS BIGINT) AS cand_ngrams,
+       | CAST(COALESCE(rt.ref_ngrams, 0) AS BIGINT) AS ref_ngrams,
+       | CAST(CASE WHEN COALESCE(ct.cand_ngrams, 0) > 0
+       |   THEN COALESCE(m.m, 0) * 1000000 // ct.cand_ngrams END AS BIGINT) AS precision_micro,
+       | CAST(CASE WHEN COALESCE(rt.ref_ngrams, 0) > 0
+       |   THEN COALESCE(m.m, 0) * 1000000 // rt.ref_ngrams END AS BIGINT) AS recall_micro,
+       | CAST(CASE WHEN $betaSq * COALESCE(rt.ref_ngrams, 0) + COALESCE(ct.cand_ngrams, 0) > 0
+       |   THEN COALESCE(m.m, 0) * ${(1L + betaSq) * 1000000L} //
+       |     ($betaSq * COALESCE(rt.ref_ngrams, 0) + COALESCE(ct.cand_ngrams, 0)) END AS BIGINT) AS fbeta_micro
        |FROM ct FULL JOIN rt ON ct.id = rt.id
        |LEFT JOIN m ON m.id = COALESCE(ct.id, rt.id)""".stripMargin
   }

@@ -78,6 +78,59 @@ object TextEval {
             col("cand_ngrams") + col("ref_ngrams"))))
   }
 
+  /** chrF (Popović 2015) — character-n-gram F-β eval of `cand`
+    * against `ref`, paired on `idCol`: the tokenization-free
+    * generation metric (robust to word-segmentation differences, the
+    * standard MT companion to ROUGE/BLEU). The character stream is
+    * the lowercased text with ALL whitespace removed (the sacrebleu
+    * convention); grams are substrings of length `n`; the clipped
+    * match count and totals are exactly [[ngramOverlap]]'s discipline.
+    * F-β stays an exact integer ratio: with P = m/c and R = m/r,
+    * F_β = (1+β²)PR / (β²P + R) = (1+β²)·m / (β²·r + c) — so the
+    * output micro-quantizes by one integer division (β² rides as the
+    * integer `betaSq`; chrF2's β = 2 → betaSq = 4). NULL on an empty
+    * denominator. Same scale shape as ngramOverlap: in-row gram
+    * explosion, keyed counts, one clipped equi-join. */
+  def charNgramOverlap(cand: DataFrame, ref: DataFrame, n: Int,
+      betaSq: Int = 4, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(n >= 1, s"n-gram order must be positive, got $n")
+    require(betaSq >= 0, s"betaSq must be nonnegative, got $betaSq")
+    def grams(df: DataFrame): DataFrame =
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          regexp_replace(lower(col(textCol)), "\\s+", "").as("cs"))
+        .filter(length(col("cs")) >= n)
+        .select(col("id"),
+          explode(transform(sequence(lit(1), length(col("cs")) - (n - 1)),
+            i => col("cs").substr(i, lit(n)))).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val cg = grams(cand)
+    val rg = grams(ref)
+    val ct = cg.groupBy("id").agg(sum(col("c")).as("cand_ngrams"))
+    val rt = rg.groupBy("id").agg(sum(col("c")).as("ref_ngrams"))
+    val m = cg.select(col("id"), col("g"), col("c").as("cc"))
+      .join(rg.select(col("id"), col("g"), col("c").as("cr")), Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("cc"), col("cr"))).as("m"))
+    ct.join(rt, Seq("id"), "full")
+      .join(m, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("m"), lit(0L)).as("match_clipped"),
+        coalesce(col("cand_ngrams"), lit(0L)).as("cand_ngrams"),
+        coalesce(col("ref_ngrams"), lit(0L)).as("ref_ngrams"))
+      .withColumn("precision_micro", when(col("cand_ngrams") > 0L,
+        call_function("div", col("match_clipped") * lit(1000000L),
+          col("cand_ngrams"))))
+      .withColumn("recall_micro", when(col("ref_ngrams") > 0L,
+        call_function("div", col("match_clipped") * lit(1000000L),
+          col("ref_ngrams"))))
+      .withColumn("fbeta_micro",
+        when(lit(betaSq) * col("ref_ngrams") + col("cand_ngrams") > 0L,
+          call_function("div",
+            col("match_clipped") * lit((1L + betaSq) * 1000000L),
+            lit(betaSq.toLong) * col("ref_ngrams") + col("cand_ngrams"))))
+  }
+
   /** ROUGE-L eval of `cand` against `ref`, paired on `idCol`: token-
     * level longest-common-subsequence P/R/F1 (Lin 2004) via the native
     * [[graft.functions.LcsLength]] expression — in-order overlap at

@@ -58,6 +58,26 @@ class TextEvalSpec extends SparkTestBase {
     assert(got._4 === Some(1000000L) && got._5 === Some(1000000L))
   }
 
+  test("chrF: hand-computed char-3-gram clip and one-division F-beta") {
+    // cand "abcabc" -> grams abc bca cab abc (abc:2 bca:1 cab:1, 4)
+    // ref  "abcd"   -> grams abc bcd (2) -> m = min(2,1) = 1
+    // P = 1/4, R = 1/2, chrF2 = 5*1/(4*2+4) = 5/12
+    val r = TextEval.charNgramOverlap(
+      Seq((1L, "abcabc")).toDF("doc_id", "text"),
+      Seq((1L, "a b cd")).toDF("doc_id", "text"), n = 3, betaSq = 4).head()
+    assert(r.getLong(1) === 1L && r.getLong(2) === 4L && r.getLong(3) === 2L)
+    assert(r.getLong(4) === 250000L && r.getLong(5) === 500000L)
+    assert(r.getLong(6) === 416666L) // 5/12
+  }
+
+  test("chrF: whitespace strips before gramming; identical streams score 1e6") {
+    val r = TextEval.charNgramOverlap(
+      Seq((1L, "ab cd ef")).toDF("doc_id", "text"),
+      Seq((1L, "a bcde f")).toDF("doc_id", "text"), n = 3, betaSq = 4).head()
+    assert(r.getLong(4) === 1000000L && r.getLong(5) === 1000000L &&
+      r.getLong(6) === 1000000L)
+  }
+
   /** Independent LCS reference: recursive with memoization — no shared
     * code with the expression's two-row iterative DP. */
   private def lcsRef(a: Seq[String], b: Seq[String]): Int = {
