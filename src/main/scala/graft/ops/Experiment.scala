@@ -618,7 +618,10 @@ object Experiment {
       .groupBy(microCol(col(valueCol)).as("vq"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ta"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("tb"))
-    val cum = Relational.cumBeforeByKey(hist, "vq", Seq("ta", "tb"))
+    // fence: both arms' quantile scans read the cumulative cells, and
+    // the stitch's window + broadcast join must not recompute per arm
+    val cum = graft.ext.Materialize(
+      Relational.cumBeforeByKey(hist, "vq", Seq("ta", "tb")))
     def armQuantiles(c: String, qName: String, nName: String): DataFrame = {
       val k = call_function("div",
         col("p_micro").cast(dec) * col(s"__tot_$c").cast(dec) + lit(999999L),
@@ -743,7 +746,10 @@ object Experiment {
       .groupBy(microCol(col(valueCol)).as("vq"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ta"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("tb"))
-    val cum = Relational.cumBeforeByKey(hist, "vq", Seq("ta", "tb"))
+    // fence: each arm reads the cumulative cells TWICE (cut resolution
+    // + the winsorized sum) — four consumers of the stitched window
+    val cum = graft.ext.Materialize(
+      Relational.cumBeforeByKey(hist, "vq", Seq("ta", "tb")))
     val pSpine = broadcast(Seq(pLoMicro, pHiMicro).toDF("p_micro"))
     def arm(c: String, label: String): DataFrame = {
       val k = call_function("div",
