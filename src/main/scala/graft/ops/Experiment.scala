@@ -498,7 +498,10 @@ object Experiment {
     val src = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(microCol(col(valueCol)).as("vq"), col(groupCol).as("g"))
     val perVal = src.groupBy("vq").agg(count(lit(1)).as("t"))
-    val cum = Relational.cumBeforeByKey(perVal, "vq", Seq("t"))
+    // fence: the rank join AND the tie-correction aggregate both read
+    // the cumulative cells — the stitch must not recompute per consumer
+    val cum = graft.ext.Materialize(
+      Relational.cumBeforeByKey(perVal, "vq", Seq("t")))
     val perGroupVal = src.groupBy("g", "vq").agg(count(lit(1)).as("cg"))
     val grp = perGroupVal.join(cum, Seq("vq"))
       .groupBy("g")
