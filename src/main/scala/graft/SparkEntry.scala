@@ -1337,9 +1337,14 @@ object SparkEntry {
       // the oracle unrolls the per-word greedy as 10 chained CTE steps
       // (fixture max word length is 8) each taking the longest
       // matching piece at the current offset. Every document's full
-      // token sequence must agree.
+      // token sequence must agree. The face fixture is pinned to
+      // pure-[a-z]+whitespace text with >=1 letter (same predicate in
+      // both engines), so neither the [UNK] branch nor an empty token
+      // list can arise — both engines agree by construction.
       val d = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .filter(col("text").isNotNull &&
+          !lower(col("text")).rlike("[^a-z \\t\\n\\r\\f\\x0B]") &&
+          lower(col("text")).rlike("[a-z]"))
       graft.ext.WordPieceTrainer.encode(d, "text", wordPieceFixedVocab)
         .select(col("doc_id"), array_join(col("wp_tokens"), "|").as("wp_tokens"))
     },
@@ -1655,6 +1660,20 @@ object SparkEntry {
       val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.ngramOverlap(cand, ref, n = 2, idCol = "pair_id")
+    },
+    "text_bleu" -> { (s, dir) =>
+      // Corpus-level BLEU-4 with brevity penalty over the same
+      // odd/even pairing — geometric mean of the corpus clipped
+      // n=1..4 precisions × BP, every count summed corpus-wide before
+      // any ratio. Nano-quantized ln per ORDER (4 doubles total),
+      // exact-integer BP penalty, one terminal exp for bleu_micro;
+      // the oracle replays the identical quantized arithmetic.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.corpusBleu(cand, ref, maxN = 4, idCol = "pair_id")
     },
     "text_chrf" -> { (s, dir) =>
       // chrF2 (character 3-gram F-beta, beta=2) over the same odd/even
@@ -8176,6 +8195,7 @@ object SparkEntry {
     "text_wordpiece_exact" -> wordpieceExactSql,
     "text_rouge1" -> rougeSql(1),
     "text_rouge2" -> rougeSql(2),
+    "text_bleu" -> bleuSql,
     "text_chrf" -> chrfSql(3, 4),
 
     "events_tumbling" ->
@@ -10425,14 +10445,83 @@ object SparkEntry {
        |LEFT JOIN m ON m.id = COALESCE(ct.id, rt.id)""".stripMargin
   }
 
+  /** text_bleu oracle: the same lowercased whitespace tokens and
+    * space-joined gram keys as rougeSql at every order 1..4, corpus
+    * sums, then a verbatim replay of TextEval.corpusBleu's quantized
+    * arithmetic — exact-integer BP penalty ((r−c)·10⁹ // c, operands
+    * nonnegative so // == Spark's truncating div), one nano-rounded
+    * ln per order summed as BIGINTs, // 4, one terminal exp. */
+  private def bleuSql: String = {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0) AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    def grams(src: String, name: String) = {
+      val orders = (1 to 4).map { n =>
+        s"""  SELECT id, $n AS n, g, COUNT(*) AS c FROM (
+           |   SELECT id, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+           |     i -> array_to_string(toks[i:i + ${n - 1}], ' '))) AS g
+           |   FROM $src WHERE len(toks) >= $n) GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"$name AS (\n$orders)"
+    }
+    val totCols = (1 to 4).map(n =>
+      s"COALESCE(MAX(CASE WHEN ct.n = $n THEN ct.t END), 0) AS total_$n").mkString(",\n  ")
+    val matchCols = (1 to 4).map(n =>
+      s"COALESCE(MAX(CASE WHEN ct.n = $n THEN m.m END), 0) AS match_$n").mkString(",\n  ")
+    val allPos = (1 to 4).map(n => s"match_$n > 0").mkString(" AND ")
+    val lnSum = (1 to 4).map(n =>
+      s"CAST(round(ln(CAST(total_$n AS DOUBLE) / match_$n) * 1000000000) AS BIGINT)")
+      .mkString("\n    + ")
+    val passThru = (1 to 4)
+      .map(n => s"CAST(match_$n AS BIGINT) AS match_$n, CAST(total_$n AS BIGINT) AS total_$n")
+      .mkString(",\n ")
+    s"""WITH ${side(1, "cd")}, ${side(0, "rd")},
+       |${grams("cd", "cg")}, ${grams("rd", "rg")},
+       |ct AS (SELECT n, SUM(c) AS t FROM cg GROUP BY 1),
+       |m AS (SELECT cg.n, SUM(LEAST(cg.c, rg.c)) AS m
+       |      FROM cg JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+       |      GROUP BY 1),
+       |rl AS (SELECT COALESCE(SUM(c), 0) AS ref_len FROM rg WHERE n = 1),
+       |agg AS (SELECT
+       |  $totCols,
+       |  $matchCols
+       | FROM ct LEFT JOIN m ON m.n = ct.n),
+       |pen AS (SELECT agg.*, rl.ref_len,
+       |  CASE WHEN total_1 > 0 THEN
+       |    CASE WHEN ref_len > total_1
+       |      THEN (ref_len - total_1) * 1000000000 // total_1 ELSE 0 END
+       |  END AS bp_penalty_nano,
+       |  CASE WHEN $allPos THEN
+       |   ($lnSum) // 4
+       |  END AS prec_penalty_nano
+       | FROM agg CROSS JOIN rl)
+       |SELECT CAST(total_1 AS BIGINT) AS cand_len, CAST(ref_len AS BIGINT) AS ref_len,
+       | $passThru,
+       | CAST(bp_penalty_nano AS BIGINT) AS bp_penalty_nano,
+       | CAST(prec_penalty_nano AS BIGINT) AS prec_penalty_nano,
+       | CAST(CASE WHEN total_1 > 0 AND $allPos
+       |   THEN -(bp_penalty_nano + prec_penalty_nano) END AS BIGINT) AS log_bleu_nano,
+       | CAST(CASE WHEN total_1 > 0 THEN
+       |   CASE WHEN $allPos THEN CAST(round(exp(
+       |       CAST(-(bp_penalty_nano + prec_penalty_nano) AS DOUBLE) / 1000000000)
+       |     * 1000000) AS BIGINT) ELSE 0 END
+       | END AS BIGINT) AS bleu_micro
+       |FROM pen""".stripMargin
+  }
+
   /** text_chrf oracle: the same whitespace-stripped lowercased char
     * stream ('g' flag — DuckDB regexp_replace is first-match-only by
     * default where Spark's replaces all), substring grams, clipped-min
-    * overlap and the one-division F-beta as TextEval.charNgramOverlap. */
+    * overlap and the one-division F-beta as TextEval.charNgramOverlap.
+    * Whitespace is the explicit engine-portable class (Java \s includes
+    * \x0B, RE2 \s does not — so neither engine's shorthand is used). */
   private def chrfSql(n: Int, betaSq: Int): String = {
     def side(parity: Int, name: String) =
       s"""$name AS (SELECT doc_id // 2 AS id,
-         |  regexp_replace(lower(text), '\\s+', '', 'g') AS cs
+         |  regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', '', 'g') AS cs
          | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
     def grams(src: String, name: String) =
       s"""$name AS (SELECT id, g, COUNT(*) AS c FROM (
@@ -10496,7 +10585,9 @@ object SparkEntry {
          |   unnest(generate_series(1, len(toks))) AS word_no, unnest(toks) AS word
          |  FROM (SELECT doc_id,
          |     regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS toks
-         |    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0)),
+         |    FROM documents WHERE text IS NOT NULL
+         |      AND NOT regexp_matches(lower(text), '[^a-z \\t\\n\\r\\f\\x0B]')
+         |      AND regexp_matches(lower(text), '[a-z]'))),
          |s1 AS MATERIALIZED (SELECT doc_id, word_no, word, 1 AS step,
          |   v.body AS token, 1 + v.blen AS nxt
          |  FROM w JOIN vf v ON substr(w.word, 1, v.blen) = v.body

@@ -99,7 +99,7 @@ object TextEval {
     def grams(df: DataFrame): DataFrame =
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"),
-          regexp_replace(lower(col(textCol)), "\\s+", "").as("cs"))
+          regexp_replace(lower(col(textCol)), TextAnalysis.WhitespaceClass, "").as("cs"))
         .filter(length(col("cs")) >= n)
         .select(col("id"),
           explode(transform(sequence(lit(1), length(col("cs")) - (n - 1)),
@@ -167,5 +167,105 @@ object TextEval {
       .withColumn("f1_micro", when(col("cand_tokens") + col("ref_tokens") > 0L,
         call_function("div", col("lcs") * lit(2000000L),
           col("cand_tokens") + col("ref_tokens"))))
+  }
+
+  /** (id, n, g, c): per-document n-gram instance counts for EVERY
+    * order 1..maxN in one pass — the grams of all orders are built
+    * in-row (a flatten over the order sequence of the same slice/
+    * concat_ws construction [[ngramCounts]] uses per order), so the
+    * corpus is scanned ONCE per side instead of once per order. The
+    * inner slice bounds the position sequence to len−n+1 (slice
+    * length 0 → empty, so a doc shorter than n contributes no grams
+    * of that order without ever building a negative sequence). */
+  private def ngramCountsAllOrders(docs: DataFrame, maxN: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
+          .as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("id"),
+        explode(flatten(transform(sequence(lit(1), lit(maxN)), n =>
+          transform(
+            slice(sequence(lit(1), size(col("toks"))), lit(1),
+              greatest(size(col("toks")) - n + lit(1), lit(0))),
+            i => struct(n.cast("int").as("n"),
+              concat_ws(" ", slice(col("toks"), i, n)).as("g")))))).as("ng"))
+      .select(col("id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+
+  /** Corpus-level BLEU (Papineni et al. 2002) of `cand` against `ref`,
+    * paired on `idCol` — the standard MT/generation corpus score:
+    * geometric mean of the order-1..maxN corpus clipped precisions ×
+    * the brevity penalty, where every count is summed over the WHOLE
+    * corpus before any ratio is taken (corpus BLEU is NOT a mean of
+    * per-document scores).
+    *
+    * Exactness discipline (the idf/PSI nano-ln precedent): the corpus
+    * sums m_n (clipped matches), t_n (candidate grams), c (candidate
+    * unigrams) and r (reference unigrams) are exact integers. Then
+    *   ln BLEU = −[BP_penalty + (1/maxN)·Σ_n ln(t_n/m_n)]
+    * with BP_penalty = max(0, r/c − 1) quantized as the exact integer
+    * division (r−c)·10⁹ div c (nonnegative operands → truncation ==
+    * floor in both engines), and each ln(t_n/m_n) ≥ 0 nano-quantized
+    * by round(ln(double(t_n)/m_n)·10⁹) — one double ln per ORDER
+    * (4 per corpus, not per row), summed exactly, one terminal exp
+    * for the headline micro score. If any order has zero clipped
+    * matches, BLEU is exactly 0 (the unsmoothed definition) and the
+    * log columns are NULL; everything is NULL on an empty candidate.
+    *
+    * Scale shape: one scan per side building all orders in-row, two
+    * (id, n, gram)-keyed counts with map-side partials, ONE equi-join
+    * for clipping, then a maxN-row aggregate collapsed to a single
+    * output row — never all-pairs, no window, no driver data path.
+    * Output (one row): cand_len, ref_len, match_1..maxN,
+    * total_1..maxN, bp_penalty_nano, prec_penalty_nano,
+    * log_bleu_nano, bleu_micro. */
+  def corpusBleu(cand: DataFrame, ref: DataFrame, maxN: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    val cg = ngramCountsAllOrders(cand, maxN, idCol, textCol)
+    val rg = ngramCountsAllOrders(ref, maxN, idCol, textCol)
+    val perOrder = cg.groupBy("n").agg(sum(col("c")).as("t"))
+      .join(
+        cg.select(col("id"), col("n"), col("g"), col("c").as("cc"))
+          .join(rg.select(col("id"), col("n"), col("g"), col("c").as("cr")),
+            Seq("id", "n", "g"))
+          .groupBy("n").agg(sum(least(col("cc"), col("cr"))).as("m")),
+        Seq("n"), "left")
+    val refLen = rg.filter(col("n") === 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("ref_len"))
+    val orders = 1 to maxN
+    val aggExprs = orders.flatMap(n => Seq(
+      coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"total_$n"),
+      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"match_$n")))
+    val wide = perOrder.agg(aggExprs.head, aggExprs.tail: _*)
+    val one = wide.crossJoin(refLen)
+      .withColumn("cand_len", col("total_1"))
+    val allPos = orders.map(n => col(s"match_$n") > 0L).reduce(_ && _)
+    val negLnSum = orders.map(n =>
+      round(log(col(s"total_$n").cast("double") / col(s"match_$n")) * 1e9)
+        .cast("long")).reduce(_ + _)
+    one
+      .withColumn("bp_penalty_nano", when(col("cand_len") > 0L,
+        when(col("ref_len") > col("cand_len"),
+          call_function("div",
+            (col("ref_len") - col("cand_len")) * lit(1000000000L),
+            col("cand_len"))).otherwise(lit(0L))))
+      .withColumn("prec_penalty_nano",
+        when(allPos, call_function("div", negLnSum, lit(maxN.toLong))))
+      .withColumn("log_bleu_nano",
+        when(col("cand_len") > 0L && allPos,
+          -(col("bp_penalty_nano") + col("prec_penalty_nano"))))
+      .withColumn("bleu_micro",
+        when(col("cand_len") > 0L,
+          when(allPos,
+            round(exp(col("log_bleu_nano").cast("double") / lit(1e9)) *
+              lit(1000000.0)).cast("long"))
+            .otherwise(lit(0L))))
+      .select((Seq(col("cand_len"), col("ref_len")) ++
+        orders.flatMap(n => Seq(col(s"match_$n"), col(s"total_$n"))) ++
+        Seq(col("bp_penalty_nano"), col("prec_penalty_nano"),
+          col("log_bleu_nano"), col("bleu_micro"))): _*)
   }
 }

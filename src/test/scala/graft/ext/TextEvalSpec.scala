@@ -124,4 +124,63 @@ class TextEvalSpec extends SparkTestBase {
     assert(got.keySet === Set(1L)) // pair 2 has no reference row
     assert(got(1L)._1 === 0L && got(1L)._3 === 0L && got(1L)._4 === Some(0L))
   }
+
+  private def bleu(cand: Seq[(Long, String)], ref: Seq[(Long, String)]) = {
+    val r = TextEval.corpusBleu(
+      cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text")).head()
+    (0 until r.length).map(i =>
+      r.schema(i).name -> Option(r.get(i)).map(_.asInstanceOf[Long])).toMap
+  }
+
+  test("corpus BLEU: hand case — perfect precisions, brevity penalty only") {
+    // pair 1 identical 6-token texts; pair 2 cand 4 tokens vs ref 5.
+    // All clipped precisions are 1 -> every nano-ln term is 0.
+    // c = 10, r = 11 -> bp = (11-10)*1e9 div 10 = 1e8;
+    // bleu = round(exp(-0.1)*1e6) = 904837.
+    val got = bleu(
+      Seq(1L -> "the cat sat on the mat", 2L -> "a b c d"),
+      Seq(1L -> "the cat sat on the mat", 2L -> "a b c d e"))
+    assert(got("cand_len") === Some(10L) && got("ref_len") === Some(11L))
+    assert(got("match_1") === Some(10L) && got("total_1") === Some(10L))
+    assert(got("match_4") === Some(4L) && got("total_4") === Some(4L))
+    assert(got("bp_penalty_nano") === Some(100000000L))
+    assert(got("prec_penalty_nano") === Some(0L))
+    assert(got("log_bleu_nano") === Some(-100000000L))
+    assert(got("bleu_micro") === Some(904837L))
+  }
+
+  test("corpus BLEU: hand case — mixed precisions, nano-ln tape") {
+    // cand "a b c d e f" vs ref "a b c d f e":
+    // m/t per order: 6/6, 3/5, 2/4, 1/3; c = r = 6 -> bp = 0.
+    // nano-ln terms: 0, round(ln(5/3)e9)=510825624,
+    // round(ln 2 e9)=693147181, round(ln 3 e9)=1098612289;
+    // sum 2302585094 div 4 = 575646273.
+    val got = bleu(Seq(1L -> "a b c d e f"), Seq(1L -> "a b c d f e"))
+    assert(got("match_2") === Some(3L) && got("total_2") === Some(5L))
+    assert(got("match_3") === Some(2L) && got("total_3") === Some(4L))
+    assert(got("match_4") === Some(1L) && got("total_4") === Some(3L))
+    assert(got("bp_penalty_nano") === Some(0L))
+    assert(got("prec_penalty_nano") === Some(575646273L))
+    assert(got("log_bleu_nano") === Some(-575646273L))
+    assert(got("bleu_micro") === Some(562341L))
+  }
+
+  test("corpus BLEU: a zero-match order zeroes the score (unsmoothed); empty candidate is NULL") {
+    // cand "a b" / ref "a c": unigram match 1, bigram match 0 -> 0.
+    val z = bleu(Seq(1L -> "a b"), Seq(1L -> "a c"))
+    assert(z("match_1") === Some(1L) && z("match_2") === Some(0L))
+    assert(z("bleu_micro") === Some(0L))
+    assert(z("log_bleu_nano") === None && z("prec_penalty_nano") === None)
+    assert(z("bp_penalty_nano") === Some(0L))
+    val e = bleu(Seq.empty, Seq(1L -> "a b c"))
+    assert(e("cand_len") === Some(0L) && e("ref_len") === Some(3L))
+    assert(e("bleu_micro") === None && e("bp_penalty_nano") === None)
+  }
+
+  test("corpus BLEU sums corpus-wide before ratios (not a mean of per-pair scores)") {
+    // Two pairs whose per-pair unigram precisions are 1 and 1/3; the
+    // corpus precision is (2+1)/(2+3) = 3/5, not the mean 2/3.
+    val got = bleu(Seq(1L -> "x y", 2L -> "p q r"), Seq(1L -> "x y", 2L -> "p"))
+    assert(got("match_1") === Some(3L) && got("total_1") === Some(5L))
+  }
 }
