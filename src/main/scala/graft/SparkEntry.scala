@@ -1699,6 +1699,23 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.rougeL(cand, ref, idCol = "pair_id")
     },
+    "text_rouge_l_exact" -> { (s, dir) =>
+      // Exact face for the native lcs_length expression: ROUGE-L over
+      // the FIRST-12-TOKEN prefixes of every pair (both engines slice
+      // identically), so LCS <= 12 and the oracle can unroll it as 12
+      // chained match-point CTE steps — step r keeps, per candidate
+      // position i, the minimal reference position j reachable by a
+      // common subsequence of length r (the Pareto reduction makes
+      // each step id-equi-join tiny). Full row coverage: every pair
+      // participates, unlike a length-filtered fixture (corpus min
+      // doc length is 10 tokens).
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.rougeL(cand, ref, idCol = "pair_id", maxTokens = 12)
+    },
     "text_bm25" -> { (s, dir) =>
       // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
       // df terms as single-term queries, top-10 docs each. Ranking within
@@ -8196,6 +8213,7 @@ object SparkEntry {
     "text_rouge1" -> rougeSql(1),
     "text_rouge2" -> rougeSql(2),
     "text_bleu" -> bleuSql,
+    "text_rouge_l_exact" -> rougeLExactSql,
     "text_chrf" -> chrfSql(3, 4),
 
     "events_tumbling" ->
@@ -10443,6 +10461,59 @@ object SparkEntry {
        |     (COALESCE(ct.cand_ngrams, 0) + COALESCE(rt.ref_ngrams, 0)) END AS BIGINT) AS f1_micro
        |FROM ct FULL JOIN rt ON ct.id = rt.id
        |LEFT JOIN m ON m.id = COALESCE(ct.id, rt.id)""".stripMargin
+  }
+
+  /** text_rouge_l_exact oracle: LCS over first-12-token prefixes,
+    * unrolled as chained match-point CTE steps (the kcore/LPA
+    * discipline). A common subsequence of length r ending at match
+    * point (i, j) exists iff step r produces (i, j); each step keeps
+    * only the Pareto-minimal j per candidate position i (a min-j
+    * predecessor dominates every extension its larger-j siblings
+    * allow), so step frames stay <= 12 rows per pair and LCS = the
+    * last nonempty step. 12 steps is exact: LCS <= min side length
+    * <= the 12-token cap. Metrics replay rougeL's integer divisions. */
+  private def rougeLExactSql: String = {
+    val steps = 12
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0)[1:$steps] AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    val base =
+      s"""WITH ${side(1, "cd")}, ${side(0, "rd")},
+         |spine AS (SELECT cd.id, len(cd.toks) AS c_n, len(rd.toks) AS r_n
+         |          FROM cd JOIN rd ON cd.id = rd.id),
+         |cw AS (SELECT id, unnest(generate_series(1, len(toks))) AS i,
+         |        unnest(toks) AS tok FROM cd),
+         |rw AS (SELECT id, unnest(generate_series(1, len(toks))) AS j,
+         |        unnest(toks) AS tok FROM rd),
+         |mp AS MATERIALIZED (SELECT cw.id, cw.i, rw.j
+         |  FROM cw JOIN rw ON cw.id = rw.id AND cw.tok = rw.tok),
+         |s1 AS MATERIALIZED (SELECT id, i, MIN(j) AS j FROM mp GROUP BY 1, 2)""".stripMargin
+    val unroll = (2 to steps).map { r =>
+      s""",
+         |s$r AS MATERIALIZED (SELECT m.id, m.i, MIN(m.j) AS j
+         |  FROM mp m JOIN s${r - 1} p ON p.id = m.id AND m.i > p.i AND m.j > p.j
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    val union = (1 to steps)
+      .map(r => s"SELECT id, $r AS r FROM s$r")
+      .mkString(" UNION ALL ")
+    base + unroll +
+      s"""
+         |, lcs AS (SELECT id, MAX(r) AS lcs FROM ($union) GROUP BY 1)
+         |SELECT spine.id AS pair_id,
+         | CAST(COALESCE(l.lcs, 0) AS BIGINT) AS lcs,
+         | CAST(c_n AS BIGINT) AS cand_tokens,
+         | CAST(r_n AS BIGINT) AS ref_tokens,
+         | CAST(CASE WHEN c_n > 0
+         |   THEN COALESCE(l.lcs, 0) * 1000000 // c_n END AS BIGINT) AS precision_micro,
+         | CAST(CASE WHEN r_n > 0
+         |   THEN COALESCE(l.lcs, 0) * 1000000 // r_n END AS BIGINT) AS recall_micro,
+         | CAST(CASE WHEN c_n + r_n > 0
+         |   THEN COALESCE(l.lcs, 0) * 2000000 // (c_n + r_n) END AS BIGINT) AS f1_micro
+         |FROM spine LEFT JOIN lcs l ON l.id = spine.id""".stripMargin
   }
 
   /** text_bleu oracle: the same lowercased whitespace tokens and

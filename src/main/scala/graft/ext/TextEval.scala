@@ -141,16 +141,22 @@ object TextEval {
     * lengths, and micro P/R/F1 (F1 = 2·lcs/(c+r)); NULL metrics on an
     * empty side. Inner-join contract: only pairs present on BOTH
     * sides score (an unpaired doc has no LCS to report). No SQL
-    * oracle exists offline (LCS needs a DP), so the driver row is
-    * rows-only; TextEvalSpec pins the expression against an
-    * independent recursive-memo reference. */
+    * oracle exists offline (LCS needs a DP), so the full-length driver
+    * row is rows-only; TextEvalSpec pins the expression against an
+    * independent recursive-memo reference, and text_rouge_l_exact
+    * oracle-checks the SAME expression over bounded tapes
+    * (`maxTokens` > 0 slices each side to its first maxTokens tokens,
+    * making the LCS small enough for a chained-CTE match-point unroll
+    * in SQL). */
   def rougeL(cand: DataFrame, ref: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def toks(df: DataFrame, name: String) =
+      idCol: String = "doc_id", textCol: String = "text",
+      maxTokens: Int = 0): DataFrame = {
+    def toks(df: DataFrame, name: String) = {
+      val arr = filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"),
-          filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
-            .as(name))
+          (if (maxTokens > 0) slice(arr, 1, maxTokens) else arr).as(name))
+    }
     val joined = toks(cand, "ctoks").join(toks(ref, "rtoks"), Seq("id"))
     val lcs = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.LcsLength(

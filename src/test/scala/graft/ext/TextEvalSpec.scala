@@ -125,6 +125,21 @@ class TextEvalSpec extends SparkTestBase {
     assert(got(1L)._1 === 0L && got(1L)._3 === 0L && got(1L)._4 === Some(0L))
   }
 
+  test("ROUGE-L maxTokens slices both sides to the prefix before the DP") {
+    // full tapes: cand "a b c d e", ref "x a b c d" -> LCS 4; with
+    // maxTokens = 3 the prefixes are "a b c" vs "x a b" -> LCS 2,
+    // and the token denominators shrink to the sliced lengths.
+    val full = TextEval.rougeL(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      Seq((1L, "x a b c d")).toDF("doc_id", "text")).head()
+    assert(full.getLong(1) === 4L && full.getLong(2) === 5L)
+    val capped = TextEval.rougeL(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      Seq((1L, "x a b c d")).toDF("doc_id", "text"), maxTokens = 3).head()
+    assert(capped.getLong(1) === 2L)
+    assert(capped.getLong(2) === 3L && capped.getLong(3) === 3L)
+  }
+
   private def bleu(cand: Seq[(Long, String)], ref: Seq[(Long, String)]) = {
     val r = TextEval.corpusBleu(
       cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text")).head()
