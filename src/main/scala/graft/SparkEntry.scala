@@ -314,6 +314,18 @@ object SparkEntry {
       graft.etl.Sinks.avroDir(Tables(s, dir, "orders"), tmp)
       graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("avro"))
     },
+    "etl_arrow" -> { (s, dir) =>
+      // Arrow IPC (Feather v2) round trip over the arrow-vector-core
+      // reader/writer: the full orders table written as a directory of
+      // IPC files (bounded record batches), read back through
+      // SmartLoad's .arrow dispatch. Oracle = the base table verbatim:
+      // any vector encode/decode, validity-bitmap or temporal-unit
+      // defect breaks the hash. Interop with pyarrow (both directions,
+      // incl. zstd-compressed buffers) is pinned in ArrowIOSpec.
+      val tmp = scratchDir("graft_arrow_").toString + "/orders_arrow"
+      graft.etl.Sinks.arrowDir(Tables(s, dir, "orders"), tmp)
+      graft.etl.SmartLoad.load(s, tmp, formatOverride = Some("arrow"))
+    },
     "etl_xml" -> { (s, dir) =>
       // XML round trip over the StAX reader/escaped writer: orders
       // projected to the inference lattice's types (long/string/double
@@ -5973,6 +5985,8 @@ object SparkEntry {
     "etl_avro" ->
       // round trip must reproduce the base table bit-for-bit (doubles
       // pass through unaggregated, so they are engine-stable)
+      "SELECT * FROM orders",
+    "etl_arrow" ->
       "SELECT * FROM orders",
     "etl_xml" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

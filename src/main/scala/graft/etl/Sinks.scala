@@ -48,6 +48,11 @@ object Sinks {
   def avroDir(df: DataFrame, outDir: String): Unit =
     AvroIO.write(df, outDir)
 
+  /** Arrow IPC (Feather v2) sink — one file per non-empty partition,
+    * bounded record batches, via [[ArrowIO.write]]. */
+  def arrowDir(df: DataFrame, outDir: String, batchRows: Int = 4096): Unit =
+    ArrowIO.write(df, outDir, batchRows)
+
   /** XML sink — one well-formed file per non-empty partition via
     * [[XmlIO.write]]; the exact record shape [[XmlIO.read]] ingests. */
   def xmlDir(df: DataFrame, outDir: String, rowTag: String = "row",

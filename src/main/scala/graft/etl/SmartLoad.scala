@@ -42,6 +42,9 @@ object SmartLoad {
     // row-oriented interchange sibling: from-scratch OCF reader over
     // avro-core (no connector module on this classpath)
     else if (is("avro", "avro")) AvroIO.read(spark, path)
+    // columnar interchange sibling: Arrow IPC file / Feather v2 over
+    // the arrow-vector core library Spark already ships
+    else if (ext == "feather" || is("arrow", "arrow")) ArrowIO.read(spark, path)
     // flat-record XML (pandas read_xml shape) on the JDK StAX parser
     else if (is("xml", "xml")) XmlIO.read(spark, path)
     // training-loader containers: tf.train.Example frames (schema
