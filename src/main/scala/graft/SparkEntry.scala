@@ -1399,7 +1399,11 @@ object SparkEntry {
       // from the stored ranks (new nodes enter at r0) with degrees
       // rebuilt from the union. The oracle replays the identical
       // two-phase integer recurrence as chained recursive CTEs, so the
-      // row pins the state round-trip bit-exactly.
+      // row pins the state round-trip bit-exactly. With a delta this
+      // large (1/3 of the graph) the full fenced rebuild measurably
+      // beats the PageRank.resumeDelta patch path — that path's
+      // dimension-sized-delta shape is exercised (and oracle-checked)
+      // by graph_pagerank_delta below.
       val li = Tables(s, dir, "lineitem")
       def sym(df: org.apache.spark.sql.DataFrame) = {
         val sp = df.select((col("l_suppkey") * 2).as("src"),
@@ -1413,6 +1417,38 @@ object SparkEntry {
         graft.ops.PageRank.run(baseEdges, iterations = 3), stateDir)
       graft.ops.PageRank.resume(baseEdges.union(deltaEdges),
         s.read.parquet(stateDir), iterations = 2)
+        .select(expr("node % 2").cast("int").as("is_part"),
+          expr("node div 2").as("id"), col("rank"))
+    },
+    "graph_pagerank_delta" -> { (s, dir) =>
+      // The delta-shaped fast path at its INTENDED shape: base = 29/30
+      // of the graph, delta = the 1/30 slice — a dimension-sized batch
+      // landing on persisted GRAPH state (ranks + static edge frame +
+      // degrees). PageRank.resumeDelta PATCHES the stored static frame
+      // — broadcast-dedup of the delta against a base scan, rebuild
+      // only rows whose src gained an edge, untouched remainder kept
+      // verbatim — so the base graph is scanned, never re-shuffled.
+      // Oracle = the same two-phase recursive CTE as
+      // graph_pagerank_incremental with the 1/30 split, so the patch
+      // path is pinned bit-exactly against the from-scratch rebuild
+      // semantics.
+      val li = Tables(s, dir, "lineitem")
+      def sym(df: org.apache.spark.sql.DataFrame) = {
+        val sp = df.select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      val baseEdges = sym(li.filter(pmod(col("l_orderkey"), lit(30L)) =!= 0L))
+      val deltaEdges = sym(li.filter(pmod(col("l_orderkey"), lit(30L)) === 0L))
+      val stateDir = scratchDir("graft_pagerank_delta_state_").toString
+      val (ranks, static0, deg) =
+        graft.ops.PageRank.runWithState(baseEdges, iterations = 3)
+      graft.etl.Sinks.parquetDir(ranks, stateDir + "/ranks")
+      graft.etl.Sinks.parquetDir(static0, stateDir + "/static")
+      graft.etl.Sinks.parquetDir(deg, stateDir + "/deg")
+      graft.ops.PageRank.resumeDelta(
+        s.read.parquet(stateDir + "/static"), s.read.parquet(stateDir + "/deg"),
+        s.read.parquet(stateDir + "/ranks"), deltaEdges, iterations = 2)
         .select(expr("node % 2").cast("int").as("is_part"),
           expr("node div 2").as("id"), col("rank"))
     },
@@ -1436,7 +1472,9 @@ object SparkEntry {
       // recurrence: 3 rounds on the base graph land in parquet, the
       // delta batch resumes with 2 more rounds over the union (new
       // nodes enter at is_seed·r0, flags/degrees rebuilt). Oracle =
-      // the two-phase recursive CTE with the seed CASEs.
+      // the two-phase recursive CTE with the seed CASEs. (The
+      // dimension-sized-delta patch path resumeDeltaPersonalized is
+      // pinned bit-identical to this rebuild in PageRankSpec.)
       val li = Tables(s, dir, "lineitem")
       def sym(df: org.apache.spark.sql.DataFrame) = {
         val sp = df.select((col("l_suppkey") * 2).as("src"),
@@ -6463,6 +6501,12 @@ object SparkEntry {
         |   GROUP BY p.iter, e2.dst)
         |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
         |FROM pr2 WHERE iter = 2""".stripMargin,
+    // the SAME two-phase warm-start recurrence at the dimension-sized
+    // delta split (base = 29/30, delta = 1/30) — the oracle knows
+    // nothing of the patch-vs-rebuild distinction, so a green row pins
+    // PageRank.resumeDelta's patched static frame bit-identical to the
+    // from-scratch union rebuild
+    "graph_pagerank_delta" -> pagerankTwoPhaseSql(30),
     // the personalized two-phase warm-start: seed-CASE init and teleport
     // base, 3 base-graph rounds, then 2 union rounds seeded from phase 1
     // (absent nodes enter at is_seed*r0)
@@ -10476,6 +10520,52 @@ object SparkEntry {
        |FROM ct FULL JOIN rt ON ct.id = rt.id
        |LEFT JOIN m ON m.id = COALESCE(ct.id, rt.id)""".stripMargin
   }
+
+  /** The two-phase PageRank warm-start oracle with a parameterized
+    * base/delta modulus split: 3 rounds on the base graph
+    * (l_orderkey % mod <> 0) from uniform init, then 2 rounds on the
+    * full union seeded from phase 1's final ranks (absent nodes enter
+    * at r0) with degrees rebuilt from the union — the
+    * graph_pagerank_incremental recurrence verbatim. */
+  private def pagerankTwoPhaseSql(mod: Int): String =
+    s"""WITH RECURSIVE
+       | sp1 AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |   FROM lineitem WHERE l_orderkey % $mod <> 0),
+       | e1 AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM sp1 UNION ALL SELECT dst, src FROM sp1)),
+       | n1 AS (SELECT DISTINCT node FROM
+       |   (SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1)),
+       | d1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e1 GROUP BY 1),
+       | ep1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e1
+       |   UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM n1),
+       | pr1(iter, node, rank) AS (
+       |   SELECT 0, node, CAST(1000000000 AS BIGINT) FROM n1
+       |   UNION ALL
+       |   SELECT p.iter + 1, e2.dst,
+       |     CAST(150000000 + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
+       |   FROM pr1 p LEFT JOIN d1 d ON d.node = p.node JOIN ep1 e2 ON e2.src = p.node
+       |   WHERE p.iter < 3
+       |   GROUP BY p.iter, e2.dst),
+       | st AS (SELECT node, rank FROM pr1 WHERE iter = 3),
+       | spa AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+       | ea AS (SELECT DISTINCT src, dst FROM
+       |   (SELECT src, dst FROM spa UNION ALL SELECT dst, src FROM spa)),
+       | na AS (SELECT DISTINCT node FROM
+       |   (SELECT src AS node FROM ea UNION ALL SELECT dst FROM ea)),
+       | da AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM ea GROUP BY 1),
+       | epa AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM ea
+       |   UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM na),
+       | pr2(iter, node, rank) AS (
+       |   SELECT 0, na.node, CAST(COALESCE(st.rank, 1000000000) AS BIGINT)
+       |   FROM na LEFT JOIN st ON st.node = na.node
+       |   UNION ALL
+       |   SELECT p.iter + 1, e2.dst,
+       |     CAST(150000000 + (85 * SUM((p.rank // COALESCE(d.d, 1)) * e2.w)) // 100 AS BIGINT)
+       |   FROM pr2 p LEFT JOIN da d ON d.node = p.node JOIN epa e2 ON e2.src = p.node
+       |   WHERE p.iter < 2
+       |   GROUP BY p.iter, e2.dst)
+       |SELECT CAST(node % 2 AS INT) AS is_part, node // 2 AS id, rank
+       |FROM pr2 WHERE iter = 2""".stripMargin
 
   /** text_rouge_l_exact oracle: LCS over first-12-token prefixes,
     * unrolled as chained match-point CTE steps (the kcore/LPA

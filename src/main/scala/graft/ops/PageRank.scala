@@ -54,15 +54,18 @@ object PageRank {
     * against the rank frame every round — one join per iteration
     * instead of two. `deg` is consumed exactly once (by the fold-in
     * join) off the already-checkpointed edge list, so it carries no
-    * fence of its own. */
-  private def staticEdges(e: DataFrame, nodes: DataFrame): DataFrame = {
+    * fence of its own. Returns (static, deg) — deg is node-sized and
+    * rides along so [[runWithState]] can persist it for
+    * [[resumeDelta]]'s degree patching. */
+  private def staticEdges(e: DataFrame, nodes: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val eplus =
       e.select(col("src"), col("dst"), lit(1L).as("w"))
         .union(nodes.select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w")))
-    Materialize(eplus
+    (Materialize(eplus
       .join(deg.select(col("node").as("src"), col("d")), Seq("src"), "left")
-      .select(col("src"), col("dst"), col("w"), coalesce(col("d"), lit(1L)).as("d")))
+      .select(col("src"), col("dst"), col("w"), coalesce(col("d"), lit(1L)).as("d"))),
+      deg)
   }
 
   /** `iterations` rounds of the integer recurrence from an arbitrary
@@ -91,9 +94,112 @@ object PageRank {
 
     val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
-    val ed = staticEdges(e, nodes)
+    val (ed, _) = staticEdges(e, nodes)
     iterate(ed, Materialize(nodes.select(col("node"), lit(r0).as("rank"))),
       iterations, base)
+  }
+
+  /** [[run]] that ALSO returns the graph state a delta batch needs:
+    * (ranks, static, deg) where `static` is the self-loop-extended
+    * degree-folded edge frame the rounds iterated on and `deg` the
+    * node-sized out-degree frame. Persist all three and hand them to
+    * [[resumeDelta]] — then a later delta batch never re-shuffles the
+    * base graph (the full union rebuild that [[resume]] pays). */
+  def runWithState(edges: DataFrame, iterations: Int = 5,
+      r0: Long = 1000000000L, srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+    val e = edgeFrame(edges, srcCol, dstCol)
+    val nodes = nodeFrame(e)
+    val (ed, deg) = staticEdges(e, nodes)
+    (iterate(ed, Materialize(nodes.select(col("node"), lit(r0).as("rank"))),
+      iterations, base), ed, deg)
+  }
+
+  /** Everything [[resumeDelta]] patches against the persisted static
+    * frame, shared with [[resumeDeltaPersonalized]]: the genuinely new
+    * (not-in-base) canonical delta edges, the brand-new nodes, the
+    * degree-patched rows for every src a new edge touches, and the
+    * untouched remainder of the static frame. The CONTRACT is that the
+    * delta batch is dimension-sized (broadcastable): every base-side
+    * frame is only SCANNED against a broadcast of a delta-derived
+    * frame — the base graph is never shuffled. Self-loop rows keep
+    * their stored `d` even when a degree changed: with w = 0 the
+    * round contribution (rank div d)·w is zero whatever d is, so only
+    * w = 1 rows need the patched degree. */
+  private def deltaPatch(static0: DataFrame, deg0: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dEdges = deltaEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val baseReal = static0.filter(col("w") === 1L).select(col("src"), col("dst"))
+    // delta-minus-base without shuffling the base: stream the base scan
+    // against the broadcast delta to find already-present pairs, then
+    // subtract that (delta-sized) hit set from the delta
+    val present = baseReal.join(broadcast(dEdges), Seq("src", "dst"), "left_semi")
+    val newE = Materialize(
+      dEdges.join(broadcast(present), Seq("src", "dst"), "left_anti"))
+    val changedSrc = newE.select(col("src")).distinct()
+    // brand-new nodes: endpoints of new edges absent from the base node
+    // set (= static0's one-self-loop-per-node rows)
+    val baseNodes = static0.filter(col("w") === 0L).select(col("src").as("node"))
+    val newNodeCand = newE.select(col("src").as("node"))
+      .union(newE.select(col("dst").as("node"))).distinct()
+    val nodePresent = baseNodes.join(broadcast(newNodeCand), Seq("node"), "left_semi")
+    val newNodes = Materialize(
+      newNodeCand.join(broadcast(nodePresent), Seq("node"), "left_anti"))
+    // out-degrees change exactly on new-edge srcs: patched d = stored + new
+    val degDelta = newE.groupBy(col("src").as("node")).agg(count(lit(1)).as("dd"))
+    val degChangedVals = deg0.join(broadcast(degDelta.select(col("node"))),
+      Seq("node"), "left_semi")
+    val degNew = degDelta.join(degChangedVals, Seq("node"), "left")
+      .select(col("node"), (coalesce(col("d"), lit(0L)) + col("dd")).as("d"))
+    // rebuilt w=1 rows: the changed srcs' base edges + the new edges,
+    // re-folded against the patched degrees
+    val changedB = broadcast(changedSrc.withColumn("__c", lit(1)))
+    val baseChangedReal = static0.filter(col("w") === 1L)
+      .join(broadcast(changedSrc), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"))
+    val rebuiltReal = baseChangedReal.union(newE)
+      .join(broadcast(degNew.select(col("node").as("src"), col("d"))), Seq("src"))
+      .select(col("src"), col("dst"), lit(1L).as("w"), col("d"))
+    // one scan keeps everything except the w=1 rows being rebuilt
+    val untouched = static0.join(changedB, Seq("src"), "left")
+      .filter(col("w") === 0L || col("__c").isNull)
+      .select(col("src"), col("dst"), col("w"), col("d"))
+    (newNodes, degNew, rebuiltReal, untouched)
+  }
+
+  /** [[resume]] against PERSISTED GRAPH STATE — the delta-shaped fast
+    * path: instead of rebuilding the canonical edge/node/degree frames
+    * from the full base ∪ delta union (three shuffles of the whole
+    * graph), PATCH the persisted static frame with the delta:
+    * broadcast-dedup the delta against a base scan, rebuild only the
+    * rows whose src gained an edge, keep the untouched remainder
+    * verbatim, append self-loops for brand-new nodes (entering at
+    * `r0`), and run `iterations` more rounds of the identical
+    * recurrence. Bit-identical to [[resume]] over the same inputs by
+    * construction (same canonical frames, same recurrence — the
+    * driver's oracle replays the same two-phase recursive CTE).
+    * Contract: the delta batch is dimension-sized (broadcastable);
+    * for bulk loads comparable to the base graph, use [[resume]]. */
+  def resumeDelta(static0: DataFrame, deg0: DataFrame, state: DataFrame,
+      deltaEdges: DataFrame, iterations: Int = 2, r0: Long = 1000000000L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+    val (newNodes, degNew, rebuiltReal, untouched) =
+      deltaPatch(static0, deg0, deltaEdges, srcCol, dstCol)
+    val newSelfLoops = newNodes
+      .join(degNew, Seq("node"), "left")
+      .select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w"),
+        coalesce(col("d"), lit(1L)).as("d"))
+    val ed = Materialize(untouched.union(rebuiltReal).union(newSelfLoops))
+    val ranks0 = Materialize(state.select(col("node"), col("rank"))
+      .union(newNodes.select(col("node"), lit(r0).as("rank"))))
+    iterate(ed, ranks0, iterations, base)
   }
 
   /** Resume PageRank from PERSISTED rank state after a delta edge
@@ -124,7 +230,7 @@ object PageRank {
 
     val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
-    val ed = staticEdges(e, nodes)
+    val (ed, _) = staticEdges(e, nodes)
     val ranks0 = Materialize(nodes
       .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__stored"), lit(r0)).as("rank")))
@@ -153,10 +259,27 @@ object PageRank {
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
     val e = edgeFrame(edges, srcCol, dstCol)
-    val (flagged, ed) = personalizedStatic(e, seeds)
+    val (flagged, ed, _) = personalizedStatic(e, seeds)
     iteratePersonalized(ed,
       Materialize(flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))),
       iterations, base)
+  }
+
+  /** [[personalized]] that ALSO returns (ranks, static, deg) so a
+    * delta batch can go through [[resumeDeltaPersonalized]] without
+    * re-shuffling the base graph — [[runWithState]]'s contract with
+    * the seed flag riding the static frame. */
+  def personalizedWithState(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 5, r0: Long = 1000000000L, srcCol: String = "src",
+      dstCol: String = "dst"): (DataFrame, DataFrame, DataFrame) = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+    val e = edgeFrame(edges, srcCol, dstCol)
+    val (flagged, ed, deg) = personalizedStatic(e, seeds)
+    (iteratePersonalized(ed,
+      Materialize(flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))),
+      iterations, base), ed, deg)
   }
 
   /** The static frames [[personalized]] iterates on: the seed-flagged
@@ -166,7 +289,7 @@ object PageRank {
     * aggregation; the flag rides the aggregation as a
     * constant-per-group max. */
   private def personalizedStatic(e: DataFrame, seeds: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val nodes = nodeFrame(e)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val seedSet = broadcast(
@@ -182,7 +305,7 @@ object PageRank {
       .join(flagged.select(col("node").as("dst"), col("is_seed").as("ds")), Seq("dst"))
       .select(col("src"), col("dst"), col("w"),
         coalesce(col("d"), lit(1L)).as("d"), col("ds")))
-    (flagged, ed)
+    (flagged, ed, deg)
   }
 
   private def iteratePersonalized(ed: DataFrame, ranks0: DataFrame,
@@ -209,6 +332,52 @@ object PageRank {
     * seed-based recurrence run. Equals the one-session two-phase
     * schedule by construction; the oracle replays it as chained
     * recursive CTEs with the seed CASEs. */
+  /** [[resumeDelta]]'s delta-shaped fast path for the personalized
+    * recurrence: patch the persisted seed-flagged static frame with
+    * the delta batch (the [[deltaPatch]] machinery — base graph
+    * scanned, never shuffled), re-deriving the `ds` flag of rebuilt
+    * rows and the seed state of brand-new nodes from the broadcast
+    * seed set (flags are seed-membership facts, independent of the
+    * base graph). Brand-new nodes enter at is_seed·r0 — exactly the
+    * personalized init. Bit-identical to [[resumePersonalized]] over
+    * the same inputs; same dimension-sized-delta contract. */
+  def resumeDeltaPersonalized(static0: DataFrame, deg0: DataFrame,
+      state: DataFrame, deltaEdges: DataFrame, seeds: DataFrame,
+      iterations: Int = 2, r0: Long = 1000000000L, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
+    val base = 15L * r0 / 100
+    val seedSet = broadcast(
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .withColumn("__s", lit(1L)))
+    val (newNodes, degNew, rebuiltRealBare, untouched) =
+      deltaPatch(static0.select(col("src"), col("dst"), col("w"), col("d")),
+        deg0, deltaEdges, srcCol, dstCol)
+    // the plain-variant patch drops `ds`; re-derive it for rebuilt and
+    // new rows from seed membership, and re-attach the stored flag to
+    // the untouched remainder via the one scan's own columns
+    val untouchedP = static0.join(
+      broadcast(rebuiltRealBare.select(col("src")).distinct().withColumn("__c", lit(1))),
+      Seq("src"), "left")
+      .filter(col("w") === 0L || col("__c").isNull)
+      .select(col("src"), col("dst"), col("w"), col("d"), col("ds"))
+    val rebuiltP = rebuiltRealBare
+      .join(seedSet.select(col("node").as("dst"), col("__s")), Seq("dst"), "left")
+      .select(col("src"), col("dst"), col("w"), col("d"),
+        coalesce(col("__s"), lit(0L)).as("ds"))
+    val newFlagged = Materialize(newNodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed")))
+    val newSelfLoops = newFlagged
+      .join(degNew, Seq("node"), "left")
+      .select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w"),
+        coalesce(col("d"), lit(1L)).as("d"), col("is_seed").as("ds"))
+    val ed = Materialize(untouchedP.union(rebuiltP).union(newSelfLoops))
+    val ranks0 = Materialize(state.select(col("node"), col("rank"))
+      .union(newFlagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))))
+    iteratePersonalized(ed, ranks0, iterations, base)
+  }
+
   def resumePersonalized(edges: DataFrame, seeds: DataFrame,
       state: DataFrame, iterations: Int = 2, r0: Long = 1000000000L,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
@@ -216,7 +385,7 @@ object PageRank {
     require(r0 % 20 == 0, s"r0 must be divisible by 20 so the 15% base term is exact, got $r0")
     val base = 15L * r0 / 100
     val e = edgeFrame(edges, srcCol, dstCol)
-    val (flagged, ed) = personalizedStatic(e, seeds)
+    val (flagged, ed, _) = personalizedStatic(e, seeds)
     val ranks0 = Materialize(flagged
       .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
       .select(col("node"),

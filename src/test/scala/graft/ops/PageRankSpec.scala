@@ -152,4 +152,54 @@ class PageRankSpec extends SparkTestBase {
     assert(got === rank)
     assert(got.contains(9L), "delta-born node must join the frame")
   }
+
+  test("resumeDelta (patched static frame) is bit-identical to resume (full rebuild)") {
+    // delta exercises every patch branch: a duplicate of a base edge
+    // (must not change degrees), a rewire of an existing src (degree
+    // +1), a brand-new node on both endpoints, and a new dangling src
+    val base = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 2L)
+    val delta = Seq(1L -> 2L, 4L -> 3L, 9L -> 1L, 1L -> 9L, 8L -> 9L)
+    val all = base ++ delta
+    val dir = java.nio.file.Files.createTempDirectory("pr_delta_state_").toString
+    val (ranks, static0, deg) =
+      PageRank.runWithState(base.toDF("src", "dst"), iterations = 3)
+    graft.etl.Sinks.parquetDir(ranks, dir + "/ranks")
+    graft.etl.Sinks.parquetDir(static0, dir + "/static")
+    graft.etl.Sinks.parquetDir(deg, dir + "/deg")
+    val viaPatch = PageRank.resumeDelta(
+      spark.read.parquet(dir + "/static"), spark.read.parquet(dir + "/deg"),
+      spark.read.parquet(dir + "/ranks"), delta.toDF("src", "dst"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRebuild = PageRank.resume(all.toDF("src", "dst"),
+      spark.read.parquet(dir + "/ranks"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPatch === viaRebuild)
+    assert(viaPatch.contains(8L) && viaPatch.contains(9L),
+      "delta-born nodes must enter the patched frame")
+  }
+
+  test("resumeDeltaPersonalized is bit-identical to resumePersonalized (incl. new seed node)") {
+    val seeds = Seq(1L, 9L) // 9 is delta-born: enters at is_seed*r0
+    val base = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L)
+    val delta = Seq(2L -> 3L, 9L -> 1L, 1L -> 9L, 8L -> 2L)
+    val all = base ++ delta
+    val seedDf = seeds.map(Tuple1(_)).toDF("node")
+    val dir = java.nio.file.Files.createTempDirectory("ppr_delta_state_").toString
+    val (ranks, static0, deg) = PageRank.personalizedWithState(
+      base.toDF("src", "dst"), seedDf, iterations = 3)
+    graft.etl.Sinks.parquetDir(ranks, dir + "/ranks")
+    graft.etl.Sinks.parquetDir(static0, dir + "/static")
+    graft.etl.Sinks.parquetDir(deg, dir + "/deg")
+    val viaPatch = PageRank.resumeDeltaPersonalized(
+      spark.read.parquet(dir + "/static"), spark.read.parquet(dir + "/deg"),
+      spark.read.parquet(dir + "/ranks"), delta.toDF("src", "dst"), seedDf,
+      iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRebuild = PageRank.resumePersonalized(all.toDF("src", "dst"), seedDf,
+      spark.read.parquet(dir + "/ranks"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPatch === viaRebuild)
+    assert(viaPatch.contains(8L) && viaPatch.contains(9L))
+    assert(viaPatch(9L) > 0L, "delta-born seed must carry teleport mass")
+  }
 }
