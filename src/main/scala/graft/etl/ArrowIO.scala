@@ -202,9 +202,14 @@ object ArrowIO {
   /** Write one `part-NNNNN.arrow` per non-empty partition under
     * `outDir` (created fresh), `batchRows` rows per record batch. An
     * empty frame still writes one zero-batch file so the schema
-    * round-trips. */
-  def write(df: DataFrame, outDir: String, batchRows: Int = 4096): Unit = {
+    * round-trips. `compression` (None | "zstd" | "lz4") turns on IPC
+    * buffer compression via the bundled commons-compression codecs —
+    * the IO-bound-sink knob at scale; readers (ours and pyarrow's)
+    * decompress transparently. */
+  def write(df: DataFrame, outDir: String, batchRows: Int = 4096,
+      compression: Option[String] = None): Unit = {
     require(batchRows >= 1, s"batchRows must be positive: $batchRows")
+    codecType(compression) // validate on the driver before launching
     val spark = df.sparkSession
     val sparkStruct = df.schema
     arrowSchema(sparkStruct) // validate on the driver before launching
@@ -216,19 +221,41 @@ object ArrowIO {
     df.rdd.foreachPartition { rows =>
       if (rows.hasNext)
         writePart(rows, sparkStruct,
-          new HPath(outDir, f"part-${TaskContext.getPartitionId()}%05d.arrow"), batchRows)
+          new HPath(outDir, f"part-${TaskContext.getPartitionId()}%05d.arrow"),
+          batchRows, compression)
     }
     if (fs.listStatus(root).isEmpty)
-      writePart(Iterator.empty, sparkStruct, new HPath(root, "part-00000.arrow"), batchRows)
+      writePart(Iterator.empty, sparkStruct, new HPath(root, "part-00000.arrow"),
+        batchRows, compression)
+  }
+
+  private def codecType(compression: Option[String])
+      : org.apache.arrow.vector.compression.CompressionUtil.CodecType = {
+    import org.apache.arrow.vector.compression.CompressionUtil.CodecType
+    compression.map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case None => CodecType.NO_COMPRESSION
+      case Some("zstd") => CodecType.ZSTD
+      case Some("lz4") => CodecType.LZ4_FRAME
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported Arrow IPC compression '$other' (use zstd or lz4)")
+    }
   }
 
   private def writePart(rows: Iterator[Row], st: StructType, part: HPath,
-      batchRows: Int): Unit = {
+      batchRows: Int, compression: Option[String]): Unit = {
     val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val allocator = new RootAllocator()
     val vroot = VectorSchemaRoot.create(arrowSchema(st), allocator)
     val out = pfs.create(part, true)
-    val writer = new ArrowFileWriter(vroot, null, Channels.newChannel(out))
+    // the commons codec factory rejects NO_COMPRESSION — plain writer there
+    val writer =
+      if (compression.isEmpty)
+        new ArrowFileWriter(vroot, null, Channels.newChannel(out))
+      else
+        new ArrowFileWriter(vroot, null, Channels.newChannel(out),
+          null, org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          CommonsCompressionFactory.INSTANCE, codecType(compression),
+          java.util.Optional.empty[Integer]())
     try {
       writer.start()
       while (rows.hasNext) {

@@ -49,9 +49,11 @@ object Sinks {
     AvroIO.write(df, outDir)
 
   /** Arrow IPC (Feather v2) sink — one file per non-empty partition,
-    * bounded record batches, via [[ArrowIO.write]]. */
-  def arrowDir(df: DataFrame, outDir: String, batchRows: Int = 4096): Unit =
-    ArrowIO.write(df, outDir, batchRows)
+    * bounded record batches, optional zstd/lz4 buffer compression, via
+    * [[ArrowIO.write]]. */
+  def arrowDir(df: DataFrame, outDir: String, batchRows: Int = 4096,
+      compression: Option[String] = None): Unit =
+    ArrowIO.write(df, outDir, batchRows, compression)
 
   /** XML sink — one well-formed file per non-empty partition via
     * [[XmlIO.write]]; the exact record shape [[XmlIO.read]] ingests. */

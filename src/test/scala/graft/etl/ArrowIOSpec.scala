@@ -179,6 +179,36 @@ class ArrowIOSpec extends SparkTestBase {
     assert(rows(2).getAs[Array[Byte]](7).toSeq === Seq.empty[Byte])
   }
 
+  test("zstd write: our compressed file round-trips AND pyarrow reads it") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, "payload-" * 20 + i)).toDF("id", "s")
+      .coalesce(1)
+    val plain = tmpDir(); val zstd = tmpDir()
+    Sinks.arrowDir(df, plain)
+    Sinks.arrowDir(df, zstd, compression = Some("zstd"))
+    val back = SmartLoad.load(spark, zstd, formatOverride = Some("arrow"))
+    assert(back.count() === 500L)
+    assert(back.where("id = 123").head().getString(1).endsWith("123"))
+    // compression actually engaged: repetitive payload must shrink
+    def size(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".arrow")).map(_.length()).sum
+    assert(size(zstd) < size(plain) / 2, s"${size(zstd)} vs ${size(plain)}")
+    if (pyarrowAvailable) {
+      val part = new java.io.File(zstd).listFiles()
+        .filter(_.getName.endsWith(".arrow")).head
+      val (rc, out) = python(
+        s"""import pyarrow.ipc as ipc
+           |t = ipc.open_file(r'${part.getAbsolutePath}').read_all()
+           |print(t.num_rows, t.column('id')[499].as_py())
+           |""".stripMargin)
+      assert(rc === 0, out)
+      assert(out.trim === "500 500")
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.arrowDir(df, tmpDir(), compression = Some("gzip"))
+    }
+  }
+
   test("interop: pyarrow-compressed file (zstd) reads via the bundled codec factory") {
     assume(pyarrowAvailable, "pyarrow not available on PATH")
     val dir = tmpDir()
