@@ -1725,6 +1725,20 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.corpusBleu(cand, ref, maxN = 4, idCol = "pair_id")
     },
+    "text_sentence_bleu" -> { (s, dir) =>
+      // Sentence-level BLEU-4 with +1 smoothing (Lin & Och 2004) over
+      // the same odd/even pairing — per-pair rows: p1 unsmoothed (zero
+      // unigram overlap -> exactly 0), p2..p4 = (m+1)/(t+1), per-pair
+      // BP; only pairs with >=4 candidate tokens and a nonempty
+      // reference score (identical filter in the oracle). Same
+      // nano-ln / integer-BP / terminal-exp quantization as text_bleu.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.sentenceBleu(cand, ref, maxN = 4, idCol = "pair_id")
+    },
     "text_chrf" -> { (s, dir) =>
       // chrF2 (character 3-gram F-beta, beta=2) over the same odd/even
       // pairing — the tokenization-free generation metric. All-integer:
@@ -8271,6 +8285,7 @@ object SparkEntry {
     "text_rouge1" -> rougeSql(1),
     "text_rouge2" -> rougeSql(2),
     "text_bleu" -> bleuSql,
+    "text_sentence_bleu" -> sentenceBleuSql,
     "text_rouge_l_exact" -> rougeLExactSql,
     "text_chrf" -> chrfSql(3, 4),
 
@@ -10684,6 +10699,70 @@ object SparkEntry {
        |       CAST(-(bp_penalty_nano + prec_penalty_nano) AS DOUBLE) / 1000000000)
        |     * 1000000) AS BIGINT) ELSE 0 END
        | END AS BIGINT) AS bleu_micro
+       |FROM pen""".stripMargin
+  }
+
+  /** text_sentence_bleu oracle: per-pair replay of
+    * TextEval.sentenceBleu — the same 4-order gram counts GROUPED BY
+    * pair, the scoreable-pair filter (t_4 > 0 AND ref_len > 0), p1
+    * unsmoothed, (m+1)/(t+1) smoothing above, and the identical
+    * nano-ln / integer-BP / terminal-exp quantization. */
+  private def sentenceBleuSql: String = {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0) AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    def grams(src: String, name: String) = {
+      val orders = (1 to 4).map { n =>
+        s"""  SELECT id, $n AS n, g, COUNT(*) AS c FROM (
+           |   SELECT id, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+           |     i -> array_to_string(toks[i:i + ${n - 1}], ' '))) AS g
+           |   FROM $src WHERE len(toks) >= $n) GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"$name AS (\n$orders)"
+    }
+    val totCols = (1 to 4).map(n =>
+      s"COALESCE(MAX(CASE WHEN ct.n = $n THEN ct.t END), 0) AS total_$n").mkString(",\n  ")
+    val matchCols = (1 to 4).map(n =>
+      s"COALESCE(MAX(CASE WHEN ct.n = $n THEN m.m END), 0) AS match_$n").mkString(",\n  ")
+    val lnSum = (1 to 4).map {
+      case 1 =>
+        "CAST(round(ln(CAST(total_1 AS DOUBLE) / match_1) * 1000000000) AS BIGINT)"
+      case n =>
+        s"CAST(round(ln(CAST(total_$n + 1 AS DOUBLE) / (match_$n + 1)) * 1000000000) AS BIGINT)"
+    }.mkString("\n    + ")
+    val passThru = (1 to 4)
+      .map(n => s"CAST(match_$n AS BIGINT) AS match_$n, CAST(total_$n AS BIGINT) AS total_$n")
+      .mkString(",\n ")
+    s"""WITH ${side(1, "cd")}, ${side(0, "rd")},
+       |${grams("cd", "cg")}, ${grams("rd", "rg")},
+       |ct AS (SELECT id, n, SUM(c) AS t FROM cg GROUP BY 1, 2),
+       |m AS (SELECT cg.id, cg.n, SUM(LEAST(cg.c, rg.c)) AS m
+       |      FROM cg JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+       |      GROUP BY 1, 2),
+       |rl AS (SELECT id, SUM(c) AS ref_len FROM rg WHERE n = 1 GROUP BY 1),
+       |agg AS (SELECT ct.id,
+       |  $totCols,
+       |  $matchCols
+       | FROM ct LEFT JOIN m ON m.id = ct.id AND m.n = ct.n GROUP BY ct.id),
+       |pen AS (SELECT agg.*, rl.ref_len, total_1 AS cand_len,
+       |  CASE WHEN rl.ref_len > total_1
+       |    THEN (rl.ref_len - total_1) * 1000000000 // total_1 ELSE 0 END AS bp_penalty_nano,
+       |  CASE WHEN match_1 > 0 THEN ($lnSum) // 4 END AS prec_penalty_nano
+       | FROM agg JOIN rl ON rl.id = agg.id
+       | WHERE total_4 > 0 AND rl.ref_len > 0)
+       |SELECT id AS pair_id,
+       | CAST(cand_len AS BIGINT) AS cand_len, CAST(ref_len AS BIGINT) AS ref_len,
+       | $passThru,
+       | CAST(bp_penalty_nano AS BIGINT) AS bp_penalty_nano,
+       | CAST(prec_penalty_nano AS BIGINT) AS prec_penalty_nano,
+       | CAST(CASE WHEN match_1 > 0
+       |   THEN -(bp_penalty_nano + prec_penalty_nano) END AS BIGINT) AS log_bleu_nano,
+       | CAST(CASE WHEN match_1 > 0 THEN CAST(round(exp(
+       |     CAST(-(bp_penalty_nano + prec_penalty_nano) AS DOUBLE) / 1000000000)
+       |   * 1000000) AS BIGINT) ELSE 0 END AS BIGINT) AS bleu_micro
        |FROM pen""".stripMargin
   }
 

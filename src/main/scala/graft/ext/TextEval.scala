@@ -274,4 +274,75 @@ object TextEval {
         Seq(col("bp_penalty_nano"), col("prec_penalty_nano"),
           col("log_bleu_nano"), col("bleu_micro"))): _*)
   }
+
+  /** Sentence-level BLEU with +1 smoothing (Lin & Och 2004) of `cand`
+    * against `ref`, paired on `idCol` — the per-document companion of
+    * [[corpusBleu]] (rerank candidates, per-document quality gates):
+    * p₁ = m₁/t₁ unsmoothed (zero unigram overlap → BLEU exactly 0),
+    * pₙ = (mₙ+1)/(tₙ+1) for n ≥ 2 — the standard fix for the
+    * short-text zero-n-gram cliff — and the per-pair brevity penalty
+    * exp(min(0, 1 − r/c)).
+    *
+    * Scoreable-pair contract (identical in both engines): only pairs
+    * present on BOTH sides with ≥ maxN candidate tokens and ≥ 1
+    * reference token score; others are dropped, so every emitted row
+    * carries t_n > 0 at every order and the smoothed ratios are
+    * always defined. Quantization is [[corpusBleu]]'s verbatim —
+    * exact-integer BP penalty, nano-rounded ln per (pair, order)
+    * summed as longs, div maxN, one terminal exp per pair.
+    *
+    * Scale shape: the one-scan-per-side all-orders gram counts, one
+    * clipped equi-join, then a pair-count-sized conditional-pivot
+    * aggregation — never all-pairs, no window. */
+  def sentenceBleu(cand: DataFrame, ref: DataFrame, maxN: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    val cg = ngramCountsAllOrders(cand, maxN, idCol, textCol)
+    val rg = ngramCountsAllOrders(ref, maxN, idCol, textCol)
+    val perPair = cg.groupBy("id", "n").agg(sum(col("c")).as("t"))
+      .join(
+        cg.select(col("id"), col("n"), col("g"), col("c").as("cc"))
+          .join(rg.select(col("id"), col("n"), col("g"), col("c").as("cr")),
+            Seq("id", "n", "g"))
+          .groupBy("id", "n").agg(sum(least(col("cc"), col("cr"))).as("m")),
+        Seq("id", "n"), "left")
+    val refLen = rg.filter(col("n") === 1)
+      .groupBy("id").agg(sum(col("c")).as("ref_len"))
+    val orders = 1 to maxN
+    val aggExprs = orders.flatMap(n => Seq(
+      coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"total_$n"),
+      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"match_$n")))
+    val wide = perPair.groupBy("id").agg(aggExprs.head, aggExprs.tail: _*)
+    val one = wide.join(refLen, Seq("id"))
+      .withColumn("cand_len", col("total_1"))
+      .filter(col(s"total_$maxN") > 0L && col("ref_len") > 0L)
+    val negLnSum = orders.map { n =>
+      if (n == 1)
+        round(log(col("total_1").cast("double") / col("match_1")) * 1e9)
+          .cast("long")
+      else
+        round(log((col(s"total_$n") + lit(1L)).cast("double") /
+          (col(s"match_$n") + lit(1L))) * 1e9).cast("long")
+    }.reduce(_ + _)
+    one
+      .withColumn("bp_penalty_nano",
+        when(col("ref_len") > col("cand_len"),
+          call_function("div",
+            (col("ref_len") - col("cand_len")) * lit(1000000000L),
+            col("cand_len"))).otherwise(lit(0L)))
+      .withColumn("prec_penalty_nano",
+        when(col("match_1") > 0L, call_function("div", negLnSum, lit(maxN.toLong))))
+      .withColumn("log_bleu_nano",
+        when(col("match_1") > 0L,
+          -(col("bp_penalty_nano") + col("prec_penalty_nano"))))
+      .withColumn("bleu_micro",
+        when(col("match_1") > 0L,
+          round(exp(col("log_bleu_nano").cast("double") / lit(1e9)) *
+            lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)))
+      .select((Seq(col("id").as(idCol), col("cand_len"), col("ref_len")) ++
+        orders.flatMap(n => Seq(col(s"match_$n"), col(s"total_$n"))) ++
+        Seq(col("bp_penalty_nano"), col("prec_penalty_nano"),
+          col("log_bleu_nano"), col("bleu_micro"))): _*)
+  }
 }

@@ -192,6 +192,36 @@ class TextEvalSpec extends SparkTestBase {
     assert(e("bleu_micro") === None && e("bp_penalty_nano") === None)
   }
 
+  test("sentence BLEU: +1 smoothing hand tape; zero unigram overlap scores exactly 0") {
+    // cand "a b c d e f" vs ref "a b c d f e": m/t = 6/6, 3/5, 2/4, 1/3
+    // p1 = 1 (unsmoothed), p2..p4 = (m+1)/(t+1); nano-ln terms
+    // 0, ln(6/4), ln(5/3), ln(4/2) -> sum 1609437913 div 4 = 402359478
+    val rows = TextEval.sentenceBleu(
+      Seq((1L, "a b c d e f"), (2L, "p q r s")).toDF("doc_id", "text"),
+      Seq((1L, "a b c d f e"), (2L, "x y")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("match_2") === 3L && r1.getAs[Long]("total_2") === 5L)
+    assert(r1.getAs[Long]("bp_penalty_nano") === 0L)
+    assert(r1.getAs[Long]("prec_penalty_nano") === 402359478L)
+    assert(r1.getAs[Long]("bleu_micro") === 668740L)
+    val r2 = rows(2L)
+    assert(r2.getAs[Long]("match_1") === 0L)
+    assert(r2.getAs[Long]("bleu_micro") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("log_bleu_nano")))
+  }
+
+  test("sentence BLEU scoreable-pair contract: short candidate or empty reference drops") {
+    // pair 1: cand only 3 tokens (< maxN=4) -> dropped
+    // pair 2: ref whitespace-only -> no ref unigrams -> dropped
+    // pair 3: unpaired candidate -> dropped (inner join)
+    val rows = TextEval.sentenceBleu(
+      Seq((1L, "a b c"), (2L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text"),
+      Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text"))
+      .collect()
+    assert(rows.isEmpty)
+  }
+
   test("corpus BLEU sums corpus-wide before ratios (not a mean of per-pair scores)") {
     // Two pairs whose per-pair unigram precisions are 1 and 1/3; the
     // corpus precision is (2+1)/(2+3) = 3/5, not the mean 2/3.
