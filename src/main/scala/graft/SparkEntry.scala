@@ -1780,6 +1780,34 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.rougeL(cand, ref, idCol = "pair_id", maxTokens = 12)
     },
+    "text_wer" -> { (s, dir) =>
+      // Word error rate over the odd/even pairing: token-level
+      // Levenshtein (native edit_distance expression) / ref length.
+      // Full tapes: rows-only (no offline SQL token-level distance at
+      // unbounded alphabet); the expression is pinned by TextEvalSpec's
+      // independent recursive-memo differential and the exact face
+      // below oracle-checks the SAME expression on bounded tapes.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.wer(cand, ref, idCol = "pair_id")
+    },
+    "text_wer_exact" -> { (s, dir) =>
+      // Exact face for edit_distance: WER over FIRST-12-TOKEN prefixes
+      // (both engines slice identically), so each pair carries <= 24
+      // distinct tokens and the oracle can replay the distance through
+      // a per-pair token->char bijection (dense rank over the pair's
+      // distinct tokens -> 'a'..'x') + DuckDB's string levenshtein —
+      // single-char tokens make char-level == token-level exactly.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.wer(cand, ref, idCol = "pair_id", maxTokens = 12)
+    },
     "text_bm25" -> { (s, dir) =>
       // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
       // df terms as single-term queries, top-10 docs each. Ranking within
@@ -8287,6 +8315,7 @@ object SparkEntry {
     "text_bleu" -> bleuSql,
     "text_sentence_bleu" -> sentenceBleuSql,
     "text_rouge_l_exact" -> rougeLExactSql,
+    "text_wer_exact" -> werExactSql,
     "text_chrf" -> chrfSql(3, 4),
 
     "events_tumbling" ->
@@ -10633,6 +10662,44 @@ object SparkEntry {
          | CAST(CASE WHEN c_n + r_n > 0
          |   THEN COALESCE(l.lcs, 0) * 2000000 // (c_n + r_n) END AS BIGINT) AS f1_micro
          |FROM spine LEFT JOIN lcs l ON l.id = spine.id""".stripMargin
+  }
+
+  /** text_wer_exact oracle: WER over first-12-token prefixes replayed
+    * through a per-pair token→char bijection — each pair's ≤ 24
+    * distinct tokens dense-rank to 'a'..'x', each side's token list
+    * becomes a string of single-char codes, and DuckDB's built-in
+    * string `levenshtein` then IS the token-level distance (single
+    * chars make the grains coincide). Empty sides coalesce to ''. */
+  private def werExactSql: String = {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0)[1:12] AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    def encoded(src: String, name: String) =
+      s"""$name AS (SELECT w.id, string_agg(chr(96 + t.rk), '' ORDER BY w.i) AS s
+         |  FROM (SELECT id, unnest(generate_series(1, len(toks))) AS i,
+         |          unnest(toks) AS tok FROM $src) w
+         |  JOIN tok t ON t.id = w.id AND t.tok = w.tok
+         |  GROUP BY w.id)""".stripMargin
+    s"""WITH ${side(1, "cd")}, ${side(0, "rd")},
+       |pairtok AS (SELECT cd.id AS id, cd.toks AS c, rd.toks AS r
+       |  FROM cd JOIN rd ON cd.id = rd.id),
+       |tok AS (SELECT id, tok, CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY tok)
+       |    AS INT) AS rk
+       |  FROM (SELECT DISTINCT id, unnest(c || r) AS tok FROM pairtok)),
+       |${encoded("cd", "cm")}, ${encoded("rd", "rm")}
+       |SELECT p.id AS pair_id,
+       | CAST(levenshtein(COALESCE(cm.s, ''), COALESCE(rm.s, '')) AS BIGINT) AS edits,
+       | CAST(len(p.c) AS BIGINT) AS cand_tokens,
+       | CAST(len(p.r) AS BIGINT) AS ref_tokens,
+       | CAST(CASE WHEN len(p.r) > 0
+       |   THEN levenshtein(COALESCE(cm.s, ''), COALESCE(rm.s, '')) * 1000000 // len(p.r)
+       | END AS BIGINT) AS wer_micro
+       |FROM pairtok p
+       |LEFT JOIN cm ON cm.id = p.id
+       |LEFT JOIN rm ON rm.id = p.id""".stripMargin
   }
 
   /** text_bleu oracle: the same lowercased whitespace tokens and

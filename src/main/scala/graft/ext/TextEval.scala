@@ -175,6 +175,41 @@ object TextEval {
           col("cand_tokens") + col("ref_tokens"))))
   }
 
+  /** Word error rate of `cand` against `ref`, paired on `idCol`:
+    * token-level Levenshtein distance (the native
+    * [[graft.functions.EditDistance]] expression) over the lowercased
+    * whitespace tokens, and WER = edits / |ref tokens| as an exact
+    * integer micro ratio (can exceed 10⁶ — WER is unbounded above;
+    * NULL on an empty reference). The ASR/generation transcript
+    * metric. Inner-join contract: only pairs present on BOTH sides
+    * score. Quadratic per pair in token count — run AFTER the
+    * page-length filters; `maxTokens` > 0 slices both sides to their
+    * first maxTokens tokens (the [[rougeL]] exact-face discipline:
+    * bounded tapes keep ≤ 2·maxTokens distinct tokens per pair, so a
+    * SQL oracle can replay the distance through a per-pair
+    * token→char bijection and a string-level Levenshtein). */
+  def wer(cand: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxTokens: Int = 0): DataFrame = {
+    def toks(df: DataFrame, name: String) = {
+      val arr = filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          (if (maxTokens > 0) slice(arr, 1, maxTokens) else arr).as(name))
+    }
+    val joined = toks(cand, "ctoks").join(toks(ref, "rtoks"), Seq("id"))
+    val dist = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.EditDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ctoks")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("rtoks"))))
+    joined
+      .select(col("id").as(idCol), dist.cast("long").as("edits"),
+        size(col("ctoks")).cast("long").as("cand_tokens"),
+        size(col("rtoks")).cast("long").as("ref_tokens"))
+      .withColumn("wer_micro", when(col("ref_tokens") > 0L,
+        call_function("div", col("edits") * lit(1000000L), col("ref_tokens"))))
+  }
+
   /** (id, n, g, c): per-document n-gram instance counts for EVERY
     * order 1..maxN in one pass — the grams of all orders are built
     * in-row (a flatten over the order sequence of the same slice/

@@ -140,6 +140,80 @@ class TextEvalSpec extends SparkTestBase {
     assert(capped.getLong(2) === 3L && capped.getLong(3) === 3L)
   }
 
+  /** Independent Levenshtein reference: recursive with memoization —
+    * no shared code with the expression's two-row iterative DP. */
+  private def levRef(a: Seq[String], b: Seq[String]): Int = {
+    val memo = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    def go(i: Int, j: Int): Int =
+      if (i == a.length) b.length - j
+      else if (j == b.length) a.length - i
+      else memo.getOrElseUpdate((i, j),
+        if (a(i) == b(j)) go(i + 1, j + 1)
+        else 1 + math.min(go(i + 1, j + 1),
+          math.min(go(i + 1, j), go(i, j + 1))))
+    go(0, 0)
+  }
+
+  private def wer(cand: Seq[(Long, String)], ref: Seq[(Long, String)],
+      maxTokens: Int = 0) =
+    TextEval.wer(cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+        maxTokens = maxTokens)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+
+  test("WER: hand case — substitution is ONE edit at token grain") {
+    // cand "the cat sat" vs ref "the bat sat": 1 substitution, ref 3
+    // tokens -> wer 1/3. Char-level levenshtein would also say 1 but
+    // for a multi-char divergence only the token grain is right:
+    val got = wer(Seq(1L -> "the cat sat"), Seq(1L -> "the bat sat"))(1L)
+    assert(got._1 === 1L && got._2 === 3L && got._3 === 3L)
+    assert(got._4 === Some(333333L))
+    // "kitten sitting" vs "kitten sat" -> 1 token substitution even
+    // though the words differ in 4+ chars
+    val g2 = wer(Seq(2L -> "kitten sitting"), Seq(2L -> "kitten sat"))(2L)
+    assert(g2._1 === 1L && g2._4 === Some(500000L))
+  }
+
+  test("WER: insertions and deletions count; WER can exceed 1e6") {
+    // cand "a b c d e" vs ref "c": 4 deletions -> edits 4, ref 1
+    val got = wer(Seq(1L -> "a b c d e"), Seq(1L -> "c"))(1L)
+    assert(got._1 === 4L && got._4 === Some(4000000L))
+    // identical -> 0; empty ref -> NULL wer with edits = cand length
+    val id = wer(Seq(2L -> "x y z"), Seq(2L -> "x y z"))(2L)
+    assert(id._1 === 0L && id._4 === Some(0L))
+    val er = wer(Seq(3L -> "x y"), Seq(3L -> "   "))(3L)
+    assert(er._1 === 2L && er._3 === 0L && er._4 === None)
+  }
+
+  test("WER: edit_distance matches an independent recursive-memo reference on random tapes") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = Vector("a", "b", "c", "d")
+    val pairs = (0 until 25).map { i =>
+      val mk = () => Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(4))).mkString(" ")
+      (i.toLong, mk(), mk())
+    }
+    val got = wer(pairs.map(p => (p._1, p._2)), pairs.map(p => (p._1, p._3)))
+    pairs.foreach { case (id, c, r) =>
+      val want = levRef(c.split(" ").filter(_.nonEmpty).toSeq,
+        r.split(" ").filter(_.nonEmpty).toSeq)
+      assert(got(id)._1 === want.toLong, s"pair $id: '$c' vs '$r'")
+    }
+  }
+
+  test("WER: maxTokens slices both sides before the DP; unpaired docs drop; case folds") {
+    // full: cand "a b c d e" vs ref "x a b c d" -> lev 2 (del x-ish:
+    // actually sub a->x chain) — independent ref pins it; capped at 3:
+    // "a b c" vs "x a b" -> lev 2
+    val full = wer(Seq(1L -> "a b c d e", 2L -> "a"), Seq(1L -> "x a b c d"))
+    assert(full.keySet === Set(1L))
+    assert(full(1L)._1 === levRef(Seq("a","b","c","d","e"), Seq("x","a","b","c","d")).toLong)
+    val capped = wer(Seq(1L -> "a b c d e"), Seq(1L -> "x a b c d"), maxTokens = 3)(1L)
+    assert(capped._1 === 2L && capped._2 === 3L && capped._3 === 3L)
+    val folded = wer(Seq(4L -> "The CAT"), Seq(4L -> "the cat"))(4L)
+    assert(folded._1 === 0L)
+  }
+
   private def bleu(cand: Seq[(Long, String)], ref: Seq[(Long, String)]) = {
     val r = TextEval.corpusBleu(
       cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text")).head()
