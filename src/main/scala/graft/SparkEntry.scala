@@ -1808,6 +1808,18 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.wer(cand, ref, idCol = "pair_id", maxTokens = 12)
     },
+    "text_cer" -> { (s, dir) =>
+      // Character error rate over the odd/even pairing: char-level
+      // Levenshtein (Spark's codegen'd builtin — char grain is already
+      // right for CER) on the whitespace-collapsed lowercased stream.
+      // Fully oracle-checkable: DuckDB's levenshtein shares the grain.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.cer(cand, ref, idCol = "pair_id")
+    },
     "text_bm25" -> { (s, dir) =>
       // BM25 retrieval (k1=6/5, b=3/4, Lucene idf) of the corpus's top-20
       // df terms as single-term queries, top-10 docs each. Ranking within
@@ -2048,6 +2060,14 @@ object SparkEntry {
     },
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.8)
+    },
+    "dedup_editdistance" -> { (s, dir) =>
+      // COMPLETE edit-distance self-join (PassJoin pigeonhole segments)
+      // on 32-char normalized prefixes at tau = 3: candidates from ONE
+      // equi-join on (length, segment index, segment), verified with
+      // the builtin levenshtein; oracle brute-forces the same pair set.
+      Dedup.editDistanceJoin(Tables(s, dir, "documents"),
+        maxDist = 3, keyLen = 32)
     },
     "dedup_substring" -> { (s, dir) =>
       // ExactSubstr-style span dedup: per-doc duplicated-window counts
@@ -8104,6 +8124,15 @@ object SparkEntry {
         |FROM documents
         |GROUP BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_editdistance" ->
+      """WITH k AS (SELECT doc_id AS id, substr(trim(lower(text)), 1, 32) AS k
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        |FROM k a JOIN k b
+        |  ON (len(a.k) < len(b.k) OR (len(a.k) = len(b.k) AND a.id < b.id))
+        | AND abs(len(a.k) - len(b.k)) <= 3
+        |WHERE levenshtein(a.k, b.k) <= 3""".stripMargin,
     "dedup_sentence_spans" -> sentenceSpansSql,
     "text_c4_line_sql" -> c4LineCleanSql,
     "text_chunk_sent_sql" -> chunkSentencesSql,
@@ -8316,6 +8345,21 @@ object SparkEntry {
     "text_sentence_bleu" -> sentenceBleuSql,
     "text_rouge_l_exact" -> rougeLExactSql,
     "text_wer_exact" -> werExactSql,
+    "text_cer" ->
+      """WITH c AS (SELECT doc_id // 2 AS id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |r AS (SELECT doc_id // 2 AS id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+        |SELECT c.id AS pair_id,
+        | CAST(levenshtein(c.s, r.s) AS BIGINT) AS edits,
+        | CAST(len(c.s) AS BIGINT) AS cand_chars,
+        | CAST(len(r.s) AS BIGINT) AS ref_chars,
+        | CAST(CASE WHEN len(r.s) > 0
+        |   THEN levenshtein(c.s, r.s) * 1000000 // len(r.s)
+        | END AS BIGINT) AS cer_micro
+        |FROM c JOIN r ON c.id = r.id""".stripMargin,
     "text_chrf" -> chrfSql(3, 4),
 
     "events_tumbling" ->

@@ -1330,6 +1330,86 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** COMPLETE edit-distance similarity self-join (Li, Deng & Feng,
+    * ICDE'11 "PassJoin"): every pair of normalized `keyLen`-char
+    * prefixes within Levenshtein distance ≤ `maxDist`, with the exact
+    * distance — the guarantee [[sortedNeighborhood]] trades away (that
+    * is heuristic blocking; this is pigeonhole-exact).
+    *
+    * Pigeonhole core: partition each indexed string into
+    * `maxDist + 1` even segments — any string within distance τ must
+    * preserve at least ONE segment verbatim (τ edits cannot touch all
+    * τ+1 segments), and an optimal alignment shifts that preserved
+    * segment's start by at most τ. So each probe emits, per candidate
+    * target length `tl ∈ [|s|−τ, |s|]` and segment index, the
+    * substrings of the segment's length at start positions within ±τ
+    * of the segment's home (clamped valid) — O((τ+1)²·(2τ+1)) bounded
+    * emissions per string, deduped IN-ROW (`array_distinct` before the
+    * explode, zero extra shuffle).
+    *
+    * Scale shape: candidates come from ONE equi-join on
+    * (target length, segment index, segment content) — never
+    * all-pairs, no hot scan of long strings (only `keyLen`-char
+    * prefixes ride the shuffle); verification is Spark's codegen'd
+    * builtin `levenshtein` (char grain — right for the prefix-key
+    * use), O(keyLen²) per CANDIDATE only. Length filtering is
+    * intrinsic (probes only emit lengths within τ). Canonical output
+    * order (|a| , a_id) < (|b|, b_id): shorter side first, id
+    * tie-break — so the pair set is deterministic and
+    * oracle-replayable by a brute-force small-SF join.
+    *
+    * Output: (a_id, b_id, dist), dist ≤ maxDist, exact. */
+  def editDistanceJoin(docs: DataFrame, maxDist: Int = 3, keyLen: Int = 32,
+      idCol: String = "doc_id", strCol: String = "text"): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    require(keyLen > maxDist, s"keyLen ($keyLen) must exceed maxDist ($maxDist)")
+    val nSeg = maxDist + 1
+    val keys = docs.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"),
+        substring(trim(lower(col(strCol))), 1, keyLen).as("k"))
+      .withColumn("l", length(col("k")))
+    // indexed side: each string's own nSeg even segments
+    // (seg i: start i*base + min(i, rem), length base + (i < rem))
+    val segs = keys
+      .select(col("id").as("a_id"), col("k").as("a_k"), col("l").as("a_l"),
+        explode(sequence(lit(0), lit(maxDist))).as("i"))
+      .withColumn("seg", expr(
+        s"""substring(a_k,
+           |  i * (a_l DIV $nSeg) + least(i, a_l % $nSeg) + 1,
+           |  (a_l DIV $nSeg) + IF(i < a_l % $nSeg, 1, 0))""".stripMargin))
+      .select(col("a_l").as("tl"), col("i"), col("seg"),
+        col("a_id"), col("a_k"), col("a_l"))
+    // probe side: per target length tl = l - dl (dl in 0..τ, tl >= 0),
+    // per segment index, the ±τ window of same-length substrings,
+    // deduped in-row before the explode
+    val probes = keys
+      .select(col("id").as("b_id"), col("k").as("b_k"), col("l").as("b_l"),
+        explode(expr(
+          s"""array_distinct(flatten(transform(
+             |  filter(sequence(0, $maxDist), dl -> l - dl >= 0),
+             |  dl -> flatten(transform(sequence(0, $maxDist), i ->
+             |    array_distinct(transform(sequence(-$maxDist, $maxDist), w ->
+             |      named_struct(
+             |        'tl', l - dl,
+             |        'i', i,
+             |        'seg', substring(k,
+             |          greatest(0, least(
+             |            i * ((l - dl) DIV $nSeg) + least(i, (l - dl) % $nSeg) + w,
+             |            l - (((l - dl) DIV $nSeg) + IF(i < (l - dl) % $nSeg, 1, 0)))) + 1,
+             |          ((l - dl) DIV $nSeg) + IF(i < (l - dl) % $nSeg, 1, 0))))))))))""".stripMargin))
+          .as("p"))
+      .select(col("p.tl").as("tl"), col("p.i").as("i"), col("p.seg").as("seg"),
+        col("b_id"), col("b_k"), col("b_l"))
+    segs.join(probes, Seq("tl", "i", "seg"))
+      .filter(col("a_l") < col("b_l") ||
+        (col("a_l") === col("b_l") && col("a_id") < col("b_id")))
+      .select(col("a_id"), col("b_id"), col("a_k"), col("b_k"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_k"), col("b_k")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969,
     * JASA): per candidate pair, sum the per-field log-likelihood-ratio
     * weights — the agreement weight log(m/u) when the field comparison

@@ -210,6 +210,35 @@ object TextEval {
         call_function("div", col("edits") * lit(1000000L), col("ref_tokens"))))
   }
 
+  /** Character error rate of `cand` against `ref`, paired on `idCol`:
+    * character-level Levenshtein distance (Spark's codegen'd builtin —
+    * CER is the one edit metric where the builtin's grain is already
+    * right) over the normalized character stream (lowercased, runs of
+    * [[TextAnalysis.WhitespaceClass]] collapsed to one space, ends
+    * trimmed — so formatting-only churn never scores as an edit), and
+    * CER = edits / |ref chars| as an exact integer micro ratio (NULL
+    * on an empty reference; unbounded above like [[wer]]). The
+    * OCR/ASR companion to WER — robust where tokenization is unstable
+    * (CJK, hyphenation, digit runs). Inner-join contract as [[wer]].
+    * Quadratic per pair in CHAR count, so bound inputs with the
+    * page-length filters first; fully oracle-checkable (DuckDB's
+    * `levenshtein` shares the char grain). */
+  def cer(cand: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def norm(df: DataFrame, name: String) =
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          trim(regexp_replace(lower(col(textCol)),
+            TextAnalysis.WhitespaceClass, " ")).as(name))
+    norm(cand, "c").join(norm(ref, "r"), Seq("id"))
+      .select(col("id").as(idCol),
+        levenshtein(col("c"), col("r")).cast("long").as("edits"),
+        length(col("c")).cast("long").as("cand_chars"),
+        length(col("r")).cast("long").as("ref_chars"))
+      .withColumn("cer_micro", when(col("ref_chars") > 0L,
+        call_function("div", col("edits") * lit(1000000L), col("ref_chars"))))
+  }
+
   /** (id, n, g, c): per-document n-gram instance counts for EVERY
     * order 1..maxN in one pass — the grams of all orders are built
     * in-row (a flatten over the order sequence of the same slice/

@@ -367,6 +367,72 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists(t => Set(t._1, t._2) == Set(4L, 5L)))
   }
 
+  test("editDistanceJoin: complete against brute force on randomly mutated strings") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // 12 base strings, each with 3 mutated twins at 1..4 random edits
+    // (some past maxDist — the join must find exactly the <= tau ones)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val p = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => // substitute
+            cur.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur.take(p) + alpha(rnd.nextInt(alpha.length)) + cur.drop(p)
+          case _ if cur.nonEmpty => cur.take(p) + cur.drop(p + 1)
+          case _ => cur + alpha(rnd.nextInt(alpha.length))
+        }
+      }
+      cur
+    }
+    val docs = (0 until 12).flatMap { b =>
+      val base = Seq.fill(12 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString
+      (base +: Seq.fill(3)(mutate(base, 1 + rnd.nextInt(4)))).zipWithIndex
+        .map { case (s, i) => (b * 10L + i, s) }
+    }
+    val maxDist = 2
+    val got = Dedup.editDistanceJoin(docs.toDF("doc_id", "text"),
+        maxDist = maxDist, keyLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = docs.map { case (id, t) => (id, t.trim.toLowerCase.take(32)) }
+    val expect = (for {
+      (ai, ak) <- keys; (bi, bk) <- keys
+      if ak.length < bk.length || (ak.length == bk.length && ai < bi)
+      d = lev(ak, bk) if d <= maxDist
+    } yield (ai, bi, d.toLong)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture produced no qualifying pairs") // non-vacuous
+  }
+
+  test("editDistanceJoin: canonical order, exact duplicates, empty strings, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"),       // dist 0, id order
+      (3L, "abcdefghx"),                        // dist 1 from 1 and 2 (longer)
+      (4L, ""), (5L, " "),                      // both normalize to ''
+      (6L, "zzzzzzzzzz")).toDF("doc_id", "text")
+    val got = Dedup.editDistanceJoin(docs, maxDist = 1, keyLen = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shorter first; equal length -> lower id first
+    assert(got === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L), (4L, 5L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(docs, maxDist = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(docs, maxDist = 3, keyLen = 3)
+    }
+  }
+
   test("crossLingualMinhash: translated twins found, surface minhash blind") {
     import spark.implicits._
     // 'xx' docs are word-for-word translations of the en docs through

@@ -214,6 +214,21 @@ class TextEvalSpec extends SparkTestBase {
     assert(folded._1 === 0L)
   }
 
+  test("CER: char-grain hand case; whitespace collapses; empty ref is NULL") {
+    def cer(c: String, r: String) = TextEval.cer(
+      Seq((1L, c)).toDF("doc_id", "text"), Seq((1L, r)).toDF("doc_id", "text"))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        Option(x.get(4)).map(_.asInstanceOf[Long]))).head
+    // "the cat" vs "the bat": 1 char edit over 7 ref chars
+    assert(cer("the cat", "the bat") === ((1L, 7L, 7L, Some(142857L))))
+    // formatting-only churn: runs of whitespace collapse, case folds
+    assert(cer("The  cat\n sat", "the cat sat") === ((0L, 11L, 11L, Some(0L))))
+    // empty reference: NULL cer, edits = candidate length
+    assert(cer("ab", "   ") === ((2L, 2L, 0L, None)))
+    // CER exceeds 1e6 when the candidate balloons
+    assert(cer("aaaa", "a")._4 === Some(3000000L))
+  }
+
   private def bleu(cand: Seq[(Long, String)], ref: Seq[(Long, String)]) = {
     val r = TextEval.corpusBleu(
       cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text")).head()
