@@ -2069,6 +2069,30 @@ object SparkEntry {
       Dedup.editDistanceJoin(Tables(s, dir, "documents"),
         maxDist = 3, keyLen = 32)
     },
+    "text_symspell" -> { (s, dir) =>
+      // SymSpell fuzzy vocabulary correction: vocab = even docs' token
+      // frequencies; noisy side = odd docs' tokens deterministically
+      // corrupted (even length: mid char deleted; odd: mid char -> 'q'
+      // — both engines replay the same corruption), matched via the
+      // deletion-neighborhood equi-join at tau = 2. Oracle brute-forces
+      // the candidate set and replays the (dist, -freq, term) pick.
+      val d = Tables(s, dir, "documents")
+      val tok = d.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(filter(graft.ext.TextAnalysis.tokens(lower(col("text"))),
+            t => length(t) > 0)).as("t"))
+      val vocab = tok.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .groupBy(col("t").as("term")).agg(count(lit(1)).as("freq"))
+      val noisy = tok.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr(
+          """IF(length(t) % 2 = 0,
+            |  concat(substring(t, 1, (length(t)+1) DIV 2 - 1),
+            |         substring(t, (length(t)+1) DIV 2 + 1)),
+            |  concat(substring(t, 1, (length(t)+1) DIV 2 - 1), 'q',
+            |         substring(t, (length(t)+1) DIV 2 + 1)))""".stripMargin)
+          .as("token"))
+      Dedup.symspellCorrect(noisy, vocab, maxDist = 2)
+    },
     "dedup_substring" -> { (s, dir) =>
       // ExactSubstr-style span dedup: per-doc duplicated-window counts
       // and covered-token mass; linear (group-by-hash), never pairwise
@@ -8133,6 +8157,25 @@ object SparkEntry {
         |  ON (len(a.k) < len(b.k) OR (len(a.k) = len(b.k) AND a.id < b.id))
         | AND abs(len(a.k) - len(b.k)) <= 3
         |WHERE levenshtein(a.k, b.k) <= 3""".stripMargin,
+    "text_symspell" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '[ \t\n\r\f\x0B]+'), t -> len(t) > 0)) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok WHERE doc_id % 2 = 0 GROUP BY t),
+        |noisy AS (SELECT DISTINCT CASE WHEN len(t) % 2 = 0
+        |    THEN substr(t, 1, (len(t)+1)//2 - 1) || substr(t, (len(t)+1)//2 + 1)
+        |    ELSE substr(t, 1, (len(t)+1)//2 - 1) || 'q' || substr(t, (len(t)+1)//2 + 1)
+        |  END AS token FROM tok WHERE doc_id % 2 = 1),
+        |cand AS (SELECT n.token, v.term, v.freq,
+        |    CAST(levenshtein(n.token, v.term) AS BIGINT) AS dist
+        |  FROM noisy n JOIN vocab v ON levenshtein(n.token, v.term) <= 2),
+        |best AS (SELECT token, term, dist, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY token
+        |      ORDER BY dist, freq DESC, term) AS rn FROM cand)
+        |SELECT n.token, b.term, b.dist, b.freq
+        |FROM noisy n LEFT JOIN best b ON b.token = n.token AND b.rn = 1""".stripMargin,
     "dedup_sentence_spans" -> sentenceSpansSql,
     "text_c4_line_sql" -> c4LineCleanSql,
     "text_chunk_sent_sql" -> chunkSentencesSql,

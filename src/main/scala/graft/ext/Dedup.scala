@@ -1410,6 +1410,60 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** SymSpell fuzzy vocabulary correction (Garbe 2012): map each input
+    * token to its best vocabulary term within Levenshtein distance
+    * ≤ `maxDist`, via the deletion-neighborhood equi-join — both sides
+    * precompute every string reachable by ≤ τ character deletions
+    * ([[graft.functions.DeletionVariants]]; two strings within
+    * distance τ ALWAYS share such a variant, so the candidate set is
+    * provably complete), candidates materialize through ONE equi-join
+    * on the variant string, and only candidates pay a distance
+    * computation (the builtin codegen'd `levenshtein` verify).
+    *
+    * Best-match pick is canonical and total: min over
+    * (distance, −frequency, term) — closest first, then most frequent,
+    * then lexicographic — so the same token always corrects to the
+    * same term on any partitioning or engine. Tokens with NO term in
+    * range survive with a NULL correction (left join), so the output
+    * is a complete correction table for the input token set.
+    *
+    * Scale shape: variant generation is in-row and bounded
+    * (O(C(L,τ)) per term — the reason SymSpell caps τ at 2 and this is
+    * a TOKEN operator, not a document one); the join key is a short
+    * string; no all-pairs, no scan of the corpus against the
+    * vocabulary. The vocabulary side is typically the small one —
+    * AQE broadcasts it when it fits.
+    *
+    * Output: (token, term, dist, freq) — one row per DISTINCT input
+    * token; `term`/`dist`/`freq` NULL when nothing is in range. */
+  def symspellCorrect(tokens: DataFrame, vocab: DataFrame, maxDist: Int = 2,
+      tokCol: String = "token", termCol: String = "term",
+      freqCol: String = "freq"): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3,
+      s"maxDist must be in 1..3 (deletion neighborhoods explode beyond): $maxDist")
+    def variants(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.DeletionVariants(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), maxDist))
+    val toks = tokens.filter(col(tokCol).isNotNull)
+      .select(col(tokCol).as("token")).distinct()
+    val tokVar = toks.select(col("token"), explode(variants(col("token"))).as("v"))
+    val vocVar = vocab.filter(col(termCol).isNotNull)
+      .select(col(termCol).as("term"), col(freqCol).cast("long").as("freq"),
+        explode(variants(col(termCol))).as("v"))
+    val best = tokVar.join(vocVar, Seq("v"))
+      .select("token", "term", "freq").distinct()
+      .withColumn("dist", levenshtein(col("token"), col("term")))
+      .filter(col("dist") <= maxDist)
+      .groupBy("token")
+      .agg(min_by(struct(col("term"), col("dist"), col("freq")),
+        struct(col("dist"), (lit(-1L) * col("freq")).as("negf"),
+          col("term"))).as("b"))
+      .select(col("token"), col("b.term").as("term"),
+        col("b.dist").cast("long").as("dist"), col("b.freq").as("freq"))
+    toks.join(best, Seq("token"), "left_outer")
+  }
+
   /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969,
     * JASA): per candidate pair, sum the per-field log-likelihood-ratio
     * weights — the agreement weight log(m/u) when the field comparison

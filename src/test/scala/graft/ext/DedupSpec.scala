@@ -433,6 +433,71 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("deletionVariants: exact lattice, dedupe on repeated chars, sorted output") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def vars(s: String, d: Int): Seq[String] =
+      graft.functions.DeletionVariants(Literal(UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), d)
+        .eval(null).asInstanceOf[ArrayData].toArray[UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(vars("abc", 1) === Seq("ab", "abc", "ac", "bc"))
+    assert(vars("abc", 2) === Seq("a", "ab", "abc", "ac", "b", "bc", "c"))
+    assert(vars("aab", 1) === Seq("aa", "aab", "ab")) // dedupe
+    assert(vars("", 2) === Seq(""))
+    intercept[IllegalArgumentException] {
+      graft.functions.DeletionVariants(Literal(UTF8String.fromString("x"),
+        org.apache.spark.sql.types.StringType), 0)
+    }
+  }
+
+  test("symspellCorrect: matches brute-force best pick; ties by freq then term; no-match is NULL") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(19)
+    val alpha = "abcdef"
+    val vocab = (0 until 40).map { i =>
+      (Seq.fill(4 + rnd.nextInt(5))(alpha(rnd.nextInt(alpha.length))).mkString,
+        1L + rnd.nextInt(100))
+    }.distinct
+    // queries: vocab terms mutated by 0..3 random char ops (some out of range)
+    val queries = (0 until 60).map { _ =>
+      val (t, _) = vocab(rnd.nextInt(vocab.size))
+      var cur = t
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        val p = rnd.nextInt(math.max(cur.length, 1))
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur.take(p) + alpha(rnd.nextInt(alpha.length)) + cur.drop(p)
+          case _ if cur.nonEmpty => cur.take(p) + cur.drop(p + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }.distinct
+    val got = Dedup.symspellCorrect(queries.toDF("token"),
+        vocab.toDF("term", "freq"), maxDist = 2)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet === queries.toSet)
+    queries.foreach { q =>
+      val inRange = vocab.map { case (t, f) => (lev(q, t), -f, t) }
+        .filter(_._1 <= 2)
+      val expect = if (inRange.isEmpty) (None, None)
+        else { val b = inRange.min; (Some(b._3), Some(b._1.toLong)) }
+      assert(got(q) === expect, s"token '$q'")
+    }
+    assert(got.values.exists(_._2.contains(1L)), "no distance-1 correction in fixture")
+    assert(got.values.exists(_._1.isEmpty), "no out-of-range token in fixture")
+  }
+
   test("crossLingualMinhash: translated twins found, surface minhash blind") {
     import spark.implicits._
     // 'xx' docs are word-for-word translations of the en docs through
