@@ -5288,6 +5288,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
       graft.ops.TimeSeries.theilSen(daily, "event_type", "day", "n_events")
     },
+    "er_soundex" -> { (s, dir) =>
+      // Soundex phonetic keys over the corpus word vocabulary (part
+      // name words + document tokens, pure [a-z]+): per-word code and
+      // block size. The oracle replays the EXACT builtin convention
+      // (first letter + consonant-class digits, adjacent same-class
+      // collapsed, h/w transparent, vowels resetting) as a
+      // character-stepping recursive CTE — so every word is a
+      // cross-engine agreement on the full algorithm, including the
+      // h/w and first-letter-collapse quirks.
+      val p = Tables(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(filter(
+          graft.ext.TextAnalysis.tokens(lower(col("text"))),
+          t => length(t) > 0)).as("word"))
+      val words = p.union(d).filter(col("word").rlike("^[a-z]+$")).distinct()
+      val keyed = words.withColumn("sx", soundex(col("word")))
+      keyed.join(keyed.groupBy("sx").agg(count(lit(1)).as("block_n")),
+        Seq("sx"))
+        .select(col("word"), col("sx"), col("block_n"))
+    },
     "er_blocking_recall" -> { (s, dir) =>
       // Pair-completeness audit of a blocking scheme: ground truth =
       // same-entity pairs across the two er_match_score copies (same
@@ -8958,6 +8979,7 @@ object SparkEntry {
         | CAST(ROUND((MIN(s) + MAX(s)) / 2 * 1000000.0) AS BIGINT) AS slope_micro
         |FROM r WHERE i = (m + 1) // 2 OR i = (m + 2) // 2
         |GROUP BY event_type""".stripMargin,
+    "er_soundex" -> soundexSql,
     "er_blocking_recall" ->
       """WITH l AS (SELECT c_custkey AS l_key,
         |  CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS l_band
@@ -10749,6 +10771,51 @@ object SparkEntry {
          | CAST(CASE WHEN c_n + r_n > 0
          |   THEN COALESCE(l.lcs, 0) * 2000000 // (c_n + r_n) END AS BIGINT) AS f1_micro
          |FROM spine LEFT JOIN lcs l ON l.id = spine.id""".stripMargin
+  }
+
+  /** er_soundex oracle: a character-stepping recursive CTE replaying
+    * the Russell/Odell soundex EXACTLY as Spark's builtin computes it —
+    * state per word = (position, emitted code, previous consonant
+    * class); h/w carry the previous class through (transparent to the
+    * collapse), vowels reset it to 0, a consonant appends its digit
+    * only when its class differs from the carried one and the code is
+    * not yet 4 chars. The first letter participates in collapsing
+    * ("pfister" → P236) via the initial prev = class(first letter). */
+  private def soundexSql: String = {
+    def cls(c: String) =
+      s"""CASE WHEN $c IN ('b','f','p','v') THEN 1
+         | WHEN $c IN ('c','g','j','k','q','s','x','z') THEN 2
+         | WHEN $c IN ('d','t') THEN 3 WHEN $c = 'l' THEN 4
+         | WHEN $c IN ('m','n') THEN 5 WHEN $c = 'r' THEN 6
+         | ELSE 0 END""".stripMargin
+    s"""WITH RECURSIVE w AS (
+       |  SELECT DISTINCT word FROM (
+       |    SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+       |    UNION ALL
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '[ \\t\\n\\r\\f\\x0B]+'), t -> len(t) > 0)) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')),
+       |step AS (
+       |  SELECT word, 2 AS pos, upper(word[1]) AS out,
+       |    ${cls("word[1]")} AS prev
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word, pos + 1,
+       |    CASE WHEN word[pos] NOT IN ('h','w')
+       |          AND (${cls("word[pos]")}) NOT IN (0, prev)
+       |          AND len(out) < 4
+       |      THEN out || CAST((${cls("word[pos]")}) AS VARCHAR) ELSE out END,
+       |    CASE WHEN word[pos] IN ('h','w') THEN prev
+       |         ELSE (${cls("word[pos]")}) END
+       |  FROM step WHERE pos <= len(word) AND len(out) < 4),
+       |fin AS (SELECT word, rpad(out, 4, '0') AS sx
+       |  FROM (SELECT word, out,
+       |          ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos DESC) AS rn
+       |        FROM step) WHERE rn = 1)
+       |SELECT f.word, f.sx,
+       |  CAST(count(*) OVER (PARTITION BY f.sx) AS BIGINT) AS block_n
+       |FROM fin f""".stripMargin
   }
 
   /** text_wer_exact oracle: WER over first-12-token prefixes replayed

@@ -1464,6 +1464,42 @@ object Dedup {
     toks.join(best, Seq("token"), "left_outer")
   }
 
+  /** Phonetic (Soundex) entity-resolution blocking — the third member
+    * of the blocking family: [[sortedNeighborhood]] catches agreeing
+    * PREFIXES, [[editDistanceJoin]] is pigeonhole-exact within τ, and
+    * this catches what both miss — names that SOUND alike but diverge
+    * early in spelling ("philips"/"filips": edit distance 2 at
+    * position 1, identical soundex F412). Block key = Spark's builtin
+    * codegen'd `soundex` (the Russell/Odell code: first letter + 3
+    * consonant-class digits, adjacent same-class collapsed, h/w
+    * transparent to the collapse, vowels reset it); candidate pairs
+    * materialize through ONE equi-join on the 4-char code and verify
+    * with the builtin `levenshtein` so the tie is graded, not binary.
+    *
+    * Scale shape: the block key is 4 chars (bounded shuffle width);
+    * within-block pairing is quadratic PER BLOCK — the standard
+    * phonetic-blocking contract (soundex keys have ~7k possible
+    * values; pair volume is Σ n_b², which the caller bounds by
+    * blocking on name WORDS or (code, extra-key) composites, exactly
+    * as with any blocking scheme). `maxDist` optionally prunes
+    * verified pairs.
+    *
+    * Output: (a_id, b_id, sx, dist) — same-block pairs, a_id < b_id. */
+  def phoneticBlocking(recs: DataFrame, idCol: String = "doc_id",
+      strCol: String = "text", maxDist: Int = Int.MaxValue): DataFrame = {
+    val keyed = recs
+      .filter(col(strCol).isNotNull && length(trim(col(strCol))) > 0)
+      .select(col(idCol).as("id"), trim(col(strCol)).as("s"))
+      .withColumn("sx", soundex(col("s")))
+    keyed.select(col("id").as("a_id"), col("s").as("a_s"), col("sx"))
+      .join(keyed.select(col("id").as("b_id"), col("s").as("b_s"), col("sx")),
+        Seq("sx"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sx"),
+        levenshtein(col("a_s"), col("b_s")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969,
     * JASA): per candidate pair, sum the per-field log-likelihood-ratio
     * weights — the agreement weight log(m/u) when the field comparison

@@ -498,6 +498,59 @@ class DedupSpec extends SparkTestBase {
     assert(got.values.exists(_._1.isEmpty), "no out-of-range token in fixture")
   }
 
+  test("phoneticBlocking: same-soundex pairs with graded distance; independent soundex reference") {
+    import spark.implicits._
+    // independent Russell/Odell soundex — no shared code with Spark's
+    // builtin: h/w transparent to the collapse, vowels+y reset, first
+    // letter participates ("pfister" -> P236)
+    def cls(c: Char): Int =
+      if ("bfpv".contains(c)) 1 else if ("cgjkqsxz".contains(c)) 2
+      else if ("dt".contains(c)) 3 else if (c == 'l') 4
+      else if ("mn".contains(c)) 5 else if (c == 'r') 6 else 0
+    def sdx(w: String): String = {
+      var out = w.head.toUpper.toString
+      var prev = cls(w.head)
+      w.tail.foreach { c =>
+        if (out.length < 4 && !"hw".contains(c)) {
+          val k = cls(c)
+          if (k != 0 && k != prev) out += k.toString
+          prev = k
+        }
+      }
+      (out + "000").take(4)
+    }
+    val recs = Seq((1L, "philips"), (2L, "filips"), (3L, "phillips"),
+      (4L, "roberts"), (5L, "rupert"), (6L, "ashcroft"), (7L, "pfister"),
+      (8L, "tymczak"), (9L, "gizmo"))
+    val got = Dedup.phoneticBlocking(recs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ai, at) <- recs; (bi, bt) <- recs
+      if ai < bi && sdx(at) == sdx(bt)
+    } yield (ai, bi, sdx(at), lev(at, bt).toLong)).toSet
+    assert(got === expect)
+    // the phonetic win: "philips"/"filips" block together (F412 vs
+    // P412? no — first LETTER differs, so they do NOT block; the pair
+    // that does is philips/phillips, edit distance 1)
+    assert(got.contains((1L, 3L, "P412", 1L)))
+    assert(!got.exists(t => Set(t._1, t._2) == Set(1L, 2L)))
+    // every Spark builtin code equals the independent reference
+    val codes = recs.toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.soundex($"text")).as[String].collect()
+    assert(codes.toSeq === recs.map(r => sdx(r._2)))
+    // maxDist prunes
+    val pruned = Dedup.phoneticBlocking(recs.toDF("doc_id", "text"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned === expect.filter(_._4 <= 1L).map(t => (t._1, t._2)))
+  }
+
   test("crossLingualMinhash: translated twins found, surface minhash blind") {
     import spark.implicits._
     // 'xx' docs are word-for-word translations of the en docs through
