@@ -4307,6 +4307,39 @@ object SparkEntry {
         graft.streaming.StreamingOps.driftGateResult(s, refHist, stateDir, bins)
       }
     },
+    "stream_cer_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Eval-on-arrival: the text_cer scenario with candidates (odd
+        // docs) arriving as a 3-file stream against the static even-doc
+        // references. Per-pair char edit counts fold into a one-row sum
+        // state (a pure sum monoid — batch boundaries irrelevant), so
+        // the drained gate recomputes EXACTLY the one-shot corpus CER;
+        // the oracle sums the same levenshtein pairs in DuckDB.
+        val d = Tables(s, dir, "documents")
+        val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .select(expr("doc_id div 2").as("pair_id"), col("text"))
+        val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .select(expr("doc_id div 2").as("pair_id"), col("text"))
+        val replayDir = scratchDir("graft_cer_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_cer_stage_")
+          cand.filter(pmod(col("pair_id"), lit(3L)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"cand_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_cer_state_").toString
+        val ckpt = scratchDir("graft_cer_ckpt_").toString
+        val stream = s.readStream.schema(cand.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.cerGate(stream, ref, "pair_id",
+          "text", stateDir, ckpt)
+        graft.streaming.StreamingOps.cerGateResult(s, stateDir)
+      }
+    },
     "stream_cramers_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Association-on-arrival: the dq_cramers_v scenario with orders
@@ -7354,6 +7387,21 @@ object SparkEntry {
     "ts_twap" -> twapSql,
     "stream_twap_gate" -> twapSql,
     "stream_cramers_gate" -> cramersVSql,
+    "stream_cer_gate" ->
+      """WITH c AS (SELECT doc_id // 2 AS id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |r AS (SELECT doc_id // 2 AS id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |p AS (SELECT levenshtein(c.s, r.s) AS e, len(r.s) AS rc
+        |  FROM c JOIN r ON c.id = r.id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(coalesce(sum(e), 0) AS BIGINT) AS edits,
+        | CAST(coalesce(sum(rc), 0) AS BIGINT) AS ref_chars,
+        | CAST(CASE WHEN coalesce(sum(rc), 0) > 0
+        |   THEN sum(e) * 1000000 // sum(rc) END AS BIGINT) AS cer_micro
+        |FROM p""".stripMargin,
     "q_weighted_quantile" -> weightedQuantileSql,
     "q_weighted_quantile_incremental" -> weightedQuantileSql,
     "stream_coverage_gate" -> coverageSql,

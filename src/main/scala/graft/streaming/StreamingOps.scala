@@ -1011,6 +1011,65 @@ object StreamingOps {
     graft.ext.Events.coverageFromStats(spark.read.parquet(s"$stateDir/v$v"))
   }
 
+  // --- streaming generation-eval gate (foreachBatch -> corpus edit sums) ---
+
+  /** Streaming corpus-CER gate — transcript-quality-on-arrival, the
+    * [[driftGate]] shape over edit-count sums: candidate texts arrive
+    * as a stream, join their static references per microbatch
+    * ([[graft.ext.TextEval.cer]] — builtin char-grain levenshtein on
+    * the normalized stream), and the per-pair edit counts fold into a
+    * ONE-ROW sum state (pair count, total edits, total reference
+    * chars — a pure sum monoid, so batch boundaries and arrival order
+    * are irrelevant and the drained gate recomputes EXACTLY the
+    * one-shot corpus CER: the driver row's DuckDB oracle). Same
+    * versioned-dir + marker exactly-once commit as the drift gate;
+    * state is three longs, never rows. The use: watch an
+    * ASR/generation pipeline's corpus error rate while outputs stream
+    * in, alarm on an exact-integer micro threshold. */
+  def cerGate(stream: DataFrame, refStatic: DataFrame, idCol: String,
+      textCol: String, stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCerBatch(batch, batchId, refStatic, idCol, textCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent edit-sum state fold (public for direct testing and
+    * for batch backfills sharing the gate's state). */
+  def applyCerBatch(batch: DataFrame, batchId: Long, refStatic: DataFrame,
+      idCol: String, textCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val sums = graft.ext.TextEval.cer(batch, refStatic, idCol, textCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum("edits"), lit(0L)).as("edits"),
+        coalesce(sum("ref_chars"), lit(0L)).as("ref_chars"))
+    val merged = (if (current >= 0L)
+      sums.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else sums)
+      .agg(sum("n_pairs").as("n_pairs"), sum("edits").as("edits"),
+        sum("ref_chars").as("ref_chars"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** Corpus CER off the gate's committed sum state — three longs and
+    * one exact integer division, never rows. */
+  def cerGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val v = StateCommit.requireVersion(stateDir, "cer state")
+    spark.read.parquet(s"$stateDir/v$v")
+      .select(col("n_pairs"), col("edits"), col("ref_chars"),
+        when(col("ref_chars") > 0L,
+          call_function("div", col("edits") * lit(1000000L),
+            col("ref_chars"))).as("cer_micro"))
+  }
+
   // --- streaming anomaly gate (foreachBatch -> persisted cell state) ---
 
   /** Streaming seasonal-anomaly gate — anomaly-on-arrival, the

@@ -246,6 +246,31 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(psi(2L) === ((1L, 2L)) && psi(0L) === ((1L, 0L)) && psi.size === 10)
   }
 
+  test("cer gate: edit sums fold idempotently; drained corpus CER equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("cer_spec_").toString
+    val ref = Seq((1L, "the cat sat"), (2L, "a b"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+    // candidates arrive split across two batches (pair 3 in batch 1)
+    val b0 = Seq((1L, "the bat sat"), (2L, "a b")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "hello word"), (9L, "unpaired")).toDF("doc_id", "text")
+    applyCerBatch(b0, 0L, ref, "doc_id", "text", stateDir)
+    applyCerBatch(b1, 1L, ref, "doc_id", "text", stateDir)
+    // a foreachBatch REPLAY of batch 1 must be a no-op, not a double count
+    applyCerBatch(b1, 1L, ref, "doc_id", "text", stateDir)
+    val got = cerGateResult(spark, stateDir).head()
+    // edits: 1 ("cat"->"bat") + 0 + 1 ("world"->"word"); ref chars
+    // 11 + 3 + 11 = 25; pair 9 has no reference -> drops (inner join)
+    assert(got.getLong(0) === 3L && got.getLong(1) === 2L)
+    assert(got.getLong(2) === 25L)
+    assert(got.getLong(3) === 80000L) // 2e6/25
+    // one-shot batch recompute over the union agrees (sum monoid)
+    val oneShot = graft.ext.TextEval.cer(b0.unionByName(b1), ref)
+      .agg(org.apache.spark.sql.functions.sum("edits"),
+        org.apache.spark.sql.functions.sum("ref_chars")).head()
+    assert(oneShot.getLong(0) === 2L && oneShot.getLong(1) === 25L)
+  }
+
   test("anomaly gate folds cell counts idempotently; drained state equals batch test") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("anomaly_spec_").toString
