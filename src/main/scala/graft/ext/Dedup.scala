@@ -1400,13 +1400,20 @@ object Dedup {
           .as("p"))
       .select(col("p.tl").as("tl"), col("p.i").as("i"), col("p.seg").as("seg"),
         col("b_id"), col("b_k"), col("b_l"))
+    // verify with the banded threshold DP (O(τ·keyLen) per candidate,
+    // exact below τ, early-exits past it) — not the full O(keyLen²)
+    // builtin; candidates are the hot path at scale
+    val bounded = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BoundedEditDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a_k")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b_k")),
+        maxDist))
     segs.join(probes, Seq("tl", "i", "seg"))
       .filter(col("a_l") < col("b_l") ||
         (col("a_l") === col("b_l") && col("a_id") < col("b_id")))
       .select(col("a_id"), col("b_id"), col("a_k"), col("b_k"))
       .distinct()
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_k"), col("b_k")).cast("long").as("dist"))
+      .select(col("a_id"), col("b_id"), bounded.cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
