@@ -1808,6 +1808,19 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.wer(cand, ref, idCol = "pair_id", maxTokens = 12)
     },
+    "text_meteor" -> { (s, dir) =>
+      // METEOR (exact-match module) over the odd/even pairing, FULL
+      // tapes: the greedy first-fit alignment is deterministic, so the
+      // oracle replays it verbatim as a candidate-position-stepping
+      // recursive CTE (state = used reference positions + last matched
+      // pair), then the one-division exact integer score.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.meteor(cand, ref, idCol = "pair_id")
+    },
     "text_cer" -> { (s, dir) =>
       // Character error rate over the odd/even pairing: char-level
       // Levenshtein (Spark's codegen'd builtin — char grain is already
@@ -8457,6 +8470,7 @@ object SparkEntry {
     "text_sentence_bleu" -> sentenceBleuSql,
     "text_rouge_l_exact" -> rougeLExactSql,
     "text_wer_exact" -> werExactSql,
+    "text_meteor" -> meteorSql,
     "text_cer" ->
       """WITH c AS (SELECT doc_id // 2 AS id,
         |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
@@ -10864,6 +10878,61 @@ object SparkEntry {
        |SELECT f.word, f.sx,
        |  CAST(count(*) OVER (PARTITION BY f.sx) AS BIGINT) AS block_n
        |FROM fin f""".stripMargin
+  }
+
+  /** text_meteor oracle: the greedy first-fit METEOR alignment
+    * replayed as a candidate-position-stepping recursive CTE — state
+    * per pair = (next candidate index, used reference positions, last
+    * matched pair, matches, chunks); each step matches candidate token
+    * ci+1 to the SMALLEST unused reference position holding it
+    * (list_min over a correlated lambda filter), extends the chunk
+    * only on a both-sides-contiguous pair, and the final state row
+    * (ci = |cand|) feeds the one-division exact score
+    * 5·(2m³−ch³)·10⁶ div (m²(c+9r)), 0 when m = 0 — verbatim
+    * [[graft.ext.TextEval.meteor]]'s arithmetic. */
+  private def meteorSql: String = {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0) AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    s"""WITH RECURSIVE ${side(1, "cd")}, ${side(0, "rd")},
+       |pair AS (SELECT cd.id AS id, cd.toks AS c, rd.toks AS r
+       |  FROM cd JOIN rd ON cd.id = rd.id),
+       |step AS (
+       |  SELECT id, 0 AS ci, CAST([] AS BIGINT[]) AS used,
+       |    CAST(-2 AS BIGINT) AS lasti, CAST(-2 AS BIGINT) AS lastj,
+       |    0 AS m, 0 AS ch
+       |  FROM pair
+       |  UNION ALL
+       |  SELECT id, ci1,
+       |    CASE WHEN j IS NULL THEN used ELSE list_append(used, j) END,
+       |    CASE WHEN j IS NULL THEN lasti ELSE CAST(ci1 AS BIGINT) END,
+       |    CASE WHEN j IS NULL THEN lastj ELSE j END,
+       |    m + CASE WHEN j IS NULL THEN 0 ELSE 1 END,
+       |    ch + CASE WHEN j IS NULL THEN 0
+       |          WHEN ci1 = lasti + 1 AND j = lastj + 1 THEN 0
+       |          ELSE 1 END
+       |  FROM (
+       |    SELECT s.id, s.ci + 1 AS ci1, s.used, s.lasti, s.lastj, s.m, s.ch,
+       |      list_min(list_filter(generate_series(1, len(p.r)),
+       |        q -> p.r[q] = p.c[s.ci + 1]
+       |          AND NOT list_contains(s.used, q))) AS j
+       |    FROM step s JOIN pair p ON p.id = s.id
+       |    WHERE s.ci < len(p.c)) t),
+       |fin AS (SELECT s.id, CAST(s.m AS BIGINT) AS m,
+       |    CAST(s.ch AS BIGINT) AS ch
+       |  FROM step s JOIN pair p ON p.id = s.id AND s.ci = len(p.c))
+       |SELECT p.id AS pair_id,
+       | f.m AS matches, f.ch AS chunks,
+       | CAST(len(p.c) AS BIGINT) AS cand_tokens,
+       | CAST(len(p.r) AS BIGINT) AS ref_tokens,
+       | CAST(CASE WHEN f.m = 0 THEN 0
+       |   ELSE 5 * (2 * f.m * f.m * f.m - f.ch * f.ch * f.ch) * 1000000
+       |     // (f.m * f.m * (len(p.c) + 9 * len(p.r))) END AS BIGINT)
+       |   AS meteor_micro
+       |FROM pair p JOIN fin f ON f.id = p.id""".stripMargin
   }
 
   /** text_wer_exact oracle: WER over first-12-token prefixes replayed

@@ -239,6 +239,53 @@ object TextEval {
         call_function("div", col("edits") * lit(1000000L), col("ref_chars"))))
   }
 
+  /** METEOR, exact-match module (Banerjee & Lavie 2005), of `cand`
+    * against `ref` paired on `idCol` — the alignment-based member of
+    * the generation-eval family (BLEU/ROUGE reward overlap; METEOR
+    * also PENALIZES scrambling through the chunk count). Alignment is
+    * [[graft.functions.MeteorAlign]]'s deterministic greedy first-fit
+    * (documented there; both engines replay it exactly), over the
+    * same lowercased whitespace tokens as every eval here.
+    *
+    * The score collapses to ONE exact integer ratio: with m matches,
+    * ch chunks, c candidate and r reference tokens,
+    * Fmean = 10PR/(R+9P) = 10m/(c+9r) and
+    * penalty = (ch/m)³/2, so
+    * score = Fmean·(1−penalty) = 5·(2m³−ch³) / (m²(c+9r)) —
+    * micro-quantized by integer division, exactly 0 when m = 0, and
+    * bit-identical on any engine or partitioning (m ≤ 5·10³ keeps
+    * 5·2m³·10⁶ inside a long — far above the page-length-filtered
+    * token counts this runs on). Inner-join contract; `maxTokens`
+    * slices both sides first (the exact-face discipline). */
+  def meteor(cand: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxTokens: Int = 0): DataFrame = {
+    def toks(df: DataFrame, name: String) = {
+      val arr = filter(TextAnalysis.tokens(lower(col(textCol))), t => length(t) > 0)
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          (if (maxTokens > 0) slice(arr, 1, maxTokens) else arr).as(name))
+    }
+    val align = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MeteorAlign(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ctoks")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("rtoks"))))
+    toks(cand, "ctoks").join(toks(ref, "rtoks"), Seq("id"))
+      .select(col("id").as(idCol), align.as("mc"),
+        size(col("ctoks")).cast("long").as("cand_tokens"),
+        size(col("rtoks")).cast("long").as("ref_tokens"))
+      .select(col(idCol), col("mc").getItem(0).cast("long").as("matches"),
+        col("mc").getItem(1).cast("long").as("chunks"),
+        col("cand_tokens"), col("ref_tokens"))
+      .withColumn("meteor_micro",
+        when(col("matches") === 0L, lit(0L)).otherwise(
+          call_function("div",
+            lit(5L) * (lit(2L) * col("matches") * col("matches") * col("matches")
+              - col("chunks") * col("chunks") * col("chunks")) * lit(1000000L),
+            col("matches") * col("matches")
+              * (col("cand_tokens") + lit(9L) * col("ref_tokens")))))
+  }
+
   /** (id, n, g, c): per-document n-gram instance counts for EVERY
     * order 1..maxN in one pass — the grams of all orders are built
     * in-row (a flatten over the order sequence of the same slice/

@@ -214,6 +214,74 @@ class TextEvalSpec extends SparkTestBase {
     assert(folded._1 === 0L)
   }
 
+  private def meteor(cand: Seq[(Long, String)], ref: Seq[(Long, String)],
+      maxTokens: Int = 0) =
+    TextEval.meteor(cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+        maxTokens = maxTokens)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("METEOR: hand tapes — identical, scrambled, unmatched-break, duplicate first-fit") {
+    // identical: m=3 ch=1, Fmean=1, penalty=(1/3)^3/2 -> 5*53e6/270
+    assert(meteor(Seq(1L -> "a b c"), Seq(1L -> "a b c"))(1L) ===
+      ((3L, 1L, 3L, 3L, 981481L)))
+    // full scramble: every match its own chunk -> penalty 1/2, score .5
+    assert(meteor(Seq(2L -> "c b a"), Seq(2L -> "a b c"))(2L) ===
+      ((3L, 3L, 3L, 3L, 500000L)))
+    // unmatched candidate token breaks the run: (1,1) then (3,2) ->
+    // 2 chunks; Fmean=20/21, penalty=1/2 -> 40e6 div 84
+    assert(meteor(Seq(3L -> "a x b"), Seq(3L -> "a b"))(3L) ===
+      ((2L, 2L, 3L, 2L, 476190L)))
+    // duplicates take the SMALLEST unused ref position: "a a" aligns
+    // (1,1),(2,2) -> one chunk; 5*15e6 div (4*29)
+    assert(meteor(Seq(4L -> "a a"), Seq(4L -> "a a a"))(4L) ===
+      ((2L, 1L, 2L, 3L, 646551L)))
+    // zero overlap scores exactly 0; chunks 0
+    assert(meteor(Seq(5L -> "x y"), Seq(5L -> "p q"))(5L) ===
+      ((0L, 0L, 2L, 2L, 0L)))
+  }
+
+  test("METEOR: greedy alignment matches an independent reference on random tapes") {
+    // independent greedy first-fit — no shared code with the expression
+    def alignRef(c: Seq[String], r: Seq[String]): (Int, Int) = {
+      val used = scala.collection.mutable.Set.empty[Int]
+      var (m, ch, li, lj) = (0, 0, -2, -2)
+      c.zipWithIndex.foreach { case (t, i) =>
+        r.indices.find(j => !used(j) && r(j) == t).foreach { j =>
+          used += j; m += 1
+          if (!(i == li + 1 && j == lj + 1)) ch += 1
+          li = i; lj = j
+        }
+      }
+      (m, ch)
+    }
+    val rnd = new scala.util.Random(29)
+    val alphabet = Vector("a", "b", "c", "d")
+    val pairs = (0 until 30).map { i =>
+      val mk = () => Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(4))).mkString(" ")
+      (i.toLong, mk(), mk())
+    }
+    val got = meteor(pairs.map(p => (p._1, p._2)), pairs.map(p => (p._1, p._3)))
+    pairs.foreach { case (id, c, r) =>
+      val (m, ch) = alignRef(c.split(" ").filter(_.nonEmpty).toSeq,
+        r.split(" ").filter(_.nonEmpty).toSeq)
+      assert((got(id)._1, got(id)._2) === ((m.toLong, ch.toLong)),
+        s"pair $id: '$c' vs '$r'")
+    }
+  }
+
+  test("METEOR: maxTokens slices both sides; unpaired docs drop; empty side scores 0") {
+    val capped = meteor(Seq(1L -> "a b c d e"), Seq(1L -> "c d e a b"),
+      maxTokens = 3)
+    // prefixes "a b c" vs "c d e": only c matches -> m=1 ch=1
+    assert(capped(1L)._1 === 1L && capped(1L)._2 === 1L)
+    assert(capped(1L)._3 === 3L && capped(1L)._4 === 3L)
+    val got = meteor(Seq(2L -> "a b", 3L -> "a"), Seq(2L -> "   "))
+    assert(got.keySet === Set(2L))
+    assert(got(2L) === ((0L, 0L, 2L, 0L, 0L)))
+  }
+
   test("CER: char-grain hand case; whitespace collapses; empty ref is NULL") {
     def cer(c: String, r: String) = TextEval.cer(
       Seq((1L, c)).toDF("doc_id", "text"), Seq((1L, r)).toDF("doc_id", "text"))
