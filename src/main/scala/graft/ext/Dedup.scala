@@ -1333,8 +1333,13 @@ object Dedup {
   /** COMPLETE edit-distance similarity self-join (Li, Deng & Feng,
     * ICDE'11 "PassJoin"): every pair of normalized `keyLen`-char
     * prefixes within Levenshtein distance ≤ `maxDist`, with the exact
-    * distance — the guarantee [[sortedNeighborhood]] trades away (that
-    * is heuristic blocking; this is pigeonhole-exact).
+    * distance. The family's three exact-join shapes, by candidate
+    * generator: [[Curation.fuzzyJoin]] blocks on RAREST q-grams (needs
+    * a global document-frequency pass, wins when gram selectivity is
+    * high and lengths vary), THIS op blocks on pigeonhole SEGMENTS (no
+    * global statistics, one pass, wins on uniform-length normalized
+    * keys), and [[sortedNeighborhood]] trades the completeness
+    * guarantee for a fixed n·window candidate budget.
     *
     * Pigeonhole core: partition each indexed string into
     * `maxDist + 1` even segments — any string within distance τ must
@@ -1400,32 +1405,34 @@ object Dedup {
           .as("p"))
       .select(col("p.tl").as("tl"), col("p.i").as("i"), col("p.seg").as("seg"),
         col("b_id"), col("b_k"), col("b_l"))
-    // verify with the banded threshold DP (O(τ·keyLen) per candidate,
-    // exact below τ, early-exits past it) — not the full O(keyLen²)
-    // builtin; candidates are the hot path at scale
-    val bounded = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.BoundedEditDistance(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a_k")),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b_k")),
-        maxDist))
+    // verify with the shared banded threshold DP (texthash's Ukkonen
+    // kernel — O(τ·keyLen) per candidate, exact below τ, early-exits
+    // past it), not the full O(keyLen²) builtin; candidates are the
+    // hot path at scale
     segs.join(probes, Seq("tl", "i", "seg"))
       .filter(col("a_l") < col("b_l") ||
         (col("a_l") === col("b_l") && col("a_id") < col("b_id")))
       .select(col("a_id"), col("b_id"), col("a_k"), col("b_k"))
       .distinct()
-      .select(col("a_id"), col("b_id"), bounded.cast("long").as("dist"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.texthash.bounded_levenshtein(col("a_k"), col("b_k"),
+          maxDist).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
   /** SymSpell fuzzy vocabulary correction (Garbe 2012): map each input
     * token to its best vocabulary term within Levenshtein distance
     * ≤ `maxDist`, via the deletion-neighborhood equi-join — both sides
-    * precompute every string reachable by ≤ τ character deletions
-    * ([[graft.functions.DeletionVariants]]; two strings within
+    * precompute every string reachable by ≤ τ character deletions,
+    * hashed to 8-byte keys ([[graft.functions.texthash]]'s
+    * `deletion_hashes`, the same blocking kernel
+    * [[Curation.fuzzyJoin]]'s short block rides; two strings within
     * distance τ ALWAYS share such a variant, so the candidate set is
-    * provably complete), candidates materialize through ONE equi-join
-    * on the variant string, and only candidates pay a distance
-    * computation (the builtin codegen'd `levenshtein` verify).
+    * provably complete, and a hash collision only ever ADDS a
+    * candidate for the verify to remove), candidates materialize
+    * through ONE equi-join on the variant hash, and only candidates
+    * pay a distance computation (the builtin codegen'd `levenshtein`
+    * verify).
     *
     * Best-match pick is canonical and total: min over
     * (distance, −frequency, term) — closest first, then most frequent,
@@ -1448,10 +1455,11 @@ object Dedup {
       freqCol: String = "freq"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3,
       s"maxDist must be in 1..3 (deletion neighborhoods explode beyond): $maxDist")
+    // shared 8-byte deletion-neighborhood HASHES (texthash's kernel —
+    // the same blocking Curation.fuzzyJoin's short block uses): a hash
+    // collision only ever ADDS a candidate, the exact verify removes it
     def variants(c: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.DeletionVariants(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), maxDist))
+      graft.functions.texthash.deletion_hashes(c, maxDist)
     val toks = tokens.filter(col(tokCol).isNotNull)
       .select(col(tokCol).as("token")).distinct()
     val tokVar = toks.select(col("token"), explode(variants(col("token"))).as("v"))

@@ -433,57 +433,6 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
-  test("boundedEditDistance: exact below tau, sentinel above, vs full-DP reference") {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.unsafe.types.UTF8String
-    def bed(a: String, b: String, tau: Int): Int =
-      graft.functions.BoundedEditDistance(
-        Literal(UTF8String.fromString(a), org.apache.spark.sql.types.StringType),
-        Literal(UTF8String.fromString(b), org.apache.spark.sql.types.StringType),
-        tau).eval(null).asInstanceOf[Int]
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
-    val rnd = new scala.util.Random(23)
-    val alpha = "abcd"
-    for (_ <- 0 until 400) {
-      val a = Seq.fill(rnd.nextInt(20))(alpha(rnd.nextInt(4))).mkString
-      val b = Seq.fill(rnd.nextInt(20))(alpha(rnd.nextInt(4))).mkString
-      val tau = rnd.nextInt(5)
-      val full = lev(a, b)
-      val got = bed(a, b, tau)
-      val want = if (full <= tau) full else tau + 1
-      assert(got === want, s"'$a' vs '$b' tau=$tau full=$full")
-    }
-    assert(bed("", "", 0) === 0)
-    assert(bed("abc", "", 2) === 3)   // length-diff shortcut -> sentinel
-    assert(bed("abc", "", 3) === 3)   // exactly tau
-    assert(bed("abcdefgh", "abcdefgh", 0) === 0)
-  }
-
-  test("deletionVariants: exact lattice, dedupe on repeated chars, sorted output") {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.util.ArrayData
-    import org.apache.spark.unsafe.types.UTF8String
-    def vars(s: String, d: Int): Seq[String] =
-      graft.functions.DeletionVariants(Literal(UTF8String.fromString(s),
-          org.apache.spark.sql.types.StringType), d)
-        .eval(null).asInstanceOf[ArrayData].toArray[UTF8String](
-          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
-    assert(vars("abc", 1) === Seq("ab", "abc", "ac", "bc"))
-    assert(vars("abc", 2) === Seq("a", "ab", "abc", "ac", "b", "bc", "c"))
-    assert(vars("aab", 1) === Seq("aa", "aab", "ab")) // dedupe
-    assert(vars("", 2) === Seq(""))
-    intercept[IllegalArgumentException] {
-      graft.functions.DeletionVariants(Literal(UTF8String.fromString("x"),
-        org.apache.spark.sql.types.StringType), 0)
-    }
-  }
-
   test("symspellCorrect: matches brute-force best pick; ties by freq then term; no-match is NULL") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {
