@@ -4353,6 +4353,40 @@ object SparkEntry {
         graft.streaming.StreamingOps.cerGateResult(s, stateDir)
       }
     },
+    "stream_bleu_gate" -> { (s0, dir) =>
+      withStreamSession(s0, 4) { s =>
+        // Corpus-BLEU-on-arrival: the text_bleu scenario with
+        // candidates (odd docs) arriving as a 3-file stream against the
+        // static even-doc references. Every state column is an exact
+        // integer corpus SUM (each batch restricts refs to ITS pair
+        // ids, so nothing double-counts), the fold is a pure monoid,
+        // and the drained gate == one-shot corpus BLEU bit for bit —
+        // text_bleu's own oracle.
+        val d = Tables(s, dir, "documents")
+        val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .select(expr("doc_id div 2").as("pair_id"), col("text"))
+        val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .select(expr("doc_id div 2").as("pair_id"), col("text"))
+        val replayDir = scratchDir("graft_bleu_replay_").toFile
+        (0 until 3).foreach { g =>
+          val stage = scratchDir("graft_bleu_stage_")
+          cand.filter(pmod(col("pair_id"), lit(3L)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $stage"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(replayDir, f"cand_$g%02d.parquet").toPath)
+        }
+        val stateDir = scratchDir("graft_bleu_state_").toString
+        val ckpt = scratchDir("graft_bleu_ckpt_").toString
+        val stream = s.readStream.schema(cand.schema)
+          .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+        graft.streaming.StreamingOps.bleuGate(stream, ref, "pair_id",
+          "text", stateDir, ckpt)
+        graft.streaming.StreamingOps.bleuGateResult(s, stateDir)
+      }
+    },
     "stream_cramers_gate" -> { (s0, dir) =>
       withStreamSession(s0, 4) { s =>
         // Association-on-arrival: the dq_cramers_v scenario with orders
@@ -7400,6 +7434,7 @@ object SparkEntry {
     "ts_twap" -> twapSql,
     "stream_twap_gate" -> twapSql,
     "stream_cramers_gate" -> cramersVSql,
+    "stream_bleu_gate" -> bleuSql,
     "stream_cer_gate" ->
       """WITH c AS (SELECT doc_id // 2 AS id,
         |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s

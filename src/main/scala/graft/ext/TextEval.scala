@@ -338,7 +338,13 @@ object TextEval {
     * Output (one row): cand_len, ref_len, match_1..maxN,
     * total_1..maxN, bp_penalty_nano, prec_penalty_nano,
     * log_bleu_nano, bleu_micro. */
-  def corpusBleu(cand: DataFrame, ref: DataFrame, maxN: Int = 4,
+  /** The corpus-BLEU SUM STATE: one row of
+    * (total_n, match_n for n = 1..maxN, ref_len, cand_len) — every
+    * column a corpus-wide exact integer SUM, so the row is a pure sum
+    * monoid: states over disjoint pair-id sets add column-wise to the
+    * one-shot state (the streaming-gate face; [[corpusBleuFromSums]]
+    * finishes the arithmetic). */
+  def corpusBleuSums(cand: DataFrame, ref: DataFrame, maxN: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxN >= 1, s"maxN must be positive, got $maxN")
     val cg = ngramCountsAllOrders(cand, maxN, idCol, textCol)
@@ -357,8 +363,14 @@ object TextEval {
       coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"total_$n"),
       coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"match_$n")))
     val wide = perOrder.agg(aggExprs.head, aggExprs.tail: _*)
-    val one = wide.crossJoin(refLen)
+    wide.crossJoin(refLen)
       .withColumn("cand_len", col("total_1"))
+  }
+
+  /** Finish [[corpusBleuSums]]' state row into the BLEU output —
+    * verbatim the quantized arithmetic documented on [[corpusBleu]]. */
+  def corpusBleuFromSums(one: DataFrame, maxN: Int = 4): DataFrame = {
+    val orders = 1 to maxN
     val allPos = orders.map(n => col(s"match_$n") > 0L).reduce(_ && _)
     val negLnSum = orders.map(n =>
       round(log(col(s"total_$n").cast("double") / col(s"match_$n")) * 1e9)
@@ -385,6 +397,10 @@ object TextEval {
         Seq(col("bp_penalty_nano"), col("prec_penalty_nano"),
           col("log_bleu_nano"), col("bleu_micro"))): _*)
   }
+
+  def corpusBleu(cand: DataFrame, ref: DataFrame, maxN: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpusBleuFromSums(corpusBleuSums(cand, ref, maxN, idCol, textCol), maxN)
 
   /** Sentence-level BLEU with +1 smoothing (Lin & Och 2004) of `cand`
     * against `ref`, paired on `idCol` — the per-document companion of

@@ -1070,6 +1070,61 @@ object StreamingOps {
             col("ref_chars"))).as("cer_micro"))
   }
 
+  // --- streaming corpus-BLEU gate (foreachBatch -> n-gram sum state) ---
+
+  /** Streaming corpus-BLEU gate — the [[cerGate]] shape over
+    * [[graft.ext.TextEval.corpusBleuSums]]' one-row state: candidates
+    * stream in, each microbatch restricts the static reference side to
+    * ITS arrived pair ids (left-semi join — so the fold never
+    * double-counts a reference; the gate's contract, like every
+    * replay-partitioned gate here, is that each pair id arrives in
+    * exactly one batch), computes the corpus n-gram sums for the
+    * batch, and adds them column-wise into the stored state (every
+    * column is an exact integer corpus SUM — a pure monoid). The
+    * drained gate finishes through `corpusBleuFromSums` and equals the
+    * one-shot corpus BLEU bit for bit: the driver row shares
+    * `text_bleu`'s oracle. State is 10 longs; versioned-dir + marker
+    * exactly-once commit. */
+  def bleuGate(stream: DataFrame, refStatic: DataFrame, idCol: String,
+      textCol: String, stateDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBleuBatch(batch, batchId, refStatic, idCol, textCol, stateDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  /** One idempotent n-gram-sum state fold (public for direct testing
+    * and batch backfills sharing the gate's state). */
+  def applyBleuBatch(batch: DataFrame, batchId: Long, refStatic: DataFrame,
+      idCol: String, textCol: String, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val current = StateCommit.readVersion(stateDir)
+    if (batchId <= current) return // replay of an already-committed batch
+    val refBatch = refStatic.join(
+      batch.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val sums = graft.ext.TextEval.corpusBleuSums(batch, refBatch,
+      idCol = idCol, textCol = textCol)
+    val merged = (if (current >= 0L)
+      sums.unionByName(spark.read.parquet(s"$stateDir/v$current"))
+    else sums)
+      .groupBy().sum().toDF(sums.columns.map(c => c): _*)
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StateCommit.flipVersion(stateDir, batchId)
+  }
+
+  /** Corpus BLEU off the gate's committed sum state — ten longs in,
+    * the quantized BLEU arithmetic out, never rows. */
+  def bleuGateResult(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val v = StateCommit.requireVersion(stateDir, "bleu state")
+    graft.ext.TextEval.corpusBleuFromSums(
+      spark.read.parquet(s"$stateDir/v$v"))
+  }
+
   // --- streaming anomaly gate (foreachBatch -> persisted cell state) ---
 
   /** Streaming seasonal-anomaly gate — anomaly-on-arrival, the

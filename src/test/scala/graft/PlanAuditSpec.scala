@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkTestBase {
     "feat_target_encode", // one-row exact global-sums frame
     "text_bm25",          // one-row corpus-stats frame x postings
     "text_bleu",          // maxN-row per-order corpus sums x one-row ref-length frame
+    "stream_bleu_gate",   // the same corpusBleuSums plan inside the gate's result read
     "text_lm_score",      // one-row vocabulary-size frame x scored pairs
     "curation_dsir",      // two one-row vocabulary frames (both LM scorings)
     "curation_doremi",    // two one-row vocabulary frames (proxy + reference LM)

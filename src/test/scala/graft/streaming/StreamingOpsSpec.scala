@@ -271,6 +271,32 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(oneShot.getLong(0) === 2L && oneShot.getLong(1) === 25L)
   }
 
+  test("bleu gate: n-gram sums fold idempotently; drained corpus BLEU equals one-shot") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("bleu_spec_").toString
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val b0 = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "a b c d")).toDF("doc_id", "text")
+    applyBleuBatch(b0, 0L, ref, "doc_id", "text", stateDir)
+    applyBleuBatch(b1, 1L, ref, "doc_id", "text", stateDir)
+    // a foreachBatch REPLAY of batch 1 must be a no-op, not a double count
+    applyBleuBatch(b1, 1L, ref, "doc_id", "text", stateDir)
+    val got = bleuGateResult(spark, stateDir).head()
+    // identical to TextEvalSpec's corpus hand case: c=10, r=11, all
+    // precisions perfect -> bp 1e8, bleu 904837
+    assert(got.getAs[Long]("cand_len") === 10L)
+    assert(got.getAs[Long]("ref_len") === 11L)
+    assert(got.getAs[Long]("match_4") === 4L && got.getAs[Long]("total_4") === 4L)
+    assert(got.getAs[Long]("bp_penalty_nano") === 100000000L)
+    assert(got.getAs[Long]("bleu_micro") === 904837L)
+    // one-shot recompute over the union agrees bit for bit
+    val oneShot = graft.ext.TextEval.corpusBleu(b0.unionByName(b1), ref).head()
+    assert(oneShot.getAs[Long]("bleu_micro") === 904837L)
+    assert(oneShot.getValuesMap[Any](oneShot.schema.fieldNames.toIndexedSeq) ===
+      got.getValuesMap[Any](got.schema.fieldNames.toIndexedSeq))
+  }
+
   test("anomaly gate folds cell counts idempotently; drained state equals batch test") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("anomaly_spec_").toString
