@@ -1808,6 +1808,19 @@ object SparkEntry {
         .select(expr("doc_id div 2").as("pair_id"), col("text"))
       graft.ext.TextEval.wer(cand, ref, idCol = "pair_id", maxTokens = 12)
     },
+    "text_bleu_by_source" -> { (s, dir) =>
+      // Segmented corpus BLEU: one BLEU row PER SOURCE over the same
+      // odd/even pairing — the candidate side's source keys every sum,
+      // references attribute through the pair id. Identical quantized
+      // arithmetic per group; oracle replays it with GROUP BY.
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"), col("source"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.corpusBleuByGroup(cand, ref, "source",
+        idCol = "pair_id")
+    },
     "text_meteor" -> { (s, dir) =>
       // METEOR (exact-match module) over the odd/even pairing, FULL
       // tapes: the greedy first-fit alignment is deterministic, so the
@@ -8502,6 +8515,7 @@ object SparkEntry {
     "text_rouge1" -> rougeSql(1),
     "text_rouge2" -> rougeSql(2),
     "text_bleu" -> bleuSql,
+    "text_bleu_by_source" -> bleuByGroupSql,
     "text_sentence_bleu" -> sentenceBleuSql,
     "text_rouge_l_exact" -> rougeLExactSql,
     "text_wer_exact" -> werExactSql,
@@ -10913,6 +10927,78 @@ object SparkEntry {
        |SELECT f.word, f.sx,
        |  CAST(count(*) OVER (PARTITION BY f.sx) AS BIGINT) AS block_n
        |FROM fin f""".stripMargin
+  }
+
+  /** text_bleu_by_source oracle: [[bleuSql]]'s counts and quantized
+    * arithmetic with every CTE keyed by the candidate side's source
+    * (pairs attribute to the candidate's group; reference lengths join
+    * through the pair id). */
+  private def bleuByGroupSql: String = {
+    val ws = "[ \\t\\n\\r\\f\\x0B]+"
+    def side(parity: Int, name: String, extra: String) =
+      s"""$name AS (SELECT doc_id // 2 AS id,$extra
+         |  list_filter(regexp_split_to_array(trim(lower(text)), '$ws'),
+         |    t -> len(t) > 0) AS toks
+         | FROM documents WHERE doc_id % 2 = $parity AND text IS NOT NULL)""".stripMargin
+    def grams(src: String, name: String) = {
+      val orders = (1 to 4).map { n =>
+        s"""  SELECT id, $n AS n, g, COUNT(*) AS c FROM (
+           |   SELECT id, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+           |     i -> array_to_string(toks[i:i + ${n - 1}], ' '))) AS g
+           |   FROM $src WHERE len(toks) >= $n) GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"$name AS (\n$orders)"
+    }
+    val totCols = (1 to 4).map(n =>
+      s"COALESCE(MAX(CASE WHEN ct.n = $n THEN ct.t END), 0) AS total_$n").mkString(",\n  ")
+    val matchCols = (1 to 4).map(n =>
+      s"COALESCE(MAX(CASE WHEN ct.n = $n THEN m.m END), 0) AS match_$n").mkString(",\n  ")
+    val allPos = (1 to 4).map(n => s"match_$n > 0").mkString(" AND ")
+    val lnSum = (1 to 4).map(n =>
+      s"CAST(round(ln(CAST(total_$n AS DOUBLE) / match_$n) * 1000000000) AS BIGINT)")
+      .mkString("\n    + ")
+    val passThru = (1 to 4)
+      .map(n => s"CAST(match_$n AS BIGINT) AS match_$n, CAST(total_$n AS BIGINT) AS total_$n")
+      .mkString(",\n ")
+    s"""WITH ${side(1, "cd", " source AS grp,")}, ${side(0, "rd", "")},
+       |gmap AS (SELECT DISTINCT id, grp FROM cd),
+       |${grams("cd", "cg")}, ${grams("rd", "rg")},
+       |ct AS (SELECT gm.grp, cg.n, SUM(cg.c) AS t
+       |       FROM cg JOIN gmap gm ON gm.id = cg.id GROUP BY 1, 2),
+       |m AS (SELECT gm.grp, cg.n, SUM(LEAST(cg.c, rg.c)) AS m
+       |      FROM cg JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.g = rg.g
+       |      JOIN gmap gm ON gm.id = cg.id
+       |      GROUP BY 1, 2),
+       |rl AS (SELECT gm.grp, COALESCE(SUM(rg.c), 0) AS ref_len
+       |       FROM rg JOIN gmap gm ON gm.id = rg.id WHERE rg.n = 1 GROUP BY 1),
+       |agg AS (SELECT ct.grp,
+       |  $totCols,
+       |  $matchCols
+       | FROM ct LEFT JOIN m ON m.grp = ct.grp AND m.n = ct.n
+       | GROUP BY ct.grp),
+       |pen AS (SELECT agg.*, COALESCE(rl.ref_len, 0) AS ref_len,
+       |  CASE WHEN total_1 > 0 THEN
+       |    CASE WHEN COALESCE(rl.ref_len, 0) > total_1
+       |      THEN (COALESCE(rl.ref_len, 0) - total_1) * 1000000000 // total_1
+       |      ELSE 0 END
+       |  END AS bp_penalty_nano,
+       |  CASE WHEN $allPos THEN
+       |   ($lnSum) // 4
+       |  END AS prec_penalty_nano
+       | FROM agg LEFT JOIN rl ON rl.grp = agg.grp)
+       |SELECT grp AS source,
+       | CAST(total_1 AS BIGINT) AS cand_len, CAST(ref_len AS BIGINT) AS ref_len,
+       | $passThru,
+       | CAST(bp_penalty_nano AS BIGINT) AS bp_penalty_nano,
+       | CAST(prec_penalty_nano AS BIGINT) AS prec_penalty_nano,
+       | CAST(CASE WHEN total_1 > 0 AND $allPos
+       |   THEN -(bp_penalty_nano + prec_penalty_nano) END AS BIGINT) AS log_bleu_nano,
+       | CAST(CASE WHEN total_1 > 0 THEN
+       |   CASE WHEN $allPos THEN CAST(round(exp(
+       |       CAST(-(bp_penalty_nano + prec_penalty_nano) AS DOUBLE) / 1000000000)
+       |     * 1000000) AS BIGINT) ELSE 0 END
+       | END AS BIGINT) AS bleu_micro
+       |FROM pen""".stripMargin
   }
 
   /** text_meteor oracle: the greedy first-fit METEOR alignment

@@ -367,9 +367,12 @@ object TextEval {
       .withColumn("cand_len", col("total_1"))
   }
 
-  /** Finish [[corpusBleuSums]]' state row into the BLEU output —
-    * verbatim the quantized arithmetic documented on [[corpusBleu]]. */
-  def corpusBleuFromSums(one: DataFrame, maxN: Int = 4): DataFrame = {
+  /** Finish [[corpusBleuSums]]' state row(s) into the BLEU output —
+    * verbatim the quantized arithmetic documented on [[corpusBleu]].
+    * Row-wise, so it finishes ONE global row or one row PER GROUP
+    * identically; `keyCols` are carried through (the grouped face). */
+  def corpusBleuFromSums(one: DataFrame, maxN: Int = 4,
+      keyCols: Seq[String] = Nil): DataFrame = {
     val orders = 1 to maxN
     val allPos = orders.map(n => col(s"match_$n") > 0L).reduce(_ && _)
     val negLnSum = orders.map(n =>
@@ -392,7 +395,7 @@ object TextEval {
             round(exp(col("log_bleu_nano").cast("double") / lit(1e9)) *
               lit(1000000.0)).cast("long"))
             .otherwise(lit(0L))))
-      .select((Seq(col("cand_len"), col("ref_len")) ++
+      .select((keyCols.map(col) ++ Seq(col("cand_len"), col("ref_len")) ++
         orders.flatMap(n => Seq(col(s"match_$n"), col(s"total_$n"))) ++
         Seq(col("bp_penalty_nano"), col("prec_penalty_nano"),
           col("log_bleu_nano"), col("bleu_micro"))): _*)
@@ -401,6 +404,45 @@ object TextEval {
   def corpusBleu(cand: DataFrame, ref: DataFrame, maxN: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     corpusBleuFromSums(corpusBleuSums(cand, ref, maxN, idCol, textCol), maxN)
+
+  /** Corpus BLEU PER GROUP — the segmented-evaluation face ("BLEU by
+    * domain/language/source across the whole corpus in one pass"):
+    * identical counts and quantized arithmetic as [[corpusBleu]], but
+    * every sum keyed by the CANDIDATE side's `groupCol` (each pair
+    * attributes to its candidate's group; reference lengths join
+    * through the pair id, so an unpaired reference contributes to no
+    * group — the documented contract). One n-gram build per side, two
+    * grouped aggregations, and the row-wise finisher: group count ×
+    * ~10 longs of state, never a per-group scan. */
+  def corpusBleuByGroup(cand: DataFrame, ref: DataFrame, groupCol: String,
+      maxN: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxN >= 1, s"maxN must be positive, got $maxN")
+    val gmap = cand.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol).as("grp")).distinct()
+    val cg = ngramCountsAllOrders(cand, maxN, idCol, textCol)
+      .join(gmap, Seq("id"))
+    val rg = ngramCountsAllOrders(ref, maxN, idCol, textCol)
+    val tot = cg.groupBy("grp", "n").agg(sum(col("c")).as("t"))
+    val mch = cg.select(col("grp"), col("id"), col("n"), col("g"),
+        col("c").as("cc"))
+      .join(rg.select(col("id"), col("n"), col("g"), col("c").as("cr")),
+        Seq("id", "n", "g"))
+      .groupBy("grp", "n").agg(sum(least(col("cc"), col("cr"))).as("m"))
+    val orders = 1 to maxN
+    val aggExprs = orders.flatMap(n => Seq(
+      coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"total_$n"),
+      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"match_$n")))
+    val wide = tot.join(mch, Seq("grp", "n"), "left")
+      .groupBy("grp").agg(aggExprs.head, aggExprs.tail: _*)
+    val refLen = rg.filter(col("n") === 1).join(gmap, Seq("id"))
+      .groupBy("grp").agg(sum(col("c")).as("ref_len"))
+    val sums = wide.join(refLen, Seq("grp"), "left")
+      .withColumn("ref_len", coalesce(col("ref_len"), lit(0L)))
+      .withColumn("cand_len", col("total_1"))
+    corpusBleuFromSums(sums, maxN, keyCols = Seq("grp"))
+      .withColumnRenamed("grp", groupCol)
+  }
 
   /** Sentence-level BLEU with +1 smoothing (Lin & Och 2004) of `cand`
     * against `ref`, paired on `idCol` — the per-document companion of

@@ -379,6 +379,30 @@ class TextEvalSpec extends SparkTestBase {
     assert(rows.isEmpty)
   }
 
+  test("corpus BLEU by group: each group row equals corpusBleu on that group's slice") {
+    import org.apache.spark.sql.functions.col
+    val cand = Seq((1L, "the cat sat on the mat", "a"), (2L, "a b c d", "b"),
+      (3L, "x y z", "a"), (4L, "p q", "b"))
+      .toDF("doc_id", "text", "dom")
+    val ref = Seq((1L, "the cat sat on the mat"), (2L, "a b c d e"),
+      (3L, "x w z"), (4L, "r s"))
+      .toDF("doc_id", "text")
+    val grouped = TextEval.corpusBleuByGroup(cand, ref, "dom")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(grouped.keySet === Set("a", "b"))
+    Seq("a", "b").foreach { g =>
+      val slice = cand.filter(col("dom") === g).drop("dom")
+      val ids = slice.select("doc_id").collect().map(_.getLong(0)).toSet
+      val one = TextEval.corpusBleu(slice,
+        ref.filter(col("doc_id").isin(ids.toSeq: _*))).head()
+      val gr = grouped(g)
+      one.schema.fieldNames.foreach { f =>
+        assert(Option(gr.getAs[Any](f)) === Option(one.getAs[Any](f)),
+          s"group $g column $f")
+      }
+    }
+  }
+
   test("corpus BLEU sums corpus-wide before ratios (not a mean of per-pair scores)") {
     // Two pairs whose per-pair unigram precisions are 1 and 1/3; the
     // corpus precision is (2+1)/(2+3) = 3/5, not the mean 2/3.
