@@ -1821,6 +1821,18 @@ object SparkEntry {
       graft.ext.TextEval.corpusBleuByGroup(cand, ref, "source",
         idCol = "pair_id")
     },
+    "text_cer_by_source" -> { (s, dir) =>
+      // Segmented corpus CER: per-source pair counts, total char
+      // edits, total reference chars, and the exact-integer corpus
+      // rate — the corpus QC readout by domain. Fully oracle-checked
+      // (grouped sums over DuckDB's levenshtein pairs).
+      val d = Tables(s, dir, "documents")
+      val cand = d.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"), col("source"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(expr("doc_id div 2").as("pair_id"), col("text"))
+      graft.ext.TextEval.cerByGroup(cand, ref, "source", idCol = "pair_id")
+    },
     "text_meteor" -> { (s, dir) =>
       // METEOR (exact-match module) over the odd/even pairing, FULL
       // tapes: the greedy first-fit alignment is deterministic, so the
@@ -8516,6 +8528,22 @@ object SparkEntry {
     "text_rouge2" -> rougeSql(2),
     "text_bleu" -> bleuSql,
     "text_bleu_by_source" -> bleuByGroupSql,
+    "text_cer_by_source" ->
+      """WITH c AS (SELECT doc_id // 2 AS id, source AS grp,
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |r AS (SELECT doc_id // 2 AS id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |p AS (SELECT c.grp, levenshtein(c.s, r.s) AS e, len(r.s) AS rc
+        |  FROM c JOIN r ON c.id = r.id)
+        |SELECT grp AS source,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(e) AS BIGINT) AS edits,
+        | CAST(sum(rc) AS BIGINT) AS ref_chars,
+        | CAST(CASE WHEN sum(rc) > 0
+        |   THEN sum(e) * 1000000 // sum(rc) END AS BIGINT) AS cer_micro
+        |FROM p GROUP BY grp""".stripMargin,
     "text_sentence_bleu" -> sentenceBleuSql,
     "text_rouge_l_exact" -> rougeLExactSql,
     "text_wer_exact" -> werExactSql,

@@ -286,6 +286,25 @@ object TextEval {
               * (col("cand_tokens") + lit(9L) * col("ref_tokens")))))
   }
 
+  /** Corpus CER PER GROUP — [[cer]]'s per-pair edit counts summed
+    * under the candidate side's `groupCol` (the segmented corpus QC
+    * face: "character error rate by domain/source in one pass").
+    * Output per group: pair count, total edits, total reference
+    * chars, and the exact-integer corpus micro rate (NULL when the
+    * group's references are all empty). Group-count-sized output. */
+  def cerByGroup(cand: DataFrame, ref: DataFrame, groupCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gmap = cand.filter(col(textCol).isNotNull)
+      .select(col(idCol).as(idCol), col(groupCol).as("grp")).distinct()
+    cer(cand, ref, idCol, textCol)
+      .join(gmap, Seq(idCol))
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("edits")).as("edits"),
+        sum(col("ref_chars")).as("ref_chars"))
+      .withColumn("cer_micro", when(col("ref_chars") > 0L,
+        call_function("div", col("edits") * lit(1000000L), col("ref_chars"))))
+  }
+
   /** (id, n, g, c): per-document n-gram instance counts for EVERY
     * order 1..maxN in one pass — the grams of all orders are built
     * in-row (a flatten over the order sequence of the same slice/

@@ -403,6 +403,22 @@ class TextEvalSpec extends SparkTestBase {
     }
   }
 
+  test("CER by group: grouped sums equal per-slice recompute; empty-ref group NULL") {
+    import org.apache.spark.sql.functions.col
+    val cand = Seq((1L, "the cat", "a"), (2L, "x y", "a"), (3L, "ab", "b"))
+      .toDF("doc_id", "text", "dom")
+    val ref = Seq((1L, "the bat"), (2L, "x y"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextEval.cerByGroup(cand, ref, "dom")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // group a: edits 1 + 0 over ref chars 7 + 3 = 10 -> 100000
+    assert(got("a") === ((2L, 1L, 10L, Some(100000L))))
+    // group b: only an empty reference -> NULL rate, edits = cand len
+    assert(got("b") === ((1L, 2L, 0L, None)))
+  }
+
   test("corpus BLEU sums corpus-wide before ratios (not a mean of per-pair scores)") {
     // Two pairs whose per-pair unigram precisions are 1 and 1/3; the
     // corpus precision is (2+1)/(2+3) = 3/5, not the mean 2/3.
