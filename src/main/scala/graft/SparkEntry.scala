@@ -5869,8 +5869,12 @@ object SparkEntry {
     val ev = evRaw.select(
       col("event_id"), tsSecondTrunc(evRaw.schema).as("ts"),
       col("user_id"), col("event_type"), col("value"))
-    val tiled = ev.withColumn("__tile", ntile(parts).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    // fence the NTILE global sort: it has `parts` consumers (one filtered
+    // write per tile) and would otherwise re-scan and re-sort the events
+    // payload once PER TILE (guide §2.4 — multi-consumer frames shuffle once)
+    val tiled = graft.ext.Materialize(
+      ev.withColumn("__tile", ntile(parts).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id")))))
     val replay = scratchDir("graft_replay_")
     val base = System.currentTimeMillis() - (parts + 1) * 60000L
     replayOrder.zipWithIndex.foreach { case (tile, pos) =>
@@ -5922,7 +5926,9 @@ object SparkEntry {
     * The year list is control-plane-sized (single-digit rows). */
   private def stageOrdersByYear(s: SparkSession, dir: String): String = {
     val base = scratchDir("graft_manifest_orders_").toString
-    val orders = Tables(s, dir, "orders")
+    // fenced: the per-year filtered writes below would otherwise re-read
+    // the orders parquet once PER YEAR (guide §2.4 multi-consumer rule)
+    val orders = graft.ext.Materialize(Tables(s, dir, "orders"))
     val years = orders.select(year(col("o_orderdate")).as("y"))
       .distinct().collect().map(_.getInt(0)).sorted
     years.foreach { y =>
@@ -5984,8 +5990,11 @@ object SparkEntry {
   private def frameReplay(frame: DataFrame, parts: Int)
       : (String, org.apache.spark.sql.types.StructType) = {
     val keyCol = frame.columns.head
-    val tiled = frame.withColumn("__tile", ntile(parts).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))))
+    // fenced: `parts` filtered writes consume the NTILE sort (see
+    // timeOrderedEventReplay)
+    val tiled = graft.ext.Materialize(
+      frame.withColumn("__tile", ntile(parts).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(keyCol)))))
     val replay = scratchDir("graft_frame_replay_")
     val base = System.currentTimeMillis() - (parts + 1) * 60000L
     (1 to parts).foreach { tile =>
@@ -6005,8 +6014,11 @@ object SparkEntry {
   private def docReplay(s: SparkSession, dir: String,
       parts: Int): (String, org.apache.spark.sql.types.StructType) = {
     val d = Tables(s, dir, "documents").select("doc_id", "lang", "text")
-    val tiled = d.withColumn("__tile", ntile(parts).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    // fenced: `parts` filtered writes consume the NTILE sort of the text
+    // payload (see timeOrderedEventReplay)
+    val tiled = graft.ext.Materialize(
+      d.withColumn("__tile", ntile(parts).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))))
     val replay = scratchDir("graft_doc_replay_")
     val base = System.currentTimeMillis() - (parts + 1) * 60000L
     (1 to parts).foreach { tile =>
