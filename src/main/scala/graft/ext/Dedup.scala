@@ -78,7 +78,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withSh = barrier(
+    // Materialize, not just an exchange: withSh has THREE consumers
+    // (prefix candidates, a-side verify, b-side verify) and the measured
+    // plan re-ran the shingle-hash map stage once per consumer (~10 s
+    // CPU each at sf0.1) — exchange reuse does not fence it
+    val withSh = Materialize(
       barrier(docs.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
           graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
@@ -115,7 +119,9 @@ object Dedup {
   def containment(docs: DataFrame, threshold: Double = 0.7, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
-    val withSh = barrier(
+    // Materialize: three consumers (index explode, a-side verify,
+    // b-side verify) — see ngramJaccard's measured triple-recompute
+    val withSh = Materialize(
       barrier(docs.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
           graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
@@ -188,12 +194,12 @@ object Dedup {
     // signature/verification consumers, and the signature before the
     // per-band explode — otherwise projection collapse re-evaluates them
     // once per use.
-    val withSh = barrier(
+    val withSh = Materialize(
       barrier(docs.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"),
           graft.functions.texthash.shingle_hashes(col(textCol), n).as("shs"))
         .filter(size(col("shs")) > 0))
-    val sigs = barrier(withSh.select(col("id"), minhashSignature(col("shs"), k).as("sig")))
+    val sigs = Materialize(withSh.select(col("id"), minhashSignature(col("shs"), k).as("sig")))
     // one row per (band, bucket): bucket = hash of the band's r-slice
     val buckets = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -285,12 +291,12 @@ object Dedup {
       .select(col("id"), col("lang"),
         transform(col("ps"), p => p("concept")).as("cs"))
       .filter(size(col("cs")) >= n)
-    val withSh = barrier(seqs.select(col("id"), col("lang"),
+    val withSh = Materialize(seqs.select(col("id"), col("lang"),
       array_distinct(transform(sequence(lit(0), size(col("cs")) - n),
         i => xxhash64(concat_ws(" ",
           (0 until n).map(j => element_at(col("cs"), i + j + 1)): _*))))
         .as("shs")))
-    val sigs = barrier(withSh.select(col("id"), col("lang"),
+    val sigs = Materialize(withSh.select(col("id"), col("lang"),
       minhashSignature(col("shs"), k).as("sig")))
     val buckets = sigs.select(col("id"), col("lang"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -331,7 +337,7 @@ object Dedup {
   def simhash(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole banding guarantees recall only for dist<=3")
-    val sigs = barrier(
+    val sigs = Materialize(
       barrier(docs.select(col(idCol), col(textCol)))
         .select(col(idCol).as("id"), simhashOfText(col(textCol)).as("sig"))
         .filter(col("sig").isNotNull))
@@ -427,7 +433,7 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = bands * rowsPerBand
     require(planes <= 63, s"bands*rowsPerBand must be <= 63, got $planes")
-    val withSig = barrier(
+    val withSig = Materialize(
       barrier(embs.select(col(idCol), col(vecCol)))
         .select(col(idCol).as("id"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -485,7 +491,9 @@ object Dedup {
       if (nCells == 1)
         (prepared.withColumn("cell", lit(0)), Seq.empty[(Int, Array[Double])])
       else Similarity.kmeansCells(prepared, nCells, seed, maxFitVectors)
-    val a = barrier(assigned)
+    // three consumers (pairwise x/y legs + member join) — fence, don't
+    // just exchange (the ngramJaccard measured-triple-recompute lesson)
+    val a = Materialize(assigned)
     val pairs = a.as("x").join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
@@ -653,7 +661,7 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int = 12,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import graft.functions.texthash.shingle_hashes_all
-    val withSh = barrier(
+    val withSh = Materialize(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), shingle_hashes_all(col(textCol), k).as("shs"))
         .filter(size(col("shs")) > 0))
@@ -708,7 +716,7 @@ object Dedup {
     val toks = filter(
       split(trim(col(textCol)), graft.ext.TextAnalysis.WhitespaceClass),
       t => length(t) > 0)
-    val base = barrier(
+    val base = Materialize(
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), toks.as("toks"),
           shingle_hashes_all(col(textCol), k).as("shs")))
@@ -869,8 +877,11 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"span width must be >= 1: $n")
-    val base = sentenceBase(docs, idCol, textCol)
-    val spans = posSpans(base, n)
+    // fence both multi-consumer frames: base feeds the span build AND
+    // the reassembly join; spans feed the winner aggregate AND the
+    // drop-position join (md5 per window — 2x recompute is measurable)
+    val base = Materialize(sentenceBase(docs, idCol, textCol))
+    val spans = Materialize(posSpans(base, n))
     removalFromSpans(base, spans, spanWinners(spans), n, idCol)
   }
 
@@ -953,8 +964,8 @@ object Dedup {
       n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"span width must be >= 1: $n")
-    val base = sentenceBase(batch, idCol, textCol)
-    val batchPos = posSpans(base, n)
+    val base = Materialize(sentenceBase(batch, idCol, textCol))
+    val batchPos = Materialize(posSpans(base, n))
     val probe = batchPos.select("h").distinct()
     val winners = spanWinners(fullPos.join(broadcast(probe), "h"))
     removalFromSpans(base, batchPos, winners, n, idCol)
