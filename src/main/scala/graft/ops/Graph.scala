@@ -97,14 +97,20 @@ object Graph {
         greatest(col("ord_u"), col("ord_v")).as("ord_dst")))
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("ord_dst").as("ord_b"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("ord_dst").as("ord_c"))
+    // the closing key is the PACKED pair (b << 32 | c) — node ids are
+    // already asserted < 2^31, so the pack is injective, and a single
+    // BIGINT join key gives the broadcast probe a LongHashedRelation
+    // (dense long-keyed map) instead of a generic row-hashed relation:
+    // the probe runs once per wedge, the hot loop of the whole operator
     val wedges = e1.join(e2, Seq("src")).filter(col("ord_b") < col("ord_c"))
-      .select(col("src").as("a"), col("b"), col("c"))
-    val closing0 = oriented.select(col("src").as("b"), col("dst").as("c"))
+      .select(col("src").as("a"), col("b"), col("c"),
+        (shiftleft(col("b"), 32) + col("c")).as("bc"))
+    val closing0 = oriented.select((shiftleft(col("src"), 32) + col("dst")).as("bc"))
     // auto mode: `e` is checkpointed, so the count is a cheap scan of
     // already-materialized blocks, not a recompute of the edge derivation
     val doBroadcast = broadcastEdges.getOrElse(e.count() <= maxBroadcastEdges)
     val closing = if (doBroadcast) broadcast(closing0) else closing0
-    val tris = wedges.join(closing, Seq("b", "c")) // (a, b, c), each once
+    val tris = wedges.join(closing, Seq("bc")) // (a, b, c), each once
     // one pass over the triangle set: a 3-branch union would re-execute
     // the wedge join once per role (measured 3x wall clock); explode
     // emits all three memberships from the single join
