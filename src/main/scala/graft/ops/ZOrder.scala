@@ -38,9 +38,15 @@ object ZOrder {
   }
 
   /** Column expression: rank-bucket of `c` against sorted `boundaries`
-    * (0..boundaries.length), i.e. how many boundaries the value meets. */
+    * (0..boundaries.length), i.e. how many boundaries the value meets.
+    * Binary-search native expression — the interpreted higher-order
+    * filter scanned all 256 boundaries per row (guide §4: the hot
+    * per-row loop belongs in native code). */
   private def bucketOf(c: Column, boundaries: Array[Double]): Column =
-    cardinality(filter(lit(boundaries), b => c.cast("double") >= b))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SortedBucket(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("double")),
+        boundaries))
 
   /** Z-value of two columns: each rank-bucketed to 8 bits via its
     * quantile `boundaries`, bits interleaved to a 16-bit Morton code. */

@@ -92,6 +92,26 @@ class ZOrderSpec extends SparkTestBase {
     assert(pruned === full)
   }
 
+  test("SortedBucket binary search == higher-order filter bucketing") {
+    // differential pin of the native bucket expression against the
+    // filter form it replaced, over boundary-equal, between, below-min,
+    // above-max, null and NaN values (null/NaN -> bucket 0, the filter
+    // form's cardinality-of-empty)
+    val bounds = Array(2.0, 5.0, 5.0, 9.0, 42.5)
+    val vals: Seq[java.lang.Double] =
+      Seq(1.0, 2.0, 3.0, 5.0, 8.9, 9.0, 42.5, 100.0, null,
+        Double.NaN, -1e18, 1e18)
+    val df = vals.toDF("v")
+    val got = df.select(col("v"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.SortedBucket(
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col("v").cast("double")), bounds)).as("b"),
+      cardinality(filter(lit(bounds), b => col("v").cast("double") >= b)).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) === r.getInt(2), s"row $r"))
+  }
+
   test("zValue: interleaved code is monotone in each dimension's bucket") {
     val bounds = (1 until 256).map(_.toDouble).toArray
     val df = Seq((10.0, 10.0), (10.0, 200.0), (200.0, 10.0), (200.0, 200.0))
