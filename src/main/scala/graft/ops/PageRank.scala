@@ -95,7 +95,10 @@ object PageRank {
     val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
     val (ed, _) = staticEdges(e, nodes)
-    iterate(ed, Materialize(nodes.select(col("node"), lit(r0).as("rank"))),
+    // no fence on ranks0: a trivial projection of the already-
+    // checkpointed node frame with exactly one consumer (round 1's
+    // join) — the fence only added an eager checkpoint job
+    iterate(ed, nodes.select(col("node"), lit(r0).as("rank")),
       iterations, base)
   }
 
@@ -114,7 +117,7 @@ object PageRank {
     val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
     val (ed, deg) = staticEdges(e, nodes)
-    (iterate(ed, Materialize(nodes.select(col("node"), lit(r0).as("rank"))),
+    (iterate(ed, nodes.select(col("node"), lit(r0).as("rank")),
       iterations, base), ed, deg)
   }
 
@@ -197,8 +200,10 @@ object PageRank {
       .select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w"),
         coalesce(col("d"), lit(1L)).as("d"))
     val ed = Materialize(untouched.union(rebuiltReal).union(newSelfLoops))
-    val ranks0 = Materialize(state.select(col("node"), col("rank"))
-      .union(newNodes.select(col("node"), lit(r0).as("rank"))))
+    // single consumer (round 1) over a parquet state scan + checkpointed
+    // newNodes — no fence needed
+    val ranks0 = state.select(col("node"), col("rank"))
+      .union(newNodes.select(col("node"), lit(r0).as("rank")))
     iterate(ed, ranks0, iterations, base)
   }
 
@@ -231,9 +236,9 @@ object PageRank {
     val e = edgeFrame(edges, srcCol, dstCol)
     val nodes = nodeFrame(e)
     val (ed, _) = staticEdges(e, nodes)
-    val ranks0 = Materialize(nodes
+    val ranks0 = nodes
       .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__stored"), lit(r0)).as("rank")))
+      .select(col("node"), coalesce(col("__stored"), lit(r0)).as("rank"))
     iterate(ed, ranks0, iterations, base)
   }
 
@@ -261,7 +266,7 @@ object PageRank {
     val e = edgeFrame(edges, srcCol, dstCol)
     val (flagged, ed, _) = personalizedStatic(e, seeds)
     iteratePersonalized(ed,
-      Materialize(flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))),
+      flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank")),
       iterations, base)
   }
 
@@ -278,7 +283,7 @@ object PageRank {
     val e = edgeFrame(edges, srcCol, dstCol)
     val (flagged, ed, deg) = personalizedStatic(e, seeds)
     (iteratePersonalized(ed,
-      Materialize(flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))),
+      flagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank")),
       iterations, base), ed, deg)
   }
 
@@ -373,8 +378,8 @@ object PageRank {
       .select(col("node").as("src"), col("node").as("dst"), lit(0L).as("w"),
         coalesce(col("d"), lit(1L)).as("d"), col("is_seed").as("ds"))
     val ed = Materialize(untouchedP.union(rebuiltP).union(newSelfLoops))
-    val ranks0 = Materialize(state.select(col("node"), col("rank"))
-      .union(newFlagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank"))))
+    val ranks0 = state.select(col("node"), col("rank"))
+      .union(newFlagged.select(col("node"), (col("is_seed") * lit(r0)).as("rank")))
     iteratePersonalized(ed, ranks0, iterations, base)
   }
 
@@ -386,10 +391,10 @@ object PageRank {
     val base = 15L * r0 / 100
     val e = edgeFrame(edges, srcCol, dstCol)
     val (flagged, ed, _) = personalizedStatic(e, seeds)
-    val ranks0 = Materialize(flagged
+    val ranks0 = flagged
       .join(state.select(col("node"), col("rank").as("__stored")), Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("__stored"), col("is_seed") * lit(r0)).as("rank")))
+        coalesce(col("__stored"), col("is_seed") * lit(r0)).as("rank"))
     iteratePersonalized(ed, ranks0, iterations, base)
   }
 }

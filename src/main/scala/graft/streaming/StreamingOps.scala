@@ -1045,7 +1045,12 @@ object StreamingOps {
     val spark = batch.sparkSession
     val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
-    val sums = graft.ext.TextEval.cer(batch, refStatic, idCol, textCol)
+    // spread the arriving batch (one file per trigger -> one scan task)
+    // across the session's parallelism before the per-row edit-distance
+    // DP: batch-sized shuffle, guide §2.5's unsplittable-input remedy
+    val spread = batch.repartition(
+      spark.sessionState.conf.numShufflePartitions, col(idCol))
+    val sums = graft.ext.TextEval.cer(spread, refStatic, idCol, textCol)
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum("edits"), lit(0L)).as("edits"),
         coalesce(sum("ref_chars"), lit(0L)).as("ref_chars"))
@@ -1104,9 +1109,14 @@ object StreamingOps {
     val spark = batch.sparkSession
     val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
+    // spread the arriving batch (one file per trigger -> one scan task)
+    // across the session's parallelism before the in-row n-gram build:
+    // batch-sized shuffle, guide §2.5's unsplittable-input remedy
+    val spread = batch.repartition(
+      spark.sessionState.conf.numShufflePartitions, col(idCol))
     val refBatch = refStatic.join(
-      batch.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
-    val sums = graft.ext.TextEval.corpusBleuSums(batch, refBatch,
+      spread.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val sums = graft.ext.TextEval.corpusBleuSums(spread, refBatch,
       idCol = idCol, textCol = textCol)
     val merged = (if (current >= 0L)
       sums.unionByName(spark.read.parquet(s"$stateDir/v$current"))
