@@ -601,7 +601,14 @@ object Relational {
     val spark = frame.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = frame.repartitionByRange(parts, col(keyCol))
+    // fence the histogram BEFORE the range exchange: the range
+    // partitioner's bounds-sampling job executes its whole child, so an
+    // unfenced frame re-runs the caller's scan + aggregation once for
+    // the sample and once for the shuffle (measured as twin full-scan
+    // jobs on exp_qte). The cells frame is histogram-sized — cheap to
+    // checkpoint at any scale.
+    val cells = graft.ext.Materialize(frame)
+    val ranged = cells.repartitionByRange(parts, col(keyCol))
       .withColumn("__pid", spark_partition_id())
     val staged = graft.ext.Materialize(ranged)
     val aggs = cntCols.map(c => sum(col(c)).as(c))
