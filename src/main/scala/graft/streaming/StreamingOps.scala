@@ -1381,14 +1381,18 @@ object StreamingOps {
     val spark = batch.sparkSession
     val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
+    // spread the one-file batch before the per-row tokenize/score work
+    // (guide §2.5's unsplittable-input remedy; batch-sized shuffle)
+    val spread = batch.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("doc_id"))
     if (current >= 0L) {
       val c2 = spark.read.parquet(s"$stateDir/v$current/c2")
       val uni = spark.read.parquet(s"$stateDir/v$current/uni")
       val (mc2, mc1, mv) = graft.ext.LangModel.modelFromState(c2, uni)
-      graft.ext.LangModel.scoreBigram(batch, mc2, mc1, mv)
+      graft.ext.LangModel.scoreBigram(spread, mc2, mc1, mv)
         .write.mode("overwrite").parquet(s"$outDir/b$batchId")
     }
-    val (dc2, duni) = graft.ext.LangModel.bigramCountState(batch)
+    val (dc2, duni) = graft.ext.LangModel.bigramCountState(spread)
     val (nc2, nuni) = if (current >= 0L)
       graft.ext.LangModel.mergeBigramCountState(
         (spark.read.parquet(s"$stateDir/v$current/c2"),
@@ -1429,15 +1433,19 @@ object StreamingOps {
     val spark = batch.sparkSession
     val current = StateCommit.readVersion(stateDir)
     if (batchId <= current) return // replay of an already-committed batch
+    // spread the one-file batch before the per-row tokenize/score work
+    // (guide §2.5's unsplittable-input remedy; batch-sized shuffle)
+    val spread = batch.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("doc_id"))
     if (current >= 0L) {
-      graft.ext.QualityClassifier.score(batch,
+      graft.ext.QualityClassifier.score(spread,
           spark.read.parquet(s"$stateDir/v$current/tok"),
           spark.read.parquet(s"$stateDir/v$current/doc"),
           textCol = textCol)
         .write.mode("overwrite").parquet(s"$outDir/b$batchId")
     }
     // label bootstrap: the rule battery supplies this batch's classes
-    val labeled = graft.ext.TextAnalysis.qualityFilters(batch, textCol)
+    val labeled = graft.ext.TextAnalysis.qualityFilters(spread, textCol)
       .select(col("doc_id"), col(textCol), col("keep").as("label"))
     val (tok, doc) = graft.ext.QualityClassifier.train(labeled, textCol = textCol)
     val (ntok, ndoc) = if (current >= 0L)
