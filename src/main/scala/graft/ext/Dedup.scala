@@ -590,6 +590,10 @@ object Dedup {
     // conf approach, zero session-global state.
     def byKey(df: DataFrame, c: String): DataFrame =
       df.repartition(loopParts, col(c))
+    // the edge frame is STATIC across rounds but was re-exchanged to
+    // loopParts by dst inside every round — hoist that one exchange out
+    // of the loop (a 100 TB run pays it once instead of once per round)
+    val edgesByDst = Materialize(byKey(matEdges, "dst"))
     var labels = Materialize(byKey(matEdges.select(col("src").as("id")), "id")
       .distinct()
       .select(col("id"), col("id").as("label")))
@@ -601,7 +605,7 @@ object Dedup {
     var round = 0
     var converged = prevTotal.signum == 0 && labels.isEmpty // empty graph: done
     while (!converged && round < maxRounds) {
-      val nbrMin = byKey(matEdges, "dst").join(byKey(labels, "id"),
+      val nbrMin = edgesByDst.join(byKey(labels, "id"),
           col("dst") === col("id"))
         .select(col("src"), col("label"))
         .repartition(loopParts, col("src"))
