@@ -5926,18 +5926,24 @@ object SparkEntry {
     * The year list is control-plane-sized (single-digit rows). */
   private def stageOrdersByYear(s: SparkSession, dir: String): String = {
     val base = scratchDir("graft_manifest_orders_").toString
-    // fenced: the per-year filtered writes below would otherwise re-read
-    // the orders parquet once PER YEAR (guide §2.4 multi-consumer rule)
-    val orders = graft.ext.Materialize(Tables(s, dir, "orders"))
-    val years = orders.select(year(col("o_orderdate")).as("y"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    years.foreach { y =>
-      val stage = scratchDir("graft_stage_year_")
-      orders.filter(year(col("o_orderdate")) === y)
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written under $stage"))
+    // ONE write job stages every year (repartition on the year +
+    // partitionBy, which strips the key column from the data files and
+    // yields exactly one file per year) — previously one serial
+    // filtered coalesce(1) job per year re-read orders each time.
+    // sortWithinPartitions keeps intra-file order deterministic and
+    // compression-friendly. (The same one-job shape was TRIED on the
+    // streaming replay helpers and reverted: there it measured slower —
+    // see OPTIMIZATION_r19.md.)
+    val stage = scratchDir("graft_tiles_")
+    Tables(s, dir, "orders").withColumn("__y", year(col("o_orderdate")))
+      .repartition(col("__y"))
+      .sortWithinPartitions(col("__y"), col("o_orderkey"))
+      .write.mode("overwrite").partitionBy("__y").parquet(stage.toString)
+    stage.toFile.listFiles().filter(_.getName.startsWith("__y=")).foreach { d =>
+      val part = d.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $d"))
+      val y = d.getName.stripPrefix("__y=")
       java.nio.file.Files.move(part.toPath,
         new java.io.File(base, s"orders_y$y.parquet").toPath)
     }
